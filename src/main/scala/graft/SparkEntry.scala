@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2,
+  * re-expressed Spark-first; each key with a [[oracleSql]] twin is
+  * hash-verified by the driver against DuckDB on the same parquet.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * revenue by nation through the 4-way join (SURVEY §2 J1/J2 + A1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    BatchQueries.joinAggByDim(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_group_count" -> (BatchQueries.topkGroupCount _),
+    "q_project_filter"   -> (BatchQueries.projectFilter _),
+    "q_regex_filter_cast" -> (BatchQueries.regexFilterCast _),
+    "q_dedup"            -> (BatchQueries.dedup _),
+    "q_zscore_outliers"  -> (BatchQueries.zscoreOutliers _),
+    "q_histogram"        -> (BatchQueries.histogram _),
+    "q_summary_stats"    -> (BatchQueries.summaryStats _),
+    "q_join_group_count" -> (BatchQueries.joinGroupCount _),
+    "q_join_agg_by_dim"  -> (BatchQueries.joinAggByDim _),
+    "q_csv_roundtrip"    -> (BatchQueries.csvRoundtrip _),
+    "q_ddl_roundtrip"    -> (BatchQueries.ddlRoundtrip _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_topk_group_count" -> BatchQueries.topkGroupCountSql,
+    "q_project_filter"   -> BatchQueries.projectFilterSql,
+    "q_regex_filter_cast" -> BatchQueries.regexFilterCastSql,
+    "q_dedup"            -> BatchQueries.dedupSql,
+    "q_zscore_outliers"  -> BatchQueries.zscoreOutliersSql,
+    "q_histogram"        -> BatchQueries.histogramSql,
+    "q_summary_stats"    -> BatchQueries.summaryStatsSql,
+    "q_join_group_count" -> BatchQueries.joinGroupCountSql,
+    "q_join_agg_by_dim"  -> BatchQueries.joinAggByDimSql,
+    "q_csv_roundtrip"    -> BatchQueries.csvRoundtripSql,
+    "q_ddl_roundtrip"    -> BatchQueries.ddlRoundtripSql,
+  )
 }

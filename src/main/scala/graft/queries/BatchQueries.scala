@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch relational surface of the reference (`Part_A_Q1.py`): scans,
+  * projection/filter/regex/cast, dedup, joins, grouped aggregation,
+  * z-score outliers, histograms, summary stats, top-k.
+  *
+  * Re-expressed Spark-first: every query is a single lazy DataFrame
+  * expression — Catalyst pushes filters/prunes columns into the parquet
+  * scan, picks broadcast-hash joins for the small dimensions, plans
+  * partial+final hash aggregation and `TakeOrderedAndProject` for the
+  * top-k patterns. At 100 TB the same plans hold: fact-fact joins
+  * shuffle on their keys (sort-merge + AQE), dims stay broadcast.
+  *
+  * Determinism for the DuckDB oracle: every output is explicitly
+  * ordered with unique tiebreakers, doubles are rounded, and
+  * `stddev_samp` is used wherever the reference uses pandas `.std()`
+  * (ddof=1). See FIXTURES.md determinism rules.
+  */
+object BatchQueries {
+
+  /** M0 spine — ratings⋈books → groupBy → count → sort desc → head(k)
+    * (reference `Part_A_Q1.py:49-78`): top-20 customers by lineitem
+    * count through the orders join. Catalyst plans sort-merge on the
+    * two fact tables (both huge at scale) and TakeOrderedAndProject
+    * for the limit — no full sort, no driver collect. */
+  def topkGroupCount(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val orders   = Tables(spark, dir, "orders")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("o_custkey"))
+      .limit(20)
+  }
+
+  val topkGroupCountSql: String =
+    """SELECT o_custkey, count(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey
+      |ORDER BY cnt DESC, o_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** Projection + strict range predicate (reference `Part_A_Q1.py:38-39`
+    * keeps 15 < age < 80 STRICT; here c_acctbal plays age). Both the
+    * filter and the 3-column projection reach the parquet scan
+    * (PushedFilters / ReadSchema). */
+  def projectFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .filter(col("c_acctbal") > 1000.0 && col("c_acctbal") < 4000.0)
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+
+  val projectFilterSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > 1000.0 AND c_acctbal < 4000.0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Regex validate + extract + cast (reference ISBN/year cleaning,
+    * `Part_A_Q1.py:21-25`): keep parts whose name matches the shape
+    * regex, extract the brand number and cast to int, range-filter the
+    * casted value (`Part_A_Q1.py:28-29`). */
+  def regexFilterCast(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(col("p_name").rlike("^\\w+ widget$"))
+      .withColumn("brand_num",
+        regexp_extract(col("p_brand"), "^Brand#(\\d+)$", 1).cast("int"))
+      .filter(col("brand_num") >= 5 && col("brand_num") <= 40)
+      .select("p_partkey", "p_name", "brand_num", "p_size")
+      .orderBy("p_partkey")
+
+  val regexFilterCastSql: String =
+    """SELECT p_partkey, p_name,
+      |       CAST(regexp_extract(p_brand, '^Brand#(\d+)$', 1) AS INTEGER) AS brand_num,
+      |       p_size
+      |FROM part
+      |WHERE regexp_matches(p_name, '^\w+ widget$')
+      |  AND CAST(regexp_extract(p_brand, '^Brand#(\d+)$', 1) AS INTEGER) BETWEEN 5 AND 40
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Dedup by key (reference `drop_duplicates(subset="User-ID")`,
+    * `Part_A_Q1.py:47`) with a DETERMINISTIC survivor (min o_orderkey
+    * per customer) so the oracle can reproduce it — pandas keeps
+    * "first", which has no stable meaning in a distributed engine.
+    * Window + row_number is the scalable form: one shuffle on the
+    * dedup key, no driver state. */
+  def dedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderstatus")
+      .orderBy("o_custkey")
+  }
+
+  val dedupSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus
+      |FROM (SELECT o_custkey, o_orderkey, o_orderstatus,
+      |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Z-score outliers (reference `Part_A_Q1.py:54-61`): global
+    * mean/stddev_samp of o_totalprice, keep |z| > 1.5 (o_totalprice is
+    * near-uniform — max |z| ≈ 1.73 — so the reference's 3σ cut would
+    * select nothing; 1.5 keeps the operator observable). The stats come
+    * from a 1-row aggregate cross-joined back (broadcast) — no second
+    * scan shuffle, no collect; the pattern is identical at 100 TB. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val stats = orders.agg(
+      avg("o_totalprice").as("m"),
+      stddev_samp("o_totalprice").as("sd"))
+    orders.crossJoin(broadcast(stats))
+      .withColumn("z", (col("o_totalprice") - col("m")) / col("sd"))
+      .filter(abs(col("z")) > 1.5)
+      .select(col("o_orderkey"), round(col("z"), 4).as("z"))
+      .orderBy("o_orderkey")
+  }
+
+  val zscoreOutliersSql: String =
+    """WITH s AS (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd FROM orders)
+      |SELECT o_orderkey, round((o_totalprice - m) / sd, 4) AS z
+      |FROM orders, s
+      |WHERE abs((o_totalprice - m) / sd) > 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Fixed-width histogram (reference `hist(...)`, `Part_A_Q1.py:34`):
+    * bin o_totalprice by 25k, count per bin. A groupBy on the bin
+    * expression — partial aggregation makes this one narrow shuffle of
+    * at most #bins rows per task regardless of input size. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+
+  val histogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, count(*) AS cnt
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
+  /** Summary stats (reference `describe()`, `Part_A_Q1.py:14-16`):
+    * count/mean/std/min/max for the two main lineitem measures, one
+    * row per column. Exact (no approx percentiles) so the oracle
+    * matches bit-for-bit after rounding. */
+  def summaryStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    def statsOf(c: String): DataFrame =
+      li.agg(
+        lit(c).as("col_name"),
+        count(col(c)).as("cnt"),
+        round(avg(col(c)), 4).as("mean"),
+        round(stddev_samp(col(c)), 4).as("std"),
+        round(min(col(c)), 4).as("min"),
+        round(max(col(c)), 4).as("max"))
+        .select("col_name", "cnt", "mean", "std", "min", "max")
+    statsOf("l_quantity").unionAll(statsOf("l_extendedprice"))
+      .orderBy("col_name")
+  }
+
+  val summaryStatsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS cnt,
+      |         round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS std,
+      |         round(min(l_quantity), 4) AS min, round(max(l_quantity), 4) AS max
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', count(l_extendedprice),
+      |         round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+      |         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+      |  FROM lineitem)
+      |ORDER BY col_name""".stripMargin
+
+  /** Inner equi-join + group count (reference ratings⋈books →
+    * groupby(ISBN).count(), `Part_A_Q1.py:49-50`). `part` is a true
+    * dimension: broadcast-hint it so the fact table never shuffles. */
+  def joinGroupCount(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val part     = Tables(spark, dir, "part")
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"), round(avg("l_quantity"), 4).as("avg_qty"))
+      .orderBy("p_brand")
+  }
+
+  val joinGroupCountSql: String =
+    """SELECT p_brand, count(*) AS cnt, round(avg(l_quantity), 4) AS avg_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Multi-hop join + aggregation by dimension (reference
+    * ratings⋈users → groupby(Age), `Part_A_Q1.py:80-86`): revenue by
+    * nation through lineitem⋈orders⋈customer⋈nation. nation is tiny →
+    * broadcast; lineitem⋈orders is the real fact-fact shuffle and
+    * orders⋈customer co-partitions on custkey. Revenue summed as
+    * double then rounded to cents — sum error is ~1e-6 absolute at
+    * 1e9 magnitude, far below the rounding grid. */
+  def joinAggByDim(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val orders   = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation   = Tables(spark, dir, "nation")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val joinAggByDimSql: String =
+    """SELECT n_name, count(*) AS cnt,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** CSV sink + scan round-trip (reference S1/S2/S4: `;`-separated,
+    * header, `Part_A_Q1.py:11-13`, `Part_A_Q2.py:64-71`). Writes
+    * customer to `;`-CSV with an explicit schema read-back (never
+    * inferSchema — determinism), DROPMALFORMED mode replicating
+    * `error_bad_lines=False`, then aggregates the round-tripped rows.
+    * Java's shortest-round-trip double formatting makes the write→read
+    * cycle lossless. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"${Tables.scratchDir}/csv_roundtrip_customer"
+    Tables(spark, dir, "customer")
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", ";")
+      .csv(path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.read
+      .option("header", "true").option("sep", ";")
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** DDL + catalog round-trip (reference MySQL `CREATE TABLE` + load,
+    * `Part_A_Q2.py:16-61`): persist nation⋈region as a managed-path
+    * parquet table in the session catalog, then query it back. PK/FK
+    * are informational in Spark — the dedup/join queries carry the
+    * constraint semantics. */
+  def ddlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .write.mode("overwrite")
+      .option("path", s"${Tables.scratchDir}/warehouse/graft_nation_region")
+      .saveAsTable("graft_nation_region")
+    spark.table("graft_nation_region")
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  val ddlRoundtripSql: String =
+    """SELECT r_name, count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+}
