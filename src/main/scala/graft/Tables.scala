@@ -9,8 +9,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * footer IS the schema — deterministic, unlike CSV `inferSchema`).
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 refuses
+    // ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (runtime-settable legacy
+    // conf) and normalize to TimestampType (micros) here so every consumer
+    // sees a clean schema.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Scratch dir for sink round-trips (CSV/DDL). Kept under target/ so it
     * is git-ignored and never collides with the read-only corpus. */

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic numerics for the DuckDB-oracle contract.
+  *
+  * Problem: `round(avg(x), n)` is nondeterministic across engines in two
+  * ways — float summation order differs (partial aggregation), and the
+  * engines disagree at exact round-half points (Spark HALF_UP, DuckDB
+  * half-to-even; observed: avg=70.47625 → 70.4763 vs 70.4762).
+  *
+  * Fix, for columns that are exact decimals (2-dp money, integral
+  * quantities): aggregate in EXACT integer units (cents), so the sum is
+  * bit-identical regardless of order or engine; divide (both engines do
+  * the same IEEE-754 division of identical inputs); round via an explicit
+  * `floor(x·10ⁿ + 0.5)` half-up that both engines evaluate identically on
+  * identical doubles. The SQL twins spell out the same formula.
+  */
+object Det {
+
+  /** Exact integer cents of a 2-decimal double column (values carry
+    * ≤1e-10 float noise, far from any .5 boundary, so `round` is safe). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Sum a 2-decimal money column exactly; emit as double units. */
+  def moneySum(c: Column): Column =
+    (sum(cents(c)).cast("double") / 100.0)
+
+  /** Exact mean of a 2-decimal money column, half-up-rounded to `scale`.
+    * Nonnegative inputs only (floor(x+0.5) is half-up toward +∞). */
+  def moneyAvg(c: Column, scale: Int): Column =
+    rnd(sum(cents(c)).cast("double") / (count(c) * 100.0), scale)
+
+  /** Deterministic half-up rounding of a nonnegative double: both engines
+    * compute floor on the same double product, so there is no engine-
+    * specific tie-breaking and no ulp ambiguity for exact-decimal x. */
+  def rnd(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * f + 0.5) / f
+  }
+
+  /** SQL-side twins of the helpers above, for composing oracle strings. */
+  def centsSql(col: String): String =
+    s"CAST(round($col * 100) AS BIGINT)"
+  def moneySumSql(col: String): String =
+    s"CAST(sum(${centsSql(col)}) AS DOUBLE) / 100.0"
+  def moneyAvgSql(col: String, scale: Int): String =
+    rndSql(s"CAST(sum(${centsSql(col)}) AS DOUBLE) / (count($col) * 100.0)", scale)
+  def rndSql(expr: String, scale: Int): String = {
+    val f = "1" + "0" * scale
+    s"floor(($expr) * $f + 0.5) / $f"
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Det
 
 /** Batch relational surface of the reference (`Part_A_Q1.py`): scans,
   * projection/filter/regex/cast, dedup, joins, grouped aggregation,
@@ -155,31 +156,39 @@ object BatchQueries {
     * matches bit-for-bit after rounding. */
   def summaryStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
-    def statsOf(c: String): DataFrame =
+    // means go through exact integer units ([[Det]]): l_quantity is
+    // integral, l_extendedprice is 2-dp money — both sum exactly. std is
+    // left as stddev_samp+round: its true value is non-terminating, so
+    // round-half ambiguity has measure zero.
+    def statsOf(c: String, mean: org.apache.spark.sql.Column): DataFrame =
       li.agg(
         lit(c).as("col_name"),
         count(col(c)).as("cnt"),
-        round(avg(col(c)), 4).as("mean"),
+        mean.as("mean"),
         round(stddev_samp(col(c)), 4).as("std"),
         round(min(col(c)), 4).as("min"),
         round(max(col(c)), 4).as("max"))
         .select("col_name", "cnt", "mean", "std", "min", "max")
-    statsOf("l_quantity").unionAll(statsOf("l_extendedprice"))
+    statsOf("l_quantity",
+        Det.rnd(sum("l_quantity") / count(col("l_quantity")), 4))
+      .unionAll(statsOf("l_extendedprice", Det.moneyAvg(col("l_extendedprice"), 4)))
       .orderBy("col_name")
   }
 
   val summaryStatsSql: String =
-    """SELECT * FROM (
-      |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS cnt,
-      |         round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS std,
-      |         round(min(l_quantity), 4) AS min, round(max(l_quantity), 4) AS max
-      |  FROM lineitem
-      |  UNION ALL
-      |  SELECT 'l_extendedprice', count(l_extendedprice),
-      |         round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
-      |         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
-      |  FROM lineitem)
-      |ORDER BY col_name""".stripMargin
+    s"""SELECT * FROM (
+       |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS cnt,
+       |         ${Det.rndSql("sum(l_quantity) / count(l_quantity)", 4)} AS mean,
+       |         round(stddev_samp(l_quantity), 4) AS std,
+       |         round(min(l_quantity), 4) AS min, round(max(l_quantity), 4) AS max
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_extendedprice', count(l_extendedprice),
+       |         ${Det.moneyAvgSql("l_extendedprice", 4)},
+       |         round(stddev_samp(l_extendedprice), 4),
+       |         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+       |  FROM lineitem)
+       |ORDER BY col_name""".stripMargin
 
   /** Inner equi-join + group count (reference ratings⋈books →
     * groupby(ISBN).count(), `Part_A_Q1.py:49-50`). `part` is a true
@@ -190,15 +199,19 @@ object BatchQueries {
     lineitem
       .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("cnt"), round(avg("l_quantity"), 4).as("avg_qty"))
+      // l_quantity is integral → the double sum is exact regardless of
+      // order; explicit half-up division keeps both engines identical.
+      .agg(count(lit(1)).as("cnt"),
+        Det.rnd(sum("l_quantity") / count(col("l_quantity")), 4).as("avg_qty"))
       .orderBy("p_brand")
   }
 
   val joinGroupCountSql: String =
-    """SELECT p_brand, count(*) AS cnt, round(avg(l_quantity), 4) AS avg_qty
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY p_brand
-      |ORDER BY p_brand""".stripMargin
+    s"""SELECT p_brand, count(*) AS cnt,
+       |       ${Det.rndSql("sum(l_quantity) / count(l_quantity)", 4)} AS avg_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
 
   /** Multi-hop join + aggregation by dimension (reference
     * ratings⋈users → groupby(Age), `Part_A_Q1.py:80-86`): revenue by
@@ -260,15 +273,15 @@ object BatchQueries {
       .schema(schema)
       .csv(path)
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .agg(count(lit(1)).as("cnt"), Det.moneySum(col("c_acctbal")).as("total_bal"))
       .orderBy("c_mktsegment")
   }
 
   val csvRoundtripSql: String =
-    """SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
-      |FROM customer
-      |GROUP BY c_mktsegment
-      |ORDER BY c_mktsegment""".stripMargin
+    s"""SELECT c_mktsegment, count(*) AS cnt, ${Det.moneySumSql("c_acctbal")} AS total_bal
+       |FROM customer
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
 
   /** DDL + catalog round-trip (reference MySQL `CREATE TABLE` + load,
     * `Part_A_Q2.py:16-61`): persist nation⋈region as a managed-path

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+
+/** Collaborative-filtering surface of the reference (`Part_A_Q2.py`):
+  * activity semi-joins, the user×item ratings matrix, all-pairs user
+  * similarity, kNN neighborhoods, weighted rating prediction with
+  * MAE/RMSE — on the driver corpus `events` table (user_id × event_type,
+  * value as the rating; see FIXTURES.md role mapping).
+  *
+  * Scale design: the reference pivots to a dense numpy matrix and runs
+  * `np.corrcoef` over ALL user pairs (`Part_A_Q2.py:94-116`) — O(u²)
+  * memory on one node. Here everything stays in long/COO form; the
+  * all-pairs step is an item-grouped self-join restricted (like the
+  * reference's own top-users prefilter, `Part_A_Q2.py:80-89`) to the
+  * top-k most active users, so the pair count is a constant independent
+  * of corpus size. Nothing is ever collected to the driver.
+  */
+object RecommenderQueries {
+
+  private val TopUsers   = 20
+  private val K          = 3
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Long-form ratings matrix: avg value per (user, event_type),
+    * computed in exact integer cents (see [[Det]]) so the value is
+    * bit-identical to the oracle's regardless of summation order. */
+  private def ratings(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(Det.moneyAvg(col("value"), 6).as("r"))
+
+  /** Reference prefilter (`Part_A_Q2.py:80-89`): most-active users. */
+  private def topActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("user_id"))
+      .limit(TopUsers)
+      .select("user_id")
+
+  private def topRatings(spark: SparkSession, dir: String): DataFrame =
+    ratings(spark, dir).join(broadcast(topActiveUsers(spark, dir)), "user_id")
+
+  /** Pairwise Pearson similarity over the top users (reference
+    * `np.corrcoef`, `Part_A_Q2.py:114-116`): self-join on the item key,
+    * `corr` per (u1,u2) group — the relational form of the correlation
+    * matrix, upper triangle only. */
+  private def similarities(spark: SparkSession, dir: String): DataFrame = {
+    val rt = topRatings(spark, dir)
+    val a = rt.select(col("user_id").as("u1"), col("event_type").as("i"), col("r").as("r1"))
+    val b = rt.select(col("user_id").as("u2"), col("event_type").as("i"), col("r").as("r2"))
+    a.join(b, Seq("i"))
+      .filter(col("u1") < col("u2"))
+      .groupBy("u1", "u2")
+      .agg(corr("r1", "r2").as("sim_raw"))
+      .filter(col("sim_raw").isNotNull && !isnan(col("sim_raw")))
+      .select(col("u1"), col("u2"), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** Symmetrized similarity pairs: one row per directed (u, nbr). */
+  private def symSims(spark: SparkSession, dir: String): DataFrame = {
+    val s = similarities(spark, dir)
+    s.select(col("u1").as("u"), col("u2").as("nbr"), col("sim"))
+      .unionAll(s.select(col("u2").as("u"), col("u1").as("nbr"), col("sim")))
+  }
+
+  /** Top-k neighbors per user (reference argsort slice,
+    * `Part_A_Q2.py:121-123`, self excluded): window row_number — the
+    * distributed top-k-per-group idiom, one shuffle on `u`. */
+  private def knn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(desc("sim"), asc("nbr"))
+    symSims(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** J3 — semi-join on active users (reference `isin` against
+    * value_counts, `Part_A_Q2.py:83-89`): left_semi join against the
+    * aggregate, never a collected driver-side list. */
+  def semijoinActive(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val active = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 50)
+      .select("user_id")
+    events.join(active, Seq("user_id"), "left_semi")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), Det.moneySum(col("value")).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val semijoinActiveSql: String =
+    s"""SELECT user_id, count(*) AS n_events, ${Det.moneySumSql("value")} AS total_value
+       |FROM events
+       |WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 50)
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  /** A5+A6 — groupBy-mean + pivot/unstack to the wide user×item matrix
+    * (reference `Part_A_Q2.py:93-94`, `fill_value=0`). Explicit pivot
+    * values keep the schema static (no extra distinct-values job) and
+    * the oracle reproducible; at 100 TB the long/COO form used by the
+    * other queries is the scale path (SURVEY §4). */
+  def pivotMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(Det.moneyAvg(col("value"), 4).as("r"))
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(first("r"))
+      .na.fill(0.0, EventTypes)
+      .orderBy("user_id")
+
+  val pivotMatrixSql: String = {
+    val cell = (t: String) =>
+      Det.rndSql(
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN ${Det.centsSql("value")} END) AS DOUBLE) / " +
+          s"(count(CASE WHEN event_type = '$t' THEN value END) * 100.0)", 4)
+    s"""SELECT user_id,
+       |  ${EventTypes.map(t => s"coalesce(${cell(t)}, 0) AS $t").mkString(",\n  ")}
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** A7/A9/J4 — the user-user correlation matrix in relational form. */
+  def userSimilarity(spark: SparkSession, dir: String): DataFrame =
+    similarities(spark, dir).orderBy("u1", "u2")
+
+  private val simCte: String =
+    s"""WITH ratings AS (
+      |  SELECT user_id, event_type, ${Det.moneyAvgSql("value", 6)} AS r FROM events GROUP BY 1, 2),
+      |top_u AS (
+      |  SELECT user_id FROM events GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT 20),
+      |rt AS (SELECT * FROM ratings WHERE user_id IN (SELECT user_id FROM top_u)),
+      |sims AS (
+      |  SELECT a.user_id AS u1, b.user_id AS u2, round(corr(a.r, b.r), 4) AS sim
+      |  FROM rt a JOIN rt b ON a.event_type = b.event_type AND a.user_id < b.user_id
+      |  GROUP BY a.user_id, b.user_id
+      |  HAVING corr(a.r, b.r) IS NOT NULL),
+      |sym AS (SELECT u1 AS u, u2 AS nbr, sim FROM sims
+      |        UNION ALL SELECT u2, u1, sim FROM sims)""".stripMargin
+
+  val userSimilaritySql: String =
+    simCte + "\nSELECT u1, u2, sim FROM sims ORDER BY u1, u2"
+
+  /** T3 — kNN neighborhoods (k+1-free, unlike the reference's
+    * off-by-one slice at `Part_A_Q2.py:121-123`). */
+  def knnNeighbors(spark: SparkSession, dir: String): DataFrame =
+    knn(spark, dir).select("u", "nbr", "sim", "rn").orderBy("u", "rn")
+
+  val knnNeighborsSql: String =
+    simCte +
+      """
+        |SELECT u, nbr, sim, rn FROM (
+        |  SELECT u, nbr, sim, row_number() OVER (PARTITION BY u ORDER BY sim DESC, nbr) AS rn
+        |  FROM sym)
+        |WHERE rn <= 3
+        |ORDER BY u, rn""".stripMargin
+
+  /** R4+A14+A15 — weighted neighborhood prediction and its MAE/RMSE
+    * (reference `Part_A_Q2.py:130-147,194-198`):
+    * p(u,i) = μ_u + Σₙ s(u,n)·(r(n,i) − μₙ) / Σₙ s(u,n), evaluated
+    * against the observed ratings. All joins + one aggregation — the
+    * reference's nested Python double-loop over the full matrix
+    * (`Part_A_Q2.py:194`) becomes a fully distributed plan. Neighbor
+    * sets with near-zero similarity mass are dropped (|Σs| > 0.05) to
+    * keep the division numerically stable across engines. */
+  def predictEval(spark: SparkSession, dir: String): DataFrame = {
+    val rt = topRatings(spark, dir).cache()
+    val means = rt.groupBy("user_id").agg(round(avg("r"), 6).as("mu"))
+    val nbrs = knn(spark, dir)
+    val pred = nbrs
+      .join(rt.select(col("user_id").as("nbr"), col("event_type").as("i"), col("r")), "nbr")
+      .join(means.select(col("user_id").as("nbr"), col("mu").as("mu_n")), "nbr")
+      .join(means.select(col("user_id").as("u"), col("mu").as("mu_u")), "u")
+      .groupBy("u", "i", "mu_u")
+      .agg(sum(col("sim") * (col("r") - col("mu_n"))).as("num"), sum("sim").as("den"))
+      .filter(abs(col("den")) > 0.05)
+      .select(col("u"), col("i"), round(col("mu_u") + col("num") / col("den"), 6).as("p"))
+    val err = pred.join(
+      rt.select(col("user_id").as("u"), col("event_type").as("i"), col("r")),
+      Seq("u", "i"))
+    err.agg(lit("mae").as("metric"), round(avg(abs(col("p") - col("r"))), 6).as("value"))
+      .unionAll(err.agg(lit("n_pairs").as("metric"), count(lit(1)).cast("double").as("value")))
+      .unionAll(err.agg(lit("rmse").as("metric"),
+        round(sqrt(avg((col("p") - col("r")) * (col("p") - col("r")))), 6).as("value")))
+      .orderBy("metric")
+  }
+
+  val predictEvalSql: String =
+    simCte +
+      """,
+        |nbrs AS (SELECT u, nbr, sim FROM (
+        |  SELECT u, nbr, sim, row_number() OVER (PARTITION BY u ORDER BY sim DESC, nbr) AS rn
+        |  FROM sym) WHERE rn <= 3),
+        |means AS (SELECT user_id, round(avg(r), 6) AS mu FROM rt GROUP BY 1),
+        |pred AS (
+        |  SELECT n.u, r2.event_type AS i,
+        |         round(mu.mu + sum(n.sim * (r2.r - mun.mu)) / sum(n.sim), 6) AS p
+        |  FROM nbrs n
+        |  JOIN rt r2 ON r2.user_id = n.nbr
+        |  JOIN means mun ON mun.user_id = n.nbr
+        |  JOIN means mu ON mu.user_id = n.u
+        |  GROUP BY n.u, r2.event_type, mu.mu
+        |  HAVING abs(sum(n.sim)) > 0.05),
+        |err AS (SELECT p.p, r.r FROM pred p JOIN rt r ON r.user_id = p.u AND r.event_type = p.i)
+        |SELECT * FROM (
+        |  SELECT 'mae' AS metric, round(avg(abs(p - r)), 6) AS value FROM err
+        |  UNION ALL SELECT 'n_pairs', CAST(count(*) AS DOUBLE) FROM err
+        |  UNION ALL SELECT 'rmse', round(sqrt(avg((p - r) * (p - r))), 6) FROM err)
+        |ORDER BY metric""".stripMargin
+}

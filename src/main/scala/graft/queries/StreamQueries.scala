@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Det
+
+/** Batch twins of the reference's micro-batch stream counters
+  * (`Part_B.py`): nested-JSON extraction, running frequency counts with
+  * top-k reporting, exact vs HyperLogLog distinct counting, Count-Min
+  * Sketch point queries — plus the event-time window extension (the
+  * test data has real timestamps; the reference is processing-time
+  * only, SURVEY §2.8).
+  *
+  * The DuckDB oracle is batch-only, so these run over `events.parquet`;
+  * the true Structured Streaming variants (file source /
+  * `MemoryStream`, state-store running counts, `foreachBatch` reports)
+  * live in `graft.streaming.StreamJobs` and are exercised by ScalaTest.
+  */
+object StreamQueries {
+
+  /** P9+R1 — nested-field extraction from JSON (reference
+    * `post['user']['id']` / hashtag explode, `Part_B.py:102,105`):
+    * `from_json` with an explicit schema, then aggregate per entity.
+    * Schema-on-read stays on the executors — no driver parsing. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables(spark, dir, "events")
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_k"),
+        sum("k").as("sum_k"),
+        Det.rnd(sum("k").cast("double") / count(col("k")), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val jsonExtractSql: String =
+    s"""SELECT event_type,
+       |       count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
+       |       ${Det.rndSql("CAST(sum(k) AS DOUBLE) / count(k)", 4)} AS avg_k,
+       |       max(k) AS max_k
+       |FROM (SELECT event_type,
+       |             TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k
+       |      FROM events)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** A13+T2 — running frequency counts with top-k report (reference
+    * exact counters + `MAX_COUNTS_LIMIT=5`, `Part_B.py:90-114`):
+    * groupBy-count + TakeOrderedAndProject. In streaming mode the
+    * state store holds exactly this aggregation (see StreamJobs). */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("event_type"))
+      .limit(5)
+
+  val streamTopkSql: String =
+    """SELECT event_type, count(*) AS cnt
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY cnt DESC, event_type ASC
+      |LIMIT 5""".stripMargin
+
+  /** A10+A11+D2 — exact distinct vs HyperLogLog (reference set-counter
+    * vs HLL class, `Part_B.py:38-65,136-157`). The HLL++ estimate
+    * itself is engine-specific, so the oracled contract is the sketch's
+    * GUARANTEE: the estimate lands within 10% of exact (rsd=0.02 —
+    * 5σ margin). Exact counts are oracled directly. */
+  def distinctExactVsHll(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .agg(
+        countDistinct("user_id").as("exact_users"),
+        countDistinct("event_type").as("exact_types"),
+        approx_count_distinct("user_id", 0.02).as("hll_users"))
+      .select(
+        col("exact_users"),
+        col("exact_types"),
+        (abs(col("hll_users") - col("exact_users")) <=
+          col("exact_users") * 0.1).as("hll_ok"))
+
+  val distinctExactVsHllSql: String =
+    """SELECT count(DISTINCT user_id) AS exact_users,
+      |       count(DISTINCT event_type) AS exact_types,
+      |       true AS hll_ok""".stripMargin + "\nFROM events"
+
+  /** A12 — Count-Min Sketch build + point queries (reference
+    * MinCountSketch, `Part_B.py:67-88`): Spark's
+    * `org.apache.spark.util.sketch.CountMinSketch` built distributively
+    * via `df.stat.countMinSketch` (one pass, mergeable per-partition
+    * sketches), then point-queried per entity. Oracled on the CMS
+    * guarantee: estimate ≥ exact (one-sided) and ≤ exact + ε·N. */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val eps = 0.001
+    val cms = events.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
+    val est = udf((s: String) => cms.estimateCount(s))
+    val total = events.agg(count(lit(1)).as("n_total"))
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("cms_est", est(col("event_type")))
+      .select(
+        col("event_type"),
+        col("cnt"),
+        (col("cms_est") >= col("cnt") &&
+          col("cms_est") <= col("cnt") + ceil(col("n_total") * eps)).as("cms_ok"))
+      .orderBy("event_type")
+  }
+
+  val sketchCmsSql: String =
+    """SELECT event_type, count(*) AS cnt, true AS cms_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Extension (SURVEY §2.8) — event-time tumbling window aggregation
+    * over `events.ts`. Window start emitted as epoch seconds: timestamp
+    * columns never cross the oracle boundary (ns-vs-us precision).
+    * In streaming mode the same expression runs with a watermark
+    * (StreamJobs.windowedCounts). */
+  def windowHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"), Det.moneySum(col("value")).as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_start"),
+        col("cnt"),
+        col("total_value"))
+      .orderBy("hour_start")
+
+  val windowHourlySql: String =
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       |       count(*) AS cnt, ${Det.moneySumSql("value")} AS total_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY hour_start""".stripMargin
+}
