@@ -41,6 +41,19 @@ object SparkEntry {
     "q_distinct_exact_vs_hll" -> (StreamQueries.distinctExactVsHll _),
     "q_sketch_cms"       -> (StreamQueries.sketchCms _),
     "q_window_hourly"    -> (StreamQueries.windowHourly _),
+    // M4 — LLM-data-pipeline extensions (documents/embeddings)
+    "q_doc_fingerprint"  -> (TextQueries.docFingerprint _),
+    "q_dedup_exact"      -> (TextQueries.dedupExact _),
+    "q_ngram_jaccard"    -> (TextQueries.ngramJaccard _),
+    "q_token_count"      -> (TextQueries.tokenCount _),
+    "q_text_quality"     -> (TextQueries.textQuality _),
+    "q_lang_id"          -> (TextQueries.langId _),
+    "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
+    "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
+    "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
+    "q_embedding_stats"  -> (SimilarityQueries.embeddingStats _),
+    "q_ann_lsh"          -> (SimilarityQueries.annLsh _),
+    "q_multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +80,16 @@ object SparkEntry {
     "q_distinct_exact_vs_hll" -> StreamQueries.distinctExactVsHllSql,
     "q_sketch_cms"       -> StreamQueries.sketchCmsSql,
     "q_window_hourly"    -> StreamQueries.windowHourlySql,
+    "q_doc_fingerprint"  -> TextQueries.docFingerprintSql,
+    "q_dedup_exact"      -> TextQueries.dedupExactSql,
+    "q_ngram_jaccard"    -> TextQueries.ngramJaccardSql,
+    "q_token_count"      -> TextQueries.tokenCountSql,
+    "q_text_quality"     -> TextQueries.textQualitySql,
+    "q_lang_id"          -> TextQueries.langIdSql,
+    // q_minhash_lsh / q_simhash_pairs / q_ann_lsh: engine-hash-based →
+    // rows-only for the driver; verified against exact baselines in tests.
+    "q_cosine_topk"      -> SimilarityQueries.cosineTopkSql,
+    "q_embedding_stats"  -> SimilarityQueries.embeddingStatsSql,
+    "q_multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,
   )
 }

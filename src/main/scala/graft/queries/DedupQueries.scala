@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection at scale: MinHash + LSH banding and
+  * SimHash — the sub-quadratic dedup paths for a 100 TB corpus, where
+  * the exact shingle-Jaccard join ([[TextQueries.ngramJaccard]]) is
+  * only affordable AFTER candidate generation.
+  *
+  * Both rely on Spark's engine-side hash functions (`xxhash64` —
+  * codegen'd Catalyst expressions, no UDFs), which DuckDB cannot
+  * replicate, so these queries are rows-only for the driver; their
+  * correctness (candidate recall vs exact Jaccard, Hamming locality)
+  * is asserted in ScalaTest instead.
+  */
+object DedupQueries {
+
+  private val ShingleLen = 12
+  private val NumHashes  = 16
+  private val BandSize   = 4 // → 4 bands; P(candidate | j=0.5) ≈ 0.22 per band
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1))," +
+            s" i -> substring(text, i, $ShingleLen))")).as("s"))
+      .distinct()
+
+  /** MinHash signatures: NumHashes independent permutations emulated by
+    * seed-prefixed xxhash64; one narrow aggregation per doc — the
+    * signature build is a single shuffle regardless of corpus size. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val mins: Seq[Column] = (0 until NumHashes).map { i =>
+      min(xxhash64(concat(lit(s"seed$i:"), col("s")))).as(s"m$i")
+    }
+    shingles(spark, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding (SURVEY extension; the
+    * shingle→minhash→band→bucket-join pipeline): docs sharing any band
+    * of 4 equal minhashes become candidates; candidate pairs are scored
+    * by signature agreement (estimated Jaccard) and thresholded.
+    * Bucket-join cost is Σ bucket², not n² — the LSH point. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir).cache()
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i")): _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.alias("a")
+      .join(buckets.alias("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"s1.m$i") === col(s"s2.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.alias("s1"), col("d1") === col("s1.doc_id"))
+      .join(sigs.alias("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("est_jaccard", agree.cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash (64-bit) per document: per-bit majority vote over shingle
+    * hashes, computed as 64 aggregate expressions (no row blowup —
+    * the shingle stream is consumed once), then near-dup pairs by
+    * Hamming distance ≤ 6 via `bit_count(xor)`. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).withColumn("h", xxhash64(col("s")))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")
+    }
+    val n = count(lit(1)).as("n")
+    val perDoc = sh.groupBy("doc_id").agg(n, bitSums: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    perDoc.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 6). The self-join is banded by
+    * the top-16 bits at scale; at test scale the plain pair join is
+    * exercised directly. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash(spark, dir)
+    val a = s.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = s.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 6)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity search over the `embeddings` table
+  * (`vec_id, embedding: array<float>, label`) — the ANN surface of a
+  * training-data pipeline (A8 analog on real vectors).
+  *
+  * Scale design: query vectors are BROADCAST against a single scan of
+  * the corpus (no shuffle until the per-query top-k), and the dot
+  * product is a higher-order-function fold (`zip_with` + `aggregate`)
+  * — pure Catalyst expressions, no UDF, no Python. The LSH variant
+  * buckets the corpus by random-hyperplane signs so each query probes
+  * ~1/2^bits of the data — the 100 TB path where brute force dies.
+  */
+object SimilarityQueries {
+
+  private val K        = 5
+  private val NQueries = 10
+
+  /** array<float> → array<double> then cosine pieces as HOF folds. */
+  private def withCos(df: DataFrame): DataFrame =
+    df.withColumn("dot",
+        expr("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("nq",
+        expr("sqrt(aggregate(qe, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("nc",
+        expr("sqrt(aggregate(ce, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("cos", col("dot") / (col("nq") * col("nc")))
+
+  /** Brute-force cosine top-k: the correctness baseline every ANN
+    * variant is measured against. */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    withCos(broadcast(q).crossJoin(c))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  val cosineTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY 1, 2)
+       |SELECT qid, cid, round(cos, 6) AS cos, rank FROM (
+       |  SELECT qid, cid, dot / (nq * nc) AS cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dot / (nq * nc) DESC, cid) AS rank
+       |  FROM dot)
+       |WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Corpus statistics per label: count + mean L2 norm — the sanity
+    * profile run before any similarity work. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .withColumn("norm",
+        expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("norm"), 6).as("avg_norm"))
+      .orderBy("label")
+
+  val embeddingStatsSql: String =
+    """SELECT label, count(*) AS n_vecs, round(avg(norm), 6) AS avg_norm
+      |FROM (SELECT label, sqrt(sum(v * v)) AS norm
+      |      FROM (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v FROM embeddings)
+      |      GROUP BY vec_id, label)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  /** LSH-bucketed approximate nearest neighbors (the scale path):
+    * 8 deterministic pseudo-random hyperplanes (components derived from
+    * `xxhash64(plane, dim)` — reproducible with no RNG state), each
+    * vector keyed by its sign-pattern bucket; queries probe ONLY their
+    * own bucket, then exact cosine + top-k inside it. Engine-specific
+    * hashing → no SQL oracle (driver records rows-only); recall vs the
+    * brute-force baseline is asserted in ScalaTest. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 8
+    val emb = Tables(spark, dir, "embeddings")
+    // bucket = Σ_p [dot(e, plane_p) > 0] << p, planes pseudo-random via
+    // xxhash64 → uniform in [-0.5, 0.5)
+    val planeW = (p: Int) =>
+      s"transform(sequence(0, size(embedding) - 1), i -> (CAST(pmod(xxhash64($p * 1024 + i), 1000000) AS DOUBLE) / 1000000.0) - 0.5)"
+    val bucketExpr = (0 until nPlanes).map { p =>
+      s"(CASE WHEN aggregate(zip_with(embedding, ${planeW(p)}, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketed = emb.withColumn("bucket", expr(bucketExpr))
+    val q = bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val c = bucketed
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    withCos(broadcast(q).join(c, "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+}

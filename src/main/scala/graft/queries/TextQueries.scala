@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+
+/** LLM-data-pipeline text operators over the `documents` table (the
+  * north-star extension surface, BASELINE.json): exact dedup by content
+  * fingerprint, near-dup detection via character-shingle Jaccard,
+  * token counting, per-language quality metrics, heuristic language ID.
+  *
+  * Scale design: everything is expression-level (codegen'd built-ins —
+  * no UDFs in these paths). Near-dup detection uses the inverted-index
+  * self-join on 12-char shingles: at 100 TB the exact-Jaccard join is
+  * the verification stage run AFTER the MinHash/LSH prefilter
+  * ([[DedupQueries]]) shrinks candidates; here the oracled query caps
+  * the candidate universe deterministically (doc_id < 300) to keep the
+  * oracle tractable while exercising the identical plan shape.
+  */
+object TextQueries {
+
+  private val ShingleLen = 12
+
+  /** Normalized content fingerprint (rolling-window dedup key analog of
+    * the reference's md5 identity hashing, `Part_B.py:61-63`):
+    * lower + trim + whitespace-collapse, then md5. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup summary (D1 analog on content rather than key):
+    * corpus-level duplicate accounting by fingerprint — the first stage
+    * of any training-data dedup pipeline. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_distinct"),
+        (count(lit(1)) - countDistinct("fp")).as("n_dups"))
+
+  val dedupExactSql: String =
+    """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+      |       count(*) - count(DISTINCT fp) AS n_dups
+      |FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)""".stripMargin
+
+  /** Near-duplicate pairs by exact character-shingle Jaccard
+    * (n-gram Jaccard dedup): 12-char shingles, inverted-index
+    * self-join, J = |∩| / |∪| ≥ 0.5. Jaccard is a ratio of exact
+    * integers — bit-identical across engines, so the 0.5 threshold and
+    * 6-dp rounding are oracle-safe. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    val shingles = docs.select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1))," +
+            s" i -> substring(text, i, $ShingleLen))")).as("s"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col("doc_id").as("d1"), col("s"))
+    val b = shingles.select(col("doc_id").as("d2"), col("s"))
+    a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("j",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents WHERE doc_id < 300)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, round(j, 6) AS jaccard
+       |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |WHERE j >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Token counting (whitespace tokenization) per document — the
+    * budget primitive of every training-data pipeline. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        size(array_distinct(split(trim(col("text")), "\\s+"))).as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring per language (length / type-token ratio /
+    * stopword-density metrics): all ratios of exact integers →
+    * engine-identical division, explicit half-up rounding. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks  = split(trim(col("text")), "\\s+")
+    val nTok  = size(toks).cast("double")
+    val nDist = size(array_distinct(toks)).cast("double")
+    val nStop = size(expr(
+      "filter(split(trim(text), '\\\\s+'), t -> t = 'the' OR t = 'a')")).cast("double")
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        nTok.as("nt"), (nDist / nTok).as("ttr"), (nStop / nTok).as("stop_ratio"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Det.rnd(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+        Det.rnd(sum("nt") / count(lit(1)), 4).as("avg_tokens"),
+        round(avg("ttr"), 4).as("avg_ttr"),
+        round(avg("stop_ratio"), 4).as("avg_stop_ratio"))
+      .orderBy("lang")
+  }
+
+  val textQualitySql: String = {
+    val nt = "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+    s"""SELECT lang, count(*) AS n_docs,
+       |  ${Det.rndSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 4)} AS avg_chars,
+       |  ${Det.rndSql(s"sum($nt) / count(*)", 4)} AS avg_tokens,
+       |  round(avg(CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / $nt), 4) AS avg_ttr,
+       |  round(avg(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t = 'the' OR t = 'a')) AS DOUBLE) / $nt), 4) AS avg_stop_ratio
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** Heuristic language ID (n-gram/stopword-density rule — the corpus
+    * text is synthetic English-vocabulary prose for every `lang` label,
+    * so the discriminating signal is density, not identity; the
+    * deterministic rule is what the oracle replicates). Confusion-style
+    * output: labeled lang × predicted lang × docs. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks  = split(trim(col("text")), "\\s+")
+    val nStop = size(expr(
+      "filter(split(trim(text), '\\\\s+'), t -> t = 'the' OR t = 'a' OR t = 'data')")).cast("double")
+    Tables(spark, dir, "documents")
+      .select(col("lang"),
+        when(nStop / size(toks) >= 0.10, lit("en")).otherwise(lit("unk")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  val langIdSql: String =
+    """SELECT lang, predicted, count(*) AS n_docs
+      |FROM (SELECT lang,
+      |        CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                                       t -> t = 'the' OR t = 'a' OR t = 'data')) AS DOUBLE)
+      |                  / len(string_split_regex(trim(text), '\s+')) >= 0.10
+      |             THEN 'en' ELSE 'unk' END AS predicted
+      |      FROM documents)
+      |GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
+}
