@@ -40,6 +40,7 @@ object SparkEntry {
     "q_stream_topk"      -> (StreamQueries.streamTopk _),
     "q_distinct_exact_vs_hll" -> (StreamQueries.distinctExactVsHll _),
     "q_sketch_cms"       -> (StreamQueries.sketchCms _),
+    "q_hll_custom"       -> (StreamQueries.hllCustom _),
     "q_window_hourly"    -> (StreamQueries.windowHourly _),
     // M4 — LLM-data-pipeline extensions (documents/embeddings)
     "q_doc_fingerprint"  -> (TextQueries.docFingerprint _),
@@ -52,7 +53,8 @@ object SparkEntry {
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
     "q_embedding_stats"  -> (SimilarityQueries.embeddingStats _),
-    "q_ann_lsh"          -> (SimilarityQueries.annLsh _),
+    "q_ann_lsh"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annLsh(s, d)),
+    "q_ann_ivf"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annIvf(s, d)),
     "q_multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
   )
 
@@ -79,6 +81,7 @@ object SparkEntry {
     "q_stream_topk"      -> StreamQueries.streamTopkSql,
     "q_distinct_exact_vs_hll" -> StreamQueries.distinctExactVsHllSql,
     "q_sketch_cms"       -> StreamQueries.sketchCmsSql,
+    "q_hll_custom"       -> StreamQueries.hllCustomSql,
     "q_window_hourly"    -> StreamQueries.windowHourlySql,
     "q_doc_fingerprint"  -> TextQueries.docFingerprintSql,
     "q_dedup_exact"      -> TextQueries.dedupExactSql,

@@ -81,14 +81,17 @@ object SimilarityQueries {
       |ORDER BY label""".stripMargin
 
   /** LSH-bucketed approximate nearest neighbors (the scale path):
-    * 8 deterministic pseudo-random hyperplanes (components derived from
-    * `xxhash64(plane, dim)` — reproducible with no RNG state), each
-    * vector keyed by its sign-pattern bucket; queries probe ONLY their
-    * own bucket, then exact cosine + top-k inside it. Engine-specific
-    * hashing → no SQL oracle (driver records rows-only); recall vs the
-    * brute-force baseline is asserted in ScalaTest. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val nPlanes = 8
+    * random-hyperplane sign buckets with hamming-1 MULTI-PROBE — the
+    * query side explodes into its own bucket plus every 1-bit-flip
+    * neighbor and equi-joins, so each query touches ~(1+p)/2^p of the
+    * corpus instead of all of it, and the probe fan-out stays an
+    * equi-join (no theta join) at any scale. Planes are deterministic
+    * pseudo-random vectors derived from `xxhash64(plane, dim)` — no
+    * RNG state, reproducible across runs. Engine-specific hashing →
+    * no SQL oracle (rows-only); recall vs the brute-force baseline is
+    * asserted in ScalaTest. Plane count trades recall vs cost: more
+    * planes → smaller buckets → cheaper and lower recall. */
+  def annLsh(spark: SparkSession, dir: String, nPlanes: Int = 4): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     // bucket = Σ_p [dot(e, plane_p) > 0] << p, planes pseudo-random via
     // xxhash64 → uniform in [-0.5, 0.5)
@@ -98,12 +101,53 @@ object SimilarityQueries {
       s"(CASE WHEN aggregate(zip_with(embedding, ${planeW(p)}, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
     val bucketed = emb.withColumn("bucket", expr(bucketExpr))
+    val probes = (0 until nPlanes).map(p => col("bucket").bitwiseXOR(1 << p))
     val q = bucketed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(array(col("bucket") +: probes: _*)).as("bucket"))
     val c = bucketed
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     withCos(broadcast(q).join(c, "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF approximate nearest neighbors: k-means coarse quantizer
+    * (seeded → deterministic), corpus partitioned by nearest centroid,
+    * queries probe the `nprobe` nearest cells then run exact cosine
+    * inside them — the standard billion-scale ANN layout (IVF-flat).
+    * The centroid table is tiny and broadcast; the corpus is scanned
+    * once to assign cells (a narrow map), and each query reads
+    * nprobe/k of the data. */
+  def annIvf(spark: SparkSession, dir: String,
+             nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
+      .setPredictionCol("cell").setMaxIter(10).fit(emb)
+    val assigned = model.transform(emb)
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    // query probes: rank centroids by distance per query, keep nProbe
+    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
+    val q0 = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dist = expr(
+      "aggregate(zip_with(qe, centroid, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val wProbe = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
+    val probes = broadcast(q0).crossJoin(broadcast(centDf))
+      .withColumn("d2", dist)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("qid", "qe", "cell")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    withCos(broadcast(probes).join(c, "cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)

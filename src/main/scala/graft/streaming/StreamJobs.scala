@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** True Structured Streaming restatement of the reference's micro-batch
+  * pipeline (`Part_B.py`): the pull-loop `Stream` class
+  * (`Part_B.py:12-36`) becomes a file/memory source with micro-batch
+  * triggers; the cross-batch Python dicts/sets (`Part_B.py:90-157`)
+  * become streaming-aggregation state-store state; per-batch reports
+  * (`Part_B.py:108-109,177`) become `foreachBatch` sinks.
+  *
+  * These transforms take an (unbounded) DataFrame so ScalaTest can feed
+  * them from `MemoryStream` and assert that running results converge to
+  * the batch twins in [[graft.queries.StreamQueries]] — the reference's
+  * own exact-vs-sketch comparison structure.
+  */
+object StreamJobs {
+
+  /** Schema of the JSON-lines event stream (reference tweet schema
+    * analog, FIXTURES.md §A). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Reference S5: JSON-lines directory source consumed one file per
+    * micro-batch (`get_next_batch`, `Part_B.py:21-27`). */
+  def jsonFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+
+  /** A13 — exact running frequency counts (reference dict counters,
+    * `Part_B.py:90-110`): state lives in the state store, updated per
+    * micro-batch, mergeable across executors. */
+  def runningCounts(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+
+  /** A13 per user (reference user-id counter, `Part_B.py:116-134`). */
+  def runningUserCounts(events: DataFrame): DataFrame =
+    events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+
+  /** Extension — event-time tumbling window with watermark: late data
+    * beyond the watermark is dropped and window state is evictable,
+    * which is what makes the aggregation runnable forever. */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("cnt"))
+
+  /** T2 — top-k report for one batch (reference `MAX_COUNTS_LIMIT=5`
+    * slice, `Part_B.py:112-114`); applied inside `foreachBatch`. */
+  def topk(counts: DataFrame, k: Int = 5): DataFrame =
+    counts.orderBy(desc("cnt"), asc(counts.columns.head)).limit(k)
+}

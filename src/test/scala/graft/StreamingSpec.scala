@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamJobs
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+              value: Double, props: String)
+
+/** Structured Streaming semantics (SURVEY §2.8): cross-batch running
+  * state matches batch results on the concatenated input — the
+  * reference's own exact-counter structure (`Part_B.py:90-134`) — plus
+  * file-source micro-batching and watermark eviction. */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, typ: String, u: Long = 1): Ev =
+    Ev(id, Timestamp.valueOf(t), u, typ, 1.0, """{"k": 1}""")
+
+  test("running counts across micro-batches equal batch counts on the union") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.runningCounts(mem.toDF())
+      .writeStream.format("memory").queryName("rc").outputMode("complete").start()
+    try {
+      val b1 = Seq(ev(1, "2024-01-01 00:00:01", "click"), ev(2, "2024-01-01 00:10:00", "view"))
+      val b2 = Seq(ev(3, "2024-01-01 01:00:00", "click"), ev(4, "2024-01-01 01:20:00", "click"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("rc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = StreamJobs.runningCounts((b1 ++ b2).toDF()).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      assert(streamed == Map("click" -> 3L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("json file source consumes one file per micro-batch (reference Stream class)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    dir.deleteOnExit()
+    // two "arriving" json-lines files, like the reference's directory stream
+    Seq(ev(1, "2024-01-01 00:00:01", "click"), ev(2, "2024-01-01 00:00:02", "view"))
+      .toDF().coalesce(1).write.mode("overwrite").json(dir.getPath + "/f1")
+    Seq(ev(3, "2024-01-01 00:00:03", "click"))
+      .toDF().coalesce(1).write.mode("overwrite").json(dir.getPath + "/f2")
+    // flatten part files into the watched dir
+    val watched = Files.createTempDirectory("graft-watched").toFile
+    watched.deleteOnExit()
+    var i = 0
+    for (sub <- Seq("f1", "f2");
+         f <- new java.io.File(dir, sub).listFiles if f.getName.endsWith(".json")) {
+      Files.copy(f.toPath, new java.io.File(watched, s"batch$i.json").toPath)
+      i += 1
+    }
+    val stream = StreamJobs.jsonFileStream(spark, watched.getPath)
+    assert(stream.isStreaming)
+    val q = StreamJobs.runningCounts(stream)
+      .writeStream.format("memory").queryName("fc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table("fc").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("click" -> 2L, "view" -> 1L))
+      // one file per trigger → at least 2 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark drops data later than the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.windowedCounts(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 00:10:00", "click"))
+      q.processAllAvailable()
+      // advance event time far beyond watermark, closing the 00:00 window
+      mem.addData(ev(2, "2024-01-01 05:00:00", "click"))
+      q.processAllAvailable()
+      // this event is 4+ hours late → must be dropped by the state store
+      mem.addData(ev(3, "2024-01-01 00:20:00", "click"))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 06:00:00", "view"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("window_start").cast("string"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // the 00:00 window emitted exactly one click — the late row didn't count
+      assert(rows.contains(("2024-01-01 00:00:00", "click", 1L)), s"got $rows")
+      assert(!rows.contains(("2024-01-01 00:00:00", "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming top-k report matches the batch twin") {
+    val s = spark
+    import s.implicits._
+    val evs = (1 to 30).map(i => ev(i, "2024-01-01 00:00:01", if (i % 3 == 0) "view" else "click"))
+    val counts = StreamJobs.runningCounts(evs.toDF())
+    val top = StreamJobs.topk(counts, 1).collect()
+    assert(top.head.getString(0) == "click" && top.head.getLong(1) == 20L)
+  }
+}
