@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM/codegen/IO warmup (no benchmark query runs early):
+    // a shuffle, a parquet read and a tiny sort initialize the executor
+    // pools and JIT paths that would otherwise inflate the first query
+    spark.range(100000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
+      .count().orderBy("k").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

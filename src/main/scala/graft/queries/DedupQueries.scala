@@ -21,14 +21,17 @@ object DedupQueries {
   private val NumHashes  = 16
   private val BandSize   = 4 // → 4 bands; P(candidate | j=0.5) ≈ 0.22 per band
 
+  /** Distinct shingles per doc — deduped INSIDE the row
+    * (`array_distinct` before `explode`), so no global distinct
+    * shuffle: the only wide exchange in the signature build is the
+    * final per-doc aggregation. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
         explode(expr(
-          s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1))," +
-            s" i -> substring(text, i, $ShingleLen))")).as("s"))
-      .distinct()
+          s"array_distinct(transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1))," +
+            s" i -> substring(text, i, $ShingleLen)))")).as("s"))
 
   /** MinHash signatures: NumHashes independent permutations emulated by
     * seed-prefixed xxhash64; one narrow aggregation per doc — the
@@ -88,14 +91,30 @@ object DedupQueries {
     perDoc.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 6). The self-join is banded by
-    * the top-16 bits at scale; at test scale the plain pair join is
-    * exercised directly. */
+  /** SimHash near-dup pairs (Hamming ≤ 6) via BANDED self-join: the 64
+    * bits split into 7 bands (~9 bits each), so any pair within
+    * Hamming 6 shares at least one unchanged band (pigeonhole) and
+    * becomes an equi-join candidate — Σ bucket² work instead of the n²
+    * cross join, which is what survives a 100× corpus. Candidates are
+    * then exact-filtered by `bit_count(xor)`. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhash(spark, dir)
-    val a = s.select(col("doc_id").as("d1"), col("simhash").as("h1"))
-    val b = s.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-    a.crossJoin(b).filter(col("d1") < col("d2"))
+    val nBands = 7    // maxHamming + 1 bands guarantees a shared band
+    val bandBits = 10 // non-overlapping: band b = bits [10b, 10b+10)
+    val s = simhash(spark, dir).cache()
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1).as("bh"))
+    }
+    val banded = s.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = banded.alias("a").join(banded.alias("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(s.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+      .join(s.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= 6)
       .select("d1", "d2", "hamming")

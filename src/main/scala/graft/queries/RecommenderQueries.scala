@@ -188,10 +188,17 @@ object RecommenderQueries {
     val err = pred.join(
       rt.select(col("user_id").as("u"), col("event_type").as("i"), col("r")),
       Seq("u", "i"))
-    err.agg(lit("mae").as("metric"), round(avg(abs(col("p") - col("r"))), 6).as("value"))
-      .unionAll(err.agg(lit("n_pairs").as("metric"), count(lit(1)).cast("double").as("value")))
-      .unionAll(err.agg(lit("rmse").as("metric"),
-        round(sqrt(avg((col("p") - col("r")) * (col("p") - col("r")))), 6).as("value")))
+    // one aggregation pass for all three metrics, unpivoted to rows —
+    // a per-metric union would recompute the whole upstream per branch
+    err
+      .agg(
+        round(avg(abs(col("p") - col("r"))), 6).as("mae"),
+        count(lit(1)).cast("double").as("n_pairs"),
+        round(sqrt(avg((col("p") - col("r")) * (col("p") - col("r")))), 6).as("rmse"))
+      .select(explode(map(
+        lit("mae"), col("mae"),
+        lit("n_pairs"), col("n_pairs"),
+        lit("rmse"), col("rmse"))).as(Seq("metric", "value")))
       .orderBy("metric")
   }
 

@@ -130,7 +130,7 @@ object SimilarityQueries {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("fv", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
-      .setPredictionCol("cell").setMaxIter(10).fit(emb)
+      .setPredictionCol("cell").setMaxIter(5).fit(emb)
     val assigned = model.transform(emb)
     val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
     // query probes: rank centroids by distance per query, keep nProbe
