@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected queries
+  * so scan pushdown (PushedFilters/ReadSchema), join strategy
+  * (BroadcastHashJoin vs SortMergeJoin), top-k (TakeOrderedAndProject)
+  * and codegen spans can be reviewed. Usage:
+  * `runMain graft.Explain [queryName ...]` (default: a representative set).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_topk_group_count", "q_project_filter", "q_join_agg_by_dim",
+        "q_stream_topk", "q_cosine_topk", "q_semijoin_active")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}
