@@ -47,6 +47,7 @@ object SparkEntry {
     "q_dedup_exact"      -> (TextQueries.dedupExact _),
     "q_ngram_jaccard"    -> (TextQueries.ngramJaccard _),
     "q_token_count"      -> (TextQueries.tokenCount _),
+    "q_collect_flatten"  -> (TextQueries.collectFlatten _),
     "q_text_quality"     -> (TextQueries.textQuality _),
     "q_lang_id"          -> (TextQueries.langId _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_dedup_exact"      -> TextQueries.dedupExactSql,
     "q_ngram_jaccard"    -> TextQueries.ngramJaccardSql,
     "q_token_count"      -> TextQueries.tokenCountSql,
+    "q_collect_flatten"  -> TextQueries.collectFlattenSql,
     "q_text_quality"     -> TextQueries.textQualitySql,
     "q_lang_id"          -> TextQueries.langIdSql,
     // q_minhash_lsh / q_simhash_pairs / q_ann_lsh: engine-hash-based →

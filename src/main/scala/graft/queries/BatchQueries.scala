@@ -272,6 +272,7 @@ object BatchQueries {
       .option("mode", "DROPMALFORMED")
       .schema(schema)
       .csv(path)
+      .drop("c_nationkey") // P2 column drop (reference `del df[...]`, Part_A_Q1.py:69)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("cnt"), Det.moneySum(col("c_acctbal")).as("total_bal"))
       .orderBy("c_mktsegment")

@@ -96,22 +96,51 @@ object TextQueries {
        |WHERE j >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
-  /** Token counting (whitespace tokenization) per document — the
-    * budget primitive of every training-data pipeline. */
+  /** Token counting per document — whitespace tokens plus a BPE-ish
+    * subword count (fixed-4-char chunking, Σ⌈len(w)/4⌉ — the standard
+    * cheap approximation of byte-pair token budgets). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-        size(array_distinct(split(trim(col("text")), "\\s+"))).as("n_distinct_tokens"))
+        size(array_distinct(split(trim(col("text")), "\\s+"))).as("n_distinct_tokens"),
+        expr("aggregate(split(trim(text), '\\\\s+'), 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")
+          .as("n_subwords"))
       .orderBy("doc_id")
 
   val tokenCountSql: String =
     """SELECT doc_id,
       |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-      |       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens
+      |       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+      |       CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |              t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** R2 flatten + collect: per-language corpus token pool via
+    * `collect_list` of per-doc token arrays flattened back — outputs
+    * only order-independent measures (sizes) so the oracle matches. */
+  def collectFlatten(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .groupBy("lang")
+      .agg(flatten(collect_list(col("toks"))).as("pool"))
+      .select(
+        col("lang"),
+        size(col("pool")).as("total_tokens"),
+        size(array_distinct(col("pool"))).as("vocab"))
+      .orderBy("lang")
+
+  val collectFlattenSql: String =
+    """SELECT lang, total_tokens, vocab FROM
+      |  (SELECT lang, CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS total_tokens
+      |   FROM documents GROUP BY lang) a
+      |JOIN
+      |  (SELECT lang, CAST(count(DISTINCT t) AS INTEGER) AS vocab
+      |   FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents)
+      |   GROUP BY lang) b USING (lang)
+      |ORDER BY lang""".stripMargin
 
   /** Quality scoring per language (length / type-token ratio /
     * stopword-density metrics): all ratios of exact integers →

@@ -99,6 +99,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch writes a per-batch top-k report file (reference counter CSVs)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reportDir = Files.createTempDirectory("graft-reports").toFile
+    reportDir.deleteOnExit()
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.runningCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        StreamJobs.topk(batch, 5).coalesce(1)
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"${reportDir.getPath}/batch_$id")
+      }.start()
+    try {
+      mem.addData(ev(1, "2024-01-01 00:00:01", "click"), ev(2, "2024-01-01 00:00:02", "click"),
+        ev(3, "2024-01-01 00:00:03", "view"))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 00:00:04", "view"), ev(5, "2024-01-01 00:00:05", "view"),
+        ev(6, "2024-01-01 00:00:06", "view"))
+      q.processAllAvailable()
+      val reports = reportDir.listFiles.filter(_.getName.startsWith("batch_")).sortBy(_.getName)
+      assert(reports.length >= 2, s"expected per-batch reports, got ${reports.toSeq}")
+      val last = spark.read.option("header", "true").csv(reports.last.getPath)
+        .collect().map(r => r.getString(0) -> r.getString(1).toLong).toMap
+      assert(last == Map("view" -> 4L, "click" -> 2L))
+    } finally q.stop()
+  }
+
   test("streaming top-k report matches the batch twin") {
     val s = spark
     import s.implicits._
