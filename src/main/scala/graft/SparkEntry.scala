@@ -57,6 +57,11 @@ object SparkEntry {
     "q_ann_lsh"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annLsh(s, d)),
     "q_ann_ivf"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annIvf(s, d)),
     "q_multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
+    // Extensions beyond the reference surface (free from Catalyst)
+    "q_rollup"           -> (ExtensionQueries.rollup _),
+    "q_set_ops"          -> (ExtensionQueries.setOps _),
+    "q_outer_join"       -> (ExtensionQueries.outerJoin _),
+    "q_lag_lead"         -> (ExtensionQueries.lagLead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +101,9 @@ object SparkEntry {
     "q_cosine_topk"      -> SimilarityQueries.cosineTopkSql,
     "q_embedding_stats"  -> SimilarityQueries.embeddingStatsSql,
     "q_multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,
+    "q_rollup"           -> ExtensionQueries.rollupSql,
+    "q_set_ops"          -> ExtensionQueries.setOpsSql,
+    "q_outer_join"       -> ExtensionQueries.outerJoinSql,
+    "q_lag_lead"         -> ExtensionQueries.lagLeadSql,
   )
 }

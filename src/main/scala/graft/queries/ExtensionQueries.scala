@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+
+/** Relational surface beyond the reference's own operators (SURVEY
+  * §2.3/§2.4/§2.6 note these come free from Catalyst): rollup
+  * hierarchies, set operations, outer joins, and lag/lead window
+  * analytics. All pure built-ins, all oracled.
+  */
+object ExtensionQueries {
+
+  /** ROLLUP hierarchy totals: region → nation → grand total over
+    * customer counts/balances, via `spark.sql` over temp views (the
+    * DataFrame `.rollup` path trips Spark 4's ambiguous-self-join
+    * check on the Expand node's duplicated grouping attributes; the
+    * SQL text — shared verbatim with the oracle — does not). Nulls
+    * from the rollup are labeled so NULL ordering can't differ. */
+  def rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables(spark, dir, "nation").createOrReplaceTempView("nation")
+    Tables(spark, dir, "region").createOrReplaceTempView("region")
+    spark.sql(rollupSql)
+  }
+
+  val rollupSql: String =
+    s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       |       count(*) AS n_customers, ${Det.moneySumSql("c_acctbal")} AS total_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY region, nation""".stripMargin
+
+  /** Set operations: high-balance vs FURNITURE-segment customer keys —
+    * intersect, except and union-distinct counted in one row. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val rich = customer.filter(col("c_acctbal") > 3000.0).select("c_custkey")
+    val furn = customer.filter(col("c_mktsegment") === "FURNITURE").select("c_custkey")
+    rich.intersect(furn).agg(count(lit(1)).as("n_both"))
+      .crossJoin(rich.except(furn).agg(count(lit(1)).as("n_rich_only")))
+      .crossJoin(rich.union(furn).distinct().agg(count(lit(1)).as("n_either")))
+  }
+
+  val setOpsSql: String =
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 3000.0),
+      |furn AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE')
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM rich INTERSECT SELECT * FROM furn)) AS n_both,
+      |  (SELECT count(*) FROM (SELECT * FROM rich EXCEPT SELECT * FROM furn)) AS n_rich_only,
+      |  (SELECT count(*) FROM (SELECT * FROM rich UNION SELECT * FROM furn)) AS n_either""".stripMargin
+
+  /** Left-outer join with null accounting: customers with zero orders
+    * surface as order_cnt=0 — the missing-side semantics the
+    * reference's inner joins never exercise. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders   = Tables(spark, dir, "orders")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        countDistinct(when(col("o_orderkey").isNull, col("c_custkey"))).as("n_orderless"))
+      .orderBy("c_mktsegment")
+  }
+
+  val outerJoinSql: String =
+    """SELECT c_mktsegment,
+      |       count(DISTINCT c_custkey) AS n_customers,
+      |       count(o_orderkey) AS n_orders,
+      |       count(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_orderless
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Lag/lead window analytics: per-user inter-event gap stats over the
+    * event stream — sessionization's building block. Gaps are exact
+    * integer seconds → engine-identical averages via Det. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+      .groupBy("user_id")
+      .agg(
+        count(col("gap")).as("n_gaps"),
+        Det.rnd(sum("gap").cast("double") / count(col("gap")), 2).as("avg_gap_s"),
+        max("gap").as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
+  val lagLeadSql: String =
+    s"""SELECT user_id, count(gap) AS n_gaps,
+       |       ${Det.rndSql("CAST(sum(gap) AS DOUBLE) / count(gap)", 2)} AS avg_gap_s,
+       |       max(gap) AS max_gap_s
+       |FROM (SELECT user_id,
+       |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+       |               CAST(epoch(date_trunc('second', lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+       |      FROM events)
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+}
