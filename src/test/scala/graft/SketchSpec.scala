@@ -44,6 +44,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("CmsAggregator composes with streaming aggregation (per-group sketch in the state store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cms = F.udaf(new CmsAggregator(0.001, 0.99, 42), Encoders.STRING)
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("v")
+      .groupBy()
+      .agg(cms($"v").as("sketch"))
+      .writeStream.format("memory").queryName("cms_stream").outputMode("complete").start()
+    try {
+      mem.addData(Seq.fill(30)("a") ++ Seq.fill(5)("b"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(12)("a"): _*)
+      q.processAllAvailable()
+      val bytes = spark.table("cms_stream").head().getAs[Array[Byte]](0)
+      assert(CmsAggregator.estimate(bytes, "a") == 42L)
+      assert(CmsAggregator.estimate(bytes, "b") == 5L)
+    } finally q.stop()
+  }
+
   test("CMS point query for an absent item is bounded by eps*N") {
     val s = spark
     import s.implicits._
