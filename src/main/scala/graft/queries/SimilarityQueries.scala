@@ -21,15 +21,13 @@ object SimilarityQueries {
   private val K        = 5
   private val NQueries = 10
 
-  /** array<float> → array<double> then cosine pieces as HOF folds. */
-  private def withCos(df: DataFrame): DataFrame =
-    df.withColumn("dot",
-        expr("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("nq",
-        expr("sqrt(aggregate(qe, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("nc",
-        expr("sqrt(aggregate(ce, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("cos", col("dot") / (col("nq") * col("nc")))
+  /** Cosine via the codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — one tight loop per pair instead of three interpreted
+    * HOF folds (see its scaladoc for the measurement rationale). */
+  private def withCos(df: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    df.withColumn("cos", expr("cosine_sim(qe, ce)"))
+  }
 
   /** Brute-force cosine top-k: the correctness baseline every ANN
     * variant is measured against. */
