@@ -167,8 +167,14 @@ object BatchQueries {
         mean.as("mean"),
         round(stddev_samp(col(c)), 4).as("std"),
         round(min(col(c)), 4).as("min"),
+        // exact percentiles (describe's 25/50/75): both engines use
+        // linear interpolation, and frac ∈ {.25,.5,.75} lands 2-dp
+        // inputs exactly on the 4-decimal grid → rounding is safe
+        round(expr(s"percentile($c, 0.25)"), 4).as("p25"),
+        round(expr(s"percentile($c, 0.5)"), 4).as("p50"),
+        round(expr(s"percentile($c, 0.75)"), 4).as("p75"),
         round(max(col(c)), 4).as("max"))
-        .select("col_name", "cnt", "mean", "std", "min", "max")
+        .select("col_name", "cnt", "mean", "std", "min", "p25", "p50", "p75", "max")
     statsOf("l_quantity",
         Det.rnd(sum("l_quantity") / count(col("l_quantity")), 4))
       .unionAll(statsOf("l_extendedprice", Det.moneyAvg(col("l_extendedprice"), 4)))
@@ -180,13 +186,21 @@ object BatchQueries {
        |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS cnt,
        |         ${Det.rndSql("sum(l_quantity) / count(l_quantity)", 4)} AS mean,
        |         round(stddev_samp(l_quantity), 4) AS std,
-       |         round(min(l_quantity), 4) AS min, round(max(l_quantity), 4) AS max
+       |         round(min(l_quantity), 4) AS min,
+       |         round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       |         round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       |         round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       |         round(max(l_quantity), 4) AS max
        |  FROM lineitem
        |  UNION ALL
        |  SELECT 'l_extendedprice', count(l_extendedprice),
        |         ${Det.moneyAvgSql("l_extendedprice", 4)},
        |         round(stddev_samp(l_extendedprice), 4),
-       |         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+       |         round(min(l_extendedprice), 4),
+       |         round(quantile_cont(l_extendedprice, 0.25), 4),
+       |         round(quantile_cont(l_extendedprice, 0.5), 4),
+       |         round(quantile_cont(l_extendedprice, 0.75), 4),
+       |         round(max(l_extendedprice), 4)
        |  FROM lineitem)
        |ORDER BY col_name""".stripMargin
 
