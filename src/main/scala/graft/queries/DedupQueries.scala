@@ -36,13 +36,18 @@ object DedupQueries {
     * stays inside whole-stage codegen; the narrow (doc_id, shingle)
     * shuffle is the cheaper currency at any scale. */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    // multi-arg xxhash64(seed, shingle) varies the permutation without
-    // allocating a concatenated string per (shingle, seed)
+    // two-hash universal family (Broder): h_i = h1 + i·h2 gives the
+    // NumHashes independent permutations from 2 string hashes per
+    // shingle instead of 16 — the rest is long arithmetic. Masked to
+    // 62/32 bits so the combination cannot overflow (Spark 4 runs ANSI
+    // mode: long overflow THROWS, it doesn't wrap).
     val mins: Seq[Column] = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("s"))).as(s"m$i")
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")
     }
     Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(expr(shingleArr)).as("s"))
+      .withColumn("h1", xxhash64(lit(1), col("s")).bitwiseAND(0x3fffffffffffffffL))
+      .withColumn("h2", xxhash64(lit(2), col("s")).bitwiseAND(0xffffffffL).bitwiseOR(1L))
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
