@@ -33,6 +33,14 @@ for name in sorted(oracle):
     d = duck_df.reindex(sorted(duck_df.columns), axis=1)
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: schema {list(s.columns)} vs {list(d.columns)}"); fails += 1; continue
+    # strict dtype compare (int32-vs-int64 etc. may fail a strict driver)
+    sd = con.sql(f"DESCRIBE SELECT * FROM read_parquet({files!r})").df()
+    dd = con.sql(f"DESCRIBE {oracle[name]}").df()
+    smap = dict(zip(sd.column_name, sd.column_type))
+    dmap = dict(zip(dd.column_name, dd.column_type))
+    dt = {c: (smap.get(c), dmap.get(c)) for c in smap if smap.get(c) != dmap.get(c)}
+    if dt:
+        print(f"FAIL {name}: dtype mismatch {dt}"); fails += 1; continue
     if len(s) != len(d):
         print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); fails += 1; continue
     # exact value compare (the driver hashes; equality is the strong form)

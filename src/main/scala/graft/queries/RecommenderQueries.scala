@@ -159,7 +159,7 @@ object RecommenderQueries {
   val knnNeighborsSql: String =
     simCte +
       """
-        |SELECT u, nbr, sim, rn FROM (
+        |SELECT u, nbr, sim, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT u, nbr, sim, row_number() OVER (PARTITION BY u ORDER BY sim DESC, nbr) AS rn
         |  FROM sym)
         |WHERE rn <= 3

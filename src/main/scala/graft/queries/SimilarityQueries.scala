@@ -53,7 +53,7 @@ object SimilarityQueries {
        |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
        |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
        |        GROUP BY 1, 2)
-       |SELECT qid, cid, round(cos, 6) AS cos, rank FROM (
+       |SELECT qid, cid, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT qid, cid, dot / (nq * nc) AS cos,
        |         row_number() OVER (PARTITION BY qid ORDER BY dot / (nq * nc) DESC, cid) AS rank
        |  FROM dot)

@@ -111,8 +111,8 @@ object TextQueries {
 
   val tokenCountSql: String =
     """SELECT doc_id,
-      |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-      |       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+      |       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |       CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS n_distinct_tokens,
       |       CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
       |              t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
       |FROM documents
