@@ -62,6 +62,7 @@ object SparkEntry {
     "q_set_ops"          -> (ExtensionQueries.setOps _),
     "q_outer_join"       -> (ExtensionQueries.outerJoin _),
     "q_lag_lead"         -> (ExtensionQueries.lagLead _),
+    "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +106,6 @@ object SparkEntry {
     "q_set_ops"          -> ExtensionQueries.setOpsSql,
     "q_outer_join"       -> ExtensionQueries.outerJoinSql,
     "q_lag_lead"         -> ExtensionQueries.lagLeadSql,
+    "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
   )
 }

@@ -78,6 +78,41 @@ object ExtensionQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Bucketed-table join (the co-located-join lever for repeated big
+    * joins at scale): lineitem persisted bucketed+sorted by
+    * l_orderkey, so every subsequent join on the key reads
+    * pre-partitioned buckets — the bucketed side needs NO exchange,
+    * only the probe side shuffles. At 100 TB this turns the recurring
+    * fact-fact shuffle into a one-time write cost. Result is oracled
+    * against the plain (unbucketed) join — bucketing must be a pure
+    * physical optimization. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.catalog.tableExists("graft_lineitem_bucketed") ||
+        spark.conf.getOption("graft.bucketed.dir").forall(_ != dir)) {
+      Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"${Tables.scratchDir}/warehouse/graft_lineitem_bucketed")
+        .saveAsTable("graft_lineitem_bucketed")
+      spark.conf.set("graft.bucketed.dir", dir)
+    }
+    val orders = Tables(spark, dir, "orders")
+    spark.table("graft_lineitem_bucketed")
+      .join(orders, col("l_orderkey") === orders("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        Det.rnd(sum("l_quantity") / count(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS cnt,
+       |       ${Det.rndSql("sum(l_quantity) / count(l_quantity)", 4)} AS avg_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Lag/lead window analytics: per-user inter-event gap stats over the
     * event stream — sessionization's building block. Gaps are exact
     * integer seconds → engine-identical averages via Det. */
