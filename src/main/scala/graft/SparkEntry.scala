@@ -46,6 +46,7 @@ object SparkEntry {
     "q_doc_fingerprint"  -> (TextQueries.docFingerprint _),
     "q_dedup_exact"      -> (TextQueries.dedupExact _),
     "q_ngram_jaccard"    -> (TextQueries.ngramJaccard _),
+    "q_dedup_clusters"   -> (TextQueries.dedupClusters _),
     "q_token_count"      -> (TextQueries.tokenCount _),
     "q_collect_flatten"  -> (TextQueries.collectFlatten _),
     "q_text_quality"     -> (TextQueries.textQuality _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_doc_fingerprint"  -> TextQueries.docFingerprintSql,
     "q_dedup_exact"      -> TextQueries.dedupExactSql,
     "q_ngram_jaccard"    -> TextQueries.ngramJaccardSql,
+    "q_dedup_clusters"   -> TextQueries.dedupClustersSql,
     "q_token_count"      -> TextQueries.tokenCountSql,
     "q_collect_flatten"  -> TextQueries.collectFlattenSql,
     "q_text_quality"     -> TextQueries.textQualitySql,

@@ -96,6 +96,55 @@ object TextQueries {
        |WHERE j >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Near-dup clustering + canonical selection: connected components
+    * over the shingle-Jaccard pair graph via iterative min-label
+    * propagation (diameter-bounded; components here are tiny), then
+    * the minimum doc_id per cluster is kept as canonical — the step
+    * that turns pair detection into an actual dedup decision. At
+    * scale this is the standard label-propagation loop: each round is
+    * one join+aggregate, rounds ≈ graph diameter. Oracle: recursive
+    * CTE transitive closure. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+    var lab = edges.select(col("d1").as("doc")).distinct()
+      .withColumn("root", col("doc"))
+    for (_ <- 1 to 8) {
+      val nbrMin = edges
+        .join(lab.select(col("doc").as("d2"), col("root").as("nbr_root")), "d2")
+        .groupBy(col("d1").as("doc2"))
+        .agg(min("nbr_root").as("nbr_min"))
+      lab = lab.join(nbrMin, lab("doc") === nbrMin("doc2"), "left")
+        .select(col("doc"), least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"))
+    }
+    lab
+      .withColumn("is_canonical", col("doc") === col("root"))
+      .orderBy("doc")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents WHERE doc_id < 300)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2
+       |  FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |        FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |  WHERE j >= 0.5),
+       |e AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |tc AS (
+       |  SELECT d1 AS a, d2 AS b FROM e
+       |  UNION
+       |  SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1 WHERE tc.a <> e.d2
+       |)
+       |SELECT doc, root, doc = root AS is_canonical FROM (
+       |  SELECT a AS doc, least(a, min(b)) AS root FROM tc GROUP BY a)
+       |ORDER BY doc""".stripMargin
+
   /** Token counting per document — whitespace tokens plus a BPE-ish
     * subword count (fixed-4-char chunking, Σ⌈len(w)/4⌉ — the standard
     * cheap approximation of byte-pair token budgets). */
