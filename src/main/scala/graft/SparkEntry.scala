@@ -64,6 +64,7 @@ object SparkEntry {
     "q_outer_join"       -> (ExtensionQueries.outerJoin _),
     "q_lag_lead"         -> (ExtensionQueries.lagLead _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
+    "q_sessionize"       -> (ExtensionQueries.sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +110,6 @@ object SparkEntry {
     "q_outer_join"       -> ExtensionQueries.outerJoinSql,
     "q_lag_lead"         -> ExtensionQueries.lagLeadSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
+    "q_sessionize"       -> ExtensionQueries.sessionizeSql,
   )
 }

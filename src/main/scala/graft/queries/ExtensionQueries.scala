@@ -78,6 +78,55 @@ object ExtensionQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Sessionization: gap-based session assignment — a new session
+    * starts where the inter-event gap exceeds 30 min; session id is
+    * the running sum of boundary flags (lag + cumulative sum windows).
+    * The building block for session windows in both batch and
+    * streaming (Structured Streaming's `session_window` is the
+    * streaming twin). Integer-second gaps → engine-identical. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val events = Tables(spark, dir, "events")
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(byUser))
+    events
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        max("session_id").as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        Det.rnd(sum("n_events").cast("double") / max("session_id"), 4)
+          .as("avg_session_events"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts,
+       |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+       |           CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS gap
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id,
+       |         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM g),
+       |per_session AS (
+       |  SELECT user_id, session_id, count(*) AS n_events
+       |  FROM s GROUP BY user_id, session_id)
+       |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       |       max(n_events) AS max_session_events,
+       |       ${Det.rndSql("CAST(sum(n_events) AS DOUBLE) / max(session_id)", 4)} AS avg_session_events
+       |FROM per_session
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   /** Bucketed-table join (the co-located-join lever for repeated big
     * joins at scale): lineitem persisted bucketed+sorted by
     * l_orderkey, so every subsequent join on the key reads
