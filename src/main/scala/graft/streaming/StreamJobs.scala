@@ -63,4 +63,29 @@ object StreamJobs {
     * slice, `Part_B.py:112-114`); applied inside `foreachBatch`. */
   def topk(counts: DataFrame, k: Int = 5): DataFrame =
     counts.orderBy(desc("cnt"), asc(counts.columns.head)).limit(k)
+
+  /** Custom cross-batch state via `mapGroupsWithState` — the literal
+    * Spark form of the reference's per-key Python dict counters
+    * (`freq[k] = freq.get(k, 0) + 1` held across batches,
+    * `Part_B.py:90-110`): per event_type, a running (count, total
+    * value) pair in the state store. Built-in streaming aggregation
+    * covers this case (SURVEY §7.3); this is the escape hatch for
+    * state shapes aggregation can't express. */
+  def runningStatsWithState(events: org.apache.spark.sql.Dataset[
+      (String, Double)]): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupState
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (String, Long, Double)] {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+          val (c0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var v = v0
+          rows.foreach { r => c += 1; v += r._2 }
+          state.update((c, v))
+          (key, c, v)
+      }
+      .toDF("event_type", "cnt", "total_value")
+  }
 }

@@ -128,6 +128,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running per-key state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = StreamJobs.runningStatsWithState(mem.toDS())
+      .writeStream.format("memory").queryName("mgs").outputMode("update").start()
+    try {
+      mem.addData(("click", 1.0), ("click", 2.0), ("view", 10.0))
+      q.processAllAvailable()
+      mem.addData(("click", 4.0))
+      q.processAllAvailable()
+      // update mode: last emitted row per key carries cumulative state
+      val last = spark.table("mgs").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(last("click") == ((3L, 7.0)))
+      assert(last("view") == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("streaming top-k report matches the batch twin") {
     val s = spark
     import s.implicits._
