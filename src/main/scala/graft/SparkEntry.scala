@@ -42,6 +42,7 @@ object SparkEntry {
     "q_sketch_cms"       -> (StreamQueries.sketchCms _),
     "q_hll_custom"       -> (StreamQueries.hllCustom _),
     "q_window_hourly"    -> (StreamQueries.windowHourly _),
+    "q_window_sliding"   -> (StreamQueries.windowSliding _),
     // M4 — LLM-data-pipeline extensions (documents/embeddings)
     "q_doc_fingerprint"  -> (TextQueries.docFingerprint _),
     "q_dedup_exact"      -> (TextQueries.dedupExact _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_sketch_cms"       -> StreamQueries.sketchCmsSql,
     "q_hll_custom"       -> StreamQueries.hllCustomSql,
     "q_window_hourly"    -> StreamQueries.windowHourlySql,
+    "q_window_sliding"   -> StreamQueries.windowSlidingSql,
     "q_doc_fingerprint"  -> TextQueries.docFingerprintSql,
     "q_dedup_exact"      -> TextQueries.dedupExactSql,
     "q_ngram_jaccard"    -> TextQueries.ngramJaccardSql,

@@ -169,4 +169,23 @@ object StreamQueries {
        |FROM events
        |GROUP BY 1
        |ORDER BY hour_start""".stripMargin
+
+  /** Sliding event-time windows (1h length, 30min slide): every event
+    * lands in exactly two windows. The oracle reproduces Spark's
+    * window assignment by exploding each event's two covering window
+    * starts (the 30-min floor and the one 30 min earlier). */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("cnt"))
+      .orderBy("win_start")
+
+  val windowSlidingSql: String =
+    """SELECT win_start, count(*) AS cnt
+      |FROM (SELECT unnest([CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT),
+      |                     CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) - 1800]) AS win_start
+      |      FROM events)
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin
 }
