@@ -61,6 +61,7 @@ object SparkEntry {
     "q_multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
     // Extensions beyond the reference surface (free from Catalyst)
     "q_rollup"           -> (ExtensionQueries.rollup _),
+    "q_cube"             -> (ExtensionQueries.cube _),
     "q_set_ops"          -> (ExtensionQueries.setOps _),
     "q_outer_join"       -> (ExtensionQueries.outerJoin _),
     "q_lag_lead"         -> (ExtensionQueries.lagLead _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_embedding_stats"  -> SimilarityQueries.embeddingStatsSql,
     "q_multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,
     "q_rollup"           -> ExtensionQueries.rollupSql,
+    "q_cube"             -> ExtensionQueries.cubeSql,
     "q_set_ops"          -> ExtensionQueries.setOpsSql,
     "q_outer_join"       -> ExtensionQueries.outerJoinSql,
     "q_lag_lead"         -> ExtensionQueries.lagLeadSql,

@@ -34,6 +34,23 @@ object ExtensionQueries {
        |GROUP BY ROLLUP (r_name, n_name)
        |ORDER BY region, nation""".stripMargin
 
+  /** CUBE over two independent dimensions (all four grouping sets):
+    * segment × order-priority order counts. Same `spark.sql` route as
+    * [[rollup]]. */
+  def cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(cubeSql)
+  }
+
+  val cubeSql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY segment, priority""".stripMargin
+
   /** Set operations: high-balance vs FURNITURE-segment customer keys —
     * intersect, except and union-distinct counted in one row. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
