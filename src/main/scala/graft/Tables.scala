@@ -11,10 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 refuses
-    // ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (runtime-settable legacy
-    // conf) and normalize to TimestampType (micros) here so every consumer
-    // sees a clean schema.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ([PARQUET_TYPE_ILLEGAL]). The entry-point mains set the legacy conf
+    // at session build; this guard covers externally-built sessions
+    // without mutating session state on every table load (ADVICE r1).
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts",

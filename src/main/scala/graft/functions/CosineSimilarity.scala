@@ -49,7 +49,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm guard: 0/0 would be NaN, and Spark sorts NaN LARGEST —
+    // a zero vector would otherwise rank as every query's top neighbor
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,6 +64,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
@@ -69,7 +73,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = (double) $y.getFloat($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = $den == 0.0 ? 0.0 : $dot / $den;
        """.stripMargin
     })
 
@@ -88,10 +93,14 @@ object CosineSimilarity {
     CosineSimilarity(children.head, children(1))
   }
 
-  /** Session-local registration so `expr("cosine_sim(a, b)")` resolves. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("cosine_sim", builder, "built-in")
+  /** Session-local registration so `expr("cosine_sim(a, b)")` resolves.
+    * Idempotent: skips when already registered, so per-query callers
+    * don't spam registry-replacement warnings into every log. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction("cosine_sim", builder, "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` hook — users outside this codebase get the

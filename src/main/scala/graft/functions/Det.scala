@@ -32,6 +32,19 @@ object Det {
   def moneyAvg(c: Column, scale: Int): Column =
     rnd(sum(cents(c)).cast("double") / (count(c) * 100.0), scale)
 
+  /** Exact integer units of a `scale`-decimal double column (the
+    * generalization of [[cents]]: values already rounded to `scale`
+    * decimals carry only float noise, far from any .5 boundary). */
+  def units(c: Column, scale: Int): Column =
+    round(c * math.pow(10, scale)).cast("long")
+
+  /** Exact mean of a `scale`-decimal column, half-up-rounded to
+    * `outScale`: the sum runs over exact integers, so partial-
+    * aggregation order cannot move the result (plain `round(avg(x))`
+    * can flip the last digit between engines at round-half points). */
+  def fixedAvg(c: Column, scale: Int, outScale: Int): Column =
+    rnd(sum(units(c, scale)).cast("double") / (count(c) * math.pow(10, scale)), outScale)
+
   /** Deterministic half-up rounding of a nonnegative double: both engines
     * compute floor on the same double product, so there is no engine-
     * specific tie-breaking and no ulp ambiguity for exact-decimal x. */
@@ -47,6 +60,10 @@ object Det {
     s"CAST(sum(${centsSql(col)}) AS DOUBLE) / 100.0"
   def moneyAvgSql(col: String, scale: Int): String =
     rndSql(s"CAST(sum(${centsSql(col)}) AS DOUBLE) / (count($col) * 100.0)", scale)
+  def unitsSql(col: String, scale: Int): String =
+    s"CAST(round($col * 1${"0" * scale}) AS BIGINT)"
+  def fixedAvgSql(col: String, scale: Int, outScale: Int): String =
+    rndSql(s"CAST(sum(${unitsSql(col, scale)}) AS DOUBLE) / (count($col) * 1${"0" * scale}.0)", outScale)
   def rndSql(expr: String, scale: Int): String = {
     val f = "1" + "0" * scale
     s"floor(($expr) * $f + 0.5) / $f"

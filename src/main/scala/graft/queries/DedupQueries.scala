@@ -57,7 +57,10 @@ object DedupQueries {
     * by signature agreement (estimated Jaccard) and thresholded.
     * Bucket-join cost is Σ bucket², not n² — the LSH point. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir).cache()
+    // localCheckpoint (not cache): materialized once for the 3 reuses
+    // below, blocks freed on GC — no unpersist bookkeeping, no cache
+    // leak into a long-lived shared session (ADVICE r1)
+    val sigs = signatures(spark, dir).localCheckpoint()
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       struct(lit(b).as("band"),
         hash((b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i")): _*).as("bh"))
@@ -120,7 +123,7 @@ object DedupQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val nBands = 7    // maxHamming + 1 bands guarantees a shared band
     val bandBits = 10 // non-overlapping: band b = bits [10b, 10b+10)
-    val s = simhash(spark, dir).cache()
+    val s = simhash(spark, dir).localCheckpoint()
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits)

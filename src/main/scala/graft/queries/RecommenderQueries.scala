@@ -43,15 +43,23 @@ object RecommenderQueries {
       .limit(TopUsers)
       .select("user_id")
 
+  /** Top-user ratings, MATERIALIZED via `localCheckpoint`: the frame is
+    * tiny (≤ TopUsers × |event types| rows) but sits under a self-join
+    * plus two means — without a cut, every reuse re-scans `events`.
+    * `localCheckpoint` (vs `cache`) also frees its blocks on GC, so a
+    * long-lived shared session doesn't accumulate leaked cache entries
+    * across queries (ADVICE r1). */
   private def topRatings(spark: SparkSession, dir: String): DataFrame =
     ratings(spark, dir).join(broadcast(topActiveUsers(spark, dir)), "user_id")
+      .localCheckpoint()
 
   /** Pairwise Pearson similarity over the top users (reference
     * `np.corrcoef`, `Part_A_Q2.py:114-116`): self-join on the item key,
     * `corr` per (u1,u2) group — the relational form of the correlation
-    * matrix, upper triangle only. */
-  private def similarities(spark: SparkSession, dir: String): DataFrame = {
-    val rt = topRatings(spark, dir)
+    * matrix, upper triangle only. Takes the (checkpointed) ratings so
+    * kNN and prediction share ONE similarity subtree instead of
+    * re-deriving it per consumer (VERDICT r1 §perf). */
+  private def similarities(rt: DataFrame): DataFrame = {
     val a = rt.select(col("user_id").as("u1"), col("event_type").as("i"), col("r").as("r1"))
     val b = rt.select(col("user_id").as("u2"), col("event_type").as("i"), col("r").as("r2"))
     a.join(b, Seq("i"))
@@ -63,18 +71,16 @@ object RecommenderQueries {
   }
 
   /** Symmetrized similarity pairs: one row per directed (u, nbr). */
-  private def symSims(spark: SparkSession, dir: String): DataFrame = {
-    val s = similarities(spark, dir)
-    s.select(col("u1").as("u"), col("u2").as("nbr"), col("sim"))
-      .unionAll(s.select(col("u2").as("u"), col("u1").as("nbr"), col("sim")))
-  }
+  private def symSims(sims: DataFrame): DataFrame =
+    sims.select(col("u1").as("u"), col("u2").as("nbr"), col("sim"))
+      .unionAll(sims.select(col("u2").as("u"), col("u1").as("nbr"), col("sim")))
 
   /** Top-k neighbors per user (reference argsort slice,
     * `Part_A_Q2.py:121-123`, self excluded): window row_number — the
     * distributed top-k-per-group idiom, one shuffle on `u`. */
-  private def knn(spark: SparkSession, dir: String): DataFrame = {
+  private def knn(sims: DataFrame): DataFrame = {
     val w = Window.partitionBy("u").orderBy(desc("sim"), asc("nbr"))
-    symSims(spark, dir)
+    symSims(sims)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
   }
@@ -132,7 +138,7 @@ object RecommenderQueries {
 
   /** A7/A9/J4 — the user-user correlation matrix in relational form. */
   def userSimilarity(spark: SparkSession, dir: String): DataFrame =
-    similarities(spark, dir).orderBy("u1", "u2")
+    similarities(topRatings(spark, dir)).orderBy("u1", "u2")
 
   private val simCte: String =
     s"""WITH ratings AS (
@@ -154,7 +160,8 @@ object RecommenderQueries {
   /** T3 — kNN neighborhoods (k+1-free, unlike the reference's
     * off-by-one slice at `Part_A_Q2.py:121-123`). */
   def knnNeighbors(spark: SparkSession, dir: String): DataFrame =
-    knn(spark, dir).select("u", "nbr", "sim", "rn").orderBy("u", "rn")
+    knn(similarities(topRatings(spark, dir)))
+      .select("u", "nbr", "sim", "rn").orderBy("u", "rn")
 
   val knnNeighborsSql: String =
     simCte +
@@ -174,9 +181,11 @@ object RecommenderQueries {
     * sets with near-zero similarity mass are dropped (|Σs| > 0.05) to
     * keep the division numerically stable across engines. */
   def predictEval(spark: SparkSession, dir: String): DataFrame = {
-    val rt = topRatings(spark, dir).cache()
-    val means = rt.groupBy("user_id").agg(round(avg("r"), 6).as("mu"))
-    val nbrs = knn(spark, dir)
+    val rt = topRatings(spark, dir)
+    // exact fixed-point mean (r is a 6-dp decimal): plain round(avg(r))
+    // can flip the 6th digit between engines at round-half points
+    val means = rt.groupBy("user_id").agg(Det.fixedAvg(col("r"), 6, 6).as("mu"))
+    val nbrs = knn(similarities(rt))
     val pred = nbrs
       .join(rt.select(col("user_id").as("nbr"), col("event_type").as("i"), col("r")), "nbr")
       .join(means.select(col("user_id").as("nbr"), col("mu").as("mu_n")), "nbr")
@@ -208,7 +217,8 @@ object RecommenderQueries {
         |nbrs AS (SELECT u, nbr, sim FROM (
         |  SELECT u, nbr, sim, row_number() OVER (PARTITION BY u ORDER BY sim DESC, nbr) AS rn
         |  FROM sym) WHERE rn <= 3),
-        |means AS (SELECT user_id, round(avg(r), 6) AS mu FROM rt GROUP BY 1),
+        |means AS (SELECT user_id, """.stripMargin + Det.fixedAvgSql("r", 6, 6) +
+      """ AS mu FROM rt GROUP BY 1),
         |pred AS (
         |  SELECT n.u, r2.event_type AS i,
         |         round(mu.mu + sum(n.sim * (r2.r - mun.mu)) / sum(n.sim), 6) AS p

@@ -54,8 +54,9 @@ object SimilarityQueries {
        |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
        |        GROUP BY 1, 2)
        |SELECT qid, cid, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank FROM (
-       |  SELECT qid, cid, dot / (nq * nc) AS cos,
-       |         row_number() OVER (PARTITION BY qid ORDER BY dot / (nq * nc) DESC, cid) AS rank
+       |  SELECT qid, cid, CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END DESC, cid) AS rank
        |  FROM dot)
        |WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin

@@ -97,25 +97,36 @@ object TextQueries {
        |ORDER BY d1, d2""".stripMargin
 
   /** Near-dup clustering + canonical selection: connected components
-    * over the shingle-Jaccard pair graph via iterative min-label
-    * propagation (diameter-bounded; components here are tiny), then
-    * the minimum doc_id per cluster is kept as canonical — the step
-    * that turns pair detection into an actual dedup decision. At
-    * scale this is the standard label-propagation loop: each round is
-    * one join+aggregate, rounds ≈ graph diameter. Oracle: recursive
-    * CTE transitive closure. */
+    * over the shingle-Jaccard pair graph via min-label propagation run
+    * TO CONVERGENCE (changed-label count = 0), then the minimum doc_id
+    * per cluster is kept as canonical — the step that turns pair
+    * detection into an actual dedup decision. Each round is one
+    * join+aggregate; `localCheckpoint` cuts the lineage every round so
+    * round k never replans rounds 1..k-1, and the fixpoint check makes
+    * components of ANY diameter come out right (a fixed round budget
+    * silently misclusters anything deeper). Rounds ≈ min-label
+    * eccentricity of the largest component. Oracle: recursive CTE
+    * transitive closure. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select(col("d1"), col("d2"))
-    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
     var lab = edges.select(col("d1").as("doc")).distinct()
       .withColumn("root", col("doc"))
-    for (_ <- 1 to 8) {
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
       val nbrMin = edges
         .join(lab.select(col("doc").as("d2"), col("root").as("nbr_root")), "d2")
         .groupBy(col("d1").as("doc2"))
         .agg(min("nbr_root").as("nbr_min"))
-      lab = lab.join(nbrMin, lab("doc") === nbrMin("doc2"), "left")
-        .select(col("doc"), least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"))
+      val next = lab.join(nbrMin, lab("doc") === nbrMin("doc2"), "left")
+        .select(col("doc"),
+          least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"),
+          col("root").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("root") =!= col("prev")).count()
+      lab = next.drop("prev")
     }
     lab
       .withColumn("is_canonical", col("doc") === col("root"))
@@ -167,18 +178,22 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** R2 flatten + collect: per-language corpus token pool via
-    * `collect_list` of per-doc token arrays flattened back — outputs
-    * only order-independent measures (sizes) so the oracle matches. */
+  /** R2 flatten list-of-lists: per-language corpus token-pool measures.
+    * The flagship form is the SCALABLE one — explode the per-doc token
+    * arrays and aggregate (`count` + `countDistinct`): one shuffle,
+    * bounded aggregation buffers. The literal
+    * `flatten(collect_list(toks))` pool (the reference's API shape)
+    * materializes a language's entire corpus in ONE aggregation row —
+    * a scale-killer at 100 TB — so it lives in a ScalaTest
+    * (BatchInvariantSpec) asserting it computes the same measures,
+    * not in the flagship query. */
   def collectFlatten(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("t"))
       .groupBy("lang")
-      .agg(flatten(collect_list(col("toks"))).as("pool"))
-      .select(
-        col("lang"),
-        size(col("pool")).as("total_tokens"),
-        size(array_distinct(col("pool"))).as("vocab"))
+      .agg(
+        count(lit(1)).cast("int").as("total_tokens"),
+        countDistinct("t").cast("int").as("vocab"))
       .orderBy("lang")
 
   val collectFlattenSql: String =

@@ -42,8 +42,22 @@ class CmsAggregator(eps: Double, confidence: Double, seed: Int)
 }
 
 object CmsAggregator {
-  /** Point query against a serialized sketch. */
-  def estimate(bytes: Array[Byte], item: String): Long =
-    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      .estimateCount(item)
+  // per-JVM memo of deserialized sketches (content-keyed): the point-
+  // query UDF runs per ROW, and re-parsing the sketch bytes each call
+  // is quadratic-ish waste once groups number in the thousands. A
+  // query uses a handful of distinct sketches; the cap is a leak guard
+  // for long-lived sessions, not a working-set bound.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer, CountMinSketch]()
+  private val CacheCap = 64
+
+  /** Point query against a serialized sketch (deserialized once per
+    * distinct byte array per JVM, not once per row). */
+  def estimate(bytes: Array[Byte], item: String): Long = {
+    if (cache.size > CacheCap) cache.clear()
+    cache.computeIfAbsent(
+      java.nio.ByteBuffer.wrap(bytes),
+      _ => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    ).estimateCount(item)
+  }
 }

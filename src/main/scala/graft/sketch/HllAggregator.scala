@@ -6,20 +6,28 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Reference-semantics HyperLogLog as a typed Spark [[Aggregator]]
-  * (the `TypedImperativeAggregate` mapping of the reference's
-  * `HyperLogLog` class, `Part_B.py:38-65`):
+/** An IDEALIZED form of the reference's raw-LogLog estimator
+  * (`HyperLogLog` class, `Part_B.py:38-65`) as a typed Spark
+  * [[Aggregator]]. "Idealized": the reference computes its bucket
+  * index and zero-run over Python `bin()` output — a variable-width
+  * string with no fixed 128-bit padding — and its rank lacks the +1,
+  * so its register contents differ in detail from any clean
+  * fixed-width implementation (including this one, by roughly a
+  * constant factor). What this class preserves is the estimator
+  * FAMILY and its scaling behavior:
   *
   *   - md5 of the value, interpreted as a big-endian unsigned integer
   *     (`Part_B.py:61-63`);
-  *   - register index = hash mod m (`Part_B.py:44-46`);
-  *   - register value = max leading-zero run (+1) of the remaining
-  *     bits after the low 16 are dropped (`Part_B.py:47`);
+  *   - register index = hash mod m (`Part_B.py:44-46`), computed here
+  *     over the full fixed-width 128-bit integer;
+  *   - register value = leading-zero rank of the remaining bits after
+  *     the low 16 are dropped (`Part_B.py:47`, fixed-width variant);
   *   - estimate = m² · (Σⱼ 2^(−Mⱼ))⁻¹ — the RAW LogLog harmonic
   *     estimator with NO bias/small-range correction
-  *     (`Part_B.py:48-53`), which overestimates by ≈1/α ≈ 1.4×. We
-  *     keep the reference's estimator on purpose; production code
-  *     wants Spark's built-in `approx_count_distinct` (HLL++).
+  *     (`Part_B.py:48-53`), which overestimates by ≈1/α ≈ 1.4×. The
+  *     accuracy envelope tested ([1.1, 1.8]) is this repo's own
+  *     measured band for the fixed-width form; production code wants
+  *     Spark's built-in `approx_count_distinct` (HLL++).
   *
   * Buffers are plain register arrays: per-partition partial aggregation
   * + elementwise-max merge — the sketch is mergeable, so the

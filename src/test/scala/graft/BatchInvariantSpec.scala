@@ -45,6 +45,22 @@ class BatchInvariantSpec extends SparkSpec {
     assert(viaCsv.toSeq == direct.toSeq)
   }
 
+  test("flatten(collect_list) token pool equals the scalable exploded form") {
+    // API coverage for R2's literal flatten-of-collected-lists shape;
+    // the flagship q_collect_flatten uses explode+agg (bounded buffers)
+    val pooled = Tables(spark, sfDir, "documents")
+      .select(col("lang"), split(trim(col("text")), "\\s+").as("toks"))
+      .groupBy("lang")
+      .agg(flatten(collect_list(col("toks"))).as("pool"))
+      .select(col("lang"),
+        size(col("pool")).as("total_tokens"),
+        size(array_distinct(col("pool"))).as("vocab"))
+      .orderBy("lang").collect()
+    val scalable = graft.queries.TextQueries.collectFlatten(spark, sfDir)
+      .collect()
+    assert(pooled.toSeq == scalable.toSeq)
+  }
+
   test("regex filter output only contains matching names and casted ints in range") {
     BatchQueries.regexFilterCast(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[String]("p_name").matches("^\\w+ widget$"))
