@@ -103,8 +103,13 @@ object SparkEntry {
     "q_collect_flatten"  -> TextQueries.collectFlattenSql,
     "q_text_quality"     -> TextQueries.textQualitySql,
     "q_lang_id"          -> TextQueries.langIdSql,
-    // q_minhash_lsh / q_simhash_pairs / q_ann_lsh: engine-hash-based →
-    // rows-only for the driver; verified against exact baselines in tests.
+    // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
+    // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
+    // engine-neutral integer hashing → replayed verbatim by DuckDB.
+    // q_ann_ivf stays rows-only (k-means isn't SQL); ScalaTest-gated.
+    "q_minhash_lsh"      -> DedupQueries.minhashLshSql,
+    "q_simhash_pairs"    -> DedupQueries.simhashPairsSql,
+    "q_ann_lsh"          -> SimilarityQueries.annLshSql,
     "q_cosine_topk"      -> SimilarityQueries.cosineTopkSql,
     "q_embedding_stats"  -> SimilarityQueries.embeddingStatsSql,
     "q_multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,

@@ -7,29 +7,54 @@ import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
   * DuckDB oracle can't do for engine-hash-based queries. */
 class DedupSimilaritySpec extends SparkSpec {
 
-  test("minhash LSH recalls the exact high-Jaccard pairs") {
-    // exact char-shingle Jaccard >= 0.8 pairs (ground truth, doc_id<300)
-    val exact = TextQueries.ngramJaccard(spark, sfDir)
-      .filter(col("jaccard") >= 0.8)
-      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cand = DedupQueries.minhashLsh(spark, sfDir)
-      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "fixture should contain planted near-dups")
-    val recalled = exact.intersect(cand)
-    assert(recalled.size.toDouble / exact.size >= 0.99,
-      s"LSH missed ${exact -- cand} of $exact")
+  /** Ground truth: ALL pairs with exact shingle Jaccard >= 0.5 over the
+    * full corpus — what the verified LSH/SimHash outputs must equal. */
+  private def bruteForcePairs: Set[(Long, Long, Double)] = {
+    val sh = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 11, 1)), i -> substring(text, i, 12)))")).as("s"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.select(col("doc_id").as("d1"), col("s"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("j", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("d1"), col("d2"), round(col("j"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
   }
 
-  test("simhash places near-identical docs within small Hamming distance") {
-    val nearDups = TextQueries.ngramJaccard(spark, sfDir)
-      .filter(col("jaccard") >= 0.9)
-      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(nearDups.nonEmpty, "fixture should contain j>=0.9 pairs")
-    val pairs = DedupQueries.simhashPairs(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    nearDups.foreach { p =>
-      assert(pairs.contains(p), s"simhash missed near-identical pair $p")
-    }
+  test("minhash LSH verified output EQUALS brute-force exact-Jaccard pairs") {
+    val brute = bruteForcePairs
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    val mh = DedupQueries.minhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh == brute, s"missing=${brute -- mh} extra=${mh -- brute}")
+  }
+
+  test("simhash verified output EQUALS brute-force exact-Jaccard pairs") {
+    val brute = bruteForcePairs
+    val sp = DedupQueries.simhashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sp == brute, s"missing=${brute -- sp} extra=${sp -- brute}")
+  }
+
+  test("planted 1000-copy cluster completes without a quadratic LSH bucket") {
+    // 1000 exact copies + 300 distinct docs: stage-1 collapse reduces the
+    // clique to ONE representative, so no LSH bucket ever holds the
+    // copies; without it every band bucket would contain all 1000
+    // (the r1/r2 named scale-killer). The verified output must still
+    // report the full clique: C(1000,2) J=1.0 pairs and nothing else.
+    val docs = spark.range(0, 1300).selectExpr(
+      "id AS doc_id",
+      """CASE WHEN id < 1000 THEN 'the same boilerplate document body repeated verbatim across the corpus'
+         ELSE concat('unique ', md5(concat('a', id)), ' ', md5(concat('b', id)), ' ', md5(concat('c', id))) END AS text""")
+    val out = DedupQueries.minhashLshOn(docs)
+    assert(out.filter(col("jaccard") === 1.0).count() === 1000L * 999 / 2)
+    assert(out.filter(col("jaccard") =!= 1.0).count() === 0)
   }
 
   test("ANN LSH results are true cosine values and recall brute-force hits in-bucket") {
