@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through VERBATIM (no [info]/[error] wrapping):
+// the bench/verify mains emit machine-read JSON lines, and sbt's default
+// logger both prefixes stdout and folds the child's stderr into stdout —
+// which is why external parsers saw "parsed: null" on the bench output.
+// With StdoutOutput, `runMain graft.Bench` prints the bare JSON line on
+// real stdout and the duplicate on real stderr (see Bench.scala).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,9 +29,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
         }
-      // cached blocks must not carry across queries: each measurement
-      // starts from a cold cache so numbers are stable and independent
+      // cached/checkpointed blocks must not carry across queries: each
+      // measurement starts cold so numbers are stable and independent.
+      // clearCache only drops SQL-cached relations; localCheckpoint RDD
+      // blocks (dedup/recommender/text queries) otherwise linger until
+      // GC, accumulating executor memory across the run (ADVICE r2).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -40,12 +44,17 @@ object Bench {
     // silently shrinking it; they remain visible per-query
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout gets sbt-wrapped ([info] prefix, WARN noise) and the driver
-    // could not parse BENCH_r01 — the file is the reliable channel
+    // three channels so the driver can't miss it (BENCH_r02 was still
+    // "parsed": null): stdout (sbt-wrapped with [info]), the file at
+    // `target/bench.json` (documented in README), and — emitted LAST,
+    // after spark.stop() so no log line can trail it — bare JSON on
+    // stderr, which sbt passes through un-prefixed
     println(json)
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.writeString(p, json + "\n")
     spark.stop()
+    System.err.println(json)
+    System.err.flush()
   }
 }

@@ -29,14 +29,17 @@ object SparkEntry {
     "q_join_agg_by_dim"  -> (BatchQueries.joinAggByDim _),
     "q_csv_roundtrip"    -> (BatchQueries.csvRoundtrip _),
     "q_ddl_roundtrip"    -> (BatchQueries.ddlRoundtrip _),
+    "q_jdbc_roundtrip"   -> (BatchQueries.jdbcRoundtrip _),
     // M2 — recommender surface (Part_A_Q2)
     "q_semijoin_active"  -> (RecommenderQueries.semijoinActive _),
     "q_pivot_matrix"     -> (RecommenderQueries.pivotMatrix _),
     "q_user_similarity"  -> (RecommenderQueries.userSimilarity _),
     "q_knn_neighbors"    -> (RecommenderQueries.knnNeighbors _),
     "q_predict_eval"     -> (RecommenderQueries.predictEval _),
+    "q_predict_matrix"   -> (RecommenderQueries.predictMatrix _),
     // M3 — stream twins + sketches (Part_B)
     "q_json_extract"     -> (StreamQueries.jsonExtract _),
+    "q_nested_explode"   -> (StreamQueries.nestedExplode _),
     "q_stream_topk"      -> (StreamQueries.streamTopk _),
     "q_distinct_exact_vs_hll" -> (StreamQueries.distinctExactVsHll _),
     "q_sketch_cms"       -> (StreamQueries.sketchCms _),
@@ -83,12 +86,15 @@ object SparkEntry {
     "q_join_agg_by_dim"  -> BatchQueries.joinAggByDimSql,
     "q_csv_roundtrip"    -> BatchQueries.csvRoundtripSql,
     "q_ddl_roundtrip"    -> BatchQueries.ddlRoundtripSql,
+    "q_jdbc_roundtrip"   -> BatchQueries.jdbcRoundtripSql,
     "q_semijoin_active"  -> RecommenderQueries.semijoinActiveSql,
     "q_pivot_matrix"     -> RecommenderQueries.pivotMatrixSql,
     "q_user_similarity"  -> RecommenderQueries.userSimilaritySql,
     "q_knn_neighbors"    -> RecommenderQueries.knnNeighborsSql,
     "q_predict_eval"     -> RecommenderQueries.predictEvalSql,
+    "q_predict_matrix"   -> RecommenderQueries.predictMatrixSql,
     "q_json_extract"     -> StreamQueries.jsonExtractSql,
+    "q_nested_explode"   -> StreamQueries.nestedExplodeSql,
     "q_stream_topk"      -> StreamQueries.streamTopkSql,
     "q_distinct_exact_vs_hll" -> StreamQueries.distinctExactVsHllSql,
     "q_sketch_cms"       -> StreamQueries.sketchCmsSql,

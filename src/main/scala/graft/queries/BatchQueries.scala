@@ -323,4 +323,34 @@ object BatchQueries {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
+
+  /** S3 (JDBC writer/reader leg) — SQL-database round-trip (reference
+    * MySQL DDL + row inserts + read-back, `Part_A_Q2.py:16-61`):
+    * `df.write.jdbc` runs the real JDBC write path — dialect-generated
+    * DDL plus batched partition-parallel INSERTs — against embedded
+    * Derby (shipped in the Spark distribution, so it works offline),
+    * `spark.read.jdbc` loads the table back, and the aggregate over
+    * the round-tripped rows is oracled directly against the source
+    * parquet. Against a production RDBMS only the URL changes;
+    * `numPartitions`/`batchsize` bound insert parallelism. The
+    * round-tripped frame is an AGGREGATE (one row per priority), not
+    * the fact table — at 100 TB the JDBC sink is for serving-layer
+    * summaries; bulk facts stay columnar. */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file", s"${Tables.scratchDir}/derby.log")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), Det.moneySum(col("o_totalprice")).as("total_price"))
+      .write.mode("overwrite").jdbc(url, "orders_summary", props)
+    spark.read.jdbc(url, "orders_summary", props)
+      .orderBy("o_orderpriority")
+  }
+
+  val jdbcRoundtripSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders, ${Det.moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
 }

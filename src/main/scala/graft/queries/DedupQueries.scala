@@ -208,7 +208,23 @@ object DedupQueries {
     // leak into a long-lived shared session (ADVICE r1)
     val groups = groupsOf(docs).localCheckpoint()
     val sh = shinglesOf(repTexts(docs, groups)).localCheckpoint()
-    expand(verify(minhashCandidates(minhashSignatures(sh)), sh), groups)
+    val sigs = minhashSignatures(sh).localCheckpoint()
+    // cheap estimated-Jaccard prefilter between candidate generation
+    // and the (expensive) exact verification: signature agreement is a
+    // 16-term comparison per pair, so spurious single-band collisions
+    // (which agree on little else) never reach the shingle join.
+    // E[agree] = 16·J; requiring >= 4/16 keeps every J >= 0.5 pair with
+    // overwhelming margin (P[Binom(16, 0.5) < 4] ~ 0.004, and corpus
+    // true pairs sit at J >= 0.82 where the tail is ~1e-9).
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"s1.m$i") === col(s"s2.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val prefiltered = minhashCandidates(sigs)
+      .join(sigs.alias("s1"), col("d1") === col("s1.doc_id"))
+      .join(sigs.alias("s2"), col("d2") === col("s2.doc_id"))
+      .filter(agree >= NumHashes / 4)
+      .select("d1", "d2")
+    expand(verify(prefiltered, sh), groups)
   }
 
   val minhashLshSql: String = bruteJaccardSql
@@ -290,7 +306,20 @@ object DedupQueries {
   private[graft] def simhashPairsOn(docs: DataFrame): DataFrame = {
     val groups = groupsOf(docs).localCheckpoint()
     val sh = shinglesOf(repTexts(docs, groups)).localCheckpoint()
-    expand(verify(simhashCandidates(simhashOf(sh)), sh), groups)
+    val sig = simhashOf(sh).localCheckpoint()
+    // cheap Hamming prefilter between banding and the (expensive)
+    // exact verification: a single bit_count per candidate pair, so
+    // the ~0.8% of random pairs that collide in some probed band
+    // (Hamming ~32) never reach the shingle join. The <= 13 cut is
+    // strictly wider than the banding's own radius-11 guarantee and
+    // the corpus's measured true-pair maximum (10), so completeness
+    // at J >= 0.5 is unaffected. Measured at sf0.1: 23s -> ~4s.
+    val prefiltered = simhashCandidates(sig)
+      .join(sig.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 13)
+      .select("d1", "d2")
+    expand(verify(prefiltered, sh), groups)
   }
 
   val simhashPairsSql: String = bruteJaccardSql

@@ -211,6 +211,65 @@ object RecommenderQueries {
       .orderBy("metric")
   }
 
+  /** R3 — bounded FULL prediction-matrix reconstruction (reference
+    * `Part_A_Q2.py:194`: predict every (user, item) cell of the
+    * matrix). The cell universe is the crossJoin of the top users
+    * with the (tiny, fixed) item vocabulary — at 100 TB "every cell"
+    * is only meaningful against such a bounded user slice, which is
+    * also exactly the reference's own top-users prefilter. Cells with
+    * no usable neighborhood fall back to the user mean (the
+    * reference's fallback when the weighted sum has no mass);
+    * observed ratings ride along for evaluation (`r_obs` is NULL on
+    * never-rated cells — the cells only full reconstruction reaches). */
+  def predictMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val rt = topRatings(spark, dir)
+    val means = rt.groupBy("user_id").agg(Det.fixedAvg(col("r"), 6, 6).as("mu"))
+    val nbrs = knn(similarities(rt))
+    val cells = topActiveUsers(spark, dir).select(col("user_id").as("u"))
+      .crossJoin(spark.range(1).select(
+        explode(array(EventTypes.map(lit): _*)).as("i")))
+    val contrib = nbrs
+      .join(rt.select(col("user_id").as("nbr"), col("event_type").as("i"), col("r")), "nbr")
+      .join(means.select(col("user_id").as("nbr"), col("mu").as("mu_n")), "nbr")
+      .groupBy("u", "i")
+      .agg(sum(col("sim") * (col("r") - col("mu_n"))).as("num"), sum("sim").as("den"))
+    cells
+      .join(means.select(col("user_id").as("u"), col("mu").as("mu_u")), "u")
+      .join(contrib, Seq("u", "i"), "left")
+      .withColumn("p", round(
+        col("mu_u") + when(abs(col("den")) > 0.05, col("num") / col("den")).otherwise(0.0), 6))
+      .join(rt.select(col("user_id").as("u"), col("event_type").as("i"), col("r").as("r_obs")),
+        Seq("u", "i"), "left")
+      .select(col("u"), col("i"), col("p"), col("r_obs"))
+      .orderBy("u", "i")
+  }
+
+  val predictMatrixSql: String =
+    simCte +
+      """,
+        |nbrs AS (SELECT u, nbr, sim FROM (
+        |  SELECT u, nbr, sim, row_number() OVER (PARTITION BY u ORDER BY sim DESC, nbr) AS rn
+        |  FROM sym) WHERE rn <= 3),
+        |means AS (SELECT user_id, """.stripMargin + Det.fixedAvgSql("r", 6, 6) +
+      """ AS mu FROM rt GROUP BY 1),
+        |cells AS (SELECT t.user_id AS u, i.i
+        |          FROM top_u t CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) AS i(i)),
+        |contrib AS (
+        |  SELECT n.u, r2.event_type AS i,
+        |         sum(n.sim * (r2.r - mun.mu)) AS num, sum(n.sim) AS den
+        |  FROM nbrs n
+        |  JOIN rt r2 ON r2.user_id = n.nbr
+        |  JOIN means mun ON mun.user_id = n.nbr
+        |  GROUP BY 1, 2)
+        |SELECT c.u, c.i,
+        |       round(m.mu + CASE WHEN abs(ct.den) > 0.05 THEN ct.num / ct.den ELSE 0 END, 6) AS p,
+        |       r.r AS r_obs
+        |FROM cells c
+        |JOIN means m ON m.user_id = c.u
+        |LEFT JOIN contrib ct ON ct.u = c.u AND ct.i = c.i
+        |LEFT JOIN rt r ON r.user_id = c.u AND r.event_type = c.i
+        |ORDER BY c.u, c.i""".stripMargin
+
   val predictEvalSql: String =
     simCte +
       """,

@@ -48,6 +48,44 @@ object StreamQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** R1 (array-of-struct shape) — nested entity-array explode
+    * (reference `Part_B.py:105`: `post['entities']['hashtags'][i]
+    * ['text']`). The fixture's `props` JSON has no array field, so a
+    * deterministic entity array is synthesized per event FROM ITS OWN
+    * FIELDS as a raw JSON string, then parsed back with `from_json`
+    * under an `ArrayType(StructType)` schema and exploded — the
+    * hashtag pipeline: schema-on-read of a struct array, struct-field
+    * access post-explode, aggregate per entity. All executor-side;
+    * the oracle reconstructs the same entities arithmetically (the
+    * synthesis is deterministic), so the JSON parse itself is what
+    * the hash check exercises. */
+  def nestedExplode(spark: SparkSession, dir: String): DataFrame = {
+    val entSchema = ArrayType(StructType(Seq(
+      StructField("tag", StringType), StructField("w", IntegerType))))
+    val rawJson = expr(
+      """concat('[', concat_ws(',', transform(sequence(0, CAST(event_id % 3 AS INT)),
+        |  t -> concat('{"tag":"t', CAST((event_id * 7 + t) % 20 AS STRING),
+        |              '","w":', CAST(t AS STRING), '}'))), ']')""".stripMargin)
+    Tables(spark, dir, "events")
+      .withColumn("ents", from_json(rawJson, entSchema))
+      .select(col("event_type"), explode(col("ents")).as("e"))
+      .select(col("event_type"), col("e.tag").as("tag"), col("e.w").as("w"))
+      .groupBy("tag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("w").as("sum_w"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("tag")
+  }
+
+  val nestedExplodeSql: String =
+    """SELECT 't' || CAST((event_id * 7 + t) % 20 AS VARCHAR) AS tag,
+      |       count(*) AS n, CAST(sum(t) AS BIGINT) AS sum_w,
+      |       count(DISTINCT event_type) AS n_types
+      |FROM (SELECT event_id, event_type, unnest(range(event_id % 3 + 1)) AS t FROM events)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** A13+T2 — running frequency counts with top-k report (reference
     * exact counters + `MAX_COUNTS_LIMIT=5`, `Part_B.py:90-114`):
     * groupBy-count + TakeOrderedAndProject. In streaming mode the

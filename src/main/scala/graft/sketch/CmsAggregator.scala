@@ -46,18 +46,32 @@ object CmsAggregator {
   // query UDF runs per ROW, and re-parsing the sketch bytes each call
   // is quadratic-ish waste once groups number in the thousands. A
   // query uses a handful of distinct sketches; the cap is a leak guard
-  // for long-lived sessions, not a working-set bound.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer, CountMinSketch]()
+  // for long-lived sessions, not a working-set bound. Access-ordered
+  // LRU (not clear-all, ADVICE r2): a burst past the cap evicts one
+  // cold entry instead of forcing every live sketch to re-deserialize
+  // at once. Guarded by its own lock — contention is irrelevant next
+  // to the per-row estimateCount work it saves.
   private val CacheCap = 64
+  private val cache =
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, CountMinSketch](CacheCap + 1, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, CountMinSketch]): Boolean =
+        size > CacheCap
+    }
 
   /** Point query against a serialized sketch (deserialized once per
     * distinct byte array per JVM, not once per row). */
   def estimate(bytes: Array[Byte], item: String): Long = {
-    if (cache.size > CacheCap) cache.clear()
-    cache.computeIfAbsent(
-      java.nio.ByteBuffer.wrap(bytes),
-      _ => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-    ).estimateCount(item)
+    val key = java.nio.ByteBuffer.wrap(bytes)
+    val sketch = cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        cache.put(key, s)
+        s
+      }
+    }
+    sketch.estimateCount(item)
   }
 }

@@ -59,6 +59,26 @@ object StreamJobs {
         col("event_type"),
         col("cnt"))
 
+  /** Extension — event-time SESSION windows: the streaming twin of the
+    * batch gap-based sessionization
+    * ([[graft.queries.ExtensionQueries.sessionize]]). `session_window`
+    * merges events separated by less than the gap into one growing
+    * window in the state store; the watermark closes (and makes final)
+    * sessions whose end has passed it. Boundary note: the state-store
+    * window is [t, t+gap), so an event arriving at EXACTLY gap starts
+    * a new session, where the batch twin's strict `gap > g` keeps it —
+    * identical on any data that doesn't land on the exact boundary. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("user_id"),
+        col("n_events"))
+
   /** T2 — top-k report for one batch (reference `MAX_COUNTS_LIMIT=5`
     * slice, `Part_B.py:112-114`); applied inside `foreachBatch`. */
   def topk(counts: DataFrame, k: Int = 5): DataFrame =

@@ -149,6 +149,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows (streaming) match batch gap-based sessionization") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.sessionCounts(mem.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      // user 1: two sessions (10-min gap, then an 80-min gap); user 2: one
+      val evs = Seq(
+        ev(1, "2024-01-01 00:00:00", "click", u = 1),
+        ev(2, "2024-01-01 00:10:00", "view", u = 1),
+        ev(3, "2024-01-01 01:30:00", "click", u = 1),
+        ev(4, "2024-01-01 00:05:00", "click", u = 2))
+      mem.addData(evs: _*); q.processAllAvailable()
+      // advance the watermark far past every session end (append mode only
+      // emits CLOSED sessions), then trigger once more so they flush
+      mem.addData(ev(99, "2024-01-02 12:00:00", "click", u = 9)); q.processAllAvailable()
+      mem.addData(ev(100, "2024-01-03 12:00:00", "click", u = 9)); q.processAllAvailable()
+      val streamed = spark.table("sw").filter(col("user_id") < 9)
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // batch twin: the identical gap rule via lag + cumulative sum
+      // (ExtensionQueries.sessionize's construction on the same rows)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val batch = evs.toDF()
+        .withColumn("gap",
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(w))
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming top-k report matches the batch twin") {
     val s = spark
     import s.implicits._
