@@ -90,9 +90,10 @@ object DedupQueries {
     * align each pair's shingle streams on (doc, shingle) equi-joins —
     * work linear in |candidates| × shingles-per-doc, never quadratic
     * in the corpus. J = |∩| / |∪| is a ratio of exact integers —
-    * bit-identical across engines. */
-  private def verify(cand: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    * bit-identical across engines. `sizes` (doc_id, sz = distinct
+    * shingle count) rides along from the signature aggregation — the
+    * shingle stream is aggregated once, not twice. */
+  private def verify(cand: DataFrame, shingles: DataFrame, sizes: DataFrame): DataFrame = {
     cand
       .join(shingles.select(col("doc_id").as("d1"), col("s")), "d1")
       .join(shingles.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
@@ -163,10 +164,14 @@ object DedupQueries {
     val mins: Seq[Column] = (0 until NumHashes).map { i =>
       min((col("h1") + lit(i.toLong) * col("h2")).bitwiseAND(0xffffffffL)).as(s"m$i")
     }
+    // sz (distinct shingle count) rides along in the same aggregation
+    // pass — the verification stage needs it, and a separate groupBy
+    // would re-scan the full shingle stream
+    val aggs = mins :+ count(lit(1)).as("sz")
     shingles
       .withColumn("h1", xxhash64(lit(1), col("s")).bitwiseAND(0xffffffffL))
       .withColumn("h2", xxhash64(lit(2), col("s")).bitwiseAND(0xffffffffL).bitwiseOR(1L))
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Stage 2 (MinHash) — banded candidates: docs sharing any band of
@@ -223,8 +228,8 @@ object DedupQueries {
       .join(sigs.alias("s1"), col("d1") === col("s1.doc_id"))
       .join(sigs.alias("s2"), col("d2") === col("s2.doc_id"))
       .filter(agree >= NumHashes / 4)
-      .select("d1", "d2")
-    expand(verify(prefiltered, sh), groups)
+      .select(col("d1"), col("d2"))
+    expand(verify(prefiltered, sh, sigs.select(col("doc_id"), col("sz"))), groups)
   }
 
   val minhashLshSql: String = bruteJaccardSql
@@ -255,12 +260,15 @@ object DedupQueries {
       val cnt = shiftright(col(s"p${b / 4}"), (b % 4) * 16).bitwiseAND(0xffffL)
       when(cnt * 2 > col("n"), lit(1L << b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-    perDoc.select(col("doc_id"), sig.as("simhash"))
+    // n doubles as the distinct shingle count the verification stage
+    // needs (sz) — one aggregation pass serves both
+    perDoc.select(col("doc_id"), sig.as("simhash"), col("n").as("sz"))
   }
 
   /** SimHash per document over the full corpus (test surface). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(shinglesOf(Tables(spark, dir, "documents")))
+      .select("doc_id", "simhash")
 
   /** Stage 2 (SimHash) — banded Hamming candidates with SYMMETRIC
     * 1-flip multiprobe: the 64 bits split into 4 bands of 16; each
@@ -319,7 +327,7 @@ object DedupQueries {
       .join(sig.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
       .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 13)
       .select("d1", "d2")
-    expand(verify(prefiltered, sh), groups)
+    expand(verify(prefiltered, sh, sig.select(col("doc_id"), col("sz"))), groups)
   }
 
   val simhashPairsSql: String = bruteJaccardSql
