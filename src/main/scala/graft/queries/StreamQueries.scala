@@ -62,10 +62,16 @@ object StreamQueries {
   def nestedExplode(spark: SparkSession, dir: String): DataFrame = {
     val entSchema = ArrayType(StructType(Seq(
       StructField("tag", StringType), StructField("w", IntegerType))))
+    // built with a codegen'd CASE chain, not transform(sequence(...)):
+    // Catalyst HOF lambdas are interpreted per element, and the string
+    // build is the hot loop here — the entity count is bounded (≤ 3),
+    // so unrolling keeps the whole row inside whole-stage codegen
+    val entry = (t: Int) =>
+      s"""concat('${if (t == 0) "" else ","}{"tag":"t', CAST((event_id * 7 + $t) % 20 AS STRING), '","w":$t}')"""
     val rawJson = expr(
-      """concat('[', concat_ws(',', transform(sequence(0, CAST(event_id % 3 AS INT)),
-        |  t -> concat('{"tag":"t', CAST((event_id * 7 + t) % 20 AS STRING),
-        |              '","w":', CAST(t AS STRING), '}'))), ']')""".stripMargin)
+      s"""concat('[', ${entry(0)},
+         |  CASE WHEN event_id % 3 >= 1 THEN ${entry(1)} ELSE '' END,
+         |  CASE WHEN event_id % 3 >= 2 THEN ${entry(2)} ELSE '' END, ']')""".stripMargin)
     Tables(spark, dir, "events")
       .withColumn("ents", from_json(rawJson, entSchema))
       .select(col("event_type"), explode(col("ents")).as("e"))
