@@ -60,6 +60,7 @@ object SparkEntry {
     "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
     "q_embedding_stats"  -> (SimilarityQueries.embeddingStats _),
     "q_ann_lsh"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annLsh(s, d)),
+    "q_embedding_neardup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.embeddingNeardup(s, d)),
     "q_ann_ivf"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annIvf(s, d)),
     "q_multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
     // Extensions beyond the reference surface (free from Catalyst)
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_minhash_lsh"      -> DedupQueries.minhashLshSql,
     "q_simhash_pairs"    -> DedupQueries.simhashPairsSql,
     "q_ann_lsh"          -> SimilarityQueries.annLshSql,
+    "q_embedding_neardup" -> SimilarityQueries.embeddingNeardupSql,
     "q_cosine_topk"      -> SimilarityQueries.cosineTopkSql,
     "q_embedding_stats"  -> SimilarityQueries.embeddingStatsSql,
     "q_multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,

@@ -125,6 +125,77 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding mode
+    * of a training-data pipeline — distinct from top-k search): every
+    * vector is hashed into a sign bucket over 8 engine-neutral ±1
+    * hyperplanes; both sides of the self-join explode the bucket plus
+    * its 1-bit flips, so a pair becomes a candidate iff its buckets
+    * differ in ≤ 2 planes; candidates are verified by exact cosine ≥
+    * threshold. Work is Σ bucket², not n², and the probe fan-out is 9
+    * rows/vector — linear. At larger corpora, raise nPlanes so bucket
+    * count tracks corpus size. Recall is parameter- and similarity-
+    * dependent (sign-LSH: P(plane splits pair) = θ/π — e.g. ~0.97 for
+    * cos 0.95 twins at these settings, lower for weak similarity);
+    * the pipeline is deterministic integer hashing, so the oracle
+    * replays it exactly and the output is hash-checked end-to-end. */
+  def embeddingNeardup(spark: SparkSession, dir: String,
+                       nPlanes: Int = 8, threshold: Double = 0.45): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    // w_p(i) = ±1 from bit 15 of ((i+1)·(2654435761 + 4096p + 2p²)) mod 2³²
+    // — one odd multiplier per plane; balanced (|Σw| ≤ 12) and pairwise
+    // near-orthogonal (|corr| ≤ 8/64), verified offline
+    val planeW = (p: Int) =>
+      s"transform(sequence(0, size(embedding) - 1), i -> CASE WHEN (shiftright((CAST(i + 1 AS BIGINT) * ${2654435761L + 4096L * p + 2L * p * p}L) % 4294967296L, 15) & 1) = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+    val bucketExpr = (0 until nPlanes).map { p =>
+      s"(CASE WHEN aggregate(zip_with(embedding, ${planeW(p)}, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val probed = emb
+      .withColumn("bucket", expr(bucketExpr))
+      .select(col("vec_id"), explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${nPlanes - 1}), p -> bucket ^ shiftleft(1, p)))"))
+        .as("pb"))
+    val cand = probed.alias("a").join(probed.alias("b"), "pb")
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("qe"))
+    val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("ce"))
+    withCos(cand.join(e1, "v1").join(e2, "v2"))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
+      .orderBy("v1", "v2")
+  }
+
+  /** DuckDB twin of [[embeddingNeardup]]: replays the identical
+    * deterministic pipeline — buckets, 1-flip probes on both sides,
+    * exact-cosine threshold. */
+  val embeddingNeardupSql: String =
+    s"""WITH w AS (
+       |  SELECT p, i, CASE WHEN ((((i + 1) * (2654435761 + 4096 * p + 2 * p * p)) % 4294967296) >> 15) & 1 = 1
+       |                    THEN 1.0 ELSE -1.0 END AS wt
+       |  FROM (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |dots AS (SELECT e.vec_id, w.p, sum(e.v * w.wt) AS dot
+       |         FROM e JOIN w ON e.i = w.i GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+       |        FROM dots GROUP BY 1),
+       |pr AS (SELECT vec_id,
+       |              unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8),
+       |                      xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)]) AS pb
+       |       FROM bkt),
+       |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |         FROM pr a JOIN pr b ON a.pb = b.pb AND a.vec_id < b.vec_id),
+       |cs AS (SELECT cand.v1, cand.v2, sum(a.v * b.v) AS dot,
+       |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
+       |       FROM cand JOIN e a ON a.vec_id = cand.v1
+       |                 JOIN e b ON b.vec_id = cand.v2 AND b.i = a.i
+       |       GROUP BY 1, 2)
+       |SELECT v1, v2, round(cos, 6) AS cos
+       |FROM (SELECT v1, v2, CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos FROM cs)
+       |WHERE cos >= 0.45
+       |ORDER BY v1, v2""".stripMargin
+
   /** DuckDB twin of [[annLsh]] at nPlanes=4: replays the identical
     * deterministic pipeline — ±1 planes from the same integer hash,
     * sign buckets, hamming-1 probes, exact cosine top-k inside the
