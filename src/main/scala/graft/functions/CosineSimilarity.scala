@@ -106,9 +106,23 @@ object CosineSimilarity {
 /** `SparkSessionExtensions` hook — users outside this codebase get the
   * function via `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("signlsh_bucket"),
+      SignLshBucket.info,
+      (children: Seq[Expression]) => {
+        val Seq(e, s, n) = children
+        (s, n) match {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(sv: Int, _),
+                org.apache.spark.sql.catalyst.expressions.Literal(nv: Int, _)) =>
+            SignLshBucket(e, sv, nv)
+          case _ => throw new IllegalArgumentException(
+            "signlsh_bucket scheme/nPlanes must be integer literals")
+        }
+      }))
+  }
 }

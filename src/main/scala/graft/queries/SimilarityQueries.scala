@@ -30,7 +30,15 @@ object SimilarityQueries {
   }
 
   /** Brute-force cosine top-k: the correctness baseline every ANN
-    * variant is measured against. */
+    * variant is measured against.
+    *
+    * Degenerate-input note (ADVICE r2): for an EMPTY embedding array
+    * Spark's `cosine_sim` yields a cos=0.0 row while the oracle's
+    * unnest-join produces no row at all. The fixture guarantees
+    * fixed-dimension (64) non-empty vectors at every SF (verified:
+    * min=max=len 64), so the divergence cannot trigger; a corpus with
+    * ragged embeddings should be length-filtered identically on both
+    * sides first. */
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < NQueries)
@@ -103,13 +111,11 @@ object SimilarityQueries {
     // and pairwise near-orthogonal (|corr| ≤ 6/64), verified offline.
     // The sign test compares an O(1)-magnitude double sum against 0;
     // engines only differ by summation-order rounding (~1e-15), so
-    // the branch is effectively exact.
-    val planeW = (p: Int) =>
-      s"transform(sequence(0, size(embedding) - 1), i -> CASE WHEN (shiftright((CAST($p * 64 + i + 1 AS BIGINT) * 2654435761L) % 4294967296L, ${8 + 5 * p}) & 1) = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
-    val bucketExpr = (0 until nPlanes).map { p =>
-      s"(CASE WHEN aggregate(zip_with(embedding, ${planeW(p)}, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
-    val bucketed = emb.withColumn("bucket", expr(bucketExpr))
+    // the branch is effectively exact. Buckets come from the codegen'd
+    // [[graft.functions.SignLshBucket]] (scheme 0), bit-identical to
+    // the interpreted HOF form the oracle replays.
+    graft.functions.SignLshBucket.register(spark)
+    val bucketed = emb.withColumn("bucket", expr(s"signlsh_bucket(embedding, 0, $nPlanes)"))
     val probes = (0 until nPlanes).map(p => col("bucket").bitwiseXOR(1 << p))
     val q = bucketed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -143,14 +149,12 @@ object SimilarityQueries {
     val emb = Tables(spark, dir, "embeddings")
     // w_p(i) = ±1 from bit 15 of ((i+1)·(2654435761 + 4096p + 2p²)) mod 2³²
     // — one odd multiplier per plane; balanced (|Σw| ≤ 12) and pairwise
-    // near-orthogonal (|corr| ≤ 8/64), verified offline
-    val planeW = (p: Int) =>
-      s"transform(sequence(0, size(embedding) - 1), i -> CASE WHEN (shiftright((CAST(i + 1 AS BIGINT) * ${2654435761L + 4096L * p + 2L * p * p}L) % 4294967296L, 15) & 1) = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
-    val bucketExpr = (0 until nPlanes).map { p =>
-      s"(CASE WHEN aggregate(zip_with(embedding, ${planeW(p)}, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    // near-orthogonal (|corr| ≤ 8/64), verified offline. Buckets come
+    // from the codegen'd [[graft.functions.SignLshBucket]] (scheme 1),
+    // bit-identical to the interpreted HOF form the oracle replays.
+    graft.functions.SignLshBucket.register(spark)
     val probed = emb
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket", expr(s"signlsh_bucket(embedding, 1, $nPlanes)"))
       .select(col("vec_id"), explode(expr(
         s"concat(array(bucket), transform(sequence(0, ${nPlanes - 1}), p -> bucket ^ shiftleft(1, p)))"))
         .as("pb"))
