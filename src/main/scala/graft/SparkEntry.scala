@@ -63,6 +63,7 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.embeddingNeardup(s, d)),
     "q_ann_ivf"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annIvf(s, d)),
     "q_multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
+    "q_frame_sample"     -> (MultimodalQueries.frameSample _),
     // Extensions beyond the reference surface (free from Catalyst)
     "q_rollup"           -> (ExtensionQueries.rollup _),
     "q_cube"             -> (ExtensionQueries.cube _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_cosine_topk"      -> SimilarityQueries.cosineTopkSql,
     "q_embedding_stats"  -> SimilarityQueries.embeddingStatsSql,
     "q_multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,
+    "q_frame_sample"     -> MultimodalQueries.frameSampleSql,
     "q_rollup"           -> ExtensionQueries.rollupSql,
     "q_cube"             -> ExtensionQueries.cubeSql,
     "q_set_ops"          -> ExtensionQueries.setOpsSql,

@@ -88,4 +88,51 @@ object MultimodalQueries {
       |              i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))) % 1000003 AS BIGINT) AS byte_sum_mod
       |FROM documents
       |ORDER BY media_id""".stripMargin
+
+  private val FrameBytes = 32
+  private val Stride     = 4
+
+  /** Frame sampling + resize (the video-shaped ops of the multimodal
+    * surface): the payload is treated as a sequence of fixed-size
+    * frames; every Stride-th complete frame is SAMPLED (explode over a
+    * strided `sequence` — one output row per kept frame, no UDF), the
+    * frame is sliced out of the binary payload, and its bytes are
+    * RESIZED by 4:1 bin-sum pooling (the integer twin of average-pool
+    * downsampling; a real pipeline swaps the byte arithmetic for pixel
+    * arithmetic, the plan shape is identical). Frame indexing,
+    * sampling and pooling are exact integer ops — fully oracled; the
+    * corpus text is ASCII, so byte and character arithmetic agree
+    * across engines (same equivalence `q_multimodal_features` relies
+    * on). At 100 TB: one narrow scan, per-row explode bounded by
+    * frames-per-media, no shuffle until a consumer aggregates. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val binSum = (b: Int) =>
+      expr(s"aggregate(transform(sequence(1, ${FrameBytes / 4}), j -> " +
+        s"ascii(substring(text, frame_idx * $FrameBytes + $b * ${FrameBytes / 4} + j, 1))), 0, (a, v) -> a + v)")
+        .as(s"bin$b")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"),
+        encode(col("text"), "UTF-8").as("payload"),
+        floor(octet_length(col("text")) / FrameBytes).cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr(s"sequence(0, n_frames - 1, $Stride)")))
+      .withColumn("frame", expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+      .select(
+        Seq(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes")) ++ (0 until 4).map(binSum): _*)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val frameSampleSql: String = {
+    val binSum = (b: Int) =>
+      s"CAST(list_sum(list_transform(range(${FrameBytes / 4}), j -> " +
+        s"ascii(substr(text, CAST(frame_idx * $FrameBytes + $b * ${FrameBytes / 4} + j + 1 AS INTEGER), 1)))) AS INTEGER) AS bin$b"
+    s"""SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, $FrameBytes AS frame_bytes,
+       |       ${(0 until 4).map(binSum).mkString(",\n       ")}
+       |FROM (SELECT doc_id AS media_id, text,
+       |             unnest(range(0, CAST(floor(strlen(text) / $FrameBytes) AS BIGINT), $Stride)) AS frame_idx
+       |      FROM documents
+       |      WHERE strlen(text) >= $FrameBytes)
+       |ORDER BY media_id, frame_idx""".stripMargin
+  }
 }

@@ -84,6 +84,57 @@ object StreamJobs {
   def topk(counts: DataFrame, k: Int = 5): DataFrame =
     counts.orderBy(desc("cnt"), asc(counts.columns.head)).limit(k)
 
+  /** Per-user session accumulator for [[sessionsWithState]]. */
+  case class SessionAcc(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout — the custom-state escape hatch doing what
+    * [[sessionCounts]] does with the built-in `session_window`, for
+    * state shapes the built-in can't express (e.g. emitting arbitrary
+    * per-session records, capping session length, side outputs).
+    * Sessions closed by an in-batch gap are emitted immediately;
+    * the trailing open session is emitted when the watermark passes
+    * its gap horizon (`state.hasTimedOut`). Input: (user_id, ts) with
+    * the watermark applied upstream ON THE ts COLUMN — the event-time
+    * timeout requires the watermarked attribute to reach this
+    * operator, so the timestamp must not be projected away before it. */
+  def sessionsWithState(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                        gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator((user, acc.start, acc.n))
+          } else {
+            // within a micro-batch rows are not ordered; sort the batch
+            // (bounded by trigger size) before applying the gap rule
+            val ts = rows.map(_._2.getTime / 1000).toArray.sorted
+            var closed = List.empty[(Long, Long, Long)]
+            var acc = state.getOption.orNull
+            ts.foreach { t =>
+              acc match {
+                case null => acc = SessionAcc(t, t, 1)
+                case a if t - a.last > gapSec =>
+                  closed = (user, a.start, a.n) :: closed
+                  acc = SessionAcc(t, t, 1)
+                case a => acc = SessionAcc(a.start, t, a.n + 1)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.last * 1000 + gapSec * 1000)
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start", "n_events")
+  }
+
   /** Custom cross-batch state via `mapGroupsWithState` — the literal
     * Spark form of the reference's per-key Python dict counters
     * (`freq[k] = freq.get(k, 0) + 1` held across batches,

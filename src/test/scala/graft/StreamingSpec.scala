@@ -189,6 +189,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions match the batch gap rule (in-batch and timeout closes)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val withWm = mem.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val q = StreamJobs.sessionsWithState(withWm)
+      .writeStream.format("memory").queryName("fms").outputMode("append").start()
+    try {
+      // user 1, one batch: events 00:00 + 00:10 (one session), then 01:30
+      // — the > 30 min gap closes session 1 INSIDE the batch
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", "click"),
+        ev(2, "2024-01-01 00:10:00", "view"),
+        ev(3, "2024-01-01 01:30:00", "click"))
+      q.processAllAvailable()
+      val inBatch = spark.table("fms").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(inBatch == Set((1L, 2L)), s"expected the in-batch close, got $inBatch")
+      // advance the watermark far past the gap horizon → the trailing
+      // open session times out and is emitted
+      mem.addData(ev(4, "2024-01-02 12:00:00", "click", u = 9))
+      q.processAllAvailable()
+      mem.addData(ev(5, "2024-01-03 12:00:00", "click", u = 9))
+      q.processAllAvailable()
+      val all = spark.table("fms").filter(col("user_id") === 1)
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(all == Seq((1L, 1L), (1L, 2L)), s"got $all")
+    } finally q.stop()
+  }
+
   test("streaming top-k report matches the batch twin") {
     val s = spark
     import s.implicits._
