@@ -71,6 +71,7 @@ object SparkEntry {
     "q_outer_join"       -> (ExtensionQueries.outerJoin _),
     "q_lag_lead"         -> (ExtensionQueries.lagLead _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
+    "q_salted_join"      -> (ExtensionQueries.saltedJoin _),
     "q_sessionize"       -> (ExtensionQueries.sessionize _),
   )
 
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_outer_join"       -> ExtensionQueries.outerJoinSql,
     "q_lag_lead"         -> ExtensionQueries.lagLeadSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
+    "q_salted_join"      -> ExtensionQueries.saltedJoinSql,
     "q_sessionize"       -> ExtensionQueries.sessionizeSql,
   )
 }

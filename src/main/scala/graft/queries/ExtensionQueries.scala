@@ -179,6 +179,48 @@ object ExtensionQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Skew-salted join (the hot-key lever the brief's scale list names
+    * alongside broadcast and AQE): `events.event_type` has only 5
+    * distinct values, so an unsalted shuffle join sends each key's
+    * entire row mass to ONE task — at 100 TB that task is the job. The
+    * salted form appends `salt = pmod(hash(event_id), S)` to the probe
+    * side and replicates the build side S×, so every hot key spreads
+    * over S tasks; the join key becomes (key, salt) and results are
+    * IDENTICAL to the unsalted join — which is exactly what the oracle
+    * checks (salting must be a pure physical transform). The
+    * shuffle-hash hint keeps the build side out of broadcast so the
+    * salted shuffle path actually executes here (with a genuinely
+    * small dim you would broadcast and salting would be moot; the
+    * pattern exists for build sides too big to broadcast). Deviation
+    * arithmetic runs in exact 1e-4 units ([[Det]]) so the aggregate is
+    * order- and engine-independent. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val events = Tables(spark, dir, "events")
+    val dim = events.groupBy("event_type")
+      .agg(Det.moneyAvg(col("value"), 4).as("type_avg"))
+    val salted = events.withColumn("salt", pmod(hash(col("event_id")), lit(S)))
+    val dimX = dim.withColumn("salt", explode(expr(s"sequence(0, ${S - 1})")))
+    salted.join(dimX.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(abs(Det.units(col("value"), 4) - Det.units(col("type_avg"), 4)))
+          .cast("double") / 10000.0).as("total_abs_dev"))
+      .orderBy("event_type")
+  }
+
+  val saltedJoinSql: String =
+    s"""WITH dim AS (
+       |  SELECT event_type, ${Det.moneyAvgSql("value", 4)} AS type_avg
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, count(*) AS n_events,
+       |       CAST(sum(abs(CAST(round(e.value * 10000) AS BIGINT) -
+       |                    CAST(round(d.type_avg * 10000) AS BIGINT))) AS DOUBLE) / 10000.0 AS total_abs_dev
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |GROUP BY e.event_type
+       |ORDER BY e.event_type""".stripMargin
+
   /** Lag/lead window analytics: per-user inter-event gap stats over the
     * event stream — sessionization's building block. Gaps are exact
     * integer seconds → engine-identical averages via Det. */
