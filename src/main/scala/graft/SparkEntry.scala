@@ -30,6 +30,7 @@ object SparkEntry {
     "q_csv_roundtrip"    -> (BatchQueries.csvRoundtrip _),
     "q_ddl_roundtrip"    -> (BatchQueries.ddlRoundtrip _),
     "q_jdbc_roundtrip"   -> (BatchQueries.jdbcRoundtrip _),
+    "q_partitioned_scan" -> (BatchQueries.partitionedScan _),
     // M2 — recommender surface (Part_A_Q2)
     "q_semijoin_active"  -> (RecommenderQueries.semijoinActive _),
     "q_pivot_matrix"     -> (RecommenderQueries.pivotMatrix _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_csv_roundtrip"    -> BatchQueries.csvRoundtripSql,
     "q_ddl_roundtrip"    -> BatchQueries.ddlRoundtripSql,
     "q_jdbc_roundtrip"   -> BatchQueries.jdbcRoundtripSql,
+    "q_partitioned_scan" -> BatchQueries.partitionedScanSql,
     "q_semijoin_active"  -> RecommenderQueries.semijoinActiveSql,
     "q_pivot_matrix"     -> RecommenderQueries.pivotMatrixSql,
     "q_user_similarity"  -> RecommenderQueries.userSimilaritySql,

@@ -353,4 +353,37 @@ object BatchQueries {
        |FROM orders
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
+
+  /** Partition pruning (the scan-elimination lever for predicate-heavy
+    * workloads): events persisted once partitioned by `event_type`
+    * (hive-style directory layout), then a single-type query reads
+    * ONLY that partition's files — `.explain` shows the predicate
+    * under `PartitionFilters` with the other partitions never listed,
+    * let alone scanned. At 100 TB this is the difference between
+    * touching 1/k of the data and all of it; the partition column
+    * should be low-cardinality and filter-aligned (event_type here;
+    * date is the classic choice for time-series). Oracled against the
+    * plain filtered aggregate — the layout must not change results.
+    * The write is one-time per corpus dir (same guard as
+    * [[ExtensionQueries.bucketedJoin]]); steady-state runs only read. */
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Tables.scratchDir}/events_by_type"
+    if (spark.conf.getOption("graft.partitioned.dir").forall(_ != dir)) {
+      Tables(spark, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      spark.conf.set("graft.partitioned.dir", dir)
+    }
+    spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.moneySum(col("value")).as("total_value"),
+        countDistinct("user_id").as("n_users"))
+  }
+
+  val partitionedScanSql: String =
+    s"""SELECT count(*) AS n_events, ${Det.moneySumSql("value")} AS total_value,
+       |       count(DISTINCT user_id) AS n_users
+       |FROM events
+       |WHERE event_type = 'purchase'""".stripMargin
 }
