@@ -53,12 +53,6 @@ object DedupQueries {
     * docs agree on a whole band of minhashes. */
   private[graft] val MaxBucket = 256
 
-  /** Distinct shingle array per doc, built INSIDE the row — no explode,
-    * no shuffle; signature derivation stays embarrassingly parallel. */
-  private val shingleArr =
-    s"array_distinct(transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1))," +
-      s" i -> substring(text, i, $ShingleLen)))"
-
   // ------------------------------------------------------- shared stages
 
   /** Stage 1 — exact-duplicate collapse: member → group representative
@@ -74,9 +68,15 @@ object DedupQueries {
   private def repTexts(docs: DataFrame, groups: DataFrame): DataFrame =
     docs.join(groups.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
 
-  /** Exploded distinct-shingle stream for the given docs. */
-  private def shinglesOf(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(expr(shingleArr)).as("s"))
+  /** Exploded distinct-shingle stream for the given docs — via the
+    * codegen'd [[graft.functions.Shingles]] expression: the distinct
+    * shingle array is built INSIDE the row (no shuffle), in one
+    * generated loop rather than an interpreted HOF lambda per
+    * character (semantics identical; asserted in ScalaTest). */
+  private def shinglesOf(df: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(df.sparkSession)
+    df.select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
+  }
 
   /** Skew guard: drop (key...) bucket groups above [[MaxBucket]]. */
   private def capBuckets(buckets: DataFrame, keys: Seq[String]): DataFrame = {

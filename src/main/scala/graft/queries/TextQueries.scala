@@ -61,13 +61,14 @@ object TextQueries {
     * 6-dp rounding are oracle-safe. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
-    // deduped inside the row (array_distinct before explode) — avoids a
-    // global distinct shuffle over the exploded shingle stream
+    // deduped inside the row (no global distinct shuffle over the
+    // exploded stream) via the codegen'd graft.functions.Shingles
+    // expression — one generated loop instead of an interpreted
+    // HOF lambda per character
+    graft.functions.Shingles.register(spark)
     val shingles = docs.select(
         col("doc_id"),
-        explode(expr(
-          s"array_distinct(transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1))," +
-            s" i -> substring(text, i, $ShingleLen)))")).as("s"))
+        explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = shingles.select(col("doc_id").as("d1"), col("s"))
     val b = shingles.select(col("doc_id").as("d2"), col("s"))
