@@ -41,6 +41,7 @@ object SparkEntry {
     // M3 — stream twins + sketches (Part_B)
     "q_json_extract"     -> (StreamQueries.jsonExtract _),
     "q_nested_explode"   -> (StreamQueries.nestedExplode _),
+    "q_quantile_sketch"  -> (StreamQueries.quantileSketch _),
     "q_stream_topk"      -> (StreamQueries.streamTopk _),
     "q_distinct_exact_vs_hll" -> (StreamQueries.distinctExactVsHll _),
     "q_sketch_cms"       -> (StreamQueries.sketchCms _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_predict_matrix"   -> RecommenderQueries.predictMatrixSql,
     "q_json_extract"     -> StreamQueries.jsonExtractSql,
     "q_nested_explode"   -> StreamQueries.nestedExplodeSql,
+    "q_quantile_sketch"  -> StreamQueries.quantileSketchSql,
     "q_stream_topk"      -> StreamQueries.streamTopkSql,
     "q_distinct_exact_vs_hll" -> StreamQueries.distinctExactVsHllSql,
     "q_sketch_cms"       -> StreamQueries.sketchCmsSql,

@@ -192,6 +192,47 @@ object StreamQueries {
     """SELECT count(DISTINCT event_id) AS exact_ids, true AS hll_raw_ok
       |FROM events""".stripMargin
 
+  /** Quantile sketch (the scale path for A4's percentiles): exact
+    * `percentile` needs a full sort per group — unrunnable at 100 TB —
+    * while `approx_percentile` (Greenwald-Khanna) is a mergeable
+    * one-pass sketch with a bounded-error contract. Oracled the same
+    * way as the HLL/CMS sketches: exact quantiles are hash-checked
+    * directly, the sketch is checked against its GUARANTEE (observed
+    * rank error within the configured accuracy, generous 5× margin). */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 1000 // GK rank error <= 1/acc; contract checked at 50x margin
+    val events = Tables(spark, dir, "events")
+    val approx = events.agg(
+      expr(s"approx_percentile(value, 0.5, $acc)").as("p50_est"),
+      expr(s"approx_percentile(value, 0.95, $acc)").as("p95_est"))
+    // observed rank of each estimate, computed in-plan (one scan +
+    // broadcast of the 1-row sketch result — no driver round-trip)
+    val ranks = events.crossJoin(broadcast(approx))
+      .agg(
+        (sum(when(col("value") <= col("p50_est"), 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("r50"),
+        (sum(when(col("value") <= col("p95_est"), 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("r95"))
+    events
+      .agg(
+        // 4-dp rounding is boundary-safe: 2-dp inputs interpolated at
+        // frac .05/.5 land on a 5e-4 grid, never halfway at 1e-4 (same
+        // argument as q_summary_stats' p25/50/75)
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_exact"))
+      .crossJoin(broadcast(ranks))
+      .select(
+        col("p50_exact"), col("p95_exact"),
+        (abs(col("r50") - 0.5) <= 0.05).as("p50_ok"),
+        (abs(col("r95") - 0.95) <= 0.05).as("p95_ok"))
+  }
+
+  val quantileSketchSql: String =
+    """SELECT round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      |       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+      |       true AS p50_ok, true AS p95_ok
+      |FROM events""".stripMargin
+
   /** Extension (SURVEY §2.8) — event-time tumbling window aggregation
     * over `events.ts`. Window start emitted as epoch seconds: timestamp
     * columns never cross the oracle boundary (ns-vs-us precision).

@@ -84,6 +84,19 @@ object StreamJobs {
   def topk(counts: DataFrame, k: Int = 5): DataFrame =
     counts.orderBy(desc("cnt"), asc(counts.columns.head)).limit(k)
 
+  /** D1 in-flight — streaming deduplication: `dropDuplicates` on the
+    * event key with a watermark bounding the dedup state (keys older
+    * than the watermark are evicted, so state is finite and the job
+    * runs forever — the at-least-once source → exactly-once pipeline
+    * idiom). Re-deliveries of a key within the watermark horizon are
+    * dropped; the batch twin on the concatenated input is plain
+    * `dropDuplicates`. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+
   /** Per-user session accumulator for [[sessionsWithState]]. */
   case class SessionAcc(start: Long, last: Long, n: Long)
 

@@ -223,6 +223,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event_ids across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("complete").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 00:00:01", "click"), ev(2, "2024-01-01 00:00:02", "view"))
+      q.processAllAvailable()
+      // batch 2 re-delivers event 1 and 2 (at-least-once source) plus a new event
+      mem.addData(ev(1, "2024-01-01 00:00:01", "click"), ev(2, "2024-01-01 00:00:02", "view"),
+        ev(3, "2024-01-01 00:00:03", "click"))
+      q.processAllAvailable()
+      val counts = spark.table("dd").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("click" -> 2L, "view" -> 1L), s"got $counts")
+    } finally q.stop()
+  }
+
   test("streaming top-k report matches the batch twin") {
     val s = spark
     import s.implicits._
