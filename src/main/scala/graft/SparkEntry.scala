@@ -57,6 +57,7 @@ object SparkEntry {
     "q_collect_flatten"  -> (TextQueries.collectFlatten _),
     "q_text_quality"     -> (TextQueries.textQuality _),
     "q_lang_id"          -> (TextQueries.langId _),
+    "q_train_split"      -> (TextQueries.trainSplit _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_collect_flatten"  -> TextQueries.collectFlattenSql,
     "q_text_quality"     -> TextQueries.textQualitySql,
     "q_lang_id"          -> TextQueries.langIdSql,
+    "q_train_split"      -> TextQueries.trainSplitSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

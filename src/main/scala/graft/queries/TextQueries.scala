@@ -241,6 +241,34 @@ object TextQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Deterministic train/val/test split (80/10/10): the dataset-split
+    * op of a training pipeline, done with HASH bucketing rather than
+    * seeded random sampling — at 100 TB the split must be reproducible
+    * run-over-run, stable under repartitioning, and computable per-row
+    * with no shared state, which `rand(seed)` is not (it depends on
+    * partition layout). The bucket is an engine-neutral Knuth
+    * multiplicative hash of the document key, so the oracle replays
+    * the exact assignment; per-(lang, split) counts and char totals
+    * verify both the partition sizes and their content. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("CAST((doc_id * 2654435761L) % 4294967296L % 100 AS INT)")
+    Tables(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val trainSplitSql: String =
+    """SELECT lang,
+      |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT lang, n_chars, CAST((doc_id * 2654435761) % 4294967296 % 100 AS INTEGER) AS b
+      |      FROM documents)
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
   /** Heuristic language ID (n-gram/stopword-density rule — the corpus
     * text is synthetic English-vocabulary prose for every `lang` label,
     * so the discriminating signal is density, not identity; the
