@@ -58,6 +58,7 @@ object SparkEntry {
     "q_text_quality"     -> (TextQueries.textQuality _),
     "q_lang_id"          -> (TextQueries.langId _),
     "q_train_split"      -> (TextQueries.trainSplit _),
+    "q_decontamination"  -> (TextQueries.decontamination _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_text_quality"     -> TextQueries.textQualitySql,
     "q_lang_id"          -> TextQueries.langIdSql,
     "q_train_split"      -> TextQueries.trainSplitSql,
+    "q_decontamination"  -> TextQueries.decontaminationSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

@@ -269,6 +269,59 @@ object TextQueries {
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** Eval-set decontamination: for every TEST-split document, the
+    * fraction of its shingles that also appear anywhere in the
+    * TRAIN split — the standard n-gram-overlap contamination check run
+    * before evaluating on held-out data. Implementation is an
+    * inverted-index join: the train side collapses to its DISTINCT
+    * shingle set (one shuffle), the test side counts matched vs total
+    * shingles per doc — integer ratios, fully oracled. At 100 TB the
+    * distinct-train-shingle side is the big one; this exact join is
+    * the verification tier, with a Bloom filter
+    * (`DataFrameStatFunctions.bloomFilter` + `might_contain`) as the
+    * cheap pre-screen when the shingle universe outgrows the shuffle.
+    * (On this synthetic shared-vocabulary corpus the baseline overlap
+    * is high — ~0.57-0.73 — with the planted cross-split near-dups
+    * standing out at 1.0, which is the signal the check exists to
+    * catch.) */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Shingles.register(spark)
+    val bucket = expr("CAST((doc_id * 2654435761L) % 4294967296L % 100 AS INT)")
+    val docs = Tables(spark, dir, "documents").withColumn("b", bucket)
+    val shingled = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
+    val trainSh = shingled(docs.filter(col("b") < 80)).select("s").distinct()
+    val testSh = shingled(docs.filter(col("b") >= 90)).localCheckpoint()
+    val total = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val matched = testSh.join(trainSh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    total.join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("contaminated_frac"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminationSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, CAST((doc_id * 2654435761) % 4294967296 % 100 AS INTEGER) AS b
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, b, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, b, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM b)),
+       |train_sh AS (SELECT DISTINCT s FROM sh WHERE b < 80),
+       |test_sh AS (SELECT doc_id, s FROM sh WHERE b >= 90),
+       |total AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY 1),
+       |matched AS (SELECT doc_id, count(*) AS n_contaminated
+       |            FROM test_sh WHERE s IN (SELECT s FROM train_sh) GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles, coalesce(m.n_contaminated, 0) AS n_contaminated,
+       |       round(CAST(coalesce(m.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 4) AS contaminated_frac
+       |FROM total t LEFT JOIN matched m ON m.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Heuristic language ID (n-gram/stopword-density rule — the corpus
     * text is synthetic English-vocabulary prose for every `lang` label,
     * so the discriminating signal is density, not identity; the
