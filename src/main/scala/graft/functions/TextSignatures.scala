@@ -1,0 +1,240 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared rolling-window signature kernels for [[MinHashSig]] and
+  * [[SimHash64]] — called from both the interpreted `eval` and the
+  * generated code (via the object's static forwarders), so the two
+  * paths are the same machine code by construction.
+  *
+  * The window walk replicates SQL `substring` character addressing
+  * over the UTF-8 byte buffer with two byte pointers (no per-window
+  * string allocation): windows are the character shingles
+  * `substring(text, i, k)` for i = 1 .. max(numChars - k + 1, 1),
+  * and each window's bytes are exactly the substring's bytes, so
+  * `XXH64.hashUnsafeBytes(slice, seed)` equals Spark's
+  * `xxhash64(...)` of the substring — the r3 explode-pipeline hash
+  * family is preserved value-for-value (asserted in ScalaTest).
+  */
+object TextSig {
+
+  /** xxhash64(lit(1), s) == hash(s bytes, seed = hashInt(1, 42)). */
+  private val Seed1 = XXH64.hashInt(1, 42L)
+  private val Seed2 = XXH64.hashInt(2, 42L)
+
+  /** MinHash signature over the window MULTISET — identical to the
+    * r3 distinct-shingle aggregation because `min` is idempotent
+    * under duplicates: no within-row dedup structure is needed at
+    * all. Broder two-hash family, all terms in the same 32-bit ring
+    * (the r3 recall-collapse lesson): m_i = min over shingles of
+    * (h1 + i·h2) mod 2³². */
+  def minhash(text: UTF8String, shingleLen: Int, numHashes: Int): GenericArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes
+    val nChars = text.numChars()
+    if (nChars <= shingleLen) {
+      val h1 = XXH64.hashUnsafeBytes(base, off, nBytes, Seed1) & 0xffffffffL
+      val h2 = (XXH64.hashUnsafeBytes(base, off, nBytes, Seed2) & 0xffffffffL) | 1L
+      var i = 0
+      while (i < numHashes) { mins(i) = (h1 + i * h2) & 0xffffffffL; i += 1 }
+    } else {
+      var start = 0
+      var end = 0
+      var c = 0
+      while (c < shingleLen) { end += UTF8String.numBytesForFirstByte(text.getByte(end)); c += 1 }
+      var remaining = nChars - shingleLen + 1
+      while (remaining > 0) {
+        val h1 = XXH64.hashUnsafeBytes(base, off + start, end - start, Seed1) & 0xffffffffL
+        val h2 = (XXH64.hashUnsafeBytes(base, off + start, end - start, Seed2) & 0xffffffffL) | 1L
+        var i = 0
+        while (i < numHashes) {
+          val v = (h1 + i * h2) & 0xffffffffL
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        remaining -= 1
+        if (remaining > 0) {
+          start += UTF8String.numBytesForFirstByte(text.getByte(start))
+          end += UTF8String.numBytesForFirstByte(text.getByte(end))
+        }
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash: per-bit majority vote over the DISTINCT window
+    * hashes — distinctness tracked by the 64-bit window hash itself
+    * in an open-addressed long set (no string allocation). A 64-bit
+    * collision between two distinct shingles of ONE document
+    * (P ≈ windows²/2⁶⁵ ≈ 1e-14) could drop one vote; that perturbs
+    * only CANDIDATE generation — the verification stage recomputes
+    * exact string shingles — and is far below the banding's own
+    * probabilistic terms. */
+  def simhash(text: UTF8String, shingleLen: Int): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes
+    val nChars = text.numChars()
+    val cnt = new Array[Int](64)
+    var n = 0
+    if (nChars <= shingleLen) {
+      val h = XXH64.hashUnsafeBytes(base, off, nBytes, 42L)
+      var b = 0
+      while (b < 64) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      n = 1
+    } else {
+      val windows = nChars - shingleLen + 1
+      // set sized 2× windows, bounded at 4M slots (32 MB): a degenerate
+      // 100 MB single document falls back DETERMINISTICALLY to multiset
+      // voting once the table reaches 3/4 load, rather than growing
+      // without bound (candidate-gen-only perturbation, as above)
+      var cap = 16
+      while (cap < windows * 2 && cap < (1 << 22)) cap <<= 1
+      val full = cap - (cap >>> 2)
+      var filled = 0
+      val set = new Array[Long](cap)
+      val mask = cap - 1
+      var zeroSeen = false
+      var start = 0
+      var end = 0
+      var c = 0
+      while (c < shingleLen) { end += UTF8String.numBytesForFirstByte(text.getByte(end)); c += 1 }
+      var remaining = windows
+      while (remaining > 0) {
+        val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+        var fresh = false
+        if (filled >= full) {
+          fresh = true // deterministic multiset fallback past 3/4 load
+        } else if (h == 0L) {
+          if (!zeroSeen) { zeroSeen = true; fresh = true }
+        } else {
+          var idx = (h ^ (h >>> 32)).toInt & mask
+          while (set(idx) != 0L && set(idx) != h) idx = (idx + 1) & mask
+          if (set(idx) == 0L) { set(idx) = h; fresh = true; filled += 1 }
+        }
+        if (fresh) {
+          n += 1
+          var b = 0
+          while (b < 64) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        }
+        remaining -= 1
+        if (remaining > 0) {
+          start += UTF8String.numBytesForFirstByte(text.getByte(start))
+          end += UTF8String.numBytesForFirstByte(text.getByte(end))
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (2 * cnt(b) > n) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
+/** Native Catalyst expression: the [[graft.queries.DedupQueries]]
+  * MinHash signature (array of `numHashes` 32-bit-ring minima) of a
+  * text column, computed in ONE rolling-window pass per row.
+  *
+  * Why a custom `Expression` (r4 perf): the r3 form exploded every
+  * character shingle of every document (~3000 rows/doc) through
+  * `xxhash64` into a 16-column `min` hash aggregation — the dominant
+  * cost of both dedup-pair queries. This keeps the whole signature
+  * per-document (a narrow projection: no explode, no shuffle, no
+  * per-window string allocation) while producing bit-identical
+  * minima (same xxhash64 family, ScalaTest-asserted vs the explode
+  * form). */
+case class MinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  require(shingleLen >= 1 && numHashes >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextSig.minhash(input.asInstanceOf[UTF8String], shingleLen, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.functions.TextSig.minhash($text, $shingleLen, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: 64-bit SimHash of a text column's
+  * distinct character shingles in ONE rolling-window pass per row —
+  * same rationale and measurement as [[MinHashSig]] (replaces the r3
+  * explode + 16-lane packed bit-count aggregation). */
+case class SimHash64(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+
+  require(shingleLen >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextSig.simhash(input.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.functions.TextSig.simhash($text, $shingleLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val builder = (children: Seq[Expression]) => {
+    require(children.length == 3, "minhash_sig takes (text, shingleLen, numHashes)")
+    (children(1), children(2)) match {
+      case (Literal(k: Int, IntegerType), Literal(n: Int, IntegerType)) =>
+        MinHashSig(children.head, k, n)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig len/numHashes must be integer literals, got $other")
+    }
+  }
+  /** Session-local registration, same policy as [[Shingles.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("minhash_sig")))
+      reg.createOrReplaceTempFunction("minhash_sig", builder, "built-in")
+  }
+}
+
+object SimHash64 {
+  private val builder = (children: Seq[Expression]) => {
+    require(children.length == 2, "simhash64 takes (text, shingleLen)")
+    children(1) match {
+      case Literal(k: Int, IntegerType) => SimHash64(children.head, k)
+      case other => throw new IllegalArgumentException(
+        s"simhash64 length must be an integer literal, got $other")
+    }
+  }
+  /** Session-local registration, same policy as [[Shingles.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("simhash64")))
+      reg.createOrReplaceTempFunction("simhash64", builder, "built-in")
+  }
+}

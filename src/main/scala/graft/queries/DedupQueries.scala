@@ -41,17 +41,21 @@ object DedupQueries {
   private val BandSize   = 2 // 8 bands of 2: P(miss | j) = (1 - j²)^8; j=0.9 → 1.7e-6
   private val JThreshold = 0.5
 
-  /** Skew guard (VERDICT r2 #2): an LSH bucket larger than this is
-    * dropped from candidate generation. With exact duplicates already
-    * collapsed (stage 1), a bucket of distinct representatives this
-    * large means a degenerate corpus slice (e.g. millions of
-    * boilerplate variants) whose bucket would otherwise recreate n²
-    * inside the join; dropping it bounds the join at Σ min(bucket,
-    * cap)² while the affected pairs usually remain reachable through
-    * their other (narrower) bands. Generous enough that organic
-    * buckets never hit it: a representative bucket only forms when
-    * docs agree on a whole band of minhashes. */
-  private[graft] val MaxBucket = 256
+  /** Skew guard (VERDICT r2 #2, reworked r4 per ADVICE r3): target
+    * per-shard size for the bucket self-join. A bucket larger than
+    * this is NOT dropped (the r3 cap silently lost every pair of an
+    * oversized organic bucket — e.g. >256 templated near-but-not-exact
+    * duplicates surviving the stage-1 exact collapse); instead it is
+    * split into ⌈size/target⌉ SALTED shards: one side keeps its
+    * hash-assigned shard, the other is replicated across the bucket's
+    * shards, so every pair still meets in exactly one shard. Total
+    * join work stays Σ bucket² — inherent, since an organic bucket's
+    * pairs are real candidates and the verified OUTPUT is itself
+    * quadratic in clique size — but no single task exceeds
+    * target × bucket rows, which is what kills a 1000-executor run.
+    * Zero recall loss (planted >target near-dup test in
+    * DedupSimilaritySpec proves no missing pairs). */
+  private[graft] val TargetBucket = 256
 
   // ------------------------------------------------------- shared stages
 
@@ -78,22 +82,59 @@ object DedupQueries {
     df.select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
   }
 
-  /** Skew guard: drop (key...) bucket groups above [[MaxBucket]]. */
-  private def capBuckets(buckets: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    buckets.withColumn("bsz", count(lit(1)).over(w))
-      .filter(col("bsz") <= MaxBucket)
-      .drop("bsz")
+  /** Candidate pairs from a banded bucket stream via a SALTED
+    * self-join on `keys` (see [[TargetBucket]]): the stream is sized
+    * with a window count over ONE shuffle on `keys` (the exchange is
+    * reused verbatim by both self-join sides, and because
+    * HashPartitioning(keys) satisfies the clustering requirement of
+    * the (keys, salt) join, the join adds no further exchange — the
+    * same single-shuffle shape as the r3 plan). A bucket at or under
+    * the target joins shard-free (`m = 1`, the overwhelmingly common
+    * case); an oversized bucket of size `sz` splits into
+    * `m = ⌈sz/target⌉` shards — side `a` hash-assigned to one shard,
+    * side `b` replicated to all `m` — so a pair (x, y) still meets
+    * (in x's shard) and no task materializes more than target × sz
+    * rows for that bucket. Replaces the r3 cap, which silently
+    * DROPPED oversized buckets (ADVICE r3: recall loss on >cap
+    * organic near-dup cliques). Output pairs are NOT deduplicated —
+    * callers run their per-pair prefilter first, then `distinct()`,
+    * so the dedup shuffle sees the post-filter stream. */
+  private def bucketJoinPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+    val sized = buckets
+      .withColumn("m", ceil(count(lit(1)).over(w) / TargetBucket).cast("int"))
+    val a = sized
+      .withColumn("salt", pmod(hash(col("doc_id")), col("m")))
+      .select(keyCols :+ col("doc_id").as("da") :+ col("salt"): _*)
+    val b = sized
+      .withColumn("salt", explode(sequence(lit(0), col("m") - 1)))
+      .select(keyCols :+ col("doc_id").as("db") :+ col("salt"): _*)
+    a.join(b, keys :+ "salt")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"))
   }
 
-  /** Stage 3 — exact shingle-Jaccard verification of candidate pairs:
-    * align each pair's shingle streams on (doc, shingle) equi-joins —
-    * work linear in |candidates| × shingles-per-doc, never quadratic
-    * in the corpus. J = |∩| / |∪| is a ratio of exact integers —
-    * bit-identical across engines. `sizes` (doc_id, sz = distinct
-    * shingle count) rides along from the signature aggregation — the
-    * shingle stream is aggregated once, not twice. */
-  private def verify(cand: DataFrame, shingles: DataFrame, sizes: DataFrame): DataFrame = {
+  /** Stage 3 — exact shingle-Jaccard verification of candidate pairs.
+    * The shingle streams are recomputed for ONLY the docs that appear
+    * in a candidate pair (broadcast semi-join into the source scan,
+    * r4 perf rework): at 100 TB the full shingle stream exists exactly
+    * once, fused inside the signature aggregation — the verification
+    * tier re-shingles the few candidate docs rather than keeping
+    * billions of (doc, shingle) rows checkpointed for this join.
+    * Work is linear in |candidates| × shingles-per-doc, never
+    * quadratic in the corpus. J = |∩| / |∪| is a ratio of exact
+    * integers — bit-identical across engines. `sizes` (doc_id, sz =
+    * distinct shingle count) rides along from the signature
+    * aggregation — the full shingle stream is aggregated once, not
+    * twice. `cand` must be materialized (localCheckpoint) by the
+    * caller — it is consumed twice. */
+  private def verify(cand: DataFrame, repDocs: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    val shingles = shinglesOf(repDocs.join(broadcast(candDocs), "doc_id"))
+      .localCheckpoint() // tiny (candidate docs only); consumed three times
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cand
       .join(shingles.select(col("doc_id").as("d1"), col("s")), "d1")
       .join(shingles.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
@@ -145,38 +186,24 @@ object DedupQueries {
 
   // ------------------------------------------------------------ MinHash
 
-  /** MinHash signatures from the shingle stream: NumHashes independent
-    * permutations emulated by a two-hash universal family (Broder):
-    * h_i = h1 + i·h2 gives the permutations from 2 string hashes per
-    * shingle instead of 16 — the rest is long arithmetic. Masked to
-    * 62/32 bits so the combination cannot overflow (Spark 4 runs ANSI
-    * mode: long overflow THROWS, it doesn't wrap). Measured on this
-    * corpus: the codegen'd explode→agg pipeline beats the
-    * "shuffle-free" higher-order-function formulation ~2.5× — Catalyst
-    * HOF lambdas are interpreted per element, while explode + hash-agg
-    * stays inside whole-stage codegen. */
-  private def minhashSignatures(shingles: DataFrame): DataFrame = {
-    // ALL terms live in the same 32-bit ring: if h1 kept its full 64
-    // bits, the i·h2 perturbation (≤ 2³⁶) would be noise against h1's
-    // 2⁶² range and every "permutation" would share one argmin —
-    // collapsing 8 bands into 1 and silently destroying recall
-    // (caught by the brute-force equality check at sf0.1).
-    val mins: Seq[Column] = (0 until NumHashes).map { i =>
-      min((col("h1") + lit(i.toLong) * col("h2")).bitwiseAND(0xffffffffL)).as(s"m$i")
-    }
-    // sz (distinct shingle count) rides along in the same aggregation
-    // pass — the verification stage needs it, and a separate groupBy
-    // would re-scan the full shingle stream
-    val aggs = mins :+ count(lit(1)).as("sz")
-    shingles
-      .withColumn("h1", xxhash64(lit(1), col("s")).bitwiseAND(0xffffffffL))
-      .withColumn("h2", xxhash64(lit(2), col("s")).bitwiseAND(0xffffffffL).bitwiseOR(1L))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** MinHash signatures, one array column per document, via the
+    * codegen'd [[graft.functions.MinHashSig]] expression — a NARROW
+    * projection (no explode, no shuffle): the r3 form exploded every
+    * shingle (~3000 rows/doc) through xxhash64 into a 16-column `min`
+    * hash aggregation, which profiling showed was the dominant cost
+    * of both dedup-pair queries. The expression reproduces the exact
+    * same Broder two-hash family, all terms in the same 32-bit ring
+    * (the r3 recall-collapse lesson lives in its scaladoc), asserted
+    * value-identical to the explode form in ScalaTest. */
+  private def minhashSignatures(reps: DataFrame): DataFrame = {
+    graft.functions.MinHashSig.register(reps.sparkSession)
+    reps.select(col("doc_id"),
+      expr(s"minhash_sig(text, $ShingleLen, $NumHashes)").as("sig"))
   }
 
   /** Stage 2 (MinHash) — banded candidates: docs sharing any band of
     * [[BandSize]] equal minhashes become candidates. Bucket-join cost
-    * is Σ bucket² (capped by the skew guard), not n². Band math: 8
+    * is Σ bucket² (salt-sharded above [[TargetBucket]]), not n². Band math: 8
     * bands of 2 ⇒ P(pair missed | J) = (1 − J²)⁸ — 1.7e-6 at J=0.9,
     * 1.4e-4 at J=0.82 — chosen so recall at the verification
     * threshold is deterministic in practice (the corpus's true pairs
@@ -184,17 +211,12 @@ object DedupQueries {
   private def minhashCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       struct(lit(b).as("band"),
-        hash((b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i")): _*).as("bh"))
+        hash((b * BandSize until (b + 1) * BandSize).map(i => col("sig").getItem(i)): _*).as("bh"))
     }
-    val buckets = capBuckets(
+    bucketJoinPairs(
       sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh")),
       Seq("band", "bh"))
-    buckets.alias("a")
-      .join(buckets.alias("b"), Seq("band", "bh"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
   }
 
   /** MinHash + LSH near-dup pairs, VERIFIED (SURVEY extension; the
@@ -210,10 +232,15 @@ object DedupQueries {
   private[graft] def minhashLshOn(docs: DataFrame): DataFrame = {
     // localCheckpoint (not cache): materialized once for the reuses
     // below, blocks freed on GC — no unpersist bookkeeping, no cache
-    // leak into a long-lived shared session (ADVICE r1)
+    // leak into a long-lived shared session (ADVICE r1). The full
+    // shingle stream is deliberately NOT materialized (r4): it is
+    // consumed exactly once, fused inside the signature aggregation —
+    // at 100 TB it is the largest intermediate in the pipeline and
+    // checkpointing it (r3) cost more than recomputing the few
+    // candidate docs' shingles for verification.
     val groups = groupsOf(docs).localCheckpoint()
-    val sh = shinglesOf(repTexts(docs, groups)).localCheckpoint()
-    val sigs = minhashSignatures(sh).localCheckpoint()
+    val reps = repTexts(docs, groups)
+    val sigs = minhashSignatures(reps).localCheckpoint()
     // cheap estimated-Jaccard prefilter between candidate generation
     // and the (expensive) exact verification: signature agreement is a
     // 16-term comparison per pair, so spurious single-band collisions
@@ -221,54 +248,39 @@ object DedupQueries {
     // E[agree] = 16·J; requiring >= 4/16 keeps every J >= 0.5 pair with
     // overwhelming margin (P[Binom(16, 0.5) < 4] ~ 0.004, and corpus
     // true pairs sit at J >= 0.82 where the tail is ~1e-9).
-    val agree = (0 until NumHashes)
-      .map(i => when(col(s"s1.m$i") === col(s"s2.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    // Runs BEFORE the candidate distinct(): per-pair and cheap, so the
+    // dedup shuffle sees only survivors of the raw (≤ #bands ×
+    // duplicated) pair stream.
+    val agree = expr(
+      "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
     val prefiltered = minhashCandidates(sigs)
-      .join(sigs.alias("s1"), col("d1") === col("s1.doc_id"))
-      .join(sigs.alias("s2"), col("d2") === col("s2.doc_id"))
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .filter(agree >= NumHashes / 4)
       .select(col("d1"), col("d2"))
-    expand(verify(prefiltered, sh, sigs.select(col("doc_id"), col("sz"))), groups)
+      .distinct()
+      .localCheckpoint() // tiny; consumed twice inside verify
+    expand(verify(prefiltered, reps), groups)
   }
 
   val minhashLshSql: String = bruteJaccardSql
 
   // ------------------------------------------------------------ SimHash
 
-  /** SimHash (64-bit) per document: per-bit majority vote over shingle
-    * hashes — 64 codegen'd `sum` aggregates over the exploded shingle
-    * stream (one pass, no row blowup beyond the explode), then bit
-    * assembly. Same measurement note as [[minhashSignatures]]: the
-    * explode + hash-agg form beats the row-local HOF fold ~2× because
-    * the 64 bit-sums stay inside whole-stage codegen. */
-  private[graft] def simhashOf(shingles: DataFrame): DataFrame = {
-    val sh = shingles.withColumn("h", xxhash64(col("s")))
-    // pack 4 bit-counters per aggregate (16-bit lanes; shingle counts
-    // per doc are « 65536, so lanes cannot carry): 16 sum columns
-    // instead of 64, one quarter the aggregation buffer traffic
-    val laneSums = (0 until 16).map { g =>
-      val lanes = (0 until 4).map { j =>
-        val b = g * 4 + j
-        shiftleft(shiftright(col("h"), b).bitwiseAND(1), j * 16)
-      }
-      sum(lanes.reduce(_ + _)).as(s"p$g")
-    }
-    val n = count(lit(1)).as("n")
-    val perDoc = sh.groupBy("doc_id").agg(n, laneSums: _*)
-    val sig = (0 until 64).map { b =>
-      val cnt = shiftright(col(s"p${b / 4}"), (b % 4) * 16).bitwiseAND(0xffffL)
-      when(cnt * 2 > col("n"), lit(1L << b)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    // n doubles as the distinct shingle count the verification stage
-    // needs (sz) — one aggregation pass serves both
-    perDoc.select(col("doc_id"), sig.as("simhash"), col("n").as("sz"))
+  /** SimHash (64-bit) per document via the codegen'd
+    * [[graft.functions.SimHash64]] expression — per-bit majority vote
+    * over the distinct shingle hashes, computed row-local in one
+    * rolling-window pass (no explode, no shuffle): replaces the r3
+    * explode + 16-lane packed bit-count aggregation, which profiling
+    * showed was the dominant cost of the query (see [[minhashSignatures]]). */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr(s"simhash64(text, $ShingleLen)").as("simhash"))
   }
 
   /** SimHash per document over the full corpus (test surface). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashOf(shinglesOf(Tables(spark, dir, "documents")))
-      .select("doc_id", "simhash")
+    simhashOf(Tables(spark, dir, "documents"))
 
   /** Stage 2 (SimHash) — banded Hamming candidates with SYMMETRIC
     * 1-flip multiprobe: the 64 bits split into 4 bands of 16; each
@@ -290,16 +302,11 @@ object DedupQueries {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val probed = capBuckets(
+    bucketJoinPairs(
       banded.select(col("doc_id"), col("band"),
         explode(expr(s"concat(array(bh), transform(sequence(0, ${bandBits - 1}), b -> bh ^ shiftleft(1L, b)))"))
           .as("pv")),
       Seq("band", "pv"))
-    probed.alias("a")
-      .join(probed.alias("b"), Seq("band", "pv"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
   }
 
   /** SimHash near-dup pairs, VERIFIED: banded-Hamming candidate
@@ -313,8 +320,8 @@ object DedupQueries {
   /** Same pipeline on an arbitrary documents frame (test surface). */
   private[graft] def simhashPairsOn(docs: DataFrame): DataFrame = {
     val groups = groupsOf(docs).localCheckpoint()
-    val sh = shinglesOf(repTexts(docs, groups)).localCheckpoint()
-    val sig = simhashOf(sh).localCheckpoint()
+    val reps = repTexts(docs, groups)
+    val sig = simhashOf(reps).localCheckpoint()
     // cheap Hamming prefilter between banding and the (expensive)
     // exact verification: a single bit_count per candidate pair, so
     // the ~0.8% of random pairs that collide in some probed band
@@ -327,8 +334,53 @@ object DedupQueries {
       .join(sig.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
       .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 13)
       .select("d1", "d2")
-    expand(verify(prefiltered, sh, sig.select(col("doc_id"), col("sz"))), groups)
+      .distinct()
+      .localCheckpoint() // tiny; consumed twice inside verify
+    expand(verify(prefiltered, reps), groups)
   }
 
   val simhashPairsSql: String = bruteJaccardSql
+
+  /** Temporary stage profiler (round-4 perf work). */
+  private[graft] def profStages(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables(spark, dir, "documents")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[stage] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2fs"); r
+    }
+    // ---- minhash
+    val groups = t("mh groupsOf+ckpt") { val g = groupsOf(docs).localCheckpoint(); g.count(); g }
+    val reps = repTexts(docs, groups)
+    val sigs = t("mh signatures+ckpt") { val s = minhashSignatures(reps).localCheckpoint(); s.count(); s }
+    val cand = t("mh candidates") { val c = minhashCandidates(sigs); c.count(); c }
+    val agree = expr(
+      "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
+    val pre = t("mh prefilter+ckpt") {
+      val p = cand
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+        .filter(agree >= NumHashes / 4)
+        .select(col("d1"), col("d2"))
+        .distinct()
+        .localCheckpoint()
+      p.count(); p
+    }
+    t("mh verify+expand") { expand(verify(pre, reps), groups).count() }
+    // ---- simhash
+    val g2 = t("sh groupsOf+ckpt") { val g = groupsOf(docs).localCheckpoint(); g.count(); g }
+    val reps2 = repTexts(docs, g2)
+    val sig2 = t("sh simhashOf+ckpt") { val s = simhashOf(reps2).localCheckpoint(); s.count(); s }
+    val cand2 = t("sh candidates") { val c = simhashCandidates(sig2); c.count(); c }
+    val pre2 = t("sh prefilter+ckpt") {
+      val p = cand2
+        .join(sig2.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+        .join(sig2.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
+        .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 13)
+        .select("d1", "d2")
+        .distinct()
+        .localCheckpoint()
+      p.count(); p
+    }
+    t("sh verify+expand") { expand(verify(pre2, reps2), g2).count() }
+  }
 }

@@ -9,8 +9,10 @@ class DedupSimilaritySpec extends SparkSpec {
 
   /** Ground truth: ALL pairs with exact shingle Jaccard >= 0.5 over the
     * full corpus — what the verified LSH/SimHash outputs must equal. */
-  private def bruteForcePairs: Set[(Long, Long, Double)] = {
-    val sh = graft.Tables(spark, sfDir, "documents")
+  private def bruteForcePairs: Set[(Long, Long, Double)] = bruteForcePairsIn(sfDir)
+
+  private def bruteForcePairsIn(dir: String): Set[(Long, Long, Double)] = {
+    val sh = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(length(text) - 11, 1)), i -> substring(text, i, 12)))")).as("s"))
       .localCheckpoint()
@@ -55,6 +57,53 @@ class DedupSimilaritySpec extends SparkSpec {
     val out = DedupQueries.minhashLshOn(docs)
     assert(out.filter(col("jaccard") === 1.0).count() === 1000L * 999 / 2)
     assert(out.filter(col("jaccard") =!= 1.0).count() === 0)
+  }
+
+  test("oversized LSH buckets are salted, not dropped: >256 NEAR-exact duplicates all pair up") {
+    // ADVICE r3: the r3 MaxBucket cap silently dropped every pair of a
+    // bucket holding >256 distinct representatives. Plant 270 docs that
+    // share a 400-char body but differ in an 8-char suffix: NOT exact
+    // duplicates (stage-1 collapse keeps all 270 as representatives,
+    // pairwise J ≈ 0.96), so every minhash band bucket holds ~270 >
+    // TargetBucket docs. Salted sub-bucketing must still find every
+    // C(270,2) pair; the r3 cap found ZERO.
+    val n = 270
+    val body = ("the shared boilerplate paragraph that appears in every templated document " +
+      "of this planted corpus and is long enough to dominate the shingle set entirely " +
+      "so that pairwise jaccard similarity sits near one for all pairs of documents " +
+      "in the clique while the unique suffix keeps the content hashes distinct overall ")
+      .take(400)
+    val docs = spark.range(0, n).selectExpr(
+      "id AS doc_id",
+      s"concat('$body', substring(md5(concat('x', id)), 1, 8)) AS text")
+    val expected = n.toLong * (n - 1) / 2
+    val mh = DedupQueries.minhashLshOn(docs)
+    assert(mh.count() === expected, "minhash lost pairs of an oversized bucket")
+    assert(mh.filter(col("jaccard") < 0.5).count() === 0)
+    val sp = DedupQueries.simhashPairsOn(docs)
+    assert(sp.count() === expected, "simhash lost pairs of an oversized bucket")
+  }
+
+  test("fixture true pairs sit inside the guaranteed-recall band of both generators") {
+    // ADVICE r3: the oracle-equality contract is only sound where
+    // candidate recall is near-certain — minhash 8-bands-of-2 misses a
+    // pair with P = (1-J²)^8, which crosses 1e-3 around J ≈ 0.76, and
+    // simhash banding is DETERMINISTIC only to Hamming 11. Assert the
+    // fixture contains no true pair in the uncovered band, at the test
+    // SF and at the driver's oracle SF (sf0.01).
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val pairs = bruteForcePairsIn(dir)
+      assert(pairs.nonEmpty)
+      pairs.foreach { case (d1, d2, j) =>
+        assert(j >= 0.76, s"$dir pair ($d1,$d2) at J=$j falls in the weak-recall band [0.5,0.76)")
+      }
+      val sig = DedupQueries.simhash(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      pairs.foreach { case (d1, d2, _) =>
+        val ham = java.lang.Long.bitCount(sig(d1) ^ sig(d2))
+        assert(ham <= 11, s"$dir pair ($d1,$d2) at Hamming $ham exceeds the deterministic radius 11")
+      }
+    }
   }
 
   test("ANN LSH results are true cosine values and recall brute-force hits in-bucket") {
