@@ -61,6 +61,8 @@ object SparkEntry {
     "q_decontamination"  -> (TextQueries.decontamination _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
+    "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
+    "q_dedup_clusters_full" -> (DedupQueries.dedupClustersFull _),
     "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
     "q_embedding_stats"  -> (SimilarityQueries.embeddingStats _),
     "q_ann_lsh"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annLsh(s, d)),
@@ -126,6 +128,8 @@ object SparkEntry {
     // q_ann_ivf stays rows-only (k-means isn't SQL); ScalaTest-gated.
     "q_minhash_lsh"      -> DedupQueries.minhashLshSql,
     "q_simhash_pairs"    -> DedupQueries.simhashPairsSql,
+    "q_dedup_keep"       -> DedupQueries.dedupKeepSql,
+    "q_dedup_clusters_full" -> DedupQueries.dedupClustersFullSql,
     "q_ann_lsh"          -> SimilarityQueries.annLshSql,
     "q_embedding_neardup" -> SimilarityQueries.embeddingNeardupSql,
     "q_cosine_topk"      -> SimilarityQueries.cosineTopkSql,

@@ -230,6 +230,17 @@ object DedupQueries {
   /** Same pipeline on an arbitrary documents frame (doc_id, text) —
     * the ScalaTest entry for planted-corpus skew tests. */
   private[graft] def minhashLshOn(docs: DataFrame): DataFrame = {
+    val (groups, verified) = verifiedRepPairs(docs)
+    expand(verified, groups)
+  }
+
+  /** The shared MinHash+LSH trunk: exact-dup collapse, signatures,
+    * banded candidates, prefilter, exact-Jaccard verification —
+    * everything up to (but excluding) member expansion. Returns
+    * (groups, verified representative pairs (d1, d2, j)); consumed by
+    * [[minhashLshOn]] (pair output), [[dedupKeepOn]] and
+    * [[dedupClustersFullOn]] (clustering outputs). */
+  private[graft] def verifiedRepPairs(docs: DataFrame): (DataFrame, DataFrame) = {
     // localCheckpoint (not cache): materialized once for the reuses
     // below, blocks freed on GC — no unpersist bookkeeping, no cache
     // leak into a long-lived shared session (ADVICE r1). The full
@@ -260,10 +271,144 @@ object DedupQueries {
       .select(col("d1"), col("d2"))
       .distinct()
       .localCheckpoint() // tiny; consumed twice inside verify
-    expand(verify(prefiltered, reps), groups)
+    (groups, verify(prefiltered, reps))
   }
 
   val minhashLshSql: String = bruteJaccardSql
+
+  // ------------------------------------------- clustering + keep-mode
+
+  /** Connected components by min-label propagation run TO CONVERGENCE
+    * over an undirected pair list — the same fixpoint as
+    * [[TextQueries.dedupClusters]] (each round one join + aggregate,
+    * `localCheckpoint` cutting the lineage so round k never replans
+    * rounds 1..k−1; rounds ≈ min-label eccentricity of the deepest
+    * component). Runs over REPRESENTATIVE pairs only, so its input is
+    * already collapse-deduplicated — at 100 TB the label table is one
+    * row per doc in a near-dup relation, not per doc. */
+  private[graft] def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var lab = edges.select(col("d1").as("doc")).distinct()
+      .withColumn("root", col("doc"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(lab.select(col("doc").as("d2"), col("root").as("nbr_root")), "d2")
+        .groupBy(col("d1").as("doc2"))
+        .agg(min("nbr_root").as("nbr_min"))
+      val next = lab.join(nbrMin, lab("doc") === nbrMin("doc2"), "left")
+        .select(col("doc"),
+          least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"),
+          col("root").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("root") =!= col("prev")).count()
+      lab = next.drop("prev")
+    }
+    lab.select("doc", "root")
+  }
+
+  /** Member→canonical dedup DECISION over the full corpus — the
+    * operator a 100 TB pipeline actually runs (VERDICT r3 #2): for
+    * EVERY document, its cluster's canonical id (minimum doc_id over
+    * the connected component of the verified near-dup graph,
+    * including exact duplicates) and whether this row is the one
+    * kept. Output is LINEAR in corpus size — the pair queries remain
+    * the verification contract, but a 10⁶-copy boilerplate clique
+    * costs 10⁶ rows here, not C(10⁶,2). Built from the LSH-verified
+    * representative pairs ([[verifiedRepPairs]]), clustered with
+    * [[components]], expanded through the exact-dup groups: canonical
+    * = min member = min representative, since each representative is
+    * already its group's minimum. */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepOn(Tables(spark, dir, "documents"))
+
+  private[graft] def dedupKeepOn(docs: DataFrame): DataFrame = {
+    val (groups, verified) = verifiedRepPairs(docs)
+    val comp = components(verified.select("d1", "d2"))
+    groups.join(comp, groups("rep") === comp("doc"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("rep")).as("canonical_id"))
+      .withColumn("is_kept", col("doc_id") === col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: recursive-CTE transitive closure over the
+    * brute-force J ≥ 0.5 pair graph (exact duplicates included at
+    * J = 1), canonical = min doc_id per component, all docs kept via
+    * left join. */
+  val dedupKeepSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2
+       |  FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |        FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |  WHERE j >= $JThreshold),
+       |e AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |tc AS (
+       |  SELECT d1 AS a, d2 AS b FROM e
+       |  UNION
+       |  SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1 WHERE tc.a <> e.d2
+       |),
+       |root AS (SELECT a AS doc, least(a, min(b)) AS root FROM tc GROUP BY a)
+       |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id,
+       |       coalesce(r.root, d.doc_id) = d.doc_id AS is_kept
+       |FROM documents d LEFT JOIN root r ON r.doc = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Near-dup clustering over the FULL corpus, fed by the LSH-verified
+    * pair pipeline rather than the doc_id-capped exact join (VERDICT
+    * r3 #3 — [[TextQueries.dedupClusters]] keeps the capped form as
+    * the recursive-CTE continuity check): every document in a
+    * component of size ≥ 2 (near-dups AND exact duplicates), with its
+    * component root and canonical flag. */
+  def dedupClustersFull(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersFullOn(Tables(spark, dir, "documents"))
+
+  private[graft] def dedupClustersFullOn(docs: DataFrame): DataFrame = {
+    val (groups, verified) = verifiedRepPairs(docs)
+    val comp = components(verified.select("d1", "d2"))
+    val canon = groups.join(comp, groups("rep") === comp("doc"), "left")
+      .select(col("doc_id").as("doc"), coalesce(col("root"), col("rep")).as("root"))
+      .localCheckpoint() // consumed by the size filter and the output
+    val sizes = canon.groupBy("root").agg(count(lit(1)).as("csz"))
+    canon.join(sizes, "root")
+      .filter(col("csz") >= 2)
+      .select(col("doc"), col("root"), (col("doc") === col("root")).as("is_canonical"))
+      .orderBy("doc")
+  }
+
+  /** DuckDB oracle: same closure as [[dedupKeepSql]]; docs appearing
+    * in the closure are exactly the members of ≥2-doc components. */
+  val dedupClustersFullSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2
+       |  FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |        FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |  WHERE j >= $JThreshold),
+       |e AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |tc AS (
+       |  SELECT d1 AS a, d2 AS b FROM e
+       |  UNION
+       |  SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1 WHERE tc.a <> e.d2
+       |)
+       |SELECT doc, root, doc = root AS is_canonical FROM (
+       |  SELECT a AS doc, least(a, min(b)) AS root FROM tc GROUP BY a)
+       |ORDER BY doc""".stripMargin
 
   // ------------------------------------------------------------ SimHash
 

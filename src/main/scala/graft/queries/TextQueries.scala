@@ -110,26 +110,7 @@ object TextQueries {
     * transitive closure. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select(col("d1"), col("d2"))
-    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
-    var lab = edges.select(col("d1").as("doc")).distinct()
-      .withColumn("root", col("doc"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(lab.select(col("doc").as("d2"), col("root").as("nbr_root")), "d2")
-        .groupBy(col("d1").as("doc2"))
-        .agg(min("nbr_root").as("nbr_min"))
-      val next = lab.join(nbrMin, lab("doc") === nbrMin("doc2"), "left")
-        .select(col("doc"),
-          least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"),
-          col("root").as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("root") =!= col("prev")).count()
-      lab = next.drop("prev")
-    }
-    lab
+    DedupQueries.components(pairs) // the shared min-label fixpoint (r4)
       .withColumn("is_canonical", col("doc") === col("root"))
       .orderBy("doc")
   }

@@ -134,6 +134,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("keep-mode and full clustering are consistent with the verified pair graph") {
+    val keep = DedupQueries.dedupKeep(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every doc present, canonical is the component minimum, canonicals keep themselves
+    assert(keep.size == graft.Tables(spark, sfDir, "documents").count())
+    keep.foreach { case (doc, (canon, kept)) =>
+      assert(canon <= doc, s"canonical $canon above member $doc")
+      assert(kept == (doc == canon))
+      assert(keep(canon)._2, s"canonical $canon of $doc is not itself kept")
+    }
+    // both endpoints of every verified near-dup pair share a canonical
+    DedupQueries.minhashLsh(spark, sfDir).collect().foreach { r =>
+      assert(keep(r.getLong(0))._1 == keep(r.getLong(1))._1,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+    }
+    // clusters_full = exactly the non-singleton components of keep
+    val full = DedupQueries.dedupClustersFull(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val nonSingleton = keep.groupBy(_._2._1).filter(_._2.size >= 2).flatMap {
+      case (root, members) => members.keys.map(d => (d, root, d == root))
+    }.toSet
+    assert(full == nonSingleton)
+  }
+
   test("exact dedup accounting is consistent") {
     val r = TextQueries.dedupExact(spark, sfDir).head()
     assert(r.getAs[Long]("n_docs") ===
