@@ -59,6 +59,7 @@ object SparkEntry {
     "q_lang_id"          -> (TextQueries.langId _),
     "q_train_split"      -> (TextQueries.trainSplit _),
     "q_decontamination"  -> (TextQueries.decontamination _),
+    "q_decontamination_bloom" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.decontaminationBloom(s, d)),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
@@ -122,6 +123,9 @@ object SparkEntry {
     "q_lang_id"          -> TextQueries.langIdSql,
     "q_train_split"      -> TextQueries.trainSplitSql,
     "q_decontamination"  -> TextQueries.decontaminationSql,
+    // Bloom pre-screen emits IDENTICAL rows to the exact path (no false
+    // negatives + exact join kills false positives) → same oracle
+    "q_decontamination_bloom" -> TextQueries.decontaminationSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

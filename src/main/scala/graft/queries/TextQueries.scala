@@ -22,6 +22,33 @@ object TextQueries {
 
   private val ShingleLen = 12
 
+  /** Engine-neutral Knuth-multiplicative split bucket in [0, 100),
+    * overflow-safe (ADVICE r3): the naive `doc_id * 2654435761`
+    * overflows a signed 64-bit long at doc_id ≥ ~3.47e9 — and Spark 4
+    * runs ANSI mode, so a ~1e10-doc 100 TB corpus would THROW, not
+    * wrap. Two-step modular multiply keeps every intermediate under
+    * 2⁴⁸: with K = Khi·2¹⁶ + Klo = 40503·65536 + 31153 = 2654435761,
+    * (d·K) mod 2³² = ((d₃₂·Khi mod 2¹⁶)·2¹⁶ + d₃₂·Klo) mod 2³² where
+    * d₃₂ = pmod(doc_id, 2³²). Bit-identical to the naive formula for
+    * all doc_id (ScalaTest proves it against BigInt across the
+    * overflow boundary), mirrored verbatim in the DuckDB oracles. */
+  private val SplitBucket =
+    "CAST(pmod(pmod(pmod(doc_id, 4294967296) * 40503, 65536) * 65536" +
+      " + pmod(doc_id, 4294967296) * 31153, 4294967296) % 100 AS INT)"
+
+  /** DuckDB twin of [[SplitBucket]] (doc_id ≥ 0 ⇒ % == pmod). */
+  private val SplitBucketSql =
+    "CAST(((((doc_id % 4294967296) * 40503) % 65536) * 65536" +
+      " + (doc_id % 4294967296) * 31153) % 4294967296 % 100 AS INTEGER)"
+
+  /** Per-row split assignment (doc_id, ..., split) — the reusable core
+    * of [[trainSplit]]; also the ScalaTest surface for the
+    * repartition-stability property. */
+  private[graft] def splitAssign(docs: DataFrame): DataFrame =
+    docs.withColumn("split",
+      when(expr(SplitBucket) < 80, "train")
+        .when(expr(SplitBucket) < 90, "val").otherwise("test"))
+
   /** Normalized content fingerprint (rolling-window dedup key analog of
     * the reference's md5 identity hashing, `Part_B.py:61-63`):
     * lower + trim + whitespace-collapse, then md5. */
@@ -232,23 +259,20 @@ object TextQueries {
     * the exact assignment; per-(lang, split) counts and char totals
     * verify both the partition sizes and their content. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = expr("CAST((doc_id * 2654435761L) % 4294967296L % 100 AS INT)")
-    Tables(spark, dir, "documents")
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    splitAssign(Tables(spark, dir, "documents"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang", "split")
   }
 
   val trainSplitSql: String =
-    """SELECT lang,
-      |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-      |FROM (SELECT lang, n_chars, CAST((doc_id * 2654435761) % 4294967296 % 100 AS INTEGER) AS b
-      |      FROM documents)
-      |GROUP BY 1, 2
-      |ORDER BY lang, split""".stripMargin
+    s"""SELECT lang,
+       |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM (SELECT lang, n_chars, $SplitBucketSql AS b
+       |      FROM documents)
+       |GROUP BY 1, 2
+       |ORDER BY lang, split""".stripMargin
 
   /** Eval-set decontamination: for every TEST-split document, the
     * fraction of its shingles that also appear anywhere in the
@@ -267,8 +291,7 @@ object TextQueries {
     * catch.) */
   def decontamination(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Shingles.register(spark)
-    val bucket = expr("CAST((doc_id * 2654435761L) % 4294967296L % 100 AS INT)")
-    val docs = Tables(spark, dir, "documents").withColumn("b", bucket)
+    val docs = Tables(spark, dir, "documents").withColumn("b", expr(SplitBucket))
     val shingled = (df: org.apache.spark.sql.DataFrame) =>
       df.select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
     val trainSh = shingled(docs.filter(col("b") < 80)).select("s").distinct()
@@ -285,9 +308,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-pre-screened decontamination (VERDICT r3 #4 — the scale
+    * path the exact query's scaladoc promises): a Bloom filter built
+    * over the train-side shingle stream (one aggregation pass, NO
+    * distinct shuffle — duplicate inserts are free) pre-screens the
+    * test side before the exact semi-join. Output is IDENTICAL to
+    * [[decontamination]] by construction — Bloom filters have no
+    * false negatives, and the surviving shingles still pass through
+    * the exact join, which removes the false positives — so the query
+    * shares the exact oracle (and ScalaTest asserts frame equality).
+    * At 100 TB the win is the exact join's probe side shrinking to
+    * the filter's pass-rate; on THIS synthetic shared-vocabulary
+    * corpus the baseline overlap is ~0.6, so the measured reduction
+    * is modest (PERF.md records it) — the operator exists for real
+    * corpora where test∩train is rare. `expectedItems` is a fixed
+    * engineering bound, NOT derived from a count pass: oversizing
+    * wastes bits, undersizing only raises the false-positive rate —
+    * correctness never depends on it. */
+  def decontaminationBloom(spark: SparkSession, dir: String,
+                           expectedItems: Long = 4_000_000L, fpp: Double = 0.03): DataFrame = {
+    graft.functions.Shingles.register(spark)
+    val docs = Tables(spark, dir, "documents").withColumn("b", expr(SplitBucket))
+    val shingled = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
+    val trainShRaw = shingled(docs.filter(col("b") < 80))
+    val bf = spark.sparkContext.broadcast(
+      trainShRaw.stat.bloomFilter("s", expectedItems, fpp))
+    val mightContain = udf((s: String) => bf.value.mightContainString(s))
+    val trainSh = trainShRaw.select("s").distinct()
+    val testSh = shingled(docs.filter(col("b") >= 90)).localCheckpoint()
+    val total = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val matched = testSh.filter(mightContain(col("s"))) // Bloom pre-screen
+      .join(trainSh, Seq("s"), "left_semi")             // exact tier: kills false positives
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    total.join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("contaminated_frac"))
+      .orderBy("doc_id")
+  }
+
   val decontaminationSql: String =
     s"""WITH b AS (
-       |  SELECT doc_id, text, CAST((doc_id * 2654435761) % 4294967296 % 100 AS INTEGER) AS b
+       |  SELECT doc_id, text, $SplitBucketSql AS b
        |  FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, b, substr(text, i + 1, $ShingleLen) AS s

@@ -61,6 +61,45 @@ class BatchInvariantSpec extends SparkSpec {
     assert(pooled.toSeq == scalable.toSeq)
   }
 
+  test("Bloom-pre-screened decontamination equals the exact path row-for-row") {
+    // no false negatives + exact join kills false positives ⇒ identical
+    val exact = graft.queries.TextQueries.decontamination(spark, sfDir).collect()
+    val bloom = graft.queries.TextQueries.decontaminationBloom(spark, sfDir).collect()
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("split bucket hash is overflow-safe and equals the naive formula (BigInt reference)") {
+    // ADVICE r3: doc_id * 2654435761 overflows past ~3.47e9 and Spark 4
+    // ANSI mode throws — the two-step modmul must evaluate on the FULL
+    // long range and agree with ((d mod 2^32)·K) mod 2^32 mod 100
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 1L, 499L, 3_470_000_000L, 4_294_967_296L, 1e15.toLong,
+      Long.MaxValue - 1, Long.MaxValue, -1L, Long.MinValue)
+    val got = ids.toDF("doc_id")
+      .selectExpr("doc_id",
+        "CAST(pmod(pmod(pmod(doc_id, 4294967296) * 40503, 65536) * 65536" +
+          " + pmod(doc_id, 4294967296) * 31153, 4294967296) % 100 AS INT) AS b")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      val d32 = BigInt(id).mod(BigInt(2).pow(32))
+      val want = ((d32 * BigInt(2654435761L)).mod(BigInt(2).pow(32)) % 100).toInt
+      assert(got(id) == want, s"doc_id=$id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("train split assignment is invariant under repartitioning") {
+    // the scaladoc's stability claim (VERDICT r3 #8): per-row hash
+    // bucketing cannot depend on partition layout, unlike rand(seed)
+    val docs = Tables(spark, sfDir, "documents").select("doc_id")
+    def assign(n: Int): Map[Long, String] =
+      graft.queries.TextQueries.splitAssign(docs.repartition(n))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(1)
+    assert(base.values.toSet == Set("train", "val", "test"))
+    Seq(3, 7, 32).foreach(n => assert(assign(n) == base, s"split changed at repartition($n)"))
+  }
+
   test("regex filter output only contains matching names and casted ints in range") {
     BatchQueries.regexFilterCast(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[String]("p_name").matches("^\\w+ widget$"))

@@ -31,4 +31,36 @@ class SignLshBucketSpec extends SparkSpec {
         .count()
       assert(mismatches == 0)
     }
+
+  test("plane dot products carry a sign margin far above summation-order noise") {
+    // ADVICE r3: the oracle recomputes the plane dots with an unordered
+    // SQL sum, so 'bit-identical' bucketing relies on no dot sitting
+    // within float-summation reordering error (~1e-13 for 64 dims) of
+    // zero. Assert a ≥1e-6 margin on every (vector, plane) dot at the
+    // test, oracle and bench SFs — seven orders of headroom.
+    def weight(scheme: Int, p: Int, i: Int): Double = {
+      val bit =
+        if (scheme == 0) ((((p * 64 + i + 1).toLong * 2654435761L) & 0xffffffffL) >> (8 + 5 * p)) & 1L
+        else (((i + 1).toLong * (2654435761L + 4096L * p + 2L * p * p) & 0xffffffffL) >> 15) & 1L
+      if (bit == 1L) 1.0 else -1.0
+    }
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val vecs = Tables(spark, dir, "embeddings")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      for ((scheme, nPlanes) <- Seq((0, 4), (1, 8))) {
+        var minAbs = Double.MaxValue
+        vecs.foreach { v =>
+          var p = 0
+          while (p < nPlanes) {
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += v(i).toDouble * weight(scheme, p, i); i += 1 }
+            if (math.abs(dot) < minAbs) minAbs = math.abs(dot)
+            p += 1
+          }
+        }
+        assert(minAbs > 1e-6, s"$dir scheme $scheme: min |dot| = $minAbs under margin")
+      }
+    }
+  }
 }
