@@ -158,6 +158,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full == nonSingleton)
   }
 
+  test("components converges on a long chain and nested cliques (path halving)") {
+    // a 64-node path is the worst case for plain min-label propagation
+    // (diameter rounds); with path halving it must still converge — to
+    // the exact same labels — in O(log n) rounds. Add a clique and a
+    // triangle with non-minimal ids to catch label leakage across
+    // components.
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 105L; b <- (a + 1) to 105L) yield (a, b)
+    val tri = Seq((201L, 200L), (200L, 202L))
+    val pairs = (chain ++ clique ++ tri).toDF("d1", "d2")
+    val got = DedupQueries.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 63L).foreach(d => assert(got(d) == 0L, s"chain node $d -> ${got(d)}"))
+    (100L to 105L).foreach(d => assert(got(d) == 100L))
+    (200L to 202L).foreach(d => assert(got(d) == 200L))
+    assert(got.size == 64 + 6 + 3)
+  }
+
   test("exact dedup accounting is consistent") {
     val r = TextQueries.dedupExact(spark, sfDir).head()
     assert(r.getAs[Long]("n_docs") ===
