@@ -324,21 +324,38 @@ object TextQueries {
     * corpora where test∩train is rare. `expectedItems` is a fixed
     * engineering bound, NOT derived from a count pass: oversizing
     * wastes bits, undersizing only raises the false-positive rate —
-    * correctness never depends on it. */
+    * correctness never depends on it.
+    *
+    * Build and probe use Spark's NATIVE Bloom expressions
+    * ([[graft.functions.BloomProbe]]) rather than
+    * `stat.bloomFilter` + a Scala UDF: the build is a distributed
+    * aggregation (partial filters merged at the exchange, result
+    * shipped as a scalar-subquery broadcast), and the probe predicate
+    * stays inside whole-stage codegen — on the widest table in the
+    * pipeline, a boxed UDF call per shingle is exactly the
+    * "functions, not UDFs" violation this engine avoids. */
   def decontaminationBloom(spark: SparkSession, dir: String,
                            expectedItems: Long = 4_000_000L, fpp: Double = 0.03): DataFrame = {
     graft.functions.Shingles.register(spark)
+    graft.functions.BloomProbe.register(spark)
     val docs = Tables(spark, dir, "documents").withColumn("b", expr(SplitBucket))
     val shingled = (df: org.apache.spark.sql.DataFrame) =>
       df.select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
     val trainShRaw = shingled(docs.filter(col("b") < 80))
-    val bf = spark.sparkContext.broadcast(
-      trainShRaw.stat.bloomFilter("s", expectedItems, fpp))
-    val mightContain = udf((s: String) => bf.value.mightContainString(s))
     val trainSh = trainShRaw.select("s").distinct()
     val testSh = shingled(docs.filter(col("b") >= 90)).localCheckpoint()
+    // optimal bit count for the target fpp (same formula stat.bloomFilter uses)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    trainShRaw.createOrReplaceTempView("graft_decon_train_sh")
+    testSh.createOrReplaceTempView("graft_decon_test_sh")
+    val screened = spark.sql(
+      s"""SELECT doc_id, s FROM graft_decon_test_sh
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(s), ${expectedItems}L, ${numBits}L)
+         |   FROM graft_decon_train_sh),
+         |  xxhash64(s))""".stripMargin)
     val total = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val matched = testSh.filter(mightContain(col("s"))) // Bloom pre-screen
+    val matched = screened                              // Bloom pre-screen
       .join(trainSh, Seq("s"), "left_semi")             // exact tier: kills false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     total.join(matched, Seq("doc_id"), "left")
