@@ -60,6 +60,8 @@ object SparkEntry {
     "q_train_split"      -> (TextQueries.trainSplit _),
     "q_decontamination"  -> (TextQueries.decontamination _),
     "q_decontamination_bloom" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.decontaminationBloom(s, d)),
+    "q_stratified_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.stratifiedSample(s, d)),
+    "q_doc_repetition"   -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.docRepetition(s, d)),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
@@ -126,6 +128,8 @@ object SparkEntry {
     // Bloom pre-screen emits IDENTICAL rows to the exact path (no false
     // negatives + exact join kills false positives) → same oracle
     "q_decontamination_bloom" -> TextQueries.decontaminationSql,
+    "q_stratified_sample" -> TextQueries.stratifiedSampleSql(),
+    "q_doc_repetition"   -> TextQueries.docRepetitionSql(),
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

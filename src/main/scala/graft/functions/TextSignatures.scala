@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.array.ByteArrayMethods
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared rolling-window signature kernels for [[MinHashSig]] and
@@ -138,6 +139,84 @@ object TextSig {
     while (b < 64) { if (2 * cnt(b) > n) sig |= 1L << b; b += 1 }
     sig
   }
+
+  /** EXACT per-document shingle statistics `[total, distinct, max
+    * multiplicity]` in one rolling-window pass — the kernel behind
+    * `shingle_stats` ([[graft.queries.TextQueries.docRepetition]]).
+    *
+    * Unlike [[simhash]] (whose 64-bit-hash distinctness only perturbs
+    * candidate generation), these counts are ORACLE-CHECKED values, so
+    * hash distinctness is not acceptable: the open-addressed table
+    * stores each slot's first-occurrence window offsets and resolves
+    * hash hits by comparing the window BYTES — a 64-bit collision
+    * between different shingles costs a byte-compare, never a wrong
+    * count. The table grows by doubling (exactness admits no load-
+    * bound fallback); memory is O(distinct windows) per row — the
+    * same transient footprint the count would need anywhere — and a
+    * pipeline bounds document length upstream of per-doc stats. */
+  def shingleStats(text: UTF8String, shingleLen: Int): GenericArrayData = {
+    val nChars = text.numChars()
+    if (nChars <= shingleLen) return new GenericArrayData(Array(1L, 1L, 1L))
+    val windows = nChars - shingleLen + 1
+    var cap = 16
+    while (cap < windows * 2) cap <<= 1
+    var mask = cap - 1
+    var hashes = new Array[Long](cap)
+    var starts = new Array[Int](cap)
+    var lens = new Array[Int](cap)
+    var cnts = new Array[Int](cap)
+    var filled = 0
+    var distinct = 0L
+    var top = 0L
+    var start = 0
+    var end = 0
+    var c = 0
+    while (c < shingleLen) { end += UTF8String.numBytesForFirstByte(text.getByte(end)); c += 1 }
+    var remaining = windows
+    while (remaining > 0) {
+      val len = end - start
+      val h = XXH64.hashUnsafeBytes(text.getBaseObject, text.getBaseOffset + start, len, 42L) | 1L
+      var idx = (h ^ (h >>> 32)).toInt & mask
+      var done = false
+      while (!done) {
+        if (cnts(idx) == 0) {
+          hashes(idx) = h; starts(idx) = start; lens(idx) = len; cnts(idx) = 1
+          filled += 1; distinct += 1
+          if (top < 1L) top = 1L
+          done = true
+        } else if (hashes(idx) == h && lens(idx) == len &&
+            ByteArrayMethods.arrayEquals(
+              text.getBaseObject, text.getBaseOffset + starts(idx),
+              text.getBaseObject, text.getBaseOffset + start, len)) {
+          cnts(idx) += 1
+          if (cnts(idx) > top) top = cnts(idx)
+          done = true
+        } else idx = (idx + 1) & mask
+      }
+      if (filled * 4 >= cap * 3) { // grow at 3/4 load
+        val nc = cap << 1
+        val nh = new Array[Long](nc); val ns = new Array[Int](nc)
+        val nl = new Array[Int](nc); val nn = new Array[Int](nc)
+        val nm = nc - 1
+        var i = 0
+        while (i < cap) {
+          if (cnts(i) != 0) {
+            var j = (hashes(i) ^ (hashes(i) >>> 32)).toInt & nm
+            while (nn(j) != 0) j = (j + 1) & nm
+            nh(j) = hashes(i); ns(j) = starts(i); nl(j) = lens(i); nn(j) = cnts(i)
+          }
+          i += 1
+        }
+        cap = nc; mask = nm; hashes = nh; starts = ns; lens = nl; cnts = nn
+      }
+      remaining -= 1
+      if (remaining > 0) {
+        start += UTF8String.numBytesForFirstByte(text.getByte(start))
+        end += UTF8String.numBytesForFirstByte(text.getByte(end))
+      }
+    }
+    new GenericArrayData(Array(windows.toLong, distinct, top))
+  }
 }
 
 /** Native Catalyst expression: the [[graft.queries.DedupQueries]]
@@ -236,5 +315,52 @@ object SimHash64 {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("simhash64")))
       reg.createOrReplaceTempFunction("simhash64", builder, "built-in")
+  }
+}
+
+/** Native Catalyst expression: exact `[total, distinct, top]` shingle
+  * multiplicities of a text column in ONE rolling-window pass — the
+  * repetition-scoring kernel ([[TextSig.shingleStats]]). Replaces a
+  * position-sequence explode that duplicated each document's full
+  * text once per window (~340× row-width amplification) ahead of two
+  * shuffling aggregations; this form is a narrow projection. */
+case class ShingleStats(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+
+  require(shingleLen >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_stats expects a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextSig.shingleStats(input.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.functions.TextSig.shingleStats($text, $shingleLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStats =
+    copy(child = newChild)
+}
+
+object ShingleStats {
+  private val builder = (children: Seq[Expression]) => {
+    require(children.length == 2, "shingle_stats takes (text, shingleLen)")
+    children(1) match {
+      case Literal(k: Int, IntegerType) => ShingleStats(children.head, k)
+      case other => throw new IllegalArgumentException(
+        s"shingle_stats length must be an integer literal, got $other")
+    }
+  }
+  /** Session-local registration, same policy as [[Shingles.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("shingle_stats")))
+      reg.createOrReplaceTempFunction("shingle_stats", builder, "built-in")
   }
 }

@@ -41,6 +41,19 @@ object TextQueries {
     "CAST(((((doc_id % 4294967296) * 40503) % 65536) * 65536" +
       " + (doc_id % 4294967296) * 31153) % 4294967296 % 100 AS INTEGER)"
 
+  /** Sampling bucket in [0, 2³²) — same two-step overflow-safe modmul
+    * ring as [[SplitBucket]] with an independent multiplier
+    * 0x85EBCA77 = 34283·65536 + 51831 (xxHash prime-2), so sample
+    * membership is uncorrelated with split assignment. */
+  private val SampleBucket =
+    "pmod(pmod(pmod(doc_id, 4294967296) * 34283, 65536) * 65536" +
+      " + pmod(doc_id, 4294967296) * 51831, 4294967296)"
+
+  /** DuckDB twin of [[SampleBucket]]. */
+  private val SampleBucketSql =
+    "((((doc_id % 4294967296) * 34283) % 65536) * 65536" +
+      " + (doc_id % 4294967296) * 51831) % 4294967296"
+
   /** Per-row split assignment (doc_id, ..., split) — the reusable core
     * of [[trainSplit]]; also the ScalaTest surface for the
     * repartition-stability property. */
@@ -412,4 +425,91 @@ object TextQueries {
       |      FROM documents)
       |GROUP BY lang, predicted
       |ORDER BY lang, predicted""".stripMargin
+
+  /** Deterministic per-language stratified downsampling — the corpus
+    * REBALANCING operator (dominant-language capping) every
+    * multilingual training pipeline runs before mixing. Each language
+    * is capped at `cap` documents: a language with n ≤ cap keeps
+    * everything; above the cap, each doc survives iff its sample
+    * bucket falls under the integer threshold ⌊cap·2³²/n⌋ — the same
+    * overflow-safe Knuth modmul ring as [[SplitBucket]] but with an
+    * INDEPENDENT multiplier (0x85EBCA77), so sampling never correlates
+    * with train/val/test assignment. All arithmetic is integer
+    * (threshold via integer division), so the decision — like the
+    * split — is engine-neutral, repartition-stable, and reproducible
+    * run-over-run with no `rand(seed)`.
+    *
+    * Scale shape: per-language counts are a partial+final aggregate
+    * over a handful of groups, broadcast back onto the corpus (NOT a
+    * `count over (partition by lang)` window — that shuffles the full
+    * corpus onto one task per language, and a 40%-English corpus
+    * melts that task at 100 TB); the keep decision is then a codegen'd
+    * scalar predicate per row, and the report aggregate combines
+    * map-side. Output: per-language before/after accounting with kept
+    * char totals verifying the exact surviving membership. */
+  def stratifiedSample(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    docs.join(broadcast(counts), "lang")
+      .withColumn("kept",
+        expr(SampleBucket) < least(lit(1L << 32), expr(s"(cast($cap as bigint) * 4294967296) div n_before")))
+      .groupBy("lang")
+      .agg(
+        max("n_before").as("n_before"), // constant within the group
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  def stratifiedSampleSql(cap: Int = 100): String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+       |d AS (SELECT doc_id, lang, n_chars, $SampleBucketSql AS sb FROM documents)
+       |SELECT d.lang, c.n_before,
+       |       count(*) FILTER (WHERE d.sb < least(4294967296, ($cap * 4294967296) // c.n_before)) AS n_kept,
+       |       CAST(sum(CASE WHEN d.sb < least(4294967296, ($cap * 4294967296) // c.n_before)
+       |                     THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM d JOIN c USING (lang)
+       |GROUP BY d.lang, c.n_before
+       |ORDER BY d.lang""".stripMargin
+
+  /** Intra-document repetition scoring — the Gopher-style quality
+    * signal (excessively repeated n-grams mark boilerplate/spam): per
+    * document, total vs distinct shingle counts, the hottest single
+    * shingle's frequency, and the repetition ratio 1 − distinct/total.
+    * Unlike the dedup pipelines this needs the NON-distinct shingle
+    * multiplicities, computed by the codegen'd
+    * [[graft.functions.ShingleStats]] kernel in one rolling-window
+    * pass per document — a narrow projection, NO explode and NO
+    * shuffle before the final top-k (the position-explode form
+    * duplicated each document's full text once per window, ~340× row
+    * amplification, and cost 3s vs 0.3s at sf0.1). Output bounded to
+    * the worst `k` docs via TakeOrderedAndProject (rep_ratio desc,
+    * doc_id tiebreaker), linear in corpus size at any SF. */
+  def docRepetition(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    graft.functions.ShingleStats.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"shingle_stats(text, $ShingleLen)").as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_shingles"),
+        col("st").getItem(1).as("n_distinct"),
+        col("st").getItem(2).as("top_shingle_n"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
+      .orderBy(desc("rep_ratio"), col("doc_id"))
+      .limit(k)
+  }
+
+  def docRepetitionSql(k: Int = 100): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents)),
+       |per AS (SELECT doc_id, s, count(*) AS cnt FROM sh GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
+       |       count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_shingle_n,
+       |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS rep_ratio
+       |FROM per
+       |GROUP BY doc_id
+       |ORDER BY rep_ratio DESC, doc_id
+       |LIMIT $k""".stripMargin
 }

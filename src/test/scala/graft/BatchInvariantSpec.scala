@@ -100,6 +100,42 @@ class BatchInvariantSpec extends SparkSpec {
     Seq(3, 7, 32).foreach(n => assert(assign(n) == base, s"split changed at repartition($n)"))
   }
 
+  test("stratified sample caps dominant languages, keeps small ones whole") {
+    val docs = Tables(spark, sfDir, "documents")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.queries.TextQueries.stratifiedSample(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == before.keySet)
+    out.foreach { case (lang, (nBefore, nKept, keptChars)) =>
+      assert(nBefore == before(lang))
+      assert(nKept <= nBefore)
+      if (nBefore <= 100) assert(nKept == nBefore, s"$lang under cap must keep all")
+      else {
+        // hash sampling: expected cap docs, binomial spread — allow 4σ
+        val sd = 4 * math.sqrt(100.0 * (1 - 100.0 / nBefore))
+        assert(math.abs(nKept - 100.0) <= sd, s"$lang kept $nKept of $nBefore vs cap 100 ± $sd")
+      }
+      assert(keptChars >= 0 && (nKept > 0 || keptChars == 0))
+    }
+  }
+
+  test("doc repetition scores are internally consistent and correctly bounded") {
+    val rows = graft.queries.TextQueries.docRepetition(spark, sfDir).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (total, distinct, top, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(distinct >= 1 && distinct <= total)
+      assert(top >= 1 && top <= total - distinct + 1)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (1.0 - distinct.toDouble / total)) < 5e-5)
+      assert(ratio <= prev + 1e-12, "output must be sorted by rep_ratio desc")
+      prev = ratio
+    }
+  }
+
   test("regex filter output only contains matching names and casted ints in range") {
     BatchQueries.regexFilterCast(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[String]("p_name").matches("^\\w+ widget$"))

@@ -111,4 +111,42 @@ class TextSignaturesSpec extends SparkSpec {
         s"simhash mismatch on '$t'")
     }
   }
+
+  test("shingle_stats equals the position-explode formulation on the corpus") {
+    graft.functions.ShingleStats.register(spark)
+    val fast = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("shingle_stats(text, 12)").as("st"))
+      .select(col("doc_id"), col("st").getItem(0).as("total"),
+        col("st").getItem(1).as("dist"), col("st").getItem(2).as("top"))
+    val slow = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 11, lit(1)))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 12)").as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("stotal"),
+        count(lit(1)).as("sdist"), max("cnt").as("stop"))
+    val bad = fast.join(slow, "doc_id")
+      .filter(col("total") =!= col("stotal") || col("dist") =!= col("sdist")
+        || col("top") =!= col("stop")).count()
+    assert(bad == 0)
+  }
+
+  test("shingle_stats exact counts on crafted edge cases (short, multibyte, degenerate)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def stats(t: String, k: Int): Seq[Long] =
+      graft.functions.TextSig.shingleStats(UTF8String.fromString(t), k).toLongArray().toSeq
+    assert(stats("", 12) == Seq(1L, 1L, 1L))          // degenerate: one short window
+    assert(stats("abc", 12) == Seq(1L, 1L, 1L))
+    assert(stats("abcd", 2) == Seq(3L, 3L, 1L))        // ab bc cd
+    assert(stats("aaaa", 2) == Seq(3L, 1L, 3L))        // aa ×3
+    assert(stats("ababab", 2) == Seq(5L, 2L, 3L))      // ab×3 ba×2
+    assert(stats("αβαβαβ", 2) == Seq(5L, 2L, 3L))      // multibyte, same shape
+    // a long single-char run forces table growth past several doublings
+    val run = "x" * 5000
+    assert(stats(run, 12) == Seq(4989L, 1L, 4989L))
+    // high-distinct text exercises growth with all-distinct windows
+    val distinctText = (0 until 3000).map(i => ('a' + i % 26).toChar).mkString + "qz9"
+    val st = stats(distinctText, 12)
+    assert(st.head == distinctText.length - 11L && st(1) <= st.head && st(2) >= 1L)
+  }
 }
