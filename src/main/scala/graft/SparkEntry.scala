@@ -62,6 +62,7 @@ object SparkEntry {
     "q_decontamination_bloom" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.decontaminationBloom(s, d)),
     "q_stratified_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.stratifiedSample(s, d)),
     "q_doc_repetition"   -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.docRepetition(s, d)),
+    "q_filter_funnel"    -> (TextQueries.filterFunnel _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_decontamination_bloom" -> TextQueries.decontaminationSql,
     "q_stratified_sample" -> TextQueries.stratifiedSampleSql(),
     "q_doc_repetition"   -> TextQueries.docRepetitionSql(),
+    "q_filter_funnel"    -> TextQueries.filterFunnelSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

@@ -499,6 +499,74 @@ object TextQueries {
       .limit(k)
   }
 
+  /** Filter-funnel accounting — the per-rule yield report a corpus
+    * cleaning pipeline tracks in production: every document is
+    * attributed to its FIRST failing rule (funnel semantics: a doc
+    * removed for being too short is never also counted as
+    * repetitive), and the output is one row per stage with removed
+    * doc and char counts, plus the surviving `kept` row. Rules are
+    * the engine-neutral quality signals already in the surface:
+    * length, shingle repetition ([[graft.functions.ShingleStats]]),
+    * type-token ratio, stopword presence. One scan, one narrow
+    * projection (the repetition kernel runs inside the row — no
+    * explode), one 5-group aggregate: the funnel costs a single pass
+    * at any corpus size, and the whole rule cascade is codegen'd. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleStats.register(spark)
+    val toks  = split(trim(col("text")), "\\s+")
+    val nTok  = size(toks).cast("double")
+    val nDist = size(array_distinct(toks)).cast("double")
+    val nStop = size(expr(
+      "filter(split(trim(text), '\\\\s+'), t -> t = 'the' OR t = 'a')"))
+    val st = expr(s"shingle_stats(text, $ShingleLen)")
+    val rep = lit(1.0) - st.getItem(1).cast("double") / st.getItem(0).cast("double")
+    // classify to the numeric stage only — the rule NAME attaches after
+    // aggregation (5 rows), so the heavy cascade (repetition kernel,
+    // token splits) is evaluated exactly once per document
+    val stage =
+      when(col("n_chars") < 150, 1)
+        .when(rep > 0.02, 2)
+        .when(nDist / nTok < 0.30, 3)
+        .when(nStop === 0, 4)
+        .otherwise(5)
+    Tables(spark, dir, "documents")
+      .select(col("n_chars"), stage.as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .select(col("stage"),
+        when(col("stage") === 1, "too_short").when(col("stage") === 2, "repetitive")
+          .when(col("stage") === 3, "low_ttr").when(col("stage") === 4, "no_stopword")
+          .otherwise("kept").as("rule"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("stage")
+  }
+
+  val filterFunnelSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents)),
+       |per AS (SELECT doc_id, s, count(*) AS cnt FROM sh GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS rep FROM per GROUP BY 1),
+       |cls AS (
+       |  SELECT d.n_chars,
+       |         CASE WHEN d.n_chars < 150 THEN 1
+       |              WHEN r.rep > 0.02 THEN 2
+       |              WHEN CAST(len(list_distinct(string_split_regex(trim(d.text), '\\s+'))) AS DOUBLE)
+       |                   / len(string_split_regex(trim(d.text), '\\s+')) < 0.30 THEN 3
+       |              WHEN len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+       |                                   t -> t = 'the' OR t = 'a')) = 0 THEN 4
+       |              ELSE 5 END AS stage
+       |  FROM documents d JOIN rep r USING (doc_id))
+       |SELECT stage,
+       |       CASE stage WHEN 1 THEN 'too_short' WHEN 2 THEN 'repetitive'
+       |                  WHEN 3 THEN 'low_ttr' WHEN 4 THEN 'no_stopword'
+       |                  ELSE 'kept' END AS rule,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM cls
+       |GROUP BY stage
+       |ORDER BY stage""".stripMargin
+
   def docRepetitionSql(k: Int = 100): String =
     s"""WITH sh AS (
        |  SELECT doc_id, substr(text, i + 1, $ShingleLen) AS s

@@ -120,6 +120,16 @@ class BatchInvariantSpec extends SparkSpec {
     }
   }
 
+  test("filter funnel partitions the corpus exactly (doc and char conservation)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val rows = graft.queries.TextQueries.filterFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+    assert(rows.map(_.getLong(2)).sum == docs.count(), "every doc lands in exactly one stage")
+    assert(rows.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0), "char totals conserve")
+    assert(rows.exists(r => r.getString(1) == "kept" && r.getLong(2) > 0), "funnel keeps something")
+  }
+
   test("doc repetition scores are internally consistent and correctly bounded") {
     val rows = graft.queries.TextQueries.docRepetition(spark, sfDir).collect()
     assert(rows.length <= 100 && rows.nonEmpty)
