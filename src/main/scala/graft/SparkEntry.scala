@@ -80,6 +80,7 @@ object SparkEntry {
     "q_set_ops"          -> (ExtensionQueries.setOps _),
     "q_outer_join"       -> (ExtensionQueries.outerJoin _),
     "q_lag_lead"         -> (ExtensionQueries.lagLead _),
+    "q_asof_join"        -> (ExtensionQueries.asofJoin _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
     "q_salted_join"      -> (ExtensionQueries.saltedJoin _),
     "q_sessionize"       -> (ExtensionQueries.sessionize _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_set_ops"          -> ExtensionQueries.setOpsSql,
     "q_outer_join"       -> ExtensionQueries.outerJoinSql,
     "q_lag_lead"         -> ExtensionQueries.lagLeadSql,
+    "q_asof_join"        -> ExtensionQueries.asofJoinSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
     "q_salted_join"      -> ExtensionQueries.saltedJoinSql,
     "q_sessionize"       -> ExtensionQueries.sessionizeSql,

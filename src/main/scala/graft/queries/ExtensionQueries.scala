@@ -248,4 +248,51 @@ object ExtensionQueries {
        |      FROM events)
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
+
+  /** AS-OF join — the temporal-attribution operator Spark has no
+    * native form of (last-touchpoint attribution, quote-to-trade
+    * matching): every `click` event is joined to the SAME user's
+    * latest `error` event at or before it. Implemented as the
+    * scalable union-and-window composition, not a range join: tag
+    * both event streams, one shuffle on `user_id`, one in-partition
+    * sort on (event time, errors-before-clicks), and a running
+    * `last(..., ignoreNulls)` carries the most recent error struct
+    * forward — O(n log n) per partition, no candidate explosion, the
+    * plan a 100 TB event log needs (a range/theta join is quadratic
+    * per user; Catalyst would nested-loop it). Errors sort before
+    * clicks at equal timestamps to match closed-interval `e.ts <=
+    * c.ts` semantics; the fixture is tie-free at every SF (asserted
+    * in ScalaTest), so the pick is unambiguous. The DuckDB oracle is
+    * an INDEPENDENT implementation — its native `ASOF LEFT JOIN` —
+    * validating the window composition end-to-end, at microsecond
+    * granularity on both sides (`unix_micros` / `epoch_us`; the
+    * fixture's nanos are generated micro-aligned). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("tus"), when(col("event_type") === "error", 0).otherwise(1), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("last_err",
+        last(when(col("event_type") === "error",
+          struct(col("tus").as("ets"), col("event_id").as("eid"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        col("last_err.eid").as("err_event_id"),
+        (col("tus") - col("last_err.ets")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT c.event_id, c.user_id, e.event_id AS err_event_id,
+      |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id AND e.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
 }

@@ -146,6 +146,28 @@ class BatchInvariantSpec extends SparkSpec {
     }
   }
 
+  test("as-of join attaches the true latest prior error (brute-force check, tie-free fixture)") {
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus")).collect()
+    // the closed-interval pick is only unambiguous if (user, ts) is tie-free
+    assert(ev.groupBy(r => (r.getLong(1), r.getLong(3))).forall(_._2.size == 1),
+      "fixture must be (user, ts) tie-free for deterministic as-of semantics")
+    val errs = ev.filter(_.getString(2) == "error")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(r => (r.getLong(3), r.getLong(0)))).toMap
+    val expect = ev.filter(_.getString(2) == "click").map { c =>
+      val best = errs.getOrElse(c.getLong(1), Array.empty[(Long, Long)])
+        .filter(_._1 <= c.getLong(3)).sortBy(_._1).lastOption
+      c.getLong(0) -> best.map { case (ets, eid) => (eid, c.getLong(3) - ets) }
+    }.toMap
+    val got = graft.queries.ExtensionQueries.asofJoin(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))
+    }.toMap
+    assert(got == expect)
+    assert(got.valuesIterator.exists(_.isEmpty) || got.nonEmpty)
+  }
+
   test("regex filter output only contains matching names and casted ints in range") {
     BatchQueries.regexFilterCast(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[String]("p_name").matches("^\\w+ widget$"))
