@@ -81,6 +81,7 @@ object SparkEntry {
     "q_outer_join"       -> (ExtensionQueries.outerJoin _),
     "q_lag_lead"         -> (ExtensionQueries.lagLead _),
     "q_asof_join"        -> (ExtensionQueries.asofJoin _),
+    "q_range_join"       -> (ExtensionQueries.rangeJoin _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
     "q_salted_join"      -> (ExtensionQueries.saltedJoin _),
     "q_sessionize"       -> (ExtensionQueries.sessionize _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q_outer_join"       -> ExtensionQueries.outerJoinSql,
     "q_lag_lead"         -> ExtensionQueries.lagLeadSql,
     "q_asof_join"        -> ExtensionQueries.asofJoinSql,
+    "q_range_join"       -> ExtensionQueries.rangeJoinSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
     "q_salted_join"      -> ExtensionQueries.saltedJoinSql,
     "q_sessionize"       -> ExtensionQueries.sessionizeSql,

@@ -249,6 +249,79 @@ object ExtensionQueries {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Keyless RANGE (interval-overlap) join via time binning — the
+    * second temporal join shape Spark lacks natively: count, for
+    * EVERY user session (gap-rule intervals, same 30-min rule as
+    * [[sessionize]]), the error events of ANY user falling inside
+    * it. With no equi-key, Catalyst would plan the raw inequality
+    * join as BroadcastNestedLoopJoin — O(sessions × errors), the
+    * classic scale-killer. The production shape instead: explode
+    * each interval to its covering 1-hour bins, bin each point, then
+    * EQUI-join on the bin and apply the exact range predicate after.
+    * A point lives in exactly one bin, so every (interval, point)
+    * pair meets at most once — no post-join dedup — and the join is
+    * a plain shuffled hash join whose fan-out is bounded by interval
+    * length / bin width (sessions are gap-bounded, so a handful of
+    * bins each). Zero-match sessions are restored by a left join
+    * against the session list (localCheckpointed — one row per
+    * session). Integer-second arithmetic on both engines; the DuckDB
+    * oracle runs the inequality join directly (its IEJoin), an
+    * independent implementation validating the binned plan. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables(spark, dir, "events")
+    val sess = ev
+      .withColumn("tsec", unix_timestamp(col("ts")))
+      .withColumn("gap", col("tsec") - lag("tsec", 1).over(byUser))
+      .withColumn("new_session", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(min("tsec").as("s_start"), max("tsec").as("s_end"))
+      .localCheckpoint() // small (one row per session); consumed twice
+    val errs = ev.filter(col("event_type") === "error")
+      .select(unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("bin", expr("tsec div 3600"))
+    val overlaps = sess
+      .withColumn("bin", explode(sequence(expr("s_start div 3600"), expr("s_end div 3600"))))
+      .join(errs, "bin")
+      .filter(col("tsec") >= col("s_start") && col("tsec") <= col("s_end"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"))
+    sess.join(overlaps, Seq("user_id", "session_id"), "left")
+      .select(col("user_id"), col("session_id"),
+        (col("s_end") - col("s_start")).as("session_len_s"),
+        coalesce(col("n"), lit(0L)).as("n_errors"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec, ts
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, tsec,
+      |         tsec - lag(tsec, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+      |         ts, event_id
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, tsec,
+      |         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |         min(tsec) AS s_start, max(tsec) AS s_end
+      |  FROM s GROUP BY 1, 2),
+      |err AS (SELECT tsec FROM e WHERE event_type = 'error')
+      |SELECT sess.user_id, sess.session_id,
+      |       sess.s_end - sess.s_start AS session_len_s,
+      |       count(err.tsec) AS n_errors
+      |FROM sess LEFT JOIN err ON err.tsec BETWEEN sess.s_start AND sess.s_end
+      |GROUP BY sess.user_id, sess.session_id, sess.s_start, sess.s_end
+      |ORDER BY sess.user_id, sess.session_id""".stripMargin
+
   /** AS-OF join — the temporal-attribution operator Spark has no
     * native form of (last-touchpoint attribution, quote-to-trade
     * matching): every `click` event is joined to the SAME user's

@@ -168,6 +168,32 @@ class BatchInvariantSpec extends SparkSpec {
     assert(got.valuesIterator.exists(_.isEmpty) || got.nonEmpty)
   }
 
+  test("binned range join equals the naive inequality join (no lost or duplicated pairs)") {
+    val out = graft.queries.ExtensionQueries.rangeJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // naive check: replay sessions and errors on the driver
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"), col("ts"))
+      .collect()
+    val errs = ev.filter(_.getString(2) == "error").map(_.getLong(3)).sorted
+    val sessions = ev.groupBy(_.getLong(0)).flatMap { case (user, rows) =>
+      val ordered = rows.sortBy(r => (r.getTimestamp(4).getTime, r.getTimestamp(4).getNanos, r.getLong(1)))
+      var sid = 0L; var prev = Long.MinValue
+      ordered.map { r =>
+        val t = r.getLong(3)
+        if (prev == Long.MinValue || t - prev > 1800) sid += 1
+        prev = t
+        (user, sid, t)
+      }.groupBy(x => (x._1, x._2)).map { case (k, ts) => k -> (ts.map(_._3).min, ts.map(_._3).max) }
+    }.toMap
+    assert(out.keySet == sessions.keySet)
+    sessions.foreach { case (k, (lo, hi)) =>
+      val want = errs.count(t => t >= lo && t <= hi).toLong
+      assert(out(k) == (hi - lo, want), s"session $k: got ${out(k)}, want (${hi - lo}, $want)")
+    }
+  }
+
   test("regex filter output only contains matching names and casted ints in range") {
     BatchQueries.regexFilterCast(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[String]("p_name").matches("^\\w+ widget$"))
