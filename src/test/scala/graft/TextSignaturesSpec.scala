@@ -131,6 +131,41 @@ class TextSignaturesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("shingle_stats equals a naive reference on seeded random unicode strings") {
+    // house property-test style (DetSpec): explicit seeded generation.
+    // The naive reference counts character-substring multiplicities with
+    // a plain Map — no hashing, no open addressing — so any kernel bug
+    // in probing, growth, or byte comparison diverges.
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(1234)
+    val alphabets = Seq("ab", "abcde ", "αβγ δ", "the quick brown fox ", "日本語中文한국어 ")
+    def gen(): String = {
+      val a = alphabets(rng.nextInt(alphabets.length))
+      val n = rng.nextInt(400)
+      val sb = new StringBuilder
+      while (sb.length < n) {
+        if (rng.nextDouble() < 0.2 && sb.nonEmpty) { // splice a repeat of a prior run
+          val from = rng.nextInt(sb.length)
+          sb.append(sb.substring(from, math.min(sb.length, from + rng.nextInt(30) + 1)))
+        } else sb.append(a.charAt(rng.nextInt(a.length)))
+      }
+      sb.toString.take(n)
+    }
+    def naive(t: String, k: Int): Seq[Long] = {
+      val nChars = t.codePointCount(0, t.length)
+      // fixture alphabets are BMP-only, so String ops are char-accurate
+      if (nChars <= k) return Seq(1L, 1L, 1L)
+      val subs = (0 to t.length - k).map(i => t.substring(i, i + k))
+      val counts = subs.groupBy(identity).view.mapValues(_.size)
+      Seq(subs.size.toLong, counts.size.toLong, counts.values.max.toLong)
+    }
+    for (_ <- 1 to 300; k <- Seq(3, 12)) {
+      val t = gen()
+      val got = graft.functions.TextSig.shingleStats(UTF8String.fromString(t), k).toLongArray().toSeq
+      assert(got == naive(t, k), s"k=$k text='${t.take(60)}...' (len ${t.length})")
+    }
+  }
+
   test("shingle_stats exact counts on crafted edge cases (short, multibyte, degenerate)") {
     import org.apache.spark.unsafe.types.UTF8String
     def stats(t: String, k: Int): Seq[Long] =
