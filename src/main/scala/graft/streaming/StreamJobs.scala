@@ -172,4 +172,44 @@ object StreamJobs {
       }
       .toDF("event_type", "cnt", "total_value")
   }
+
+  /** Streaming twin of the batch AS-OF join
+    * ([[graft.queries.ExtensionQueries.asofJoin]]): per-user
+    * latest-error enrichment — every `click` emits with the most
+    * recent `error`'s id and the microsecond gap, carried across
+    * micro-batches in `flatMapGroupsWithState`. State is ONE
+    * (tus, event_id) tuple per user — constant per key, never grows,
+    * no eviction needed for boundedness. Within a micro-batch rows
+    * are sorted (tus, errors-before-clicks, event_id) — the exact
+    * tiebreak of the batch window form, so a same-timestamp error is
+    * visible to its click (closed interval). Cross-batch correctness
+    * assumes time-ordered batch arrival, the same contract as the
+    * sessionize twin (a late error would need watermark+buffer —
+    * that variant trades latency for reordering tolerance).
+    * Input: (user_id, event_id, event_type, tus). */
+  def asofWithState(events: org.apache.spark.sql.Dataset[
+      (Long, Long, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toArray
+            .sortBy(r => (r._4, if (r._3 == "error") 0 else 1, r._2))
+          val out = Array.newBuilder[(Long, Long, Option[Long], Option[Long])]
+          var last = state.getOption // (tus, event_id) of latest error
+          sorted.foreach { case (u, eid, typ, tus) =>
+            if (typ == "error") last = Some((tus, eid))
+            else if (typ == "click")
+              out += ((eid, u, last.map(_._2), last.map(l => tus - l._1)))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("event_id", "user_id", "err_event_id", "gap_us")
+  }
 }

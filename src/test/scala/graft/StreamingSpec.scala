@@ -250,4 +250,64 @@ class StreamingSpec extends SparkSpec {
     val top = StreamJobs.topk(counts, 1).collect()
     assert(top.head.getString(0) == "click" && top.head.getLong(1) == 20L)
   }
+
+  test("streaming as-of enrichment carries the latest error across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)] // (user, event_id, type, tus)
+    val q = StreamJobs.asofWithState(mem.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // batch 1: click before any error → null; error then click; the
+      // same-tus error must be visible to its click (closed interval)
+      mem.addData((1L, 10L, "click", 100L), (1L, 11L, "error", 200L),
+        (1L, 12L, "click", 300L), (1L, 13L, "error", 400L), (1L, 14L, "click", 400L))
+      q.processAllAvailable()
+      // batch 2: the carried state (error 13 @400) serves user 1's next
+      // click; an unrelated user starts fresh
+      mem.addData((1L, 15L, "click", 900L), (2L, 16L, "click", 50L))
+      q.processAllAvailable()
+      val got = spark.table("asof").collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSet
+      assert(got == Set(
+        (10L, 1L, -1L, -1L), (12L, 1L, 11L, 100L), (14L, 1L, 13L, 0L),
+        (15L, 1L, 13L, 500L), (16L, 2L, -1L, -1L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming as-of twin equals the batch as-of join on the fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the full sf0.001 click/error stream, fed in three time-ordered
+    // micro-batches — output must equal the batch union+window form
+    val rows = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._4)
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamJobs.asofWithState(mem.toDS())
+      .writeStream.format("memory").queryName("asof_fx").outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val stream = spark.table("asof_fx").collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSet
+      val batch = graft.queries.ExtensionQueries.asofJoin(spark, sfDir).collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSet
+      assert(stream == batch,
+        s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+    } finally q.stop()
+  }
 }
