@@ -61,6 +61,7 @@ object SparkEntry {
     "q_decontamination"  -> (TextQueries.decontamination _),
     "q_decontamination_bloom" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.decontaminationBloom(s, d)),
     "q_stratified_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.stratifiedSample(s, d)),
+    "q_source_mix"       -> (TextQueries.sourceMix _),
     "q_doc_repetition"   -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.docRepetition(s, d)),
     "q_filter_funnel"    -> (TextQueries.filterFunnel _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
@@ -132,6 +133,7 @@ object SparkEntry {
     // negatives + exact join kills false positives) → same oracle
     "q_decontamination_bloom" -> TextQueries.decontaminationSql,
     "q_stratified_sample" -> TextQueries.stratifiedSampleSql(),
+    "q_source_mix"       -> TextQueries.sourceMixSql,
     "q_doc_repetition"   -> TextQueries.docRepetitionSql(),
     "q_filter_funnel"    -> TextQueries.filterFunnelSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →

@@ -472,6 +472,69 @@ object TextQueries {
        |GROUP BY d.lang, c.n_before
        |ORDER BY d.lang""".stripMargin
 
+  /** Weighted SOURCE MIXING — the complement of [[stratifiedSample]]'s
+    * capping: instead of per-group ceilings, the output must hit a
+    * target COMPOSITION (weights per source, e.g. web:4 books:2
+    * code:1), the knob every pretraining data recipe turns. Weights
+    * derive deterministically from the source id (w = idx % 4 + 1 —
+    * the corpus ships no weight table); the maximal total N_out
+    * satisfying every source's availability is min over sources of
+    * ⌊n_s·W/w_s⌋, each source's quota is ⌊N_out·w_s/W⌋, and the
+    * per-source keep threshold ⌊quota·2³²/n_s⌋ is computed in the
+    * overflow-safe two-step form (q div n)·2³² + ((q mod n)·2³²) div
+    * n — exact for n_s < 2³¹ (decompose once more via 2¹⁶ halves
+    * beyond that). ALL arithmetic is integer — no doubles anywhere in
+    * the decision path, so the mix is bit-reproducible on any engine
+    * and stable under repartitioning. Selection is hash-proportional
+    * ([[SampleBucket]]): kept counts are binomial around the quota —
+    * the constant-time scale shape (an exact-quota variant needs a
+    * per-source rank, one skewed sort per dominant source; at 100 TB
+    * the hash form is what runs). Plan shape mirrors
+    * [[stratifiedSample]]: the whole weight/quota/threshold table is
+    * ~|sources| rows computed in two tiny aggregates and broadcast
+    * back; one corpus scan, one codegen'd predicate, one combine-
+    * friendly final aggregate. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_before"))
+      .withColumn("w", expr("(CAST(substring(source, 4) AS INT) % 4) + 1").cast("long"))
+    val c2 = counts.crossJoin(counts.agg(sum("w").as("tw")))
+    val c3 = c2.crossJoin(c2.agg(min(expr("(n_before * tw) div w")).as("n_out")))
+      .withColumn("quota", expr("(n_out * w) div tw"))
+      .withColumn("thr",
+        expr("(quota div n_before) * 4294967296 + ((quota % n_before) * 4294967296) div n_before"))
+    docs.join(broadcast(c3.select("source", "w", "n_before", "quota", "thr")), "source")
+      .withColumn("kept", expr(SampleBucket) < col("thr"))
+      .groupBy("source")
+      .agg(max("w").as("weight"), max("n_before").as("n_before"),
+        max("quota").as("quota"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_before,
+       |         CAST((CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS BIGINT) AS w
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM c),
+       |m AS (SELECT CAST(min((n_before * tw) // w) AS BIGINT) AS n_out FROM c, t),
+       |q AS (
+       |  SELECT c.source, c.w, c.n_before,
+       |         (m.n_out * c.w) // t.tw AS quota,
+       |         ((m.n_out * c.w) // t.tw // c.n_before) * 4294967296
+       |           + (((m.n_out * c.w) // t.tw % c.n_before) * 4294967296) // c.n_before AS thr
+       |  FROM c, t, m),
+       |d AS (SELECT source, n_chars, $SampleBucketSql AS sb FROM documents)
+       |SELECT d.source, q.w AS weight, q.n_before, q.quota,
+       |       count(*) FILTER (WHERE d.sb < q.thr) AS n_kept,
+       |       CAST(sum(CASE WHEN d.sb < q.thr THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM d JOIN q USING (source)
+       |GROUP BY d.source, q.w, q.n_before, q.quota
+       |ORDER BY d.source""".stripMargin
+
   /** Intra-document repetition scoring — the Gopher-style quality
     * signal (excessively repeated n-grams mark boilerplate/spam): per
     * document, total vs distinct shingle counts, the hottest single

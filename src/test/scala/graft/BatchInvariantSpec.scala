@@ -120,6 +120,28 @@ class BatchInvariantSpec extends SparkSpec {
     }
   }
 
+  test("source mix hits integer quotas derived from weights (and never oversamples)") {
+    val rows = graft.queries.TextQueries.sourceMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val tw = rows.map(_._2).sum
+    val nOut = rows.map { case (_, w, n, _, _) => n * tw / w }.min
+    rows.foreach { case (src, w, nBefore, quota, nKept) =>
+      assert(w == (src.drop(3).toInt % 4) + 1, s"$src weight")
+      assert(quota == nOut * w / tw, s"$src quota formula")
+      assert(quota <= nBefore, s"$src quota exceeds availability")
+      assert(nKept <= nBefore)
+      // hash selection is binomial around the quota: 4σ envelope
+      val p = quota.toDouble / nBefore
+      val sd = 4 * math.sqrt(nBefore * p * (1 - p)) + 1
+      assert(math.abs(nKept - quota) <= sd, s"$src kept $nKept vs quota $quota ± $sd")
+    }
+    // composition: kept shares track the weight profile (loose check —
+    // exactness is binomial; weights 1..4 must order the shares)
+    val byW = rows.groupBy(_._2).view.mapValues(g => g.map(_._5).sum.toDouble).toMap
+    assert(byW(4L) > byW(1L), "weight-4 sources must contribute more than weight-1")
+  }
+
   test("filter funnel partitions the corpus exactly (doc and char conservation)") {
     val docs = Tables(spark, sfDir, "documents")
     val rows = graft.queries.TextQueries.filterFunnel(spark, sfDir).collect()
