@@ -83,6 +83,7 @@ object SparkEntry {
     "q_lag_lead"         -> (ExtensionQueries.lagLead _),
     "q_asof_join"        -> (ExtensionQueries.asofJoin _),
     "q_range_join"       -> (ExtensionQueries.rangeJoin _),
+    "q_compaction"       -> (ExtensionQueries.compaction _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
     "q_salted_join"      -> (ExtensionQueries.saltedJoin _),
     "q_sessionize"       -> (ExtensionQueries.sessionize _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_lag_lead"         -> ExtensionQueries.lagLeadSql,
     "q_asof_join"        -> ExtensionQueries.asofJoinSql,
     "q_range_join"       -> ExtensionQueries.rangeJoinSql,
+    "q_compaction"       -> ExtensionQueries.compactionSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
     "q_salted_join"      -> ExtensionQueries.saltedJoinSql,
     "q_sessionize"       -> ExtensionQueries.sessionizeSql,

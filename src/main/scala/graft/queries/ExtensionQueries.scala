@@ -249,6 +249,45 @@ object ExtensionQueries {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Small-files COMPACTION + predicate-aligned sort layout — the
+    * table-maintenance rewrite every long-lived 100 TB dataset needs
+    * (streaming ingest leaves thousands of tiny files; scan cost and
+    * driver planning degrade with file count). One guarded rewrite:
+    * `repartitionByRange(event_type, ts)` + `sortWithinPartitions` —
+    * range partitioning makes each output file cover a disjoint
+    * (type, time) slice and the in-file sort tightens parquet
+    * row-group min/max bounds, so a later filter on either column
+    * prunes files AND row groups (`q_partitioned_scan`'s directory
+    * pruning, generalized to within-file layout). The oracled query
+    * then aggregates the COMPACTED copy — identical results to
+    * aggregating the source proves the rewrite is a pure physical
+    * transform (the oracle reads the original), while the layout
+    * claims (bounded file count, pruning) are ScalaTest-asserted. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Tables.scratchDir}/compacted_events"
+    if (spark.conf.getOption("graft.compacted.dir").forall(_ != dir)) {
+      Tables(spark, dir, "events")
+        .repartitionByRange(4, col("event_type"), col("ts"))
+        .sortWithinPartitions("event_type", "ts")
+        .write.mode("overwrite").parquet(path)
+      spark.conf.set("graft.compacted.dir", dir)
+    }
+    spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        Det.moneySum(col("value")).as("total_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val compactionSql: String =
+    s"""SELECT event_type, count(*) AS cnt,
+       |       ${Det.moneySumSql("value")} AS total_value,
+       |       count(DISTINCT user_id) AS n_users
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** Keyless RANGE (interval-overlap) join via time binning — the
     * second temporal join shape Spark lacks natively: count, for
     * EVERY user session (gap-rule intervals, same 30-min rule as

@@ -190,6 +190,30 @@ class BatchInvariantSpec extends SparkSpec {
     assert(got.valuesIterator.exists(_.isEmpty) || got.nonEmpty)
   }
 
+  test("compaction bounds file count, conserves rows, and range-aligns the layout") {
+    graft.queries.ExtensionQueries.compaction(spark, sfDir).collect() // triggers the guarded write
+    val path = s"${Tables.scratchDir}/compacted_events"
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 compacted files, got ${files.length}")
+    val compacted = spark.read.parquet(path)
+    val src = Tables(spark, sfDir, "events")
+    assert(compacted.count() == src.count())
+    // range partitioning on (event_type, ts) ⇒ files cover disjoint
+    // slices: at most (files + types - 1) distinct (file, type) pairs
+    val pairs = compacted.select(input_file_name().as("f"), col("event_type"))
+      .distinct().count()
+    val nTypes = src.select("event_type").distinct().count()
+    assert(pairs <= files.length + nTypes - 1,
+      s"$pairs (file,type) pairs — layout is not range-aligned")
+    // in-file sort ⇒ ts is monotone within each (file, type) run
+    val disorder = compacted
+      .select(input_file_name().as("f"), col("event_type"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f", "event_type").orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("ts")).count()
+    assert(disorder == 0, "rows are not sorted within files")
+  }
+
   test("binned range join equals the naive inequality join (no lost or duplicated pairs)") {
     val out = graft.queries.ExtensionQueries.rangeJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
