@@ -496,9 +496,13 @@ object TextQueries {
     * friendly final aggregate. */
   def sourceMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // materialized: every derived stat (tw, n_out, quotas) reuses these
+    // ~|sources| rows — without this each crossJoin branch re-derives
+    // the aggregate from its own FULL corpus scan
     val counts = docs.groupBy("source")
       .agg(count(lit(1)).as("n_before"))
       .withColumn("w", expr("(CAST(substring(source, 4) AS INT) % 4) + 1").cast("long"))
+      .localCheckpoint()
     val c2 = counts.crossJoin(counts.agg(sum("w").as("tw")))
     val c3 = c2.crossJoin(c2.agg(min(expr("(n_before * tw) div w")).as("n_out")))
       .withColumn("quota", expr("(n_out * w) div tw"))
