@@ -301,7 +301,10 @@ object ExtensionQueries {
     * pair meets at most once — no post-join dedup — and the join is
     * a plain shuffled hash join whose fan-out is bounded by interval
     * length / bin width (sessions are gap-bounded, so a handful of
-    * bins each). Zero-match sessions are restored by a left join
+    * bins each; for interval sources with unbounded spans the
+    * standard refinement is multi-resolution binning — long intervals
+    * explode to coarse bins, points probe every resolution — keeping
+    * fan-out logarithmic in span). Zero-match sessions are restored by a left join
     * against the session list (localCheckpointed — one row per
     * session). Integer-second arithmetic on both engines; the DuckDB
     * oracle runs the inequality join directly (its IEJoin), an
