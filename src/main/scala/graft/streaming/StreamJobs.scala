@@ -97,6 +97,31 @@ object StreamJobs {
       .dropDuplicates("event_id")
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
 
+  /** STREAM-STREAM interval join — Structured Streaming's two-sided
+    * stateful join: every click joins the same user's errors from the
+    * preceding hour, both sides unbounded streams. The event-time
+    * range condition plus both watermarks is what makes this runnable
+    * forever: Spark derives the state watermark from the interval, so
+    * each side buffers only one hour (+ watermark delay) of rows —
+    * without the range bound the join state grows without limit and
+    * the query is rejected in append mode. Inner join (clicks with no
+    * error in the window simply don't emit — the outer variant needs
+    * the watermark to expire state before emitting nulls). The batch
+    * twin is the same join expression over the static table, which is
+    * what the equality test runs. */
+  def intervalJoin(clicks: DataFrame, errors: DataFrame,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"), col("ts").as("ets"))
+    c.join(e,
+      col("user_id") === col("e_user") &&
+        col("ets") >= col("cts") - expr("INTERVAL 1 HOUR") && col("ets") <= col("cts"))
+      .select(col("click_id"), col("user_id"), col("err_id"),
+        (unix_micros(col("cts")) - unix_micros(col("ets"))).as("gap_us"))
+  }
+
   /** Per-user session accumulator for [[sessionsWithState]]. */
   case class SessionAcc(start: Long, last: Long, n: Long)
 

@@ -251,6 +251,38 @@ class StreamingSpec extends SparkSpec {
     assert(top.head.getString(0) == "click" && top.head.getLong(1) == 20L)
   }
 
+  test("stream-stream interval join equals the batch join on the fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = Tables(spark, sfDir, "events").filter(col("event_type").isin("click", "error"))
+    val memC = MemoryStream[Ev]
+    val memE = MemoryStream[Ev]
+    val out = StreamJobs.intervalJoin(memC.toDF(), memE.toDF())
+    val q = out.writeStream.format("memory").queryName("ssij").outputMode("append").start()
+    try {
+      def rows(t: String) = src.filter(col("event_type") === t)
+        .collect().map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5)))
+        .sortBy(_.ts.getTime)
+      // two time-split batches per side — the join must pair across them
+      val (cs, es) = (rows("click"), rows("error"))
+      Seq(cs.take(cs.length / 2), cs.drop(cs.length / 2)).zip(
+        Seq(es.take(es.length / 2), es.drop(es.length / 2))).foreach { case (cb, eb) =>
+        memC.addData(cb.toSeq); memE.addData(eb.toSeq); q.processAllAvailable()
+      }
+      val stream = spark.table("ssij").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      val batch = StreamJobs.intervalJoin(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "error"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty, "fixture should produce in-window pairs")
+      assert(stream == batch,
+        s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment carries the latest error across micro-batches") {
     val s = spark
     import s.implicits._
