@@ -84,6 +84,7 @@ object SparkEntry {
     "q_asof_join"        -> (ExtensionQueries.asofJoin _),
     "q_range_join"       -> (ExtensionQueries.rangeJoin _),
     "q_compaction"       -> (ExtensionQueries.compaction _),
+    "q_interval_join"    -> (ExtensionQueries.intervalJoinBatch _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
     "q_salted_join"      -> (ExtensionQueries.saltedJoin _),
     "q_sessionize"       -> (ExtensionQueries.sessionize _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_asof_join"        -> ExtensionQueries.asofJoinSql,
     "q_range_join"       -> ExtensionQueries.rangeJoinSql,
     "q_compaction"       -> ExtensionQueries.compactionSql,
+    "q_interval_join"    -> ExtensionQueries.intervalJoinBatchSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
     "q_salted_join"      -> ExtensionQueries.saltedJoinSql,
     "q_sessionize"       -> ExtensionQueries.sessionizeSql,

@@ -364,6 +364,32 @@ object ExtensionQueries {
       |GROUP BY sess.user_id, sess.session_id, sess.s_start, sess.s_end
       |ORDER BY sess.user_id, sess.session_id""".stripMargin
 
+  /** Batch twin of the STREAM-STREAM interval join
+    * ([[graft.streaming.StreamJobs.intervalJoin]]): every click paired
+    * with ALL of the same user's errors from the preceding hour (the
+    * as-of join keeps only the latest; this keeps the window). Same
+    * join expression as the streaming form — watermarks are no-ops on
+    * static frames — so the oracle (DuckDB inequality join) validates
+    * the exact condition the streaming query runs with
+    * watermark-bounded state. Ordered by (click, error) for
+    * deterministic hashing. */
+  def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    graft.streaming.StreamJobs.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"))
+      .orderBy("click_id", "err_id")
+  }
+
+  val intervalJoinBatchSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, e.event_id AS err_id,
+      |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts <= c.ts
+      |ORDER BY click_id, err_id""".stripMargin
+
   /** AS-OF join — the temporal-attribution operator Spark has no
     * native form of (last-touchpoint attribution, quote-to-trade
     * matching): every `click` event is joined to the SAME user's
