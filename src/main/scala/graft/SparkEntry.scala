@@ -85,6 +85,7 @@ object SparkEntry {
     "q_range_join"       -> (ExtensionQueries.rangeJoin _),
     "q_compaction"       -> (ExtensionQueries.compaction _),
     "q_interval_join"    -> (ExtensionQueries.intervalJoinBatch _),
+    "q_upsert"           -> (ExtensionQueries.upsert _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
     "q_salted_join"      -> (ExtensionQueries.saltedJoin _),
     "q_sessionize"       -> (ExtensionQueries.sessionize _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_range_join"       -> ExtensionQueries.rangeJoinSql,
     "q_compaction"       -> ExtensionQueries.compactionSql,
     "q_interval_join"    -> ExtensionQueries.intervalJoinBatchSql,
+    "q_upsert"           -> ExtensionQueries.upsertSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,
     "q_salted_join"      -> ExtensionQueries.saltedJoinSql,
     "q_sessionize"       -> ExtensionQueries.sessionizeSql,

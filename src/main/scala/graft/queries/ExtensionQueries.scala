@@ -364,6 +364,67 @@ object ExtensionQueries {
       |GROUP BY sess.user_id, sess.session_id, sess.s_start, sess.s_end
       |ORDER BY sess.user_id, sess.session_id""".stripMargin
 
+  /** CDC UPSERT / MERGE-INTO emulation — the table-maintenance apply
+    * every lakehouse pipeline runs and vanilla Spark has no statement
+    * for: a deterministic change feed (each customer's LATEST order —
+    * window latest-wins dedup, the Spark half of `MERGE`'s "multiple
+    * source rows per key" rule) is applied to the base table as
+    * UPDATE (order status O/P: account balance := order total) or
+    * DELETE (status F: row removed), with unmatched base rows carried
+    * unchanged. Shape: changes dedup = one shuffle + in-partition
+    * window; apply = a single left join on the key (broadcast- or
+    * sort-merge-picked by size) + a codegen'd CASE — merge-on-read,
+    * no driver loop, no row-at-a-time path; at 100 TB the join IS
+    * the merge. Output audits the applied state per market segment
+    * (row counts + exact-cents balance sums + how many rows each op
+    * touched), so the oracle hash-checks every applied decision. */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val changes = Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("key"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_totalprice").as("new_bal"))
+    Tables(spark, dir, "customer")
+      .join(changes, col("c_custkey") === col("key"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("c_mktsegment"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("c_acctbal")).as("bal"),
+        coalesce(col("op"), lit("K")).as("op"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("op") === "U", 1)).as("n_updated"),
+        count(when(col("op") === "K", 1)).as("n_kept"),
+        Det.moneySum(col("bal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val upsertSql: String =
+    s"""WITH latest AS (
+       |  SELECT o_custkey AS key,
+       |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+       |         o_totalprice AS new_bal
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+       |                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |        FROM orders)
+       |  WHERE rn = 1),
+       |applied AS (
+       |  SELECT c.c_mktsegment,
+       |         CASE WHEN l.op = 'U' THEN l.new_bal ELSE c.c_acctbal END AS bal,
+       |         coalesce(l.op, 'K') AS op
+       |  FROM customer c LEFT JOIN latest l ON c.c_custkey = l.key
+       |  WHERE l.op IS NULL OR l.op <> 'D')
+       |SELECT c_mktsegment, count(*) AS n_rows,
+       |       count(CASE WHEN op = 'U' THEN 1 END) AS n_updated,
+       |       count(CASE WHEN op = 'K' THEN 1 END) AS n_kept,
+       |       ${Det.moneySumSql("bal")} AS total_bal
+       |FROM applied
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   /** Batch twin of the STREAM-STREAM interval join
     * ([[graft.streaming.StreamJobs.intervalJoin]]): every click paired
     * with ALL of the same user's errors from the preceding hour (the

@@ -190,6 +190,27 @@ class BatchInvariantSpec extends SparkSpec {
     assert(got.valuesIterator.exists(_.isEmpty) || got.nonEmpty)
   }
 
+  test("upsert applies latest-wins changes with exact row accounting") {
+    val rows = graft.queries.ExtensionQueries.upsert(spark, sfDir).collect()
+    val nOut = rows.map(_.getLong(1)).sum
+    val nUpd = rows.map(_.getLong(2)).sum
+    val nKept = rows.map(_.getLong(3)).sum
+    assert(nUpd + nKept == nOut, "every surviving row is either updated or kept")
+    // replay the merge decisions relationally
+    val customers = Tables(spark, sfDir, "customer")
+    val latest = Tables(spark, sfDir, "orders")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))))
+      .filter(col("rn") === 1)
+    val joined = customers.join(latest, col("c_custkey") === col("o_custkey"), "left")
+    val nDel = joined.filter(col("o_orderstatus") === "F").count()
+    val nUpdWant = joined.filter(col("o_orderstatus").isNotNull && col("o_orderstatus") =!= "F").count()
+    assert(nOut == customers.count() - nDel, "deletes remove exactly the F-latest customers")
+    assert(nUpd == nUpdWant)
+    assert(nKept == customers.count() - nDel - nUpdWant)
+  }
+
   test("compaction bounds file count, conserves rows, and range-aligns the layout") {
     graft.queries.ExtensionQueries.compaction(spark, sfDir).collect() // triggers the guarded write
     val path = s"${Tables.scratchDir}/compacted_events"
