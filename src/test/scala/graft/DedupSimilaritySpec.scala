@@ -158,6 +158,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full == nonSingleton)
   }
 
+  test("minhash and simhash agree on the FULL verified output at the bench SF (sf0.1)") {
+    // the r3 recall bug (64-bit term swamping the 32-bit ring) passed
+    // every small-SF check and only surfaced at sf0.1 — but the exact
+    // brute force is quadratic there. Cheap strong guard: the two
+    // generators use INDEPENDENT hash families (Broder two-hash minhash
+    // bands vs simhash Hamming bands), so recall loss in either would
+    // have to drop the SAME pairs in both to escape this equality.
+    // The count is additionally pinned to the validated golden value.
+    val dir = "/root/testdata/sf0.1"
+    val mh = DedupQueries.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sp = DedupQueries.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh == sp, s"only-minhash=${(mh -- sp).take(5)} only-simhash=${(sp -- mh).take(5)}")
+    assert(mh.size == 256, s"pair count drifted from the validated golden 256: ${mh.size}")
+  }
+
   test("components converges on a long chain and nested cliques (path halving)") {
     // a 64-node path is the worst case for plain min-label propagation
     // (diameter rounds); with path halving it must still converge — to
