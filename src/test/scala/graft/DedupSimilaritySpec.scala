@@ -200,4 +200,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") ===
       r.getAs[Long]("n_distinct") + r.getAs[Long]("n_dups"))
   }
+
+  test("dedup trunk is materialized ONCE per data dir; later consumers only read scratch") {
+    // VERDICT r4 #1: q_minhash_lsh / q_dedup_keep / q_dedup_clusters_full
+    // share the collapse→signature→band→prefilter→verify trunk; the
+    // first caller writes it to scratch parquet, the others must do a
+    // pure read — proven two ways: the write counter stays at 1, and
+    // the scratch files' mtimes are byte-for-byte untouched.
+    spark.conf.unset("graft.deduptrunk.dir")
+    DedupQueries.trunkWrites = 0
+    DedupQueries.minhashLsh(spark, sfDir).count()
+    assert(DedupQueries.trunkWrites == 1, "first consumer must write the trunk")
+    val scratch = new java.io.File(s"${graft.Tables.scratchDir}/deduptrunk")
+    def mtimes: Map[String, Long] = scratch.listFiles
+      .flatMap(d => Option(d.listFiles).getOrElse(Array.empty[java.io.File]))
+      .map(f => f.getPath -> f.lastModified).toMap
+    val before = mtimes
+    assert(before.nonEmpty)
+    DedupQueries.dedupKeep(spark, sfDir).count()
+    DedupQueries.dedupClustersFull(spark, sfDir).count()
+    assert(DedupQueries.trunkWrites == 1, "a later consumer re-ran the trunk write")
+    assert(mtimes == before, "a later consumer rewrote the scratch files")
+  }
+
+  test("fixpoint convergence rides the round job: no count() action, one action per plain round") {
+    // VERDICT r4 #4: components() used to run a second count() action
+    // per round to detect convergence; the accumulator now rides the
+    // round's own checkpoint job. QueryExecutionListener sees every
+    // Dataset action — assert zero "count" actions, and on an
+    // all-plain-rounds graph (triangle: converges in 2 plain rounds)
+    // exactly 4 actions total: edges ckpt + initial labels ckpt +
+    // ONE per round.
+    val names = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        names.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    val s = spark
+    import s.implicits._
+    def stable(): List[String] = { // the listener bus is async: poll until quiet
+      var prev = -1; var cur = names.size()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = names.size() }
+      import scala.jdk.CollectionConverters._
+      names.asScala.toList
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val tri = Seq((201L, 200L), (200L, 202L)).toDF("d1", "d2")
+      DedupQueries.components(tri) // checkpoints run eagerly inside
+      val triActions = stable()
+      assert(!triActions.contains("count"), s"count() action in round loop: $triActions")
+      assert(triActions.size == 4, s"expected 4 actions (2 setup + 2 plain rounds): $triActions")
+      names.clear()
+      // a 64-chain flips into path halving (2 actions per halving
+      // round — inner + outer ckpt) but must still never count()
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+      val got = DedupQueries.components(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L to 63L).foreach(d => assert(got(d) == 0L))
+      val chainActions = stable()
+      assert(!chainActions.filterNot(_ == "collect").contains("count"),
+        s"count() action in halving rounds: $chainActions")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
