@@ -75,6 +75,7 @@ object SparkEntry {
     "q_ann_ivf"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annIvf(s, d)),
     "q_multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
     "q_frame_sample"     -> (MultimodalQueries.frameSample _),
+    "q_media_neardup"    -> (MultimodalQueries.mediaNeardup _),
     // Extensions beyond the reference surface (free from Catalyst)
     "q_rollup"           -> (ExtensionQueries.rollup _),
     "q_cube"             -> (ExtensionQueries.cube _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q_embedding_stats"  -> SimilarityQueries.embeddingStatsSql,
     "q_multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,
     "q_frame_sample"     -> MultimodalQueries.frameSampleSql,
+    "q_media_neardup"    -> MultimodalQueries.mediaNeardupSql,
     "q_rollup"           -> ExtensionQueries.rollupSql,
     "q_cube"             -> ExtensionQueries.cubeSql,
     "q_set_ops"          -> ExtensionQueries.setOpsSql,

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** Perceptual-signature kernel for binary media payloads — the
+  * feature-extraction step behind
+  * [[graft.queries.MultimodalQueries.mediaNeardup]].
+  *
+  * The feature is a CONTENT-WINDOW HISTOGRAM: every rolling 4-byte
+  * window of the payload is hashed (polynomial ·31 rolling hash in the
+  * 31-bit ring) into one of [[MediaSig.Bins]] = 65 buckets, and the
+  * bucket counts are the feature vector. Position never enters the
+  * bucket — only content — so the histogram is TRANSLATION-INVARIANT:
+  * an insertion or deletion perturbs just the ~4 windows that straddle
+  * the edit, where a positional signature (grid dHash) would misalign
+  * every downstream segment. This is the histogram-fingerprint family
+  * of perceptual hashing (color/intensity histograms for images,
+  * spectral histograms for audio), applied to the opaque byte stream;
+  * the 64-bit gradient signature derived from it downstream
+  * (bit i = [hist(i) < hist(i+1)]) is the aHash/dHash-style compaction
+  * of the same feature, used only for banding and prefiltering — exact
+  * verification happens on the full histogram (integer L1).
+  *
+  * Measured on the corpus (design note, round 5): a positional 1-D
+  * dHash put true near-dup pairs at Hamming 16–36 (their texts differ
+  * by INDELS, so every segment misaligns — positional hashes only work
+  * on fixed-raster payloads), and a raw byte-VALUE histogram had no
+  * discrimination at all (same-language text shares one byte
+  * distribution). 4-byte content windows are the measured sweet spot:
+  * true pairs at signature Hamming ≤ 3 / relative L1 ≤ 0.14, random
+  * pairs at mean Hamming 21.6 / L1 ≥ 0.25.
+  *
+  * Pure integer arithmetic end to end — the 31-bit ring keeps every
+  * intermediate exact in any engine's BIGINT, so DuckDB replays the
+  * histogram byte-for-byte (corpus payloads are ASCII text bytes,
+  * where `ascii(substr(..))` enumerates payload bytes — the same
+  * equivalence `q_multimodal_features` relies on). One pass, no
+  * allocation beyond the 65-slot array; called from both the
+  * interpreted eval and generated code (static forwarder), so the two
+  * paths are the same machine code by construction.
+  */
+object MediaSig {
+
+  /** 65 buckets → 64 adjacent-pair gradient bits downstream. */
+  val Bins = 65
+
+  /** Rolling window width in bytes. */
+  val Win = 4
+
+  private val Mask = 0x7fffffffL
+
+  def hist(payload: Array[Byte]): GenericArrayData = {
+    val out = new Array[Long](Bins)
+    val n = payload.length - (Win - 1)
+    var p = 0
+    while (p < n) {
+      var h = 0L
+      var q = 0
+      while (q < Win) { h = (h * 31 + (payload(p + q) & 0xff)) & Mask; q += 1 }
+      out((h % Bins).toInt) += 1
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: `media_hist(payload)` — the 65-bin
+  * content-window histogram of a binary column ([[MediaSig.hist]]),
+  * as a narrow codegen'd projection (no explode, no shuffle, no UDF). */
+case class MediaHist(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_hist expects a binary argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "media_hist"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaSig.hist(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, payload =>
+      s"${ev.value} = graft.functions.MediaSig.hist($payload);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaHist =
+    copy(child = newChild)
+}
+
+object MediaHist {
+  private val builder = (children: Seq[Expression]) => {
+    require(children.length == 1, "media_hist takes (payload)")
+    MediaHist(children.head)
+  }
+  /** Session-local registration, same policy as [[Shingles.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("media_hist")))
+      reg.createOrReplaceTempFunction("media_hist", builder, "built-in")
+  }
+}

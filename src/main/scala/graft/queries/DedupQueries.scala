@@ -99,7 +99,7 @@ object DedupQueries {
     * organic near-dup cliques). Output pairs are NOT deduplicated —
     * callers run their per-pair prefilter first, then `distinct()`,
     * so the dedup shuffle sees the post-filter stream. */
-  private def bucketJoinPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
+  private[queries] def bucketJoinPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*)
     val sized = buckets

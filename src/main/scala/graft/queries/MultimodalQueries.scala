@@ -123,6 +123,176 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Signature Hamming radius for [[mediaNeardup]] — strictly inside
+    * the banding's deterministic radius 11 (see below), so candidate
+    * generation provably reaches every pair the signature filter
+    * accepts: recall 1.0 by pigeonhole, not by probability. Measured
+    * corpus margin: true near-dup pairs sit at Hamming ≤ 3, random
+    * pairs at mean 21.6. */
+  private val HamThreshold = 10
+
+  /** Exact-verification cut: relative L1 distance between the full
+    * 65-bin window histograms ≤ 1/[[L1Denom]], evaluated in the
+    * division-free integer form `L1Denom·Σ|h1ₖ·n2 − h2ₖ·n1| ≤ n1·n2`
+    * (nᵢ = window count). Measured margin: true pairs ≤ 0.14, random
+    * pairs ≥ 0.25 — the cut at 0.2 splits the gap. */
+  private val L1Denom = 5
+
+  /** Perceptual-signature near-duplicate MEDIA pairs (VERDICT r4 #2) —
+    * the multimodal analog of [[DedupQueries.simhashPairs]], over the
+    * opaque binary payload: all media pairs whose content-window
+    * histograms ([[graft.functions.MediaSig]]) agree to relative L1 ≤
+    * 1/[[L1Denom]] AND whose 64-bit gradient signatures are within
+    * Hamming [[HamThreshold]].
+    *
+    * Pipeline (the multimodal twin of the text dedup layout):
+    *   1. exact collapse — md5 of the PAYLOAD groups byte-identical
+    *      media to one representative (a 10⁶-copy image costs O(10⁶)
+    *      here, never a quadratic bucket);
+    *   2. feature per representative — the 65-bin window histogram,
+    *      one codegen'd pass per payload, plus its aHash/dHash-style
+    *      64-bit gradient compaction (bit i = [hist(i) < hist(i+1)]);
+    *   3. banded Hamming candidates on the signature — 4 bands × 16
+    *      bits with symmetric 1-flip probes: two signatures collide
+    *      on a band iff that band differs in ≤ 2 bits, so by
+    *      pigeonhole any pair within Hamming 11 collides somewhere
+    *      (4 bands × 3 errors each would need ≥ 12) — DETERMINISTIC
+    *      radius-11 recall, covering the ≤ [[HamThreshold]] = 10
+    *      filter entirely; oversized buckets are salt-sharded, not
+    *      dropped ([[DedupQueries.bucketJoinPairs]]);
+    *   4. verify — exact signature Hamming ≤ 10, then exact integer
+    *      L1 over the FULL histograms (the byte-level feature
+    *      distance; kills the ~0.5% of random pairs that pass the
+    *      64-bit signature filter — measured: their L1 ≥ 0.27);
+    *   5. expand — member pairs through the exact-payload groups
+    *      (identical payload ⇒ identical histogram: intra-group
+    *      Hamming is 0, inter-group pairs inherit the
+    *      representatives').
+    *
+    * Every stage is integer-deterministic, so DuckDB replays the WHOLE
+    * contract semantically (brute-force all-pairs over the same
+    * histogram definition) and the driver hash-checks the result —
+    * same oracle pattern as q_ann_lsh. At 100 TB: linear feature pass,
+    * Σ bucket² candidate work, histograms joined only for surviving
+    * candidates, no all-pairs stage. */
+  def mediaNeardup(spark: SparkSession, dir: String): DataFrame =
+    mediaNeardupOn(mediaTable(spark, dir).toDF())
+
+  /** Same pipeline on an arbitrary (media_id, payload) frame — the
+    * ScalaTest entry for planted near-dup fixtures. */
+  private[graft] def mediaNeardupOn(media: DataFrame): DataFrame = {
+    graft.functions.MediaHist.register(media.sparkSession)
+    val groups = media
+      .select(col("media_id"), md5(col("payload")).as("fp"))
+      .withColumn("rep", min("media_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .select("media_id", "rep")
+      .localCheckpoint() // consumed by reps, inter- and intra-expansion
+    val reps = media.join(
+      groups.filter(col("media_id") === col("rep")).select("media_id"), "media_id")
+    // feature + signature in one narrow projection; n = window count.
+    // The signature packs 64 gradient bits into a long: bit 63 lands as
+    // Long.MIN_VALUE, and because each power of two is added once, no
+    // partial sum ever leaves the long range (ANSI-safe).
+    val sig = reps
+      .select(col("media_id"), expr("media_hist(payload)").as("feat"),
+        greatest(octet_length(col("payload")) - (graft.functions.MediaSig.Win - 1), lit(0))
+          .cast("long").as("n"))
+      .withColumn("ph", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+          "acc + IF(element_at(feat, i + 1) < element_at(feat, i + 2), shiftleft(1L, i), 0L))"))
+      .localCheckpoint() // small (one 65-long array/rep); consumed by banding + both verify sides
+    val nBands = 4
+    val bandBits = 16
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("ph"), b * bandBits).bitwiseAND((1L << bandBits) - 1).as("bh"))
+    }
+    val banded = sig.select(col("media_id").as("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = DedupQueries.bucketJoinPairs(
+      banded.select(col("doc_id"), col("band"),
+        explode(expr(s"concat(array(bh), transform(sequence(0, ${bandBits - 1}), b -> bh ^ shiftleft(1L, b)))"))
+          .as("pv")),
+      Seq("band", "pv"))
+    val l1x = expr("aggregate(zip_with(f1, f2, (a, b) -> abs(a * n2 - b * n1)), 0L, (acc, v) -> acc + v)")
+    val verified = cand
+      .join(sig.select(col("media_id").as("d1"), col("feat").as("f1"),
+        col("ph").as("h1"), col("n").as("n1")), "d1")
+      .join(sig.select(col("media_id").as("d2"), col("feat").as("f2"),
+        col("ph").as("h2"), col("n").as("n2")), "d2")
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= HamThreshold)
+      .filter(l1x * L1Denom <= col("n1") * col("n2"))
+      .select("d1", "d2", "hamming")
+      .distinct()
+    val members = groups.select(col("rep"), col("media_id").as("m"))
+    val inter = verified
+      .join(members.select(col("rep").as("d1"), col("m").as("m1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("m").as("m2")), "d2")
+      .select(least(col("m1"), col("m2")).as("m1"),
+        greatest(col("m1"), col("m2")).as("m2"), col("hamming"))
+    val intra = members.alias("a")
+      .join(members.alias("b"), "rep")
+      .filter(col("a.m") < col("b.m"))
+      .select(col("a.m").as("m1"), col("b.m").as("m2"),
+        lit(0).cast("int").as("hamming"))
+    inter.unionByName(intra).orderBy("m1", "m2")
+  }
+
+  /** DuckDB oracle: brute-force all-pairs over the SAME integer
+    * definitions — 4-byte windows hashed with the ·31 rolling hash in
+    * the 31-bit ring into 65 bins, gradient bits compared per-index
+    * (no BIGINT packing, so bit 63 needs no signed-overflow care),
+    * histogram L1 in the cross-multiplied integer form. The corpus
+    * payload is the UTF-8 bytes of ASCII text, so `ascii(substr(..))`
+    * enumerates payload bytes exactly (the equivalence
+    * [[multimodalFeaturesSql]] already relies on). Running it over ALL
+    * docs (not representatives) is equivalent to the engine's
+    * collapse+expand: identical payloads have identical histograms. */
+  val mediaNeardupSql: String = {
+    val bins = graft.functions.MediaSig.Bins
+    def byte(k: Int) = s"ascii(substr(text, CAST(i + $k AS INTEGER), 1))"
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(range(greatest(strlen(text) - 3, 0))) AS i
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |         ((((((${byte(1)} * 31 + ${byte(2)}) & 2147483647) * 31
+       |            + ${byte(3)}) & 2147483647) * 31
+       |            + ${byte(4)}) & 2147483647) % $bins AS bin
+       |  FROM pos),
+       |hist AS (SELECT doc_id, bin, count(*) AS c FROM w GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.doc_id, g.bin, coalesce(h.c, 0) AS c
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range($bins)) AS bin) g
+       |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = g.bin),
+       |n AS (SELECT doc_id, greatest(strlen(text) - 3, 0) AS n FROM documents),
+       |bits AS (
+       |  SELECT a.doc_id, a.bin AS bit,
+       |         CASE WHEN a.c < b.c THEN 1 ELSE 0 END AS bv
+       |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.bin = a.bin + 1
+       |  WHERE a.bin < 64),
+       |ham AS (
+       |  SELECT a.doc_id AS m1, b.doc_id AS m2,
+       |         sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) AS h
+       |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |l1 AS (
+       |  SELECT a.doc_id AS m1, b.doc_id AS m2,
+       |         sum(abs(a.c * n2.n - b.c * n1.n)) AS l1x,
+       |         max(n1.n) AS n1, max(n2.n) AS n2
+       |  FROM grid a JOIN grid b ON a.bin = b.bin AND a.doc_id < b.doc_id
+       |  JOIN n n1 ON n1.doc_id = a.doc_id
+       |  JOIN n n2 ON n2.doc_id = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ham.m1, ham.m2, CAST(ham.h AS INTEGER) AS hamming
+       |FROM ham JOIN l1 ON l1.m1 = ham.m1 AND l1.m2 = ham.m2
+       |WHERE ham.h <= $HamThreshold AND l1.l1x * $L1Denom <= l1.n1 * l1.n2
+       |ORDER BY ham.m1, ham.m2""".stripMargin
+  }
+
   val frameSampleSql: String = {
     val binSum = (b: Int) =>
       s"CAST(list_sum(list_transform(range(${FrameBytes / 4}), j -> " +

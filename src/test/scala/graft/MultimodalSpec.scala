@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.MultimodalQueries
+import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: schema, batch shape, determinism of the stubbed
   * decode (the Spark-side contract that survives a real codec swap). */
@@ -13,6 +14,76 @@ class MultimodalSpec extends SparkSpec {
       assert(r.kind == "text/utf-8")
       assert(r.payload.length.toLong == r.n_bytes)
     }
+  }
+
+  test("media_hist kernel: interpreted eval, codegen path and a plain-Scala reference agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    def reference(b: Array[Byte]): Array[Long] = {
+      val hist = new Array[Long](65)
+      for (p <- 0 until (b.length - 3)) {
+        var h = 0L
+        for (q <- 0 until 4) h = (h * 31 + (b(p + q) & 0xff)) & 0x7fffffffL
+        hist((h % 65).toInt) += 1
+      }
+      hist
+    }
+    val payloads = Seq(Array.empty[Byte], "abc".getBytes, "abcd".getBytes,
+      "the quick brown fox jumps over the lazy dog".getBytes,
+      Array.tabulate(500)(i => ((i * 131) % 256).toByte)) // full byte range, not just ASCII
+    payloads.foreach { b =>
+      val viaEval = graft.functions.MediaHist(Literal(b, BinaryType)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData].toLongArray()
+      assert(viaEval.sameElements(reference(b)), s"kernel != reference on ${b.length} bytes")
+    }
+    // codegen path (projection over a real frame) equals the same kernel
+    graft.functions.MediaHist.register(spark)
+    val viaDf = MultimodalQueries.mediaTable(spark, sfDir).toDF()
+      .selectExpr("media_id", "media_hist(payload) AS h").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val viaKernel = MultimodalQueries.mediaTable(spark, sfDir).collect()
+      .map(r => r.media_id -> reference(r.payload)).toMap
+    assert(viaDf.keySet == viaKernel.keySet)
+    viaDf.foreach { case (id, h) => assert(h.sameElements(viaKernel(id)), s"codegen mismatch at $id") }
+  }
+
+  test("media near-dup finds planted perturbed copies across indels and rejects unrelated payloads") {
+    // a 400-byte base payload; planted variants exercise the three
+    // perturbation classes a perceptual signature must survive:
+    // byte substitution, INSERTION and DELETION (the positional-dHash
+    // killers — segment grids misalign, content windows do not);
+    // plus two exact copies (intra-group, Hamming 0 by construction)
+    // and 200 unrelated payloads that must produce no pair.
+    val s = spark
+    import s.implicits._
+    val base = ("a quiet fox walked across the frozen river while the lamplight flickered " +
+      "over the old stone bridge and the last ferry of the evening pushed slowly " +
+      "through the dark water toward the distant and silent shore of the bay " +
+      "where the fishermen had already hauled their nets up for the night and gone " +
+      "home to their warm kitchens and sleeping children").take(400)
+    val substituted = base.updated(100, 'X').updated(250, 'Q')
+    val inserted = base.substring(0, 150) + "INSERTED FRAGMENT " + base.substring(150)
+    val deleted = base.substring(0, 200) + base.substring(230)
+    val planted = Seq(
+      0L -> base, 1L -> substituted, 2L -> inserted, 3L -> deleted,
+      4L -> base, 5L -> base) // 4,5: exact copies of 0
+    // genuinely distinct noise (md5-derived, like the dedup fixtures);
+    // "unrelated content $i" templates would be REAL near-dups — the
+    // signature is supposed to pair those
+    val noise = (100L until 300L).map(i =>
+      i -> (1 to 12).map(k => s"$i-$k".hashCode.toHexString).mkString(" "))
+    val media = (planted ++ noise).toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val pairs = MultimodalQueries.mediaNeardupOn(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val family = Set(0L, 1L, 2L, 3L, 4L, 5L)
+    // every pair within the planted family is found...
+    for (a <- family; b <- family if a < b)
+      assert(pairs.contains((a, b)), s"missing planted pair ($a,$b); got ${pairs.keySet}")
+    // ...exact copies at Hamming 0, and nothing outside the family
+    assert(pairs((0L, 4L)) == 0 && pairs((0L, 5L)) == 0 && pairs((4L, 5L)) == 0)
+    assert(pairs.keySet.forall { case (a, b) => family(a) && family(b) },
+      s"false positives: ${pairs.keySet.filterNot { case (a, b) => family(a) && family(b) }}")
   }
 
   test("feature extraction is deterministic and fixed-shape") {
