@@ -237,4 +237,69 @@ object StreamJobs {
       }
       .toDF("event_id", "user_id", "err_event_id", "gap_us")
   }
+
+  /** OUT-OF-ORDER-tolerant streaming as-of (VERDICT r4 #5) — the
+    * watermark+buffer production shape that [[asofWithState]]'s
+    * scaladoc names but defers: per-user events are BUFFERED in state
+    * until the event-time watermark passes them, then replayed in
+    * event-time order through the same latest-error logic, so an
+    * error delivered a batch late (but within the watermark delay)
+    * still enriches every later-timestamped click — including clicks
+    * that arrived BEFORE it. The trade is latency for correctness: a
+    * click emits only once the watermark passes its event time
+    * (nothing earlier can still arrive — Spark drops sub-watermark
+    * rows before the function, the flush uses the same strict bound).
+    *
+    * State per key is the pending buffer + one (tus, event_id) error
+    * tuple; the buffer is BOUNDED by the watermark delay window
+    * (events are evicted the moment the watermark passes them), so
+    * state is O(events within the delay window per key) — the same
+    * bound every watermarked streaming aggregation carries, not a
+    * grows-forever structure. `EventTimeTimeout` re-fires idle keys
+    * when the watermark reaches their oldest pending event, so a key
+    * that stops receiving data still flushes. Emission within a flush
+    * is event-time-ordered with the batch twin's exact tiebreak
+    * (tus, errors-before-clicks, event_id).
+    *
+    * Input: (user_id, event_id, event_type, tus). */
+  def asofWatermarked(events: org.apache.spark.sql.Dataset[(Long, Long, String, Long)],
+      delay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.toDF("user_id", "event_id", "event_type", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", delay)
+      .as[(Long, Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(List[(Long, Long, String, Long)], Option[(Long, Long)]),
+          (Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[(List[(Long, Long, String, Long)], Option[(Long, Long)])]) =>
+          val (buf0, last0) = state.getOption.getOrElse(
+            (List.empty[(Long, Long, String, Long)], Option.empty[(Long, Long)]))
+          val buf = buf0 ++ rows.map(r => (r._1, r._2, r._3, r._4))
+          val wmMs = state.getCurrentWatermarkMs()
+          // strict <: an event AT the watermark could still gain a
+          // same-instant sibling (Spark keeps ts >= watermark rows)
+          val (ready, pending) = buf.partition(_._4 / 1000 < wmMs)
+          var last = last0
+          val out = Array.newBuilder[(Long, Long, Option[Long], Option[Long])]
+          ready.sortBy(r => (r._4, if (r._3 == "error") 0 else 1, r._2)).foreach {
+            case (u, eid, typ, tus) =>
+              if (typ == "error") last = Some((tus, eid))
+              else if (typ == "click")
+                out += ((eid, u, last.map(_._2), last.map(l => tus - l._1)))
+          }
+          if (pending.isEmpty && last.isEmpty) state.remove()
+          else state.update((pending, last))
+          // re-fire this key once the watermark passes its oldest
+          // pending event (min/1000 >= wm because ready used strict <,
+          // so +1 satisfies the must-exceed-watermark contract)
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._4 / 1000).min + 1)
+          out.result().iterator
+      }
+      .toDF("event_id", "user_id", "err_event_id", "gap_us")
+  }
 }

@@ -342,4 +342,81 @@ class StreamingSpec extends SparkSpec {
         s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
     } finally q.stop()
   }
+
+  test("watermarked as-of attributes a LATE error delivered in a later batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sec = 1000000L // microseconds
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamJobs.asofWatermarked(mem.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("asof_wm").outputMode("append").start()
+    try {
+      // batch 1: error@1000s, clicks @1600s and @2000s — nothing can
+      // emit yet (watermark still behind them)
+      mem.addData((1L, 10L, "error", 1000 * sec),
+        (1L, 11L, "click", 1600 * sec), (1L, 12L, "click", 2000 * sec))
+      q.processAllAvailable()
+      // batch 2: the LATE error@1500s — BEFORE both buffered clicks in
+      // event time, after them in arrival order; watermark is 1400s
+      // (2000s − 600s) so it is within tolerance, not dropped
+      mem.addData((1L, 13L, "error", 1500 * sec))
+      q.processAllAvailable()
+      assert(spark.table("asof_wm").isEmpty,
+        "clicks emitted before the watermark passed them")
+      // flush: advance the watermark past the clicks (3000s − 600s =
+      // 2400s); the buffered events replay in EVENT-TIME order
+      mem.addData((1L, 99L, "noop", 3000 * sec))
+      q.processAllAvailable()
+      mem.addData((1L, 98L, "noop", 3100 * sec)) // belt: force one more trigger
+      q.processAllAvailable()
+      val got = spark.table("asof_wm").collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSet
+      // both clicks see the LATE error 13 — the time-ordered twin
+      // (asofWithState) would have attributed click 11 to error 10
+      assert(got == Set(
+        (11L, 1L, 13L, 100 * sec), (12L, 1L, 13L, 500 * sec)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("watermarked as-of equals the batch as-of join when fed OUT of order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the full sf0.001 click/error stream fed in three DESCENDING
+    // time chunks — maximal cross-batch disorder; the watermark delay
+    // covers the whole span so nothing is late-dropped
+    val rows = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(-_._4)
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamJobs.asofWatermarked(mem.toDS(), "3650 days")
+      .writeStream.format("memory").queryName("asof_ooo").outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // flush sentinel far enough that watermark passes every event
+      val flushT = rows.map(_._4).max + 3651L * 24 * 3600 * 1000000
+      mem.addData((0L, 0L, "noop", flushT)); q.processAllAvailable()
+      mem.addData((0L, 1L, "noop", flushT + 1)); q.processAllAvailable()
+      val stream = spark.table("asof_ooo").collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSet
+      val batch = graft.queries.ExtensionQueries.asofJoin(spark, sfDir).collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSet
+      assert(batch.nonEmpty)
+      assert(stream == batch,
+        s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+    } finally q.stop()
+  }
 }
