@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   *
   * The feature is a CONTENT-WINDOW HISTOGRAM: every rolling 4-byte
   * window of the payload is hashed (polynomial ·31 rolling hash in the
-  * 31-bit ring) into one of [[MediaSig.Bins]] = 65 buckets, and the
+  * 31-bit ring) into one of [[MediaSig.Bins]] = 129 buckets, and the
   * bucket counts are the feature vector. Position never enters the
   * bucket — only content — so the histogram is TRANSLATION-INVARIANT:
   * an insertion or deletion perturbs just the ~4 windows that straddle
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * every downstream segment. This is the histogram-fingerprint family
   * of perceptual hashing (color/intensity histograms for images,
   * spectral histograms for audio), applied to the opaque byte stream;
-  * the 64-bit gradient signature derived from it downstream
+  * the 128-bit gradient signature derived from it downstream
   * (bit i = [hist(i) < hist(i+1)]) is the aHash/dHash-style compaction
   * of the same feature, used only for banding and prefiltering — exact
   * verification happens on the full histogram (integer L1).
@@ -33,22 +33,28 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * on fixed-raster payloads), and a raw byte-VALUE histogram had no
   * discrimination at all (same-language text shares one byte
   * distribution). 4-byte content windows are the measured sweet spot:
-  * true pairs at signature Hamming ≤ 3 / relative L1 ≤ 0.14, random
-  * pairs at mean Hamming 21.6 / L1 ≥ 0.25.
+  * true pairs at signature Hamming ≤ 6 of 128 / relative L1 ≤ 0.15,
+  * random pairs at mean Hamming 41.6 / L1 ≥ 0.25. The signature is
+  * 128-bit (129 bins), not 64: same-language histograms make gradient
+  * bits agree ~2/3 of the time across UNRELATED docs, so at 64 bits
+  * the ≤2-flip band probing admitted ~20% of all pairs as candidates
+  * (25M join rows at sf0.1); doubling the bits drops a random pair's
+  * per-32-bit-band collision odds below 1e-3 (measured: 1.1M rows,
+  * 23× less) while true pairs stay inside the deterministic radius.
   *
   * Pure integer arithmetic end to end — the 31-bit ring keeps every
   * intermediate exact in any engine's BIGINT, so DuckDB replays the
   * histogram byte-for-byte (corpus payloads are ASCII text bytes,
   * where `ascii(substr(..))` enumerates payload bytes — the same
   * equivalence `q_multimodal_features` relies on). One pass, no
-  * allocation beyond the 65-slot array; called from both the
+  * allocation beyond the 129-slot array; called from both the
   * interpreted eval and generated code (static forwarder), so the two
   * paths are the same machine code by construction.
   */
 object MediaSig {
 
-  /** 65 buckets → 64 adjacent-pair gradient bits downstream. */
-  val Bins = 65
+  /** 129 bins → 128 adjacent-pair gradient bits downstream. */
+  val Bins = 129
 
   /** Rolling window width in bytes. */
   val Win = 4
@@ -70,7 +76,7 @@ object MediaSig {
   }
 }
 
-/** Native Catalyst expression: `media_hist(payload)` — the 65-bin
+/** Native Catalyst expression: `media_hist(payload)` — the 129-bin
   * content-window histogram of a binary column ([[MediaSig.hist]]),
   * as a narrow codegen'd projection (no explode, no shuffle, no UDF). */
 case class MediaHist(child: Expression) extends UnaryExpression {

@@ -127,12 +127,12 @@ object MultimodalQueries {
     * the banding's deterministic radius 11 (see below), so candidate
     * generation provably reaches every pair the signature filter
     * accepts: recall 1.0 by pigeonhole, not by probability. Measured
-    * corpus margin: true near-dup pairs sit at Hamming ≤ 3, random
-    * pairs at mean 21.6. */
+    * corpus margin: true near-dup pairs sit at Hamming ≤ 6 of 128,
+    * random pairs at mean 41.6. */
   private val HamThreshold = 10
 
   /** Exact-verification cut: relative L1 distance between the full
-    * 65-bin window histograms ≤ 1/[[L1Denom]], evaluated in the
+    * 129-bin window histograms ≤ 1/[[L1Denom]], evaluated in the
     * division-free integer form `L1Denom·Σ|h1ₖ·n2 − h2ₖ·n1| ≤ n1·n2`
     * (nᵢ = window count). Measured margin: true pairs ≤ 0.14, random
     * pairs ≥ 0.25 — the cut at 0.2 splits the gap. */
@@ -142,28 +142,34 @@ object MultimodalQueries {
     * the multimodal analog of [[DedupQueries.simhashPairs]], over the
     * opaque binary payload: all media pairs whose content-window
     * histograms ([[graft.functions.MediaSig]]) agree to relative L1 ≤
-    * 1/[[L1Denom]] AND whose 64-bit gradient signatures are within
+    * 1/[[L1Denom]] AND whose 128-bit gradient signatures are within
     * Hamming [[HamThreshold]].
     *
     * Pipeline (the multimodal twin of the text dedup layout):
     *   1. exact collapse — md5 of the PAYLOAD groups byte-identical
     *      media to one representative (a 10⁶-copy image costs O(10⁶)
     *      here, never a quadratic bucket);
-    *   2. feature per representative — the 65-bin window histogram,
+    *   2. feature per representative — the 129-bin window histogram,
     *      one codegen'd pass per payload, plus its aHash/dHash-style
-    *      64-bit gradient compaction (bit i = [hist(i) < hist(i+1)]);
-    *   3. banded Hamming candidates on the signature — 4 bands × 16
+    *      128-bit gradient compaction (bit i = [hist(i) < hist(i+1)],
+    *      packed into two longs);
+    *   3. banded Hamming candidates on the signature — 4 bands × 32
     *      bits with symmetric 1-flip probes: two signatures collide
     *      on a band iff that band differs in ≤ 2 bits, so by
     *      pigeonhole any pair within Hamming 11 collides somewhere
     *      (4 bands × 3 errors each would need ≥ 12) — DETERMINISTIC
     *      radius-11 recall, covering the ≤ [[HamThreshold]] = 10
     *      filter entirely; oversized buckets are salt-sharded, not
-    *      dropped ([[DedupQueries.bucketJoinPairs]]);
+    *      dropped ([[DedupQueries.bucketJoinPairs]]). 32-bit bands
+    *      keep a random pair's band-collision odds under 1e-3 even
+    *      though unrelated same-language docs agree on ~2/3 of
+    *      gradient bits — the 64-bit form admitted ~20% of ALL pairs
+    *      (measured: 25M → 1.1M join rows at sf0.1, see
+    *      [[graft.functions.MediaSig]]);
     *   4. verify — exact signature Hamming ≤ 10, then exact integer
     *      L1 over the FULL histograms (the byte-level feature
-    *      distance; kills the ~0.5% of random pairs that pass the
-    *      64-bit signature filter — measured: their L1 ≥ 0.27);
+    *      distance; kills any random pair that slips the signature
+    *      filter — measured: their L1 ≥ 0.25 vs true pairs ≤ 0.15);
     *   5. expand — member pairs through the exact-payload groups
     *      (identical payload ⇒ identical histogram: intra-group
     *      Hamming is 0, inter-group pairs inherit the
@@ -191,22 +197,25 @@ object MultimodalQueries {
     val reps = media.join(
       groups.filter(col("media_id") === col("rep")).select("media_id"), "media_id")
     // feature + signature in one narrow projection; n = window count.
-    // The signature packs 64 gradient bits into a long: bit 63 lands as
-    // Long.MIN_VALUE, and because each power of two is added once, no
-    // partial sum ever leaves the long range (ANSI-safe).
+    // The 128 gradient bits pack into TWO longs: bit 63 of each lands
+    // as Long.MIN_VALUE, and because each power of two is added once,
+    // no partial sum ever leaves the long range (ANSI-safe).
+    def packBits(lo: Int): String =
+      s"aggregate(sequence($lo, ${lo + 63}), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(feat, i + 1) < element_at(feat, i + 2), shiftleft(1L, i - $lo), 0L))"
     val sig = reps
       .select(col("media_id"), expr("media_hist(payload)").as("feat"),
         greatest(octet_length(col("payload")) - (graft.functions.MediaSig.Win - 1), lit(0))
           .cast("long").as("n"))
-      .withColumn("ph", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
-          "acc + IF(element_at(feat, i + 1) < element_at(feat, i + 2), shiftleft(1L, i), 0L))"))
-      .localCheckpoint() // small (one 65-long array/rep); consumed by banding + both verify sides
+      .withColumn("ph0", expr(packBits(0)))
+      .withColumn("ph1", expr(packBits(64)))
+      .localCheckpoint() // small (one 129-long array/rep); consumed by banding + both verify sides
     val nBands = 4
-    val bandBits = 16
+    val bandBits = 32
     val bandCols = (0 until nBands).map { b =>
+      val src = if (b < 2) col("ph0") else col("ph1")
       struct(lit(b).as("band"),
-        shiftright(col("ph"), b * bandBits).bitwiseAND((1L << bandBits) - 1).as("bh"))
+        shiftright(src, (b % 2) * bandBits).bitwiseAND((1L << bandBits) - 1).as("bh"))
     }
     val banded = sig.select(col("media_id").as("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -218,10 +227,11 @@ object MultimodalQueries {
     val l1x = expr("aggregate(zip_with(f1, f2, (a, b) -> abs(a * n2 - b * n1)), 0L, (acc, v) -> acc + v)")
     val verified = cand
       .join(sig.select(col("media_id").as("d1"), col("feat").as("f1"),
-        col("ph").as("h1"), col("n").as("n1")), "d1")
+        col("ph0").as("h01"), col("ph1").as("h11"), col("n").as("n1")), "d1")
       .join(sig.select(col("media_id").as("d2"), col("feat").as("f2"),
-        col("ph").as("h2"), col("n").as("n2")), "d2")
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+        col("ph0").as("h02"), col("ph1").as("h12"), col("n").as("n2")), "d2")
+      .withColumn("hamming", bit_count(col("h01").bitwiseXOR(col("h02")))
+        + bit_count(col("h11").bitwiseXOR(col("h12"))))
       .filter(col("hamming") <= HamThreshold)
       .filter(l1x * L1Denom <= col("n1") * col("n2"))
       .select("d1", "d2", "hamming")
@@ -242,7 +252,7 @@ object MultimodalQueries {
 
   /** DuckDB oracle: brute-force all-pairs over the SAME integer
     * definitions — 4-byte windows hashed with the ·31 rolling hash in
-    * the 31-bit ring into 65 bins, gradient bits compared per-index
+    * the 31-bit ring into 129 bins, gradient bits compared per-index
     * (no BIGINT packing, so bit 63 needs no signed-overflow care),
     * histogram L1 in the cross-multiplied integer form. The corpus
     * payload is the UTF-8 bytes of ASCII text, so `ascii(substr(..))`
@@ -273,7 +283,7 @@ object MultimodalQueries {
        |  SELECT a.doc_id, a.bin AS bit,
        |         CASE WHEN a.c < b.c THEN 1 ELSE 0 END AS bv
        |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.bin = a.bin + 1
-       |  WHERE a.bin < 64),
+       |  WHERE a.bin < 128),
        |ham AS (
        |  SELECT a.doc_id AS m1, b.doc_id AS m2,
        |         sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) AS h

@@ -20,11 +20,11 @@ class MultimodalSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
     def reference(b: Array[Byte]): Array[Long] = {
-      val hist = new Array[Long](65)
+      val hist = new Array[Long](129)
       for (p <- 0 until (b.length - 3)) {
         var h = 0L
         for (q <- 0 until 4) h = (h * 31 + (b(p + q) & 0xff)) & 0x7fffffffL
-        hist((h % 65).toInt) += 1
+        hist((h % 129).toInt) += 1
       }
       hist
     }
@@ -77,13 +77,45 @@ class MultimodalSpec extends SparkSpec {
     val pairs = MultimodalQueries.mediaNeardupOn(media)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     val family = Set(0L, 1L, 2L, 3L, 4L, 5L)
-    // every pair within the planted family is found...
-    for (a <- family; b <- family if a < b)
-      assert(pairs.contains((a, b)), s"missing planted pair ($a,$b); got ${pairs.keySet}")
-    // ...exact copies at Hamming 0, and nothing outside the family
+    // every variant pairs with the base AND its exact copies (copies
+    // share the base's histogram, so variant↔copy must match
+    // variant↔base); variant↔variant pairs are two edits apart —
+    // additive distance — and are NOT required to clear the radius
+    for (v <- Seq(1L, 2L, 3L); b <- Seq(0L, 4L, 5L))
+      assert(pairs.contains((math.min(v, b), math.max(v, b))),
+        s"missing planted pair ($v,$b); got ${pairs.keySet}")
+    // exact copies at Hamming 0, and nothing outside the family
     assert(pairs((0L, 4L)) == 0 && pairs((0L, 5L)) == 0 && pairs((4L, 5L)) == 0)
     assert(pairs.keySet.forall { case (a, b) => family(a) && family(b) },
       s"false positives: ${pairs.keySet.filterNot { case (a, b) => family(a) && family(b) }}")
+  }
+
+  test("media near-dup covers the text near-dup ground truth at the test and oracle SFs") {
+    // ties the perceptual contract to the corpus's text ground truth
+    // where the measured margins hold (true pairs: Hamming ≤ 6,
+    // L1 ≤ 0.15 vs cuts 10 / 0.2). The contracts are deliberately not
+    // identical — at sf0.1 one short-doc text pair sits at L1 0.29
+    // (an edit is a large fraction of a short payload's histogram)
+    // and is correctly outside the media contract on BOTH engines.
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val brute = graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(length(text) - 11, 1)), i -> substring(text, i, 12)))")).as("s"))
+        .localCheckpoint()
+      val sizes = brute.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val truePairs = brute.select(col("doc_id").as("d1"), col("s"))
+        .join(brute.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .filter(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")) >= 0.5)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val media = MultimodalQueries.mediaNeardup(spark, dir)
+        .select("m1", "m2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truePairs.nonEmpty)
+      assert(truePairs.subsetOf(media), s"$dir missing ${truePairs -- media}")
+    }
   }
 
   test("feature extraction is deterministic and fixed-shape") {
