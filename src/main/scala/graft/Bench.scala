@@ -2,6 +2,26 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One-line driver-channel JSON. Contract (unit-tested, BenchJsonSpec):
+    * 3-decimal per-query seconds keep the line compact — with 67+
+    * queries the 9-decimal form grew past ~2.4 KB and the driver's
+    * capture tail truncated the line's HEAD, killing the parse
+    * (BENCH_r04 was "parsed": null); ms precision is all the channel
+    * needs. metric/value come AFTER the queries map, so if a capture
+    * window still truncates from the front, the headline fields
+    * survive at the tail end of the line. Failures (-1 markers) are
+    * excluded from the total rather than silently shrinking it; they
+    * remain visible per-query. */
+  private[graft] def renderJson(results: Map[String, Double], sfDir: String): String = {
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    s"""{"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,21 +58,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> sec
     }
-    // 3-decimal rounding keeps the line compact: with 67 queries the
-    // 9-decimal form grew past ~2.4 KB and the driver's capture tail
-    // truncated the line's HEAD, killing the parse (BENCH_r04 was
-    // "parsed": null). ms precision is all the channel needs.
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    // failures (-1 markers) are excluded from the total rather than
-    // silently shrinking it; they remain visible per-query
-    val total = results.values.filter(_ >= 0).sum
-    // metric/value/sf come AFTER the queries map: if a capture window
-    // still truncates from the front, the headline fields survive at the
-    // tail end of the line
-    val json = s"""{"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}"""
+    val json = renderJson(results, sfDir)
     // three channels so the driver can't miss it (BENCH_r02 was still
     // "parsed": null): stdout (sbt-wrapped with [info]), the file at
     // `target/bench.json` (documented in README), and — emitted LAST,

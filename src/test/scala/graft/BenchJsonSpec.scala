@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The bench line is a machine channel (driver → BENCH_r{N}.json); this
+  * pins the contract that round 4 broke: it must parse, stay compact,
+  * and keep the headline fields at the TAIL so front-truncation cannot
+  * eat them. json4s rides in from Spark's classpath — no new dep. */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val results = (1 to 69).map(i => s"q_$i" -> i / 7.0).toMap + ("q_fail" -> -1.0)
+  private val json = Bench.renderJson(results, "/root/testdata/sf0.1")
+
+  test("bench line parses and carries total/unit/sf plus every query") {
+    val parsed = JsonMethods.parse(json)
+    val JString("total") = parsed \ "metric"
+    val JString("sec") = parsed \ "unit"
+    val JString("/root/testdata/sf0.1") = parsed \ "sf"
+    val JObject(qs) = parsed \ "queries"
+    assert(qs.size == 70)
+    val JDouble(total) = parsed \ "value"
+    val expected = results.values.filter(_ >= 0).sum
+    assert(math.abs(total - expected) < 0.002 * results.size)
+    val JInt(fail) = parsed \ "queries" \ "q_fail"
+    assert(fail == -1, "a failed query must stay visible as -1")
+  }
+
+  test("headline fields sit after the queries map and the line stays compact") {
+    assert(json.indexOf("\"metric\"") > json.indexOf("\"queries\""),
+      "metric must come AFTER queries so tail capture keeps it")
+    assert(json.indexOf("\"value\"") > json.indexOf("\"queries\""))
+    // 3-decimal rounding: ~20 bytes per query, not ~30
+    assert(json.length < 70 * 22 + 200, s"line grew to ${json.length} bytes")
+    assert(!json.contains("\n"), "must be ONE line")
+  }
+}
