@@ -68,6 +68,7 @@ object SparkEntry {
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
     "q_dedup_clusters_full" -> (DedupQueries.dedupClustersFull _),
+    "q_dedup_incremental" -> (DedupQueries.dedupIncremental _),
     "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
     "q_embedding_stats"  -> (SimilarityQueries.embeddingStats _),
     "q_ann_lsh"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annLsh(s, d)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q_simhash_pairs"    -> DedupQueries.simhashPairsSql,
     "q_dedup_keep"       -> DedupQueries.dedupKeepSql,
     "q_dedup_clusters_full" -> DedupQueries.dedupClustersFullSql,
+    "q_dedup_incremental" -> DedupQueries.dedupIncrementalSql,
     "q_ann_lsh"          -> SimilarityQueries.annLshSql,
     "q_ann_ivf_seeded"   -> SimilarityQueries.annIvfSeededSql,
     "q_embedding_neardup" -> SimilarityQueries.embeddingNeardupSql,

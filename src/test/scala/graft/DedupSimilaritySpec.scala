@@ -236,6 +236,42 @@ class DedupSimilaritySpec extends SparkSpec {
       r.getAs[Long]("n_distinct") + r.getAs[Long]("n_dups"))
   }
 
+  test("incremental ingest dedup EQUALS the brute-force cross-split pairs and emits ONLY cross pairs") {
+    val brute = bruteForcePairs
+    def isBatch(d: Long) = d % 10 == 7
+    // orient the symmetric brute pairs as (existing, new); drop
+    // batch×batch and corpus×corpus pairs — not this operator's job
+    val expected = brute.collect {
+      case (a, b, j) if isBatch(a) ^ isBatch(b) =>
+        if (isBatch(b)) (a, b, j) else (b, a, j)
+    }
+    assert(expected.nonEmpty, "fixture should have cross-split near-dups")
+    val got = DedupQueries.dedupIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    got.foreach { case (e, n, _) =>
+      assert(!isBatch(e) && isBatch(n), s"non-cross pair ($e,$n) leaked into the output")
+    }
+  }
+
+  test("incremental dedup probes a planted hot index bucket without dropping pairs") {
+    // 300 corpus docs sharing a template body (every band bucket >
+    // TargetBucket on the INDEX side) + one batch doc near the
+    // template: the salted asymmetric join must return all 300
+    // cross pairs — and none of the C(300,2) corpus-side pairs.
+    val body = ("the shared boilerplate paragraph that appears in every templated document " +
+      "of this planted corpus and is long enough to dominate the shingle set entirely " +
+      "so that pairwise jaccard similarity sits near one for all pairs of documents ")
+      .take(260)
+    val docs = spark.range(0, 301).selectExpr(
+      "IF(id < 300, id * 10, 7) AS doc_id", // 300 corpus ids (≢7 mod 10), one batch id 7
+      s"concat('$body', IF(id < 300, substring(md5(concat('x', id)), 1, 6), 'batchy')) AS text")
+    val out = DedupQueries.dedupIncrementalOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.size == 300, s"expected all 300 cross pairs, got ${out.size}")
+    assert(out.forall(_._2 == 7L))
+  }
+
   test("dedup trunk is materialized ONCE per data dir; later consumers only read scratch") {
     // VERDICT r4 #1: q_minhash_lsh / q_dedup_keep / q_dedup_clusters_full
     // share the collapse→signature→band→prefilter→verify trunk; the
