@@ -628,27 +628,46 @@ object DedupQueries {
   private[graft] def dedupIncrementalOn(docs: DataFrame): DataFrame = {
     val corpus = docs.filter(pmod(col("doc_id"), lit(BatchMod)) =!= BatchRem)
     val batch  = docs.filter(pmod(col("doc_id"), lit(BatchMod)) === BatchRem)
-    val corpusSigs = minhashSignatures(corpus).localCheckpoint()
-    val batchSigs  = minhashSignatures(batch).localCheckpoint()
-    def banded(sigs: DataFrame): DataFrame = {
-      val bandCols = (0 until NumHashes / BandSize).map { b =>
-        struct(lit(b).as("band"),
-          hash((b * BandSize until (b + 1) * BandSize).map(i => col("sig").getItem(i)): _*).as("bh"))
-      }
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    screen(buildIndex(corpus), batch)
+  }
+
+  /** The maintained corpus-side artifact of incremental dedup: the
+    * corpus documents plus their materialized signature table. Built
+    * ONCE (per corpus snapshot / streaming query start) and probed by
+    * every subsequent batch — see [[screen]] and the streaming twin
+    * [[graft.streaming.StreamJobs.ingestScreening]]. */
+  private[graft] case class IngestIndex(corpus: DataFrame, corpusSigs: DataFrame)
+
+  private[graft] def buildIndex(corpus: DataFrame): IngestIndex =
+    IngestIndex(corpus, minhashSignatures(corpus).localCheckpoint())
+
+  private def bandedOf(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * BandSize until (b + 1) * BandSize).map(i => col("sig").getItem(i)): _*).as("bh"))
     }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Screen one batch of new documents against the index: sign the
+    * batch, probe the index bands (salted asymmetric join), prefilter
+    * on signature agreement, verify survivors by exact shingle
+    * Jaccard. |batch|-proportional work. */
+  private[graft] def screen(index: IngestIndex, batch: DataFrame): DataFrame = {
+    val batchSigs = minhashSignatures(batch).localCheckpoint()
     val agree = expr(
       "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
-    val prefiltered = asymBucketJoinPairs(banded(corpusSigs), banded(batchSigs),
+    val prefiltered = asymBucketJoinPairs(bandedOf(index.corpusSigs), bandedOf(batchSigs),
         Seq("band", "bh"))
-      .join(corpusSigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(index.corpusSigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
       .join(batchSigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .filter(agree >= NumHashes / 4)
       .select(col("d1"), col("d2"))
       .distinct()
       .localCheckpoint() // tiny; consumed twice inside verify
-    verify(prefiltered, docs)
+    verify(prefiltered, index.corpus.select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text")))
       .select(col("d1").as("existing_id"), col("d2").as("new_id"),
         round(col("j"), 6).as("jaccard"))
       .orderBy("existing_id", "new_id")

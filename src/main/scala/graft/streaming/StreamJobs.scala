@@ -302,4 +302,29 @@ object StreamJobs {
       }
       .toDF("event_id", "user_id", "err_event_id", "gap_us")
   }
+
+  /** Streaming twin of [[graft.queries.DedupQueries.dedupIncremental]]:
+    * new documents arrive as a micro-batch stream and every batch is
+    * screened against the STATIC existing corpus — the continuous
+    * ingest-dedup shape of a maintained training corpus. `foreachBatch`
+    * because screening is a multi-stage batch pipeline (salted banded
+    * probe → signature-agreement prefilter → exact-Jaccard verify);
+    * the corpus-side signature index is built ONCE at query start
+    * ([[graft.queries.DedupQueries.buildIndex]], localCheckpointed) and
+    * reused by every micro-batch, so per-batch work is
+    * |batch|-proportional — the trigger-time analog of the maintained
+    * index table. `sink` receives each batch's verified
+    * (existing_id, new_id, jaccard) frame; the ScalaTest sink
+    * accumulates and asserts equality with the one-shot batch
+    * screening of the same documents. */
+  def ingestScreening(corpus: DataFrame, newDocs: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = graft.queries.DedupQueries.buildIndex(corpus)
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.DedupQueries.screen(index, batch))
+      }
+      .start()
+  }
 }

@@ -343,6 +343,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest screening equals the one-shot batch screening across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batchRows = docs.filter(col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = StreamJobs.ingestScreening(corpus, mem.toDF().toDF("doc_id", "text")) { res =>
+      got ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      // the new docs arrive split across two micro-batches; the corpus
+      // index is built once and probed by both
+      batchRows.grouped(math.max(batchRows.length / 2, 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val batchRun = graft.queries.DedupQueries.dedupIncremental(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batchRun.nonEmpty)
+      assert(got.toSet == batchRun,
+        s"missing=${batchRun -- got} extra=${got.toSet -- batchRun}")
+    } finally q.stop()
+  }
+
   test("watermarked as-of attributes a LATE error delivered in a later batch") {
     val s = spark
     import s.implicits._
