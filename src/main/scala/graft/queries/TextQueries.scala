@@ -647,4 +647,50 @@ object TextQueries {
        |GROUP BY doc_id
        |ORDER BY rep_ratio DESC, doc_id
        |LIMIT $k""".stripMargin
+
+  // --------------------------------------------------------- chunking
+
+  private val ChunkSize    = 200
+  private val ChunkOverlap = 50
+  private val ChunkStride  = ChunkSize - ChunkOverlap // 150
+
+  /** Context-window document chunking — the segmentation step that
+    * turns variable-length documents into training-window pieces:
+    * sliding windows of [[ChunkSize]] chars with [[ChunkOverlap]]
+    * overlap (stride [[ChunkStride]]). Chunk count per doc is
+    * `max(⌈(len − overlap) / stride⌉, 1)`, evaluated in exact integer
+    * arithmetic (`(len + stride − overlap − 1) div stride`), so the
+    * last window always reaches the end of the document and every
+    * char is covered (coverage + overlap invariants are ScalaTested).
+    * Output carries the chunk's position, exact length and content
+    * md5 — the dedup-able fingerprint a chunk store keys on — rather
+    * than the chunk text itself (at 100 TB the chunk table is written
+    * columnar once; the fingerprint is what downstream joins touch).
+    * One narrow scan, per-row explode bounded by chunks-per-doc, no
+    * shuffle. ASCII corpus ⇒ char and byte addressing agree across
+    * engines (the q_multimodal_features equivalence). */
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("n_chunks",
+        greatest(expr(s"(len + ${ChunkStride - ChunkOverlap - 1}) div $ChunkStride"), lit(1L)))
+      .withColumn("chunk_idx", explode(expr("sequence(0, CAST(n_chunks AS INT) - 1)")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).cast("long").as("start_pos"),
+        least(lit(ChunkSize), col("len") - col("chunk_idx") * ChunkStride)
+          .cast("long").as("chunk_len"),
+        md5(expr(s"substring(text, chunk_idx * $ChunkStride + 1, $ChunkSize)")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunkSql: String =
+    s"""SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |       chunk_idx * $ChunkStride AS start_pos,
+       |       least($ChunkSize, len - chunk_idx * $ChunkStride) AS chunk_len,
+       |       md5(substr(text, CAST(chunk_idx * $ChunkStride + 1 AS INTEGER), $ChunkSize)) AS chunk_md5
+       |FROM (SELECT doc_id, text, strlen(text) AS len,
+       |             unnest(range(greatest((strlen(text) + ${ChunkStride - ChunkOverlap - 1}) // $ChunkStride, 1))) AS chunk_idx
+       |      FROM documents)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

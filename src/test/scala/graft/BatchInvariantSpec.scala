@@ -268,4 +268,32 @@ class BatchInvariantSpec extends SparkSpec {
       assert(bn >= 5 && bn <= 40)
     }
   }
+
+  test("doc chunking covers every char with exact stride-overlap structure") {
+    val chunks = graft.queries.TextQueries.docChunk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val lens = Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == lens.keySet, "every doc must be chunked")
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val len = lens(doc)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, clen), i) =>
+        assert(idx == i, s"doc $doc chunk indices not dense")
+        assert(start == i.toLong * 150, s"doc $doc stride broken at $i")
+        assert(clen == math.min(200L, len - start), s"doc $doc chunk_len wrong at $i")
+      }
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == len, s"doc $doc tail not covered")
+      // consecutive chunks overlap by exactly 50 chars (except a short tail)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s1 + l1 - s2 == math.min(50L, s1 + l1 - s2), "overlap exceeded")
+          assert(s2 < s1 + l1, s"doc $doc gap between chunks")
+        case _ =>
+      }
+    }
+  }
 }
