@@ -65,6 +65,7 @@ object SparkEntry {
     "q_doc_repetition"   -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextQueries.docRepetition(s, d)),
     "q_filter_funnel"    -> (TextQueries.filterFunnel _),
     "q_doc_chunk"        -> (TextQueries.docChunk _),
+    "q_seq_pack"         -> (TextQueries.seqPack _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_doc_repetition"   -> TextQueries.docRepetitionSql(),
     "q_filter_funnel"    -> TextQueries.filterFunnelSql,
     "q_doc_chunk"        -> TextQueries.docChunkSql,
+    "q_seq_pack"         -> TextQueries.seqPackSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

@@ -648,6 +648,59 @@ object TextQueries {
        |ORDER BY rep_ratio DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  // ---------------------------------------------------------- packing
+
+  private val PackCapacity = 256
+
+  /** Training-sequence PACKING — the step after chunking/tokenization
+    * that fills fixed-capacity training sequences from variable-length
+    * documents: docs are laid out in (source, doc_id) order and cut
+    * into bins of [[PackCapacity]] tokens by a running token cumsum; a
+    * document is assigned to the bin where its FIRST token falls
+    * (contiguous fill with bounded overflow — a bin exceeds capacity
+    * by at most one document's tail, the classic streaming-packing
+    * trade against splitting documents mid-sequence). Deterministic:
+    * the order key is unique, the cumsum exact integers.
+    *
+    * Scale: packing is inherently order-sequential, so the window
+    * PARTITIONS BY `source` — each source packs independently in
+    * parallel (the production layout: one packer per shard/source; a
+    * single global ordering would serialize 100 TB through one task).
+    * Output is one row per (source, bin): docs, tokens, fill ratio. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("bin", expr(s"(cum - tok) div $PackCapacity"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill", round(col("n_tokens").cast("double") / PackCapacity, 4))
+      .orderBy("source", "bin")
+  }
+
+  val seqPackSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, tok,
+       |         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT source, CAST((cum - tok) // $PackCapacity AS BIGINT) AS bin,
+       |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |       round(CAST(sum(tok) AS DOUBLE) / $PackCapacity, 4) AS fill
+       |FROM c
+       |GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
   // --------------------------------------------------------- chunking
 
   private val ChunkSize    = 200

@@ -296,4 +296,27 @@ class BatchInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("sequence packing conserves docs and tokens; bins overflow by at most one doc tail") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("source", "doc_id",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bins = graft.queries.TextQueries.seqPack(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: every doc and every token lands in exactly one bin
+    assert(bins.map(_._3).sum == docs.length)
+    assert(bins.map(_._4).sum == docs.map(_._3).sum)
+    // bounded overflow: a bin holds < capacity tokens before its last
+    // doc starts, so n_tokens < capacity + that source's max doc size
+    val maxTok = docs.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    bins.foreach { case (src, bin, _, toks) =>
+      assert(toks < 256 + maxTok(src), s"bin ($src,$bin) overflowed beyond one doc tail")
+    }
+    // bins are dense per source starting at 0
+    bins.groupBy(_._1).foreach { case (src, bs) =>
+      val ids = bs.map(_._2).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1, s"$src bins not dense")
+    }
+  }
 }
