@@ -225,7 +225,7 @@ object DedupQueries {
     * the driver hash-checks it against the DuckDB brute-force oracle
     * (VERDICT r2 task #1). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val (groups, verified) = trunk(spark, dir)
+    val (groups, verified, _) = trunk(spark, dir)
     expand(verified, groups)
   }
 
@@ -254,17 +254,24 @@ object DedupQueries {
     * materialized once per corpus snapshot and every downstream
     * consumer (pair audit, keep-decision, clustering) reads it, rather
     * than re-hashing the corpus per consumer. */
-  private def trunk(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def trunk(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val base = s"${Tables.scratchDir}/deduptrunk"
     if (!spark.conf.getOption("graft.deduptrunk.dir").contains(dir)) {
       val (groups, verified) = verifiedRepPairs(Tables(spark, dir, "documents"))
       groups.write.mode("overwrite").parquet(s"$base/groups.parquet")
       verified.write.mode("overwrite").parquet(s"$base/verified.parquet")
+      // the connected-component labels ride in the trunk too: both
+      // clustering consumers (keep-mode, full clusters) need the same
+      // fixpoint over the same pair graph — run it once, over the
+      // just-written parquet (flat lineage for the round jobs)
+      components(spark.read.parquet(s"$base/verified.parquet").select("d1", "d2"))
+        .write.mode("overwrite").parquet(s"$base/labels.parquet")
       trunkWrites += 1
       spark.conf.set("graft.deduptrunk.dir", dir)
     }
     (spark.read.parquet(s"$base/groups.parquet"),
-      spark.read.parquet(s"$base/verified.parquet"))
+      spark.read.parquet(s"$base/verified.parquet"),
+      spark.read.parquet(s"$base/labels.parquet"))
   }
 
   /** The shared MinHash+LSH trunk: exact-dup collapse, signatures,
@@ -396,17 +403,16 @@ object DedupQueries {
     * = min member = min representative, since each representative is
     * already its group's minimum. */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val (groups, verified) = trunk(spark, dir)
-    keepFrom(groups, verified)
+    val (groups, _, labels) = trunk(spark, dir)
+    keepFrom(groups, labels)
   }
 
   private[graft] def dedupKeepOn(docs: DataFrame): DataFrame = {
     val (groups, verified) = verifiedRepPairs(docs)
-    keepFrom(groups, verified)
+    keepFrom(groups, components(verified.select("d1", "d2")))
   }
 
-  private def keepFrom(groups: DataFrame, verified: DataFrame): DataFrame = {
-    val comp = components(verified.select("d1", "d2"))
+  private def keepFrom(groups: DataFrame, comp: DataFrame): DataFrame = {
     groups.join(comp, groups("rep") === comp("doc"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("rep")).as("canonical_id"))
       .withColumn("is_kept", col("doc_id") === col("canonical_id"))
@@ -449,17 +455,16 @@ object DedupQueries {
     * component of size ≥ 2 (near-dups AND exact duplicates), with its
     * component root and canonical flag. */
   def dedupClustersFull(spark: SparkSession, dir: String): DataFrame = {
-    val (groups, verified) = trunk(spark, dir)
-    clustersFrom(groups, verified)
+    val (groups, _, labels) = trunk(spark, dir)
+    clustersFrom(groups, labels)
   }
 
   private[graft] def dedupClustersFullOn(docs: DataFrame): DataFrame = {
     val (groups, verified) = verifiedRepPairs(docs)
-    clustersFrom(groups, verified)
+    clustersFrom(groups, components(verified.select("d1", "d2")))
   }
 
-  private def clustersFrom(groups: DataFrame, verified: DataFrame): DataFrame = {
-    val comp = components(verified.select("d1", "d2"))
+  private def clustersFrom(groups: DataFrame, comp: DataFrame): DataFrame = {
     val canon = groups.join(comp, groups("rep") === comp("doc"), "left")
       .select(col("doc_id").as("doc"), coalesce(col("root"), col("rep")).as("root"))
       .localCheckpoint() // consumed by the size filter and the output
