@@ -104,7 +104,15 @@ object CosineSimilarity {
 }
 
 /** `SparkSessionExtensions` hook — users outside this codebase get the
-  * function via `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * COMPLETE custom-expression surface via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`: the
+  * similarity kernels (`cosine_sim`, `signlsh_bucket`), the text
+  * signature kernels (`shingles`, `minhash_sig`, `simhash64`,
+  * `shingle_stats`), the media kernel (`media_hist`) and the Bloom
+  * expression pair (`graft_bloom_agg`, `graft_might_contain`). The
+  * builders are the same ones the session-local `register` hooks use,
+  * so both registration paths resolve to identical expressions
+  * (asserted in ScalaTest). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -114,15 +122,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("signlsh_bucket"),
       SignLshBucket.info,
-      (children: Seq[Expression]) => {
-        val Seq(e, s, n) = children
-        (s, n) match {
-          case (org.apache.spark.sql.catalyst.expressions.Literal(sv: Int, _),
-                org.apache.spark.sql.catalyst.expressions.Literal(nv: Int, _)) =>
-            SignLshBucket(e, sv, nv)
-          case _ => throw new IllegalArgumentException(
-            "signlsh_bucket scheme/nPlanes must be integer literals")
-        }
-      }))
+      SignLshBucket.builder))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      Shingles.builder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      MinHashSig.builder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      SimHash64.builder))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_stats"),
+      new ExpressionInfo(classOf[ShingleStats].getName, "shingle_stats"),
+      ShingleStats.builder))
+    ext.injectFunction((
+      FunctionIdentifier("media_hist"),
+      new ExpressionInfo(classOf[MediaHist].getName, "media_hist"),
+      MediaHist.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -101,7 +101,7 @@ case class MediaHist(child: Expression) extends UnaryExpression {
 }
 
 object MediaHist {
-  private val builder = (children: Seq[Expression]) => {
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.length == 1, "media_hist takes (payload)")
     MediaHist(children.head)
   }

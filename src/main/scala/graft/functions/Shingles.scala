@@ -69,7 +69,7 @@ case class Shingles(child: Expression, shingleLen: Int)
 
 object Shingles {
 
-  private val builder = (children: Seq[Expression]) => {
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.length == 2, "shingles takes (text, shingleLen)")
     children(1) match {
       case Literal(k: Int, IntegerType) => Shingles(children.head, k)

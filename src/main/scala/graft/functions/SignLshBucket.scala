@@ -108,7 +108,7 @@ case class SignLshBucket(child: Expression, scheme: Int, nPlanes: Int)
 
 object SignLshBucket {
 
-  private val builder = (children: Seq[Expression]) => {
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.length == 3,
       "signlsh_bucket takes (embedding, scheme, nPlanes)")
     val args = children.tail.map {

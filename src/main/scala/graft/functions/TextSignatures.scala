@@ -284,7 +284,7 @@ case class SimHash64(child: Expression, shingleLen: Int)
 }
 
 object MinHashSig {
-  private val builder = (children: Seq[Expression]) => {
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.length == 3, "minhash_sig takes (text, shingleLen, numHashes)")
     (children(1), children(2)) match {
       case (Literal(k: Int, IntegerType), Literal(n: Int, IntegerType)) =>
@@ -302,7 +302,7 @@ object MinHashSig {
 }
 
 object SimHash64 {
-  private val builder = (children: Seq[Expression]) => {
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.length == 2, "simhash64 takes (text, shingleLen)")
     children(1) match {
       case Literal(k: Int, IntegerType) => SimHash64(children.head, k)
@@ -349,7 +349,7 @@ case class ShingleStats(child: Expression, shingleLen: Int)
 }
 
 object ShingleStats {
-  private val builder = (children: Seq[Expression]) => {
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.length == 2, "shingle_stats takes (text, shingleLen)")
     children(1) match {
       case Literal(k: Int, IntegerType) => ShingleStats(children.head, k)
