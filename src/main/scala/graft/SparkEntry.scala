@@ -66,6 +66,7 @@ object SparkEntry {
     "q_filter_funnel"    -> (TextQueries.filterFunnel _),
     "q_doc_chunk"        -> (TextQueries.docChunk _),
     "q_seq_pack"         -> (TextQueries.seqPack _),
+    "q_ngram_lm_score"   -> (TextQueries.ngramLmScore _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_filter_funnel"    -> TextQueries.filterFunnelSql,
     "q_doc_chunk"        -> TextQueries.docChunkSql,
     "q_seq_pack"         -> TextQueries.seqPackSql,
+    "q_ngram_lm_score"   -> TextQueries.ngramLmScoreSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

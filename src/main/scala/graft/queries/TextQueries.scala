@@ -648,6 +648,80 @@ object TextQueries {
        |ORDER BY rep_ratio DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  // ----------------------------------------------------- LM scoring
+
+  /** N-gram language-model quality score — the perplexity-proxy filter
+    * of a training-data pipeline (KenLM-style, reduced to a bigram
+    * model both engines can evaluate): a bigram model with Laplace
+    * smoothing is "trained" on the TRAIN split's token stream
+    * (bigram and unigram count tables + vocabulary size) and every
+    * VAL-split document is scored by its mean bigram log-probability
+    *   score(d) = avg over bigrams (w1,w2) of ln((C₂(w1,w2)+1) / (C₁(w1)+V)).
+    * Low scores flag out-of-distribution or garbled documents. The
+    * split reuses the deterministic [[SplitBucket]] hash, so model and
+    * eval sets are reproducible and disjoint by construction.
+    *
+    * Scale: counts are plain aggregations of the train stream; scoring
+    * is an equi-join of the val bigram stream against the count tables
+    * (shuffle join — at 100 TB the bigram table is itself large, so no
+    * broadcast assumption), then a per-doc aggregate. Only floats at
+    * the very end (one ln per bigram, mean rounded to 4dp — engines
+    * differ at ~1e-16/term, far inside the rounding). */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = splitAssign(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("split"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs
+      .select(col("doc_id"), col("split"),
+        explode(expr("sequence(0, size(toks) - 2)")).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("split"),
+        col("toks").getItem(col("i")).as("w1"),
+        expr("toks[i + 1]").as("w2"))
+    val train = bigrams.filter(col("split") === "train")
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = train.select(col("w1")).unionByName(train.select(col("w2").as("w1")))
+      .agg(countDistinct("w1").as("v"))
+    val scored = bigrams.filter(col("split") === "val")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .withColumn("logp",
+        log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v"))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val ngramLmScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $SplitBucketSql < 80 THEN 'train'
+       |              WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+       |         string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+       |bg AS (
+       |  SELECT doc_id, split, t[CAST(i + 1 AS INTEGER)] AS w1, t[CAST(i + 2 AS INTEGER)] AS w2
+       |  FROM (SELECT doc_id, split, t, unnest(range(len(t) - 1)) AS i FROM toks)),
+       |train AS (SELECT * FROM bg WHERE split = 'train'),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+       |  SELECT w1 AS w FROM train UNION ALL SELECT w2 FROM train))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       round(avg(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+       |                    (coalesce(c1.c1, 0) + vocab.v))), 4) AS avg_logp
+       |FROM bg
+       |LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+       |LEFT JOIN c1 ON c1.w1 = bg.w1
+       |CROSS JOIN vocab
+       |WHERE bg.split = 'val'
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- packing
 
   private val PackCapacity = 256

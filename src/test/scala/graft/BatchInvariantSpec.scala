@@ -319,4 +319,21 @@ class BatchInvariantSpec extends SparkSpec {
       assert(ids.head == 0 && ids.last == ids.length - 1, s"$src bins not dense")
     }
   }
+
+  test("ngram LM scores are valid log-probs that discriminate between val docs") {
+    val rows = graft.queries.TextQueries.ngramLmScore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, lp) =>
+      assert(n >= 1, s"doc $doc has no bigrams")
+      assert(lp < 0, s"doc $doc log-prob $lp must be negative")
+      // Laplace floor: every bigram prob >= 1/(maxC1+V) > e^-30 on this corpus
+      assert(lp > -30, s"doc $doc log-prob $lp below the smoothing floor")
+    }
+    // a constant score would mean the model ignores content
+    assert(rows.map(_._3).distinct.length > 1, "scores must vary across docs")
+    // scoring only the val split: ~10% of the corpus
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(rows.length < total / 5)
+  }
 }
