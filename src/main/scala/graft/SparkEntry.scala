@@ -67,6 +67,7 @@ object SparkEntry {
     "q_doc_chunk"        -> (TextQueries.docChunk _),
     "q_seq_pack"         -> (TextQueries.seqPack _),
     "q_ngram_lm_score"   -> (TextQueries.ngramLmScore _),
+    "q_pipeline_dedup_pack" -> (TextQueries.pipelineDedupPack _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
     "q_dedup_keep"       -> (DedupQueries.dedupKeep _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_doc_chunk"        -> TextQueries.docChunkSql,
     "q_seq_pack"         -> TextQueries.seqPackSql,
     "q_ngram_lm_score"   -> TextQueries.ngramLmScoreSql,
+    "q_pipeline_dedup_pack" -> TextQueries.pipelineDedupPackSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
     // engine-neutral integer hashing → replayed verbatim by DuckDB.

@@ -648,6 +648,49 @@ object TextQueries {
        |ORDER BY rep_ratio DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** DuckDB twin of [[pipelineDedupPack]]: the recursive-CTE near-dup
+    * closure (as in [[DedupQueries.dedupKeepSql]]), canonical keep,
+    * split-hash train cut and packing cumsum composed in ONE
+    * statement. */
+  val pipelineDedupPackSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2
+       |  FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |        FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |  WHERE j >= 0.5),
+       |e AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |tc AS (
+       |  SELECT d1 AS a, d2 AS b FROM e
+       |  UNION
+       |  SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1 WHERE tc.a <> e.d2
+       |),
+       |root AS (SELECT a AS doc, least(a, min(b)) AS root FROM tc GROUP BY a),
+       |kept AS (
+       |  SELECT d.source, d.doc_id, d.text
+       |  FROM documents d LEFT JOIN root r ON r.doc = d.doc_id
+       |  WHERE coalesce(r.root, d.doc_id) = d.doc_id AND $SplitBucketSql < 80),
+       |t AS (SELECT source, doc_id,
+       |             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+       |      FROM kept),
+       |c AS (SELECT source, doc_id, tok,
+       |             sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM t)
+       |SELECT source, CAST((cum - tok) // $PackCapacity AS BIGINT) AS bin,
+       |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |       round(CAST(sum(tok) AS DOUBLE) / $PackCapacity, 4) AS fill
+       |FROM c
+       |GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
   // ----------------------------------------------------- LM scoring
 
   /** N-gram language-model quality score — the perplexity-proxy filter
@@ -724,7 +767,9 @@ object TextQueries {
 
   // ---------------------------------------------------------- packing
 
-  private val PackCapacity = 256
+  // `final` (compile-time constant): referenced by SQL vals declared
+  // EARLIER in this object — a plain val would interpolate 0 there
+  private final val PackCapacity = 256
 
   /** Training-sequence PACKING — the step after chunking/tokenization
     * that fills fixed-capacity training sequences from variable-length
@@ -741,11 +786,16 @@ object TextQueries {
     * parallel (the production layout: one packer per shard/source; a
     * single global ordering would serialize 100 TB through one task).
     * Output is one row per (source, bin): docs, tokens, fill ratio. */
-  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    packBins(Tables(spark, dir, "documents"))
+
+  /** The packing core over any (source, doc_id, text) frame — shared
+    * by [[seqPack]] and the composed pipeline [[pipelineDedupPack]]. */
+  private def packBins(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "documents")
+    docs
       .select(col("source"), col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
       .withColumn("cum", sum("tok").over(w))
@@ -755,6 +805,26 @@ object TextQueries {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .withColumn("fill", round(col("n_tokens").cast("double") / PackCapacity, 4))
       .orderBy("source", "bin")
+  }
+
+  /** END-TO-END pipeline composition — the preprocessing chain a
+    * training-data user actually runs, as ONE DataFrame program:
+    * near-dup dedup decision ([[DedupQueries.dedupKeep]], which reads
+    * the materialized trunk) → keep only canonical documents →
+    * deterministic train-split selection ([[SplitBucket]]) → pack the
+    * surviving stream into training sequences ([[packBins]]). Each
+    * stage is individually oracled elsewhere; this query oracles their
+    * COMPOSITION (the DuckDB twin re-runs the recursive-CTE closure,
+    * the split hash and the packing cumsum in one statement), so any
+    * contract drift between stages surfaces as a hash mismatch. */
+  def pipelineDedupPack(spark: SparkSession, dir: String): DataFrame = {
+    val kept = DedupQueries.dedupKeep(spark, dir)
+      .filter(col("is_kept")).select("doc_id")
+    val docs = splitAssign(Tables(spark, dir, "documents"))
+      .filter(col("split") === "train")
+      .join(kept, "doc_id")
+      .select("source", "doc_id", "text")
+    packBins(docs)
   }
 
   val seqPackSql: String =
