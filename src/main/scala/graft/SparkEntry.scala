@@ -28,6 +28,8 @@ object SparkEntry {
     "q_join_group_count" -> (BatchQueries.joinGroupCount _),
     "q_join_agg_by_dim"  -> (BatchQueries.joinAggByDim _),
     "q_csv_roundtrip"    -> (BatchQueries.csvRoundtrip _),
+    "q_orc_roundtrip"    -> (BatchQueries.orcRoundtrip _),
+    "q_xml_roundtrip"    -> (BatchQueries.xmlRoundtrip _),
     "q_ddl_roundtrip"    -> (BatchQueries.ddlRoundtrip _),
     "q_jdbc_roundtrip"   -> (BatchQueries.jdbcRoundtrip _),
     "q_partitioned_scan" -> (BatchQueries.partitionedScan _),
@@ -111,6 +113,8 @@ object SparkEntry {
     "q_join_group_count" -> BatchQueries.joinGroupCountSql,
     "q_join_agg_by_dim"  -> BatchQueries.joinAggByDimSql,
     "q_csv_roundtrip"    -> BatchQueries.csvRoundtripSql,
+    "q_orc_roundtrip"    -> BatchQueries.orcRoundtripSql,
+    "q_xml_roundtrip"    -> BatchQueries.xmlRoundtripSql,
     "q_ddl_roundtrip"    -> BatchQueries.ddlRoundtripSql,
     "q_jdbc_roundtrip"   -> BatchQueries.jdbcRoundtripSql,
     "q_partitioned_scan" -> BatchQueries.partitionedScanSql,

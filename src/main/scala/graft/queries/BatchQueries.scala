@@ -298,6 +298,70 @@ object BatchQueries {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** ORC sink + scan round-trip — the second columnar format of the
+    * source surface (ORC ships in Spark core; the lakehouse twin of
+    * the parquet path). Written with ZSTD compression and read back
+    * through a FILTERED scan so the oracle additionally witnesses ORC
+    * predicate pushdown (the filter reaches the ORC reader as a
+    * search argument; `.explain` shows `PushedFilters`). ORC⇄Spark
+    * type mapping is exact for the long/double/string columns used, so
+    * the round-trip is lossless and the aggregate matches the
+    * parquet-sourced oracle bit-for-bit. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Tables.scratchDir}/orc_roundtrip_orders"
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .orc(path)
+    spark.read.orc(path)
+      .filter(col("o_totalprice") > 1000.0) // pushed to the ORC reader
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), Det.moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val orcRoundtripSql: String =
+    s"""SELECT o_orderpriority, count(*) AS cnt, ${Det.moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |WHERE o_totalprice > 1000.0
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** XML sink + scan round-trip — Spark 4's built-in XML data source
+    * (the spark-xml module merged into core), exercising the
+    * row-tag/schema machinery on the small nation dim: write 25 rows
+    * as an XML document tree, read back with an explicit schema (no
+    * inference — determinism), join to region and aggregate. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"${Tables.scratchDir}/xml_roundtrip_nation"
+    Tables(spark, dir, "nation")
+      .write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val nation = spark.read
+      .option("rowTag", "nation")
+      .schema(schema)
+      .format("xml").load(path)
+    val region = Tables(spark, dir, "region")
+    nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        min("n_name").as("first_nation"))
+      .orderBy("r_name")
+  }
+
+  val xmlRoundtripSql: String =
+    """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   /** DDL + catalog round-trip (reference MySQL `CREATE TABLE` + load,
     * `Part_A_Q2.py:16-61`): persist nation⋈region as a managed-path
     * parquet table in the session catalog, then query it back. PK/FK

@@ -336,4 +336,37 @@ class BatchInvariantSpec extends SparkSpec {
     val total = Tables(spark, sfDir, "documents").count()
     assert(rows.length < total / 5)
   }
+
+  test("ORC round-trip pushes its predicate into the ORC reader and conserves totals") {
+    val df = BatchQueries.orcRoundtrip(spark, sfDir)
+    val rows = df.collect() // also materializes the scratch write
+    val direct = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 1000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), graft.functions.Det.moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority").collect()
+    assert(rows.toSeq == direct.toSeq, "ORC round-trip changed the aggregate")
+    val scan = spark.read.orc(s"${graft.Tables.scratchDir}/orc_roundtrip_orders")
+      .filter(col("o_totalprice") > 1000.0)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(o_totalprice,1000.0)"),
+      s"predicate not pushed to the ORC reader:\n${plan.take(1500)}")
+  }
+
+  test("XML round-trip is lossless on the nation dim") {
+    BatchQueries.xmlRoundtrip(spark, sfDir).collect() // materialize the write
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val back = spark.read.option("rowTag", "nation").schema(schema)
+      .format("xml").load(s"${graft.Tables.scratchDir}/xml_roundtrip_nation")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    val orig = Tables(spark, sfDir, "nation")
+      .selectExpr("CAST(n_nationkey AS INT)", "n_name", "CAST(n_regionkey AS INT)")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(back.length == orig.length && back.sameElements(orig),
+      s"XML round-trip lost or changed rows: ${back.take(3).toSeq} vs ${orig.take(3).toSeq}")
+  }
 }
