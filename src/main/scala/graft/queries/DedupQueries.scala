@@ -239,6 +239,29 @@ object DedupQueries {
   /** Test hook: proves the trunk write is one-time ([[trunk]]). */
   private[graft] var trunkWrites = 0
 
+  /** Test hook: proves the groups write is one-time ([[groupsScratch]]). */
+  private[graft] var groupsWrites = 0
+
+  /** One-time materialization of the stage-1 exact-duplicate collapse
+    * per (session, data dir) — the method-INDEPENDENT prefix shared by
+    * the MinHash trunk AND the SimHash family. The two families must
+    * stay independent from the signature stage on (their equality at
+    * sf0.1 is a correctness crosscheck, DedupSimilaritySpec), but the
+    * content-hash collapse is pure preprocessing: identical for both,
+    * one full-text scan + one shuffle, so whichever family runs first
+    * pays it once and the other does a plain columnar read. Separate
+    * guard from [[trunk]] so q_simhash_pairs running first does NOT
+    * drag in the minhash signature/verify stages it doesn't need. */
+  private def groupsScratch(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Tables.scratchDir}/dedupgroups/groups.parquet"
+    if (!spark.conf.getOption("graft.dedupgroups.dir").contains(dir)) {
+      groupsOf(Tables(spark, dir, "documents")).write.mode("overwrite").parquet(path)
+      groupsWrites += 1
+      spark.conf.set("graft.dedupgroups.dir", dir)
+    }
+    spark.read.parquet(path)
+  }
+
   /** One-time materialization of the shared MinHash trunk per (session,
     * data dir) — the guarded scratch-write pattern of
     * [[ExtensionQueries.bucketedJoin]], applied to VERDICT r4 #1:
@@ -256,9 +279,9 @@ object DedupQueries {
     * than re-hashing the corpus per consumer. */
   private def trunk(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val base = s"${Tables.scratchDir}/deduptrunk"
+    val groups = groupsScratch(spark, dir) // shared stage-1 collapse
     if (!spark.conf.getOption("graft.deduptrunk.dir").contains(dir)) {
-      val (groups, verified) = verifiedRepPairs(Tables(spark, dir, "documents"))
-      groups.write.mode("overwrite").parquet(s"$base/groups.parquet")
+      val verified = verifiedFromGroups(Tables(spark, dir, "documents"), groups)
       verified.write.mode("overwrite").parquet(s"$base/verified.parquet")
       // the connected-component labels ride in the trunk too: both
       // clustering consumers (keep-mode, full clusters) need the same
@@ -269,7 +292,7 @@ object DedupQueries {
       trunkWrites += 1
       spark.conf.set("graft.deduptrunk.dir", dir)
     }
-    (spark.read.parquet(s"$base/groups.parquet"),
+    (groups,
       spark.read.parquet(s"$base/verified.parquet"),
       spark.read.parquet(s"$base/labels.parquet"))
   }
