@@ -148,15 +148,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "graft_bloom_agg"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_bloom_agg(col, estimatedItems, numBits) takes 3 arguments, got ${exprs.length}")
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2))))
+          exprs(0), exprs(1), exprs(2))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_might_contain(bloom, col) takes 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+      }))
   }
 }

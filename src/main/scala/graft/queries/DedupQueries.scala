@@ -242,6 +242,16 @@ object DedupQueries {
   /** Test hook: proves the groups write is one-time ([[groupsScratch]]). */
   private[graft] var groupsWrites = 0
 
+  /** Scratch subpaths are keyed by the data dir (ADVICE r5): two
+    * sessions over DIFFERENT dirs can share `Tables.scratchDir`
+    * without one overwriting parquet the other's lazy DataFrame still
+    * reads. Two sessions over the SAME dir write identical content;
+    * the remaining mid-write read race is accepted — the scratch
+    * layout assumes one sequential session per (machine, data dir),
+    * which is the bench/verify harness contract. */
+  private def scratchKey(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode)
+
   /** One-time materialization of the stage-1 exact-duplicate collapse
     * per (session, data dir) — the method-INDEPENDENT prefix shared by
     * the MinHash trunk AND the SimHash family. The two families must
@@ -253,7 +263,7 @@ object DedupQueries {
     * guard from [[trunk]] so q_simhash_pairs running first does NOT
     * drag in the minhash signature/verify stages it doesn't need. */
   private def groupsScratch(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${Tables.scratchDir}/dedupgroups/groups.parquet"
+    val path = s"${Tables.scratchDir}/dedupgroups-${scratchKey(dir)}/groups.parquet"
     if (!spark.conf.getOption("graft.dedupgroups.dir").contains(dir)) {
       groupsOf(Tables(spark, dir, "documents")).write.mode("overwrite").parquet(path)
       groupsWrites += 1
@@ -278,7 +288,7 @@ object DedupQueries {
     * consumer (pair audit, keep-decision, clustering) reads it, rather
     * than re-hashing the corpus per consumer. */
   private def trunk(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val base = s"${Tables.scratchDir}/deduptrunk"
+    val base = s"${Tables.scratchDir}/deduptrunk-${scratchKey(dir)}"
     val groups = groupsScratch(spark, dir) // shared stage-1 collapse
     if (!spark.conf.getOption("graft.deduptrunk.dir").contains(dir)) {
       val verified = verifiedFromGroups(Tables(spark, dir, "documents"), groups)
@@ -313,6 +323,13 @@ object DedupQueries {
     // checkpointing it (r3) cost more than recomputing the few
     // candidate docs' shingles for verification.
     val groups = groupsOf(docs).localCheckpoint()
+    (groups, verifiedFromGroups(docs, groups))
+  }
+
+  /** The trunk from the signature stage on, over a PRECOMPUTED stage-1
+    * collapse — lets [[trunk]] reuse the [[groupsScratch]] parquet
+    * rather than recomputing the full-text hash scan. */
+  private def verifiedFromGroups(docs: DataFrame, groups: DataFrame): DataFrame = {
     val reps = repTexts(docs, groups)
     val sigs = minhashSignatures(reps).localCheckpoint()
     // cheap estimated-Jaccard prefilter between candidate generation
@@ -334,7 +351,7 @@ object DedupQueries {
       .select(col("d1"), col("d2"))
       .distinct()
       .localCheckpoint() // tiny; consumed twice inside verify
-    (groups, verify(prefiltered, reps))
+    verify(prefiltered, reps)
   }
 
   val minhashLshSql: String = bruteJaccardSql
@@ -406,7 +423,10 @@ object DedupQueries {
         .as[(Long, Long, Long)]
         .map { t => if (t._2 != t._3) acc.add(1); t }
         .toDF("doc", "root", "prev")
-        .localCheckpoint()
+        // eager MUST be explicit (ADVICE r5): reading acc.value below is
+        // only correct because this checkpoint materializes the map NOW —
+        // a lazy checkpoint would read 0 and exit with wrong labels
+        .localCheckpoint(eager = true)
       changed = acc.value
       lab = next.drop("prev")
     }
@@ -573,11 +593,16 @@ object DedupQueries {
     * hash-checked against the same brute-force oracle as
     * [[minhashLsh]] (two prefilters, one verification contract). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsOn(Tables(spark, dir, "documents"))
+    // shares ONLY the method-independent stage-1 collapse with the
+    // MinHash trunk ([[groupsScratch]]); the signature stages stay
+    // independent — their sf0.1 equality is a correctness crosscheck
+    simhashFromGroups(Tables(spark, dir, "documents"), groupsScratch(spark, dir))
 
   /** Same pipeline on an arbitrary documents frame (test surface). */
-  private[graft] def simhashPairsOn(docs: DataFrame): DataFrame = {
-    val groups = groupsOf(docs).localCheckpoint()
+  private[graft] def simhashPairsOn(docs: DataFrame): DataFrame =
+    simhashFromGroups(docs, groupsOf(docs).localCheckpoint())
+
+  private def simhashFromGroups(docs: DataFrame, groups: DataFrame): DataFrame = {
     val reps = repTexts(docs, groups)
     val sig = simhashOf(reps).localCheckpoint()
     // cheap Hamming prefilter between banding and the (expensive)

@@ -279,10 +279,14 @@ class DedupSimilaritySpec extends SparkSpec {
     // pure read — proven two ways: the write counter stays at 1, and
     // the scratch files' mtimes are byte-for-byte untouched.
     spark.conf.unset("graft.deduptrunk.dir")
+    spark.conf.unset("graft.dedupgroups.dir")
     DedupQueries.trunkWrites = 0
+    DedupQueries.groupsWrites = 0
     DedupQueries.minhashLsh(spark, sfDir).count()
     assert(DedupQueries.trunkWrites == 1, "first consumer must write the trunk")
-    val scratch = new java.io.File(s"${graft.Tables.scratchDir}/deduptrunk")
+    assert(DedupQueries.groupsWrites == 1, "first consumer must write the stage-1 collapse")
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val scratch = new java.io.File(s"${graft.Tables.scratchDir}/deduptrunk-$key")
     def mtimes: Map[String, Long] = scratch.listFiles
       .flatMap(d => Option(d.listFiles).getOrElse(Array.empty[java.io.File]))
       .map(f => f.getPath -> f.lastModified).toMap
@@ -290,7 +294,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(before.nonEmpty)
     DedupQueries.dedupKeep(spark, sfDir).count()
     DedupQueries.dedupClustersFull(spark, sfDir).count()
+    // the SimHash family shares ONLY the stage-1 collapse (ADVICE r5):
+    // it must neither rewrite the groups parquet nor touch the trunk
+    DedupQueries.simhashPairs(spark, sfDir).count()
     assert(DedupQueries.trunkWrites == 1, "a later consumer re-ran the trunk write")
+    assert(DedupQueries.groupsWrites == 1, "a later consumer re-ran the stage-1 collapse write")
     assert(mtimes == before, "a later consumer rewrote the scratch files")
   }
 
