@@ -69,6 +69,9 @@ object SparkEntry {
     "q_doc_chunk"        -> (TextQueries.docChunk _),
     "q_seq_pack"         -> (TextQueries.seqPack _),
     "q_ngram_lm_score"   -> (TextQueries.ngramLmScore _),
+    "q_tfidf_topterms"   -> (TextQueries.tfidfTopTerms _),
+    "q_boilerplate_ngrams" -> (TextQueries.boilerplateNgrams _),
+    "q_quality_percentile" -> (TextQueries.qualityPercentile _),
     "q_pipeline_dedup_pack" -> (TextQueries.pipelineDedupPack _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
@@ -78,6 +81,7 @@ object SparkEntry {
     "q_cosine_topk"      -> (SimilarityQueries.cosineTopk _),
     "q_embedding_stats"  -> (SimilarityQueries.embeddingStats _),
     "q_ann_lsh"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annLsh(s, d)),
+    "q_ann_rerank"       -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annRerank(s, d)),
     "q_embedding_neardup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.embeddingNeardup(s, d)),
     "q_ann_ivf"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annIvf(s, d)),
     "q_ann_ivf_seeded"   -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilarityQueries.annIvfSeeded(s, d)),
@@ -153,6 +157,9 @@ object SparkEntry {
     "q_doc_chunk"        -> TextQueries.docChunkSql,
     "q_seq_pack"         -> TextQueries.seqPackSql,
     "q_ngram_lm_score"   -> TextQueries.ngramLmScoreSql,
+    "q_tfidf_topterms"   -> TextQueries.tfidfTopTermsSql,
+    "q_boilerplate_ngrams" -> TextQueries.boilerplateNgramsSql,
+    "q_quality_percentile" -> TextQueries.qualityPercentileSql,
     "q_pipeline_dedup_pack" -> TextQueries.pipelineDedupPackSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is
@@ -171,6 +178,7 @@ object SparkEntry {
     "q_dedup_clusters_full" -> DedupQueries.dedupClustersFullSql,
     "q_dedup_incremental" -> DedupQueries.dedupIncrementalSql,
     "q_ann_lsh"          -> SimilarityQueries.annLshSql,
+    "q_ann_rerank"       -> SimilarityQueries.annRerankSql,
     "q_ann_ivf_seeded"   -> SimilarityQueries.annIvfSeededSql,
     "q_embedding_neardup" -> SimilarityQueries.embeddingNeardupSql,
     "q_cosine_topk"      -> SimilarityQueries.cosineTopkSql,

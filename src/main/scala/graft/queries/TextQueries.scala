@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Det
@@ -890,4 +891,192 @@ object TextQueries {
        |             unnest(range(greatest((strlen(text) + ${ChunkStride - ChunkOverlap - 1}) // $ChunkStride, 1))) AS chunk_idx
        |      FROM documents)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------- tf-idf terms
+
+  private final val TfidfTopK = 3
+
+  /** Per-document TF-IDF keyword extraction — the term-salience
+    * operator of a corpus-analysis pipeline (feeding topic tagging,
+    * index building, near-dup triage). Classic tf·idf with
+    * idf = ln(N/df): term frequency per document crossed with the
+    * corpus document-frequency table, top [[TfidfTopK]] terms per
+    * document by rounded score (ties by term, so ranking is
+    * deterministic cross-engine).
+    *
+    * Scale: tf is one explode + (doc_id, term) aggregation; df derives
+    * from tf with a second, vocabulary-sized aggregation. The df table
+    * is vocabulary-sized — broadcast to the tf side (no shuffle of the
+    * corpus-sized tf relation), as is the 1-row corpus count. Top-k per
+    * doc is a window partitioned by doc_id — high cardinality, no skew.
+    * Floats appear only in the final score: tf·ln(N/df) of identical
+    * integer inputs, rounded to 4dp BEFORE ranking (engines differ at
+    * ~1e-16, far inside the rounding; rounding first keeps rank and
+    * output consistent with each other). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n  = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
+    val w  = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |         round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                  ORDER BY tfidf DESC, term) AS rank
+       |      FROM scored)
+       |WHERE rank <= $TfidfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ----------------------------------------------- boilerplate ngrams
+
+  private final val BoilerTopK = 500
+  private final val BoilerFlag = 0.15
+
+  /** Boilerplate n-gram coverage — the repeated-template detector of a
+    * web-scale ingestion pipeline (nav bars, cookie banners, license
+    * headers): the [[BoilerTopK]] word-trigrams most widespread across
+    * the corpus (by DOCUMENT frequency, ties broken lexicographically
+    * so the list is deterministic) form the boilerplate list; each
+    * document reports what fraction of its distinct trigrams come from
+    * that list, with a flag at [[BoilerFlag]] coverage — flagged docs
+    * are template-dominated and get down-weighted or cleaned.
+    *
+    * Scale: per-doc distinct trigrams via a bounded explode (length-2
+    * windows per token), df via one aggregation; the top-K cut is a
+    * TakeOrderedAndProject (no full sort), and the resulting K-row
+    * list broadcasts into a left-semi-style membership join — the
+    * corpus-sized side never shuffles on the ngram key. A rank-based
+    * cut (not a df threshold) keeps the operator non-degenerate at any
+    * corpus scale: thresholds tuned at one SF collapse to all-or-
+    * nothing at another (measured on this corpus), while top-K tracks
+    * the distribution. Coverage is a ratio of exact integers. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docNgrams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      // guard: Spark's sequence(0, size-3) DESCENDS for size < 3 (it
+      // does not produce an empty array) — short docs must be filtered,
+      // and the SQL twin carries the same predicate
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))"))
+        .as("ngram"))
+    val boiler = docNgrams.groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("ngram")).limit(BoilerTopK)
+      .select(col("ngram"), lit(1).as("is_boiler"))
+    docNgrams
+      .join(broadcast(boiler), Seq("ngram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+      .withColumn("coverage",
+        round(col("n_boiler").cast("double") / col("n_ngrams"), 4))
+      .withColumn("flagged", (col("coverage") >= BoilerFlag).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateNgramsSql: String =
+    s"""WITH dn AS (
+       |  SELECT DISTINCT doc_id,
+       |         t[CAST(i + 1 AS INTEGER)] || ' ' || t[CAST(i + 2 AS INTEGER)] || ' ' || t[CAST(i + 3 AS INTEGER)] AS ngram
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+       |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |              FROM documents)
+       |        WHERE len(t) >= 3)),
+       |boiler AS (
+       |  SELECT ngram FROM (SELECT ngram, count(*) AS df FROM dn GROUP BY 1)
+       |  ORDER BY df DESC, ngram LIMIT $BoilerTopK)
+       |SELECT doc_id, count(*) AS n_ngrams,
+       |       CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |       round(CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage,
+       |       CAST(round(CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) >= $BoilerFlag AS INTEGER) AS flagged
+       |FROM dn LEFT JOIN boiler b USING (ngram)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- percentile quality cut
+
+  private final val QualityPct = 25
+
+  /** Per-language percentile quality cut — the data-driven filter
+    * threshold of a multilingual pipeline: instead of one global
+    * token-count floor (wrong for languages with different length
+    * distributions), each language drops its shortest
+    * [[QualityPct]] percent of documents. The threshold is the
+    * DISCRETE percentile (smallest token count whose cumulative doc
+    * count reaches ceil(p·n/100)), computed distributively: counts per
+    * (lang, token_count) — a bounded-cardinality aggregation — then a
+    * cumulative window per language over the tiny count table. No
+    * sort of the corpus, no per-group collect, and exact integer
+    * arithmetic end-to-end (an approx_percentile sketch would not be
+    * oracle-replayable; at 100 TB swap it in and keep this as the
+    * audit path).
+    *
+    * Output is the per-language audit row: threshold, totals, kept
+    * count, and the kept docs' mean char length. */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val counts = docs.groupBy("lang", "n_tokens").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("lang")
+    val thresholds = counts
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wTot))
+      .filter(col("cum") >= expr(s"(n * $QualityPct + 99) div 100"))
+      .groupBy("lang").agg(min("n_tokens").as("thr"))
+    docs.join(broadcast(thresholds), "lang")
+      .groupBy("lang")
+      .agg(
+        max("thr").as("thr"),
+        count(lit(1)).as("n_total"),
+        sum((col("n_tokens") >= col("thr")).cast("long")).as("n_kept"),
+        Det.rnd(
+          sum(when(col("n_tokens") >= col("thr"), col("n_chars"))).cast("double") /
+            sum((col("n_tokens") >= col("thr")).cast("long")), 4).as("kept_avg_chars"))
+      .orderBy("lang")
+  }
+
+  val qualityPercentileSql: String = {
+    val nt = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    s"""WITH docs AS (SELECT lang, n_chars, $nt AS n_tokens FROM documents),
+       |counts AS (SELECT lang, n_tokens, count(*) AS c FROM docs GROUP BY 1, 2),
+       |cum AS (SELECT lang, n_tokens,
+       |               CAST(sum(c) OVER (PARTITION BY lang ORDER BY n_tokens
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |        FROM counts),
+       |thr AS (SELECT lang, min(n_tokens) AS thr FROM cum
+       |        WHERE cum >= (n * $QualityPct + 99) // 100 GROUP BY lang)
+       |SELECT lang, max(thr) AS thr, count(*) AS n_total,
+       |       CAST(sum(CASE WHEN n_tokens >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       ${Det.rndSql(
+             "CAST(sum(CASE WHEN n_tokens >= thr THEN n_chars END) AS DOUBLE) " +
+               "/ sum(CASE WHEN n_tokens >= thr THEN 1 ELSE 0 END)", 4)} AS kept_avg_chars
+       |FROM docs JOIN thr USING (lang)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
 }

@@ -97,6 +97,44 @@ object StreamJobs {
       .dropDuplicates("event_id")
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
 
+  /** STREAM-STATIC range join — point events arriving on a stream are
+    * enriched with the STATIC interval table they fall into
+    * (maintenance windows, campaign flights, session boundaries
+    * computed by a batch job): the streaming analog of
+    * [[graft.queries.ExtensionQueries.rangeJoin]]'s containment join.
+    *
+    * Scale shape, same as the batch twin: a raw `BETWEEN` condition
+    * against a static side is a per-batch broadcast NESTED-LOOP join —
+    * every event × every interval, which dies when the interval table
+    * is large. Instead both sides are binned to the hour: the static
+    * intervals explode ONCE into one row per covered hour bin (Spark
+    * evaluates and reuses the static plan across micro-batches), each
+    * streaming event computes its single bin, and the join is a plain
+    * EQUI-join on the bin followed by the exact containment predicate.
+    * Each (event, interval) pair meets in exactly one bin — no
+    * dedup step — and per-batch work is |batch| × (intervals per
+    * bin), not |batch| × |intervals|. Append mode, no state: a
+    * stream-static join is stateless by construction (the static side
+    * is a lookup, not a buffered stream), so no watermark is needed.
+    *
+    * `intervals`: static (user_id, session_id, s_start, s_end) epoch
+    * seconds, as produced by the batch sessionizer. `events`: stream
+    * with (event_id, ts, event_type). Emits one row per contained
+    * (event, interval) pair. */
+  def rangeJoinStream(intervals: DataFrame, events: DataFrame): DataFrame = {
+    val binned = intervals
+      .withColumn("bin", explode(sequence(expr("s_start div 3600"), expr("s_end div 3600"))))
+    events
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("bin", expr("tsec div 3600"))
+      .join(binned, "bin")
+      .filter(col("tsec") >= col("s_start") && col("tsec") <= col("s_end"))
+      .select(col("event_id"), col("event_type"), col("tsec"),
+        col("user_id"), col("session_id"),
+        (col("tsec") - col("s_start")).as("offset_s"))
+  }
+
   /** STREAM-STREAM interval join — Structured Streaming's two-sided
     * stateful join: every click joins the same user's errors from the
     * preceding hour, both sides unbounded streams. The event-time

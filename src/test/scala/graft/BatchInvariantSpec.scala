@@ -353,6 +353,63 @@ class BatchInvariantSpec extends SparkSpec {
       s"predicate not pushed to the ORC reader:\n${plan.take(1500)}")
   }
 
+  test("tfidf top terms: scores consistent with tf/df columns and ranks dense per doc") {
+    val rows = graft.queries.TextQueries.tfidfTopTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables(spark, sfDir, "documents").count()
+    rows.foreach { r =>
+      val (tf, df, tfidf) = (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"))
+      val expect = BigDecimal(tf * math.log(n.toDouble / df))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(tfidf - expect) < 1e-9, s"tfidf $tfidf != tf*ln(N/df) $expect")
+      assert(df >= 1 && df <= n && tf >= 1)
+    }
+    // exactly ranks 1..k per doc, scores non-increasing within a doc
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to byRank.length),
+        s"doc $d ranks not dense")
+      val scores = byRank.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $d not sorted")
+    }
+  }
+
+  test("boilerplate coverage is the exact fraction of the doc's distinct trigrams in the top-500 list") {
+    val rows = graft.queries.TextQueries.boilerplateNgrams(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute one doc's trigram set and the corpus top-500 list naively
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    def grams(toks: Seq[String]) = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val dfMap = docs.values.toSeq.flatMap(t => grams(t)).groupBy(identity).view.mapValues(_.size)
+    val boiler = dfMap.toSeq.sortBy { case (g, c) => (-c, g) }.take(500).map(_._1).toSet
+    rows.take(50).foreach { r =>
+      val g = grams(docs(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_ngrams") == g.size, s"doc ${r.get(0)} n_ngrams")
+      assert(r.getAs[Long]("n_boiler") == g.count(boiler), s"doc ${r.get(0)} n_boiler")
+    }
+  }
+
+  test("quality percentile threshold is the exact discrete p25 per language") {
+    val rows = graft.queries.TextQueries.qualityPercentile(spark, sfDir).collect()
+    val byLang = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_.getString(0)).toSet == byLang.keySet)
+    rows.foreach { r =>
+      val (lang, thr, nTotal, nKept) =
+        (r.getString(0), r.getAs[Long]("thr"), r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      val sorted = byLang(lang)
+      val rank = (sorted.length * 25 + 99) / 100 // ceil(p·n/100)
+      assert(thr == sorted(rank - 1), s"$lang thr $thr != ${sorted(rank - 1)}")
+      assert(nTotal == sorted.length)
+      assert(nKept == sorted.count(_ >= thr))
+      assert(nKept >= nTotal * 6 / 10, s"$lang kept only $nKept of $nTotal (p25 cut should keep >= ~75%)")
+    }
+  }
+
   test("XML round-trip is lossless on the nation dim") {
     BatchQueries.xmlRoundtrip(spark, sfDir).collect() // materialize the write
     import org.apache.spark.sql.types._

@@ -283,6 +283,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static range join enriches streamed events with their containing interval") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static interval table: the fixture's per-user sessions (same
+    // window logic as the batch range join's session stage)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val intervals = Tables(spark, sfDir, "events")
+      .withColumn("tsec", unix_timestamp(col("ts")))
+      .withColumn("gap", col("tsec") - lag("tsec", 1).over(byUser))
+      .withColumn("new_session", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(min("tsec").as("s_start"), max("tsec").as("s_end"))
+      .localCheckpoint()
+    val errs = Tables(spark, sfDir, "events").filter(col("event_type") === "error")
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.rangeJoinStream(intervals, mem.toDF())
+      .writeStream.format("memory").queryName("srj").outputMode("append").start()
+    try {
+      val rows = errs.collect().map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5))).sortBy(_.ts.getTime)
+      // two micro-batches: enrichment must be batch-boundary-agnostic
+      Seq(rows.take(rows.length / 2), rows.drop(rows.length / 2)).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))
+      val streamed = spark.table("srj").collect().map(key).toSet
+      val batch = StreamJobs.rangeJoinStream(intervals, errs).collect().map(key).toSet
+      assert(batch.nonEmpty, "fixture should contain in-session errors")
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment carries the latest error across micro-batches") {
     val s = spark
     import s.implicits._
