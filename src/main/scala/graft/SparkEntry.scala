@@ -72,6 +72,8 @@ object SparkEntry {
     "q_tfidf_topterms"   -> (TextQueries.tfidfTopTerms _),
     "q_boilerplate_ngrams" -> (TextQueries.boilerplateNgrams _),
     "q_quality_percentile" -> (TextQueries.qualityPercentile _),
+    "q_containment"      -> (TextQueries.containment _),
+    "q_group_sample"     -> (TextQueries.groupSample _),
     "q_pipeline_dedup_pack" -> (TextQueries.pipelineDedupPack _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
@@ -160,6 +162,8 @@ object SparkEntry {
     "q_tfidf_topterms"   -> TextQueries.tfidfTopTermsSql,
     "q_boilerplate_ngrams" -> TextQueries.boilerplateNgramsSql,
     "q_quality_percentile" -> TextQueries.qualityPercentileSql,
+    "q_containment"      -> TextQueries.containmentSql,
+    "q_group_sample"     -> TextQueries.groupSampleSql,
     "q_pipeline_dedup_pack" -> TextQueries.pipelineDedupPackSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is

@@ -916,7 +916,10 @@ object TextQueries {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df derivation and the probe side of the join —
+    // materialize it once (the dedup-trunk pattern) so the corpus-sized
+    // explode+aggregate doesn't run twice
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n  = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
     val w  = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
@@ -1013,6 +1016,109 @@ object TextQueries {
        |FROM dn LEFT JOIN boiler b USING (ngram)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- containment detection
+
+  private final val ContainThreshold = 0.8
+
+  /** Shingle-CONTAINMENT detection — the asymmetric cousin of
+    * [[ngramJaccard]] that symmetric Jaccard structurally misses: a
+    * short document quoted whole inside a long one has
+    * C(A→B) = |S(A)∩S(B)| / |S(A)| ≈ 1 while J(A,B) ≈ |A|/|B| can sit
+    * far below any near-dup threshold. Training pipelines run this to
+    * catch quotation/subset duplicates (a doc that is a chunk of
+    * another) that doc-level near-dup passes leave in. Emits each
+    * candidate pair once with BOTH directional containments, flagged
+    * when either direction reaches [[ContainThreshold]].
+    *
+    * Plan shape is the inverted-index self-join of [[ngramJaccard]]
+    * (same deterministic doc_id cap making the exact join the oracled
+    * tier; at 100 TB the LSH prefilter in [[graft.queries.DedupQueries]]
+    * shrinks candidates first and this ratio replaces the Jaccard in
+    * the verify stage). The asymmetric-detection guarantee — a planted
+    * strict-substring doc IS flagged — is asserted in ScalaTest. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOn(Tables(spark, dir, "documents").filter(col("doc_id") < 300))
+
+  /** Same pipeline on an arbitrary documents frame (test surface). */
+  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    val shingles = docs.select(
+      col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col("doc_id").as("d1"), col("s"))
+    val b = shingles.select(col("doc_id").as("d2"), col("s"))
+    a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("c12", col("inter").cast("double") / col("sz1"))
+      .withColumn("c21", col("inter").cast("double") / col("sz2"))
+      .filter(greatest(col("c12"), col("c21")) >= ContainThreshold)
+      .select(col("d1"), col("d2"),
+        round(col("c12"), 6).as("c12"), round(col("c21"), 6).as("c21"))
+      .orderBy("d1", "d2")
+  }
+
+  val containmentSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents WHERE doc_id < 300)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, round(c12, 6) AS c12, round(c21, 6) AS c21
+       |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / s1.sz AS c12, CAST(i AS DOUBLE) / s2.sz AS c21
+       |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |WHERE greatest(c12, c21) >= $ContainThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  // --------------------------------------------- per-group k-sampling
+
+  private final val GroupSampleK    = 5
+  private final val GroupOversample = 4
+
+  /** Deterministic k-per-group sampling — the eval/debug sample every
+    * pipeline pulls ("show me 5 docs from each source"). Naively a
+    * window rank over the corpus partitioned by group — but with 20
+    * sources over 100 TB that is 20 monster partitions through one
+    * sort each, pure skew. The scale path is TWO-PHASE: (1) a hash
+    * THRESHOLD filter keeps each row iff its [[SampleBucket]] value
+    * falls under ceil(2³²·oversample·k / n_g) — per-row arithmetic
+    * against a broadcast per-group count, expected survivors
+    * oversample·k per group regardless of group size; (2) the window
+    * rank runs on that tiny survivor set only. Deterministic (hash
+    * order, doc_id ties), reproducible run-over-run, and the oracle
+    * replays both phases exactly. Emits min(k, survivors) per group —
+    * the oversample makes a shortfall vanishingly rare; a paranoid
+    * caller raises [[GroupOversample]]. */
+  def groupSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("bucket", expr(SampleBucket))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_g"))
+    val w = Window.partitionBy("source").orderBy("bucket", "doc_id")
+    docs.join(broadcast(counts), "source")
+      .filter(col("bucket") <
+        least(lit(4294967296L), expr(s"(4294967296 * ${GroupOversample.toLong * GroupSampleK} + n_g - 1) div n_g")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= GroupSampleK)
+      .select(col("source"), col("rank"), col("doc_id"), col("lang"))
+      .orderBy("source", "rank")
+  }
+
+  val groupSampleSql: String =
+    s"""WITH docs AS (SELECT source, lang, doc_id, $SampleBucketSql AS bucket FROM documents),
+       |counts AS (SELECT source, count(*) AS n_g FROM docs GROUP BY 1),
+       |kept AS (
+       |  SELECT d.* FROM docs d JOIN counts USING (source)
+       |  WHERE bucket < least(4294967296, (4294967296 * ${GroupOversample.toLong * GroupSampleK} + n_g - 1) // n_g))
+       |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, lang
+       |FROM (SELECT source, doc_id, lang, row_number() OVER (
+       |        PARTITION BY source ORDER BY bucket, doc_id) AS rank
+       |      FROM kept)
+       |WHERE rank <= $GroupSampleK
+       |ORDER BY source, rank""".stripMargin
 
   // ------------------------------------------- percentile quality cut
 

@@ -391,6 +391,52 @@ class BatchInvariantSpec extends SparkSpec {
     }
   }
 
+  test("containment flags a planted strict-substring doc that Jaccard would miss") {
+    // B: a long doc; A: a 160-char excerpt of B's middle (every shingle
+    // of A appears in B → C(A→B)=1, while J(A,B) ≈ |A|/|B| ≈ 0.25);
+    // C: unrelated filler of the same length as B.
+    val body = (1 to 100).map(i => s"word$i").mkString(" ") // ~700 chars, unique tokens
+    val excerpt = body.substring(250, 410)
+    val other = (100 to 200).map(i => s"zeta$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (0L, body), (1L, excerpt), (2L, other)
+    )).toDF("doc_id", "text")
+    val rows = graft.queries.TextQueries.containmentOn(docs).collect()
+    assert(rows.length == 1, s"expected exactly the planted pair, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    // d1=0 is the container: c21 (excerpt→body) = 1, c12 well below
+    assert(r.getDouble(3) == 1.0, s"excerpt containment should be exactly 1, got $r")
+    assert(r.getDouble(2) < 0.5, s"container direction must stay low, got $r")
+  }
+
+  test("group sample emits k deterministic docs per source, the lowest-hash survivors") {
+    val rows = graft.queries.TextQueries.groupSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    val sources = Tables(spark, sfDir, "documents")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(bySource.keySet == sources, "every source must be sampled")
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"$src ranks not dense")
+      assert(rs.length <= 5)
+    }
+    // deterministic: same rows on a second run over a repartitioned scan
+    val again = graft.queries.TextQueries.groupSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "sample must be reproducible")
+    // cross-check one source against the naive full-sort definition
+    val naive = Tables(spark, sfDir, "documents")
+      .withColumn("bucket", expr(
+        "pmod(pmod(pmod(doc_id, 4294967296) * 34283, 65536) * 65536" +
+          " + pmod(doc_id, 4294967296) * 51831, 4294967296)"))
+      .filter(col("source") === "src0")
+      .orderBy("bucket", "doc_id").limit(5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(bySource("src0").sortBy(_._2).map(_._3).toSeq == naive,
+      "two-phase sample must equal the naive per-group sort prefix")
+  }
+
   test("quality percentile threshold is the exact discrete p25 per language") {
     val rows = graft.queries.TextQueries.qualityPercentile(spark, sfDir).collect()
     val byLang = Tables(spark, sfDir, "documents")
