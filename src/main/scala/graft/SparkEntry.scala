@@ -33,6 +33,7 @@ object SparkEntry {
     "q_ddl_roundtrip"    -> (BatchQueries.ddlRoundtrip _),
     "q_jdbc_roundtrip"   -> (BatchQueries.jdbcRoundtrip _),
     "q_partitioned_scan" -> (BatchQueries.partitionedScan _),
+    "q_schema_evolution" -> (BatchQueries.schemaEvolution _),
     // M2 — recommender surface (Part_A_Q2)
     "q_semijoin_active"  -> (RecommenderQueries.semijoinActive _),
     "q_pivot_matrix"     -> (RecommenderQueries.pivotMatrix _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_quality_percentile" -> (TextQueries.qualityPercentile _),
     "q_containment"      -> (TextQueries.containment _),
     "q_group_sample"     -> (TextQueries.groupSample _),
+    "q_collocations"     -> (TextQueries.collocations _),
     "q_pipeline_dedup_pack" -> (TextQueries.pipelineDedupPack _),
     "q_minhash_lsh"      -> (DedupQueries.minhashLsh _),
     "q_simhash_pairs"    -> (DedupQueries.simhashPairs _),
@@ -124,6 +126,7 @@ object SparkEntry {
     "q_ddl_roundtrip"    -> BatchQueries.ddlRoundtripSql,
     "q_jdbc_roundtrip"   -> BatchQueries.jdbcRoundtripSql,
     "q_partitioned_scan" -> BatchQueries.partitionedScanSql,
+    "q_schema_evolution" -> BatchQueries.schemaEvolutionSql,
     "q_semijoin_active"  -> RecommenderQueries.semijoinActiveSql,
     "q_pivot_matrix"     -> RecommenderQueries.pivotMatrixSql,
     "q_user_similarity"  -> RecommenderQueries.userSimilaritySql,
@@ -164,6 +167,7 @@ object SparkEntry {
     "q_quality_percentile" -> TextQueries.qualityPercentileSql,
     "q_containment"      -> TextQueries.containmentSql,
     "q_group_sample"     -> TextQueries.groupSampleSql,
+    "q_collocations"     -> TextQueries.collocationsSql,
     "q_pipeline_dedup_pack" -> TextQueries.pipelineDedupPackSql,
     // LSH/SimHash dedup emit their exact-Jaccard VERIFICATION stage →
     // hash-checked against a brute-force oracle; q_ann_lsh's pipeline is

@@ -328,6 +328,52 @@ object BatchQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Schema-evolution scan — the lakehouse reality that a table's
+    * files were written over months by different pipeline versions: an
+    * OLD generation without a column and a NEW generation with it must
+    * read back as ONE table (`mergeSchema=true` — per-file footers
+    * reconciled by name, missing columns null-filled). Generations are
+    * split by a deterministic key predicate so the oracle can replay
+    * the layout on the source table with a CASE — and the aggregate
+    * does per-generation null accounting over the evolved column, the
+    * audit a migration runs to see backfill coverage.
+    *
+    * Scale note: schema merge reads every file FOOTER up front
+    * (`mergeSchema` is a read-option cost, not a scan cost); at 100 TB
+    * you set it per-evolved-table, not globally, and compact old
+    * generations forward. Column pruning and predicate pushdown still
+    * reach both generations' scans. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Tables.scratchDir}/schema_evolution_orders"
+    val orders = Tables(spark, dir, "orders")
+    // gen1: even order keys, BEFORE o_orderpriority existed
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    // gen2: odd order keys, with the evolved column
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("gen")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_orderpriority").isNull.cast("long")).as("n_missing_priority"),
+        countDistinct("o_orderpriority").as("n_priorities"),
+        Det.moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("gen")
+  }
+
+  val schemaEvolutionSql: String =
+    s"""SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS gen,
+       |       count(*) AS cnt,
+       |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_priority,
+       |       count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_priorities,
+       |       ${Det.moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY gen""".stripMargin
+
   /** XML sink + scan round-trip — Spark 4's built-in XML data source
     * (the spark-xml module merged into core), exercising the
     * row-tag/schema machinery on the small nation dim: write 25 rows

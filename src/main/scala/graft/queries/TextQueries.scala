@@ -1017,6 +1017,68 @@ object TextQueries {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ collocations
+
+  private final val CollocMinCount = 5
+  private final val CollocTopK     = 20
+
+  /** Collocation / merge-candidate mining — the statistic behind
+    * tokenizer induction (a BPE merge step ranks adjacent-pair
+    * frequencies) and phrase detection: adjacent token pairs scored by
+    * pointwise mutual information
+    *   pmi(w1,w2) = ln( (c2/T) / ((c1(w1)/U)·(c1(w2)/U)) )
+    * with a minimum pair count (PMI is noise for rare pairs), top
+    * [[CollocTopK]] by rounded score with lexicographic ties.
+    *
+    * Scale: pair and unigram counts are two aggregations of the token
+    * stream; the unigram table is vocabulary-sized → broadcast to the
+    * pair relation; totals ride a 1-row broadcast; the final cut is a
+    * TakeOrderedAndProject. Floats only at the one ln per surviving
+    * pair, rounded to 4dp before ranking (the [[ngramLmScore]]
+    * precedent). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = docs
+      .select(explode(expr("sequence(0, size(toks) - 2)")).as("i"), col("toks"))
+      .select(col("toks").getItem(col("i")).as("w1"), expr("toks[i + 1]").as("w2"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= CollocMinCount)
+    val totals = pairs.agg(count(lit(1)).as("t"))
+      .crossJoin(uni.agg(sum("c1").as("u")))
+    c2
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("c2").cast("double") / col("t")) /
+          ((col("c1a").cast("double") / col("u")) * (col("c1b").cast("double") / col("u")))), 4))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(CollocTopK)
+      .select(col("w1"), col("w2"), col("c2"), col("pmi"))
+  }
+
+  val collocationsSql: String =
+    s"""WITH docs AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |              WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+       |pairs AS (SELECT toks[CAST(i + 1 AS INTEGER)] AS w1, toks[CAST(i + 2 AS INTEGER)] AS w2
+       |          FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i FROM docs)),
+       |uni AS (SELECT w, count(*) AS c1 FROM
+       |          (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2
+       |       HAVING count(*) >= $CollocMinCount),
+       |tot AS (SELECT (SELECT count(*) FROM pairs) AS t,
+       |               (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS u)
+       |SELECT w1, w2, c2,
+       |       round(ln((CAST(c2 AS DOUBLE) / t) /
+       |                ((CAST(a.c1 AS DOUBLE) / u) * (CAST(b.c1 AS DOUBLE) / u))), 4) AS pmi
+       |FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2 CROSS JOIN tot
+       |ORDER BY pmi DESC, w1, w2
+       |LIMIT $CollocTopK""".stripMargin
+
   // --------------------------------------------- containment detection
 
   private final val ContainThreshold = 0.8

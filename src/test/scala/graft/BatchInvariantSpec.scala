@@ -391,6 +391,50 @@ class BatchInvariantSpec extends SparkSpec {
     }
   }
 
+  test("collocation PMI matches the closed-form recompute from raw counts") {
+    val rows = graft.queries.TextQueries.collocations(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // recompute counts naively from the corpus
+    val toks = Tables(spark, sfDir, "documents").select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq).filter(_.length >= 2)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val pairCount = toks.flatMap(t => t.zip(t.tail)).groupBy(identity).view.mapValues(_.size.toLong)
+    val t = toks.map(_.length - 1).map(_.toLong).sum
+    val u = toks.map(_.length.toLong).sum
+    rows.foreach { r =>
+      val (w1, w2, c2, pmi) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(c2 == pairCount((w1, w2)), s"pair count mismatch at ($w1,$w2)")
+      assert(c2 >= 5)
+      val expect = BigDecimal(math.log((c2.toDouble / t) /
+        ((uni(w1).toDouble / u) * (uni(w2).toDouble / u))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pmi - expect) < 1e-9, s"pmi $pmi != $expect at ($w1,$w2)")
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not sorted by pmi")
+  }
+
+  test("schema evolution merges generations, null-fills the old one, prunes columns") {
+    val out = BatchQueries.schemaEvolution(spark, sfDir).collect()
+    assert(out.length == 2)
+    val orders = Tables(spark, sfDir, "orders")
+    val gen1 = out.find(_.getInt(0) == 1).get
+    val gen2 = out.find(_.getInt(0) == 2).get
+    assert(gen1.getLong(1) == orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(gen2.getLong(1) == orders.filter(col("o_orderkey") % 2 === 1).count())
+    // every gen1 row has a null evolved column; no gen2 row does
+    assert(gen1.getLong(2) == gen1.getLong(1), "gen1 must be all-null on the evolved column")
+    assert(gen2.getLong(2) == 0L, "gen2 must have no nulls on the evolved column")
+    assert(gen2.getLong(3) > 0, "gen2 must carry real priorities")
+    // the merged read keeps pruning: a 2-column projection reads 2 cols (+ partition col)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"${graft.Tables.scratchDir}/schema_evolution_orders")
+      .select("o_orderkey", "o_totalprice").filter(col("o_totalprice") > 1000.0)
+    val scan = merged.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"column pruning lost under mergeSchema:\n${scan.take(1200)}")
+  }
+
   test("containment flags a planted strict-substring doc that Jaccard would miss") {
     // B: a long doc; A: a 160-char excerpt of B's middle (every shingle
     // of A appears in B → C(A→B)=1, while J(A,B) ≈ |A|/|B| ≈ 0.25);
