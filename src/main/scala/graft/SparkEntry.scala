@@ -101,6 +101,8 @@ object SparkEntry {
     "q_asof_join"        -> (ExtensionQueries.asofJoin _),
     "q_range_join"       -> (ExtensionQueries.rangeJoin _),
     "q_compaction"       -> (ExtensionQueries.compaction _),
+    "q_zorder"           -> (ExtensionQueries.zorder _),
+    "q_resample"         -> (ExtensionQueries.resample _),
     "q_interval_join"    -> (ExtensionQueries.intervalJoinBatch _),
     "q_upsert"           -> (ExtensionQueries.upsert _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
@@ -202,6 +204,8 @@ object SparkEntry {
     "q_asof_join"        -> ExtensionQueries.asofJoinSql,
     "q_range_join"       -> ExtensionQueries.rangeJoinSql,
     "q_compaction"       -> ExtensionQueries.compactionSql,
+    "q_zorder"           -> ExtensionQueries.zorderSql,
+    "q_resample"         -> ExtensionQueries.resampleSql,
     "q_interval_join"    -> ExtensionQueries.intervalJoinBatchSql,
     "q_upsert"           -> ExtensionQueries.upsertSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,

@@ -288,6 +288,72 @@ object ExtensionQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Z-ORDER (Morton-curve) data layout — the multi-dimensional
+    * clustering every lakehouse table maintenance job offers (Delta
+    * OPTIMIZE ZORDER BY, Iceberg sort orders) and vanilla Spark has no
+    * statement for: both join/filter keys are scaled into 16-bit
+    * grids, their bits INTERLEAVED into one 32-bit Morton value, and
+    * the table is range-partitioned + sorted by that value. A
+    * contiguous z-range maps to a bounded rectangle in (custkey,
+    * orderkey) space, so per-file min/max stats become selective for
+    * predicates on EITHER key — single-key range layout (q_compaction)
+    * gives that for one dimension only. At 100 TB this is the
+    * difference between pruning row groups on both `WHERE o_custkey
+    * BETWEEN ...` and `WHERE o_orderkey BETWEEN ...` from one layout.
+    *
+    * Everything is exact integer arithmetic (scale = key·2¹⁶ /
+    * (max+1), bit interleave = shift/mask sums), so the oracle
+    * replays the z computation and the per-z-bucket audit (count +
+    * bounding rectangle per coarse z range — the distributional
+    * witness of curve locality); the PHYSICAL layout (disjoint
+    * per-file z ranges, small per-file rectangles) is asserted in
+    * ScalaTest, like q_compaction's. The guarded one-time write is
+    * the compaction pattern. */
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Tables.scratchDir}/zorder_orders"
+    val interleave = (0 until 16).map(i =>
+      s"shiftleft((x16 >> $i) & 1, ${2 * i}) + shiftleft((y16 >> $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+    if (spark.conf.getOption("graft.zorder.dir").forall(_ != dir)) {
+      val orders = Tables(spark, dir, "orders")
+      val maxes = orders.agg(
+        max("o_custkey").as("mx"), max("o_orderkey").as("my"))
+      orders.crossJoin(broadcast(maxes))
+        .withColumn("x16", expr("o_custkey * 65536 div (mx + 1)"))
+        .withColumn("y16", expr("o_orderkey * 65536 div (my + 1)"))
+        .withColumn("z", expr(interleave))
+        .drop("mx", "my", "x16", "y16")
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(path)
+      spark.conf.set("graft.zorder.dir", dir)
+    }
+    spark.read.parquet(path)
+      .groupBy(expr("CAST(z div 268435456 AS INT)").as("zbucket")) // 16 coarse z ranges
+      .agg(count(lit(1)).as("cnt"),
+        min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("zbucket")
+  }
+
+  val zorderSql: String = {
+    val interleave = (0 until 16).map(i =>
+      s"(((x16 >> $i) & 1) << ${2 * i}) + (((y16 >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT max(o_custkey) AS mx, max(o_orderkey) AS my FROM orders),
+       |z AS (SELECT o_custkey, o_orderkey, $interleave AS z
+       |      FROM (SELECT o_custkey, o_orderkey,
+       |                   o_custkey * 65536 // (mx + 1) AS x16,
+       |                   o_orderkey * 65536 // (my + 1) AS y16
+       |            FROM orders CROSS JOIN m))
+       |SELECT CAST(z // 268435456 AS INTEGER) AS zbucket, count(*) AS cnt,
+       |       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+       |FROM z
+       |GROUP BY 1
+       |ORDER BY zbucket""".stripMargin
+  }
+
   /** Keyless RANGE (interval-overlap) join via time binning — the
     * second temporal join shape Spark lacks natively: count, for
     * EVERY user session (gap-rule intervals, same 30-min rule as
@@ -469,6 +535,61 @@ object ExtensionQueries {
     * validating the window composition end-to-end, at microsecond
     * granularity on both sides (`unix_micros` / `epoch_us`; the
     * fixture's nanos are generated micro-aligned). */
+  /** Time-series RESAMPLE + forward fill — the gap-filling
+    * regularization every metrics/feature pipeline runs before
+    * windowed math (pandas `resample().ffill()`; no Spark statement):
+    * each user's event stream becomes one row per DAY on a regular
+    * grid spanning their observed range, carrying the day's last
+    * observation forward across gap days, with the gap flagged.
+    *
+    * Scale: the daily collapse is a per-(user, day) window rank; the
+    * grid is a bounded per-user explode (span days); the fill is a
+    * running `last(ignoreNulls)` per user over the GRID (days), not
+    * the raw events — all partitioned by user, no global sort, no
+    * driver loop. The filled value is copied, never computed, so the
+    * oracle compares exactly with no float tolerance. First grid day
+    * = first observed day, so the fill is total (no leading nulls). */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
+        col("value"), col("ts"), col("event_id"))
+    val daily = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "day").orderBy(desc("ts"), desc("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val grid = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last("value", ignoreNulls = true).over(wFill))
+      .withColumn("is_gap", col("value").isNull.cast("int"))
+      .select(col("user_id"), col("day"), col("filled"), col("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  val resampleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+      |         value, ts, event_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |                ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev)
+      |  WHERE rn = 1),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+      |SELECT g.user_id, g.day,
+      |       last_value(d.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |       CAST(d.value IS NULL AS INTEGER) AS is_gap
+      |FROM grid g LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val tagged = Tables(spark, dir, "events")
       .filter(col("event_type").isin("click", "error"))

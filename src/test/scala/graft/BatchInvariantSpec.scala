@@ -235,6 +235,61 @@ class BatchInvariantSpec extends SparkSpec {
     assert(disorder == 0, "rows are not sorted within files")
   }
 
+  test("resample fills every gap day with the carried value and flags it") {
+    val rows = graft.queries.ExtensionQueries.resample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      // the grid is contiguous: every day between first and last present
+      assert(days.toSeq == (days.head to days.last), s"user $u grid has holes")
+      // gap rows carry exactly the previous day's filled value
+      val sortedRs = rs.sortBy(_._2)
+      sortedRs.sliding(2).foreach { case Array(prev, cur) =>
+        if (cur._4 == 1) assert(cur._3 == prev._3,
+          s"user $u day ${cur._2}: gap fill ${cur._3} != carried ${prev._3}")
+      }
+      // first day is an observation, never a gap (grid starts at first obs)
+      assert(sortedRs.head._4 == 0, s"user $u grid starts with a gap")
+    }
+    assert(rows.exists(_._4 == 1), "fixture should contain at least one gap day")
+  }
+
+  test("zorder layout yields disjoint per-file z ranges and small bounding rectangles") {
+    import graft.queries.ExtensionQueries
+    spark.conf.unset("graft.zorder.dir")
+    ExtensionQueries.zorder(spark, sfDir).collect() // materialize the write
+    val dir = new java.io.File(s"${graft.Tables.scratchDir}/zorder_orders")
+    val files = dir.listFiles.filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1 && files.length <= 8, s"unexpected file count ${files.length}")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("z"), max("z"), min("o_custkey"), max("o_custkey"),
+        min("o_orderkey"), max("o_orderkey")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    // range partitioning by z: per-file z intervals must not overlap
+    val byZ = stats.sortBy(_._1)
+    byZ.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._1, s"overlapping z ranges: $a vs $b")
+    }
+    // curve locality: each file's (custkey × orderkey) bounding rectangle
+    // is a small fraction of the full space — an unclustered layout has
+    // every file spanning the FULL rectangle (ratio 1.0 per file);
+    // measured here: ~0.125 per file. Assert a 0.3 ceiling.
+    val fullArea = {
+      val r = spark.read.parquet(files: _*).agg(
+        min("o_custkey"), max("o_custkey"), min("o_orderkey"), max("o_orderkey"))
+        .collect().head
+      (r.getLong(1) - r.getLong(0)).toDouble * (r.getLong(3) - r.getLong(2))
+    }
+    val meanRatio = stats.map { s =>
+      (s._4 - s._3).toDouble * (s._6 - s._5) / fullArea
+    }.sum / stats.length
+    assert(meanRatio <= 0.3, f"files not z-clustered: mean rectangle ratio $meanRatio%.3f")
+  }
+
   test("binned range join equals the naive inequality join (no lost or duplicated pairs)") {
     val out = graft.queries.ExtensionQueries.rangeJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
