@@ -103,6 +103,7 @@ object SparkEntry {
     "q_compaction"       -> (ExtensionQueries.compaction _),
     "q_zorder"           -> (ExtensionQueries.zorder _),
     "q_resample"         -> (ExtensionQueries.resample _),
+    "q_event_funnel"     -> (ExtensionQueries.eventFunnel _),
     "q_interval_join"    -> (ExtensionQueries.intervalJoinBatch _),
     "q_upsert"           -> (ExtensionQueries.upsert _),
     "q_bucketed_join"    -> (ExtensionQueries.bucketedJoin _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "q_compaction"       -> ExtensionQueries.compactionSql,
     "q_zorder"           -> ExtensionQueries.zorderSql,
     "q_resample"         -> ExtensionQueries.resampleSql,
+    "q_event_funnel"     -> ExtensionQueries.eventFunnelSql,
     "q_interval_join"    -> ExtensionQueries.intervalJoinBatchSql,
     "q_upsert"           -> ExtensionQueries.upsertSql,
     "q_bucketed_join"    -> ExtensionQueries.bucketedJoinSql,

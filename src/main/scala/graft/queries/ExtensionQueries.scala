@@ -535,6 +535,73 @@ object ExtensionQueries {
     * validating the window composition end-to-end, at microsecond
     * granularity on both sides (`unix_micros` / `epoch_us`; the
     * fixture's nanos are generated micro-aligned). */
+  /** Ordered event-FUNNEL analysis — the sequential-pattern query of
+    * product analytics (and of curriculum-ordering checks in training
+    * pipelines): how many users progress signup → view → click →
+    * purchase IN TIME ORDER, and how long each hop takes. Stage k's
+    * timestamp is the user's earliest qualifying event strictly after
+    * stage k-1 — a chain of four conditional window minima over ONE
+    * exchange on user_id (each `min(when(...))` references the
+    * previous stage's column, so Catalyst stacks the window operators
+    * on the same partitioning — no self-joins, no second shuffle, no
+    * per-user collect). Gaps are exact integer seconds; the funnel
+    * aggregate is 4 rows. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("tsec"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" && col("tsec") > col("t1"), col("tsec"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "click" && col("tsec") > col("t2"), col("tsec"))).over(w))
+      .withColumn("t4", min(when(col("event_type") === "purchase" && col("tsec") > col("t3"), col("tsec"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"), max("t4").as("t4"))
+    val stages = Seq(
+      ("1_signup", col("t1"), lit(null).cast("long")),
+      ("2_view", col("t2"), col("t2") - col("t1")),
+      ("3_click", col("t3"), col("t3") - col("t2")),
+      ("4_purchase", col("t4"), col("t4") - col("t3")))
+    stages.map { case (name, t, gap) =>
+      staged.filter(t.isNotNull)
+        .agg(count(lit(1)).as("n_users"),
+          Det.rnd(sum(gap).cast("double") / count(gap), 2).as("avg_gap_s"))
+        .select(lit(name).as("stage"), col("n_users"), col("avg_gap_s"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  val eventFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+      |           FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND tsec > t1 THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsec > t2 THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |s4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsec > t3 THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t4 FROM s3),
+      |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+      |      FROM s4 GROUP BY 1)
+      |SELECT stage, n_users, avg_gap_s FROM (
+      |  SELECT '1_signup' AS stage, count(*) AS n_users,
+      |         floor((CAST(sum(CAST(NULL AS BIGINT)) AS DOUBLE) / count(CAST(NULL AS BIGINT))) * 100 + 0.5) / 100 AS avg_gap_s
+      |  FROM u WHERE t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT '2_view', count(*),
+      |         floor((CAST(sum(t2 - t1) AS DOUBLE) / count(t2 - t1)) * 100 + 0.5) / 100
+      |  FROM u WHERE t2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT '3_click', count(*),
+      |         floor((CAST(sum(t3 - t2) AS DOUBLE) / count(t3 - t2)) * 100 + 0.5) / 100
+      |  FROM u WHERE t3 IS NOT NULL
+      |  UNION ALL
+      |  SELECT '4_purchase', count(*),
+      |         floor((CAST(sum(t4 - t3) AS DOUBLE) / count(t4 - t3)) * 100 + 0.5) / 100
+      |  FROM u WHERE t4 IS NOT NULL)
+      |ORDER BY stage""".stripMargin
+
   /** Time-series RESAMPLE + forward fill — the gap-filling
     * regularization every metrics/feature pipeline runs before
     * windowed math (pandas `resample().ffill()`; no Spark statement):

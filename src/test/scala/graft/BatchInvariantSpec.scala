@@ -235,6 +235,27 @@ class BatchInvariantSpec extends SparkSpec {
     assert(disorder == 0, "rows are not sorted within files")
   }
 
+  test("event funnel narrows monotonically with positive hop gaps") {
+    val rows = graft.queries.ExtensionQueries.eventFunnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("1_signup", "2_view", "3_click", "4_purchase"))
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must narrow: ${counts.toSeq}")
+    assert(counts.head > 0 && counts.last > 0, "fixture should convert some users end-to-end")
+    assert(rows.head._3.isEmpty, "stage 1 has no inbound gap")
+    assert(rows.tail.forall(_._3.exists(_ > 0)), s"hop gaps must be positive: ${rows.toSeq}")
+    // stage-2 cross-check: earliest view strictly after earliest signup, per user
+    val brute = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), expr("unix_timestamp(ts)").as("t")).collect()
+      .groupBy(_.getLong(0)).count { case (_, evs) =>
+        val sign = evs.filter(_.getString(1) == "signup").map(_.getLong(2)).minOption
+        sign.exists(s => evs.exists(e => e.getString(1) == "view" && e.getLong(2) > s))
+      }
+    assert(rows(1)._2 == brute, s"stage-2 count ${rows(1)._2} != brute $brute")
+  }
+
   test("resample fills every gap day with the carried value and flags it") {
     val rows = graft.queries.ExtensionQueries.resample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
