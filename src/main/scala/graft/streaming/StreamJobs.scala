@@ -236,6 +236,51 @@ object StreamJobs {
       .toDF("event_type", "cnt", "total_value")
   }
 
+  /** Per-user funnel STATE MACHINE — the streaming twin of
+    * [[graft.queries.ExtensionQueries.eventFunnel]]: each user's
+    * state is the highest funnel stage reached (plus that stage's
+    * timestamp), advanced event by event in time order; a row is
+    * EMITTED only when a user crosses into a new stage, carrying the
+    * hop gap — the real-time conversion feed a product-analytics
+    * pipeline tails. State per key is two longs (stage, tsec) —
+    * constant, never grows. Within a micro-batch rows are sorted by
+    * (tsec, event_id) — the batch twin's strict `ts > prev` ordering
+    * — and cross-batch correctness assumes time-ordered batch
+    * arrival, the same contract as [[asofWithState]] (the
+    * watermark+buffer variant trades latency for reordering
+    * tolerance, see [[asofWatermarked]]).
+    * Input: (user_id, event_id, event_type, tsec). Output: one row
+    * per stage transition (user_id, stage, tsec, gap_s). */
+  def funnelWithState(events: org.apache.spark.sql.Dataset[
+      (Long, Long, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupState
+    val stageOf = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Int, Long)]) =>
+          var (stage, at) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Int, Long, Long)]
+          // batch rows replayed in event order (bounded by trigger size)
+          rows.toArray.sortBy(r => (r._4, r._2)).foreach { r =>
+            val st = stageOf.getOrElse(r._3, 0)
+            // strict progression: the NEXT stage only, strictly later
+            if (st == stage + 1 && r._4 > at) {
+              out += ((user, st, r._4, if (stage == 0) 0L else r._4 - at))
+              stage = st; at = r._4
+            }
+          }
+          state.update((stage, at))
+          out.iterator
+      }
+      .toDF("user_id", "stage", "tsec", "gap_s")
+  }
+
   /** Streaming twin of the batch AS-OF join
     * ([[graft.queries.ExtensionQueries.asofJoin]]): per-user
     * latest-error enrichment — every `click` emits with the most

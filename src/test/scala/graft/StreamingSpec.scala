@@ -320,6 +320,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine matches the batch stage chain across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)] // (user, event_id, type, tsec)
+    val q = StreamJobs.funnelWithState(mem.toDS())
+      .writeStream.format("memory").queryName("funl").outputMode("append").start()
+    try {
+      val evs = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_timestamp(ts)").as("tsec")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(e => (e._4, e._2))
+      // two time-split batches: transitions must chain across the boundary
+      Seq(evs.take(evs.length / 2), evs.drop(evs.length / 2)).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("funl").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // brute-force per-user stage chain (earliest next-stage event
+      // strictly after the previous stage), the batch funnel's rule
+      val stageOf = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+      val brute = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+        var stage = 0; var at = Long.MinValue
+        rows.toList.sortBy(r => (r._4, r._2)).flatMap { r =>
+          val st = stageOf.getOrElse(r._3, 0)
+          if (st == stage + 1 && r._4 > at) { stage = st; at = r._4; Some((u, st, r._4)) }
+          else None
+        }
+      }.toSet
+      assert(brute.exists(_._2 == 4), "fixture should convert users end-to-end")
+      assert(streamed == brute,
+        s"missing=${(brute -- streamed).take(5)} extra=${(streamed -- brute).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment carries the latest error across micro-batches") {
     val s = spark
     import s.implicits._
