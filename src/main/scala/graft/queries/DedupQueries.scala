@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Det
 
 /** Near-duplicate detection at scale: MinHash + LSH banding and
   * SimHash banded Hamming search — the sub-quadratic dedup paths for a
@@ -164,7 +165,10 @@ object DedupQueries {
       .filter(col("a.m") < col("b.m"))
       .select(col("a.m").as("d1"), col("b.m").as("d2"), lit(1.0).as("j"))
     inter.unionByName(intra)
-      .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
+      // Det.rnd, not round: j is an EXACT integer ratio, so a
+      // round-half landing is possible and Spark HALF_UP vs DuckDB
+      // half-even would flip the last digit (the Det.scala class)
+      .select(col("d1"), col("d2"), Det.rnd(col("j"), 6).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -178,7 +182,7 @@ object DedupQueries {
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT d1, d2, round(j, 6) AS jaccard
+       |SELECT d1, d2, ${Det.rndSql("j", 6)} AS jaccard
        |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
        |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
        |WHERE j >= $JThreshold
@@ -722,7 +726,7 @@ object DedupQueries {
     verify(prefiltered, index.corpus.select("doc_id", "text")
       .unionByName(batch.select("doc_id", "text")))
       .select(col("d1").as("existing_id"), col("d2").as("new_id"),
-        round(col("j"), 6).as("jaccard"))
+        Det.rnd(col("j"), 6).as("jaccard")) // exact ratio → Det, not round
       .orderBy("existing_id", "new_id")
   }
 
@@ -739,7 +743,7 @@ object DedupQueries {
        |            AND a.doc_id % $BatchMod <> $BatchRem
        |            AND b.doc_id % $BatchMod = $BatchRem
        |          GROUP BY 1, 2)
-       |SELECT d1 AS existing_id, d2 AS new_id, round(j, 6) AS jaccard
+       |SELECT d1 AS existing_id, d2 AS new_id, ${Det.rndSql("j", 6)} AS jaccard
        |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
        |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
        |WHERE j >= $JThreshold

@@ -557,6 +557,9 @@ object ExtensionQueries {
       .withColumn("t4", min(when(col("event_type") === "purchase" && col("tsec") > col("t3"), col("tsec"))).over(w))
       .groupBy("user_id")
       .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"), max("t4").as("t4"))
+      // one row per user, consumed by FOUR union branches below —
+      // materialize so the window chain + aggregate run once, not 4×
+      .localCheckpoint()
     val stages = Seq(
       ("1_signup", col("t1"), lit(null).cast("long")),
       ("2_view", col("t2"), col("t2") - col("t1")),

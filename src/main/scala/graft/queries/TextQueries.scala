@@ -120,7 +120,10 @@ object TextQueries {
       .withColumn("j",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("j") >= 0.5)
-      .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
+      // Det.rnd, not round: j is an exact integer ratio, so a
+      // round-half landing is possible and the engines' tie rules
+      // differ (Det.scala)
+      .select(col("d1"), col("d2"), Det.rnd(col("j"), 6).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -132,7 +135,7 @@ object TextQueries {
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT d1, d2, round(j, 6) AS jaccard
+       |SELECT d1, d2, ${Det.rndSql("j", 6)} AS jaccard
        |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
        |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
        |WHERE j >= 0.5
@@ -983,6 +986,12 @@ object TextQueries {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))"))
         .as("ngram"))
+    // docNgrams is consumed twice (df derivation + membership probe):
+    // a DELIBERATE recompute, not an oversight — it is a narrow
+    // map-side explode, and persisting the exploded corpus-sized
+    // stream costs more than scanning twice (the r3 groups-checkpoint
+    // lesson); contrast tfidfTopTerms, whose doubly-consumed tf is a
+    // SHUFFLED aggregate and therefore is materialized.
     val boiler = docNgrams.groupBy("ngram").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("ngram")).limit(BoilerTopK)
       .select(col("ngram"), lit(1).as("is_boiler"))
@@ -992,8 +1001,8 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
-      .withColumn("coverage",
-        round(col("n_boiler").cast("double") / col("n_ngrams"), 4))
+      .withColumn("coverage", // exact integer ratio → Det, not round
+        Det.rnd(col("n_boiler").cast("double") / col("n_ngrams"), 4))
       .withColumn("flagged", (col("coverage") >= BoilerFlag).cast("int"))
       .orderBy("doc_id")
   }
@@ -1011,8 +1020,8 @@ object TextQueries {
        |  ORDER BY df DESC, ngram LIMIT $BoilerTopK)
        |SELECT doc_id, count(*) AS n_ngrams,
        |       CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-       |       round(CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage,
-       |       CAST(round(CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) >= $BoilerFlag AS INTEGER) AS flagged
+       |       ${Det.rndSql("CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS coverage,
+       |       CAST(${Det.rndSql("CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} >= $BoilerFlag AS INTEGER) AS flagged
        |FROM dn LEFT JOIN boiler b USING (ngram)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
@@ -1043,11 +1052,15 @@ object TextQueries {
     val pairs = docs
       .select(explode(expr("sequence(0, size(toks) - 2)")).as("i"), col("toks"))
       .select(col("toks").getItem(col("i")).as("w1"), expr("toks[i + 1]").as("w2"))
+    // uni feeds two broadcast joins + the totals; c2full feeds the
+    // filtered pair table + the totals — both are vocabulary-sized
+    // aggregates of corpus-sized streams, so materialize each once
+    // rather than re-running the corpus explode per consumer
     val uni = docs.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= CollocMinCount)
-    val totals = pairs.agg(count(lit(1)).as("t"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint()
+    val c2full = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val c2 = c2full.filter(col("c2") >= CollocMinCount)
+    val totals = c2full.agg(sum("c2").as("t")) // Σ pair counts ≡ pair total
       .crossJoin(uni.agg(sum("c1").as("u")))
     c2
       .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
@@ -1117,8 +1130,8 @@ object TextQueries {
       .withColumn("c12", col("inter").cast("double") / col("sz1"))
       .withColumn("c21", col("inter").cast("double") / col("sz2"))
       .filter(greatest(col("c12"), col("c21")) >= ContainThreshold)
-      .select(col("d1"), col("d2"),
-        round(col("c12"), 6).as("c12"), round(col("c21"), 6).as("c21"))
+      .select(col("d1"), col("d2"), // exact integer ratios → Det, not round
+        Det.rnd(col("c12"), 6).as("c12"), Det.rnd(col("c21"), 6).as("c21"))
       .orderBy("d1", "d2")
   }
 
@@ -1130,7 +1143,7 @@ object TextQueries {
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT d1, d2, round(c12, 6) AS c12, round(c21, 6) AS c21
+       |SELECT d1, d2, ${Det.rndSql("c12", 6)} AS c12, ${Det.rndSql("c21", 6)} AS c21
        |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / s1.sz AS c12, CAST(i AS DOUBLE) / s2.sz AS c21
        |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
        |WHERE greatest(c12, c21) >= $ContainThreshold

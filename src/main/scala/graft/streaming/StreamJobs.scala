@@ -107,9 +107,10 @@ object StreamJobs {
     * against a static side is a per-batch broadcast NESTED-LOOP join —
     * every event × every interval, which dies when the interval table
     * is large. Instead both sides are binned to the hour: the static
-    * intervals explode ONCE into one row per covered hour bin (Spark
-    * evaluates and reuses the static plan across micro-batches), each
-    * streaming event computes its single bin, and the join is a plain
+    * intervals explode ONCE into one row per covered hour bin
+    * (materialized — an uncached static plan would re-evaluate every
+    * micro-batch), each streaming event computes its single bin, and
+    * the join is a plain
     * EQUI-join on the bin followed by the exact containment predicate.
     * Each (event, interval) pair meets in exactly one bin — no
     * dedup step — and per-batch work is |batch| × (intervals per
@@ -122,8 +123,13 @@ object StreamJobs {
     * with (event_id, ts, event_type). Emits one row per contained
     * (event, interval) pair. */
   def rangeJoinStream(intervals: DataFrame, events: DataFrame): DataFrame = {
+    // materialize the binned static side: a stream-static join
+    // re-evaluates an uncached static plan EVERY micro-batch, so
+    // without this the interval derivation + explode would re-run per
+    // trigger — localCheckpoint pins the computed bin table once
     val binned = intervals
       .withColumn("bin", explode(sequence(expr("s_start div 3600"), expr("s_end div 3600"))))
+      .localCheckpoint()
     events
       .select(col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("tsec"))

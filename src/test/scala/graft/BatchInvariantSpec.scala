@@ -267,9 +267,11 @@ class BatchInvariantSpec extends SparkSpec {
       assert(days.toSeq == (days.head to days.last), s"user $u grid has holes")
       // gap rows carry exactly the previous day's filled value
       val sortedRs = rs.sortBy(_._2)
-      sortedRs.sliding(2).foreach { case Array(prev, cur) =>
-        if (cur._4 == 1) assert(cur._3 == prev._3,
-          s"user $u day ${cur._2}: gap fill ${cur._3} != carried ${prev._3}")
+      sortedRs.sliding(2).foreach {
+        case Array(prev, cur) =>
+          if (cur._4 == 1) assert(cur._3 == prev._3,
+            s"user $u day ${cur._2}: gap fill ${cur._3} != carried ${prev._3}")
+        case _ => () // single-day user: one grid row, nothing to slide
       }
       // first day is an observation, never a gap (grid starts at first obs)
       assert(sortedRs.head._4 == 0, s"user $u grid starts with a gap")
