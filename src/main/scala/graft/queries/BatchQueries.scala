@@ -231,9 +231,12 @@ object BatchQueries {
     * ratings⋈users → groupby(Age), `Part_A_Q1.py:80-86`): revenue by
     * nation through lineitem⋈orders⋈customer⋈nation. nation is tiny →
     * broadcast; lineitem⋈orders is the real fact-fact shuffle and
-    * orders⋈customer co-partitions on custkey. Revenue summed as
-    * double then rounded to cents — sum error is ~1e-6 absolute at
-    * 1e9 magnitude, far below the rounding grid. */
+    * orders⋈customer co-partitions on custkey. Revenue is summed in
+    * EXACT integer ten-thousandths (2dp price × 2dp discount
+    * complement) and half-up-rounded to cents in integer space — the
+    * float-sum-then-round form is order-dependent and can flip the
+    * cent between engines when a group total lands on a x.xx5
+    * boundary (the Det.scala divergence class). */
   def joinAggByDim(spark: SparkSession, dir: String): DataFrame = {
     val lineitem = Tables(spark, dir, "lineitem")
     val orders   = Tables(spark, dir, "orders")
@@ -246,14 +249,22 @@ object BatchQueries {
       .groupBy("n_name")
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        // exact integer ten-thousandths (price 2dp × discount-complement
+        // 2dp), summed exactly and half-up-rounded IN INTEGER SPACE —
+        // the float-sum form can land within summation noise of a
+        // x.xx5 boundary and flip the cent between engines
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("units"))
+      .select(col("n_name"), col("cnt"),
+        (expr("(units + 50) div 100").cast("double") / 100.0).as("revenue"))
       .orderBy("n_name")
   }
 
   val joinAggByDimSql: String =
     """SELECT n_name, count(*) AS cnt,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE)
+      |         / 100.0 AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
