@@ -688,4 +688,104 @@ object ExtensionQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       |  ON c.user_id = e.user_id AND e.ts <= c.ts
       |ORDER BY c.event_id""".stripMargin
+
+  /** Cohort retention triangle (the product-analytics staple the
+    * reference's per-batch counters never reach): users are cohorted
+    * by their first active day; each (cohort, day-offset) cell counts
+    * how many of that cohort were active again offset days later,
+    * with retention as a percentage of the cohort's day-0 size.
+    *
+    * Scale: the raw stream first collapses to DISTINCT (user, day) —
+    * at 100 TB that is the only pass over the full events table, and
+    * it is a hash-distinct partitioned by the grouping key. The
+    * cohort-day window then repartitions only the collapsed pairs
+    * (bounded by users × active-days, not events); the final cell
+    * aggregate and the cohort-size window run on the triangle itself
+    * (≤ cohorts × span rows). All-integer arithmetic until the one
+    * rounded percentage. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val cells = ud
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort_day")))
+      .withColumn("retention_pct",
+        Det.rnd(col("n_active") * lit(100.0) / col("cohort_size"), 2))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+       |  FROM events),
+       |c AS (SELECT user_id, day,
+       |             min(day) OVER (PARTITION BY user_id) AS cohort_day
+       |      FROM ud),
+       |cells AS (
+       |  SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_active
+       |  FROM c GROUP BY 1, 2),
+       |sized AS (
+       |  SELECT *, max(CASE WHEN day_offset = 0 THEN n_active END)
+       |              OVER (PARTITION BY cohort_day) AS cohort_size
+       |  FROM cells)
+       |SELECT cohort_day, day_offset, n_active, cohort_size,
+       |       ${Det.rndSql("n_active * 100.0 / cohort_size", 2)} AS retention_pct
+       |FROM sized
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Rolling active-user counts — DAU and trailing-7-day WAU per day,
+    * plus the DAU/WAU "stickiness" ratio. The rolling DISTINCT is the
+    * hard part (a range-frame window can't deduplicate): each
+    * collapsed (user, day) pair is exploded to the ≤7 window-end days
+    * it contributes to, and each window end counts distinct users —
+    * turning the rolling distinct into a plain bounded-fan-out
+    * hash aggregate.
+    *
+    * Scale: one full-events pass (the same DISTINCT collapse as
+    * [[retention]]), then a ×7 explode of the bounded (user, day)
+    * table into a distinct-aggregate partitioned by day. No global
+    * window, no per-day self-join cascade, no driver loop. Window
+    * ends beyond the observed range are clipped so every emitted day
+    * is a real day with a full trailing week of data visible. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+      .localCheckpoint() // consumed twice: bounds + explode
+    val bounds = ud.agg(max("day").as("max_day")).select("max_day")
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wend"))
+      .join(broadcast(bounds), col("wend") <= col("max_day"))
+      .groupBy(col("wend").as("day"))
+      .agg(countDistinct("user_id").as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", Det.rnd(col("dau") * lit(100.0) / col("wau"), 2))
+      .orderBy("day")
+  }
+
+  val activeUsersSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+       |  FROM events),
+       |bounds AS (SELECT max(day) AS max_day FROM ud),
+       |wau AS (
+       |  SELECT day + o AS day, count(DISTINCT user_id) AS wau
+       |  FROM ud CROSS JOIN range(7) t(o)
+       |  WHERE day + o <= (SELECT max_day FROM bounds)
+       |  GROUP BY 1),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+       |SELECT day, dau, wau,
+       |       ${Det.rndSql("dau * 100.0 / wau", 2)} AS stickiness
+       |FROM dau JOIN wau USING (day)
+       |ORDER BY day""".stripMargin
 }

@@ -594,4 +594,42 @@ class BatchInvariantSpec extends SparkSpec {
     assert(back.length == orig.length && back.sameElements(orig),
       s"XML round-trip lost or changed rows: ${back.take(3).toSeq} vs ${orig.take(3).toSeq}")
   }
+
+  test("retention triangle: day-0 cells are the cohort sizes and partition the user base") {
+    val tri = queries.ExtensionQueries.retention(spark, sfDir).collect()
+    val day0 = tri.filter(_.getAs[Long]("day_offset") == 0L)
+    day0.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention_pct") == 100.0)
+    }
+    // cohorts partition users: day-0 sizes sum to the distinct-user count
+    val totalUsers = Tables(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(day0.map(_.getAs[Long]("n_active")).sum == totalUsers)
+    // no cell can exceed its cohort and offsets are non-negative
+    tri.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Long]("day_offset") >= 0L)
+    }
+  }
+
+  test("active users: WAU bounds DAU and matches a brute-force trailing-week distinct") {
+    val au = queries.ExtensionQueries.activeUsers(spark, sfDir).collect()
+    assert(au.nonEmpty)
+    au.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"),
+        s"day ${r.getAs[Long]("day")}: wau < dau")
+    }
+    // brute-force WAU for three sampled days from the raw (user, day) pairs
+    val pairs = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) div 86400 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sample = au.indices.by(math.max(1, au.length / 3)).take(3)
+    sample.foreach { i =>
+      val d = au(i).getAs[Long]("day")
+      val brute = pairs.filter { case (_, pd) => pd >= d - 6 && pd <= d }
+        .map(_._1).distinct.length.toLong
+      assert(au(i).getAs[Long]("wau") == brute, s"day $d: wau != brute-force")
+    }
+  }
 }
