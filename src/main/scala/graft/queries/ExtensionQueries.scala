@@ -788,4 +788,77 @@ object ExtensionQueries {
        |       ${Det.rndSql("dau * 100.0 / wau", 2)} AS stickiness
        |FROM dau JOIN wau USING (day)
        |ORDER BY day""".stripMargin
+
+  /** UNPIVOT / melt — the inverse of the reference's unstack (pandas
+    * `melt`; `Dataset.unpivot` in Spark): the per-user wide activity
+    * matrix (one count column per event type) flattens back to tidy
+    * long form, zero cells included. The pivot takes its column
+    * domain as a STATIC list — at scale the implicit-pivot extra
+    * distinct-collect pass over the fact table is the thing to avoid
+    * (same rationale as the broadcast threshold tables in
+    * stratified sampling). Unpivot itself is a zero-shuffle
+    * projection (an Expand node — each wide row emits k long rows). */
+  def unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "cnt")
+      .orderBy("user_id", "event_type")
+  }
+
+  val unpivotSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+      |c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+      |SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS cnt
+      |FROM u CROSS JOIN t
+      |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+      |ORDER BY u.user_id, t.event_type""".stripMargin
+
+  /** Exact grouped percentiles (p50/p90/p99 of event value per type)
+    * — the EXACT tier next to the GK-sketch scale path
+    * (`q_quantile_sketch`). Percentile-by-rank-pick semantics: the
+    * element at 1-based rank ⌈p·n⌉ in (value, event_id) order — the
+    * chosen value is COPIED, never interpolated, and the rank is pure
+    * integer arithmetic (`(n·k + 99) div 100`), so both engines agree
+    * bit-for-bit with no float tolerance (cross-engine
+    * percentile_cont interpolation conventions never enter).
+    *
+    * Scale: one exchange on the group key, one in-partition sort
+    * (rank + group size ride the same window partitioning, and the
+    * final aggregate collapses in-place). At 100 TB you reach for the
+    * sketch twin; this is the exact-answer contract for the sizes
+    * where exactness is affordable. */
+  def groupPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("value", "event_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value"))).as("p99"))
+      .orderBy("event_type")
+  }
+
+  val groupPercentileSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, max(n) AS n,
+      |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+      |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM r GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -632,4 +632,40 @@ class BatchInvariantSpec extends SparkSpec {
       assert(au(i).getAs[Long]("wau") == brute, s"day $d: wau != brute-force")
     }
   }
+
+  test("unpivot is the exact inverse of the wide pivot (counts conserved, zero cells kept)") {
+    val long = queries.ExtensionQueries.unpivot(spark, sfDir).collect()
+    val nUsers = Tables(spark, sfDir, "events").select("user_id").distinct().count()
+    assert(long.length == nUsers * 5, "one long row per user x event type")
+    assert(long.map(_.getAs[Long]("cnt")).sum ==
+      Tables(spark, sfDir, "events").count(), "melt conserves the event total")
+    val direct = Tables(spark, sfDir, "events")
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    long.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("cnt") == direct.getOrElse(key, 0L), s"cell $key")
+    }
+  }
+
+  test("grouped percentiles are real elements at the exact ceil-rank positions") {
+    val ps = queries.ExtensionQueries.groupPercentile(spark, sfDir).collect()
+    val byType = Tables(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(ps.map(_.getString(0)).toSet == byType.keySet)
+    ps.foreach { r =>
+      val sorted = byType(r.getString(0))
+      assert(r.getAs[Long]("n") == sorted.length.toLong)
+      // note: sorting by value alone suffices here — the event_id
+      // tiebreak only picks WHICH of the equal values is copied
+      for ((p, k) <- Seq("p50" -> 50, "p90" -> 90, "p99" -> 99)) {
+        val want = sorted((sorted.length * k + 99) / 100 - 1)
+        assert(r.getAs[Double](p) == want, s"${r.getString(0)} $p")
+      }
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90") &&
+        r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
+    }
+  }
 }
