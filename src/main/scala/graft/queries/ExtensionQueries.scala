@@ -832,9 +832,12 @@ object ExtensionQueries {
     * final aggregate collapses in-place). At 100 TB you reach for the
     * sketch twin; this is the exact-answer contract for the sizes
     * where exactness is affordable. */
-  def groupPercentile(spark: SparkSession, dir: String): DataFrame = {
+  def groupPercentile(spark: SparkSession, dir: String): DataFrame =
+    groupPercentileOf(Tables(spark, dir, "events"))
+
+  private[graft] def groupPercentileOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = Tables(spark, dir, "events")
+    val ranked = events
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("value", "event_id")))

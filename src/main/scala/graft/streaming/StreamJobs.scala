@@ -97,6 +97,27 @@ object StreamJobs {
       .dropDuplicates("event_id")
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming DAU — running per-day distinct-user counts, the
+    * streaming twin of [[graft.queries.ExtensionQueries.activeUsers]]'
+    * DAU column. Distinct aggregation is unsupported in streaming, so
+    * the rolling distinct is the chained-stateful idiom: watermarked
+    * `dropDuplicatesWithinWatermark(user, day)` (the Spark 3.5+ form
+    * that evicts dedup state by watermark WITHOUT requiring the
+    * event-time column among the keys — plain `dropDuplicates` on
+    * non-event-time keys grows state forever) feeding a plain per-day
+    * count. State is therefore bounded: dedup keys live one watermark
+    * horizon; the count state is one long per open day.
+    *
+    * A re-delivered or re-active (user, day) inside the watermark
+    * horizon increments nothing — exactly the batch DISTINCT-collapse
+    * semantics on the concatenated input. */
+  def dauStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("day", to_date(col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+
   /** STREAM-STATIC range join — point events arriving on a stream are
     * enriched with the STATIC interval table they fall into
     * (maintenance windows, campaign flights, session boundaries

@@ -668,4 +668,29 @@ class BatchInvariantSpec extends SparkSpec {
         r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
     }
   }
+
+  test("grouped percentiles survive heavy ties and degenerate groups (seeded random trials)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      // small value domain forces massive ties; group sizes 1..~200
+      // cover the n=1 and ceil-rank==n edge cases
+      val rows = (1 to 7).flatMap { g =>
+        val n = 1 + rng.nextInt(40 * trial)
+        (1 to n).map(i =>
+          (s"g$g", rng.nextInt(5).toDouble, (g * 100000 + i).toLong))
+      }
+      val got = queries.ExtensionQueries
+        .groupPercentileOf(rows.toDF("event_type", "value", "event_id"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        def pick(k: Int) = sorted((sorted.length * k + 99) / 100 - 1)
+        g -> ((sorted.length.toLong, pick(50), pick(90), pick(99)))
+      }
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
 }

@@ -242,6 +242,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DAU dedups (user, day) within the watermark and matches the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.dauStream(mem.toDF())
+      .writeStream.format("memory").queryName("dau").outputMode("complete").start()
+    try {
+      val b1 = Seq(
+        ev(1, "2024-01-01 09:00:00", "click", u = 1),
+        ev(2, "2024-01-01 10:00:00", "view", u = 1), // same user+day: no increment
+        ev(3, "2024-01-01 11:00:00", "click", u = 2))
+      val b2 = Seq(
+        ev(4, "2024-01-01 12:00:00", "view", u = 1), // cross-batch re-activity, same day
+        ev(5, "2024-01-02 09:00:00", "click", u = 1), // next day counts again
+        ev(6, "2024-01-02 10:00:00", "click", u = 3))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("dau").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val batch = (b1 ++ b2).toDF()
+        .selectExpr("user_id", "to_date(ts) AS day").distinct()
+        .groupBy("day").count().collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L), s"got $streamed")
+    } finally q.stop()
+  }
+
   test("streaming top-k report matches the batch twin") {
     val s = spark
     import s.implicits._
