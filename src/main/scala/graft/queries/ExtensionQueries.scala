@@ -752,23 +752,35 @@ object ExtensionQueries {
     * Scale: one full-events pass (the same DISTINCT collapse as
     * [[retention]]), then a ×7 explode of the bounded (user, day)
     * table into a distinct-aggregate partitioned by day. No global
-    * window, no per-day self-join cascade, no driver loop. Window
-    * ends beyond the observed range are clipped so every emitted day
-    * is a real day with a full trailing week of data visible. */
-  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables(spark, dir, "events")
+    * window, no per-day self-join cascade, no driver loop. The
+    * output rides a generated day SPINE over the observed range, so
+    * a day with zero events still emits its row (dau=0, and its
+    * trailing-week wau) — an inner join on dau would silently hole
+    * the series exactly where an outage made it interesting.
+    * Stickiness is null on zero-dau days (0/wau is a real 0%, but
+    * 0-event days usually mean missing data, not dead users). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsersOf(Tables(spark, dir, "events"))
+
+  private[graft] def activeUsersOf(events: DataFrame): DataFrame = {
+    val ud = events
       .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
       .distinct()
-      .localCheckpoint() // consumed twice: bounds + explode
-    val bounds = ud.agg(max("day").as("max_day")).select("max_day")
+      .localCheckpoint() // consumed three times: bounds, wau explode, dau agg
+    val spine = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val wau = ud
-      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wend"))
-      .join(broadcast(bounds), col("wend") <= col("max_day"))
-      .groupBy(col("wend").as("day"))
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy("day")
       .agg(countDistinct("user_id").as("wau"))
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    dau.join(wau, "day")
-      .withColumn("stickiness", Det.rnd(col("dau") * lit(100.0) / col("wau"), 2))
+    spine
+      .join(dau, Seq("day"), "left")
+      .join(wau, Seq("day"), "left")
+      // a >6-day outage leaves even the trailing week empty: wau=0 too
+      .na.fill(0L, Seq("dau", "wau"))
+      .withColumn("stickiness",
+        when(col("dau") > 0, Det.rnd(col("dau") * lit(100.0) / col("wau"), 2)))
       .orderBy("day")
   }
 
@@ -777,17 +789,20 @@ object ExtensionQueries {
        |  SELECT DISTINCT user_id,
        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
        |  FROM events),
-       |bounds AS (SELECT max(day) AS max_day FROM ud),
+       |spine AS (
+       |  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM ud),
        |wau AS (
        |  SELECT day + o AS day, count(DISTINCT user_id) AS wau
        |  FROM ud CROSS JOIN range(7) t(o)
-       |  WHERE day + o <= (SELECT max_day FROM bounds)
        |  GROUP BY 1),
        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
-       |SELECT day, dau, wau,
-       |       ${Det.rndSql("dau * 100.0 / wau", 2)} AS stickiness
-       |FROM dau JOIN wau USING (day)
-       |ORDER BY day""".stripMargin
+       |SELECT s.day, coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau,
+       |       CASE WHEN coalesce(d.dau, 0) > 0
+       |            THEN ${Det.rndSql("d.dau * 100.0 / w.wau", 2)} END AS stickiness
+       |FROM spine s
+       |LEFT JOIN dau d ON s.day = d.day
+       |LEFT JOIN wau w ON s.day = w.day
+       |ORDER BY s.day""".stripMargin
 
   /** UNPIVOT / melt — the inverse of the reference's unstack (pandas
     * `melt`; `Dataset.unpivot` in Spark): the per-user wide activity
@@ -799,7 +814,7 @@ object ExtensionQueries {
     * stratified sampling). Unpivot itself is a zero-shuffle
     * projection (an Expand node — each wide row emits k long rows). */
   def unpivot(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = RecommenderQueries.EventTypes
     val wide = Tables(spark, dir, "events")
       .groupBy("user_id")
       .pivot("event_type", types)

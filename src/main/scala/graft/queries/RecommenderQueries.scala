@@ -24,7 +24,9 @@ object RecommenderQueries {
 
   private val TopUsers   = 20
   private val K          = 3
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  /** The corpus's static event-type domain (stable across SFs) —
+    * shared so the pivot/unpivot surfaces can't drift apart. */
+  private[graft] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Long-form ratings matrix: avg value per (user, event_type),
     * computed in exact integer cents (see [[Det]]) so the value is

@@ -99,24 +99,39 @@ object StreamJobs {
 
   /** Streaming DAU — running per-day distinct-user counts, the
     * streaming twin of [[graft.queries.ExtensionQueries.activeUsers]]'
-    * DAU column. Distinct aggregation is unsupported in streaming, so
-    * the rolling distinct is the chained-stateful idiom: watermarked
-    * `dropDuplicatesWithinWatermark(user, day)` (the Spark 3.5+ form
-    * that evicts dedup state by watermark WITHOUT requiring the
-    * event-time column among the keys — plain `dropDuplicates` on
-    * non-event-time keys grows state forever) feeding a plain per-day
-    * count. State is therefore bounded: dedup keys live one watermark
-    * horizon; the count state is one long per open day.
+    * DAU column (same UTC epoch-day bucket — `to_date` would follow
+    * the session timezone and silently diverge from the batch twin on
+    * an off-UTC session). Distinct aggregation is unsupported in
+    * streaming, so the rolling distinct is the chained-stateful
+    * idiom: watermarked `dropDuplicatesWithinWatermark(user, day)`
+    * (the Spark 3.5+ form that evicts dedup state by watermark
+    * WITHOUT requiring the event-time column among the keys — plain
+    * `dropDuplicates` on non-event-time keys grows state forever)
+    * feeding a plain per-day count.
+    *
+    * The watermark delay is taken in whole DAYS with a floor of 1:
+    * the dedup keys are day-granular, so any sub-day delay could
+    * evict a (user, day) while that day is still receiving on-time
+    * events and count the user twice — 1 day is the minimum safe
+    * horizon, not a tunable. State: dedup keys live one watermark
+    * horizon (bounded); the count side holds one long per day EVER
+    * seen (a non-windowed aggregation never closes days — the price
+    * of an always-queryable running total; a `window(ts)` aggregate
+    * is the evicting variant when only finalized days matter).
     *
     * A re-delivered or re-active (user, day) inside the watermark
     * horizon increments nothing — exactly the batch DISTINCT-collapse
     * semantics on the concatenated input. */
-  def dauStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+  def dauStream(events: DataFrame, watermarkDays: Int = 1): DataFrame = {
+    require(watermarkDays >= 1,
+      "day-granular dedup keys need >= 1 day of watermark: a shorter delay can evict " +
+        "a (user, day) mid-day and overcount that user on re-activity")
     events
-      .withWatermark("ts", watermark)
-      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", s"$watermarkDays days")
+      .withColumn("day", expr("unix_timestamp(ts) div 86400"))
       .dropDuplicatesWithinWatermark("user_id", "day")
       .groupBy("day").agg(count(lit(1)).as("dau"))
+  }
 
   /** STREAM-STATIC range join — point events arriving on a stream are
     * enriched with the STATIC interval table they fall into

@@ -631,6 +631,31 @@ class BatchInvariantSpec extends SparkSpec {
         .map(_._1).distinct.length.toLong
       assert(au(i).getAs[Long]("wau") == brute, s"day $d: wau != brute-force")
     }
+    // the day spine is contiguous over the observed range
+    val days = au.map(_.getAs[Long]("day"))
+    assert(days.toSeq == (days.min to days.max).toSeq, "holes in the day spine")
+  }
+
+  test("active users emits zero-dau days (outage fixture with a short and a >week gap)") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // active days (epoch-relative): 0, 1, 4, 15 — day 2-3 short gap,
+    // 5-14 a gap longer than the trailing week (wau must reach 0)
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 1L), (1L, 4L), (3L, 15L))
+      .map { case (u, d) => (u, new Timestamp((base + d * 86400L + 3600L) * 1000L)) }
+    val au = queries.ExtensionQueries
+      .activeUsersOf(rows.toDF("user_id", "ts"))
+      .collect().map(r => r.getAs[Long]("day") - base / 86400L ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau"), Option(r.get(3))))).toMap
+    assert(au.keySet == (0L to 15L).toSet, "spine must cover the whole range")
+    assert(au(0L) == ((2L, 2L, Some(100.0))))
+    assert(au(2L)._1 == 0L && au(2L)._2 == 2L && au(2L)._3.isEmpty,
+      "gap day: dau=0, trailing week still populated, stickiness null")
+    assert(au(4L) == ((1L, 2L, Some(50.0))))
+    assert(au(11L) == ((0L, 0L, None)), "after >6 dead days the trailing week is empty")
+    assert(au(15L) == ((1L, 1L, Some(100.0))))
   }
 
   test("unpivot is the exact inverse of the wide pivot (counts conserved, zero cells kept)") {
