@@ -24,7 +24,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver's documented environment (local[32],
+    // shuffle.partitions=32); SPARK_GRAFT_CPUS overrides for scaling
+    // experiments
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
