@@ -879,4 +879,192 @@ object ExtensionQueries {
       |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
       |FROM r GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** SCD type-2 dimension build — compress each user's event-type
+    * history into validity intervals: consecutive same-state events
+    * collapse into one run, each run carries [eff_us, end_us) bounds
+    * (end = next run's start, open for the current run), its event
+    * count, and an `is_current` flag. This is the warehouse staple for
+    * turning an append-only change stream into a queryable
+    * point-in-time dimension (the batch twin of
+    * [[ExtensionQueries.upsert]]'s latest-wins MERGE: upsert keeps the
+    * newest version, SCD-2 keeps them ALL with validity).
+    *
+    * Scale: one exchange on user_id, one in-partition sort — the
+    * change flag (lag), the run id (running sum), and the run window
+    * (lead over runs) all ride the same partitioning; the run
+    * aggregation is map-side-combinable on (user_id, run_id). All
+    * arithmetic is exact integers (micros, counts, run ids). */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables(spark, dir, "events"))
+
+  private[graft] def scd2Of(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val runs = events
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("chg",
+        when(lag("state", 1).over(byUser).isNull
+          || lag("state", 1).over(byUser) =!= col("state"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(min("state").as("state"), min("tus").as("eff_us"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy("user_id").orderBy("run_id")
+    runs
+      .withColumn("end_us", lead("eff_us", 1).over(byRun))
+      .withColumn("is_current", col("end_us").isNull)
+      .select(col("user_id"), col("run_id"), col("state"), col("eff_us"),
+        col("end_us"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "run_id")
+  }
+
+  val scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS tus, event_id,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+      |              ORDER BY tus, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |              AS run_id
+      |  FROM e),
+      |runs AS (
+      |  SELECT user_id, run_id, min(state) AS state, min(tus) AS eff_us,
+      |         count(*) AS n_events
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, run_id, state, eff_us,
+      |       lead(eff_us) OVER (PARTITION BY user_id ORDER BY run_id) AS end_us,
+      |       n_events,
+      |       lead(eff_us) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+      |         AS is_current
+      |FROM runs
+      |ORDER BY user_id, run_id""".stripMargin
+
+  /** GROUPING SETS with explicit set algebra — the general form of
+    * [[rollup]]/[[cube]]: the two one-dimension marginals plus the
+    * full cross and the grand total over lineitem's (returnflag,
+    * linestatus), with `grouping_id` disambiguating aggregated-away
+    * NULLs from data NULLs (bit i set = column i aggregated; both
+    * engines emit the same first-column-MSB convention).
+    *
+    * Scale: Catalyst plans grouping sets as one Expand (each row
+    * emitted once per set) + one hash aggregate — a single shuffle
+    * whose width is the SUM of the set cardinalities, not a re-scan
+    * per set (the naive UNION ALL of four GROUP BYs reads the fact
+    * table four times; this reads it once). Measures are exact
+    * integers ([[Det]] money cents / integral quantity). */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        Det.moneySum(col("l_extendedprice")).as("sum_price"))
+      // aggregated-away cells print as 'ALL' (the [[rollup]] convention
+      // — also dodges the engines' opposite NULL sort defaults)
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy("gid", "returnflag", "linestatus")
+  }
+
+  val groupingSetsAggSql: String =
+    s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |       coalesce(l_returnflag, 'ALL') AS returnflag,
+       |       coalesce(l_linestatus, 'ALL') AS linestatus,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |       ${Det.moneySumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |                        (l_returnflag), (l_linestatus), ())
+       |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  /** Robust anomaly detection via MAD (median absolute deviation) —
+    * the data-quality screen that survives what z-scores don't: the
+    * mean and stddev of [[BatchQueries.zscoreOutliers]] are themselves
+    * dragged by the outliers they hunt, while the median/MAD pair has
+    * a 50% breakdown point. Per event type: exact median (rank-pick),
+    * MAD, and the count beyond the standard 3σ-equivalent gate
+    * |x − med| > 3·1.4826·MAD.
+    *
+    * Scale: same shape as [[groupPercentile]] — one exchange per
+    * ranking pass on the group key (two passes: values, then
+    * deviations), group count bounded by event-type cardinality, the
+    * per-type medians broadcast back. Fully deterministic with NO
+    * rounding: medians are COPIED values (rank-pick, never
+    * interpolated), deviations/thresholds are identical IEEE ops on
+    * identical doubles, and the outlier count is an integer. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    anomalyMadOf(Tables(spark, dir, "events"))
+
+  private[graft] def anomalyMadOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankPick(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(valueCol, "event_id")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col(valueCol))).as(out))
+    }
+    val vals = events.select(col("event_type"), col("value"), col("event_id"))
+      .localCheckpoint() // ranked twice (values, deviations) + final agg
+    val med = rankPick(vals, "value", "med")
+    val dev = vals.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = rankPick(dev.select(col("event_type"), col("dev"), col("event_id")),
+      "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("med").as("med"),
+        min("mad").as("mad"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max("dev").as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  val anomalyMadSql: String =
+    """WITH v AS (SELECT event_type, value, event_id FROM events),
+      |rv AS (SELECT event_type, value,
+      |              row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY value, event_id) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM v),
+      |med AS (SELECT event_type,
+      |               max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+      |        FROM rv GROUP BY 1),
+      |d AS (SELECT v.event_type, v.value, v.event_id, med.med,
+      |             abs(v.value - med.med) AS dev
+      |      FROM v JOIN med USING (event_type)),
+      |rd AS (SELECT event_type, dev,
+      |              row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY dev, event_id) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM d),
+      |mad AS (SELECT event_type,
+      |               max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+      |        FROM rd GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n, min(d.med) AS med, min(mad.mad) AS mad,
+      |       CAST(sum(CASE WHEN d.dev > CAST(3.0 AS DOUBLE)
+      |                                    * CAST(1.4826 AS DOUBLE) * mad.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       max(d.dev) AS max_dev
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
 }

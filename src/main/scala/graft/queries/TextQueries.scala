@@ -1260,4 +1260,196 @@ object TextQueries {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
   }
+
+  // ------------------------------------------------------- textrank
+
+  private final val TrIters = 3
+
+  /** TextRank keyword ranking — weighted PageRank over the word
+    * co-occurrence graph (nodes = vocabulary, undirected edges =
+    * adjacent-token pairs weighted by corpus co-occurrence count;
+    * Mihalcea & Tarau 2004), damping 0.85, [[TrIters]] fixed
+    * iterations from uniform rank 1.0. This is the round-6 new
+    * capability CLASS: an iterative graph algorithm expressed as
+    * repeated join+aggregate over a bounded rank table — the same
+    * execution shape as PageRank/label-propagation at warehouse scale
+    * (cf. the min-label fixpoint in [[DedupQueries.components]], whose
+    * iteration count is data-dependent; here it is fixed, so the
+    * oracle unrolls to static SQL).
+    *
+    * Scale: the corpus-sized work is ONE pass (token explode + lead
+    * window per doc, then an edge aggregation); everything iterative
+    * runs on vocabulary-bounded tables (edges ≤ vocab², in practice
+    * ~vocab × avg-degree; rank = one row per word). Each iteration is
+    * a contribution join partitioned on the word key + an aggregate —
+    * at 100 TB corpus the iteration cost is independent of corpus
+    * size, and the normalized edge table is localCheckpointed once so
+    * the three unrolled iterations don't re-run the corpus pass.
+    *
+    * Determinism: edge weights / out-weights are exact integers; the
+    * normalized weight w/ow and the damping arithmetic are identical
+    * IEEE-754 ops on identical inputs in both engines; contribution
+    * sums differ only in summation order (~1e-16 relative), far inside
+    * the 6-dp final rounding. */
+  def textRank(spark: SparkSession, dir: String): DataFrame =
+    textRankOf(Tables(spark, dir, "documents"))
+
+  private[graft] def textRankOf(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val adj = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+      .withColumn("nxt", lead("term", 1).over(byDoc))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("term"))
+      .select(col("term").as("src"), col("nxt").as("dst"))
+    // symmetrize BEFORE counting so w(a,b) = w(b,a) = total adjacency
+    // count in either direction; self-loops dropped above
+    val w = adj.union(adj.select(col("dst"), col("src")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // vocab-bounded; consumed by outw, en, deg
+    val outw = w.groupBy("src").agg(sum("w").as("ow"))
+    val en = w.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow")).as("nw"))
+      .localCheckpoint() // re-read once per unrolled iteration
+    val nodes = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .distinct()
+      .localCheckpoint() // isolated words keep rank (1-d) forever
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to TrIters) {
+      val contrib = en.join(ranks, en("src") === ranks("word"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("nw")).as("c"))
+      ranks = nodes.join(contrib, nodes("word") === contrib("dst"), "left")
+        .select(col("word"),
+          (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    val deg = w.groupBy(col("src").as("word")).agg(count(lit(1)).as("degree"))
+    ranks.join(deg, Seq("word"), "left")
+      .na.fill(0L, Seq("degree"))
+      .select(col("word"), col("degree"), Det.rnd(col("rank"), 6).as("rank"))
+      .orderBy("word")
+  }
+
+  val textRankSql: String = {
+    // unroll the fixed iterations to static CTEs (r0..r3)
+    val iters = (1 to TrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.word,
+         |         0.15 + 0.85 * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank * e.nw) AS c
+         |    FROM en e JOIN r${i - 1} r ON e.src = r.word GROUP BY 1) s
+         |  ON n.word = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |           FROM documents),
+       |t AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |      FROM d),
+       |adj AS (SELECT a.term AS src, b.term AS dst
+       |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |        WHERE a.term <> b.term),
+       |w AS (SELECT src, dst, count(*) AS w FROM
+       |        (SELECT src, dst FROM adj UNION ALL SELECT dst, src FROM adj)
+       |      GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM w GROUP BY 1),
+       |en AS (SELECT w.src, w.dst, CAST(w.w AS DOUBLE) / outw.ow AS nw
+       |       FROM w JOIN outw USING (src)),
+       |nodes AS (SELECT DISTINCT term AS word FROM t),
+       |r0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$iters,
+       |deg AS (SELECT src AS word, count(*) AS degree FROM w GROUP BY 1)
+       |SELECT r.word, coalesce(deg.degree, 0) AS degree,
+       |       ${Det.rndSql("r.rank", 6)} AS rank
+       |FROM r$TrIters r LEFT JOIN deg USING (word)
+       |ORDER BY word""".stripMargin
+  }
+
+  // ----------------------------------------------------------- bm25
+
+  private final val Bm25TopDocs = 50
+  private final val Bm25QTerms = 5
+
+  /** BM25 ranked retrieval (Robertson-Sparck Jones; k1=1.2, b=0.75)
+    * — the classic relevance scorer a data-curation pipeline uses to
+    * rank corpus documents against a probe query (e.g. pulling
+    * domain-relevant training documents). The query here is the
+    * corpus's own [[Bm25QTerms]] highest-DF terms (deterministic:
+    * df desc, term asc), so the operator is self-contained on the
+    * driver tables; scoring is the standard
+    * idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) per matched term with
+    * idf = ln(1 + (N-df+0.5)/(df+0.5)), summed per document, top
+    * [[Bm25TopDocs]] by (rounded score, doc_id).
+    *
+    * Scale: tf is the one corpus pass; df/avgdl derive from tf with
+    * vocabulary- and 1-row-sized aggregates; the query-term list and
+    * corpus stats BROADCAST into the tf probe (the corpus-sized side
+    * joins on term against 5 rows — Catalyst prunes it to a broadcast
+    * hash join, no shuffle of tf on the term key), and the final cut
+    * is orderBy+limit → TakeOrderedAndProject, never a global sort.
+    * Determinism: every score input (tf, df, dl, N, total tokens) is
+    * an exact integer; scores round to 6 dp BEFORE ranking with
+    * doc_id tiebreak, so the top-50 cut is identical cross-engine. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(Tables(spark, dir, "documents"))
+
+  private[graft] def bm25Of(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds dl, df, total AND the probe side
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = df.orderBy(desc("df"), asc("term")).limit(Bm25QTerms)
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(tf.agg(sum("tf").as("tot")))
+      .withColumn("avgdl", col("tot").cast("double") / col("n"))
+    val scored = tf.join(broadcast(q.select(col("term"), col("df"))), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val ranked = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), Det.rnd(sum("tscore"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(Bm25TopDocs)
+    ranked
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rank")
+  }
+
+  val bm25Sql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT $Bm25QTerms),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |                 CAST((SELECT sum(tf) FROM tf) AS BIGINT) AS tot),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+       |           * tf.tf * 2.2
+       |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+       |                / (CAST(s.tot AS DOUBLE) / s.n))) AS tscore
+       |  FROM tf JOIN q USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |ranked AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |         ${Det.rndSql("sum(tscore)", 6)} AS score
+       |  FROM scored GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $Bm25TopDocs)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |         AS rank,
+       |       doc_id, n_terms, score
+       |FROM ranked
+       |ORDER BY rank""".stripMargin
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{ExtensionQueries, SimilarityQueries, TextQueries}
+
+/** Round-6 operators: TextRank, BM25, int8 quantization, SCD-2,
+  * grouping sets, MAD anomaly gate — each against a hand-computable
+  * fixture (the oracle run covers the corpus; these pin semantics). */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("textrank: hub word outranks leaves, rank mass conserved, isolated word floors at 0.15") {
+    // star graph: "hub" adjacent to every leaf; "lone" isolated
+    val docs = Seq(
+      (0L, "hub a"), (1L, "hub b"), (2L, "hub c"), (3L, "hub d"),
+      (4L, "lone")).toDF("doc_id", "text")
+    val out = TextQueries.textRankOf(docs).collect()
+    val rank = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val hub = rank("hub")
+    for (leaf <- Seq("a", "b", "c", "d"))
+      assert(hub > rank(leaf), s"hub $hub should outrank $leaf ${rank(leaf)}")
+    assert(rank("lone") == 0.15, "isolated word keeps the (1-d) floor")
+    // no dangling nodes among the connected 5 → iteration preserves
+    // their total rank mass (sum = N exactly, up to the 6-dp rounding)
+    val connected = out.filter(_.getString(0) != "lone").map(_.getDouble(2)).sum
+    assert(math.abs(connected - 5.0) < 1e-4, s"mass $connected != 5")
+    // degrees: hub touches 4 leaves; each leaf only the hub
+    val deg = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deg("hub") == 4 && deg("a") == 1 && deg("lone") == 0)
+  }
+
+  test("bm25: scores match the closed-form formula on a 3-doc corpus") {
+    val docs = Seq(
+      (0L, "x x x y"), // tf(x)=3, tf(y)=1, dl=4
+      (1L, "x y"),     // tf(x)=1, tf(y)=1, dl=2
+      (2L, "z z z")    // no query terms (x, y beat z on df)
+    ).toDF("doc_id", "text")
+    val out = TextQueries.bm25Of(docs).collect()
+      .map(r => r.getLong(1) -> (r.getInt(0), r.getLong(2), r.getDouble(3))).toMap
+    // df: x=2, y=2, z=1 → query = top-5 by (df desc, term asc) = all 3
+    // terms; doc 2 matches only z. N=3, avgdl=9/3=3.
+    def idf(df: Long) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def ts(tf: Long, df: Long, dl: Long) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val exp0 = r6(ts(3, 2, 4) + ts(1, 2, 4))
+    val exp1 = r6(ts(1, 2, 2) + ts(1, 2, 2))
+    val exp2 = r6(ts(3, 1, 3))
+    assert(out(0L)._3 == exp0 && out(0L)._2 == 2)
+    assert(out(1L)._3 == exp1 && out(1L)._2 == 2)
+    assert(out(2L)._3 == exp2 && out(2L)._2 == 1)
+    // the rare-term doc wins on idf; ranks follow score desc
+    assert(out(2L)._1 == 1, s"doc 2 (rare term) should rank first: $out")
+  }
+
+  test("int8 quantization: half-step error bound corpus-wide, exact code norm on a hand vector") {
+    val corpus = SimilarityQueries.embeddingQuantizeOf(
+      Tables(spark, sfDir, "embeddings")).collect()
+    assert(corpus.length > 0)
+    corpus.foreach { r =>
+      val (scale, maxErr) = (r.getDouble(2), r.getDouble(4))
+      // q = half-up(x/scale) → |q·scale − x| ≤ scale/2 (+rounding slack)
+      assert(maxErr <= scale / 2 + 1e-8, s"vec ${r.getLong(0)}: $maxErr > $scale/2")
+    }
+    val hand = Seq((0L, Array(1.0f, -0.5f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val row = SimilarityQueries.embeddingQuantizeOf(hand).head()
+    // scale = 1/127; q = [127, floor(-63.5 + 0.5) = -63, 0]
+    assert(row.getLong(3) == 127L * 127 + 63L * 63, s"qnorm ${row.getLong(3)}")
+    assert(row.getLong(1) == 3)
+  }
+
+  test("scd2: consecutive same-state events collapse into dated runs") {
+    val events = Seq(
+      (0L, 1000000L, 7L, "A", 1.0, "{}"),
+      (1L, 2000000L, 7L, "A", 1.0, "{}"),
+      (2L, 3000000L, 7L, "B", 1.0, "{}"),
+      (3L, 4000000L, 7L, "A", 1.0, "{}")
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = ExtensionQueries.scd2Of(events).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 1000000L, 3000000L, 2L, false), // A-run: 2 events
+      (2L, "B", 3000000L, 4000000L, 1L, false),
+      (3L, "A", 4000000L, -1L, 1L, true)), out.mkString(", "))
+  }
+
+  test("grouping sets: marginals and grand total reconcile") {
+    val out = ExtensionQueries.groupingSetsAgg(spark, sfDir).collect()
+    val byGid = out.groupBy(_.getLong(0))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val total = byGid(3L).head
+    assert(byGid(0L).map(_.getLong(3)).sum == total.getLong(3), "cells != total n")
+    assert(byGid(1L).map(_.getLong(4)).sum == total.getLong(4), "flag marginal != total qty")
+    assert(byGid(2L).map(_.getLong(3)).sum == total.getLong(3), "status marginal != total n")
+    assert(total.getLong(3) ==
+      Tables(spark, sfDir, "lineitem").count())
+  }
+
+  test("mad anomaly gate: exact median/MAD and a planted outlier") {
+    val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
+      :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = ExtensionQueries.anomalyMadOf(events).head()
+    // values 1..9,100: lower median (rank 5) = 5; devs sorted
+    // 0,1,1,2,2,3,3,4,4,95 → MAD (rank 5) = 2; gate 3·1.4826·2 ≈ 8.9
+    // flags only the planted 100 (dev 95)
+    assert(r.getString(0) == "t" && r.getLong(1) == 10)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 2.0)
+    assert(r.getLong(4) == 1 && r.getDouble(5) == 95.0)
+  }
+}
