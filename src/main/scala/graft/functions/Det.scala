@@ -47,10 +47,20 @@ object Det {
 
   /** Deterministic half-up rounding of a nonnegative double: both engines
     * compute floor on the same double product, so there is no engine-
-    * specific tie-breaking and no ulp ambiguity for exact-decimal x. */
+    * specific tie-breaking and no ulp ambiguity for exact-decimal x.
+    *
+    * Domain guard: above 2⁵³/10ˢ the product x·10ˢ exceeds the integer
+    * range doubles represent exactly — s-decimal rounding is below
+    * double resolution there, and Spark's `floor` (which returns LONG,
+    * unlike DuckDB's double-in/double-out floor) would CLAMP at
+    * Long.MaxValue past 2⁶³/10ˢ, silently corrupting the value on one
+    * engine only. Both engines therefore branch to identity on the
+    * same threshold (emitted with round-trip-exact digits so the
+    * branch condition is the identical double comparison). */
   def rnd(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
-    floor(c * f + 0.5) / f
+    val t = 9007199254740992.0 / f // 2^53
+    when(abs(c) < t, floor(c * f + 0.5) / f).otherwise(c)
   }
 
   /** SQL-side twins of the helpers above, for composing oracle strings. */
@@ -66,6 +76,8 @@ object Det {
     rndSql(s"CAST(sum(${unitsSql(col, scale)}) AS DOUBLE) / (count($col) * 1${"0" * scale}.0)", outScale)
   def rndSql(expr: String, scale: Int): String = {
     val f = "1" + "0" * scale
-    s"floor(($expr) * $f + 0.5) / $f"
+    val t = java.lang.Double.toString(9007199254740992.0 / math.pow(10, scale))
+    s"CASE WHEN abs($expr) < $t THEN floor(($expr) * $f + 0.5) / $f" +
+      s" ELSE ($expr) END"
   }
 }

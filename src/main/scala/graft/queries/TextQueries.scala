@@ -1277,14 +1277,20 @@ object TextQueries {
     * iteration count is data-dependent; here it is fixed, so the
     * oracle unrolls to static SQL).
     *
-    * Scale: the corpus-sized work is ONE pass (token explode + lead
-    * window per doc, then an edge aggregation); everything iterative
-    * runs on vocabulary-bounded tables (edges ≤ vocab², in practice
-    * ~vocab × avg-degree; rank = one row per word). Each iteration is
-    * a contribution join partitioned on the word key + an aggregate —
-    * at 100 TB corpus the iteration cost is independent of corpus
-    * size, and the normalized edge table is localCheckpointed once so
-    * the three unrolled iterations don't re-run the corpus pass.
+    * Scale: the corpus-sized work is ONE pass with ZERO corpus
+    * shuffle — adjacent pairs come from `zip_with` over the token
+    * array inside the row (a posexplode + per-doc `lead` window would
+    * exchange the whole exploded token stream on doc_id just to see
+    * each token's neighbor, which the array already holds); the only
+    * corpus-wide exchange is the vocab-keyed edge aggregation, which
+    * map-side-combines to ≤ distinct-pairs per partition. Everything
+    * iterative runs on vocabulary-bounded tables (edges ≤ vocab², in
+    * practice ~vocab × avg-degree; rank = one row per word). Each
+    * iteration is a contribution join partitioned on the word key +
+    * an aggregate — at 100 TB corpus the iteration cost is
+    * independent of corpus size, and the normalized edge table is
+    * localCheckpointed once so the three unrolled iterations don't
+    * re-run the corpus pass.
     *
     * Determinism: edge weights / out-weights are exact integers; the
     * normalized weight w/ow and the damping arithmetic are identical
@@ -1295,13 +1301,13 @@ object TextQueries {
     textRankOf(Tables(spark, dir, "documents"))
 
   private[graft] def textRankOf(docs: DataFrame): DataFrame = {
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val adj = docs
-      .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
-      .withColumn("nxt", lead("term", 1).over(byDoc))
-      .filter(col("nxt").isNotNull && col("nxt") =!= col("term"))
-      .select(col("term").as("src"), col("nxt").as("dst"))
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS src, b AS dst))")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
     // symmetrize BEFORE counting so w(a,b) = w(b,a) = total adjacency
     // count in either direction; self-loops dropped above
     val w = adj.union(adj.select(col("dst"), col("src")))

@@ -70,6 +70,47 @@ class Round6Spec extends SparkSpec {
     assert(row.getLong(1) == 3)
   }
 
+  test("int8 quantization: equals a plain-Scala reference on seeded random vectors") {
+    // seeded generator: negatives, zeros, denormal-ish and huge
+    // magnitudes, dims 1..9, plus the all-zero vector (scale = 0)
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = {
+      val dim = 1 + rnd.nextInt(9)
+      Array.fill(dim)(rnd.nextInt(5) match {
+        case 0 => 0.0f
+        case 1 => (rnd.nextFloat() - 0.5f) * 1e-30f
+        case 2 => (rnd.nextFloat() - 0.5f) * 1e30f
+        case _ => rnd.nextFloat() * 2 - 1
+      })
+    }
+    val vecs = (Array.fill(60)(vec()) :+ Array(0.0f, 0.0f, 0.0f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0) }.toSeq
+    // mirrors Det.rnd incl. its 2^53/10^s identity guard (above it,
+    // s-decimal rounding is below double resolution)
+    def r(x: Double, s: Int) = {
+      val f = math.pow(10, s)
+      if (math.abs(x) < 9007199254740992.0 / f) math.floor(x * f + 0.5) / f else x
+    }
+    val expected = vecs.map { case (id, vf, _) =>
+      val v = vf.map(_.toDouble)
+      val scale = v.map(math.abs).foldLeft(0.0)(math.max) / 127
+      val q = if (scale == 0) v.map(_ => 0)
+        else v.map(x => math.floor(x / scale + 0.5).toInt)
+      val err = q.zip(v).map { case (qi, xi) => math.abs(qi * scale - xi) }
+      (id, v.length.toLong, r(scale, 8),
+        q.foldLeft(0L)((a, x) => a + x.toLong * x),
+        r(err.foldLeft(0.0)(math.max), 8),
+        r(err.foldLeft(0.0)((a, e) => a + e * e) / v.length, 10))
+    }.sortBy(_._1)
+    val got = SimilarityQueries
+      .embeddingQuantizeOf(vecs.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+        row.getLong(3), row.getDouble(4), row.getDouble(5)))
+      .toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
   test("scd2: consecutive same-state events collapse into dated runs") {
     val events = Seq(
       (0L, 1000000L, 7L, "A", 1.0, "{}"),
