@@ -1038,6 +1038,125 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Percentile winsorization — the outlier TREATMENT next to the
+    * detection tier ([[anomalyMad]] flags, this clamps): per event
+    * type, values are capped at the exact rank-pick p05/p95 (copied
+    * values, never interpolated — the [[groupPercentile]] semantics),
+    * with clamp-count accounting and the winsorized mean, the robust
+    * location estimate a metrics pipeline reports when single fat-
+    * finger events would otherwise move the needle.
+    *
+    * Scale: ONE exchange on the group key — the ranking window, the
+    * threshold aggregate, the broadcast-back join and the final
+    * aggregate all ride event_type partitioning; thresholds are a
+    * group-cardinality-sized broadcast. The winsorized mean sums
+    * exact integer cents ([[Det]]) — clamped values are copies of
+    * 2-dp inputs, so the sum is order-independent and engine-exact. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeOf(Tables(spark, dir, "events"))
+
+  private[graft] def winsorizeOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("value", "event_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val thr = ranked.groupBy("event_type").agg(
+      max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("value"))).as("p05"),
+      max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("value"))).as("p95"))
+    events.select(col("event_type"), col("value"))
+      .join(broadcast(thr), "event_type")
+      .withColumn("wv", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("p05").as("p05"),
+        min("p95").as("p95"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        Det.fixedAvg(col("wv"), 2, 4).as("win_mean"))
+      .orderBy("event_type")
+  }
+
+  val winsorizeSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |thr AS (
+       |  SELECT event_type,
+       |         max(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END) AS p05,
+       |         max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95
+       |  FROM r GROUP BY 1),
+       |w AS (SELECT e.event_type, e.value, thr.p05, thr.p95,
+       |             least(greatest(e.value, thr.p05), thr.p95) AS wv
+       |      FROM events e JOIN thr USING (event_type))
+       |SELECT event_type, count(*) AS n, min(p05) AS p05, min(p95) AS p95,
+       |       CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |       CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |       ${Det.fixedAvgSql("wv", 2, 4)} AS win_mean
+       |FROM w GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** Chi-square independence test — is event type independent of a
+    * (deterministic) user cohort? The data-quality / experimentation
+    * primitive: observed counts per (event_type, cohort = user_id mod
+    * 4) cell vs expected row·col/N, χ² = Σ(o−e)²/e with
+    * (rows−1)(cols−1) degrees of freedom. One output row.
+    *
+    * Scale: the corpus-sized work is the single contingency-table
+    * aggregation (map-side combinable, cells bounded by types ×
+    * cohorts); marginals and the χ² reduction run on the tiny cell
+    * table. Observed counts and dof are exact integers; expected
+    * values are identical IEEE ratios of exact integers; only the
+    * ≤(types·cohorts)-term χ² sum is order-sensitive (~1e-16),
+    * far inside the 6-dp rounding. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquareOf(Tables(spark, dir, "events"))
+
+  private[graft] def chiSquareOf(events: DataFrame): DataFrame = {
+    val obs = events
+      .select(col("event_type"), (col("user_id") % 4).as("cohort"))
+      .groupBy("event_type", "cohort").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // tiny; feeds marginals + the cell reduction
+    val rt = obs.groupBy("event_type").agg(sum("o").as("rt"))
+    val ct = obs.groupBy("cohort").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct("event_type").as("nr"), countDistinct("cohort").as("nc"))
+    obs.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "cohort")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("x2", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .agg(
+        max(col("n")).as("n"),
+        max((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        Det.rnd(sum("x2"), 6).as("chi2"))
+  }
+
+  val chiSquareSql: String =
+    s"""WITH obs AS (
+       |  SELECT event_type, user_id % 4 AS cohort, count(*) AS o
+       |  FROM events GROUP BY 1, 2),
+       |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+       |ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |               count(DISTINCT event_type) AS nr,
+       |               count(DISTINCT cohort) AS nc
+       |        FROM obs),
+       |cells AS (
+       |  SELECT obs.o,
+       |         CAST(rt.rt AS DOUBLE) * ct.ct / tot.n AS e,
+       |         tot.n, tot.nr, tot.nc
+       |  FROM obs JOIN rt USING (event_type) JOIN ct USING (cohort)
+       |  CROSS JOIN tot)
+       |SELECT max(n) AS n, CAST(max((nr - 1) * (nc - 1)) AS BIGINT) AS dof,
+       |       ${Det.rndSql("sum((o - e) * (o - e) / e)", 6)} AS chi2
+       |FROM cells""".stripMargin
+
   val anomalyMadSql: String =
     """WITH v AS (SELECT event_type, value, event_id FROM events),
       |rv AS (SELECT event_type, value,

@@ -1372,6 +1372,98 @@ object TextQueries {
        |ORDER BY word""".stripMargin
   }
 
+  // ------------------------------------------------ triangle count
+
+  /** Triangle participation counts on the word co-occurrence graph —
+    * the clustering-coefficient numerator per vertex, the second
+    * graph-analytics operator beside [[textRank]] (same graph, same
+    * zero-shuffle adjacency pass). Counting uses DEGREE-ORDERED
+    * orientation — the standard big-graph trick (Chiba–Nishizeki /
+    * Schank): every undirected edge points from its lower to its
+    * higher endpoint in the total order (degree, word), each triangle
+    * is found exactly once as a wedge at its lowest-ordered vertex,
+    * and the wedge fan-out per vertex is bounded by the graph's
+    * arboricity rather than its max degree — a hub with degree d
+    * generates O(√m) oriented out-edges, not O(d²) wedge pairs.
+    *
+    * Scale: one corpus pass builds the distinct-edge set (vocab-
+    * bounded); degrees, orientation, the wedge join and the closing-
+    * edge join all run on vocab-bounded tables partitioned by word
+    * key. Pure integer arithmetic end to end — no rounding anywhere. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOf(Tables(spark, dir, "documents"))
+
+  private[graft] def triangleCountOf(docs: DataFrame): DataFrame = {
+    val adj = docs
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS src, b AS dst))")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = adj
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // vocab-bounded; feeds degrees + orientation
+    val deg = und.select(explode(array(col("a"), col("b"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("dg"))
+    val lower = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = und
+      .join(deg.select(col("w").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("w").as("b"), col("dg").as("db")), "b")
+      .select(when(lower, col("a")).otherwise(col("b")).as("s"),
+        when(lower, col("b")).otherwise(col("a")).as("t"))
+      .localCheckpoint() // consumed three times by the triangle join
+    // wedge at the lowest-ordered vertex: both neighbor orders are
+    // generated, but exactly ONE of (v,w)/(w,v) exists oriented, so
+    // the closing-edge join counts each triangle once
+    val tri = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
+      .select(col("x.s").as("u"), col("x.t").as("v"), col("y.t").as("w"))
+      .join(oriented.as("z"), col("v") === col("z.s") && col("w") === col("z.t"))
+      .select(col("u"), col("v"), col("w"))
+    val nodes = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .distinct()
+    val cnt = tri.select(explode(array(col("u"), col("v"), col("w"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("triangles"))
+    nodes.join(cnt, Seq("word"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .orderBy("word")
+  }
+
+  val triangleCountSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |           FROM documents),
+       |t AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |      FROM d),
+       |adj AS (SELECT a.term AS src, b.term AS dst
+       |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |        WHERE a.term <> b.term),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM adj),
+       |deg AS (SELECT w, count(*) AS dg FROM
+       |          (SELECT a AS w FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY 1),
+       |o AS (SELECT CASE WHEN (da.dg, und.a) < (db.dg, und.b)
+       |                  THEN und.a ELSE und.b END AS s,
+       |             CASE WHEN (da.dg, und.a) < (db.dg, und.b)
+       |                  THEN und.b ELSE und.a END AS t
+       |      FROM und JOIN deg da ON da.w = und.a JOIN deg db ON db.w = und.b),
+       |tri AS (SELECT x.s AS u, x.t AS v, y.t AS w
+       |        FROM o x JOIN o y ON x.s = y.s AND x.t <> y.t
+       |        JOIN o z ON z.s = x.t AND z.t = y.t),
+       |nodes AS (SELECT DISTINCT term AS word FROM t),
+       |cnt AS (SELECT word, count(*) AS triangles FROM
+       |          (SELECT u AS word FROM tri UNION ALL SELECT v FROM tri
+       |           UNION ALL SELECT w FROM tri)
+       |        GROUP BY 1)
+       |SELECT n.word, coalesce(c.triangles, 0) AS triangles
+       |FROM nodes n LEFT JOIN cnt c USING (word)
+       |ORDER BY word""".stripMargin
+
   // ----------------------------------------------------------- bm25
 
   private final val Bm25TopDocs = 50

@@ -323,6 +323,55 @@ object StreamJobs {
       .toDF("user_id", "stage", "tsec", "gap_s")
   }
 
+  /** Streaming twin of the batch SCD type-2 build
+    * ([[graft.queries.ExtensionQueries.scd2]]): per-user event-type
+    * runs are maintained as ONE open run in state (state string,
+    * eff_us, n_events, run_id — constant per key, never grows); a
+    * state CHANGE closes the current run and emits it with its
+    * [eff_us, end_us) validity — the dimension-table change feed a
+    * warehouse tails into its history table. The still-open run lives
+    * only in state (it is the `is_current` row of the batch twin, by
+    * definition not yet emittable in Append mode). Within a
+    * micro-batch rows replay in (tus, event_id) order; cross-batch
+    * correctness assumes time-ordered batch arrival, the same
+    * contract as [[funnelWithState]] (a watermark+buffer variant
+    * would trade latency for reordering tolerance, as
+    * [[asofWatermarked]] does for the as-of join).
+    * Input: (user_id, event_id, event_type, tus).
+    * Output: closed runs (user_id, run_id, state, eff_us, end_us,
+    * n_events). */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long, Long),
+        (Long, Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(String, Long, Long, Long)]) =>
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, String, Long, Long, Long)]
+          var cur = state.getOption // (state, eff_us, n_events, run_id)
+          rows.toArray.sortBy(r => (r._4, r._2)).foreach { case (_, _, typ, tus) =>
+            cur match {
+              case None =>
+                cur = Some((typ, tus, 1L, 1L))
+              case Some((st, eff, n, run)) if st == typ =>
+                cur = Some((st, eff, n + 1, run))
+              case Some((st, eff, n, run)) =>
+                out += ((user, run, st, eff, tus, n)) // close at the successor's start
+                cur = Some((typ, tus, 1L, run + 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "run_id", "state", "eff_us", "end_us", "n_events")
+  }
+
   /** Streaming twin of the batch AS-OF join
     * ([[graft.queries.ExtensionQueries.asofJoin]]): per-user
     * latest-error enrichment — every `click` emits with the most

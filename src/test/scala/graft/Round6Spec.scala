@@ -140,6 +140,43 @@ class Round6Spec extends SparkSpec {
       Tables(spark, sfDir, "lineitem").count())
   }
 
+  test("triangle count: K4 gives 3 per vertex, a 3-cycle gives 1, chains give 0") {
+    val docs = Seq(
+      (0L, "a b c a"),          // 3-cycle: edges ab bc ca
+      (1L, "p q r s p r q s"),  // K4: edges pq qr rs sp pr qs
+      (2L, "x y")               // chain: no triangle
+    ).toDF("doc_id", "text")
+    val out = TextQueries.triangleCountOf(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (w <- Seq("a", "b", "c")) assert(out(w) == 1, s"$w: ${out(w)}")
+    for (w <- Seq("p", "q", "r", "s")) assert(out(w) == 3, s"$w: ${out(w)}")
+    for (w <- Seq("x", "y")) assert(out(w) == 0, s"$w: ${out(w)}")
+  }
+
+  test("winsorize: exact rank-pick caps, clamp accounting, cents-exact mean") {
+    val events = (1 to 20).map(i =>
+      (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = ExtensionQueries.winsorizeOf(events).head()
+    // n=20: p05 at rank ceil(20·5/100)=1 → 1.0; p95 at rank 19 → 19.0;
+    // only 20.0 clamps (high); winsorized sum = 190 + 19 = 209
+    assert(r.getLong(1) == 20)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 19.0)
+    assert(r.getLong(4) == 0 && r.getLong(5) == 1)
+    assert(r.getDouble(6) == 10.45, s"win_mean ${r.getDouble(6)}")
+  }
+
+  test("chi-square: identical distributions across cohorts give exactly 0") {
+    val events = (0 until 8).map { i =>
+      (i.toLong, i * 1000000L, (i % 4).toLong, if (i < 4) "a" else "b", 1.0, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = ExtensionQueries.chiSquareOf(events).head()
+    assert(r.getLong(0) == 8 && r.getLong(1) == 3) // dof = (2-1)(4-1)
+    assert(r.getDouble(2) == 0.0, s"chi2 ${r.getDouble(2)}")
+  }
+
   test("mad anomaly gate: exact median/MAD and a planted outlier") {
     val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
       :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))

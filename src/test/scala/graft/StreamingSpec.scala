@@ -548,4 +548,36 @@ class StreamingSpec extends SparkSpec {
         s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming scd2 emits exactly the batch twin's closed runs across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)] // (user, event_id, type, tus)
+    val q = StreamJobs.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2s").outputMode("append").start()
+    try {
+      val evs = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tus")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(e => (e._4, e._2))
+      // three time-split batches: runs must extend AND close across
+      // the boundaries (a run straddling a boundary keeps accumulating
+      // n_events in state before its closing event arrives)
+      evs.grouped((evs.length + 2) / 3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("scd2s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val batchClosed = graft.queries.ExtensionQueries.scd2(spark, sfDir).collect()
+        .filter(!_.getBoolean(6)) // open runs live only in state
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(batchClosed.nonEmpty)
+      assert(streamed == batchClosed,
+        s"missing=${(batchClosed -- streamed).take(3)} extra=${(streamed -- batchClosed).take(3)}")
+    } finally q.stop()
+  }
 }
