@@ -1101,6 +1101,45 @@ object ExtensionQueries {
        |FROM w GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** The SQL rank-function family in one oracled pass — ntile
+    * quartile assignment, percent_rank, cume_dist per event type over
+    * (value, event_id) order, aggregated to per-quartile bands (count,
+    * value bounds, the quartile's top percent-rank/cume-dist). The
+    * unique tiebreak makes rank = row_number, so percent_rank and
+    * cume_dist are exact ratios of identical integers in both engines
+    * — no rounding anywhere.
+    *
+    * Scale: one exchange on the group key; all three rank functions
+    * and the band aggregate ride the same sorted partition. */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame =
+    rankFunctionsOf(Tables(spark, dir, "events"))
+
+  private[graft] def rankFunctionsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    events.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("q", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("event_type", "q")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"),
+        max("pr").as("max_pr"), max("cd").as("max_cd"))
+      .orderBy("event_type", "q")
+  }
+
+  val rankFunctionsSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value, event_id,
+      |         CAST(ntile(4) OVER w AS BIGINT) AS q,
+      |         percent_rank() OVER w AS pr,
+      |         cume_dist() OVER w AS cd
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+      |SELECT event_type, q, count(*) AS n, min(value) AS lo, max(value) AS hi,
+      |       max(pr) AS max_pr, max(cd) AS max_cd
+      |FROM r GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Chi-square independence test — is event type independent of a
     * (deterministic) user cohort? The data-quality / experimentation
     * primitive: observed counts per (event_type, cohort = user_id mod
@@ -1156,6 +1195,98 @@ object ExtensionQueries {
        |SELECT max(n) AS n, CAST(max((nr - 1) * (nc - 1)) AS BIGINT) AS dof,
        |       ${Det.rndSql("sum((o - e) * (o - e) / e)", 6)} AS chi2
        |FROM cells""".stripMargin
+
+  /** Join-key skew diagnostics — the profile you run BEFORE picking a
+    * join/aggregation strategy at scale (salting? AQE skew join?
+    * broadcast?): per candidate key column, row/key counts, the max
+    * and rank-pick p50/p99 per-key multiplicities, the top-key share,
+    * the max/avg skew ratio, and the Gini coefficient of the key
+    * distribution.
+    *
+    * Scale: the Gini needs every key's RANK in multiplicity order —
+    * ranking a billion-key table globally is a single-partition sort
+    * bottleneck. Instead the profile reduces to the COUNT-OF-COUNTS
+    * histogram (multiplicity → #keys with it), which is bounded by
+    * the number of DISTINCT multiplicities (≪ keys; ≤ max
+    * multiplicity), and evaluates each equal-multiplicity run's rank
+    * range in closed form (keys sharing a multiplicity occupy
+    * consecutive ranks, so Σᵢ(2i−n−1)·c over the run is pure integer
+    * arithmetic on the run's boundaries). The only corpus-sized work
+    * is the per-key count; the histogram window is tiny by
+    * construction. Integer arithmetic to the final rounded ratios
+    * (long products — overflows only past ~10⁹ keys × 10⁶
+    * multiplicity, far beyond the profile's own usefulness). */
+  def skewStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    skewProfileOf(ev, "user_id").union(skewProfileOf(ev, "event_type"))
+      .orderBy("key_col")
+  }
+
+  private[graft] def skewProfileOf(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val hist = cnt.groupBy("c").agg(count(lit(1)).as("nk"))
+    // run of nk keys with multiplicity c occupies ranks
+    // (k0, k0+nk]; Σ_{i in run} (2i − n − 1)·c =
+    // c·(2·(k0·nk + nk(nk+1)/2) − nk·(n+1))
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val runs = hist
+      .withColumn("kcum", sum("nk").over(w))
+      .withColumn("ccum", sum(col("c") * col("nk")).over(w))
+      .withColumn("tot_k", sum("nk").over(all))
+    runs
+      .agg(
+        max("kcum").as("n_keys"),
+        max("ccum").as("n_rows"),
+        max("c").as("max_c"),
+        min(when(col("kcum") * 100 >= col("tot_k") * 50, col("c"))).as("p50_c"),
+        min(when(col("kcum") * 100 >= col("tot_k") * 99, col("c"))).as("p99_c"),
+        sum(col("c") * expr("2 * ((kcum - nk) * nk + nk * (nk + 1) div 2)"))
+          .as("gnum_pos"),
+        sum(col("c") * col("nk")).as("gden_c"))
+      .select(
+        lit(keyCol).as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_c"), col("p50_c"), col("p99_c"),
+        Det.rnd(col("max_c") * col("n_keys").cast("double") / col("n_rows"), 4)
+          .as("skew_ratio"),
+        Det.rnd(col("max_c").cast("double") / col("n_rows"), 6).as("top_share"),
+        Det.rnd((col("gnum_pos") - (col("n_keys") + 1) * col("gden_c"))
+          .cast("double") / (col("n_keys").cast("double") * col("gden_c")), 6)
+          .as("gini"))
+  }
+
+  val skewStatsSql: String = {
+    def profile(keyExpr: String, label: String) =
+      s"""SELECT '$label' AS key_col, n_rows, n_keys, max_c, p50_c, p99_c,
+         |       ${Det.rndSql("max_c * CAST(n_keys AS DOUBLE) / n_rows", 4)} AS skew_ratio,
+         |       ${Det.rndSql("CAST(max_c AS DOUBLE) / n_rows", 6)} AS top_share,
+         |       ${Det.rndSql(
+           "CAST(gnum_pos - (n_keys + 1) * gden_c AS DOUBLE)" +
+             " / (CAST(n_keys AS DOUBLE) * gden_c)", 6)} AS gini
+         |FROM (
+         |  SELECT max(kcum) AS n_keys, max(ccum) AS n_rows, max(c) AS max_c,
+         |         min(CASE WHEN kcum * 100 >= tot_k * 50 THEN c END) AS p50_c,
+         |         min(CASE WHEN kcum * 100 >= tot_k * 99 THEN c END) AS p99_c,
+         |         CAST(sum(c * (2 * ((kcum - nk) * nk + nk * (nk + 1) // 2)))
+         |              AS BIGINT) AS gnum_pos,
+         |         CAST(sum(c * nk) AS BIGINT) AS gden_c
+         |  FROM (
+         |    SELECT c, nk,
+         |           CAST(sum(nk) OVER wo AS BIGINT) AS kcum,
+         |           CAST(sum(c * nk) OVER wo AS BIGINT) AS ccum,
+         |           CAST(sum(nk) OVER () AS BIGINT) AS tot_k
+         |    FROM (SELECT c, count(*) AS nk FROM
+         |            (SELECT $keyExpr AS k, count(*) AS c FROM events GROUP BY 1)
+         |          GROUP BY 1)
+         |    WINDOW wo AS (ORDER BY c
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))""".stripMargin
+    s"""${profile("CAST(user_id AS VARCHAR)", "user_id")}
+       |UNION ALL
+       |${profile("event_type", "event_type")}
+       |ORDER BY key_col""".stripMargin
+  }
 
   val anomalyMadSql: String =
     """WITH v AS (SELECT event_type, value, event_id FROM events),

@@ -177,6 +177,34 @@ class Round6Spec extends SparkSpec {
     assert(r.getDouble(2) == 0.0, s"chi2 ${r.getDouble(2)}")
   }
 
+  test("skew stats: hand-computable Gini over multiplicities [1,1,2,4]") {
+    // users with 1,1,2,4 events: Gini = Σ(2i−n−1)cᵢ/(nΣc)
+    //   = (−3·1 − 1·1 + 1·2 + 3·4)/(4·8) = 10/32 = 0.3125
+    val rows = Seq(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 4).flatMap {
+      case (u, k) => Seq.fill(k)(u)
+    }.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val df = rows.toDF("event_id", "user_id")
+    val r = ExtensionQueries.skewProfileOf(df, "user_id").head()
+    assert(r.getLong(1) == 8 && r.getLong(2) == 4, "n_rows/n_keys")
+    assert(r.getLong(3) == 4, "max_c")
+    assert(r.getLong(4) == 1 && r.getLong(5) == 4, "p50/p99 multiplicity")
+    assert(r.getDouble(6) == 2.0, "skew_ratio = max/avg = 4/2")
+    assert(r.getDouble(7) == 0.5, "top_share")
+    assert(r.getDouble(8) == 0.3125, s"gini ${r.getDouble(8)}")
+  }
+
+  test("rank functions: quartile bands carry exact percent_rank/cume_dist ratios") {
+    val events = (1 to 8).map(i =>
+      (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val out = ExtensionQueries.rankFunctionsOf(events).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((2L, 1.0, 2.0, 1.0 / 7, 0.25)))
+    assert(out(4L) == ((2L, 7.0, 8.0, 1.0, 1.0)))
+  }
+
   test("mad anomaly gate: exact median/MAD and a planted outlier") {
     val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
       :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))
