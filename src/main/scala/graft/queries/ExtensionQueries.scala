@@ -1196,6 +1196,48 @@ object ExtensionQueries {
        |       ${Det.rndSql("sum((o - e) * (o - e) / e)", 6)} AS chi2
        |FROM cells""".stripMargin
 
+  /** Fuzzy string matching — near-identical entity names via blocked
+    * Levenshtein join, the entity-resolution primitive (catalog
+    * dedup, vendor-name reconciliation) beside the token-set dedup
+    * family ([[graft.queries.DedupQueries]] matches CONTENT; this
+    * matches SHORT KEYS where edit distance is the right metric).
+    * Three-stage shape: collapse to DISTINCT names (names ≪ rows —
+    * the exact-dup collapse pattern), candidate pairs via a cheap
+    * BLOCKING key (last name token) so no all-pairs join ever forms,
+    * then exact edit-distance verify at threshold ≤ 2.
+    *
+    * Scale: the only corpus-sized pass is the distinct collapse; the
+    * blocked self-join is bounded by Σ block² over distinct names
+    * (oversized blocks would salt-shard exactly as
+    * `DedupQueries.minhashCandidates` does); Spark's 3-arg
+    * `levenshtein(l, r, k)` bounds each verify at O(k·len) via early
+    * exit rather than the full O(len²) matrix. Distances are exact
+    * integers — both engines implement the same textbook metric. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .localCheckpoint() // tiny; both sides of the blocked self-join
+    names.select(col("p_name").as("a"), col("blk"))
+      .join(names.select(col("p_name").as("b"), col("blk")), "blk")
+      .filter(col("a") < col("b"))
+      // 3-arg form: -1 past the threshold, early-exit inside
+      .withColumn("dist", levenshtein(col("a"), col("b"), 2))
+      .filter(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+      .orderBy("a", "b")
+  }
+
+  val fuzzyMatchSql: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part),
+      |pairs AS (
+      |  SELECT x.p_name AS a, y.p_name AS b,
+      |         levenshtein(x.p_name, y.p_name) AS dist
+      |  FROM names x JOIN names y ON x.blk = y.blk AND x.p_name < y.p_name)
+      |SELECT a, b, CAST(dist AS BIGINT) AS dist
+      |FROM pairs WHERE dist <= 2
+      |ORDER BY a, b""".stripMargin
+
   /** Join-key skew diagnostics — the profile you run BEFORE picking a
     * join/aggregation strategy at scale (salting? AQE skew join?
     * broadcast?): per candidate key column, row/key counts, the max

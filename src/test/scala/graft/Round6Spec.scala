@@ -205,6 +205,45 @@ class Round6Spec extends SparkSpec {
     assert(out(4L) == ((2L, 7.0, 8.0, 1.0, 1.0)))
   }
 
+  test("fuzzy match: equals a brute-force edit-distance sweep of the distinct names") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables(spark, sfDir, "part").select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)).toSet
+    val got = ExtensionQueries.fuzzyMatch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-identical names")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
+  test("textrank: rank mass is conserved on random corpora without isolated words") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (0 until 30).map { i =>
+      // ≥2 tokens per doc and a shared vocabulary keep every word
+      // connected, so iteration preserves total rank mass (= #words)
+      (i.toLong, Array.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextQueries.textRankOf(docs).collect()
+    val words = out.map(_.getString(0)).toSet
+    val isolated = out.filter(r => r.getLong(1) == 0 && words.size > 1)
+    val connectedMass = out.filter(_.getLong(1) > 0).map(_.getDouble(2)).sum
+    val connectedN = out.count(_.getLong(1) > 0)
+    assert(math.abs(connectedMass - connectedN) < 1e-4,
+      s"mass $connectedMass over $connectedN connected words (isolated: ${isolated.length})")
+  }
+
   test("mad anomaly gate: exact median/MAD and a planted outlier") {
     val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
       :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))
