@@ -466,6 +466,114 @@ object SimilarityQueries {
        |WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
 
+  // -------------------------------------- quantized retrieve + rerank
+
+  private val QuantM = 50
+
+  /** Quantized-retrieve / float-rerank ANN — the production memory
+    * shape that [[embeddingQuantize]]'s audit gates: the corpus is
+    * scanned as int8 codes (4× less memory traffic than float32), the
+    * candidate stage scores with a PURE-INTEGER dot product rescaled
+    * by the two per-vector scales, the top [[QuantM]] shortlist is
+    * then reranked with the exact full-precision cosine. Beside
+    * [[annRerank]] (which cheapens the proxy by truncating
+    * DIMENSIONS) this tier cheapens the REPRESENTATION — full width,
+    * narrow ints — which preserves far more of the ranking signal at
+    * the same byte budget.
+    *
+    * Scale: queries broadcast against one corpus scan (the
+    * [[cosineTopk]] contract); at index scale the int8 codes are the
+    * resident working set and the float vectors page in only for the
+    * M-sized shortlist. Determinism: the integer dot is exact; the
+    * rescale is an exact-integer × two identical doubles, so the
+    * shortlist cut (approx desc, cid) is engine-identical without any
+    * rounding; only the final cosine rounds (6 dp) for ranking. */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val quant = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("scale",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) / 127"))
+      .withColumn("q", expr(
+        "IF(scale = 0D, transform(v, x -> 0), " +
+          "transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)))"))
+      .select(col("vec_id"), col("embedding"), col("scale"), col("q"))
+    val qs = quant.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("scale").as("qscale"), col("q").as("qq"))
+    val cs = quant
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("scale").as("cscale"), col("q").as("cq"))
+    val wApprox = Window.partitionBy("qid").orderBy(desc("approx"), asc("cid"))
+    val wExact = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val shortlist = broadcast(qs).crossJoin(cs)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("idot", expr(
+        "aggregate(zip_with(qq, cq, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, e) -> a + e)"))
+      .withColumn("approx", col("idot").cast("double") * col("qscale") * col("cscale"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= QuantM)
+    withCos(shortlist)
+      .withColumn("cos", round(col("cos"), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("cid"),
+        graft.functions.Det.rnd(col("approx"), 6).as("approx"),
+        col("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  val annQuantizedSql: String = {
+    import graft.functions.Det
+    s"""WITH q8 AS (
+       |  SELECT vec_id, scale,
+       |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+       |              ELSE list_transform(v,
+       |                     x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+       |         END AS q
+       |  FROM (SELECT vec_id, v,
+       |               list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+       |        FROM (SELECT vec_id,
+       |                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |              FROM embeddings))),
+       |e8 AS (SELECT vec_id, scale, unnest(q) AS qv,
+       |              unnest(range(len(q))) AS i
+       |       FROM q8),
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |idot AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         CAST(sum(CAST(a.qv AS BIGINT) * b.qv) AS BIGINT) AS idot,
+       |         max(a.scale) AS qscale, max(b.scale) AS cscale
+       |  FROM e8 a JOIN e8 b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $NQueries
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT qid, cid, CAST(idot AS DOUBLE) * qscale * cscale AS approx
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                    ORDER BY CAST(idot AS DOUBLE) * qscale * cscale DESC,
+       |                             cid) AS arank
+       |        FROM idot)
+       |  WHERE arank <= $QuantM),
+       |cs AS (SELECT s.qid, s.cid, s.approx, sum(a.v * b.v) AS dot,
+       |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
+       |       FROM short s JOIN e a ON a.vec_id = s.qid
+       |                    JOIN e b ON b.vec_id = s.cid AND b.i = a.i
+       |       GROUP BY 1, 2, 3)
+       |SELECT qid, cid, ${Det.rndSql("approx", 6)} AS approx,
+       |       round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qid, cid, approx,
+       |         CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CASE WHEN nq * nc = 0 THEN 0.0
+       |                         ELSE dot / (nq * nc) END DESC, cid) AS rank
+       |  FROM cs)
+       |WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------- embedding quantization
 
   /** Symmetric per-vector int8 quantization — the memory-compression

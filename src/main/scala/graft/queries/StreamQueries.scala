@@ -273,4 +273,129 @@ object StreamQueries {
       |      FROM events)
       |GROUP BY win_start
       |ORDER BY win_start""".stripMargin
+
+  // ------------------------------------------------- KMV set algebra
+
+  private final val KmvK = 64
+
+  /** Cross-group distinct SET OPERATIONS via the KMV bottom-k sketch
+    * ([[graft.sketch.KmvAggregator]]) — the capability the register
+    * sketches can't offer: per event-type-pair, estimated distinct
+    * user UNION, INTERSECTION and Jaccard from two k-long min-arrays,
+    * next to the exact answers for the error audit (the
+    * `q_distinct_exact_vs_hll` pattern, extended to set algebra).
+    * θ = k-th smallest of the merged mins; below θ both sketches are
+    * complete uniform samples of the hashed key space, so
+    * union ≈ (|u|−1)·2³²/θ and intersection ≈ (ρ/|u|)·union where
+    * ρ counts merged mins present in BOTH sketches. When the merged
+    * min-set holds fewer than k values it IS the exact union and the
+    * estimates collapse to exact — asserted in ScalaTest.
+    *
+    * Scale: the sketch aggregation ships k longs per (partition,
+    * group) — never the distinct users; the pair algebra runs on a
+    * group-cardinality-sized frame of arrays via codegen'd HOFs. The
+    * EXACT tier (distinct self-join) is the thing this replaces at
+    * 100 TB — here it rides along as the oracle-checked error audit.
+    * The in-plan Knuth hash is overflow-safe to user_id < 3.5e9 (the
+    * two-step modmul of `TextQueries.splitBucket` is the documented
+    * extension past that). */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.sketch.KmvAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val hashed = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("(user_id + 1) * 2654435761 % 4294967296").as("h"),
+        col("user_id"))
+    val sk = hashed.groupBy("event_type").agg(kmv(col("h")).as("mins"))
+      .localCheckpoint() // group-cardinality-sized; both join sides
+    val du = hashed.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint() // exact tier: sizes + pairwise intersections
+    val sizes = du.groupBy("event_type").agg(count(lit(1)).as("nd"))
+    val exact = du.as("a")
+      .join(du.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val pairs = sk.as("x")
+      .join(sk.as("y"), col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"),
+        col("x.mins").as("ma"), col("y.mins").as("mb"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ma, mb)), 1, $KmvK)"))
+      .withColumn("usz", size(col("u")).cast("long"))
+      .withColumn("theta", expr("element_at(u, CAST(usz AS INT))"))
+      .withColumn("rho", expr(
+        "CAST(size(filter(u, v -> array_contains(ma, v) AND array_contains(mb, v))) AS BIGINT)"))
+      .withColumn("est_union",
+        when(col("usz") < KmvK, col("usz").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) / col("theta")))
+      .withColumn("est_inter", (col("rho") / col("usz")) * col("est_union"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("ta"), col("nd").as("na"))), "ta")
+      .join(broadcast(sizes.select(col("event_type").as("tb"), col("nd").as("nb"))), "tb")
+      .join(exact, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .select(col("ta"), col("tb"), col("exact_inter"),
+        (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
+        col("usz"), col("theta"), col("rho"),
+        Det.rnd(col("est_union"), 4).as("est_union"),
+        Det.rnd(col("est_inter"), 4).as("est_inter"))
+      .orderBy("ta", "tb")
+  }
+
+  val kmvIntersectSql: String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT event_type,
+       |         (user_id + 1) * 2654435761 % 4294967296 AS h, user_id
+       |  FROM events),
+       |mins AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT event_type, h FROM hashed))
+       |  WHERE rn <= $KmvK),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |       FROM types a JOIN types b ON a.event_type < b.event_type),
+       |uni AS (
+       |  SELECT ta, tb, h FROM (
+       |    SELECT tp.ta, tp.tb, m.h,
+       |           row_number() OVER (PARTITION BY tp.ta, tp.tb ORDER BY m.h) AS rn
+       |    FROM tp JOIN (SELECT DISTINCT t.ta, t.tb, m0.h
+       |                  FROM tp t JOIN mins m0
+       |                    ON m0.event_type IN (t.ta, t.tb)) m
+       |      ON m.ta = tp.ta AND m.tb = tp.tb)
+       |  WHERE rn <= $KmvK),
+       |ustat AS (SELECT ta, tb, count(*) AS usz, max(h) AS theta
+       |          FROM uni GROUP BY 1, 2),
+       |rho AS (SELECT u.ta, u.tb, count(*) AS rho
+       |        FROM uni u
+       |        JOIN mins x ON x.event_type = u.ta AND x.h = u.h
+       |        JOIN mins y ON y.event_type = u.tb AND y.h = u.h
+       |        GROUP BY 1, 2),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |sizes AS (SELECT event_type, count(*) AS nd FROM du GROUP BY 1),
+       |exact AS (SELECT a.event_type AS ta, b.event_type AS tb,
+       |                 count(*) AS exact_inter
+       |          FROM du a JOIN du b ON a.user_id = b.user_id
+       |            AND a.event_type < b.event_type
+       |          GROUP BY 1, 2),
+       |est AS (
+       |  SELECT us.ta, us.tb, CAST(us.usz AS BIGINT) AS usz,
+       |         us.theta, CAST(r.rho AS BIGINT) AS rho,
+       |         CASE WHEN us.usz < $KmvK THEN CAST(us.usz AS DOUBLE)
+       |              ELSE CAST(${KmvK - 1} AS DOUBLE) * 4294967296 / us.theta
+       |         END AS est_union
+       |  FROM ustat us JOIN rho r ON r.ta = us.ta AND r.tb = us.tb)
+       |SELECT e.ta, e.tb,
+       |       CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       |       CAST(sa.nd + sb.nd - coalesce(x.exact_inter, 0) AS BIGINT)
+       |         AS exact_union,
+       |       e.usz, e.theta, e.rho,
+       |       ${Det.rndSql("e.est_union", 4)} AS est_union,
+       |       ${Det.rndSql("(e.rho / e.usz) * e.est_union", 4)} AS est_inter
+       |FROM est e
+       |JOIN sizes sa ON sa.event_type = e.ta
+       |JOIN sizes sb ON sb.event_type = e.tb
+       |LEFT JOIN exact x ON x.ta = e.ta AND x.tb = e.tb
+       |ORDER BY e.ta, e.tb""".stripMargin
 }

@@ -1327,12 +1327,14 @@ object TextQueries {
       val contrib = en.join(ranks, en("src") === ranks("word"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("nw")).as("c"))
-      ranks = nodes.join(contrib, nodes("word") === contrib("dst"), "left")
+      // contrib is vocab-bounded — broadcast keeps each unrolled
+      // iteration free of sort-merge exchanges on the rank table
+      ranks = nodes.join(broadcast(contrib), nodes("word") === contrib("dst"), "left")
         .select(col("word"),
           (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
     }
     val deg = w.groupBy(col("src").as("word")).agg(count(lit(1)).as("degree"))
-    ranks.join(deg, Seq("word"), "left")
+    ranks.join(broadcast(deg), Seq("word"), "left")
       .na.fill(0L, Seq("degree"))
       .select(col("word"), col("degree"), Det.rnd(col("rank"), 6).as("rank"))
       .orderBy("word")
@@ -1429,7 +1431,7 @@ object TextQueries {
       .distinct()
     val cnt = tri.select(explode(array(col("u"), col("v"), col("w"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("triangles"))
-    nodes.join(cnt, Seq("word"), "left")
+    nodes.join(broadcast(cnt), Seq("word"), "left")
       .na.fill(0L, Seq("triangles"))
       .orderBy("word")
   }

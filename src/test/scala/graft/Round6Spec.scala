@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{ExtensionQueries, SimilarityQueries, TextQueries}
+import graft.queries.{ExtensionQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Round-6 operators: TextRank, BM25, int8 quantization, SCD-2,
   * grouping sets, MAD anomaly gate — each against a hand-computable
@@ -109,6 +109,48 @@ class Round6Spec extends SparkSpec {
         row.getLong(3), row.getDouble(4), row.getDouble(5)))
       .toSeq.sortBy(_._1)
     assert(got == expected)
+  }
+
+  test("quantized ann: high recall vs the brute-force cosine baseline") {
+    val base = SimilarityQueries.cosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityQueries.annQuantized(spark, sfDir).collect()
+    val got = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty && quant.nonEmpty)
+    val recall = (base & got).size.toDouble / base.size
+    assert(recall >= 0.9, s"int8-shortlist recall $recall vs exact top-k")
+    // the rerank stage is exact: within each query, cosines are
+    // non-increasing with rank
+    quant.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("kmv set algebra: collapses to exact under k, bounded error above k") {
+    // sf0.001: few distinct users per type → the merged min-set holds
+    // the whole union, so the estimates ARE the exact answers
+    val small = StreamQueries.kmvIntersect(spark, sfDir).collect()
+    assert(small.nonEmpty)
+    small.foreach { r =>
+      if (r.getLong(4) < 64) { // usz < k
+        assert(r.getDouble(7) == r.getLong(3).toDouble,
+          s"${r.getString(0)}/${r.getString(1)}: est_union ${r.getDouble(7)} != exact ${r.getLong(3)}")
+        assert(r.getDouble(8) == r.getLong(2).toDouble,
+          s"est_inter ${r.getDouble(8)} != exact ${r.getLong(2)}")
+      }
+    }
+    // sf0.01: 150 users per type → true estimate regime; KMV stderr at
+    // k=64 is ~12.5%, gate at a generous 3-4σ band
+    val big = StreamQueries.kmvIntersect(spark, "/root/testdata/sf0.01").collect()
+    assert(big.exists(_.getLong(4) == 64), "sf0.01 should saturate the sketch")
+    big.foreach { r =>
+      val (exInter, exUnion) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+      assert(math.abs(r.getDouble(7) - exUnion) <= 0.4 * exUnion,
+        s"${r.getString(0)}/${r.getString(1)}: est_union ${r.getDouble(7)} vs $exUnion")
+      assert(math.abs(r.getDouble(8) - exInter) <= 0.5 * exInter + 5,
+        s"est_inter ${r.getDouble(8)} vs $exInter")
+    }
   }
 
   test("scd2: consecutive same-state events collapse into dated runs") {
