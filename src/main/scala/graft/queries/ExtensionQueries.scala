@@ -1196,6 +1196,87 @@ object ExtensionQueries {
        |       ${Det.rndSql("sum((o - e) * (o - e) / e)", 6)} AS chi2
        |FROM cells""".stripMargin
 
+  /** One-pass column profiling — the data-quality reconnaissance a
+    * pipeline runs on an unfamiliar table before anything else: per
+    * column, row/null/distinct counts and min/max (typed lanes:
+    * strings in min_s/max_s, numerics in min_num/max_num — numeric
+    * extremes as strings would cross-engine-diverge on float
+    * formatting, and "10" < "9" lexicographically).
+    *
+    * Scale: ALL columns profile in ONE table scan — the per-column
+    * aggregates ride a single hash-aggregate row, and `stack` pivots
+    * that row to tidy per-column output (a zero-shuffle Generate).
+    * The naive per-column UNION ALL re-scans the table once per
+    * column; at 100 TB that multiplier is the whole cost. Distinct
+    * counts are exact here (the profile is also where you'd swap in
+    * approx_count_distinct past memory limits — documented, not
+    * silently done). */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      nulls("o_orderstatus").as("st_null"),
+      countDistinct("o_orderstatus").as("st_dist"),
+      min("o_orderstatus").as("st_min"), max("o_orderstatus").as("st_max"),
+      nulls("o_orderpriority").as("pr_null"),
+      countDistinct("o_orderpriority").as("pr_dist"),
+      min("o_orderpriority").as("pr_min"), max("o_orderpriority").as("pr_max"),
+      nulls("o_custkey").as("ck_null"),
+      countDistinct("o_custkey").as("ck_dist"),
+      min("o_custkey").cast("double").as("ck_min"),
+      max("o_custkey").cast("double").as("ck_max"),
+      nulls("o_totalprice").as("tp_null"),
+      countDistinct("o_totalprice").as("tp_dist"),
+      min("o_totalprice").as("tp_min"), max("o_totalprice").as("tp_max"))
+    agg.select(col("n"), expr(
+      """stack(4,
+        |  'o_orderstatus',   st_null, st_dist, st_min, st_max,
+        |                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderpriority', pr_null, pr_dist, pr_min, pr_max,
+        |                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_custkey',       ck_null, ck_dist, CAST(NULL AS STRING),
+        |                     CAST(NULL AS STRING), ck_min, ck_max,
+        |  'o_totalprice',    tp_null, tp_dist, CAST(NULL AS STRING),
+        |                     CAST(NULL AS STRING), tp_min, tp_max
+        |) AS (col_name, n_null, n_distinct, min_s, max_s, min_num, max_num)
+        |""".stripMargin))
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_s"), col("max_s"), col("min_num"), col("max_num"))
+      .orderBy("col_name")
+  }
+
+  val profileSql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_null,
+      |         count(DISTINCT o_orderstatus) AS st_dist,
+      |         min(o_orderstatus) AS st_min, max(o_orderstatus) AS st_max,
+      |         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pr_null,
+      |         count(DISTINCT o_orderpriority) AS pr_dist,
+      |         min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max,
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_null,
+      |         count(DISTINCT o_custkey) AS ck_dist,
+      |         CAST(min(o_custkey) AS DOUBLE) AS ck_min,
+      |         CAST(max(o_custkey) AS DOUBLE) AS ck_max,
+      |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_null,
+      |         count(DISTINCT o_totalprice) AS tp_dist,
+      |         min(o_totalprice) AS tp_min, max(o_totalprice) AS tp_max
+      |  FROM orders)
+      |SELECT 'o_orderstatus' AS col_name, n, st_null AS n_null, st_dist AS n_distinct,
+      |       st_min AS min_s, st_max AS max_s,
+      |       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num FROM a
+      |UNION ALL
+      |SELECT 'o_orderpriority', n, pr_null, pr_dist, pr_min, pr_max,
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+      |UNION ALL
+      |SELECT 'o_custkey', n, ck_null, ck_dist, CAST(NULL AS VARCHAR),
+      |       CAST(NULL AS VARCHAR), ck_min, ck_max FROM a
+      |UNION ALL
+      |SELECT 'o_totalprice', n, tp_null, tp_dist, CAST(NULL AS VARCHAR),
+      |       CAST(NULL AS VARCHAR), tp_min, tp_max FROM a
+      |ORDER BY col_name""".stripMargin
+
   /** Fuzzy string matching — near-identical entity names via blocked
     * Levenshtein join, the entity-resolution primitive (catalog
     * dedup, vendor-name reconciliation) beside the token-set dedup

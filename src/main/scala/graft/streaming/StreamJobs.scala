@@ -323,6 +323,23 @@ object StreamJobs {
       .toDF("user_id", "stage", "tsec", "gap_s")
   }
 
+  /** Streaming twin of the KMV sketch aggregation
+    * ([[graft.queries.StreamQueries.kmvIntersect]]'s sketch stage):
+    * the bottom-k sketch's MERGEABILITY is exactly what lets
+    * Structured Streaming maintain it incrementally — each
+    * micro-batch's partial sketches merge into the aggregation state
+    * (k longs per group, constant forever), and the current
+    * per-group min-array is emitted every trigger in Complete mode.
+    * The batch/stream equality asserted in ScalaTest is the
+    * mergeability proof: arrival order and batch boundaries cannot
+    * change a min-set.
+    * Input: (event_type, h) pre-hashed rows. */
+  def kmvStream(events: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.sketch.KmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events.groupBy("event_type").agg(kmv(col("h")).as("mins"))
+  }
+
   /** Streaming twin of the batch SCD type-2 build
     * ([[graft.queries.ExtensionQueries.scd2]]): per-user event-type
     * runs are maintained as ONE open run in state (state string,

@@ -286,6 +286,24 @@ class Round6Spec extends SparkSpec {
       s"mass $connectedMass over $connectedN connected words (isolated: ${isolated.length})")
   }
 
+  test("profile: one row per column, consistent with direct aggregates") {
+    val o = Tables(spark, sfDir, "orders")
+    val out = ExtensionQueries.profile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
+    val n = o.count()
+    out.values.foreach(r => assert(r.getLong(1) == n))
+    val ck = out("o_custkey")
+    assert(ck.getLong(3) ==
+      o.select(countDistinct("o_custkey")).head().getLong(0))
+    assert(ck.isNullAt(4) && ck.isNullAt(5)) // numeric lane only
+    assert(ck.getDouble(6) ==
+      o.agg(min("o_custkey")).head().getLong(0).toDouble)
+    val st = out("o_orderstatus")
+    assert(st.isNullAt(6) && st.isNullAt(7)) // string lane only
+    assert(st.getString(4) == o.agg(min("o_orderstatus")).head().getString(0))
+  }
+
   test("mad anomaly gate: exact median/MAD and a planted outlier") {
     val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
       :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))

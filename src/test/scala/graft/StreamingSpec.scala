@@ -549,6 +549,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming kmv sketch equals the batch sketch regardless of batch boundaries") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)] // (event_type, h)
+    val q = StreamJobs.kmvStream(mem.toDF().toDF("event_type", "h"))
+      .writeStream.format("memory").queryName("kmvs").outputMode("complete").start()
+    try {
+      val hashed = Tables(spark, sfDir, "events")
+        .select(col("event_type"),
+          expr("(user_id + 1) * 2654435761 % 4294967296").as("h")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // REVERSED feed order across two batches: a min-set is order-blind
+      val rev = hashed.reverse
+      Seq(rev.take(rev.length / 2), rev.drop(rev.length / 2)).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("kmvs").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val batch = StreamJobs.kmvStream(
+        Tables(spark, sfDir, "events").select(col("event_type"),
+          expr("(user_id + 1) * 2654435761 % 4294967296").as("h"))).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch, s"keys ${streamed.keySet} vs ${batch.keySet}")
+    } finally q.stop()
+  }
+
   test("streaming scd2 emits exactly the batch twin's closed runs across micro-batches") {
     val s = spark
     import s.implicits._
