@@ -1196,6 +1196,168 @@ object ExtensionQueries {
        |       ${Det.rndSql("sum((o - e) * (o - e) / e)", 6)} AS chi2
        |FROM cells""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the behavioral model behind next-action prediction
+    * and anomaly-flow detection: per (src → dst) event-type bigram,
+    * the transition count and row-normalized probability.
+    *
+    * Scale: one exchange on user_id for the lag window (the
+    * sessionize partitioning), then the bigram aggregate collapses to
+    * a types²-bounded matrix; the row-total window runs on that tiny
+    * matrix. Counts exact; p = exact-integer ratio, 6-dp rounded. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    markovTransitionsOf(Tables(spark, dir, "events"))
+
+  private[graft] def markovTransitionsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val counts = events
+      .select(col("user_id"), col("event_type").as("dst"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("src", lag("dst", 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("row_total",
+        sum("cnt").over(Window.partitionBy("src")))
+      .withColumn("p", Det.rnd(col("cnt").cast("double") / col("row_total"), 6))
+      .select(col("src"), col("dst"), col("cnt"), col("row_total"), col("p"))
+      .orderBy("src", "dst")
+  }
+
+  val markovTransitionsSql: String =
+    s"""WITH bi AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_us(ts), event_id) AS src,
+       |         event_type AS dst
+       |  FROM events),
+       |c AS (SELECT src, dst, count(*) AS cnt FROM bi
+       |      WHERE src IS NOT NULL GROUP BY 1, 2)
+       |SELECT src, dst, cnt,
+       |       CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+       |       ${Det.rndSql(
+         "CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT)", 6)} AS p
+       |FROM c
+       |ORDER BY src, dst""".stripMargin
+
+  /** Marketing-style attribution — each purchase credits the user's
+    * FIRST and LAST preceding non-purchase touch (the two classic
+    * single-touch models), aggregated to credited purchases and
+    * revenue per touch type. Purchases with no prior touch are
+    * excluded from both models (identically in both engines).
+    *
+    * Scale: one exchange on user_id — both attribution windows ride
+    * the same sorted partition (frame: unbounded-preceding to
+    * 1-preceding, ignore-nulls first/last); the model aggregate runs
+    * on purchases only. Revenue sums exact integer cents ([[Det]]). */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables(spark, dir, "events"))
+
+  private[graft] def attributionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val p = events
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      .localCheckpoint() // consumed by both model aggregates
+    def model(c: String) = p.groupBy(col(c).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Det.moneySum(col("value")).as("revenue"))
+      .withColumn("model", lit(c))
+    model("first_touch").union(model("last_touch"))
+      .select(col("model"), col("touch_type"), col("n_purchases"), col("revenue"))
+      .orderBy("model", "touch_type")
+  }
+
+  val attributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, value,
+       |         first_value(CASE WHEN event_type <> 'purchase'
+       |                          THEN event_type END IGNORE NULLS)
+       |           OVER w AS first_touch,
+       |         last_value(CASE WHEN event_type <> 'purchase'
+       |                         THEN event_type END IGNORE NULLS)
+       |           OVER w AS last_touch
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |p AS (SELECT * FROM e
+       |      WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
+       |SELECT 'first_touch' AS model, first_touch AS touch_type,
+       |       count(*) AS n_purchases,
+       |       ${Det.moneySumSql("value")} AS revenue
+       |FROM p GROUP BY 2
+       |UNION ALL
+       |SELECT 'last_touch', last_touch, count(*),
+       |       ${Det.moneySumSql("value")}
+       |FROM p GROUP BY 2
+       |ORDER BY model, touch_type""".stripMargin
+
+  /** Inter-event burstiness per user — Goh-Barabási
+    * B = (σ−μ)/(σ+μ) over the user's gap sequence (−1 = perfectly
+    * regular, 0 = Poisson, →1 = bursty), the behavioral-cadence
+    * feature of bot/anomaly detection. EXACT cross-engine with zero
+    * rounding: gaps are integer seconds, so μ and the population
+    * variance come from exact integer sums
+    * (σ² = (n·Σx² − (Σx)²)/n²) — never from the engines'
+    * numerically-divergent streaming stddev — and sqrt/division are
+    * correctly-rounded IEEE ops on identical inputs. Overflow bound:
+    * n·Σx² stays under 2⁶³ for any user with < ~10⁶ gaps over a
+    * ~month span; longer horizons would move the sums to decimal.
+    *
+    * Scale: one exchange on user_id (the same lag-window
+    * partitioning as [[sessionize]]), then a per-user aggregate with
+    * map-side partials of three integer sums. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOf(Tables(spark, dir, "events"))
+
+  private[graft] def burstinessOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    val gaps = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"), col("event_id"))
+      .withColumn("gap", col("tsec") - lag("tsec", 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("gap").as("s"),
+        sum(col("gap") * col("gap")).as("ssq"))
+      .withColumn("mu", col("s").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("n") * col("ssq") - col("s") * col("s")).cast("double")
+          / (col("n") * col("n"))))
+      .select(col("user_id"), col("n").as("n_gaps"), col("mu").as("mean_gap_s"),
+        col("sd").as("sd_gap_s"),
+        ((col("sd") - col("mu")) / (col("sd") + col("mu"))).as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  val burstinessSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |           - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+      |             OVER (PARTITION BY user_id
+      |                   ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+      |                            event_id) AS gap
+      |  FROM events),
+      |a AS (SELECT user_id, count(*) AS n, CAST(sum(gap) AS BIGINT) AS s,
+      |             CAST(sum(gap * gap) AS BIGINT) AS ssq
+      |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n AS n_gaps,
+      |       CAST(s AS DOUBLE) / n AS mean_gap_s,
+      |       sqrt(CAST(n * ssq - s * s AS DOUBLE) / (n * n)) AS sd_gap_s,
+      |       (sqrt(CAST(n * ssq - s * s AS DOUBLE) / (n * n))
+      |          - CAST(s AS DOUBLE) / n)
+      |         / (sqrt(CAST(n * ssq - s * s AS DOUBLE) / (n * n))
+      |          + CAST(s AS DOUBLE) / n) AS burstiness
+      |FROM a
+      |ORDER BY user_id""".stripMargin
+
   /** One-pass column profiling — the data-quality reconnaissance a
     * pipeline runs on an unfamiliar table before anything else: per
     * column, row/null/distinct counts and min/max (typed lanes:

@@ -304,6 +304,54 @@ class Round6Spec extends SparkSpec {
     assert(st.getString(4) == o.agg(min("o_orderstatus")).head().getString(0))
   }
 
+  test("markov transitions: bigram counts and row-normalized probabilities") {
+    val events = Seq(
+      (1L, 1L, "A"), (2L, 2L, "B"), (3L, 3L, "A"), (4L, 4L, "B"), // u1: A→B A→B B→A
+      (5L, 1L, "A"), (6L, 2L, "A")                                 // u2: A→A
+    ).map { case (id, t, ty) => (id, t * 1000000L, id % 2 + 1, ty, 1.0, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("user_id", when(col("event_id") <= 4, 1L).otherwise(2L))
+    val out = ExtensionQueries.markovTransitionsOf(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("A", "B")) == ((2L, 3L, 0.666667)), out.toString)
+    assert(out(("A", "A")) == ((1L, 3L, 0.333333)))
+    assert(out(("B", "A")) == ((1L, 1L, 1.0)))
+  }
+
+  test("attribution: purchases credit first and last preceding touch") {
+    val events = Seq(
+      (1L, 1L, "view", 10.0), (2L, 2L, "click", 20.0),
+      (3L, 3L, "purchase", 30.0), (4L, 4L, "purchase", 40.0),
+      (5L, 5L, "purchase", 99.0) // second user: no prior touch → dropped
+    ).map { case (id, t, ty, v) =>
+      (id, t * 1000000L, if (id <= 4) 1L else 2L, ty, v, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = ExtensionQueries.attributionOf(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 2)
+    assert(out(("first_touch", "view")) == ((2L, 70.0)))
+    assert(out(("last_touch", "click")) == ((2L, 70.0)))
+  }
+
+  test("burstiness: -1 for a metronome, Goh-Barabási value for a bursty user") {
+    val events = (Seq(0L, 10L, 20L, 30L).map(t => (1L, t)) ++
+      Seq(0L, 1L, 2L, 30L).map(t => (2L, t))).zipWithIndex.map {
+      case ((u, t), i) => (i.toLong, t * 1000000L, u, "e", 1.0, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = ExtensionQueries.burstinessOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(out(1L) == ((3L, 10.0, 0.0, -1.0)), out.toString) // gaps 10,10,10
+    val (n, s, ssq) = (3L, 30L, 1L + 1 + 784)                // gaps 1,1,28
+    val mu = s.toDouble / n
+    val sd = math.sqrt((n * ssq - s * s).toDouble / (n * n))
+    assert(out(2L) == ((3L, mu, sd, (sd - mu) / (sd + mu))))
+  }
+
   test("mad anomaly gate: exact median/MAD and a planted outlier") {
     val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
       :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))
