@@ -1196,6 +1196,105 @@ object ExtensionQueries {
        |       ${Det.rndSql("sum((o - e) * (o - e) / e)", 6)} AS chi2
        |FROM cells""".stripMargin
 
+  /** Two-sample z-test (Welch) on purchase value between the two
+    * deterministic user cohorts (user_id mod 2) — the experimentation
+    * readout beside [[chiSquare]]'s categorical independence test.
+    * EXACT cross-engine with zero rounding, the [[burstiness]]
+    * technique on money: values are exact integer CENTS, means and
+    * population variances come from integer moment sums
+    * (σ² = (n·Σx²−(Σx)²)/n²), and z = Δμ/√(σ²ᴀ/nᴀ+σ²ʙ/nʙ) is a chain
+    * of correctly-rounded IEEE ops on identical doubles. Overflow
+    * bound: n·Σx² < 2⁶³ holds to ~10⁹ rows at 4-digit dollar values;
+    * past that the sums move to decimal.
+    *
+    * Scale: ONE pass, no shuffle beyond the final single-row
+    * aggregate — both cohorts' three moment sums ride conditional
+    * aggregation in the same map-side-combinable reduction. */
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    abTestOf(Tables(spark, dir, "events"))
+
+  private[graft] def abTestOf(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("g"), Det.cents(col("value")).as("c"))
+    def side(g: Int, name: String) = Seq(
+      sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(col("g") === g, col("c")).otherwise(0L)).as(s"s_$name"),
+      sum(when(col("g") === g, col("c") * col("c")).otherwise(0L)).as(s"ssq_$name"))
+    val moments = side(0, "a") ++ side(1, "b")
+    val m = p.agg(moments.head, moments.tail: _*)
+    def mean(s: String, n: String) = col(s).cast("double") / col(n)
+    def variance(n: String, s: String, ssq: String) =
+      (col(n) * col(ssq) - col(s) * col(s)).cast("double") / (col(n) * col(n))
+    m.select(
+        col("n_a"), col("n_b"),
+        (mean("s_a", "n_a") / 100.0).as("mean_a"),
+        (mean("s_b", "n_b") / 100.0).as("mean_b"),
+        ((mean("s_a", "n_a") - mean("s_b", "n_b")) /
+          sqrt(variance("n_a", "s_a", "ssq_a") / col("n_a")
+            + variance("n_b", "s_b", "ssq_b") / col("n_b"))).as("z"))
+  }
+
+  val abTestSql: String = {
+    val c = Det.centsSql("value")
+    def agg(g: Int, n: String) =
+      s"""CAST(sum(CASE WHEN user_id % 2 = $g THEN 1 ELSE 0 END) AS BIGINT) AS n_$n,
+         |CAST(sum(CASE WHEN user_id % 2 = $g THEN $c ELSE 0 END) AS BIGINT) AS s_$n,
+         |CAST(sum(CASE WHEN user_id % 2 = $g THEN $c * $c ELSE 0 END) AS BIGINT) AS ssq_$n""".stripMargin
+    s"""WITH m AS (
+       |  SELECT ${agg(0, "a")},
+       |         ${agg(1, "b")}
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT n_a, n_b,
+       |       CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+       |       CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+       |       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       |         / sqrt(CAST(n_a * ssq_a - s_a * s_a AS DOUBLE) / (n_a * n_a) / n_a
+       |              + CAST(n_b * ssq_b - s_b * s_b AS DOUBLE) / (n_b * n_b) / n_b)
+       |         AS z
+       |FROM m""".stripMargin
+  }
+
+  /** Hour-of-week seasonality profile — per (day-of-week, hour) event
+    * counts, traffic share, and exact-cents mean value: the capacity-
+    * planning / anomaly-baseline heatmap. Day-of-week comes from pure
+    * epoch-day integer arithmetic ((days+4) mod 7, 0 = Sunday — no
+    * engine calendar/locale conventions involved; UTC contract).
+    *
+    * Scale: one map-side-combinable aggregate to ≤168 cells; the
+    * share window runs on the cell table. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    seasonalityOf(Tables(spark, dir, "events"))
+
+  private[graft] def seasonalityOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events
+      .select(expr("(unix_timestamp(ts) div 86400 + 4) % 7").as("dow"),
+        expr("(unix_timestamp(ts) div 3600) % 24").as("hour"),
+        Det.cents(col("value")).as("c"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"))
+    cells
+      .withColumn("total", sum("n").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("dow"), col("hour"), col("n"),
+        Det.rnd(col("n").cast("double") / col("total"), 6).as("share"),
+        Det.rnd(col("s").cast("double") / (col("n") * 100.0), 4).as("avg_value"))
+      .orderBy("dow", "hour")
+  }
+
+  val seasonalitySql: String =
+    s"""WITH cells AS (
+       |  SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+       |         (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24 AS hour,
+       |         count(*) AS n,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS s
+       |  FROM events GROUP BY 1, 2)
+       |SELECT dow, hour, n,
+       |       ${Det.rndSql("CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS BIGINT)", 6)} AS share,
+       |       ${Det.rndSql("CAST(s AS DOUBLE) / (n * 100.0)", 4)} AS avg_value
+       |FROM cells
+       |ORDER BY dow, hour""".stripMargin
+
   /** First-order Markov transition matrix over each user's event
     * sequence — the behavioral model behind next-action prediction
     * and anomaly-flow detection: per (src → dst) event-type bigram,

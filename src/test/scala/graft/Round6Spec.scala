@@ -352,6 +352,38 @@ class Round6Spec extends SparkSpec {
     assert(out(2L) == ((3L, mu, sd, (sd - mu) / (sd + mu))))
   }
 
+  test("ab test: exact z from integer moment sums on a hand experiment") {
+    // g0 (even users): purchases 1.00, 3.00 → mean 2.00, var 1.00²
+    // g1 (odd users):  purchases 1.00, 1.00 → mean 1.00, var 0
+    val events = Seq(
+      (1L, 2L, "purchase", 1.0), (2L, 2L, "purchase", 3.0),
+      (3L, 3L, "purchase", 1.0), (4L, 3L, "purchase", 1.0),
+      (5L, 2L, "view", 99.0) // non-purchase ignored
+    ).map { case (id, u, ty, v) => (id, id * 1000000L, u, ty, v, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = ExtensionQueries.abTestOf(events).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0)
+    // z in cents: (200-100)/sqrt((1e4)/2 + 0) = 100/sqrt(5000)
+    assert(r.getDouble(4) == 100.0 / math.sqrt(5000.0), s"z ${r.getDouble(4)}")
+  }
+
+  test("seasonality: epoch-arithmetic day-of-week cells and shares") {
+    // epoch day 0 = Thursday → dow (0+4)%7 = 4; day 3 = Sunday → 0
+    val events = Seq(
+      (1L, 0L), (2L, 3600L),              // Thu 00h, Thu 01h
+      (3L, 3L * 86400), (4L, 3L * 86400)  // Sun 00h ×2
+    ).map { case (id, t) => (id, t * 1000000L, 1L, "e", 2.0, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = ExtensionQueries.seasonalityOf(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((4L, 0L)) == ((1L, 0.25)))
+    assert(out((4L, 1L)) == ((1L, 0.25)))
+    assert(out((0L, 0L)) == ((2L, 0.5)))
+  }
+
   test("mad anomaly gate: exact median/MAD and a planted outlier") {
     val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
       :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))
