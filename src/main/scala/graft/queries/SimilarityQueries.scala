@@ -358,7 +358,7 @@ object SimilarityQueries {
     val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
     // query probes: rank centroids by distance per query, keep nProbe
     val cents = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
+    val centDf = spark.createDataFrame(cents.toIndexedSeq).toDF("cell", "centroid")
     val q0 = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val dist = expr(
