@@ -488,16 +488,26 @@ object SimilarityQueries {
     * rescale is an exact-integer × two identical doubles, so the
     * shortlist cut (approx desc, cid) is engine-identical without any
     * rounding; only the final cosine rounds (6 dp) for ranking. */
-  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(spark)
-    val quant = Tables(spark, dir, "embeddings")
+  /** Per-vector symmetric int8 quantization columns
+    * (vec_id, embedding, v, scale, q) — THE quantizer, shared by the
+    * audit ([[embeddingQuantizeOf]]) and the retrieval tier
+    * ([[annQuantized]]) so the formula can never fork between the
+    * gate and the thing it gates. */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("scale",
         expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) / 127"))
+      // a zero vector has scale 0: its code is all-zero (the guard also
+      // keeps ANSI mode from throwing on CAST(floor(0/0 + 0.5)))
       .withColumn("q", expr(
         "IF(scale = 0D, transform(v, x -> 0), " +
           "transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)))"))
+
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val quant = quantized(Tables(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), col("scale"), col("q"))
     val qs = quant.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -524,19 +534,24 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
+  /** SQL twin of [[quantized]] — the q8 CTE shared verbatim by
+    * [[embeddingQuantizeSql]] and [[annQuantizedSql]]. */
+  private val QuantSqlCte: String =
+    """q8 AS (
+      |  SELECT vec_id, v, scale,
+      |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+      |              ELSE list_transform(v,
+      |                     x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+      |         END AS q
+      |  FROM (SELECT vec_id, v,
+      |               list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+      |        FROM (SELECT vec_id,
+      |                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |              FROM embeddings)))""".stripMargin
+
   val annQuantizedSql: String = {
     import graft.functions.Det
-    s"""WITH q8 AS (
-       |  SELECT vec_id, scale,
-       |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-       |              ELSE list_transform(v,
-       |                     x -> CAST(floor(x / scale + 0.5) AS INTEGER))
-       |         END AS q
-       |  FROM (SELECT vec_id, v,
-       |               list_max(list_transform(v, x -> abs(x))) / 127 AS scale
-       |        FROM (SELECT vec_id,
-       |                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |              FROM embeddings))),
+    s"""WITH $QuantSqlCte,
        |e8 AS (SELECT vec_id, scale, unnest(q) AS qv,
        |              unnest(range(len(q))) AS i
        |       FROM q8),
@@ -567,8 +582,11 @@ object SimilarityQueries {
        |  SELECT qid, cid, approx,
        |         CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos,
        |         row_number() OVER (PARTITION BY qid
-       |           ORDER BY CASE WHEN nq * nc = 0 THEN 0.0
-       |                         ELSE dot / (nq * nc) END DESC, cid) AS rank
+       |           -- ROUNDED before ranking, matching the Spark side (the
+       |           -- annRerank convention): a sub-6-dp cosine difference
+       |           -- must tie on both engines and break by cid
+       |           ORDER BY round(CASE WHEN nq * nc = 0 THEN 0.0
+       |                         ELSE dot / (nq * nc) END, 6) DESC, cid) AS rank
        |  FROM cs)
        |WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
@@ -600,16 +618,7 @@ object SimilarityQueries {
     embeddingQuantizeOf(Tables(spark, dir, "embeddings"))
 
   private[graft] def embeddingQuantizeOf(emb: DataFrame): DataFrame =
-    emb
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("scale",
-        expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) / 127"))
-      // a zero vector has scale 0: its code is all-zero (the guard also
-      // keeps ANSI mode from throwing on CAST(floor(0/0 + 0.5)))
-      .withColumn("q", expr(
-        "IF(scale = 0D, transform(v, x -> 0), " +
-          "transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)))"))
+    quantized(emb)
       .withColumn("err", expr("zip_with(q, v, (qi, xi) -> abs(qi * scale - xi))"))
       .select(
         col("vec_id"),
@@ -626,22 +635,11 @@ object SimilarityQueries {
 
   val embeddingQuantizeSql: String = {
     import graft.functions.Det
-    s"""WITH v AS (SELECT vec_id,
-       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       |s AS (SELECT vec_id, v,
-       |             list_max(list_transform(v, x -> abs(x))) / 127 AS scale
-       |      FROM v),
-       |q AS (SELECT vec_id, v, scale,
-       |             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-       |                  ELSE list_transform(v,
-       |                         x -> CAST(floor(x / scale + 0.5) AS INTEGER))
-       |             END AS q
-       |      FROM s),
+    s"""WITH $QuantSqlCte,
        |e AS (SELECT vec_id, v, scale, q,
        |             list_transform(list_zip(q, v),
        |                            p -> abs(p[1] * scale - p[2])) AS err
-       |      FROM q)
+       |      FROM q8)
        |SELECT vec_id, len(v) AS dim,
        |       ${Det.rndSql("scale", 8)} AS scale,
        |       CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))

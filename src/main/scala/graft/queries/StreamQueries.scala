@@ -381,11 +381,13 @@ object StreamQueries {
        |          GROUP BY 1, 2),
        |est AS (
        |  SELECT us.ta, us.tb, CAST(us.usz AS BIGINT) AS usz,
-       |         us.theta, CAST(r.rho AS BIGINT) AS rho,
+       |         us.theta, CAST(coalesce(r.rho, 0) AS BIGINT) AS rho,
        |         CASE WHEN us.usz < $KmvK THEN CAST(us.usz AS DOUBLE)
        |              ELSE CAST(${KmvK - 1} AS DOUBLE) * 4294967296 / us.theta
        |         END AS est_union
-       |  FROM ustat us JOIN rho r ON r.ta = us.ta AND r.tb = us.tb)
+       |  -- LEFT: a pair whose sketches share no hash still emits, with
+       |  -- rho = 0 (the Spark side's filter() count is 0, never absent)
+       |  FROM ustat us LEFT JOIN rho r ON r.ta = us.ta AND r.tb = us.tb)
        |SELECT e.ta, e.tb,
        |       CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
        |       CAST(sa.nd + sb.nd - coalesce(x.exact_inter, 0) AS BIGINT)

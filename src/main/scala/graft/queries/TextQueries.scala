@@ -1300,14 +1300,34 @@ object TextQueries {
   def textRank(spark: SparkSession, dir: String): DataFrame =
     textRankOf(Tables(spark, dir, "documents"))
 
-  private[graft] def textRankOf(docs: DataFrame): DataFrame = {
-    val adj = docs
+  /** Adjacent-token pairs (src, dst) of the word co-occurrence graph,
+    * extracted with ZERO corpus shuffle via `zip_with` over the token
+    * array inside each row — THE graph definition, shared by
+    * [[textRankOf]] and [[triangleCountOf]] so the two operators can
+    * never silently run on forked graphs. Self-loops dropped. */
+  private def tokenPairs(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", split(trim(col("text")), "\\s+"))
       .select(explode(expr(
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(a, b) -> struct(a AS src, b AS dst))")).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
+
+  /** SQL twin of [[tokenPairs]] (+ the `t` token stream for node
+    * sets) — the CTE prefix shared by [[textRankSql]] and
+    * [[triangleCountSql]]. */
+  private val WordGraphSqlCte: String =
+    """d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |           FROM documents),
+      |t AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+      |      FROM d),
+      |adj AS (SELECT a.term AS src, b.term AS dst
+      |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        WHERE a.term <> b.term)""".stripMargin
+
+  private[graft] def textRankOf(docs: DataFrame): DataFrame = {
+    val adj = tokenPairs(docs)
     // symmetrize BEFORE counting so w(a,b) = w(b,a) = total adjacency
     // count in either direction; self-loops dropped above
     val w = adj.union(adj.select(col("dst"), col("src")))
@@ -1351,13 +1371,7 @@ object TextQueries {
          |    FROM en e JOIN r${i - 1} r ON e.src = r.word GROUP BY 1) s
          |  ON n.word = s.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-       |           FROM documents),
-       |t AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
-       |      FROM d),
-       |adj AS (SELECT a.term AS src, b.term AS dst
-       |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |        WHERE a.term <> b.term),
+    s"""WITH $WordGraphSqlCte,
        |w AS (SELECT src, dst, count(*) AS w FROM
        |        (SELECT src, dst FROM adj UNION ALL SELECT dst, src FROM adj)
        |      GROUP BY 1, 2),
@@ -1396,14 +1410,7 @@ object TextQueries {
     triangleCountOf(Tables(spark, dir, "documents"))
 
   private[graft] def triangleCountOf(docs: DataFrame): DataFrame = {
-    val adj = docs
-      .withColumn("t", split(trim(col("text")), "\\s+"))
-      .select(explode(expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
-          "(a, b) -> struct(a AS src, b AS dst))")).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val und = adj
+    val und = tokenPairs(docs)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -1437,13 +1444,7 @@ object TextQueries {
   }
 
   val triangleCountSql: String =
-    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-       |           FROM documents),
-       |t AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
-       |      FROM d),
-       |adj AS (SELECT a.term AS src, b.term AS dst
-       |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |        WHERE a.term <> b.term),
+    s"""WITH $WordGraphSqlCte,
        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |        FROM adj),
        |deg AS (SELECT w, count(*) AS dg FROM
