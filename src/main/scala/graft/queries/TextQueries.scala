@@ -1261,6 +1261,125 @@ object TextQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------- split integrity
+
+  /** Split-integrity / leakage audit — the check a training pipeline
+    * runs AFTER splitting: duplicate documents straddling a split
+    * boundary leak eval content into training. TWO tiers per ordered
+    * split pair: `exact` (the [[docFingerprint]] normalized-content
+    * key) and `bow` (bag-of-words — md5 of the sorted distinct token
+    * set), the looser identity that catches reordered/near-identical
+    * documents exact hashing misses (and the reason an audit that
+    * reports "0 leaks" on the exact tier alone is false comfort).
+    * Composes the deterministic [[splitAssign]] hash with the dedup
+    * collapse — the audit [[decontamination]] runs at n-gram
+    * granularity, here at whole-document granularity.
+    *
+    * Scale: one fingerprint aggregation over the corpus per tier (the
+    * exact-dedup collapse shape), then a self-join on the collapsed
+    * (fp, split) table — bounded by distinct fingerprints,
+    * partitioned on fp. */
+  def splitAudit(spark: SparkSession, dir: String): DataFrame =
+    splitAuditOf(Tables(spark, dir, "documents"))
+
+  private[graft] def splitAuditOf(docs: DataFrame): DataFrame = {
+    def tier(name: String, fp: org.apache.spark.sql.Column): DataFrame = {
+      val fs = splitAssign(docs).select(col("split"), fp.as("fp"))
+        .groupBy("fp", "split").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // collapsed; both sides of the pair join
+      fs.as("a")
+        .join(fs.as("b"),
+          col("a.fp") === col("b.fp") && col("a.split") < col("b.split"))
+        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+        .agg(count(lit(1)).as("n_leaked_fps"),
+          sum(col("a.n") + col("b.n")).as("n_docs_implicated"))
+        .select(lit(name).as("tier"), col("split_a"), col("split_b"),
+          col("n_leaked_fps"), col("n_docs_implicated"))
+    }
+    tier("exact", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .union(tier("bow", md5(array_join(
+        array_sort(array_distinct(split(lower(trim(col("text"))), "\\s+"))), " "))))
+      .orderBy("tier", "split_a", "split_b")
+  }
+
+  val splitAuditSql: String = {
+    def tier(name: String, fpExpr: String) =
+      s"""SELECT '$name' AS tier, a.split AS split_a, b.split AS split_b,
+         |       count(*) AS n_leaked_fps,
+         |       CAST(sum(a.n + b.n) AS BIGINT) AS n_docs_implicated
+         |FROM (SELECT $fpExpr AS fp,
+         |             CASE WHEN $SplitBucketSql < 80 THEN 'train'
+         |                  WHEN $SplitBucketSql < 90 THEN 'val'
+         |                  ELSE 'test' END AS split,
+         |             count(*) AS n
+         |      FROM documents GROUP BY 1, 2) a
+         |JOIN (SELECT $fpExpr AS fp,
+         |             CASE WHEN $SplitBucketSql < 80 THEN 'train'
+         |                  WHEN $SplitBucketSql < 90 THEN 'val'
+         |                  ELSE 'test' END AS split,
+         |             count(*) AS n
+         |      FROM documents GROUP BY 1, 2) b
+         |  ON a.fp = b.fp AND a.split < b.split
+         |GROUP BY 1, 2, 3""".stripMargin
+    s"""${tier("exact", "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")}
+       |UNION ALL
+       |${tier("bow",
+         "md5(array_to_string(list_sort(list_distinct(" +
+           "string_split_regex(lower(trim(text)), '\\s+'))), ' '))")}
+       |ORDER BY tier, split_a, split_b""".stripMargin
+  }
+
+  /** N-gram novelty of the validation split — what fraction of the
+    * val split's distinct bigrams never occur in train: the
+    * generalization-gap companion to [[ngramLmScore]] (a val set
+    * whose n-grams are all seen in train measures memorization, not
+    * generalization) and the inverse direction of
+    * [[decontamination]]'s train→eval overlap.
+    *
+    * Scale: two distinct-bigram aggregations (shuffle on the bigram
+    * key) and one membership join on that same key — the
+    * decontamination shape; bigram extraction is the zero-shuffle
+    * in-row `zip_with`. Counts exact; the one ratio rounds at 4 dp. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables(spark, dir, "documents"))
+
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val bi = splitAssign(docs)
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .select(col("split"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bg"))
+    val tr = bi.filter(col("split") === "train").select("bg").distinct()
+    val va = bi.filter(col("split") === "val").select("bg").distinct()
+    va.join(tr.withColumn("in_train", lit(1)), Seq("bg"), "left")
+      .agg(count(lit(1)).as("n_val_bigrams"),
+        sum(when(col("in_train").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_pct",
+        Det.rnd(col("n_novel") * lit(100.0) / col("n_val_bigrams"), 4))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $SplitBucketSql < 80 THEN 'train'
+       |              WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+       |         string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents),
+       |t AS (SELECT doc_id, split, unnest(l) AS term,
+       |             generate_subscripts(l, 1) AS pos
+       |      FROM d),
+       |bi AS (SELECT a.split, a.term || ' ' || b.term AS bg
+       |       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |tr AS (SELECT DISTINCT bg FROM bi WHERE split = 'train'),
+       |va AS (SELECT DISTINCT bg FROM bi WHERE split = 'val')
+       |SELECT count(*) AS n_val_bigrams,
+       |       CAST(sum(CASE WHEN tr.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_novel,
+       |       ${Det.rndSql(
+         "sum(CASE WHEN tr.bg IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*)", 4)}
+       |         AS novelty_pct
+       |FROM va LEFT JOIN tr ON va.bg = tr.bg""".stripMargin
+
   // ------------------------------------------------------- textrank
 
   private final val TrIters = 3

@@ -384,6 +384,50 @@ class Round6Spec extends SparkSpec {
     assert(out((0L, 0L)) == ((2L, 0.5)))
   }
 
+  test("split audit: planted cross-split duplicates are counted, clean corpora report none") {
+    // doc_ids chosen so the deterministic split hash lands text-dup
+    // pairs in different splits; recompute expected from the engine's
+    // own split assignment to stay robust to the hash constants
+    val docs = (0L until 40L).map(i => (i, s"dup text ${i % 8}", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = TextQueries.splitAuditOf(docs).collect()
+    // planted dups are exact → the bow tier sees the identical leaks
+    val byTier = full.groupBy(_.getString(0))
+    assert(byTier.keySet == Set("exact", "bow"))
+    assert(byTier("exact").map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet ==
+      byTier("bow").map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet)
+    val out = byTier("exact")
+      .map(r => (r.getString(1), r.getString(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    // brute-force: same fingerprint (text) in two splits
+    val assign = TextQueries.splitAssign(docs)
+      .select(col("doc_id"), col("text"), col("split")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val bySplit = assign.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val expected = (for {
+      (_, splits) <- bySplit.toSeq
+      pairs = splits.keys.toSeq.sorted.combinations(2).toSeq
+      Seq(a, b) <- pairs
+    } yield ((a, b), (1L, splits(a) + splits(b))))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum) }
+    assert(expected.nonEmpty, "fixture should plant cross-split dups")
+    assert(out == expected, s"got $out expected $expected")
+    // a corpus of unique texts has nothing to leak
+    val clean = (0L until 20L).map(i => (i, s"unique text $i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextQueries.splitAuditOf(clean).count() == 0)
+  }
+
+  test("ngram novelty: fully-shared and fully-novel val bigrams bound the ratio") {
+    val out = TextQueries.ngramNoveltyOf(
+      Tables(spark, sfDir, "documents")).head()
+    val (nVal, nNovel, pct) = (out.getLong(0), out.getLong(1), out.getDouble(2))
+    assert(nVal > 0 && nNovel >= 0 && nNovel <= nVal)
+    assert(pct == math.floor(nNovel * 100.0 / nVal * 1e4 + 0.5) / 1e4)
+  }
+
   test("mad anomaly gate: exact median/MAD and a planted outlier") {
     val events = ((1 to 9).map(i => (i.toLong, i * 1000000L, 1L, "t", i.toDouble, "{}"))
       :+ (10L, 10000000L, 1L, "t", 100.0, "{}"))
