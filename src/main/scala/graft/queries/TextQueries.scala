@@ -1283,8 +1283,17 @@ object TextQueries {
     splitAuditOf(Tables(spark, dir, "documents"))
 
   private[graft] def splitAuditOf(docs: DataFrame): DataFrame = {
-    def tier(name: String, fp: org.apache.spark.sql.Column): DataFrame = {
-      val fs = splitAssign(docs).select(col("split"), fp.as("fp"))
+    // BOTH tier fingerprints ride one corpus projection — the scan and
+    // split-hash run once, each tier then collapses its own key
+    val keyed = splitAssign(docs)
+      .select(col("split"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_exact"),
+        md5(array_join(
+          array_sort(array_distinct(split(lower(trim(col("text"))), "\\s+"))), " "))
+          .as("fp_bow"))
+      .localCheckpoint()
+    def tier(name: String, fpCol: String): DataFrame = {
+      val fs = keyed.select(col("split"), col(fpCol).as("fp"))
         .groupBy("fp", "split").agg(count(lit(1)).as("n"))
         .localCheckpoint() // collapsed; both sides of the pair join
       fs.as("a")
@@ -1296,9 +1305,7 @@ object TextQueries {
         .select(lit(name).as("tier"), col("split_a"), col("split_b"),
           col("n_leaked_fps"), col("n_docs_implicated"))
     }
-    tier("exact", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-      .union(tier("bow", md5(array_join(
-        array_sort(array_distinct(split(lower(trim(col("text"))), "\\s+"))), " "))))
+    tier("exact", "fp_exact").union(tier("bow", "fp_bow"))
       .orderBy("tier", "split_a", "split_b")
   }
 
