@@ -127,6 +127,27 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("kmv aggregator: reduce/merge equal brute-force bottom-k on random inputs and splits") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 40) {
+      val k = 1 + rnd.nextInt(8) * 2 // 1..15, varied parity
+      val agg = new graft.sketch.KmvAggregator(k)
+      // duplicates and adversarial orderings included
+      val n = rnd.nextInt(60)
+      val xs = Array.fill(n)(rnd.nextInt(20).toLong)
+      val expected = xs.distinct.sorted.take(k).toList
+      // sequential reduce
+      val reduced = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(reduced.toList == expected, s"trial $trial reduce k=$k")
+      // random split points, each side reduced then merged (either order)
+      val cut = if (n == 0) 0 else rnd.nextInt(n + 1)
+      val (l, r) = xs.splitAt(cut)
+      val (bl, br) = (l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.merge(bl.clone(), br).toList == expected, s"trial $trial merge k=$k")
+      assert(agg.merge(br.clone(), bl).toList == expected, s"trial $trial merge-comm k=$k")
+    }
+  }
+
   test("kmv set algebra: collapses to exact under k, bounded error above k") {
     // sf0.001: few distinct users per type → the merged min-set holds
     // the whole union, so the estimates ARE the exact answers
