@@ -340,6 +340,39 @@ object StreamJobs {
     events.groupBy("event_type").agg(kmv(col("h")).as("mins"))
   }
 
+  /** Streaming twin of the Markov transition matrix
+    * ([[graft.queries.ExtensionQueries.markovTransitions]]): per-user
+    * state is ONE event type (the previous event — constant per key),
+    * and each arriving event emits its (src, dst) transition — the
+    * real-time feed a behavioral-anomaly monitor aggregates. Within a
+    * micro-batch rows replay in (tus, event_id) order; cross-batch
+    * correctness assumes time-ordered batch arrival (the
+    * [[funnelWithState]] contract). The batch twin's counts equal the
+    * multiset of emitted transitions — asserted in ScalaTest.
+    * Input: (user_id, event_id, event_type, tus). */
+  def transitionsStream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[String]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+          var prev = state.getOption
+          rows.toArray.sortBy(r => (r._4, r._2)).foreach { case (_, _, typ, tus) =>
+            prev.foreach(p => out += ((user, p, typ, tus)))
+            prev = Some(typ)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "src", "dst", "tus")
+  }
+
   /** Streaming twin of the batch SCD type-2 build
     * ([[graft.queries.ExtensionQueries.scd2]]): per-user event-type
     * runs are maintained as ONE open run in state (state string,

@@ -577,6 +577,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition feed aggregates to the batch Markov matrix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)] // (user, event_id, type, tus)
+    val q = StreamJobs.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      val evs = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tus")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(e => (e._4, e._2))
+      evs.grouped((evs.length + 2) / 3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("trans").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val batch = graft.queries.ExtensionQueries.markovTransitions(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"missing=${(batch.keySet -- streamed.keySet).take(3)} sizes ${streamed.size}/${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming scd2 emits exactly the batch twin's closed runs across micro-batches") {
     val s = spark
     import s.implicits._
