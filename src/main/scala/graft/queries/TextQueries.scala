@@ -908,10 +908,15 @@ object TextQueries {
     * deterministic cross-engine).
     *
     * Scale: tf is one explode + (doc_id, term) aggregation; df derives
-    * from tf with a second, vocabulary-sized aggregation. The df table
-    * is vocabulary-sized — broadcast to the tf side (no shuffle of the
-    * corpus-sized tf relation), as is the 1-row corpus count. Top-k per
-    * doc is a window partitioned by doc_id — high cardinality, no skew.
+    * from tf with a second, vocabulary-sized aggregation. The df join
+    * is deliberately UNHINTED: a web-scale corpus's vocabulary (typos,
+    * URLs, code tokens) runs to billions of rows, where a forced
+    * `broadcast()` OOMs the driver — AQE picks broadcast at runtime
+    * when df actually fits and degrades to a shuffle join when it
+    * doesn't (the [[ngramLmScore]] "no broadcast assumption"
+    * precedent). Only the 1-row corpus count is hint-broadcast. Top-k
+    * per doc is a window partitioned by doc_id — high cardinality, no
+    * skew.
     * Floats appear only in the final score: tf·ln(N/df) of identical
     * integer inputs, rounded to 4dp BEFORE ranking (engines differ at
     * ~1e-16, far inside the rounding; rounding first keeps rank and
@@ -926,7 +931,7 @@ object TextQueries {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n  = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
     val w  = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n").cast("double") / col("df")), 4))
@@ -1040,11 +1045,14 @@ object TextQueries {
     * [[CollocTopK]] by rounded score with lexicographic ties.
     *
     * Scale: pair and unigram counts are two aggregations of the token
-    * stream; the unigram table is vocabulary-sized → broadcast to the
-    * pair relation; totals ride a 1-row broadcast; the final cut is a
-    * TakeOrderedAndProject. Floats only at the one ln per surviving
-    * pair, rounded to 4dp before ranking (the [[ngramLmScore]]
-    * precedent). */
+    * stream; the unigram joins are deliberately UNHINTED — a web-scale
+    * vocabulary can run to billions of rows, where a forced
+    * `broadcast()` OOMs the driver, while AQE picks broadcast at
+    * runtime when uni actually fits and degrades to a shuffle join
+    * when it doesn't (the [[ngramLmScore]] "no broadcast assumption"
+    * precedent). Totals ride a genuine 1-row broadcast; the final cut
+    * is a TakeOrderedAndProject. Floats only at the one ln per
+    * surviving pair, rounded to 4dp before ranking. */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(split(trim(col("text")), "\\s+").as("toks"))
@@ -1063,8 +1071,8 @@ object TextQueries {
     val totals = c2full.agg(sum("c2").as("t")) // Σ pair counts ≡ pair total
       .crossJoin(uni.agg(sum("c1").as("u")))
     c2
-      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
       .crossJoin(broadcast(totals))
       .withColumn("pmi", round(log(
         (col("c2").cast("double") / col("t")) /
