@@ -12,11 +12,12 @@ object Bench {
     * window still truncates from the front, the headline fields
     * survive at the tail end of the line. Failures (-1 markers) are
     * excluded from the total rather than silently shrinking it; they
-    * remain visible per-query. */
+    * remain visible per-query. Keys are emitted in sorted order so two
+    * captures of the same surface are byte-comparable (VERDICT r6 #2). */
   private[graft] def renderJson(results: Map[String, Double], sfDir: String): String = {
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     s"""{"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}"""
@@ -42,7 +43,26 @@ object Bench {
     spark.range(100000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().orderBy("k").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // the dedup family shares a one-time scratch trunk (collapse →
+    // signatures → banding → verify → component labels). Pay it HERE,
+    // under its own label, so (a) no dedup query absorbs ~10s of
+    // family-shared cost by map-iteration luck, and (b) two consecutive
+    // bench runs attribute the trunk to the same key (VERDICT r6 #2).
+    val setupT0 = System.nanoTime()
+    val setup: Map[String, Double] =
+      try {
+        queries.DedupQueries.materializeTrunk(spark, sfDir)
+        Map("_setup_dedup_trunk" -> (System.nanoTime() - setupT0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] _setup_dedup_trunk FAILED: ${e.getMessage}")
+        Map("_setup_dedup_trunk" -> -1.0)
+      }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // sorted key order: per-query timings comparable across rounds —
+    // map-iteration order previously decided which query followed which
+    // (and, pre-trunk-split, who paid shared costs)
+    val results = setup ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast one: record -1
       // (and say so on stderr) instead of its time-to-crash

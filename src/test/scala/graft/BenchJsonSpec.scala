@@ -35,4 +35,10 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(json.length < 70 * 22 + 200, s"line grew to ${json.length} bytes")
     assert(!json.contains("\n"), "must be ONE line")
   }
+
+  test("query keys are emitted in sorted order — byte-comparable captures") {
+    val keys = "\"(q_[a-z0-9_]+)\":".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    assert(keys == keys.sorted, "renderJson must sort keys (VERDICT r6 #2)")
+    assert(keys.size == 70)
+  }
 }
