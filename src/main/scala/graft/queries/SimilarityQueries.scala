@@ -655,4 +655,83 @@ object SimilarityQueries {
        |FROM e
        |ORDER BY vec_id""".stripMargin
   }
+
+  // --------------------------------------------- hybrid retrieval
+
+  private val HybridK = 20
+
+  /** Cross-modal hybrid retrieval — the two-tier pattern a
+    * training-data curation pipeline actually runs (VERDICT r6 #4):
+    * a cheap LEXICAL recall stage (BM25, [[TextQueries.bm25Of]])
+    * shortlists candidate documents from the full corpus, then a
+    * SEMANTIC precision stage reranks only the shortlist by exact
+    * embedding cosine against a probe vector. Here the probe is the
+    * shortlist's own BM25-best document (deterministic: score desc,
+    * doc_id asc), which is excluded from the reranked output; result
+    * is the top [[HybridK]] shortlisted docs by (rounded cosine,
+    * doc_id), carrying both scores.
+    *
+    * Scale: the corpus is touched only by the BM25 stage (one token
+    * pass + vocabulary-sized aggregates, TakeOrderedAndProject cut);
+    * the expensive exact-cosine arithmetic runs on a CONSTANT-bounded
+    * relation (≤ 50 shortlist rows), joined to embeddings by
+    * broadcasting the 50-row shortlist into the embeddings scan —
+    * never the reverse, and never an all-pairs stage. The probe is a
+    * 1-row broadcast; the final window orders a ≤ 50-row relation.
+    * The shortlist×embedding join is localCheckpointed (50 rows) so
+    * the probe-derivation branch does not re-run the BM25 trunk.
+    *
+    * Determinism: BM25 scores are exact-integer inputs rounded to 6dp
+    * before the shortlist cut (its own contract); cosine is rounded
+    * to 6dp BEFORE ranking with doc_id tiebreak — identical
+    * cross-engine. */
+  def hybridRetrieve(spark: SparkSession, dir: String): DataFrame =
+    hybridRetrieveOn(
+      Tables(spark, dir, "documents"), Tables(spark, dir, "embeddings"))
+
+  private[graft] def hybridRetrieveOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val shortlist = TextQueries.bm25Of(docs)
+      .select(col("doc_id"), col("score").as("bm25"))
+    val joined = emb
+      .join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
+      .select(col("doc_id"), col("bm25"), col("embedding").as("ce"))
+      .localCheckpoint() // ≤ Bm25TopDocs rows; probe AND rerank side
+    val probe = joined.orderBy(desc("bm25"), asc("doc_id")).limit(1)
+      .select(col("doc_id").as("probe_id"), col("ce").as("qe"))
+    graft.functions.CosineSimilarity.register(docs.sparkSession)
+    val w = Window.orderBy(desc("cos"), asc("doc_id"))
+    joined.crossJoin(broadcast(probe))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr("cosine_sim(qe, ce)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HybridK)
+      .select(col("rank"), col("doc_id"), col("bm25"), col("cos"))
+      .orderBy("rank")
+  }
+
+  val hybridRetrieveSql: String =
+    s"""WITH ${TextQueries.bm25RankedCte},
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |sv AS (SELECT r.doc_id, r.score AS bm25, e.i, e.v
+       |       FROM ranked r JOIN e ON e.vec_id = r.doc_id),
+       |probe AS (SELECT doc_id FROM ranked
+       |          ORDER BY score DESC, doc_id LIMIT 1),
+       |qv AS (SELECT sv.i, sv.v FROM sv JOIN probe USING (doc_id)),
+       |dot AS (SELECT s.doc_id, max(s.bm25) AS bm25, sum(s.v * q.v) AS dot,
+       |               sqrt(sum(s.v * s.v)) AS nc, sqrt(sum(q.v * q.v)) AS nq
+       |        FROM sv s JOIN qv q USING (i), probe p
+       |        WHERE s.doc_id <> p.doc_id
+       |        GROUP BY s.doc_id),
+       |cosd AS (SELECT doc_id, bm25,
+       |                round(CASE WHEN nq * nc = 0 THEN 0.0
+       |                           ELSE dot / (nq * nc) END, 6) AS cos
+       |         FROM dot)
+       |SELECT CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+       |         AS rank,
+       |       doc_id, bm25, cos
+       |FROM cosd
+       |ORDER BY cos DESC, doc_id
+       |LIMIT $HybridK""".stripMargin
 }

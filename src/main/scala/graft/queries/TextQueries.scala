@@ -1659,10 +1659,14 @@ object TextQueries {
       .orderBy("rank")
   }
 
-  val bm25Sql: String =
-    s"""WITH toks AS (SELECT doc_id,
-       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
-       |              FROM documents),
+  /** The BM25 CTE chain up to the `ranked` shortlist (doc_id, n_terms,
+    * score) — shared verbatim by [[bm25Sql]] and the hybrid-retrieval
+    * oracle ([[SimilarityQueries.hybridRetrieveSql]]), so the two
+    * oracles cannot drift apart. */
+  private[graft] val bm25RankedCte: String =
+    s"""toks AS (SELECT doc_id,
+       |                unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |         FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -1681,7 +1685,10 @@ object TextQueries {
        |  SELECT doc_id, count(*) AS n_terms,
        |         ${Det.rndSql("sum(tscore)", 6)} AS score
        |  FROM scored GROUP BY doc_id
-       |  ORDER BY score DESC, doc_id LIMIT $Bm25TopDocs)
+       |  ORDER BY score DESC, doc_id LIMIT $Bm25TopDocs)""".stripMargin
+
+  val bm25Sql: String =
+    s"""WITH $bm25RankedCte
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
        |         AS rank,
        |       doc_id, n_terms, score
