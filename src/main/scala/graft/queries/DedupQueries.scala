@@ -246,15 +246,24 @@ object DedupQueries {
   /** Test hook: proves the groups write is one-time ([[groupsScratch]]). */
   private[graft] var groupsWrites = 0
 
-  /** Scratch subpaths are keyed by the data dir (ADVICE r5): two
-    * sessions over DIFFERENT dirs can share `Tables.scratchDir`
-    * without one overwriting parquet the other's lazy DataFrame still
-    * reads. Two sessions over the SAME dir write identical content;
-    * the remaining mid-write read race is accepted — the scratch
-    * layout assumes one sequential session per (machine, data dir),
-    * which is the bench/verify harness contract. */
-  private def scratchKey(dir: String): String =
-    java.lang.Integer.toHexString(dir.hashCode)
+  /** Scratch subpaths are keyed by (session, data dir): the data-dir
+    * hash (ADVICE r5) keeps two sessions over DIFFERENT dirs from
+    * overwriting parquet the other's lazy DataFrame still reads, and
+    * the session token (VERDICT r6 #5) closes the remaining race —
+    * two CONCURRENT sessions over the SAME dir now write disjoint
+    * paths instead of racing a mid-write read on one. The token is
+    * minted once per session and pinned in the session-scoped SQL
+    * conf (same scoping as the one-time-write guard flags, so a
+    * session's guard can never point at another session's files). */
+  private[graft] def scratchKey(spark: SparkSession, dir: String): String = {
+    val tokenKey = "graft.scratch.session"
+    val token = spark.conf.getOption(tokenKey).getOrElse {
+      val t = java.lang.Long.toHexString(System.nanoTime())
+      spark.conf.set(tokenKey, t)
+      t
+    }
+    s"$token-${java.lang.Integer.toHexString(dir.hashCode)}"
+  }
 
   /** One-time materialization of the stage-1 exact-duplicate collapse
     * per (session, data dir) — the method-INDEPENDENT prefix shared by
@@ -267,7 +276,7 @@ object DedupQueries {
     * guard from [[trunk]] so q_simhash_pairs running first does NOT
     * drag in the minhash signature/verify stages it doesn't need. */
   private def groupsScratch(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${Tables.scratchDir}/dedupgroups-${scratchKey(dir)}/groups.parquet"
+    val path = s"${Tables.scratchDir}/dedupgroups-${scratchKey(spark, dir)}/groups.parquet"
     if (!spark.conf.getOption("graft.dedupgroups.dir").contains(dir)) {
       groupsOf(Tables(spark, dir, "documents")).write.mode("overwrite").parquet(path)
       groupsWrites += 1
@@ -292,7 +301,7 @@ object DedupQueries {
     * consumer (pair audit, keep-decision, clustering) reads it, rather
     * than re-hashing the corpus per consumer. */
   private def trunk(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val base = s"${Tables.scratchDir}/deduptrunk-${scratchKey(dir)}"
+    val base = s"${Tables.scratchDir}/deduptrunk-${scratchKey(spark, dir)}"
     val groups = groupsScratch(spark, dir) // shared stage-1 collapse
     if (!spark.conf.getOption("graft.deduptrunk.dir").contains(dir)) {
       val verified = verifiedFromGroups(Tables(spark, dir, "documents"), groups)

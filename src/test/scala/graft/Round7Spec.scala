@@ -45,4 +45,40 @@ class Round7Spec extends SparkSpec {
         s"bm25 column must equal the shortlist score for doc ${r.getLong(1)}")
     }
   }
+
+  test("dedup scratch keys are session-scoped: concurrent sessions on one dir write disjoint paths") {
+    import graft.queries.DedupQueries
+    val s2 = spark.newSession()
+    val k1 = DedupQueries.scratchKey(spark, sfDir)
+    val k2 = DedupQueries.scratchKey(s2, sfDir)
+    assert(k1 != k2,
+      "two sessions over the SAME dir must not share a scratch path (VERDICT r6 #5)")
+    // stable within a session (the one-time-write guard depends on it)
+    assert(k1 == DedupQueries.scratchKey(spark, sfDir))
+    assert(k2 == DedupQueries.scratchKey(s2, sfDir))
+    // still keyed by dir: different dirs stay disjoint within a session
+    assert(k1 != DedupQueries.scratchKey(spark, "/root/testdata/sf0.01"))
+  }
+
+  test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
+    import graft.queries.ExtensionQueries
+    val df = ExtensionQueries.profileApprox(spark, sfDir)
+    // both lanes must ride ONE scan of orders (the whole point of the
+    // tidy one-pass profile — a per-lane rescan is the 100-TB bug)
+    val scans = "Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected exactly one orders scan, saw $scans")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(2), r.getLong(3))
+      assert(exact > 0)
+      // HLL++ at rsd 0.02: allow 5 sigma plus integer slack for the
+      // small-cardinality columns (exact small counts are often exact)
+      val tol = math.max(5, (0.10 * exact).toLong)
+      assert(math.abs(approx - exact) <= tol,
+        s"${r.getString(0)}: approx $approx vs exact $exact (tol $tol)")
+    }
+  }
 }
