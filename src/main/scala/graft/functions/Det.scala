@@ -45,7 +45,10 @@ object Det {
   def fixedAvg(c: Column, scale: Int, outScale: Int): Column =
     rnd(sum(units(c, scale)).cast("double") / (count(c) * math.pow(10, scale)), outScale)
 
-  /** Deterministic half-up rounding of a nonnegative double: both engines
+  /** Deterministic rounding of a double, ties toward +∞ for ANY sign:
+    * floor(x·10ˢ + 0.5) rounds 2.5→3 and −2.5→−2 (half-UP for
+    * positives, half-down-in-magnitude for negatives — e.g. the
+    * negative-capable annQuantized approx scores). Both engines
     * compute floor on the same double product, so there is no engine-
     * specific tie-breaking and no ulp ambiguity for exact-decimal x.
     *

@@ -278,13 +278,18 @@ object BatchQueries {
     * inferSchema — determinism), DROPMALFORMED mode replicating
     * `error_bad_lines=False`, then aggregates the round-tripped rows.
     * Java's shortest-round-trip double formatting makes the write→read
-    * cycle lossless. */
+    * cycle lossless. Both sides pin `encoding=ISO-8859-1` — the
+    * reference reads latin-1 CSVs (`Part_A_Q1.py:11-13`,
+    * `Part_A_Q2.py:75`); the driver corpus is ASCII-safe so the
+    * latin-1 write→read cycle stays byte-identical while exercising
+    * the last scan option of the reference surface. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = s"${Tables.scratchDir}/csv_roundtrip_customer"
     Tables(spark, dir, "customer")
       .write.mode("overwrite")
       .option("header", "true").option("sep", ";")
+      .option("encoding", "ISO-8859-1")
       .csv(path)
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),
@@ -295,6 +300,7 @@ object BatchQueries {
     spark.read
       .option("header", "true").option("sep", ";")
       .option("mode", "DROPMALFORMED")
+      .option("encoding", "ISO-8859-1")
       .schema(schema)
       .csv(path)
       .drop("c_nationkey") // P2 column drop (reference `del df[...]`, Part_A_Q1.py:69)
