@@ -128,6 +128,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once sink: killed-and-restarted query replays the last batch with no duplicate output") {
+    val s = spark
+    import s.implicits._
+    val watched = Files.createTempDirectory("graft-eo-src").toFile
+    val cp = Files.createTempDirectory("graft-eo-cp").toFile
+    val out = Files.createTempDirectory("graft-eo-out").toFile
+    Seq(watched, cp, out).foreach(_.deleteOnExit())
+    def addFile(name: String, evs: Seq[Ev]): Unit = {
+      val tmp = Files.createTempDirectory("graft-eo-stage").toFile
+      evs.toDF().coalesce(1).write.mode("overwrite").json(tmp.getPath)
+      val part = tmp.listFiles.filter(_.getName.endsWith(".json")).head
+      Files.copy(part.toPath, new java.io.File(watched, name).toPath)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sink(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long): Unit = {
+      seen.synchronized { seen += id }
+      StreamJobs.idempotentBatchSink(out.getPath)(batch.select("event_id"), id)
+    }
+    def start() = StreamJobs.jsonFileStream(spark, watched.getPath)
+      .writeStream.option("checkpointLocation", cp.getPath)
+      .foreachBatch(sink _).start()
+
+    addFile("a.json", Seq(ev(1, "2024-01-01 00:00:01", "click"),
+      ev(2, "2024-01-01 00:00:02", "view")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate the crash window: the sink wrote batch 0's files, but the
+    // engine died BEFORE recording the commit → restart must re-run
+    // batch 0 (same id, same file) against output that already exists
+    val commit0 = new java.io.File(cp, "commits/0")
+    assert(commit0.exists, "fixture: batch 0 must have committed")
+    assert(commit0.delete())
+    // the local ChecksumFileSystem leaves a stale .0.crc beside the
+    // deleted entry; drop it too or the re-commit trips on it
+    new java.io.File(cp, "commits/.0.crc").delete()
+    addFile("b.json", Seq(ev(3, "2024-01-01 00:00:03", "click")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(seen.count(_ == 0L) == 2, s"batch 0 must have replayed: $seen")
+    val dirs = out.listFiles.filter(_.getName.startsWith("batch_")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("batch_0", "batch_1"), s"got ${dirs.toSeq}")
+    val all = spark.read.option("header", "true").csv(out.getPath + "/batch_*")
+      .collect().map(_.getString(0).toLong).sorted
+    assert(all.toSeq == Seq(1L, 2L, 3L),
+      s"replay must not duplicate rows, got ${all.toSeq}")
+  }
+
   test("mapGroupsWithState keeps running per-key state across micro-batches") {
     val s = spark
     import s.implicits._
