@@ -1729,4 +1729,59 @@ object ExtensionQueries {
       |FROM d JOIN mad USING (event_type)
       |GROUP BY d.event_type
       |ORDER BY d.event_type""".stripMargin
+
+  /** Snapshot diff — the keyed added/removed/changed comparison a
+    * data-versioning layer computes between two corpus snapshots
+    * (here: per-user event counts in the first vs second half of the
+    * stream's day range, the cut derived in-query as a 1-row
+    * broadcast). The production shape for "what changed since the
+    * last release" audits on a maintained dataset.
+    *
+    * Scale: ONE scan + one (user_id) hash-aggregation — both
+    * snapshots fall out of the same pass as conditional counts, so
+    * the diff costs no more than either snapshot alone (the naive
+    * two-scans-plus-full-outer-join shape pays 2× the scan and a
+    * second shuffle for nothing when both snapshots derive from one
+    * table; diffing two PHYSICAL tables is the same aggregate over
+    * their union with a side tag). 'same' rows are filtered before
+    * output, so result size tracks churn, not corpus size.
+    * Determinism: pure integer counts. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+    val cut = ev.agg((((min("day") + max("day")) + 1) / 2)
+      .cast("long").as("cut"))
+    ev.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") < col("cut"), 1L).otherwise(0L)).as("old_n"),
+        sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).as("new_n"))
+      .withColumn("status",
+        when(col("old_n") === 0, "added")
+          .when(col("new_n") === 0, "removed")
+          .when(col("old_n") =!= col("new_n"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select("user_id", "old_n", "new_n", "status")
+      .orderBy("user_id")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH d AS (SELECT user_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+      |           FROM events),
+      |cut AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM d),
+      |agg AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+      |         CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT) AS new_n
+      |  FROM d CROSS JOIN cut
+      |  GROUP BY user_id)
+      |SELECT user_id, old_n, new_n,
+      |       CASE WHEN old_n = 0 THEN 'added'
+      |            WHEN new_n = 0 THEN 'removed'
+      |            ELSE 'changed' END AS status
+      |FROM agg
+      |WHERE old_n = 0 OR new_n = 0 OR old_n <> new_n
+      |ORDER BY user_id""".stripMargin
 }

@@ -1694,4 +1694,121 @@ object TextQueries {
        |       doc_id, n_terms, score
        |FROM ranked
        |ORDER BY rank""".stripMargin
+
+  // ------------------------------------- corpus health monitoring (r7)
+
+  /** Per-source exact-duplicate rate — the per-feed corpus-health
+    * monitor an ingest pipeline watches continuously: a feed whose
+    * dup-rate jumps is re-crawling or looping, and catching that at
+    * the SOURCE granularity is what lets you quarantine one feed
+    * instead of re-deduping the corpus. Same normalized fingerprint
+    * as [[docFingerprint]].
+    *
+    * Scale: two stacked hash-aggregations — (source, fp) then
+    * (source) — rather than `countDistinct` inside the source
+    * rollup, which would plan an Expand duplicate-stream of the
+    * scanned corpus. Both shuffles are on pre-aggregated rows;
+    * partial aggregation absorbs the fingerprint collapse map-side.
+    * Determinism: dup_rate is a ratio of exact integers, Det-rounded
+    * before output. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val perFp = Tables(spark, dir, "documents")
+      .select(col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+    perFp.groupBy("source")
+      .agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum("c") - count(lit(1))).as("n_dups"),
+        Det.rnd((sum("c") - count(lit(1))).cast("double") / sum("c"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
+  val dupRateBySourceSql: String =
+    s"""WITH pf AS (
+       |  SELECT source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         count(*) AS c
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+       |       CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
+       |       ${Det.rndSql("CAST(sum(c) - count(*) AS DOUBLE) / sum(c)", 4)} AS dup_rate
+       |FROM pf
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws a pseudo-uniform
+    * u ∈ (0,1) from the [[SampleBucket]] integer hash and is ranked
+    * by ln(u)/w with weight w = n_chars — the top-k by that key IS a
+    * weighted sample without replacement (P[doc in sample] ∝ its
+    * weight, marginally). This is how a training pipeline takes a
+    * quality- or length-weighted corpus subsample REPRODUCIBLY:
+    * hash-derived u means the same docs are drawn run-over-run, on
+    * any partition layout, on any engine — none of which holds for
+    * `rand(seed)`.
+    *
+    * Scale: per-row arithmetic + one TakeOrderedAndProject top-k; no
+    * shuffle, no count job. Determinism: the only float op is one
+    * ln per row; the key is Det-rounded to 9dp BEFORE ranking
+    * (round-before-rank, [[ngramLmScore]] precedent) with doc_id
+    * tiebreak. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        Det.rnd(
+          log((expr(SampleBucket).cast("double") + 0.5) / 4294967296.0)
+            / col("n_chars"), 9).as("es_key"))
+      .orderBy(desc("es_key"), asc("doc_id"))
+      .limit(k)
+
+  def weightedSampleSql(k: Int = 50): String =
+    s"""SELECT doc_id, n_chars,
+       |       ${Det.rndSql(s"ln((CAST($SampleBucketSql AS DOUBLE) + 0.5) / 4294967296.0) / n_chars", 9)}
+       |         AS es_key
+       |FROM documents
+       |ORDER BY es_key DESC, doc_id
+       |LIMIT $k""".stripMargin
+
+  /** Hashed-feature linear classifier inference — the "hashing trick"
+    * quality gate (fastText-shape, weights fixed): every token maps to
+    * one of 64 feature buckets via engine-neutral integer arithmetic
+    * (token length × 31 + first-codepoint, mod 64), each bucket
+    * carries a small integer weight derived from a Knuth
+    * multiplicative hash, and a document's logit is the sum of its
+    * tokens' weights — exactly the sparse dot-product a linear text
+    * classifier computes at inference. A real model would join a
+    * broadcast weight table instead of deriving weights in-expression;
+    * the plan shape (explode → per-token weight → per-doc sum) is
+    * identical.
+    *
+    * Scale: one token pass, one (doc_id) aggregation — classifier
+    * inference at scan speed, embarrassingly parallel, no vocabulary
+    * state. Determinism: every feature, weight, and logit is an exact
+    * integer; no float enters the pipeline at all. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+    val feat = pmod(length(col("t")) * 31 + ascii(col("t")), lit(64))
+    val w = pmod((feat + 1) * lit(2654435761L), lit(4294967296L)) % 17 - 8
+    toks.select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id").agg(sum("w").as("logit"))
+      .withColumn("label", (col("logit") >= 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |                     unnest(string_split_regex(trim(text), '\s+')) AS t
+      |              FROM documents),
+      |w AS (SELECT doc_id,
+      |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+      |               % 4294967296 % 17 - 8 AS w
+      |      FROM toks)
+      |SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit,
+      |       CAST(sum(w) >= 0 AS INTEGER) AS label
+      |FROM w
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

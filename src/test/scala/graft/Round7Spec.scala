@@ -60,6 +60,72 @@ class Round7Spec extends SparkSpec {
     assert(k1 != DedupQueries.scratchKey(spark, "/root/testdata/sf0.01"))
   }
 
+  test("dup rate by source: accounting identity holds and totals cover the corpus") {
+    val out = TextQueries.dupRateBySource(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    var total = 0L
+    out.foreach { r =>
+      val (n, d, dups, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n == d + dups, s"${r.getString(0)}: $n != $d + $dups")
+      assert(rate >= 0.0 && rate < 1.0)
+      assert(math.abs(rate - math.floor(dups.toDouble / n * 1e4 + 0.5) / 1e4) < 1e-12)
+      total += n
+    }
+    assert(total == Tables(spark, sfDir, "documents").count())
+  }
+
+  test("weighted sample: key matches the closed-form A-ES formula and ranks descending") {
+    val out = TextQueries.weightedSample(spark, sfDir, 20).collect()
+    assert(out.length == 20)
+    val keys = out.map(_.getDouble(2))
+    assert(keys.sameElements(keys.sorted.reverse), "es_key must be descending")
+    out.foreach { r =>
+      val (id, nc, key) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val m = 4294967296L
+      val b = ((id % m) * 34283 % 65536 * 65536 + (id % m) * 51831) % m
+      val expected = math.log((b + 0.5) / 4294967296.0) / nc
+      val r9 = math.floor(expected * 1e9 + 0.5) / 1e9
+      assert(key == r9, s"doc $id: $key != $r9")
+      assert(key <= 0.0, "ln(u in (0,1)) / positive weight is negative")
+    }
+    // reproducible: a second run draws the identical sample
+    val again = TextQueries.weightedSample(spark, sfDir, 20).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("quality classifier: logit equals the plain-Scala hashed-feature dot product") {
+    val out = TextQueries.qualityClassifier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val logit = text.trim.split("\\s+").map { t =>
+        val feat = (t.length * 31 + t.head.toInt) % 64
+        ((feat + 1) * 2654435761L % 4294967296L) % 17 - 8
+      }.sum
+      assert(out(id)._1 == logit, s"doc $id: ${out(id)._1} != $logit")
+      assert(out(id)._2 == (if (logit >= 0) 1 else 0))
+    }
+  }
+
+  test("snapshot diff: statuses are consistent and 'same' rows never surface") {
+    import graft.queries.ExtensionQueries
+    val out = ExtensionQueries.snapshotDiff(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (o, n, st) = (r.getLong(1), r.getLong(2), r.getString(3))
+      st match {
+        case "added"   => assert(o == 0 && n > 0)
+        case "removed" => assert(o > 0 && n == 0)
+        case "changed" => assert(o > 0 && n > 0 && o != n)
+        case other     => fail(s"unexpected status $other")
+      }
+    }
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)
