@@ -200,12 +200,12 @@ object SimilarityQueries {
        |WHERE cos >= 0.45
        |ORDER BY v1, v2""".stripMargin
 
-  /** DuckDB twin of [[annLsh]] at nPlanes=4: replays the identical
-    * deterministic pipeline — ±1 planes from the same integer hash,
-    * sign buckets, hamming-1 probes, exact cosine top-k inside the
-    * probed buckets. */
-  val annLshSql: String =
-    s"""WITH w AS (
+  /** The [[annLsh]] oracle pipeline as a CTE chain ending in `lshr`
+    * (qid, cid, cos, rank — UNCUT): shared verbatim by [[annLshSql]]
+    * and the recall-evaluation oracle ([[annEvalSql]]) so the two
+    * cannot drift. */
+  private val annLshRankedCte: String =
+    s"""w AS (
        |  SELECT p, i, CASE WHEN ((((p * 64 + i + 1) * 2654435761) % 4294967296) >> (8 + 5 * p)) & 1 = 1
        |                    THEN 1.0 ELSE -1.0 END AS wt
        |  FROM (SELECT unnest(range(4)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
@@ -224,14 +224,76 @@ object SimilarityQueries {
        |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
        |       FROM cand JOIN e a ON a.vec_id = cand.qid
        |                 JOIN e b ON b.vec_id = cand.cid AND b.i = a.i
-       |       GROUP BY 1, 2)
-       |SELECT qid, cid, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank FROM (
-       |  SELECT qid, cid, CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos,
-       |         row_number() OVER (PARTITION BY qid
-       |           ORDER BY CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END DESC, cid) AS rank
-       |  FROM cs)
+       |       GROUP BY 1, 2),
+       |lshr AS (
+       |  SELECT qid, cid, cos, rank FROM (
+       |    SELECT qid, cid, CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END DESC, cid) AS rank
+       |    FROM cs))""".stripMargin
+
+  /** DuckDB twin of [[annLsh]] at nPlanes=4: replays the identical
+    * deterministic pipeline — ±1 planes from the same integer hash,
+    * sign buckets, hamming-1 probes, exact cosine top-k inside the
+    * probed buckets. */
+  val annLshSql: String =
+    s"""WITH $annLshRankedCte
+       |SELECT qid, cid, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+       |FROM lshr
        |WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
+
+  /** ANN quality evaluation — recall@k of the sign-LSH index
+    * ([[annLsh]]) against the brute-force exact top-k ([[cosineTopk]])
+    * per query: the measurement a pipeline runs before trusting an
+    * approximate index, and re-runs whenever index parameters change.
+    * Emits per-query (k, n_hit, recall); both sub-pipelines are
+    * deterministic, so the evaluation itself is oracle-checkable —
+    * the recall NUMBER is part of the verified surface, not just a
+    * ScalaTest floor.
+    *
+    * Scale: the exact arm is the corpus-bounded piece (one broadcast
+    * of NQueries vectors against a corpus scan — the brute-force tier
+    * every recall eval pays on a SAMPLE of queries, never all of
+    * them); the LSH arm probes buckets as in production. The final
+    * join compares two k-row-per-query sets. */
+  def annEval(spark: SparkSession, dir: String): DataFrame = {
+    val lsh   = annLsh(spark, dir).select(col("qid"), col("cid"))
+    val exact = cosineTopk(spark, dir).select(col("qid"), col("cid"))
+    val hits = exact.join(lsh, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("k"), col("n_hit"),
+        graft.functions.Det.rnd(col("n_hit").cast("double") / col("k"), 4)
+          .as("recall"))
+      .orderBy("qid")
+  }
+
+  val annEvalSql: String = {
+    import graft.functions.Det
+    s"""WITH $annLshRankedCte,
+       |lsh AS (SELECT qid, cid FROM lshr WHERE rank <= $K),
+       |xdot AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot,
+       |                sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |         FROM e q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |         WHERE q.vec_id < $NQueries
+       |         GROUP BY 1, 2),
+       |xr AS (SELECT qid, cid,
+       |              row_number() OVER (PARTITION BY qid
+       |                ORDER BY CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END DESC, cid) AS rank
+       |       FROM xdot),
+       |exact AS (SELECT qid, cid FROM xr WHERE rank <= $K),
+       |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY 1),
+       |hits AS (SELECT exact.qid, count(*) AS n_hit
+       |         FROM exact JOIN lsh ON exact.qid = lsh.qid AND exact.cid = lsh.cid
+       |         GROUP BY 1)
+       |SELECT kk.qid, kk.k, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       |       ${Det.rndSql("CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / kk.k", 4)} AS recall
+       |FROM kk LEFT JOIN hits ON kk.qid = hits.qid
+       |ORDER BY kk.qid""".stripMargin
+  }
 
   // measured at sf0.01 against brute force (weakly-similar random
   // vectors, top cos ≈ 0.35): 16 dims/M=25 → recall 0.30; 32 dims/M=50
@@ -734,4 +796,83 @@ object SimilarityQueries {
        |FROM cosd
        |ORDER BY cos DESC, doc_id
        |LIMIT $HybridK""".stripMargin
+
+  // ----------------------------------------- semantic decontamination
+
+  private val DeconThreshold = 0.35
+
+  /** SEMANTIC eval-set decontamination — the embedding-space
+    * complement of the n-gram overlap check
+    * ([[TextQueries.decontamination]]): paraphrases and translations
+    * leak across a train/test split without sharing a single shingle,
+    * but their embeddings stay close. Splits reuse the engine's
+    * deterministic modmul bucket on `vec_id` (same rule, same
+    * constants as the document split — a doc and its embedding land
+    * in the same split). TEST vectors probe their scheme-1 sign-LSH
+    * bucket plus all 1-bit flips; TRAIN vectors index under their
+    * plain bucket (the asymmetric layout of
+    * [[DedupQueries.dedupIncremental]] — fan-out rides the small
+    * probe side, the corpus-sized train index is never self-joined);
+    * candidates verify by exact cosine ≥ [[DeconThreshold]].
+    *
+    * Scale: work is Σ (test-bucket × train-bucket), never n² — the
+    * same bucketed-not-all-pairs discipline as every dedup family
+    * member; the candidate `distinct` runs BEFORE the cosine join so
+    * each surviving pair pays the exact arithmetic once. The
+    * deterministic bucket structure defines the operator, so the
+    * oracle replays it end-to-end (recall-vs-threshold is the
+    * documented sign-LSH tradeoff, [[embeddingNeardup]]). */
+  def semanticDecon(spark: SparkSession, dir: String,
+                    nPlanes: Int = 8): DataFrame = {
+    graft.functions.SignLshBucket.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("bucket", expr(s"signlsh_bucket(embedding, 1, $nPlanes)"))
+      .withColumn("b", expr(TextQueries.splitBucketOf("vec_id")))
+    val test = emb.filter(col("b") >= 90)
+      .select(col("vec_id").as("test_id"), explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${nPlanes - 1}), p -> bucket ^ shiftleft(1, p)))"))
+        .as("pb"))
+    val train = emb.filter(col("b") < 80)
+      .select(col("vec_id").as("train_id"), col("bucket").as("pb"))
+    val cand = test.join(train, "pb")
+      .select(col("test_id"), col("train_id")).distinct()
+    val e1 = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("test_id"), col("embedding").as("qe"))
+    val e2 = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("train_id"), col("embedding").as("ce"))
+    withCos(cand.join(e1, "test_id").join(e2, "train_id"))
+      .filter(col("cos") >= DeconThreshold)
+      .select(col("test_id"), col("train_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("test_id", "train_id")
+  }
+
+  val semanticDeconSql: String =
+    s"""WITH w AS (
+       |  SELECT p, i, CASE WHEN ((((i + 1) * (2654435761 + 4096 * p + 2 * p * p)) % 4294967296) >> 15) & 1 = 1
+       |                    THEN 1.0 ELSE -1.0 END AS wt
+       |  FROM (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |dots AS (SELECT e.vec_id, w.p, sum(e.v * w.wt) AS dot
+       |         FROM e JOIN w ON e.i = w.i GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket,
+       |               ${TextQueries.splitBucketSqlOf("vec_id")} AS b
+       |        FROM dots GROUP BY 1),
+       |te AS (SELECT vec_id AS test_id,
+       |              unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8),
+       |                      xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)]) AS pb
+       |       FROM bkt WHERE b >= 90),
+       |tr AS (SELECT vec_id AS train_id, bucket AS pb FROM bkt WHERE b < 80),
+       |cand AS (SELECT DISTINCT te.test_id, tr.train_id FROM te JOIN tr USING (pb)),
+       |cs AS (SELECT cand.test_id, cand.train_id, sum(a.v * b.v) AS dot,
+       |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
+       |       FROM cand JOIN e a ON a.vec_id = cand.test_id
+       |                 JOIN e b ON b.vec_id = cand.train_id AND b.i = a.i
+       |       GROUP BY 1, 2)
+       |SELECT test_id, train_id, round(cos, 6) AS cos
+       |FROM (SELECT test_id, train_id,
+       |             CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |      FROM cs)
+       |WHERE cos >= $DeconThreshold
+       |ORDER BY test_id, train_id""".stripMargin
 }

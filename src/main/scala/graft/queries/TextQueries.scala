@@ -33,14 +33,18 @@ object TextQueries {
     * d₃₂ = pmod(doc_id, 2³²). Bit-identical to the naive formula for
     * all doc_id (ScalaTest proves it against BigInt across the
     * overflow boundary), mirrored verbatim in the DuckDB oracles. */
-  private val SplitBucket =
-    "CAST(pmod(pmod(pmod(doc_id, 4294967296) * 40503, 65536) * 65536" +
-      " + pmod(doc_id, 4294967296) * 31153, 4294967296) % 100 AS INT)"
+  private[graft] def splitBucketOf(key: String): String =
+    s"CAST(pmod(pmod(pmod($key, 4294967296) * 40503, 65536) * 65536" +
+      s" + pmod($key, 4294967296) * 31153, 4294967296) % 100 AS INT)"
 
-  /** DuckDB twin of [[SplitBucket]] (doc_id ≥ 0 ⇒ % == pmod). */
-  private val SplitBucketSql =
-    "CAST(((((doc_id % 4294967296) * 40503) % 65536) * 65536" +
-      " + (doc_id % 4294967296) * 31153) % 4294967296 % 100 AS INTEGER)"
+  private val SplitBucket = splitBucketOf("doc_id")
+
+  /** DuckDB twin of [[splitBucketOf]] (key ≥ 0 ⇒ % == pmod). */
+  private[graft] def splitBucketSqlOf(key: String): String =
+    s"CAST((((($key % 4294967296) * 40503) % 65536) * 65536" +
+      s" + ($key % 4294967296) * 31153) % 4294967296 % 100 AS INTEGER)"
+
+  private val SplitBucketSql = splitBucketSqlOf("doc_id")
 
   /** Sampling bucket in [0, 2³²) — same two-step overflow-safe modmul
     * ring as [[SplitBucket]] with an independent multiplier
@@ -1811,4 +1815,87 @@ object TextQueries {
       |FROM w
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------ duplicated-span analysis (r7)
+
+  private val SpanK = 8
+
+  /** Duplicated-SPAN analysis — the token-k-gram view of cross-doc
+    * duplication (the "dedup training data at the substring level"
+    * observation: much web duplication is long shared SPANS inside
+    * otherwise-distinct pages — boilerplate, quotes, syndication —
+    * which document-level dedup never sees). Per document: total
+    * k-gram positions, positions whose k-gram occurs in ≥ 2 DISTINCT
+    * documents, and the LONGEST CONSECUTIVE duplicated run (a run of
+    * r positions = a shared span of r + k − 1 tokens — the thing
+    * you'd excise).
+    *
+    * Scale: the gram stream is an explode of the token stream
+    * (corpus-sized × k — the dominant intermediate); the duplicated-
+    * gram set derives from a (gram, doc) distinct + gram count (the
+    * inverted-index shape of [[ngramJaccard]]) and comes back as a
+    * left-semi join, so nothing ever pairs documents directly.
+    * Run-length is the pos − row_number islands trick inside a
+    * per-doc window — high-cardinality partition key, no skew. n_pos
+    * is computed from token counts alone (no second gram-stream
+    * scan). Determinism: pure integer counting. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables(spark, dir, "documents"))
+
+  private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
+    val k = SpanK
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val grams = toks.select(col("doc_id"), posexplode(expr(
+        s"IF(size(toks) >= $k, transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' ')), CAST(array() AS ARRAY<STRING>))"))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val dupGrams = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val flagged = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val runs = flagged
+      .withColumn("rid",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "rid").agg(count(lit(1)).as("rl"))
+    toks.select(col("doc_id"),
+        greatest(size(col("toks")) - (k - 1), lit(0)).cast("long").as("n_pos"))
+      .join(flagged.groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos")),
+        Seq("doc_id"), "left")
+      .join(runs.groupBy("doc_id").agg(max("rl").as("max_dup_run")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_pos", "max_dup_run"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String = {
+    val k = SpanK
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |              FROM documents),
+       |g AS (SELECT doc_id, i + 1 AS pos,
+       |             array_to_string(toks[i + 1:i + $k], ' ') AS gram
+       |      FROM (SELECT doc_id, toks,
+       |                   unnest(range(greatest(len(toks) - ${k - 1}, 1))) AS i
+       |            FROM docs)
+       |      WHERE len(toks) >= $k),
+       |dg AS (SELECT gram
+       |       FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+       |       WHERE nd >= 2),
+       |f AS (SELECT g.doc_id, g.pos FROM g JOIN dg USING (gram)),
+       |runs AS (SELECT doc_id,
+       |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+       |         FROM f),
+       |rl AS (SELECT doc_id, rid, count(*) AS rl FROM runs GROUP BY 1, 2),
+       |ndp AS (SELECT doc_id, count(*) AS n_dup_pos FROM f GROUP BY 1),
+       |mr AS (SELECT doc_id, max(rl) AS max_dup_run FROM rl GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(greatest(len(d.toks) - ${k - 1}, 0) AS BIGINT) AS n_pos,
+       |       CAST(coalesce(ndp.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       |       CAST(coalesce(mr.max_dup_run, 0) AS BIGINT) AS max_dup_run
+       |FROM docs d
+       |LEFT JOIN ndp USING (doc_id)
+       |LEFT JOIN mr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -126,6 +126,57 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("substring dedup: shared spans, runs, and short docs on a planted corpus") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),                      // 3 positions, all shared with doc 1
+      (1L, "a b c d e f g h i j"),                      // identical twin
+      (2L, "x x x x x x x x"),                          // 1 position, unique
+      (3L, "z a b c d e f g h i w w w w w w w w w w"),  // 8+-token span shared at pos 2-3
+      (4L, "q w e")                                     // shorter than k -> all zeros
+    ).toDF("doc_id", "text")
+    val out = TextQueries.substringDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 3L, 3L)))
+    assert(out(1L) == ((3L, 3L, 3L)))
+    assert(out(2L) == ((1L, 0L, 0L)))
+    // doc 3: 20 tokens -> 13 positions; grams at pos 2 ("a..h") and
+    // pos 3 ("b..i") also appear in docs 0/1 -> run of 2
+    assert(out(3L) == ((13L, 2L, 2L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("ann eval: recall equals the hand-joined LSH-vs-exact intersection") {
+    val out = SimilarityQueries.annEval(spark, sfDir).collect()
+    assert(out.length == 10)
+    val lsh = SimilarityQueries.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilarityQueries.cosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val (qid, k, hit, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == 5)
+      val expected = exact.filter(_._1 == qid).intersect(lsh.filter(_._1 == qid)).size
+      assert(hit == expected, s"qid $qid: $hit != $expected")
+      assert(recall == math.floor(hit.toDouble / k * 1e4 + 0.5) / 1e4)
+    }
+  }
+
+  test("semantic decon: every pair crosses the split boundary at the documented threshold") {
+    val out = SimilarityQueries.semanticDecon(spark, sfDir).collect()
+    def bucket(id: Long): Long = {
+      val m = 4294967296L
+      ((id % m) * 40503 % 65536 * 65536 + (id % m) * 31153) % m % 100
+    }
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet.size == pairs.length, "pairs must be distinct")
+    out.foreach { r =>
+      assert(bucket(r.getLong(0)) >= 90, s"test_id ${r.getLong(0)} not in test split")
+      assert(bucket(r.getLong(1)) < 80, s"train_id ${r.getLong(1)} not in train split")
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)
