@@ -1730,6 +1730,64 @@ object ExtensionQueries {
       |GROUP BY d.event_type
       |ORDER BY d.event_type""".stripMargin
 
+  /** Rolling-window anomaly detection — per event type, each value is
+    * z-scored against the PRECEDING 100 events (inclusive frame,
+    * event-time order with event_id tiebreak) and flagged when
+    * |z| > 3; the streaming-shaped drift detector a pipeline runs
+    * over ingest telemetry, expressed as a batch window so the oracle
+    * can replay it.
+    *
+    * Scale: one window pass per event-type partition — high
+    * cardinality keys shard naturally; the frame is rows-bounded so
+    * state is O(100) per partition regardless of corpus size.
+    * Determinism: values are exact 2-decimal money, so the frame sums
+    * run over integer CENTS and the z-score collapses to
+    * (c·n − s)/√(n·ssq − s²) — one integer-fed sqrt and divide,
+    * bit-identical cross-engine (window-frame accumulation order
+    * cannot perturb integer sums, unlike floating sums under
+    * DuckDB's segment-tree frames); the |z| > 3 branch compares
+    * identical doubles. Warmup rows (n < 20) are excluded. */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-99, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        Det.cents(col("value")).as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("c").over(w))
+      .withColumn("ssq", sum(col("c") * col("c")).over(w))
+      .withColumn("num", col("n") * col("ssq") - col("s") * col("s"))
+      .filter(col("n") >= 20 && col("num") > 0)
+      .withColumn("z",
+        (col("c") * col("n") - col("s")).cast("double")
+          / sqrt(col("num").cast("double")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("n").as("n_win"), Det.rnd(col("z"), 4).as("z"))
+      .orderBy("event_type", "event_id")
+  }
+
+  val rollingAnomalySql: String =
+    s"""WITH e AS (SELECT event_type, event_id, ts, value,
+       |                  ${Det.centsSql("value")} AS c
+       |           FROM events),
+       |w AS (SELECT event_type, event_id, value, c,
+       |             count(*) OVER win AS n,
+       |             CAST(sum(c) OVER win AS BIGINT) AS s,
+       |             CAST(sum(c * c) OVER win AS BIGINT) AS ssq
+       |      FROM e
+       |      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+       |                     ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+       |z AS (SELECT event_type, event_id, value, CAST(n AS BIGINT) AS n_win,
+       |             (c * n - s) / sqrt(CAST(n * ssq - s * s AS DOUBLE)) AS z
+       |      FROM w
+       |      WHERE n >= 20 AND n * ssq - s * s > 0)
+       |SELECT event_type, event_id, value, n_win, ${Det.rndSql("z", 4)} AS z
+       |FROM z
+       |WHERE abs(z) > 3
+       |ORDER BY event_type, event_id""".stripMargin
+
   /** Snapshot diff — the keyed added/removed/changed comparison a
     * data-versioning layer computes between two corpus snapshots
     * (here: per-user event counts in the first vs second half of the

@@ -1816,6 +1816,54 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish regex pre-tokenization — the GPT-2-style pretokenizer
+    * split (letter runs | digit runs | single punctuation) that
+    * precedes any byte-pair merge, run over the `events.props` JSON
+    * payloads (the corpus column with non-trivial character classes)
+    * and rolled up per event type. [[tokenCount]] covers whitespace
+    * tokenization and a subword-count proxy; this closes the brief's
+    * "BPE-ish regex" lane with real class structure (braces, quotes,
+    * digits).
+    *
+    * Scale: regexp_extract_all + two class-filter HOFs per row, one
+    * tiny final aggregation — scan speed, no shuffle of the payload.
+    * The character classes are plain POSIX classes, identical under
+    * Java regex (Spark) and RE2 (DuckDB). Determinism: pure integer
+    * counts. */
+  def tokenizeRegex(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = expr(
+      """regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)""")
+    Tables(spark, dir, "events")
+      .select(col("event_type"), pieces.as("ps"))
+      .select(col("event_type"),
+        size(col("ps")).cast("long").as("np"),
+        expr("size(filter(ps, p -> p RLIKE '^[A-Za-z]+$'))").cast("long").as("na"),
+        expr("size(filter(ps, p -> p RLIKE '^[0-9]+$'))").cast("long").as("nn"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("np").as("n_pieces"),
+        sum("na").as("n_alpha"),
+        sum("nn").as("n_num"),
+        (sum("np") - sum("na") - sum("nn")).as("n_punct"))
+      .orderBy("event_type")
+  }
+
+  val tokenizeRegexSql: String =
+    """WITH p AS (SELECT event_type,
+      |                  regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ps
+      |           FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(len(ps)) AS BIGINT) AS n_pieces,
+      |       CAST(sum(len(list_filter(ps, x -> regexp_full_match(x, '[A-Za-z]+')))) AS BIGINT) AS n_alpha,
+      |       CAST(sum(len(list_filter(ps, x -> regexp_full_match(x, '[0-9]+')))) AS BIGINT) AS n_num,
+      |       CAST(sum(len(ps))
+      |            - sum(len(list_filter(ps, x -> regexp_full_match(x, '[A-Za-z]+'))))
+      |            - sum(len(list_filter(ps, x -> regexp_full_match(x, '[0-9]+')))) AS BIGINT) AS n_punct
+      |FROM p
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------ duplicated-span analysis (r7)
 
   private val SpanK = 8

@@ -106,6 +106,29 @@ object StreamJobs {
       .write.mode("overwrite").option("header", "true")
       .csv(s"$outDir/batch_$batchId")
 
+  /** Streaming twin of the per-source dup-rate accounting
+    * ([[graft.queries.TextQueries.dupRateBySource]]): running DISTINCT
+    * fingerprint counts per source via the chained-stateful idiom —
+    * cross-batch `dropDuplicates` on (source, fingerprint) feeding a
+    * per-source count. Paired with [[runningSourceTotals]] the two
+    * running frames yield the live dup-rate dashboard
+    * (dups = total − distinct). State note: the twin uses plain
+    * `dropDuplicates` so it equals the batch accounting EXACTLY on
+    * the concatenated input (the spec's equality assertion); a
+    * forever-running monitor bounds the fingerprint state with
+    * `dropDuplicatesWithinWatermark`, trading exactness outside the
+    * horizon — the [[dauStream]] tradeoff. */
+  def runningDistinctBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .dropDuplicates("source", "fp")
+      .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+
+  /** Running per-source row totals — the denominator feed of the
+    * dup-rate dashboard ([[runningDistinctBySource]]). */
+  def runningSourceTotals(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+
   /** D1 in-flight — streaming deduplication: `dropDuplicates` on the
     * event key with a watermark bounding the dedup state (keys older
     * than the watermark are evicted, so state is finite and the job

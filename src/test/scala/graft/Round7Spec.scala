@@ -177,6 +177,32 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("tokenize regex: piece classes follow the props template closed-form") {
+    // every props payload is {"k": <digits>} -> pieces are exactly
+    // {  "  k  "  :  <digit-run>  }  = 7 pieces: 1 alpha, 1 num, 5 punct
+    val out = TextQueries.tokenizeRegex(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ne, np, na, nn, npu) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(np == 7 * ne, s"${r.getString(0)}: $np != 7*$ne")
+      assert(na == ne && nn == ne && npu == 5 * ne)
+    }
+  }
+
+  test("rolling anomaly: flagged rows respect warmup, frame bounds, and the z threshold") {
+    import graft.queries.ExtensionQueries
+    val out = ExtensionQueries.rollingAnomaly(spark, sfDir).collect()
+    assert(out.nonEmpty, "sf0.001 should surface at least one |z|>3 event")
+    out.foreach { r =>
+      val (n, z) = (r.getLong(3), r.getDouble(4))
+      assert(n >= 20 && n <= 100, s"frame count $n outside [20, 100]")
+      assert(math.abs(z) >= 3.0 - 1e-4, s"|z| $z below threshold")
+    }
+    val again = ExtensionQueries.rollingAnomaly(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).toSeq == again.map(_.getLong(1)).toSeq)
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)

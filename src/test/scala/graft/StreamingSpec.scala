@@ -626,6 +626,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dup-rate twin: running distinct + totals equal the batch accounting") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)] // (doc_id, source, text)
+    val distinctQ = StreamJobs.runningDistinctBySource(
+        mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("dps").outputMode("complete").start()
+    val totalsQ = StreamJobs.runningSourceTotals(
+        mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("dpt").outputMode("complete").start()
+    try {
+      // dups within a batch, across batches, and normalization-only
+      // variants ("A  b" ≡ "a b") that the fingerprint must collapse
+      val b1 = Seq((1L, "s0", "a b"), (2L, "s0", "A  b"), (3L, "s1", "x"))
+      val b2 = Seq((4L, "s0", "a b"), (5L, "s1", "y"), (6L, "s1", "x"))
+      mem.addData(b1: _*); distinctQ.processAllAvailable(); totalsQ.processAllAvailable()
+      mem.addData(b2: _*); distinctQ.processAllAvailable(); totalsQ.processAllAvailable()
+      val dist = spark.table("dps").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tot = spark.table("dpt").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dist == Map("s0" -> 1L, "s1" -> 2L), s"got $dist")
+      assert(tot == Map("s0" -> 3L, "s1" -> 3L), s"got $tot")
+      // dup-rate dashboard identity: dups = total - distinct, matching
+      // the batch q_dup_rate_by_source accounting on the union
+      assert(tot("s0") - dist("s0") == 2 && tot("s1") - dist("s1") == 1)
+    } finally { distinctQ.stop(); totalsQ.stop() }
+  }
+
   test("streaming transition feed aggregates to the batch Markov matrix") {
     val s = spark
     import s.implicits._
