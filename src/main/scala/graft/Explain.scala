@@ -22,7 +22,9 @@ object Explain {
       else Seq("q_topk_group_count", "q_project_filter", "q_join_agg_by_dim",
         "q_stream_topk", "q_cosine_topk", "q_semijoin_active",
         "q_media_neardup", "q_ann_ivf_seeded", "q_dedup_incremental",
-        "q_textrank", "q_ann_quantized", "q_kmv_intersect", "q_split_audit")
+        "q_textrank", "q_ann_quantized", "q_kmv_intersect", "q_split_audit",
+        "q_hybrid_retrieve", "q_semantic_decon", "q_substring_dedup",
+        "q_ann_eval", "q_rolling_anomaly", "q_tfidf_topterms")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
