@@ -1788,6 +1788,196 @@ object ExtensionQueries {
        |WHERE abs(z) > 3
        |ORDER BY event_type, event_id""".stripMargin
 
+  /** Watermark sizing — per event type, the event-time DISORDER
+    * distribution: how far behind the running event-time maximum each
+    * event arrives (arrival order = event_id). This is THE input for
+    * choosing a Structured Streaming watermark delay: the p95/max
+    * disorder bound the lateness a `withWatermark` horizon must
+    * tolerate before dropped-late-data becomes measurable
+    * ([[graft.streaming.StreamJobs.windowedCounts]] consumes exactly
+    * this number). Emits n_events, n_late (disorder > 0),
+    * max_disorder_s, and the EXACT p95 (rank-pick at ceil(0.95·n) —
+    * a real element, the [[groupPercentile]] convention, never an
+    * interpolation engines disagree on).
+    *
+    * Scale: one running-max window pass + one rank-pick window pass,
+    * both partitioned by event type — high-cardinality keys shard;
+    * state is O(1) per partition for the running max. Determinism:
+    * epoch seconds are exact integers end to end. */
+  def watermarkSizing(spark: SparkSession, dir: String): DataFrame =
+    watermarkSizingOf(Tables(spark, dir, "events"))
+
+  /** [[watermarkSizing]] on an arbitrary events frame — the ScalaTest
+    * entry (the driver corpus arrives fully in-order, so its disorder
+    * stats are legitimately all zero; the planted-fixture spec proves
+    * the nonzero semantics). */
+  private[graft] def watermarkSizingOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrival = Window.partitionBy("event_type")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = events
+      .select(col("event_type"), col("event_id"),
+        expr("unix_timestamp(ts)").as("es"))
+      .withColumn("disorder", max("es").over(arrival) - col("es"))
+    val byDisorder = Window.partitionBy("event_type")
+      .orderBy(col("disorder"), col("event_id"))
+    d.withColumn("rn", row_number().over(byDisorder))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_events"),
+        sum(when(col("disorder") > 0, 1L).otherwise(0L)).as("n_late"),
+        max("disorder").as("max_disorder_s"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("disorder")))
+          .as("p95_disorder_s"))
+      .orderBy("event_type")
+  }
+
+  val watermarkSizingSql: String =
+    """WITH d AS (
+      |  SELECT event_type, event_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+      |         max(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+      |           OVER (PARTITION BY event_type ORDER BY event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS disorder
+      |  FROM events),
+      |r AS (SELECT event_type, disorder,
+      |             row_number() OVER (PARTITION BY event_type
+      |                                ORDER BY disorder, event_id) AS rn,
+      |             count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM d)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN disorder > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(max(disorder) AS BIGINT) AS max_disorder_s,
+      |       CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+      |                     THEN disorder END) AS BIGINT) AS p95_disorder_s
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Incremental aggregate maintenance — the materialized-view update
+    * a production pipeline runs on each ingest batch: per-type
+    * (count, sum, min, max) partials over the BASE corpus and the
+    * DELTA batch (split at the in-query day cut) merge by the
+    * aggregates' own algebra (counts/sums add, extrema take
+    * least/greatest, with full-outer-join + coalesce for keys present
+    * on one side only), and the merged row is compared field-by-field
+    * against a direct full recompute — `matches_full` lands in the
+    * oracled output, so the merge identity is VERIFIED, not assumed.
+    * This is the contract partial aggregation (and every restateable
+    * sketch in `graft.sketch`) relies on, demonstrated on the plain
+    * aggregates a report actually maintains.
+    *
+    * Scale: three hash aggregations (base, delta, full) + a
+    * group-count-sized join; in production the full recompute is the
+    * AUDIT lane run on samples, while base partials come from the
+    * stored view — the merge itself touches only aggregate rows.
+    * Determinism: counts/extrema and integer-cents sums. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        Det.cents(col("value")).as("c"))
+    val cut = ev.agg((((min("day") + max("day")) + 1) / 2).cast("long").as("cut"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    def aggOf(df: DataFrame) = df.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("c").as("s"), min("c").as("mn"), max("c").as("mx"))
+    val base  = aggOf(tagged.filter(col("day") < col("cut")))
+    val delta = aggOf(tagged.filter(col("day") >= col("cut")))
+    val full  = aggOf(tagged)
+    val merged = base.as("b")
+      .join(delta.as("d"), base("event_type") === delta("event_type"), "full_outer")
+      .select(
+        coalesce(col("b.event_type"), col("d.event_type")).as("event_type"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"),
+        least(col("b.mn"), col("d.mn")).as("mn"),
+        greatest(col("b.mx"), col("d.mx")).as("mx"))
+    merged.as("m").join(full.as("f"), Seq("event_type"))
+      .select(col("event_type"), col("m.n").as("n_events"),
+        (col("m.s").cast("double") / 100.0).as("total_value"),
+        (col("m.mn").cast("double") / 100.0).as("min_value"),
+        (col("m.mx").cast("double") / 100.0).as("max_value"),
+        (col("m.n") === col("f.n") && col("m.s") === col("f.s")
+          && col("m.mn") === col("f.mn") && col("m.mx") === col("f.mx"))
+          .as("matches_full"))
+      .orderBy("event_type")
+  }
+
+  val incrementalAggSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+       |                  ${Det.centsSql("value")} AS c
+       |           FROM events),
+       |cut AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM e),
+       |t AS (SELECT e.*, cut.cut FROM e CROSS JOIN cut),
+       |b AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |             min(c) AS mn, max(c) AS mx
+       |      FROM t WHERE day < cut GROUP BY 1),
+       |d AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |             min(c) AS mn, max(c) AS mx
+       |      FROM t WHERE day >= cut GROUP BY 1),
+       |f AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |             min(c) AS mn, max(c) AS mx
+       |      FROM t GROUP BY 1),
+       |m AS (SELECT coalesce(b.event_type, d.event_type) AS event_type,
+       |             CAST(coalesce(b.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n,
+       |             CAST(coalesce(b.s, 0) + coalesce(d.s, 0) AS BIGINT) AS s,
+       |             CASE WHEN b.mn IS NULL THEN d.mn WHEN d.mn IS NULL THEN b.mn
+       |                  ELSE least(b.mn, d.mn) END AS mn,
+       |             CASE WHEN b.mx IS NULL THEN d.mx WHEN d.mx IS NULL THEN b.mx
+       |                  ELSE greatest(b.mx, d.mx) END AS mx
+       |      FROM b FULL OUTER JOIN d ON b.event_type = d.event_type)
+       |SELECT m.event_type, m.n AS n_events,
+       |       CAST(m.s AS DOUBLE) / 100.0 AS total_value,
+       |       CAST(m.mn AS DOUBLE) / 100.0 AS min_value,
+       |       CAST(m.mx AS DOUBLE) / 100.0 AS max_value,
+       |       (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx)
+       |         AS matches_full
+       |FROM m JOIN f USING (event_type)
+       |ORDER BY m.event_type""".stripMargin
+
+  /** Path mining — the top-k most frequent length-3 event-type paths
+    * across user journeys (the n-gram generalization of
+    * [[markovTransitions]]' bigram matrix): per user, consecutive
+    * event triples via two `lag`s over (ts, event_id) order, counted
+    * globally, cut to the top 20 by (count desc, path asc).
+    *
+    * Scale: one user-keyed window exchange (the same shuffle
+    * sessionization pays) + a paths-bounded aggregation (≤ types³
+    * keys) + TakeOrderedAndProject. Determinism: integer counts,
+    * lexicographic tiebreak. */
+  def pathMining(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e1", lag("event_type", 2).over(w))
+      .withColumn("e2", lag("event_type", 1).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("e1"), asc("e2"), asc("e3"))
+      .limit(k)
+  }
+
+  def pathMiningSql(k: Int = 20): String =
+    s"""WITH p AS (
+       |  SELECT user_id,
+       |         lag(event_type, 2) OVER w AS e1,
+       |         lag(event_type, 1) OVER w AS e2,
+       |         event_type AS e3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT e1, e2, e3, count(*) AS cnt
+       |FROM p
+       |WHERE e1 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY cnt DESC, e1, e2, e3
+       |LIMIT $k""".stripMargin
+
   /** Snapshot diff — the keyed added/removed/changed comparison a
     * data-versioning layer computes between two corpus snapshots
     * (here: per-user event counts in the first vs second half of the

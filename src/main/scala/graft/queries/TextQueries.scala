@@ -1864,6 +1864,42 @@ object TextQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Corpus-mix entropy — per source, the Shannon entropy of its
+    * language distribution (nats): the balance diagnostic a
+    * multilingual training mix is tuned against (H = 0 ⇒ monolingual
+    * feed; H = ln(n_langs) ⇒ uniform). Complements [[sourceMix]]'s
+    * quota accounting with a single comparable scalar per feed.
+    *
+    * Scale: two stacked aggregations — (source, lang) counts then the
+    * per-source entropy fold — both on pre-aggregated rows.
+    * Determinism: H is computed as ln(n) − (Σ c·ln c)/n from exact
+    * integer counts — one ln per (source, lang) row plus one per
+    * source — and rounded to 6dp at output only (no ranking depends
+    * on it). */
+  def mixEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(
+          log(sum("c").cast("double"))
+            - sum(col("c").cast("double") * log(col("c").cast("double")))
+              / sum("c"), 6).as("entropy"))
+      .orderBy("source")
+
+  val mixEntropySql: String =
+    """WITH cl AS (SELECT source, lang, count(*) AS c
+      |            FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_langs,
+      |       round(ln(CAST(sum(c) AS DOUBLE))
+      |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c),
+      |             6) AS entropy
+      |FROM cl
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ------------------------------------ duplicated-span analysis (r7)
 
   private val SpanK = 8

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.queries.{SimilarityQueries, TextQueries}
 
 /** Round-7 operators, each against a hand-computable fixture (the
@@ -201,6 +202,79 @@ class Round7Spec extends SparkSpec {
     }
     val again = ExtensionQueries.rollingAnomaly(spark, sfDir).collect()
     assert(out.map(_.getLong(1)).toSeq == again.map(_.getLong(1)).toSeq)
+  }
+
+  test("watermark sizing: planted out-of-order events yield the closed-form disorder stats") {
+    import graft.queries.ExtensionQueries
+    import java.sql.Timestamp
+    def t(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + s))
+    // arrival order = event_id; event times jump back by known amounts
+    val ev = Seq(
+      (1L, t(100), "a"),  // disorder 0 (running max 100)
+      (2L, t(50),  "a"),  // 50 behind
+      (3L, t(120), "a"),  // new max
+      (4L, t(110), "a"),  // 10 behind
+      (5L, t(120), "a"),  // 0 (ties the max)
+      (6L, t(10),  "b"),  // 0
+      (7L, t(5),   "b")   // 5 behind
+    ).toDF("event_id", "ts", "event_type")
+    val out = ExtensionQueries.watermarkSizingOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: n=5, late=2, max=50; sorted disorders (0,0,0,10,50), p95 rank
+    // = ceil(.95*5)=5 -> 50
+    assert(out("a") == ((5L, 2L, 50L, 50L)))
+    // b: n=2, late=1, max=5; p95 rank = ceil(1.9)=2 -> 5
+    assert(out("b") == ((2L, 1L, 5L, 5L)))
+    // the driver corpus is in-order: all-zero disorder is the correct read
+    val corpus = ExtensionQueries.watermarkSizing(spark, sfDir).collect()
+    corpus.foreach(r => assert(r.getLong(2) == 0 && r.getLong(3) == 0))
+  }
+
+  test("incremental agg: merged partials equal the full recompute on every type") {
+    import graft.queries.ExtensionQueries
+    val out = ExtensionQueries.incrementalAgg(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getBoolean(5), s"${r.getString(0)}: merge != full"))
+    // totals cross-check against a direct aggregation
+    val direct = Tables(spark, sfDir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == direct(r.getString(0))))
+  }
+
+  test("path mining: top paths equal a plain-Scala recount of user triples") {
+    import graft.queries.ExtensionQueries
+    val out = ExtensionQueries.pathMining(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val events = Tables(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val triples = events.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(s => (s(0), s(1), s(2)))
+    }.toSeq.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expected = triples.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    assert(out.toSeq == expected)
+  }
+
+  test("mix entropy: matches the closed-form Shannon entropy of each source's language counts") {
+    val out = TextQueries.mixEntropy(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val counts = Tables(spark, sfDir, "documents")
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .groupBy(_._1._1).map { case (s, xs) => s -> xs.map(_._2) }
+    out.foreach { r =>
+      val (src, n, nl, h) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val cs = counts(src).toSeq
+      assert(n == cs.sum && nl == cs.length)
+      val expected = math.log(n.toDouble) - cs.map(c => c * math.log(c.toDouble)).sum / n
+      assert(h == math.floor(expected * 1e6 + 0.5) / 1e6 ||
+        math.abs(h - expected) < 1e-6, s"$src: $h vs $expected")
+      assert(h >= -1e-9 && h <= math.log(nl.toDouble) + 1e-9, "0 <= H <= ln(n_langs)")
+    }
   }
 
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
