@@ -665,7 +665,7 @@ object DedupQueries {
     * pair still meets exactly once and no task materializes more than
     * target × bucket rows. Probe keys absent from the index drop out
     * in the m-lookup join — they have no candidates by definition. */
-  private def asymBucketJoinPairs(index: DataFrame, probe: DataFrame,
+  private[graft] def asymBucketJoinPairs(index: DataFrame, probe: DataFrame,
       keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*)

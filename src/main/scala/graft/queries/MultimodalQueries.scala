@@ -188,10 +188,29 @@ object MultimodalQueries {
   def mediaNeardup(spark: SparkSession, dir: String): DataFrame =
     mediaNeardupOn(mediaTable(spark, dir).toDF())
 
+  /** Feature + signature in one narrow projection per media row
+    * (media_id, feat, n, ph0, ph1); n = window count. The 128 gradient
+    * bits pack into TWO longs: bit 63 of each lands as Long.MIN_VALUE,
+    * and because each power of two is added once, no partial sum ever
+    * leaves the long range (ANSI-safe). Shared by [[mediaNeardupOn]]
+    * (over representatives) and [[mediaIncremental]] (over both ingest
+    * sides). */
+  private def sigsOf(media: DataFrame): DataFrame = {
+    graft.functions.MediaHist.register(media.sparkSession)
+    def packBits(lo: Int): String =
+      s"aggregate(sequence($lo, ${lo + 63}), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(feat, i + 1) < element_at(feat, i + 2), shiftleft(1L, i - $lo), 0L))"
+    media
+      .select(col("media_id"), expr("media_hist(payload)").as("feat"),
+        greatest(octet_length(col("payload")) - (graft.functions.MediaSig.Win - 1), lit(0))
+          .cast("long").as("n"))
+      .withColumn("ph0", expr(packBits(0)))
+      .withColumn("ph1", expr(packBits(64)))
+  }
+
   /** Same pipeline on an arbitrary (media_id, payload) frame — the
     * ScalaTest entry for planted near-dup fixtures. */
   private[graft] def mediaNeardupOn(media: DataFrame): DataFrame = {
-    graft.functions.MediaHist.register(media.sparkSession)
     val groups = media
       .select(col("media_id"), md5(col("payload")).as("fp"))
       .withColumn("rep", min("media_id").over(
@@ -200,19 +219,7 @@ object MultimodalQueries {
       .localCheckpoint() // consumed by reps, inter- and intra-expansion
     val reps = media.join(
       groups.filter(col("media_id") === col("rep")).select("media_id"), "media_id")
-    // feature + signature in one narrow projection; n = window count.
-    // The 128 gradient bits pack into TWO longs: bit 63 of each lands
-    // as Long.MIN_VALUE, and because each power of two is added once,
-    // no partial sum ever leaves the long range (ANSI-safe).
-    def packBits(lo: Int): String =
-      s"aggregate(sequence($lo, ${lo + 63}), 0L, (acc, i) -> " +
-        s"acc + IF(element_at(feat, i + 1) < element_at(feat, i + 2), shiftleft(1L, i - $lo), 0L))"
-    val sig = reps
-      .select(col("media_id"), expr("media_hist(payload)").as("feat"),
-        greatest(octet_length(col("payload")) - (graft.functions.MediaSig.Win - 1), lit(0))
-          .cast("long").as("n"))
-      .withColumn("ph0", expr(packBits(0)))
-      .withColumn("ph1", expr(packBits(64)))
+    val sig = sigsOf(reps)
       .localCheckpoint() // small (one 129-long array/rep); consumed by banding + both verify sides
     val nBands = 4
     val bandBits = 32
@@ -254,20 +261,18 @@ object MultimodalQueries {
     inter.unionByName(intra).orderBy("m1", "m2")
   }
 
-  /** DuckDB oracle: brute-force all-pairs over the SAME integer
-    * definitions — 4-byte windows hashed with the ·31 rolling hash in
-    * the 31-bit ring into 129 bins, gradient bits compared per-index
-    * (no BIGINT packing, so bit 63 needs no signed-overflow care),
-    * histogram L1 in the cross-multiplied integer form. The corpus
-    * payload is the UTF-8 bytes of ASCII text, so `ascii(substr(..))`
-    * enumerates payload bytes exactly (the equivalence
-    * [[multimodalFeaturesSql]] already relies on). Running it over ALL
-    * docs (not representatives) is equivalent to the engine's
-    * collapse+expand: identical payloads have identical histograms. */
-  val mediaNeardupSql: String = {
+  /** The histogram/bits/n CTE prefix of the media oracles — 4-byte
+    * windows hashed with the ·31 rolling hash in the 31-bit ring into
+    * 129 bins, gradient bits compared per-index (no BIGINT packing,
+    * so bit 63 needs no signed-overflow care). The corpus payload is
+    * the UTF-8 bytes of ASCII text, so `ascii(substr(..))` enumerates
+    * payload bytes exactly (the equivalence [[multimodalFeaturesSql]]
+    * already relies on). Shared by [[mediaNeardupSql]] and
+    * [[mediaIncrementalSql]]. */
+  private val mediaHistCteSql: String = {
     val bins = graft.functions.MediaSig.Bins
     def byte(k: Int) = s"ascii(substr(text, CAST(i + $k AS INTEGER), 1))"
-    s"""WITH pos AS (
+    s"""pos AS (
        |  SELECT doc_id, text, unnest(range(greatest(strlen(text) - 3, 0))) AS i
        |  FROM documents),
        |w AS (
@@ -287,7 +292,16 @@ object MultimodalQueries {
        |  SELECT a.doc_id, a.bin AS bit,
        |         CASE WHEN a.c < b.c THEN 1 ELSE 0 END AS bv
        |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.bin = a.bin + 1
-       |  WHERE a.bin < 128),
+       |  WHERE a.bin < 128)""".stripMargin
+  }
+
+  /** DuckDB oracle: brute-force all-pairs over the SAME integer
+    * definitions, histogram L1 in the cross-multiplied integer form.
+    * Running it over ALL docs (not representatives) is equivalent to
+    * the engine's collapse+expand: identical payloads have identical
+    * histograms. */
+  val mediaNeardupSql: String =
+    s"""WITH $mediaHistCteSql,
        |ham AS (
        |  SELECT a.doc_id AS m1, b.doc_id AS m2,
        |         sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) AS h
@@ -305,7 +319,94 @@ object MultimodalQueries {
        |FROM ham JOIN l1 ON l1.m1 = ham.m1 AND l1.m2 = ham.m2
        |WHERE ham.h <= $HamThreshold AND l1.l1x <= (l1.n1 * l1.n2) // $L1Denom
        |ORDER BY ham.m1, ham.m2""".stripMargin
+
+  /** INCREMENTAL media ingest dedup — the multimodal twin of
+    * [[DedupQueries.dedupIncremental]]: perceptual near-dups of the
+    * NEW media batch (media_id ≡ 7 mod 10, the text family's split
+    * convention) against the EXISTING corpus, cross pairs only. The
+    * corpus side is signed and indexed under its PLAIN band values
+    * (in production this banded signature index persists across
+    * batches); only the batch side fans out, and because Hamming
+    * banding cannot probe symmetrically from one side, the batch
+    * probes each 32-bit band's ≤ 2-bit flips (1 + 32 + 496 = 529
+    * rows/band — batch-proportional, corpus-independent). Pigeonhole:
+    * a pair within Hamming 11 has SOME band differing in ≤ 2 bits
+    * (4 bands × ≥ 3 would need ≥ 12), so asymmetric 2-flip probing
+    * deterministically covers the ≤ [[HamThreshold]] = 10 verify cut —
+    * same recall-by-construction contract as [[mediaNeardup]], at the
+    * honest asymmetric fan-out cost. Hot index buckets are
+    * salt-sharded ([[DedupQueries.asymBucketJoinPairs]]); verification
+    * is the exact signature Hamming + integer-L1 cut. Output:
+    * (existing_id, new_id, hamming). */
+  def mediaIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).toDF()
+    val corpus = sigsOf(media.filter(pmod(col("media_id"), lit(10)) =!= 7))
+      .localCheckpoint() // index side: banding + verify
+    val batch = sigsOf(media.filter(pmod(col("media_id"), lit(10)) === 7))
+      .localCheckpoint() // probe side: banding + verify
+    val nBands = 4
+    val bandBits = 32
+    def bandCols(src0: String, src1: String) = (0 until nBands).map { b =>
+      val src = if (b < 2) col(src0) else col(src1)
+      struct(lit(b).as("band"),
+        shiftright(src, (b % 2) * bandBits).bitwiseAND((1L << bandBits) - 1).as("bh"))
+    }
+    val indexBanded = corpus
+      .select(col("media_id").as("doc_id"), explode(array(bandCols("ph0", "ph1"): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("pv"))
+    // ≤2-flip probe fan-out: the band value, every 1-flip, every 2-flip
+    val flips =
+      s"""concat(array(bh),
+         |  transform(sequence(0, ${bandBits - 1}), i -> bh ^ shiftleft(1L, i)),
+         |  flatten(transform(sequence(0, ${bandBits - 2}), i ->
+         |    transform(sequence(i + 1, ${bandBits - 1}), j ->
+         |      bh ^ shiftleft(1L, i) ^ shiftleft(1L, j)))))""".stripMargin
+    val probeBanded = batch
+      .select(col("media_id").as("doc_id"), explode(array(bandCols("ph0", "ph1"): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), col("band"), explode(expr(flips)).as("pv"))
+    val cand = DedupQueries.asymBucketJoinPairs(indexBanded, probeBanded, Seq("band", "pv"))
+      .distinct()
+    val l1x = expr("aggregate(zip_with(f1, f2, (a, b) -> abs(a * n2 - b * n1)), 0L, (acc, v) -> acc + v)")
+    cand
+      .join(corpus.select(col("media_id").as("d1"), col("feat").as("f1"),
+        col("ph0").as("h01"), col("ph1").as("h11"), col("n").as("n1")), "d1")
+      .join(batch.select(col("media_id").as("d2"), col("feat").as("f2"),
+        col("ph0").as("h02"), col("ph1").as("h12"), col("n").as("n2")), "d2")
+      .withColumn("hamming", bit_count(col("h01").bitwiseXOR(col("h02")))
+        + bit_count(col("h11").bitwiseXOR(col("h12"))))
+      .filter(col("hamming") <= HamThreshold)
+      .filter(l1x <= expr(s"(n1 * n2) div $L1Denom"))
+      .select(col("d1").as("existing_id"), col("d2").as("new_id"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("existing_id", "new_id")
   }
+
+  /** DuckDB oracle of [[mediaIncremental]]: the brute-force CROSS-pair
+    * restriction of [[mediaNeardupSql]] (corpus side = media_id ≢ 7,
+    * batch side = ≡ 7 mod 10). */
+  val mediaIncrementalSql: String =
+    s"""WITH $mediaHistCteSql,
+       |ham AS (
+       |  SELECT a.doc_id AS m1, b.doc_id AS m2,
+       |         sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) AS h
+       |  FROM bits a JOIN bits b ON a.bit = b.bit
+       |  WHERE a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+       |  GROUP BY 1, 2),
+       |l1 AS (
+       |  SELECT a.doc_id AS m1, b.doc_id AS m2,
+       |         sum(abs(a.c * n2.n - b.c * n1.n)) AS l1x,
+       |         max(n1.n) AS n1, max(n2.n) AS n2
+       |  FROM grid a JOIN grid b ON a.bin = b.bin
+       |  JOIN n n1 ON n1.doc_id = a.doc_id
+       |  JOIN n n2 ON n2.doc_id = b.doc_id
+       |  WHERE a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+       |  GROUP BY 1, 2)
+       |SELECT ham.m1 AS existing_id, ham.m2 AS new_id,
+       |       CAST(ham.h AS INTEGER) AS hamming
+       |FROM ham JOIN l1 ON l1.m1 = ham.m1 AND l1.m2 = ham.m2
+       |WHERE ham.h <= $HamThreshold AND l1.l1x <= (l1.n1 * l1.n2) // $L1Denom
+       |ORDER BY existing_id, new_id""".stripMargin
 
   val frameSampleSql: String = {
     val binSum = (b: Int) =>

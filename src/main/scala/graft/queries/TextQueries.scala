@@ -1900,6 +1900,55 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Language-distribution divergence — per language, the KL
+    * divergence of its token distribution from the whole-corpus token
+    * distribution (nats): the domain-shift scalar that tells a
+    * multilingual pipeline which slices deviate most from the mix the
+    * model will actually see (high KL ⇒ the slice's unigram profile
+    * is unrepresentative; 0 ⇒ identical). Every p > 0 token has q > 0
+    * by construction (the slice is a subset of the corpus), so the
+    * sum is total.
+    *
+    * Scale: one token pass into a (lang, token) aggregation, then
+    * vocabulary-sized joins — per the r6 broadcast lesson the
+    * vocab-sized corpus-count join is UNHINTED (AQE broadcasts when
+    * it fits); only the 1-row grand total rides a forced broadcast.
+    * Determinism: one ln per (lang, token) row over exact integer
+    * ratios, summed per lang (≤ vocab terms) and rounded to 6dp at
+    * output. */
+  def langDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("t"))
+    val lt = toks.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val nl = lt.groupBy("lang").agg(sum("c").as("nl"))
+    val ct = lt.groupBy("t").agg(sum("c").as("ct"))
+    val tot = lt.agg(sum("c").as("n"))
+    lt.join(ct, "t").join(nl, "lang").crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("c").cast("double") / col("nl"))
+          * log((col("c").cast("double") * col("n")) / (col("nl").cast("double") * col("ct"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max("nl").as("n_tokens"),
+        round(sum("term"), 6).as("kl"))
+      .orderBy("lang")
+  }
+
+  val langDivergenceSql: String =
+    """WITH toks AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |              FROM documents),
+      |lt AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2),
+      |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM lt GROUP BY 1),
+      |ct AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM lt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lt)
+      |SELECT lang, count(*) AS n_terms, CAST(max(nl) AS BIGINT) AS n_tokens,
+      |       round(sum((CAST(c AS DOUBLE) / nl)
+      |                 * ln((CAST(c AS DOUBLE) * n) / (CAST(nl AS DOUBLE) * ct))), 6) AS kl
+      |FROM lt JOIN ct USING (t) JOIN nl USING (lang) CROSS JOIN tot
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ------------------------------------ duplicated-span analysis (r7)
 
   private val SpanK = 8

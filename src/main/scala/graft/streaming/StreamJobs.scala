@@ -323,6 +323,57 @@ object StreamJobs {
       .toDF("event_type", "cnt", "total_value")
   }
 
+  /** Streaming event for [[rollingAnomalyStream]]: epoch-second event
+    * time + exact integer cents. */
+  case class RollEvent(event_type: String, event_id: Long, es: Long, c: Long)
+
+  /** Flagged drift row emitted by [[rollingAnomalyStream]]. */
+  case class RollFlag(event_type: String, event_id: Long, value: Double,
+                      n_win: Long, z: Double)
+
+  /** Streaming twin of [[graft.queries.ExtensionQueries.rollingAnomaly]]
+    * — the rolling 100-event z-score drift detector as it actually
+    * runs in production: per event type, `flatMapGroupsWithState`
+    * keeps the LAST ≤ 100 integer-cents values as state (bounded,
+    * ~800 bytes/key), advances it event by event, and EMITS only the
+    * flagged |z| > 3 rows — the real-time alert feed. Within a
+    * micro-batch rows are sorted by (es, event_id) (the batch twin's
+    * window order); cross-batch correctness assumes time-ordered
+    * batch arrival, the [[funnelStream]]/[[asofWithState]] contract.
+    * Arithmetic is the batch twin's exactly: integer window sums,
+    * z = (c·n − s)/√(n·ssq − s²), half-up 4dp rounding — so the spec
+    * asserts streamed flags EQUAL the batch query's rows on the
+    * concatenated input. */
+  def rollingAnomalyStream(events: org.apache.spark.sql.Dataset[RollEvent])
+      : org.apache.spark.sql.Dataset[RollFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Vector[Long], RollFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[RollEvent], state: GroupState[Vector[Long]]) =>
+          var win = state.getOption.getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[RollFlag]
+          rows.toSeq.sortBy(e => (e.es, e.event_id)).foreach { e =>
+            win = (win :+ e.c).takeRight(100)
+            val n = win.length.toLong
+            val sum = win.sum
+            val ssq = win.foldLeft(0L)((a, x) => a + x * x)
+            val num = n * ssq - sum * sum
+            if (n >= 20 && num > 0) {
+              val z = (e.c * n - sum).toDouble / math.sqrt(num.toDouble)
+              if (math.abs(z) > 3.0)
+                out += RollFlag(key, e.event_id, e.c / 100.0, n,
+                  math.floor(z * 1e4 + 0.5) / 1e4)
+            }
+          }
+          state.update(win)
+          out.iterator
+      }
+  }
+
   /** Per-user funnel STATE MACHINE — the streaming twin of
     * [[graft.queries.ExtensionQueries.eventFunnel]]: each user's
     * state is the highest funnel stage reached (plus that stage's

@@ -277,6 +277,49 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("media incremental: equals the cross-split restriction of the full near-dup relation") {
+    import graft.queries.MultimodalQueries
+    val inc = MultimodalQueries.mediaIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    inc.foreach { case (ex, nw, h) =>
+      assert(ex % 10 != 7 && nw % 10 == 7, s"($ex, $nw) does not cross the split")
+      assert(h <= 10)
+    }
+    // the full symmetric near-dup relation, restricted to cross pairs
+    // and reoriented (existing, new), must be exactly the incremental
+    // output — two independently-oracled pipelines agreeing
+    val full = MultimodalQueries.mediaNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect {
+        case (a, b, h) if a % 10 == 7 && b % 10 != 7 => (b, a, h)
+        case (a, b, h) if b % 10 == 7 && a % 10 != 7 => (a, b, h)
+      }.toSet
+    assert(inc == full, s"inc-only: ${inc -- full}; full-only: ${full -- inc}")
+  }
+
+  test("lang divergence: matches the closed-form KL of each language's token counts") {
+    val out = TextQueries.langDivergence(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val toks = Tables(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").map(t => (r.getString(0), t)))
+    val lt = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nl = lt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = lt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = lt.values.sum
+    out.foreach { r =>
+      val (lang, nTerms, nTokens, kl) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val terms = lt.collect { case ((l, t), c) if l == lang => (t, c) }
+      assert(nTerms == terms.size && nTokens == nl(lang))
+      val expected = terms.map { case (t, c) =>
+        (c.toDouble / nl(lang)) * math.log(c.toDouble * n / (nl(lang).toDouble * ct(t)))
+      }.sum
+      assert(math.abs(kl - expected) < 1e-5, s"$lang: $kl vs $expected")
+      assert(kl >= -1e-9, "KL is nonnegative")
+    }
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)

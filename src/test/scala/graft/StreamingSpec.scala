@@ -656,6 +656,38 @@ class StreamingSpec extends SparkSpec {
     } finally { distinctQ.stop(); totalsQ.stop() }
   }
 
+  test("streaming rolling-anomaly flags equal the batch drift detector across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamJobs.RollEvent]
+    val q = StreamJobs.rollingAnomalyStream(mem.toDS())
+      .writeStream.format("memory").queryName("ras").outputMode("append").start()
+    try {
+      // the full corpus, in the batch twin's window order, split
+      // mid-stream so windows must survive the batch boundary
+      val feed = Tables(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_timestamp(ts)").as("es"),
+          expr("CAST(round(value * 100) AS LONG)").as("c"))
+        .collect()
+        .map(r => StreamJobs.RollEvent(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(e => (e.es, e.event_id))
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("ras").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = graft.queries.ExtensionQueries.rollingAnomaly(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"streamed-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("streaming transition feed aggregates to the batch Markov matrix") {
     val s = spark
     import s.implicits._
