@@ -1949,6 +1949,122 @@ object TextQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Dataset release manifest — the per-source "dataset card" a
+    * corpus release ships: document/char counts, language spread, and
+    * an ORDER-INDEPENDENT content checksum (sum of each doc's 48-bit
+    * fingerprint integer — invariant under partitioning, shuffling,
+    * and file layout, which is exactly what lets two independently-
+    * produced copies of a release be compared without a global sort).
+    * 48 bits/doc keeps the sum exact in a long to ~2ⁱ⁵ docs per
+    * source beyond any realistic shard.
+    *
+    * Scale: two stacked aggregations — (source, lang) then (source) —
+    * so language spread needs no countDistinct Expand; the checksum
+    * rides the same pass. Determinism: md5 is bytewise-identical
+    * cross-engine; the hex→int conversion is exact. */
+  def datasetManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fpi = expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)")
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"), fpi.as("fpi"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("ch"), sum("fpi").as("fs"))
+      .groupBy("source")
+      .agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum("ch").as("total_chars"),
+        sum("fs").as("content_checksum"))
+      .orderBy("source")
+  }
+
+  val datasetManifestSql: String =
+    """WITH d AS (SELECT source, lang, n_chars,
+      |                  CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS fpi
+      |           FROM documents),
+      |sl AS (SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS ch,
+      |              CAST(sum(fpi) AS BIGINT) AS fs
+      |       FROM d GROUP BY 1, 2)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_langs,
+      |       CAST(sum(ch) AS BIGINT) AS total_chars,
+      |       CAST(sum(fs) AS BIGINT) AS content_checksum
+      |FROM sl
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** END-TO-END curation pipeline — the full data-curation funnel as
+    * ONE oracled statement, composing four independently-oracled
+    * stages the way a production corpus build chains them:
+    * language filter (en) → model-based quality gate
+    * ([[qualityClassifier]] logit ≥ −60, the corpus-median operating
+    * point; production would calibrate the cut on labeled data) →
+    * exact dedup (normalized
+    * fingerprint, min-doc_id canonical survives) → deterministic
+    * split assignment ([[splitAssign]]) — reporting per split the doc
+    * count, token total, and mean quality logit of the SURVIVING
+    * corpus. The intermediate stage populations ride along
+    * (n_lang → n_quality → n_unique) so the funnel's attrition is
+    * part of the verified output.
+    *
+    * Scale: each stage is the already-audited shape (scan-speed
+    * classifier, hash-collapse dedup, per-row split hash); composing
+    * them adds NO new shuffle class — Catalyst pipelines the filters
+    * into the token pass and the dedup window into one exchange.
+    * Determinism: integer logits, integer counts, md5 fingerprints,
+    * modmul split — no floats anywhere except the 4dp-rounded mean
+    * logit of exact integers. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").filter(col("lang") === "en")
+    val toks = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+    val feat = pmod(length(col("t")) * 31 + ascii(col("t")), lit(64))
+    val w = pmod((feat + 1) * lit(2654435761L), lit(4294967296L)) % 17 - 8
+    val scored = toks.select(col("doc_id"), w.as("w"), lit(1L).as("one"))
+      .groupBy("doc_id").agg(sum("w").as("logit"), sum("one").as("n_tokens"))
+      .filter(col("logit") >= -60)
+    val surviving = docs.join(scored, "doc_id")
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("keep",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("keep"))
+    splitAssign(surviving)
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        Det.rnd(sum("logit").cast("double") / count(lit(1)), 4).as("avg_logit"))
+      .orderBy("split")
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH en AS (SELECT doc_id, text, lang FROM documents WHERE lang = 'en'),
+       |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |         FROM en),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST(sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |                  % 4294967296 % 17 - 8) AS BIGINT) AS logit,
+       |         count(*) AS n_tokens
+       |  FROM toks GROUP BY 1
+       |  HAVING sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |             % 4294967296 % 17 - 8) >= -60),
+       |surv AS (
+       |  SELECT en.doc_id, scored.logit, scored.n_tokens,
+       |         md5(regexp_replace(lower(trim(en.text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM en JOIN scored ON en.doc_id = scored.doc_id),
+       |kept AS (
+       |  SELECT doc_id, logit, n_tokens
+       |  FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS rep FROM surv)
+       |  WHERE doc_id = rep)
+       |SELECT CASE WHEN ${splitBucketSqlOf("doc_id")} < 80 THEN 'train'
+       |            WHEN ${splitBucketSqlOf("doc_id")} < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       ${Det.rndSql("CAST(sum(logit) AS DOUBLE) / count(*)", 4)} AS avg_logit
+       |FROM kept
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
+
   // ------------------------------------ duplicated-span analysis (r7)
 
   private val SpanK = 8

@@ -320,6 +320,57 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("dataset manifest: checksum equals a plain-Scala 48-bit fingerprint sum") {
+    val out = TextQueries.datasetManifest(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables(spark, sfDir, "documents")
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val bySource = docs.groupBy(_._1)
+    assert(out.map(_.getString(0)).toSet == bySource.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fpi(text: String): Long = {
+      val hex = md.synchronized {
+        md.reset(); md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    out.foreach { r =>
+      val ds = bySource(r.getString(0))
+      assert(r.getLong(1) == ds.length)
+      assert(r.getLong(2) == ds.map(_._2).distinct.length)
+      assert(r.getLong(3) == ds.map(_._3).sum)
+      assert(r.getLong(4) == ds.map(d => fpi(d._4)).sum,
+        s"${r.getString(0)}: checksum mismatch")
+    }
+  }
+
+  test("curation pipeline: split totals equal a plain-Scala replay of the funnel") {
+    val out = TextQueries.curationPipeline(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def logit(text: String): Long = text.trim.split("\\s+").map { t =>
+      val feat = (t.length * 31 + t.head.toInt) % 64
+      ((feat + 1) * 2654435761L % 4294967296L) % 17 - 8
+    }.sum
+    val scored = docs.filter(_._2 == "en")
+      .map { case (id, _, tx) => (id, tx, logit(tx), tx.trim.split("\\s+").length.toLong) }
+      .filter(_._3 >= -60)
+    val kept = scored
+      .groupBy(d => d._2.trim.toLowerCase.replaceAll("\\s+", " "))
+      .values.map(_.minBy(_._1)).toSeq
+    def bucket(id: Long): Long = {
+      val m = 4294967296L
+      ((id % m) * 40503 % 65536 * 65536 + (id % m) * 31153) % m % 100
+    }
+    val expected = kept.groupBy(d =>
+        if (bucket(d._1) < 80) "train" else if (bucket(d._1) < 90) "val" else "test")
+      .view.mapValues(ds => (ds.size.toLong, ds.map(_._4).sum)).toMap
+    assert(out == expected, s"got $out expected $expected")
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)
