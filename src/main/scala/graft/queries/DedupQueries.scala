@@ -172,21 +172,67 @@ object DedupQueries {
       .orderBy("d1", "d2")
   }
 
-  /** Shared brute-force oracle: ALL pairs with exact shingle Jaccard ≥
-    * threshold — what the LSH/SimHash pipelines must reproduce. */
-  private val bruteJaccardSql: String =
-    s"""WITH sh AS (
+  /** The brute-force pair chain as a CTE ending in `pairsj`
+    * (d1, d2, j ≥ threshold) — shared verbatim by [[bruteJaccardSql]]
+    * and the graph-stats oracle ([[dupGraphStatsSql]]) so the two
+    * cannot drift. */
+  private[graft] val bruteJaccardCte: String =
+    s"""sh AS (
        |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
        |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
        |        FROM documents)),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairsj AS (
+       |  SELECT d1, d2, j
+       |  FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |        FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |  WHERE j >= $JThreshold)""".stripMargin
+
+  /** Shared brute-force oracle: ALL pairs with exact shingle Jaccard ≥
+    * threshold — what the LSH/SimHash pipelines must reproduce. */
+  private val bruteJaccardSql: String =
+    s"""WITH $bruteJaccardCte
        |SELECT d1, d2, ${Det.rndSql("j", 6)} AS jaccard
-       |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
-       |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
-       |WHERE j >= $JThreshold
+       |FROM pairsj
        |ORDER BY d1, d2""".stripMargin
+
+  /** Near-dup GRAPH diagnostics — the degree distribution of the
+    * verified pair graph, including the degree-0 (clean) documents:
+    * the shape a dedup operator is tuned against (a heavy high-degree
+    * tail means template/boilerplate clusters that clustering-based
+    * keep-decisions must handle; mostly degree ≤ 2 means simple twin
+    * pairs). Count-of-counts, so output is tiny at any corpus size.
+    *
+    * Scale: rides the shared [[trunk]] (one-time per corpus
+    * snapshot); the stats themselves are two aggregations over the
+    * pair relation — answer-sized work. */
+  def dupGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("d1", "d2")
+    val deg = pairs.select(col("d1").as("doc_id"))
+      .unionAll(pairs.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    Tables(spark, dir, "documents").select("doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  val dupGraphStatsSql: String =
+    s"""WITH $bruteJaccardCte,
+       |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+       |        FROM (SELECT d1 AS doc_id FROM pairsj
+       |              UNION ALL SELECT d2 FROM pairsj)
+       |        GROUP BY 1),
+       |dd AS (SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+       |       FROM (SELECT doc_id FROM documents) d
+       |       LEFT JOIN deg USING (doc_id))
+       |SELECT degree, count(*) AS n_docs
+       |FROM dd
+       |GROUP BY degree
+       |ORDER BY degree""".stripMargin
 
   // ------------------------------------------------------------ MinHash
 

@@ -797,6 +797,66 @@ object SimilarityQueries {
        |ORDER BY cos DESC, doc_id
        |LIMIT $HybridK""".stripMargin
 
+  /** Label cohesion — per label, each member's cosine to the label
+    * CENTROID, summarized as (n_vecs, mean, min): the class-quality
+    * audit run before trusting labels for stratified sampling or
+    * supervised filtering (a low-min label contains outliers or
+    * mislabels; a low-mean one isn't a coherent cluster at all).
+    *
+    * Scale: the centroid pass is a (label, dim) aggregation of the
+    * exploded vector stream — dims are fixed (64), labels few, so the
+    * aggregate output is tiny; members then join the label-keyed
+    * centroid back (AQE broadcasts the label×dim frame). No pairwise
+    * stage anywhere — cohesion via centroids is O(n·d), the reason
+    * this audit scales where mean-pairwise-similarity (O(n²·d)) does
+    * not. Determinism: centroid components are rounded to 6dp BEFORE
+    * the cosine (summation order perturbs the mean at ~1e-15; the
+    * rounding fence absorbs it), and the per-label mean/min round at
+    * output. */
+  def labelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val centroid = e.groupBy("label", "i")
+      .agg(round(avg("v"), 6).as("c"))
+    val cos = e.join(centroid, Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(
+        sum(col("v") * col("c")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("nv"),
+        sqrt(sum(col("c") * col("c"))).as("nc"))
+      .withColumn("cos",
+        when(col("nv") * col("nc") === 0, 0.0)
+          .otherwise(col("dot") / (col("nv") * col("nc"))))
+    cos.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg("cos"), 6).as("mean_cos"),
+        round(min("cos"), 6).as("min_cos"))
+      .orderBy("label")
+  }
+
+  val labelCohesionSql: String =
+    """WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+      |                  unnest(range(len(embedding))) AS i
+      |           FROM embeddings),
+      |cent AS (SELECT label, i, round(avg(v), 6) AS c
+      |         FROM e GROUP BY 1, 2),
+      |cs AS (SELECT e.vec_id, e.label,
+      |              sum(e.v * cent.c) AS dot,
+      |              sqrt(sum(e.v * e.v)) AS nv, sqrt(sum(cent.c * cent.c)) AS nc
+      |       FROM e JOIN cent ON cent.label = e.label AND cent.i = e.i
+      |       GROUP BY 1, 2),
+      |cc AS (SELECT label,
+      |              CASE WHEN nv * nc = 0 THEN 0.0 ELSE dot / (nv * nc) END AS cos
+      |       FROM cs)
+      |SELECT label, count(*) AS n_vecs,
+      |       round(avg(cos), 6) AS mean_cos, round(min(cos), 6) AS min_cos
+      |FROM cc
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   // ----------------------------------------- semantic decontamination
 
   private val DeconThreshold = 0.35

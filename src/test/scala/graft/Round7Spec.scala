@@ -371,6 +371,46 @@ class Round7Spec extends SparkSpec {
     assert(out == expected, s"got $out expected $expected")
   }
 
+  test("dup graph stats: degree histogram equals a recount from the verified pairs") {
+    import graft.queries.DedupQueries
+    val out = DedupQueries.dupGraphStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hist = deg.values.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val expected = hist + (0L -> (nDocs - deg.size))
+    assert(out == expected.filter(_._2 > 0), s"got $out expected $expected")
+    assert(out.values.sum == nDocs, "histogram must cover every document")
+    assert(out.map { case (d, n) => d * n }.sum == 2L * pairs.length)
+  }
+
+  test("label cohesion: per-label stats equal a plain-Scala centroid-cosine replay") {
+    val out = SimilarityQueries.labelCohesion(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      val dim = vs.head._2.length
+      val cent = (0 until dim).map(i => r6(vs.map(_._2(i)).sum / vs.length)).toArray
+      val nc = math.sqrt(cent.map(c => c * c).sum)
+      val cos = vs.map { case (_, v) =>
+        val dot = v.zip(cent).map { case (a, b) => a * b }.sum
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        if (nv * nc == 0) 0.0 else dot / (nv * nc)
+      }
+      val (n, mean, mn) = out(label)
+      assert(n == vs.length)
+      assert(math.abs(mean - cos.sum / cos.length) < 1e-5, s"label $label mean")
+      assert(math.abs(mn - cos.min) < 1e-5, s"label $label min")
+      assert(mn <= mean + 1e-9 && mean <= 1.0 + 1e-9 && mn >= -1.0 - 1e-9)
+    }
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)
