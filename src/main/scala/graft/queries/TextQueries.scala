@@ -2065,6 +2065,69 @@ object TextQueries {
        |GROUP BY 1
        |ORDER BY split""".stripMargin
 
+  /** Vocabulary growth curve (Heaps-law audit) — distinct-term count
+    * as the corpus grows through 10 equal doc_id checkpoints: the
+    * diagnostic that says whether a corpus's vocabulary is saturating
+    * (curated, repetitive) or still growing near-linearly (open web —
+    * and with it every vocabulary-sized structure downstream:
+    * tf-idf/collocation tables, LM contexts, dedup shingle
+    * universes). The unit is the BIGRAM (this corpus's unigram
+    * lexicon saturates in the first bucket; pair contexts keep
+    * growing — the same reason LM context tables, not lexicons,
+    * dominate vocabulary-sized state). Computed WITHOUT re-scanning
+    * per checkpoint: each bigram aggregates to its FIRST doc bucket
+    * (one vocab-sized aggregation), and a cumulative window over the
+    * ≤ 10-row bucket histogram yields every checkpoint's vocabulary
+    * size — O(vocab) total, vs the naive 10 × corpus-scan "count
+    * distinct under each prefix".
+    *
+    * Scale: one token pass → (bigram) aggregation (map-side
+    * combined) → 10-row window. Determinism: pure integer counting. */
+  def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = Tables(spark, dir, "documents").agg(max("doc_id").as("mx"))
+    val firsts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "IF(size(toks) >= 2, transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), " +
+          "CAST(array() AS ARRAY<STRING>))")).as("t"))
+      .groupBy("t").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(nDocs))
+      // bucket = which tenth of the id range the term first appears in
+      .withColumn("bucket",
+        least(floor(col("first_doc") * buckets / (col("mx") + 1)), lit(buckets - 1))
+          .cast("int"))
+    firsts.groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+      .withColumn("vocab_size",
+        sum("new_terms").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("new_terms"), col("vocab_size"))
+      .orderBy("bucket")
+  }
+
+  def vocabGrowthSql(buckets: Int = 10): String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |     FROM documents),
+       |toks AS (SELECT doc_id, array_to_string(toks[i + 1:i + 2], ' ') AS t
+       |         FROM (SELECT doc_id, toks,
+       |                      unnest(range(greatest(len(toks) - 1, 1))) AS i
+       |               FROM d)
+       |         WHERE len(toks) >= 2),
+       |firsts AS (
+       |  SELECT CAST(least((min(doc_id) * $buckets) // (mx + 1), ${buckets - 1}) AS INTEGER)
+       |           AS bucket
+       |  FROM toks CROSS JOIN mx
+       |  GROUP BY t, mx),
+       |h AS (SELECT bucket, count(*) AS new_terms FROM firsts GROUP BY 1)
+       |SELECT bucket, new_terms,
+       |       CAST(sum(new_terms) OVER (ORDER BY bucket
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS vocab_size
+       |FROM h
+       |ORDER BY bucket""".stripMargin
+
   // ------------------------------------ duplicated-span analysis (r7)
 
   private val SpanK = 8

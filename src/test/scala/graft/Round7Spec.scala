@@ -411,6 +411,26 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("vocab growth: bucket histogram equals a plain-Scala first-occurrence replay") {
+    val out = TextQueries.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mx = docs.map(_._1).max
+    val firsts = docs.flatMap { case (id, tx) =>
+      val t = tx.trim.split("\\s+")
+      t.sliding(2).filter(_.length == 2).map(bg => (bg.mkString(" "), id))
+    }.groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }
+    val hist = firsts.groupBy(id => math.min(id * 10 / (mx + 1), 9).toInt)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    assert(out.map(r => r._1 -> r._2).toMap == hist)
+    // vocab_size is the running total and ends at the full vocabulary
+    val cum = out.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    assert(out.map(_._3).toSeq == cum.toSeq)
+    assert(out.last._3 == firsts.size)
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)
