@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass kernel for the hashing-trick classifier
+  * ([[graft.queries.TextQueries.qualityClassifier]]): the per-document
+  * `[logit, n_tokens]` that the explode form computes as
+  * `split → explode → per-token weight → per-doc sum` — i.e. a
+  * corpus-sized Generate followed by a corpus-keyed hash aggregation
+  * (one full exchange) — collapsed into a NARROW projection: classifier
+  * inference at scan speed with no explode, no shuffle, no per-token
+  * string allocation on the ASCII fast path.
+  *
+  * Tokenization replicates `split(trim(text), '\\s+')` exactly:
+  * `trim` removes 0x20 only; tokens are maximal runs of
+  * non-`[ \t\n\f\r]` bytes; a LEADING non-space whitespace byte
+  * yields Java split's leading empty token; an all-empty input yields
+  * the single empty token `split` produces. Per token the weight is
+  * the query's integer formula over (char length, first codepoint):
+  * feat = (len·31 + cp) mod 64, w = ((feat+1)·2654435761 mod 2³²)
+  * mod 17 − 8. Non-ASCII first bytes take a slice-decode fallback for
+  * the codepoint (allocation only on that rare path). Equality with
+  * the explode form is ScalaTest-asserted on the corpus and on planted
+  * edge fixtures; interpreted and codegen paths share this kernel, so
+  * they are the same machine code by construction. */
+object HashedLogitKernel {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Weight of one token given its char length and first codepoint. */
+  private def weight(charLen: Int, cp: Int): Long = {
+    val feat = java.lang.Math.floorMod(charLen * 31 + cp, 64)
+    java.lang.Math.floorMod((feat + 1L) * 2654435761L, 4294967296L) % 17 - 8
+  }
+
+  def eval(text: UTF8String): GenericArrayData = {
+    val t = text.trim() // trims 0x20 only — same as SQL trim()
+    val n = t.numBytes
+    var logit = 0L
+    var nTokens = 0L
+    if (n == 0) {
+      // split('', '\s+') -> [""]: one empty token, ascii('') = 0
+      logit += weight(0, 0)
+      nTokens += 1
+    } else {
+      if (isWs(t.getByte(0))) {
+        // Java split emits a leading "" when the input starts with a
+        // separator (only non-space whitespace survives trim)
+        logit += weight(0, 0)
+        nTokens += 1
+      }
+      var i = 0
+      while (i < n) {
+        // skip whitespace run
+        while (i < n && isWs(t.getByte(i))) i += 1
+        if (i < n) {
+          val start = i
+          var charLen = 0
+          var firstCp = -1
+          while (i < n && !isWs(t.getByte(i))) {
+            val b = t.getByte(i)
+            val w = UTF8String.numBytesForFirstByte(b)
+            if (firstCp < 0) {
+              firstCp =
+                if ((b & 0x80) == 0) b.toInt
+                else {
+                  // rare non-ASCII path: decode just this char
+                  val slice = new Array[Byte](w)
+                  var k = 0
+                  while (k < w && i + k < n) { slice(k) = t.getByte(i + k); k += 1 }
+                  UTF8String.fromBytes(slice).toString.codePointAt(0)
+                }
+            }
+            charLen += 1
+            i += w
+          }
+          logit += weight(charLen, firstCp)
+          nTokens += 1
+          val _ = start
+        }
+      }
+    }
+    new GenericArrayData(Array(logit, nTokens))
+  }
+}
+
+/** Native Catalyst expression: `hashed_logit(text)` →
+  * `array(logit, n_tokens)` in one pass ([[HashedLogitKernel]]). */
+case class HashedLogit(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_logit expects a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_logit"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedLogitKernel.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.functions.HashedLogitKernel.eval($text);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedLogit =
+    copy(child = newChild)
+}
+
+object HashedLogit {
+  private[functions] val builder = (children: Seq[Expression]) => {
+    require(children.length == 1, "hashed_logit takes (text)")
+    HashedLogit(children.head)
+  }
+  /** Session-local registration, same policy as [[Shingles.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("hashed_logit")))
+      reg.createOrReplaceTempFunction("hashed_logit", builder, "built-in")
+  }
+}

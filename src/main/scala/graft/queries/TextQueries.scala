@@ -1783,16 +1783,39 @@ object TextQueries {
     * multiplicative hash, and a document's logit is the sum of its
     * tokens' weights — exactly the sparse dot-product a linear text
     * classifier computes at inference. A real model would join a
-    * broadcast weight table instead of deriving weights in-expression;
-    * the plan shape (explode → per-token weight → per-doc sum) is
-    * identical.
+    * broadcast weight table instead of deriving weights in-expression.
     *
-    * Scale: one token pass, one (doc_id) aggregation — classifier
-    * inference at scan speed, embarrassingly parallel, no vocabulary
-    * state. Determinism: every feature, weight, and logit is an exact
-    * integer; no float enters the pipeline at all. */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
+    * Scale: ONE codegen'd kernel pass per document
+    * ([[graft.functions.HashedLogit]]) — a narrow projection: no
+    * token explode, no doc-keyed aggregation exchange, classifier
+    * inference at scan speed ([[qualityClassifierOf]]; the explode
+    * reference form is kept as the spec baseline). Determinism: every
+    * feature, weight, and logit is an exact integer; no float enters
+    * the pipeline at all. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables(spark, dir, "documents"))
+
+  /** The production form: one codegen'd [[graft.functions.HashedLogit]]
+    * pass per document — a narrow projection with NO explode and NO
+    * per-doc aggregation exchange (the explode form Generates a
+    * corpus-sized token stream and shuffles it back onto doc_id just
+    * to sum per-token weights; the kernel sums them in place).
+    * ScalaTest asserts equality with [[qualityClassifierExplodeOf]]
+    * on the corpus and on whitespace/unicode edge fixtures. */
+  private[graft] def qualityClassifierOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("hashed_logit(text)").as("ln"))
+      .select(col("doc_id"),
+        col("ln").getItem(0).as("logit"),
+        (col("ln").getItem(0) >= 0).cast("int").as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** The explode reference form of [[qualityClassifierOf]] — kept as
+    * the equality baseline for the kernel spec (it IS the oracle's
+    * shape: the DuckDB twin unnests tokens the same way). */
+  private[graft] def qualityClassifierExplodeOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
     val feat = pmod(length(col("t")) * 31 + ascii(col("t")), lit(64))
     val w = pmod((feat + 1) * lit(2654435761L), lit(4294967296L)) % 17 - 8
@@ -2015,11 +2038,11 @@ object TextQueries {
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents").filter(col("lang") === "en")
-    val toks = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-    val feat = pmod(length(col("t")) * 31 + ascii(col("t")), lit(64))
-    val w = pmod((feat + 1) * lit(2654435761L), lit(4294967296L)) % 17 - 8
-    val scored = toks.select(col("doc_id"), w.as("w"), lit(1L).as("one"))
-      .groupBy("doc_id").agg(sum("w").as("logit"), sum("one").as("n_tokens"))
+    graft.functions.HashedLogit.register(spark)
+    val scored = docs
+      .select(col("doc_id"), expr("hashed_logit(text)").as("ln"))
+      .select(col("doc_id"),
+        col("ln").getItem(0).as("logit"), col("ln").getItem(1).as("n_tokens"))
       .filter(col("logit") >= -60)
     val surviving = docs.join(scored, "doc_id")
       .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))

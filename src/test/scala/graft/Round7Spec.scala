@@ -431,6 +431,37 @@ class Round7Spec extends SparkSpec {
     assert(out.last._3 == firsts.size)
   }
 
+  test("hashed_logit kernel: equals the explode form on the corpus and on edge fixtures") {
+    val corpus = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val kernel = TextQueries.qualityClassifierOf(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val explode = TextQueries.qualityClassifierExplodeOf(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(kernel == explode, "kernel must equal the explode reference on the corpus")
+    // edge fixtures: multi-space runs, tabs (incl. LEADING tab -> Java
+    // split's empty first token), newlines, non-ASCII first chars,
+    // single token, spaces-only (trim -> ''), 1-char tokens
+    val edges = Seq(
+      (0L, "a  b   c"), (1L, "a\tb\nc"), (2L, "\tx y"), (3L, "héllo wörld"),
+      (4L, "tok"), (5L, "   "), (6L, "a b c d e f g"), (7L, "x\r\ny")
+    ).toDF("doc_id", "text")
+    val ek = TextQueries.qualityClassifierOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ee = TextQueries.qualityClassifierExplodeOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ek == ee, s"edge fixtures diverge: $ek vs $ee")
+  }
+
+  test("hashed_logit: interpreted eval path agrees with codegen (wholestage off)") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val on = TextQueries.qualityClassifierOf(docs).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = TextQueries.qualityClassifierOf(docs).collect().map(_.toSeq).toSeq
+      assert(on == off)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("profile approx lane: one scan, sketch within rsd bounds of the exact lane") {
     import graft.queries.ExtensionQueries
     val df = ExtensionQueries.profileApprox(spark, sfDir)
