@@ -2233,4 +2233,440 @@ object TextQueries {
        |LEFT JOIN mr USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------- tokenizer induction + corpus-mix (r7)
+
+  /** BPE first-merge induction — the top-k adjacent character pairs
+    * inside words, weighted by word OCCURRENCE (not distinct types):
+    * exactly the frequency table byte-pair-encoding training consults
+    * for its first merge, and the signal a tokenizer-vocabulary build
+    * extracts corpus-wide before any merge is applied. Each word of
+    * length L contributes its L−1 adjacent pairs; rank is fully
+    * tie-broken (count desc, pair asc) so the merge order is
+    * reproducible across engines and runs.
+    *
+    * Scale: one token pass exploded ×(L−1) into a pair stream, then a
+    * map-side-combined aggregation whose keyspace is bounded by the
+    * CHARACTER alphabet squared (≤ a few thousand rows for any real
+    * corpus) — the rank window runs over that bounded aggregate, not
+    * the corpus. Determinism: pure integer counting. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bpeMergesOf(Tables(spark, dir, "documents"), k)
+
+  private[graft] def bpeMergesOf(docs: DataFrame, k: Int = 20): DataFrame = {
+    val pairs = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy("rank")
+  }
+
+  val bpeMergesSql: String =
+    """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+      |              FROM documents),
+      |p AS (SELECT substr(t, i + 1, 2) AS pair
+      |      FROM (SELECT t, unnest(range(len(t) - 1)) AS i
+      |            FROM toks WHERE len(t) >= 2)),
+      |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1),
+      |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER)
+      |               AS rank, pair, cnt
+      |      FROM c)
+      |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** Zipf-law fit — OLS slope/intercept of ln(frequency) on ln(rank)
+    * over the top-k unigrams: the companion diagnostic to
+    * [[vocabGrowth]]'s Heaps curve (Heaps says how the vocabulary
+    * GROWS; Zipf says how mass CONCENTRATES — a slope near −1 is
+    * natural text, a flat slope is word-soup/boilerplate, a steep one
+    * is a degenerate template corpus). The fit set is fully
+    * tie-broken (count desc, term asc) so both engines regress over
+    * the identical k points.
+    *
+    * Scale: the top-k is a distributed TakeOrdered over the term
+    * aggregate (NO corpus-wide sort — rank is assigned after the
+    * k-row cut); the regression folds k rows. Determinism: the only
+    * floats are k ln() calls on exact integers and the closed-form
+    * OLS ratio, rounded to 6dp at output. */
+  def zipfFit(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    zipfFitOf(Tables(spark, dir, "documents"), k)
+
+  private[graft] def zipfFitOf(docs: DataFrame, k: Int = 100): DataFrame = {
+    val top = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(k)
+    val xy = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
+      .select(log(col("rank").cast("double")).as("x"), log(col("cnt").cast("double")).as("y"))
+    val n = count(lit(1)).cast("double")
+    xy.agg(
+        count(lit(1)).as("n_terms"),
+        Det.rnd((n * sum(col("x") * col("y")) - sum("x") * sum("y"))
+          / (n * sum(col("x") * col("x")) - sum("x") * sum("x")), 6).as("slope"),
+        Det.rnd((sum("y") * sum(col("x") * col("x")) - sum("x") * sum(col("x") * col("y")))
+          / (n * sum(col("x") * col("x")) - sum("x") * sum("x")), 6).as("intercept"))
+  }
+
+  val zipfFitSql: String = {
+    val num = "count(*) * sum(x * y) - sum(x) * sum(y)"
+    val den = "count(*) * sum(x * x) - sum(x) * sum(x)"
+    val inum = "sum(y) * sum(x * x) - sum(x) * sum(x * y)"
+    s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |tc AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1
+       |       ORDER BY cnt DESC, t LIMIT 100),
+       |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, t) AS DOUBLE)) AS x,
+       |              ln(CAST(cnt AS DOUBLE)) AS y
+       |       FROM tc)
+       |SELECT count(*) AS n_terms,
+       |       ${Det.rndSql(s"($num) / ($den)", 6)} AS slope,
+       |       ${Det.rndSql(s"($inum) / ($den)", 6)} AS intercept
+       |FROM xy""".stripMargin
+  }
+
+  /** Temperature-scaled mixture weights — per-source sampling weights
+    * wᵢ = cᵢ^α / Σ cⱼ^α at α = 0.5 over TOKEN counts: the standard
+    * multilingual/multi-source rebalancing rule (α = 1 is natural
+    * sampling, α → 0 is uniform; √-scaling is the published
+    * compromise that upsamples small sources without flattening the
+    * mix). `boost` = wᵢ / (cᵢ/T) is the effective upsampling factor
+    * vs natural sampling — > 1 means the source is fed to the model
+    * more often than its token share earns, the number a mixture
+    * config actually ships.
+    *
+    * Scale: one token-count pass (size(split), no explode), a
+    * source-sized aggregate (≤ thousands of feeds), and a 1-row
+    * broadcast of the normalizer. Determinism: integer counts; the
+    * only floats are one sqrt per source, the source-sized normalizer
+    * sum, and the final ratios rounded to 6dp. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsOf(Tables(spark, dir, "documents"))
+
+  private[graft] def mixtureWeightsOf(docs: DataFrame): DataFrame = {
+    val c = docs
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = c.agg(
+      sum("n_tokens").as("t"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("ss"))
+    c.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        Det.rnd(sqrt(col("n_tokens").cast("double")) / col("ss"), 6).as("weight"),
+        Det.rnd(sqrt(col("n_tokens").cast("double")) / col("ss")
+          * col("t").cast("double") / col("n_tokens"), 6).as("boost"))
+      .orderBy("source")
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs,
+       |                  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |                    AS n_tokens
+       |           FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+       |               sum(sqrt(CAST(n_tokens AS DOUBLE))) AS ss
+       |        FROM c)
+       |SELECT source, n_docs, n_tokens,
+       |       ${Det.rndSql("sqrt(CAST(n_tokens AS DOUBLE)) / ss", 6)} AS weight,
+       |       ${Det.rndSql("sqrt(CAST(n_tokens AS DOUBLE)) / ss * CAST(t AS DOUBLE) / n_tokens", 6)} AS boost
+       |FROM c CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+
+  /** Term-blocklist screening — per source: docs flagged by a
+    * blocklist term set and total hit tokens (the NSFW/spam wordlist
+    * gate every web-corpus build runs before training, reduced to its
+    * engine shape: a bounded term set tested per token). The list
+    * here is three corpus-present terms so the oracle exercises real
+    * variation; a production list is thousands of terms — same plan,
+    * the set stays a broadcast-sized IN-set (or a join against a
+    * bounded table for very large lists).
+    *
+    * Scale: one pass, no explode — the hit count is a codegen'd
+    * size(filter(split)) over each doc's token array; the aggregate
+    * is source-sized. Determinism: pure integer counting; flag_rate
+    * is an exact-integer ratio rounded to 4dp. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    blocklistFilterOf(Tables(spark, dir, "documents"))
+
+  private[graft] def blocklistFilterOf(docs: DataFrame): DataFrame = {
+    val hits = expr(
+      "size(filter(split(trim(text), '\\\\s+'), t -> t IN ('spark', 'vector', 'customer')))")
+    docs
+      .select(col("source"), hits.cast("long").as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("h") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum("h").as("n_hits"),
+        Det.rnd(sum(when(col("h") > 0, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("flag_rate"))
+      .orderBy("source")
+  }
+
+  val blocklistFilterSql: String =
+    s"""WITH h AS (SELECT source,
+       |                  len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                                  t -> t IN ('spark', 'vector', 'customer'))) AS h
+       |           FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(sum(h) AS BIGINT) AS n_hits,
+       |       ${Det.rndSql("CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS flag_rate
+       |FROM h
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ------------------- provenance, drift, calibration, redaction (r7)
+
+  /** Cross-source content-overlap matrix — for every source pair, how
+    * many distinct [[SpanK]]-token grams they SHARE: the provenance
+    * diagnostic that tells a corpus build which feeds are re-crawling
+    * each other (syndication, mirrors, shared boilerplate) so dedup
+    * quota and per-source weights ([[mixtureWeights]]) aren't
+    * double-counting the same content. Grams, not whole-doc
+    * fingerprints, deliberately: cross-feed duplication is almost
+    * always partial (a shared span inside distinct page chrome), so
+    * the whole-doc matrix is near-empty exactly where the span matrix
+    * lights up. Only the ≥ 1-shared pairs are emitted; `n_shared`
+    * counts distinct gram TYPES (type overlap, not occurrence mass).
+    *
+    * Scale: the self-join runs on the (gram, source) DISTINCT
+    * collapse and joins on gram — each gram's group is bounded by the
+    * number of SOURCES carrying it (≤ feed count), never by its
+    * duplicate multiplicity, so the pair fan-out is Σ per-gram
+    * sources² with a feed-bounded term — no corpus pairing anywhere.
+    * Determinism: pure string equality + integer counting. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables(spark, dir, "documents"))
+
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val k = SpanK
+    val grams = docs
+      .select(col("source"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("source"), explode(expr(
+        s"IF(size(toks) >= $k, transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' ')), CAST(array() AS ARRAY<STRING>))"))
+        .as("gram"))
+      .distinct()
+    grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String = {
+    val k = SpanK
+    s"""WITH docs AS (SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+       |              FROM documents),
+       |g AS (SELECT DISTINCT source,
+       |             array_to_string(toks[i + 1:i + $k], ' ') AS gram
+       |      FROM (SELECT source, toks,
+       |                   unnest(range(greatest(len(toks) - ${k - 1}, 1))) AS i
+       |            FROM docs)
+       |      WHERE len(toks) >= $k)
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the train
+    * and val splits' length distributions — the distribution-shift
+    * audit a split pipeline runs before trusting val-set metrics
+    * (a deterministic split SHOULD be length-exchangeable; a large D
+    * flags an id-correlated length artifact). Computed EXACTLY in
+    * integers: D = max |n₂·cum₁(x) − n₁·cum₂(x)| / (n₁·n₂) over the
+    * pooled distinct values, so `ks_num` is an integer both engines
+    * agree on bit-for-bit and the only float is the final ratio.
+    *
+    * Scale: one corpus pass into a distinct-length aggregate (bounded
+    * by the length domain, ≪ corpus), one window over that aggregate
+    * for the two ECDFs, a 1-row broadcast of the totals. The
+    * max-deviation evaluation at every pooled jump point IS the
+    * sup — no approximation. Determinism: integer counts and
+    * cross-multiplied ECDFs; 6dp rounding on the ratio only. */
+  def ksSplitDrift(spark: SparkSession, dir: String): DataFrame =
+    ksSplitDriftOf(Tables(spark, dir, "documents"))
+
+  private[graft] def ksSplitDriftOf(docs: DataFrame): DataFrame = {
+    val d = splitAssign(docs)
+      .filter(col("split").isin("train", "val"))
+      .groupBy("n_chars")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+    val tot = d.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dev"))
+      .agg(
+        max("n1").as("n_train"),
+        max("n2").as("n_val"),
+        max("dev").as("ks_num"),
+        Det.rnd(max("dev").cast("double") / (max("n1") * max("n2")), 6).as("ks"))
+  }
+
+  val ksSplitDriftSql: String =
+    s"""WITH s AS (SELECT n_chars,
+       |                  CASE WHEN $SplitBucketSql < 80 THEN 'train'
+       |                       WHEN $SplitBucketSql < 90 THEN 'val'
+       |                       ELSE 'test' END AS split
+       |           FROM documents),
+       |d AS (SELECT n_chars,
+       |             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |      FROM s WHERE split IN ('train', 'val') GROUP BY 1),
+       |cum AS (SELECT n_chars,
+       |               sum(c1) OVER (ORDER BY n_chars
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+       |               sum(c2) OVER (ORDER BY n_chars
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+       |        FROM d),
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM d)
+       |SELECT CAST(max(n1) AS BIGINT) AS n_train, CAST(max(n2) AS BIGINT) AS n_val,
+       |       CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS ks_num,
+       |       ${Det.rndSql("CAST(max(abs(n2 * cum1 - n1 * cum2)) AS DOUBLE) / (max(n1) * max(n2))", 6)} AS ks
+       |FROM cum CROSS JOIN tot""".stripMargin
+
+  /** Classifier-vs-dedup calibration — documents bucketed into 10
+    * equal-WIDTH logit bins ([[qualityClassifier]]'s scores), each
+    * bin reporting its exact-duplicate rate: the audit that says
+    * whether the quality score actually separates duplicated
+    * boilerplate from fresh content (calibration by VALUE bins, not
+    * rank deciles — deliberately: value bins need only a 1-row
+    * min/max broadcast, where exact deciles would demand a
+    * corpus-wide sort; at 100 TB this is the only calibration shape
+    * that runs at scan speed).
+    *
+    * Scale: one kernel pass for logits (no explode), one window over
+    * the fingerprint groups for the dup flag, a 1-row min/max
+    * broadcast, a ≤ 10-row aggregate. Determinism: integer logits,
+    * integer-division binning, exact counts; dup_rate is rounded at
+    * output only. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    classifierCalibrationOf(Tables(spark, dir, "documents"))
+
+  private[graft] def classifierCalibrationOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val scored = docs.select(
+        col("doc_id"),
+        expr("hashed_logit(text)").getItem(0).as("logit"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy("fp")) > 1).cast("long"))
+    val mm = scored.agg(min("logit").as("mn"), max("logit").as("mx"))
+    scored.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr("CAST((logit - mn) * 10 DIV (mx - mn + 1) AS INT)"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("logit").as("lo"),
+        max("logit").as("hi"),
+        sum("is_dup").as("n_dups"),
+        Det.rnd(sum("is_dup").cast("double") / count(lit(1)), 4).as("dup_rate"))
+      .orderBy("bin")
+  }
+
+  val classifierCalibrationSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |lg AS (SELECT doc_id,
+       |              CAST(sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |                       % 4294967296 % 17 - 8) AS BIGINT) AS logit
+       |       FROM toks GROUP BY 1),
+       |fp AS (SELECT doc_id,
+       |              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |       FROM documents),
+       |dup AS (SELECT doc_id,
+       |               CAST(count(*) OVER (PARTITION BY fp) > 1 AS BIGINT) AS is_dup
+       |        FROM fp),
+       |mm AS (SELECT min(logit) AS mn, max(logit) AS mx FROM lg),
+       |b AS (SELECT CAST(((lg.logit - mn) * 10) // (mx - mn + 1) AS INTEGER) AS bin,
+       |             lg.logit, dup.is_dup
+       |      FROM lg JOIN dup USING (doc_id) CROSS JOIN mm)
+       |SELECT bin, count(*) AS n_docs,
+       |       CAST(min(logit) AS BIGINT) AS lo, CAST(max(logit) AS BIGINT) AS hi,
+       |       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       |       ${Det.rndSql("CAST(sum(is_dup) AS DOUBLE) / count(*)", 4)} AS dup_rate
+       |FROM b
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
+
+  /** PII-style pattern redaction — the scrub pass a training corpus
+    * runs before release: emails → [EMAIL], phone-shaped digit runs →
+    * [PHONE], residual digit runs → [NUM], applied IN THAT ORDER
+    * (each later pattern sees the earlier pattern's output, so a
+    * phone inside an email is not double-counted), with per-event-type
+    * accounting of every redaction class and the byte delta. Run over
+    * `events.props` — the corpus column with digit content; the email
+    * and phone lanes are structurally exercised (and pinned by a
+    * planted-PII ScalaTest) even where the synthetic corpus yields
+    * zero hits.
+    *
+    * Scale: a pure narrow projection — three codegen'd regexp_replace
+    * + three regexp_count per row, then an event-type-sized
+    * aggregate; no shuffle beyond the final rollup. Determinism:
+    * the patterns avoid engine-divergent regex features (no
+    * backreferences, no lookaround — RE2-safe), and counting is
+    * integer. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables(spark, dir, "events"))
+
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  private[graft] val NumRe = "[0-9]+"
+
+  private[graft] def piiRedactOf(events: DataFrame): DataFrame = {
+    val s1 = regexp_replace(col("props"), lit(EmailRe), lit("[EMAIL]"))
+    val s2 = regexp_replace(s1, lit(PhoneRe), lit("[PHONE]"))
+    val s3 = regexp_replace(s2, lit(NumRe), lit("[NUM]"))
+    events.select(
+        col("event_type"),
+        regexp_count(col("props"), lit(EmailRe)).cast("long").as("ne"),
+        regexp_count(s1, lit(PhoneRe)).cast("long").as("np"),
+        regexp_count(s2, lit(NumRe)).cast("long").as("nn"),
+        length(col("props")).cast("long").as("lb"),
+        length(s3).cast("long").as("la"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("ne").as("n_emails"),
+        sum("np").as("n_phones"),
+        sum("nn").as("n_nums"),
+        sum("lb").as("chars_in"),
+        sum("la").as("chars_out"))
+      .orderBy("event_type")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH r1 AS (SELECT event_type, props,
+       |                   regexp_replace(props, '$EmailRe', '[EMAIL]', 'g') AS s1
+       |            FROM events),
+       |r2 AS (SELECT *, regexp_replace(s1, '$PhoneRe', '[PHONE]', 'g') AS s2 FROM r1),
+       |r3 AS (SELECT *, regexp_replace(s2, '$NumRe', '[NUM]', 'g') AS s3 FROM r2)
+       |SELECT event_type, count(*) AS n_events,
+       |       CAST(sum(len(regexp_extract_all(props, '$EmailRe'))) AS BIGINT) AS n_emails,
+       |       CAST(sum(len(regexp_extract_all(s1, '$PhoneRe'))) AS BIGINT) AS n_phones,
+       |       CAST(sum(len(regexp_extract_all(s2, '$NumRe'))) AS BIGINT) AS n_nums,
+       |       CAST(sum(length(props)) AS BIGINT) AS chars_in,
+       |       CAST(sum(length(s3)) AS BIGINT) AS chars_out
+       |FROM r3
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 }

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** Round-7b operators (tokenizer induction, mix policy, provenance,
+  * drift, calibration, redaction), each against a hand-computable
+  * fixture (the oracle run covers the corpus; these pin semantics). */
+class Round7bSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe merges: pair counts are occurrence-weighted and fully tie-broken") {
+    // "ab" ×3 occurrences → pair ab:3; "abc" → ab, bc; "bc" → bc.
+    // Totals: ab = 3 + 1 = 4, bc = 1 + 1 = 2.
+    val docs = Seq((0L, "ab ab abc"), (1L, "ab bc")).toDF("doc_id", "text")
+    val out = TextQueries.bpeMergesOf(docs).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "ab", 4L), (2, "bc", 2L)))
+    // single-char tokens contribute nothing
+    val solo = TextQueries.bpeMergesOf(Seq((0L, "a b c")).toDF("doc_id", "text"))
+    assert(solo.count() == 0)
+    // tie-break: equal counts rank alphabetically
+    val tied = TextQueries.bpeMergesOf(Seq((0L, "xy wz")).toDF("doc_id", "text")).collect()
+    assert(tied.map(_.getString(1)).toSeq == Seq("wz", "xy"))
+  }
+
+  test("zipf fit: slope/intercept match a plain-Scala OLS on the same ranked points") {
+    // term frequencies 8, 4, 2, 1 → exact ln points, hand-replayable
+    val words = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = TextQueries.zipfFitOf(docs, k = 4).collect().head
+    assert(out.getLong(0) == 4)
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1))
+      .map { case (r, c) => (math.log(r.toDouble), math.log(c.toDouble)) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+    assert(math.abs(out.getDouble(1) - slope) < 1e-6, s"slope ${out.getDouble(1)} vs $slope")
+    assert(math.abs(out.getDouble(2) - icept) < 1e-6)
+    // geometric decay is exactly Zipf-with-slope −ln2/… shape: slope must be negative
+    assert(out.getDouble(1) < 0)
+  }
+
+  test("mixture weights: sqrt-temperature weights and boosts are closed-form") {
+    // source s1: 9 tokens, s2: 1 token → √9=3, √1=1, ss=4
+    val docs = Seq(
+      (0L, "t t t t t t t t t", "s1"),
+      (1L, "u", "s2")).toDF("doc_id", "text", "source")
+    val out = TextQueries.mixtureWeightsOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("s1")._1 == 9 && out("s2")._1 == 1)
+    assert(math.abs(out("s1")._2 - 0.75) < 1e-9)
+    assert(math.abs(out("s2")._2 - 0.25) < 1e-9)
+    // boost = w / natural share: s1 natural 0.9 → 0.75/0.9; s2 0.25/0.1
+    assert(math.abs(out("s1")._3 - 0.75 / 0.9) < 1e-6)
+    assert(math.abs(out("s2")._3 - 2.5) < 1e-9)
+    // weights sum to 1 over sources
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("blocklist filter: hit counting, flag accounting, and clean-source zero row") {
+    val docs = Seq(
+      (0L, "spark is fast", "s1"),   // 1 hit
+      (1L, "vector spark go", "s1"), // 2 hits
+      (2L, "clean text here", "s1"), // 0 hits
+      (3L, "nothing bad", "s2")).toDF("doc_id", "text", "source")
+    val out = TextQueries.blocklistFilterOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("s1") == ((3L, 2L, 3L, 0.6667)))
+    assert(out("s2") == ((1L, 0L, 0L, 0.0)))
+  }
+
+  test("source overlap: shared 8-gram types count once per pair, ordered a < b") {
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-gram
+    val docs = Seq(
+      (0L, span, "sA"),
+      (1L, span + " tail", "sB"), // shares the gram (plus its own shifted gram)
+      (2L, span, "sB"),           // duplicate within sB — must not double-count
+      (3L, "all fresh words here none shared at all", "sC"))
+      .toDF("doc_id", "text", "source")
+    val out = TextQueries.sourceOverlapOf(docs).collect()
+    assert(out.length == 1, s"only (sA, sB) overlap expected, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getString(0) == "sA" && r.getString(1) == "sB" && r.getLong(2) == 1L)
+  }
+
+  test("ks split drift: statistic matches a plain-Scala exact replay of the ECDF sup") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TextQueries.ksSplitDriftOf(docs).collect().head
+    // plain-Scala replay: same split rule, same cross-multiplied sup
+    def bucket(d: Long): Long = {
+      val d32 = d % 4294967296L
+      (((d32 * 40503) % 65536) * 65536 + d32 * 31153) % 4294967296L % 100
+    }
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (bucket(r.getLong(0)), r.getLong(1)))
+      .collect {
+        case (b, n) if b < 80 => ("train", n)
+        case (b, n) if b < 90 => ("val", n)
+      }
+    val tr = rows.filter(_._1 == "train").map(_._2).sorted
+    val va = rows.filter(_._1 == "val").map(_._2).sorted
+    val n1 = tr.length.toLong; val n2 = va.length.toLong
+    val dNum = (tr ++ va).distinct.map { x =>
+      math.abs(n2 * tr.count(_ <= x) - n1 * va.count(_ <= x))
+    }.max
+    assert(out.getLong(0) == n1 && out.getLong(1) == n2)
+    assert(out.getLong(2) == dNum, s"ks_num ${out.getLong(2)} vs replay $dNum")
+    assert(math.abs(out.getDouble(3) - dNum.toDouble / (n1 * n2)) < 1e-6)
+  }
+
+  test("classifier calibration: bins partition the corpus and dup accounting is exact") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val out = TextQueries.classifierCalibrationOf(docs).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total == docs.count(), "bins must partition the corpus")
+    // bins are ascending, non-overlapping in logit range
+    val bins = out.map(_.getInt(0)).toSeq
+    assert(bins == bins.sorted && bins.distinct == bins)
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2),
+        "previous bin's hi must sit below next bin's lo")
+      case _ =>
+    }
+    // dup totals equal the fingerprint-group accounting computed directly
+    val dupDocs = docs
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(coalesce(sum("c"), lit(0L)))
+      .collect().head.getLong(0)
+    assert(out.map(_.getLong(4)).sum == dupDocs)
+    // rate is exactly n_dups / n_docs (4dp)
+    out.foreach { r =>
+      val expect = math.floor(r.getLong(4).toDouble / r.getLong(1) * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(5) == expect)
+    }
+  }
+
+  test("pii redact: planted email/phone/number are scrubbed in order with exact accounting") {
+    val events = Seq(
+      ("click", "contact a@b.com or +1 (555) 123-4567 id 42"),
+      ("click", """{"k": 87}"""),
+      ("view", "no pii here")).toDF("event_type", "props")
+    val out = TextQueries.piiRedactOf(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val (nEv, nEm, nPh, nNum, chIn, chOut) = out("click")
+    assert(nEv == 2 && nEm == 1 && nPh == 1)
+    // "42" and "87" are the residual digit runs (phone digits already consumed)
+    assert(nNum == 2)
+    val in1 = "contact a@b.com or +1 (555) 123-4567 id 42"
+    val out1 = "contact [EMAIL] or [PHONE] id [NUM]"
+    val in2 = """{"k": 87}"""
+    val out2 = """{"k": [NUM]}"""
+    assert(chIn == in1.length + in2.length)
+    assert(chOut == out1.length + out2.length, s"chars_out $chOut")
+    assert(out("view") == ((1L, 0L, 0L, 0L, 11L, 11L)))
+  }
+}
