@@ -2032,4 +2032,56 @@ object ExtensionQueries {
       |FROM agg
       |WHERE old_n = 0 OR new_n = 0 OR old_n <> new_n
       |ORDER BY user_id""".stripMargin
+
+  /** Time-decay weighted aggregation — per event type, revenue under a
+    * half-life-per-WEEK exponential decay anchored at the newest week
+    * (weight 2⁻ᵃᵍᵉ): the recency-weighting fold behind freshness
+    * features and decayed leaderboards, in its deterministic form.
+    * Weights are exact powers of two, so every per-week term
+    * cents·2⁻ᵃᵍᵉ is an exact dyadic rational — the sum is
+    * order-independent (bit-identical across engines and partition
+    * orders) as long as weekly cent totals stay under 2⁵³⁻ᵃᵍᵉ, far
+    * beyond any gate scale; e^(−λt) weights would NOT survive this
+    * (engine-dependent rounding per term). The plain total rides
+    * along for contrast.
+    *
+    * Scale: one pass into a (type, week) aggregate (map-side
+    * combined), a 1-row max-week broadcast, a type-sized rollup.
+    * Determinism: integer cents, integer week ages, dyadic weights;
+    * 4dp rounding at output only. */
+  def timeDecay(spark: SparkSession, dir: String): DataFrame =
+    timeDecayOf(graft.Tables(spark, dir, "events"))
+
+  private[graft] def timeDecayOf(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 604800").as("w"),
+        Det.cents(col("value")).as("c"))
+      .groupBy("event_type", "w")
+      .agg(count(lit(1)).as("n"), sum("c").as("cw"))
+    val mx = weekly.agg(max("w").as("mw"))
+    weekly.crossJoin(broadcast(mx))
+      .groupBy("event_type")
+      .agg(
+        sum("n").as("n_events"),
+        (sum("cw").cast("double") / 100.0).as("revenue"),
+        Det.rnd(
+          sum(col("cw").cast("double") * pow(lit(0.5), (col("mw") - col("w")).cast("double")))
+            / 100.0, 4).as("decayed_revenue"))
+      .orderBy("event_type")
+  }
+
+  val timeDecaySql: String =
+    s"""WITH weekly AS (SELECT event_type,
+       |                       CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS w,
+       |                       count(*) AS n,
+       |                       CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS cw
+       |                FROM events GROUP BY 1, 2),
+       |mx AS (SELECT max(w) AS mw FROM weekly)
+       |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+       |       CAST(sum(cw) AS DOUBLE) / 100.0 AS revenue,
+       |       ${Det.rndSql("sum(CAST(cw AS DOUBLE) * pow(0.5, CAST(mw - w AS DOUBLE))) / 100.0", 4)} AS decayed_revenue
+       |FROM weekly CROSS JOIN mx
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 }

@@ -935,4 +935,74 @@ object SimilarityQueries {
        |      FROM cs)
        |WHERE cos >= $DeconThreshold
        |ORDER BY test_id, train_id""".stripMargin
+
+  /** Embedding-distribution drift — per label, the cosine between the
+    * centroids of two deterministic corpus halves (vec_id parity —
+    * the stand-in for "yesterday's snapshot vs today's"): the monitor
+    * an embedding pipeline runs after re-encoding or ingest to catch
+    * encoder regressions and population shift (a healthy stationary
+    * label re-centroids to cosine ≈ 1; drift pulls it down). Same
+    * O(n·d) centroid discipline as [[labelCohesion]] — never a
+    * pairwise stage.
+    *
+    * Scale: one exploded pass into a (label, half, dim) aggregate
+    * (labels × 2 × 64 rows), then a dim-keyed self-merge of that tiny
+    * frame; member counts ride a vector-level aggregate. Determinism:
+    * centroid components round to 6dp BEFORE the cosine (the
+    * [[labelCohesion]] fence), output rounds at 6dp. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def embeddingDriftOf(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .withColumn("half", pmod(col("vec_id"), lit(2)))
+    val cent = e.groupBy("label", "half", "i").agg(round(avg("v"), 6).as("c"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("i"), col("c").as("ca"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("i"), col("c").as("cb"))
+    val drift = a.join(b, Seq("label", "i"))
+      .groupBy("label")
+      .agg(
+        sum(col("ca") * col("cb")).as("dot"),
+        sqrt(sum(col("ca") * col("ca"))).as("na"),
+        sqrt(sum(col("cb") * col("cb"))).as("nb"))
+      .select(col("label"),
+        round(when(col("na") * col("nb") === 0, 0.0)
+          .otherwise(col("dot") / (col("na") * col("nb"))), 6).as("drift_cos"))
+    val counts = emb.groupBy("label")
+      .agg(
+        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+    counts.join(drift, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"), col("drift_cos"))
+      .orderBy("label")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
+      |                  unnest(embedding)::DOUBLE AS v,
+      |                  unnest(range(len(embedding))) AS i
+      |           FROM embeddings),
+      |cent AS (SELECT label, half, i, round(avg(v), 6) AS c
+      |         FROM e GROUP BY 1, 2, 3),
+      |m AS (SELECT a.label, sum(a.c * b.c) AS dot,
+      |             sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+      |      FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+      |                 AND a.half = 0 AND b.half = 1
+      |      GROUP BY 1),
+      |d AS (SELECT label,
+      |             round(CASE WHEN na * nb = 0 THEN 0.0
+      |                        ELSE dot / (na * nb) END, 6) AS drift_cos
+      |      FROM m),
+      |cnt AS (SELECT label,
+      |               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |        FROM embeddings GROUP BY 1)
+      |SELECT cnt.label, n_a, n_b, drift_cos
+      |FROM cnt JOIN d ON d.label = cnt.label
+      |ORDER BY cnt.label""".stripMargin
 }

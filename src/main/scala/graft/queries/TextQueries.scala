@@ -2669,4 +2669,98 @@ object TextQueries {
        |FROM r3
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
+
+  /** Span EXCISION yield — the enforcement stage on top of
+    * [[substringDedup]]'s diagnosis: every [[SpanK]]-token gram shared
+    * by ≥ 2 distinct documents keeps its min-doc_id copy (the same
+    * canonical-survivor convention as [[DedupQueries.dedupKeep]]) and
+    * is excised everywhere else; per document this reports total
+    * tokens, tokens lost to excision, and the surviving yield — the
+    * number a span-level dedup pass actually feeds to the token
+    * budget. Overlapping flagged grams excise their interval UNION
+    * (computed exactly: a run of flagged positions covers run + k − 1
+    * tokens, not k per gram), so the accounting never double-counts a
+    * token.
+    *
+    * Scale: gram stream + (gram, doc) distinct + min-doc owner — the
+    * inverted-index shape of [[substringDedup]]; the interval union
+    * is the classic islands sweep (running max-end window) inside a
+    * per-doc window — high-cardinality partition key, no skew, no
+    * pairing of documents anywhere. Determinism: pure integer
+    * positions and counts. */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame =
+    spanExciseOf(Tables(spark, dir, "documents"))
+
+  private[graft] def spanExciseOf(docs: DataFrame): DataFrame = {
+    val k = SpanK
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val grams = toks.select(col("doc_id"), posexplode(expr(
+        s"IF(size(toks) >= $k, transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' ')), CAST(array() AS ARRAY<STRING>))"))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val owners = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(min("doc_id").as("owner"), count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram", "owner")
+    val iv = grams.join(owners, "gram")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + k - 1).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val isl = iv
+      .withColumn("pmax",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newi",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("iid",
+        sum("newi").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exc = isl.groupBy("doc_id", "iid")
+      .agg((max("e") - min("s") + 1).as("len"))
+      .groupBy("doc_id").agg(sum("len").cast("long").as("n_excised"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(exc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_excised"))
+      .select(col("doc_id"), col("n_tokens"), col("n_excised"),
+        (col("n_tokens") - col("n_excised")).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  val spanExciseSql: String = {
+    val k = SpanK
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |              FROM documents),
+       |g AS (SELECT doc_id, i + 1 AS pos,
+       |             array_to_string(toks[i + 1:i + $k], ' ') AS gram
+       |      FROM (SELECT doc_id, toks,
+       |                   unnest(range(greatest(len(toks) - ${k - 1}, 1))) AS i
+       |            FROM docs)
+       |      WHERE len(toks) >= $k),
+       |ow AS (SELECT gram, min(doc_id) AS owner
+       |       FROM (SELECT DISTINCT gram, doc_id FROM g)
+       |       GROUP BY 1 HAVING count(*) >= 2),
+       |iv AS (SELECT g.doc_id, g.pos AS s, g.pos + ${k - 1} AS e
+       |       FROM g JOIN ow USING (gram)
+       |       WHERE g.doc_id <> ow.owner),
+       |isl AS (SELECT doc_id, s, e,
+       |               max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |        FROM iv),
+       |isl2 AS (SELECT doc_id, s, e,
+       |                CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS newi
+       |         FROM isl),
+       |isl3 AS (SELECT doc_id, s, e,
+       |                sum(newi) OVER (PARTITION BY doc_id ORDER BY s
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+       |         FROM isl2),
+       |il AS (SELECT doc_id, iid, max(e) - min(s) + 1 AS len
+       |       FROM isl3 GROUP BY 1, 2),
+       |exc AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_excised
+       |        FROM il GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(exc.n_excised, 0) AS BIGINT) AS n_excised,
+       |       CAST(len(d.toks) - coalesce(exc.n_excised, 0) AS BIGINT) AS n_kept
+       |FROM docs d
+       |LEFT JOIN exc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

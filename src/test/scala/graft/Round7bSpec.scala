@@ -161,4 +161,61 @@ class Round7bSpec extends SparkSpec {
     assert(chOut == out1.length + out2.length, s"chars_out $chOut")
     assert(out("view") == ((1L, 0L, 0L, 0L, 11L, 11L)))
   }
+
+  test("span excise: owner keeps, overlapping flagged grams excise their union") {
+    // 10-token span shared by docs 0 and 1 → two overlapping flagged
+    // 8-grams (pos 1-8 and 2-9) in doc 1; union = tokens 1..10 = 10.
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, span),                    // owner of both grams — excises nothing
+      (1L, span + " t1 t2"),         // non-owner: union of [1,8] and [2,9] + k−1 ⇒ 10 tokens
+      (2L, "all fresh words here none shared at all nine ten"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.spanExciseOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((10L, 0L, 10L)), "owner keeps every token")
+    assert(out(1L) == ((12L, 10L, 2L)), s"union excision, got ${out(1L)}")
+    assert(out(2L) == ((10L, 0L, 10L)))
+    // DISJOINT duplicated spans excise separately (two islands)
+    val gap = (1 to 8).map(i => s"a$i").mkString(" ")
+    val gap2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs2 = Seq(
+      (0L, gap), (1L, gap2),
+      (2L, gap + " mid1 mid2 mid3 " + gap2)) // islands of 8 + 8, gap of 3 kept
+      .toDF("doc_id", "text")
+    val out2 = TextQueries.spanExciseOf(docs2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out2(2L) == ((19L, 16L, 3L)), s"two islands, got ${out2(2L)}")
+  }
+
+  test("time decay: dyadic weekly weights are exact and anchored at the newest week") {
+    import java.sql.Timestamp
+    // week 0: 100.00; week 1: 50.00; week 2 (newest): 25.00
+    // decayed = 25 + 50/2 + 100/4 = 75.00; total = 175.00
+    def ts(week: Int): Timestamp = new Timestamp(week * 604800L * 1000L)
+    val events = Seq(
+      (ts(0), "buy", 100.00),
+      (ts(1), "buy", 50.00),
+      (ts(2), "buy", 25.00),
+      (ts(2), "view", 8.00)).toDF("ts", "event_type", "value")
+    val out = queries.ExtensionQueries.timeDecayOf(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("buy") == ((3L, 175.00, 75.00)), s"got ${out("buy")}")
+    assert(out("view") == ((1L, 8.00, 8.00)), "newest-week event decays by 2^0")
+  }
+
+  test("embedding drift: parity-half centroids compare by exact cosine") {
+    // label 0: both halves centroid (1, 0) → drift 1.0
+    // label 1: half A centroid (1, 0), half B centroid (0, 1) → drift 0.0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),   // half A
+      (1L, Array(1.0f, 0.0f), 0), (3L, Array(1.0f, 0.0f), 0),   // half B
+      (4L, Array(1.0f, 0.0f), 1), (6L, Array(1.0f, 0.0f), 1),
+      (5L, Array(0.0f, 1.0f), 1), (7L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = queries.SimilarityQueries.embeddingDriftOf(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0) == ((2L, 2L, 1.0)))
+    assert(out(1) == ((2L, 2L, 0.0)))
+  }
 }
