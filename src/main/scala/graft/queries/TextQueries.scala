@@ -2725,6 +2725,128 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Mixture APPLICATION — the enforcement stage on top of
+    * [[mixtureWeights]]'s policy: each source receives a token budget
+    * proportional to its √-temperature weight (computed in exact
+    * micro-weight integers so the budget split is engine-identical),
+    * then docs are admitted in deterministic hash order
+    * ([[SampleBucket]] — uncorrelated with split assignment) until
+    * the budget is crossed; the first crossing doc is included, so
+    * every nonzero budget admits at least one doc. Reports per source
+    * the budget, admitted docs, and admitted tokens — the manifest of
+    * an actually-materialized training mix.
+    *
+    * Scale: one token-count pass, a source-sized weight table joined
+    * back (AQE broadcast), and a cumulative window PARTITIONED BY
+    * SOURCE in hash order — the same per-source window discipline as
+    * [[groupSample]]; the budget cut prunes everything past the
+    * crossing point. Determinism: √ enters only through the 6dp
+    * micro-weight integer; admission is pure integer comparison. */
+  def mixtureApply(spark: SparkSession, dir: String, budget: Long = 10000L): DataFrame =
+    mixtureApplyOf(Tables(spark, dir, "documents"), budget)
+
+  private[graft] def mixtureApplyOf(docs: DataFrame, budget: Long = 10000L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("nt"),
+      expr(SampleBucket).as("sb"))
+    val c = base.groupBy("source").agg(sum("nt").as("ctok"))
+    val tot = c.agg(sum(sqrt(col("ctok").cast("double"))).as("ss"))
+    val bud = c.crossJoin(broadcast(tot))
+      .withColumn("micro", Det.units(sqrt(col("ctok").cast("double")) / col("ss"), 6))
+      .withColumn("budget_tokens", expr(s"micro * $budget DIV 1000000"))
+      .select("source", "budget_tokens")
+    val w = Window.partitionBy("source").orderBy("sb", "doc_id")
+    base.join(bud, "source")
+      .withColumn("cum_before",
+        coalesce(sum("nt").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .groupBy("source")
+      .agg(
+        max("budget_tokens").as("budget_tokens"),
+        count(lit(1)).as("n_selected"),
+        sum("nt").as("tokens_selected"))
+      .orderBy("source")
+  }
+
+  def mixtureApplySql(budget: Long = 10000L): String =
+    s"""WITH base AS (SELECT doc_id, source,
+       |                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+       |                     $SampleBucketSql AS sb
+       |              FROM documents),
+       |c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ctok FROM base GROUP BY 1),
+       |tot AS (SELECT sum(sqrt(CAST(ctok AS DOUBLE))) AS ss FROM c),
+       |bud AS (SELECT source,
+       |               ${Det.unitsSql("sqrt(CAST(ctok AS DOUBLE)) / ss", 6)} * $budget // 1000000
+       |                 AS budget_tokens
+       |        FROM c CROSS JOIN tot),
+       |sel AS (SELECT base.source, base.nt, bud.budget_tokens,
+       |               coalesce(sum(base.nt) OVER (PARTITION BY base.source
+       |                 ORDER BY base.sb, base.doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |        FROM base JOIN bud USING (source))
+       |SELECT source, CAST(max(budget_tokens) AS BIGINT) AS budget_tokens,
+       |       count(*) AS n_selected, CAST(sum(nt) AS BIGINT) AS tokens_selected
+       |FROM sel
+       |WHERE cum_before < budget_tokens
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Inverted-index postings build — the serving ARTIFACT behind
+    * [[bm25]]: for the top-k document-frequency terms, the sorted
+    * postings list `doc:tf,doc:tf,…` plus df and total tf, exactly
+    * what a retrieval shard ships. Postings sort doc_id-numerically
+    * (struct sort BEFORE stringification — lexicographic order on the
+    * rendered string would misplace doc 10 before doc 2).
+    *
+    * Scale: (term, doc) tf aggregation → term-level df stats →
+    * distributed TakeOrdered top-k cut → postings materialized ONLY
+    * for the k surviving terms (the join prunes the corpus-sized
+    * postings universe first). A production shard materializes ALL
+    * terms doc-partitioned into segments instead of one driver row
+    * per term — the layout levers (q_partitioned_scan, q_compaction)
+    * cover that shape; this emits the bounded per-term artifact.
+    * Determinism: integer tf/df, fully tie-broken rank, numeric-
+    * sorted postings. */
+  def postingsBuild(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    postingsBuildOf(Tables(spark, dir, "documents"), k)
+
+  private[graft] def postingsBuildOf(docs: DataFrame, k: Int = 50): DataFrame = {
+    val tdf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+    val top = tdf.groupBy("t")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+      .orderBy(col("df").desc, col("t")).limit(k)
+    tdf.join(top, "t")
+      .groupBy(col("t").as("term"), col("df"), col("total_tf"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(doc_id, tf))), " +
+          "s -> concat(CAST(s.doc_id AS STRING), ':', CAST(s.tf AS STRING))), ',')")
+        .as("postings"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("df").desc, col("term"))))
+      .select("rank", "term", "df", "total_tf", "postings")
+      .orderBy("rank")
+  }
+
+  def postingsBuildSql(k: Int = 50): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |tdf AS (SELECT t, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |top AS (SELECT t, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+       |        FROM tdf GROUP BY 1
+       |        ORDER BY df DESC, t LIMIT $k),
+       |p AS (SELECT tdf.t AS term, top.df, top.total_tf,
+       |             string_agg(CAST(tdf.doc_id AS VARCHAR) || ':' || CAST(tdf.tf AS VARCHAR),
+       |                        ',' ORDER BY tdf.doc_id) AS postings
+       |      FROM tdf JOIN top USING (t)
+       |      GROUP BY 1, 2, 3)
+       |SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS INTEGER) AS rank,
+       |       term, df, total_tf, postings
+       |FROM p
+       |ORDER BY rank""".stripMargin
+
   val spanExciseSql: String = {
     val k = SpanK
     s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

@@ -647,4 +647,24 @@ object StreamJobs {
       }
       .start()
   }
+
+  /** Streaming twin of [[graft.queries.TextQueries.piiRedact]]: events
+    * are scrubbed ON INGEST, micro-batch by micro-batch — the
+    * scrub-before-persist shape of a compliant pipeline (raw PII never
+    * reaches storage; only redacted payloads and accounting leave the
+    * trigger). Redaction is a pure projection, so the job is
+    * STATELESS: `foreachBatch` applies the batch operator verbatim
+    * and hands each batch's per-type accounting frame to the sink.
+    * The ScalaTest sink accumulates and asserts the summed accounting
+    * equals the one-shot batch twin over the same events — additivity
+    * is exactly what makes per-batch scrubbing equal to corpus-wide
+    * scrubbing. */
+  def scrubStream(events: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.TextQueries.piiRedactOf(batch))
+      }
+      .start()
 }

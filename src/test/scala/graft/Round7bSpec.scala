@@ -204,6 +204,33 @@ class Round7bSpec extends SparkSpec {
     assert(out("view") == ((1L, 8.00, 8.00)), "newest-week event decays by 2^0")
   }
 
+  test("mixture apply: micro-weight budgets admit docs in hash order until crossed") {
+    // s1: 9 tokens (3 docs × 3), s2: 1 token → micro weights 750000 / 250000.
+    // budget 8 → budgets 6 and 2 tokens.
+    val docs = Seq(
+      (0L, "a b c", "s1"), (1L, "d e f", "s1"), (2L, "g h i", "s1"),
+      (3L, "u", "s2")).toDF("doc_id", "text", "source")
+    val out = TextQueries.mixtureApplyOf(docs, budget = 8L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // equal-size docs ⇒ admission count is hash-order-independent:
+    // cum_before 0, 3 admitted; 6 is not < 6 ⇒ exactly 2 docs / 6 tokens
+    assert(out("s1") == ((6L, 2L, 6L)), s"got ${out("s1")}")
+    assert(out("s2") == ((2L, 1L, 1L)), "nonzero budget admits at least one doc")
+  }
+
+  test("postings build: numeric-sorted doc:tf lists with tie-broken ranks") {
+    val docs = Seq((1L, "a a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextQueries.postingsBuildOf(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1, "a", 2L, 3L, "1:2,2:1"),
+      (2, "b", 2L, 2L, "1:1,2:1")))
+    // doc ids sort NUMERICALLY inside postings (10 after 2)
+    val wide = Seq((2L, "z"), (10L, "z")).toDF("doc_id", "text")
+    val p = TextQueries.postingsBuildOf(wide).collect().head.getString(4)
+    assert(p == "2:1,10:1", s"numeric postings order, got $p")
+  }
+
   test("embedding drift: parity-half centroids compare by exact cosine") {
     // label 0: both halves centroid (1, 0) → drift 1.0
     // label 1: half A centroid (1, 0), half B centroid (0, 1) → drift 0.0

@@ -40,6 +40,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrub-on-ingest: per-batch redaction accounting sums to the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long, Long, Long)]
+    val q = StreamJobs.scrubStream(mem.toDF()) { frame =>
+      acc ++= frame.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    }
+    try {
+      val b1 = Seq(
+        ev(1, "2024-01-01 00:00:01", "click"),
+        Ev(2, Timestamp.valueOf("2024-01-01 00:01:00"), 1, "click", 1.0,
+          "mail a@b.com now"))
+      val b2 = Seq(
+        Ev(3, Timestamp.valueOf("2024-01-01 00:02:00"), 1, "view", 1.0,
+          "call +1 (555) 123-4567 ref 99"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // additivity: summed per-batch accounting == one-shot batch scrub
+      val streamed = acc.groupBy(_._1).map { case (t, rs) =>
+        t -> (rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum,
+          rs.map(_._5).sum, rs.map(_._6).sum, rs.map(_._7).sum)
+      }
+      val batch = graft.queries.TextQueries.piiRedactOf((b1 ++ b2).toDF()).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // the planted PII is actually counted
+      assert(batch("click")._2 == 1, "one planted email under click")
+      assert(batch("view")._3 == 1 && batch("view")._4 == 1,
+        "one phone + one residual number under view")
+    } finally q.stop()
+  }
+
   test("json file source consumes one file per micro-batch (reference Stream class)") {
     val s = spark
     import s.implicits._
