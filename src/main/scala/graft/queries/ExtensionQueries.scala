@@ -2084,4 +2084,84 @@ object ExtensionQueries {
        |FROM weekly CROSS JOIN mx
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
+
+  /** Shared derived-stat formulas for [[momentsSketch]] — ONE text,
+    * parsed by both engines, so every float op runs in the identical
+    * order on identical inputs (exact-integer sums → deterministic
+    * doubles). No `pow` anywhere: libm pow differs across engines in
+    * the last ulp; sqrt and explicit products are IEEE-pinned. */
+  private val MomMean = "CAST(s1 AS DOUBLE) / n"
+  private val MomVar =
+    s"CAST(s2 AS DOUBLE) / n - ($MomMean) * ($MomMean)"
+  private val MomM3 =
+    s"CAST(s3 AS DOUBLE) / n - 3.0 * ($MomMean) * (CAST(s2 AS DOUBLE) / n)" +
+      s" + 2.0 * ($MomMean) * ($MomMean) * ($MomMean)"
+  private val MomM4 =
+    s"CAST(s4 AS DOUBLE) / n - 4.0 * ($MomMean) * (CAST(s3 AS DOUBLE) / n)" +
+      s" + 6.0 * ($MomMean) * ($MomMean) * (CAST(s2 AS DOUBLE) / n)" +
+      s" - 3.0 * ($MomMean) * ($MomMean) * ($MomMean) * ($MomMean)"
+  // degenerate (constant / single-row) groups: shape stats pin to 0
+  private val MomSkew =
+    s"CASE WHEN ($MomVar) <= 0 THEN 0.0" +
+      s" ELSE ($MomM3) / (sqrt($MomVar) * sqrt($MomVar) * sqrt($MomVar)) END"
+  private val MomKurt =
+    s"CASE WHEN ($MomVar) <= 0 THEN 0.0" +
+      s" ELSE ($MomM4) / (($MomVar) * ($MomVar)) - 3.0 END"
+
+  /** Moments sketch — per event type, the constant-size MERGEABLE
+    * distribution summary (n, Σc, Σc², Σc³, Σc⁴ over exact integer
+    * cents) plus the shape stats it derives (mean, population stddev,
+    * skewness, excess kurtosis): the published moments-sketch design
+    * re-expressed exactly. The five sums ARE the sketch — merging two
+    * shards is elementwise addition (no error, unlike quantile
+    * sketches), which is why a 100-TB profile job ships power sums
+    * per partition and folds them on one reducer. Sums ride
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): with cents ≤ 2×10⁴,
+    * Σc⁴ stays exact past 10¹² rows per group — and both engines
+    * round the same exact integer to the same IEEE double before the
+    * float stage, so derived stats are bit-identical.
+    *
+    * Scale: one pass, map-side combined, five numbers per group.
+    * Determinism: exact decimal sums; the derived-stat formulas are
+    * ONE shared text (no pow — sqrt and explicit products only)
+    * rounded to 6dp at output. */
+  def momentsSketch(spark: SparkSession, dir: String): DataFrame =
+    momentsSketchOf(graft.Tables(spark, dir, "events"))
+
+  private[graft] def momentsSketchOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), Det.cents(col("value")).cast("decimal(10,0)").as("c"))
+      .withColumn("c2", col("c") * col("c"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").cast("decimal(38,0)").as("s1"),
+        sum("c2").cast("decimal(38,0)").as("s2"),
+        sum(col("c2") * col("c")).cast("decimal(38,0)").as("s3"),
+        sum(col("c2") * col("c2")).cast("decimal(38,0)").as("s4"))
+      .selectExpr(
+        "event_type", "n",
+        "CAST(s1 AS STRING) AS m1", "CAST(s2 AS STRING) AS m2",
+        "CAST(s3 AS STRING) AS m3", "CAST(s4 AS STRING) AS m4",
+        s"${Det.rndSql(s"($MomMean) / 100.0", 6)} AS mean",
+        s"${Det.rndSql(s"sqrt($MomVar) / 100.0", 6)} AS stddev",
+        s"${Det.rndSql(MomSkew, 6)} AS skewness",
+        s"${Det.rndSql(MomKurt, 6)} AS kurtosis")
+      .orderBy("event_type")
+
+  val momentsSketchSql: String =
+    s"""WITH c AS (SELECT event_type, ${Det.centsSql("value")} AS c FROM events),
+       |s AS (SELECT event_type, count(*) AS n,
+       |             sum(c) AS s1, sum(c * c) AS s2,
+       |             sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+       |      FROM c GROUP BY 1)
+       |SELECT event_type, n,
+       |       CAST(s1 AS VARCHAR) AS m1, CAST(s2 AS VARCHAR) AS m2,
+       |       CAST(s3 AS VARCHAR) AS m3, CAST(s4 AS VARCHAR) AS m4,
+       |       ${Det.rndSql(s"($MomMean) / 100.0", 6)} AS mean,
+       |       ${Det.rndSql(s"sqrt($MomVar) / 100.0", 6)} AS stddev,
+       |       ${Det.rndSql(MomSkew, 6)} AS skewness,
+       |       ${Det.rndSql(MomKurt, 6)} AS kurtosis
+       |FROM s
+       |ORDER BY event_type""".stripMargin
 }

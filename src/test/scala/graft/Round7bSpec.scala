@@ -231,6 +231,33 @@ class Round7bSpec extends SparkSpec {
     assert(p == "2:1,10:1", s"numeric postings order, got $p")
   }
 
+  test("moments sketch: exact power sums, closed-form shape stats, additive merge") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // symmetric {1.00, 2.00, 3.00}: mean 2, var (100²+0+100²)/3 cents²,
+    // skew 0, excess kurtosis (2e8/3)/(6666.67²) − 3 = 1.5 − 3 = −1.5
+    val events = Seq(
+      (t, "buy", 1.00), (t, "buy", 2.00), (t, "buy", 3.00))
+      .toDF("ts", "event_type", "value")
+    val r = queries.ExtensionQueries.momentsSketchOf(events).collect().head
+    assert(r.getLong(1) == 3)
+    assert(Seq(r.getString(2), r.getString(3), r.getString(4), r.getString(5)) ==
+      Seq("600", "140000", "36000000", "9800000000"))
+    assert(r.getDouble(6) == 2.0)
+    val sd = math.sqrt(20000.0 / 3) / 100.0
+    assert(math.abs(r.getDouble(7) - sd) < 1e-6)
+    assert(r.getDouble(8) == 0.0, "symmetric data has zero skew")
+    assert(math.abs(r.getDouble(9) + 1.5) < 1e-6, s"kurtosis ${r.getDouble(9)}")
+    // MERGE = elementwise sum: sketches of two halves add to the whole
+    val h1 = Seq((t, "buy", 1.00)).toDF("ts", "event_type", "value")
+    val h2 = Seq((t, "buy", 2.00), (t, "buy", 3.00)).toDF("ts", "event_type", "value")
+    def sums(df: org.apache.spark.sql.DataFrame): Seq[BigInt] = {
+      val x = queries.ExtensionQueries.momentsSketchOf(df).collect().head
+      Seq(BigInt(x.getString(2)), BigInt(x.getString(3)), BigInt(x.getString(4)), BigInt(x.getString(5)))
+    }
+    assert(sums(h1).zip(sums(h2)).map(p => p._1 + p._2) == sums(events))
+  }
+
   test("embedding drift: parity-half centroids compare by exact cosine") {
     // label 0: both halves centroid (1, 0) → drift 1.0
     // label 1: half A centroid (1, 0), half B centroid (0, 1) → drift 0.0
