@@ -188,6 +188,40 @@ class Round7bSpec extends SparkSpec {
     assert(out2(2L) == ((19L, 16L, 3L)), s"two islands, got ${out2(2L)}")
   }
 
+  test("span excise property: engine output equals a plain-Scala position-set replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 8
+    // tiny vocab ⇒ shared 8-grams arise naturally; seed-pinned runs
+    val word = Gen.oneOf((0 to 4).map(i => s"w$i"))
+    val docGen = Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(12, 30).flatMap(n => Gen.listOfN(n, docGen))
+    (1L to 4L).foreach { seed =>
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(seed)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = TextQueries.spanExciseOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // independent replay: excised = |union of flagged k-windows| as a POSITION SET
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+      val grams = for {
+        (id, ts) <- docs.map { case (id, t) => id -> toks(id) }
+        i <- 0 to ts.length - k
+      } yield (id, i + 1, ts.slice(i, i + k).mkString(" "))
+      val owners = grams.groupBy(_._3).collect {
+        case (g, occ) if occ.map(_._1).distinct.size >= 2 => g -> occ.map(_._1).min
+      }
+      val excisedTok = grams
+        .filter { case (id, _, g) => owners.get(g).exists(_ != id) }
+        .groupBy(_._1)
+        .map { case (id, occ) => id -> occ.flatMap(o => o._2 until (o._2 + k)).toSet.size.toLong }
+      toks.foreach { case (id, ts) =>
+        val ex = excisedTok.getOrElse(id, 0L)
+        assert(out(id) == ((ts.length.toLong, ex, ts.length - ex)),
+          s"seed=$seed doc=$id: engine ${out(id)} vs replay (${ts.length}, $ex, ${ts.length - ex})")
+      }
+    }
+  }
+
   test("time decay: dyadic weekly weights are exact and anchored at the newest week") {
     import java.sql.Timestamp
     // week 0: 100.00; week 1: 50.00; week 2 (newest): 25.00
