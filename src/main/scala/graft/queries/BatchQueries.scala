@@ -220,6 +220,44 @@ object BatchQueries {
       .orderBy("p_brand")
   }
 
+  /** LEFT ANTI join — the unique-content census: documents whose
+    * normalized fingerprint appears EXACTLY once, extracted with an
+    * explicit `left_anti` against the duplicated-fingerprint set and
+    * rolled up per source. This is the complement-set join the dedup
+    * family needs ("everything NOT in the blocklist/dup set"), as the
+    * plan Spark ships for it: one hash join that EMITS non-matches —
+    * strictly cheaper than outer-join-then-IS NULL, which
+    * materializes every match just to discard it. Oracled as NOT
+    * EXISTS, DuckDB's anti-join spelling.
+    *
+    * Scale: the anti join shuffles (or broadcasts, AQE's call — the
+    * dup-fp set is duplicate-bounded, usually tiny) exactly like the
+    * inner equi-join on the same key — no new shuffle class; the
+    * rollup is source-sized. Determinism: md5 + integer counting. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+    docs.join(dupFps, Seq("fp"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unique"), sum("n_chars").as("unique_chars"))
+      .orderBy("source")
+  }
+
+  val antiJoinSql: String =
+    """WITH d AS (SELECT source, n_chars,
+      |                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |           FROM documents),
+      |dup AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1)
+      |SELECT source, count(*) AS n_unique,
+      |       CAST(sum(n_chars) AS BIGINT) AS unique_chars
+      |FROM d
+      |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.fp = d.fp)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val joinGroupCountSql: String =
     s"""SELECT p_brand, count(*) AS cnt,
        |       ${Det.rndSql("sum(l_quantity) / count(l_quantity)", 4)} AS avg_qty

@@ -265,6 +265,22 @@ class Round7bSpec extends SparkSpec {
     assert(p == "2:1,10:1", s"numeric postings order, got $p")
   }
 
+  test("anti join: unique-content census plans as LeftAnti and drops every dup copy") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = queries.BatchQueries.antiJoin(spark, sfDir)
+    // the plan is a genuine anti join, not outer-join-then-filter
+    assert(q.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "explicit left_anti expected in the physical plan")
+    // accounting: Σ n_unique = docs − members of any >1 fingerprint group
+    val total = docs.count()
+    val dupMembers = docs
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .groupBy("fp").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum("c"), lit(0L))).collect().head.getLong(0)
+    val uniq = q.agg(sum("n_unique")).collect().head.getLong(0)
+    assert(uniq == total - dupMembers, s"$uniq unique vs $total - $dupMembers")
+  }
+
   test("moments sketch: exact power sums, closed-form shape stats, additive merge") {
     import java.sql.Timestamp
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
