@@ -667,4 +667,27 @@ object StreamJobs {
         sink(graft.queries.TextQueries.piiRedactOf(batch))
       }
       .start()
+
+  /** Streaming twin of the moments sketch
+    * ([[graft.queries.ExtensionQueries.momentsSketch]]): the five
+    * power sums are ADDITIVE, so the running sketch is a plain
+    * stateful aggregation — each micro-batch's partial sums merge
+    * into state by exact decimal addition, which is precisely the
+    * mergeability claim the batch scaladoc makes (constant-size
+    * per-group state forever; shape stats derive downstream from the
+    * emitted sums). ScalaTest asserts the running sums after the
+    * last micro-batch equal the batch twin over the concatenated
+    * input — bit-exact, because no float ever enters the state. */
+  def momentsStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        graft.functions.Det.cents(col("value")).cast("decimal(10,0)").as("c"))
+      .withColumn("c2", col("c") * col("c"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").cast("decimal(38,0)").as("s1"),
+        sum("c2").cast("decimal(38,0)").as("s2"),
+        sum(col("c2") * col("c")).cast("decimal(38,0)").as("s3"),
+        sum(col("c2") * col("c2")).cast("decimal(38,0)").as("s4"))
 }

@@ -76,6 +76,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming moments sketch: running power sums merge exactly across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.momentsStream(mem.toDF())
+      .writeStream.format("memory").queryName("moments").outputMode("complete").start()
+    try {
+      def pay(id: Long, typ: String, v: Double) =
+        Ev(id, Timestamp.valueOf("2024-01-01 00:00:01"), 1, typ, v, "{}")
+      val b1 = Seq(pay(1, "buy", 1.00), pay(2, "buy", 2.00), pay(3, "view", 10.50))
+      val b2 = Seq(pay(4, "buy", 3.00), pay(5, "view", 0.25))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).toBigInteger, r.getDecimal(3).toBigInteger,
+          r.getDecimal(4).toBigInteger, r.getDecimal(5).toBigInteger)
+      val streamed = spark.table("moments").collect().map(key).toMap
+      val batch = StreamJobs.momentsStream((b1 ++ b2).toDF()).collect().map(key).toMap
+      assert(streamed == batch, "running sums must equal the batch sums bit-exactly")
+      // hand-check one group: buy cents {100, 200, 300}
+      assert(streamed("buy")._1 == 3 && streamed("buy")._2 == BigInt(600).bigInteger)
+      assert(streamed("buy")._3 == BigInt(140000).bigInteger)
+    } finally q.stop()
+  }
+
   test("json file source consumes one file per micro-batch (reference Stream class)") {
     val s = spark
     import s.implicits._
