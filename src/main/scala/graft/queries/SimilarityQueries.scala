@@ -114,19 +114,39 @@ object SimilarityQueries {
     // the branch is effectively exact. Buckets come from the codegen'd
     // [[graft.functions.SignLshBucket]] (scheme 0), bit-identical to
     // the interpreted HOF form the oracle replays.
-    graft.functions.SignLshBucket.register(spark)
-    val bucketed = emb.withColumn("bucket", expr(s"signlsh_bucket(embedding, 0, $nPlanes)"))
+    annProbe(buildLshIndex(emb, nPlanes),
+      emb.filter(col("vec_id") < NQueries), nPlanes, K)
+  }
+
+  /** The corpus half of [[annLsh]], decomposed for reuse: the bucketed
+    * (cid, ce, bucket) index frame. The streaming probe
+    * ([[graft.streaming.StreamJobs.annProbeStream]]) builds this ONCE
+    * (localCheckpointed) and probes it every micro-batch — the
+    * static-index/live-queries split a serving deployment runs. */
+  private[graft] def buildLshIndex(emb: DataFrame, nPlanes: Int = 4): DataFrame = {
+    graft.functions.SignLshBucket.register(emb.sparkSession)
+    emb.withColumn("bucket", expr(s"signlsh_bucket(embedding, 0, $nPlanes)"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+  }
+
+  /** The query half of [[annLsh]]: bucket + 1-flip multiprobe explode
+    * on the (small) query side, equi-join into the index, exact-cosine
+    * in-bucket top-k. Per-query work is bucket-sized — independent
+    * across queries, which is what makes the per-batch streaming
+    * reuse equal to the one-shot batch run. */
+  private[graft] def annProbe(index: DataFrame, queries: DataFrame,
+                              nPlanes: Int = 4, k: Int = K): DataFrame = {
+    graft.functions.SignLshBucket.register(queries.sparkSession)
     val probes = (0 until nPlanes).map(p => col("bucket").bitwiseXOR(1 << p))
-    val q = bucketed.filter(col("vec_id") < NQueries)
+    val q = queries
+      .withColumn("bucket", expr(s"signlsh_bucket(embedding, 0, $nPlanes)"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(array(col("bucket") +: probes: _*)).as("bucket"))
-    val c = bucketed
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
-    withCos(broadcast(q).join(c, "bucket"))
+    withCos(broadcast(q).join(index, "bucket"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
       .orderBy("qid", "rank")
   }

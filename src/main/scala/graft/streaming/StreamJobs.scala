@@ -678,6 +678,28 @@ object StreamJobs {
     * emitted sums). ScalaTest asserts the running sums after the
     * last micro-batch equal the batch twin over the concatenated
     * input — bit-exact, because no float ever enters the state. */
+  /** Streaming ANN probe — live query vectors against a STATIC
+    * LSH-bucketed corpus index: the serving split of
+    * [[graft.queries.SimilarityQueries.annLsh]] (index built once per
+    * deployment, localCheckpointed; each micro-batch pays only its own
+    * bucket-sized probe joins). Per-query results are independent, so
+    * the per-batch union provably equals the one-shot batch probe of
+    * the same queries — asserted by ScalaTest. `foreachBatch` because
+    * the probe is a multi-stage batch pipeline (multiprobe explode →
+    * index equi-join → in-bucket exact top-k window). */
+  def annProbeStream(corpus: DataFrame, queries: DataFrame,
+                     nPlanes: Int = 4, k: Int = 5)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = graft.queries.SimilarityQueries
+      .buildLshIndex(corpus, nPlanes).localCheckpoint(true)
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.SimilarityQueries.annProbe(index, batch, nPlanes, k))
+      }
+      .start()
+  }
+
   def momentsStream(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

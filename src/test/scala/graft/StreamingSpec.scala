@@ -76,6 +76,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ann probe: per-batch results against the static index union to the batch probe") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qvecs = corpus.filter(col("vec_id") < 6)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val q = StreamJobs.annProbeStream(corpus, mem.toDF().toDF("vec_id", "embedding")) { frame =>
+      acc ++= frame.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    }
+    try {
+      mem.addData(qvecs.take(3): _*); q.processAllAvailable()
+      mem.addData(qvecs.drop(3): _*); q.processAllAvailable()
+      val batch = graft.queries.SimilarityQueries.annProbe(
+        graft.queries.SimilarityQueries.buildLshIndex(corpus),
+        corpus.filter(col("vec_id") < 6)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(acc.toSet == batch.toSet,
+        s"streamed ${acc.size} rows must equal batch ${batch.length} rows")
+      assert(acc.nonEmpty && acc.map(_._1).distinct.size == 6,
+        "every query produced neighbors")
+    } finally q.stop()
+  }
+
   test("streaming moments sketch: running power sums merge exactly across micro-batches") {
     val s = spark
     import s.implicits._
