@@ -265,6 +265,18 @@ class Round7bSpec extends SparkSpec {
     assert(p == "2:1,10:1", s"numeric postings order, got $p")
   }
 
+  test("round-7b operators are partitioning-invariant (repartition(7) equality)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shuffled = docs.repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(rows(TextQueries.spanExciseOf(docs)) == rows(TextQueries.spanExciseOf(shuffled)))
+    assert(rows(TextQueries.mixtureApplyOf(docs)) == rows(TextQueries.mixtureApplyOf(shuffled)))
+    assert(rows(TextQueries.bpeMergesOf(docs)) == rows(TextQueries.bpeMergesOf(shuffled)))
+    assert(rows(TextQueries.zipfFitOf(docs)) == rows(TextQueries.zipfFitOf(shuffled)))
+    assert(rows(TextQueries.sourceOverlapOf(docs)) == rows(TextQueries.sourceOverlapOf(shuffled)))
+    assert(rows(TextQueries.postingsBuildOf(docs)) == rows(TextQueries.postingsBuildOf(shuffled)))
+  }
+
   test("anti join: unique-content census plans as LeftAnti and drops every dup copy") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val q = queries.BatchQueries.antiJoin(spark, sfDir)
