@@ -353,6 +353,54 @@ object BatchQueries {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** JSON-lines sink + scan round-trip with a NESTED struct payload —
+    * the row-format twin of the CSV path exercising what CSV cannot:
+    * a struct column written as a JSON object and read back through
+    * an explicit nested schema (schema-on-read, `DROPMALFORMED`), the
+    * shape of every log-shipping pipeline. The aggregate after
+    * write→read must equal the direct-table aggregate (data
+    * preservation is the verified property; DuckDB replays the flat
+    * aggregate). `o_orderdate` is deliberately excluded: JSON
+    * timestamp rendering is format-option territory, and the
+    * streaming surface (`q_json_extract`) already covers timestamp
+    * JSON parsing.
+    *
+    * Scale: sink + scan are both parallel (one file per partition, no
+    * driver funnel); doubles survive the trip exactly (Spark writes
+    * shortest-round-trip literals). Determinism: exact-cents money
+    * sum. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"${Tables.scratchDir}/json_roundtrip_orders"
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("id"), col("o_totalprice").as("price")).as("cust"),
+        col("o_orderstatus"))
+      .write.mode("overwrite")
+      .json(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("cust", StructType(Seq(
+        StructField("id", LongType),
+        StructField("price", DoubleType)))),
+      StructField("o_orderstatus", StringType)))
+    spark.read
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .json(path)
+      .select(col("o_orderstatus"), col("cust.price").as("price"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), Det.moneySum(col("price")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val jsonRoundtripSql: String =
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       ${Det.moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   /** ORC sink + scan round-trip — the second columnar format of the
     * source surface (ORC ships in Spark core; the lakehouse twin of
     * the parquet path). Written with ZSTD compression and read back

@@ -293,6 +293,18 @@ class Round7bSpec extends SparkSpec {
     assert(uniq == total - dupMembers, s"$uniq unique vs $total - $dupMembers")
   }
 
+  test("json roundtrip: nested struct survives write->read; aggregate equals direct parquet") {
+    val viaJson = queries.BatchQueries.jsonRoundtrip(spark, sfDir).collect()
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_price"))
+      .orderBy("o_orderstatus").collect()
+    assert(viaJson.toSeq == direct.toSeq,
+      "JSON write->nested-schema read must preserve every row exactly")
+  }
+
   test("moments sketch: exact power sums, closed-form shape stats, additive merge") {
     import java.sql.Timestamp
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
