@@ -293,6 +293,26 @@ class Round7bSpec extends SparkSpec {
     assert(uniq == total - dupMembers, s"$uniq unique vs $total - $dupMembers")
   }
 
+  test("observed metrics: funnel accounting rides one action with no second scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    ObservedMetrics.install(spark)
+    ObservedMetrics.clear("funnel")
+    // metrics attach BEFORE the filter: rows_in + kept accounting ride
+    // the same job that computes the real output
+    val observed = ObservedMetrics.observe(
+        docs, "funnel",
+        count(lit(1)).as("rows_in"),
+        sum(when(col("n_chars") >= 200, 1L).otherwise(0L)).as("rows_kept"))
+      .filter(col("n_chars") >= 200)
+    val outCount = observed.count() // the one action
+    val m = ObservedMetrics.await("funnel")
+      .getOrElse(fail("metrics never delivered"))
+    val byName = m.schema.fieldNames.zip(m.toSeq).toMap
+    assert(byName("rows_in") == docs.count())
+    assert(byName("rows_kept") == outCount,
+      "observed kept-count must equal the action's own output count")
+  }
+
   test("json roundtrip: nested struct survives write->read; aggregate equals direct parquet") {
     val viaJson = queries.BatchQueries.jsonRoundtrip(spark, sfDir).collect()
     val direct = spark.read.parquet(s"$sfDir/orders.parquet")
