@@ -305,7 +305,7 @@ class DedupSimilaritySpec extends SparkSpec {
     DedupQueries.minhashLsh(spark, sfDir).count()
     assert(DedupQueries.trunkWrites == 1, "first consumer must write the trunk")
     assert(DedupQueries.groupsWrites == 1, "first consumer must write the stage-1 collapse")
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val key = DedupQueries.scratchKey(spark, sfDir)
     val scratch = new java.io.File(s"${graft.Tables.scratchDir}/deduptrunk-$key")
     def mtimes: Map[String, Long] = scratch.listFiles
       .flatMap(d => Option(d.listFiles).getOrElse(Array.empty[java.io.File]))
