@@ -24,7 +24,8 @@ object Explain {
         "q_media_neardup", "q_ann_ivf_seeded", "q_dedup_incremental",
         "q_textrank", "q_ann_quantized", "q_kmv_intersect", "q_split_audit",
         "q_hybrid_retrieve", "q_semantic_decon", "q_substring_dedup",
-        "q_ann_eval", "q_rolling_anomaly", "q_tfidf_topterms")
+        "q_ann_eval", "q_rolling_anomaly", "q_tfidf_topterms",
+        "q_knn_graph", "q_bootstrap_ci")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")

@@ -2164,4 +2164,98 @@ object ExtensionQueries {
        |       ${Det.rndSql(MomKurt, 6)} AS kurtosis
        |FROM s
        |ORDER BY event_type""".stripMargin
+
+  /** Bootstrap resample count and the CI order-statistic indices:
+    * percentile q is the ⌈q·B⌉-th smallest resample mean (lo =
+    * ⌈0.025·200⌉ = 5, hi = ⌈0.975·200⌉ = 195) — an explicit
+    * convention shared with the oracle, because engines' builtin
+    * `percentile` interpolation rules differ. */
+  private val BootB  = 200
+  private val BootLo = 5
+  private val BootHi = 195
+
+  /** Deterministic Poisson(1) draw from a uniform `u` in [0,1) —
+    * inverse-CDF over the exact partial sums of e⁻¹/k!. The same
+    * literal text parses to the same IEEE doubles in Spark and DuckDB,
+    * and u is a dyadic rational k/2³² that can never equal the
+    * non-terminating thresholds, so the branch taken is identical
+    * cross-engine. Truncated at 5 (P(X>5|λ=1) ≈ 6e-4 folds into the
+    * top bucket — still mean ≈ 1). */
+  private val PoisInv: String =
+    """CASE WHEN u < 0.36787944117144233 THEN 0
+      |     WHEN u < 0.7357588823428847  THEN 1
+      |     WHEN u < 0.9196986029286058  THEN 2
+      |     WHEN u < 0.9810118431238462  THEN 3
+      |     WHEN u < 0.9963401531726563  THEN 4
+      |     ELSE 5 END""".stripMargin
+
+  /** BOOTSTRAP confidence interval for the corpus mean document length
+    * — the Poisson bootstrap (per-row resample weights w ~ Poisson(1),
+    * the classic single-pass distributed formulation: each row decides
+    * its multiplicity in every resample locally, no sampling-with-
+    * replacement shuffle exists anywhere). Weights come from the
+    * overflow-safe integer modmul ring (the [[TextQueries]] split/
+    * sample convention — no `rand()`, reproducible across engines and
+    * partitionings), so the oracle replays every draw exactly and the
+    * CI is hash-checked, not band-checked.
+    *
+    * Scale: the corpus is scanned ONCE; the explode is a flatMap to
+    * B·n in-task rows that partial-aggregate to ≤ B groups per task
+    * before the shuffle (map-side combine), so the exchange carries
+    * ~B rows per task regardless of corpus size. The final ranking
+    * window sorts B = [[BootB]] rows — bounded, one task, by design.
+    * All arithmetic before the two divisions is exact integer; each
+    * resample mean is a single IEEE division of exact integers —
+    * bit-identical cross-engine, zero rounding anywhere. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiOf(Tables(spark, dir, "documents"))
+
+  private[graft] def bootstrapCiOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = s"(doc_id * $BootB + b + 1)"
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    val means = base
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u",
+        expr(s"pmod(pmod(pmod($key, 4294967296) * 40503, 65536) * 65536" +
+          s" + pmod($key, 4294967296) * 31153, 4294967296) / 4294967296.0"))
+      .withColumn("w", expr(PoisInv))
+      .groupBy("b")
+      .agg((sum(col("w") * col("n_chars")).cast("double") / sum("w")).as("mb"))
+    val ranked = means
+      .withColumn("rn", row_number().over(Window.orderBy(asc("mb"), asc("b"))))
+    val lo = ranked.filter(col("rn") === BootLo).select(col("mb").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === BootHi).select(col("mb").as("ci_hi"))
+    base
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("mean"))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+  }
+
+  /** DuckDB twin of [[bootstrapCi]]: identical hash ring, identical
+    * inverse-CDF branch, identical order-statistic convention. */
+  val bootstrapCiSql: String = {
+    val key = s"(doc_id * $BootB + b + 1)"
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars, unnest(range($BootB)) AS b FROM documents),
+       |u AS (
+       |  SELECT n_chars, b,
+       |         ((((($key % 4294967296) * 40503) % 65536) * 65536
+       |           + ($key % 4294967296) * 31153) % 4294967296) / 4294967296.0 AS u
+       |  FROM r),
+       |m AS (
+       |  SELECT b, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS mb
+       |  FROM (SELECT n_chars, b, $PoisInv AS w FROM u)
+       |  GROUP BY b),
+       |sel AS (
+       |  SELECT max(CASE WHEN rn = $BootLo THEN mb END) AS ci_lo,
+       |         max(CASE WHEN rn = $BootHi THEN mb END) AS ci_hi
+       |  FROM (SELECT mb, row_number() OVER (ORDER BY mb, b) AS rn FROM m))
+       |SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |       (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents) AS mean,
+       |       ci_lo, ci_hi
+       |FROM sel""".stripMargin
+  }
 }

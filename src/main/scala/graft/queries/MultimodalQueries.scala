@@ -295,14 +295,15 @@ object MultimodalQueries {
        |  WHERE a.bin < 128)""".stripMargin
   }
 
-  /** DuckDB oracle: brute-force all-pairs over the SAME integer
+  /** The verified all-pairs CTE suffix (ham + l1 + `pairs`) of the
+    * media oracles — brute-force all-pairs over the SAME integer
     * definitions, histogram L1 in the cross-multiplied integer form.
     * Running it over ALL docs (not representatives) is equivalent to
     * the engine's collapse+expand: identical payloads have identical
-    * histograms. */
-  val mediaNeardupSql: String =
-    s"""WITH $mediaHistCteSql,
-       |ham AS (
+    * histograms. Shared verbatim by [[mediaNeardupSql]] and
+    * [[mediaClustersSql]] so the two cannot drift. */
+  private val mediaPairsCteSql: String =
+    s"""ham AS (
        |  SELECT a.doc_id AS m1, b.doc_id AS m2,
        |         sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) AS h
        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
@@ -314,11 +315,53 @@ object MultimodalQueries {
        |  FROM grid a JOIN grid b ON a.bin = b.bin AND a.doc_id < b.doc_id
        |  JOIN n n1 ON n1.doc_id = a.doc_id
        |  JOIN n n2 ON n2.doc_id = b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT ham.m1, ham.m2, CAST(ham.h AS INTEGER) AS hamming
-       |FROM ham JOIN l1 ON l1.m1 = ham.m1 AND l1.m2 = ham.m2
-       |WHERE ham.h <= $HamThreshold AND l1.l1x <= (l1.n1 * l1.n2) // $L1Denom
-       |ORDER BY ham.m1, ham.m2""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ham.m1, ham.m2, CAST(ham.h AS INTEGER) AS hamming
+       |  FROM ham JOIN l1 ON l1.m1 = ham.m1 AND l1.m2 = ham.m2
+       |  WHERE ham.h <= $HamThreshold AND l1.l1x <= (l1.n1 * l1.n2) // $L1Denom)""".stripMargin
+
+  val mediaNeardupSql: String =
+    s"""WITH $mediaHistCteSql,
+       |$mediaPairsCteSql
+       |SELECT m1, m2, hamming FROM pairs
+       |ORDER BY m1, m2""".stripMargin
+
+  /** Media dedup CLUSTERS — connected components over the verified
+    * perceptual near-dup pairs ([[mediaNeardup]]), completing the
+    * multimodal family the same way [[DedupQueries.dedupClustersFull]]
+    * completes the text family: pairs are the verification contract,
+    * the (member → canonical, is_canonical) decision is what a
+    * pipeline actually materializes. Reuses the min-label fixpoint
+    * ([[DedupQueries.components]] — path-halving, accumulator-checked
+    * convergence), so the scale argument is inherited: the label table
+    * is one row per media item IN a near-dup relation, not per corpus
+    * row, and rounds are O(log diameter). Output covers exactly the
+    * media ids that appear in some pair (singletons are their own
+    * canonical trivially and are omitted, matching the text clusters
+    * contract). */
+  def mediaClusters(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.components(
+        mediaNeardup(spark, dir).select(col("m1").as("d1"), col("m2").as("d2")))
+      .select(col("doc").as("media_id"), col("root").as("canonical_id"),
+        (col("doc") === col("root")).as("is_canonical"))
+      .orderBy("media_id")
+
+  /** DuckDB twin of [[mediaClusters]]: the [[mediaNeardupSql]] pair
+    * query feeding a recursive transitive closure + min-label root
+    * (the [[TextQueries.dedupClustersSql]] pattern). */
+  val mediaClustersSql: String =
+    s"""WITH RECURSIVE $mediaHistCteSql,
+       |$mediaPairsCteSql,
+       |ed AS (SELECT m1 AS d1, m2 AS d2 FROM pairs UNION ALL SELECT m2, m1 FROM pairs),
+       |tc AS (
+       |  SELECT d1 AS a, d2 AS b FROM ed
+       |  UNION
+       |  SELECT tc.a, ed.d2 FROM tc JOIN ed ON tc.b = ed.d1 WHERE tc.a <> ed.d2
+       |)
+       |SELECT media_id, canonical_id, media_id = canonical_id AS is_canonical FROM (
+       |  SELECT a AS media_id, least(a, min(b)) AS canonical_id FROM tc GROUP BY a)
+       |ORDER BY media_id""".stripMargin
 
   /** INCREMENTAL media ingest dedup — the multimodal twin of
     * [[DedupQueries.dedupIncremental]]: perceptual near-dups of the

@@ -167,21 +167,7 @@ object SimilarityQueries {
   def embeddingNeardup(spark: SparkSession, dir: String,
                        nPlanes: Int = 8, threshold: Double = 0.45): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    // w_p(i) = ±1 from bit 15 of ((i+1)·(2654435761 + 4096p + 2p²)) mod 2³²
-    // — one odd multiplier per plane; balanced (|Σw| ≤ 12) and pairwise
-    // near-orthogonal (|corr| ≤ 8/64), verified offline. Buckets come
-    // from the codegen'd [[graft.functions.SignLshBucket]] (scheme 1),
-    // bit-identical to the interpreted HOF form the oracle replays.
-    graft.functions.SignLshBucket.register(spark)
-    val probed = emb
-      .withColumn("bucket", expr(s"signlsh_bucket(embedding, 1, $nPlanes)"))
-      .select(col("vec_id"), explode(expr(
-        s"concat(array(bucket), transform(sequence(0, ${nPlanes - 1}), p -> bucket ^ shiftleft(1, p)))"))
-        .as("pb"))
-    val cand = probed.alias("a").join(probed.alias("b"), "pb")
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      .distinct()
+    val cand = lshCandidatePairs(emb, nPlanes)
     val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("qe"))
     val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("ce"))
     withCos(cand.join(e1, "v1").join(e2, "v2"))
@@ -190,11 +176,36 @@ object SimilarityQueries {
       .orderBy("v1", "v2")
   }
 
-  /** DuckDB twin of [[embeddingNeardup]]: replays the identical
-    * deterministic pipeline — buckets, 1-flip probes on both sides,
-    * exact-cosine threshold. */
-  val embeddingNeardupSql: String =
-    s"""WITH w AS (
+  /** Sign-LSH ≤2-plane-difference candidate pairs (v1 < v2) over the
+    * whole corpus — shared by [[embeddingNeardup]] and [[knnGraph]].
+    *
+    * w_p(i) = ±1 from bit 15 of ((i+1)·(2654435761 + 4096p + 2p²)) mod 2³²
+    * — one odd multiplier per plane; balanced (|Σw| ≤ 12) and pairwise
+    * near-orthogonal (|corr| ≤ 8/64), verified offline. Buckets come
+    * from the codegen'd [[graft.functions.SignLshBucket]] (scheme 1),
+    * bit-identical to the interpreted HOF form the oracle replays.
+    * Both sides of the self-join explode the bucket plus its 1-bit
+    * flips, so a pair is a candidate iff its buckets differ in ≤ 2
+    * planes; work is Σ bucket², not n², and the probe fan-out is
+    * nPlanes+1 rows/vector — linear. */
+  private[graft] def lshCandidatePairs(emb: DataFrame, nPlanes: Int): DataFrame = {
+    graft.functions.SignLshBucket.register(emb.sparkSession)
+    val probed = emb
+      .withColumn("bucket", expr(s"signlsh_bucket(embedding, 1, $nPlanes)"))
+      .select(col("vec_id"), explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${nPlanes - 1}), p -> bucket ^ shiftleft(1, p)))"))
+        .as("pb"))
+    probed.alias("a").join(probed.alias("b"), "pb")
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+  }
+
+  /** The 8-plane sign-LSH candidate pipeline as a CTE chain ending in
+    * `cand` (v1 < v2) — shared verbatim by [[embeddingNeardupSql]] and
+    * [[knnGraphSql]] so the two oracles cannot drift. */
+  private val lshCandidateCte: String =
+    s"""w AS (
        |  SELECT p, i, CASE WHEN ((((i + 1) * (2654435761 + 4096 * p + 2 * p * p)) % 4294967296) >> 15) & 1 = 1
        |                    THEN 1.0 ELSE -1.0 END AS wt
        |  FROM (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
@@ -209,7 +220,13 @@ object SimilarityQueries {
        |                      xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)]) AS pb
        |       FROM bkt),
        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-       |         FROM pr a JOIN pr b ON a.pb = b.pb AND a.vec_id < b.vec_id),
+       |         FROM pr a JOIN pr b ON a.pb = b.pb AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** DuckDB twin of [[embeddingNeardup]]: replays the identical
+    * deterministic pipeline — buckets, 1-flip probes on both sides,
+    * exact-cosine threshold. */
+  val embeddingNeardupSql: String =
+    s"""WITH $lshCandidateCte,
        |cs AS (SELECT cand.v1, cand.v2, sum(a.v * b.v) AS dot,
        |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
        |       FROM cand JOIN e a ON a.vec_id = cand.v1
@@ -219,6 +236,68 @@ object SimilarityQueries {
        |FROM (SELECT v1, v2, CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos FROM cs)
        |WHERE cos >= 0.45
        |ORDER BY v1, v2""".stripMargin
+
+  /** k-NN GRAPH construction over the embedding corpus — every vector's
+    * top-k most-similar neighbors among its sign-LSH candidates, the
+    * graph a curation pipeline builds for graph-based near-dup
+    * clustering, diversity sampling, and label propagation. Distinct
+    * from [[annLsh]] (query set vs corpus) and [[embeddingNeardup]]
+    * (thresholded pairs): here every node gets a bounded out-degree ≤ k
+    * regardless of local density, which is what downstream graph
+    * algorithms need.
+    *
+    * Candidates come from [[lshCandidatePairs]] (Σ bucket² work, no
+    * all-pairs stage), symmetrized so each endpoint ranks the pair;
+    * the exact-cosine rerank and `row_number` top-k run per node over
+    * candidate lists only. At 100 TB the per-node candidate list is
+    * bucket-bounded, the window partitions by node id (no global
+    * sort), and recall is tuned by nPlanes/probe-width exactly as in
+    * the near-dup pipeline. Approximation contract: a node whose true
+    * k-th neighbor falls outside the probed buckets misses it (sign-LSH
+    * recall, parameter-dependent); the pipeline is deterministic
+    * integer hashing, so the oracle replays it exactly. */
+  def knnGraph(spark: SparkSession, dir: String,
+               nPlanes: Int = 8, k: Int = 5): DataFrame =
+    knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
+
+  private[graft] def knnGraphOn(emb: DataFrame, nPlanes: Int, k: Int): DataFrame = {
+    // symmetrize by exploding both directions out of ONE candidate
+    // computation — a unionAll of cand with its swap would plan the
+    // whole bucket self-join twice (two scans, two aggregates)
+    val edges = lshCandidatePairs(emb, nPlanes)
+      .select(explode(array(
+        struct(col("v1").as("src"), col("v2").as("dst")),
+        struct(col("v2").as("src"), col("v1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val e1 = emb.select(col("vec_id").as("src"), col("embedding").as("qe"))
+    val e2 = emb.select(col("vec_id").as("dst"), col("embedding").as("ce"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    withCos(edges.join(e1, "src").join(e2, "dst"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("src", "rank")
+  }
+
+  /** DuckDB twin of [[knnGraph]]: same candidates ([[lshCandidateCte]]),
+    * symmetrized, exact cosine, per-node row_number top-5. */
+  val knnGraphSql: String =
+    s"""WITH $lshCandidateCte,
+       |edges AS (SELECT v1 AS src, v2 AS dst FROM cand
+       |          UNION ALL SELECT v2, v1 FROM cand),
+       |cs AS (SELECT edges.src, edges.dst, sum(a.v * b.v) AS dot,
+       |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
+       |       FROM edges JOIN e a ON a.vec_id = edges.src
+       |                  JOIN e b ON b.vec_id = edges.dst AND b.i = a.i
+       |       GROUP BY 1, 2),
+       |r AS (SELECT src, dst, cos,
+       |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |      FROM (SELECT src, dst,
+       |                   CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |            FROM cs))
+       |SELECT src, dst, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5
+       |ORDER BY src, rank""".stripMargin
 
   /** The [[annLsh]] oracle pipeline as a CTE chain ending in `lshr`
     * (qid, cid, cos, rank — UNCUT): shared verbatim by [[annLshSql]]

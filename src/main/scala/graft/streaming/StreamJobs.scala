@@ -247,6 +247,33 @@ object StreamJobs {
         (unix_micros(col("cts")) - unix_micros(col("ets"))).as("gap_us"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — the outer variant
+    * [[intervalJoin]]'s scaladoc defers to: clicks WITHOUT an error in
+    * the preceding hour also emit, with null error columns. The
+    * null-match row for a click cannot be emitted when the click
+    * arrives — a matching error may still be in flight — so Spark
+    * holds it in state and emits it only when BOTH watermarks pass
+    * the click's join window (cts + delay), proving no future error
+    * can pair. Same bounded-state argument as the inner form; the
+    * extra cost is exactly the held left rows awaiting expiry, which
+    * the watermark bounds to one window (+ delay) of clicks. The
+    * matched subset must equal the inner join's output and each
+    * unmatched click must emit exactly once — both asserted in
+    * `StreamingSpec`. */
+  def intervalJoinOuter(clicks: DataFrame, errors: DataFrame,
+                        watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"), col("ts").as("ets"))
+    c.join(e,
+      col("user_id") === col("e_user") &&
+        col("ets") >= col("cts") - expr("INTERVAL 1 HOUR") && col("ets") <= col("cts"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("err_id"),
+        (unix_micros(col("cts")) - unix_micros(col("ets"))).as("gap_us"))
+  }
+
   /** Per-user session accumulator for [[sessionsWithState]]. */
   case class SessionAcc(start: Long, last: Long, n: Long)
 

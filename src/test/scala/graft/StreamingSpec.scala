@@ -450,6 +450,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream interval join emits null-match rows only after watermark expiry") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(min: Int) = new Timestamp(24L * 3600_000L + min * 60_000L)
+    val memC = MemoryStream[Ev]
+    val memE = MemoryStream[Ev]
+    val q = StreamJobs.intervalJoinOuter(memC.toDF(), memE.toDF())
+      .writeStream.format("memory").queryName("ssoj").outputMode("append").start()
+    try {
+      // user 1's click has an error 30 min before (in the 1h window);
+      // user 2's click has no error at all
+      memC.addData(Ev(101, at(60), 1, "click", 0.0, "{}"),
+        Ev(102, at(60), 2, "click", 0.0, "{}"))
+      memE.addData(Ev(201, at(30), 1, "error", 0.0, "{}"))
+      q.processAllAvailable()
+      val early = spark.table("ssoj").collect()
+      assert(early.exists(r => r.getLong(0) == 101 && !r.isNullAt(2) && r.getLong(2) == 201),
+        "matched pair must emit like the inner join")
+      assert(!early.exists(_.getLong(0) == 102),
+        "unmatched click must NOT emit while an error could still arrive")
+      // push BOTH watermarks far past click 102's join window; null
+      // emission happens on the batch AFTER the watermark advances, so
+      // feed two sentinel rounds
+      for (i <- 0 to 1) {
+        memC.addData(Ev(110 + i, at(600 + i), 9, "click", 0.0, "{}"))
+        memE.addData(Ev(210 + i, at(600 + i), 9, "error", 0.0, "{}"))
+        q.processAllAvailable()
+      }
+      val nulls = spark.table("ssoj").collect().filter(_.getLong(0) == 102)
+      assert(nulls.length == 1, s"unmatched click must emit exactly once, got ${nulls.length}")
+      assert(nulls.head.isNullAt(2) && nulls.head.isNullAt(3),
+        "expired unmatched click must carry null error columns")
+    } finally q.stop()
+  }
+
   test("stream-static range join enriches streamed events with their containing interval") {
     val s = spark
     import s.implicits._
