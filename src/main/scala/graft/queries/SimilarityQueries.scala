@@ -279,10 +279,11 @@ object SimilarityQueries {
       .orderBy("src", "rank")
   }
 
-  /** DuckDB twin of [[knnGraph]]: same candidates ([[lshCandidateCte]]),
-    * symmetrized, exact cosine, per-node row_number top-5. */
-  val knnGraphSql: String =
-    s"""WITH $lshCandidateCte,
+  /** The [[knnGraph]] oracle pipeline as a CTE chain ending in `r`
+    * (src, dst, cos, rank — UNCUT): shared verbatim by [[knnGraphSql]]
+    * and [[semanticClustersSql]] so the two cannot drift. */
+  private val knnGraphRankedCte: String =
+    s"""$lshCandidateCte,
        |edges AS (SELECT v1 AS src, v2 AS dst FROM cand
        |          UNION ALL SELECT v2, v1 FROM cand),
        |cs AS (SELECT edges.src, edges.dst, sum(a.v * b.v) AS dot,
@@ -294,10 +295,69 @@ object SimilarityQueries {
        |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
        |      FROM (SELECT src, dst,
        |                   CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
-       |            FROM cs))
+       |            FROM cs))""".stripMargin
+
+  /** DuckDB twin of [[knnGraph]]: same candidates ([[lshCandidateCte]]),
+    * symmetrized, exact cosine, per-node row_number top-5. */
+  val knnGraphSql: String =
+    s"""WITH $knnGraphRankedCte
        |SELECT src, dst, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 5
        |ORDER BY src, rank""".stripMargin
+
+  /** SEMANTIC CLUSTERS — connected components over the MUTUAL edges of
+    * the k-NN graph: (a, b) clusters together only when each ranks the
+    * other in its top-k. This is the semantic-dedup decision layer a
+    * curation pipeline runs over embeddings (the near-identical
+    * paraphrase/translation/re-render groups that survive text-level
+    * dedup): mutuality is the standard cut that keeps hub vectors —
+    * generic boilerplate embeddings near everything — from chaining
+    * unrelated documents into one giant cluster, because a hub's
+    * victims rank IT but it only ranks k of them back.
+    *
+    * Every stage reuses audited machinery: [[knnGraphOn]] (bucketed
+    * candidates, bounded out-degree), a self-join on the k·n-row edge
+    * list for mutuality (the graph is localCheckpoint'd first — both
+    * join sides read the materialized rows instead of planning the
+    * LSH+rerank pipeline twice), then
+    * [[DedupQueries.components]] (min-label fixpoint, path halving).
+    * Output is linear in the mutual-edge endpoints: (vec_id,
+    * cluster_id = min member, is_canonical); vectors with no mutual
+    * neighbor are trivial singletons and are omitted, matching the
+    * dedup-clusters contract. */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       nPlanes: Int = 8, k: Int = 5): DataFrame = {
+    val g = knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val mut = g.alias("a").join(g.alias("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("d1"), col("a.dst").as("d2"))
+    DedupQueries.components(mut)
+      .select(col("doc").as("vec_id"), col("root").as("cluster_id"),
+        (col("doc") === col("root")).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[semanticClusters]]: the ranked k-NN CTE
+    * ([[knnGraphRankedCte]]), mutual-edge cut, recursive transitive
+    * closure + min-label root (the dedup-clusters oracle pattern). */
+  val semanticClustersSql: String =
+    s"""WITH RECURSIVE $knnGraphRankedCte,
+       |g AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |mut AS (SELECT a.src AS d1, a.dst AS d2
+       |        FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+       |        WHERE a.src < a.dst),
+       |ed AS (SELECT d1, d2 FROM mut UNION ALL SELECT d2, d1 FROM mut),
+       |tc AS (
+       |  SELECT d1 AS a, d2 AS b FROM ed
+       |  UNION
+       |  SELECT tc.a, ed.d2 FROM tc JOIN ed ON tc.b = ed.d1 WHERE tc.a <> ed.d2
+       |)
+       |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical FROM (
+       |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM tc GROUP BY a)
+       |ORDER BY vec_id""".stripMargin
 
   /** The [[annLsh]] oracle pipeline as a CTE chain ending in `lshr`
     * (qid, cid, cos, rank — UNCUT): shared verbatim by [[annLshSql]]

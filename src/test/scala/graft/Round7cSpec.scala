@@ -63,6 +63,37 @@ class Round7cSpec extends SparkSpec {
     assert(clusters.forall(c => c._3 == (c._1 == c._2)))
   }
 
+  test("semantic clusters are the components of the MUTUAL knn edges, and only those") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val g = SimilarityQueries.knnGraphOn(emb, 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference mutual pairs + plain-Scala union-find over them
+    val mut = g.filter { case (a, b) => a < b && g.contains((b, a)) }
+    assume(mut.nonEmpty, "fixture should contain mutual knn pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mut.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = mut.flatMap(p => Seq(p._1, p._2))
+    val expected = ids.map(i => (i, find(i))).toSet
+    val got = SimilarityQueries.semanticClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // a one-directional (hub) edge must never merge clusters on its own:
+    // any graph edge between two DIFFERENT clusters must be non-mutual
+    val root = got.toMap
+    g.foreach { case (a, b) =>
+      if (root.contains(a) && root.contains(b) && root(a) != root(b))
+        assert(!g.contains((b, a)), s"mutual edge ($a,$b) crosses clusters")
+    }
+  }
+
   test("bootstrap CI equals a plain-Scala replay of the Poisson-weight pipeline") {
     val docs = Seq.tabulate(40)(i => (i.toLong, 50L + 13 * i)).toDF("doc_id", "n_chars")
     val out = ExtensionQueries.bootstrapCiOf(docs).collect().head
