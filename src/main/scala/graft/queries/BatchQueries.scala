@@ -599,4 +599,62 @@ object BatchQueries {
        |       count(DISTINCT user_id) AS n_users
        |FROM events
        |WHERE event_type = 'purchase'""".stripMargin
+
+  /** Star-schema join (the TPC-H Q5 shape): revenue by nation for one
+    * region and a two-year order window, with the LOCAL-SUPPLIER
+    * correlation (c_nationkey = s_nationkey) that makes Q5 the classic
+    * optimizer benchmark — the customer-side and supplier-side
+    * nationkeys meet only after both fact joins.
+    *
+    * Scale shape: region (1 row after the filter) and nation (25) are
+    * broadcast — they never shuffle; the date filter is pushed into
+    * the orders scan so the two fact-fact shuffles (lineitem⋈orders on
+    * orderkey, then ⋈customer on custkey) run on the pre-filtered ~30%
+    * of orders; supplier joins on suppkey with the nationkey equality
+    * as a post-join residual, exactly where a distributed planner
+    * wants it (it is not an equi-key until both sides carry nations).
+    * Revenue uses the exact integer ten-thousandths convention of
+    * [[joinAggByDim]] — order-independent, cross-engine cent-exact. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val orders   = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val customer = Tables(spark, dir, "customer")
+    val supplier = Tables(spark, dir, "supplier")
+    val nation   = Tables(spark, dir, "nation")
+    val region   = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey") &&
+        customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("units"))
+      .select(col("n_name"), col("cnt"),
+        (expr("(units + 50) div 100").cast("double") / 100.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val starJoinSql: String =
+    """SELECT n_name, count(*) AS cnt,
+      |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
 }

@@ -2234,6 +2234,144 @@ object ExtensionQueries {
       .crossJoin(broadcast(hi))
   }
 
+  /** Frequent item PAIRS (market-basket mining, the A-Priori/PCY
+    * workload of MMDS ch.6): parts co-purchased within an order, with
+    * support and lift for the top pairs. The all-pairs blowup is
+    * avoided structurally: baskets are first collapsed to DISTINCT
+    * (order, part) — within-order repeats are quantity, not
+    * co-occurrence — and the self-join fans out only C(b,2) pairs per
+    * basket, where basket size b is bounded by order line count (≤13
+    * in this corpus, ~7 in TPC-H) — the join is basket-local, no
+    * cross-basket pairs ever materialize. The pair aggregate then
+    * shuffles on (p1, p2), sized by pairs that actually co-occur.
+    * At 100 TB: identical shape; if baskets were unbounded the
+    * distinct-collapse would be followed by a basket-size cap (PCY's
+    * hash-filter stage) — not needed for order-shaped baskets.
+    * Support/lift are single divisions of exact integer counts —
+    * deterministic cross-engine; the top-20 cut is tie-broken on the
+    * full (count, p1, p2) key. */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame =
+    frequentPairsOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def frequentPairsOf(lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint() // three consumers (pairs ×2, counts) — scan once
+    val nBaskets = items.agg(countDistinct("o").as("n_baskets"))
+    val itemCnt = items.groupBy("p").agg(count(lit(1)).as("ic"))
+    val top = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+      .orderBy(desc("pair_cnt"), asc("p1"), asc("p2"))
+      .limit(20)
+    top
+      .join(itemCnt.select(col("p").as("p1"), col("ic").as("c1")), "p1")
+      .join(itemCnt.select(col("p").as("p2"), col("ic").as("c2")), "p2")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("p1"), col("p2"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") / col("n_baskets"), 6).as("support"),
+        round((col("pair_cnt") * col("n_baskets")).cast("double")
+          / (col("c1") * col("c2")), 4).as("lift"))
+      .orderBy(desc("pair_cnt"), asc("p1"), asc("p2"))
+  }
+
+  val frequentPairsSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |nb AS (SELECT count(DISTINCT o) AS n_baskets FROM i),
+      |ic AS (SELECT p, count(*) AS ic FROM i GROUP BY p),
+      |top AS (SELECT a.p AS p1, b.p AS p2, count(*) AS pair_cnt
+      |        FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |        GROUP BY 1, 2 HAVING count(*) >= 2
+      |        ORDER BY pair_cnt DESC, p1, p2 LIMIT 20)
+      |SELECT p1, p2, pair_cnt,
+      |       round(CAST(pair_cnt AS DOUBLE) / n_baskets, 6) AS support,
+      |       round(CAST(pair_cnt * n_baskets AS DOUBLE) / (c1.ic * c2.ic), 4) AS lift
+      |FROM top
+      |JOIN ic c1 ON c1.p = top.p1
+      |JOIN ic c2 ON c2.p = top.p2
+      |CROSS JOIN nb
+      |ORDER BY pair_cnt DESC, p1, p2""".stripMargin
+
+  /** Leave-one-out TARGET ENCODING of a categorical column (the
+    * leakage-safe categorical-feature transform of large-scale feature
+    * engineering): each order's market segment is encoded by the mean
+    * order total of its segment EXCLUDING the order itself —
+    * (S − x)/(n − 1) — so a row never sees its own target, plus the
+    * Bayesian m-estimate smoothing tier (S + m·prior)/(n + m) that
+    * shrinks rare categories toward the global mean.
+    *
+    * One exchange total: per-row LOO is window arithmetic over the
+    * segment partition ([[targetEncodeRows]], the reusable per-row
+    * surface); this oracled aggregate derives every output from ONE
+    * hash aggregation because LOO is monotone-decreasing in x — the
+    * LOO extremes are (S − max x)/(n − 1) and (S − min x)/(n − 1),
+    * and the LOO MEAN collapses algebraically to S/n (∑(S−x)/(n−1)
+    * = (nS−S)/(n−1) = S — the no-net-leakage identity, emitted so the
+    * oracle pins it). Money rides as exact integer cents; every double
+    * is one division of exact integers — order-independent. */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame =
+    targetEncodeAgg(
+      Tables(spark, dir, "orders").join(
+        Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey")))
+
+  /** Per-row LOO + smoothed encodings (segment kept for inspection);
+    * null when the category is a singleton (no out-of-row evidence). */
+  private[graft] def targetEncodeRows(oc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+    oc.withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .withColumn("s", sum("cents").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("loo", when(col("n") > 1,
+        (col("s") - col("cents")).cast("double") / (col("n") - 1) / 100.0))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("cents"),
+        col("n"), col("loo"))
+  }
+
+  private val SmoothM = 100
+
+  private[graft] def targetEncodeAgg(oc: DataFrame): DataFrame = {
+    val seg = oc
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        min("cents").as("mn"), max("cents").as("mx"))
+    val g = seg.agg(sum("n").as("ng"), sum("s").as("sg"))
+    seg.crossJoin(broadcast(g))
+      .select(col("segment"), col("n"),
+        round(col("s").cast("double") / col("n") / 100.0, 4).as("loo_mean"),
+        round((col("s") - col("mx")).cast("double") / (col("n") - 1) / 100.0, 4)
+          .as("loo_min"),
+        round((col("s") - col("mn")).cast("double") / (col("n") - 1) / 100.0, 4)
+          .as("loo_max"),
+        // (S + m·Sg/ng)/(n + m) as one exact-integer ratio:
+        // (S·ng + m·Sg) / (ng·(n + m)) cents
+        round((col("s") * col("ng") + lit(SmoothM) * col("sg")).cast("double")
+          / (col("ng") * (col("n") + lit(SmoothM))) / 100.0, 4).as("smooth_enc"))
+      .orderBy("segment")
+  }
+
+  val targetEncodeSql: String =
+    s"""WITH seg AS (
+       |  SELECT c_mktsegment AS segment, count(*) AS n,
+       |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+       |         min(CAST(round(o_totalprice * 100) AS BIGINT)) AS mn,
+       |         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1),
+       |g AS (SELECT sum(n) AS ng, sum(s) AS sg FROM seg)
+       |SELECT segment, n,
+       |       round(CAST(s AS DOUBLE) / n / 100.0, 4) AS loo_mean,
+       |       round(CAST(s - mx AS DOUBLE) / (n - 1) / 100.0, 4) AS loo_min,
+       |       round(CAST(s - mn AS DOUBLE) / (n - 1) / 100.0, 4) AS loo_max,
+       |       round(CAST(s * ng + $SmoothM * sg AS DOUBLE)
+       |             / (ng * (n + $SmoothM)) / 100.0, 4) AS smooth_enc
+       |FROM seg CROSS JOIN g
+       |ORDER BY segment""".stripMargin
+
   /** DuckDB twin of [[bootstrapCi]]: identical hash ring, identical
     * inverse-CDF branch, identical order-statistic convention. */
   val bootstrapCiSql: String = {

@@ -2885,4 +2885,59 @@ object TextQueries {
        |LEFT JOIN exc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  private val EpochCount = 3
+  private val EpochShards = 8
+
+  /** Deterministic EPOCH RESHUFFLE + sharding (the data-delivery step
+    * between a curated corpus and the training loader): each epoch
+    * needs the corpus in a different, reproducible order, sharded so
+    * every loader rank reads a disjoint slice. Seeded `rand` cannot do
+    * this at scale — it depends on partition layout. Here the per-epoch
+    * permutation key is the overflow-safe modmul ring over
+    * (doc_id·E + epoch) (the [[splitBucketOf]] construction with the
+    * epoch folded into the key, so each epoch induces an independent
+    * ordering), shard = key mod 8 — per-row arithmetic, zero shuffle
+    * until the final shard-sized aggregate, repartition-invariant.
+    * Within a shard, the loader order IS the key (a write would
+    * `sortWithinPartitions` on it — local sort, no exchange).
+    *
+    * Output: per (epoch, shard) doc/char totals — the balance evidence
+    * (hash-sharding balances statistically; the numbers show it) — and
+    * an order-independent content checksum (sum of permutation keys);
+    * the spec pins the permutation property (every epoch covers every
+    * doc exactly once) and that epochs actually differ. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleOf(Tables(spark, dir, "documents"))
+
+  /** Per-epoch shard key in the 2³² modmul ring (engine-neutral). */
+  private def epochKey(kexpr: String): String =
+    s"pmod(pmod(pmod($kexpr, 4294967296) * 40503, 65536) * 65536" +
+      s" + pmod($kexpr, 4294967296) * 31153, 4294967296)"
+
+  private[graft] def epochShuffleOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(EpochCount - 1))))
+      .withColumn("k",
+        expr(epochKey(s"(pmod(doc_id, 4294967296) * $EpochCount + epoch)")))
+      .groupBy(col("epoch").cast("long").as("epoch"),
+        pmod(col("k"), lit(EpochShards.toLong)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        sum("k").as("checksum"))
+      .orderBy("epoch", "shard")
+
+  val epochShuffleSql: String = {
+    val key = s"((doc_id % 4294967296) * $EpochCount + epoch)"
+    val k = s"(((($key % 4294967296) * 40503) % 65536) * 65536" +
+      s" + ($key % 4294967296) * 31153) % 4294967296"
+    s"""SELECT epoch, CAST(k % $EpochShards AS BIGINT) AS shard,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+       |       CAST(sum(k) AS BIGINT) AS checksum
+       |FROM (SELECT n_chars, epoch, $k AS k
+       |      FROM (SELECT doc_id, n_chars,
+       |                   CAST(unnest(range($EpochCount)) AS BIGINT) AS epoch
+       |            FROM documents))
+       |GROUP BY 1, 2
+       |ORDER BY epoch, shard""".stripMargin
+  }
 }

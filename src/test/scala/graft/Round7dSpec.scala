@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{BatchQueries, ExtensionQueries, TextQueries}
+
+/** Round-7d operators: TPC-H Q5-shape star join, market-basket
+  * frequent pairs, leave-one-out target encoding, and the epoch
+  * reshuffle/sharding step — each pinned by an independent plain-Scala
+  * replay or a structural property the oracle hash can't see. */
+class Round7dSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star join broadcasts the dims and keeps the nationkey residual out of the scan") {
+    val df = BatchQueries.starJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "nation/region should ride a broadcast, not a shuffle")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in a star join")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) > 0))
+    // revenue-desc ordering with name tiebreak
+    val revs = rows.map(r => (-r.getDouble(2), r.getString(0))).toSeq
+    assert(revs == revs.sorted)
+  }
+
+  test("frequent pairs equal a plain-Scala basket replay (support, lift included)") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val items = li.select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val nBaskets = baskets.size
+    val itemCnt = items.groupBy(_._2).map { case (p, xs) => p -> xs.size }
+    val pairCnt = scala.collection.mutable.Map[(Long, Long), Int]()
+    baskets.foreach { b =>
+      val s = b.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairCnt((s(i), s(j))) = pairCnt.getOrElse((s(i), s(j)), 0) + 1
+    }
+    val expected = pairCnt.toSeq.filter(_._2 >= 2)
+      .sortBy { case ((p1, p2), c) => (-c, p1, p2) }.take(20)
+      .map { case ((p1, p2), c) =>
+        (p1, p2, c.toLong,
+          BigDecimal(c.toDouble / nBaskets).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(c.toDouble * nBaskets / (itemCnt(p1).toDouble * itemCnt(p2)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      }
+    val got = ExtensionQueries.frequentPairsOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == expected.length,
+      s"row count ${got.length} vs ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 2e-6 && math.abs(g._5 - e._5) < 2e-4,
+        s"support/lift drift: $g vs $e")
+    }
+  }
+
+  test("per-row LOO target encoding matches a plain-Scala replay and the no-leakage identity") {
+    val oc = Seq(
+      (1L, "A", 10.00), (2L, "A", 20.00), (3L, "A", 31.50),
+      (4L, "B", 5.25), (5L, "B", 7.75),
+      (6L, "C", 99.99) // singleton: no out-of-row evidence -> null
+    ).toDF("o_orderkey", "c_mktsegment", "o_totalprice")
+    val rows = ExtensionQueries.targetEncodeRows(oc).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val byName = Map(
+      1L -> Some((2000L + 3150L) / 2.0 / 100), 2L -> Some((1000L + 3150L) / 2.0 / 100),
+      3L -> Some((1000L + 2000L) / 2.0 / 100), 4L -> Some(7.75), 5L -> Some(5.25),
+      6L -> None)
+    assert(rows == byName, s"$rows")
+    // mean of LOO over a group == group mean (the identity the agg emits)
+    val looA = Seq(rows(1L).get, rows(2L).get, rows(3L).get)
+    assert(math.abs(looA.sum / 3 - (10.00 + 20.00 + 31.50) / 3) < 1e-9)
+  }
+
+  test("epoch shuffle is a permutation per epoch, balanced, and epochs differ") {
+    val docs = Tables(spark, sfDir, "documents")
+    val total = docs.count()
+    val chars = docs.agg(sum("n_chars")).head.getLong(0)
+    val out = TextQueries.epochShuffleOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val epochs = out.groupBy(_._1)
+    assert(epochs.keySet == Set(0L, 1L, 2L))
+    epochs.foreach { case (e, rs) =>
+      assert(rs.map(_._3).sum == total, s"epoch $e must cover every doc once")
+      assert(rs.map(_._4).sum == chars, s"epoch $e must cover every char once")
+      // statistical balance: no shard is pathologically loaded
+      assert(rs.map(_._3).max <= total / 2, s"epoch $e shard balance")
+    }
+    // different epochs induce different shard assignments: the per-shard
+    // checksums (sum of permutation keys) cannot all coincide
+    val sums = epochs.map { case (_, rs) => rs.sortBy(_._2).map(_._5).toSeq }
+    assert(sums.toSet.size == 3, "epoch permutations must differ")
+    // repartition invariance: assignment is per-row arithmetic
+    val re = TextQueries.epochShuffleOf(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.sorted.toSeq == out.sorted.toSeq)
+  }
+}
