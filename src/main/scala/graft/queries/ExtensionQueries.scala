@@ -2372,6 +2372,165 @@ object ExtensionQueries {
        |FROM seg CROSS JOIN g
        |ORDER BY segment""".stripMargin
 
+  private val EqHistK = 8
+
+  /** Equi-DEPTH histogram (k buckets of ~equal row count) — the
+    * boundary computation behind range partitioning, optimizer column
+    * stats, and skew-aware sort layouts. NOT computed with a global
+    * row_number: a whole-relation rank is a single-partition window at
+    * scale. Instead the relation collapses to its distinct-VALUE
+    * histogram first (one hash aggregation — the only pass over the
+    * data), and every boundary derives from the cumulative counts of
+    * that vocabulary-sized table; each distinct value lands wholly in
+    * the bucket its first row falls in, which is exactly how a range
+    * partitioner must treat ties (a tie cannot straddle an exchange
+    * boundary). Bucket counts deviate from n/k only by tie spill —
+    * emitted so the skew is visible. All-integer cents arithmetic;
+    * cross-engine exact. */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame =
+    equidepthHistOf(Tables(spark, dir, "orders"))
+
+  private[graft] def equidepthHistOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = orders
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val w = Window.orderBy("v")
+    h.withColumn("cum",
+        coalesce(sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(h.agg(sum("t").as("n"))))
+      .groupBy(expr(s"least(${EqHistK - 1}, (cum * $EqHistK) div n)").as("bucket"))
+      .agg(sum("t").as("cnt"),
+        (min("v").cast("double") / 100.0).as("lo"),
+        (max("v").cast("double") / 100.0).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val equidepthHistSql: String =
+    s"""WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS t
+       |           FROM orders GROUP BY 1),
+       |c AS (SELECT v, t,
+       |             coalesce(sum(t) OVER (ORDER BY v
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+       |             sum(t) OVER () AS n
+       |      FROM h)
+       |SELECT least($EqHistK - 1, CAST(cum * $EqHistK // n AS BIGINT)) AS bucket,
+       |       CAST(sum(t) AS BIGINT) AS cnt,
+       |       CAST(min(v) AS DOUBLE) / 100.0 AS lo,
+       |       CAST(max(v) AS DOUBLE) / 100.0 AS hi
+       |FROM c
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * test that [[abTest]]'s t-statistic cannot replace when the metric
+    * is heavy-tailed (session values, doc lengths): does the 'click'
+    * value distribution stochastically dominate 'purchase'?
+    *
+    * Rank statistics WITHOUT ranking the rows: the fact table collapses
+    * to its distinct-value histogram (one aggregation — the only
+    * full-data pass; value cardinality is bounded by the 2dp domain),
+    * and the tie-averaged rank-sum comes from the histogram identity
+    * 2·R₁ = Σ_v n₁(v)·(2·below(v) + t(v) + 1), with the tie correction
+    * Σ(t³−t) from the same table. Everything up to the final z is
+    * exact integer arithmetic; U₁ is half-integer-exact (one divide by
+    * 2); z applies the tie-corrected normal approximation in one fixed
+    * double expression tree — no double is ever aggregated. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables(spark, dir, "events"), "click", "purchase")
+
+  private[graft] def mannWhitneyOf(events: DataFrame, g1: String, g2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = events
+      .filter(col("event_type").isin(g1, g2))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+        when(col("event_type") === g1, 1L).otherwise(0L).as("is1"))
+      .groupBy("v").agg(count(lit(1)).as("t"), sum("is1").as("n1v"))
+    val w = Window.orderBy("v")
+    h.withColumn("below",
+        coalesce(sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(
+        sum("n1v").as("n1"), sum(col("t") - col("n1v")).as("n2"),
+        sum(col("n1v") * (lit(2) * col("below") + col("t") + 1)).as("twice_r1"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(col("n1"), col("n2"),
+        ((col("twice_r1") - col("n1") * (col("n1") + 1)).cast("double") / 2.0).as("u1"),
+        round(
+          (col("twice_r1") - col("n1") * (col("n1") + 1) - col("n1") * col("n2"))
+            .cast("double") /
+          (lit(2.0) * sqrt(
+            (col("n1") * col("n2")).cast("double") / 12.0 *
+              ((col("n1") + col("n2") + 1).cast("double") -
+                col("ties").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1))))),
+          6).as("z"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH h AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v, count(*) AS t,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1v
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |c AS (SELECT v, t, n1v,
+      |             coalesce(sum(t) OVER (ORDER BY v
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |      FROM h),
+      |s AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+      |             CAST(sum(t - n1v) AS BIGINT) AS n2,
+      |             CAST(sum(n1v * (2 * below + t + 1)) AS BIGINT) AS twice_r1,
+      |             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      |      FROM c)
+      |SELECT n1, n2,
+      |       CAST(twice_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+      |       round(CAST(twice_r1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+      |                * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |                   - CAST(ties AS DOUBLE)
+      |                     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6) AS z
+      |FROM s""".stripMargin
+
+  /** JOIN-CARDINALITY FORECAST — predict a join's output size (and its
+    * skew) from the two sides' key histograms, WITHOUT running the
+    * join: |A⋈B| = Σ_k c_A(k)·c_B(k). This is the shuffle-sizing
+    * pre-check a pipeline runs before committing to an expensive
+    * self-join — here forecasting [[frequentPairs]]' basket self-join:
+    * per-basket distinct-item counts c give the self-join fan-out
+    * Σc² and the true pair yield Σc(c−1)/2, plus the largest single
+    * basket's share (the would-be straggler). The histograms are
+    * key-cardinality-sized — the forecast costs one aggregation,
+    * orders of magnitude under the join it sizes; all counts exact
+    * integers, the share a single division. */
+  def joinForecast(spark: SparkSession, dir: String): DataFrame =
+    joinForecastOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def joinForecastOf(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .groupBy("o").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_baskets"),
+        sum("c").as("n_items"),
+        sum(col("c") * col("c")).as("selfjoin_rows"),
+        expr("sum(c * (c - 1)) div 2").as("pair_rows"),
+        max("c").as("max_basket"))
+      .select(col("n_baskets"), col("n_items"), col("selfjoin_rows"),
+        col("pair_rows"), col("max_basket"),
+        round((col("max_basket") * (col("max_basket") - 1)).cast("double")
+          / 2.0 / col("pair_rows"), 6).as("top_basket_share"))
+
+  val joinForecastSql: String =
+    """WITH c AS (SELECT o, count(*) AS c FROM
+      |             (SELECT DISTINCT l_orderkey AS o, l_partkey FROM lineitem)
+      |           GROUP BY o)
+      |SELECT count(*) AS n_baskets,
+      |       CAST(sum(c) AS BIGINT) AS n_items,
+      |       CAST(sum(c * c) AS BIGINT) AS selfjoin_rows,
+      |       CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS pair_rows,
+      |       CAST(max(c) AS BIGINT) AS max_basket,
+      |       round(CAST(max(c) * (max(c) - 1) AS DOUBLE) / 2.0
+      |             / (sum(c * (c - 1)) // 2), 6) AS top_basket_share
+      |FROM c""".stripMargin
+
   /** DuckDB twin of [[bootstrapCi]]: identical hash ring, identical
     * inverse-CDF branch, identical order-statistic convention. */
   val bootstrapCiSql: String = {

@@ -96,4 +96,71 @@ class Round7dSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(re.sorted.toSeq == out.sorted.toSeq)
   }
+
+  test("equi-depth histogram: counts balance, boundaries partition, ties never straddle") {
+    val orders = Tables(spark, sfDir, "orders")
+    val cents = orders.select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val out = ExtensionQueries.equidepthHistOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == cents.length)
+    // plain-Scala replay: whole distinct value -> bucket of its first row
+    val hist = cents.groupBy(identity).toSeq.map { case (v, xs) => (v, xs.size.toLong) }
+      .sortBy(_._1)
+    val n = cents.length.toLong
+    var cum = 0L
+    val byBucket = hist.map { case (v, t) =>
+      val b = math.min(7L, cum * 8 / n); cum += t; (b, v, t)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, vs) =>
+      (b, vs.map(_._3).sum, vs.map(_._2).min / 100.0, vs.map(_._2).max / 100.0)
+    }
+    assert(out.toSeq == byBucket, s"${out.toSeq.take(2)} vs ${byBucket.take(2)}")
+    // heavy-tie fixture: a value spanning a boundary stays in one bucket
+    val tied = Seq.fill(40)(10.00) ++ Seq.fill(20)(20.00) ++ Seq.fill(4)(30.00)
+    val tdf = tied.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("o_orderkey", "o_totalprice")
+    val tout = ExtensionQueries.equidepthHistOf(tdf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // 64 rows, k=8 -> target 8/bucket, but the 40-row tie owns bucket 0
+    assert(tout.map(t => (t._1, t._2)).toSeq == Seq((0L, 40L), (5L, 20L), (7L, 4L)))
+  }
+
+  test("mann-whitney U and z match a plain-Scala tie-averaged rank replay") {
+    val ev = Seq(
+      ("click", 1.00), ("click", 2.00), ("click", 2.00), ("click", 5.00),
+      ("purchase", 2.00), ("purchase", 3.00), ("purchase", 4.00),
+      ("view", 99.0) // must be excluded
+    ).map { case (t, v) => (t, v) }.toDF("event_type", "value")
+    val out = ExtensionQueries.mannWhitneyOf(ev, "click", "purchase").collect().head
+    // plain replay: tie-averaged ranks over the combined sample
+    val xs = Seq((1, 100L), (1, 200L), (1, 200L), (1, 500L),
+      (2, 200L), (2, 300L), (2, 400L))
+    val sorted = xs.sortBy(_._2)
+    val rankOf = sorted.map(_._2).zipWithIndex.groupBy(_._1)
+      .map { case (v, ps) => v -> ps.map(_._2 + 1).sum.toDouble / ps.size }
+    val r1 = xs.filter(_._1 == 1).map(x => rankOf(x._2)).sum
+    val (n1, n2) = (4.0, 3.0)
+    val u1 = r1 - n1 * (n1 + 1) / 2
+    val n = n1 + n2
+    val ties = sorted.groupBy(_._2).values.map(_.size.toDouble)
+      .map(t => t * t * t - t).sum
+    val z = (u1 - n1 * n2 / 2) /
+      math.sqrt(n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    assert(out.getLong(0) == 4 && out.getLong(1) == 3)
+    assert(out.getDouble(2) == u1, s"u1 ${out.getDouble(2)} vs $u1")
+    assert(math.abs(out.getDouble(3) - z) < 1e-6, s"z ${out.getDouble(3)} vs $z")
+  }
+
+  test("join forecast equals the actual self-join cardinalities it predicts") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val out = ExtensionQueries.joinForecastOf(li).collect().head
+    val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val actualSelf = items.alias("a")
+      .join(items.alias("b"), col("a.o") === col("b.o")).count()
+    val actualPairs = items.alias("a").join(items.alias("b"),
+      col("a.o") === col("b.o") && col("a.p") < col("b.p")).count()
+    assert(out.getLong(2) == actualSelf, "selfjoin_rows must equal the real fan-out")
+    assert(out.getLong(3) == actualPairs, "pair_rows must equal the real pair yield")
+    assert(out.getLong(0) > 0 && out.getDouble(5) > 0)
+  }
 }
