@@ -2253,9 +2253,14 @@ object ExtensionQueries {
   def frequentPairs(spark: SparkSession, dir: String): DataFrame =
     frequentPairsOf(Tables(spark, dir, "lineitem"))
 
+  /** Basket relation (order, part) DISTINCT — within-order repeats are
+    * quantity, not co-occurrence. Shared by [[frequentPairs]],
+    * [[assocRules]], [[joinForecast]]. */
+  private def basketItems(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+
   private[graft] def frequentPairsOf(lineitem: DataFrame): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val items = basketItems(lineitem)
       .localCheckpoint() // three consumers (pairs ×2, counts) — scan once
     val nBaskets = items.agg(countDistinct("o").as("n_baskets"))
     val itemCnt = items.groupBy("p").agg(count(lit(1)).as("ic"))
@@ -2396,9 +2401,12 @@ object ExtensionQueries {
       .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
       .groupBy("v").agg(count(lit(1)).as("t"))
     val w = Window.orderBy("v")
+    // cum and n ride the SAME Window sort over the distinct-value table
+    // (two frames, one WindowExec) — no second scan, no cross join
     h.withColumn("cum",
         coalesce(sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .crossJoin(broadcast(h.agg(sum("t").as("n"))))
+      .withColumn("n", sum("t").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .groupBy(expr(s"least(${EqHistK - 1}, (cum * $EqHistK) div n)").as("bucket"))
       .agg(sum("t").as("cnt"),
         (min("v").cast("double") / 100.0).as("lo"),
@@ -2490,6 +2498,63 @@ object ExtensionQueries {
       |                     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6) AS z
       |FROM s""".stripMargin
 
+  /** ASSOCIATION RULES from the frequent pairs — the step after
+    * [[frequentPairs]] in the A-Priori pipeline: each qualifying pair
+    * {X, Y} yields both directed rules X→Y and Y→X, scored by
+    * confidence = n(XY)/n(X) and MMDS's interest = confidence −
+    * support(Y) (how much X actually raises Y over its base rate; a
+    * high-confidence rule onto an everywhere-item scores ~0). Same
+    * basket-local fan-out bound as the pair mining; the rule scoring
+    * adds only item-histogram joins. Confidence/interest are single
+    * divisions of exact integers, ROUNDED BEFORE RANKING (the tfidf
+    * precedent) so cut and output can't disagree cross-engine; the
+    * top-20 cut tie-breaks on the full rounded-score+counts+ids key. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def assocRulesOf(lineitem: DataFrame): DataFrame = {
+    val items = basketItems(lineitem).localCheckpoint()
+    val nBaskets = items.agg(countDistinct("o").as("n_baskets"))
+    val itemCnt = items.groupBy("p").agg(count(lit(1)).as("ic"))
+    val pairs = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+    val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("pair_cnt"))
+      .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("pair_cnt")))
+    rules
+      .join(itemCnt.select(col("p").as("ante"), col("ic").as("c_ante")), "ante")
+      .join(itemCnt.select(col("p").as("cons"), col("ic").as("c_cons")), "cons")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("cons"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") / col("c_ante"), 6).as("confidence"),
+        round(col("pair_cnt").cast("double") / col("c_ante")
+          - col("c_cons").cast("double") / col("n_baskets"), 6).as("interest"))
+      .orderBy(desc("confidence"), desc("pair_cnt"), asc("ante"), asc("cons"))
+      .limit(20)
+  }
+
+  val assocRulesSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |nb AS (SELECT count(DISTINCT o) AS n_baskets FROM i),
+      |ic AS (SELECT p, count(*) AS ic FROM i GROUP BY p),
+      |pr AS (SELECT a.p AS p1, b.p AS p2, count(*) AS pair_cnt
+      |       FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |rules AS (SELECT p1 AS ante, p2 AS cons, pair_cnt FROM pr
+      |          UNION ALL SELECT p2, p1, pair_cnt FROM pr)
+      |SELECT ante, cons, pair_cnt,
+      |       round(CAST(pair_cnt AS DOUBLE) / c1.ic, 6) AS confidence,
+      |       round(CAST(pair_cnt AS DOUBLE) / c1.ic
+      |             - CAST(c2.ic AS DOUBLE) / n_baskets, 6) AS interest
+      |FROM rules
+      |JOIN ic c1 ON c1.p = rules.ante
+      |JOIN ic c2 ON c2.p = rules.cons
+      |CROSS JOIN nb
+      |ORDER BY confidence DESC, pair_cnt DESC, ante, cons
+      |LIMIT 20""".stripMargin
+
   /** JOIN-CARDINALITY FORECAST — predict a join's output size (and its
     * skew) from the two sides' key histograms, WITHOUT running the
     * join: |A⋈B| = Σ_k c_A(k)·c_B(k). This is the shuffle-sizing
@@ -2505,8 +2570,7 @@ object ExtensionQueries {
     joinForecastOf(Tables(spark, dir, "lineitem"))
 
   private[graft] def joinForecastOf(lineitem: DataFrame): DataFrame =
-    lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    basketItems(lineitem)
       .groupBy("o").agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("n_baskets"),
         sum("c").as("n_items"),

@@ -2926,6 +2926,134 @@ object TextQueries {
         sum("k").as("checksum"))
       .orderBy("epoch", "shard")
 
+  private val CvFolds = 5
+
+  /** K-FOLD CROSS-VALIDATION fold assignment + fold-complement stats:
+    * the deterministic fold split (modmul ring, third independent
+    * multiplier 0xC2B2AE3D so folds correlate with neither the
+    * train/val/test split nor the sample bucket) and, per fold, the
+    * TRAIN-COMPLEMENT statistics computed by the merge algebra —
+    * (S_g − S_f)/(n_g − n_f) — i.e. the stats of the other k−1 folds
+    * WITHOUT rescanning them. That subtraction is the whole point of
+    * CV at 100 TB: one corpus pass yields per-fold sums, and every
+    * complement is arithmetic on the k-row table. Exact integer sums;
+    * means are single divisions, rounded at output. */
+  def cvFolds(spark: SparkSession, dir: String): DataFrame =
+    cvFoldsOf(Tables(spark, dir, "documents"))
+
+  private[graft] val CvFoldExpr: String =
+    s"CAST(pmod(pmod(pmod(doc_id, 4294967296) * 49842, 65536) * 65536" +
+      s" + pmod(doc_id, 4294967296) * 44605, 4294967296) % $CvFolds AS INT)"
+
+  private[graft] def cvFoldsOf(docs: DataFrame): DataFrame = {
+    val perFold = docs
+      .groupBy(expr(CvFoldExpr).as("fold"))
+      .agg(count(lit(1)).as("n_val"), sum("n_chars").as("s_val"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perFold
+      .withColumn("n_g", sum("n_val").over(w))
+      .withColumn("s_g", sum("s_val").over(w))
+      .select(col("fold"), col("n_val"),
+        (col("n_g") - col("n_val")).as("n_train"),
+        round(col("s_val").cast("double") / col("n_val"), 4).as("val_mean_chars"),
+        round((col("s_g") - col("s_val")).cast("double")
+          / (col("n_g") - col("n_val")), 4).as("train_mean_chars"))
+      .orderBy("fold")
+  }
+
+  val cvFoldsSql: String = {
+    val fold = s"CAST((((doc_id % 4294967296) * 49842 % 65536) * 65536" +
+      s" + (doc_id % 4294967296) * 44605) % 4294967296 % $CvFolds AS INTEGER)"
+    s"""WITH f AS (SELECT $fold AS fold, count(*) AS n_val,
+       |                  sum(n_chars) AS s_val
+       |           FROM documents GROUP BY 1),
+       |g AS (SELECT sum(n_val) AS n_g, sum(s_val) AS s_g FROM f)
+       |SELECT fold, CAST(n_val AS BIGINT) AS n_val,
+       |       CAST(n_g - n_val AS BIGINT) AS n_train,
+       |       round(CAST(s_val AS DOUBLE) / n_val, 4) AS val_mean_chars,
+       |       round(CAST(s_g - s_val AS DOUBLE) / (n_g - n_val), 4) AS train_mean_chars
+       |FROM f CROSS JOIN g
+       |ORDER BY fold""".stripMargin
+  }
+
+  /** DECILE LIFT of the quality classifier against the exact-dup
+    * label — the rank-based companion to [[classifierCalibration]]
+    * (which bins by VALUE precisely because exact deciles "would
+    * demand a corpus-wide sort"). The equi-depth histogram technique
+    * lifts that restriction: deciles come from the distinct-LOGIT
+    * histogram (integer logits have bounded cardinality — the only
+    * full-data pass is the scoring aggregation), cum/total ride one
+    * WindowExec over that vocabulary-sized table, and a whole logit
+    * value lands in one decile (rank ties are unsplittable, the range-
+    * exchange rule). Lift = dup_rate(decile)/dup_rate(corpus) as one
+    * division of exact integer products (NULL if the corpus has no
+    * dups at all — lift is undefined, and engines disagree on x/0).
+    *
+    * The label is the PREFIX fingerprint (md5 of the first 64
+    * normalized chars): the cheap first-tier near-dup signal — this
+    * corpus's planted near-dups are edits that share prefixes, while
+    * full-text md5 matches nothing (zero exact dups by construction). */
+  def decileLift(spark: SparkSession, dir: String): DataFrame =
+    decileLiftOf(Tables(spark, dir, "documents"))
+
+  private[graft] def decileLiftOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val scored = docs.select(
+        col("doc_id"),
+        expr("hashed_logit(text)").getItem(0).as("logit"),
+        md5(substring(lower(trim(col("text"))), 1, 64)).as("fp"))
+      .withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy("fp")) > 1).cast("long"))
+    val h = scored.groupBy("logit")
+      .agg(count(lit(1)).as("t"), sum("is_dup").as("d"))
+    val w = Window.orderBy("logit")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("cum",
+        coalesce(sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("t").over(full))
+      .withColumn("dups", sum("d").over(full))
+      .groupBy(expr("least(9, (cum * 10) div n)").as("decile"))
+      .agg(sum("t").as("n_docs"), sum("d").as("n_dups"),
+        min("logit").as("lo"), max("logit").as("hi"),
+        Det.rnd(sum("d").cast("double") / sum("t"), 4).as("dup_rate"),
+        when(max("dups") > 0,
+          round((sum("d") * max("n")).cast("double")
+            / (sum("t") * max("dups")), 4)).as("lift"))
+      .orderBy("decile")
+  }
+
+  val decileLiftSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |lg AS (SELECT doc_id,
+       |              CAST(sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |                       % 4294967296 % 17 - 8) AS BIGINT) AS logit
+       |       FROM toks GROUP BY 1),
+       |fp AS (SELECT doc_id,
+       |              md5(substr(lower(trim(text)), 1, 64)) AS fp
+       |       FROM documents),
+       |dup AS (SELECT doc_id,
+       |               CAST(count(*) OVER (PARTITION BY fp) > 1 AS BIGINT) AS is_dup
+       |        FROM fp),
+       |h AS (SELECT logit, count(*) AS t, sum(is_dup) AS d
+       |      FROM lg JOIN dup USING (doc_id) GROUP BY 1),
+       |c AS (SELECT logit, t, d,
+       |             coalesce(sum(t) OVER (ORDER BY logit
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+       |             sum(t) OVER () AS n, sum(d) OVER () AS dups
+       |      FROM h)
+       |SELECT least(9, CAST(cum * 10 // n AS BIGINT)) AS decile,
+       |       CAST(sum(t) AS BIGINT) AS n_docs, CAST(sum(d) AS BIGINT) AS n_dups,
+       |       CAST(min(logit) AS BIGINT) AS lo, CAST(max(logit) AS BIGINT) AS hi,
+       |       ${Det.rndSql("CAST(sum(d) AS DOUBLE) / sum(t)", 4)} AS dup_rate,
+       |       CASE WHEN max(dups) = 0 THEN NULL
+       |            ELSE round(CAST(sum(d) * max(n) AS DOUBLE)
+       |                       / (sum(t) * max(dups)), 4) END AS lift
+       |FROM c
+       |GROUP BY 1
+       |ORDER BY decile""".stripMargin
+
   val epochShuffleSql: String = {
     val key = s"((doc_id % 4294967296) * $EpochCount + epoch)"
     val k = s"(((($key % 4294967296) * 40503) % 65536) * 65536" +

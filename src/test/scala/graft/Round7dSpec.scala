@@ -151,6 +151,79 @@ class Round7dSpec extends SparkSpec {
     assert(math.abs(out.getDouble(3) - z) < 1e-6, s"z ${out.getDouble(3)} vs $z")
   }
 
+  test("association rules: confidence and interest replay from the basket counts") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val items = li.select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = items.map(_._1).distinct.length
+    val itemCnt = items.groupBy(_._2).map { case (p, xs) => p -> xs.size }
+    val pairCnt = scala.collection.mutable.Map[(Long, Long), Int]()
+    items.groupBy(_._1).values.foreach { xs =>
+      val s = xs.map(_._2).toSet.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairCnt((s(i), s(j))) = pairCnt.getOrElse((s(i), s(j)), 0) + 1
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val rules = pairCnt.toSeq.filter(_._2 >= 2).flatMap { case ((p1, p2), c) =>
+      Seq((p1, p2, c), (p2, p1, c)) }
+      .map { case (a, b, c) =>
+        (a, b, c.toLong, r6(c.toDouble / itemCnt(a)),
+          r6(c.toDouble / itemCnt(a) - itemCnt(b).toDouble / nBaskets))
+      }
+      .sortBy { case (a, b, c, conf, _) => (-conf, -c, a, b) }.take(20)
+    val got = ExtensionQueries.assocRulesOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == rules.length)
+    got.zip(rules).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 2e-6 && math.abs(g._5 - e._5) < 2e-6, s"$g vs $e")
+    }
+  }
+
+  test("cv folds: complement stats equal a direct recompute, folds partition the corpus") {
+    val docs = Tables(spark, sfDir, "documents")
+    val byFold = docs.selectExpr(s"${TextQueries.CvFoldExpr} AS fold", "n_chars")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val out = TextQueries.cvFoldsOf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._2).sum == byFold.length, "folds partition the corpus")
+    val total = byFold.map(_._2).sum
+    out.foreach { case (f, nVal, nTrain, valMean, trainMean) =>
+      val inFold = byFold.filter(_._1 == f)
+      assert(nVal == inFold.length && nTrain == byFold.length - inFold.length)
+      val s = inFold.map(_._2).sum
+      assert(math.abs(valMean - s.toDouble / nVal) < 1e-4)
+      assert(math.abs(trainMean - (total - s).toDouble / nTrain) < 1e-4,
+        "train mean must equal the complement recomputed directly")
+    }
+    // fold assignment is independent of the 80/10/10 split: every fold
+    // must contain docs from more than one split bucket
+    val cross = docs.selectExpr(s"${TextQueries.CvFoldExpr} AS fold",
+        "CAST(pmod(pmod(pmod(doc_id, 4294967296) * 40503, 65536) * 65536" +
+          " + pmod(doc_id, 4294967296) * 31153, 4294967296) % 100 < 80 AS INT) AS tr")
+      .groupBy("fold").agg(countDistinct("tr").as("k")).collect()
+    assert(cross.forall(_.getLong(1) == 2))
+  }
+
+  test("decile lift: deciles from the logit histogram, lift consistent with dup rates") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = TextQueries.decileLiftOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val n = docs.count()
+    assert(out.map(_._2).sum == n, "deciles partition the corpus")
+    // logit ranges are disjoint and increasing; a logit value never straddles
+    out.sliding(2).foreach { case Array(a, b) => assert(a._5 < b._4); case _ => }
+    // lift recomputes from the emitted exact counts
+    val dups = out.map(_._3).sum
+    out.foreach { case (_, nd, dd, _, _, rate, lift) =>
+      assert(math.abs(lift - (dd.toDouble * n) / (nd.toDouble * dups)) < 1e-4)
+      assert(math.abs(rate - dd.toDouble / nd) < 1e-4)
+    }
+    // equal depth within tie spill: no decile smaller than half the target
+    assert(out.forall(_._2 >= n / 10 / 2))
+  }
+
   test("join forecast equals the actual self-join cardinalities it predicts") {
     val li = Tables(spark, sfDir, "lineitem")
     val out = ExtensionQueries.joinForecastOf(li).collect().head
