@@ -2447,13 +2447,21 @@ object ExtensionQueries {
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitneyOf(Tables(spark, dir, "events"), "click", "purchase")
 
-  private[graft] def mannWhitneyOf(events: DataFrame, g1: String, g2: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = events
+  /** The running-histogram half of [[mannWhitney]] — a single
+    * streaming-safe aggregation (per-value counts are mergeable
+    * state), shared with `StreamJobs.mannWhitneyStream`. */
+  private[graft] def mannWhitneyHist(events: DataFrame, g1: String, g2: String): DataFrame =
+    events
       .filter(col("event_type").isin(g1, g2))
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"),
         when(col("event_type") === g1, 1L).otherwise(0L).as("is1"))
       .groupBy("v").agg(count(lit(1)).as("t"), sum("is1").as("n1v"))
+
+  /** The finishing step of [[mannWhitney]]: histogram (v, t, n1v) →
+    * one (n1, n2, u1, z) row. Vocabulary-sized input — runs per batch
+    * over materialized histogram state in the streaming twin. */
+  private[graft] def mannWhitneyFinish(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("v")
     h.withColumn("below",
         coalesce(sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -2473,6 +2481,9 @@ object ExtensionQueries {
                   ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1))))),
           6).as("z"))
   }
+
+  private[graft] def mannWhitneyOf(events: DataFrame, g1: String, g2: String): DataFrame =
+    mannWhitneyFinish(mannWhitneyHist(events, g1, g2))
 
   val mannWhitneySql: String =
     """WITH h AS (

@@ -727,6 +727,26 @@ object StreamJobs {
       .start()
   }
 
+  /** Streaming DISTRIBUTION-DRIFT monitor — the Mann-Whitney twin:
+    * the stream maintains only the per-value running histogram
+    * (v → (t, n1v)), a single streaming-safe aggregation whose state
+    * is mergeable counts (bounded by the 2dp value domain, like the
+    * batch query's one full-data pass); the rank-sum statistic itself
+    * is NOT a streaming aggregate — chained stateful aggregations are
+    * unsupported and unnecessary, because the finishing algebra
+    * (`ExtensionQueries.mannWhitneyFinish`) is vocabulary-sized and
+    * recomputes exactly per batch over the materialized state. The
+    * spec proves each micro-batch's finished z equals the batch twin
+    * on the union of all events so far — a live two-sample drift gate
+    * between event populations at histogram-state cost. */
+  def mannWhitneyStream(events: DataFrame,
+                        g1: String = "click", g2: String = "purchase"): DataFrame =
+    graft.queries.ExtensionQueries.mannWhitneyHist(events, g1, g2)
+
+  /** Finishing step re-export for the drift monitor's per-batch read. */
+  def mannWhitneyFinish(hist: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.mannWhitneyFinish(hist)
+
   def momentsStream(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

@@ -129,6 +129,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-batch Mann-Whitney z equals the batch twin on the union") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.mannWhitneyStream(mem.toDF())
+      .writeStream.format("memory").queryName("mwhist").outputMode("complete").start()
+    try {
+      def pay(id: Long, typ: String, v: Double) =
+        Ev(id, Timestamp.valueOf("2024-01-01 00:00:01"), 1, typ, v, "{}")
+      val b1 = Seq(pay(1, "click", 1.00), pay(2, "click", 2.00),
+        pay(3, "purchase", 2.00), pay(4, "view", 50.0)) // view excluded
+      val b2 = Seq(pay(5, "purchase", 3.00), pay(6, "click", 2.00),
+        pay(7, "purchase", 0.50))
+      def zRow(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).head
+      var seen = Seq.empty[Ev]
+      for (b <- Seq(b1, b2)) {
+        mem.addData(b: _*); q.processAllAvailable()
+        seen = seen ++ b
+        val streamed = zRow(StreamJobs.mannWhitneyFinish(spark.table("mwhist")))
+        val batch = zRow(graft.queries.ExtensionQueries
+          .mannWhitneyOf(seen.toDF(), "click", "purchase"))
+        assert(streamed == batch,
+          s"after ${seen.size} events: streamed $streamed vs batch $batch")
+      }
+      // the histogram state is value-cardinality-sized, not event-sized
+      assert(spark.table("mwhist").count() <= seen.count(_.event_type != "view"))
+    } finally q.stop()
+  }
+
   test("json file source consumes one file per micro-batch (reference Stream class)") {
     val s = spark
     import s.implicits._
