@@ -25,7 +25,9 @@ object Explain {
         "q_textrank", "q_ann_quantized", "q_kmv_intersect", "q_split_audit",
         "q_hybrid_retrieve", "q_semantic_decon", "q_substring_dedup",
         "q_ann_eval", "q_rolling_anomaly", "q_tfidf_topterms",
-        "q_knn_graph", "q_bootstrap_ci")
+        "q_knn_graph", "q_bootstrap_ci", "q_star_join", "q_frequent_pairs",
+        "q_semantic_clusters", "q_equidepth_hist", "q_decile_lift",
+        "q_target_encode", "q_epoch_shuffle")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")

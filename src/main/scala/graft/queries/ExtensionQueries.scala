@@ -546,10 +546,14 @@ object ExtensionQueries {
     * on the same partitioning — no self-joins, no second shuffle, no
     * per-user collect). Gaps are exact integer seconds; the funnel
     * aggregate is 4 rows. */
-  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user strict-progression funnel timestamps (t1..t4) — the
+    * window chain of [[eventFunnel]], factored so [[funnelTime]]
+    * reuses it. Materialized: one row per user, consumed by several
+    * downstream branches. */
+  private def funnelStagesOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id")
-    val staged = Tables(spark, dir, "events")
+    events
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsec"))
       .withColumn("t1", min(when(col("event_type") === "signup", col("tsec"))).over(w))
       .withColumn("t2", min(when(col("event_type") === "view" && col("tsec") > col("t1"), col("tsec"))).over(w))
@@ -557,9 +561,11 @@ object ExtensionQueries {
       .withColumn("t4", min(when(col("event_type") === "purchase" && col("tsec") > col("t3"), col("tsec"))).over(w))
       .groupBy("user_id")
       .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"), max("t4").as("t4"))
-      // one row per user, consumed by FOUR union branches below —
-      // materialize so the window chain + aggregate run once, not 4×
       .localCheckpoint()
+  }
+
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val staged = funnelStagesOf(Tables(spark, dir, "events"))
     val stages = Seq(
       ("1_signup", col("t1"), lit(null).cast("long")),
       ("2_view", col("t2"), col("t2") - col("t1")),
@@ -2508,6 +2514,133 @@ object ExtensionQueries {
       |                   - CAST(ties AS DOUBLE)
       |                     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6) AS z
       |FROM s""".stripMargin
+
+  /** TIME-TO-CONVERT quantiles per funnel stage: how long users take
+    * between consecutive funnel stages, as EXACT lower-median / p90 /
+    * max — the latency companion to [[eventFunnel]]'s mean gaps
+    * (heavy-tailed conversion delays make the mean misleading; the
+    * reference's describe() quartiles are the same instinct).
+    *
+    * Quantiles come from the gap-seconds HISTOGRAM (the equi-depth
+    * technique): per-user gaps collapse to (stage, gap) counts, the
+    * cumulative walk runs over that bounded-cardinality table
+    * (partitioned by stage — each partition is histogram-sized), and
+    * the quantile is the first gap whose cumulative count reaches
+    * ⌈q·n⌉. ZERO floating point — every output column is integer
+    * seconds. */
+  def funnelTime(spark: SparkSession, dir: String): DataFrame =
+    funnelTimeOf(Tables(spark, dir, "events"))
+
+  private[graft] def funnelTimeOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = funnelStagesOf(events)
+    val gaps = Seq(
+      ("2_view", col("t2") - col("t1")),
+      ("3_click", col("t3") - col("t2")),
+      ("4_purchase", col("t4") - col("t3")))
+      .map { case (name, g) =>
+        staged.filter(g.isNotNull).select(lit(name).as("stage"), g.as("gap")) }
+      .reduce(_ unionByName _)
+    val h = gaps.groupBy("stage", "gap").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy("stage").orderBy("gap")
+    val cum = h
+      .withColumn("thru", sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("t").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.groupBy("stage")
+      .agg(max("n").as("n_users"),
+        min(when(col("thru") * 2 >= col("n"), col("gap"))).as("median_gap_s"),
+        min(when(col("thru") * 10 >= col("n") * 9, col("gap"))).as("p90_gap_s"),
+        max("gap").as("max_gap_s"))
+      .orderBy("stage")
+  }
+
+  val funnelTimeSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+      |           FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND tsec > t1 THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsec > t2 THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |s4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsec > t3 THEN tsec END)
+      |                   OVER (PARTITION BY user_id) AS t4 FROM s3),
+      |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+      |      FROM s4 GROUP BY 1),
+      |gaps AS (
+      |  SELECT '2_view' AS stage, t2 - t1 AS gap FROM u WHERE t2 - t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT '3_click', t3 - t2 FROM u WHERE t3 - t2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT '4_purchase', t4 - t3 FROM u WHERE t4 - t3 IS NOT NULL),
+      |h AS (SELECT stage, gap, count(*) AS t FROM gaps GROUP BY 1, 2),
+      |c AS (SELECT stage, gap, t,
+      |             sum(t) OVER (PARTITION BY stage ORDER BY gap
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS thru,
+      |             sum(t) OVER (PARTITION BY stage) AS n
+      |      FROM h)
+      |SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+      |       CAST(min(CASE WHEN thru * 2 >= n THEN gap END) AS BIGINT) AS median_gap_s,
+      |       CAST(min(CASE WHEN thru * 10 >= n * 9 THEN gap END) AS BIGINT) AS p90_gap_s,
+      |       CAST(max(gap) AS BIGINT) AS max_gap_s
+      |FROM c
+      |GROUP BY stage
+      |ORDER BY stage""".stripMargin
+
+  /** MARKET-SHARE SHIFT — percent-of-total and rank trajectory by
+    * month: each order priority's share of that month's revenue, its
+    * within-month rank, and the rank movement vs the priority's
+    * previous appearance (plain `lag` — a month with no orders for a
+    * priority is skipped, not treated as rank ∞)
+    * (the share-analytics composition: aggregate → window-over-
+    * aggregate in TWO independent directions — within-month for
+    * share/rank, across-months per priority for the lag). The base
+    * aggregate is (month × priority)-sized, so every window here runs
+    * over a tiny relation — the single full-data pass is the cents
+    * aggregation. Revenue exact integer cents; share one division;
+    * ranks/deltas integers (rank ties broken by priority). */
+  def shareShift(spark: SparkSession, dir: String): DataFrame =
+    shareShiftOf(Tables(spark, dir, "orders"))
+
+  private[graft] def shareShiftOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderpriority").as("priority"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val wm = Window.partitionBy("month")
+    val wp = Window.partitionBy("priority").orderBy("month")
+    m.withColumn("total", sum("cents").over(wm))
+      .withColumn("rank", row_number().over(
+        wm.orderBy(desc("cents"), asc("priority"))))
+      .withColumn("rank_delta", lag("rank", 1).over(wp) - col("rank"))
+      .select(col("month"), col("priority"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        round(col("cents").cast("double") / col("total"), 6).as("share"),
+        col("rank"), col("rank_delta"))
+      .orderBy("month", "rank")
+  }
+
+  val shareShiftSql: String =
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+      |                  o_orderpriority AS priority,
+      |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |           FROM orders GROUP BY 1, 2),
+      |r AS (SELECT month, priority, cents,
+      |             sum(cents) OVER (PARTITION BY month) AS total,
+      |             row_number() OVER (PARTITION BY month
+      |               ORDER BY cents DESC, priority) AS rank
+      |      FROM m)
+      |SELECT month, priority,
+      |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      |       round(CAST(cents AS DOUBLE) / total, 6) AS share,
+      |       CAST(rank AS INTEGER) AS rank,
+      |       CAST(lag(rank) OVER (PARTITION BY priority ORDER BY month) - rank
+      |            AS INTEGER) AS rank_delta
+      |FROM r
+      |ORDER BY month, rank""".stripMargin
 
   /** ASSOCIATION RULES from the frequent pairs — the step after
     * [[frequentPairs]] in the A-Priori pipeline: each qualifying pair

@@ -224,6 +224,51 @@ class Round7dSpec extends SparkSpec {
     assert(out.forall(_._2 >= n / 10 / 2))
   }
 
+  test("funnel time: histogram quantiles equal a plain-Scala sorted-gaps replay") {
+    import java.sql.Timestamp
+    def e(id: Long, u: Long, typ: String, sec: Int) =
+      (id, new Timestamp(1704067200000L + sec * 1000L), u, typ, 1.0)
+    // u1 converts fast; u2 slow; u3 never clicks; u4 views only
+    val ev = Seq(
+      e(1, 1, "signup", 0), e(2, 1, "view", 10), e(3, 1, "click", 20), e(4, 1, "purchase", 30),
+      e(5, 2, "signup", 0), e(6, 2, "view", 100), e(7, 2, "click", 300), e(8, 2, "purchase", 1000),
+      e(9, 3, "signup", 0), e(10, 3, "view", 50),
+      e(11, 4, "signup", 0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = ExtensionQueries.funnelTimeOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    def q(gaps: Seq[Long], num: Int, den: Int): Long = {
+      val s = gaps.sorted; val n = s.length
+      s.find(g => s.count(_ <= g) * den >= n.toLong * num).get
+    }
+    val view = Seq(10L, 100L, 50L); val click = Seq(10L, 200L); val buy = Seq(10L, 700L)
+    val expected = Seq(
+      ("2_view", 3L, q(view, 1, 2), q(view, 9, 10), view.max),
+      ("3_click", 2L, q(click, 1, 2), q(click, 9, 10), click.max),
+      ("4_purchase", 2L, q(buy, 1, 2), q(buy, 9, 10), buy.max))
+    assert(out == expected, s"$out vs $expected")
+  }
+
+  test("share shift: shares sum to 1 per month and rank deltas telescope") {
+    val out = ExtensionQueries.shareShiftOf(Tables(spark, sfDir, "orders")).collect()
+      .map(r => (r.getDate(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4), if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    val byMonth = out.groupBy(_._1)
+    byMonth.foreach { case (m, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"shares must sum to 1 in $m")
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length), s"ranks must be 1..k in $m")
+    }
+    // rank_delta = rank at the priority's PREVIOUS APPEARANCE minus the
+    // current rank (lag semantics: gaps skip to the last month present)
+    out.groupBy(_._2).foreach { case (p, rs) =>
+      val seq = rs.sortBy(_._1.getTime)
+      seq.zipWithIndex.foreach { case ((m, _, _, _, rk, delta), i) =>
+        val prev = if (i == 0) None else Some(seq(i - 1)._5)
+        assert(delta == prev.map(_ - rk), s"delta mismatch at ($m, $p)")
+      }
+    }
+  }
+
   test("join forecast equals the actual self-join cardinalities it predicts") {
     val li = Tables(spark, sfDir, "lineitem")
     val out = ExtensionQueries.joinForecastOf(li).collect().head
