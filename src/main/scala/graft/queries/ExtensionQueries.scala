@@ -2515,6 +2515,52 @@ object ExtensionQueries {
       |                     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6) AS z
       |FROM s""".stripMargin
 
+  /** ARGMIN JOIN-BACK (the TPC-H Q2 correlated-subquery shape:
+    * "the supplier with the minimum price for each part"): per part,
+    * the cheapest observed unit price and WHICH supplier offers it.
+    * Spark has no correlated scalar subqueries in the DataFrame API —
+    * and doesn't need them: the relational form is a per-key min
+    * aggregation joined back on (key, min) — two shuffles on the same
+    * key (co-partitioned, AQE-coalesced), linear output. Ties (two
+    * suppliers at the same min price) resolve to the smallest suppkey
+    * via a second min aggregation AFTER the join-back — never
+    * `arg_min`/`min_by`, whose tie choice is engine-defined. Unit
+    * price stays an exact integer: price in cents × 1000, divided by
+    * the integral quantity — one exact div per row, no float compare
+    * ever decides the argmin. */
+  def argminJoin(spark: SparkSession, dir: String): DataFrame =
+    argminJoinOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def argminJoinOf(lineitem: DataFrame): DataFrame = {
+    val priced = lineitem.select(col("l_partkey").as("part"), col("l_suppkey").as("supp"),
+      // milli-cents per unit: (price_cents * 1000) div qty — exact, and
+      // qty is integral 1..50 so the scale keeps 3 digits of headroom
+      expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)" +
+        " div CAST(l_quantity AS BIGINT)").as("unit_mc"))
+    val minPrice = priced.groupBy("part").agg(min("unit_mc").as("unit_mc"))
+    priced.join(minPrice, Seq("part", "unit_mc"))
+      .groupBy("part")
+      .agg(min("supp").as("best_supp"), min("unit_mc").as("mc"),
+        count(lit(1)).as("n_tied"))
+      .select(col("part"), col("best_supp"),
+        (col("mc").cast("double") / 100000.0).as("best_unit_price"),
+        col("n_tied"))
+      .orderBy("part")
+  }
+
+  val argminJoinSql: String =
+    """WITH p AS (SELECT l_partkey AS part, l_suppkey AS supp,
+      |                  (CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+      |                    // CAST(l_quantity AS BIGINT) AS unit_mc
+      |           FROM lineitem),
+      |m AS (SELECT part, min(unit_mc) AS unit_mc FROM p GROUP BY part)
+      |SELECT part, min(supp) AS best_supp,
+      |       CAST(min(p.unit_mc) AS DOUBLE) / 100000.0 AS best_unit_price,
+      |       count(*) AS n_tied
+      |FROM p JOIN m USING (part, unit_mc)
+      |GROUP BY part
+      |ORDER BY part""".stripMargin
+
   /** TIME-TO-CONVERT quantiles per funnel stage: how long users take
     * between consecutive funnel stages, as EXACT lower-median / p90 /
     * max — the latency companion to [[eventFunnel]]'s mean gaps

@@ -269,6 +269,29 @@ class Round7dSpec extends SparkSpec {
     }
   }
 
+  test("argmin join-back picks the true cheapest supplier with deterministic tie-break") {
+    val li = Seq(
+      // part 1: supp 9 cheapest (unit 2.00); supp 3 at 3.00
+      (1L, 9L, 2.0, 4.00), (1L, 3L, 1.0, 3.00),
+      // part 2: tie at unit 5.00 between supp 7 and supp 2 -> pick 2
+      (2L, 7L, 2.0, 10.00), (2L, 2L, 1.0, 5.00),
+      // part 3: single offer
+      (3L, 5L, 4.0, 14.00)
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val out = ExtensionQueries.argminJoinOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 9L, 2.0, 1L), (2L, 2L, 5.0, 2L), (3L, 5L, 3.5, 1L)), s"$out")
+    // corpus-level: every best price really is the per-part minimum
+    val big = Tables(spark, sfDir, "lineitem")
+    val got = ExtensionQueries.argminJoinOf(big).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val mins = big.selectExpr("l_partkey",
+        "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000) div CAST(l_quantity AS BIGINT) AS mc")
+      .groupBy("l_partkey").agg(min("mc").as("mc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 100000.0)).toMap
+    assert(got == mins)
+  }
+
   test("join forecast equals the actual self-join cardinalities it predicts") {
     val li = Tables(spark, sfDir, "lineitem")
     val out = ExtensionQueries.joinForecastOf(li).collect().head
