@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver corpus (`TESTDATA.md`).
   *
@@ -10,19 +12,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 refuses
-    // ([PARQUET_TYPE_ILLEGAL]). The entry-point mains set the legacy conf
-    // at session build; this guard covers externally-built sessions
-    // without mutating session state on every table load (ADVICE r1).
+    // The corpus's events.ts layout has drifted across driver versions:
+    // TIMESTAMP(NANOS) (readable only as BIGINT under the legacy
+    // nanosAsLong conf) vs TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+    // Dispatch on the read schema so either layout normalizes to the same
+    // session-tz TimestampType column (session tz is UTC in every entry
+    // point, so NTZ→TZ preserves the instant bit-for-bit).
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    assertExpectedColumns(name, df)
     if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case LongType        => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _               => df
+      }
     else df
   }
+
+  /** Fail-fast column check (schema from the parquet footer; no data
+    * scan). Corpus drift then surfaces as ONE clear load-time error
+    * naming the table, instead of dozens of opaque analysis failures
+    * deep inside queries (r7: the events-ts layout drift cost 52
+    * queries before being traced back to the loader). Extra columns
+    * are tolerated — only the columns queries depend on are pinned. */
+  private val expectedColumns: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  private def assertExpectedColumns(name: String, df: DataFrame): Unit =
+    expectedColumns.get(name).foreach { cols =>
+      val have = df.columns.toSet
+      val missing = cols.filterNot(have)
+      require(missing.isEmpty,
+        s"corpus drift: table '$name' is missing expected column(s) ${missing.mkString(", ")} " +
+          s"(found: ${df.columns.mkString(", ")}) — update graft.Tables/FIXTURES.md for the new layout")
+    }
 
   /** Scratch dir for sink round-trips (CSV/DDL). Kept under target/ so it
     * is git-ignored and never collides with the read-only corpus. */
