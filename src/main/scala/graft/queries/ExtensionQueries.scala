@@ -2809,4 +2809,196 @@ object ExtensionQueries {
        |       ci_lo, ci_hi
        |FROM sel""".stripMargin
   }
+
+  /** Skyline (Pareto frontier) of the part catalog: the parts for which
+    * no other part is both cheaper-or-equal AND larger-or-equal (with
+    * one strict) — the "best deals" frontier, the multi-objective
+    * complement of [[argminJoin]]'s single-objective argmin.
+    *
+    * NOT a dominance self-join (O(n²) pairs) and NOT a global
+    * row_number sort: the relation collapses to its distinct
+    * (price, size) histogram first — one hash aggregation, the only
+    * full-data pass, cardinality bounded by the value domain — and the
+    * 2-D frontier falls out of the classic sweep identity on that
+    * table: a point survives iff no strictly-cheaper point reaches its
+    * size (`max(size) over prices < p`, an integer-cents RANGE frame)
+    * and no same-price point exceeds it. Exact duplicates are mutually
+    * non-dominating and survive together, carried as multiplicity.
+    * Distributed-skyline note: skyline(∪ᵢ skyline(partᵢ)) =
+    * skyline(all) — the histogram collapse plays the "local pass"
+    * role, and the windows run over the vocabulary-sized remainder.
+    * All-integer dominance arithmetic; cross-engine exact. */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables(spark, dir, "part"))
+
+  private[graft] def skylineOf(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = part
+      .groupBy(Det.cents(col("p_retailprice")).as("pc"), col("p_size").as("sz"))
+      .agg(count(lit(1)).as("n_parts"))
+    // integer cents ⇒ rangeBetween(…, -1) is exactly "strictly cheaper"
+    val cheaper = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy("pc")
+    h.withColumn("best_lt", max("sz").over(cheaper))
+      .withColumn("best_eq", max("sz").over(samePrice))
+      .filter(coalesce(col("best_lt"), lit(Int.MinValue.toLong)) < col("sz") &&
+        col("sz") === col("best_eq"))
+      .select((col("pc").cast("double") / 100.0).as("price"),
+        col("sz").as("p_size"), col("n_parts"))
+      .orderBy("price", "p_size")
+  }
+
+  val skylineSql: String =
+    s"""WITH h AS (SELECT ${Det.centsSql("p_retailprice")} AS pc, p_size AS sz,
+       |                  count(*) AS n_parts
+       |           FROM part GROUP BY 1, 2)
+       |SELECT CAST(pc AS DOUBLE) / 100.0 AS price, sz AS p_size,
+       |       CAST(n_parts AS BIGINT) AS n_parts
+       |FROM h a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM h b
+       |  WHERE b.pc <= a.pc AND b.sz >= a.sz AND (b.pc < a.pc OR b.sz > a.sz))
+       |ORDER BY price, p_size""".stripMargin
+
+  /** Conversion event for [[survivalKm]]: first purchase with value ≥
+    * this threshold (~45% of users convert at gate scale — a real mix
+    * of deaths and right-censored survivors). */
+  private val KmValueMin = 150.0
+
+  /** Kaplan-Meier time-to-conversion curve with right-censoring — the
+    * survival-analysis operator behind every retention/conversion
+    * curve that [[funnelTime]]'s converter-only quantiles cannot
+    * express: users who never convert contribute risk exposure up to
+    * corpus end WITHOUT contributing a conversion, so S(t) is unbiased
+    * by the observation window (dropping censored users — the naive
+    * fix — overstates conversion speed).
+    *
+    * Duration = first event → first value-≥-[[KmValueMin]] purchase
+    * (death) or corpus end (censored), discretized to whole days in
+    * exact integer micros. The fact table collapses to a
+    * ≤ corpus-span-days histogram of (day, deaths, censored) — one
+    * user-keyed aggregation then one day-keyed aggregation are the
+    * only full-data passes; the KM product and risk-set accounting run
+    * over the day table (standard convention: users censored AT day t
+    * count in t's risk set). Risk sets and event counts are exact
+    * integers; only the survival product itself is floating (exp∘Σln —
+    * associativity-free because the window prefix order is fixed),
+    * rounded via [[Det]]. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame =
+    survivalKmOf(Tables(spark, dir, "events"))
+
+  private[graft] def survivalKmOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy("user_id").agg(
+      min(unix_micros(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase" && col("value") >= KmValueMin,
+        unix_micros(col("ts")))).as("conv_us"))
+    val corpusEnd = events.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val daily = users.crossJoin(broadcast(corpusEnd))
+      .select(
+        expr("(coalesce(conv_us, end_us) - first_us) div 86400000000").as("day"),
+        col("conv_us").isNotNull.as("obs"))
+      .groupBy("day").agg(
+        sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("gone_before", coalesce(sum(col("d") + col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("d") + col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_risk", col("total") - col("gone_before"))
+      .withColumn("surv", Det.rnd(exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))), 4))
+      .select(col("day"), col("d"), col("c"), col("n_risk"), col("surv"))
+      .orderBy("day")
+  }
+
+  val survivalKmSql: String =
+    s"""WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+       |                  min(CASE WHEN event_type = 'purchase' AND value >= $KmValueMin
+       |                           THEN epoch_us(ts) END) AS conv
+       |           FROM events GROUP BY 1),
+       |h AS (SELECT max(epoch_us(ts)) AS e FROM events),
+       |dd AS (SELECT (coalesce(conv, e) - f) // 86400000000 AS day,
+       |              CAST(sum(CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |              CAST(sum(CASE WHEN conv IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |       FROM u CROSS JOIN h GROUP BY 1),
+       |wdw AS (SELECT day, d, c,
+       |               sum(d + c) OVER ()
+       |                 - coalesce(sum(d + c) OVER (ORDER BY day
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |        FROM dd)
+       |SELECT day, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+       |       ${Det.rndSql(
+                 "exp(sum(ln(1 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY day " +
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 4)} AS surv
+       |FROM wdw
+       |ORDER BY day""".stripMargin
+
+  private val ZoneRows = 256L
+  private val ZoneLoUs = 1704672000000000L // 2024-01-08T00:00:00Z
+  private val ZoneHiUs = 1705276800000000L // 2024-01-15T00:00:00Z
+
+  /** Zone-map data skipping made explicit: per-zone (min, max)
+    * statistics over the events stream's ingestion order, then a
+    * time-range count that consults ONLY the stats table to decide
+    * which zones to scan — the engine-level mechanic behind parquet
+    * row-group pruning / Iceberg manifest filtering, surfaced as an
+    * operator so its effectiveness is measurable. Events arrive
+    * roughly time-ordered (ingestion clustering, corr(ts, event_id) ≈
+    * 0.9999 in the corpus — the property zone maps exploit), so a
+    * [[ZoneRows]]-row zone's [min,max] interval is narrow and a
+    * one-week predicate disqualifies most zones from the stats table
+    * alone.
+    *
+    * Output is the audit row a table-format maintenance job emits:
+    * zones total/scanned, exact rows matched, and the false-positive
+    * rows a zone-granular scan reads but discards. The stats build is
+    * one hash aggregation; the probe side broadcasts the surviving
+    * zone ids into the fact scan (a zones-sized list), so the "scan"
+    * is a semi-join that a file-skipping reader executes as I/O
+    * elision — nothing here shuffles the fact table. At 100 TB the
+    * stats table is rows/[[ZoneRows]] entries — the manifest, not the
+    * data. */
+  def zonemapPrune(spark: SparkSession, dir: String): DataFrame =
+    zonemapPruneOf(Tables(spark, dir, "events"))
+
+  private[graft] def zonemapPruneOf(events: DataFrame): DataFrame = {
+    val us = events.select(col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      expr(s"event_id div $ZoneRows").as("zone"))
+    val stats = us.groupBy("zone")
+      .agg(min("tus").as("mn"), max("tus").as("mx"), count(lit(1)).as("rows"))
+    val live = stats.filter(col("mx") >= ZoneLoUs && col("mn") < ZoneHiUs)
+    val scanned = us.join(broadcast(live.select("zone")), Seq("zone"))
+    scanned.agg(
+        count(lit(1)).as("rows_scanned"),
+        sum(when(col("tus") >= ZoneLoUs && col("tus") < ZoneHiUs, 1L)
+          .otherwise(0L)).as("rows_matched"))
+      .crossJoin(broadcast(stats.agg(
+        count(lit(1)).as("zones_total"),
+        sum(when(col("mx") >= ZoneLoUs && col("mn") < ZoneHiUs, 1L)
+          .otherwise(0L)).as("zones_scanned"))))
+      .select(col("zones_total"), col("zones_scanned"),
+        col("rows_scanned"), col("rows_matched"),
+        (col("rows_scanned") - col("rows_matched")).as("rows_false_positive"))
+  }
+
+  val zonemapPruneSql: String =
+    s"""WITH z AS (SELECT event_id // $ZoneRows AS zone, epoch_us(ts) AS tus
+       |           FROM events),
+       |s AS (SELECT zone, min(tus) AS mn, max(tus) AS mx FROM z GROUP BY 1),
+       |live AS (SELECT zone FROM s WHERE mx >= $ZoneLoUs AND mn < $ZoneHiUs),
+       |sc AS (SELECT count(*) AS rows_scanned,
+       |              CAST(sum(CASE WHEN tus >= $ZoneLoUs AND tus < $ZoneHiUs
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+       |       FROM z JOIN live USING (zone))
+       |SELECT (SELECT count(*) FROM s) AS zones_total,
+       |       (SELECT count(*) FROM live) AS zones_scanned,
+       |       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       |       rows_matched,
+       |       CAST(rows_scanned - rows_matched AS BIGINT) AS rows_false_positive
+       |FROM sc""".stripMargin
 }

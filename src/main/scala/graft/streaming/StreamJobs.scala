@@ -463,6 +463,23 @@ object StreamJobs {
     events.groupBy("event_type").agg(kmv(col("h")).as("mins"))
   }
 
+  /** Streaming twin of the heavy-hitter candidate pass
+    * ([[graft.queries.StreamQueries.heavyHitters]] stage 1): one
+    * running Misra-Gries summary + the exact stream length, maintained
+    * as mergeable aggregation state — the live "what's trending"
+    * monitor whose ≤ k−1-key candidate set a periodic exact recount
+    * job (the batch stage 2) thresholds. Unlike the KMV twin, the MG
+    * map is NOT bit-identical across batch splits (its merge is
+    * order-sensitive within the error bound); the streaming contract
+    * is the GUARANTEE — superset of every item with freq > n/k, counts
+    * undershooting at most n/k — asserted live in StreamingSpec.
+    * Input: one `tok` string column. */
+  def mgStream(toks: DataFrame, k: Int = 50): DataFrame = {
+    val mg = udaf(new graft.sketch.MgAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    toks.agg(mg(col("tok")).as("mg"), count(lit(1)).as("n"))
+  }
+
   /** Streaming twin of the Markov transition matrix
     * ([[graft.queries.ExtensionQueries.markovTransitions]]): per-user
     * state is ONE event type (the previous event — constant per key),

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, functions => F}
+import graft.sketch.MgAggregator
+import graft.queries.StreamQueries
+
+/** Round-8 additions. */
+class Round8Spec extends SparkSpec {
+
+  test("MgAggregator: superset guarantee, size bound, and count error bound") {
+    val s = spark
+    import s.implicits._
+    val k = 10
+    // skewed stream: w0 ×600, w1 ×300, w2 ×150, tail of 1000 singletons
+    val words = Seq.fill(600)("w0") ++ Seq.fill(300)("w1") ++ Seq.fill(150)("w2") ++
+      (0 until 1000).map(i => s"t$i")
+    val n = words.size
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mg = F.udaf(new MgAggregator(k), Encoders.STRING)
+    // repartition forces real partial-summary merges (the mergeable form)
+    val summary = words.toDF("v").repartition(8)
+      .agg(mg($"v")).head().getAs[Map[String, Long]](0)
+    assert(summary.size <= k - 1, s"summary overflowed: ${summary.size}")
+    exact.foreach { case (w, c) =>
+      if (c * k > n) assert(summary.contains(w), s"guaranteed HH $w missing")
+      // kept counts never overestimate and undershoot by at most n/k
+      summary.get(w).foreach { est =>
+        assert(est <= c, s"$w overcounted: $est > $c")
+        assert(est >= c - n / k, s"$w undershot past n/k: $est vs $c")
+      }
+    }
+  }
+
+  test("q_heavy_hitters equals the exact brute-force threshold count") {
+    val s = spark
+    import s.implicits._
+    val got = StreamQueries.heavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val toks = Tables(spark, sfDir, "documents")
+      .select(F.explode(F.split(F.trim(F.col("text")), "\\s+")).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy("tok").count()
+      .filter(F.col("count") * StreamQueries.MgK > n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(1) * 1000000L / n))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty, "gate corpus should have heavy hitters")
+  }
+
+  test("q_skyline equals the O(n²) dominance filter") {
+    import graft.queries.ExtensionQueries
+    val pts = Tables(spark, sfDir, "part")
+      .select(F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"), F.col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val counts = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.keys.toSeq
+      .filter { case (pc, sz) =>
+        !counts.keys.exists { case (qc, qz) =>
+          qc <= pc && qz >= sz && (qc < pc || qz > sz) }
+      }
+      .map { case (pc, sz) => (pc / 100.0, sz, counts((pc, sz))) }
+      .sortBy { case (p, s, _) => (p, s) }
+    val got = ExtensionQueries.skyline(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.size < pts.length, "frontier should be a strict subset")
+    // frontier shape: strictly increasing size along increasing price
+    assert(got.map(_._2) === got.map(_._2).sorted)
+  }
+
+  test("q_survival_km matches a driver-side Kaplan-Meier replay") {
+    import graft.queries.ExtensionQueries
+    val users = Tables(spark, sfDir, "events")
+      .groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).as("f"),
+        F.min(F.when(F.col("event_type") === "purchase" && F.col("value") >= 150.0,
+          F.unix_micros(F.col("ts")))).as("conv"),
+        F.max(F.unix_micros(F.col("ts"))).as("l"))
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val end = users.map(_._3).max
+    val obs = users.map { case (f, conv, _) =>
+      ((conv.getOrElse(end) - f) / 86400000000L, conv.isDefined) }
+    val days = obs.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toMap
+    assert(obs.exists(_._2) && obs.exists(!_._2), "need both deaths and censoring")
+    var atRisk = users.length.toLong
+    var s = 1.0
+    val want = days.keys.toSeq.sorted.map { day =>
+      val (d, c) = days(day)
+      s *= 1.0 - d.toDouble / atRisk
+      val row = (day, d, c, atRisk, math.floor(s * 10000 + 0.5) / 10000)
+      atRisk -= d + c
+      row
+    }
+    val got = ExtensionQueries.survivalKm(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === want.map(t => (t._1, t._2, t._3, t._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._5 - w._5) < 2e-4, s"surv drift at day ${g._1}: ${g._5} vs ${w._5}")
+    }
+    // survival curve is monotone non-increasing from 1
+    assert(got.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("q_setsim_prefix is lossless vs the naive all-pairs join and actually prunes") {
+    import graft.queries.TextQueries
+    val docs = Tables(spark, sfDir, "documents")
+    val grams = docs
+      .select(F.col("doc_id"), F.split(F.trim(F.col("text")), "\\s+").as("w"))
+      .select(F.col("doc_id"), F.explode(F.expr(
+        """CASE WHEN size(w) >= 3
+          |     THEN array_distinct(transform(sequence(0, size(w) - 3),
+          |            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+          |     ELSE array() END""".stripMargin)).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = grams.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val want = (for {
+      (d1, i) <- ids.zipWithIndex; d2 <- ids.drop(i + 1)
+      a = byDoc(d1); b = byDoc(d2)
+      inter = (a & b).size
+      j = inter.toDouble / (a.size + b.size - inter) if j >= 0.6
+    } yield (d1, d2, math.floor(j * 1e6 + 0.5) / 1e6)).sortBy(t => (t._1, t._2))
+    val got = TextQueries.setsimPrefix(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "gate corpus should contain similar pairs")
+  }
+
+  test("q_hard_negatives mines label-complement top-k with the semi-hard margin") {
+    import graft.queries.SimilarityQueries
+    val emb = Tables(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na * nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = emb.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, qe, ql) =>
+      val scored = emb.filter(_._1 != qid).map { case (cid, ce, cl) => (cid, cl, cos(qe, ce)) }
+      val posCos = scored.filter(_._2 == ql).map(_._3).max
+      scored.filter(_._2 != ql).sortBy(t => (-t._3, t._1)).take(5).zipWithIndex
+        .map { case ((cid, cl, c), i) => (qid, ql, cid, cl, c, i + 1, posCos, c - posCos) }
+    }
+    val got = SimilarityQueries.hardNegatives(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.map(t => (t._1, t._3, t._6)).toSeq === want.map(t => (t._1, t._3, t._6)).toSeq)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._2 == w._2 && g._4 == w._4 && g._2 != g._4, s"label constraint broken: $g")
+      assert(math.abs(g._5 - w._5) < 2e-6 && math.abs(g._7 - w._7) < 2e-6 &&
+        math.abs(g._8 - w._8) < 4e-6, s"score drift: $g vs $w")
+    }
+    // hard negatives exist: at least one anchor has a negative inside its margin
+    assert(got.exists(_._8 > -0.05), "no remotely-hard negative found — check corpus")
+  }
+
+  test("q_zonemap_prune prunes zones and counts exactly") {
+    import graft.queries.ExtensionQueries
+    val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
+    val (zt, zs, rs, rm, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val exact = Tables(spark, sfDir, "events")
+      .filter(F.unix_micros(F.col("ts")).between(1704672000000000L, 1705276800000000L - 1))
+      .count()
+    assert(rm === exact, "zone-granular scan must not change the answer")
+    assert(zs < zt, s"nothing pruned: $zs of $zt zones scanned")
+    assert(rs >= rm && fp === rs - rm)
+  }
+}

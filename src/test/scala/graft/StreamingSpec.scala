@@ -903,4 +903,43 @@ class StreamingSpec extends SparkSpec {
         s"missing=${(batchClosed -- streamed).take(3)} extra=${(streamed -- batchClosed).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries summary keeps the heavy-hitter guarantee across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 50
+    val mem = MemoryStream[String]
+    val q = StreamJobs.mgStream(mem.toDF().toDF("tok"), k)
+      .writeStream.format("memory").queryName("mgs").outputMode("complete").start()
+    try {
+      val toks = Tables(spark, sfDir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .collect().map(_.getString(0))
+      // three uneven batches, shuffled deterministically: the guarantee
+      // must hold for ANY arrival order / batch boundary placement
+      val fed = toks.sortBy(t => (t.hashCode * 2654435761L) & 0xffffffffL)
+      Seq(fed.take(100), fed.slice(100, 1000), fed.drop(1000)).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val row = spark.table("mgs").head()
+      val summary = row.getAs[Map[String, Long]]("mg")
+      val n = row.getAs[Long]("n")
+      assert(n == toks.length.toLong)
+      assert(summary.size <= k - 1)
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (w, c) =>
+        if (c * k > n) assert(summary.contains(w), s"guaranteed HH $w missing live")
+        summary.get(w).foreach { est =>
+          assert(est <= c && est >= c - n / k, s"$w live count $est outside bound vs $c")
+        }
+      }
+      // the live candidate set thresholded by an exact recount equals
+      // the batch two-pass query — the serving contract
+      val recount = exact.filter { case (w, c) => summary.contains(w) && c * k > n }
+      val batch = queries.StreamQueries.heavyHitters(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(recount == batch)
+    } finally q.stop()
+  }
 }
