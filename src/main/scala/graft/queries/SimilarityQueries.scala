@@ -1232,4 +1232,83 @@ object SimilarityQueries {
        |FROM n JOIN p ON p.qid = n.qid
        |WHERE n.rank <= $K
        |ORDER BY n.qid, n.rank""".stripMargin
+
+  private val BtK = 4
+  private val BtMinScore = 1.1
+
+  /** Parallel-corpus (bitext) mining with MARGIN scoring (Artetxe &
+    * Schwenk, ACL'19 — the CCMatrix recipe): for every English doc,
+    * the best non-English doc by `cos(x,y) / ((knnAvg(x) + knnAvg(y)) / 2)`
+    * — raw cosine normalized by both sides' neighborhood density, which
+    * kills the hub problem (a vector that is close to EVERYTHING gets
+    * a high denominator, so only pairs that are close to each other
+    * RELATIVE to their neighborhoods mine as translations). Absolute-
+    * cosine thresholds cannot do this: hubs pass them everywhere.
+    *
+    * Both k-NN denominators come from the SAME scored cross relation
+    * that produces the candidates (materialized once, three window
+    * consumers — no recompute), using the embeddings↔documents id
+    * alignment for language sides. At corpus scale the dense cross
+    * relation is replaced by the [[annLsh]] candidate relation exactly
+    * as [[annEval]] prices; the margin algebra is unchanged. Mined
+    * pairs keep `score ≥ `[[BtMinScore]] and the per-source argmax
+    * (deterministic ties by cid). */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame =
+    bitextMineOn(Tables(spark, dir, "documents"), Tables(spark, dir, "embeddings"))
+
+  private[graft] def bitextMineOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sides = emb.join(docs.select(col("doc_id"), col("lang")),
+      emb("vec_id") === col("doc_id"))
+    val src = sides.filter(col("lang") === "en")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tgt = sides.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("cid"), col("lang").as("clang"),
+        col("embedding").as("ce"))
+    val cr = withCos(broadcast(src).crossJoin(tgt))
+      .select(col("qid"), col("cid"), col("clang"), col("cos"))
+      .localCheckpoint() // scored candidates; both denominators + the argmax read it
+    val dq = cr.withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rn") <= BtK).groupBy("qid").agg(avg("cos").as("dq"))
+    val dc = cr.withColumn("rn",
+        row_number().over(Window.partitionBy("cid").orderBy(desc("cos"), asc("qid"))))
+      .filter(col("rn") <= BtK).groupBy("cid").agg(avg("cos").as("dc"))
+    cr.join(dq, "qid").join(dc, "cid")
+      .withColumn("score", col("cos") / ((col("dq") + col("dc")) / 2))
+      .withColumn("best",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("score"), asc("cid"))))
+      .filter(col("best") === 1 && col("score") >= BtMinScore)
+      .select(col("qid"), col("cid"), col("clang"),
+        round(col("cos"), 6).as("cos"), round(col("score"), 6).as("score"))
+      .orderBy("qid")
+  }
+
+  val bitextMineSql: String =
+    s"""WITH d AS (SELECT doc_id, lang FROM documents),
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |en AS (SELECT e.* FROM e JOIN d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+       |xx AS (SELECT e.vec_id, d.lang, e.v, e.i
+       |       FROM e JOIN d ON d.doc_id = e.vec_id WHERE d.lang <> 'en'),
+       |cr AS (SELECT a.vec_id AS qid, b.vec_id AS cid, any_value(b.lang) AS clang,
+       |              sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS cos
+       |       FROM en a JOIN xx b ON a.i = b.i GROUP BY 1, 2),
+       |dq AS (SELECT qid, avg(cos) AS dq FROM (
+       |         SELECT qid, cos, row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, cid) AS rn FROM cr)
+       |       WHERE rn <= $BtK GROUP BY 1),
+       |dc AS (SELECT cid, avg(cos) AS dc FROM (
+       |         SELECT cid, cos, row_number() OVER (PARTITION BY cid
+       |           ORDER BY cos DESC, qid) AS rn FROM cr)
+       |       WHERE rn <= $BtK GROUP BY 1),
+       |sc AS (SELECT qid, cid, clang, cos, cos / ((dq + dc) / 2) AS score,
+       |              row_number() OVER (PARTITION BY qid
+       |                ORDER BY cos / ((dq + dc) / 2) DESC, cid) AS best
+       |       FROM cr JOIN dq USING (qid) JOIN dc USING (cid))
+       |SELECT qid, cid, clang, round(cos, 6) AS cos, round(score, 6) AS score
+       |FROM sc
+       |WHERE best = 1 AND score >= $BtMinScore
+       |ORDER BY qid""".stripMargin
 }

@@ -223,6 +223,48 @@ object TextQueries {
        |WHERE j >= $SetsimT
        |ORDER BY d1, d2""".stripMargin
 
+  private val PhraseT1 = "hash"
+  private val PhraseT2 = "join"
+
+  /** Positional phrase search — the query-time half of the inverted
+    * index whose build artifact is [[postingsBuild]]: find documents
+    * containing the exact phrase "[[PhraseT1]] [[PhraseT2]]" via
+    * POSITIONAL postings intersection, not substring matching (which
+    * cannot distinguish token boundaries and cannot use an index).
+    *
+    * Each term's postings are (doc, position) rows; the phrase AND is
+    * one equi-join on (doc, adjacent position) — `p2.pos = p1.pos + 1`
+    * rewritten as an equality key, so Catalyst plans a hash join, not
+    * a theta join. The scan touches only the two query terms' postings
+    * (the term filter pushes into the token stream; with the prebuilt
+    * postings table it is an index seek), and the join fan-out is
+    * bounded by the rarer term's frequency — the standard IR
+    * phrase-query plan at any corpus size. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(Tables(spark, dir, "documents"))
+
+  private[graft] def phraseSearchOf(docs: DataFrame): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val p1 = pos.filter(col("tok") === PhraseT1).select(col("doc_id"), col("pos"))
+    val p2 = pos.filter(col("tok") === PhraseT2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |            FROM documents),
+       |hits AS (SELECT doc_id, i
+       |         FROM (SELECT doc_id, w, unnest(range(greatest(len(w) - 1, 0))) AS i
+       |               FROM tk)
+       |         WHERE w[i + 1] = '$PhraseT1' AND w[i + 2] = '$PhraseT2')
+       |SELECT doc_id, count(*) AS n_hits, CAST(min(i) AS INTEGER) AS first_pos
+       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Near-dup clustering + canonical selection: connected components
     * over the shingle-Jaccard pair graph via min-label propagation run
     * TO CONVERGENCE (changed-label count = 0), then the minimum doc_id

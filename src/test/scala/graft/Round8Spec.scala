@@ -157,6 +157,54 @@ class Round8Spec extends SparkSpec {
     assert(got.exists(_._8 > -0.05), "no remotely-hard negative found — check corpus")
   }
 
+  test("q_bitext_mine matches a driver-side margin-scoring replay") {
+    import graft.queries.SimilarityQueries
+    val lang = Tables(spark, sfDir, "documents")
+      .select(F.col("doc_id"), F.col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emb = Tables(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na * nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val src = emb.filter(e => lang(e._1) == "en")
+    val tgt = emb.filter(e => lang(e._1) != "en")
+    val cr = for ((q, qe) <- src; (c, ce) <- tgt) yield (q, c, cos(qe, ce))
+    val dq = cr.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).take(4).map(_._3).sum / 4).toMap
+    val dc = cr.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (-t._3, t._1)).take(4).map(_._3).sum / 4).toMap
+    val want = cr.map { case (q, c, x) => (q, c, x, x / ((dq(q) + dc(c)) / 2)) }
+      .groupBy(_._1).values
+      .map(_.minBy(t => (-t._4, t._2)))
+      .filter(_._4 >= 1.1).toSeq.sortBy(_._1)
+    val got = SimilarityQueries.bitextMine(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq === want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._3 != "en" && math.abs(g._4 - w._3) < 2e-6 && math.abs(g._5 - w._4) < 2e-6,
+        s"drift: $g vs $w")
+    }
+    assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
+  }
+
+  test("q_phrase_search equals a regex-free token-scan replay") {
+    import graft.queries.TextQueries
+    val want = Tables(spark, sfDir, "documents")
+      .select(F.col("doc_id"), F.split(F.trim(F.col("text")), "\\s+").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .flatMap { case (id, w) =>
+        val hits = w.indices.dropRight(1).filter(i => w(i) == "hash" && w(i + 1) == "join")
+        if (hits.isEmpty) None else Some((id, hits.size.toLong, hits.min))
+      }.sortBy(_._1).toSeq
+    val got = TextQueries.phraseSearch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
