@@ -171,15 +171,20 @@ object TextQueries {
   def setsimPrefix(spark: SparkSession, dir: String): DataFrame =
     setsimPrefixOf(Tables(spark, dir, "documents"))
 
-  private[graft] def setsimPrefixOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+  /** Per-doc DISTINCT word-3-gram relation — the set universe shared by
+    * [[setsimPrefix]] (exact prefix-filter join) and [[lshRecall]]
+    * (minhash banding audit over the same sets). */
+  private[graft] def wordGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3
           |     THEN array_distinct(transform(sequence(0, size(w) - 3),
           |            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
           |     ELSE array() END""".stripMargin)).as("gram"))
+
+  private[graft] def setsimPrefixOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = wordGrams(docs)
       .localCheckpoint() // df + ranks + both verify sides read it
     val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy("df", "gram")
@@ -188,10 +193,14 @@ object TextQueries {
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("sz", count(lit(1)).over(perDoc))
       .filter(col("rn") <= col("sz") - expr("(6 * sz + 9) div 10") + 1)
-      .select(col("doc_id"), col("gram"))
-    val cand = pfx.select(col("doc_id").as("d1"), col("gram"))
-      .join(pfx.select(col("doc_id").as("d2"), col("gram")), "gram")
-      .filter(col("d1") < col("d2"))
+      .select(col("doc_id"), col("gram"), col("sz"))
+    // PPJoin length filter rides the candidate join: J ≥ t forces
+    // t·|A| ≤ |B| ≤ |A|/t, so size-incompatible prefix collisions
+    // never reach verification (exact-integer bound, t = 6/10)
+    val cand = pfx.select(col("doc_id").as("d1"), col("gram"), col("sz").as("sz1"))
+      .join(pfx.select(col("doc_id").as("d2"), col("gram"), col("sz").as("sz2")), "gram")
+      .filter(col("d1") < col("d2") &&
+        col("sz2") * 10 >= col("sz1") * 6 && col("sz1") * 10 >= col("sz2") * 6)
       .select("d1", "d2").distinct()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cand
@@ -222,6 +231,101 @@ object TextQueries {
        |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
        |WHERE j >= $SetsimT
        |ORDER BY d1, d2""".stripMargin
+
+  private val LshRecallDocs = 1000 // audit universe cap (sampling tier)
+  private val LshHashes = 16
+  private val LshBandRows = 4 // 4 bands × 4 rows
+
+  /** Banding-recall AUDIT: how many of the exact-threshold similar
+    * pairs does minhash banding actually find? [[DedupQueries]] runs
+    * banded minhash as the production near-dup path and
+    * [[setsimPrefix]] provides the LOSSLESS ground truth on the same
+    * word-3-gram universe — this op runs both on a capped doc sample
+    * and emits (true pairs, banding candidates, found, recall,
+    * precision) as exact integers. With b=4 bands of r=4 rows the
+    * candidate probability at J is 1−(1−J⁴)⁴ — the audit turns that
+    * theoretical S-curve into a measured number per corpus snapshot,
+    * which is the input a pipeline owner needs to choose band geometry
+    * (the same decision [[SimilarityQueries.annEval]] prices for the
+    * vector index). Minhashes are md5-derived 60-bit integers — the
+    * engine-neutral construction, replayed bit-for-bit by the oracle.
+    * The doc cap bounds the exact tier's cost: the audit is a sampled
+    * estimate by design (documented, not silent). */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecallOf(Tables(spark, dir, "documents").filter(col("doc_id") < LshRecallDocs))
+
+  private[graft] def lshRecallOf(docs: DataFrame): DataFrame = {
+    val grams = wordGrams(docs)
+    val hashCols = (0 until LshHashes).map { i =>
+      min(expr(s"CAST(conv(substring(md5(concat('$i', ':', gram)), 1, 15), 16, 10) AS BIGINT)"))
+        .as(s"m$i")
+    }
+    val sig = grams.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val bandStructs = (0 until LshHashes / LshBandRows).map { b =>
+      val key = concat_ws(",",
+        (0 until LshBandRows).map(r => col(s"m${b * LshBandRows + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.select(col("doc_id").as("d1"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("d2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+      .localCheckpoint() // counted AND joined against truth
+    val truth = setsimPrefixOf(docs).select("d1", "d2")
+      .localCheckpoint()
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(
+        cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("n_found"))))
+      .select(col("n_true"), col("n_cand"), col("n_found"),
+        expr("CASE WHEN n_true = 0 THEN -1 " +
+          "ELSE (n_found * CAST(1000000 AS BIGINT)) div n_true END").as("recall_ppm"),
+        expr("CASE WHEN n_cand = 0 THEN -1 " +
+          "ELSE (n_found * CAST(1000000 AS BIGINT)) div n_cand END").as("precision_ppm"))
+  }
+
+  val lshRecallSql: String = {
+    val t = SetsimT
+    s"""WITH d0 AS (SELECT * FROM documents WHERE doc_id < $LshRecallDocs),
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM d0),
+       |g AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+       |      FROM (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i
+       |            FROM tk)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS (SELECT d1, d2
+       |          FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |                FROM inter JOIN sz s1 ON s1.doc_id = d1
+       |                           JOIN sz s2 ON s2.doc_id = d2)
+       |          WHERE j >= $t),
+       |h AS (SELECT doc_id, s.i AS seed,
+       |             min(CAST('0x' || substr(md5(s.i || ':' || gram), 1, 15) AS BIGINT)) AS m
+       |      FROM g CROSS JOIN (SELECT unnest(range($LshHashes)) AS i) s
+       |      GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, seed // $LshBandRows AS band,
+       |                 string_agg(CAST(m AS VARCHAR), ',' ORDER BY seed) AS key
+       |          FROM h GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |n AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+       |             (SELECT count(*) FROM cand) AS n_cand,
+       |             (SELECT count(*) FROM cand c JOIN truth x
+       |                ON x.d1 = c.d1 AND x.d2 = c.d2) AS n_found)
+       |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_found AS BIGINT) AS n_found,
+       |       CAST(CASE WHEN n_true = 0 THEN -1
+       |                 ELSE n_found * 1000000 // n_true END AS BIGINT) AS recall_ppm,
+       |       CAST(CASE WHEN n_cand = 0 THEN -1
+       |                 ELSE n_found * 1000000 // n_cand END AS BIGINT) AS precision_ppm
+       |FROM n""".stripMargin
+  }
 
   private val PhraseT1 = "hash"
   private val PhraseT2 = "join"

@@ -205,6 +205,43 @@ class Round8Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_lsh_recall matches a driver-side md5-minhash banding replay") {
+    import graft.queries.TextQueries
+    val grams = Tables(spark, sfDir, "documents")
+      .select(F.col("doc_id"), F.split(F.trim(F.col("text")), "\\s+").as("w"))
+      .select(F.col("doc_id"), F.explode(F.expr(
+        """CASE WHEN size(w) >= 3
+          |     THEN array_distinct(transform(sequence(0, size(w) - 3),
+          |            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+          |     ELSE array() END""".stripMargin)).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = grams.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def mh(i: Int, gs: Set[String]): Long =
+      gs.map(g => java.lang.Long.parseLong(md5hex(s"$i:$g").take(15), 16)).min
+    val sigs = byDoc.view.mapValues(gs => (0 until 16).map(mh(_, gs))).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val cand = (for {
+      (d1, i) <- ids.zipWithIndex; d2 <- ids.drop(i + 1)
+      if (0 until 4).exists(b =>
+        (0 until 4).forall(r => sigs(d1)(b * 4 + r) == sigs(d2)(b * 4 + r)))
+    } yield (d1, d2)).toSet
+    val truth = (for {
+      (d1, i) <- ids.zipWithIndex; d2 <- ids.drop(i + 1)
+      a = byDoc(d1); b = byDoc(d2)
+      inter = (a & b).size
+      if inter.toDouble / (a.size + b.size - inter) >= 0.6
+    } yield (d1, d2)).toSet
+    val found = (cand & truth).size.toLong
+    val r = TextQueries.lshRecall(spark, sfDir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((truth.size.toLong, cand.size.toLong, found)))
+    assert(r.getLong(3) === found * 1000000L / truth.size)
+    assert(r.getLong(0) > 0 && r.getLong(2) <= r.getLong(0))
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
