@@ -3001,4 +3001,214 @@ object ExtensionQueries {
        |       rows_matched,
        |       CAST(rows_scanned - rows_matched AS BIGINT) AS rows_false_positive
        |FROM sc""".stripMargin
+
+  private val RfmBins = 5
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * feature-assembly operator behind churn models and campaign
+    * targeting: one user-keyed pass builds the three exact features,
+    * then each feature maps to a quintile score WITHOUT a corpus-wide
+    * rank. The equi-depth trick of [[equidepthHist]] applies per
+    * dimension: scores derive from the cumulative counts of each
+    * feature's distinct-VALUE histogram (recency is bounded by corpus
+    * span in hours, frequency by per-user event counts; monetary is
+    * deliberately coarsened to whole dollars so its score domain is
+    * value-bounded too — score resolution, not accounting resolution).
+    * A tie never straddles a score boundary, exactly as a range
+    * partitioner treats it. Features stay exact integers
+    * (days/counts/cents); only scores derive from them. */
+  def rfmSegment(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentOf(Tables(spark, dir, "events"))
+
+  private[graft] def rfmSegmentOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusEnd = events.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val rfm = events.groupBy("user_id").agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          Det.cents(col("value")))), lit(0L)).as("monetary_cents"))
+      .crossJoin(broadcast(corpusEnd))
+      .select(col("user_id"),
+        expr("(end_us - last_us) div 3600000000").as("recency_hours"),
+        col("frequency"), col("monetary_cents"),
+        expr("monetary_cents div 100").as("m_dollars"))
+      .localCheckpoint() // three score histograms + the output join read it
+    // quintile score from the feature's distinct-value histogram:
+    // bucket = floor(cumBefore·bins / n) + 1, ties land whole
+    // (equidepth); `worstFirst` orders the histogram so score 5 is
+    // always the BEST quintile of the dimension
+    def scoresFor(feature: String, worstFirst: Boolean, scoreName: String): DataFrame = {
+      val h = rfm.groupBy(col(feature).as("v")).agg(count(lit(1)).as("t"))
+      val w = if (worstFirst) Window.orderBy("v") else Window.orderBy(desc("v"))
+      h.withColumn("cum",
+          coalesce(sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("t").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("v").as(feature),
+          expr(s"least($RfmBins, CAST((cum * $RfmBins) div n AS INT) + 1)")
+            .as(scoreName))
+    }
+    rfm
+      .join(broadcast(scoresFor("recency_hours", worstFirst = false, "r_score")),
+        "recency_hours") // largest recency scored first → 1; freshest → 5
+      .join(broadcast(scoresFor("frequency", worstFirst = true, "f_score")),
+        "frequency")
+      .join(broadcast(scoresFor("m_dollars", worstFirst = true, "m_score")),
+        "m_dollars")
+      .select(col("user_id"), col("recency_hours"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+      .orderBy("user_id")
+  }
+
+  val rfmSegmentSql: String =
+    s"""WITH e AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+       |rfm AS (SELECT user_id,
+       |               (e.end_us - max(epoch_us(ts))) // 3600000000 AS recency_hours,
+       |               count(*) AS frequency,
+       |               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |                 THEN ${Det.centsSql("value")} END), 0) AS BIGINT) AS monetary_cents
+       |        FROM events CROSS JOIN e
+       |        GROUP BY user_id, e.end_us),
+       |r2 AS (SELECT *, monetary_cents // 100 AS m_dollars FROM rfm),
+       |rs AS (SELECT v AS recency_hours,
+       |              least($RfmBins, CAST(cum * $RfmBins // n AS INT) + 1) AS r_score
+       |       FROM (SELECT v, coalesce(sum(t) OVER (ORDER BY v DESC
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+       |                    sum(t) OVER () AS n
+       |             FROM (SELECT recency_hours AS v, count(*) AS t FROM r2 GROUP BY 1))),
+       |fs AS (SELECT v AS frequency,
+       |              least($RfmBins, CAST(cum * $RfmBins // n AS INT) + 1) AS f_score
+       |       FROM (SELECT v, coalesce(sum(t) OVER (ORDER BY v
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+       |                    sum(t) OVER () AS n
+       |             FROM (SELECT frequency AS v, count(*) AS t FROM r2 GROUP BY 1))),
+       |ms AS (SELECT v AS m_dollars,
+       |              least($RfmBins, CAST(cum * $RfmBins // n AS INT) + 1) AS m_score
+       |       FROM (SELECT v, coalesce(sum(t) OVER (ORDER BY v
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+       |                    sum(t) OVER () AS n
+       |             FROM (SELECT m_dollars AS v, count(*) AS t FROM r2 GROUP BY 1)))
+       |SELECT user_id, recency_hours, frequency, monetary_cents,
+       |       CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
+       |       CAST(m_score AS INTEGER) AS m_score,
+       |       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment
+       |FROM r2
+       |JOIN rs USING (recency_hours) JOIN fs USING (frequency) JOIN ms USING (m_dollars)
+       |ORDER BY user_id""".stripMargin
+
+  /** One-step-ahead EWMA forecast of the daily event volume with
+    * α = 1/2 — the capacity-planning smoother, computed EXACTLY: with a
+    * dyadic α the recurrence level_d = (c_d + level_{d−1})/2 has the
+    * closed form 2^d·level_d = c_0 + Σ_{j=1..d} 2^{j−1}·c_j, so the
+    * level is an integer window sum divided by a power of two — a
+    * dyadic rational that doubles represent exactly (day span ≤ 30,
+    * counts ≤ 1e5 ⇒ the scaled sum stays far under 2^53). No
+    * float accumulation, no cross-engine drift, no rounding column at
+    * all — the rare smoother whose output is bit-exact by algebra.
+    * The daily collapse is the only full-data pass; the recurrence
+    * unrolls over the ≤ span-days histogram. */
+  def ewmaForecast(spark: SparkSession, dir: String): DataFrame =
+    ewmaForecastOf(Tables(spark, dir, "events"))
+
+  private[graft] def ewmaForecastOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val start = events.agg(min(unix_micros(col("ts"))).as("start_us"))
+    val daily = events.crossJoin(broadcast(start))
+      .groupBy(expr("(unix_micros(ts) - start_us) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("s", sum(when(col("day") === 0, col("c"))
+        .otherwise(expr("c * shiftleft(CAST(1 AS BIGINT), CAST(day AS INT) - 1)"))).over(w))
+      .withColumn("level", col("s").cast("double")
+        / expr("shiftleft(CAST(1 AS BIGINT), CAST(day AS INT))").cast("double"))
+      .withColumn("forecast_next", col("level"))
+      .withColumn("err", col("c").cast("double")
+        - lag("level", 1).over(Window.orderBy("day")))
+      .select(col("day"), col("c"), col("level"), col("forecast_next"), col("err"))
+      .orderBy("day")
+  }
+
+  val ewmaForecastSql: String =
+    s"""WITH st AS (SELECT min(epoch_us(ts)) AS start_us FROM events),
+       |daily AS (SELECT (epoch_us(ts) - start_us) // 86400000000 AS day,
+       |                 count(*) AS c
+       |          FROM events CROSS JOIN st GROUP BY 1),
+       |lv AS (SELECT day, c,
+       |              CAST(sum(CASE WHEN day = 0 THEN c
+       |                            ELSE c * (CAST(1 AS BIGINT) << (CAST(day AS INT) - 1))
+       |                       END) OVER (ORDER BY day
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |                / CAST(CAST(1 AS BIGINT) << CAST(day AS INT) AS DOUBLE) AS level
+       |       FROM daily)
+       |SELECT day, c, level, level AS forecast_next,
+       |       CAST(c AS DOUBLE) - lag(level, 1) OVER (ORDER BY day) AS err
+       |FROM lv
+       |ORDER BY day""".stripMargin
+
+  private val NegK = 4       // negatives per customer
+  private val NegOversample = 16
+
+  /** Deterministic NEGATIVE SAMPLING for recommender training — the
+    * data-prep step that turns implicit-feedback positives
+    * (customer bought part) into labeled training pairs: per customer,
+    * [[NegK]] parts they did NOT buy, drawn by the same overflow-safe
+    * modmul hash family as [[TextQueries.trainSplit]] (no rand() — two
+    * engines replay the identical draw). [[NegOversample]] candidate
+    * slots per customer are generated in-plan (a constant-width
+    * explode, not a catalog scan per user), mapped into the part-key
+    * domain, ANTI-JOINED against the customer's positives
+    * (co-partitioned on the join key — the one shuffle that matters at
+    * scale), then the first [[NegK]] surviving slots win. A customer
+    * whose draws all collide keeps < k negatives — bounded, visible,
+    * never silently re-drawn (re-draw loops are nondeterministic under
+    * partitioning). */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame =
+    negativeSamplingOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part"))
+
+  private[graft] def negativeSamplingOf(
+      orders: DataFrame, lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positives = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+    val maxPk = part.agg(max("p_partkey").as("max_pk"))
+    val draws = positives.select("custkey").distinct()
+      .crossJoin(broadcast(maxPk))
+      .select(col("custkey"), col("max_pk"),
+        explode(expr(s"sequence(0, ${NegOversample - 1})")).as("slot"))
+      .withColumn("partkey", expr(
+        // Knuth modmul on (custkey, slot), folded into the part-key domain
+        "1 + ((custkey * 2654435761 + slot * 40503 + 7) % 4294967296) % max_pk"))
+    val survivors = draws.join(positives, Seq("custkey", "partkey"), "left_anti")
+    survivors
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("custkey").orderBy("slot")))
+      .filter(col("pick") <= NegK)
+      .select(col("custkey"), col("partkey").as("neg_partkey"), col("pick"))
+      .orderBy("custkey", "pick")
+  }
+
+  val negativeSamplingSql: String =
+    s"""WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+       |             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |mp AS (SELECT max(p_partkey) AS max_pk FROM part),
+       |draws AS (SELECT custkey, max_pk, s.slot,
+       |                 1 + ((custkey * 2654435761 + s.slot * 40503 + 7) % 4294967296)
+       |                   % max_pk AS partkey
+       |          FROM (SELECT DISTINCT custkey FROM pos) CROSS JOIN mp
+       |          CROSS JOIN (SELECT unnest(range($NegOversample)) AS slot) s),
+       |surv AS (SELECT d.custkey, d.partkey, d.slot
+       |         FROM draws d ANTI JOIN pos p
+       |           ON p.custkey = d.custkey AND p.partkey = d.partkey)
+       |SELECT custkey, partkey AS neg_partkey, CAST(pick AS INTEGER) AS pick
+       |FROM (SELECT custkey, partkey, slot,
+       |             row_number() OVER (PARTITION BY custkey ORDER BY slot) AS pick
+       |      FROM surv)
+       |WHERE pick <= $NegK
+       |ORDER BY custkey, pick""".stripMargin
 }

@@ -242,6 +242,67 @@ class Round8Spec extends SparkSpec {
     assert(r.getLong(0) > 0 && r.getLong(2) <= r.getLong(0))
   }
 
+  test("q_rfm_segment scores quintiles from value histograms, ties whole") {
+    import graft.queries.ExtensionQueries
+    val rows = ExtensionQueries.rfmSegment(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    // segment encodes the three scores; scores stay in 1..5
+    rows.foreach { r =>
+      assert(r._5 >= 1 && r._5 <= 5 && r._6 >= 1 && r._6 <= 5 && r._7 >= 1 && r._7 <= 5)
+      assert(r._8 === r._5 * 100 + r._6 * 10 + r._7)
+    }
+    // ties score identically: same feature value ⇒ same score
+    assert(rows.groupBy(_._2).forall(_._2.map(_._5).distinct.size == 1))
+    assert(rows.groupBy(_._3).forall(_._2.map(_._6).distinct.size == 1))
+    // monotonicity: fresher users never score lower on recency
+    val byRec = rows.sortBy(_._2).map(_._5)
+    assert(byRec.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // frequency: higher frequency never scores lower
+    val byFreq = rows.sortBy(_._3).map(_._6)
+    assert(byFreq.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("q_ewma_forecast equals the sequential recurrence exactly") {
+    import graft.queries.ExtensionQueries
+    val got = ExtensionQueries.ewmaForecast(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got.nonEmpty && got.head._1 === 0L)
+    var level = got.head._2.toDouble
+    assert(got.head._3 === level && got.head._4.isEmpty)
+    got.drop(1).foreach { case (_, c, lv, err) =>
+      assert(err.get === c.toDouble - level, s"err mismatch at level $level")
+      level = (c + level) / 2
+      assert(lv === level, s"level mismatch: $lv vs $level") // bit-exact dyadic
+    }
+  }
+
+  test("q_negative_sampling yields non-positive parts, k per customer, hash-replayable") {
+    import graft.queries.ExtensionQueries
+    val pos = Tables(spark, sfDir, "orders").join(
+        Tables(spark, sfDir, "lineitem"),
+        F.col("o_orderkey") === F.col("l_orderkey"))
+      .select(F.col("o_custkey"), F.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maxPk = Tables(spark, sfDir, "part").agg(F.max("p_partkey")).head().getLong(0)
+    val got = ExtensionQueries.negativeSampling(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (ck, pk, pick) =>
+      assert(!pos.contains((ck, pk)), s"sampled a positive: $ck $pk")
+      assert(pk >= 1 && pk <= maxPk && pick >= 1 && pick <= 4)
+      // replay the draw: pk must be one of the customer's hash slots
+      val slots = (0 until 16).map(s => 1 + ((ck * 2654435761L + s * 40503L + 7) % 4294967296L) % maxPk)
+      assert(slots.contains(pk), s"non-replayable draw $ck -> $pk")
+    }
+    // every customer with >= 4 surviving draws got exactly 4
+    val perCust = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perCust.values.forall(_ <= 4))
+    assert(perCust.values.count(_ == 4) > perCust.size / 2)
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
