@@ -3113,11 +3113,24 @@ object ExtensionQueries {
     ewmaForecastOf(Tables(spark, dir, "events"))
 
   private[graft] def ewmaForecastOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val start = events.agg(min(unix_micros(col("ts"))).as("start_us"))
-    val daily = events.crossJoin(broadcast(start))
+    ewmaFinish(events.crossJoin(broadcast(start))
       .groupBy(expr("(unix_micros(ts) - start_us) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The running half of [[ewmaForecast]] — a plain streaming-safe
+    * day-count aggregation (the day origin must be FIXED for a stream;
+    * the batch path derives it in-plan). Shared with
+    * `StreamJobs.ewmaStream`. */
+  private[graft] def ewmaDailyFrom(events: DataFrame, startUs: Long): DataFrame =
+    events.groupBy(expr(s"(unix_micros(ts) - ${startUs}L) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
+
+  /** The vocabulary-sized finish of [[ewmaForecast]]: the dyadic-exact
+    * recurrence unrolled over the ≤ span-days histogram. */
+  private[graft] def ewmaFinish(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     daily
       .withColumn("s", sum(when(col("day") === 0, col("c"))

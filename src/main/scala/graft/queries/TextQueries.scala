@@ -327,6 +327,43 @@ object TextQueries {
        |FROM n""".stripMargin
   }
 
+  /** Per-doc character-level Shannon entropy — the compressibility
+    * proxy quality filters use beside [[docRepetition]]'s shingle
+    * repetition: near-random byte soup scores high, template/repeat
+    * spam scores low, and both tails are cut candidates. H = log2(n) −
+    * Σc·log2(c)/n over the per-doc char histogram: one explode
+    * (byte-proportional, the same cost class as tokenization), one
+    * (doc, char) hash aggregation, one doc-keyed finish — the
+    * histogram is alphabet-bounded per doc so the float Σ is a
+    * ≤ |alphabet|-term sum (round-4; the corpus is BMP-only so both
+    * engines split identical code units). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyOf(Tables(spark, dir, "documents"))
+
+  private[graft] def charEntropyOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sum(expr("c * log2(c)")).as("slc"))
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        round(expr("log2(n_chars) - slc / n_chars"), 4).as("entropy_bits"))
+      .orderBy("doc_id")
+
+  val charEntropySql: String =
+    """WITH h AS (SELECT doc_id, ch, count(*) AS c
+      |           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |                 FROM documents)
+      |           WHERE ch <> '' GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+      |       CAST(count(*) AS BIGINT) AS distinct_chars,
+      |       round(log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(c)) / sum(c), 4)
+      |         AS entropy_bits
+      |FROM h GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private val PhraseT1 = "hash"
   private val PhraseT2 = "join"
 

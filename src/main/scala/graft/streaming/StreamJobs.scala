@@ -764,6 +764,23 @@ object StreamJobs {
   def mannWhitneyFinish(hist: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.mannWhitneyFinish(hist)
 
+  /** Streaming twin of the EWMA volume forecaster
+    * ([[graft.queries.ExtensionQueries.ewmaForecast]]): the running
+    * state is the plain day-count aggregation (mergeable, any batch
+    * split), and the dyadic-exact level/forecast finish replays per
+    * batch over the ≤ span-days histogram via [[ewmaFinish]] — the
+    * live capacity dashboard whose smoothed level is BIT-equal to the
+    * batch twin on the same prefix (no float state drifts across
+    * micro-batches because there is no float state at all). The day
+    * origin is a fixed parameter: a stream cannot re-derive a
+    * retroactive min. */
+  def ewmaStream(events: DataFrame, startUs: Long): DataFrame =
+    graft.queries.ExtensionQueries.ewmaDailyFrom(events, startUs)
+
+  /** Finishing step re-export for the forecaster's per-batch read. */
+  def ewmaFinish(daily: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.ewmaFinish(daily)
+
   def momentsStream(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

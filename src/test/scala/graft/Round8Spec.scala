@@ -303,6 +303,27 @@ class Round8Spec extends SparkSpec {
     assert(perCust.values.count(_ == 4) > perCust.size / 2)
   }
 
+  test("q_char_entropy matches a driver-side histogram-entropy replay") {
+    import graft.queries.TextQueries
+    val want = Tables(spark, sfDir, "documents")
+      .select(F.col("doc_id"), F.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        val h = t.toCharArray.groupBy(identity).view.mapValues(_.length).toMap
+        val n = h.values.sum
+        val slc = h.values.map(c => c * (math.log(c) / math.log(2))).sum
+        val e = math.log(n) / math.log(2) - slc / n
+        (id, n.toLong, h.size.toLong, e)
+      }.sortBy(_._1).toSeq
+    val got = TextQueries.charEntropy(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 2e-4, s"entropy drift: $g vs $w") }
+    // entropy bounded by log2(distinct)
+    got.foreach(g => assert(g._4 >= -1e-9 && g._4 <= math.log(g._3.toDouble) / math.log(2) + 1e-9))
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()

@@ -904,6 +904,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA level is bit-equal to the batch twin across batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = Tables(spark, sfDir, "events").as[Ev].collect()
+    val startUs = all.map(e => e.ts.getTime * 1000).min
+    val q = StreamJobs.ewmaStream(mem.toDF(), startUs)
+      .writeStream.format("memory").queryName("ewmas").outputMode("complete").start()
+    try {
+      // uneven, day-interleaved batches: counts must merge regardless
+      val (b1, b2) = all.sortBy(_.event_id).splitAt(all.length / 3)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = StreamJobs.ewmaFinish(spark.table("ewmas"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val batch = graft.queries.ExtensionQueries.ewmaForecast(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch) // exact dyadic: bit equality, not tolerance
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries summary keeps the heavy-hitter guarantee across batches") {
     val s = spark
     import s.implicits._
