@@ -1233,6 +1233,152 @@ object SimilarityQueries {
        |WHERE n.rank <= $K
        |ORDER BY n.qid, n.rank""".stripMargin
 
+  private val RrfC = 60
+  private val RrfTopK = 20
+
+  /** Reciprocal-rank fusion of the lexical (BM25) and semantic
+    * (cosine-to-probe) rankings over the shared retrieval shortlist —
+    * the rank-algebra alternative to [[hybridRetrieve]]'s
+    * rerank-replaces-shortlist composition: RRF(d) = Σᵢ 1/(c+rankᵢ(d))
+    * needs NO score normalization (ranks are scale-free), which is why
+    * it is the default fusion in production search stacks whose
+    * per-field scores aren't commensurable. Both ranks ride windows
+    * over the ≤ 50-row shortlist; the fused score is a sum of two
+    * identical-input IEEE divisions, so cross-engine ordering is exact
+    * without a rounding fence (rounded only at output). */
+  def rrfFuse(spark: SparkSession, dir: String): DataFrame =
+    rrfFuseOn(Tables(spark, dir, "documents"), Tables(spark, dir, "embeddings"))
+
+  private[graft] def rrfFuseOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val shortlist = TextQueries.bm25Of(docs)
+      .select(col("doc_id"), col("score").as("bm25"))
+    val joined = emb
+      .join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
+      .select(col("doc_id"), col("bm25"), col("embedding").as("ce"))
+      .localCheckpoint() // ≤ Bm25TopDocs rows; probe AND both rank sides
+    val probe = joined.orderBy(desc("bm25"), asc("doc_id")).limit(1)
+      .select(col("doc_id").as("probe_id"), col("ce").as("qe"))
+    graft.functions.CosineSimilarity.register(docs.sparkSession)
+    val scored = joined.crossJoin(broadcast(probe))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr("cosine_sim(qe, ce)"), 6))
+    val wl = Window.orderBy(desc("bm25"), asc("doc_id"))
+    val ws = Window.orderBy(desc("cos"), asc("doc_id"))
+    scored
+      .withColumn("rank_lex", row_number().over(wl))
+      .withColumn("rank_sem", row_number().over(ws))
+      .withColumn("rrf", lit(1.0) / (lit(RrfC) + col("rank_lex"))
+        + lit(1.0) / (lit(RrfC) + col("rank_sem")))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("rank"), col("doc_id"), col("rank_lex"), col("rank_sem"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy("rank")
+  }
+
+  val rrfFuseSql: String =
+    s"""WITH ${TextQueries.bm25RankedCte},
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |sv AS (SELECT r.doc_id, r.score AS bm25, e.i, e.v
+       |       FROM ranked r JOIN e ON e.vec_id = r.doc_id),
+       |probe AS (SELECT doc_id FROM ranked
+       |          ORDER BY score DESC, doc_id LIMIT 1),
+       |qv AS (SELECT sv.i, sv.v FROM sv JOIN probe USING (doc_id)),
+       |dot AS (SELECT s.doc_id, max(s.bm25) AS bm25, sum(s.v * q.v) AS dot,
+       |               sqrt(sum(s.v * s.v)) AS nc, sqrt(sum(q.v * q.v)) AS nq
+       |        FROM sv s JOIN qv q USING (i), probe p
+       |        WHERE s.doc_id <> p.doc_id
+       |        GROUP BY s.doc_id),
+       |cosd AS (SELECT doc_id, bm25,
+       |                round(CASE WHEN nq * nc = 0 THEN 0.0
+       |                           ELSE dot / (nq * nc) END, 6) AS cos
+       |         FROM dot),
+       |rk AS (SELECT doc_id,
+       |              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex,
+       |              row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_sem
+       |       FROM cosd),
+       |f AS (SELECT doc_id, rank_lex, rank_sem,
+       |             1.0 / ($RrfC + rank_lex) + 1.0 / ($RrfC + rank_sem) AS rrf
+       |      FROM rk)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+       |       doc_id, CAST(rank_lex AS INTEGER) AS rank_lex,
+       |       CAST(rank_sem AS INTEGER) AS rank_sem, round(rrf, 6) AS rrf
+       |FROM f
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $RrfTopK""".stripMargin
+
+  private val NdcgK = 10
+
+  /** NDCG@[[NdcgK]] of the brute-force cosine ranking, per anchor,
+    * with same-label membership as graded relevance — the
+    * ranking-quality metric that closes the retrieval-eval suite:
+    * [[annEval]] measures INDEX recall against the exact ranking,
+    * this measures the exact ranking itself against ground-truth
+    * labels (an index can be 100% faithful to an embedding space that
+    * ranks junk first; NDCG catches that). DCG discounts hits by
+    * 1/log2(rank+1); the ideal normalizer is the closed-form prefix
+    * sum over min(k, #relevant) — computed in-plan from the per-anchor
+    * relevant count, never by re-sorting. */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val scored = withCos(broadcast(q).crossJoin(c))
+      .filter(col("qid") =!= col("cid"))
+      .localCheckpoint() // top-k window AND the relevant-count agg
+    val nRel = scored.filter(col("qlabel") === col("clabel"))
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NdcgK)
+      .withColumn("gain", when(col("qlabel") === col("clabel"),
+        lit(1.0) / log2(col("rank") + 1)).otherwise(lit(0.0)))
+      .groupBy("qid").agg(sum("gain").as("dcg"))
+      .join(nRel, "qid")
+      .withColumn("idcg", expr(
+        s"aggregate(sequence(1, CAST(least($NdcgK, n_rel) AS INT)), CAST(0 AS DOUBLE), " +
+          "(acc, i) -> acc + 1.0 / log2(CAST(i + 1 AS DOUBLE)))"))
+      .select(col("qid"), col("n_rel"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  val ndcgEvalSql: String =
+    s"""WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+       |               c.vec_id AS cid, any_value(c.label) AS clabel,
+       |               sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY q.vec_id, c.vec_id),
+       |s AS (SELECT qid, qlabel, cid, clabel,
+       |             CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |      FROM dot),
+       |nr AS (SELECT qid, count(*) AS n_rel FROM s WHERE qlabel = clabel GROUP BY 1),
+       |rk AS (SELECT qid, qlabel, clabel, cos,
+       |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |       FROM s),
+       |d AS (SELECT qid, sum(CASE WHEN qlabel = clabel
+       |                           THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+       |      FROM rk WHERE rank <= $NdcgK GROUP BY 1)
+       |SELECT d.qid, CAST(nr.n_rel AS BIGINT) AS n_rel,
+       |       round(d.dcg, 6) AS dcg,
+       |       round(d.dcg / list_sum(list_transform(
+       |         range(1, CAST(least($NdcgK, nr.n_rel) AS BIGINT) + 1),
+       |         i -> 1.0 / log2(CAST(i + 1 AS DOUBLE)))), 6) AS ndcg
+       |FROM d JOIN nr USING (qid)
+       |ORDER BY qid""".stripMargin
+
   private val BtK = 4
   private val BtMinScore = 1.1
 

@@ -324,6 +324,64 @@ class Round8Spec extends SparkSpec {
     got.foreach(g => assert(g._4 >= -1e-9 && g._4 <= math.log(g._3.toDouble) / math.log(2) + 1e-9))
   }
 
+  test("q_rrf_fuse ranks are permutations and the fused score matches the rank algebra") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.rrfFuse(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    rows.foreach { case (_, _, rl, rs, rrf) =>
+      val want = 1.0 / (60 + rl) + 1.0 / (60 + rs)
+      assert(math.abs(rrf - want) < 1e-6, s"rrf mismatch: $rrf vs $want")
+    }
+    // fused order is non-increasing in rrf
+    assert(rows.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9))
+  }
+
+  test("q_ndcg_eval matches a driver-side NDCG replay") {
+    import graft.queries.SimilarityQueries
+    val lab = Tables(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na * nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def l2(x: Double): Double = math.log(x) / math.log(2)
+    val want = lab.filter(_._1 < 10).sortBy(_._1).map { case (qid, qe, ql) =>
+      val scored = lab.filter(_._1 != qid).map { case (cid, ce, cl) => (cid, cl, cos(qe, ce)) }
+      val nRel = scored.count(_._2 == ql)
+      val top = scored.sortBy(t => (-t._3, t._1)).take(10)
+      val dcg = top.zipWithIndex.collect {
+        case ((_, cl, _), i) if cl == ql => 1.0 / l2(i + 2) }.sum
+      val idcg = (1 to math.min(10, nRel)).map(i => 1.0 / l2(i + 1)).sum
+      (qid, nRel.toLong, dcg, dcg / idcg)
+    }
+    val got = SimilarityQueries.ndcgEval(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq === want.map(t => (t._1, t._2)).toSeq)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 2e-6 && math.abs(g._4 - w._4) < 2e-6, s"$g vs $w")
+      assert(g._4 >= 0.0 && g._4 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("round-8 queries are repartition-invariant") {
+    import graft.queries.{ExtensionQueries, StreamQueries, TextQueries}
+    // skyline over a 7-way repartitioned part table
+    val part7 = Tables(spark, sfDir, "part").repartition(7)
+    assert(ExtensionQueries.skylineOf(part7).collect().toSeq ===
+      ExtensionQueries.skyline(spark, sfDir).collect().toSeq)
+    // setsim over a 5-way repartitioned documents table
+    val docs5 = Tables(spark, sfDir, "documents").repartition(5)
+    assert(TextQueries.setsimPrefixOf(docs5).collect().toSeq ===
+      TextQueries.setsimPrefix(spark, sfDir).collect().toSeq)
+    // EWMA over a 9-way repartitioned events table (bit-exact dyadic)
+    val ev9 = Tables(spark, sfDir, "events").repartition(9)
+    assert(ExtensionQueries.ewmaForecastOf(ev9).collect().toSeq ===
+      ExtensionQueries.ewmaForecast(spark, sfDir).collect().toSeq)
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
