@@ -364,6 +364,57 @@ object TextQueries {
       |FROM h GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  private val VocabSize = 25
+
+  /** Vocabulary binding + OOV accounting — the tokenizer-APPLICATION
+    * step between [[bpeMerges]] (vocab induction) and [[seqPack]]
+    * (sequence assembly): build the top-[[VocabSize]] token table
+    * (count-desc, tie-broken by token so the cut boundary is
+    * deterministic), then account every doc's out-of-vocabulary rate —
+    * the number that decides whether a vocab ships
+    * (the corpus vocabulary is a closed 31-token set, so V=25 leaves a
+    * real OOV tail at every SF). The vocab rank is
+    * a window over the vocabulary-sized count table (never the token
+    * stream); the encode pass is one broadcast join of the ≤
+    * [[VocabSize]]-row vocab into the stream plus a doc-keyed
+    * aggregation. Exact-integer ppm output. */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame =
+    vocabEncodeOf(Tables(spark, dir, "documents"))
+
+  private[graft] def vocabEncodeOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(Window.orderBy(desc("cnt"), asc("tok"))))
+      .filter(col("id") <= VocabSize)
+      .select(col("tok"), lit(1).as("inv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * CAST(1000000 AS BIGINT)) div n_tokens").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val vocabEncodeSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |              FROM documents),
+       |v AS (SELECT tok FROM (
+       |        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS id
+       |        FROM toks GROUP BY tok)
+       |      WHERE id <= $VocabSize),
+       |enc AS (SELECT t.doc_id, count(*) AS n_tokens,
+       |               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS n_oov
+       |        FROM toks t LEFT JOIN v ON v.tok = t.tok
+       |        GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_oov,
+       |       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+       |FROM enc ORDER BY doc_id""".stripMargin
+
   private val PhraseT1 = "hash"
   private val PhraseT2 = "join"
 

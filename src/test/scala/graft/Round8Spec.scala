@@ -382,6 +382,23 @@ class Round8Spec extends SparkSpec {
       ExtensionQueries.ewmaForecast(spark, sfDir).collect().toSeq)
   }
 
+  test("q_vocab_encode matches a driver-side top-V vocab replay") {
+    import graft.queries.TextQueries
+    val docToks = Tables(spark, sfDir, "documents")
+      .select(F.col("doc_id"), F.split(F.trim(F.col("text")), "\\s+").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val counts = docToks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(25).map(_._1).toSet
+    val want = docToks.map { case (id, w) =>
+      val oov = w.count(!vocab.contains(_)).toLong
+      (id, w.size.toLong, oov, oov * 1000000L / w.size)
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.vocabEncode(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.exists(_._3 > 0), "corpus should have OOV tokens at V=25")
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
