@@ -1233,6 +1233,92 @@ object SimilarityQueries {
        |WHERE n.rank <= $K
        |ORDER BY n.qid, n.rank""".stripMargin
 
+  private val PcaIters = 3
+
+  /** Top principal component of the (centered) embedding cloud via
+    * POWER ITERATION — the dimensionality-reduction primitive behind
+    * whitening, drift visualization, and spectral outlier gates. The
+    * covariance matrix is never materialized: each iteration is the
+    * identity C·b = Σᵣ xᵣ·(xᵣ·b)/n, i.e. one broadcast of the 64-row
+    * b vector, one per-row dot (d dims), one (dim)-keyed re-aggregation
+    * — a single pass over the exploded vectors per iteration, O(n·d)
+    * at any scale where O(d²) covariance assembly would also work but
+    * a full eigensolve would not distribute. [[PcaIters]] fixed
+    * iterations, unrolled in the oracle; the iterate is L2-normalized
+    * and 6-dp ROUNDED after every iteration (the [[labelCohesion]]
+    * centroid-fence trick: partial-aggregation order perturbs sums at
+    * ~1e-15, the fence absorbs it so both engines iterate on identical
+    * vectors). Start vector is the deterministic uniform 1/√d; sign is
+    * fixed by the convention loading(0) ≥ 0. Output: per-dim loadings
+    * + the Rayleigh-quotient eigenvalue (explained variance). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def pcaPowerOf(emb: DataFrame): DataFrame = {
+    val x0 = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
+    val mu = x0.groupBy("i").agg(round(avg("v"), 6).as("m"))
+    val x = x0.join(broadcast(mu), "i")
+      .select(col("vec_id"), col("i"), (col("v") - col("m")).as("v"))
+      .localCheckpoint() // read twice per iteration × PcaIters + eigval
+    val d = 64
+    var b = mu.select(col("i"), lit(1.0 / math.sqrt(d)).as("w"))
+    for (_ <- 1 to PcaIters) {
+      val dots = x.join(broadcast(b), "i")
+        .groupBy("vec_id").agg(sum(col("v") * col("w")).as("dt"))
+      val y = x.join(dots, "vec_id")
+        .groupBy("i").agg(sum(col("v") * col("dt")).as("s"))
+      val nrm = y.agg(sqrt(sum(col("s") * col("s"))).as("nm"))
+      b = y.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("s") / col("nm"), 6).as("w"))
+        .localCheckpoint() // 64 rows; pins the fence between iterations
+    }
+    // sign convention + Rayleigh quotient λ = Σ(x·b)² / n
+    val sign = b.agg(max(when(col("i") === 0,
+      when(col("w") >= 0, 1.0).otherwise(-1.0))).as("sg"))
+    val dots = x.join(broadcast(b), "i")
+      .groupBy("vec_id").agg(sum(col("v") * col("w")).as("dt"))
+    val lam = dots.crossJoin(broadcast(x.select("vec_id").distinct()
+        .agg(count(lit(1)).as("n"))))
+      .agg(round((sum(col("dt") * col("dt")) / first("n")), 4).as("eigval"))
+    b.crossJoin(broadcast(sign)).crossJoin(broadcast(lam))
+      .select(col("i"), round(col("w") * col("sg"), 6).as("loading"), col("eigval"))
+      .orderBy("i")
+  }
+
+  val pcaPowerSql: String = {
+    val d = 64
+    val b0 = 1.0 / math.sqrt(d)
+    def iter(n: Int, prev: String): String =
+      s"""dots$n AS (SELECT x.vec_id, sum(x.v * b.w) AS dt
+         |           FROM x JOIN $prev b USING (i) GROUP BY 1),
+         |y$n AS (SELECT x.i, sum(x.v * d.dt) AS s
+         |        FROM x JOIN dots$n d USING (vec_id) GROUP BY 1),
+         |b$n AS (SELECT i, round(s / (SELECT sqrt(sum(s * s)) FROM y$n), 6) AS w
+         |        FROM y$n)""".stripMargin
+    s"""WITH x0 AS (SELECT vec_id, i, v FROM (
+       |         SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |                unnest(range(len(embedding))) AS i
+       |         FROM embeddings)),
+       |mu AS (SELECT i, round(avg(v), 6) AS m FROM x0 GROUP BY 1),
+       |x AS (SELECT vec_id, x0.i, v - m AS v FROM x0 JOIN mu USING (i)),
+       |b0 AS (SELECT i, $b0 AS w FROM mu),
+       |${iter(1, "b0")},
+       |${iter(2, "b1")},
+       |${iter(3, "b2")},
+       |sg AS (SELECT CASE WHEN w >= 0 THEN 1.0 ELSE -1.0 END AS sg
+       |       FROM b3 WHERE i = 0),
+       |fd AS (SELECT x.vec_id, sum(x.v * b.w) AS dt
+       |       FROM x JOIN b3 b USING (i) GROUP BY 1),
+       |lam AS (SELECT round(sum(dt * dt) / (SELECT count(DISTINCT vec_id) FROM x), 4)
+       |          AS eigval
+       |        FROM fd)
+       |SELECT CAST(b3.i AS INTEGER) AS i, round(b3.w * sg.sg, 6) AS loading,
+       |       lam.eigval
+       |FROM b3 CROSS JOIN sg CROSS JOIN lam
+       |ORDER BY b3.i""".stripMargin
+  }
+
   private val RrfC = 60
   private val RrfTopK = 20
 

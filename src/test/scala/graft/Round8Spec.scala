@@ -399,6 +399,41 @@ class Round8Spec extends SparkSpec {
     assert(got.exists(_._3 > 0), "corpus should have OOV tokens at V=25")
   }
 
+  test("q_pca_power matches a driver-side fenced power-iteration replay") {
+    import graft.queries.SimilarityQueries
+    val emb = Tables(spark, sfDir, "embeddings")
+      .collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val d = 64
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = (0 until d).map(i => r6(emb.map(_(i)).sum / emb.length)).toArray
+    val x = emb.map(v => v.indices.map(i => v(i) - mu(i)).toArray)
+    var b = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 1 to 3) {
+      val y = new Array[Double](d)
+      x.foreach { row =>
+        val dt = row.indices.map(i => row(i) * b(i)).sum
+        row.indices.foreach(i => y(i) += row(i) * dt)
+      }
+      val nm = math.sqrt(y.map(s => s * s).sum)
+      b = y.map(s => r6(s / nm))
+    }
+    val sg = if (b(0) >= 0) 1.0 else -1.0
+    val lam = x.map { row => val dt = row.indices.map(i => row(i) * b(i)).sum; dt * dt }
+      .sum / emb.length
+    val got = SimilarityQueries.pcaPower(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === (0 until d))
+    got.foreach { case (i, loading, eig) =>
+      assert(math.abs(loading - sg * b(i)) < 5e-6, s"loading drift at $i: $loading vs ${sg * b(i)}")
+      assert(math.abs(eig - lam) < 1e-3, s"eigval drift: $eig vs $lam")
+    }
+    assert(got.head._2 >= 0.0) // sign convention
+    val norm = math.sqrt(got.map(t => t._2 * t._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+    assert(got.head._3 > 0.0)
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
