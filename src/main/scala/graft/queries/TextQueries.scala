@@ -415,6 +415,51 @@ object TextQueries {
        |       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
        |FROM enc ORDER BY doc_id""".stripMargin
 
+  private val SelectBestK = 5
+
+  /** Per-source keep-best curation selection — the positive complement
+    * of [[filterFunnel]]'s rejection accounting: each source
+    * contributes its [[SelectBestK]] best docs, ranked by an
+    * EXACT-INTEGER composite score (distinct-token count dominant —
+    * the vocabulary-richness signal — with byte length as the
+    * secondary key, packed as `n_distinct·10⁶ + n_chars` so one BIGINT
+    * compare decides the whole policy; no float score can tie
+    * ambiguously, no cross-engine rank drift is possible). One narrow
+    * projection computes the score in-plan; the rank is a per-source
+    * window (source-keyed exchange — never global); ties break by
+    * doc_id. This is the quota-selection shape of a mixture build
+    * where [[mixtureApply]] admits by budget and this admits by
+    * rank. */
+  def selectBest(spark: SparkSession, dir: String): DataFrame =
+    selectBestOf(Tables(spark, dir, "documents"))
+
+  private[graft] def selectBestOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("source"), col("doc_id"),
+      (size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long") * 1000000L
+        + col("n_chars")).as("q_score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(desc("q_score"), asc("doc_id"))))
+      .filter(col("rank") <= SelectBestK)
+      .select(col("source"), col("rank"), col("doc_id"), col("q_score"))
+      .orderBy("source", "rank")
+  }
+
+  val selectBestSql: String =
+    s"""WITH q AS (SELECT source, doc_id,
+       |                  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+       |                    AS BIGINT) * 1000000 + n_chars AS q_score
+       |           FROM documents)
+       |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id,
+       |       CAST(q_score AS BIGINT) AS q_score
+       |FROM (SELECT source, doc_id, q_score,
+       |             row_number() OVER (PARTITION BY source
+       |               ORDER BY q_score DESC, doc_id) AS rank
+       |      FROM q)
+       |WHERE rank <= $SelectBestK
+       |ORDER BY source, rank""".stripMargin
+
   private val PhraseT1 = "hash"
   private val PhraseT2 = "join"
 

@@ -434,6 +434,23 @@ class Round8Spec extends SparkSpec {
     assert(got.head._3 > 0.0)
   }
 
+  test("q_select_best keeps exactly the per-source top-k by the packed score") {
+    import graft.queries.TextQueries
+    val scored = Tables(spark, sfDir, "documents")
+      .select(F.col("source"), F.col("doc_id"),
+        (F.size(F.array_distinct(F.split(F.trim(F.col("text")), "\\s+"))).cast("long") * 1000000L
+          + F.col("n_chars")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (src, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((_, id, q), i) => (src, i + 1, id, q) }
+    }
+    val got = TextQueries.selectBest(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
   test("q_zonemap_prune prunes zones and counts exactly") {
     import graft.queries.ExtensionQueries
     val r = ExtensionQueries.zonemapPrune(spark, sfDir).head()
