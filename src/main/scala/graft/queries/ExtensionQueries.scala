@@ -2908,9 +2908,18 @@ object ExtensionQueries {
       .withColumn("total", sum(col("d") + col("c")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("n_risk", col("total") - col("gone_before"))
-      .withColumn("surv", Det.rnd(exp(sum(
-          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0))), 4))
+      // Terminal-day guard: a day where every at-risk user converts
+      // (d == n_risk) is a legitimate KM outcome with S(t) = 0, but
+      // log(0) is NULL in Spark and an error in DuckDB. Keep only the
+      // d < n_risk factors in the log-sum and force surv to 0.0 once
+      // any prefix day has extinguished the risk set.
+      .withColumn("extinct", max(when(col("d") === col("n_risk"), 1)
+        .otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("surv", when(col("extinct") === 1, lit(0.0))
+        .otherwise(Det.rnd(exp(coalesce(sum(
+          when(col("d") < col("n_risk"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0.0))), 4)))
       .select(col("day"), col("d"), col("c"), col("n_risk"), col("surv"))
       .orderBy("day")
   }
@@ -2931,9 +2940,15 @@ object ExtensionQueries {
        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
        |        FROM dd)
        |SELECT day, d, c, CAST(n_risk AS BIGINT) AS n_risk,
-       |       ${Det.rndSql(
-                 "exp(sum(ln(1 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY day " +
-                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 4)} AS surv
+       |       CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+       |                 OVER (ORDER BY day
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       |            THEN 0.0
+       |            ELSE ${Det.rndSql(
+                 "exp(coalesce(sum(CASE WHEN d < n_risk THEN " +
+                 "ln(1 - CAST(d AS DOUBLE) / n_risk) END) OVER (ORDER BY day " +
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))", 4)}
+       |       END AS surv
        |FROM wdw
        |ORDER BY day""".stripMargin
 
@@ -3099,16 +3114,26 @@ object ExtensionQueries {
        |ORDER BY user_id""".stripMargin
 
   /** One-step-ahead EWMA forecast of the daily event volume with
-    * α = 1/2 — the capacity-planning smoother, computed EXACTLY: with a
-    * dyadic α the recurrence level_d = (c_d + level_{d−1})/2 has the
-    * closed form 2^d·level_d = c_0 + Σ_{j=1..d} 2^{j−1}·c_j, so the
-    * level is an integer window sum divided by a power of two — a
-    * dyadic rational that doubles represent exactly (day span ≤ 30,
-    * counts ≤ 1e5 ⇒ the scaled sum stays far under 2^53). No
-    * float accumulation, no cross-engine drift, no rounding column at
-    * all — the rare smoother whose output is bit-exact by algebra.
-    * The daily collapse is the only full-data pass; the recurrence
-    * unrolls over the ≤ span-days histogram. */
+    * α = 1/2 — the capacity-planning smoother, computed EXACTLY where
+    * doubles allow and deterministically everywhere: with a dyadic α
+    * the recurrence level_d = (c_d + level_{d−1})/2 has the closed
+    * form 2^{d+1}·level_d = c_0 + Σ_{j=0..d} 2^j·c_j, so the level is
+    * an integer window sum divided by a power of two. A single global
+    * closed form overflows the BIGINT scale factor past day 62, so
+    * the recurrence is RE-ANCHORED every [[EwmaSegDays]] days
+    * (segment reseed): within a segment the scaled sum
+    * T_d = Σ 2^{d mod S}·c_d is an exact BIGINT, and the carry into
+    * segment g obeys carry(g) = 2^{−S}·(T'_{g−1} + carry(g−1)) (the
+    * total decay across any segment is exactly S halvings, gaps
+    * included), seeded carry(0) = c₀. The carry chain is evaluated as
+    * an ascending-k fold of exactly-scaled terms — IEEE multiplication
+    * by a power of two commutes with addition rounding, so the fold is
+    * BIT-EQUAL to the sequential per-segment recurrence (property-
+    * tested over a >100-day fixture in Round9Spec). Contributions
+    * older than ~34 segments underflow to exactly 0.0, which bounds
+    * the carry lookback; day spans of centuries stay finite and
+    * correct. The daily collapse is the only full-data pass; the
+    * finish runs over the ≤ span-days histogram. */
   def ewmaForecast(spark: SparkSession, dir: String): DataFrame =
     ewmaForecastOf(Tables(spark, dir, "events"))
 
@@ -3127,19 +3152,61 @@ object ExtensionQueries {
     events.groupBy(expr(s"(unix_micros(ts) - ${startUs}L) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
 
-  /** The vocabulary-sized finish of [[ewmaForecast]]: the dyadic-exact
-    * recurrence unrolled over the ≤ span-days histogram. */
+  /** Segment length of the reseeded dyadic closed form: within-segment
+    * scale factors stay ≤ 2^32, so the BIGINT scaled sum is exact (and
+    * double-exact) for daily counts up to ~2^20. */
+  private[graft] val EwmaSegDays = 32
+
+  /** Carry-chain lookback in segments: 2^(−32·34) underflows below the
+    * smallest subnormal double, so older segments contribute exactly
+    * 0.0 and the candidate join is bounded regardless of span. */
+  private val EwmaCarryHorizon = 40
+
+  /** The vocabulary-sized finish of [[ewmaForecast]]: the segment-
+    * reseeded dyadic recurrence over the ≤ span-days histogram (see
+    * the operator scaladoc for the algebra). Requires day 0 present —
+    * guaranteed because the day origin is min(ts). */
   private[graft] def ewmaFinish(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    daily
-      .withColumn("s", sum(when(col("day") === 0, col("c"))
-        .otherwise(expr("c * shiftleft(CAST(1 AS BIGINT), CAST(day AS INT) - 1)"))).over(w))
-      .withColumn("level", col("s").cast("double")
-        / expr("shiftleft(CAST(1 AS BIGINT), CAST(day AS INT))").cast("double"))
+    val S = EwmaSegDays
+    val d2 = daily.select(col("day"), col("c"),
+      expr(s"day div $S").as("seg"), expr(s"CAST(day % $S AS INT)").as("o"))
+    val c0 = daily.filter(col("day") === 0).select(col("c").as("c0"))
+    // per-segment scaled total T'_g (exact BIGINT; segments are
+    // vocabulary-sized: span/S rows)
+    val segs = d2.groupBy("seg")
+      .agg(sum(expr("c * shiftleft(CAST(1 AS BIGINT), o)")).as("tp"))
+    // carry(g) = fold over k < g ascending of T'_k·2^{−S(g−k)}, seeded
+    // c₀·2^{−Sg}; the bounded-horizon join is exact because older
+    // terms are 0.0 by underflow
+    val carries = d2.select(col("seg").as("g")).distinct()
+      .join(broadcast(segs.select(col("seg").as("k"), col("tp"))),
+        col("k") < col("g") && col("k") >= col("g") - EwmaCarryHorizon, "left")
+      .groupBy("g")
+      .agg(sort_array(collect_list(when(col("k").isNotNull,
+        struct(col("k"), col("tp"))))).as("terms"))
+      .crossJoin(broadcast(c0))
+      .select(col("g"), expr(
+        s"""aggregate(terms,
+           |  CAST(c0 AS DOUBLE) * power(2.0, -CAST($S AS DOUBLE) * CAST(g AS DOUBLE)),
+           |  (acc, t) -> acc + CAST(t.tp AS DOUBLE)
+           |    * power(2.0, -CAST($S AS DOUBLE) * CAST(g - t.k AS DOUBLE)))""".stripMargin)
+        .as("carry"))
+    val w = Window.partitionBy("seg").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d2.join(broadcast(carries), col("seg") === col("g"))
+      .withColumn("t",
+        sum(expr("c * shiftleft(CAST(1 AS BIGINT), o)")).over(w))
+      .withColumn("level", (col("t").cast("double") + col("carry"))
+        / expr("shiftleft(CAST(1 AS BIGINT), o + 1)").cast("double"))
       .withColumn("forecast_next", col("level"))
-      .withColumn("err", col("c").cast("double")
-        - lag("level", 1).over(Window.orderBy("day")))
+      // previous-day level: the last PRESENT level decayed through the
+      // zero-event gap days (level halves on an empty day), so err is
+      // c − level_{d−1} even right after a gap
+      .withColumn("prev_level", lag("level", 1).over(Window.orderBy("day")))
+      .withColumn("prev_day", lag("day", 1).over(Window.orderBy("day")))
+      .withColumn("err", col("c").cast("double") - col("prev_level")
+        * pow(lit(0.5), (col("day") - lit(1) - col("prev_day")).cast("double")))
       .select(col("day"), col("c"), col("level"), col("forecast_next"), col("err"))
       .orderBy("day")
   }
@@ -3149,15 +3216,33 @@ object ExtensionQueries {
        |daily AS (SELECT (epoch_us(ts) - start_us) // 86400000000 AS day,
        |                 count(*) AS c
        |          FROM events CROSS JOIN st GROUP BY 1),
+       |d2 AS (SELECT day, c, day // $EwmaSegDays AS seg,
+       |              CAST(day % $EwmaSegDays AS INT) AS o FROM daily),
+       |c0 AS (SELECT c AS c0 FROM daily WHERE day = 0),
+       |segs AS (SELECT seg, sum(c * (CAST(1 AS BIGINT) << o)) AS tp
+       |         FROM d2 GROUP BY 1),
+       |carries AS (SELECT g.seg AS g,
+       |                   CAST(c0 AS DOUBLE)
+       |                     * pow(2.0, -$EwmaSegDays.0 * g.seg)
+       |                   + coalesce(sum(CAST(k.tp AS DOUBLE)
+       |                       * pow(2.0, -$EwmaSegDays.0 * (g.seg - k.seg))), 0.0)
+       |                     AS carry
+       |            FROM (SELECT DISTINCT seg FROM d2) g
+       |            CROSS JOIN c0
+       |            LEFT JOIN segs k
+       |              ON k.seg < g.seg AND k.seg >= g.seg - $EwmaCarryHorizon
+       |            GROUP BY g.seg, c0),
        |lv AS (SELECT day, c,
-       |              CAST(sum(CASE WHEN day = 0 THEN c
-       |                            ELSE c * (CAST(1 AS BIGINT) << (CAST(day AS INT) - 1))
-       |                       END) OVER (ORDER BY day
-       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-       |                / CAST(CAST(1 AS BIGINT) << CAST(day AS INT) AS DOUBLE) AS level
-       |       FROM daily)
+       |              (CAST(sum(c * (CAST(1 AS BIGINT) << o))
+       |                 OVER (PARTITION BY seg ORDER BY day
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |               + carry)
+       |              / CAST(CAST(1 AS BIGINT) << (o + 1) AS DOUBLE) AS level
+       |       FROM d2 JOIN carries ON seg = g)
        |SELECT day, c, level, level AS forecast_next,
-       |       CAST(c AS DOUBLE) - lag(level, 1) OVER (ORDER BY day) AS err
+       |       CAST(c AS DOUBLE) - lag(level, 1) OVER (ORDER BY day)
+       |         * pow(0.5, CAST(day - 1 - lag(day, 1) OVER (ORDER BY day) AS DOUBLE))
+       |         AS err
        |FROM lv
        |ORDER BY day""".stripMargin
 
@@ -3197,6 +3282,9 @@ object ExtensionQueries {
       .withColumn("partkey", expr(
         // Knuth modmul on (custkey, slot), folded into the part-key domain
         "1 + ((custkey * 2654435761 + slot * 40503 + 7) % 4294967296) % max_pk"))
+      // colliding hash slots can draw the same partkey twice for one
+      // customer; keep the earliest slot so the NegK picks are distinct
+      .groupBy("custkey", "partkey").agg(min("slot").as("slot"))
     val survivors = draws.join(positives, Seq("custkey", "partkey"), "left_anti")
     survivors
       .withColumn("pick", row_number().over(
@@ -3210,11 +3298,13 @@ object ExtensionQueries {
     s"""WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
        |             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |mp AS (SELECT max(p_partkey) AS max_pk FROM part),
-       |draws AS (SELECT custkey, max_pk, s.slot,
-       |                 1 + ((custkey * 2654435761 + s.slot * 40503 + 7) % 4294967296)
-       |                   % max_pk AS partkey
-       |          FROM (SELECT DISTINCT custkey FROM pos) CROSS JOIN mp
-       |          CROSS JOIN (SELECT unnest(range($NegOversample)) AS slot) s),
+       |draws0 AS (SELECT custkey, max_pk, s.slot,
+       |                  1 + ((custkey * 2654435761 + s.slot * 40503 + 7) % 4294967296)
+       |                    % max_pk AS partkey
+       |           FROM (SELECT DISTINCT custkey FROM pos) CROSS JOIN mp
+       |           CROSS JOIN (SELECT unnest(range($NegOversample)) AS slot) s),
+       |draws AS (SELECT custkey, partkey, min(slot) AS slot
+       |          FROM draws0 GROUP BY 1, 2),
        |surv AS (SELECT d.custkey, d.partkey, d.slot
        |         FROM draws d ANTI JOIN pos p
        |           ON p.custkey = d.custkey AND p.partkey = d.partkey)

@@ -937,8 +937,9 @@ object SimilarityQueries {
        |      FROM embeddings),
        |sv AS (SELECT r.doc_id, r.score AS bm25, e.i, e.v
        |       FROM ranked r JOIN e ON e.vec_id = r.doc_id),
-       |probe AS (SELECT doc_id FROM ranked
-       |          ORDER BY score DESC, doc_id LIMIT 1),
+       |probe AS (SELECT doc_id
+       |          FROM (SELECT DISTINCT doc_id, bm25 FROM sv)
+       |          ORDER BY bm25 DESC, doc_id LIMIT 1),
        |qv AS (SELECT sv.i, sv.v FROM sv JOIN probe USING (doc_id)),
        |dot AS (SELECT s.doc_id, max(s.bm25) AS bm25, sum(s.v * q.v) AS dot,
        |               sqrt(sum(s.v * s.v)) AS nc, sqrt(sum(q.v * q.v)) AS nq
@@ -1369,8 +1370,9 @@ object SimilarityQueries {
        |      FROM embeddings),
        |sv AS (SELECT r.doc_id, r.score AS bm25, e.i, e.v
        |       FROM ranked r JOIN e ON e.vec_id = r.doc_id),
-       |probe AS (SELECT doc_id FROM ranked
-       |          ORDER BY score DESC, doc_id LIMIT 1),
+       |probe AS (SELECT doc_id
+       |          FROM (SELECT DISTINCT doc_id, bm25 FROM sv)
+       |          ORDER BY bm25 DESC, doc_id LIMIT 1),
        |qv AS (SELECT sv.i, sv.v FROM sv JOIN probe USING (doc_id)),
        |dot AS (SELECT s.doc_id, max(s.bm25) AS bm25, sum(s.v * q.v) AS dot,
        |               sqrt(sum(s.v * s.v)) AS nc, sqrt(sum(q.v * q.v)) AS nq

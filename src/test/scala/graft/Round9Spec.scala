@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{functions => F}
+import graft.queries.ExtensionQueries
+
+/** Round-9 additions: the segment-reseeded EWMA closed form past the
+  * old day-62 overflow horizon, the Kaplan-Meier terminal-day guard,
+  * and negative-sampling draw distinctness. */
+class Round9Spec extends SparkSpec {
+
+  private val S = ExtensionQueries.EwmaSegDays
+
+  /** Plain-Scala sequential replay of the reseeded dyadic EWMA
+    * contract: within a segment the scaled sum is an exact Long; at
+    * each segment boundary the carry re-anchors as
+    * carry ← (T' + carry)·2^{−S}. Day-by-day, gaps included. */
+  private def contractReplay(daily: Map[Long, Long]): Map[Long, Double] = {
+    val maxDay = daily.keys.max
+    var carry = daily(0L).toDouble
+    var t = 0L
+    val out = scala.collection.mutable.Map.empty[Long, Double]
+    for (d <- 0L to maxDay) {
+      val o = (d % S).toInt
+      if (d > 0 && o == 0) { carry = (t.toDouble + carry) * math.pow(2.0, -S); t = 0L }
+      val c = daily.getOrElse(d, 0L)
+      t += c << o
+      if (daily.contains(d)) out(d) = (t.toDouble + carry) / (1L << (o + 1)).toDouble
+    }
+    out.toMap
+  }
+
+  /** Naive per-day double recurrence level ← (c + level)/2 — the
+    * textbook EWMA the contract must track to float precision. */
+  private def naiveReplay(daily: Map[Long, Long]): Map[Long, Double] = {
+    val maxDay = daily.keys.max
+    var level = daily(0L).toDouble
+    val out = scala.collection.mutable.Map.empty[Long, Double]
+    out(0L) = level
+    for (d <- 1L to maxDay) {
+      level = (daily.getOrElse(d, 0L).toDouble + level) / 2.0
+      if (daily.contains(d)) out(d) = level
+    }
+    out.toMap
+  }
+
+  private def finishOn(daily: Map[Long, Long]): Map[Long, (Double, Option[Double])] = {
+    val s = spark
+    import s.implicits._
+    ExtensionQueries.ewmaFinish(daily.toSeq.toDF("day", "c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+  }
+
+  test("ewmaFinish matches the sequential contract replay past day 62 (gaps, big counts)") {
+    // 150 days; gaps every 7th day plus a 15-day dark stretch; counts
+    // up to ~50k exercise the scaled-sum width
+    val daily = (0L to 149L)
+      .filterNot(d => d % 7 == 3 && d > 0)
+      .filterNot(d => d >= 100 && d < 115)
+      .map(d => d -> ((d * 937 % 50000) + 1))
+      .toMap
+    val got = finishOn(daily)
+    val want = contractReplay(daily)
+    val naive = naiveReplay(daily)
+    assert(got.keySet === daily.keySet)
+    daily.keys.foreach { d =>
+      assert(got(d)._1 === want(d), s"contract mismatch at day $d")
+      val rel = math.abs(got(d)._1 - naive(d)) / math.max(naive(d), 1e-12)
+      assert(rel < 1e-9, s"drifted from true EWMA at day $d: ${got(d)._1} vs ${naive(d)}")
+    }
+    // day 63+ was the old shiftleft overflow zone — levels there must
+    // be positive and bounded by the count range, not wrapped garbage
+    daily.keys.filter(_ >= 63).foreach { d =>
+      assert(got(d)._1 > 0.0 && got(d)._1 < 50001.0, s"overflowed level at day $d")
+    }
+  }
+
+  test("ewmaFinish err after a gap uses the decayed previous-day level") {
+    val daily = Map(0L -> 100L, 1L -> 80L, 5L -> 40L) // 3-day gap before day 5
+    val got = finishOn(daily)
+    val want = contractReplay(daily)
+    assert(got(5L)._1 === want(5L))
+    // level decays by halving across days 2..4, so err_5 = c_5 − level_4
+    val level1 = (80.0 + 100.0) / 2
+    val level4 = level1 / 8
+    assert(got(5L)._2.get === 40.0 - level4)
+    assert(got(0L)._2.isEmpty)
+  }
+
+  test("ewmaFinish stays finite and contract-exact on a centuries-sparse span") {
+    // present days straddle many empty segments, far past the old
+    // 2^63 scale horizon AND the naive pow(2, day) overflow horizon
+    val daily = Map(0L -> 1000L, 40L -> 900L, 2000L -> 800L, 2500L -> 700L)
+    val got = finishOn(daily)
+    val want = contractReplay(daily)
+    daily.keys.foreach { d =>
+      assert(!got(d)._1.isNaN && !got(d)._1.isInfinite, s"non-finite at $d")
+      assert(got(d)._1 === want(d), s"contract mismatch at day $d")
+    }
+    // 1960 empty days fully decay the carry: day 2000 restarts cold
+    assert(got(2000L)._1 === 400.0)
+  }
+
+  test("survivalKm emits surv 0.0 (not NULL) when the last at-risk users all convert") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def r(id: Long, t: String, u: Long, typ: String, v: Double) =
+      Row(id, Timestamp.valueOf(t), u, typ, v, "{}")
+    // u1 converts day 0, u2 day 1, u3 day 2 = corpus end; nobody is
+    // censored, so the day-2 risk set is extinguished (d == n_risk)
+    val rows = Seq(
+      r(1, "2024-01-01 00:00:00", 1, "click", 0.0),
+      r(2, "2024-01-01 06:00:00", 1, "purchase", 200.0),
+      r(3, "2024-01-01 00:00:00", 2, "click", 0.0),
+      r(4, "2024-01-02 06:00:00", 2, "purchase", 200.0),
+      r(5, "2024-01-01 00:00:00", 3, "click", 0.0),
+      r(6, "2024-01-03 06:00:00", 3, "purchase", 200.0))
+    val events = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = ExtensionQueries.survivalKmOf(events)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3), x.getDouble(4)))
+    assert(got.length === 3)
+    // KM: S(0) = 1 − 1/3, S(1) = S(0)·(1 − 1/2), S(2) = 0 exactly
+    assert(got(0) === ((0L, 1L, 3L, 0.6667)))
+    assert(got(1) === ((1L, 1L, 2L, 0.3333)))
+    assert(got(2)._4 === 0.0)
+    assert(got(2)._3 === 1L)
+  }
+
+  test("q_negative_sampling draws are distinct per customer") {
+    val got = ExtensionQueries.negativeSampling(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.distinct.length === got.length,
+      "duplicate (custkey, neg_partkey) pair in the picks")
+  }
+}

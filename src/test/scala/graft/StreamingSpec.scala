@@ -910,7 +910,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val all = Tables(spark, sfDir, "events").as[Ev].collect()
-    val startUs = all.map(e => e.ts.getTime * 1000).min
+    // micros-exact origin shared with the batch twin (ts.getTime is
+    // millisecond-truncated and would shift sub-millisecond corpora)
+    val startUs = Tables(spark, sfDir, "events")
+      .agg(min(unix_micros(col("ts")))).head().getLong(0)
     val q = StreamJobs.ewmaStream(mem.toDF(), startUs)
       .writeStream.format("memory").queryName("ewmas").outputMode("complete").start()
     try {
