@@ -169,13 +169,30 @@ class Round8Spec extends SparkSpec {
       while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
       if (na * nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // scheme-1 sign-LSH bucket replay (8 planes, the shipped scale plan)
+    def bucket(e: Array[Float]): Int = (0 until 8).map { p =>
+      var dot = 0.0
+      for (i <- e.indices) {
+        val m = ((i + 1).toLong * (2654435761L + 4096L * p + 2L * p * p)) % 4294967296L
+        dot += e(i).toDouble * (if (((m >> 15) & 1L) == 1L) 1.0 else -1.0)
+      }
+      if (dot > 0) 1 << p else 0
+    }.sum
     val src = emb.filter(e => lang(e._1) == "en")
     val tgt = emb.filter(e => lang(e._1) != "en")
-    val cr = for ((q, qe) <- src; (c, ce) <- tgt) yield (q, c, cos(qe, ce))
-    val dq = cr.groupBy(_._1).view.mapValues(
-      _.sortBy(t => (-t._3, t._2)).take(4).map(_._3).sum / 4).toMap
-    val dc = cr.groupBy(_._2).view.mapValues(
-      _.sortBy(t => (-t._3, t._1)).take(4).map(_._3).sum / 4).toMap
+    // candidate iff buckets differ in <= 2 planes (1-flip probes both sides)
+    val cr = for {
+      (q, qe) <- src; (c, ce) <- tgt
+      if Integer.bitCount(bucket(qe) ^ bucket(ce)) <= 2
+    } yield (q, c, cos(qe, ce))
+    val dq = cr.groupBy(_._1).view.mapValues { xs =>
+      val top = xs.sortBy(t => (-t._3, t._2)).take(4).map(_._3)
+      top.sum / top.size
+    }.toMap
+    val dc = cr.groupBy(_._2).view.mapValues { xs =>
+      val top = xs.sortBy(t => (-t._3, t._1)).take(4).map(_._3)
+      top.sum / top.size
+    }.toMap
     val want = cr.map { case (q, c, x) => (q, c, x, x / ((dq(q) + dc(c)) / 2)) }
       .groupBy(_._1).values
       .map(_.minBy(t => (-t._4, t._2)))
