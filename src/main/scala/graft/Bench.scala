@@ -14,13 +14,25 @@ object Bench {
     * excluded from the total rather than silently shrinking it; they
     * remain visible per-query. Keys are emitted in sorted order so two
     * captures of the same surface are byte-comparable (VERDICT r6 #2). */
+  private def r3(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   private[graft] def renderJson(results: Map[String, Double], sfDir: String): String = {
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     s"""{"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)}}"""
+  }
+
+  /** Per-query MEDIAN of the successful reps (VERDICT r8 #4: one-rep
+    * captures forced every cross-round comparison to adjudicate ~2×
+    * same-code host spread). With 3 reps the middle value sheds a
+    * single contended rep in either direction; -1 only if every rep
+    * failed. For an even success count the UPPER middle is taken —
+    * conservative, never reports a best-case. */
+  private[graft] def median(ts: Seq[Double]): Double = {
+    val ok = ts.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0 else ok(ok.size / 2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,25 +74,38 @@ object Bench {
     // sorted key order: per-query timings comparable across rounds —
     // map-iteration order previously decided which query followed which
     // (and, pre-trunk-split, who paid shared costs)
-    val results = setup ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must NOT masquerade as a fast one: record -1
-      // (and say so on stderr) instead of its time-to-crash
-      val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
-      // cached/checkpointed blocks must not carry across queries: each
-      // measurement starts cold so numbers are stable and independent.
-      // clearCache only drops SQL-cached relations; localCheckpoint RDD
-      // blocks (dedup/recommender/text queries) otherwise linger until
-      // GC, accumulating executor memory across the run (ADVICE r2).
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      name -> sec
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val repResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must NOT masquerade as a fast one: record -1
+        // (and say so on stderr) instead of its time-to-crash
+        val sec =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+          }
+        // cached/checkpointed blocks must not carry across queries: each
+        // measurement starts cold so numbers are stable and independent.
+        // clearCache only drops SQL-cached relations; localCheckpoint RDD
+        // blocks (dedup/recommender/text queries) otherwise linger until
+        // GC, accumulating executor memory across the run (ADVICE r2).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        sec
+      }
+      name -> times
     }
+    val results = setup ++ repResults.map { case (n, ts) => n -> median(ts) }
+    // all raw reps to a side artifact so the spread is auditable
+    // (scratch-guarded queries pay their one-time write in rep 1;
+    // the median reports the steady-state regime)
+    val repsJson = repResults.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench_reps.json"), repsJson + "\n")
     val json = renderJson(results, sfDir)
     // three channels so the driver can't miss it (BENCH_r02 was still
     // "parsed": null): stdout (sbt-wrapped with [info]), the file at

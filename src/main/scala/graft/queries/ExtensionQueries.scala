@@ -3032,13 +3032,28 @@ object ExtensionQueries {
     * A tie never straddles a score boundary, exactly as a range
     * partitioner treats it. Features stay exact integers
     * (days/counts/cents); only scores derive from them. */
-  def rfmSegment(spark: SparkSession, dir: String): DataFrame =
-    rfmSegmentOf(Tables(spark, dir, "events"))
+  def rfmSegment(spark: SparkSession, dir: String): DataFrame = {
+    // per-user feature frame is corpus-keyed (one row per user) and
+    // read four times — durable scratch parquet, not executor-pinned
+    // (the VERDICT r8 #2 pattern)
+    val path =
+      s"${Tables.scratchDir}/rfm-${DedupQueries.scratchKey(spark, dir)}/features.parquet"
+    if (!spark.conf.getOption("graft.rfm.dir").contains(dir)) {
+      rfmFeaturesOf(Tables(spark, dir, "events"))
+        .write.mode("overwrite").parquet(path)
+      spark.conf.set("graft.rfm.dir", dir)
+    }
+    rfmFinish(spark.read.parquet(path))
+  }
 
-  private[graft] def rfmSegmentOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def rfmSegmentOf(events: DataFrame): DataFrame =
+    rfmFinish(rfmFeaturesOf(events))
+
+  /** Per-user exact-integer RFM features (recency hours, frequency,
+    * monetary cents + whole-dollar coarsening). */
+  private[graft] def rfmFeaturesOf(events: DataFrame): DataFrame = {
     val corpusEnd = events.agg(max(unix_micros(col("ts"))).as("end_us"))
-    val rfm = events.groupBy("user_id").agg(
+    events.groupBy("user_id").agg(
         max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("frequency"),
         coalesce(sum(when(col("event_type") === "purchase",
@@ -3048,7 +3063,12 @@ object ExtensionQueries {
         expr("(end_us - last_us) div 3600000000").as("recency_hours"),
         col("frequency"), col("monetary_cents"),
         expr("monetary_cents div 100").as("m_dollars"))
-      .localCheckpoint() // three score histograms + the output join read it
+  }
+
+  /** Quintile scoring + segment assembly over a materialized feature
+    * frame. */
+  private def rfmFinish(rfm: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // quintile score from the feature's distinct-value histogram:
     // bucket = floor(cumBefore·bins / n) + 1, ties land whole
     // (equidepth); `worstFirst` orders the histogram so score 5 is

@@ -1192,15 +1192,25 @@ object SimilarityQueries {
     * unchanged — that swap is exactly the one [[annEval]] prices. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
-      col("embedding").as("ce"))
-    val scored = withCos(broadcast(q).crossJoin(c))
-      .filter(col("qid") =!= col("cid"))
-      .localCheckpoint() // NQueries·n rows; feeds negatives AND positives
+    // the scored relation is corpus-proportional (NQueries·n rows) and
+    // feeds two consumers — durable scratch parquet, not an
+    // executor-pinned localCheckpoint (the VERDICT r8 #2 pattern)
+    val path =
+      s"${Tables.scratchDir}/hardneg-${DedupQueries.scratchKey(spark, dir)}/scored.parquet"
+    if (!spark.conf.getOption("graft.hardneg.dir").contains(dir)) {
+      val emb = Tables(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qe"))
+      val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("embedding").as("ce"))
+      withCos(broadcast(q).crossJoin(c))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("qlabel"), col("cid"), col("clabel"), col("cos"))
+        .write.mode("overwrite").parquet(path)
+      spark.conf.set("graft.hardneg.dir", dir)
+    }
+    val scored = spark.read.parquet(path)
     val pos = scored.filter(col("qlabel") === col("clabel"))
       .groupBy("qid").agg(max("cos").as("pos_cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
@@ -1259,18 +1269,37 @@ object SimilarityQueries {
     * vectors). Start vector is the deterministic uniform 1/√d; sign is
     * fixed by the convention loading(0) ≥ 0. Output: per-dim loadings
     * + the Rayleigh-quotient eigenvalue (explained variance). */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame =
-    pcaPowerOf(Tables(spark, dir, "embeddings"))
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    // the mean-centered COO matrix is corpus-sized (n×64 rows) and read
+    // 2×[[PcaIters]]+2 times — durable scratch parquet, not an
+    // executor-pinned localCheckpoint (VERDICT r8 #2): survives
+    // executor loss and spills to storage instead of memory
+    val path =
+      s"${Tables.scratchDir}/pca-${DedupQueries.scratchKey(spark, dir)}/centered.parquet"
+    if (!spark.conf.getOption("graft.pca.dir").contains(dir)) {
+      pcaCenteredOf(Tables(spark, dir, "embeddings"))
+        .write.mode("overwrite").parquet(path)
+      spark.conf.set("graft.pca.dir", dir)
+    }
+    pcaFromCentered(spark.read.parquet(path))
+  }
 
-  private[graft] def pcaPowerOf(emb: DataFrame): DataFrame = {
+  /** Mean-centering stage of [[pcaPower]]: exploded COO form with the
+    * 6-dp-fenced per-dim mean subtracted. */
+  private[graft] def pcaCenteredOf(emb: DataFrame): DataFrame = {
     val x0 = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
     val mu = x0.groupBy("i").agg(round(avg("v"), 6).as("m"))
-    val x = x0.join(broadcast(mu), "i")
+    x0.join(broadcast(mu), "i")
       .select(col("vec_id"), col("i"), (col("v") - col("m")).as("v"))
-      .localCheckpoint() // read twice per iteration × PcaIters + eigval
+  }
+
+  /** Power-iteration finish of [[pcaPower]] over a materialized
+    * centered matrix. */
+  private[graft] def pcaFromCentered(x: DataFrame): DataFrame = {
     val d = 64
-    var b = mu.select(col("i"), lit(1.0 / math.sqrt(d)).as("w"))
+    var b = x.select("i").distinct()
+      .select(col("i"), lit(1.0 / math.sqrt(d)).as("w"))
     for (_ <- 1 to PcaIters) {
       val dots = x.join(broadcast(b), "i")
         .groupBy("vec_id").agg(sum(col("v") * col("w")).as("dt"))

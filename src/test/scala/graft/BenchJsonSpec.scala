@@ -36,6 +36,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!json.contains("\n"), "must be ONE line")
   }
 
+  test("median: middle of 3, ignores failed reps, upper-middle when even") {
+    assert(Bench.median(Seq(5.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(-1.0, 4.0, 2.0)) == 4.0) // 2 ok -> upper middle
+    assert(Bench.median(Seq(-1.0, -1.0, 3.0)) == 3.0)
+    assert(Bench.median(Seq(-1.0, -1.0, -1.0)) == -1.0)
+    assert(Bench.median(Seq(7.0)) == 7.0)
+  }
+
   test("query keys are emitted in sorted order — byte-comparable captures") {
     val keys = "\"(q_[a-z0-9_]+)\":".r.findAllMatchIn(json).map(_.group(1)).toSeq
     assert(keys == keys.sorted, "renderJson must sort keys (VERDICT r6 #2)")
