@@ -3334,4 +3334,176 @@ object ExtensionQueries {
        |      FROM surv)
        |WHERE pick <= $NegK
        |ORDER BY custkey, pick""".stripMargin
+
+  /** Revenue-concentration audit: Gini coefficient + top-1%/top-10%
+    * revenue shares over per-customer order revenue — the inequality
+    * metrics a data-curation owner reads before source reweighting
+    * (a corpus whose token mass is 90% one domain has the same
+    * pathology as a market whose revenue is 90% one account; cf.
+    * [[TextQueries]] zipf/mixture ops for the token-side view).
+    *
+    * Exactness: revenue aggregates in integer cents; the Gini rank sum
+    * Σ i·xᵢ collapses ONTO THE DISTINCT-VALUE HISTOGRAM — a run of m
+    * equal values ending at ascending position p contributes
+    * v·(m·p − m(m−1)/2), summed in decimal(38,0) (HUGEINT on the
+    * oracle side), so no per-customer global sort or row numbering
+    * exists anywhere in the plan: the only window runs over the
+    * distinct-revenue histogram (the established vocabulary-sized
+    * finish). Top-k% shares read the same histogram from the top; a
+    * boundary inside an equal-value run takes (k − cumBefore)·v —
+    * value-identical for any tie order, so no tiebreak is needed at
+    * all. Only the final three ratios are floating, each fenced at
+    * 6dp. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame =
+    giniConcentrationOf(Tables(spark, dir, "orders"))
+
+  private[graft] def giniConcentrationOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = orders.groupBy("o_custkey")
+      .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+    val hist = rev.groupBy("c").agg(count(lit(1)).as("m"))
+    val tot = hist.agg(sum("m").as("n"), sum(expr("c * m")).as("total"))
+    val wa = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    val wd = Window.orderBy(desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    val rows = hist.crossJoin(broadcast(tot))
+      .withColumn("k1", expr("(n + 99) div 100"))
+      .withColumn("k10", expr("(n + 9) div 10"))
+      .withColumn("p", sum("m").over(wa))
+      .withColumn("db", coalesce(sum("m").over(wd), lit(0L)))
+      .withColumn("sb", coalesce(sum(expr("c * m")).over(wd), lit(0L)))
+    rows.agg(
+        first("n").as("n"), first("total").as("total"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (CAST(m AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0)) - CAST((m * (m - 1)) div 2 AS DECIMAL(38,0)))"))
+          .as("s1"),
+        max(when(col("db") < col("k1") && col("k1") <= col("db") + col("m"),
+          col("sb") + (col("k1") - col("db")) * col("c"))).as("top1"),
+        max(when(col("db") < col("k10") && col("k10") <= col("db") + col("m"),
+          col("sb") + (col("k10") - col("db")) * col("c"))).as("top10"))
+      .select(col("n").as("n_customers"), col("total").as("total_cents"),
+        Det.rnd(expr("2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)"), 6).as("gini"),
+        Det.rnd(col("top1").cast("double") / col("total").cast("double"), 6).as("top1_share"),
+        Det.rnd(col("top10").cast("double") / col("total").cast("double"), 6).as("top10_share"))
+  }
+
+  val giniConcentrationSql: String =
+    s"""WITH rev AS (SELECT o_custkey, sum(${Det.centsSql("o_totalprice")}) AS c
+       |             FROM orders GROUP BY 1),
+       |hist AS (SELECT c, count(*) AS m FROM rev GROUP BY 1),
+       |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS total
+       |        FROM hist),
+       |rws AS (SELECT c, m, n, total,
+       |               (n + 99) // 100 AS k1, (n + 9) // 10 AS k10,
+       |               sum(m) OVER (ORDER BY c
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+       |               coalesce(sum(m) OVER (ORDER BY c DESC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS db,
+       |               coalesce(sum(c * m) OVER (ORDER BY c DESC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sb
+       |        FROM hist CROSS JOIN tot),
+       |ag AS (SELECT any_value(n) AS n, any_value(total) AS total,
+       |              sum(CAST(c AS HUGEINT) * (CAST(m AS HUGEINT) * CAST(p AS HUGEINT)
+       |                - CAST((m * (m - 1)) // 2 AS HUGEINT))) AS s1,
+       |              max(CASE WHEN db < k1 AND k1 <= db + m
+       |                       THEN sb + (k1 - db) * c END) AS top1,
+       |              max(CASE WHEN db < k10 AND k10 <= db + m
+       |                       THEN sb + (k10 - db) * c END) AS top10
+       |       FROM rws)
+       |SELECT CAST(n AS BIGINT) AS n_customers, CAST(total AS BIGINT) AS total_cents,
+       |       ${Det.rndSql("2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 6)} AS gini,
+       |       ${Det.rndSql("CAST(top1 AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS top1_share,
+       |       ${Det.rndSql("CAST(top10 AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS top10_share
+       |FROM ag""".stripMargin
+
+  private val PsiBins = 10
+  private val PsiSentinel = 4611686018427387904L // 2^62: outside any cents domain
+
+  /** Population Stability Index of purchase value between the first
+    * and second half of the event timeline — the standard model-
+    * monitoring drift score (PSI = Σ (p_b − p_a)·ln(p_b/p_a) over the
+    * expected-period decile bins), complementing [[ksSplitDrift]]:
+    * KS reads the max CDF gap, PSI reads the full reweighting mass,
+    * which is what a mixture-rebalancing job actually prices.
+    *
+    * Bins are deciles of period A's distinct-value histogram (ties
+    * land whole — the [[rfmSegment]] equidepth rule), realized as ≤
+    * [[PsiBins]] value ranges and broadcast into one pass over both
+    * periods (a 10-row nested-loop range probe, not a shuffle). A
+    * period-B bin with zero rows clamps its count to 1 for the log
+    * (the standard PSI floor, deterministic in both engines). Counts
+    * are exact integers; only the per-bin term and total are floating,
+    * fenced at 6dp. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftOf(Tables(spark, dir, "events"))
+
+  private[graft] def psiDriftOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(Det.cents(col("value")).as("v"), unix_micros(col("ts")).as("tus"))
+    val mid = purch.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+    val sp = purch.crossJoin(broadcast(mid))
+      .withColumn("in_a", col("tus") < col("mid"))
+    val hist = sp.filter(col("in_a")).groupBy("v").agg(count(lit(1)).as("m"))
+    val wv = Window.orderBy("v")
+    val binOf = hist
+      .withColumn("cum", coalesce(sum("m").over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("m").over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("v"),
+        expr(s"least($PsiBins, CAST((cum * $PsiBins) div n AS INT) + 1)").as("bin"))
+    val ranges = binOf.groupBy("bin").agg(min("v").as("lo"))
+      .withColumn("lo", when(col("bin") === 1, lit(-PsiSentinel)).otherwise(col("lo")))
+      .withColumn("hi", coalesce(lead("lo", 1).over(Window.orderBy("bin")),
+        lit(PsiSentinel)))
+    val counts = sp.join(broadcast(ranges),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cnt_b"))
+    val wall = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("na", sum("cnt_a").over(wall))
+      .withColumn("nb", sum("cnt_b").over(wall))
+      .withColumn("pa", col("cnt_a").cast("double") / col("na"))
+      .withColumn("pb", greatest(col("cnt_b"), lit(1L)).cast("double") / col("nb"))
+      .withColumn("term", (col("pb") - col("pa")) * log(col("pb") / col("pa")))
+      .withColumn("psi_total", Det.rnd(sum("term").over(wall), 6))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        Det.rnd(col("term"), 6).as("psi_term"), col("psi_total"))
+      .orderBy("bin")
+  }
+
+  val psiDriftSql: String =
+    s"""WITH purch AS (SELECT ${Det.centsSql("value")} AS v, epoch_us(ts) AS tus
+       |               FROM events WHERE event_type = 'purchase'),
+       |mid AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM purch),
+       |sp AS (SELECT v, tus < mid AS in_a FROM purch CROSS JOIN mid),
+       |hist AS (SELECT v, count(*) AS m FROM sp WHERE in_a GROUP BY 1),
+       |bins AS (SELECT v, least($PsiBins, CAST((cum * $PsiBins) // n AS INT) + 1) AS bin
+       |         FROM (SELECT v, coalesce(sum(m) OVER (ORDER BY v
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+       |                      sum(m) OVER () AS n
+       |               FROM hist)),
+       |rng AS (SELECT bin, lo, coalesce(lead(lo, 1) OVER (ORDER BY bin),
+       |                                 $PsiSentinel) AS hi
+       |        FROM (SELECT bin, CASE WHEN bin = 1 THEN -$PsiSentinel
+       |                               ELSE min(v) END AS lo
+       |              FROM bins GROUP BY bin)),
+       |cnts AS (SELECT bin,
+       |                CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |                CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+       |         FROM sp JOIN rng ON sp.v >= rng.lo AND sp.v < rng.hi
+       |         GROUP BY 1),
+       |terms AS (SELECT bin, cnt_a, cnt_b,
+       |                 (CAST(greatest(cnt_b, 1) AS DOUBLE) / sum(cnt_b) OVER ()
+       |                  - CAST(cnt_a AS DOUBLE) / sum(cnt_a) OVER ())
+       |                 * ln((CAST(greatest(cnt_b, 1) AS DOUBLE) / sum(cnt_b) OVER ())
+       |                      / (CAST(cnt_a AS DOUBLE) / sum(cnt_a) OVER ())) AS term
+       |          FROM cnts)
+       |SELECT CAST(bin AS INTEGER) AS bin, cnt_a, cnt_b,
+       |       ${Det.rndSql("term", 6)} AS psi_term,
+       |       ${Det.rndSql("sum(term) OVER ()", 6)} AS psi_total
+       |FROM terms
+       |ORDER BY bin""".stripMargin
 }

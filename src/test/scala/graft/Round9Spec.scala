@@ -135,6 +135,67 @@ class Round9Spec extends SparkSpec {
     assert(got(2)._3 === 1L)
   }
 
+  test("q_gini_concentration matches a driver-side sorted-rank replay") {
+    import org.apache.spark.sql.{functions => F}
+    val rev = Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .collect().map(_.getLong(1)).sorted
+    val n = rev.length.toLong
+    val total = rev.map(BigInt(_)).sum
+    val s1 = rev.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = 2.0 * s1.toDouble / (n.toDouble * total.toDouble) - (n + 1.0) / n
+    def topShare(k: Long): Double =
+      rev.reverse.take(k.toInt).map(BigInt(_)).sum.toDouble / total.toDouble
+    val got = ExtensionQueries.giniConcentration(spark, sfDir).head()
+    assert(got.getLong(0) === n && got.getLong(1) === total.toLong)
+    assert(math.abs(got.getDouble(2) - gini) < 2e-6, s"gini ${got.getDouble(2)} vs $gini")
+    assert(math.abs(got.getDouble(3) - topShare((n + 99) / 100)) < 2e-6)
+    assert(math.abs(got.getDouble(4) - topShare((n + 9) / 10)) < 2e-6)
+    assert(got.getDouble(2) > 0.0 && got.getDouble(2) < 1.0)
+    assert(got.getDouble(3) < got.getDouble(4))
+  }
+
+  test("q_psi_drift matches a driver-side decile-binned replay") {
+    import org.apache.spark.sql.{functions => F}
+    val purch = Tables(spark, sfDir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(F.expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+        F.unix_micros(F.col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (purch.map(_._2).min + purch.map(_._2).max) / 2
+    val a = purch.filter(_._2 < mid).map(_._1)
+    val b = purch.filter(_._2 >= mid).map(_._1)
+    // decile bins from A's distinct-value histogram, ties land whole
+    val hist = a.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val nA = a.length.toLong
+    var cum = 0L
+    val binOf = hist.map { case (v, m) =>
+      val bin = math.min(10L, cum * 10 / nA + 1).toInt; cum += m; v -> bin
+    }
+    val lows = binOf.groupBy(_._2).view.mapValues(_.map(_._1).min).toSeq.sortBy(_._1)
+    def binFor(v: Long): Int =
+      lows.reverse.find { case (_, lo) => v >= lo }.map(_._1).getOrElse(1)
+    val cntA = a.groupBy(binFor).view.mapValues(_.length.toLong).toMap
+    val cntB = b.groupBy(binFor).view.mapValues(_.length.toLong).toMap
+    val want = lows.map(_._1).map { bin =>
+      val ca = cntA.getOrElse(bin, 0L); val cb = cntB.getOrElse(bin, 0L)
+      val pa = ca.toDouble / a.length
+      val pb = math.max(cb, 1L).toDouble / b.length
+      (bin, ca, cb, (pb - pa) * math.log(pb / pa))
+    }
+    val psi = want.map(_._4).sum
+    val got = ExtensionQueries.psiDrift(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === want.map(w => (w._1, w._2, w._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 2e-6, s"term drift at bin ${g._1}")
+      assert(math.abs(g._5 - psi) < 2e-6)
+    }
+    assert(got.nonEmpty && got.length <= 10)
+  }
+
   test("q_negative_sampling draws are distinct per customer") {
     val got = ExtensionQueries.negativeSampling(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
