@@ -87,6 +87,84 @@ object RecommenderQueries {
       .filter(col("rn") <= K)
   }
 
+  /** Scale twin of [[userSimilarity]] (VERDICT r8 stretch #7): all-pairs
+    * column cosine via mllib `RowMatrix.columnSimilarities(threshold)` —
+    * DIMSUM (Zadeh & Goel, "Dimension Independent Similarity
+    * Computation", 2013). The exact self-join + `corr` plan above is the
+    * oracle-matched surface, faithful to `Part_A_Q2.py:114-116`; at
+    * 100 TB the self-join's candidate pairs grow with the square of the
+    * hottest item's user count, while DIMSUM samples each row with
+    * probability ∝ γ/(‖cᵢ‖·‖cⱼ‖), so every pair with cosine ≥ threshold
+    * survives (w.h.p., exactly when the probabilities clamp to 1) at
+    * O(n·γ²) shuffle cost independent of row count.
+    *
+    * Layout: rows = items (the 5-value event-type vocabulary), columns =
+    * users, entries = per-user mean-centered ratings, so column cosine
+    * equals dense-vector Pearson — the same statistic the reference's
+    * `np.corrcoef` computes on the zero-filled pivot. The user slice is
+    * the bounded TopUsers prefilter, so the two driver-side collects
+    * below are ≤ TopUsers rows (a fixed vocabulary, not corpus-sized);
+    * at full scale one would run DIMSUM on the UNcentered sparse matrix
+    * (plain cosine) since mean-centering densifies.
+    *
+    * `threshold = 0` disables sampling → brute-force-exact cosine; the
+    * spec uses that as the in-family ground truth for the superset
+    * assertion.
+    */
+  def userSimilarityDimsum(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rt = topRatings(spark, dir)
+    val users: Array[Long] = rt.select("user_id").distinct().orderBy("user_id")
+      .collect().map(_.getLong(0)) // ≤ TopUsers rows by construction
+    val nItems = EventTypes.size
+    // per-user dense mean and centered-column norm in one bounded pass:
+    // μ = Σr/n, ‖c‖² = Σr² − n·μ² (absent cells are 0). Columns are
+    // pre-normalized to UNIT norm before DIMSUM — cosine is invariant
+    // per-column scaling, and unit norms clamp the sampling probability
+    // min(1, √γ/‖c‖) to 1, so on any matrix whose γ = 10·ln(n)/s ≥ 1
+    // the "sampled" run is deterministic and exact. (Raw money-valued
+    // norms ~10² would push the keep-probability to ~0.1 on a 5-row
+    // matrix — the few-rows regime DIMSUM's w.h.p. bound doesn't cover.)
+    val stats: Map[Long, (Double, Double)] = rt.groupBy("user_id")
+      .agg(sum(col("r").cast("double")).as("s"),
+           sum(col("r").cast("double") * col("r").cast("double")).as("s2"))
+      .collect().map { r =>
+        val s = r.getDouble(1); val s2 = r.getDouble(2)
+        val mu = s / nItems
+        val norm = math.sqrt(math.max(0.0, s2 - nItems * mu * mu))
+        r.getLong(0) -> (mu, if (norm == 0.0) 1.0 else norm)
+      }.toMap
+    val userIdx = users.zipWithIndex.toMap
+    val muArr = users.map(u => stats(u)._1)
+    val nrmArr = users.map(u => stats(u)._2)
+    val bIdx = spark.sparkContext.broadcast(userIdx)
+    val bMu = spark.sparkContext.broadcast(muArr)
+    val bNrm = spark.sparkContext.broadcast(nrmArr)
+    val nUsers = users.length
+    val rows = rt.select(col("event_type"), col("user_id"), col("r").cast("double"))
+      .rdd.map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .groupByKey()
+      .map { case (_, cells) =>
+        // dense zero-filled column centered by its dense mean: absent
+        // cells contribute 0 − μᵤ, present ones r − μᵤ; then unit-scale
+        val arr = Array.tabulate(nUsers)(j => -bMu.value(j) / bNrm.value(j))
+        cells.foreach { case (u, v) =>
+          val j = bIdx.value(u); arr(j) = (v - bMu.value(j)) / bNrm.value(j)
+        }
+        OldVectors.dense(arr)
+      }
+    val sims =
+      if (threshold > 0) new RowMatrix(rows).columnSimilarities(threshold)
+      else new RowMatrix(rows).columnSimilarities()
+    val sc = spark
+    import sc.implicits._
+    sims.entries
+      .map(e => (users(e.i.toInt), users(e.j.toInt), e.value))
+      .toDF("u1", "u2", "sim")
+      .orderBy("u1", "u2")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** J3 — semi-join on active users (reference `isin` against

@@ -62,6 +62,60 @@ class TablesLayoutSpec extends SparkSpec {
     assert(a.map(_.getLong(1)) === microsEpochs)
   }
 
+  /** The r7 drift was diagnosed from a BIGINT read under `nanosAsLong` —
+    * but the underlying file carried a genuine parquet
+    * `TIMESTAMP(NANOS)` logical-type annotation, which Spark's own
+    * writer cannot emit. Write one with the low-level parquet-hadoop
+    * API so the fixture matrix covers the REAL third layout, not just
+    * its post-conf appearance as a long column.
+    */
+  private def writeTrueNanosFixture(): String = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.MessageTypeParser
+
+    val dir = Files.createTempDirectory("graft-events-true-nanos").toString
+    // isAdjustedToUTC=false ⇒ the same NTZ semantics the micros corpus
+    // uses; unit=NANOS is the annotation Spark can read but not write.
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,false));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    val conf = new Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-0.parquet"))
+      .withConf(conf).withType(schema).build()
+    val fac = new SimpleGroupFactory(schema)
+    try microsEpochs.zipWithIndex.foreach { case (us, i) =>
+      val g = fac.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", us * 1000L) // epoch-nanoseconds
+      g.add("user_id", i.toLong % 2)
+      g.add("event_type", Binary.fromString(s"e$i"))
+      g.add("value", i.toDouble)
+      g.add("props", Binary.fromString("{}"))
+      writer.write(g)
+    } finally writer.close()
+    dir
+  }
+
+  test("Tables normalizes a genuine TIMESTAMP(NANOS)-annotated parquet file") {
+    val dir = writeTrueNanosFixture()
+    val df = Tables(spark, dir, "events")
+    assert(df.schema("ts").dataType === TimestampType)
+    val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+    assert(got === microsEpochs)
+  }
+
   test("Tables passes through an already-TimestampType events column") {
     val dir = Files.createTempDirectory("graft-events-tz").toString
     import spark.implicits._
