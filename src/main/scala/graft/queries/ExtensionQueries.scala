@@ -3506,4 +3506,237 @@ object ExtensionQueries {
        |       ${Det.rndSql("sum(term) OVER ()", 6)} AS psi_total
        |FROM terms
        |ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------- CUSUM change-point
+
+  /** CUSUM change-point detection (Page 1954) over the daily purchase
+    * total — the monitoring op a data pipeline runs over ingest-volume
+    * or label-drift series. Both one-sided statistics via the closed
+    * form S⁺_t = C_t − min_{0≤j≤t} C_j with C_t = Σ(z_i − k): the
+    * recursive max(0, ·) fold becomes a cumulative sum plus a running
+    * min — two ordered-window passes over the day histogram (a
+    * calendar-bounded relation, the documented single-partition-window
+    * family), no UDF, no iteration.
+    *
+    * Determinism: the z-scores are scaled EXACT INTEGERS — the scale
+    * estimate is the mean absolute deviation (a ratio of integer sums,
+    * unlike σ which is irrational), so z·10⁶ = n·(n·x_t − Σx)·10⁶ div D
+    * with D = Σ|n·x_i − Σx| is a pure BIGINT both engines truncate
+    * identically (both `div` and `//` truncate toward zero; sign is
+    * split out anyway). Every cumulative/min/threshold comparison
+    * happens on integers; doubles appear only in the final ÷10⁶
+    * display columns. k = 0.5·MAD, h = 4·MAD.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepointOf(Tables(spark, dir, "events"))
+
+  private val CusumScale = 1000000L
+  private val CusumK     = 500000L  // 0.5 in 1e6 units
+  private val CusumH     = 4000000L // 4.0 in 1e6 units
+
+  private[graft] def cusumChangepointOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Det.cents(col("value"))).as("x"))
+    val wall = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wrun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(wall))
+      .withColumn("sx", sum("x").over(wall))
+      .withColumn("num", col("n") * col("x") - col("sx"))
+      .withColumn("d", sum(abs(col("num"))).over(wall))
+    dev
+      .withColumn("z6",
+        when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"(abs(num) * n * $CusumScale) div d"))
+      .withColumn("cum_p", sum(col("z6") - lit(CusumK)).over(wrun))
+      .withColumn("cum_n", sum(-col("z6") - lit(CusumK)).over(wrun))
+      .withColumn("s_pos", col("cum_p") - least(lit(0L), min("cum_p").over(wrun)))
+      .withColumn("s_neg", col("cum_n") - least(lit(0L), min("cum_n").over(wrun)))
+      .select(
+        col("day"),
+        (col("x").cast("double") / 100.0).as("total_value"),
+        Det.rnd(col("z6").cast("double") / CusumScale, 6).as("z"),
+        Det.rnd(col("s_pos").cast("double") / CusumScale, 6).as("cusum_pos"),
+        Det.rnd(col("s_neg").cast("double") / CusumScale, 6).as("cusum_neg"),
+        (col("s_pos") > CusumH || col("s_neg") > CusumH).cast("int").as("alarm"))
+      .orderBy("day")
+  }
+
+  val cusumChangepointSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |dev AS (
+       |  SELECT day, x,
+       |         count(*) OVER () AS n, sum(x) OVER () AS sx
+       |  FROM daily),
+       |z AS (
+       |  SELECT day, x,
+       |         CASE WHEN n*x - sx < 0 THEN -1 ELSE 1 END *
+       |           ((abs(n*x - sx) * n * $CusumScale) //
+       |            (sum(abs(n*x - sx)) OVER ())) AS z6
+       |  FROM dev),
+       |c AS (
+       |  SELECT day, x, z6,
+       |         sum(z6 - $CusumK) OVER (ORDER BY day) AS cum_p,
+       |         sum(-z6 - $CusumK) OVER (ORDER BY day) AS cum_n
+       |  FROM z),
+       |s AS (
+       |  SELECT day, x, z6,
+       |         cum_p - least(0, min(cum_p) OVER (ORDER BY day)) AS s_pos,
+       |         cum_n - least(0, min(cum_n) OVER (ORDER BY day)) AS s_neg
+       |  FROM c)
+       |SELECT day, CAST(x AS DOUBLE) / 100.0 AS total_value,
+       |       ${Det.rndSql(s"CAST(z6 AS DOUBLE) / $CusumScale", 6)} AS z,
+       |       ${Det.rndSql(s"CAST(s_pos AS DOUBLE) / $CusumScale", 6)} AS cusum_pos,
+       |       ${Det.rndSql(s"CAST(s_neg AS DOUBLE) / $CusumScale", 6)} AS cusum_neg,
+       |       CAST(s_pos > $CusumH OR s_neg > $CusumH AS INTEGER) AS alarm
+       |FROM s
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------- Theil–Sen trend
+
+  /** Theil–Sen robust trend over monthly order revenue — the median of
+    * all pairwise slopes (y_j − y_i)/(x_j − x_i), the estimator that
+    * shrugs off the outlier months OLS chases (29% breakdown point).
+    *
+    * Scale: the pair relation is month × month — a CALENDAR-bounded
+    * self-join (~80 months → ~3k pairs regardless of corpus size; the
+    * corpus-sized work is the one groupBy producing the monthly
+    * histogram). Determinism: slopes are exact scaled integers
+    * (sign·(|Δcents|·10⁶ div Δmonth)); the median picks the middle
+    * row(s) by row_number over (slope, month-pair) — no engine median()
+    * semantics in play — and averages at most two integers in double.
+    * The intercept is the median of y_i·10⁶ − slope6·x_i over months,
+    * computed the same way.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables(spark, dir, "orders"))
+
+  private[graft] def theilSenOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mx"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("y"))
+    val a = monthly.select(col("mx").as("xi"), col("y").as("yi"))
+    val b = monthly.select(col("mx").as("xj"), col("y").as("yj"))
+    val slopes = a.join(b, col("xi") < col("xj"))
+      .withColumn("dy", col("yj") - col("yi"))
+      .withColumn("s6",
+        when(col("dy") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"(abs(dy) * $CusumScale) div (xj - xi)"))
+    val wS = Window.orderBy(col("s6"), col("xi"), col("xj"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("np", count(lit(1)).over(
+        wS.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val slopeMed = ranked
+      .filter(col("rn") === expr("(np + 1) div 2") || col("rn") === expr("(np + 2) div 2"))
+      .agg(avg(col("s6").cast("double")).as("slope6"), first("np").as("n_pairs"))
+    val wI = Window.orderBy(col("i6"), col("mx"))
+    val intercepts = monthly.crossJoin(broadcast(slopeMed))
+      // trunc-toward-zero on BOTH engines (Spark's double→long cast
+      // truncates; DuckDB's CAST rounds, so the oracle goes via trunc())
+      .withColumn("i6", col("y") * lit(CusumScale) -
+        col("slope6").cast("long") * col("mx"))
+      .withColumn("rn", row_number().over(wI))
+      .withColumn("nm", count(lit(1)).over(
+        wI.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    intercepts
+      .filter(col("rn") === expr("(nm + 1) div 2") || col("rn") === expr("(nm + 2) div 2"))
+      .agg(
+        first("nm").as("n_months"), first("n_pairs").as("n_pairs"),
+        Det.rnd(first("slope6") / lit(CusumScale.toDouble) / 100.0, 6).as("slope_per_month"),
+        Det.rnd(avg(col("i6").cast("double")) / CusumScale / 100.0, 6).as("intercept"))
+  }
+
+  val theilSenSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mx,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |slopes AS (
+       |  SELECT a.mx AS xi, b.mx AS xj,
+       |         CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END *
+       |           ((abs(b.y - a.y) * $CusumScale) // (b.mx - a.mx)) AS s6
+       |  FROM monthly a JOIN monthly b ON a.mx < b.mx),
+       |ranked AS (
+       |  SELECT s6, row_number() OVER (ORDER BY s6, xi, xj) AS rn,
+       |         count(*) OVER () AS np
+       |  FROM slopes),
+       |med AS (
+       |  SELECT avg(CAST(s6 AS DOUBLE)) AS slope6, max(np) AS n_pairs
+       |  FROM ranked WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2),
+       |icand AS (
+       |  SELECT y * $CusumScale - CAST(trunc(slope6) AS BIGINT) * mx AS i6, mx, n_pairs, slope6
+       |  FROM monthly CROSS JOIN med),
+       |iranked AS (
+       |  SELECT i6, n_pairs, slope6,
+       |         row_number() OVER (ORDER BY i6, mx) AS rn, count(*) OVER () AS nm
+       |  FROM icand)
+       |SELECT CAST(max(nm) AS BIGINT) AS n_months,
+       |       CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+       |       ${Det.rndSql(s"max(slope6) / $CusumScale.0 / 100.0", 6)} AS slope_per_month,
+       |       ${Det.rndSql(s"avg(CAST(i6 AS DOUBLE)) / $CusumScale / 100.0", 6)} AS intercept
+       |FROM iranked WHERE rn = (nm + 1) // 2 OR rn = (nm + 2) // 2""".stripMargin
+
+  // ------------------------------------------- referential integrity
+
+  /** Referential-integrity audit over every FK edge of the star schema
+    * — the data-contract check a warehouse runs after each load:
+    * orphaned child keys (FK with no parent) and unreferenced parents
+    * (dimension rows no fact touches), one row per edge.
+    *
+    * Scale: each edge is one anti-join pair — parents broadcast when
+    * dimension-sized, the lineitem→orders edge shuffles both sides on
+    * the key once (exactly the plan a 100-TB FK check needs: no
+    * distinct-collect, no driver set). The six edges union into one
+    * result; Spark runs them as independent subtrees. Determinism:
+    * pure integer counts.
+    */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val t = (n: String) => Tables(spark, dir, n)
+    val edges = Seq(
+      ("customer.c_nationkey->nation",  t("customer"), "c_nationkey", t("nation"),   "n_nationkey"),
+      ("lineitem.l_orderkey->orders",   t("lineitem"), "l_orderkey",  t("orders"),   "o_orderkey"),
+      ("lineitem.l_partkey->part",      t("lineitem"), "l_partkey",   t("part"),     "p_partkey"),
+      ("lineitem.l_suppkey->supplier",  t("lineitem"), "l_suppkey",   t("supplier"), "s_suppkey"),
+      ("nation.n_regionkey->region",    t("nation"),   "n_regionkey", t("region"),   "r_regionkey"),
+      ("orders.o_custkey->customer",    t("orders"),   "o_custkey",   t("customer"), "c_custkey"))
+    edges.map { case (name, child, ck, parent, pk) =>
+      val c = child.select(col(ck).as("k"))
+      val p = parent.select(col(pk).as("k"))
+      val childStats = c.join(p.distinct().withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+      val parentStats = p
+        .join(c.distinct().withColumn("ref", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_parent"),
+          sum(when(col("ref").isNull, 1L).otherwise(0L)).as("n_unreferenced"))
+      childStats.crossJoin(parentStats).select(
+        lit(name).as("edge"), col("n_child"), col("n_orphan"),
+        col("n_parent"), col("n_unreferenced"))
+    }.reduce(_ unionAll _).orderBy("edge")
+  }
+
+  val refIntegritySql: String = {
+    val edge = (name: String, child: String, ck: String, parent: String, pk: String) =>
+      s"""SELECT '$name' AS edge,
+         |  (SELECT count(*) FROM $child) AS n_child,
+         |  (SELECT count(*) FROM $child WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS n_orphan,
+         |  (SELECT count(*) FROM $parent) AS n_parent,
+         |  (SELECT count(*) FROM $parent WHERE $pk NOT IN (SELECT $ck FROM $child)) AS n_unreferenced""".stripMargin
+    Seq(
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
 }

@@ -3425,4 +3425,84 @@ object TextQueries {
        |GROUP BY 1, 2
        |ORDER BY epoch, shard""".stripMargin
   }
+
+  // --------------------------------------------------------- ROC / AUC
+
+  /** ROC-AUC of the hashed-logit quality score against an independent
+    * binary label (is-English) — the ranking-quality eval that closes
+    * the classifier lane ([[qualityClassifier]] scores,
+    * `classifier_calibration` calibrates, this ranks). AUC is computed
+    * by the tie-corrected rank-sum identity (AUC = U/(n₊·n₀), the
+    * Mann-Whitney statistic): group docs by distinct score, order by
+    * score, and each score group contributes n₊(s)·(2·cumn₀(<s) +
+    * n₀(s)) to 2·U — ties get the ½ credit exactly, no per-row ranks.
+    *
+    * Scale: one corpus pass for the codegen'd score, one groupBy onto
+    * the distinct-score histogram (value-bounded), one ordered sweep
+    * over that histogram — the established single-partition
+    * vocabulary-finish family. Determinism: U is an exact BIGINT; the
+    * single division is rounded at 6dp.
+    */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame =
+    rocAucOf(Tables(spark, dir, "documents"))
+
+  private[graft] def rocAucOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val scored = docs.select(
+      expr("hashed_logit(text)").getItem(0).as("score"),
+      (col("lang") === "en").cast("long").as("pos"))
+    val hist = scored.groupBy("score")
+      .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val wv = Window.orderBy("score")
+    val wall = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val u2 = hist
+      .withColumn("cumnn", coalesce(sum("nn").over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("u2", col("np") * (lit(2L) * col("cumnn") + col("nn")))
+      .agg(sum("u2").as("u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        count(lit(1)).as("n_scores"))
+    u2.select(explode(map(
+        lit("auc"), Det.rnd(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6),
+        lit("gini"), Det.rnd(col("u2").cast("double") /
+          (col("n_pos") * col("n_neg")) - 1.0, 6),
+        lit("n_pos"), col("n_pos").cast("double"),
+        lit("n_neg"), col("n_neg").cast("double"),
+        lit("n_scores"), col("n_scores").cast("double"))).as(Seq("metric", "value")))
+      .orderBy("metric")
+  }
+
+  val rocAucSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id,
+       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |               % 4294967296 % 17 - 8 AS w
+       |      FROM toks),
+       |scored AS (SELECT s.doc_id, CAST(sum(s.w) AS BIGINT) AS score,
+       |                  CAST(max(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |           FROM w s JOIN documents d ON s.doc_id = d.doc_id
+       |           GROUP BY s.doc_id),
+       |hist AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+       |                CAST(sum(1 - pos) AS BIGINT) AS nn
+       |         FROM scored GROUP BY score),
+       |u AS (SELECT CAST(sum(np * (2 * coalesce(cumnn, 0) + nn)) AS BIGINT) AS u2,
+       |             CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+       |             count(*) AS n_scores
+       |      FROM (SELECT score, np, nn,
+       |                   sum(nn) OVER (ORDER BY score
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumnn
+       |            FROM hist))
+       |SELECT metric, value FROM (
+       |  SELECT 'auc' AS metric,
+       |         ${Det.rndSql("CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg)", 6)} AS value FROM u
+       |  UNION ALL SELECT 'gini',
+       |         ${Det.rndSql("CAST(u2 AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0", 6)} FROM u
+       |  UNION ALL SELECT 'n_pos', CAST(n_pos AS DOUBLE) FROM u
+       |  UNION ALL SELECT 'n_neg', CAST(n_neg AS DOUBLE) FROM u
+       |  UNION ALL SELECT 'n_scores', CAST(n_scores AS DOUBLE) FROM u)
+       |ORDER BY metric""".stripMargin
 }

@@ -203,4 +203,94 @@ class Round9Spec extends SparkSpec {
     assert(got.distinct.length === got.length,
       "duplicate (custkey, neg_partkey) pair in the picks")
   }
+
+  test("q_cusum_changepoint matches the textbook recursive CUSUM fold") {
+    // the query ships the closed form S_t = C_t − min_{j≤t} C_j; the
+    // spec replays the recursive definition S_t = max(0, S_{t−1} + w_t)
+    // in plain Scala on the same integer z-scores
+    val daily = Tables(spark, sfDir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .groupBy(F.to_date(F.col("ts")).as("day"))
+      .agg(F.sum(graft.functions.Det.cents(F.col("value"))).as("x"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    val n = daily.length.toLong
+    val sx = daily.map(_._2).sum
+    val d = daily.map { case (_, x) => math.abs(n * x - sx) }.sum
+    val z6 = daily.map { case (_, x) =>
+      val num = n * x - sx
+      (if (num < 0) -1L else 1L) * (math.abs(num) * n * 1000000L / d)
+    }
+    var sp = 0L; var sn = 0L
+    val expect = z6.map { z =>
+      sp = math.max(0L, sp + (z - 500000L))
+      sn = math.max(0L, sn + (-z - 500000L))
+      (sp / 1e6, sn / 1e6, if (sp > 4000000L || sn > 4000000L) 1 else 0)
+    }
+    val got = ExtensionQueries.cusumChangepoint(spark, sfDir).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    assert(got.length === expect.length)
+    got.zip(expect).zipWithIndex.foreach { case (((gp, gn, ga), (ep, en, ea)), i) =>
+      assert(math.abs(gp - ep) < 1e-6 && math.abs(gn - en) < 1e-6 && ga === ea,
+        s"day $i: got ($gp,$gn,$ga) expected ($ep,$en,$ea)")
+    }
+  }
+
+  test("q_theil_sen matches a plain-Scala pairwise-slope median") {
+    val monthly = Tables(spark, sfDir, "orders")
+      .groupBy((F.year(F.col("o_orderdate")) * 12 + F.month(F.col("o_orderdate"))).as("mx"))
+      .agg(F.sum(graft.functions.Det.cents(F.col("o_totalprice"))).as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- monthly.indices; j <- monthly.indices if i < j
+      dy = monthly(j)._2 - monthly(i)._2
+      dx = (monthly(j)._1 - monthly(i)._1).toLong
+    } yield (if (dy < 0) -1L else 1L) * (math.abs(dy) * 1000000L / dx)).sorted
+    val np = slopes.length
+    val medS = (slopes((np + 1) / 2 - 1) + slopes((np + 2) / 2 - 1)) / 2.0
+    val i6 = monthly.map { case (mx, y) => y * 1000000L - medS.toLong * mx }.sorted
+    val nm = i6.length
+    val medI = (i6((nm + 1) / 2 - 1) + i6((nm + 2) / 2 - 1)) / 2.0
+    val row = ExtensionQueries.theilSen(spark, sfDir).head()
+    assert(row.getLong(0) === nm.toLong)
+    assert(row.getLong(1) === np.toLong)
+    assert(math.abs(row.getDouble(2) - medS / 1e6 / 100.0) < 1e-6)
+    assert(math.abs(row.getDouble(3) - medI / 1e6 / 100.0) < 1e-6)
+  }
+
+  test("q_ref_integrity finds a clean star schema and real unreferenced counts") {
+    val got = ExtensionQueries.refIntegrity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size === 6)
+    // the synthetic corpus is FK-clean: zero orphans everywhere
+    got.foreach { case (e, (_, orph, _, _)) => assert(orph === 0L, s"edge $e") }
+    // unreferenced parents cross-checked directly for one edge
+    val parts = Tables(spark, sfDir, "part").select("p_partkey")
+    val used = Tables(spark, sfDir, "lineitem").select("l_partkey").distinct()
+    val unref = parts.join(used, F.col("p_partkey") === F.col("l_partkey"), "left_anti").count()
+    assert(got("lineitem.l_partkey->part")._4 === unref)
+  }
+
+  test("q_roc_auc matches brute-force pair counting") {
+    graft.functions.HashedLogit.register(spark)
+    val scored = Tables(spark, sfDir, "documents")
+      .select(F.expr("hashed_logit(text)").getItem(0).as("s"),
+        (F.col("lang") === "en").cast("int").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toDouble * neg.length)
+    val got = ExtensionQueriesRocAuc()
+    assert(math.abs(got("auc") - auc) < 1e-6)
+    assert(got("n_pos") === pos.length.toDouble)
+    assert(got("n_neg") === neg.length.toDouble)
+    assert(math.abs(got("gini") - (2 * auc - 1)) < 1e-5)
+  }
+
+  private def ExtensionQueriesRocAuc(): Map[String, Double] =
+    graft.queries.TextQueries.rocAuc(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
 }
