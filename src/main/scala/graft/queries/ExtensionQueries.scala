@@ -3534,11 +3534,21 @@ object ExtensionQueries {
   private val CusumK     = 500000L  // 0.5 in 1e6 units
   private val CusumH     = 4000000L // 4.0 in 1e6 units
 
-  private[graft] def cusumChangepointOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = events.filter(col("event_type") === "purchase")
+  private[graft] def cusumChangepointOf(events: DataFrame): DataFrame =
+    cusumFinish(cusumDailyFrom(events))
+
+  /** Streaming-mergeable state: the daily purchase-cents histogram —
+    * a plain sum per calendar day, so partial aggregates merge across
+    * batches/partitions exactly (the streaming twin feeds this from a
+    * MemoryStream in complete mode; [[cusumFinish]] replays the
+    * closed form per batch on the calendar-bounded result). */
+  private[graft] def cusumDailyFrom(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(Det.cents(col("value"))).as("x"))
+
+  private[graft] def cusumFinish(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wall = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wrun = Window.orderBy("day")

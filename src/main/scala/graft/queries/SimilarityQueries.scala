@@ -1618,4 +1618,96 @@ object SimilarityQueries {
        |FROM sc
        |WHERE best = 1 AND score >= $BtMinScore
        |ORDER BY qid""".stripMargin
+
+  // ------------------------------------------------------------ PageRank
+
+  private val PrIters = 5
+  private val PrScale = 1000000000000L // 1e12: PageRank mass units
+
+  /** PAGERANK centrality over the [[knnGraph]] edge set — the
+    * graph-authority score a curation pipeline uses to pick canonical
+    * representatives and surface hub documents (Page et al. 1999,
+    * d = 0.85, [[PrIters]] fixed iterations).
+    *
+    * Scale shape: the classic BSP loop as repeated join-aggregate —
+    * each iteration is edges ⋈ p on src (co-partitioned on the scratch
+    * relation's key), one groupBy(dst) with map-side partial sums, one
+    * left join back onto the node set for teleport-only nodes. The cut
+    * edge list (out-degree ≤ k) is materialized ONCE to session-keyed
+    * scratch parquet — [[PrIters]] iterations re-read a flat columnar
+    * relation instead of re-planning the LSH+rerank pipeline, and at
+    * 1000 executors each re-read is a co-partitioned scan, not a
+    * lineage recompute.
+    *
+    * Determinism: all mass arithmetic is exact scaled integers
+    * (p·10¹² units): contrib = p div outdeg, p' = (15·(S div N) +
+    * 85·Σcontrib) div 100 — both engines truncate identically, so the
+    * iteration is bit-reproducible (the ~1e-12-relative mass leak of
+    * truncating division is the price, same in both engines). Dangling
+    * nodes cannot occur: candidates are symmetrized before the top-k
+    * cut, so every node present has out-degree ≥ 1. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val path =
+      s"${Tables.scratchDir}/pagerank-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
+    if (!spark.conf.getOption("graft.pagerank.dir").contains(dir)) {
+      knnGraph(spark, dir).select("src", "dst")
+        .write.mode("overwrite").parquet(path)
+      spark.conf.set("graft.pagerank.dir", dir)
+    }
+    pageRankOnEdges(spark.read.parquet(path))
+  }
+
+  private[graft] def pageRankOnEdges(edges: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val outdeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("o"))
+    val nodes = outdeg.select("id")
+    // one scalar to the driver (the node count) — the loop literal that
+    // sizes the teleport term; everything row-shaped stays distributed
+    val n = nodes.count()
+    val p0 = PrScale / n
+    var p = nodes.withColumn("p", lit(p0))
+    for (_ <- 1 to PrIters) {
+      val contrib = p.join(outdeg, "id")
+        .select(col("id").as("src"), expr("p div o").as("c"))
+      val inflow = edges.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum("c").as("inflow"))
+      p = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(${15L * p0} + 85 * coalesce(inflow, 0L)) div 100").as("p"))
+    }
+    p.select(col("id").as("vec_id"), col("p").as("pr12"),
+        Det.rnd(col("p").cast("double") / PrScale, 9).as("pr"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[pageRank]]: the identical integer iteration,
+    * unrolled as [[PrIters]] chained CTEs over the shared k-NN-graph
+    * pipeline ([[knnGraphRankedCte]], rank ≤ 5 cut). */
+  val pageRankSql: String = {
+    import graft.functions.Det
+    val iters = (1 to PrIters).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""p$k AS (
+         |  SELECT nd.id,
+         |         (15 * (${PrScale} // nn.n) + 85 * coalesce(f.s, 0)) // 100 AS p
+         |  FROM nodes nd CROSS JOIN ncnt nn
+         |  LEFT JOIN (SELECT ke.dst, sum($prev.p // od.o) AS s
+         |             FROM kedges ke
+         |             JOIN $prev ON ke.src = $prev.id
+         |             JOIN outdeg od ON od.id = ke.src
+         |             GROUP BY ke.dst) f ON f.dst = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |outdeg AS (SELECT src AS id, count(*) AS o FROM kedges GROUP BY 1),
+       |nodes AS (SELECT id FROM outdeg),
+       |ncnt AS (SELECT count(*) AS n FROM nodes),
+       |p0 AS (SELECT nd.id, ${PrScale} // nn.n AS p FROM nodes nd CROSS JOIN ncnt nn),
+       |$iters
+       |SELECT id AS vec_id, CAST(p AS BIGINT) AS pr12,
+       |       ${Det.rndSql(s"CAST(p AS DOUBLE) / $PrScale", 9)} AS pr
+       |FROM p$PrIters
+       |ORDER BY vec_id""".stripMargin
+  }
 }

@@ -781,6 +781,19 @@ object StreamJobs {
   def ewmaFinish(daily: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.ewmaFinish(daily)
 
+  /** Streaming CUSUM monitor: the state is the daily purchase-cents
+    * histogram — a plain mergeable sum per calendar day, exactly the
+    * partial aggregate Structured Streaming maintains in complete
+    * mode. [[cusumFinish]] replays the integer closed form on the
+    * calendar-bounded histogram each batch; because every statistic is
+    * an exact BIGINT, the per-batch result is BIT-EQUAL to the batch
+    * operator over the same prefix of events (StreamingSpec). */
+  def cusumStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cusumDailyFrom(events)
+
+  def cusumFinish(daily: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cusumFinish(daily)
+
   def momentsStream(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

@@ -293,4 +293,30 @@ class Round9Spec extends SparkSpec {
   private def ExtensionQueriesRocAuc(): Map[String, Double] =
     graft.queries.TextQueries.rocAuc(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("q_pagerank matches a plain-Scala integer-iteration replay") {
+    val edges = graft.queries.SimilarityQueries.knnGraph(spark, sfDir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = out.keys.toSeq.sorted
+    val n = nodes.length.toLong
+    val scale = 1000000000000L
+    val p0 = scale / n
+    var p = nodes.map(_ -> p0).toMap
+    for (_ <- 1 to 5) {
+      val inflow = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        p(s) / out(s)
+      }.sum).toMap
+      p = nodes.map(v => v -> (15L * p0 + 85L * inflow.getOrElse(v, 0L)) / 100L).toMap
+    }
+    val got = graft.queries.SimilarityQueries.pageRank(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === p.keySet)
+    // exact integer arithmetic end-to-end: bit equality, not tolerance
+    p.foreach { case (v, e) => assert(got(v) === e, s"node $v") }
+    // mass conservation sanity: the only loss is truncation leak —
+    // ≲ (out-div + teleport-div) per node per iteration, plus the p0 floor
+    val total = p.values.sum
+    assert(total <= scale && total > scale - n * 1100, s"mass $total vs $scale")
+  }
 }

@@ -929,6 +929,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM is bit-equal to the batch twin across batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = Tables(spark, sfDir, "events").as[Ev].collect()
+    val q = StreamJobs.cusumStream(mem.toDF())
+      .writeStream.format("memory").queryName("cusums").outputMode("complete").start()
+    try {
+      // uneven event-id interleaved batches: daily sums must merge
+      val (b1, rest) = all.sortBy(_.event_id).splitAt(all.length / 3)
+      Seq(b1, rest).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = StreamJobs.cusumFinish(spark.table("cusums")).collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getInt(5))).toSeq
+      val batch = graft.queries.ExtensionQueries.cusumChangepoint(spark, sfDir).collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getInt(5))).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch) // exact integers end-to-end: bit equality
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries summary keeps the heavy-hitter guarantee across batches") {
     val s = spark
     import s.implicits._
