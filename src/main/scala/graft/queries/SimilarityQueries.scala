@@ -1646,16 +1646,24 @@ object SimilarityQueries {
     * truncating division is the price, same in both engines). Dangling
     * nodes cannot occur: candidates are symmetrized before the top-k
     * cut, so every node present has out-degree ≥ 1. */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The cut k-NN edge relation, materialized once per session × data
+    * dir to scratch parquet — shared by every graph algorithm that
+    * iterates over it ([[pageRank]], [[labelProp]]): iterations re-read
+    * a flat columnar relation instead of re-planning the LSH+rerank
+    * pipeline per round. */
+  private def knnEdgesScratch(spark: SparkSession, dir: String): DataFrame = {
     val path =
-      s"${Tables.scratchDir}/pagerank-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
-    if (!spark.conf.getOption("graft.pagerank.dir").contains(dir)) {
+      s"${Tables.scratchDir}/knnedges-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
+    if (!spark.conf.getOption("graft.knnedges.dir").contains(dir)) {
       knnGraph(spark, dir).select("src", "dst")
         .write.mode("overwrite").parquet(path)
-      spark.conf.set("graft.pagerank.dir", dir)
+      spark.conf.set("graft.knnedges.dir", dir)
     }
-    pageRankOnEdges(spark.read.parquet(path))
+    spark.read.parquet(path)
   }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOnEdges(knnEdgesScratch(spark, dir))
 
   private[graft] def pageRankOnEdges(edges: DataFrame): DataFrame = {
     import graft.functions.Det
@@ -1709,5 +1717,94 @@ object SimilarityQueries {
        |       ${Det.rndSql(s"CAST(p AS DOUBLE) / $PrScale", 9)} AS pr
        |FROM p$PrIters
        |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- label propagation
+
+  private val LpIters  = 3
+  private val LpHideMod = 5L // vec_id % 5 == 0 → label hidden (the eval holdout)
+
+  /** LABEL PROPAGATION over the k-NN graph — the semi-supervised step a
+    * training pipeline uses to extend a partial labeling to the full
+    * corpus (Zhu & Ghahramani 2002, majority-vote frontier variant):
+    * every 5th vector's label is hidden, then [[LpIters]] rounds of
+    * neighbor majority vote fill the holdout; because the truth is
+    * known for the held-out nodes, the output doubles as the accuracy
+    * audit of the propagation (pred vs true per hidden node).
+    *
+    * Semantics (deterministic by construction): labeled nodes are
+    * clamped; an unlabeled node takes the most frequent non-null label
+    * among its in-neighbors, ties broken by the smaller label; once
+    * assigned, a node's label FREEZES (frontier expansion — round r
+    * reaches exactly the r-hop neighborhood of the labeled set, and no
+    * oscillation is possible, unlike the update-everything variant
+    * whose fixed point is start-order-dependent). On the synthetic
+    * corpus the audit reads chance-level accuracy (~1/|labels|) —
+    * embedding geometry and labels are independently generated there;
+    * the operator contract under test is the propagation semantics,
+    * which the oracle replays exactly.
+    *
+    * Scale: each round is one edges ⋈ labels join (co-partitioned on
+    * the scratch edge relation), one (dst, label) count aggregate, one
+    * row_number over the ≤|labels| per-node vote list, one left join
+    * back — the BSP shape again, [[LpIters]] rounds deep. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdgesScratch(spark, dir)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    // the corpus label is int32; pin the null branch to the same type
+    // (an untyped/string null would widen lab — and the final
+    // label_pred — to a type the oracle's INTEGER doesn't match)
+    var labs = emb.select(col("vec_id"),
+      when(col("vec_id") % LpHideMod === 0, lit(null).cast("int"))
+        .otherwise(col("label").cast("int")).as("lab"))
+    for (_ <- 1 to LpIters) {
+      val w = Window.partitionBy("dst").orderBy(desc("c"), asc("cand"))
+      val votes = edges
+        .join(labs.select(col("vec_id").as("src"), col("lab").as("cand")), "src")
+        .filter(col("cand").isNotNull)
+        .groupBy("dst", "cand").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("vec_id"), col("cand"))
+      labs = labs.join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("lab"), col("cand")).as("lab"))
+    }
+    emb.filter(col("vec_id") % LpHideMod === 0)
+      .join(labs, "vec_id")
+      .select(col("vec_id"), col("label").as("label_true"),
+        col("lab").as("label_pred"),
+        (col("lab") === col("label")).cast("int").as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[labelProp]]: the identical frozen-frontier
+    * majority vote, unrolled as [[LpIters]] chained CTE rounds over
+    * the shared k-NN pipeline. */
+  val labelPropSql: String = {
+    val rounds = (1 to LpIters).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""l$k AS (
+         |  SELECT n.vec_id, coalesce(n.lab, c.cand) AS lab
+         |  FROM $prev n
+         |  LEFT JOIN (SELECT dst, cand FROM (
+         |     SELECT e.dst, p.lab AS cand, count(*) AS c,
+         |            row_number() OVER (PARTITION BY e.dst
+         |              ORDER BY count(*) DESC, p.lab) AS rn
+         |     FROM kedges e JOIN $prev p ON e.src = p.vec_id
+         |     WHERE p.lab IS NOT NULL
+         |     GROUP BY e.dst, p.lab) WHERE rn = 1) c ON c.dst = n.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |l0 AS (SELECT vec_id,
+       |              CASE WHEN vec_id % $LpHideMod = 0 THEN NULL ELSE label END AS lab
+       |       FROM embeddings),
+       |$rounds
+       |SELECT em.vec_id, em.label AS label_true, l.lab AS label_pred,
+       |       CAST(l.lab = em.label AS INTEGER) AS correct
+       |FROM embeddings em JOIN l$LpIters l ON l.vec_id = em.vec_id
+       |WHERE em.vec_id % $LpHideMod = 0
+       |ORDER BY em.vec_id""".stripMargin
   }
 }

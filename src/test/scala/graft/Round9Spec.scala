@@ -319,4 +319,33 @@ class Round9Spec extends SparkSpec {
     val total = p.values.sum
     assert(total <= scale && total > scale - n * 1100, s"mass $total vs $scale")
   }
+
+  test("q_label_prop matches a plain-Scala frozen-frontier majority-vote replay") {
+    val edges = graft.queries.SimilarityQueries.knnGraph(spark, sfDir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    var lab: Map[Long, Option[Int]] = truth.map { case (v, l) =>
+      v -> (if (v % 5 == 0) None else Some(l))
+    }
+    val inEdges = edges.groupBy(_._2)
+    for (_ <- 1 to 3) {
+      val next = lab.map { case (v, cur) =>
+        v -> cur.orElse {
+          val votes = inEdges.getOrElse(v, Array.empty)
+            .flatMap { case (s, _) => lab.get(s).flatten }
+          if (votes.isEmpty) None
+          else Some(votes.groupBy(identity).view.mapValues(_.length).toSeq
+            .maxBy { case (l, c) => (c, -l) }._1)
+        }
+      }
+      lab = next
+    }
+    val got = graft.queries.SimilarityQueries.labelProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Int]))).toMap
+    val hidden = truth.keys.filter(_ % 5 == 0).toSet
+    assert(got.keySet === hidden)
+    hidden.foreach { v => assert(got(v) === lab(v), s"node $v") }
+  }
 }
