@@ -3446,16 +3446,26 @@ object TextQueries {
   def rocAuc(spark: SparkSession, dir: String): DataFrame =
     rocAucOf(Tables(spark, dir, "documents"))
 
-  private[graft] def rocAucOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def rocAucOf(docs: DataFrame): DataFrame =
+    rocFinish(rocHistFrom(docs))
+
+  /** Streaming-mergeable AUC state: the (score → n_pos, n_neg)
+    * histogram — plain sums per distinct logit, exactly what
+    * Structured Streaming maintains in complete mode
+    * (`StreamJobs.aucStream`); [[rocFinish]] runs the value-bounded
+    * rank-sum sweep per batch. */
+  private[graft] def rocHistFrom(docs: DataFrame): DataFrame = {
     graft.functions.HashedLogit.register(docs.sparkSession)
-    val scored = docs.select(
-      expr("hashed_logit(text)").getItem(0).as("score"),
-      (col("lang") === "en").cast("long").as("pos"))
-    val hist = scored.groupBy("score")
+    docs.select(
+        expr("hashed_logit(text)").getItem(0).as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      .groupBy("score")
       .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+  }
+
+  private[graft] def rocFinish(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wv = Window.orderBy("score")
-    val wall = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val u2 = hist
       .withColumn("cumnn", coalesce(sum("nn").over(
         wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

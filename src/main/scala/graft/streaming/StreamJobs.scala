@@ -794,6 +794,17 @@ object StreamJobs {
   def cusumFinish(daily: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.cusumFinish(daily)
 
+  /** Streaming ROC-AUC monitor: state is the (score → n_pos, n_neg)
+    * histogram — mergeable sums per distinct logit; the rank-sum sweep
+    * ([[aucFinish]]) reruns per batch on the value-bounded result.
+    * Exact BIGINT U ⇒ per-batch output is BIT-equal to the batch
+    * operator over the same document prefix (StreamingSpec). */
+  def aucStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.rocHistFrom(docs)
+
+  def aucFinish(hist: DataFrame): DataFrame =
+    graft.queries.TextQueries.rocFinish(hist)
+
   def momentsStream(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

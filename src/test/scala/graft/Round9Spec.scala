@@ -320,6 +320,22 @@ class Round9Spec extends SparkSpec {
     assert(total <= scale && total > scale - n * 1100, s"mass $total vs $scale")
   }
 
+  test("round-9 queries are repartition-invariant") {
+    import graft.queries.TextQueries
+    val ev9 = Tables(spark, sfDir, "events").repartition(9)
+    assert(ExtensionQueries.cusumChangepointOf(ev9).collect().toSeq ===
+      ExtensionQueries.cusumChangepoint(spark, sfDir).collect().toSeq)
+    val ord7 = Tables(spark, sfDir, "orders").repartition(7)
+    assert(ExtensionQueries.theilSenOf(ord7).collect().toSeq ===
+      ExtensionQueries.theilSen(spark, sfDir).collect().toSeq)
+    val docs5 = Tables(spark, sfDir, "documents").repartition(5)
+    assert(TextQueries.rocAucOf(docs5).collect().toSeq ===
+      TextQueries.rocAuc(spark, sfDir).collect().toSeq)
+    val pur6 = Tables(spark, sfDir, "events").repartition(6)
+    assert(ExtensionQueries.psiDriftOf(pur6).collect().toSeq ===
+      ExtensionQueries.psiDrift(spark, sfDir).collect().toSeq)
+  }
+
   test("q_label_prop matches a plain-Scala frozen-frontier majority-vote replay") {
     val edges = graft.queries.SimilarityQueries.knnGraph(spark, sfDir)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -952,6 +952,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ROC-AUC is bit-equal to the batch twin across batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamJobs.aucStream(mem.toDF().toDF("text", "lang"))
+      .writeStream.format("memory").queryName("aucs").outputMode("complete").start()
+    try {
+      val docs = Tables(spark, sfDir, "documents")
+        .select("text", "lang").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val (b1, b2) = docs.splitAt(docs.length / 3)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = StreamJobs.aucFinish(spark.table("aucs")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val batch = graft.queries.TextQueries.rocAuc(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch) // exact BIGINT U: bit equality
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries summary keeps the heavy-hitter guarantee across batches") {
     val s = spark
     import s.implicits._
