@@ -3507,6 +3507,94 @@ object ExtensionQueries {
        |FROM terms
        |ORDER BY bin""".stripMargin
 
+  // --------------------------------------- incremental JOIN-view upkeep
+
+  /** Incremental maintenance of a JOIN view under inserts on BOTH
+    * sides — the delta rule a materialized-view engine applies instead
+    * of recomputing: for V = O ⋈ C, Δ V = ΔO⋈C₀ ∪ O₀⋈ΔC ∪ ΔO⋈ΔC (the
+    * bilinear expansion; [[incrementalAgg]] covers the single-relation
+    * aggregate case, this covers the join case where the delta cost is
+    * ∝ |Δ|·join-fanout, not |O|). Orders split by the timeline
+    * midpoint (the insert batch), customers by custkey mod 10 (newly
+    * onboarded accounts); the view is revenue per market segment. The
+    * oracled output carries base, the three delta terms, their merge,
+    * AND the matches_full flag against the from-scratch recompute — the
+    * maintenance identity is part of the result, not a test-only claim.
+    *
+    * Scale: the three delta joins each ship only a delta on at least
+    * one side; segment-level merge is arithmetic on |segments|-sized
+    * aggregates. Determinism: exact integer cents throughout.
+    */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        (col("c_custkey") % 10 === 0).as("c_new"))
+    val ord0 = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), Det.cents(col("o_totalprice")).as("c"),
+        expr("unix_date(CAST(o_orderdate AS DATE))").as("day"))
+    val cut = ord0.agg((((min("day") + max("day")) + 1) / 2).cast("long").as("cut"))
+    val ord = ord0.crossJoin(broadcast(cut))
+      .withColumn("o_new", col("day") >= col("cut"))
+    def aggOf(o: DataFrame, c: DataFrame) =
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("c").as("s"))
+    val cOld = cust.filter(!col("c_new")); val cNew = cust.filter(col("c_new"))
+    val oOld = ord.filter(!col("o_new"));  val oNew = ord.filter(col("o_new"))
+    val base = aggOf(oOld, cOld)
+    val d1 = aggOf(oNew, cOld)
+    val d2 = aggOf(oOld, cNew)
+    val d3 = aggOf(oNew, cNew)
+    def tag(df: DataFrame, t: String) =
+      df.select(col("seg"), col("n"), col("s"), lit(t).as("part"))
+    val merged = tag(base, "base").unionAll(tag(d1, "d_ord")).unionAll(tag(d2, "d_cust"))
+      .unionAll(tag(d3, "d_both"))
+      .groupBy("seg").agg(
+        sum(when(col("part") === "base", col("n")).otherwise(0L)).as("n_base"),
+        sum(when(col("part") =!= "base", col("n")).otherwise(0L)).as("n_delta"),
+        sum("n").as("n"), sum("s").as("s"))
+    val full = aggOf(ord, cust)
+    merged.as("m").join(full.as("f"), Seq("seg"))
+      .select(col("seg"), col("n_base"), col("n_delta"), col("m.n").as("n_orders"),
+        (col("m.s").cast("double") / 100.0).as("revenue"),
+        (col("m.n") === col("f.n") && col("m.s") === col("f.s")).as("matches_full"))
+      .orderBy("seg")
+  }
+
+  val ivmJoinSql: String =
+    s"""WITH cust AS (SELECT c_custkey, c_mktsegment AS seg,
+       |                     c_custkey % 10 = 0 AS c_new
+       |              FROM customer),
+       |ord AS (SELECT o_custkey, ${Det.centsSql("o_totalprice")} AS c,
+       |               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) >=
+       |                 (SELECT (min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+       |                        + max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) + 1) // 2
+       |                  FROM orders) AS o_new
+       |        FROM orders),
+       |parts AS (
+       |  SELECT seg,
+       |         CASE WHEN NOT o_new AND NOT c_new THEN 'base'
+       |              WHEN o_new AND NOT c_new THEN 'd_ord'
+       |              WHEN NOT o_new AND c_new THEN 'd_cust'
+       |              ELSE 'd_both' END AS part,
+       |         count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+       |  FROM ord JOIN cust ON ord.o_custkey = cust.c_custkey
+       |  GROUP BY 1, 2),
+       |merged AS (
+       |  SELECT seg,
+       |         CAST(sum(CASE WHEN part = 'base' THEN n ELSE 0 END) AS BIGINT) AS n_base,
+       |         CAST(sum(CASE WHEN part <> 'base' THEN n ELSE 0 END) AS BIGINT) AS n_delta,
+       |         CAST(sum(n) AS BIGINT) AS n_orders, CAST(sum(s) AS BIGINT) AS s
+       |  FROM parts GROUP BY 1),
+       |full_v AS (
+       |  SELECT seg, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+       |  FROM ord JOIN cust ON ord.o_custkey = cust.c_custkey
+       |  GROUP BY 1)
+       |SELECT m.seg, m.n_base, m.n_delta, m.n_orders,
+       |       CAST(m.s AS DOUBLE) / 100.0 AS revenue,
+       |       m.n_orders = f.n AND m.s = f.s AS matches_full
+       |FROM merged m JOIN full_v f ON m.seg = f.seg
+       |ORDER BY m.seg""".stripMargin
+
   // ------------------------------------------------- CUSUM change-point
 
   /** CUSUM change-point detection (Page 1954) over the daily purchase
