@@ -1719,6 +1719,92 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------ link prediction
+
+  private val LinkHubCap = 64L
+  private val LinkTopK   = 3
+
+  /** LINK PREDICTION over the k-NN graph by common-neighbor counting —
+    * the "related items you haven't linked yet" op (Liben-Nowell &
+    * Kleinberg 2003): two non-adjacent nodes that share many graph
+    * neighbors are likely semantically related even when LSH banding
+    * never co-bucketed them, so this is also the recall-repair pass
+    * over the ANN graph. Score = |N(u) ∩ N(v)| with the Jaccard
+    * refinement |∩|/(deg u + deg v − |∩|); top-[[LinkTopK]] new links
+    * per node.
+    *
+    * Scale: the pair generation fans out per MIDDLE node as
+    * in-degree² — unbounded at hubs — so middles with in-degree >
+    * [[LinkHubCap]] are excluded before the self-join (the stop-word
+    * rule of link prediction: an "everyone points at it" node carries
+    * no signal AND is the entire quadratic blow-up; out-degrees are
+    * already ≤ k by construction). One self-join on the capped edge
+    * relation, one anti-join against existing edges, one per-node
+    * window. Determinism: counts and degrees are exact integers;
+    * Jaccard is one fenced division at output; ties rank by (count
+    * desc, neighbor asc). */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det
+    val e = knnEdgesScratch(spark, dir)
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+    val mid = e.join(indeg.filter(col("ind") <= LinkHubCap).select("dst"), "dst")
+    val pairs = mid.select(col("src").as("u"), col("dst").as("w"))
+      .join(mid.select(col("src").as("v"), col("dst").as("w")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    val adj = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cand = pairs.join(adj, Seq("u", "v"), "left_anti")
+      .join(outdeg.select(col("src").as("u"), col("deg").as("du")), "u")
+      .join(outdeg.select(col("src").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jac", Det.rnd(col("common").cast("double") /
+        (col("du") + col("dv") - col("common")), 6))
+    val sym = cand.select(col("u"), col("v"), col("common"), col("jac"))
+      .unionAll(cand.select(col("v"), col("u"), col("common"), col("jac"))
+        .toDF("u", "v", "common", "jac"))
+    val w = Window.partitionBy("u").orderBy(desc("common"), asc("v"))
+    sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LinkTopK)
+      .orderBy("u", "rn")
+  }
+
+  /** DuckDB twin of [[linkPredict]]: identical capped middle set,
+    * self-join, anti-exists, and per-node ranking over the shared
+    * k-NN pipeline. */
+  val linkPredictSql: String = {
+    import graft.functions.Det
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |indeg AS (SELECT dst, count(*) AS ind FROM kedges GROUP BY 1),
+       |mid AS (SELECT k.src, k.dst FROM kedges k
+       |        JOIN indeg i ON i.dst = k.dst AND i.ind <= $LinkHubCap),
+       |pairs AS (SELECT a.src AS u, b.src AS v, count(*) AS common
+       |          FROM mid a JOIN mid b ON a.dst = b.dst AND a.src < b.src
+       |          GROUP BY 1, 2),
+       |adj AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM kedges),
+       |outdeg AS (SELECT src, count(*) AS deg FROM kedges GROUP BY 1),
+       |lcand AS (SELECT p.u, p.v, p.common,
+       |                 ${Det.rndSql(
+                           "CAST(p.common AS DOUBLE) / (du.deg + dv.deg - p.common)", 6)} AS jac
+       |          FROM pairs p
+       |          JOIN outdeg du ON du.src = p.u
+       |          JOIN outdeg dv ON dv.src = p.v
+       |          WHERE NOT EXISTS (SELECT 1 FROM adj a
+       |                            WHERE a.u = p.u AND a.v = p.v)),
+       |sym AS (SELECT u, v, common, jac FROM lcand
+       |        UNION ALL SELECT v, u, common, jac FROM lcand)
+       |SELECT u, v, CAST(common AS BIGINT) AS common, jac,
+       |       CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT u, v, common, jac,
+       |             row_number() OVER (PARTITION BY u
+       |               ORDER BY common DESC, v) AS rn
+       |      FROM sym)
+       |WHERE rn <= $LinkTopK
+       |ORDER BY u, rn""".stripMargin
+  }
+
   // ---------------------------------------------------- label propagation
 
   private val LpIters  = 3

@@ -336,6 +336,37 @@ class Round9Spec extends SparkSpec {
       ExtensionQueries.psiDrift(spark, sfDir).collect().toSeq)
   }
 
+  test("q_link_predict matches a plain-Scala common-neighbor replay") {
+    val edges = graft.queries.SimilarityQueries.knnGraph(spark, sfDir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val mids = edges.filter { case (_, w) => indeg(w) <= 64 }
+    val byMid = mids.groupBy(_._2)
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byMid.values.foreach { es =>
+      val srcs = es.map(_._1).sorted
+      for (i <- srcs.indices; j <- (i + 1) until srcs.length)
+        common((srcs(i), srcs(j))) = common.getOrElse((srcs(i), srcs(j)), 0L) + 1
+    }
+    val adj = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cands = common.toSeq.filterNot { case (p, _) => adj(p) }
+    val sym = cands.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+    val expect = sym.groupBy(_._1).flatMap { case (u, rows) =>
+      rows.sortBy { case (_, v, c) => (-c, v) }.take(3).zipWithIndex
+        .map { case ((_, v, c), i) => (u, v, c, i + 1) }
+    }.toSet
+    val got = graft.queries.SimilarityQueries.linkPredict(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSet
+    assert(got === expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // spot-check the jaccard fence on one row
+    val row = graft.queries.SimilarityQueries.linkPredict(spark, sfDir).head()
+    val jac = row.getLong(2).toDouble /
+      (outdeg(row.getLong(0)) + outdeg(row.getLong(1)) - row.getLong(2))
+    assert(math.abs(row.getDouble(3) - (math.rint(jac * 1e6) / 1e6)) < 1e-9)
+  }
+
   test("q_label_prop matches a plain-Scala frozen-frontier majority-vote replay") {
     val edges = graft.queries.SimilarityQueries.knnGraph(spark, sfDir)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
