@@ -3507,6 +3507,61 @@ object ExtensionQueries {
        |FROM terms
        |ORDER BY bin""".stripMargin
 
+  // --------------------------------------------- RANGE-frame trailing
+
+  /** Trailing 7-/30-day revenue via RANGE (value-distance) window
+    * frames over the day number — the frame semantics ROWS cannot
+    * express when the series has gaps: `rangeBetween(-6, 0)` spans six
+    * CALENDAR days back regardless of how many histogram rows exist in
+    * between, so a day after a quiet week trails only itself. The
+    * window runs over the calendar-bounded day histogram (the
+    * established single-partition vocabulary finish); all sums are
+    * exact cents, the trailing average is one fenced division.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame =
+    trailingWindowOf(Tables(spark, dir, "events"))
+
+  private[graft] def trailingWindowOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_date(to_date(ts))").as("day"))
+      .agg(sum(Det.cents(col("value"))).as("x"))
+    val w7 = Window.orderBy("day").rangeBetween(-6, 0)
+    val w30 = Window.orderBy("day").rangeBetween(-29, 0)
+    daily
+      .withColumn("s7", sum("x").over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s30", sum("x").over(w30))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"),
+        (col("x").cast("double") / 100.0).as("revenue"),
+        (col("s7").cast("double") / 100.0).as("trail7"),
+        col("n7").as("days_in_7"),
+        Det.rnd(col("s7").cast("double") / col("n7") / 100.0, 6).as("avg7"),
+        (col("s30").cast("double") / 100.0).as("trail30"))
+      .orderBy("day")
+  }
+
+  val trailingWindowSql: String =
+    s"""WITH daily AS (
+       |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |t AS (
+       |  SELECT day, x,
+       |         sum(x) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+       |         count(*) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+       |         sum(x) OVER (ORDER BY day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS s30
+       |  FROM daily)
+       |SELECT CAST(DATE '1970-01-01' + to_days(CAST(day AS INTEGER)) AS DATE) AS day,
+       |       CAST(x AS DOUBLE) / 100.0 AS revenue,
+       |       CAST(s7 AS DOUBLE) / 100.0 AS trail7,
+       |       CAST(n7 AS BIGINT) AS days_in_7,
+       |       ${Det.rndSql("CAST(s7 AS DOUBLE) / n7 / 100.0", 6)} AS avg7,
+       |       CAST(s30 AS DOUBLE) / 100.0 AS trail30
+       |FROM t
+       |ORDER BY day""".stripMargin
+
   // --------------------------------------- incremental JOIN-view upkeep
 
   /** Incremental maintenance of a JOIN view under inserts on BOTH
