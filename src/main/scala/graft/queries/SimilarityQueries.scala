@@ -1719,6 +1719,101 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------- product quantization ANN
+
+  private val PqM      = 8  // subspaces (64 dims / 8)
+  private val PqCent   = 16 // centroids per subspace (4-bit codes)
+  private val PqProbes = 2
+  private val PqK      = 10
+
+  /** PRODUCT-QUANTIZATION ANN (Jégou, Douze & Schmid 2011) — the FAISS
+    * workhorse beside IVF and sign-LSH: each 64-dim vector splits into
+    * [[PqM]] 8-dim subvectors, each encoded as its nearest of
+    * [[PqCent]] per-subspace centroids (4 bits), so the whole corpus
+    * compresses to one 32-bit code per vector and a query scans codes
+    * via an Asymmetric Distance Computation table (per-subspace
+    * partial distances to every centroid — [[PqM]]·[[PqCent]] doubles
+    * per probe) instead of touching any embedding.
+    *
+    * The codebook is the seeded closed form the IVF twin established
+    * (`annIvfSeeded`): centroid c of every subspace is the c-th
+    * embedding's subvector — deterministic, so the oracle replays
+    * training, encoding, and ADC exactly. The ADC table falls out of
+    * the SAME encode relation (a probe's per-subspace distances to
+    * the codebook ARE its table rows), so train/encode/query share
+    * one aggregation.
+    *
+    * Scale: encode is the real PQ cost — one n·d·K pass (COO join
+    * against the broadcast 1,024-row codebook, sum per (vec, sub,
+    * centroid)); the query side joins the 8-row-per-vector code
+    * relation against a broadcast ≤256-row table and sums — no
+    * embedding access, which is the entire point at 100 TB (4 bytes
+    * scanned per candidate vs 256). Determinism: same double-sum +
+    * id-tie-break family as the cosine rerank surface; distances are
+    * identical IEEE expressions in both engines, ties break by
+    * centroid/candidate id. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det
+    val coo = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"),
+        (col("i") / PqM).cast("int").as("m"))
+    val seeds = coo.filter(col("vec_id") < PqCent)
+      .select(col("vec_id").cast("int").as("c"), col("i"), col("v").as("s"))
+    val enc = coo.join(broadcast(seeds), "i")
+      .groupBy(col("vec_id"), col("m"), col("c"))
+      .agg(sum((col("v") - col("s")) * (col("v") - col("s"))).as("d"))
+    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("d"), asc("c"))
+    val codes = enc
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("c").as("code"))
+    val tab = enc.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("qid"), col("m").as("tm"), col("c"), col("d"))
+    val wK = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    codes.join(broadcast(tab),
+        codes("m") === tab("tm") && codes("code") === tab("c"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(sum("d").as("adc"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= PqK)
+      .select(col("qid"), col("cid"), Det.rnd(col("adc"), 6).as("adc_dist"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[annPq]]: identical seeded codebook, encode
+    * argmin, and ADC table scan. */
+  val annPqSql: String = {
+    import graft.functions.Det
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |coo AS (SELECT vec_id, i, v, CAST(i // $PqM AS INT) AS m FROM e),
+       |seeds AS (SELECT CAST(vec_id AS INT) AS c, i, v AS s
+       |          FROM coo WHERE vec_id < $PqCent),
+       |enc AS (SELECT coo.vec_id, coo.m, sd.c,
+       |               sum((coo.v - sd.s) * (coo.v - sd.s)) AS d
+       |        FROM coo JOIN seeds sd ON sd.i = coo.i
+       |        GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, m, c AS code FROM (
+       |            SELECT vec_id, m, c,
+       |                   row_number() OVER (PARTITION BY vec_id, m
+       |                     ORDER BY d, c) AS rn
+       |            FROM enc) WHERE rn = 1),
+       |tab AS (SELECT vec_id AS qid, m, c, d FROM enc WHERE vec_id < $PqProbes),
+       |adc AS (SELECT t.qid, codes.vec_id AS cid, sum(t.d) AS adc
+       |        FROM codes JOIN tab t ON t.m = codes.m AND t.c = codes.code
+       |        GROUP BY 1, 2)
+       |SELECT qid, cid, ${Det.rndSql("adc", 6)} AS adc_dist,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT qid, cid, adc,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY adc, cid) AS rank
+       |      FROM adc WHERE qid <> cid)
+       |WHERE rank <= $PqK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------ link prediction
 
   private val LinkHubCap = 64L

@@ -336,6 +336,33 @@ class Round9Spec extends SparkSpec {
       ExtensionQueries.psiDrift(spark, sfDir).collect().toSeq)
   }
 
+  test("q_ann_pq matches a plain-Scala PQ encode + ADC replay") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val seeds = emb.filter(_._1 < 16).map(_._2) // codebook: c-th embedding
+    def subDist(a: Array[Double], b: Array[Double], m: Int): Double =
+      (8 * m until 8 * m + 8).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val codes: Map[Long, Array[Int]] = emb.map { case (v, vec) =>
+      v -> Array.tabulate(8) { m =>
+        (0 until 16).map(c => (subDist(vec, seeds(c), m), c)).min._2
+      }
+    }.toMap
+    val expect = (0L until 2L).flatMap { qid =>
+      val q = emb.find(_._1 == qid).get._2
+      val tab = Array.tabulate(8, 16)((m, c) => subDist(q, seeds(c), m))
+      emb.filter(_._1 != qid).map { case (cid, _) =>
+        (qid, cid, codes(cid).zipWithIndex.map { case (c, m) => tab(m)(c) }.sum)
+      }.sortBy { case (_, cid, d) => (d, cid) }.take(10).zipWithIndex
+        .map { case ((q2, cid, d), i) => (q2, cid, math.rint(d * 1e6) / 1e6, i + 1) }
+    }.toSet
+    val got = graft.queries.SimilarityQueries.annPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
   test("q_link_predict matches a plain-Scala common-neighbor replay") {
     val edges = graft.queries.SimilarityQueries.knnGraph(spark, sfDir)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
