@@ -3521,19 +3521,24 @@ object ExtensionQueries {
   def trailingWindow(spark: SparkSession, dir: String): DataFrame =
     trailingWindowOf(Tables(spark, dir, "events"))
 
-  private[graft] def trailingWindowOf(events: DataFrame): DataFrame = {
+  private[graft] def trailingWindowOf(events: DataFrame): DataFrame =
+    trailingFinish(cusumDailyFrom(events))
+
+  /** RANGE-frame finish over the (day, x) daily histogram — shared
+    * with the streaming twin (`StreamJobs.trailingStream`): the state
+    * is the same mergeable daily-cents histogram CUSUM keeps, so one
+    * streaming aggregation feeds BOTH monitors' per-batch finishes. */
+  private[graft] def trailingFinish(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = events.filter(col("event_type") === "purchase")
-      .groupBy(expr("unix_date(to_date(ts))").as("day"))
-      .agg(sum(Det.cents(col("value"))).as("x"))
-    val w7 = Window.orderBy("day").rangeBetween(-6, 0)
-    val w30 = Window.orderBy("day").rangeBetween(-29, 0)
+    val w7 = Window.orderBy("dayn").rangeBetween(-6, 0)
+    val w30 = Window.orderBy("dayn").rangeBetween(-29, 0)
     daily
+      .withColumn("dayn", expr("unix_date(day)"))
       .withColumn("s7", sum("x").over(w7))
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("s30", sum("x").over(w30))
       .select(
-        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"),
+        col("day"),
         (col("x").cast("double") / 100.0).as("revenue"),
         (col("s7").cast("double") / 100.0).as("trail7"),
         col("n7").as("days_in_7"),

@@ -805,6 +805,16 @@ object StreamJobs {
   def aucFinish(hist: DataFrame): DataFrame =
     graft.queries.TextQueries.rocFinish(hist)
 
+  /** Trailing-window twin: SAME state as [[cusumStream]] (the daily
+    * purchase-cents histogram) — one streaming aggregation feeds both
+    * the CUSUM alarm and the RANGE-frame trailing revenue finishes
+    * per batch, each bit-equal to its batch operator. */
+  def trailingStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cusumDailyFrom(events)
+
+  def trailingFinish(daily: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.trailingFinish(daily)
+
   def momentsStream(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

@@ -952,6 +952,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trailing-window finish shares the CUSUM state and is bit-equal") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = Tables(spark, sfDir, "events").as[Ev].collect()
+    val q = StreamJobs.trailingStream(mem.toDF())
+      .writeStream.format("memory").queryName("trails").outputMode("complete").start()
+    try {
+      val (b1, b2) = all.sortBy(_.event_id).splitAt(all.length / 4)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val streamed = rows(StreamJobs.trailingFinish(spark.table("trails")))
+      val batch = rows(graft.queries.ExtensionQueries.trailingWindow(spark, sfDir))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+      // and the SAME state table feeds the CUSUM finish, also bit-equal
+      val cusumStreamed = StreamJobs.cusumFinish(spark.table("trails")).collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(3), r.getDouble(4), r.getInt(5))).toSeq
+      val cusumBatch = graft.queries.ExtensionQueries.cusumChangepoint(spark, sfDir).collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(3), r.getDouble(4), r.getInt(5))).toSeq
+      assert(cusumStreamed === cusumBatch)
+    } finally q.stop()
+  }
+
   test("streaming ROC-AUC is bit-equal to the batch twin across batch splits") {
     val s = spark
     import s.implicits._
