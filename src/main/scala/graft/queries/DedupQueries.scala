@@ -449,9 +449,12 @@ object DedupQueries {
     * the loop into pointer-jumping after round 2 and converges in
     * O(log diameter) further rounds (64-chain ScalaTest).
     * `localCheckpoint` cuts lineage so round k never replans rounds
-    * 1..k−1. Runs over REPRESENTATIVE pairs only, so the label table
-    * is one row per doc in a near-dup relation — not per corpus
-    * doc — at any scale. */
+    * 1..k−1; on a long-lived production cluster the same cut should be
+    * a reliable `checkpoint()` to durable storage every few rounds —
+    * executor-local blocks are lost with the executor, and an
+    * iterative job cannot recompute a cut lineage. Runs over
+    * REPRESENTATIVE pairs only, so the label table is one row per doc
+    * in a near-dup relation — not per corpus doc — at any scale. */
   private[graft] def components(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2"))
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))

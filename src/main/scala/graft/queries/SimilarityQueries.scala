@@ -334,9 +334,15 @@ object SimilarityQueries {
     * dedup-clusters contract. */
   def semanticClusters(spark: SparkSession, dir: String,
                        nPlanes: Int = 8, k: Int = 5): DataFrame = {
-    val g = knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
-      .select(col("src"), col("dst"))
-      .localCheckpoint()
+    // at the default geometry the cut edge relation IS the shared
+    // graph-algorithm scratch (pagerank/label-prop/link-predict read
+    // the same parquet) — corpus-sized, so durable scratch beats an
+    // executor-pinned localCheckpoint; non-default geometries (spec
+    // fixtures) still derive it inline
+    val g = if (nPlanes == 8 && k == 5) knnEdgesScratch(spark, dir)
+      else knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
     val mut = g.alias("a").join(g.alias("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
       .filter(col("a.src") < col("a.dst"))
