@@ -1760,6 +1760,17 @@ object SimilarityQueries {
     * centroid/candidate id. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Det
+    val wK = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    pqAdcOf(spark, dir)
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= PqK)
+      .select(col("qid"), col("cid"), Det.rnd(col("adc"), 6).as("adc_dist"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The full ADC relation (qid, cid, adc) behind [[annPq]] and
+    * [[annPqRerank]]: codebook training + corpus encode + table scan. */
+  private def pqAdcOf(spark: SparkSession, dir: String): DataFrame = {
     val coo = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"), col("v").cast("double").as("v"),
@@ -1775,25 +1786,80 @@ object SimilarityQueries {
       .select(col("vec_id"), col("m"), col("c").as("code"))
     val tab = enc.filter(col("vec_id") < PqProbes)
       .select(col("vec_id").as("qid"), col("m").as("tm"), col("c"), col("d"))
-    val wK = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
     codes.join(broadcast(tab),
         codes("m") === tab("tm") && codes("code") === tab("c"))
       .groupBy(col("qid"), col("vec_id").as("cid"))
       .agg(sum("d").as("adc"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("rank", row_number().over(wK))
+  }
+
+  private val PqShortlist = 50
+
+  /** PQ-coarse → exact-rerank tier: the [[annPq]] ADC scan keeps a
+    * [[PqShortlist]]-deep shortlist per probe, and only the shortlist
+    * rows touch real embeddings for the exact-cosine top-[[PqK]] —
+    * the two-stage shape production PQ serving uses (codes for the
+    * million-candidate scan, floats for the 50-row finish), mirroring
+    * the sign-LSH `annRerank` tier. Output carries both the coarse
+    * ADC distance and the exact cosine so the re-ordering the rerank
+    * performs is visible in the result. */
+  def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det
+    val wS = Window.partitionBy("qid").orderBy(asc("adc"), asc("cid"))
+    val sl = pqAdcOf(spark, dir)
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= PqShortlist)
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wE = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    withCos(sl.join(broadcast(q), "qid").join(c, "cid"))
+      .withColumn("cos", round(col("cos"), 6))
+      .withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= PqK)
-      .select(col("qid"), col("cid"), Det.rnd(col("adc"), 6).as("adc_dist"), col("rank"))
+      .select(col("qid"), col("cid"), Det.rnd(col("adc"), 6).as("adc_dist"),
+        col("cos"), col("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[annPqRerank]]: the shared PQ CTE chain
+    * ([[pqAdcCte]]) + shortlist cut + exact-cosine finish over the
+    * COO expansion. */
+  lazy val annPqRerankSql: String = {
+    import graft.functions.Det
+    s"""WITH $pqAdcCte,
+       |sl AS (SELECT qid, cid, adc FROM (
+       |         SELECT qid, cid, adc,
+       |                row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS srank
+       |         FROM adc)
+       |       WHERE srank <= $PqShortlist),
+       |cs AS (SELECT sl.qid, sl.cid, sl.adc,
+       |              sum(a.v * b.v) AS dot,
+       |              sqrt(sum(a.v * a.v)) AS nq, sqrt(sum(b.v * b.v)) AS nc
+       |       FROM sl JOIN e a ON a.vec_id = sl.qid
+       |               JOIN e b ON b.vec_id = sl.cid AND b.i = a.i
+       |       GROUP BY 1, 2, 3)
+       |SELECT qid, cid, ${Det.rndSql("adc", 6)} AS adc_dist,
+       |       round(CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT qid, cid, adc, dot, nq, nc,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END DESC,
+       |                        cid) AS rank
+       |      FROM cs)
+       |WHERE rank <= $PqK
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** DuckDB twin of [[annPq]]: identical seeded codebook, encode
     * argmin, and ADC table scan. */
-  val annPqSql: String = {
-    import graft.functions.Det
-    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-       |                  unnest(range(len(embedding))) AS i
-       |           FROM embeddings),
+  /** The PQ pipeline as a CTE chain ending in `adc` (qid, cid, adc) —
+    * shared verbatim by [[annPqSql]] and [[annPqRerankSql]] so the
+    * codebook/encode/table replay cannot drift between the two. */
+  private val pqAdcCte: String =
+    s"""e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
        |coo AS (SELECT vec_id, i, v, CAST(i // $PqM AS INT) AS m FROM e),
        |seeds AS (SELECT CAST(vec_id AS INT) AS c, i, v AS s
        |          FROM coo WHERE vec_id < $PqCent),
@@ -1809,13 +1875,18 @@ object SimilarityQueries {
        |tab AS (SELECT vec_id AS qid, m, c, d FROM enc WHERE vec_id < $PqProbes),
        |adc AS (SELECT t.qid, codes.vec_id AS cid, sum(t.d) AS adc
        |        FROM codes JOIN tab t ON t.m = codes.m AND t.c = codes.code
-       |        GROUP BY 1, 2)
+       |        WHERE t.qid <> codes.vec_id
+       |        GROUP BY 1, 2)""".stripMargin
+
+  val annPqSql: String = {
+    import graft.functions.Det
+    s"""WITH $pqAdcCte
        |SELECT qid, cid, ${Det.rndSql("adc", 6)} AS adc_dist,
        |       CAST(rank AS INTEGER) AS rank
        |FROM (SELECT qid, cid, adc,
        |             row_number() OVER (PARTITION BY qid
        |               ORDER BY adc, cid) AS rank
-       |      FROM adc WHERE qid <> cid)
+       |      FROM adc)
        |WHERE rank <= $PqK
        |ORDER BY qid, rank""".stripMargin
   }

@@ -363,6 +363,31 @@ class Round9Spec extends SparkSpec {
       s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
   }
 
+  test("q_ann_pq_rerank reranks the ADC shortlist by exact cosine") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val byId = emb.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val got = graft.queries.SimilarityQueries.annPqRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    assert(got.nonEmpty && got.length <= 20)
+    // exact cosine recomputed per output pair; ranks strictly follow it
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      sorted.foreach { case (_, cid, c, _) =>
+        assert(math.abs(c - math.rint(cos(byId(qid), byId(cid)) * 1e6) / 1e6) < 1e-9)
+      }
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"cos not non-increasing for qid $qid")
+    }
+  }
+
   test("q_link_predict matches a plain-Scala common-neighbor replay") {
     val edges = graft.queries.SimilarityQueries.knnGraph(spark, sfDir)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
