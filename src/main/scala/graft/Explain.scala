@@ -27,7 +27,11 @@ object Explain {
         "q_ann_eval", "q_rolling_anomaly", "q_tfidf_topterms",
         "q_knn_graph", "q_bootstrap_ci", "q_star_join", "q_frequent_pairs",
         "q_semantic_clusters", "q_equidepth_hist", "q_decile_lift",
-        "q_target_encode", "q_epoch_shuffle")
+        "q_target_encode", "q_epoch_shuffle", "q_cusum_changepoint",
+        "q_theil_sen", "q_ref_integrity", "q_roc_auc", "q_pagerank",
+        "q_label_prop", "q_ivm_join", "q_link_predict",
+        "q_trailing_window", "q_ann_pq", "q_ann_pq_rerank",
+        "q_cascade_delete")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")

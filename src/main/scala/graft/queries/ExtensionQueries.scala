@@ -3507,6 +3507,62 @@ object ExtensionQueries {
        |FROM terms
        |ORDER BY bin""".stripMargin
 
+  // --------------------------------------------- cascade delete plan
+
+  /** CASCADE-DELETE planning over the FK graph — the right-to-erasure
+    * (GDPR art. 17) workload: given a victim set of customers, compute
+    * what each table loses when the deletion cascades
+    * customer → orders → lineitem, as an audit relation BEFORE any
+    * mutation runs (the plan a compliance pipeline reviews and then
+    * executes as anti-joins). Victim set is deterministic
+    * (c_custkey ≡ 0 mod 97). Complements [[refIntegrity]]: that op
+    * proves the FK edges are clean, this one uses them.
+    *
+    * Scale: the victim set broadcasts into orders (semi-join), the
+    * surviving-order key set is a fact-fact semi-join for lineitem —
+    * one shuffle on the key, the same plan an actual DELETE's rewrite
+    * pass needs. Pure integer counts.
+    */
+  def cascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val victims = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val orders = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val deadOrders = orders.join(broadcast(victims),
+      orders("o_custkey") === victims("c_custkey"), "left_semi")
+    val deadLi = li.join(deadOrders.select("o_orderkey"),
+      li("l_orderkey") === deadOrders("o_orderkey"), "left_semi")
+    // all-relational (one 1-row aggregate pair per table, no driver
+    // counts): the audit is itself a DataFrame a pipeline can join on
+    def stat(name: String, all: DataFrame, dead: DataFrame): DataFrame =
+      all.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(dead.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_deleted"),
+          (col("n_rows") - col("n_deleted")).as("n_surviving"))
+    stat("customer", Tables(spark, dir, "customer"), victims)
+      .unionAll(stat("orders", orders, deadOrders))
+      .unionAll(stat("lineitem", li, deadLi))
+      .orderBy("table_name")
+  }
+
+  val cascadeDeleteSql: String =
+    """WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |dead_o AS (SELECT o_orderkey FROM orders
+      |           WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+      |s AS (
+      |  SELECT 'customer' AS table_name, (SELECT count(*) FROM customer) AS n_rows,
+      |         (SELECT count(*) FROM victims) AS n_deleted
+      |  UNION ALL
+      |  SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE l_orderkey IN (SELECT o_orderkey FROM dead_o))
+      |  UNION ALL
+      |  SELECT 'orders', (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM dead_o))
+      |SELECT table_name, n_rows, n_deleted, n_rows - n_deleted AS n_surviving
+      |FROM s
+      |ORDER BY table_name""".stripMargin
+
   // --------------------------------------------- RANGE-frame trailing
 
   /** Trailing 7-/30-day revenue via RANGE (value-distance) window
