@@ -336,6 +336,27 @@ class Round9Spec extends SparkSpec {
       ExtensionQueries.psiDrift(spark, sfDir).collect().toSeq)
   }
 
+  test("k-NN edge scratch is written once and shared across graph queries") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // first consumer pays the write
+    graft.queries.SimilarityQueries.pageRank(spark, sfDir).count()
+    val dirGlob = Files.list(Paths.get(graft.Tables.scratchDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("knnedges-")).toSeq
+    assert(dirGlob.nonEmpty, "scratch edges parquet missing after pageRank")
+    def mtimes(): Map[String, Long] = dirGlob.flatMap { d =>
+      Files.walk(d).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+    val before = mtimes()
+    // later consumers in the same session must NOT rewrite
+    graft.queries.SimilarityQueries.labelProp(spark, sfDir).count()
+    graft.queries.SimilarityQueries.linkPredict(spark, sfDir).count()
+    graft.queries.SimilarityQueries.semanticClusters(spark, sfDir).count()
+    graft.queries.SimilarityQueries.pageRank(spark, sfDir).count()
+    assert(mtimes() === before, "a shared-scratch consumer rewrote the edge relation")
+  }
+
   test("q_ann_pq matches a plain-Scala PQ encode + ADC replay") {
     val emb = Tables(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").collect()
