@@ -3953,4 +3953,158 @@ object ExtensionQueries {
       edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
+
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active calendar
+    * days (streaks), via the classic day-index-minus-row-number group
+    * key — two rows land in the same island iff their day indices and
+    * their per-user ranks advance in lockstep. All windows are
+    * partitioned by user_id (events shuffle once on user and every
+    * streak computes inside its partition — no global window, no
+    * second exchange at any scale); day arithmetic is pure integers
+    * off a fixed epoch, so both engines group identically. */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame =
+    gapsIslandsOf(Tables(spark, dir, "events"))
+
+  private[graft] def gapsIslandsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("d"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("d")
+    val perIsland = days
+      .withColumn("grp", col("d") - row_number().over(byUser))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("d").as("start_d"))
+    perIsland.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"),
+        sum("len").as("active_days"),
+        min("start_d").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  val gapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS d
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, d,
+      |         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      |  FROM days),
+      |per AS (
+      |  SELECT user_id, grp, count(*) AS len, min(d) AS start_d
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, count(*) AS n_streaks,
+      |       CAST(max(len) AS BIGINT) AS longest_streak,
+      |       CAST(sum(len) AS BIGINT) AS active_days,
+      |       CAST(min(start_d) AS INTEGER) AS first_day
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Ingest-time event deduplication: an event is a DUPLICATE when the
+    * previous event of the same (user, type) lies within
+    * [[EventDedupGapUs]] — the at-least-once-delivery suppression
+    * every event pipeline runs before anything downstream counts.
+    * Lag-based (each event judged against its physical predecessor,
+    * kept or not): one window, one shuffle on the dedup key, micros
+    * integers end to end. The streaming twin is a
+    * flatMapGroupsWithState carrying last-seen tus per key. */
+  def eventDedup(spark: SparkSession, dir: String): DataFrame =
+    eventDedupOf(Tables(spark, dir, "events"))
+
+  private[graft] val EventDedupGapUs = 5000000L // 5 s
+
+  private[graft] def eventDedupOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap", col("tus") - lag("tus", 1).over(byKey))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("gap") <= EventDedupGapUs, 1L).otherwise(0L)).as("n_dups"),
+        Det.rnd(
+          sum(when(col("gap") <= EventDedupGapUs, 1.0).otherwise(0.0)) / count(lit(1)),
+          6).as("dup_rate"))
+      .orderBy("event_type")
+  }
+
+  val eventDedupSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |l AS (
+       |  SELECT event_type,
+       |         tus - lag(tus) OVER (PARTITION BY user_id, event_type
+       |                              ORDER BY tus, event_id) AS gap
+       |  FROM e)
+       |SELECT event_type, count(*) AS n_events,
+       |       CAST(sum(CASE WHEN gap <= $EventDedupGapUs THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |       ${Det.rndSql(s"CAST(sum(CASE WHEN gap <= $EventDedupGapUs THEN 1.0 ELSE 0.0 END) AS DOUBLE) / count(*)", 6)} AS dup_rate
+       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Golden-record survivorship merge: collapse each user's event
+    * history into ONE canonical profile row under explicit, named
+    * survivorship rules — first/last seen (min/max micros), exact
+    * money total (integer cents), most-frequent event type with a
+    * lexicographic tie-break, and latest-wins value/type (row 1 of a
+    * (tus, event_id)-descending rank). The master-data-management
+    * merge step of entity resolution. Three single-shuffle passes over
+    * the same user_id partitioning joined at the end — at scale the
+    * exchange reuse rule collapses them onto one shuffle footprint,
+    * and every window is user-partitioned (no global window). */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame =
+    goldenRecordOf(Tables(spark, dir, "events"))
+
+  private[graft] def goldenRecordOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("user_id"), col("event_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("tus"))
+    val base = e.groupBy("user_id").agg(
+      min("tus").as("first_us"),
+      max("tus").as("last_us"),
+      count(lit(1)).as("n_events"),
+      Det.moneySum(col("value")).as("total_value"))
+    val byFreq = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type"))
+    val top = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byFreq))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    val byRecency = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val latest = e.withColumn("rn", row_number().over(byRecency))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+    base.join(top, Seq("user_id")).join(latest, Seq("user_id"))
+      .orderBy("user_id")
+  }
+
+  val goldenRecordSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus FROM events),
+       |base AS (
+       |  SELECT user_id, min(tus) AS first_us, max(tus) AS last_us,
+       |         count(*) AS n_events, ${Det.moneySumSql("value")} AS total_value
+       |  FROM e GROUP BY user_id),
+       |cnt AS (
+       |  SELECT user_id, event_type, count(*) AS c FROM e GROUP BY user_id, event_type),
+       |top AS (
+       |  SELECT user_id, event_type AS top_type FROM (
+       |    SELECT user_id, event_type,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+       |    FROM cnt) WHERE rn = 1),
+       |latest AS (
+       |  SELECT user_id, event_type AS last_type, value AS last_value FROM (
+       |    SELECT user_id, event_type, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+       |    FROM e) WHERE rn = 1)
+       |SELECT user_id, first_us, last_us, n_events, total_value,
+       |       top_type, last_type, last_value
+       |FROM base JOIN top USING (user_id) JOIN latest USING (user_id)
+       |ORDER BY user_id""".stripMargin
 }

@@ -3515,4 +3515,75 @@ object TextQueries {
        |  UNION ALL SELECT 'n_neg', CAST(n_neg AS DOUBLE) FROM u
        |  UNION ALL SELECT 'n_scores', CAST(n_scores AS DOUBLE) FROM u)
        |ORDER BY metric""".stripMargin
+
+  /** Training-shard manifest: assign every document to one of
+    * [[ShardCount]] output shards balanced by token count — the
+    * sorted-greedy approximation (size-descending global order,
+    * round-robin by rank) that keeps the heaviest docs spread across
+    * shards, then audit the balance (per-shard token sums and their
+    * load factor vs the perfectly-even split). The writer step of a
+    * 100 TB pipeline: `partitionBy(shard)` on this column streams each
+    * shard to its own file set.
+    *
+    * The global size-descending rank is computed WITHOUT a global
+    * window (which would funnel the corpus through one partition):
+    * rank = (# docs with a strictly larger token count — a prefix sum
+    * over the vocabulary-sized token-count histogram, broadcast back)
+    * + (row_number within my token-count value, a window PARTITIONED
+    * by the value with doc_id as the total tie-break). Pure integers
+    * end to end; both engines rank identically. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(Tables(spark, dir, "documents"))
+
+  private[graft] val ShardCount = 16
+
+  private[graft] def shardManifestOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val hist = toks.groupBy("n_tokens").agg(count(lit(1)).as("m"))
+    val byValDesc = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = hist
+      .withColumn("before", coalesce(sum("m").over(byValDesc), lit(0L)))
+      .select("n_tokens", "before")
+    val byDoc = Window.partitionBy("n_tokens").orderBy("doc_id")
+    val per = toks.join(broadcast(base), Seq("n_tokens"))
+      .withColumn("rnk", col("before") + row_number().over(byDoc))
+      .withColumn("shard", ((col("rnk") - 1) % ShardCount).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        max("n_tokens").as("max_doc_tokens"))
+    val tot = per.agg(sum("sum_tokens").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        col("max_doc_tokens"),
+        Det.rnd(col("sum_tokens").cast("double") * ShardCount /
+          col("tot").cast("double"), 6).as("load_factor"))
+      .orderBy("shard")
+  }
+
+  val shardManifestSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |hist AS (SELECT n_tokens, count(*) AS m FROM toks GROUP BY n_tokens),
+       |b AS (
+       |  SELECT n_tokens,
+       |         coalesce(sum(m) OVER (ORDER BY n_tokens DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM hist),
+       |ranked AS (
+       |  SELECT t.doc_id, t.n_tokens,
+       |         b.before + row_number() OVER (PARTITION BY t.n_tokens ORDER BY t.doc_id) AS rnk
+       |  FROM toks t JOIN b USING (n_tokens)),
+       |per AS (
+       |  SELECT CAST((rnk - 1) % $ShardCount AS INTEGER) AS shard,
+       |         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |         CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+       |  FROM ranked GROUP BY 1),
+       |tot AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tot FROM per)
+       |SELECT shard, n_docs, sum_tokens, max_doc_tokens,
+       |       ${Det.rndSql(s"CAST(sum_tokens AS DOUBLE) * $ShardCount / CAST(tot AS DOUBLE)", 6)} AS load_factor
+       |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
 }

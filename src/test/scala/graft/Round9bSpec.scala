@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{functions => F}
+import graft.queries.{ExtensionQueries, TextQueries}
+
+/** Round-9b additions: gaps-and-islands streaks, ingest event-dedup,
+  * golden-record survivorship, and the balanced training-shard
+  * manifest. Fixtures pin the semantics; invariance tests pin the
+  * results against physical partitioning. */
+class Round9bSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, String, Long, String, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("gapsIslands splits streaks exactly at calendar-day gaps") {
+    // user 1: days 0,1,2 then 5,6 → two islands (3, 2)
+    // user 2: days 10 only → one island of 1
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 08:00:00", 1L, "view", 1.0),
+      (1L, "2024-01-01 09:00:00", 1L, "view", 1.0), // same day — one island row
+      (2L, "2024-01-02 23:59:59", 1L, "view", 1.0),
+      (3L, "2024-01-03 00:00:01", 1L, "view", 1.0),
+      (4L, "2024-01-06 12:00:00", 1L, "view", 1.0),
+      (5L, "2024-01-07 12:00:00", 1L, "view", 1.0),
+      (6L, "2024-01-11 01:00:00", 2L, "click", 1.0)))
+    val got = ExtensionQueries.gapsIslandsOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got === Array(
+      (1L, 2L, 3L, 5L, 0), // 2 streaks, longest 3, 5 active days, first day idx 0
+      (2L, 1L, 1L, 1L, 10)))
+  }
+
+  test("eventDedup flags only same-key repeats within the 5s horizon") {
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (1L, "2024-01-01 00:00:04", 1L, "click", 1.0), // dup: 4s after prior click
+      (2L, "2024-01-01 00:00:06", 1L, "click", 1.0), // dup: 2s after event 1
+      (3L, "2024-01-01 00:00:20", 1L, "click", 1.0), // kept: 14s gap
+      (4L, "2024-01-01 00:00:01", 1L, "view", 1.0),  // other type — own chain
+      (5L, "2024-01-01 00:00:03", 2L, "click", 1.0), // other user — own chain
+      (6L, "2024-01-01 00:00:05", 2L, "click", 1.0))) // dup: 2s
+    val got = ExtensionQueries.eventDedupOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(("click", 6L, 3L), ("view", 1L, 0L)))
+  }
+
+  test("goldenRecord survivorship: latest-wins value, modal type with lexicographic ties") {
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "view", 1.10),
+      (1L, "2024-01-02 00:00:00", 1L, "view", 2.20),
+      (2L, "2024-01-03 00:00:00", 1L, "click", 3.30),
+      (3L, "2024-01-04 00:00:00", 1L, "click", 4.40), // 2-2 tie → "click" < "view"
+      (4L, "2024-01-05 00:00:00", 2L, "error", 9.99)))
+    val rows = ExtensionQueries.goldenRecordOf(ev).collect()
+    val u1 = rows(0)
+    assert(u1.getLong(0) === 1L)
+    assert(u1.getLong(3) === 4L)                       // n_events
+    assert(u1.getDouble(4) === 11.0)                   // exact cents sum
+    assert(u1.getString(5) === "click")                // modal tie-break
+    assert(u1.getString(6) === "click")                // last_type
+    assert(u1.getDouble(7) === 4.40)                   // last_value
+    assert(rows(1).getString(5) === "error")
+  }
+
+  test("goldenRecord latest-wins tie-break on equal timestamps uses event_id") {
+    val ev = eventsDf(Seq(
+      (7L, "2024-01-01 00:00:00", 1L, "a", 1.00),
+      (9L, "2024-01-01 00:00:00", 1L, "b", 2.00), // same ts, higher id wins
+      (8L, "2024-01-01 00:00:00", 1L, "c", 3.00)))
+    val r = ExtensionQueries.goldenRecordOf(ev).head()
+    assert(r.getString(6) === "b" && r.getDouble(7) === 2.00)
+  }
+
+  test("shardManifest: doc counts within 1, token sums conserved, heaviest docs spread") {
+    val s = spark
+    import s.implicits._
+    // 64 docs with strongly skewed sizes: doc i has i+1 tokens
+    val docs = (0 until 64)
+      .map(i => (i.toLong, Seq.fill(i + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextQueries.shardManifestOf(docs).collect()
+    assert(rows.length === TextQueries.ShardCount)
+    val nDocs = rows.map(_.getLong(1))
+    assert(nDocs.max - nDocs.min <= 1)
+    assert(rows.map(_.getLong(2)).sum === (1 to 64).sum.toLong)
+    // round-robin on the size-sorted order: per-shard loads stay within
+    // a tight band of even (64 docs / 16 shards → 4 docs each; worst
+    // shard carries 64+48+32+16, best 49+33+17+1 → factor ≤ 1.6)
+    val lf = rows.map(_.getDouble(4))
+    assert(lf.forall(f => f > 0.4 && f < 1.6), lf.toSeq.toString)
+  }
+
+  test("round-9b queries are invariant to input partitioning") {
+    val ev = Tables(spark, sfDir, "events").repartition(7)
+    assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
+      ExtensionQueries.gapsIslands(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.eventDedupOf(ev).collect().toSeq ===
+      ExtensionQueries.eventDedup(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.goldenRecordOf(ev).collect().toSeq ===
+      ExtensionQueries.goldenRecord(spark, sfDir).collect().toSeq)
+    val docs = Tables(spark, sfDir, "documents").repartition(7)
+    assert(TextQueries.shardManifestOf(docs).collect().toSeq ===
+      TextQueries.shardManifest(spark, sfDir).collect().toSeq)
+  }
+}
