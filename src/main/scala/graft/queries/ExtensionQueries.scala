@@ -4009,12 +4009,17 @@ object ExtensionQueries {
     * every event pipeline runs before anything downstream counts.
     * Lag-based (each event judged against its physical predecessor,
     * kept or not): one window, one shuffle on the dedup key, micros
-    * integers end to end. The streaming twin is a
-    * flatMapGroupsWithState carrying last-seen tus per key. */
+    * integers end to end. The horizon is a free parameter of the rule
+    * (a production ingest dedup runs at seconds); the shipped 1-hour
+    * value is chosen so the gate corpus — whose per-(user, type)
+    * inter-arrival median is ~2 days — actually exercises the flag
+    * path rather than oracling an all-zero column. The streaming twin
+    * is [[graft.streaming.StreamJobs.eventDedupStream]], one Long of
+    * state per key. */
   def eventDedup(spark: SparkSession, dir: String): DataFrame =
     eventDedupOf(Tables(spark, dir, "events"))
 
-  private[graft] val EventDedupGapUs = 5000000L // 5 s
+  private[graft] val EventDedupGapUs = 3600L * 1000000L // 1 h
 
   private[graft] def eventDedupOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -4107,4 +4112,148 @@ object ExtensionQueries {
        |       top_type, last_type, last_value
        |FROM base JOIN top USING (user_id) JOIN latest USING (user_id)
        |ORDER BY user_id""".stripMargin
+
+  private val SessionGapUs = 1800L * 1000000L // the sessionize 30-min gap
+  private val DayUs = 86400L * 1000000L
+
+  /** Peak concurrent sessions per UTC day — the interval-overlap sweep
+    * (capacity planning's core query): sessions come from the same
+    * 30-min-gap rule as [[sessionize]], each [start, end] interval is
+    * CLIPPED at day boundaries into per-day segments, and per day a
+    * +1/−1 boundary sweep's running sum maxes out at the peak. At a
+    * shared instant starts count before ends (a session ending at t
+    * and one starting at t are both live at t). Every window is
+    * bounded: per-user for the session build, per-day for the sweep —
+    * no global ordering anywhere, pure micros integers. The max of the
+    * running sum is tie-order-invariant (all peers in a (tus, delta)
+    * group share a sign, so the group's max is its closing sum),
+    * which is what makes the two engines agree without a total
+    * tiebreak. */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
+    sessionConcurrencyOf(Tables(spark, dir, "events"))
+
+  private[graft] def sessionConcurrencyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val sess = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("gap", col("tus") - lag("tus", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(byUser))
+      .groupBy("user_id", "sid")
+      .agg(min("tus").as("s"), max("tus").as("e"))
+    val seg = sess
+      .select(col("s"), col("e"),
+        explode(expr(s"sequence(CAST(s / $DayUs AS LONG), CAST(e / $DayUs AS LONG))")).as("day"))
+      .select(col("day"),
+        greatest(col("s"), col("day") * DayUs).as("cs"),
+        least(col("e"), (col("day") + 1) * DayUs - 1).as("ce"))
+    val bounds = seg.select(col("day"), col("cs").as("tus"), lit(1L).as("delta"))
+      .unionAll(seg.select(col("day"), col("ce").as("tus"), lit(-1L).as("delta")))
+    val byDay = Window.partitionBy("day")
+      .orderBy(col("tus").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("c", sum("delta").over(byDay))
+      .groupBy("day")
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_segments"),
+        max("c").as("peak_concurrency"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"),
+        col("n_segments"), col("peak_concurrency"))
+      .orderBy("day")
+  }
+
+  val sessionConcurrencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+       |g AS (
+       |  SELECT user_id, event_id, tus,
+       |         CASE WHEN tus - lag(tus, 1) OVER w IS NULL
+       |                OR tus - lag(tus, 1) OVER w > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |sids AS (
+       |  SELECT user_id, tus,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |           ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g),
+       |sess AS (
+       |  SELECT user_id, sid, min(tus) AS s, max(tus) AS e
+       |  FROM sids GROUP BY user_id, sid),
+       |seg AS (
+       |  SELECT day, greatest(s, day * ${DayUs}) AS cs,
+       |         least(e, (day + 1) * ${DayUs} - 1) AS ce
+       |  FROM (SELECT s, e, unnest(range(s // ${DayUs}, e // ${DayUs} + 1)) AS day
+       |        FROM sess)),
+       |bounds AS (
+       |  SELECT day, cs AS tus, 1 AS delta FROM seg
+       |  UNION ALL SELECT day, ce AS tus, -1 AS delta FROM seg),
+       |sweep AS (
+       |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY tus, delta DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM bounds)
+       |SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS day,
+       |       CAST(count(*) / 2 AS BIGINT) AS n_segments,
+       |       CAST(max(c) AS BIGINT) AS peak_concurrency
+       |FROM sweep GROUP BY day ORDER BY day""".stripMargin
+
+  private val SkewTopK = 5
+
+  /** Join-key skew diagnostic — the pre-flight a 100 TB join runs
+    * before choosing between plain shuffle, AQE skew split, and
+    * explicit salting: the key-frequency histogram of
+    * lineitem.l_suppkey, its hottest [[SkewTopK]] keys, the skew
+    * factor (hottest key's rows vs the even-split average), and the
+    * derived salting fan-out ⌈skew⌉ a [[saltedJoin]] would use. One
+    * groupBy + a vocabulary-sized top-k — the histogram is the
+    * expensive (but single-shuffle) pass; everything after is
+    * key-cardinality-bounded. */
+  def skewDiagnose(spark: SparkSession, dir: String): DataFrame =
+    skewDiagnoseOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def skewDiagnoseOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = lineitem.groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("key_rows"))
+    val stats = cnt.agg(
+      count(lit(1)).as("n_keys"), sum("key_rows").as("n_rows"),
+      max("key_rows").as("max_rows"))
+    val byHeat = Window.orderBy(col("key_rows").desc, col("key"))
+    cnt.withColumn("heat_rank", row_number().over(byHeat))
+      .filter(col("heat_rank") <= SkewTopK)
+      .crossJoin(broadcast(stats))
+      .select(
+        col("heat_rank"), col("key"), col("key_rows"),
+        Det.rnd(col("key_rows").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share"),
+        col("n_keys"), col("n_rows"),
+        Det.rnd(col("max_rows").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 4).as("skew_factor"),
+        ceil(col("max_rows").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).cast("long").as("recommended_salt"))
+      .orderBy("heat_rank")
+  }
+
+  val skewDiagnoseSql: String =
+    s"""WITH cnt AS (
+       |  SELECT l_suppkey AS key, count(*) AS key_rows FROM lineitem GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_keys, CAST(sum(key_rows) AS BIGINT) AS n_rows,
+       |         CAST(max(key_rows) AS BIGINT) AS max_rows
+       |  FROM cnt),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY key_rows DESC, key) AS INTEGER) AS heat_rank,
+       |         key, key_rows
+       |  FROM cnt)
+       |SELECT heat_rank, key, key_rows,
+       |       ${Det.rndSql("CAST(key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS share,
+       |       n_keys, n_rows,
+       |       ${Det.rndSql("CAST(max_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)", 4)} AS skew_factor,
+       |       CAST(ceil(CAST(max_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS BIGINT) AS recommended_salt
+       |FROM ranked CROSS JOIN stats
+       |WHERE heat_rank <= $SkewTopK
+       |ORDER BY heat_rank""".stripMargin
 }

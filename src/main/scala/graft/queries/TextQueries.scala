@@ -3586,4 +3586,92 @@ object TextQueries {
        |SELECT shard, n_docs, sum_tokens, max_doc_tokens,
        |       ${Det.rndSql(s"CAST(sum_tokens AS DOUBLE) * $ShardCount / CAST(tot AS DOUBLE)", 6)} AS load_factor
        |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
+
+  private val SnmWindow = 3  // neighbors compared per doc in sort order
+  private val SnmBlockLen = 8 // sort-key prefix bounding each window partition
+
+  /** Sorted-neighborhood near-dup detection (Hernández & Stolfo's
+    * merge/purge method, SIGMOD'95): sort the corpus by a normalized
+    * key and compare each doc only with its next [[SnmWindow]]
+    * neighbors — the O(n·w) third member of the dedup family, between
+    * banding (probabilistic recall, [[DedupQueries.minhashLsh]]) and
+    * prefix filtering (lossless, [[setsimPrefix]]): deterministic,
+    * cheap, and exactly as good as its sort key clusters true dups
+    * (production runs several passes with different keys).
+    *
+    * Scale shape: the "sort" never materializes globally — the window
+    * is PARTITIONED by the key's [[SnmBlockLen]]-char prefix (the
+    * block), so neighbor comparison runs inside hash-partitioned
+    * blocks; cross-block neighbors are exactly the pairs a different
+    * key-pass would catch. Candidates are verified with the same
+    * exact 12-char-shingle Jaccard as [[ngramJaccard]], computed only
+    * for candidate docs (semi-joined before the shingle explode). */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodOf(Tables(spark, dir, "documents"))
+
+  private[graft] def sortedNeighborhoodOf(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    val keyed = docs.select(col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("k"))
+      .withColumn("blk", substring(col("k"), 1, SnmBlockLen))
+    val byBlock = Window.partitionBy("blk").orderBy("k", "doc_id")
+    val withLeads = keyed.select(
+      col("doc_id") +: (1 to SnmWindow).map(i =>
+        lead("doc_id", i).over(byBlock).as(s"n$i")): _*)
+    val pairs = withLeads
+      .select(col("doc_id").as("d"),
+        explode(array((1 to SnmWindow).map(i => col(s"n$i")): _*)).as("n"))
+      .filter(col("n").isNotNull)
+      .select(least(col("d"), col("n")).as("p1"),
+        greatest(col("d"), col("n")).as("p2"))
+    val candDocs = pairs.select(col("p1").as("doc_id"))
+      .union(pairs.select(col("p2"))).distinct()
+    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("p1"), col("s"))
+    val b = sh.select(col("doc_id").as("p2"), col("s"))
+    a.join(b, Seq("s")).join(pairs, Seq("p1", "p2"), "left_semi")
+      .groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("p1"), col("sz").as("sz1")), "p1")
+      .join(sizes.select(col("doc_id").as("p2"), col("sz").as("sz2")), "p2")
+      .withColumn("j",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("p1").as("d1"), col("p2").as("d2"),
+        Det.rnd(col("j"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val sortedNeighborhoodSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS k
+       |  FROM documents),
+       |nb AS (
+       |  SELECT doc_id AS d,
+       |         lead(doc_id, 1) OVER w AS n1,
+       |         lead(doc_id, 2) OVER w AS n2,
+       |         lead(doc_id, 3) OVER w AS n3
+       |  FROM (SELECT doc_id, k, substr(k, 1, $SnmBlockLen) AS blk FROM keyed)
+       |  WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id)),
+       |cand AS (
+       |  SELECT DISTINCT least(d, n) AS p1, greatest(d, n) AS p2
+       |  FROM (SELECT d, unnest([n1, n2, n3]) AS n FROM nb)
+       |  WHERE n IS NOT NULL),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text,
+       |               unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents
+       |        WHERE doc_id IN (SELECT p1 FROM cand UNION SELECT p2 FROM cand))),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT p1, p2, count(*) AS i
+       |  FROM cand JOIN sh a ON a.doc_id = p1 JOIN sh b ON b.doc_id = p2 AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT p1 AS d1, p2 AS d2, ${Det.rndSql("j", 6)} AS jaccard
+       |FROM (SELECT p1, p2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |      FROM inter JOIN sz s1 ON s1.doc_id = p1 JOIN sz s2 ON s2.doc_id = p2)
+       |WHERE j >= 0.5
+       |ORDER BY d1, d2""".stripMargin
 }

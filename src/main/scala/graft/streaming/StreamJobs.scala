@@ -513,6 +513,42 @@ object StreamJobs {
       .toDF("user_id", "src", "dst", "tus")
   }
 
+  /** Streaming twin of the batch ingest event-dedup
+    * ([[graft.queries.ExtensionQueries.eventDedup]]): per
+    * (user, type) key the state is ONE Long — the last-seen event
+    * micros — and an arriving event is flagged duplicate when it lands
+    * within `gapUs` of that predecessor (kept or not — the same
+    * lag-against-physical-predecessor rule as the batch plan). State
+    * is O(#keys × 8 bytes) and never grows. Within a micro-batch rows
+    * replay in (tus, event_id) order; cross-batch correctness assumes
+    * time-ordered batch arrival — the [[transitionsStream]] /
+    * [[scd2Stream]] contract. Input: (event_id, user_id, event_type,
+    * tus). Output: every event with its verdict
+    * (event_id, user_id, event_type, is_dup). */
+  def eventDedupStream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, String, Long)],
+      gapUs: Long = graft.queries.ExtensionQueries.EventDedupGapUs): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Long, String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, String, Boolean)]
+          var prev = state.getOption
+          rows.toArray.sortBy(r => (r._4, r._1)).foreach { case (id, _, _, tus) =>
+            out += ((id, key._1, key._2, prev.exists(p => tus - p <= gapUs)))
+            prev = Some(tus)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "event_type", "is_dup")
+  }
+
   /** Streaming twin of the batch SCD type-2 build
     * ([[graft.queries.ExtensionQueries.scd2]]): per-user event-type
     * runs are maintained as ONE open run in state (state string,

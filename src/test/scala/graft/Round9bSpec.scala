@@ -38,15 +38,15 @@ class Round9bSpec extends SparkSpec {
       (2L, 1L, 1L, 1L, 10)))
   }
 
-  test("eventDedup flags only same-key repeats within the 5s horizon") {
+  test("eventDedup flags only same-key repeats within the 1h horizon") {
     val ev = eventsDf(Seq(
       (0L, "2024-01-01 00:00:00", 1L, "click", 1.0),
-      (1L, "2024-01-01 00:00:04", 1L, "click", 1.0), // dup: 4s after prior click
-      (2L, "2024-01-01 00:00:06", 1L, "click", 1.0), // dup: 2s after event 1
-      (3L, "2024-01-01 00:00:20", 1L, "click", 1.0), // kept: 14s gap
-      (4L, "2024-01-01 00:00:01", 1L, "view", 1.0),  // other type — own chain
-      (5L, "2024-01-01 00:00:03", 2L, "click", 1.0), // other user — own chain
-      (6L, "2024-01-01 00:00:05", 2L, "click", 1.0))) // dup: 2s
+      (1L, "2024-01-01 00:40:00", 1L, "click", 1.0), // dup: 40min after prior
+      (2L, "2024-01-01 01:20:00", 1L, "click", 1.0), // dup: 40min after event 1
+      (3L, "2024-01-01 04:00:00", 1L, "click", 1.0), // kept: 2h40m gap
+      (4L, "2024-01-01 00:30:00", 1L, "view", 1.0),  // other type — own chain
+      (5L, "2024-01-01 00:10:00", 2L, "click", 1.0), // other user — own chain
+      (6L, "2024-01-01 00:50:00", 2L, "click", 1.0))) // dup: 40min
     val got = ExtensionQueries.eventDedupOf(ev).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got === Array(("click", 6L, 3L), ("view", 1L, 0L)))
@@ -98,6 +98,66 @@ class Round9bSpec extends SparkSpec {
     assert(lf.forall(f => f > 0.4 && f < 1.6), lf.toSeq.toString)
   }
 
+  test("sessionConcurrency counts overlap inclusively and clips at midnight") {
+    val ev = eventsDf(Seq(
+      // user 1: one session 23:50 → 00:10 next day (spans midnight)
+      (0L, "2024-01-01 23:50:00", 1L, "view", 1.0),
+      (1L, "2024-01-02 00:10:00", 1L, "view", 1.0),
+      // user 2: session exactly overlapping midnight-day-1 portion
+      (2L, "2024-01-01 23:55:00", 2L, "view", 1.0),
+      // user 3: separate afternoon session on day 1
+      (3L, "2024-01-01 12:00:00", 3L, "view", 1.0)))
+    val got = ExtensionQueries.sessionConcurrencyOf(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // day 1: three segments (u1 clip, u2, u3), peak 2 (u1+u2 at 23:55)
+    // day 2: only u1's clipped tail → one segment, peak 1
+    assert(got === Array(
+      ("2024-01-01", 3L, 2L),
+      ("2024-01-02", 1L, 1L)))
+  }
+
+  test("sessionConcurrency counts a same-instant end+start as concurrent") {
+    val ev = eventsDf(Seq(
+      // u1 session is the single instant 10:00:00; u2 starts exactly then
+      (0L, "2024-01-01 09:40:00", 1L, "view", 1.0),
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:00:00", 2L, "view", 1.0)))
+    val got = ExtensionQueries.sessionConcurrencyOf(ev).head()
+    assert(got.getLong(2) === 2L)
+  }
+
+  test("skewDiagnose ranks hottest keys and derives the salt factor") {
+    val s = spark
+    import s.implicits._
+    // key 7 carries 12 rows; keys 1..4 carry 2 each → n=20, keys=5
+    // avg = 4, skew = 12/4 = 3.0 → salt 3
+    val li = (Seq.fill(12)(7) ++ (1 to 4).flatMap(k => Seq(k, k)))
+      .map(_.toLong).toDF("l_suppkey")
+    val rows = ExtensionQueries.skewDiagnoseOf(li).collect()
+    assert(rows.length === 5)
+    val top = rows.head
+    assert(top.getLong(1) === 7L && top.getLong(2) === 12L)
+    assert(top.getDouble(6) === 3.0)  // skew_factor
+    assert(top.getLong(7) === 3L)     // recommended_salt
+    // remaining ranks tie on count → ordered by key
+    assert(rows.drop(1).map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("sortedNeighborhood finds in-block near-dups and verifies exact Jaccard") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " x"),                      // near-dup of 1, same block
+      (3L, "zzz completely different text about spark shuffles and joins"),
+      (4L, "zzz completely different text about spark shuffles and joins ok"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.sortedNeighborhoodOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
@@ -106,8 +166,15 @@ class Round9bSpec extends SparkSpec {
       ExtensionQueries.eventDedup(spark, sfDir).collect().toSeq)
     assert(ExtensionQueries.goldenRecordOf(ev).collect().toSeq ===
       ExtensionQueries.goldenRecord(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.sessionConcurrencyOf(ev).collect().toSeq ===
+      ExtensionQueries.sessionConcurrency(spark, sfDir).collect().toSeq)
     val docs = Tables(spark, sfDir, "documents").repartition(7)
     assert(TextQueries.shardManifestOf(docs).collect().toSeq ===
       TextQueries.shardManifest(spark, sfDir).collect().toSeq)
+    assert(TextQueries.sortedNeighborhoodOf(docs).collect().toSeq ===
+      TextQueries.sortedNeighborhood(spark, sfDir).collect().toSeq)
+    val li = Tables(spark, sfDir, "lineitem").repartition(7)
+    assert(ExtensionQueries.skewDiagnoseOf(li).collect().toSeq ===
+      ExtensionQueries.skewDiagnose(spark, sfDir).collect().toSeq)
   }
 }

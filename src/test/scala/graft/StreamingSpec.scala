@@ -1039,4 +1039,33 @@ class StreamingSpec extends SparkSpec {
       assert(recount == batch)
     } finally q.stop()
   }
+
+  test("streaming event-dedup verdicts aggregate to the batch dup counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)] // (event_id, user, type, tus)
+    val q = StreamJobs.eventDedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("edup").outputMode("append").start()
+    try {
+      val evs = Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tus")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(e => (e._4, e._1)) // time-ordered arrival contract
+      evs.grouped((evs.length + 2) / 3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("edup")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.queries.ExtensionQueries.eventDedup(spark, sfDir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch.nonEmpty && batch.values.map(_._2).sum > 0,
+        "fixture must exercise actual dups")
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
