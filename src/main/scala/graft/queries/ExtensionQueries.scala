@@ -4256,4 +4256,118 @@ object ExtensionQueries {
        |FROM ranked CROSS JOIN stats
        |WHERE heat_rank <= $SkewTopK
        |ORDER BY heat_rank""".stripMargin
+
+  private val JseMod = 4294967296L      // 2^32
+  private val JseMul = 2654435761L      // Knuth multiplicative hash
+  private val JseFrac = 8L              // sample keys with h(k) < 2^32/8
+
+  /** Sketch-based join-cardinality estimation — the cost-model input a
+    * query optimizer needs BEFORE running a 100 TB join: hash-sample
+    * the key domain (every key with h(k) in the bottom 1/[[JseFrac]]
+    * of hash space — a coordinated sample, so BOTH sides keep exactly
+    * the same keys), count per-key rows on the sampled keys only, and
+    * scale Σ aₖ·bₖ by [[JseFrac]]. The audit shape of [[TextQueries
+    * .lshRecall]]: the exact Σ aₖ·bₖ over all keys rides along so the
+    * estimate's relative error is part of the oracle-checked output —
+    * at production scale only the sampled branch runs (the filter
+    * reaches the scan, so 7/8 of both inputs is never read past the
+    * key column). Pure-integer hashing and counts — engine-identical
+    * by construction. */
+  def joinSizeEst(spark: SparkSession, dir: String): DataFrame =
+    joinSizeEstOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def joinSizeEstOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val a = orders.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ac"))
+    val b = lineitem.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("bc"))
+    val joined = a.join(b, Seq("k"))
+      .withColumn("h", pmod(col("k") * JseMul, lit(JseMod)))
+    joined.agg(
+      sum(col("ac") * col("bc")).as("exact_rows"),
+      (sum(when(col("h") < JseMod / JseFrac, col("ac") * col("bc"))
+        .otherwise(0L)) * JseFrac).as("est_rows"),
+      sum(when(col("h") < JseMod / JseFrac, 1L).otherwise(0L)).as("sampled_keys"),
+      count(lit(1)).as("join_keys"))
+      .select(col("exact_rows"), col("est_rows"), col("sampled_keys"),
+        col("join_keys"),
+        Det.rnd(abs(col("est_rows") - col("exact_rows")).cast("double") /
+          col("exact_rows").cast("double"), 4).as("rel_err"))
+  }
+
+  val joinSizeEstSql: String =
+    s"""WITH a AS (SELECT o_orderkey AS k, count(*) AS ac FROM orders GROUP BY 1),
+       |b AS (SELECT l_orderkey AS k, count(*) AS bc FROM lineitem GROUP BY 1),
+       |j AS (SELECT a.k, ac, bc, (a.k * $JseMul) % $JseMod AS h
+       |      FROM a JOIN b USING (k)),
+       |agg AS (
+       |  SELECT CAST(sum(ac * bc) AS BIGINT) AS exact_rows,
+       |         CAST(sum(CASE WHEN h < ${JseMod / JseFrac} THEN ac * bc ELSE 0 END)
+       |              * $JseFrac AS BIGINT) AS est_rows,
+       |         CAST(sum(CASE WHEN h < ${JseMod / JseFrac} THEN 1 ELSE 0 END) AS BIGINT) AS sampled_keys,
+       |         count(*) AS join_keys
+       |  FROM j)
+       |SELECT exact_rows, est_rows, sampled_keys, join_keys,
+       |       ${Det.rndSql("CAST(abs(est_rows - exact_rows) AS DOUBLE) / CAST(exact_rows AS DOUBLE)", 4)} AS rel_err
+       |FROM agg""".stripMargin
+
+  /** Customer-lifetime-value cohort matrix: customers cohorted by
+    * first-order YEAR, revenue accumulated by cohort age — the
+    * (cohort × age) triangle every growth dashboard reads, with the
+    * per-customer LTV curve (cumulative cohort revenue over the
+    * cohort's full population, not just the still-active slice).
+    * Exact integer cents throughout; the cumulative sum runs in cents
+    * inside an age-ordered window partitioned by cohort (≤ 7 rows per
+    * partition — year-vocabulary-bounded). */
+  def ltvCohort(spark: SparkSession, dir: String): DataFrame =
+    ltvCohortOf(Tables(spark, dir, "orders"))
+
+  private[graft] def ltvCohortOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders.select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+      Det.cents(col("o_totalprice")).as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("yr").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val per = o.join(first, Seq("o_custkey"))
+      .withColumn("age", col("yr") - col("cohort"))
+      .groupBy("cohort", "age")
+      .agg(countDistinct("o_custkey").as("n_active"),
+        sum("cents").as("rev_cents"))
+    val byAge = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_cents", sum("rev_cents").over(byAge))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort").cast("long").as("cohort"),
+        col("age").cast("long").as("age"), col("n_active"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        (col("cum_cents").cast("double") / 100.0).as("cum_revenue"),
+        Det.rnd(col("cum_cents").cast("double") /
+          (col("cohort_size").cast("double") * 100.0), 4).as("ltv_per_customer"))
+      .orderBy("cohort", "age")
+  }
+
+  val ltvCohortSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, year(o_orderdate) AS yr,
+       |         ${Det.centsSql("o_totalprice")} AS cents
+       |  FROM orders),
+       |first_o AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY 1),
+       |sizes AS (SELECT cohort, count(*) AS cohort_size FROM first_o GROUP BY 1),
+       |per AS (
+       |  SELECT cohort, yr - cohort AS age,
+       |         count(DISTINCT o.o_custkey) AS n_active,
+       |         CAST(sum(cents) AS BIGINT) AS rev_cents
+       |  FROM o JOIN first_o USING (o_custkey)
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT cohort, age, n_active, rev_cents,
+       |         CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+       |  FROM per)
+       |SELECT CAST(cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age,
+       |       n_active,
+       |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       |       CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+       |       ${Det.rndSql("CAST(cum_cents AS DOUBLE) / (CAST(cohort_size AS DOUBLE) * 100.0)", 4)} AS ltv_per_customer
+       |FROM cum JOIN sizes USING (cohort)
+       |ORDER BY cohort, age""".stripMargin
 }

@@ -2065,4 +2065,138 @@ object SimilarityQueries {
        |WHERE em.vec_id % $LpHideMod = 0
        |ORDER BY em.vec_id""".stripMargin
   }
+
+  private val KmK = 8 // clusters; seeds are the first KmK corpus vectors
+
+  /** Seeded spherical k-means, TWO Lloyd iterations unrolled — the
+    * fitted-model path [[annIvf]] runs via `ml.clustering.KMeans`,
+    * re-expressed as pure relational algebra so the DuckDB oracle
+    * replays the ENTIRE fit end to end (the [[annIvfSeeded]] /
+    * [[pageRank]] unrolled-CTE pattern): assignment is an argmax of
+    * dot/||c|| over a broadcast centroid relation in COO form
+    * (vec_id, dim, value — the [[pcaPower]] layout, so the corpus
+    * never materializes a k×dim×n intermediate wider than the
+    * exploded join), and the update step is a per-(cell, dim) mean
+    * FENCED to 6 decimals on both engines — the pcaPower determinism
+    * fence, which pins the iteration-2 assignments to identical
+    * centroids regardless of each engine's summation order.
+    *
+    * At 100 TB: centroids are k×64 rows (broadcast); each iteration is
+    * one narrow scan + one groupBy — the textbook distributed Lloyd
+    * schedule, no driver-side loop state beyond the unroll count.
+    * Emits per cell: final membership count, mean within-cluster
+    * cosine (the inertia analog), and the centroid's iteration-1→2
+    * cosine shift (convergence telemetry). */
+  def kmeansSeeded(spark: SparkSession, dir: String): DataFrame =
+    kmeansSeededOf(Tables(spark, dir, "embeddings"))
+
+  /** The corpus in COO form (vec_id, dim index i, double value v). */
+  private[graft] def kmCoo(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v0")))
+      .select(col("vec_id"), col("i"), col("v0").cast("double").as("v"))
+
+  /** One Lloyd scoring pass: every (member, centroid) cosine-rank
+    * score dot/||c|| with its per-member rank (rn=1 is the
+    * assignment; rn=2 feeds the margin audit in Round9bSpec). */
+  private[graft] def kmScored(e: DataFrame, cent: DataFrame): DataFrame = {
+    val cn = cent.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cell"))
+    e.join(broadcast(cent), Seq("i"))
+      .groupBy("vec_id", "cell").agg(sum(col("v") * col("cv")).as("dot"))
+      .join(broadcast(cn), Seq("cell"))
+      .withColumn("score", col("dot") / col("cn"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** One Lloyd half-step: nearest centroid by cosine (dot/||c||; the
+    * member norm is constant within the argmax). */
+  private[graft] def kmAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    kmScored(e, cent).filter(col("rn") === 1).select("vec_id", "cell")
+
+  /** Update step: per-(cell, dim) mean, 6-dp-fenced on both engines. */
+  private[graft] def kmUpdate(e: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(e, Seq("vec_id"))
+      .groupBy("cell", "i").agg(graft.functions.Det.rnd(avg("v"), 6).as("cv"))
+
+  /** Seed centroids: the first [[KmK]] corpus vectors, COO form. */
+  private[graft] def kmSeeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cell"), col("i"), col("v").as("cv"))
+
+  private[graft] def kmeansSeededOf(emb: DataFrame): DataFrame = {
+    val e = kmCoo(emb)
+    val norms = e.groupBy("vec_id")
+      .agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+    val c0 = kmSeeds(e)
+    val c1 = kmUpdate(e, kmAssign(e, c0))
+    val a2 = kmAssign(e, c1)
+    val c2 = kmUpdate(e, a2)
+
+    val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
+    val within = a2.join(e, Seq("vec_id"))
+      .join(broadcast(c2), Seq("cell", "i"))
+      .groupBy("vec_id", "cell").agg(sum(col("v") * col("cv")).as("dot"))
+      .join(broadcast(cn2), Seq("cell")).join(norms, Seq("vec_id"))
+      .select(col("cell"),
+        (col("dot") / (col("cn2") * col("nv"))).as("mcos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.Det.rnd(avg("mcos"), 6).as("within_cos"))
+    val shift = c1.select(col("cell"), col("i"), col("cv").as("p"))
+      .join(c2.select(col("cell"), col("i"), col("cv").as("q")), Seq("cell", "i"))
+      .groupBy("cell")
+      .agg(graft.functions.Det.rnd(
+        sum(col("p") * col("q")) /
+          (sqrt(sum(col("p") * col("p"))) * sqrt(sum(col("q") * col("q")))), 6)
+        .as("shift_cos"))
+    within.join(shift, Seq("cell")).orderBy("cell")
+  }
+
+  val kmeansSeededSql: String = {
+    import graft.functions.Det
+    def assignCte(cent: String, name: String): String =
+      s"""${name}_d AS (
+         |  SELECT e.vec_id, c.cell, sum(e.v * c.cv) AS dot
+         |  FROM e JOIN $cent c ON e.i = c.i GROUP BY 1, 2),
+         |${name}_cn AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM $cent GROUP BY 1),
+         |$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |             ORDER BY d.dot / n.cn DESC, d.cell) AS rn
+         |    FROM ${name}_d d JOIN ${name}_cn n USING (cell)) WHERE rn = 1)""".stripMargin
+    def updateCte(assigned: String, name: String): String =
+      s"""$name AS (
+         |  SELECT a.cell, e.i, ${Det.rndSql("avg(e.v)", 6)} AS cv
+         |  FROM $assigned a JOIN e USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM e GROUP BY 1),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, i, v AS cv
+       |       FROM e WHERE vec_id < $KmK),
+       |${assignCte("c0", "a1")},
+       |${updateCte("a1", "c1")},
+       |${assignCte("c1", "a2")},
+       |${updateCte("a2", "c2")},
+       |cn2 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn2 FROM c2 GROUP BY 1),
+       |wd AS (
+       |  SELECT a.vec_id, a.cell, sum(e.v * c.cv) AS dot
+       |  FROM a2 a JOIN e USING (vec_id) JOIN c2 c ON c.cell = a.cell AND c.i = e.i
+       |  GROUP BY 1, 2),
+       |within AS (
+       |  SELECT w.cell, count(*) AS n_members,
+       |         ${Det.rndSql("avg(w.dot / (n.cn2 * m.nv))", 6)} AS within_cos
+       |  FROM wd w JOIN cn2 n USING (cell) JOIN norms m USING (vec_id)
+       |  GROUP BY 1),
+       |shift AS (
+       |  SELECT p.cell,
+       |         ${Det.rndSql("sum(p.cv * q.cv) / (sqrt(sum(p.cv * p.cv)) * sqrt(sum(q.cv * q.cv)))", 6)} AS shift_cos
+       |  FROM c1 p JOIN c2 q ON p.cell = q.cell AND p.i = q.i
+       |  GROUP BY 1)
+       |SELECT cell, n_members, within_cos, shift_cos
+       |FROM within JOIN shift USING (cell)
+       |ORDER BY cell""".stripMargin
+  }
 }

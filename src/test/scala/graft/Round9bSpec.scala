@@ -158,6 +158,63 @@ class Round9bSpec extends SparkSpec {
     assert(got.toSet === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("kmeansSeeded partitions the corpus, converges, and its argmax margins clear float noise") {
+    import graft.queries.SimilarityQueries
+    val emb = Tables(spark, sfDir, "embeddings")
+    val rows = SimilarityQueries.kmeansSeededOf(emb).collect()
+    assert(rows.map(_.getLong(1)).sum === emb.count())
+    assert(rows.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getDouble(3) > 0.85), "iteration-1→2 centroids should barely move")
+    // the float-tie audit behind the oracle's exactness claim: in BOTH
+    // assignment rounds, every vector's best-vs-second-best score gap
+    // must dwarf cross-engine summation noise (~1e-13)
+    val e = SimilarityQueries.kmCoo(emb)
+    val c0 = SimilarityQueries.kmSeeds(e)
+    val c1 = SimilarityQueries.kmUpdate(e, SimilarityQueries.kmAssign(e, c0))
+    for (cent <- Seq(c0, c1)) {
+      val m = SimilarityQueries.kmScored(e, cent)
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg((F.max("score") - F.min("score")).as("m"))
+        .agg(F.min("m")).head().getDouble(0)
+      assert(m > 1e-9, s"assignment margin $m within float-noise range")
+    }
+  }
+
+  test("joinSizeEst: coordinated sample replays exactly and the estimate is unbiased-by-construction") {
+    val s = spark
+    import s.implicits._
+    // keys 1..40, a-side 1 row each, b-side k rows each
+    val orders = (1L to 40L).toDF("o_orderkey")
+    val lineitem = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("l_orderkey")
+    val r = ExtensionQueries.joinSizeEstOf(orders, lineitem).head()
+    val exact = (1L to 40L).sum
+    val sampled = (1L to 40L).filter(k => (k * 2654435761L) % 4294967296L < 4294967296L / 8)
+    assert(r.getLong(0) === exact)
+    assert(r.getLong(1) === sampled.sum * 8)
+    assert(r.getLong(2) === sampled.size.toLong)
+    assert(r.getLong(3) === 40L)
+  }
+
+  test("ltvCohort builds the cohort-age triangle with exact cents") {
+    val s = spark
+    import s.implicits._
+    val orders = Seq(
+      (1L, "1995-03-01 00:00:00", 10.00),
+      (1L, "1996-07-01 00:00:00", 5.50),   // cohort 1995, age 1
+      (2L, "1996-01-01 00:00:00", 2.25),   // cohort 1996, age 0
+      (3L, "1995-06-01 00:00:00", 1.00))   // cohort 1995, age 0
+      .map { case (c, d, p) => (c, ts(d), p) }
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = ExtensionQueries.ltvCohortOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got === Array(
+      (1995L, 0L, 2L, 11.0, 11.0, 5.5),   // 2 customers in cohort 1995
+      (1995L, 1L, 1L, 5.5, 16.5, 8.25),
+      (1996L, 0L, 1L, 2.25, 2.25, 2.25)))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
@@ -176,5 +233,13 @@ class Round9bSpec extends SparkSpec {
     val li = Tables(spark, sfDir, "lineitem").repartition(7)
     assert(ExtensionQueries.skewDiagnoseOf(li).collect().toSeq ===
       ExtensionQueries.skewDiagnose(spark, sfDir).collect().toSeq)
+    val emb = Tables(spark, sfDir, "embeddings").repartition(7)
+    assert(graft.queries.SimilarityQueries.kmeansSeededOf(emb).collect().toSeq ===
+      graft.queries.SimilarityQueries.kmeansSeeded(spark, sfDir).collect().toSeq)
+    val ord = Tables(spark, sfDir, "orders").repartition(7)
+    assert(ExtensionQueries.ltvCohortOf(ord).collect().toSeq ===
+      ExtensionQueries.ltvCohort(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.joinSizeEstOf(ord, li).collect().toSeq ===
+      ExtensionQueries.joinSizeEst(spark, sfDir).collect().toSeq)
   }
 }
