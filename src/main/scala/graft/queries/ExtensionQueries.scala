@@ -4370,4 +4370,91 @@ object ExtensionQueries {
        |       ${Det.rndSql("CAST(cum_cents AS DOUBLE) / (CAST(cohort_size AS DOUBLE) * 100.0)", 4)} AS ltv_per_customer
        |FROM cum JOIN sizes USING (cohort)
        |ORDER BY cohort, age""".stripMargin
+
+  private val AsofNearTolUs = 86400L * 1000000L // ±24 h — sized so the gate corpus (~11 h same-user type gaps) exercises both match directions
+
+  /** NEAREST-in-time as-of join with tolerance — the bidirectional
+    * sibling of [[asofJoin]] (which is strictly backward): every
+    * `error` event matches its temporally closest same-user `click`
+    * within ±[[AsofNearTolUs]] (a free parameter; 24 h here so the
+    * gate corpus exercises both directions), the sensor-fusion alignment rule
+    * (nearest wins; an exact-distance tie prefers the earlier match,
+    * the pandas `merge_asof(direction='nearest')` contract).
+    *
+    * Shape: ONE interleaved pass — both types sort together inside a
+    * per-user window, a carried last-click (backward) and
+    * first-coming-click (forward) pair of IGNORE-NULLS window reads
+    * give each error its two candidates without any join, and a
+    * 3-way CASE picks the nearer in-tolerance side. No range join, no
+    * per-pair fan-out, one shuffle on user_id — at 100 TB this is the
+    * sort-merge-free as-of everyone actually wants. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame =
+    asofNearestOf(Tables(spark, dir, "events"))
+
+  private[graft] def asofNearestOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val back = w.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    val clickTus = when(col("event_type") === "click", col("tus"))
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val cands = e
+      .withColumn("b_tus", last(clickTus, ignoreNulls = true).over(back))
+      .withColumn("b_id", last(clickId, ignoreNulls = true).over(back))
+      .withColumn("f_tus", first(clickTus, ignoreNulls = true).over(fwd))
+      .withColumn("f_id", first(clickId, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "error")
+      .withColumn("bd", col("tus") - col("b_tus"))
+      .withColumn("fd", col("f_tus") - col("tus"))
+    val bOk = col("bd").isNotNull && col("bd") <= AsofNearTolUs
+    val fOk = col("fd").isNotNull && col("fd") <= AsofNearTolUs
+    cands.select(
+      col("event_id"), col("user_id"),
+      when(bOk && (!fOk || col("bd") <= col("fd")), col("b_id"))
+        .when(fOk, col("f_id")).as("matched_click"),
+      when(bOk && (!fOk || col("bd") <= col("fd")), -col("bd"))
+        .when(fOk, col("fd")).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  val asofNearestSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+       |  FROM events WHERE event_type IN ('click', 'error')),
+       |c AS (
+       |  SELECT event_id, user_id, event_type, tus,
+       |         last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_tus,
+       |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_id,
+       |         first_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_tus,
+       |         first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_id
+       |  FROM e),
+       |d AS (
+       |  SELECT event_id, user_id, b_id, f_id,
+       |         tus - b_tus AS bd, f_tus - tus AS fd
+       |  FROM c WHERE event_type = 'error')
+       |SELECT event_id, user_id,
+       |       CASE WHEN bd IS NOT NULL AND bd <= $AsofNearTolUs
+       |                 AND (fd IS NULL OR fd > $AsofNearTolUs OR bd <= fd)
+       |            THEN b_id
+       |            WHEN fd IS NOT NULL AND fd <= $AsofNearTolUs THEN f_id
+       |       END AS matched_click,
+       |       CASE WHEN bd IS NOT NULL AND bd <= $AsofNearTolUs
+       |                 AND (fd IS NULL OR fd > $AsofNearTolUs OR bd <= fd)
+       |            THEN -bd
+       |            WHEN fd IS NOT NULL AND fd <= $AsofNearTolUs THEN fd
+       |       END AS delta_us
+       |FROM d
+       |ORDER BY event_id""".stripMargin
 }

@@ -2153,7 +2153,13 @@ object SimilarityQueries {
     within.join(shift, Seq("cell")).orderBy("cell")
   }
 
-  val kmeansSeededSql: String = {
+  /** The unrolled 2-iteration fit as a reusable CTE prefix (corpus COO
+    * `e`, per-vec `norms`, seeds `c0`, assignments `a1`/`a2`, fenced
+    * centroids `c1`/`c2`, final norms `cn2`) — shared by every oracle
+    * that reads the fitted clustering ([[kmeansSeededSql]],
+    * [[clusterKeywordsSql]], [[embeddingOutliersSql]]) so the fit
+    * replay can never fork between them. */
+  private[graft] val kmFitCtes: String = {
     import graft.functions.Det
     def assignCte(cent: String, name: String): String =
       s"""${name}_d AS (
@@ -2170,9 +2176,9 @@ object SimilarityQueries {
       s"""$name AS (
          |  SELECT a.cell, e.i, ${Det.rndSql("avg(e.v)", 6)} AS cv
          |  FROM $assigned a JOIN e USING (vec_id) GROUP BY 1, 2)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-       |                  unnest(range(len(embedding))) AS i
-       |           FROM embeddings),
+    s"""e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM e GROUP BY 1),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, i, v AS cv
        |       FROM e WHERE vec_id < $KmK),
@@ -2180,7 +2186,12 @@ object SimilarityQueries {
        |${updateCte("a1", "c1")},
        |${assignCte("c1", "a2")},
        |${updateCte("a2", "c2")},
-       |cn2 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn2 FROM c2 GROUP BY 1),
+       |cn2 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn2 FROM c2 GROUP BY 1)""".stripMargin
+  }
+
+  val kmeansSeededSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
        |wd AS (
        |  SELECT a.vec_id, a.cell, sum(e.v * c.cv) AS dot
        |  FROM a2 a JOIN e USING (vec_id) JOIN c2 c ON c.cell = a.cell AND c.i = e.i
@@ -2198,5 +2209,109 @@ object SimilarityQueries {
        |SELECT cell, n_members, within_cos, shift_cos
        |FROM within JOIN shift USING (cell)
        |ORDER BY cell""".stripMargin
+  }
+
+  private val CkTopTerms = 3
+
+  /** Cluster labeling by c-TF-IDF (the BERTopic keyword rule, smoothed):
+    * for each fitted k-means cell, the [[CkTopTerms]] tokens whose
+    * cluster term frequency × ln(1 + K/df) — df counted over CLUSTERS
+    * containing the term, not documents — best separate the cell from
+    * the rest of the corpus. The missing human-readable half of every
+    * clustering pipeline: [[kmeansSeeded]] says *that* documents
+    * group; this says *what* each group is about. Embeddings align
+    * with documents by id (`vec_id = doc_id`, the [[rrfFuse]]
+    * contract). Token counts are exact integers; only the final score
+    * rounds (6 dp). The term×cell matrix is vocabulary-bounded. */
+  def clusterKeywords(spark: SparkSession, dir: String): DataFrame =
+    clusterKeywordsOf(Tables(spark, dir, "embeddings"),
+      Tables(spark, dir, "documents"))
+
+  private[graft] def clusterKeywordsOf(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val e = kmCoo(emb)
+    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val toks = docs
+      .select(col("doc_id").as("vec_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = a2.join(toks, Seq("vec_id"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("cell").orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score", graft.functions.Det.rnd(
+        col("tf").cast("double") *
+          log(lit(1.0) + lit(KmK.toDouble) / col("df").cast("double")), 6))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= CkTopTerms)
+      .select(col("cell"), col("term_rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("cell", "term_rank")
+  }
+
+  val clusterKeywordsSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |toks AS (
+       |  SELECT doc_id AS vec_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT a.cell, t.term, count(*) AS tf
+       |  FROM a2 a JOIN toks t USING (vec_id) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT cell, term, tf, df,
+       |         ${Det.rndSql(s"CAST(tf AS DOUBLE) * ln(1.0 + $KmK.0 / CAST(df AS DOUBLE))", 6)} AS score
+       |  FROM tf JOIN df USING (term))
+       |SELECT cell, term_rank, term, tf, df, score FROM (
+       |  SELECT cell, term, tf, df, score,
+       |         CAST(row_number() OVER (PARTITION BY cell
+       |           ORDER BY score DESC, term) AS INTEGER) AS term_rank
+       |  FROM scored)
+       |WHERE term_rank <= $CkTopTerms
+       |ORDER BY cell, term_rank""".stripMargin
+  }
+
+  private val EoBottomK = 10
+
+  /** Embedding-outlier audit: the [[EoBottomK]] corpus members whose
+    * cosine to their OWN fitted centroid is lowest — the "misfiled
+    * documents" review queue a curation pipeline drains after every
+    * clustering pass (points no cell explains are label-noise / OOD
+    * candidates). Global bottom-k over a per-member scalar: a TakeOrdered
+    * finish, never a global sort of the corpus. Member cosines round
+    * (6 dp) BEFORE the cut with vec_id as total tiebreak, so the cut
+    * line cannot sit inside float noise. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliersOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def embeddingOutliersOf(emb: DataFrame): DataFrame = {
+    val e = kmCoo(emb)
+    val norms = e.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val c2 = kmUpdate(e, a2)
+    val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
+    a2.join(e, Seq("vec_id"))
+      .join(broadcast(c2), Seq("cell", "i"))
+      .groupBy("vec_id", "cell").agg(sum(col("v") * col("cv")).as("dot"))
+      .join(broadcast(cn2), Seq("cell")).join(norms, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.Det.rnd(col("dot") / (col("cn2") * col("nv")), 6)
+          .as("centroid_cos"))
+      .orderBy(asc("centroid_cos"), asc("vec_id"))
+      .limit(EoBottomK)
+  }
+
+  val embeddingOutliersSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |wd AS (
+       |  SELECT a.vec_id, a.cell, sum(e.v * c.cv) AS dot
+       |  FROM a2 a JOIN e USING (vec_id) JOIN c2 c ON c.cell = a.cell AND c.i = e.i
+       |  GROUP BY 1, 2)
+       |SELECT w.vec_id, w.cell,
+       |       ${Det.rndSql("w.dot / (n.cn2 * m.nv)", 6)} AS centroid_cos
+       |FROM wd w JOIN cn2 n USING (cell) JOIN norms m USING (vec_id)
+       |ORDER BY centroid_cos, vec_id
+       |LIMIT $EoBottomK""".stripMargin
   }
 }

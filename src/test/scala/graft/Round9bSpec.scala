@@ -215,6 +215,53 @@ class Round9bSpec extends SparkSpec {
       (1996L, 0L, 1L, 2.25, 2.25, 2.25)))
   }
 
+  test("asofNearest picks the closer side, prefers backward on ties, nulls outside tolerance") {
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (1L, "2024-01-01 11:00:00", 1L, "error", 1.0), // back 1h vs fwd 2h → back
+      (2L, "2024-01-01 13:00:00", 1L, "click", 1.0),
+      (3L, "2024-01-01 14:00:00", 1L, "error", 1.0), // back 1h vs fwd 1h tie → back
+      (4L, "2024-01-01 15:00:00", 1L, "click", 1.0),
+      (5L, "2024-01-05 12:00:00", 2L, "error", 1.0), // >24h from any click → null
+      (6L, "2024-01-01 00:00:00", 2L, "click", 1.0),
+      (7L, "2024-01-02 08:00:00", 3L, "error", 1.0), // only a FORWARD click in range
+      (8L, "2024-01-02 09:30:00", 3L, "click", 1.0)))
+    val got = ExtensionQueries.asofNearestOf(ev).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got === Array(
+      (1L, Some(0L), Some(-3600000000L)),
+      (3L, Some(2L), Some(-3600000000L)), // tie → backward, negative delta
+      (5L, None, None),
+      (7L, Some(8L), Some(5400000000L))))
+  }
+
+  test("clusterKeywords emits 3 descending-scored terms per fitted cell") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.clusterKeywords(spark, sfDir).collect()
+    assert(rows.length === 24) // 8 cells × 3 terms
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+      val scores = byRank.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embeddingOutliers returns the ascending bottom-10 centroid cosines") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.embeddingOutliers(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    // every reported outlier scores BELOW its cell's mean cohesion
+    val within = SimilarityQueries.kmeansSeeded(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    rows.foreach(r => assert(r.getDouble(2) < within(r.getInt(1))))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
@@ -241,5 +288,11 @@ class Round9bSpec extends SparkSpec {
       ExtensionQueries.ltvCohort(spark, sfDir).collect().toSeq)
     assert(ExtensionQueries.joinSizeEstOf(ord, li).collect().toSeq ===
       ExtensionQueries.joinSizeEst(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.asofNearestOf(ev).collect().toSeq ===
+      ExtensionQueries.asofNearest(spark, sfDir).collect().toSeq)
+    assert(graft.queries.SimilarityQueries.clusterKeywordsOf(emb, docs).collect().toSeq ===
+      graft.queries.SimilarityQueries.clusterKeywords(spark, sfDir).collect().toSeq)
+    assert(graft.queries.SimilarityQueries.embeddingOutliersOf(emb).collect().toSeq ===
+      graft.queries.SimilarityQueries.embeddingOutliers(spark, sfDir).collect().toSeq)
   }
 }
