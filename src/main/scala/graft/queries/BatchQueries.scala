@@ -657,4 +657,71 @@ object BatchQueries {
       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** TPC-H Q1 (pricing summary report), faithful aggregate set: per
+    * (returnflag, linestatus) over shipped-by-cutoff rows — sum qty,
+    * base price, discounted price extprice·(1−disc), charge
+    * extprice·(1−disc)·(1+tax), the three averages, and the row
+    * count. The canonical one-pass scan-heavy aggregation every
+    * engine benchmarks first.
+    *
+    * Exactness: all money flows as integer ten-thousandth/millionth
+    * units — cents × (100−disc%) and cents × (100−disc%) × (100+tax%)
+    * — summed as DECIMAL(38,0) (a 100 TB row count would overflow
+    * BIGINT's 9.2e18 at the charge width: 1e11/row × 1e10 rows), then
+    * ONE half-up division at output. Averages divide two exact
+    * integers. The date cutoff prunes at the scan. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    pricingSummaryOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def pricingSummaryOf(lineitem: DataFrame): DataFrame = {
+    val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val disc = expr("100 - CAST(round(l_discount * 100) AS BIGINT)")
+    val tax = expr("100 + CAST(round(l_tax * 100) AS BIGINT)")
+    lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents).as("base_cents"),
+        sum((cents * disc).cast("decimal(38,0)")).as("disc_units"),
+        sum((cents * disc * tax).cast("decimal(38,0)")).as("charge_units"),
+        sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("disc_pct_sum"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("base_cents").cast("double") / 100.0).as("sum_base_price"),
+        ((col("disc_units") + 50).cast("decimal(38,0)") / 100).cast("long")
+          .cast("double").divide(100.0).as("sum_disc_price"),
+        ((col("charge_units") + 5000).cast("decimal(38,0)") / 10000).cast("long")
+          .cast("double").divide(100.0).as("sum_charge"),
+        Det.rnd(col("sum_qty").cast("double") / col("count_order"), 6).as("avg_qty"),
+        Det.rnd(col("base_cents").cast("double") / (col("count_order") * 100), 6)
+          .as("avg_price"),
+        Det.rnd(col("disc_pct_sum").cast("double") / (col("count_order") * 100), 6)
+          .as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |       CAST(sum(c) AS DOUBLE) / 100.0 AS sum_base_price,
+       |       CAST(CAST((sum(CAST(c * d AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+       |         / 100.0 AS sum_disc_price,
+       |       CAST(CAST((sum(CAST(c * d * t AS HUGEINT)) + 5000) // 10000 AS BIGINT) AS DOUBLE)
+       |         / 100.0 AS sum_charge,
+       |       ${Det.rndSql("CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)", 6)} AS avg_qty,
+       |       ${Det.rndSql("CAST(sum(c) AS DOUBLE) / (count(*) * 100)", 6)} AS avg_price,
+       |       ${Det.rndSql("CAST(sum(dp) AS DOUBLE) / (count(*) * 100)", 6)} AS avg_disc,
+       |       count(*) AS count_order
+       |FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+       |             100 - CAST(round(l_discount * 100) AS BIGINT) AS d,
+       |             100 + CAST(round(l_tax * 100) AS BIGINT) AS t,
+       |             CAST(round(l_discount * 100) AS BIGINT) AS dp
+       |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 }

@@ -4457,4 +4457,72 @@ object ExtensionQueries {
        |       END AS delta_us
        |FROM d
        |ORDER BY event_id""".stripMargin
+
+  /** Clamped (non-negative) running balance — the Lindley recursion
+    * W_t = max(0, W_{t−1} + δ_t) that inventory positions, prepaid
+    * credit balances, and queue depths all follow. The recursion looks
+    * sequential (each step depends on the clamped previous), but the
+    * reflected-walk identity W_t = C_t − min(0, min_{j≤t} C_j) (with
+    * C the plain cumulative sum) turns it into TWO stock window
+    * functions — cumsum + running min — so it parallelizes like any
+    * windowed aggregate and replays identically in SQL. The same
+    * closed-form trick as [[cusumChangepoint]]'s max(0,·) fold, on
+    * the opposite rail. Credits are purchase values, everything else
+    * debits its value; exact integer cents end to end; windows are
+    * user-partitioned. */
+  def reflectedBalance(spark: SparkSession, dir: String): DataFrame =
+    reflectedBalanceOf(Tables(spark, dir, "events"))
+
+  private[graft] def reflectedBalanceOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val deltas = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      when(col("event_type") === "purchase", Det.cents(col("value")))
+        .otherwise(-Det.cents(col("value"))).as("delta"))
+    deltas
+      .withColumn("cum", sum("delta").over(w))
+      .withColumn("runmin", least(lit(0L), min("cum").over(w)))
+      .withColumn("bal", col("cum") - col("runmin"))
+      .withColumn("rn", row_number().over(wRank))
+      .groupBy("user_id")
+      .agg(
+        (max(when(col("rn") === 1, col("bal"))).cast("double") / 100.0)
+          .as("final_balance"),
+        (max("bal").cast("double") / 100.0).as("max_balance"),
+        sum(when(col("bal") === 0L, 1L).otherwise(0L)).as("n_floored"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val reflectedBalanceSql: String =
+    s"""WITH d AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |         CASE WHEN event_type = 'purchase' THEN ${Det.centsSql("value")}
+       |              ELSE -${Det.centsSql("value")} END AS delta
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, event_id, tus,
+       |         sum(delta) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       |b AS (
+       |  SELECT user_id, event_id, tus, cum,
+       |         least(0, min(cum) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS runmin
+       |  FROM c),
+       |r AS (
+       |  SELECT user_id, cum - runmin AS bal,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY tus DESC, event_id DESC) AS rn
+       |  FROM b)
+       |SELECT user_id,
+       |       CAST(max(CASE WHEN rn = 1 THEN bal END) AS DOUBLE) / 100.0 AS final_balance,
+       |       CAST(max(bal) AS DOUBLE) / 100.0 AS max_balance,
+       |       CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floored,
+       |       count(*) AS n_events
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 }

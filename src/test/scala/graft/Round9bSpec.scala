@@ -262,6 +262,58 @@ class Round9bSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) < within(r.getInt(1))))
   }
 
+  test("pricingSummary: disc-price and charge round exactly in integer space") {
+    val s = spark
+    import s.implicits._
+    val li = Seq(
+      ("A", "F", 3.0, 10.00, 0.05, 0.08, ts("1999-01-01 00:00:00")),
+      ("A", "F", 2.0, 20.00, 0.10, 0.00, ts("1999-06-01 00:00:00")),
+      ("A", "F", 1.0, 1.00, 0.00, 0.05, ts("2001-01-01 00:00:00"))) // past cutoff
+      .toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val r = graft.queries.BatchQueries.pricingSummaryOf(li).head()
+    assert(r.getLong(2) === 5L)                 // sum_qty
+    assert(r.getDouble(3) === 30.0)             // base
+    assert(r.getDouble(4) === 27.50)            // disc price 9.50 + 18.00
+    assert(r.getDouble(5) === 28.26)            // charge 10.26 + 18.00 (tax 8% / 0%)
+    assert(r.getDouble(8) === 0.075)            // avg_disc
+    assert(r.getLong(9) === 2L)
+  }
+
+  test("reflectedBalance equals the sequential Lindley recursion") {
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "purchase", 5.00),  // W=5.00
+      (1L, "2024-01-01 01:00:00", 1L, "click", 7.00),     // clamp → 0
+      (2L, "2024-01-01 02:00:00", 1L, "purchase", 3.00),  // W=3.00
+      (3L, "2024-01-01 03:00:00", 1L, "view", 1.00),      // W=2.00
+      (4L, "2024-01-01 04:00:00", 1L, "error", 4.00),     // clamp → 0
+      (5L, "2024-01-01 05:00:00", 1L, "purchase", 1.50))) // W=1.50
+    val r = ExtensionQueries.reflectedBalanceOf(ev).head()
+    assert(r.getDouble(1) === 1.50)  // final
+    assert(r.getDouble(2) === 5.00)  // max
+    assert(r.getLong(3) === 2L)      // floored twice
+    assert(r.getLong(4) === 6L)
+    // property: identity equals a plain-Scala sequential replay on the
+    // gate corpus (per-user final balances)
+    val events = Tables(spark, sfDir, "events")
+      .select(F.col("user_id"), F.expr("unix_micros(ts)").as("tus"),
+        F.col("event_id"), F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2),
+        r2.getString(3), r2.getLong(4)))
+    val expected = events.groupBy(_._1).map { case (u, rows) =>
+      var w = 0L
+      rows.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, ty, c) =>
+        w = math.max(0L, w + (if (ty == "purchase") c else -c))
+      }
+      u -> w.toDouble / 100.0
+    }
+    val got = ExtensionQueries.reflectedBalance(spark, sfDir).collect()
+      .map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
@@ -294,5 +346,10 @@ class Round9bSpec extends SparkSpec {
       graft.queries.SimilarityQueries.clusterKeywords(spark, sfDir).collect().toSeq)
     assert(graft.queries.SimilarityQueries.embeddingOutliersOf(emb).collect().toSeq ===
       graft.queries.SimilarityQueries.embeddingOutliers(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.reflectedBalanceOf(ev).collect().toSeq ===
+      ExtensionQueries.reflectedBalance(spark, sfDir).collect().toSeq)
+    val li2 = Tables(spark, sfDir, "lineitem").repartition(7)
+    assert(graft.queries.BatchQueries.pricingSummaryOf(li2).collect().toSeq ===
+      graft.queries.BatchQueries.pricingSummary(spark, sfDir).collect().toSeq)
   }
 }
