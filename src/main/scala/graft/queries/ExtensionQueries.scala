@@ -4525,4 +4525,175 @@ object ExtensionQueries {
        |       CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floored,
        |       count(*) AS n_events
        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Wald–Wolfowitz runs test on the daily purchase totals — is the
+    * above/below-median sign sequence random, or does the series
+    * trend/mean-shift (few long runs) or oscillate (many short
+    * runs)? The monitoring sibling of [[cusumChangepoint]] that needs
+    * NO tuned threshold. Shares [[cusumDailyFrom]]'s mergeable daily
+    * histogram; the median is a rank pick from the day-bounded
+    * relation (≤ span days — vocabulary-sized windows), median ties
+    * drop per the standard test, and R/n₁/n₂ are exact integers with
+    * one fixed double expression for z. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOf(Tables(spark, dir, "events"))
+
+  private[graft] def runsTestOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = cusumDailyFrom(events)
+    val wRank = Window.orderBy("x", "day")
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = daily
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("r") === expr("(n + 1) div 2"))
+      .select(col("x").as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .withColumn("s", when(col("x") > col("med"), 1L).otherwise(0L))
+    val wDay = Window.orderBy("day")
+    signs
+      .withColumn("flip",
+        when(lag("s", 1).over(wDay).isNull ||
+          lag("s", 1).over(wDay) =!= col("s"), 1L).otherwise(0L))
+      .agg(
+        sum("s").as("n1"),
+        sum(lit(1L) - col("s")).as("n2"),
+        sum("flip").as("runs"))
+      .select(col("n1"), col("n2"), col("runs"),
+        Det.rnd(expr("1.0 + 2.0 * n1 * n2 / (n1 + n2)"), 6).as("mu"),
+        Det.rnd(expr(
+          "(runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / " +
+            "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / " +
+            "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"), 6).as("z"))
+  }
+
+  val runsTestSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |med AS (
+       |  SELECT x AS med FROM (
+       |    SELECT x, row_number() OVER (ORDER BY x, day) AS r,
+       |           count(*) OVER () AS n
+       |    FROM daily) WHERE r = (n + 1) // 2),
+       |signs AS (
+       |  SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+       |  FROM daily CROSS JOIN med WHERE x <> med),
+       |flips AS (
+       |  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+       |                   OR lag(s) OVER (ORDER BY day) <> s
+       |                 THEN 1 ELSE 0 END AS flip
+       |  FROM signs),
+       |agg AS (
+       |  SELECT CAST(sum(s) AS BIGINT) AS n1, CAST(sum(1 - s) AS BIGINT) AS n2,
+       |         CAST(sum(flip) AS BIGINT) AS runs
+       |  FROM flips)
+       |SELECT n1, n2, runs,
+       |       ${Det.rndSql("1.0 + 2.0 * n1 * n2 / (n1 + n2)", 6)} AS mu,
+       |       ${Det.rndSql("(runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))", 6)} AS z
+       |FROM agg""".stripMargin
+
+  /** Benford first-digit audit of order totals — the fraud/data-entry
+    * screen: observed first-significant-digit shares vs Benford's
+    * log₁₀(1+1/d), with the χ² distance carried on every row. The
+    * digit is extracted from the INTEGER CENTS' decimal string (first
+    * char of the BIGINT — no float log10 anywhere near a power-of-ten
+    * boundary), so both engines bucket identically; one groupBy on a
+    * 9-value key. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditOf(Tables(spark, dir, "orders"))
+
+  private[graft] def benfordAuditOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.orderBy("digit")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(substring(Det.cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(wAll))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .withColumn("benford", expr("log10(1.0 + 1.0 / digit)"))
+      .withColumn("chi2", sum(
+        expr("pow(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 2)" +
+          " / log10(1.0 + 1.0 / digit)")).over(wAll) * col("total"))
+      .select(col("digit"), col("n"),
+        Det.rnd(col("share"), 6).as("share"),
+        Det.rnd(col("benford"), 6).as("benford"),
+        Det.rnd(col("chi2"), 4).as("chi2"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(${Det.centsSql("o_totalprice")} AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders),
+       |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |t AS (
+       |  SELECT digit, n, sum(n) OVER () AS total,
+       |         log10(1.0 + 1.0 / digit) AS benford
+       |  FROM cnt),
+       |c AS (
+       |  SELECT digit, n, total, benford,
+       |         sum(pow(CAST(n AS DOUBLE) / total - benford, 2) / benford)
+       |           OVER () * total AS chi2
+       |  FROM t)
+       |SELECT digit, n,
+       |       ${Det.rndSql("CAST(n AS DOUBLE) / total", 6)} AS share,
+       |       ${Det.rndSql("benford", 6)} AS benford,
+       |       ${Det.rndSql("chi2", 4)} AS chi2
+       |FROM c ORDER BY digit""".stripMargin
+
+  private val AcfLags = Seq(1, 7)
+
+  /** Sample autocorrelation of the daily purchase totals at calendar
+    * lags 1 and 7 — the day-over-day persistence and weekly
+    * seasonality scalars ([[seasonality]] reads the weekday MEANS;
+    * ACF reads whether deviations repeat). Pairs come from a
+    * calendar-lag self-join of the day histogram (missing days pair
+    * with nothing — the standard gapped estimator), all sums are
+    * exact BIGINTs off integer cents, and r collapses to ONE fixed
+    * double expression per lag. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorrOf(Tables(spark, dir, "events"))
+
+  private[graft] def autocorrOf(events: DataFrame): DataFrame = {
+    val daily = cusumDailyFrom(events)
+    val stats = daily.agg(
+      count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x") * col("x")).as("q"))
+    AcfLags.map { lag =>
+      val a = daily.select(col("day").as("d1"), col("x").as("xh"))
+      val b = daily.select(col("day").as("d2"), col("x").as("xt"))
+      a.join(b, date_add(col("d1"), lag) === col("d2"))
+        .agg(count(lit(1)).as("c"), sum(col("xh") * col("xt")).as("np"),
+          sum("xh").as("sh"), sum("xt").as("st"))
+        .crossJoin(broadcast(stats))
+        .select(lit(lag).as("lag"), col("c").as("n_pairs"),
+          Det.rnd(expr(
+            "(np - (CAST(s AS DOUBLE) / n) * (sh + st) + c * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / " +
+              "(q - CAST(s AS DOUBLE) * s / n)"), 6).as("acf"))
+    }.reduce(_ unionAll _).orderBy("lag")
+  }
+
+  val autocorrSql: String = {
+    val one = (lag: Int) =>
+      s"""SELECT $lag AS lag, c AS n_pairs,
+         |       ${Det.rndSql("(np - (CAST(s AS DOUBLE) / n) * (sh + st) + c * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / (q - CAST(s AS DOUBLE) * s / n)", 6)} AS acf
+         |FROM (SELECT count(*) AS c, CAST(sum(a.x * b.x) AS BIGINT) AS np,
+         |             CAST(sum(a.x) AS BIGINT) AS sh, CAST(sum(b.x) AS BIGINT) AS st
+         |      FROM daily a JOIN daily b ON a.day + $lag = b.day)
+         |CROSS JOIN stats""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |         CAST(sum(x * x) AS BIGINT) AS q
+       |  FROM daily)
+       |${AcfLags.map(one).mkString("\nUNION ALL\n")}
+       |ORDER BY lag""".stripMargin
+  }
 }

@@ -3631,7 +3631,12 @@ object TextQueries {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("p1"), col("s"))
     val b = sh.select(col("doc_id").as("p2"), col("s"))
-    a.join(b, Seq("s")).join(pairs, Seq("p1", "p2"), "left_semi")
+    // pair-FIRST join order (matching the oracle's CTE shape): fan out
+    // each candidate pair by p1's shingles, then equi-join on (p2, s) —
+    // O(pairs × doc_len), where shingle-first (a ⋈ b on s) would pay
+    // the quadratic all-candidate-pairs intersection inside dup
+    // families (measured 27s → 1.4s at sf0.1)
+    pairs.join(a, Seq("p1")).join(b, Seq("p2", "s"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("p1"), col("sz").as("sz1")), "p1")
       .join(sizes.select(col("doc_id").as("p2"), col("sz").as("sz2")), "p2")

@@ -549,6 +549,65 @@ object StreamJobs {
       .toDF("event_id", "user_id", "event_type", "is_dup")
   }
 
+  /** Per-user running profile state for [[goldenRecordStream]]:
+    * everything [[graft.queries.ExtensionQueries.goldenRecord]] emits,
+    * maintainable in O(1) per event (the per-type counts map is
+    * bounded by the event-type vocabulary). */
+  case class ProfileAcc(firstUs: Long, lastUs: Long, n: Long, cents: Long,
+                        typeCounts: Map[String, Long],
+                        lastType: String, lastValue: Double, lastId: Long)
+
+  /** Streaming twin of the batch golden-record survivorship merge —
+    * the MDM profile as a LIVE materialized view: one
+    * `mapGroupsWithState` row per user carrying first/last seen,
+    * exact cents total, the per-type count map (vocabulary-bounded),
+    * and the latest-wins fields under the same (tus, event_id) order
+    * as the batch rank. Each batch emits the user's UPDATED profile
+    * (Update output mode — the upsert feed a serving store tails).
+    * Input: (event_id, user_id, event_type, value, tus). Output
+    * column set identical to the batch operator. */
+  def goldenRecordStream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, String, Double, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._2)
+      .mapGroupsWithState[ProfileAcc,
+        (Long, Long, Long, Long, Double, String, String, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Double, Long)],
+         state: GroupState[ProfileAcc]) =>
+          var acc = state.getOption.orNull
+          rows.toArray.sortBy(r => (r._5, r._1)).foreach {
+            case (id, _, typ, v, tus) =>
+              val cents = math.round(v * 100)
+              acc =
+                if (acc == null)
+                  ProfileAcc(tus, tus, 1L, cents, Map(typ -> 1L), typ, v, id)
+                else {
+                  val later = tus > acc.lastUs ||
+                    (tus == acc.lastUs && id > acc.lastId)
+                  ProfileAcc(
+                    math.min(acc.firstUs, tus), math.max(acc.lastUs, tus),
+                    acc.n + 1, acc.cents + cents,
+                    acc.typeCounts.updated(typ,
+                      acc.typeCounts.getOrElse(typ, 0L) + 1L),
+                    if (later) typ else acc.lastType,
+                    if (later) v else acc.lastValue,
+                    if (later) id else acc.lastId)
+                }
+          }
+          state.update(acc)
+          // modal type, lexicographic tie-break — the batch rank rule
+          val top = acc.typeCounts.toSeq.minBy { case (t, c) => (-c, t) }._1
+          (user, acc.firstUs, acc.lastUs, acc.n,
+            acc.cents.toDouble / 100.0, top, acc.lastType, acc.lastValue)
+      }
+      .toDF("user_id", "first_us", "last_us", "n_events", "total_value",
+        "top_type", "last_type", "last_value")
+  }
+
   /** Streaming twin of the batch SCD type-2 build
     * ([[graft.queries.ExtensionQueries.scd2]]): per-user event-type
     * runs are maintained as ONE open run in state (state string,

@@ -314,6 +314,64 @@ class Round9bSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("runsTest counts runs exactly on an alternating and a blocked fixture") {
+    // 6 purchase days: values H L H L H L around median → alternating
+    // signs, 6 runs (ties at the exact median are dropped; use distinct
+    // values so none tie)
+    val ev = eventsDf((0 until 6).map { d =>
+      val v = if (d % 2 == 0) 90.0 + d else 10.0 + d
+      (d.toLong, f"2024-01-${d + 1}%02d 00:00:00", 1L, "purchase", v)
+    })
+    val r = ExtensionQueries.runsTestOf(ev).head()
+    // median is a present value and drops: 5 signs remain → runs = 5
+    assert(r.getLong(0) + r.getLong(1) === 5L)
+    assert(r.getLong(2) === 5L)
+    val blocked = eventsDf((0 until 6).map { d =>
+      val v = if (d < 3) 90.0 + d else 10.0 + d // HHH LLL → 2 runs
+      (d.toLong, f"2024-02-${d + 1}%02d 00:00:00", 1L, "purchase", v)
+    })
+    assert(ExtensionQueries.runsTestOf(blocked).head().getLong(2) === 2L)
+  }
+
+  test("benfordAudit buckets by decimal string and shares sum to one") {
+    val s = spark
+    import s.implicits._
+    val orders = Seq(1.23, 12.30, 199.99, 2.50, 25.00, 3.99, 0.95, 0.09)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+    val rows = ExtensionQueries.benfordAuditOf(orders).collect()
+    // digits of cents strings: 123→1, 1230→1, 19999→1, 250→2, 2500→2,
+    // 399→3, 95→9, 9→9
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit === Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 9 -> 2L))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    val chi2 = rows.map(_.getDouble(4)).distinct
+    assert(chi2.length === 1 && chi2.head > 0.0)
+  }
+
+  test("autocorr matches a plain-Scala gapped ACF replay on the gate corpus") {
+    val daily = Tables(spark, sfDir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .groupBy(F.to_date(F.col("ts")).as("day"))
+      .agg(F.sum(F.round(F.col("value") * 100).cast("long")).as("x"))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    def acf(lag: Int): Double = {
+      val n = daily.size
+      val s = daily.values.map(BigInt(_)).sum
+      val m = s.toDouble / n
+      val q = daily.values.map(v => v.toDouble * v).sum
+      val pairs = daily.collect {
+        case (d, xh) if daily.contains(d + lag) => (xh.toDouble, daily(d + lag).toDouble)
+      }
+      val num = pairs.map { case (a, b) => (a - m) * (b - m) }.sum
+      num / (q - s.toDouble * s.toDouble / n)
+    }
+    val got = ExtensionQueries.autocorr(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(1) - acf(1)) < 1e-5, s"${got(1)} vs ${acf(1)}")
+    assert(math.abs(got(7) - acf(7)) < 1e-5)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===

@@ -1068,4 +1068,38 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"streamed=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming golden-record profiles converge to the batch survivorship merge") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val q = StreamJobs.goldenRecordStream(mem.toDS())
+      .writeStream.format("memory").queryName("grs").outputMode("update").start()
+    try {
+      val evs = Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("unix_micros(ts)").as("tus")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getLong(4)))
+        .sortBy(e => (e._5, e._1))
+      evs.grouped((evs.length + 2) / 3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      // update mode: the latest emitted row per user is the live profile
+      // (n_events strictly grows, so max-by-n picks the final state)
+      val streamed = spark.table("grs").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getString(5), r.getString(6), r.getDouble(7))))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._3) }
+      val batch = graft.queries.ExtensionQueries.goldenRecord(spark, sfDir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getString(5), r.getString(6), r.getDouble(7))))
+        .toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"first diff: ${streamed.find(kv => batch.get(kv._1) != Some(kv._2))}")
+    } finally q.stop()
+  }
 }
