@@ -3679,4 +3679,169 @@ object TextQueries {
        |      FROM inter JOIN sz s1 ON s1.doc_id = p1 JOIN sz s2 ON s2.doc_id = p2)
        |WHERE j >= 0.5
        |ORDER BY d1, d2""".stripMargin
+
+  private val RagBudget = 1024L
+
+  /** RAG context packing — the serving step between retrieval and the
+    * prompt: take the BM25 shortlist in score order and admit whole
+    * documents while the running token total stays within the
+    * [[RagBudget]]-token context window (greedy prefix — the rule
+    * every production RAG stack runs; a skipped-over smaller doc is a
+    * RANKING decision, not the packer's). Reuses [[bm25Of]] verbatim
+    * for the shortlist (and [[bm25RankedCte]] on the oracle side, so
+    * retrieval can never fork from the thing it feeds); the cumulative
+    * window runs over the ≤ 50-row shortlist. */
+  def ragPack(spark: SparkSession, dir: String): DataFrame =
+    ragPackOf(Tables(spark, dir, "documents"))
+
+  private[graft] def ragPackOf(docs: DataFrame): DataFrame = {
+    val ranked = bm25Of(docs)
+    val ntok = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(ntok, Seq("doc_id"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= RagBudget)
+      .select(col("rank"), col("doc_id"), col("score"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("rank")
+  }
+
+  val ragPackSql: String =
+    s"""WITH $bm25RankedCte,
+       |rnk AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |           AS rank, doc_id, score
+       |  FROM ranked),
+       |ntok AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT rank, doc_id, score, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY rank
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM rnk JOIN ntok USING (doc_id))
+       |SELECT rank, doc_id, score, n_tokens, cum_tokens
+       |FROM cum WHERE cum_tokens <= $RagBudget
+       |ORDER BY rank""".stripMargin
+
+  /** The hashed-logit score as oracle SQL — the [[rocAuc]] oracle's
+    * scored shape, shared by [[kappaAgreementSql]] and
+    * [[lengthBiasSql]] so the classifier replay cannot fork. */
+  private[graft] val hashedLogitCte: String =
+    """toks AS (SELECT doc_id,
+      |                unnest(string_split_regex(trim(text), '\s+')) AS t
+      |         FROM documents),
+      |w AS (SELECT doc_id,
+      |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+      |               % 4294967296 % 17 - 8 AS w
+      |      FROM toks),
+      |logits AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit
+      |           FROM w GROUP BY doc_id)""".stripMargin
+
+  /** Inter-judge agreement (Cohen's κ) between two deterministic
+    * labelers — the quality classifier's sign and the is-English
+    * label: the calibration every LLM-judge pipeline runs before
+    * trusting either signal (raw percent agreement flatters judges
+    * that both say "yes" a lot; κ subtracts chance agreement). The
+    * 2×2 table is exact integers from one pass; κ is one fixed double
+    * expression. */
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame =
+    kappaAgreementOf(Tables(spark, dir, "documents"))
+
+  private[graft] def kappaAgreementOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    docs
+      .select(
+        (expr("hashed_logit(text)").getItem(0) >= 0).cast("long").as("a"),
+        (col("lang") === "en").cast("long").as("b"))
+      .agg(
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        Det.rnd(expr(
+          "CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)"), 6).as("po"),
+        Det.rnd(expr(
+          "(CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / " +
+            "(CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00))"), 6)
+          .as("pe"),
+        Det.rnd(expr(
+          "(CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) - " +
+            "(CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / " +
+            "(CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00))) / " +
+            "(1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / " +
+            "(CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)))"), 6)
+          .as("kappa"))
+  }
+
+  val kappaAgreementSql: String =
+    s"""WITH $hashedLogitCte,
+       |cells AS (
+       |  SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+       |         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+       |         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+       |         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM (SELECT CASE WHEN l.logit >= 0 THEN 1 ELSE 0 END AS a,
+       |               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS b
+       |        FROM logits l JOIN documents d USING (doc_id)))
+       |SELECT n11, n10, n01, n00,
+       |       ${Det.rndSql("CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)", 6)} AS po,
+       |       ${Det.rndSql("(CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00))", 6)} AS pe,
+       |       ${Det.rndSql("(CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00))) / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)))", 6)} AS kappa
+       |FROM cells""".stripMargin
+
+  /** Length-bias audit of the quality classifier: per source (and in
+    * one ALL row), the Pearson correlation between document token
+    * count and the classifier's exact-integer logit — the standard
+    * "is the judge just rewarding long documents" check. All five
+    * power sums are exact BIGINTs; r is one fixed double expression
+    * per group. */
+  def lengthBias(spark: SparkSession, dir: String): DataFrame =
+    lengthBiasOf(Tables(spark, dir, "documents"))
+
+  private[graft] def lengthBiasOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val base = docs.select(col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("x"),
+      expr("hashed_logit(text)").getItem(0).as("y"))
+    val grouped = base.groupBy("source")
+    val overall = base.withColumn("source", lit("ALL")).groupBy("source")
+    def finish(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      g.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+        .select(col("source"), col("n").as("n_docs"),
+          Det.rnd(expr(
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+              "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+              "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"), 6)
+            .as("length_corr"),
+          Det.rnd(expr("CAST(sx AS DOUBLE) / n"), 2).as("mean_tokens"),
+          Det.rnd(expr("CAST(sy AS DOUBLE) / n"), 4).as("mean_logit"))
+    finish(grouped).unionAll(finish(overall)).orderBy("source")
+  }
+
+  val lengthBiasSql: String = {
+    val finish = (src: String, from: String) =>
+      s"""SELECT $src AS source, count(*) AS n_docs,
+         |       ${Det.rndSql("(CAST(count(*) AS DOUBLE) * sum(x * y) - CAST(sum(x) AS DOUBLE) * sum(y)) / sqrt((CAST(count(*) AS DOUBLE) * sum(x * x) - CAST(sum(x) AS DOUBLE) * sum(x)) * (CAST(count(*) AS DOUBLE) * sum(y * y) - CAST(sum(y) AS DOUBLE) * sum(y)))", 6)} AS length_corr,
+         |       ${Det.rndSql("CAST(sum(x) AS DOUBLE) / count(*)", 2)} AS mean_tokens,
+         |       ${Det.rndSql("CAST(sum(y) AS DOUBLE) / count(*)", 4)} AS mean_logit
+         |FROM $from""".stripMargin
+    s"""WITH $hashedLogitCte,
+       |base AS (
+       |  SELECT d.source,
+       |         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS x,
+       |         l.logit AS y
+       |  FROM documents d JOIN logits l USING (doc_id))
+       |${finish("source", "base GROUP BY source")}
+       |UNION ALL
+       |${finish("'ALL'", "base")}
+       |ORDER BY source""".stripMargin
+  }
 }

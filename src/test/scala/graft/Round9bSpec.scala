@@ -372,6 +372,55 @@ class Round9bSpec extends SparkSpec {
     assert(math.abs(got(7) - acf(7)) < 1e-5)
   }
 
+  test("ragPack admits a contiguous score-order prefix within the token budget") {
+    val rows = TextQueries.ragPack(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    assert(rows.last.getLong(4) <= 1024L)
+    // maximality: the NEXT ranked doc must not have fit
+    val nextRank = rows.length + 1
+    val next = TextQueries.bm25(spark, sfDir).collect()
+      .find(_.getInt(0) === nextRank)
+    next.foreach { r =>
+      val ntok = Tables(spark, sfDir, "documents")
+        .filter(F.col("doc_id") === r.getLong(1))
+        .select(F.size(F.split(F.trim(F.col("text")), "\\s+")))
+        .head().getInt(0)
+      assert(rows.last.getLong(4) + ntok > 1024L, "packer stopped early")
+    }
+  }
+
+  test("kappaAgreement: internal consistency of the 2x2 algebra") {
+    val r = TextQueries.kappaAgreement(spark, sfDir).head()
+    val (n11, n10, n01, n00) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val n = (n11 + n10 + n01 + n00).toDouble
+    assert(n === Tables(spark, sfDir, "documents").count().toDouble)
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    assert(math.abs(r.getDouble(4) - po) < 1e-6)
+    assert(math.abs(r.getDouble(5) - pe) < 1e-6)
+    assert(math.abs(r.getDouble(6) - (po - pe) / (1.0 - pe)) < 1e-6)
+  }
+
+  test("lengthBias ALL row matches a plain-Scala Pearson replay") {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = graft.queries.TextQueries.qualityClassifierOf(docs)
+      .join(docs.select(F.col("doc_id"),
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").as("x")), "doc_id")
+      .select("x", "logit").collect()
+      .map(r => (r.getLong(0).toDouble, r.getLong(1).toDouble))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val r = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val all = TextQueries.lengthBias(spark, sfDir).collect()
+      .find(_.getString(0) == "ALL").get
+    assert(all.getLong(1) === pairs.length.toLong)
+    assert(math.abs(all.getDouble(2) - r) < 1e-5, s"${all.getDouble(2)} vs $r")
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
