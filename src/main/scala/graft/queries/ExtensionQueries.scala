@@ -4696,4 +4696,152 @@ object ExtensionQueries {
        |${AcfLags.map(one).mkString("\nUNION ALL\n")}
        |ORDER BY lag""".stripMargin
   }
+
+  /** Per-type inter-arrival tail latency — exact p50/p95/p99/max of the
+    * same-(user, type) gap distribution, the SLO numbers an event
+    * pipeline alarms on ([[watermarkSizing]] reads global disorder;
+    * this reads per-key cadence). Exact rank-pick percentiles: gaps
+    * rank inside type-partitioned windows (each partition one shuffle
+    * key — never a global sort), the pick index is ⌈q·n⌉ in integer
+    * arithmetic, micros end to end. */
+  def tailLatency(spark: SparkSession, dir: String): DataFrame =
+    tailLatencyOf(Tables(spark, dir, "events"))
+
+  private[graft] def tailLatencyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap", col("tus") - lag("tus", 1).over(byKey))
+      .filter(col("gap").isNotNull)
+    val byGap = Window.partitionBy("event_type").orderBy("gap", "user_id", "event_id")
+    val wType = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gaps
+      .withColumn("r", row_number().over(byGap))
+      .withColumn("n", count(lit(1)).over(wType))
+      .filter(col("r") === expr("CAST(ceil(0.50 * n) AS BIGINT)") ||
+        col("r") === expr("CAST(ceil(0.95 * n) AS BIGINT)") ||
+        col("r") === expr("CAST(ceil(0.99 * n) AS BIGINT)") ||
+        col("r") === col("n"))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_gaps"),
+        max(when(col("r") === expr("CAST(ceil(0.50 * n) AS BIGINT)"), col("gap"))).as("p50_us"),
+        max(when(col("r") === expr("CAST(ceil(0.95 * n) AS BIGINT)"), col("gap"))).as("p95_us"),
+        max(when(col("r") === expr("CAST(ceil(0.99 * n) AS BIGINT)"), col("gap"))).as("p99_us"),
+        max(when(col("r") === col("n"), col("gap"))).as("max_us"))
+      .orderBy("event_type")
+  }
+
+  val tailLatencySql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_type, event_id,
+       |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+       |           ORDER BY epoch_us(ts), event_id) AS gap
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, gap,
+       |         row_number() OVER (PARTITION BY event_type
+       |           ORDER BY gap, user_id, event_id) AS r,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM g WHERE gap IS NOT NULL)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       |       CAST(max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT) THEN gap END) AS BIGINT) AS p50_us,
+       |       CAST(max(CASE WHEN r = CAST(ceil(0.95 * n) AS BIGINT) THEN gap END) AS BIGINT) AS p95_us,
+       |       CAST(max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT) THEN gap END) AS BIGINT) AS p99_us,
+       |       CAST(max(CASE WHEN r = n THEN gap END) AS BIGINT) AS max_us
+       |FROM r
+       |WHERE r = CAST(ceil(0.50 * n) AS BIGINT) OR r = CAST(ceil(0.95 * n) AS BIGINT)
+       |   OR r = CAST(ceil(0.99 * n) AS BIGINT) OR r = n
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val PitHorizonUs = 7L * 86400L * 1000000L // 7-day label window
+
+  /** Point-in-time-correct churn feature/label build — the feature-
+    * store contract: every FEATURE reads strictly BEFORE the cutoff
+    * (corpus end − 7 days), the LABEL reads strictly after, and no
+    * column can leak across (the silent bug that inflates offline
+    * AUC). One conditional-aggregation pass per user off the
+    * broadcast scalar cutoff; recency/tenure in exact micros, money
+    * in exact cents. Users with no pre-cutoff history are EXCLUDED
+    * (no feature row exists at serving time either). */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame =
+    pitFeaturesOf(Tables(spark, dir, "events"))
+
+  private[graft] def pitFeaturesOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"), Det.cents(col("value")).as("cents"))
+    val cutoff = e.agg((max("tus") - PitHorizonUs).as("cut"))
+    e.crossJoin(broadcast(cutoff))
+      .groupBy("user_id")
+      .agg(
+        max("cut").as("cut"),
+        sum(when(col("tus") < col("cut"), 1L).otherwise(0L)).as("f_n_events"),
+        sum(when(col("tus") < col("cut") && col("event_type") === "purchase",
+          col("cents")).otherwise(0L)).as("f_cents"),
+        max(when(col("tus") < col("cut"), col("tus"))).as("f_last_us"),
+        min(when(col("tus") < col("cut"), col("tus"))).as("f_first_us"),
+        sum(when(col("tus") >= col("cut"), 1L).otherwise(0L)).as("post_events"))
+      .filter(col("f_n_events") > 0)
+      .select(col("user_id"), col("f_n_events"),
+        (col("f_cents").cast("double") / 100.0).as("f_revenue"),
+        (col("cut") - col("f_last_us")).as("f_recency_us"),
+        (col("f_last_us") - col("f_first_us")).as("f_tenure_us"),
+        when(col("post_events") === 0L, 1).otherwise(0).as("churned"))
+      .orderBy("user_id")
+  }
+
+  val pitFeaturesSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+       |         ${Det.centsSql("value")} AS cents
+       |  FROM events),
+       |cut AS (SELECT max(tus) - $PitHorizonUs AS cut FROM e),
+       |agg AS (
+       |  SELECT user_id, max(cut) AS cut,
+       |         CAST(sum(CASE WHEN tus < cut THEN 1 ELSE 0 END) AS BIGINT) AS f_n_events,
+       |         CAST(sum(CASE WHEN tus < cut AND event_type = 'purchase'
+       |                       THEN cents ELSE 0 END) AS BIGINT) AS f_cents,
+       |         max(CASE WHEN tus < cut THEN tus END) AS f_last_us,
+       |         min(CASE WHEN tus < cut THEN tus END) AS f_first_us,
+       |         CAST(sum(CASE WHEN tus >= cut THEN 1 ELSE 0 END) AS BIGINT) AS post_events
+       |  FROM e CROSS JOIN cut
+       |  GROUP BY user_id)
+       |SELECT user_id, f_n_events,
+       |       CAST(f_cents AS DOUBLE) / 100.0 AS f_revenue,
+       |       cut - f_last_us AS f_recency_us,
+       |       f_last_us - f_first_us AS f_tenure_us,
+       |       CAST(CASE WHEN post_events = 0 THEN 1 ELSE 0 END AS INTEGER) AS churned
+       |FROM agg WHERE f_n_events > 0
+       |ORDER BY user_id""".stripMargin
+
+  /** Hour-of-day × event-type activity heatmap — the load-shape
+    * matrix behind capacity planning and anomaly eyeballing: counts
+    * and within-type shares per (type, UTC hour). One groupBy on a
+    * 5×24-value key; shares are exact integer ratios. */
+  def heatmapHour(spark: SparkSession, dir: String): DataFrame =
+    heatmapHourOf(Tables(spark, dir, "events"))
+
+  private[graft] def heatmapHourOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wType = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_total", sum("n").over(wType))
+      .select(col("event_type"), col("hour"), col("n"),
+        Det.rnd(col("n").cast("double") / col("type_total"), 6).as("share"))
+      .orderBy("event_type", "hour")
+  }
+
+  val heatmapHourSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, hour, n,
+       |       ${Det.rndSql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)", 6)} AS share
+       |FROM c ORDER BY event_type, hour""".stripMargin
 }

@@ -421,6 +421,49 @@ class Round9bSpec extends SparkSpec {
     assert(math.abs(all.getDouble(2) - r) < 1e-5, s"${all.getDouble(2)} vs $r")
   }
 
+  test("tailLatency rank-picks exact percentiles per type") {
+    // user 1 click gaps (minutes): 1,2,3,4 → p50 = ceil(.5*4)=2nd = 2min
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (1L, "2024-01-01 00:01:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:03:00", 1L, "click", 1.0),
+      (3L, "2024-01-01 00:06:00", 1L, "click", 1.0),
+      (4L, "2024-01-01 00:10:00", 1L, "click", 1.0)))
+    val r = ExtensionQueries.tailLatencyOf(ev).head()
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 120000000L)  // p50 = 2 min
+    assert(r.getLong(3) === 240000000L)  // p95 = ceil(3.8)=4th = 4 min
+    assert(r.getLong(4) === 240000000L)  // p99 → 4th
+    assert(r.getLong(5) === 240000000L)  // max
+  }
+
+  test("pitFeatures never leaks across the cutoff and labels churn correctly") {
+    // corpus end 2024-01-20; cutoff = Jan 13
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "purchase", 10.00), // feature side
+      (1L, "2024-01-14 00:00:00", 1L, "purchase", 99.00), // label side only
+      (2L, "2024-01-02 00:00:00", 2L, "view", 1.00),      // churner: nothing after
+      (3L, "2024-01-20 00:00:00", 3L, "click", 1.00),     // no pre-cutoff → excluded
+      (4L, "2024-01-05 00:00:00", 3L, "purchase", 5.00))) // wait: u3 HAS pre-cutoff
+    val rows = ExtensionQueries.pitFeaturesOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(5)))).toMap
+    // u1: 1 pre-cutoff event, $10 (the $99 is label-side), active → churned=0
+    assert(rows(1L) === ((1L, 10.0, 0)))
+    // u2: churned (no post-cutoff)
+    assert(rows(2L) === ((1L, 0.0, 1)))
+    // u3: pre-cutoff purchase + post-cutoff click → active
+    assert(rows(3L) === ((1L, 5.0, 0)))
+  }
+
+  test("heatmapHour shares sum to one per type") {
+    val rows = ExtensionQueries.heatmapHour(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      // each of the ≤24 shares is 6dp-rounded → budget 24 × 5e-7
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1.3e-5)
+      assert(rs.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 23))
+    }
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
