@@ -2114,10 +2114,16 @@ object SimilarityQueries {
   private[graft] def kmAssign(e: DataFrame, cent: DataFrame): DataFrame =
     kmScored(e, cent).filter(col("rn") === 1).select("vec_id", "cell")
 
-  /** Update step: per-(cell, dim) mean, 6-dp-fenced on both engines. */
+  /** Update step: per-(cell, dim) mean, 6-dp-fenced on both engines.
+    * The result is k×64 rows — value-bounded — and every consumer
+    * reads it several times (next assignment, norms, within/shift
+    * stats), so it is executor-pinned: without the pin each reference
+    * re-derives the whole fit chain (measured 134 Exchanges in the
+    * embedding-outliers plan vs 24 pinned). */
   private[graft] def kmUpdate(e: DataFrame, assigned: DataFrame): DataFrame =
     assigned.join(e, Seq("vec_id"))
       .groupBy("cell", "i").agg(graft.functions.Det.rnd(avg("v"), 6).as("cv"))
+      .localCheckpoint()
 
   /** Seed centroids: the first [[KmK]] corpus vectors, COO form. */
   private[graft] def kmSeeds(e: DataFrame): DataFrame =
