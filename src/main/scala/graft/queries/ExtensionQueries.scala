@@ -4844,4 +4844,103 @@ object ExtensionQueries {
        |SELECT event_type, hour, n,
        |       ${Det.rndSql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)", 6)} AS share
        |FROM c ORDER BY event_type, hour""".stripMargin
+
+  /** k-anonymity audit of the customer table under the quasi-identifier
+    * (nation, segment, acctbal coarsened to $500 bands) — the privacy
+    * pre-release gate: how much of the population sits in equivalence
+    * classes smaller than k (re-identifiable) for the standard k
+    * ladder, plus the minimum class size. Runs on the count-of-counts
+    * histogram (class-size vocabulary), so the only full-data pass is
+    * the one quasi-identifier groupBy — the [[giniConcentration]]
+    * technique applied to privacy. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables(spark, dir, "customer"))
+
+  private[graft] def kAnonymityOf(customer: DataFrame): DataFrame = {
+    val classes = customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        // truncating division (DuckDB's integer // truncates toward
+        // zero, NOT floor — verified on -99999 // 50000 = -1); the
+        // double→long cast truncates identically
+        (Det.cents(col("c_acctbal")).cast("double") / 50000.0)
+          .cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    val hist = classes.groupBy("sz").agg(count(lit(1)).as("m"))
+    hist.agg(
+      sum(col("sz") * col("m")).as("n_rows"),
+      sum("m").as("n_classes"),
+      min("sz").as("min_class"),
+      sum(when(col("sz") < 2, col("sz") * col("m")).otherwise(0L)).as("rows_lt_2"),
+      sum(when(col("sz") < 5, col("sz") * col("m")).otherwise(0L)).as("rows_lt_5"),
+      sum(when(col("sz") < 10, col("sz") * col("m")).otherwise(0L)).as("rows_lt_10"))
+      .select(col("n_rows"), col("n_classes"), col("min_class"),
+        col("rows_lt_2"), col("rows_lt_5"), col("rows_lt_10"),
+        Det.rnd(col("rows_lt_5").cast("double") / col("n_rows"), 6)
+          .as("share_lt_5"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH classes AS (
+       |  SELECT c_nationkey, c_mktsegment, ${Det.centsSql("c_acctbal")} // 50000 AS bal_band,
+       |         count(*) AS sz
+       |  FROM customer GROUP BY 1, 2, 3),
+       |hist AS (SELECT sz, count(*) AS m FROM classes GROUP BY 1)
+       |SELECT CAST(sum(sz * m) AS BIGINT) AS n_rows,
+       |       CAST(sum(m) AS BIGINT) AS n_classes,
+       |       CAST(min(sz) AS BIGINT) AS min_class,
+       |       CAST(sum(CASE WHEN sz < 2 THEN sz * m ELSE 0 END) AS BIGINT) AS rows_lt_2,
+       |       CAST(sum(CASE WHEN sz < 5 THEN sz * m ELSE 0 END) AS BIGINT) AS rows_lt_5,
+       |       CAST(sum(CASE WHEN sz < 10 THEN sz * m ELSE 0 END) AS BIGINT) AS rows_lt_10,
+       |       ${Det.rndSql("CAST(sum(CASE WHEN sz < 5 THEN sz * m ELSE 0 END) AS DOUBLE) / sum(sz * m)", 6)} AS share_lt_5
+       |FROM hist""".stripMargin
+
+  /** Order/lineitem money reconciliation — the finance-closing double-
+    * entry audit: per order, the header total vs the line-derived
+    * total Σ extprice·(1−disc)·(1+tax), both as exact integer
+    * ten-thousandth-cent units, with the mismatch census (count,
+    * total and max absolute drift) per order-status. In clean TPC-H
+    * the books balance; on a synthetic feed this measures header/line
+    * drift — either way the audit is the operator. One fact-fact
+    * shuffle on the order key; header side aggregates first so the
+    * join carries one row per order. */
+  def reconciliation(spark: SparkSession, dir: String): DataFrame =
+    reconciliationOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def reconciliationOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem.groupBy(col("l_orderkey").as("okey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))" +
+        " * (100 + CAST(round(l_tax * 100) AS BIGINT))")).as("line_units"))
+    orders
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"),
+        (Det.cents(col("o_totalprice")) * 10000L).as("head_units"))
+      .join(lines, Seq("okey"), "left")
+      .withColumn("diff", abs(coalesce(col("line_units"), lit(0L)) - col("head_units")))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("diff") === 0L, 1L).otherwise(0L)).as("n_balanced"),
+        sum(when(col("line_units").isNull, 1L).otherwise(0L)).as("n_lineless"),
+        (max("diff").cast("double") / 1000000.0).as("max_drift"),
+        (sum("diff").cast("double") / 1000000.0).as("total_drift"))
+      .orderBy("o_orderstatus")
+  }
+
+  val reconciliationSql: String =
+    s"""WITH lines AS (
+       |  SELECT l_orderkey AS okey,
+       |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS line_units
+       |  FROM lineitem GROUP BY 1),
+       |j AS (
+       |  SELECT o_orderstatus, line_units,
+       |         abs(coalesce(line_units, 0) - ${Det.centsSql("o_totalprice")} * 10000) AS diff
+       |  FROM orders LEFT JOIN lines ON o_orderkey = okey)
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |       CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_balanced,
+       |       CAST(sum(CASE WHEN line_units IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lineless,
+       |       CAST(max(diff) AS DOUBLE) / 1000000.0 AS max_drift,
+       |       CAST(sum(diff) AS DOUBLE) / 1000000.0 AS total_drift
+       |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

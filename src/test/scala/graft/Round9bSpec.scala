@@ -464,6 +464,39 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  test("kAnonymity counts re-identifiable rows from the class-size histogram") {
+    val s = spark
+    import s.implicits._
+    // classes: (0,A,0)×1, (0,B,0)×4, (1,A,0)×6 → sizes 1,4,6
+    val cust = (Seq((0, "A")) ++ Seq.fill(4)((0, "B")) ++ Seq.fill(6)((1, "A")))
+      .map { case (n, seg) => (n, seg, 100.0) }
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val r = ExtensionQueries.kAnonymityOf(cust).head()
+    assert(r.getLong(0) === 11L)  // rows
+    assert(r.getLong(1) === 3L)   // classes
+    assert(r.getLong(2) === 1L)   // min class
+    assert(r.getLong(3) === 1L)   // rows in classes < 2
+    assert(r.getLong(4) === 5L)   // rows in classes < 5 (1 + 4)
+    assert(r.getLong(5) === 11L)  // all < 10
+  }
+
+  test("reconciliation balances an exactly-consistent fixture and flags drift") {
+    val s = spark
+    import s.implicits._
+    // order 1: one line 10.00, disc 5%, tax 8% → header 10.26 balances
+    // order 2: header 99.99, line total 50.00 → drift 49.99
+    // order 3: no lines
+    val orders = Seq((1L, "O", 10.26), (2L, "O", 99.99), (3L, "F", 5.00))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lines = Seq((1L, 10.00, 0.05, 0.08), (2L, 50.00, 0.00, 0.00))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val byStatus = ExtensionQueries.reconciliationOf(orders, lines).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(byStatus("O") === ((2L, 1L, 0L, 49.99)))
+    assert(byStatus("F") === ((1L, 0L, 1L, 5.00)))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
