@@ -3741,6 +3741,103 @@ object TextQueries {
       |logits AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit
       |           FROM w GROUP BY doc_id)""".stripMargin
 
+  /** Cramér's V association between document language and source —
+    * the corpus-composition dependence scalar ([[chiSquare]] tests a
+    * different pair; this one monitors whether feeds are language-
+    * specialized, which decides if per-source mixture weights must be
+    * language-aware). Contingency cells, margins and n are exact
+    * integers; χ² and V are fixed double expressions over the
+    * (langs×sources)-bounded cell relation, 4/6dp-fenced. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVOf(Tables(spark, dir, "documents"))
+
+  private[graft] def cramersVOf(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum("o").as("rt"))
+    val cols = cells.groupBy("source").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("lang").as("r"), countDistinct("source").as("c"))
+    // the FULL r×c grid: zero cells contribute (0−e)²/e too — a
+    // diagonal-only table would otherwise score half its χ²
+    rows.crossJoin(cols)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / col("n"))
+      .agg(
+        max("n").as("n_docs"), max("r").as("n_langs"), max("c").as("n_sources"),
+        sum(pow(col("o").cast("double") - col("e"), 2) / col("e")).as("chi2raw"),
+        max(least(col("r"), col("c"))).as("mind"))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        Det.rnd(col("chi2raw"), 4).as("chi2"),
+        Det.rnd(sqrt(col("chi2raw") /
+          (col("n_docs").cast("double") * (col("mind") - 1))), 6).as("cramers_v"))
+  }
+
+  val cramersVSql: String =
+    s"""WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+       |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |               count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+       |        FROM cells),
+       |grid AS (
+       |  SELECT rt.lang, ct.source, rt.rt, ct.ct, coalesce(cells.o, 0) AS o
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source),
+       |agg AS (
+       |  SELECT max(n) AS n_docs, max(r) AS n_langs, max(c) AS n_sources,
+       |         sum(pow(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n, 2)
+       |             / (CAST(rt AS DOUBLE) * ct / n)) AS chi2raw,
+       |         max(least(r, c)) AS mind
+       |  FROM grid CROSS JOIN tot)
+       |SELECT n_docs, n_langs, n_sources,
+       |       ${Det.rndSql("chi2raw", 4)} AS chi2,
+       |       ${Det.rndSql("sqrt(chi2raw / (CAST(n_docs AS DOUBLE) * (mind - 1)))", 6)} AS cramers_v
+       |FROM agg""".stripMargin
+
+  /** Feature-hash collision audit of the classifier's 64-slot token
+    * hash — the honesty check behind [[qualityClassifier]]: over the
+    * corpus's DISTINCT token vocabulary, how loaded is each slot and
+    * what share of terms share theirs with another (aliased weights).
+    * Slot histogram is 64-bounded; the only full pass is the vocab
+    * distinct. */
+  def hashCollisionAudit(spark: SparkSession, dir: String): DataFrame =
+    hashCollisionAuditOf(Tables(spark, dir, "documents"))
+
+  private[graft] def hashCollisionAuditOf(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .distinct()
+    val slots = vocab
+      .select(((length(col("t")) * 31 + ascii(col("t"))) % 64).as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("load"))
+    slots.agg(
+      sum("load").as("vocab"),
+      count(lit(1)).as("n_slots_used"),
+      max("load").as("max_load"),
+      sum(when(col("load") > 1, col("load")).otherwise(0L)).as("collided_terms"))
+      .select(col("vocab"), col("n_slots_used"), col("max_load"),
+        col("collided_terms"),
+        Det.rnd(col("collided_terms").cast("double") / col("vocab"), 6)
+          .as("collision_share"))
+  }
+
+  val hashCollisionAuditSql: String =
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |slots AS (
+       |  SELECT (length(t) * 31 + ascii(t)) % 64 AS slot, count(*) AS ld
+       |  FROM vocab GROUP BY 1)
+       |SELECT CAST(sum(ld) AS BIGINT) AS vocab,
+       |       count(*) AS n_slots_used,
+       |       CAST(max(ld) AS BIGINT) AS max_load,
+       |       CAST(sum(CASE WHEN ld > 1 THEN ld ELSE 0 END) AS BIGINT) AS collided_terms,
+       |       ${Det.rndSql("CAST(sum(CASE WHEN ld > 1 THEN ld ELSE 0 END) AS DOUBLE) / sum(ld)", 6)} AS collision_share
+       |FROM slots""".stripMargin
+
   /** Inter-judge agreement (Cohen's κ) between two deterministic
     * labelers — the quality classifier's sign and the is-English
     * label: the calibration every LLM-judge pipeline runs before
@@ -3793,6 +3890,107 @@ object TextQueries {
        |       ${Det.rndSql("(CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00))", 6)} AS pe,
        |       ${Det.rndSql("(CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00))) / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)))", 6)} AS kappa
        |FROM cells""".stripMargin
+
+  private val MmrShortlist = 20
+  private val MmrPicks = 5
+  private val MmrLambdaPct = 70L // λ = 0.7 in percent (exact integers where possible)
+
+  /** Maximal-Marginal-Relevance diversity re-rank (Carbonell &
+    * Goldstein, SIGIR'98) of the BM25 shortlist: greedily pick
+    * [[MmrPicks]] docs maximizing λ·relevance − (1−λ)·max-similarity-
+    * to-already-picked — the anti-redundancy pass between retrieval
+    * and [[ragPack]] (without it a RAG context fills with five copies
+    * of the best answer). The greedy loop is SEQUENTIAL by nature;
+    * here it unrolls [[MmrPicks]] rounds of relational argmax over
+    * the ≤[[MmrShortlist]]-row shortlist (the [[SimilarityQueries
+    * .pageRank]] unroll pattern), with every pairwise cosine 6dp-
+    * FENCED before any comparison and doc_id the total tie-break, so
+    * both engines pick identical chains. All relations are
+    * shortlist²-bounded — nothing here touches the corpus after the
+    * BM25 stage. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerankOf(Tables(spark, dir, "documents"),
+      Tables(spark, dir, "embeddings"))
+
+  private[graft] def mmrRerankOf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val shortlist = bm25Of(docs).filter(col("rank") <= MmrShortlist)
+      .select(col("doc_id"), col("score").as("rel"))
+      .localCheckpoint() // ≤ 20 rows; feeds sims + every round
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v0")))
+      .select(col("vec_id"), col("i"), col("v0").cast("double").as("v"))
+      .join(shortlist.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val nrm = e.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+    val sims = e.select(col("vec_id").as("a"), col("i"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("i"), col("v").as("vb")), Seq("i"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum(col("va") * col("vb")).as("dot"))
+      .join(nrm.select(col("vec_id").as("a"), col("nv").as("na")), Seq("a"))
+      .join(nrm.select(col("vec_id").as("b"), col("nv").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        Det.rnd(col("dot") / (col("na") * col("nb")), 6).as("sim"))
+      .localCheckpoint() // ≤ 20×20 rows
+    val lam = MmrLambdaPct.toDouble / 100.0
+    // round 1: pure relevance
+    var picked = shortlist
+      .orderBy(desc("rel"), asc("doc_id")).limit(1)
+      .select(col("doc_id"), lit(1).as("pick_rank"), col("rel"),
+        Det.rnd(col("rel") * lam, 6).as("mmr"))
+    for (r <- 2 to MmrPicks) {
+      val sel = picked.select(col("doc_id").as("b"))
+      val maxSim = sims.join(sel, Seq("b"))
+        .groupBy(col("a").as("doc_id")).agg(max("sim").as("msim"))
+      val next = shortlist
+        .join(picked.select(col("doc_id"), lit(1).as("is_sel")), Seq("doc_id"), "left_anti")
+        .join(maxSim, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("rel"),
+          Det.rnd(col("rel") * lam -
+            coalesce(col("msim"), lit(0.0)) * (1.0 - lam), 6).as("mmr"))
+        .orderBy(desc("mmr"), asc("doc_id")).limit(1)
+        .select(col("doc_id"), lit(r).as("pick_rank"), col("rel"), col("mmr"))
+      picked = picked.unionAll(next)
+    }
+    picked.orderBy("pick_rank")
+  }
+
+  val mmrRerankSql: String = {
+    val lam = s"(${MmrLambdaPct}.0 / 100.0)"
+    // sel_r = picks so far; round r argmax over the remaining shortlist
+    def round(r: Int): String = {
+      val prev = (1 until r).map(i => s"SELECT doc_id FROM p$i").mkString(" UNION ALL ")
+      s"""p$r AS (
+         |  SELECT doc_id, $r AS pick_rank, rel, mmr FROM (
+         |    SELECT sl.doc_id, sl.rel,
+         |           ${Det.rndSql(s"sl.rel * $lam - coalesce(ms.msim, 0.0) * (1.0 - $lam)", 6)} AS mmr
+         |    FROM sl
+         |    LEFT JOIN (SELECT a AS doc_id, max(sim) AS msim
+         |               FROM sims WHERE b IN ($prev) GROUP BY a) ms USING (doc_id)
+         |    WHERE sl.doc_id NOT IN ($prev))
+         |  ORDER BY mmr DESC, doc_id LIMIT 1)""".stripMargin
+    }
+    s"""WITH $bm25RankedCte,
+       |rnk AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |           AS rank, doc_id, score
+       |  FROM ranked),
+       |sl AS (SELECT doc_id, score AS rel FROM rnk WHERE rank <= $MmrShortlist),
+       |ee AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |              unnest(range(len(embedding))) AS i
+       |       FROM embeddings WHERE vec_id IN (SELECT doc_id FROM sl)),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM ee GROUP BY 1),
+       |sims AS (
+       |  SELECT x.a, x.b, ${Det.rndSql("x.dot / (na.nv * nb.nv)", 6)} AS sim
+       |  FROM (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+       |        FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |        GROUP BY 1, 2) x
+       |  JOIN nrm na ON na.vec_id = x.a JOIN nrm nb ON nb.vec_id = x.b),
+       |p1 AS (
+       |  SELECT doc_id, 1 AS pick_rank, rel, ${Det.rndSql(s"rel * $lam", 6)} AS mmr
+       |  FROM sl ORDER BY rel DESC, doc_id LIMIT 1),
+       |${(2 to MmrPicks).map(round).mkString(",\n")}
+       |${(1 to MmrPicks).map(i => s"SELECT * FROM p$i").mkString("\nUNION ALL\n")}
+       |ORDER BY pick_rank""".stripMargin
+  }
 
   /** Length-bias audit of the quality classifier: per source (and in
     * one ALL row), the Pearson correlation between document token

@@ -497,6 +497,62 @@ class Round9bSpec extends SparkSpec {
     assert(byStatus("F") === ((1L, 0L, 1L, 5.00)))
   }
 
+  test("mmrRerank matches a plain-Scala greedy MMR replay") {
+    val docs = Tables(spark, sfDir, "documents")
+    val emb = Tables(spark, sfDir, "embeddings")
+    val got = TextQueries.mmrRerankOf(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.map(_._2).toSeq === (1 to 5))
+    assert(got.map(_._1).distinct.length === 5)
+    // independent greedy replay off the same shortlist + fenced sims
+    val sl = TextQueries.bm25(spark, sfDir).collect()
+      .filter(_.getInt(0) <= 20).map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val ids = sl.keySet
+    val vecs = emb.filter(F.col("vec_id").isin(ids.toSeq: _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / d * 1e6 + 0.5) / 1e6
+    }
+    var sel = List.empty[Long]
+    for (_ <- 1 to 5) {
+      val cand = (ids -- sel).toSeq.map { d =>
+        val msim = if (sel.isEmpty) 0.0 else sel.map(s => cos(vecs(d), vecs(s))).max
+        val mmr = math.floor((sl(d) * 0.7 - msim * 0.3) * 1e6 + 0.5) / 1e6
+        (d, mmr)
+      }
+      sel = sel :+ cand.minBy { case (d, m) => (-m, d) }._1
+    }
+    assert(got.map(_._1).toSeq === sel, s"got ${got.toSeq} expected $sel")
+  }
+
+  test("cramersV is 1 on a perfectly dependent table and near 0 on an independent one") {
+    val s = spark
+    import s.implicits._
+    val dep = (Seq.fill(10)(("en", "a")) ++ Seq.fill(10)(("de", "b")))
+      .toDF("lang", "source")
+    val r1 = TextQueries.cramersVOf(dep).head()
+    assert(r1.getDouble(4) === 1.0)
+    val ind = (for { l <- Seq("en", "de"); src <- Seq("a", "b") }
+      yield Seq.fill(5)((l, src))).flatten.toDF("lang", "source")
+    assert(TextQueries.cramersVOf(ind).head().getDouble(4) === 0.0)
+  }
+
+  test("hashCollisionAudit internal consistency") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "hello hello hello")).toDF("doc_id", "text")
+    val r1 = TextQueries.hashCollisionAuditOf(one).head()
+    assert(r1.getLong(0) === 1L && r1.getLong(3) === 0L)
+    val r = TextQueries.hashCollisionAudit(spark, sfDir).head()
+    assert(r.getLong(1) <= 64L)
+    assert(r.getLong(2) >= (r.getLong(0) + 63L) / 64L) // max load ≥ ceil(vocab/64)
+    assert(r.getLong(3) <= r.getLong(0))
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
