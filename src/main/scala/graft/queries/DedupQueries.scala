@@ -594,8 +594,12 @@ object DedupQueries {
 
   /** DuckDB oracle: same closure as [[dedupKeepSql]]; docs appearing
     * in the closure are exactly the members of ≥2-doc components. */
-  val dedupClustersFullSql: String =
-    s"""WITH RECURSIVE sh AS (
+  /** The verified-pair transitive-closure CTE prefix (`sh`, `sz`,
+    * `inter`, `pairs`, `e`, `tc`, `canon`) — shared by
+    * [[dedupClustersFullSql]] and [[clusterDiameterSql]] so the
+    * cluster replay cannot fork between the clustering and its audit. */
+  private[graft] val clusterCtes: String =
+    s"""sh AS (
        |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
        |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
        |        FROM documents)),
@@ -612,10 +616,75 @@ object DedupQueries {
        |  SELECT d1 AS a, d2 AS b FROM e
        |  UNION
        |  SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1 WHERE tc.a <> e.d2
-       |)
-       |SELECT doc, root, doc = root AS is_canonical FROM (
-       |  SELECT a AS doc, least(a, min(b)) AS root FROM tc GROUP BY a)
+       |),
+       |canon AS (SELECT a AS doc, least(a, min(b)) AS root FROM tc GROUP BY a)""".stripMargin
+
+  val dedupClustersFullSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc, root, doc = root AS is_canonical FROM canon
        |ORDER BY doc""".stripMargin
+
+  /** Cluster-diameter audit: for every near-dup cluster, the DIRECT
+    * canonical↔member shingle Jaccard of each member — the measure of
+    * how far transitive chaining has drifted a cluster from its
+    * canonical (banding + closure can glue A–B–C where A and C share
+    * almost nothing; every "replace member with canonical" dedup
+    * silently assumes this number stays high). A member pair sharing
+    * NO shingle scores 0 — exactly the drift the audit exists to
+    * surface (hence the left join). Pair fan-out is Σ(cluster size),
+    * linear in members. */
+  def clusterDiameter(spark: SparkSession, dir: String): DataFrame =
+    clusterDiameterOn(Tables(spark, dir, "documents"))
+
+  private[graft] def clusterDiameterOn(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    val canon = dedupClustersFullOn(docs)
+      .select(col("doc"), col("root"))
+    val members = canon.filter(col("doc") =!= col("root"))
+    val clusterDocs = canon.select(col("doc").as("doc_id")).distinct()
+    val sh = docs.join(clusterDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = members
+      .join(sh.select(col("doc_id").as("root"), col("s")), Seq("root"))
+      .join(sh.select(col("doc_id").as("doc"), col("s")), Seq("doc", "s"))
+      .groupBy("root", "doc").agg(count(lit(1)).as("i"))
+    members
+      .join(inter, Seq("root", "doc"), "left")
+      .join(sizes.select(col("doc_id").as("root"), col("sz").as("szr")), Seq("root"))
+      .join(sizes.select(col("doc_id").as("doc"), col("sz").as("szd")), Seq("doc"))
+      .withColumn("j", coalesce(col("i"), lit(0L)).cast("double") /
+        (col("szr") + col("szd") - coalesce(col("i"), lit(0L))))
+      .groupBy("root")
+      .agg((count(lit(1)) + 1).as("csz"),
+        graft.functions.Det.rnd(min("j"), 6).as("min_jaccard"),
+        graft.functions.Det.rnd(avg("j"), 6).as("avg_jaccard"))
+      .orderBy("root")
+  }
+
+  val clusterDiameterSql: String = {
+    import graft.functions.Det
+    s"""WITH RECURSIVE $clusterCtes,
+       |members AS (SELECT root, doc FROM canon WHERE doc <> root),
+       |mi AS (
+       |  SELECT m.root, m.doc, count(*) AS i
+       |  FROM members m
+       |  JOIN sh a ON a.doc_id = m.root
+       |  JOIN sh b ON b.doc_id = m.doc AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT m.root,
+       |         CAST(coalesce(mi.i, 0) AS DOUBLE)
+       |           / (sr.sz + sd.sz - coalesce(mi.i, 0)) AS j
+       |  FROM members m
+       |  LEFT JOIN mi ON mi.root = m.root AND mi.doc = m.doc
+       |  JOIN sz sr ON sr.doc_id = m.root
+       |  JOIN sz sd ON sd.doc_id = m.doc)
+       |SELECT root, count(*) + 1 AS csz,
+       |       ${Det.rndSql("min(j)", 6)} AS min_jaccard,
+       |       ${Det.rndSql("avg(j)", 6)} AS avg_jaccard
+       |FROM mj GROUP BY root ORDER BY root""".stripMargin
+  }
 
   // ------------------------------------------------------------ SimHash
 

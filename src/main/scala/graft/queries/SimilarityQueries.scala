@@ -2307,6 +2307,53 @@ object SimilarityQueries {
       .limit(EoBottomK)
   }
 
+  private val OodTopK = 10
+
+  /** Diagonal-Mahalanobis OOD detector: the [[OodTopK]] corpus members
+    * with the largest Σᵢ((vᵢ−μᵢ)/σᵢ)² against per-dimension corpus
+    * moments — the covariance-free Mahalanobis tier
+    * ([[embeddingOutliers]] asks "far from my CLUSTER"; this asks
+    * "improbable under the marginal distribution", which catches
+    * global OOD a well-centered cluster member can still be).
+    * μ/σ are 6dp-FENCED 64-row broadcast relations (the [[pcaPower]]
+    * fence), distances round before the cut with vec_id tiebreak;
+    * zero-variance dims drop (no division blow-up). */
+  def oodZscore(spark: SparkSession, dir: String): DataFrame =
+    oodZscoreOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def oodZscoreOf(emb: DataFrame): DataFrame = {
+    val e = kmCoo(emb)
+    val moments = e.groupBy("i").agg(
+      graft.functions.Det.rnd(avg("v"), 6).as("mu"),
+      graft.functions.Det.rnd(
+        sqrt(avg(col("v") * col("v")) - avg("v") * avg("v")), 6).as("sigma"))
+      .filter(col("sigma") > 0.0)
+    e.join(broadcast(moments), Seq("i"))
+      .groupBy("vec_id")
+      .agg(graft.functions.Det.rnd(
+        sum(pow((col("v") - col("mu")) / col("sigma"), 2)), 4).as("dist2"))
+      .orderBy(desc("dist2"), asc("vec_id"))
+      .limit(OodTopK)
+  }
+
+  val oodZscoreSql: String = {
+    import graft.functions.Det
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |m AS (
+       |  SELECT i, ${Det.rndSql("avg(v)", 6)} AS mu,
+       |         ${Det.rndSql("sqrt(avg(v * v) - avg(v) * avg(v))", 6)} AS sigma
+       |  FROM e GROUP BY i),
+       |d AS (
+       |  SELECT e.vec_id,
+       |         ${Det.rndSql("sum(pow((e.v - m.mu) / m.sigma, 2))", 4)} AS dist2
+       |  FROM e JOIN m USING (i) WHERE m.sigma > 0.0
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id, dist2 FROM d
+       |ORDER BY dist2 DESC, vec_id LIMIT $OodTopK""".stripMargin
+  }
+
   val embeddingOutliersSql: String = {
     import graft.functions.Det
     s"""WITH $kmFitCtes,

@@ -549,6 +549,47 @@ object StreamJobs {
       .toDF("event_id", "user_id", "event_type", "is_dup")
   }
 
+  /** Per-user Lindley state for [[reflectedBalanceStream]]: the plain
+    * cumulative sum and its running minimum — the reflected-walk
+    * identity's two accumulators — plus the audit counters. O(1) per
+    * event, exact cents. */
+  case class BalanceAcc(cum: Long, runmin: Long, maxBal: Long,
+                        nFloored: Long, n: Long)
+
+  /** Streaming twin of the batch clamped running balance
+    * ([[graft.queries.ExtensionQueries.reflectedBalance]]): the
+    * identity W = C − min(0, min C) needs only (cum, runmin) carried
+    * per user, so the sequential-looking Lindley recursion streams in
+    * constant state. Each batch emits the user's updated audit row
+    * (Update mode); in-order batch arrival contract as the other
+    * event-keyed twins. Input: (user_id, event_id, tus, delta_cents).
+    * Output matches the batch operator's columns. */
+  def reflectedBalanceStream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[BalanceAcc, (Long, Double, Double, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[BalanceAcc]) =>
+          var acc = state.getOption.getOrElse(BalanceAcc(0L, 0L, 0L, 0L, 0L))
+          rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, _, _, delta) =>
+            val cum = acc.cum + delta
+            val runmin = math.min(acc.runmin, math.min(0L, cum))
+            val bal = cum - runmin
+            acc = BalanceAcc(cum, runmin, math.max(acc.maxBal, bal),
+              acc.nFloored + (if (bal == 0L) 1L else 0L), acc.n + 1)
+          }
+          state.update(acc)
+          (user, (acc.cum - acc.runmin).toDouble / 100.0,
+            acc.maxBal.toDouble / 100.0, acc.nFloored, acc.n)
+      }
+      .toDF("user_id", "final_balance", "max_balance", "n_floored", "n_events")
+  }
+
   /** Per-user running profile state for [[goldenRecordStream]]:
     * everything [[graft.queries.ExtensionQueries.goldenRecord]] emits,
     * maintainable in O(1) per event (the per-type counts map is

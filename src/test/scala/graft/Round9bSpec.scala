@@ -553,6 +553,38 @@ class Round9bSpec extends SparkSpec {
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  test("clusterDiameter surfaces transitive drift on a chained fixture") {
+    val s = spark
+    import s.implicits._
+    // A≈B and B≈C but A shares little with C: the closure glues all
+    // three; the audit must report the weak A↔C link via the canonical
+    val mid = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val head = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val tail = (1 to 12).map(i => s"omega$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$head $mid"),     // canonical (least id)
+      (2L, s"$head $mid $tail"), // bridges 1 and 3
+      (3L, s"$mid $tail"))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.DedupQueries.clusterDiameterOn(docs).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    // doc 3's direct similarity to canonical 1 is well below the 0.5
+    // pair threshold — the drift this audit exists to expose
+    assert(r.getDouble(2) < 0.5, s"min_jaccard ${r.getDouble(2)}")
+    assert(r.getDouble(3) > r.getDouble(2))
+  }
+
+  test("oodZscore: top-10 descending, and a constant-dim corpus drops the dim") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.oodZscore(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val d = rows.map(_.getDouble(1))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b })
+    assert(d.forall(_ > 0.0))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===

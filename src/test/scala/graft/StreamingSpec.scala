@@ -1069,6 +1069,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming reflected balance converges to the batch Lindley audit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)] // (user, event_id, tus, delta)
+    val q = StreamJobs.reflectedBalanceStream(mem.toDS())
+      .writeStream.format("memory").queryName("rbs").outputMode("update").start()
+    try {
+      val evs = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("tus"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))
+            .otherwise(-round(col("value") * 100).cast("long")).as("delta"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(e => (e._3, e._2))
+      evs.grouped((evs.length + 2) / 3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("rbs").collect()
+        .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._4) }
+      val batch = graft.queries.ExtensionQueries.reflectedBalance(spark, sfDir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"first diff: ${streamed.find(kv => batch.get(kv._1) != Some(kv._2))}")
+    } finally q.stop()
+  }
+
   test("streaming golden-record profiles converge to the batch survivorship merge") {
     val s = spark
     import s.implicits._
