@@ -4926,6 +4926,184 @@ object ExtensionQueries {
       .orderBy("o_orderstatus")
   }
 
+  private val ConfAlphaPct = 10L // α = 0.10 → 90% intervals
+
+  /** Split-conformal prediction intervals for purchase value by event
+    * type — the distribution-free uncertainty wrapper modern ML eval
+    * demands: fit (per-type mean) on the TRAIN hash-split, take the
+    * ⌈(n+1)(1−α)⌉-th smallest |residual| on the CALIBRATION split as
+    * the interval half-width q̂ (finite-sample guaranteed ≥ 1−α
+    * coverage), then measure realized coverage on the TEST split.
+    * Splits are the engine-neutral modmul hash (the [[TextQueries
+    * .trainSplit]] technique, third multiplier), the fit is exact
+    * cents, q̂ is an integer-cents rank pick inside type-partitioned
+    * windows, and coverage counting is pure integers — the entire
+    * conformal procedure replays in SQL. */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame =
+    conformalIntervalOf(Tables(spark, dir, "events"))
+
+  private[graft] def conformalIntervalOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = events.filter(col("event_type") === "purchase" ||
+        col("event_type") === "view" || col("event_type") === "click")
+      .select(col("event_type"), col("event_id"), Det.cents(col("value")).as("c"))
+      .withColumn("h", pmod(col("event_id") * 2246822519L, lit(4294967296L)))
+      .withColumn("split",
+        when(col("h") < 4294967296L / 2, "train")
+          .when(col("h") < 4294967296L * 3 / 4, "cal")
+          .otherwise("test"))
+    val fit = p.filter(col("split") === "train")
+      .groupBy("event_type").agg(
+        (sum("c") / count(lit(1))).cast("long").as("mu_cents"))
+    val wRank = Window.partitionBy("event_type").orderBy("res", "event_id")
+    val wN = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val qhat = p.filter(col("split") === "cal")
+      .join(broadcast(fit), Seq("event_type"))
+      .withColumn("res", abs(col("c") - col("mu_cents")))
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("r") ===
+        least(expr(s"CAST(ceil((n + 1) * (100 - $ConfAlphaPct) / 100.0) AS BIGINT)"), col("n")))
+      .select(col("event_type"), col("res").as("qhat_cents"), col("n").as("n_cal"))
+    p.filter(col("split") === "test")
+      .join(broadcast(fit), Seq("event_type"))
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        max("mu_cents").as("mu_cents"), max("qhat_cents").as("qhat_cents"),
+        max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        sum(when(abs(col("c") - col("mu_cents")) <= col("qhat_cents"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("event_type"),
+        (col("mu_cents").cast("double") / 100.0).as("mu"),
+        (col("qhat_cents").cast("double") / 100.0).as("qhat"),
+        col("n_cal"), col("n_test"),
+        Det.rnd(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .orderBy("event_type")
+  }
+
+  val conformalIntervalSql: String =
+    s"""WITH p AS (
+       |  SELECT event_type, event_id, ${Det.centsSql("value")} AS c,
+       |         (event_id * 2246822519) % 4294967296 AS h
+       |  FROM events WHERE event_type IN ('purchase', 'view', 'click')),
+       |sp AS (
+       |  SELECT event_type, event_id, c,
+       |         CASE WHEN h < ${4294967296L / 2} THEN 'train'
+       |              WHEN h < ${4294967296L * 3 / 4} THEN 'cal'
+       |              ELSE 'test' END AS split
+       |  FROM p),
+       |fit AS (
+       |  SELECT event_type, CAST(sum(c) // count(*) AS BIGINT) AS mu_cents
+       |  FROM sp WHERE split = 'train' GROUP BY 1),
+       |cal AS (
+       |  SELECT event_type, abs(c - mu_cents) AS res, event_id
+       |  FROM sp JOIN fit USING (event_type) WHERE split = 'cal'),
+       |qh AS (
+       |  SELECT event_type, res AS qhat_cents, n AS n_cal FROM (
+       |    SELECT event_type, res,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY res, event_id) AS r,
+       |           count(*) OVER (PARTITION BY event_type) AS n
+       |    FROM cal)
+       |  WHERE r = least(CAST(ceil((n + 1) * (100 - $ConfAlphaPct) / 100.0) AS BIGINT), n))
+       |SELECT event_type,
+       |       CAST(mu_cents AS DOUBLE) / 100.0 AS mu,
+       |       CAST(qhat_cents AS DOUBLE) / 100.0 AS qhat,
+       |       CAST(n_cal AS BIGINT) AS n_cal, count(*) AS n_test,
+       |       ${Det.rndSql("CAST(sum(CASE WHEN abs(c - mu_cents) <= qhat_cents THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS coverage
+       |FROM sp JOIN fit USING (event_type) JOIN qh USING (event_type)
+       |WHERE split = 'test'
+       |GROUP BY event_type, mu_cents, qhat_cents, n_cal
+       |ORDER BY event_type""".stripMargin
+
+  /** One-way ANOVA F across the five event types' purchase values —
+    * does type explain value variance? The k-group generalization of
+    * [[abTest]]'s two-sample t: SSB/SSW from exact integer power sums
+    * (grand and per-group Σc, Σc²), F as one fixed double expression.
+    * All moments ride one hash aggregation over a 5-row group table. */
+  def anovaF(spark: SparkSession, dir: String): DataFrame =
+    anovaFOf(Tables(spark, dir, "events"))
+
+  private[graft] def anovaFOf(events: DataFrame): DataFrame = {
+    val g = events.select(col("event_type"), Det.cents(col("value")).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+        sum(col("c") * col("c")).as("qi"))
+    g.agg(
+      count(lit(1)).as("k"), sum("ni").as("n"),
+      sum("si").as("s"), sum("qi").as("q"),
+      sum(col("si").cast("double") * col("si") / col("ni")).as("gm"))
+      .select(col("k"), col("n"),
+        // degenerate-variance guards: zero SSW → F defined as 0 when
+        // SSB is also 0 (all values identical); zero total variance →
+        // η² 0. ANSI Spark would otherwise throw where DuckDB infs.
+        Det.rnd(expr(
+          "CASE WHEN q - gm = 0.0 THEN 0.0 ELSE " +
+            "((gm - CAST(s AS DOUBLE) * s / n) / (k - 1)) / " +
+            "((q - gm) / (n - k)) END"), 4).as("f_stat"),
+        Det.rnd(expr(
+          "CASE WHEN q - CAST(s AS DOUBLE) * s / n = 0.0 THEN 0.0 ELSE " +
+            "(gm - CAST(s AS DOUBLE) * s / n) / (q - CAST(s AS DOUBLE) * s / n) END"), 6)
+          .as("eta_sq"))
+  }
+
+  val anovaFSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, count(*) AS ni,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS si,
+       |         CAST(sum(${Det.centsSql("value")} * ${Det.centsSql("value")}) AS BIGINT) AS qi
+       |  FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS n,
+       |         CAST(sum(si) AS BIGINT) AS s, CAST(sum(qi) AS BIGINT) AS q,
+       |         sum(CAST(si AS DOUBLE) * si / ni) AS gm
+       |  FROM g)
+       |SELECT k, n,
+       |       ${Det.rndSql("CASE WHEN q - gm = 0.0 THEN 0.0 ELSE ((gm - CAST(s AS DOUBLE) * s / n) / (k - 1)) / ((q - gm) / (n - k)) END", 4)} AS f_stat,
+       |       ${Det.rndSql("CASE WHEN q - CAST(s AS DOUBLE) * s / n = 0.0 THEN 0.0 ELSE (gm - CAST(s AS DOUBLE) * s / n) / (q - CAST(s AS DOUBLE) * s / n) END", 6)} AS eta_sq
+       |FROM a""".stripMargin
+
+  /** TPC-H Q10 shape — returned-item revenue ranking: the top-20
+    * customers by revenue lost to returns (l_returnflag = 'R'),
+    * through the lineitem⋈orders⋈customer⋈nation chain with the
+    * return filter pushed into the fact scan. Exact integer
+    * ten-thousandths for extprice·(1−disc); broadcast dims; the
+    * ranking is a TakeOrdered top-k, never a global sort. */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("units"),
+        count(lit(1)).as("n_items"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("n_items"),
+        (expr("(units + 50) div 100").cast("double") / 100.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedRevenueSql: String =
+    """SELECT c_custkey, c_name, n_name, count(*) AS n_items,
+      |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   val reconciliationSql: String =
     s"""WITH lines AS (
        |  SELECT l_orderkey AS okey,

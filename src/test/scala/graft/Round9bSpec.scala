@@ -585,6 +585,56 @@ class Round9bSpec extends SparkSpec {
     assert(d.forall(_ > 0.0))
   }
 
+  test("conformalInterval: q-hat is the exact calibration rank pick and coverage is sane") {
+    val rows = ExtensionQueries.conformalInterval(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0) // qhat
+      assert(r.getDouble(5) >= 0.80 && r.getDouble(5) <= 1.0,
+        s"${r.getString(0)} coverage ${r.getDouble(5)}")
+    }
+    // replay the purchase q-hat from first principles
+    val p = Tables(spark, sfDir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id"), F.round(F.col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def split(id: Long): String = {
+      val h = (id * 2246822519L) % 4294967296L
+      if (h < 4294967296L / 2) "train" else if (h < 4294967296L * 3 / 4) "cal" else "test"
+    }
+    val mu = { val t = p.filter(e => split(e._1) == "train").map(_._2); t.sum / t.length }
+    val res = p.filter(e => split(e._1) == "cal")
+      .map(e => (math.abs(e._2 - mu), e._1)).sorted.map(_._1)
+    val k = math.min(math.ceil((res.length + 1) * 0.9).toLong, res.length.toLong).toInt
+    val qhat = res(k - 1).toDouble / 100.0
+    val got = rows.find(_.getString(0) == "purchase").get
+    assert(got.getDouble(2) === qhat, s"${got.getDouble(2)} vs $qhat")
+  }
+
+  test("anovaF separates separated groups and zeroes identical ones") {
+    val ev1 = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "a", 10.00),
+      (1L, "2024-01-01 00:01:00", 1L, "a", 10.00),
+      (2L, "2024-01-01 00:02:00", 1L, "a", 10.02),
+      (3L, "2024-01-01 00:03:00", 1L, "b", 20.00),
+      (4L, "2024-01-01 00:04:00", 1L, "b", 20.00),
+      (5L, "2024-01-01 00:05:00", 1L, "b", 20.02)))
+    val r1 = ExtensionQueries.anovaFOf(ev1).head()
+    assert(r1.getLong(0) === 2L && r1.getDouble(2) > 1000.0)
+    val ev2 = eventsDf((0 until 6).map(i =>
+      (i.toLong, s"2024-01-01 00:0$i:00", 1L, if (i < 3) "a" else "b", 7.00)))
+    assert(ExtensionQueries.anovaFOf(ev2).head().getDouble(2) === 0.0)
+  }
+
+  test("returnedRevenue: 20 distinct customers, revenue descending") {
+    val rows = ExtensionQueries.returnedRevenue(spark, sfDir).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).distinct.length === 20)
+    val rev = rows.map(_.getDouble(4))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
