@@ -5065,6 +5065,121 @@ object ExtensionQueries {
        |       ${Det.rndSql("CASE WHEN q - CAST(s AS DOUBLE) * s / n = 0.0 THEN 0.0 ELSE (gm - CAST(s AS DOUBLE) * s / n) / (q - CAST(s AS DOUBLE) * s / n) END", 6)} AS eta_sq
        |FROM a""".stripMargin
 
+  /** Mann–Kendall trend test on the daily purchase totals — the
+    * distribution-free significance companion to [[theilSen]]'s slope
+    * (same pairwise structure, same calendar-bounded day histogram):
+    * S = Σ_{i<j} sign(x_j − x_i) over time-ordered days, tie-corrected
+    * variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    * continuity-corrected z — S and the variance numerator are exact
+    * BIGINTs, z is one fixed double expression. Pair fan-out is
+    * calendar², never data². */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOf(Tables(spark, dir, "events"))
+
+  private[graft] def mannKendallOf(events: DataFrame): DataFrame = {
+    val daily = cusumDailyFrom(events)
+      .select(col("day"), col("x"))
+    val a = daily.select(col("day").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("day").as("d2"), col("x").as("x2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_corr"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_corr"))
+      .select(col("n").as("n_days"), col("s_stat"), col("var18"),
+        Det.rnd(expr(
+          "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0) " +
+            "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0) " +
+            "ELSE 0.0 END"), 4).as("z"),
+        Det.rnd(col("s_stat").cast("double") /
+          (col("n").cast("double") * (col("n") - 1) / 2.0), 6).as("tau"))
+  }
+
+  val mannKendallSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |p AS (
+       |  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM daily a JOIN daily b ON a.day < b.day),
+       |ties AS (
+       |  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+       |  FROM (SELECT count(*) AS t FROM daily GROUP BY x)),
+       |nn AS (SELECT count(*) AS n FROM daily)
+       |SELECT n AS n_days, s_stat,
+       |       CAST(n * (n - 1) * (2 * n + 5) - tie_corr AS BIGINT) AS var18,
+       |       ${Det.rndSql("CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_corr) / 18.0) WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_corr) / 18.0) ELSE 0.0 END", 4)} AS z,
+       |       ${Det.rndSql("CAST(s_stat AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) / 2.0)", 6)} AS tau
+       |FROM p CROSS JOIN ties CROSS JOIN nn""".stripMargin
+
+  private val StudyWindowUs = 86400L * 1000000L // ±24 h
+
+  /** Event study — per-error pre/post purchase impact: for every
+    * `error` event, the same user's purchase cents in the 24 h BEFORE
+    * vs the 24 h AFTER, aggregated to the mean before/after and their
+    * delta — the simplest defensible "did the incident move revenue"
+    * read (each error is its own control). Errors with no nearby
+    * purchases stay in the denominator (a left join — dropping them
+    * biases the delta toward active users). The pair relation is a
+    * same-user equi-join filtered to the ±window, so fan-out is
+    * per-user activity², user-bounded — never a cross join. */
+  def eventStudy(spark: SparkSession, dir: String): DataFrame =
+    eventStudyOf(Tables(spark, dir, "events"))
+
+  private[graft] def eventStudyOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"), Det.cents(col("value")).as("cents"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("tus"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("ptus"), col("cents"))
+    val near = err.join(pur, Seq("user_id"), "left")
+      .withColumn("pre", when(col("ptus") >= col("tus") - StudyWindowUs &&
+        col("ptus") < col("tus"), col("cents")).otherwise(0L))
+      .withColumn("post", when(col("ptus") > col("tus") &&
+        col("ptus") <= col("tus") + StudyWindowUs, col("cents")).otherwise(0L))
+      .groupBy("user_id", "event_id")
+      .agg(sum("pre").as("pre"), sum("post").as("post"))
+    near.agg(
+      count(lit(1)).as("n_errors"),
+      sum(when(col("pre") > 0 || col("post") > 0, 1L).otherwise(0L))
+        .as("n_with_activity"),
+      sum(coalesce(col("pre"), lit(0L))).as("sp"),
+      sum(coalesce(col("post"), lit(0L))).as("so"))
+      .select(col("n_errors"), col("n_with_activity"),
+        Det.rnd(col("sp").cast("double") / (col("n_errors") * 100.0), 4)
+          .as("mean_pre"),
+        Det.rnd(col("so").cast("double") / (col("n_errors") * 100.0), 4)
+          .as("mean_post"),
+        Det.rnd((col("so") - col("sp")).cast("double") /
+          (col("n_errors") * 100.0), 4).as("mean_delta"))
+  }
+
+  val eventStudySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+       |         ${Det.centsSql("value")} AS cents
+       |  FROM events),
+       |err AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'error'),
+       |pur AS (SELECT user_id, tus AS ptus, cents FROM e WHERE event_type = 'purchase'),
+       |per AS (
+       |  SELECT err.user_id, err.event_id,
+       |         CAST(sum(CASE WHEN ptus >= err.tus - $StudyWindowUs AND ptus < err.tus
+       |                       THEN cents ELSE 0 END) AS BIGINT) AS pre,
+       |         CAST(sum(CASE WHEN ptus > err.tus AND ptus <= err.tus + $StudyWindowUs
+       |                       THEN cents ELSE 0 END) AS BIGINT) AS post
+       |  FROM err LEFT JOIN pur ON pur.user_id = err.user_id
+       |  GROUP BY 1, 2)
+       |SELECT count(*) AS n_errors,
+       |       CAST(sum(CASE WHEN pre > 0 OR post > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_activity,
+       |       ${Det.rndSql("CAST(sum(coalesce(pre, 0)) AS DOUBLE) / (count(*) * 100.0)", 4)} AS mean_pre,
+       |       ${Det.rndSql("CAST(sum(coalesce(post, 0)) AS DOUBLE) / (count(*) * 100.0)", 4)} AS mean_post,
+       |       ${Det.rndSql("CAST(sum(coalesce(post, 0)) - sum(coalesce(pre, 0)) AS DOUBLE) / (count(*) * 100.0)", 4)} AS mean_delta
+       |FROM per""".stripMargin
+
   /** TPC-H Q10 shape — returned-item revenue ranking: the top-20
     * customers by revenue lost to returns (l_returnflag = 'R'),
     * through the lineitem⋈orders⋈customer⋈nation chain with the

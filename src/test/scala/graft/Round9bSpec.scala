@@ -635,6 +635,35 @@ class Round9bSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) > 0))
   }
 
+  test("mannKendall: monotone series scores S = n(n-1)/2 and strong z") {
+    val ev = eventsDf((0 until 10).map(d =>
+      (d.toLong, f"2024-01-${d + 1}%02d 00:00:00", 1L, "purchase", 10.0 + d)))
+    val r = ExtensionQueries.mannKendallOf(ev).head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) === 45L)   // all pairs increasing
+    assert(r.getDouble(4) === 1.0) // tau
+    assert(r.getDouble(3) > 3.0)   // strongly significant
+    // flat series: S = 0, z = 0
+    val flat = eventsDf((0 until 10).map(d =>
+      (d.toLong, f"2024-02-${d + 1}%02d 00:00:00", 1L, "purchase", 7.0)))
+    val r2 = ExtensionQueries.mannKendallOf(flat).head()
+    assert(r2.getLong(1) === 0L && r2.getDouble(3) === 0.0)
+  }
+
+  test("eventStudy attributes purchases to the correct side of each error") {
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-02 12:00:00", 1L, "error", 1.0),
+      (1L, "2024-01-02 00:00:00", 1L, "purchase", 10.00), // 12h before
+      (2L, "2024-01-03 00:00:00", 1L, "purchase", 30.00), // 12h after
+      (3L, "2024-01-01 00:00:00", 1L, "purchase", 99.00), // 36h before — outside
+      (4L, "2024-01-05 00:00:00", 2L, "error", 1.0)))     // no purchases
+    val r = ExtensionQueries.eventStudyOf(ev).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 5.0)   // mean_pre = 10/2
+    assert(r.getDouble(3) === 15.0)  // mean_post = 30/2
+    assert(r.getDouble(4) === 10.0)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
