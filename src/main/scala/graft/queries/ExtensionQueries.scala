@@ -5065,6 +5065,202 @@ object ExtensionQueries {
        |       ${Det.rndSql("CASE WHEN q - CAST(s AS DOUBLE) * s / n = 0.0 THEN 0.0 ELSE (gm - CAST(s AS DOUBLE) * s / n) / (q - CAST(s AS DOUBLE) * s / n) END", 6)} AS eta_sq
        |FROM a""".stripMargin
 
+  /** CUPED variance reduction (Deng et al., WSDM'13) for the user-
+    * level purchase metric: Y = post-midpoint purchase cents, the
+    * pre-midpoint cents X as the control covariate, pooled
+    * θ = cov(X,Y)/var(X). The entire adjustment reduces to CLOSED
+    * FORMS over exact integer power sums — group-mean adjustment
+    * needs only group Σx/Σy, and var(Y_adj) = var(Y) − cov²/var(X) —
+    * so no per-row float column ever materializes and both engines
+    * evaluate the same fixed expressions. Assignment is the
+    * [[abTest]] user_id parity. The experimentation row every modern
+    * A/B platform computes before the t-test. */
+  def cuped(spark: SparkSession, dir: String): DataFrame =
+    cupedOf(Tables(spark, dir, "events"))
+
+  private[graft] def cupedOf(events: DataFrame): DataFrame = {
+    val mid = events.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
+    val per = events.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("user_id") % 2).as("g"),
+        sum(when(unix_micros(col("ts")) < col("mid"), Det.cents(col("value")))
+          .otherwise(0L)).as("x"),
+        sum(when(unix_micros(col("ts")) >= col("mid"), Det.cents(col("value")))
+          .otherwise(0L)).as("y"))
+    per.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(when(col("g") === 0, col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("g") === 0, col("y")).otherwise(0L)).as("sya"))
+      .withColumn("varx", expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n"))
+      .withColumn("vary", expr("(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n"))
+      .withColumn("covxy", expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n"))
+      .withColumn("theta", expr("CASE WHEN varx = 0.0 THEN 0.0 ELSE covxy / varx END"))
+      .select(
+        col("n").as("n_users"), col("na").as("n_a"),
+        Det.rnd(col("theta"), 6).as("theta"),
+        Det.rnd(expr(
+          "(CAST(sya AS DOUBLE) / na - CAST(sy - sya AS DOUBLE) / (n - na)) / 100.0"), 4)
+          .as("diff_raw"),
+        Det.rnd(expr(
+          "((CAST(sya AS DOUBLE) / na - CAST(sy - sya AS DOUBLE) / (n - na)) - " +
+            "theta * (CAST(sxa AS DOUBLE) / na - CAST(sx - sxa AS DOUBLE) / (n - na))) / 100.0"), 4)
+          .as("diff_cuped"),
+        Det.rnd(expr(
+          "CASE WHEN vary = 0.0 THEN 0.0 ELSE " +
+            "(CASE WHEN varx = 0.0 THEN 0.0 ELSE covxy * covxy / varx END) / vary END"), 6)
+          .as("var_reduction"))
+  }
+
+  val cupedSql: String =
+    s"""WITH mid AS (
+       |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+       |per AS (
+       |  SELECT user_id, max(user_id % 2) AS g,
+       |         CAST(sum(CASE WHEN epoch_us(ts) < mid THEN ${Det.centsSql("value")}
+       |                       ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN epoch_us(ts) >= mid THEN ${Det.centsSql("value")}
+       |                       ELSE 0 END) AS BIGINT) AS y
+       |  FROM events CROSS JOIN mid WHERE event_type = 'purchase'
+       |  GROUP BY user_id),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy,
+       |         CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+       |         CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS sya
+       |  FROM per),
+       |d AS (
+       |  SELECT n, na, sx, sy, sxa, sya,
+       |         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n AS varx,
+       |         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n AS vary,
+       |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n AS covxy
+       |  FROM m),
+       |t AS (SELECT d.*, CASE WHEN varx = 0.0 THEN 0.0 ELSE covxy / varx END AS theta FROM d)
+       |SELECT n AS n_users, na AS n_a,
+       |       ${Det.rndSql("theta", 6)} AS theta,
+       |       ${Det.rndSql("(CAST(sya AS DOUBLE) / na - CAST(sy - sya AS DOUBLE) / (n - na)) / 100.0", 4)} AS diff_raw,
+       |       ${Det.rndSql("((CAST(sya AS DOUBLE) / na - CAST(sy - sya AS DOUBLE) / (n - na)) - theta * (CAST(sxa AS DOUBLE) / na - CAST(sx - sxa AS DOUBLE) / (n - na))) / 100.0", 4)} AS diff_cuped,
+       |       ${Det.rndSql("CASE WHEN vary = 0.0 THEN 0.0 ELSE (CASE WHEN varx = 0.0 THEN 0.0 ELSE covxy * covxy / varx END) / vary END", 6)} AS var_reduction
+       |FROM t""".stripMargin
+
+  /** Delta-method ratio-metric test: revenue-per-event compared A vs B
+    * (user_id parity), with the ratio's variance from the delta
+    * method — Var(R) ≈ (var(num) − 2R·cov + R²·var(den)) / (n·den̄²) —
+    * because a ratio of totals is NOT a mean of ratios and the naive
+    * t-test is wrong for it. Per-user numerators/denominators are
+    * exact integers; each group's R, variance and the final z are
+    * fixed double expressions. */
+  def ratioDelta(spark: SparkSession, dir: String): DataFrame =
+    ratioDeltaOf(Tables(spark, dir, "events"))
+
+  private[graft] def ratioDeltaOf(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id")
+      .agg(max(col("user_id") % 2).as("g"),
+        sum(when(col("event_type") === "purchase", Det.cents(col("value")))
+          .otherwise(0L)).as("num"),
+        count(lit(1)).as("den"))
+    def side(g: Int, p: String) = Seq(
+      sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n_$p"),
+      sum(when(col("g") === g, col("num")).otherwise(0L)).as(s"sn_$p"),
+      sum(when(col("g") === g, col("den")).otherwise(0L)).as(s"sd_$p"),
+      sum(when(col("g") === g, col("num") * col("num")).otherwise(0L)).as(s"snn_$p"),
+      sum(when(col("g") === g, col("den") * col("den")).otherwise(0L)).as(s"sdd_$p"),
+      sum(when(col("g") === g, col("num") * col("den")).otherwise(0L)).as(s"snd_$p"))
+    val cols = side(0, "a") ++ side(1, "b")
+    def ratio(p: String) = s"(CAST(sn_$p AS DOUBLE) / sd_$p)"
+    def rvar(p: String) =
+      s"((CAST(snn_$p AS DOUBLE) - CAST(sn_$p AS DOUBLE) * sn_$p / n_$p) / n_$p" +
+        s" - 2.0 * ${ratio(p)} * ((CAST(snd_$p AS DOUBLE) - CAST(sn_$p AS DOUBLE) * sd_$p / n_$p) / n_$p)" +
+        s" + ${ratio(p)} * ${ratio(p)} * ((CAST(sdd_$p AS DOUBLE) - CAST(sd_$p AS DOUBLE) * sd_$p / n_$p) / n_$p))" +
+        s" / (n_$p * (CAST(sd_$p AS DOUBLE) / n_$p) * (CAST(sd_$p AS DOUBLE) / n_$p))"
+    per.agg(cols.head, cols.tail: _*)
+      .select(
+        col("n_a"), col("n_b"),
+        Det.rnd(expr(s"${ratio("a")} / 100.0"), 6).as("ratio_a"),
+        Det.rnd(expr(s"${ratio("b")} / 100.0"), 6).as("ratio_b"),
+        Det.rnd(expr(
+          s"(${ratio("a")} - ${ratio("b")}) / sqrt(${rvar("a")} + ${rvar("b")})"), 4)
+          .as("z"))
+  }
+
+  val ratioDeltaSql: String = {
+    def ratio(p: String) = s"(CAST(sn_$p AS DOUBLE) / sd_$p)"
+    def rvar(p: String) =
+      s"((CAST(snn_$p AS DOUBLE) - CAST(sn_$p AS DOUBLE) * sn_$p / n_$p) / n_$p" +
+        s" - 2.0 * ${ratio(p)} * ((CAST(snd_$p AS DOUBLE) - CAST(sn_$p AS DOUBLE) * sd_$p / n_$p) / n_$p)" +
+        s" + ${ratio(p)} * ${ratio(p)} * ((CAST(sdd_$p AS DOUBLE) - CAST(sd_$p AS DOUBLE) * sd_$p / n_$p) / n_$p))" +
+        s" / (n_$p * (CAST(sd_$p AS DOUBLE) / n_$p) * (CAST(sd_$p AS DOUBLE) / n_$p))"
+    s"""WITH per AS (
+       |  SELECT user_id, max(user_id % 2) AS g,
+       |         CAST(sum(CASE WHEN event_type = 'purchase'
+       |                       THEN ${Det.centsSql("value")} ELSE 0 END) AS BIGINT) AS num,
+       |         count(*) AS den
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN g = 0 THEN num ELSE 0 END) AS BIGINT) AS sn_a,
+       |    CAST(sum(CASE WHEN g = 0 THEN den ELSE 0 END) AS BIGINT) AS sd_a,
+       |    CAST(sum(CASE WHEN g = 0 THEN num * num ELSE 0 END) AS BIGINT) AS snn_a,
+       |    CAST(sum(CASE WHEN g = 0 THEN den * den ELSE 0 END) AS BIGINT) AS sdd_a,
+       |    CAST(sum(CASE WHEN g = 0 THEN num * den ELSE 0 END) AS BIGINT) AS snd_a,
+       |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN g = 1 THEN num ELSE 0 END) AS BIGINT) AS sn_b,
+       |    CAST(sum(CASE WHEN g = 1 THEN den ELSE 0 END) AS BIGINT) AS sd_b,
+       |    CAST(sum(CASE WHEN g = 1 THEN num * num ELSE 0 END) AS BIGINT) AS snn_b,
+       |    CAST(sum(CASE WHEN g = 1 THEN den * den ELSE 0 END) AS BIGINT) AS sdd_b,
+       |    CAST(sum(CASE WHEN g = 1 THEN num * den ELSE 0 END) AS BIGINT) AS snd_b
+       |  FROM per)
+       |SELECT n_a, n_b,
+       |       ${Det.rndSql(s"${ratio("a")} / 100.0", 6)} AS ratio_a,
+       |       ${Det.rndSql(s"${ratio("b")} / 100.0", 6)} AS ratio_b,
+       |       ${Det.rndSql(s"(${ratio("a")} - ${ratio("b")}) / sqrt(${rvar("a")} + ${rvar("b")})", 4)} AS z
+       |FROM m""".stripMargin
+  }
+
+  /** Sample-ratio-mismatch guardrail: the χ² of the realized A/B
+    * assignment counts against the designed 50/50 — the first thing
+    * an experimentation platform checks, because a skewed split
+    * invalidates every downstream metric. Exact integers; χ² and z
+    * are fixed expressions. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    srmCheckOf(Tables(spark, dir, "events"))
+
+  private[graft] def srmCheckOf(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        Det.rnd(expr(
+          "CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b)"), 6)
+          .as("chi2"),
+        Det.rnd(expr("(n_a - n_b) / sqrt(CAST(n_a + n_b AS DOUBLE))"), 4).as("z"),
+        (abs(col("n_a") - col("n_b")).cast("double") * 2.0 /
+          (col("n_a") + col("n_b")) > 0.1).as("srm_flag"))
+
+  val srmCheckSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |c AS (
+       |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM u)
+       |SELECT n_a, n_b,
+       |       ${Det.rndSql("CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b)", 6)} AS chi2,
+       |       ${Det.rndSql("(n_a - n_b) / sqrt(CAST(n_a + n_b AS DOUBLE))", 4)} AS z,
+       |       CAST(abs(n_a - n_b) AS DOUBLE) * 2.0 / (n_a + n_b) > 0.1 AS srm_flag
+       |FROM c""".stripMargin
+
   /** Mann–Kendall trend test on the daily purchase totals — the
     * distribution-free significance companion to [[theilSen]]'s slope
     * (same pairwise structure, same calendar-bounded day histogram):

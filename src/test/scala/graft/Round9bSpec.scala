@@ -664,6 +664,64 @@ class Round9bSpec extends SparkSpec {
     assert(r.getDouble(4) === 10.0)
   }
 
+  test("cuped matches a plain-Scala theta/adjustment replay") {
+    val mid = Tables(spark, sfDir, "events")
+      .agg(F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")).head().getLong(0)
+    val per = Tables(spark, sfDir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.expr("unix_micros(ts)").as("tus"),
+        F.round(F.col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        (u, rows.filter(_._2 < mid).map(_._3).sum, rows.filter(_._2 >= mid).map(_._3).sum)
+      }.toArray
+    val n = per.length.toDouble
+    val (sx, sy) = (per.map(_._2).sum.toDouble, per.map(_._3).sum.toDouble)
+    val varx = (per.map(p => p._2.toDouble * p._2).sum - sx * sx / n) / n
+    val covxy = (per.map(p => p._2.toDouble * p._3).sum - sx * sy / n) / n
+    val theta = covxy / varx
+    val r = ExtensionQueries.cuped(spark, sfDir).head()
+    assert(math.abs(r.getDouble(2) - theta) < 1e-5)
+    val a = per.filter(_._1 % 2 == 0); val b = per.filter(_._1 % 2 == 1)
+    val diffRaw = (a.map(_._3).sum.toDouble / a.length -
+      b.map(_._3).sum.toDouble / b.length) / 100.0
+    val diffCuped = diffRaw - theta * (a.map(_._2).sum.toDouble / a.length -
+      b.map(_._2).sum.toDouble / b.length) / 100.0
+    assert(math.abs(r.getDouble(3) - diffRaw) < 1e-3)
+    assert(math.abs(r.getDouble(4) - diffCuped) < 1e-3)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("ratioDelta ratios replay exactly; z finite") {
+    val r = ExtensionQueries.ratioDelta(spark, sfDir).head()
+    val per = Tables(spark, sfDir, "events")
+      .select(F.col("user_id"),
+        F.when(F.col("event_type") === "purchase",
+          F.round(F.col("value") * 100).cast("long")).otherwise(0L).as("c"))
+      .groupBy("user_id").agg(F.sum("c").as("num"), F.count(F.lit(1)).as("den"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    def ratio(g: Long) = {
+      val s = per.filter(_._1 % 2 == g)
+      s.map(_._2).sum.toDouble / s.map(_._3).sum / 100.0
+    }
+    assert(math.abs(r.getDouble(2) - ratio(0)) < 1e-5)
+    assert(math.abs(r.getDouble(3) - ratio(1)) < 1e-5)
+    assert(!r.getDouble(4).isNaN)
+  }
+
+  test("srmCheck flags a 1-vs-3 split") {
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (1L, "2024-01-01 00:01:00", 2L, "view", 1.0),
+      (2L, "2024-01-01 00:02:00", 3L, "view", 1.0),
+      (3L, "2024-01-01 00:03:00", 5L, "view", 1.0)))
+    val r = ExtensionQueries.srmCheckOf(ev).head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === -1.0)
+    assert(r.getBoolean(4))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
