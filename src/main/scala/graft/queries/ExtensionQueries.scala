@@ -5261,6 +5261,56 @@ object ExtensionQueries {
        |       CAST(abs(n_a - n_b) AS DOUBLE) * 2.0 / (n_a + n_b) > 0.1 AS srm_flag
        |FROM c""".stripMargin
 
+  /** Minimum-detectable-effect planning for the user-level purchase
+    * metric: given the realized per-user variance and group sizes,
+    * the effect size a two-sample z-test resolves at α=0.05 /
+    * 80% power — MDE = (z_{α/2}+z_β)·σ·√(1/n_a+1/n_b) with the
+    * standard constants 1.959964 and 0.841621 pinned as literals (no
+    * engine-specific inverse-normal). The "how long must this test
+    * run" input every experiment review asks for; variance from exact
+    * integer power sums, result as fixed double expressions. */
+  def mdePower(spark: SparkSession, dir: String): DataFrame =
+    mdePowerOf(Tables(spark, dir, "events"))
+
+  private[graft] def mdePowerOf(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id")
+      .agg(max(col("user_id") % 2).as("g"),
+        sum(when(col("event_type") === "purchase", Det.cents(col("value")))
+          .otherwise(0L)).as("c"))
+    per.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+      sum("c").as("s"), sum(col("c") * col("c")).as("q"))
+      .select(col("na").as("n_a"), (col("n") - col("na")).as("n_b"),
+        Det.rnd(expr(
+          "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / 100.0"), 4)
+          .as("sigma"),
+        Det.rnd(expr(
+          "(1.959964 + 0.841621) * sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))" +
+            " * sqrt(1.0 / na + 1.0 / (n - na)) / 100.0"), 4).as("mde_abs"),
+        Det.rnd(expr(
+          "(1.959964 + 0.841621) * sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))" +
+            " * sqrt(1.0 / na + 1.0 / (n - na)) / (CAST(s AS DOUBLE) / n)"), 6)
+          .as("mde_rel"))
+  }
+
+  val mdePowerSql: String =
+    s"""WITH per AS (
+       |  SELECT user_id, max(user_id % 2) AS g,
+       |         CAST(sum(CASE WHEN event_type = 'purchase'
+       |                       THEN ${Det.centsSql("value")} ELSE 0 END) AS BIGINT) AS c
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+       |  FROM per)
+       |SELECT na AS n_a, CAST(n - na AS BIGINT) AS n_b,
+       |       ${Det.rndSql("sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / 100.0", 4)} AS sigma,
+       |       ${Det.rndSql("(1.959964 + 0.841621) * sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) * sqrt(1.0 / na + 1.0 / (n - na)) / 100.0", 4)} AS mde_abs,
+       |       ${Det.rndSql("(1.959964 + 0.841621) * sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) * sqrt(1.0 / na + 1.0 / (n - na)) / (CAST(s AS DOUBLE) / n)", 6)} AS mde_rel
+       |FROM m""".stripMargin
+
   /** Mann–Kendall trend test on the daily purchase totals — the
     * distribution-free significance companion to [[theilSen]]'s slope
     * (same pairwise structure, same calendar-bounded day histogram):

@@ -463,4 +463,92 @@ object MultimodalQueries {
        |      WHERE strlen(text) >= $FrameBytes)
        |ORDER BY media_id, frame_idx""".stripMargin
   }
+
+  private val FrameDupL1 = 80 // Σ|Δbin| cut; ~p5 of the gate corpus's deltas, so the flag path exercises (a real video corpus sits near 0)
+
+  /** Within-media duplicate-FRAME detection — the static-scene drop a
+    * video ingest runs before paying decode/embedding cost per frame:
+    * each sampled frame's 4-bin signature compares against the
+    * PREVIOUS sampled frame (lag inside a per-media window); an L1
+    * delta ≤ [[FrameDupL1]] marks a static frame. Emits the per-media
+    * census (frames, static frames, static share, longest static
+    * run — the run via the gaps-and-islands rank trick on the frame
+    * sequence). Exact integers; windows media-partitioned. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    frameDedupOn(Tables(spark, dir, "documents"))
+
+  private[graft] def frameDedupOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binSum = (b: Int) =>
+      expr(s"aggregate(transform(sequence(1, ${FrameBytes / 4}), j -> " +
+        s"ascii(substring(text, frame_idx * $FrameBytes + $b * ${FrameBytes / 4} + j, 1))), 0, (a, v) -> a + v)")
+        .as(s"bin$b")
+    val frames = docs
+      .select(col("doc_id").as("media_id"), col("text"),
+        floor(octet_length(col("text")) / FrameBytes).cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr(s"sequence(0, n_frames - 1, $Stride)")))
+      .select(Seq(col("media_id"), col("frame_idx")) ++ (0 until 4).map(binSum): _*)
+    val byMedia = Window.partitionBy("media_id").orderBy("frame_idx")
+    val l1 = (0 until 4).map(b =>
+      abs(col(s"bin$b") - lag(s"bin$b", 1).over(byMedia))).reduce(_ + _)
+    val flagged = frames
+      .withColumn("l1", l1)
+      .withColumn("static", when(col("l1") <= FrameDupL1, 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(byMedia))
+    // longest static run: rank-minus-rank islands over static rows
+    val runs = flagged.filter(col("static") === 1L)
+      .withColumn("grp", col("rn") -
+        row_number().over(Window.partitionBy("media_id").orderBy("rn")))
+      .groupBy("media_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("media_id").agg(max("len").as("longest_static_run"))
+    flagged.groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"), sum("static").as("n_static"))
+      .join(runs, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_sampled"), col("n_static"),
+        graft.functions.Det.rnd(
+          col("n_static").cast("double") / col("n_sampled"), 6).as("static_share"),
+        coalesce(col("longest_static_run"), lit(0L)).as("longest_static_run"))
+      .filter(col("n_static") > 0)
+      .orderBy("media_id")
+  }
+
+  val frameDedupSql: String = {
+    val binSum = (b: Int) =>
+      s"CAST(list_sum(list_transform(range(${FrameBytes / 4}), j -> " +
+        s"ascii(substr(text, CAST(frame_idx * $FrameBytes + $b * ${FrameBytes / 4} + j + 1 AS INTEGER), 1)))) AS INTEGER) AS bin$b"
+    s"""WITH frames AS (
+       |  SELECT media_id, frame_idx, ${(0 until 4).map(binSum).mkString(", ")}
+       |  FROM (SELECT doc_id AS media_id, text,
+       |               unnest(range(0, CAST(floor(strlen(text) / $FrameBytes) AS BIGINT), $Stride)) AS frame_idx
+       |        FROM documents
+       |        WHERE strlen(text) >= $FrameBytes)),
+       |lagd AS (
+       |  SELECT media_id, frame_idx,
+       |         ${(0 until 4).map(b => s"abs(bin$b - lag(bin$b) OVER w)").mkString(" + ")} AS l1,
+       |         row_number() OVER w AS rn
+       |  FROM frames WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+       |flagged AS (
+       |  SELECT media_id, rn,
+       |         CASE WHEN l1 <= $FrameDupL1 THEN 1 ELSE 0 END AS static
+       |  FROM lagd),
+       |runs AS (
+       |  SELECT media_id, CAST(max(len) AS BIGINT) AS longest_static_run FROM (
+       |    SELECT media_id, grp, count(*) AS len FROM (
+       |      SELECT media_id, rn,
+       |             rn - row_number() OVER (PARTITION BY media_id ORDER BY rn) AS grp
+       |      FROM flagged WHERE static = 1)
+       |    GROUP BY media_id, grp)
+       |  GROUP BY media_id),
+       |census AS (
+       |  SELECT media_id, count(*) AS n_sampled,
+       |         CAST(sum(static) AS BIGINT) AS n_static
+       |  FROM flagged GROUP BY media_id)
+       |SELECT c.media_id, c.n_sampled, c.n_static,
+       |       ${graft.functions.Det.rndSql("CAST(c.n_static AS DOUBLE) / c.n_sampled", 6)} AS static_share,
+       |       coalesce(r.longest_static_run, 0) AS longest_static_run
+       |FROM census c LEFT JOIN runs r USING (media_id)
+       |WHERE c.n_static > 0
+       |ORDER BY c.media_id""".stripMargin
+  }
 }

@@ -722,6 +722,37 @@ class Round9bSpec extends SparkSpec {
     assert(r.getBoolean(4))
   }
 
+  test("frameDedup flags repeated frames and measures the static run") {
+    val s = spark
+    import s.implicits._
+    // a media of 8 identical 32-byte frames (sampled at stride 4 →
+    // frames 0 and 4, identical → 1 static) and one all-distinct media
+    val block = "abcdefgh" * 4 // 32 bytes
+    val docs = Seq(
+      (1L, block * 8),
+      (2L, (0 until 8).map(i => ('a' + i).toChar.toString * 32).mkString))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.MultimodalQueries.frameDedupOn(docs).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(2) >= 1L)           // static frames seen
+    assert(r.getLong(4) >= 1L)           // a run exists
+  }
+
+  test("mdePower: planning row is internally consistent") {
+    val r = ExtensionQueries.mdePower(spark, sfDir).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na + nb === Tables(spark, sfDir, "events")
+      .select("user_id").distinct().count())
+    assert(r.getDouble(2) > 0.0)
+    // MDE = 2.801585 · σ · sqrt(1/na + 1/nb)
+    val expected = 2.801585 * r.getDouble(2) *
+      math.sqrt(1.0 / na + 1.0 / nb)
+    assert(math.abs(r.getDouble(3) - expected) < 0.01)
+    assert(r.getDouble(4) > 0.0)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
