@@ -5261,6 +5261,63 @@ object ExtensionQueries {
        |       CAST(abs(n_a - n_b) AS DOUBLE) * 2.0 / (n_a + n_b) > 0.1 AS srm_flag
        |FROM c""".stripMargin
 
+  /** Distribution-free median confidence interval for order totals —
+    * the order-statistic CI (no bootstrap, no normality): the 95%
+    * bounds are the values at ranks ⌊(n − z√n)/2⌋ and ⌈1 + (n + z√n)/2⌉
+    * (z = 1.959964 pinned). All three rank picks run off the
+    * distinct-value cents histogram with prefix counts (the
+    * [[giniConcentration]] technique — no global row sort; a tie run
+    * holding a target rank yields that value exactly). */
+  def medianCi(spark: SparkSession, dir: String): DataFrame =
+    medianCiOf(Tables(spark, dir, "orders"))
+
+  private[graft] def medianCiOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = orders.select(Det.cents(col("o_totalprice")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("m"))
+    val byVal = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hist
+      .withColumn("db", coalesce(sum("m").over(byVal), lit(0L)))
+      .withColumn("n", sum("m").over(wAll))
+      .withColumn("lo_r", expr("CAST(floor((n - 1.959964 * sqrt(n)) / 2.0) AS BIGINT)"))
+      .withColumn("md_r", expr("(n + 1) div 2"))
+      .withColumn("hi_r", expr("CAST(ceil(1.0 + (n + 1.959964 * sqrt(n)) / 2.0) AS BIGINT)"))
+    def pick(r: String, name: String) =
+      max(when(col("db") < col(r) && col(r) <= col("db") + col("m"), col("c")))
+        .as(name)
+    ranked.agg(max("n").as("n_orders"),
+        pick("lo_r", "lo_c"), pick("md_r", "md_c"), pick("hi_r", "hi_c"))
+      .select(col("n_orders"),
+        (col("md_c").cast("double") / 100.0).as("median"),
+        (col("lo_c").cast("double") / 100.0).as("ci_lo"),
+        (col("hi_c").cast("double") / 100.0).as("ci_hi"))
+  }
+
+  val medianCiSql: String =
+    s"""WITH hist AS (
+       |  SELECT ${Det.centsSql("o_totalprice")} AS c, count(*) AS m
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT c, m,
+       |         coalesce(sum(m) OVER (ORDER BY c
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS db,
+       |         sum(m) OVER () AS n
+       |  FROM hist),
+       |k AS (
+       |  SELECT c, m, db, n,
+       |         CAST(floor((n - 1.959964 * sqrt(n)) / 2.0) AS BIGINT) AS lo_r,
+       |         (n + 1) // 2 AS md_r,
+       |         CAST(ceil(1.0 + (n + 1.959964 * sqrt(n)) / 2.0) AS BIGINT) AS hi_r
+       |  FROM r)
+       |SELECT CAST(max(n) AS BIGINT) AS n_orders,
+       |       CAST(max(CASE WHEN db < md_r AND md_r <= db + m THEN c END) AS DOUBLE) / 100.0 AS median,
+       |       CAST(max(CASE WHEN db < lo_r AND lo_r <= db + m THEN c END) AS DOUBLE) / 100.0 AS ci_lo,
+       |       CAST(max(CASE WHEN db < hi_r AND hi_r <= db + m THEN c END) AS DOUBLE) / 100.0 AS ci_hi
+       |FROM k""".stripMargin
+
   /** Minimum-detectable-effect planning for the user-level purchase
     * metric: given the realized per-user variance and group sizes,
     * the effect size a two-sample z-test resolves at α=0.05 /

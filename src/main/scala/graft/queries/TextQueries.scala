@@ -3891,6 +3891,71 @@ object TextQueries {
        |       ${Det.rndSql("(CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00))) / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)))", 6)} AS kappa
        |FROM cells""".stripMargin
 
+  private val SweepDocs = 300 // audit scope cap — the lshRecall pattern
+
+  /** Dedup-threshold sweep — the knee curve that PICKS a Jaccard
+    * threshold: for each candidate cut 0.30…0.90, how many exact-
+    * trigram pairs survive and how many distinct docs they touch.
+    * Computed ONCE from the exact-Jaccard pair relation (j ≥ 0.3) and
+    * fanned across the 7-row threshold relation — no per-threshold
+    * rescan. Sample-capped to [[SweepDocs]] docs like [[lshRecall]]:
+    * a sweep is an audit, and the curve's SHAPE at a cap is what the
+    * threshold decision reads at any scale. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepOf(Tables(spark, dir, "documents"))
+
+  private[graft] def thresholdSweepOf(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    val scoped = docs.filter(col("doc_id") < SweepDocs)
+    val sh = scoped.select(col("doc_id"),
+      explode(expr(s"shingles(text, $ShingleLen)")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val b = sh.select(col("doc_id").as("d2"), col("s"))
+    val pairs = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("j", col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= 0.3)
+      .select("d1", "d2", "j")
+      .localCheckpoint() // audit-capped pair relation, read 7×
+    val th = docs.sparkSession.range(3, 10)
+      .select((col("id") * 10).cast("int").as("t_pct"))
+    val surv = pairs.crossJoin(broadcast(th))
+      .filter(col("j") >= col("t_pct").cast("double") / 100.0)
+    val np = surv.groupBy("t_pct").agg(count(lit(1)).as("n_pairs"))
+    val nd = surv
+      .select(col("t_pct"), explode(array(col("d1"), col("d2"))).as("d"))
+      .groupBy("t_pct").agg(countDistinct("d").as("n_docs_affected"))
+    np.join(nd, Seq("t_pct")).orderBy("t_pct")
+  }
+
+  val thresholdSweepSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i + 1, $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text, unnest(range(greatest(length(text) - ${ShingleLen - 1}, 1))) AS i
+       |        FROM documents WHERE doc_id < $SweepDocs)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2, j
+       |  FROM (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS j
+       |        FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+       |  WHERE j >= 0.3),
+       |th AS (SELECT CAST(unnest(range(3, 10)) * 10 AS INTEGER) AS t_pct),
+       |surv AS (
+       |  SELECT t_pct, d1, d2 FROM pairs CROSS JOIN th
+       |  WHERE j >= CAST(t_pct AS DOUBLE) / 100.0),
+       |np AS (SELECT t_pct, count(*) AS n_pairs FROM surv GROUP BY 1),
+       |nd AS (SELECT t_pct, count(DISTINCT d) AS n_docs_affected
+       |       FROM (SELECT t_pct, unnest([d1, d2]) AS d FROM surv) GROUP BY 1)
+       |SELECT t_pct, n_pairs, n_docs_affected
+       |FROM np JOIN nd USING (t_pct)
+       |ORDER BY t_pct""".stripMargin
+
   private val MmrShortlist = 20
   private val MmrPicks = 5
   private val MmrLambdaPct = 70L // λ = 0.7 in percent (exact integers where possible)

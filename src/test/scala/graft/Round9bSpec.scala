@@ -753,6 +753,32 @@ class Round9bSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0)
   }
 
+  test("thresholdSweep is monotone non-increasing in the threshold") {
+    val rows = TextQueries.thresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(30, 40, 50, 60, 70, 80, 90))
+    val p = rows.map(_._2); val d = rows.map(_._3)
+    assert(p.zip(p.tail).forall { case (a, b) => a >= b })
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b })
+    // the 0.5 rung must agree with q_ngram_jaccard's pair count scope
+    val at50 = rows.find(_._1 == 50).get._2
+    assert(at50 === TextQueries.ngramJaccard(spark, sfDir).count())
+  }
+
+  test("medianCi brackets the median with order-statistic bounds") {
+    val r = ExtensionQueries.medianCi(spark, sfDir).head()
+    assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3))
+    // replay the rank picks off a plain sort
+    val cents = Tables(spark, sfDir, "orders")
+      .select(F.round(F.col("o_totalprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val md = cents(((n + 1) / 2) - 1).toDouble / 100.0
+    val lo = cents(math.floor((n - 1.959964 * math.sqrt(n)) / 2.0).toInt - 1).toDouble / 100.0
+    val hi = cents(math.ceil(1.0 + (n + 1.959964 * math.sqrt(n)) / 2.0).toInt - 1).toDouble / 100.0
+    assert(r.getDouble(1) === md && r.getDouble(2) === lo && r.getDouble(3) === hi)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
