@@ -5261,6 +5261,103 @@ object ExtensionQueries {
        |       CAST(abs(n_a - n_b) AS DOUBLE) * 2.0 / (n_a + n_b) > 0.1 AS srm_flag
        |FROM c""".stripMargin
 
+  /** Shewhart SPC control chart over the daily purchase totals: the
+    * mean ± 3σ control limits (σ from the day histogram's exact
+    * integer power sums) and every day's position — in-control, above
+    * UCL, or below LCL — plus the out-of-control census. The
+    * monitoring tier BEFORE CUSUM: Shewhart catches big single-day
+    * excursions instantly, CUSUM accumulates small sustained shifts
+    * ([[cusumChangepoint]]); a monitoring stack runs both off the
+    * SAME mergeable daily state. Calendar-bounded relation, fixed
+    * double expressions, 2dp-fenced limits. */
+  def spcChart(spark: SparkSession, dir: String): DataFrame =
+    spcChartOf(Tables(spark, dir, "events"))
+
+  private[graft] def spcChartOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cusumDailyFrom(events)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum("x").over(wAll))
+      .withColumn("q", sum(col("x") * col("x")).over(wAll))
+      .withColumn("mu", expr("CAST(s AS DOUBLE) / n"))
+      .withColumn("sd", expr(
+        "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))"))
+      .select(col("day"),
+        (col("x").cast("double") / 100.0).as("total"),
+        Det.rnd((col("mu") - col("sd") * 3.0) / 100.0, 2).as("lcl"),
+        Det.rnd((col("mu") + col("sd") * 3.0) / 100.0, 2).as("ucl"),
+        when(col("x") > col("mu") + col("sd") * 3.0, lit("above"))
+          .when(col("x") < col("mu") - col("sd") * 3.0, lit("below"))
+          .otherwise(lit("in")).as("signal"))
+      .orderBy("day")
+  }
+
+  val spcChartSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |m AS (
+       |  SELECT day, x,
+       |         CAST(sum(x) OVER () AS DOUBLE) / count(*) OVER () AS mu,
+       |         sqrt((CAST(sum(x * x) OVER () AS DOUBLE)
+       |               - CAST(sum(x) OVER () AS DOUBLE) * sum(x) OVER () / count(*) OVER ())
+       |              / (count(*) OVER () - 1)) AS sd
+       |  FROM daily)
+       |SELECT day, CAST(x AS DOUBLE) / 100.0 AS total,
+       |       ${Det.rndSql("(mu - 3.0 * sd) / 100.0", 2)} AS lcl,
+       |       ${Det.rndSql("(mu + 3.0 * sd) / 100.0", 2)} AS ucl,
+       |       CASE WHEN x > mu + 3.0 * sd THEN 'above'
+       |            WHEN x < mu - 3.0 * sd THEN 'below'
+       |            ELSE 'in' END AS signal
+       |FROM m ORDER BY day""".stripMargin
+
+  private val QuotaPerDay = 10L
+
+  /** Rate-limit / quota-admission simulation: admit at most
+    * [[QuotaPerDay]] events per (user, day) in arrival order, count
+    * the rejected overflow — the capacity-policy dry-run an API team
+    * queries before turning a limiter on (who gets throttled, how
+    * much traffic drops). Admission rank is a (user, day)-partitioned
+    * row_number over (tus, event_id) — bounded windows, exact
+    * integers; emits the per-user-day overflow census aggregated per
+    * day. */
+  def quotaAdmission(spark: SparkSession, dir: String): DataFrame =
+    quotaAdmissionOf(Tables(spark, dir, "events"))
+
+  private[graft] def quotaAdmissionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "day").orderBy("tus", "event_id")
+    events
+      .select(col("user_id"), col("event_id"),
+        to_date(col("ts")).as("day"), unix_micros(col("ts")).as("tus"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("rk") > QuotaPerDay, 1L).otherwise(0L)).as("n_rejected"),
+        countDistinct(when(col("rk") > QuotaPerDay, col("user_id")))
+          .as("n_throttled_users"))
+      .select(col("day"), col("n_events"), col("n_rejected"),
+        col("n_throttled_users"),
+        Det.rnd(col("n_rejected").cast("double") / col("n_events"), 6)
+          .as("drop_rate"))
+      .orderBy("day")
+  }
+
+  val quotaAdmissionSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+       |           ORDER BY epoch_us(ts), event_id) AS rk
+       |  FROM events)
+       |SELECT day, count(*) AS n_events,
+       |       CAST(sum(CASE WHEN rk > $QuotaPerDay THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+       |       count(DISTINCT CASE WHEN rk > $QuotaPerDay THEN user_id END) AS n_throttled_users,
+       |       ${Det.rndSql(s"CAST(sum(CASE WHEN rk > $QuotaPerDay THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS drop_rate
+       |FROM r GROUP BY day ORDER BY day""".stripMargin
+
   /** Distribution-free median confidence interval for order totals —
     * the order-statistic CI (no bootstrap, no normality): the 95%
     * bounds are the values at ranks ⌊(n − z√n)/2⌋ and ⌈1 + (n + z√n)/2⌉

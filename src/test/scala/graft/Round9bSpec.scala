@@ -779,6 +779,31 @@ class Round9bSpec extends SparkSpec {
     assert(r.getDouble(1) === md && r.getDouble(2) === lo && r.getDouble(3) === hi)
   }
 
+  test("spcChart flags the spike day above UCL and brackets the rest") {
+    val ev = eventsDf((0 until 20).map(d =>
+      (d.toLong, f"2024-01-${d + 1}%02d 00:00:00", 1L, "purchase", 100.0 + d * 0.01))
+      :+ (20L, "2024-01-21 00:00:00", 1L, "purchase", 1000.0))
+    val rows = ExtensionQueries.spcChartOf(ev).collect()
+    assert(rows.length === 21)
+    val spike = rows.find(_.getDate(0).toString == "2024-01-21").get
+    assert(spike.getString(4) === "above")
+    assert(rows.count(_.getString(4) == "in") === 20)
+    rows.foreach(r => assert(r.getDouble(2) < r.getDouble(3)))
+  }
+
+  test("quotaAdmission rejects exactly the overflow beyond 10/day") {
+    val ev = eventsDf(
+      (0 until 12).map(i =>
+        (i.toLong, f"2024-01-01 00:${i % 60}%02d:30", 1L, "view", 1.0)) ++
+        Seq((100L, "2024-01-01 10:00:00", 2L, "view", 1.0),
+          (101L, "2024-01-02 10:00:00", 1L, "view", 1.0)))
+    val rows = ExtensionQueries.quotaAdmissionOf(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("2024-01-01") === ((13L, 2L, 1L)))
+    assert(rows("2024-01-02") === ((1L, 0L, 0L)))
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
