@@ -3997,10 +3997,15 @@ object TextQueries {
       .localCheckpoint() // ≤ 20×20 rows
     val lam = MmrLambdaPct.toDouble / 100.0
     // round 1: pure relevance
+    // each round's pick relation is ≤ r rows and feeds the NEXT round's
+    // max-sim anti-join — pinned per round so the unrolled loop's plan
+    // stays linear (unpinned, the plan doubles per round: 320 Exchanges
+    // in the formatted plan vs ~40 pinned)
     var picked = shortlist
       .orderBy(desc("rel"), asc("doc_id")).limit(1)
       .select(col("doc_id"), lit(1).as("pick_rank"), col("rel"),
         Det.rnd(col("rel") * lam, 6).as("mmr"))
+      .localCheckpoint()
     for (r <- 2 to MmrPicks) {
       val sel = picked.select(col("doc_id").as("b"))
       val maxSim = sims.join(sel, Seq("b"))
@@ -4013,7 +4018,7 @@ object TextQueries {
             coalesce(col("msim"), lit(0.0)) * (1.0 - lam), 6).as("mmr"))
         .orderBy(desc("mmr"), asc("doc_id")).limit(1)
         .select(col("doc_id"), lit(r).as("pick_rank"), col("rel"), col("mmr"))
-      picked = picked.unionAll(next)
+      picked = picked.unionAll(next).localCheckpoint()
     }
     picked.orderBy("pick_rank")
   }
