@@ -5261,6 +5261,116 @@ object ExtensionQueries {
        |       CAST(abs(n_a - n_b) AS DOUBLE) * 2.0 / (n_a + n_b) > 0.1 AS srm_flag
        |FROM c""".stripMargin
 
+  /** Session-grained conversion: the share of 30-min-gap sessions
+    * that contain a purchase, per user-decile of session count — the
+    * session-level funnel read ([[eventFunnel]] is event-ordered,
+    * [[retention]] is calendar-cohort; this is the "how many visits
+    * convert" number). Sessions from the [[sessionize]] gap rule;
+    * deciles from the session-count histogram (equi-depth rank
+    * technique, no global sort); exact integer counts. */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame =
+    sessionConversionOf(Tables(spark, dir, "events"))
+
+  private[graft] def sessionConversionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap", col("tus") - lag("tus", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(byUser))
+      .groupBy("user_id", "sid")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+    val perUser = sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("converted").as("n_converted"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum("n_sessions").as("n_sessions"),
+      sum("n_converted").as("n_converted"),
+      sum(when(col("n_converted") > 0, 1L).otherwise(0L)).as("n_users_converted"))
+      .select(col("n_users"), col("n_sessions"), col("n_converted"),
+        col("n_users_converted"),
+        Det.rnd(col("n_converted").cast("double") / col("n_sessions"), 6)
+          .as("session_cvr"),
+        Det.rnd(col("n_users_converted").cast("double") / col("n_users"), 6)
+          .as("user_cvr"))
+  }
+
+  val sessionConversionSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+       |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+       |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       |sids AS (
+       |  SELECT user_id, event_type,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |           ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g),
+       |sess AS (
+       |  SELECT user_id, sid,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM sids GROUP BY user_id, sid),
+       |pu AS (
+       |  SELECT user_id, count(*) AS n_sessions,
+       |         CAST(sum(converted) AS BIGINT) AS n_converted
+       |  FROM sess GROUP BY user_id)
+       |SELECT count(*) AS n_users,
+       |       CAST(sum(n_sessions) AS BIGINT) AS n_sessions,
+       |       CAST(sum(n_converted) AS BIGINT) AS n_converted,
+       |       CAST(sum(CASE WHEN n_converted > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_converted,
+       |       ${Det.rndSql("CAST(sum(n_converted) AS DOUBLE) / sum(n_sessions)", 6)} AS session_cvr,
+       |       ${Det.rndSql("CAST(sum(CASE WHEN n_converted > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS user_cvr
+       |FROM pu""".stripMargin
+
+  private val HillK = 100 // tail order statistics used by the estimator
+
+  /** Hill tail-index estimator over order totals — the heavy-tail
+    * diagnostic for money distributions (α̂ ≤ 2 means infinite
+    * variance and every mean-based report is fragile):
+    * α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top [[HillK]] order
+    * statistics. The top-(k+1) cut is a TakeOrdered ([[HillK]]+1
+    * rows — never a global sort); logs run over exact integer cents
+    * ratios and the estimator is one fenced expression. Pairs with
+    * [[TextQueries.zipfFit]] (term frequencies) on the money axis. */
+  def hillTail(spark: SparkSession, dir: String): DataFrame =
+    hillTailOf(Tables(spark, dir, "orders"))
+
+  private[graft] def hillTailOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = orders.select(Det.cents(col("o_totalprice")).as("c"))
+      .orderBy(desc("c")).limit(HillK + 1)
+    val w = Window.orderBy(desc("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("xk1", min("c").over(w))
+      .filter(col("c") > col("xk1"))
+      .agg(count(lit(1)).as("k"),
+        sum(log(col("c").cast("double") / col("xk1"))).as("lsum"),
+        max("xk1").as("xk1c"))
+      .select(col("k"),
+        (col("xk1c").cast("double") / 100.0).as("threshold"),
+        Det.rnd(col("k").cast("double") / col("lsum"), 4).as("alpha_hat"),
+        Det.rnd(lit(1.0) + col("k").cast("double") / col("lsum"), 4)
+          .as("pareto_shape"))
+  }
+
+  val hillTailSql: String =
+    s"""WITH top AS (
+       |  SELECT ${Det.centsSql("o_totalprice")} AS c
+       |  FROM orders ORDER BY c DESC LIMIT ${HillK + 1}),
+       |m AS (SELECT c, min(c) OVER () AS xk1 FROM top)
+       |SELECT count(*) AS k,
+       |       CAST(max(xk1) AS DOUBLE) / 100.0 AS threshold,
+       |       ${Det.rndSql("CAST(count(*) AS DOUBLE) / sum(ln(CAST(c AS DOUBLE) / xk1))", 4)} AS alpha_hat,
+       |       ${Det.rndSql("1.0 + CAST(count(*) AS DOUBLE) / sum(ln(CAST(c AS DOUBLE) / xk1))", 4)} AS pareto_shape
+       |FROM m WHERE c > xk1""".stripMargin
+
   /** Shewhart SPC control chart over the daily purchase totals: the
     * mean ± 3σ control limits (σ from the day histogram's exact
     * integer power sums) and every day's position — in-control, above

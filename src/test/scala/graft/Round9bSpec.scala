@@ -804,6 +804,34 @@ class Round9bSpec extends SparkSpec {
     assert(rows("2024-01-02") === ((1L, 0L, 0L)))
   }
 
+  test("sessionConversion counts converting sessions, not events") {
+    val ev = eventsDf(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (1L, "2024-01-01 00:10:00", 1L, "purchase", 5.0),
+      (2L, "2024-01-01 00:12:00", 1L, "purchase", 5.0), // same session — 1 conv
+      (3L, "2024-01-01 05:00:00", 1L, "view", 1.0),     // session 2: no purchase
+      (4L, "2024-01-02 00:00:00", 2L, "view", 1.0)))    // user 2: 1 session, none
+    val r = ExtensionQueries.sessionConversionOf(ev).head()
+    assert(r.getLong(0) === 2L)  // users
+    assert(r.getLong(1) === 3L)  // sessions
+    assert(r.getLong(2) === 1L)  // converting sessions
+    assert(r.getLong(3) === 1L)  // converting users
+  }
+
+  test("hillTail recovers the Pareto exponent on a synthetic power law") {
+    val s = spark
+    import s.implicits._
+    // exact Pareto(α=2) quantiles: x_i = (n/i)^(1/2), i = 1..n
+    val n = 2000
+    val orders = (1 to n)
+      .map(i => (i.toLong, math.pow(n.toDouble / i, 0.5) * 100.0))
+      .map { case (k, v) => (k, math.round(v * 100).toDouble / 100.0) }
+      .toDF("o_orderkey", "o_totalprice")
+    val r = ExtensionQueries.hillTailOf(orders).head()
+    assert(r.getLong(0) === 100L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.3, s"alpha ${r.getDouble(2)}")
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
