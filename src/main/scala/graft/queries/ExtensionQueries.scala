@@ -5261,6 +5261,64 @@ object ExtensionQueries {
        |       CAST(abs(n_a - n_b) AS DOUBLE) * 2.0 / (n_a + n_b) > 0.1 AS srm_flag
        |FROM c""".stripMargin
 
+  /** Declarative data-quality rule engine — the "data contract" check
+    * run per table before anything downstream trusts it: each rule is
+    * (name, table, predicate), evaluated as ONE conditional-count
+    * pass per table (all of a table's rules ride a single scan — a
+    * rule engine that scans per rule is a 100 TB anti-pattern).
+    * Domain rules complement [[refIntegrity]]'s FK edges; the
+    * violated-row counts and pass/fail verdicts are exact. */
+  def dqRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    def audit(df: DataFrame, table: String, rules: Seq[(String, org.apache.spark.sql.Column)]) = {
+      val aggs = rules.map { case (n, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(n)
+      }
+      val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      rules.map { case (n, _) =>
+        row.select(lit(table).as("tbl"), lit(n).as("rule"),
+          col("n_rows"), col(n).as("n_violations"),
+          (col(n) === 0L).as("pass"))
+      }.reduce(_ unionAll _)
+    }
+    audit(li, "lineitem", Seq(
+      ("nonneg_price", col("l_extendedprice") < 0),
+      ("qty_range_1_50", col("l_quantity") < 1 || col("l_quantity") > 50),
+      ("disc_le_10pct", col("l_discount") > 0.10001),
+      ("flag_domain", !col("l_returnflag").isin("A", "N", "R"))))
+      .unionAll(audit(ord, "orders", Seq(
+        ("nonneg_total", col("o_totalprice") < 0),
+        ("date_in_range", col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2002-01-01").cast("timestamp")),
+        ("status_domain", !col("o_orderstatus").isin("F", "O", "P")))))
+      .unionAll(audit(cust, "customer", Seq(
+        ("name_prefix", !col("c_name").startsWith("Customer#")),
+        ("segment_nonempty", length(col("c_mktsegment")) === 0))))
+      .orderBy("tbl", "rule")
+  }
+
+  val dqRulesSql: String = {
+    def row(tbl: String, rule: String, from: String, bad: String) =
+      s"""SELECT '$tbl' AS tbl, '$rule' AS rule, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         |  sum(CASE WHEN $bad THEN 1 ELSE 0 END) = 0 AS pass
+         |FROM $from""".stripMargin
+    Seq(
+      row("lineitem", "nonneg_price", "lineitem", "l_extendedprice < 0"),
+      row("lineitem", "qty_range_1_50", "lineitem", "l_quantity < 1 OR l_quantity > 50"),
+      row("lineitem", "disc_le_10pct", "lineitem", "l_discount > 0.10001"),
+      row("lineitem", "flag_domain", "lineitem", "l_returnflag NOT IN ('A', 'N', 'R')"),
+      row("orders", "nonneg_total", "orders", "o_totalprice < 0"),
+      row("orders", "date_in_range", "orders",
+        "o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate >= TIMESTAMP '2002-01-01'"),
+      row("orders", "status_domain", "orders", "o_orderstatus NOT IN ('F', 'O', 'P')"),
+      row("customer", "name_prefix", "customer", "c_name NOT LIKE 'Customer#%'"),
+      row("customer", "segment_nonempty", "customer", "length(c_mktsegment) = 0"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, rule")
+  }
+
   /** Session-grained conversion: the share of 30-min-gap sessions
     * that contain a purchase, per user-decile of session count — the
     * session-level funnel read ([[eventFunnel]] is event-ordered,

