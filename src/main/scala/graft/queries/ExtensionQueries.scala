@@ -5261,6 +5261,105 @@ object ExtensionQueries {
        |       CAST(abs(n_a - n_b) AS DOUBLE) * 2.0 / (n_a + n_b) > 0.1 AS srm_flag
        |FROM c""".stripMargin
 
+  /** Classical seasonal index: each calendar month's order revenue as
+    * a ratio to its YEAR's monthly average — the ratio-to-yearly-mean
+    * seasonal profile a demand planner multiplies into a forecast
+    * ([[seasonality]] reads weekday shape from events; this reads the
+    * month-of-year shape from order money). Exact cents; the yearly
+    * mean divides month count, not days; output is the (year × month)
+    * triangle plus the cross-year mean index per month. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame =
+    seasonalIndexOf(Tables(spark, dir, "orders"))
+
+  private[graft] def seasonalIndexOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wYear = Window.partitionBy("yr")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wMonth = Window.partitionBy("mo")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("cents"))
+      .withColumn("yr_total", sum("cents").over(wYear))
+      .withColumn("yr_months", count(lit(1)).over(wYear))
+      .withColumn("idx", expr(
+        "CAST(cents AS DOUBLE) * yr_months / yr_total"))
+      .withColumn("mean_idx_for_month",
+        avg("idx").over(wMonth))
+      .select(col("yr").cast("long").as("yr"), col("mo").cast("long").as("mo"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        Det.rnd(col("idx"), 4).as("seasonal_idx"),
+        Det.rnd(col("mean_idx_for_month"), 4).as("month_mean_idx"))
+      .orderBy("yr", "mo")
+  }
+
+  val seasonalIndexSql: String =
+    s"""WITH m AS (
+       |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1, 2),
+       |w AS (
+       |  SELECT yr, mo, cents,
+       |         CAST(cents AS DOUBLE) * count(*) OVER (PARTITION BY yr)
+       |           / sum(cents) OVER (PARTITION BY yr) AS idx
+       |  FROM m)
+       |SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo,
+       |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       |       ${Det.rndSql("idx", 4)} AS seasonal_idx,
+       |       ${Det.rndSql("avg(idx) OVER (PARTITION BY mo)", 4)} AS month_mean_idx
+       |FROM w ORDER BY yr, mo""".stripMargin
+
+  /** Assignment-hash uniformity audit — the Kolmogorov–Smirnov D of
+    * the experiment hash h(user)/2³² against U(0,1): [[srmCheck]]
+    * catches a skewed SPLIT; this catches a skewed HASH (a lumpy
+    * assignment function biases every stratified readout even when
+    * the 50/50 totals look fine). D = max(|i/n − u₍ᵢ₎|,
+    * |u₍ᵢ₎ − (i−1)/n|) over the sorted hash values — exact ranks over
+    * the user-bounded relation, one fenced division per row, the
+    * √n·D statistic against the 1.358 (α=.05) constant pinned. */
+  def hashUniformity(spark: SparkSession, dir: String): DataFrame =
+    hashUniformityOf(Tables(spark, dir, "events"))
+
+  private[graft] def hashUniformityOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = events.select(col("user_id")).distinct()
+      .withColumn("h", pmod(col("user_id") * 2654435761L, lit(4294967296L)))
+    val wRank = Window.orderBy("h", "user_id")
+    val wAll = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    u.withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("uv", col("h").cast("double") / 4294967296.0)
+      .withColumn("dplus", col("r").cast("double") / col("n") - col("uv"))
+      .withColumn("dminus", col("uv") - (col("r") - 1).cast("double") / col("n"))
+      .agg(max("n").as("n_users"),
+        max(greatest(col("dplus"), col("dminus"))).as("d"))
+      .select(col("n_users"),
+        Det.rnd(col("d"), 6).as("ks_d"),
+        Det.rnd(col("d") * sqrt(col("n_users").cast("double")), 4).as("ks_stat"),
+        (col("d") * sqrt(col("n_users").cast("double")) > 1.358).as("reject_uniform"))
+  }
+
+  val hashUniformitySql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, (user_id * 2654435761) % 4294967296 AS h
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |r AS (
+       |  SELECT h, row_number() OVER (ORDER BY h, user_id) AS r,
+       |         count(*) OVER () AS n
+       |  FROM u),
+       |d AS (
+       |  SELECT n,
+       |         greatest(CAST(r AS DOUBLE) / n - h / 4294967296.0,
+       |                  h / 4294967296.0 - CAST(r - 1 AS DOUBLE) / n) AS dv
+       |  FROM r)
+       |SELECT CAST(max(n) AS BIGINT) AS n_users,
+       |       ${Det.rndSql("max(dv)", 6)} AS ks_d,
+       |       ${Det.rndSql("max(dv) * sqrt(CAST(max(n) AS DOUBLE))", 4)} AS ks_stat,
+       |       max(dv) * sqrt(CAST(max(n) AS DOUBLE)) > 1.358 AS reject_uniform
+       |FROM d""".stripMargin
+
   /** Declarative data-quality rule engine — the "data contract" check
     * run per table before anything downstream trusts it: each rule is
     * (name, table, predicate), evaluated as ONE conditional-count

@@ -850,6 +850,32 @@ class Round9bSpec extends SparkSpec {
     assert(bad.filter(!F.col("l_returnflag").isin("A", "N", "R")).count() === 1)
   }
 
+  test("seasonalIndex: per-year indices average to 1") {
+    val rows = ExtensionQueries.seasonalIndex(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val mean = rs.map(_.getDouble(3)).sum / rs.length
+      assert(math.abs(mean - 1.0) < 1e-3, s"year mean $mean")
+    }
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("hashUniformity: uniform modmul hash passes, a lumpy hash is detectable") {
+    val r = ExtensionQueries.hashUniformity(spark, sfDir).head()
+    assert(r.getLong(0) === Tables(spark, sfDir, "events")
+      .select("user_id").distinct().count())
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0)
+    // the production hash should NOT reject uniformity on this corpus
+    assert(!r.getBoolean(3), s"ks_stat ${r.getDouble(2)}")
+    // replay D from first principles
+    val users = Tables(spark, sfDir, "events").select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val u = users.map(x => ((x * 2654435761L) % 4294967296L).toDouble / 4294967296.0).sorted
+    val n = u.length
+    val d = u.zipWithIndex.map { case (v, i) =>
+      math.max((i + 1).toDouble / n - v, v - i.toDouble / n) }.max
+    assert(math.abs(r.getDouble(1) - d) < 1e-5)
+  }
+
   test("round-9b queries are invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events").repartition(7)
     assert(ExtensionQueries.gapsIslandsOf(ev).collect().toSeq ===
