@@ -5540,11 +5540,18 @@ object ExtensionQueries {
   def spcChart(spark: SparkSession, dir: String): DataFrame =
     spcChartOf(Tables(spark, dir, "events"))
 
-  private[graft] def spcChartOf(events: DataFrame): DataFrame = {
+  private[graft] def spcChartOf(events: DataFrame): DataFrame =
+    spcFinish(cusumDailyFrom(events))
+
+  /** The vocabulary-sized SPC finish over the mergeable daily
+    * histogram — shared with the streaming twin
+    * ([[graft.streaming.StreamJobs.spcStream]]), which feeds it the
+    * SAME state relation the CUSUM/trailing/EWMA monitors read. */
+  private[graft] def spcFinish(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cusumDailyFrom(events)
+    daily
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("s", sum("x").over(wAll))
       .withColumn("q", sum(col("x") * col("x")).over(wAll))

@@ -951,6 +951,16 @@ object StreamJobs {
   def trailingFinish(daily: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.trailingFinish(daily)
 
+  /** Shewhart SPC twin: a FOURTH finish over the same daily-histogram
+    * state (CUSUM, trailing windows, and EWMA already read it) — one
+    * streaming aggregation, four monitors, each per-batch output
+    * equal to its batch operator. */
+  def spcStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cusumDailyFrom(events)
+
+  def spcFinish(daily: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.spcFinish(daily)
+
   def momentsStream(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

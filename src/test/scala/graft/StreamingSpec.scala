@@ -976,6 +976,14 @@ class StreamingSpec extends SparkSpec {
       val cusumBatch = graft.queries.ExtensionQueries.cusumChangepoint(spark, sfDir).collect()
         .map(r => (r.getDate(0).toString, r.getDouble(3), r.getDouble(4), r.getInt(5))).toSeq
       assert(cusumStreamed === cusumBatch)
+      // and the SPC finish — a fourth monitor off one state table
+      val spcStreamed = StreamJobs.spcFinish(spark.table("trails")).collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getString(4))).toSeq
+      val spcBatch = graft.queries.ExtensionQueries.spcChart(spark, sfDir).collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getString(4))).toSeq
+      assert(spcStreamed === spcBatch)
     } finally q.stop()
   }
 
