@@ -724,4 +724,159 @@ object BatchQueries {
        |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01')
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 (shipping priority, adapted to this schema's
+    * `o_orderpriority`): the 10 highest-revenue orders in the BUILDING
+    * segment that were placed before the cutoff date but still have
+    * line items shipping after it — the "booked but not yet fully
+    * shipped" backlog a fulfilment planner drains first.
+    *
+    * Scale shape: the customer⨝orders join shuffles on custkey, the
+    * orders⨝lineitem join on orderkey — both equi-joins Catalyst plans
+    * as sort-merge (AQE may elect broadcast for the filtered customer
+    * side). The segment filter and both date predicates reach the
+    * parquet scans as pushed filters; the final top-10 is a
+    * `TakeOrderedAndProject` (per-partition heap, no global sort).
+    * Revenue is summed in integer 1/10000-dollar units (cents ×
+    * residual-discount-pct) inside `decimal(38,0)` so partitioning
+    * never reorders a float sum, then rounded half-up to cents. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame =
+    tpchQ3Of(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"))
+
+  private[graft] def tpchQ3Of(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cut = lit("1998-06-15").cast("timestamp")
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders.filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(units.cast("decimal(38,0)")).as("units"))
+      .select(col("l_orderkey"),
+        (((col("units") + 50).cast("decimal(38,0)") / 100).cast("long")
+          .cast("double") / 100.0).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+      |       CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+      |         / 100.0 AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM (SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+      |      FROM customer, orders, lineitem
+      |      WHERE c_mktsegment = 'BUILDING'
+      |        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |        AND o_orderdate < TIMESTAMP '1998-06-15'
+      |        AND l_shipdate > TIMESTAMP '1998-06-15')
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): revenue per nation from orders
+    * where the customer and the line's supplier share that nation,
+    * restricted to one region and one order year — the classic
+    * "how much commerce stays domestic" rollup.
+    *
+    * Scale shape: nation⨝region collapses to a broadcast list of
+    * regional nationkeys; customer and supplier join the fact chain on
+    * their own keys (shuffles on custkey / suppkey / orderkey — the
+    * unavoidable fact-side exchanges); the `c_nationkey = s_nationkey`
+    * locality predicate is applied as a post-join filter so it never
+    * forces a theta-join. One final nation-count-sized aggregation. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame =
+    tpchQ5Of(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  private[graft] def tpchQ5Of(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val regionalNations = nation.join(
+        broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(regionalNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(units.cast("decimal(38,0)")).as("units"))
+      .select(col("n_name"),
+        (((col("units") + 50).cast("decimal(38,0)") / 100).cast("long")
+          .cast("double") / 100.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |       CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM (SELECT n_name,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+      |      FROM customer, orders, lineitem, supplier, nation, region
+      |      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |        AND r_name = 'ASIA'
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |        AND o_orderdate < TIMESTAMP '1997-01-01')
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 (forecast revenue change): the discount revenue that
+    * would be recovered by eliminating mid-band discounts on
+    * small-quantity lines shipped in one year — a single filtered
+    * scan-and-sum with no join at all.
+    *
+    * Scale shape: all four predicates push into the parquet scan
+    * (shipdate range prunes row groups via min/max stats); the sum
+    * rides integer 1/10000-dollar units through the partial+final
+    * aggregate, so the answer is bit-identical under any
+    * partitioning. The discount band compares against the exact
+    * hundredth via `round(×100)` — no float-literal epsilon games. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    tpchQ6Of(Tables(spark, dir, "lineitem"))
+
+  private[graft] def tpchQ6Of(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        expr("CAST(round(l_discount * 100) AS BIGINT)").between(5, 7) &&
+        col("l_quantity") < 24)
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * CAST(round(l_discount * 100) AS BIGINT)").cast("decimal(38,0)"))
+        .as("units"))
+      .select(
+        (((col("units") + 50).cast("decimal(38,0)") / 100).cast("long")
+          .cast("double") / 100.0).as("revenue"))
+
+  val tpchQ6Sql: String =
+    """SELECT CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * CAST(round(l_discount * 100) AS BIGINT) AS u
+      |      FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1997-01-01'
+      |        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |        AND l_quantity < 24)""".stripMargin
 }

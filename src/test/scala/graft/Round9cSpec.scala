@@ -1,0 +1,169 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.BatchQueries
+
+/** Round-9c additions: the TPC-H classics (Q3 shipping-priority
+  * backlog, Q5 local-supplier volume, Q6 forecast revenue change)
+  * re-expressed over this star schema. Fixtures pin the join
+  * topology, the filter edges, and the exact integer-cents revenue
+  * math. */
+class Round9cSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  private def customerDf(rows: Seq[(Long, String, Int, Double, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  }
+  private def ordersDf(rows: Seq[(Long, Long, String, Double, String, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (ok, ck, st, tp, d, pr) => (ok, ck, st, tp, ts(d), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+  private def lineitemDf(rows: Seq[(Long, Long, Long, Double, Double, Double, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (ok, pk, sk, q, ep, disc, d) =>
+      (ok, pk, sk, 1, q, ep, disc, 0.02, "N", "O", ts(d))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
+  test("tpchQ3: segment + date filters gate the join; revenue sums exact cents") {
+    val cust = customerDf(Seq(
+      (1L, "a", 0, 0.0, "BUILDING"),
+      (2L, "b", 0, 0.0, "MACHINERY"))) // wrong segment — excluded
+    val ord = ordersDf(Seq(
+      (10L, 1L, "O", 0.0, "1998-06-01", "1-URGENT"),   // before cut — kept
+      (11L, 1L, "O", 0.0, "1998-06-20", "2-HIGH"),     // after cut — dropped
+      (12L, 2L, "O", 0.0, "1998-06-01", "3-MEDIUM")))  // wrong segment
+    val li = lineitemDf(Seq(
+      (10L, 1L, 1L, 1.0, 100.0, 0.10, "1998-07-01"),   // ships after cut — kept
+      (10L, 2L, 1L, 1.0, 50.0, 0.00, "1998-07-02"),    // second line, same order
+      (10L, 3L, 1L, 1.0, 999.0, 0.00, "1998-05-01"),   // shipped already — dropped
+      (11L, 1L, 1L, 1.0, 100.0, 0.00, "1998-07-01"),
+      (12L, 1L, 1L, 1.0, 100.0, 0.00, "1998-07-01")))
+    val got = BatchQueries.tpchQ3Of(cust, ord, li).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 10L)
+    // 100·(1−0.10) + 50·(1−0) = 90 + 50 = 140 exactly
+    assert(r.getDouble(1) === 140.0)
+    assert(r.getString(3) === "1-URGENT")
+  }
+
+  test("tpchQ3: top-10 heap keeps the highest-revenue orders with stable ties") {
+    val cust = customerDf(Seq((1L, "a", 0, 0.0, "BUILDING")))
+    val ord = ordersDf((1L to 12L).map(k =>
+      (k, 1L, "O", 0.0, "1998-01-01", "5-LOW")))
+    val li = lineitemDf((1L to 12L).map(k =>
+      (k, 1L, 1L, 1.0, 100.0 * k, 0.0, "1998-07-01")))
+    val got = BatchQueries.tpchQ3Of(cust, ord, li).collect()
+    assert(got.length === 10)
+    // descending revenue: orders 12..3 survive; 1200.0 first
+    assert(got.head.getDouble(1) === 1200.0)
+    assert(got.map(_.getLong(0)).toSeq === (12L to 3L by -1L).toSeq)
+  }
+
+  test("tpchQ5: only same-nation customer/supplier pairs in the region count") {
+    val s = spark; import s.implicits._
+    val nation = Seq((0, "N0", 0), (1, "N1", 0), (2, "N2", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val supp = Seq((1L, "s1", 0, 0.0), (2L, "s2", 1, 0.0), (3L, "s3", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val cust = customerDf(Seq(
+      (1L, "c1", 0, 0.0, "BUILDING"),   // nation 0 (ASIA)
+      (2L, "c2", 2, 0.0, "BUILDING")))  // nation 2 (EUROPE)
+    val ord = ordersDf(Seq(
+      (10L, 1L, "O", 0.0, "1996-03-01", "1-URGENT"),
+      (11L, 2L, "O", 0.0, "1996-03-01", "1-URGENT"),
+      (12L, 1L, "O", 0.0, "1995-03-01", "1-URGENT"))) // out of year window
+    val li = lineitemDf(Seq(
+      (10L, 1L, 1L, 1.0, 200.0, 0.05, "1996-04-01"), // cust n0 + supp n0 → counts
+      (10L, 1L, 2L, 1.0, 100.0, 0.00, "1996-04-01"), // supp n1 ≠ cust n0 → excluded
+      (11L, 1L, 3L, 1.0, 100.0, 0.00, "1996-04-01"), // nation 2 = EUROPE → excluded
+      (12L, 1L, 1L, 1.0, 100.0, 0.00, "1996-04-01"))) // 1995 order → excluded
+    val got = BatchQueries.tpchQ5Of(cust, ord, li, supp, nation, region).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "N0")
+    assert(got.head.getDouble(1) === 190.0) // 200·0.95 exact
+  }
+
+  test("marketBasket: apriori cut is lossless and lift math is exact") {
+    // 6 orders; parts 1,2 co-occur 3× (freq pair), part 3 appears twice
+    // (below MbMinPairSup=3 → pruned before the self-join)
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (1L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"), // dup line — one basket item
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (2L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (3L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (3L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (3L, 3L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (4L, 3L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (5L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (6L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01")))
+    val got = graft.queries.ExtensionQueries.marketBasketOf(li).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 3L)))
+    assert(r.getDouble(3) === 0.5)      // support 3/6
+    assert(r.getDouble(4) === 0.75)     // confidence 3/4 (part 1 in 4 orders)
+    assert(r.getDouble(5) === 1.125)    // lift 3·6/(4·4)
+  }
+
+  test("olsTrend: exact line recovers slope/intercept with r2 = 1") {
+    val s = spark; import s.implicits._
+    val nation = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = customerDf(Seq((1L, "c", 0, 0.0, "BUILDING")))
+    // monthly revenue exactly 100 + 10·x dollars for x = 0,1,2,3
+    val ord = ordersDf(Seq(
+      (1L, 1L, "O", 100.0, "1996-01-15", "1-URGENT"),
+      (2L, 1L, "O", 110.0, "1996-02-15", "1-URGENT"),
+      (3L, 1L, "O", 120.0, "1996-03-15", "1-URGENT"),
+      (4L, 1L, "O", 130.0, "1996-04-15", "1-URGENT")))
+    val r = graft.queries.ExtensionQueries.olsTrendOf(ord, cust, nation).head()
+    assert(r.getString(0) === "N0")
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 10.0)
+    assert(r.getDouble(3) === 100.0)
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("scd2Build: versions split on priority change with correct validity") {
+    val ord = ordersDf(Seq(
+      (1L, 7L, "O", 0.0, "1996-01-01", "1-URGENT"),
+      (2L, 7L, "O", 0.0, "1996-02-01", "1-URGENT"), // same priority — no new version
+      (3L, 7L, "O", 0.0, "1996-03-01", "2-HIGH"),   // change → version 2
+      (4L, 7L, "O", 0.0, "1996-04-01", "1-URGENT"), // back → version 3
+      (5L, 9L, "O", 0.0, "1996-05-01", "3-MEDIUM")))
+    val got = graft.queries.ExtensionQueries.scd2BuildOf(ord).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(got.length === 4)
+    assert(got(0) === ((7L, 1, "1-URGENT", ts("1996-01-01"), Some(ts("1996-03-01")), false)))
+    assert(got(1) === ((7L, 2, "2-HIGH", ts("1996-03-01"), Some(ts("1996-04-01")), false)))
+    assert(got(2) === ((7L, 3, "1-URGENT", ts("1996-04-01"), None, true)))
+    assert(got(3) === ((9L, 1, "3-MEDIUM", ts("1996-05-01"), None, true)))
+  }
+
+  test("tpchQ6: discount band and quantity/date edges are exact") {
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
+      (2L, 1L, 1L, 10.0, 1000.0, 0.07, "1996-06-01"), // in: 70
+      (3L, 1L, 1L, 10.0, 1000.0, 0.04, "1996-06-01"), // below band
+      (4L, 1L, 1L, 10.0, 1000.0, 0.08, "1996-06-01"), // above band
+      (5L, 1L, 1L, 24.0, 1000.0, 0.06, "1996-06-01"), // qty 24 not < 24
+      (6L, 1L, 1L, 23.0, 1000.0, 0.06, "1995-12-31"), // before window
+      (7L, 1L, 1L, 23.0, 1000.0, 0.06, "1997-01-01"), // at exclusive end
+      (8L, 1L, 1L, 23.0, 1000.0, 0.06, "1996-12-31"))) // in: 60
+    val got = BatchQueries.tpchQ6Of(li).collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(0) === 180.0)
+  }
+}
