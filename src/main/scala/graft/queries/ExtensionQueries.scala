@@ -6120,4 +6120,78 @@ object ExtensionQueries {
       |FROM ch
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY custkey, version""".stripMargin
+
+  /** CDC SNAPSHOT DIFF: compare two point-in-time "active customer"
+    * snapshots (each customer's latest order priority within a
+    * two-year activity window ending at the snapshot date) and emit
+    * added / removed / changed rows — the change-data-capture diff an
+    * incremental warehouse load computes between consecutive loads.
+    *
+    * Scale shape: each snapshot is one per-customer window top-1
+    * (row_number over (custkey, date DESC, orderkey DESC)) over a
+    * date-pruned scan — the predicate reaches parquet row-group
+    * min/max stats, so each snapshot reads only its two-year slice.
+    * The diff is a single full-outer join on custkey (both sides
+    * already hash-partitioned on it by their windows — AQE reuses the
+    * exchange). `unchanged` rows are dropped before the join output
+    * is materialized. Ties are pinned by orderkey, so "latest" is
+    * engine-independent. */
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame =
+    cdcDiffOf(Tables(spark, dir, "orders"))
+
+  private[graft] def cdcDiffOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def snap(from: String, to: String) = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      orders
+        .filter(col("o_orderdate") > lit(from).cast("timestamp") &&
+          col("o_orderdate") <= lit(to).cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("as_of"))
+    }
+    val s1 = snap("1996-01-01", "1998-01-01")
+    val s2 = snap("1998-01-01", "2000-01-01")
+    s1.as("a").join(s2.as("b"), Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        when(col("a.priority").isNull, "added")
+          .when(col("b.priority").isNull, "removed")
+          .when(col("a.priority") =!= col("b.priority"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("a.priority").as("old_priority"),
+        col("b.priority").as("new_priority"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("change_type", "custkey")
+  }
+
+  val cdcDiffSql: String =
+    """WITH s1 AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority
+      |  FROM (SELECT *, row_number() OVER
+      |          (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders
+      |        WHERE o_orderdate > TIMESTAMP '1996-01-01'
+      |          AND o_orderdate <= TIMESTAMP '1998-01-01')
+      |  WHERE rn = 1),
+      |s2 AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority
+      |  FROM (SELECT *, row_number() OVER
+      |          (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders
+      |        WHERE o_orderdate > TIMESTAMP '1998-01-01'
+      |          AND o_orderdate <= TIMESTAMP '2000-01-01')
+      |  WHERE rn = 1),
+      |d AS (
+      |  SELECT coalesce(s1.custkey, s2.custkey) AS custkey,
+      |         CASE WHEN s1.priority IS NULL THEN 'added'
+      |              WHEN s2.priority IS NULL THEN 'removed'
+      |              WHEN s1.priority <> s2.priority THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type,
+      |         s1.priority AS old_priority, s2.priority AS new_priority
+      |  FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey)
+      |SELECT * FROM d WHERE change_type <> 'unchanged'
+      |ORDER BY change_type, custkey""".stripMargin
 }

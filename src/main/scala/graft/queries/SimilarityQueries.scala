@@ -2367,4 +2367,69 @@ object SimilarityQueries {
        |ORDER BY centroid_cos, vec_id
        |LIMIT $EoBottomK""".stripMargin
   }
+
+  /** TRIANGLE CENSUS of the k-NN graph: global triangle count, wedge
+    * count, and transitivity (3·triangles / wedges) — the
+    * local-density audit that tells an embedding-space owner whether
+    * the neighborhood graph is clumpy (semantic clusters) or
+    * tree-like (hubs chaining unrelated items).
+    *
+    * Scale shape: edges are symmetrized and ORIENTED low-id → high-id,
+    * so each triangle is found exactly once by the two-hop join
+    * e(a,b)⨝e(b,c)⨝e(a,c) with a<b<c — the standard distributed
+    * triangle enumeration. On a k-NN graph the oriented out-degree is
+    * bounded by 2k, so the wedge fan-out per node is ≤ 2k² — linear in
+    * nodes, never quadratic (on power-law graphs you'd orient by
+    * (degree, id) instead; with degree capped at 2k the id orientation
+    * is already optimal up to a constant). The edge relation is the
+    * session-scratch parquet shared with [[pageRank]]/[[labelProp]] —
+    * all three census joins re-read one flat columnar file. Counts are
+    * exact integers; the one ratio is fenced at 6dp. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def triangleCountOnEdges(edges: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+      .localCheckpoint() // k-NN-bounded: ≤ k·|V| rows, reused three times
+    val nNodes = und.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val tris = und.select(col("src").as("a"), col("dst").as("b"))
+      .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(und.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tris)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        Det.rnd(col("n_triangles").cast("double") * 3.0
+          / col("n_wedges"), 6).as("transitivity"))
+  }
+
+  val triangleCountSql: String = {
+    import graft.functions.Det
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+       |        FROM kedges),
+       |nn AS (SELECT count(DISTINCT v) AS n_nodes
+       |       FROM (SELECT src AS v FROM und UNION ALL SELECT dst FROM und)),
+       |ne AS (SELECT count(*) AS n_edges FROM und),
+       |deg AS (SELECT v, count(*) AS d
+       |        FROM (SELECT src AS v FROM und UNION ALL SELECT dst FROM und)
+       |        GROUP BY 1),
+       |wg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |tr AS (SELECT count(*) AS n_triangles
+       |       FROM und e1 JOIN und e2 ON e2.src = e1.dst
+       |            JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |       ${Det.rndSql("CAST(n_triangles AS DOUBLE) * 3.0 / n_wedges", 6)}
+       |         AS transitivity
+       |FROM nn CROSS JOIN ne CROSS JOIN wg CROSS JOIN tr""".stripMargin
+  }
 }

@@ -4112,4 +4112,119 @@ object TextQueries {
        |${finish("'ALL'", "base")}
        |ORDER BY source""".stripMargin
   }
+
+  private val FuzzyMaxDist = 2
+
+  /** EDIT-DISTANCE FUZZY JOIN over the part-name dictionary: all
+    * distinct-name pairs within Levenshtein distance [[FuzzyMaxDist]] —
+    * the blocking-and-matching primitive behind catalog/entity
+    * reconciliation ("red widget" ≈ "red midget").
+    *
+    * Scale shape: the join runs over the DISTINCT NAME DICTIONARY, not
+    * the part rows — names are a vocabulary-bounded relation (64 here;
+    * even a 100 TB catalog has a dictionary orders of magnitude smaller
+    * than its fact tables), so the pair space is dictionary², further
+    * cut by the LOSSLESS length band |len(a)−len(b)| ≤ d (edit distance
+    * is ≥ the length gap, so no true pair is lost — same guarantee
+    * family as [[setsimPrefix]]'s prefix filter, which is the machinery
+    * to add if the dictionary itself ever outgrows one executor).
+    * Levenshtein is Spark's codegen'd built-in; DuckDB's `levenshtein`
+    * computes the identical unit-cost metric — integer-exact, no
+    * rounding concerns. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoinOf(Tables(spark, dir, "part"))
+
+  private[graft] def fuzzyJoinOf(part: DataFrame): DataFrame = {
+    val names = part.select(col("p_name").as("name")).distinct()
+    val a = names.select(col("name").as("name_a"))
+    val b = names.select(col("name").as("name_b"))
+    a.join(b,
+        col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyJoinSql: String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+       |SELECT a.name AS name_a, b.name AS name_b,
+       |       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+       |FROM n a JOIN n b
+       |  ON a.name < b.name
+       | AND abs(len(a.name) - len(b.name)) <= $FuzzyMaxDist
+       |WHERE levenshtein(a.name, b.name) <= $FuzzyMaxDist
+       |ORDER BY name_a, name_b""".stripMargin
+
+  /** JENSEN-SHANNON source distinctiveness: per source, the JS
+    * divergence between its whitespace-token unigram distribution and
+    * the REST of the corpus — the symmetric, bounded [0,1] (log₂)
+    * drift score a curation owner ranks sources by before reweighting
+    * (complements [[ExtensionQueries.psiDrift]], which bins a numeric
+    * column; this reads the full token distribution).
+    *
+    * Scale shape: one shuffled count to the (source × term) relation,
+    * a vocabulary-sized term-total rollup joined back (rest-of-corpus
+    * counts = global − own, so the "rest" distribution is NEVER
+    * rematerialized per source — the complement trick keeps the plan
+    * one pass), then a per-source sum. Terms a source lacks still
+    * contribute the q-side mass: summing p·log₂(2p/(p+q)) over the
+    * source's OWN terms plus q·log₂(2q/(p+q)) over ALL terms the rest
+    * has — both ride the same joined relation. Exact integer counts
+    * feed IEEE doubles; final 6dp rounding absorbs summation-order
+    * ulps (measure-zero boundary risk, the repo-wide float fence). */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergenceOf(Tables(spark, dir, "documents"))
+
+  private[graft] def jsDivergenceOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val tot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val totAll = st.agg(sum("c_st").as("n_all"))
+    // joined: every (source, term-the-corpus-has) pair that the source
+    // itself touches, with the complement count; q-side-only terms (the
+    // source lacks them) enter via the rest aggregation below
+    val j = st.join(broadcast(t), "term")
+      .join(broadcast(tot), "source")
+      .crossJoin(broadcast(totAll))
+      .withColumn("p", col("c_st").cast("double") / col("n_s"))
+      .withColumn("q", (col("c_t") - col("c_st")).cast("double")
+        / (col("n_all") - col("n_s")))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+    // p-side over own terms; q-side over own terms; q-side mass of terms
+    // the source lacks: q·log2(2) = q, and Σ_missing q = 1 − Σ_own q
+    val own = j.groupBy("source").agg(
+      sum(expr("p * log2(p / m)")).as("p_side"),
+      sum(when(col("q") > 0, expr("q * log2(q / m)")).otherwise(0.0)).as("q_own"),
+      sum("q").as("q_mass"))
+    own.select(col("source"),
+        Det.rnd((col("p_side") + col("q_own") + (lit(1.0) - col("q_mass")))
+          / 2.0, 6).as("jsd"))
+      .orderBy(desc("jsd"), asc("source"))
+  }
+
+  val jsDivergenceSql: String =
+    s"""WITH toks AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+       |t AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1),
+       |tot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+       |ta AS (SELECT sum(c_st) AS n_all FROM st),
+       |j AS (SELECT st.source,
+       |             CAST(st.c_st AS DOUBLE) / n_s AS p,
+       |             CAST(t.c_t - st.c_st AS DOUBLE) / (n_all - n_s) AS q
+       |      FROM st JOIN t USING (term) JOIN tot USING (source) CROSS JOIN ta),
+       |own AS (SELECT source,
+       |               sum(p * log2(p / ((p + q) / 2))) AS p_side,
+       |               sum(CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2))
+       |                        ELSE 0 END) AS q_own,
+       |               sum(q) AS q_mass
+       |        FROM j GROUP BY 1)
+       |SELECT source,
+       |       ${Det.rndSql("(p_side + q_own + (1.0 - q_mass)) / 2.0", 6)} AS jsd
+       |FROM own
+       |ORDER BY jsd DESC, source""".stripMargin
 }

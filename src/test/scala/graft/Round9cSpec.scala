@@ -152,6 +152,69 @@ class Round9cSpec extends SparkSpec {
     assert(got(3) === ((9L, 1, "3-MEDIUM", ts("1996-05-01"), None, true)))
   }
 
+  test("fuzzyJoin: length band is lossless for the distance cut") {
+    val s = spark; import s.implicits._
+    val part = Seq(
+      (1L, "red gear", "B", "T", 1, 1.0),
+      (2L, "red bear", "B", "T", 1, 1.0),   // dist 1 from red gear
+      (3L, "red gears", "B", "T", 1, 1.0),  // dist 1 from red gear, 2 from red bear
+      (4L, "blue widget", "B", "T", 1, 1.0) // far from everything
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val got = graft.queries.TextQueries.fuzzyJoinOf(part).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.toSet === Set(
+      ("red bear", "red gear", 1),
+      ("red bear", "red gears", 2),
+      ("red gear", "red gears", 1)))
+  }
+
+  test("jsDivergence: identical sources score 0, disjoint sources score 1") {
+    val s = spark; import s.implicits._
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // two sources with identical token distributions → JSD 0 for both
+    val same = docs(Seq((1L, "a b c", "s1"), (2L, "a b c", "s2")))
+    val gotSame = graft.queries.TextQueries.jsDivergenceOf(same).collect()
+    assert(gotSame.forall(_.getDouble(1) === 0.0))
+    // disjoint vocabularies → JSD 1 (log2 bound)
+    val disj = docs(Seq((1L, "a a b", "s1"), (2L, "c d d", "s2")))
+    val gotDisj = graft.queries.TextQueries.jsDivergenceOf(disj).collect()
+    assert(gotDisj.forall(_.getDouble(1) === 1.0))
+  }
+
+  test("triangleCount: one triangle plus a pendant edge") {
+    val s = spark; import s.implicits._
+    // directed knn-ish edges; undirected closure: {1-2, 2-3, 1-3, 3-4}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = graft.queries.SimilarityQueries.triangleCountOnEdges(edges).head()
+    assert(r.getLong(0) === 4L)  // nodes
+    assert(r.getLong(1) === 4L)  // undirected edges
+    // degrees: 1→2, 2→2, 3→3, 4→1 ⇒ wedges 1+1+3+0 = 5
+    assert(r.getLong(2) === 5L)
+    assert(r.getLong(3) === 1L)  // one triangle
+    assert(r.getDouble(4) === 0.6) // 3·1/5
+  }
+
+  test("cdcDiff: added, removed, changed, and unchanged-dropped") {
+    val ord = ordersDf(Seq(
+      (1L, 1L, "O", 0.0, "1997-06-01", "1-URGENT"), // s1 only → removed
+      (2L, 2L, "O", 0.0, "1997-06-01", "2-HIGH"),   // s1 …
+      (3L, 2L, "O", 0.0, "1999-06-01", "3-MEDIUM"), // … changed in s2
+      (4L, 3L, "O", 0.0, "1999-06-01", "4-LOW"),    // s2 only → added
+      (5L, 4L, "O", 0.0, "1997-06-01", "5-LOW"),    // same in both → dropped
+      (6L, 4L, "O", 0.0, "1999-06-01", "5-LOW"),
+      (7L, 5L, "O", 0.0, "1995-06-01", "1-URGENT"))) // outside both windows
+    val got = graft.queries.ExtensionQueries.cdcDiffOf(ord).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(got.toSeq === Seq(
+      (3L, "added", None, Some("4-LOW")),
+      (2L, "changed", Some("2-HIGH"), Some("3-MEDIUM")),
+      (1L, "removed", Some("1-URGENT"), None)))
+  }
+
   test("tpchQ6: discount band and quantity/date edges are exact") {
     val li = lineitemDf(Seq(
       (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
