@@ -2432,4 +2432,68 @@ object SimilarityQueries {
        |         AS transitivity
        |FROM nn CROSS JOIN ne CROSS JOIN wg CROSS JOIN tr""".stripMargin
   }
+
+  /** DEGREE ASSORTATIVITY of the k-NN graph: the Pearson correlation
+    * of endpoint degrees across edges (Newman's r) — positive means
+    * high-degree vectors neighbor each other (a dense semantic core),
+    * negative means hub-and-spoke (hubs attached to leaves: the
+    * geometry where mutual-kNN cuts matter most).
+    *
+    * Scale shape: degrees are one aggregation over the shared scratch
+    * edge relation; each undirected edge contributes its (deg_a,
+    * deg_b) point in BOTH orientations (the standard symmetrization
+    * that makes r orientation-free), and the correlation reduces to
+    * five integer sums — degree ≤ 2k on a k-NN graph, so every sum
+    * fits long with astronomical headroom. The only non-integer steps
+    * are one sqrt (IEEE-exact, correctly rounded in both engines) and
+    * the final division, fenced at 6 dp. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def assortativityOnEdges(edges: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val pts = und
+      .join(deg.select(col("v").as("src"), col("d").as("x")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("y")), "dst")
+      .select(col("x"), col("y"))
+    val sym = pts.union(pts.select(col("y").as("x"), col("x").as("y")))
+    sym.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select((col("n") / 2).cast("long").as("n_edges"),
+        Det.rnd((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("assortativity"))
+  }
+
+  val assortativitySql: String = {
+    import graft.functions.Det
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+       |        FROM kedges),
+       |deg AS (SELECT v, count(*) AS d
+       |        FROM (SELECT src AS v FROM und UNION ALL SELECT dst FROM und)
+       |        GROUP BY 1),
+       |pts AS (SELECT da.d AS x, db.d AS y
+       |        FROM und JOIN deg da ON da.v = und.src
+       |                 JOIN deg db ON db.v = und.dst),
+       |sym AS (SELECT x, y FROM pts UNION ALL SELECT y, x FROM pts),
+       |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       |      FROM sym)
+       |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       |       ${Det.rndSql(
+              "CAST(n * sxy - sx * sy AS DOUBLE)" +
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)" +
+                " * CAST(n * syy - sy * sy AS DOUBLE))", 6)} AS assortativity
+       |FROM s""".stripMargin
+  }
 }

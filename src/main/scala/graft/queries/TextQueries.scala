@@ -4157,6 +4157,162 @@ object TextQueries {
        |WHERE levenshtein(a.name, b.name) <= $FuzzyMaxDist
        |ORDER BY name_a, name_b""".stripMargin
 
+  private val WsTopK = 20
+  // xxHash prime-3 0xC2B2AE3D split for the overflow-safe modmul ring
+  // (independent of SplitBucket's Knuth prime and SampleBucket's prime-2)
+  private val WsBucket =
+    "pmod(pmod(pmod(doc_id, 4294967296) * 49842, 65536) * 65536" +
+      " + pmod(doc_id, 4294967296) * 44605, 4294967296)"
+  private val WsBucketSql =
+    "((((doc_id % 4294967296) * 49842) % 65536) * 65536" +
+      " + (doc_id % 4294967296) * 44605) % 4294967296"
+
+  /** DETERMINISTIC WEIGHTED SAMPLING (Efraimidis–Spirakis A-ES): draw
+    * the [[WsTopK]] documents with the largest u^(1/w) priority, where
+    * w = n_chars and u ∈ (0,1) is a replayable modmul hash of doc_id —
+    * length-proportional sampling with no `rand()` (partition-layout
+    * dependent) and no rejection loop (nondeterministic under
+    * re-partitioning). The standard one-pass weighted reservoir for
+    * "sample training docs proportional to length/quality".
+    *
+    * Scale shape: a narrow projection computes the priority per row,
+    * then `ORDER BY … LIMIT k` plans as `TakeOrderedAndProject` —
+    * per-partition k-heaps merged at the driver, never a global sort.
+    * u = (bucket + ½)/2³² is an exact dyadic double (bit-identical in
+    * both engines); the only transcendental is one `ln`, compared
+    * through a 12-dp fence (ulp-level engine skew ~1e-19, nine orders
+    * below the fence). Priorities are compared in log domain
+    * (ln u)/w — monotone in u^(1/w), no pow() needed. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleOf(Tables(spark, dir, "documents"))
+
+  private[graft] def weightedSampleOf(docs: DataFrame): DataFrame = {
+    val u = expr(s"($WsBucket + 0.5) / 4294967296.0")
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+        u.as("u"))
+      .withColumn("priority", Det.rnd(expr("ln(u) / weight"), 12))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(WsTopK)
+      .select(col("doc_id"), col("source"), col("weight"), col("priority"))
+  }
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, source, n_chars AS weight,
+       |       ${Det.rndSql("ln((" + WsBucketSql + " + 0.5) / 4294967296.0) / n_chars", 12)}
+       |         AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id
+       |LIMIT $WsTopK""".stripMargin
+
+  /** GOOD–TURING frequency smoothing over the corpus unigram counts:
+    * the counts-of-counts table N_r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, the smoothed probability r*&#47;N, and the
+    * unseen-mass estimate N₁/N — the classical LM smoothing readout
+    * (and the diagnostic a tokenizer owner reads to see how heavy the
+    * singleton tail is).
+    *
+    * Scale shape: term counts are one shuffled aggregation; everything
+    * after lives in counts-of-counts space, whose size is O(max term
+    * frequency) — a few hundred rows regardless of corpus size. The
+    * r↔r+1 self-join happens in that tiny space. All inputs are exact
+    * integers; the two ratios are fenced at 6/9 dp. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    goodTuringOf(Tables(spark, dir, "documents"))
+
+  private[graft] def goodTuringOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+    val nr = tf.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val tot = tf.agg(sum("r").as("n_tokens"))
+    // conditional agg, not filter: stays a 1-row relation even on a
+    // singleton-free corpus (p_unseen = 0, never an empty cross join)
+    val n1 = nr.agg(sum(when(col("r") === 1, col("n_r")).otherwise(0L))
+      .as("n_1"))
+    nr.join(nr.select(col("r").as("r1"), col("n_r").as("n_r1")),
+        col("r") + 1 === col("r1"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(n1))
+      .select(col("r"), col("n_r"),
+        Det.rnd((col("r") + 1).cast("double") * col("n_r1") / col("n_r"), 6)
+          .as("r_star"),
+        Det.rnd((col("r") + 1).cast("double") * col("n_r1")
+          / (col("n_r") * col("n_tokens")), 9).as("p_gt"),
+        Det.rnd(col("n_1").cast("double") / col("n_tokens"), 9).as("p_unseen"))
+      .orderBy("r")
+  }
+
+  val goodTuringSql: String =
+    s"""WITH tf AS (
+       |  SELECT term, count(*) AS r
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY 1),
+       |nr AS (SELECT r, count(*) AS n_r FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens FROM tf),
+       |n1 AS (SELECT CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n_1
+       |       FROM nr)
+       |SELECT a.r, a.n_r,
+       |       ${Det.rndSql("CAST(a.r + 1 AS DOUBLE) * b.n_r / a.n_r", 6)} AS r_star,
+       |       ${Det.rndSql("CAST(a.r + 1 AS DOUBLE) * b.n_r / (a.n_r * n_tokens)", 9)} AS p_gt,
+       |       ${Det.rndSql("CAST(n_1 AS DOUBLE) / n_tokens", 9)} AS p_unseen
+       |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+       |CROSS JOIN tot CROSS JOIN n1
+       |ORDER BY a.r""".stripMargin
+
+  /** CROSS-SOURCE QUANTILE NORMALIZATION of document length: rank each
+    * source's docs by n_chars, build the reference profile as the
+    * cross-source mean at each rank, and emit each doc's normalized
+    * value — the batch-effect correction that puts per-source length
+    * (or quality-score) distributions on one common scale before
+    * mixing sources into a training corpus.
+    *
+    * Scale shape: one window rank per source (partitioned on the
+    * shuffle key), one rank-grained aggregation for the reference
+    * profile (rows = max per-source count — bounded by the largest
+    * source, not the corpus), one join back on rank. Ranks beyond the
+    * smallest source's count are dropped (classical QN assumes equal
+    * n; the min-count cut makes the profile well-defined on unequal
+    * sources and is applied identically in both engines). Values are
+    * integers; the profile mean is one exact rational, fenced at
+    * 4 dp. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalizeOf(Tables(spark, dir, "documents"))
+
+  private[graft] def quantileNormalizeOf(docs: DataFrame): DataFrame = {
+    val ranked = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")))
+    val minN = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("min_n"))
+    val cut = ranked.crossJoin(broadcast(minN))
+      .filter(col("rank") <= col("min_n"))
+    val profile = cut.groupBy("rank")
+      .agg(sum("n_chars").as("s"), count(lit(1)).as("k"))
+      .select(col("rank"),
+        Det.rnd(col("s").cast("double") / col("k"), 4).as("qn_value"))
+    cut.join(profile, "rank")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank"), col("qn_value"))
+      .orderBy("source", "rank")
+  }
+
+  val quantileNormalizeSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank
+       |  FROM documents),
+       |mn AS (SELECT min(n) AS min_n
+       |       FROM (SELECT source, count(*) AS n FROM ranked GROUP BY 1)),
+       |cut AS (SELECT * FROM ranked CROSS JOIN mn WHERE rank <= min_n),
+       |prof AS (SELECT rank,
+       |                ${Det.rndSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 4)} AS qn_value
+       |         FROM cut GROUP BY 1)
+       |SELECT doc_id, source, n_chars, CAST(rank AS INTEGER) AS rank, qn_value
+       |FROM cut JOIN prof USING (rank)
+       |ORDER BY source, rank""".stripMargin
+
   /** JENSEN-SHANNON source distinctiveness: per source, the JS
     * divergence between its whitespace-token unigram distribution and
     * the REST of the corpus — the symmetric, bounded [0,1] (log₂)

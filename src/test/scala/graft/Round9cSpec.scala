@@ -215,6 +215,64 @@ class Round9cSpec extends SparkSpec {
       (1L, "removed", Some("1-URGENT"), None)))
   }
 
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("weightedSample: priorities replay the hash and favor heavy docs") {
+    val docs = docsDf((1L to 30L).map(i => (i, "x" * (10 * i.toInt), "s")))
+    val got = graft.queries.TextQueries.weightedSampleOf(docs).collect()
+    assert(got.length === 20)
+    // priorities are negative, sorted descending, and exactly replayable
+    def bucket(id: Long): Long =
+      ((((id % 4294967296L) * 49842) % 65536) * 65536
+        + (id % 4294967296L) * 44605) % 4294967296L
+    val expect = (1L to 30L).map { id =>
+      val u = (bucket(id) + 0.5) / 4294967296.0
+      val w = 10.0 * id
+      (id, math.floor(math.log(u) / w * 1e12 + 0.5) / 1e12)
+    }.sortBy { case (id, p) => (-p, id) }.take(20)
+    assert(got.map(r => (r.getLong(0), r.getDouble(3))).toSeq === expect)
+  }
+
+  test("goodTuring: r* follows (r+1)·N_{r+1}/N_r on a tiny corpus") {
+    // counts: a→3, b→2, c→2, d→1, e→1, f→1  ⇒ N1=3, N2=2, N3=1, N=10
+    val docs = docsDf(Seq((1L, "a a a b b c c d e f", "s")))
+    val got = graft.queries.TextQueries.goodTuringOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getDouble(4))).toSeq
+    // r=1: r* = 2·N2/N1 = 4/3; r=2: r* = 3·N3/N2 = 1.5; r=3: no N4 → null
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(got(0)._3 === Some(1.333333))
+    assert(got(1)._3 === Some(1.5))
+    assert(got(2)._3 === None)
+    assert(got.forall(_._4 === 0.3)) // p_unseen = N1/N = 3/10
+  }
+
+  test("quantileNormalize: profile is the cross-source rank mean; tail cut") {
+    val docs = docsDf(Seq(
+      (1L, "x" * 10, "sA"), (2L, "x" * 30, "sA"), (3L, "x" * 50, "sA"),
+      (4L, "x" * 20, "sB"), (5L, "x" * 40, "sB"))) // sB has 2 docs → min_n = 2
+    val got = graft.queries.TextQueries.quantileNormalizeOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getDouble(4)))
+    // rank 1: mean(10, 20) = 15; rank 2: mean(30, 40) = 35; rank 3 dropped
+    assert(got.toSet === Set(
+      (1L, "sA", 1, 15.0), (2L, "sA", 2, 35.0),
+      (4L, "sB", 1, 15.0), (5L, "sB", 2, 35.0)))
+  }
+
+  test("assortativity: star graph is perfectly disassortative") {
+    val s = spark; import s.implicits._
+    // star: hub 1 — leaves 2,3,4; degrees: hub 3, leaves 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = graft.queries.SimilarityQueries.assortativityOnEdges(edges).head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === -1.0)
+  }
+
   test("tpchQ6: discount band and quantity/date edges are exact") {
     val li = lineitemDf(Seq(
       (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
