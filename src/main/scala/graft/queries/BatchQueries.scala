@@ -879,4 +879,48 @@ object BatchQueries {
       |        AND l_shipdate < TIMESTAMP '1997-01-01'
       |        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
       |        AND l_quantity < 24)""".stripMargin
+
+  private val Q18MinQty = 200L
+
+  /** TPC-H Q18 (large-volume customers): the top-100 orders whose
+    * total line quantity exceeds [[Q18MinQty]], with their customer —
+    * the classic group-by-HAVING semi-join pattern.
+    *
+    * Scale shape: the HAVING aggregate runs FIRST on lineitem alone
+    * (map-side partial sums on the already-clustered orderkey), and
+    * only qualifying orderkeys — a tiny fraction of orders — flow
+    * into the joins; at 100 TB, AQE sees the filtered cardinality at
+    * runtime and broadcasts the survivor side into orders/customer
+    * rather than shuffling the full fact chain. Quantities are
+    * integral doubles summed as exact longs; the final cut is
+    * TakeOrderedAndProject on (o_totalprice desc, o_orderdate,
+    * o_orderkey) with the orderkey tiebreak pinning cross-engine
+    * order. */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame =
+    tpchQ18Of(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"))
+
+  private[graft] def tpchQ18Of(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bigOrders = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    orders.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  val tpchQ18Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |      FROM lineitem GROUP BY 1
+       |      HAVING sum(CAST(l_quantity AS BIGINT)) > $Q18MinQty) b
+       |JOIN orders ON o_orderkey = b.l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       |LIMIT 100""".stripMargin
 }

@@ -2496,4 +2496,75 @@ object SimilarityQueries {
                 " * CAST(n * syy - sy * sy AS DOUBLE))", 6)} AS assortativity
        |FROM s""".stripMargin
   }
+
+  private val SsspRounds = 4
+  private val SsspFar = 999L // unreached-within-K sentinel (no NULL algebra)
+
+  /** BFS HOP-DISTANCE PROFILE from a canonical seed (the minimum node
+    * id) over the k-NN graph: how many vectors sit 0, 1, 2, … hops
+    * from the seed after [[SsspRounds]] relaxation rounds, with
+    * [[SsspFar]] marking not-yet-reached — the reachability/expansion
+    * audit for the neighborhood graph (a flat profile means the graph
+    * expands; mass stuck at the sentinel means disconnected islands).
+    *
+    * Scale shape: textbook distributed Bellman-Ford-style relaxation —
+    * each round is one join of the frontier-bearing distance relation
+    * (node-sized) against the shared scratch edge relation, one
+    * min-aggregation, one merge; K rounds = K shuffles on the node
+    * key, never a transitive closure. The distance relation is pinned
+    * per round (node-bounded — value-bounded by |V|, which the
+    * localCheckpoint policy allows) so round k+1 replans a flat
+    * relation, not a k-deep join tree. Distances are exact integers;
+    * the sentinel replaces NULL so both engines run identical
+    * min-algebra (no engine-specific NULL-in-least semantics). */
+  def sssp(spark: SparkSession, dir: String): DataFrame =
+    ssspOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def ssspOnEdges(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = adj.select(col("src").as("v")).distinct()
+    val seed = nodes.agg(min("v").as("s"))
+    var dist = nodes.crossJoin(broadcast(seed))
+      .select(col("v"),
+        when(col("v") === col("s"), 0L).otherwise(SsspFar).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to SsspRounds) {
+      val prop = adj.join(dist.filter(col("d") < SsspFar),
+          adj("src") === col("v"))
+        .groupBy(col("dst").as("u")).agg(min(col("d") + 1).as("nd"))
+      dist = dist.join(prop, col("v") === col("u"), "left")
+        .select(col("v"),
+          least(col("d"), coalesce(col("nd"), lit(SsspFar))).as("d"))
+        .localCheckpoint()
+    }
+    dist.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+  }
+
+  val ssspSql: String = {
+    val rounds = (1 to SsspRounds).map { k =>
+      val prev = s"d${k - 1}"
+      s"""d$k AS (
+         |  SELECT $prev.v, least($prev.d, coalesce(p.nd, $SsspFar)) AS d
+         |  FROM $prev LEFT JOIN (
+         |    SELECT adj.dst AS u, min($prev.d + 1) AS nd
+         |    FROM adj JOIN $prev ON adj.src = $prev.v
+         |    WHERE $prev.d < $SsspFar
+         |    GROUP BY 1) p ON p.u = $prev.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |adj AS (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM kedges UNION ALL SELECT dst, src FROM kedges)),
+       |nodes AS (SELECT DISTINCT src AS v FROM adj),
+       |seed AS (SELECT min(v) AS s FROM nodes),
+       |d0 AS (SELECT v, CASE WHEN v = s THEN 0 ELSE $SsspFar END AS d
+       |       FROM nodes CROSS JOIN seed),
+       |$rounds
+       |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes
+       |FROM d$SsspRounds
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -4313,6 +4313,147 @@ object TextQueries {
        |FROM cut JOIN prof USING (rank)
        |ORDER BY source, rank""".stripMargin
 
+  private val QlMu = 2000.0
+
+  /** DIRICHLET-SMOOTHED QUERY LIKELIHOOD retrieval (Zhai-Lafferty,
+    * μ=[[QlMu]]) over the same self-contained probe query as [[bm25]]
+    * (the corpus's top-[[Bm25QTerms]] DF terms) — the language-model
+    * retrieval twin of BM25, scoring
+    * Σ_t log((tf + μ·cf_t/C) / (dl + μ)).
+    *
+    * Scale shape: the score DECOMPOSES so absent query terms never
+    * materialize rows — log(tf + μp_t) − log(μp_t) over PRESENT
+    * (doc, query-term) pairs only, plus a per-doc −|q|·log(dl+μ)
+    * ridden off the doc-length relation, plus one global constant
+    * Σ_t log(μp_t) (a 1-row broadcast). The corpus-sized tf relation
+    * joins a 5-row broadcast; no shuffle on the term key; final cut is
+    * TakeOrderedAndProject. Every input (tf, cf, C, dl) is an exact
+    * integer; scores are fenced at 6 dp before the rank cut with a
+    * doc_id tiebreak. */
+  def dirichletQl(spark: SparkSession, dir: String): DataFrame =
+    dirichletQlOf(Tables(spark, dir, "documents"))
+
+  private[graft] def dirichletQlOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds dl, df, cf AND the probe side
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val q = df.orderBy(desc("df"), asc("term")).limit(Bm25QTerms)
+      .select(col("term"), col("cf"))
+    val tot = tf.agg(sum("tf").as("c_tot"))
+    // global constant Σ_t log(μ·cf_t/C) and the query size, one row
+    val c0 = q.crossJoin(broadcast(tot))
+      .agg(sum(expr(s"ln($QlMu * cf / c_tot)")).as("c0"),
+        count(lit(1)).as("n_q"))
+    val bonus = tf.join(broadcast(q), "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(expr(s"ln(tf + $QlMu * cf / c_tot) - ln($QlMu * cf / c_tot)"))
+        .as("bonus"), count(lit(1)).as("n_terms"))
+    dl.join(bonus, Seq("doc_id"), "left")
+      .crossJoin(broadcast(c0))
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        Det.rnd(col("c0") + coalesce(col("bonus"), lit(0.0))
+          - col("n_q") * log(col("dl") + lit(QlMu)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(Bm25TopDocs)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rank")
+  }
+
+  val dirichletQlSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |       FROM tf GROUP BY 1),
+       |q AS (SELECT term, cf FROM df ORDER BY df DESC, term LIMIT $Bm25QTerms),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS c_tot FROM tf),
+       |c0 AS (SELECT sum(ln($QlMu * cf / c_tot)) AS c0, count(*) AS n_q
+       |       FROM q CROSS JOIN tot),
+       |bonus AS (SELECT doc_id,
+       |                 sum(ln(tf + $QlMu * cf / c_tot)
+       |                     - ln($QlMu * cf / c_tot)) AS bonus,
+       |                 count(*) AS n_terms
+       |          FROM tf JOIN q USING (term) CROSS JOIN tot
+       |          GROUP BY 1),
+       |sc AS (SELECT dl.doc_id,
+       |              CAST(coalesce(b.n_terms, 0) AS BIGINT) AS n_terms,
+       |              ${Det.rndSql(
+                "c0.c0 + coalesce(b.bonus, 0.0) - c0.n_q * ln(dl.dl + " + QlMu + ")",
+                6)} AS score
+       |       FROM dl LEFT JOIN bonus b USING (doc_id) CROSS JOIN c0
+       |       ORDER BY score DESC, doc_id LIMIT $Bm25TopDocs)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+       |       doc_id, n_terms, score
+       |FROM sc
+       |ORDER BY rank""".stripMargin
+
+  /** MUTUAL INFORMATION between the `lang` and `source` columns —
+    * I(L;S) in bits, the marginal entropies, and the normalized MI —
+    * the dependence audit a corpus owner runs to see whether sources
+    * are language-skewed (NMI→1 means source determines language:
+    * stratify by both before splitting).
+    *
+    * Scale shape: one shuffled count to the (lang × source)
+    * contingency table — cells = |langs|·|sources|, a vocabulary-
+    * sized relation no matter the corpus; marginals and the three
+    * entropy sums all reduce inside it. Exact integer counts feed the
+    * log₂ terms; the final values are fenced at 6 dp. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame =
+    mutualInfoOf(Tables(spark, dir, "documents"))
+
+  private[graft] def mutualInfoOf(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("c_ls"))
+      .localCheckpoint() // contingency-table-sized; feeds 3 rollups
+    val ml = cells.groupBy("lang").agg(sum("c_ls").as("c_l"))
+    val ms = cells.groupBy("source").agg(sum("c_ls").as("c_s"))
+    val n = cells.agg(sum("c_ls").as("n"))
+    val mi = cells.join(broadcast(ml), "lang").join(broadcast(ms), "source")
+      .crossJoin(broadcast(n))
+      .agg(sum(expr(
+        "CAST(c_ls AS DOUBLE) / n * log2(CAST(c_ls AS DOUBLE) * n / (CAST(c_l AS DOUBLE) * c_s))"))
+        .as("mi"))
+    val hl = ml.crossJoin(broadcast(n))
+      .agg(sum(expr("-CAST(c_l AS DOUBLE) / n * log2(CAST(c_l AS DOUBLE) / n)"))
+        .as("h_lang"))
+    val hs = ms.crossJoin(broadcast(n))
+      .agg(sum(expr("-CAST(c_s AS DOUBLE) / n * log2(CAST(c_s AS DOUBLE) / n)"))
+        .as("h_source"))
+    mi.crossJoin(hl).crossJoin(hs)
+      .select(Det.rnd(col("mi"), 6).as("mi"),
+        Det.rnd(col("h_lang"), 6).as("h_lang"),
+        Det.rnd(col("h_source"), 6).as("h_source"),
+        Det.rnd(col("mi") / sqrt(col("h_lang") * col("h_source")), 6).as("nmi"))
+  }
+
+  val mutualInfoSql: String =
+    s"""WITH cells AS (SELECT lang, source, count(*) AS c_ls
+       |               FROM documents GROUP BY 1, 2),
+       |ml AS (SELECT lang, CAST(sum(c_ls) AS BIGINT) AS c_l FROM cells GROUP BY 1),
+       |ms AS (SELECT source, CAST(sum(c_ls) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+       |nn AS (SELECT CAST(sum(c_ls) AS BIGINT) AS n FROM cells),
+       |mi AS (SELECT sum(CAST(c_ls AS DOUBLE) / n
+       |                  * log2(CAST(c_ls AS DOUBLE) * n
+       |                         / (CAST(c_l AS DOUBLE) * c_s))) AS mi
+       |       FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN nn),
+       |hl AS (SELECT sum(-CAST(c_l AS DOUBLE) / n * log2(CAST(c_l AS DOUBLE) / n)) AS h_lang
+       |       FROM ml CROSS JOIN nn),
+       |hs AS (SELECT sum(-CAST(c_s AS DOUBLE) / n * log2(CAST(c_s AS DOUBLE) / n)) AS h_source
+       |       FROM ms CROSS JOIN nn)
+       |SELECT ${Det.rndSql("mi", 6)} AS mi,
+       |       ${Det.rndSql("h_lang", 6)} AS h_lang,
+       |       ${Det.rndSql("h_source", 6)} AS h_source,
+       |       ${Det.rndSql("mi / sqrt(h_lang * h_source)", 6)} AS nmi
+       |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
+
   /** JENSEN-SHANNON source distinctiveness: per source, the JS
     * divergence between its whitespace-token unigram distribution and
     * the REST of the corpus — the symmetric, bounded [0,1] (log₂)

@@ -273,6 +273,74 @@ class Round9cSpec extends SparkSpec {
     assert(r.getDouble(1) === -1.0)
   }
 
+  test("tpchQ18: only orders above the quantity threshold survive") {
+    val cust = customerDf(Seq((1L, "c1", 0, 0.0, "BUILDING")))
+    val ord = ordersDf(Seq(
+      (10L, 1L, "O", 500.0, "1996-01-01", "1-URGENT"),
+      (11L, 1L, "O", 900.0, "1996-01-01", "1-URGENT")))
+    val li = lineitemDf(Seq(
+      (10L, 1L, 1L, 150.0, 1.0, 0.0, "1996-02-01"),
+      (10L, 2L, 1L, 60.0, 1.0, 0.0, "1996-02-01"),  // 210 > 200 → kept
+      (11L, 1L, 1L, 200.0, 1.0, 0.0, "1996-02-01"))) // exactly 200 → dropped
+    val got = graft.queries.BatchQueries.tpchQ18Of(cust, ord, li).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 10L)
+    assert(got.head.getLong(5) === 210L)
+  }
+
+  test("dirichletQl: longer matching doc outranks when tf dominates; scores replay") {
+    // top-5-DF query terms on this corpus: every distinct term (all df 2)
+    val docs = docsDf(Seq(
+      (1L, "a a a b c", "s"),
+      (2L, "a b c d e", "s"),
+      (3L, "d e d e d", "s")))
+    val got = graft.queries.TextQueries.dirichletQlOf(docs).collect()
+    assert(got.length === 3)
+    // every doc scored (even partial term coverage); ranks are 1..3
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    // doc 2 contains all 5 query terms → n_terms = 5
+    val byDoc = got.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byDoc(2L) === 5L)
+    // plain-Scala replay of the decomposed score for doc 2
+    val mu = 2000.0; val cTot = 15.0
+    val cf = Map("a" -> 4L, "b" -> 2L, "c" -> 2L, "d" -> 4L, "e" -> 3L)
+    val c0 = cf.values.map(c => math.log(mu * c / cTot)).sum
+    val bonus = cf.map { case (_, c) =>
+      math.log(1 + mu * c / cTot) - math.log(mu * c / cTot) }.sum
+    val expect = math.floor((c0 + bonus - 5 * math.log(5 + mu)) * 1e6 + 0.5) / 1e6
+    val s2 = got.find(_.getLong(1) == 2L).get.getDouble(3)
+    assert(s2 === expect)
+  }
+
+  test("mutualInfo: independent columns give 0, determined columns give NMI 1") {
+    val s = spark; import s.implicits._
+    def d(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, l, src) => (id, "t", l, src, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // independent 2×2 uniform
+    val ind = d(Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "fr", "a"), (4L, "fr", "b")))
+    val r1 = graft.queries.TextQueries.mutualInfoOf(ind).head()
+    assert(r1.getDouble(0) === 0.0)
+    assert(r1.getDouble(1) === 1.0) // H(lang) = 1 bit
+    // source determines lang exactly
+    val det = d(Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "fr", "b"), (4L, "fr", "b")))
+    val r2 = graft.queries.TextQueries.mutualInfoOf(det).head()
+    assert(r2.getDouble(0) === 1.0)
+    assert(r2.getDouble(3) === 1.0)
+  }
+
+  test("sssp: hop distances on a path graph with an island") {
+    val s = spark; import s.implicits._
+    // path 1-2-3-4-5-6-7 plus island {10,11}: from seed 1,
+    // dists 0,1,2,3,4 then 5,6 unreached within 4 rounds; island unreached
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.queries.SimilarityQueries.ssspOnEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 1L), (999L, 4L)))
+  }
+
   test("tpchQ6: discount band and quantity/date edges are exact") {
     val li = lineitemDf(Seq(
       (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
