@@ -5911,71 +5911,6 @@ object ExtensionQueries {
        |       CAST(sum(diff) AS DOUBLE) / 1000000.0 AS total_drift
        |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  private val MbMinPairSup = 3   // min co-occurrence count for a rule
-  private val MbTopK = 50
-
-  /** MARKET-BASKET association rules (Apriori pair stage): part pairs
-    * co-purchased in the same order, with support, confidence and
-    * lift — the co-occurrence mining step behind "frequently bought
-    * together".
-    *
-    * Scale shape: the quadratic hazard is the per-basket pair
-    * explosion. Two bounds keep it linear-ish: (a) baskets are
-    * order-line-bounded (an order has a handful of lines, so each
-    * basket emits O(lines²)≈constant pairs), and (b) the APRIORI
-    * monotonicity cut — a pair reaching [[MbMinPairSup]] needs BOTH
-    * items to reach it alone, so baskets are pre-filtered to frequent
-    * items before the self-join (lossless, same rows out). The item
-    * frequency relation is vocabulary-sized → broadcast to both join
-    * sides; the one big shuffle is the basket self-join on orderkey,
-    * which is the co-partitioned key both sides already hash on. All
-    * three metrics are exact integer ratios rounded at 6dp —
-    * partition order can never flip a value. */
-  def marketBasket(spark: SparkSession, dir: String): DataFrame =
-    marketBasketOf(Tables(spark, dir, "lineitem"))
-
-  private[graft] def marketBasketOf(lineitem: DataFrame): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey").as("okey"),
-      col("l_partkey").as("pk")).distinct()
-    val nOrders = baskets.select("okey").distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val freq = baskets.groupBy("pk").agg(count(lit(1)).as("item_n"))
-      .filter(col("item_n") >= MbMinPairSup) // apriori cut — lossless
-    val fb = baskets.join(broadcast(freq), "pk")
-    val pairs = fb.select(col("okey"), col("pk").as("p1"), col("item_n").as("n1"))
-      .join(fb.select(col("okey"), col("pk").as("p2"), col("item_n").as("n2")),
-        "okey")
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "n1", "p2", "n2")
-      .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= MbMinPairSup)
-    pairs.crossJoin(broadcast(nOrders))
-      .select(col("p1"), col("p2"), col("n_pair"),
-        Det.rnd(col("n_pair").cast("double") / col("n_orders"), 6).as("support"),
-        Det.rnd(col("n_pair").cast("double") / col("n1"), 6).as("confidence"),
-        Det.rnd(col("n_pair").cast("double") * col("n_orders")
-          / (col("n1") * col("n2")), 6).as("lift"))
-      .orderBy(desc("lift"), asc("p1"), asc("p2"))
-      .limit(MbTopK)
-  }
-
-  val marketBasketSql: String =
-    s"""WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-       |no AS (SELECT count(DISTINCT okey) AS n_orders FROM b),
-       |f AS (SELECT pk, count(*) AS item_n FROM b GROUP BY 1
-       |      HAVING count(*) >= $MbMinPairSup),
-       |fb AS (SELECT b.okey, b.pk, f.item_n FROM b JOIN f USING (pk)),
-       |p AS (SELECT a.pk AS p1, a.item_n AS n1, c.pk AS p2, c.item_n AS n2,
-       |             count(*) AS n_pair
-       |      FROM fb a JOIN fb c ON a.okey = c.okey AND a.pk < c.pk
-       |      GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MbMinPairSup)
-       |SELECT p1, p2, n_pair,
-       |       ${Det.rndSql("CAST(n_pair AS DOUBLE) / n_orders", 6)} AS support,
-       |       ${Det.rndSql("CAST(n_pair AS DOUBLE) / n1", 6)} AS confidence,
-       |       ${Det.rndSql("CAST(n_pair AS DOUBLE) * n_orders / (n1 * n2)", 6)} AS lift
-       |FROM p CROSS JOIN no
-       |ORDER BY lift DESC, p1, p2
-       |LIMIT $MbTopK""".stripMargin
 
   /** Per-nation OLS revenue trend: regress monthly order revenue on
     * the month index (closed-form least squares) — slope,
@@ -6070,62 +6005,15 @@ object ExtensionQueries {
               6)} AS r2
        |FROM s ORDER BY n_name""".stripMargin
 
-  /** SCD TYPE-2 dimension build: collapse each customer's order
-    * history into priority "versions" — one row per run of equal
-    * `o_orderpriority` with [valid_from, valid_to) bounds and an
-    * is_current flag. The change-data-capture primitive every
-    * warehouse dimension load runs.
-    *
-    * Scale shape: one window over (custkey, orderdate, orderkey) —
-    * the partition key is the dimension's natural key, so the sort is
-    * per-customer and co-partitioned with the shuffle that brought
-    * the rows together; no global sort. Change detection is
-    * lag ≠ current; version bounds come from lead over the CHANGE
-    * rows only (a second, much smaller window pass). Ties (two
-    * same-day orders) are pinned by orderkey so both engines pick
-    * the same row order. */
-  def scd2Build(spark: SparkSession, dir: String): DataFrame =
-    scd2BuildOf(Tables(spark, dir, "orders"))
-
-  private[graft] def scd2BuildOf(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    val changes = orders
-      .withColumn("prev", lag("o_orderpriority", 1).over(wo))
-      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-    val wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    changes
-      .withColumn("version", row_number().over(wv))
-      .withColumn("valid_to", lead("o_orderdate", 1).over(wv))
-      .select(col("o_custkey").as("custkey"), col("version"),
-        col("o_orderpriority").as("priority"),
-        col("o_orderdate").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
-      .orderBy("custkey", "version")
-  }
-
-  val scd2BuildSql: String =
-    """WITH c AS (
-      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-      |         lag(o_orderpriority) OVER
-      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
-      |  FROM orders),
-      |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> o_orderpriority)
-      |SELECT o_custkey AS custkey,
-      |       CAST(row_number() OVER w AS INTEGER) AS version,
-      |       o_orderpriority AS priority,
-      |       o_orderdate AS valid_from,
-      |       lead(o_orderdate) OVER w AS valid_to,
-      |       lead(o_orderdate) OVER w IS NULL AS is_current
-      |FROM ch
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY custkey, version""".stripMargin
 
   /** CDC SNAPSHOT DIFF: compare two point-in-time "active customer"
     * snapshots (each customer's latest order priority within a
     * two-year activity window ending at the snapshot date) and emit
     * added / removed / changed rows — the change-data-capture diff an
-    * incremental warehouse load computes between consecutive loads.
+    * incremental warehouse load computes between consecutive loads
+    * ([[snapshotDiff]] diffs COUNT churn per user in one pass over one
+    * table; this diffs ATTRIBUTE states with old/new values, the
+    * keyed-merge shape).
     *
     * Scale shape: each snapshot is one per-customer window top-1
     * (row_number over (custkey, date DESC, orderkey DESC)) over a
@@ -6194,4 +6082,6 @@ object ExtensionQueries {
       |  FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey)
       |SELECT * FROM d WHERE change_type <> 'unchanged'
       |ORDER BY change_type, custkey""".stripMargin
+
+
 }

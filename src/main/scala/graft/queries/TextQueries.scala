@@ -4115,22 +4115,24 @@ object TextQueries {
 
   private val FuzzyMaxDist = 2
 
-  /** EDIT-DISTANCE FUZZY JOIN over the part-name dictionary: all
-    * distinct-name pairs within Levenshtein distance [[FuzzyMaxDist]] —
-    * the blocking-and-matching primitive behind catalog/entity
-    * reconciliation ("red widget" ≈ "red midget").
+  /** LOSSLESS EDIT-DISTANCE JOIN over the part-name dictionary — the
+    * ground-truth twin of [[ExtensionQueries.fuzzyMatch]]: fuzzyMatch
+    * blocks on the last word (fast, but blind to pairs whose NOUN
+    * differs, e.g. "small ring"/"small king"); this join's only
+    * prefilter is the LOSSLESS length band |len(a)−len(b)| ≤ d (edit
+    * distance ≥ the length gap, so no true pair can be lost — same
+    * guarantee family as [[setsimPrefix]]). The `same_block` flag
+    * marks whether fuzzyMatch's blocking would have found each pair —
+    * making this the recall audit for the blocked production join,
+    * the same audit-pairing as [[lshRecall]] over [[DedupQueries]]'
+    * banding.
     *
-    * Scale shape: the join runs over the DISTINCT NAME DICTIONARY, not
-    * the part rows — names are a vocabulary-bounded relation (64 here;
-    * even a 100 TB catalog has a dictionary orders of magnitude smaller
-    * than its fact tables), so the pair space is dictionary², further
-    * cut by the LOSSLESS length band |len(a)−len(b)| ≤ d (edit distance
-    * is ≥ the length gap, so no true pair is lost — same guarantee
-    * family as [[setsimPrefix]]'s prefix filter, which is the machinery
-    * to add if the dictionary itself ever outgrows one executor).
-    * Levenshtein is Spark's codegen'd built-in; DuckDB's `levenshtein`
-    * computes the identical unit-cost metric — integer-exact, no
-    * rounding concerns. */
+    * Scale shape: both sides are the DISTINCT NAME DICTIONARY —
+    * vocabulary-bounded (64 names here; even a 100 TB catalog's name
+    * dictionary is orders of magnitude smaller than its facts), so
+    * dictionary² is the audit's honest cost, cut by the band.
+    * Levenshtein is Spark's codegen'd built-in; DuckDB computes the
+    * identical unit-cost metric — integer-exact, no rounding. */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoinOf(Tables(spark, dir, "part"))
 
@@ -4143,14 +4145,19 @@ object TextQueries {
           abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= FuzzyMaxDist)
-      .select(col("name_a"), col("name_b"), col("dist"))
+      .withColumn("same_block",
+        element_at(split(col("name_a"), " "), -1) ===
+          element_at(split(col("name_b"), " "), -1))
+      .select(col("name_a"), col("name_b"), col("dist"), col("same_block"))
       .orderBy("name_a", "name_b")
   }
 
   val fuzzyJoinSql: String =
     s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
        |SELECT a.name AS name_a, b.name AS name_b,
-       |       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+       |       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+       |       list_extract(string_split(a.name, ' '), -1)
+       |         = list_extract(string_split(b.name, ' '), -1) AS same_block
        |FROM n a JOIN n b
        |  ON a.name < b.name
        | AND abs(len(a.name) - len(b.name)) <= $FuzzyMaxDist
@@ -4454,12 +4461,84 @@ object TextQueries {
        |       ${Det.rndSql("mi / sqrt(h_lang * h_source)", 6)} AS nmi
        |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
 
+  // decile edges of p = σ(z) expressed on the z axis: ln(k/(10−k)),
+  // k = 1..9, written as round-trip-exact double literals so both
+  // engines compare the identical constants
+  private val CalibEdges = Seq(
+    "-2.1972245773362196", "-1.3862943611198906", "-0.8472978603872037",
+    "-0.40546510810816444", "0.0", "0.4054651081081644",
+    "0.8472978603872037", "1.3862943611198906", "2.1972245773362196")
+
+  /** CALIBRATION TABLE for the hashing-trick classifier: bucket
+    * documents into predicted-probability deciles and compare the
+    * mean prediction against the observed positive rate per bucket —
+    * the reliability diagram (as data) every scored-filter owner
+    * checks before trusting model probabilities as sampling weights
+    * ([[classifierCalibration]] reads DUP RATE per raw-logit bin —
+    * score vs a data property; this reads predicted probability vs
+    * the OBSERVED LABEL, the calibration sense of the word).
+    *
+    * Scale shape: scoring is the [[graft.functions.HashedLogit]]
+    * codegen'd kernel (scan-speed, no explode); the decile assignment
+    * happens on the z axis against fixed ln(k/(10−k)) constants —
+    * z = logit/n_tokens is the same exact IEEE ratio in both engines,
+    * and a rational z can't sit within ulp of those irrational edges,
+    * so bucket membership is engine-exact WITHOUT a rounding fence
+    * (binning p = σ(z) directly would put engine-specific exp() in
+    * the branch). One 10-row aggregation finishes; the only
+    * transcendental (σ for avg_pred) is inside a 6 dp fence. */
+  def calibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationOf(Tables(spark, dir, "documents"))
+
+  private[graft] def calibrationOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val binExpr = CalibEdges.map(e => s"CAST(z >= $e AS INT)")
+      .mkString(" + ")
+    docs.select(
+        expr("hashed_logit(text)").getItem(0).as("score"),
+        expr("hashed_logit(text)").getItem(1).as("nt"),
+        (col("lang") === "en").cast("long").as("pos"))
+      .withColumn("z", col("score").cast("double") / col("nt"))
+      .withColumn("bin", expr(binExpr))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        Det.rnd(sum(expr("1.0 / (1.0 + exp(-z))")) / count(lit(1)), 6)
+          .as("avg_pred"),
+        Det.rnd(sum("pos").cast("double") / count(lit(1)), 6).as("frac_pos"))
+      .orderBy("bin")
+  }
+
+  val calibrationSql: String = {
+    val binExpr = CalibEdges.map(e => s"CAST(z >= $e AS INT)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id,
+       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |               % 4294967296 % 17 - 8 AS w
+       |      FROM toks),
+       |scored AS (SELECT s.doc_id,
+       |                  CAST(sum(s.w) AS DOUBLE) / count(*) AS z,
+       |                  CAST(max(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |           FROM w s JOIN documents d ON s.doc_id = d.doc_id
+       |           GROUP BY s.doc_id)
+       |SELECT $binExpr AS bin, count(*) AS n,
+       |       ${Det.rndSql("sum(1.0 / (1.0 + exp(-z))) / count(*)", 6)} AS avg_pred,
+       |       ${Det.rndSql("CAST(sum(pos) AS DOUBLE) / count(*)", 6)} AS frac_pos
+       |FROM scored
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** JENSEN-SHANNON source distinctiveness: per source, the JS
     * divergence between its whitespace-token unigram distribution and
     * the REST of the corpus — the symmetric, bounded [0,1] (log₂)
     * drift score a curation owner ranks sources by before reweighting
     * (complements [[ExtensionQueries.psiDrift]], which bins a numeric
-    * column; this reads the full token distribution).
+    * column, and [[langDivergence]], whose KL is asymmetric,
+    * unbounded, and measured against the WHOLE corpus rather than the
+    * complement — JSD vs the complement is the leave-one-out form
+    * that doesn't let a giant source dominate its own baseline).
     *
     * Scale shape: one shuffled count to the (source × term) relation,
     * a vocabulary-sized term-total rollup joined back (rest-of-corpus

@@ -93,30 +93,6 @@ class Round9cSpec extends SparkSpec {
     assert(got.head.getDouble(1) === 190.0) // 200·0.95 exact
   }
 
-  test("marketBasket: apriori cut is lossless and lift math is exact") {
-    // 6 orders; parts 1,2 co-occur 3× (freq pair), part 3 appears twice
-    // (below MbMinPairSup=3 → pruned before the self-join)
-    val li = lineitemDf(Seq(
-      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (1L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"), // dup line — one basket item
-      (2L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (2L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (3L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (3L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (3L, 3L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (4L, 3L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (5L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
-      (6L, 2L, 1L, 1.0, 1.0, 0.0, "1996-01-01")))
-    val got = graft.queries.ExtensionQueries.marketBasketOf(li).collect()
-    assert(got.length === 1)
-    val r = got.head
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 3L)))
-    assert(r.getDouble(3) === 0.5)      // support 3/6
-    assert(r.getDouble(4) === 0.75)     // confidence 3/4 (part 1 in 4 orders)
-    assert(r.getDouble(5) === 1.125)    // lift 3·6/(4·4)
-  }
-
   test("olsTrend: exact line recovers slope/intercept with r2 = 1") {
     val s = spark; import s.implicits._
     val nation = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
@@ -135,23 +111,6 @@ class Round9cSpec extends SparkSpec {
     assert(r.getDouble(4) === 1.0)
   }
 
-  test("scd2Build: versions split on priority change with correct validity") {
-    val ord = ordersDf(Seq(
-      (1L, 7L, "O", 0.0, "1996-01-01", "1-URGENT"),
-      (2L, 7L, "O", 0.0, "1996-02-01", "1-URGENT"), // same priority — no new version
-      (3L, 7L, "O", 0.0, "1996-03-01", "2-HIGH"),   // change → version 2
-      (4L, 7L, "O", 0.0, "1996-04-01", "1-URGENT"), // back → version 3
-      (5L, 9L, "O", 0.0, "1996-05-01", "3-MEDIUM")))
-    val got = graft.queries.ExtensionQueries.scd2BuildOf(ord).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
-    assert(got.length === 4)
-    assert(got(0) === ((7L, 1, "1-URGENT", ts("1996-01-01"), Some(ts("1996-03-01")), false)))
-    assert(got(1) === ((7L, 2, "2-HIGH", ts("1996-03-01"), Some(ts("1996-04-01")), false)))
-    assert(got(2) === ((7L, 3, "1-URGENT", ts("1996-04-01"), None, true)))
-    assert(got(3) === ((9L, 1, "3-MEDIUM", ts("1996-05-01"), None, true)))
-  }
-
   test("fuzzyJoin: length band is lossless for the distance cut") {
     val s = spark; import s.implicits._
     val part = Seq(
@@ -161,11 +120,13 @@ class Round9cSpec extends SparkSpec {
       (4L, "blue widget", "B", "T", 1, 1.0) // far from everything
     ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
     val got = graft.queries.TextQueries.fuzzyJoinOf(part).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+    // same_block audits fuzzyMatch's last-word blocking: bear/gear and
+    // gear/gears pairs differ in the noun → the blocked join misses them
     assert(got.toSet === Set(
-      ("red bear", "red gear", 1),
-      ("red bear", "red gears", 2),
-      ("red gear", "red gears", 1)))
+      ("red bear", "red gear", 1, false),
+      ("red bear", "red gears", 2, false),
+      ("red gear", "red gears", 1, false)))
   }
 
   test("jsDivergence: identical sources score 0, disjoint sources score 1") {
@@ -339,6 +300,22 @@ class Round9cSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L),
       (4L, 1L), (999L, 4L)))
+  }
+
+  test("calibration: bins partition docs and frac_pos is exact") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc", "en"), (2L, "dd ee", "en"), (3L, "aa bb cc", "fr"),
+      (4L, "zz yy xx ww", "fr"), (5L, "qq", "en"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.calibrationOf(docs).collect()
+    assert(got.map(_.getLong(1)).sum === 5L) // every doc in exactly one bin
+    got.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
   }
 
   test("tpchQ6: discount band and quantity/date edges are exact") {
