@@ -923,4 +923,41 @@ object BatchQueries {
        |JOIN customer ON c_custkey = o_custkey
        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
        |LIMIT 100""".stripMargin
+
+  /** TPC-H Q4 (order-priority checking, adapted: "late" = a line item
+    * shipped more than 90 days after the order date, since this
+    * schema carries no commit/receipt dates): per priority, how many
+    * orders placed in one quarter had at least one late line — the
+    * classic correlated-EXISTS semi-join.
+    *
+    * Scale shape: the quarter filter prunes the orders scan to ~1/28
+    * of row groups before any join; the EXISTS plans as a LEFT SEMI
+    * join on orderkey (first match short-circuits — no line fan-out,
+    * no dedup), with the correlated date predicate evaluated inside
+    * the join. Output is priority-cardinality-sized. */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame =
+    tpchQ4Of(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def tpchQ4Of(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -2567,4 +2567,84 @@ object SimilarityQueries {
        |FROM d$SsspRounds
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  private val KcoreK = 3
+  private val KcoreRounds = 6
+
+  /** K-CORE PEELING of the k-NN graph ([[KcoreK]]-core,
+    * [[KcoreRounds]] unrolled rounds): repeatedly delete nodes of
+    * degree < k and report the shrinking (nodes, edges) profile per
+    * round — the standard dense-substructure extraction that
+    * separates the semantic core from fringe vectors before
+    * clustering (a fringe node survives mutual-kNN but dies here;
+    * [[semanticClusters]] tells you WHO clusters, the core profile
+    * tells you how much of the space is densely supported at all).
+    *
+    * Scale shape: each round is two degree-filtered SEMI joins of the
+    * surviving edge relation against the keep-set — both keyed on the
+    * node id the edges already hash by; the edge relation shrinks
+    * monotonically, so round cost decays. Rounds are UNROLLED to a
+    * fixed count (identically in the oracle) rather than looped to
+    * fixpoint — the deterministic-replay trade both engines share;
+    * the per-round profile makes non-convergence visible instead of
+    * silent. Pure integer counts, no rounding anywhere. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def kcoreOnEdges(edges: DataFrame): DataFrame = {
+    var edg = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+      .localCheckpoint() // k·|V|-bounded, shrinks every round
+    def stats(round: Int, e: DataFrame): DataFrame =
+      e.select(explode(array(col("src"), col("dst"))).as("v"))
+        .agg(lit(round.toLong).as("round"),
+          coalesce(count_distinct(col("v")), lit(0L)).as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+    var out = stats(0, edg)
+    for (r <- 1 to KcoreRounds) {
+      val deg = edg.select(explode(array(col("src"), col("dst"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= KcoreK).select("v")
+      edg = edg
+        .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      out = out.union(stats(r, edg))
+    }
+    out.orderBy("round")
+  }
+
+  val kcoreSql: String = {
+    // AS MATERIALIZED throughout: each round references its
+    // predecessor 3× and the profile re-reads every e_r — inlining
+    // would re-expand the LSH pipeline exponentially (observed as a
+    // file-handle blowup); materialization makes the unroll linear,
+    // mirroring the Spark side's per-round localCheckpoint
+    val rounds = (1 to KcoreRounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""k$r AS MATERIALIZED (SELECT v FROM (
+         |  SELECT v, count(*) AS d FROM
+         |    (SELECT src AS v FROM $prev UNION ALL SELECT dst FROM $prev)
+         |  GROUP BY 1) WHERE d >= $KcoreK),
+         |e$r AS MATERIALIZED (SELECT src, dst FROM $prev
+         |        WHERE src IN (SELECT v FROM k$r)
+         |          AND dst IN (SELECT v FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    val profile = (0 to KcoreRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |       (SELECT count(DISTINCT v) FROM
+         |          (SELECT src AS v FROM e$r UNION ALL SELECT dst FROM e$r)) AS n_nodes,
+         |       (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |e0 AS MATERIALIZED (
+       |       SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+       |       FROM kedges),
+       |$rounds
+       |$profile
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -450,4 +450,70 @@ object StreamQueries {
        |FROM c CROSS JOIN t
        |WHERE cnt * $MgK > n
        |ORDER BY cnt DESC, tok""".stripMargin
+
+  private val AmsR = 16 // independent ±1 estimators
+
+  /** AMS "TUG-OF-WAR" SKETCH for the second frequency moment F₂ =
+    * Σᵤ fᵤ² of the user-activity stream — the join-size/self-join
+    * self-similarity estimate (F₂ of the join key IS the self-join
+    * size) maintained in O(R) counters: each estimator keeps
+    * Sⱼ = Σ_events sⱼ(user), sⱼ ∈ {−1,+1} a 4-universal-style hash
+    * sign, and E[Sⱼ²] = F₂. Output compares the R-estimator mean to
+    * the exact F₂ — the accuracy audit that justifies running the
+    * sketch INSTEAD of the exact per-key aggregation at 100 TB
+    * ([[graft.queries.ExtensionQueries.joinSizeEst]] estimates a
+    * two-table join from per-key histograms; this is the streaming-
+    * mergeable one-pass form for the self-join case).
+    *
+    * Scale shape: the sketch side never aggregates per user — each
+    * event updates R running sums locally (map-side partial sums per
+    * estimator; the exchange carries R rows per task, NOT per key),
+    * exactly the property that makes the sketch mergeable across
+    * stream batches and executors. Signs come from the overflow-safe
+    * modmul ring on key·131+j (injective: j < 131), so both engines
+    * replay identical draws; every sum is an exact integer, and the
+    * single relative-error division is fenced at 6 dp. */
+  def amsF2(spark: SparkSession, dir: String): DataFrame =
+    amsF2Of(Tables(spark, dir, "events"))
+
+  private[graft] def amsF2Of(events: DataFrame): DataFrame = {
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    val est = events
+      .select(col("user_id"), explode(expr(s"sequence(0, ${AmsR - 1})")).as("j"))
+      .withColumn("key", col("user_id") * 131 + col("j"))
+      .withColumn("h", expr(
+        "pmod(pmod(pmod(key, 4294967296) * 34283, 65536) * 65536" +
+          " + pmod(key, 4294967296) * 51831, 4294967296)"))
+      .withColumn("s", when(col("h") < 2147483648L, -1L).otherwise(1L))
+      .groupBy("j").agg(sum("s").as("sj"))
+      .agg(sum(col("sj") * col("sj")).as("ssq"), count(lit(1)).as("r"))
+    exact.crossJoin(est)
+      .select(col("f2_exact"),
+        Det.rnd(col("ssq").cast("double") / col("r"), 4).as("f2_est"),
+        col("r").as("n_estimators"),
+        Det.rnd((col("ssq").cast("double") / col("r") - col("f2_exact"))
+          / col("f2_exact") * 100, 6).as("rel_err_pct"))
+  }
+
+  val amsF2Sql: String = {
+    s"""WITH exact AS (
+       |  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+       |  FROM (SELECT user_id, count(*) AS f FROM events GROUP BY 1)),
+       |d AS (SELECT user_id * 131 + j.j AS key, j.j AS j
+       |      FROM events CROSS JOIN (SELECT unnest(range($AmsR)) AS j) j),
+       |sj AS (SELECT j,
+       |              CAST(sum(CASE WHEN (((key % 4294967296) * 34283 % 65536) * 65536
+       |                                  + (key % 4294967296) * 51831) % 4294967296
+       |                                 < 2147483648
+       |                            THEN -1 ELSE 1 END) AS BIGINT) AS sj
+       |       FROM d GROUP BY 1),
+       |est AS (SELECT CAST(sum(sj * sj) AS BIGINT) AS ssq, count(*) AS r FROM sj)
+       |SELECT f2_exact,
+       |       ${graft.functions.Det.rndSql("CAST(ssq AS DOUBLE) / r", 4)} AS f2_est,
+       |       r AS n_estimators,
+       |       ${graft.functions.Det.rndSql(
+            "(CAST(ssq AS DOUBLE) / r - f2_exact) / f2_exact * 100", 6)} AS rel_err_pct
+       |FROM exact CROSS JOIN est""".stripMargin
+  }
 }

@@ -318,6 +318,52 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  test("tpchQ4: EXISTS counts each order once regardless of late-line count") {
+    val ord = ordersDf(Seq(
+      (1L, 1L, "O", 0.0, "1996-08-01", "1-URGENT"),  // two late lines → counted once
+      (2L, 1L, "O", 0.0, "1996-08-01", "1-URGENT"),  // on-time only → dropped
+      (3L, 1L, "O", 0.0, "1996-08-01", "2-HIGH"),    // one late line → counted
+      (4L, 1L, "O", 0.0, "1995-08-01", "1-URGENT"))) // outside quarter
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-12-01"),
+      (1L, 2L, 1L, 1.0, 1.0, 0.0, "1996-12-15"),
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "1996-08-15"),
+      (3L, 1L, 1L, 1.0, 1.0, 0.0, "1996-11-01"),
+      (4L, 1L, 1L, 1.0, 1.0, 0.0, "1995-12-01")))
+    val got = graft.queries.BatchQueries.tpchQ4Of(ord, li).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("1-URGENT", 1L), ("2-HIGH", 1L)))
+  }
+
+  test("amsF2: estimator is exact on replay and unbiased-ish on a skewed stream") {
+    val s = spark; import s.implicits._
+    val ev = (1L to 300L).map(i => (i, new Timestamp(0L), i % 10, "e", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.queries.StreamQueries.amsF2Of(ev).head()
+    // 10 users × 30 events each → F2 = 10 · 30² = 9000
+    assert(r.getLong(0) === 9000L)
+    assert(r.getLong(2) === 16L)
+    // AMS mean-of-16 should land within a few × of truth on this stream
+    assert(r.getDouble(1) > 0.0)
+    assert(math.abs(r.getDouble(3)) < 300.0)
+  }
+
+  test("kcore: a clique survives peeling, pendants fall off round 1") {
+    val s = spark; import s.implicits._
+    // K4 clique {1,2,3,4} + pendant chain 4-5, 5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = graft.queries.SimilarityQueries.kcoreOnEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.head === ((0L, 6L, 8L)))
+    // round 1: node 6 (deg 1) and 5 (deg 2) out → clique + edge 4-5?
+    // degrees on full graph: 5 has deg 2 < 3, 6 has deg 1 < 3 → both cut,
+    // edge 4-5 and 5-6 gone; K4 remains
+    assert(got(1) === ((1L, 4L, 6L)))
+    // stable thereafter
+    assert(got.last === ((6L, 4L, 6L)))
+  }
+
   test("tpchQ6: discount band and quantity/date edges are exact") {
     val li = lineitemDf(Seq(
       (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
