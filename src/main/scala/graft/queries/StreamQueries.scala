@@ -451,7 +451,20 @@ object StreamQueries {
        |WHERE cnt * $MgK > n
        |ORDER BY cnt DESC, tok""".stripMargin
 
-  private val AmsR = 16 // independent ±1 estimators
+  private[graft] val AmsR = 16 // independent ±1 estimators
+
+  /** The per-(user, estimator) ±1 sign relation shared by the batch
+    * sketch and [[graft.streaming.StreamJobs.amsStream]] — one
+    * definition so the twins cannot drift. Input needs a `user_id`
+    * column; output adds (j, s). */
+  private[graft] def amsSigns(users: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    users
+      .select(col("user_id"), explode(expr(s"sequence(0, ${AmsR - 1})")).as("j"))
+      .withColumn("key", col("user_id") * 131 + col("j"))
+      .withColumn("h", expr(
+        "pmod(pmod(pmod(key, 4294967296) * 34283, 65536) * 65536" +
+          " + pmod(key, 4294967296) * 51831, 4294967296)"))
+      .withColumn("s", when(col("h") < 2147483648L, -1L).otherwise(1L))
 
   /** AMS "TUG-OF-WAR" SKETCH for the second frequency moment F₂ =
     * Σᵤ fᵤ² of the user-activity stream — the join-size/self-join
@@ -479,13 +492,7 @@ object StreamQueries {
   private[graft] def amsF2Of(events: DataFrame): DataFrame = {
     val exact = events.groupBy("user_id").agg(count(lit(1)).as("f"))
       .agg(sum(col("f") * col("f")).as("f2_exact"))
-    val est = events
-      .select(col("user_id"), explode(expr(s"sequence(0, ${AmsR - 1})")).as("j"))
-      .withColumn("key", col("user_id") * 131 + col("j"))
-      .withColumn("h", expr(
-        "pmod(pmod(pmod(key, 4294967296) * 34283, 65536) * 65536" +
-          " + pmod(key, 4294967296) * 51831, 4294967296)"))
-      .withColumn("s", when(col("h") < 2147483648L, -1L).otherwise(1L))
+    val est = amsSigns(events.select("user_id"))
       .groupBy("j").agg(sum("s").as("sj"))
       .agg(sum(col("sj") * col("sj")).as("ssq"), count(lit(1)).as("r"))
     exact.crossJoin(est)

@@ -973,4 +973,17 @@ object StreamJobs {
         sum("c2").cast("decimal(38,0)").as("s2"),
         sum(col("c2") * col("c")).cast("decimal(38,0)").as("s3"),
         sum(col("c2") * col("c2")).cast("decimal(38,0)").as("s4"))
+
+  /** Streaming twin of the AMS F₂ sketch
+    * ([[graft.queries.StreamQueries.amsF2]]): maintain the R = 16
+    * tug-of-war sums Sⱼ in complete mode — plain integer SUMs per
+    * estimator, the textbook mergeable sketch (each micro-batch's
+    * partial sums add; order and batch boundaries cannot matter), so
+    * the streaming state is bit-equal to the batch sums by
+    * construction — asserted in StreamingSpec. Signs come from the
+    * shared [[graft.queries.StreamQueries.amsSigns]] relation (one
+    * definition, no twin drift). Input: one `user_id` column. */
+  def amsStream(users: DataFrame): DataFrame =
+    graft.queries.StreamQueries.amsSigns(users)
+      .groupBy("j").agg(sum("s").as("sj"))
 }

@@ -1143,4 +1143,28 @@ class StreamingSpec extends SparkSpec {
         s"first diff: ${streamed.find(kv => batch.get(kv._1) != Some(kv._2))}")
     } finally q.stop()
   }
+
+  test("streaming AMS F2 sums are bit-equal to the batch sketch across batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = StreamJobs.amsStream(mem.toDF().toDF("user_id"))
+      .writeStream.format("memory").queryName("amss").outputMode("complete").start()
+    try {
+      val users = Tables(spark, sfDir, "events")
+        .select("user_id").collect().map(_.getLong(0))
+      val (b1, rest) = users.splitAt(users.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamedSums = spark.table("amss").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // streamed f2 estimate from the live sums
+      val r = streamedSums.size
+      val f2Streamed = streamedSums.values.map(v => v * v).sum.toDouble / r
+      val batch = queries.StreamQueries.amsF2(spark, sfDir).head()
+      assert(r === batch.getLong(2).toInt)
+      assert(math.floor(f2Streamed * 1e4 + 0.5) / 1e4 === batch.getDouble(1))
+    } finally q.stop()
+  }
 }
