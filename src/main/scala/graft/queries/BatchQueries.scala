@@ -960,4 +960,96 @@ object BatchQueries {
       |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): the share of one month's revenue
+    * earned by PROMO-type parts — a single conditional aggregation
+    * over the lineitem⨝part join.
+    *
+    * Scale shape: the shipdate range prunes the lineitem scan via
+    * row-group stats; part joins on its key (AQE broadcasts the
+    * 2-column part projection when it fits, shuffles otherwise); the
+    * CASE rides the same integer 1/10000-dollar units as every other
+    * revenue query, so numerator and denominator are exact and the
+    * one division is fenced. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame =
+    tpchQ14Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "part"))
+
+  private[graft] def tpchQ14Of(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", units).otherwise(0L)
+          .cast("decimal(38,0)")).as("promo_units"),
+        sum(units.cast("decimal(38,0)")).as("all_units"))
+      .select(
+        Det.rnd(col("promo_units").cast("double") * 100.0
+          / col("all_units").cast("double"), 6).as("promo_revenue_pct"),
+        (((col("all_units") + 50).cast("decimal(38,0)") / 100).cast("long")
+          .cast("double") / 100.0).as("total_revenue"))
+  }
+
+  val tpchQ14Sql: String =
+    s"""SELECT ${Det.rndSql(
+          "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(u AS HUGEINT) ELSE 0 END) AS DOUBLE)" +
+            " * 100.0 / CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE)", 6)}
+       |         AS promo_revenue_pct,
+       |       CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+       |         / 100.0 AS total_revenue
+       |FROM (SELECT p_type,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT)
+       |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey
+       |      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+       |        AND l_shipdate < TIMESTAMP '1996-10-01')""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity, adapted: nation key in place
+    * of the schema-absent phone country code; "recently inactive" =
+    * no order since 2000): per nation, the count and total balance of
+    * customers whose balance beats the global positive-balance mean
+    * but who have stopped ordering — the scalar-subquery + anti-join
+    * classic.
+    *
+    * Scale shape: the mean is ONE scalar aggregate broadcast into the
+    * filter (never a per-row correlated subquery); the inactivity
+    * test is a LEFT ANTI join against the date-pruned recent-orders
+    * projection (first match eliminates — no fan-out); balances sum
+    * in exact cents. */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame =
+    tpchQ22Of(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def tpchQ22Of(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(Det.cents(col("c_acctbal"))).cast("double")
+        / (count(lit(1)) * 100)).as("avg_bal"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    customer.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        Det.moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val tpchQ22Sql: String =
+    s"""WITH ab AS (SELECT CAST(sum(${Det.centsSql("c_acctbal")}) AS DOUBLE)
+       |                     / (count(*) * 100) AS avg_bal
+       |            FROM customer WHERE c_acctbal > 0),
+       |recent AS (SELECT o_custkey FROM orders
+       |           WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+       |SELECT c_nationkey, count(*) AS numcust,
+       |       ${Det.moneySumSql("c_acctbal")} AS totacctbal
+       |FROM customer CROSS JOIN ab
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
 }

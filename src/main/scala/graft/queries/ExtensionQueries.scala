@@ -6205,5 +6205,162 @@ object ExtensionQueries {
        |       ${Det.rndSql("CAST(csum AS DOUBLE) / (n_events * 100.0)", 6)} AS plain_mean
        |FROM a ORDER BY event_type""".stripMargin
 
+  private val SprtP0 = 0.18
+  private val SprtP1 = 0.22
+  // ln(p₁/p₀) and ln(q₁/q₀) pinned as round-trip-exact double literals:
+  // inline `ln(0.22 / 0.18)` parses 0.22 as DECIMAL in BOTH engines and
+  // their decimal division rounds differently (observed 2e-6 skew)
+  private val SprtLn1 = "0.20067069546215124"
+  private val SprtLn0 = "-0.05001042057466142"
+  // Wald boundaries at α = β = 0.05: ln((1−β)/α) = ln 19
+  private val SprtBound = "2.9444389791664403"
+
+  /** WALD SPRT — the sequential probability ratio test a live
+    * experiment monitor runs INSTEAD of a fixed-horizon test: after
+    * each day, the cumulative log-likelihood ratio of "purchase share
+    * is [[SprtP1]]" vs "[[SprtP0]]" either crosses ±ln 19 (decide,
+    * stop spending traffic) or continues. Emits the whole daily walk
+    * so the crossing day — the test's entire point — is visible,
+    * not just the end state. The fixed-horizon members of this family
+    * ([[abTest]]-style z tests, [[mdePower]]) answer "significant at
+    * n?"; SPRT answers "how early could we have stopped".
+    *
+    * Scale shape: one scan into a day histogram (date-range-bounded),
+    * prefix sums over that histogram — the established
+    * single-partition calendar-finish family. LLR = K·ln(p₁/p₀) +
+    * (N−K)·ln(q₁/q₀) over exact integer K, N with two engine-computed
+    * ln constants of identical double literals; the boundary constant
+    * is pinned as a round-trip-exact literal. */
+  def sprt(spark: SparkSession, dir: String): DataFrame =
+    sprtOf(Tables(spark, dir, "events"))
+
+  private[graft] def sprtOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("d"),
+        (col("event_type") === "purchase").cast("long").as("k"))
+      .groupBy("d").agg(count(lit(1)).as("n"), sum("k").as("k"))
+    val d0 = daily.agg(min("d").as("d0"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(d0))
+      .select((col("d") - col("d0")).as("day"), col("n"), col("k"))
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_k", sum("k").over(w))
+      .withColumn("llr", expr(
+        s"cum_k * $SprtLn1 + (cum_n - cum_k) * $SprtLn0"))
+      .select(col("day"), col("cum_n"), col("cum_k"),
+        Det.rnd(col("llr"), 6).as("llr"),
+        when(col("llr") >= expr(SprtBound), "accept_h1")
+          .when(col("llr") <= expr(s"-$SprtBound"), "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("day")
+  }
+
+  val sprtSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS n,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM events GROUP BY 1),
+       |d0 AS (SELECT min(d) AS d0 FROM daily),
+       |c AS (
+       |  SELECT d - d0 AS day, n, k,
+       |         sum(n) OVER w AS cum_n, sum(k) OVER w AS cum_k
+       |  FROM daily CROSS JOIN d0
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |l AS (
+       |  SELECT day, CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_k AS BIGINT) AS cum_k,
+       |         cum_k * $SprtLn1 + (cum_n - cum_k) * $SprtLn0 AS llr
+       |  FROM c)
+       |SELECT day, cum_n, cum_k, ${Det.rndSql("llr", 6)} AS llr,
+       |       CASE WHEN llr >= $SprtBound THEN 'accept_h1'
+       |            WHEN llr <= -$SprtBound THEN 'accept_h0'
+       |            ELSE 'continue' END AS decision
+       |FROM l ORDER BY day""".stripMargin
+
+  /** FOREIGN-KEY DISCOVERY by inclusion-dependency profiling: for a
+    * candidate list of (child, parent) column pairs, the fraction of
+    * distinct child values contained in the parent's key set —
+    * containment 1.0 flags an FK candidate, the schema-inference
+    * step a catalog crawler runs on undocumented data
+    * ([[refIntegrity]] AUDITS declared FKs row-by-row; this
+    * DISCOVERS them, including rejecting non-keys: the reversed pair
+    * and a deliberately absurd pair ship as controls).
+    *
+    * Scale shape: per pair, one distinct-collapse of the child column
+    * (the only corpus-sized shuffle) and one LEFT SEMI join against
+    * the parent's distinct keys — first match short-circuits, output
+    * is 1 row per pair. Pairs run as independent branches of one
+    * union — at 1000 executors they schedule concurrently. Pure
+    * integer counts; one fenced ratio. */
+  def fkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val p = Tables(spark, dir, "part")
+    val su = Tables(spark, dir, "supplier")
+    val c = Tables(spark, dir, "customer")
+    fkDiscoveryOf(Seq(
+      ("lineitem.l_orderkey", li.select(col("l_orderkey").as("v")),
+        "orders.o_orderkey", o.select(col("o_orderkey").as("v"))),
+      ("lineitem.l_partkey", li.select(col("l_partkey").as("v")),
+        "part.p_partkey", p.select(col("p_partkey").as("v"))),
+      ("lineitem.l_suppkey", li.select(col("l_suppkey").as("v")),
+        "supplier.s_suppkey", su.select(col("s_suppkey").as("v"))),
+      ("orders.o_custkey", o.select(col("o_custkey").as("v")),
+        "customer.c_custkey", c.select(col("c_custkey").as("v"))),
+      // control: reversed direction is NOT an inclusion dependency
+      ("orders.o_orderkey", o.select(col("o_orderkey").as("v")),
+        "lineitem.l_orderkey", li.select(col("l_orderkey").as("v"))),
+      // control: plausible-typed nonsense pair
+      ("part.p_size", p.select(col("p_size").cast("long").as("v")),
+        "supplier.s_suppkey", su.select(col("s_suppkey").as("v")))))
+  }
+
+  private[graft] def fkDiscoveryOf(
+      pairs: Seq[(String, DataFrame, String, DataFrame)]): DataFrame =
+    pairs.map { case (childName, child, parentName, parent) =>
+      // one pass: left-join the child's distinct values against the
+      // parent's key set and count matches conditionally — the child
+      // relation is distinct-collapsed exactly once
+      child.distinct()
+        .join(parent.distinct().withColumn("hit", lit(1L)), Seq("v"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
+        .select(lit(childName).as("child"), lit(parentName).as("parent"),
+          col("n_child_distinct"), col("n_contained"),
+          Det.rnd(col("n_contained").cast("double") / col("n_child_distinct"), 6)
+            .as("containment"),
+          (col("n_contained") === col("n_child_distinct")).as("fk_candidate"))
+    }.reduce(_.union(_)).orderBy("child", "parent")
+
+  val fkDiscoverySql: String = {
+    def pair(childName: String, childCol: String, childTab: String,
+             parentName: String, parentCol: String, parentTab: String): String =
+      s"""SELECT '$childName' AS child, '$parentName' AS parent,
+         |       (SELECT count(DISTINCT $childCol) FROM $childTab) AS n_child_distinct,
+         |       (SELECT count(*) FROM
+         |          (SELECT DISTINCT $childCol AS v FROM $childTab) cc
+         |        WHERE v IN (SELECT $parentCol FROM $parentTab)) AS n_contained""".stripMargin
+    val rows = Seq(
+      pair("lineitem.l_orderkey", "l_orderkey", "lineitem",
+        "orders.o_orderkey", "o_orderkey", "orders"),
+      pair("lineitem.l_partkey", "l_partkey", "lineitem",
+        "part.p_partkey", "p_partkey", "part"),
+      pair("lineitem.l_suppkey", "l_suppkey", "lineitem",
+        "supplier.s_suppkey", "s_suppkey", "supplier"),
+      pair("orders.o_custkey", "o_custkey", "orders",
+        "customer.c_custkey", "c_custkey", "customer"),
+      pair("orders.o_orderkey", "o_orderkey", "orders",
+        "lineitem.l_orderkey", "l_orderkey", "lineitem"),
+      pair("part.p_size", "CAST(p_size AS BIGINT)", "part",
+        "supplier.s_suppkey", "s_suppkey", "supplier")
+    ).mkString("\nUNION ALL\n")
+    s"""SELECT child, parent, n_child_distinct, n_contained,
+       |       ${Det.rndSql("CAST(n_contained AS DOUBLE) / n_child_distinct", 6)}
+       |         AS containment,
+       |       n_contained = n_child_distinct AS fk_candidate
+       |FROM ($rows)
+       |ORDER BY child, parent""".stripMargin
+  }
+
 
 }

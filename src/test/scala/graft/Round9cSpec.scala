@@ -433,6 +433,67 @@ class Round9cSpec extends SparkSpec {
     assert(ap >= 0.25)
   }
 
+  test("tpchQ14: promo share is the exact conditional-revenue ratio") {
+    val s = spark; import s.implicits._
+    val part = Seq((1L, "n", "B", "PROMO", 1, 1.0), (2L, "n", "B", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 100.0, 0.0, "1996-09-10"),  // promo 100
+      (2L, 2L, 1L, 1.0, 300.0, 0.0, "1996-09-10"),  // standard 300
+      (3L, 1L, 1L, 1.0, 999.0, 0.0, "1996-10-01"))) // outside month
+    val r = graft.queries.BatchQueries.tpchQ14Of(li, part).head()
+    assert(r.getDouble(0) === 25.0)
+    assert(r.getDouble(1) === 400.0)
+  }
+
+  test("tpchQ22: above-average balances with no recent orders, by nation") {
+    val cust = customerDf(Seq(
+      (1L, "a", 0, 100.0, "B"),   // above avg(pos)=55? avg of (100,10)=55 → yes
+      (2L, "b", 0, 10.0, "B"),    // below → dropped
+      (3L, "c", 1, 100.0, "B"),   // above but has a recent order → dropped
+      (4L, "d", 1, -50.0, "B")))  // negative — excluded from avg, below it
+    val ord = ordersDf(Seq(
+      (1L, 3L, "O", 0.0, "2000-06-01", "1-URGENT"),  // recent → custkey 3 active
+      (2L, 1L, "O", 0.0, "1998-06-01", "1-URGENT"))) // old — doesn't count
+    val got = graft.queries.BatchQueries.tpchQ22Of(cust, ord).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0, 1L, 100.0)))
+  }
+
+  test("sprt: a pure-H1 stream crosses the upper boundary and stays crossed") {
+    val s = spark; import s.implicits._
+    // 40% purchases over 30 days, 20 events/day → llr climbs steadily
+    val ev = (0 until 600).map { i =>
+      val day = i / 20
+      (i.toLong, new Timestamp(86400000L * day + 1000L * i), 1L,
+        if (i % 20 < 8) "purchase" else "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = graft.queries.ExtensionQueries.sprtOf(ev).collect()
+    assert(rows.length === 30)
+    // llr is increasing (every day adds positive evidence at 40% >> 22%)
+    val llrs = rows.map(_.getDouble(3))
+    assert(llrs.zip(llrs.tail).forall { case (a, b) => b > a })
+    assert(rows.last.getString(4) === "accept_h1")
+    // replay day 0 in plain scala: k=8, n=20
+    val expect0 = 8 * math.log(0.22 / 0.18) + 12 * math.log(0.78 / 0.82)
+    assert(llrs.head === math.floor(expect0 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("fkDiscovery: true FKs hit containment 1, controls do not") {
+    val r = graft.queries.ExtensionQueries.fkDiscovery(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(r("lineitem.l_orderkey")._2 === true)
+    assert(r("lineitem.l_partkey")._2 === true)
+    assert(r("lineitem.l_suppkey")._2 === true)
+    assert(r("orders.o_custkey")._2 === true)
+    // reversed pair: not every order has lines? (may or may not hold — just
+    // assert the row exists and containment is computed)
+    assert(r.contains("orders.o_orderkey"))
+    // nonsense pair: p_size values 1..50 ⊆ suppkeys? containment computed,
+    // flag reflects it — must at minimum not crash and be ≤ 1
+    assert(r("part.p_size")._1 <= 1.0)
+  }
+
   test("tpchQ6: discount band and quantity/date edges are exact") {
     val li = lineitemDf(Seq(
       (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
