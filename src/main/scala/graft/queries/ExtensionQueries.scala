@@ -6362,5 +6362,93 @@ object ExtensionQueries {
        |ORDER BY child, parent""".stripMargin
   }
 
+  private val IpfIters = 3
+  private val IpfScale = 1000000L // weights in micro-units
 
+  /** ITERATIVE PROPORTIONAL FITTING (raking) of the (lang × source)
+    * contingency table to UNIFORM lang and source margins — the
+    * survey-reweighting step a corpus owner runs to compute mixture
+    * weights that equalize both axes at once ([[TextQueries]]'
+    * mixture weights rebalance ONE axis; raking alternately scales
+    * rows and columns until both margins hold).
+    *
+    * Scale shape: the corpus collapses to the contingency table in
+    * one shuffle; [[IpfIters]] unrolled row/column half-steps run in
+    * cell space (|langs|·|sources| rows). The iteration is EXACT
+    * INTEGER arithmetic — weights in micro-units, each half-step
+    * w' = w·T div S with truncating division (the [[pageRank]]
+    * integer-ring pattern) — so both engines replay bit-identical
+    * weights with no float-summation ambiguity anywhere. Output adds
+    * the post-fit margin-gap audit in ppm. */
+  def ipfRaking(spark: SparkSession, dir: String): DataFrame =
+    ipfRakingOf(Tables(spark, dir, "documents"))
+
+  private[graft] def ipfRakingOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // contingency-table-sized; the whole fit lives here
+    // loop literals (the pageRank precedent: scalars to the driver, rows
+    // never): margin counts and the grand total
+    val nl = cells.select("lang").distinct().count()
+    val ns = cells.select("source").distinct().count()
+    val tot = cells.agg(sum("n")).head.getLong(0)
+    val tLang = tot * IpfScale / nl // truncating, same in the oracle
+    val tSrc = tot * IpfScale / ns
+    val wl = Window.partitionBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ws = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // integral `div` on decimal operands truncates toward zero in BOTH
+    // engines (floor(decimal/decimal) would HALF_UP-round the scale-6
+    // Spark quotient first and disagree near integer boundaries)
+    val d = "decimal(38,0)"
+    var w = cells.withColumn("w", lit(IpfScale))
+    for (_ <- 1 to IpfIters) {
+      w = w
+        .withColumn("S", sum(col("n").cast(d) * col("w")).over(wl))
+        .withColumn("w", expr(
+          s"CAST(w AS DECIMAL(38,0)) * CAST($tLang AS DECIMAL(38,0)) div S"))
+        .withColumn("S", sum(col("n").cast(d) * col("w")).over(ws))
+        .withColumn("w", expr(
+          s"CAST(w AS DECIMAL(38,0)) * CAST($tSrc AS DECIMAL(38,0)) div S"))
+        .drop("S")
+        .localCheckpoint() // keep the unroll linear, cell-bounded
+    }
+    w.withColumn("lang_sum", sum(col("n").cast(d) * col("w")).over(wl))
+      .withColumn("src_sum", sum(col("n").cast(d) * col("w")).over(ws))
+      .select(col("lang"), col("source"), col("n"), col("w"),
+        expr(s"(lang_sum - $tLang) * 1000000 div CAST($tLang AS DECIMAL(38,0))")
+          .as("lang_gap_ppm"),
+        expr(s"(src_sum - $tSrc) * 1000000 div CAST($tSrc AS DECIMAL(38,0))")
+          .as("src_gap_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  val ipfRakingSql: String = {
+    val steps = (1 to IpfIters).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}b"
+      s"""w${k}a AS (
+         |  SELECT lang, source, n,
+         |         (w * t_lang) // sum(CAST(n AS HUGEINT) * w) OVER (PARTITION BY lang) AS w
+         |  FROM $prev CROSS JOIN t),
+         |w${k}b AS (
+         |  SELECT lang, source, n,
+         |         (w * t_src) // sum(CAST(n AS HUGEINT) * w) OVER (PARTITION BY source) AS w
+         |  FROM w${k}a CROSS JOIN t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (SELECT lang, source, count(*) AS n
+       |               FROM documents GROUP BY 1, 2),
+       |t AS (SELECT (sum(n) * $IpfScale) // count(DISTINCT lang) AS t_lang,
+       |             (sum(n) * $IpfScale) // count(DISTINCT source) AS t_src
+       |      FROM cells),
+       |w0 AS (SELECT lang, source, n, CAST($IpfScale AS HUGEINT) AS w FROM cells),
+       |$steps
+       |SELECT lang, source, n, CAST(w AS BIGINT) AS w,
+       |       CAST((sum(CAST(n AS HUGEINT) * w) OVER (PARTITION BY lang) - t_lang)
+       |            * 1000000 // t_lang AS BIGINT) AS lang_gap_ppm,
+       |       CAST((sum(CAST(n AS HUGEINT) * w) OVER (PARTITION BY source) - t_src)
+       |            * 1000000 // t_src AS BIGINT) AS src_gap_ppm
+       |FROM w${IpfIters}b CROSS JOIN t
+       |ORDER BY lang, source""".stripMargin
+  }
 }

@@ -2730,4 +2730,78 @@ object SimilarityQueries {
               " - CAST(sum_dsq AS DOUBLE) / (4.0 * m * m)", 6)} AS q_modularity
        |FROM mm CROSS JOIN wi CROSS JOIN ds""".stripMargin
   }
+
+  /** SIMPLIFIED SILHOUETTE of the seeded k-means fit: per vector,
+    * a = cosine distance to the OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b); reported per cell
+    * plus the global mean — the geometric clustering-quality twin of
+    * [[modularity]] (graph-density view) and the readout that says
+    * whether [[kmeansSeeded]]'s cells are separated or merely
+    * partitioned. Uses the CENTROID-distance silhouette (the
+    * Hruschka simplification) — the classic all-pairs silhouette is
+    * O(n²) and exists as [[cosineTopk]]-style machinery; against k
+    * centroids it is O(n·k), the form that survives 100 TB.
+    *
+    * Scale shape: one (vector × k-centroid) scoring join — the
+    * centroid relation is k×64 rows, broadcast; the per-vector a/b
+    * collapse is a conditional min inside one aggregation; cell
+    * means finish in k-bounded space. Centroids are the 6-dp-fenced
+    * [[kmUpdate]] relations both engines share; the s ratio is
+    * fenced at 6 dp. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouetteOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def silhouetteOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val e = kmCoo(emb)
+    val norms = e.groupBy("vec_id")
+      .agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+    val c1 = kmUpdate(e, kmAssign(e, kmSeeds(e)))
+    val a2 = kmAssign(e, c1)
+    val c2 = kmUpdate(e, a2)
+    val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
+    val d = e.join(broadcast(c2), Seq("i"))
+      .groupBy("vec_id", "cell").agg(sum(col("v") * col("cv")).as("dot"))
+      .join(broadcast(cn2), Seq("cell")).join(norms, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        (lit(1.0) - col("dot") / (col("cn2") * col("nv"))).as("d"))
+    val ab = d.join(a2.select(col("vec_id"), col("cell").as("own")), "vec_id")
+      .groupBy("vec_id", "own")
+      .agg(min(when(col("cell") === col("own"), col("d"))).as("a_d"),
+        min(when(col("cell") =!= col("own"), col("d"))).as("b_d"))
+      .withColumn("s", when(greatest(col("a_d"), col("b_d")) === 0.0, 0.0)
+        .otherwise((col("b_d") - col("a_d")) / greatest(col("a_d"), col("b_d"))))
+    val perCell = ab.groupBy(col("own").as("cell"))
+      .agg(count(lit(1)).as("n_members"), Det.rnd(avg("s"), 6).as("silhouette"))
+    val global = ab.agg(lit(-1).as("cell"), count(lit(1)).as("n_members"),
+      Det.rnd(avg("s"), 6).as("silhouette"))
+    perCell.union(global).orderBy("cell")
+  }
+
+  val silhouetteSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |dd AS (
+       |  SELECT e.vec_id, c.cell, sum(e.v * c.cv) AS dot
+       |  FROM e JOIN c2 c ON c.i = e.i GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT dd.vec_id, dd.cell, 1.0 - dd.dot / (n.cn2 * m.nv) AS d
+       |  FROM dd JOIN cn2 n USING (cell) JOIN norms m USING (vec_id)),
+       |ab AS (
+       |  SELECT dist.vec_id, a2.cell AS own,
+       |         min(CASE WHEN dist.cell = a2.cell THEN d END) AS a_d,
+       |         min(CASE WHEN dist.cell <> a2.cell THEN d END) AS b_d
+       |  FROM dist JOIN a2 USING (vec_id)
+       |  GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT own, CASE WHEN greatest(a_d, b_d) = 0 THEN 0.0
+       |                   ELSE (b_d - a_d) / greatest(a_d, b_d) END AS s
+       |  FROM ab)
+       |SELECT own AS cell, count(*) AS n_members,
+       |       ${Det.rndSql("avg(s)", 6)} AS silhouette
+       |FROM sv GROUP BY 1
+       |UNION ALL
+       |SELECT -1, count(*), ${Det.rndSql("avg(s)", 6)} FROM sv
+       |ORDER BY cell""".stripMargin
+  }
 }

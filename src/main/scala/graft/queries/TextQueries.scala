@@ -4531,6 +4531,76 @@ object TextQueries {
             "max(CAST(n_pos AS DOUBLE) / (n_pos + n_neg))", 6)} AS prevalence
        |FROM cum CROSS JOIN tot""".stripMargin
 
+  /** McNEMAR PAIRED TEST between two classifiers on the SAME
+    * documents — the hashing-trick logit ([[graft.functions.HashedLogit]],
+    * sign rule) vs the crude length heuristic (n_chars > 2000), both
+    * predicting lang = en. Unpaired comparisons ([[rocAuc]]/[[prAuc]]
+    * per model) can't tell whether model A beats B or they just err
+    * on DIFFERENT documents; McNemar reads exactly the discordant
+    * cells: n01 (only B right), n10 (only A right), continuity-
+    * corrected χ² = (|n01−n10|−1)²/(n01+n10). [[kappaAgreement]]
+    * measures whether two judges AGREE; this measures which of two
+    * predictors is RIGHT more often on the same rows.
+    *
+    * Scale shape: one codegen'd scoring pass (no explode for A; B is
+    * a column compare), one 4-cell aggregation. All counts exact;
+    * one fenced ratio. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame =
+    mcnemarOf(Tables(spark, dir, "documents"))
+
+  private[graft] def mcnemarOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    docs.select(
+        (expr("hashed_logit(text)").getItem(0) > 0).as("pa"),
+        (col("n_chars") > 2000).as("pb"),
+        (col("lang") === "en").as("y"))
+      .select((col("pa") === col("y")).cast("long").as("ca"),
+        (col("pb") === col("y")).cast("long").as("cb"))
+      .agg(
+        sum(expr("CAST(ca = 0 AND cb = 0 AS LONG)")).as("n00"),
+        sum(expr("CAST(ca = 0 AND cb = 1 AS LONG)")).as("n01"),
+        sum(expr("CAST(ca = 1 AND cb = 0 AS LONG)")).as("n10"),
+        sum(expr("CAST(ca = 1 AND cb = 1 AS LONG)")).as("n11"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        Det.rnd((col("n10") + col("n11")).cast("double")
+          / (col("n00") + col("n01") + col("n10") + col("n11")), 6).as("acc_a"),
+        Det.rnd((col("n01") + col("n11")).cast("double")
+          / (col("n00") + col("n01") + col("n10") + col("n11")), 6).as("acc_b"),
+        when(col("n01") + col("n10") === 0, 0.0)
+          .otherwise(Det.rnd(
+            (abs(col("n01") - col("n10")) - lit(1)).cast("double")
+              * (abs(col("n01") - col("n10")) - lit(1))
+              / (col("n01") + col("n10")), 6)).as("chi2_cc"))
+  }
+
+  val mcnemarSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id,
+       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |               % 4294967296 % 17 - 8 AS w
+       |      FROM toks),
+       |pred AS (SELECT s.doc_id, sum(s.w) > 0 AS pa,
+       |                max(d.n_chars) > 2000 AS pb,
+       |                CAST(max(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) = 1 AS y
+       |         FROM w s JOIN documents d ON s.doc_id = d.doc_id
+       |         GROUP BY s.doc_id),
+       |cells AS (SELECT
+       |  CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+       |  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |  CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |  CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n11
+       |  FROM pred)
+       |SELECT n00, n01, n10, n11,
+       |       ${Det.rndSql("CAST(n10 + n11 AS DOUBLE) / (n00 + n01 + n10 + n11)", 6)} AS acc_a,
+       |       ${Det.rndSql("CAST(n01 + n11 AS DOUBLE) / (n00 + n01 + n10 + n11)", 6)} AS acc_b,
+       |       CASE WHEN n01 + n10 = 0 THEN 0.0
+       |            ELSE ${Det.rndSql(
+            "CAST(abs(n01 - n10) - 1 AS DOUBLE) * (abs(n01 - n10) - 1) / (n01 + n10)",
+            6)} END AS chi2_cc
+       |FROM cells""".stripMargin
+
   // decile edges of p = σ(z) expressed on the z axis: ln(k/(10−k)),
   // k = 1..9, written as round-trip-exact double literals so both
   // engines compare the identical constants

@@ -494,6 +494,66 @@ class Round9cSpec extends SparkSpec {
     assert(r("part.p_size")._1 <= 1.0)
   }
 
+  test("silhouette: partition, bounds, and the global row on the corpus fit") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val got = graft.queries.SimilarityQueries.silhouetteOf(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val global = got.filter(_._1 == -1)
+    val cells = got.filter(_._1 >= 0)
+    assert(global.length === 1)
+    assert(global.head._2 === n)             // every vector scored once
+    assert(cells.map(_._2).sum === n)        // cells partition the corpus
+    got.foreach { case (_, _, s) => assert(s >= -1.0 && s <= 1.0) }
+    // the global mean must lie within the per-cell mean envelope
+    assert(global.head._3 >= cells.map(_._3).min - 1e-9)
+    assert(global.head._3 <= cells.map(_._3).max + 1e-9)
+  }
+
+  test("ipfRaking: both margins converge to uniform within ppm tolerance") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // skewed margins: lang en=70/fr=10, source a=45/b=35
+      (0 until 40).map(i => (i.toLong, "t", "en", "a")),
+      (0 until 30).map(i => (100L + i, "t", "en", "b")),
+      (0 until 5).map(i => (200L + i, "t", "fr", "a")),
+      (0 until 5).map(i => (300L + i, "t", "fr", "b"))).flatten
+      .map { case (id, t, l, src) => (id, t, l, src, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.ExtensionQueries.ipfRakingOf(docs).collect()
+    assert(got.length === 4)
+    // three iterations converge the skewed margins to uniform within ppm
+    got.foreach { r =>
+      assert(math.abs(r.getLong(4)) < 2000, s"lang gap ${r.getLong(4)} ppm")
+      assert(math.abs(r.getLong(5)) < 2000, s"src gap ${r.getLong(5)} ppm")
+    }
+    // the scarce language is upweighted relative to the abundant one
+    val w = got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(w(("fr", "a")) > w(("en", "a")))
+    assert(w(("fr", "b")) > w(("en", "b")))
+  }
+
+  test("mcnemar: discordant-cell counting and the corrected statistic") {
+    val s = spark; import s.implicits._
+    // construct docs where A (logit sign) and B (length) disagree in known ways
+    val docs = Seq(
+      (1L, "short", "en", "s", 100L),       // B predicts fr (short) → B wrong
+      (2L, "short two", "fr", "s", 100L),   // B right
+      (3L, "long text", "en", "s", 5000L),  // B right
+      (4L, "long text two", "fr", "s", 5000L)) // B wrong
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.queries.TextQueries.mcnemarOf(docs).head()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) === 4L)
+    // chi2 formula replay from the produced cells
+    val (n01, n10) = (r.getLong(1), r.getLong(2))
+    val expect = if (n01 + n10 == 0) 0.0
+    else {
+      val d = math.abs(n01 - n10) - 1.0
+      math.floor(d * d / (n01 + n10) * 1e6 + 0.5) / 1e6
+    }
+    assert(r.getDouble(6) === expect)
+  }
+
   test("tpchQ6: discount band and quantity/date edges are exact") {
     val li = lineitemDf(Seq(
       (1L, 1L, 1L, 10.0, 1000.0, 0.05, "1996-06-01"), // in: 1000·0.05 = 50
