@@ -1052,4 +1052,142 @@ object BatchQueries {
        |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
+
+  /** TPC-H Q13 (customer order-count distribution, adapted: the
+    * "special requests" comment filter becomes an order-priority
+    * exclusion since this schema carries no comment column): how many
+    * customers placed 0, 1, 2, … non-urgent orders — the left-outer
+    * join whose JOIN-CONDITION filter (not a WHERE) keeps zero-order
+    * customers in the histogram.
+    *
+    * Scale shape: one shuffle joins customer to the priority-filtered
+    * orders on custkey (both huge at 100 TB → sort-merge; AQE
+    * re-plans if the filter collapses one side); the per-customer
+    * count is a partial-aggregated groupBy on the SAME custkey — the
+    * join's output partitioning is reused, no second exchange — and
+    * the final histogram aggregates the customer-sized relation down
+    * to the distinct-count cardinality. Counts are exact integers;
+    * (custdist desc, c_count desc) is a unique deterministic order. */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame =
+    tpchQ13Of(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def tpchQ13Of(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if one brand's small orders (quantity below 20% of that
+    * part's mean order quantity) were no longer taken — the
+    * correlated-average classic.
+    *
+    * Scale shape: the per-part mean is ONE partial-aggregated groupBy
+    * on partkey joined back on the same key (never a per-row
+    * correlated subquery rescanning lineitem); the brand filter
+    * prunes part to a ~1/19 sliver that AQE broadcasts into both the
+    * fact scan and the stats join. The 20%-of-mean cut is EXACT
+    * integer algebra — q < 0.2·(sum/cnt) ⟺ 5·q·cnt < sum on integral
+    * quantities — so no float threshold can flip a row between
+    * engines; revenue sums in exact cents with one fenced division. */
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame =
+    tpchQ17Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "part"))
+
+  private[graft] def tpchQ17Of(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_q"),
+        count(lit(1)).as("cnt_q"))
+    lineitem
+      .join(part.filter(col("p_brand") === "Brand#4").select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt_q") < col("sum_q"))
+      .agg(Det.rnd(sum(Det.cents(col("l_extendedprice"))).cast("double") / 700.0, 4)
+        .as("avg_yearly"))
+  }
+
+  val tpchQ17Sql: String =
+    s"""WITH pp AS (SELECT l_partkey AS pk,
+       |                   sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+       |                   count(*) AS cnt_q
+       |            FROM lineitem GROUP BY 1)
+       |SELECT ${Det.rndSql(s"CAST(sum(${Det.centsSql("l_extendedprice")}) AS DOUBLE) / 700.0", 4)}
+       |         AS avg_yearly
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
+       |JOIN pp ON l_partkey = pk
+       |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting, adapted: "late" =
+    * shipped more than 90 days after the order date, the Q4
+    * convention, since this schema has no commit/receipt dates): per
+    * supplier, how many finished multi-supplier orders were held up
+    * by THAT supplier alone — the classic EXISTS + NOT-EXISTS
+    * double-correlation, re-expressed as ONE per-order aggregation.
+    *
+    * Scale shape: instead of three correlated lineitem scans (l1 ⋈
+    * EXISTS l2 ⋈ NOT EXISTS l3), the order-status-filtered lineitem
+    * relation is aggregated ONCE on orderkey into (distinct
+    * suppliers, distinct late suppliers); the blame test `n_supp > 1
+    * AND n_late_supp = 1` then joins back the late (order, supplier)
+    * pairs on the same key — two shuffles total on the natural key,
+    * both partial-aggregated, no correlated rescans. Output is
+    * supplier-cardinality-sized; (numwait desc, s_name) is unique. */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame =
+    tpchQ21Of(Tables(spark, dir, "supplier"), Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"))
+
+  private[graft] def tpchQ21Of(
+      supplier: DataFrame, lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .as("late"))
+    val stats = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    li.filter(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(stats.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+        col("l_orderkey") === col("ok"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(100)
+  }
+
+  val tpchQ21Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_suppkey,
+      |                   l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |            WHERE o_orderstatus = 'F'),
+      |st AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+      |              count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      |       FROM li GROUP BY 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) w
+      |JOIN st ON w.l_orderkey = st.ok AND n_supp > 1 AND n_late_supp = 1
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
 }

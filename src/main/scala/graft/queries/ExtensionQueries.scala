@@ -6451,4 +6451,88 @@ object ExtensionQueries {
        |FROM w${IpfIters}b CROSS JOIN t
        |ORDER BY lang, source""".stripMargin
   }
+
+  /** SPEARMAN RANK CORRELATION between order quantity and discount —
+    * the robust (monotone-invariant) complement of the Pearson
+    * surface ([[graft.queries.RecommenderQueries]]' user similarity):
+    * ranks replace values, so outliers and nonlinear-but-monotone
+    * relationships don't distort the coefficient.
+    *
+    * Scale shape: NO global sort and NO corpus-sized window — both
+    * variables have BOUNDED value domains (integral quantities,
+    * 2-dp discounts), so average tie-ranks come from the value
+    * HISTOGRAM: one partial-aggregated groupBy per variable
+    * (domain-cardinality output), a running sum over that tiny
+    * relation, and two broadcast hash joins mapping every row to its
+    * doubled average rank 2·r̄(v) = 2·cum_below(v) + cnt(v) + 1 (an
+    * exact integer — Spearman is scale-invariant, so the ×2 clears
+    * the half-rank fraction). The moment sums (Σx, Σx², Σxy…)
+    * aggregate exact integers in decimal(38,0) — bit-identical under
+    * any partitioning — and the closed-form ρ evaluates once on
+    * identical doubles, fenced at 6 dp. */
+  def spearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def spearmanOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    def rankMap(keyed: DataFrame): DataFrame = {
+      // value-domain-sized relation: the window is bounded, not corpus
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      keyed.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("r2", lit(2) * (sum("cnt").over(w) - col("cnt"))
+          + col("cnt") + lit(1))
+        .select("v", "r2")
+    }
+    val qv = lineitem.select(col("l_quantity").cast("long").as("v"))
+    val dv = lineitem.select(Det.units(col("l_discount"), 2).as("v"))
+    val qr = rankMap(qv).withColumnRenamed("v", "qv").withColumnRenamed("r2", "xq")
+    val dr = rankMap(dv).withColumnRenamed("v", "dv").withColumnRenamed("r2", "xd")
+    lineitem
+      .select(col("l_quantity").cast("long").as("qk"),
+        Det.units(col("l_discount"), 2).as("dk"))
+      .join(broadcast(qr), col("qk") === col("qv"))
+      .join(broadcast(dr), col("dk") === col("dv"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xq").cast(d38)).as("sx"),
+        sum(col("xd").cast(d38)).as("sy"),
+        sum(col("xq").cast(d38) * col("xq").cast(d38)).as("sxx"),
+        sum(col("xd").cast(d38) * col("xd").cast(d38)).as("syy"),
+        sum(col("xq").cast(d38) * col("xd").cast(d38)).as("sxy"))
+      .select(col("n"),
+        Det.rnd(
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("rho_spearman"))
+  }
+
+  val spearmanSql: String = {
+    def rankCte(src: String): String =
+      s"""SELECT v, 2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |                              AND CURRENT ROW) - cnt) + cnt + 1 AS r2
+         |FROM (SELECT $src AS v, count(*) AS cnt FROM lineitem GROUP BY 1)""".stripMargin
+    s"""WITH qr AS (${rankCte("CAST(round(l_quantity) AS BIGINT)")}),
+       |dr AS (${rankCte("CAST(round(l_discount * 100) AS BIGINT)")}),
+       |m AS (SELECT count(*) AS n,
+       |             CAST(sum(CAST(xq AS HUGEINT)) AS DOUBLE) AS sx,
+       |             CAST(sum(CAST(xd AS HUGEINT)) AS DOUBLE) AS sy,
+       |             CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+       |             CAST(sum(CAST(xd AS HUGEINT) * xd) AS DOUBLE) AS syy,
+       |             CAST(sum(CAST(xq AS HUGEINT) * xd) AS DOUBLE) AS sxy
+       |      FROM (SELECT qr.r2 AS xq, dr.r2 AS xd
+       |            FROM lineitem
+       |            JOIN qr ON CAST(round(l_quantity) AS BIGINT) = qr.v
+       |            JOIN dr ON CAST(round(l_discount * 100) AS BIGINT) = dr.v))
+       |SELECT n, ${Det.rndSql(
+            "(CAST(n AS DOUBLE) * sxy - sx * sy)" +
+              " / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)" +
+              "    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))", 6)}
+       |         AS rho_spearman
+       |FROM m""".stripMargin
+  }
 }

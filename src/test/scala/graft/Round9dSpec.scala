@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.{BatchQueries, ExtensionQueries}
+
+/** Round-9d additions: the remaining TPC-H subquery shapes (Q13
+  * left-join distribution, Q17 correlated per-part average, Q21
+  * double-correlated blame assignment) and Spearman rank correlation
+  * via bounded-domain histogram ranks. */
+class Round9dSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  private def customerDf(rows: Seq[(Long, String, Int, Double, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  }
+  private def ordersDf(rows: Seq[(Long, Long, String, Double, String, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (ok, ck, st, tp, d, pr) => (ok, ck, st, tp, ts(d), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+  private def lineitemDf(rows: Seq[(Long, Long, Long, Double, Double, Double, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (ok, pk, sk, q, ep, disc, d) =>
+      (ok, pk, sk, 1, q, ep, disc, 0.02, "N", "O", ts(d))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+  private def partDf(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (pk, b) => (pk, s"part$pk", b, "TYPE", 1, 10.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+  }
+  private def supplierDf(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (sk, n) => (sk, n, 0, 0.0) }
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
+  test("tpchQ13: zero-order customers survive the join-condition filter") {
+    val cust = customerDf(Seq(
+      (1L, "a", 0, 0.0, "B"),   // two non-urgent orders
+      (2L, "b", 0, 0.0, "B"),   // urgent only → must land in the 0 bucket
+      (3L, "c", 0, 0.0, "B")))  // no orders at all → 0 bucket
+    val ord = ordersDf(Seq(
+      (10L, 1L, "O", 0.0, "1996-01-01", "2-HIGH"),
+      (11L, 1L, "O", 0.0, "1996-01-02", "3-MEDIUM"),
+      (12L, 2L, "O", 0.0, "1996-01-03", "1-URGENT")))
+    val got = BatchQueries.tpchQ13Of(cust, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // custdist desc, c_count desc: two customers with 0, one with 2
+    assert(got.toSeq === Seq((0L, 2L), (2L, 1L)))
+  }
+
+  test("tpchQ17: 20%-of-mean cut is strict and exact at the integer boundary") {
+    val part = partDf(Seq((1L, "Brand#4"), (2L, "Brand#4"), (3L, "Brand#2")))
+    val li = lineitemDf(Seq(
+      // part 1: sum_q=26, cnt=5 → q=1 qualifies (1·5·5=25 < 26)
+      (100L, 1L, 1L, 1.0, 700.0, 0.0, "1996-01-01"),
+      (101L, 1L, 1L, 7.0, 1.0, 0.0, "1996-01-01"),
+      (102L, 1L, 1L, 6.0, 1.0, 0.0, "1996-01-01"),
+      (103L, 1L, 1L, 6.0, 1.0, 0.0, "1996-01-01"),
+      (104L, 1L, 1L, 6.0, 1.0, 0.0, "1996-01-01"),
+      // part 2: sum_q=25, cnt=5 → q=1 at the EXACT boundary (25 < 25 is
+      // false) — excluded; a float 0.2·avg threshold could flip this row
+      (110L, 2L, 1L, 1.0, 999.0, 0.0, "1996-01-01"),
+      (111L, 2L, 1L, 6.0, 1.0, 0.0, "1996-01-01"),
+      (112L, 2L, 1L, 6.0, 1.0, 0.0, "1996-01-01"),
+      (113L, 2L, 1L, 6.0, 1.0, 0.0, "1996-01-01"),
+      (114L, 2L, 1L, 6.0, 1.0, 0.0, "1996-01-01"),
+      // part 3: wrong brand — its tiny line must not leak in
+      (120L, 3L, 1L, 1.0, 888.0, 0.0, "1996-01-01")))
+    val got = BatchQueries.tpchQ17Of(li, part).collect()
+    assert(got.length === 1)
+    // only part 1's 700.00 qualifies: 70000 cents / 700 = 100.0
+    assert(got.head.getDouble(0) === 100.0)
+  }
+
+  test("tpchQ21: only the sole late supplier of a multi-supplier F order is blamed") {
+    val supp = supplierDf(Seq((1L, "s1"), (2L, "s2"), (3L, "s3")))
+    val ord = ordersDf(Seq(
+      (100L, 1L, "F", 0.0, "1996-01-01", "p"),
+      (101L, 1L, "F", 0.0, "1996-01-01", "p"),
+      (102L, 1L, "F", 0.0, "1996-01-01", "p"),
+      (103L, 1L, "O", 0.0, "1996-01-01", "p"))) // not finished — excluded
+    val late = "1996-06-01"; val ok = "1996-02-01"
+    val li = lineitemDf(Seq(
+      (100L, 1L, 1L, 1.0, 1.0, 0.0, late), // s1 late, s2 on time → s1 blamed
+      (100L, 1L, 2L, 1.0, 1.0, 0.0, ok),
+      (101L, 1L, 1L, 1.0, 1.0, 0.0, late), // both late → nobody blamed
+      (101L, 1L, 2L, 1.0, 1.0, 0.0, late),
+      (102L, 1L, 1L, 1.0, 1.0, 0.0, late), // single-supplier order → excluded
+      (103L, 1L, 3L, 1.0, 1.0, 0.0, late), // O-status order → excluded
+      (103L, 1L, 1L, 1.0, 1.0, 0.0, ok)))
+    val got = BatchQueries.tpchQ21Of(supp, li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("s1", 1L)))
+  }
+
+  test("tpchQ21: multiple late lines by the same supplier count the order once") {
+    val supp = supplierDf(Seq((1L, "s1"), (2L, "s2")))
+    val ord = ordersDf(Seq((100L, 1L, "F", 0.0, "1996-01-01", "p")))
+    val li = lineitemDf(Seq(
+      (100L, 1L, 1L, 1.0, 1.0, 0.0, "1996-06-01"),
+      (100L, 2L, 1L, 1.0, 1.0, 0.0, "1996-07-01"), // second late line, same supp
+      (100L, 1L, 2L, 1.0, 1.0, 0.0, "1996-02-01")))
+    val got = BatchQueries.tpchQ21Of(supp, li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("s1", 1L)))
+  }
+
+  test("spearman: perfect monotone relation scores exactly +1") {
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 1.0, 0.01, "1996-01-01"),
+      (2L, 1L, 1L, 2.0, 1.0, 0.02, "1996-01-01"),
+      (3L, 1L, 1L, 3.0, 1.0, 0.03, "1996-01-01"),
+      (4L, 1L, 1L, 4.0, 1.0, 0.04, "1996-01-01")))
+    val r = ExtensionQueries.spearmanOf(li).head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 1.0)
+  }
+
+  test("spearman: anti-monotone scores −1; ties use average ranks") {
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 1.0, 0.04, "1996-01-01"),
+      (2L, 1L, 1L, 2.0, 1.0, 0.03, "1996-01-01"),
+      (3L, 1L, 1L, 3.0, 1.0, 0.02, "1996-01-01"),
+      (4L, 1L, 1L, 4.0, 1.0, 0.01, "1996-01-01")))
+    assert(ExtensionQueries.spearmanOf(li).head().getDouble(1) === -1.0)
+    // tied quantities: ranks average, rho computable and in [−1, 1]
+    val tied = lineitemDf(Seq(
+      (1L, 1L, 1L, 2.0, 1.0, 0.01, "1996-01-01"),
+      (2L, 1L, 1L, 2.0, 1.0, 0.02, "1996-01-01"),
+      (3L, 1L, 1L, 2.0, 1.0, 0.03, "1996-01-01"),
+      (4L, 1L, 1L, 5.0, 1.0, 0.04, "1996-01-01")))
+    val rho = ExtensionQueries.spearmanOf(tied).head().getDouble(1)
+    // exact replay: doubled x-ranks (4,4,4,8) vs doubled y-ranks (2,4,6,8)
+    val expect = {
+      val (n, sx, sy, sxx, syy, sxy) = (4.0, 20.0, 20.0, 112.0, 120.0, 112.0)
+      val raw = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    assert(rho === expect)
+  }
+}
