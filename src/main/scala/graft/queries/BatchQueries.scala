@@ -1190,4 +1190,54 @@ object BatchQueries {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  /** DYNAMIC PARTITION PRUNING: aggregate only the event-type
+    * partitions that a runtime-filtered dimension selects — the
+    * companion lever to [[partitionedScan]] (whose pruning predicate
+    * is a STATIC literal): here the qualifying types are only known
+    * after filtering the type-dimension relation, and Catalyst's DPP
+    * rule turns the broadcast dim into a runtime `dynamicpruning`
+    * subquery on the fact scan's partition column.
+    *
+    * Scale shape: at 100 TB the fact copy is partitioned by type, so
+    * the scan reads ONLY the selected partitions' files — the
+    * non-qualifying majority is never opened, which a post-scan join
+    * filter cannot achieve. The dim is a one-time scratch parquet
+    * (type-cardinality rows); the selection threshold (mean type
+    * share) is a driver-side loop literal, so the dim filter is a
+    * pushable literal predicate and DPP stays eligible. */
+  def dppPrune(spark: SparkSession, dir: String): DataFrame = {
+    val factPath = s"${Tables.scratchDir}/events_by_type"
+    if (spark.conf.getOption("graft.partitioned.dir").forall(_ != dir)) {
+      Tables(spark, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
+      spark.conf.set("graft.partitioned.dir", dir)
+    }
+    val dimPath = s"${Tables.scratchDir}/event_type_dim"
+    if (spark.conf.getOption("graft.typedim.dir").forall(_ != dir)) {
+      Tables(spark, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      spark.conf.set("graft.typedim.dir", dir)
+    }
+    // loop literal (the ipfRaking precedent): one scalar to the driver
+    val thresh = Tables(spark, dir, "events").count() / 5
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("cnt") >= thresh).select("event_type")
+    fact.join(dim, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Det.moneySum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val dppPruneSql: String =
+    s"""WITH sel AS (SELECT event_type FROM events GROUP BY 1
+       |             HAVING count(*) >= (SELECT count(*) // 5 FROM events))
+       |SELECT event_type, count(*) AS n_events,
+       |       ${Det.moneySumSql("value")} AS total_value
+       |FROM events JOIN sel USING (event_type)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 }

@@ -6535,4 +6535,174 @@ object ExtensionQueries {
        |         AS rho_spearman
        |FROM m""".stripMargin
   }
+
+  /** KRUSKAL-WALLIS H TEST: does order quantity differ across return
+    * flags? — the k-group rank-based ANOVA (the nonparametric twin of
+    * [[anovaF]], robust to non-normal value distributions), with the
+    * standard tie correction.
+    *
+    * Scale shape: the [[spearman]] histogram-rank trick — integral
+    * quantities have a BOUNDED domain, so average ranks come from the
+    * value histogram (one partial-aggregated groupBy, one bounded
+    * window, one broadcast join), never a corpus-wide sort. Per-group
+    * doubled-rank sums aggregate exact integers in decimal(38,0);
+    * the H statistic combines the k-cardinality group relation with
+    * the [[anovaF]] plain-double-sum-with-fence precedent. Tie term
+    * Σ(t³−t) rides the same bounded histogram. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def kruskalWallisOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("v"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    // bounded: one row per distinct quantity value
+    val hist = base.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("r2", lit(2) * (sum("cnt").over(w) - col("cnt"))
+        + col("cnt") + lit(1))
+    val ties = hist.agg(
+      sum(col("cnt").cast(d38) * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+    val groups = base
+      .join(broadcast(hist.select(col("v").as("hv"), col("r2"))),
+        col("v") === col("hv"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("ni"), sum(col("r2").cast(d38)).as("s2i"))
+    groups
+      .agg(count(lit(1)).as("k"), sum("ni").as("n"),
+        // Σ R_g²/n_g with R_g = s2_g/2 — the anovaF double-sum precedent
+        sum(col("s2i").cast("double") * col("s2i").cast("double")
+          / (col("ni") * 4.0)).as("sumterm"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"),
+        Det.rnd(expr(
+          "12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sumterm - 3.0 * (n + 1)"), 6)
+          .as("h_stat"),
+        // tie-corrected H; all-identical values (correction 0) → 0
+        Det.rnd(expr(
+          "CASE WHEN CAST(tie AS DOUBLE) >= CAST(n AS DOUBLE) * n * n - n THEN 0.0 ELSE " +
+            "(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sumterm - 3.0 * (n + 1)) " +
+            "/ (1.0 - CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) END"), 6)
+          .as("h_tie_corrected"))
+  }
+
+  val kruskalWallisSql: String =
+    s"""WITH hist AS (
+       |  SELECT v, cnt,
+       |         2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |                             AND CURRENT ROW) - cnt) + cnt + 1 AS r2
+       |  FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS v, count(*) AS cnt
+       |        FROM lineitem GROUP BY 1)),
+       |tie AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie FROM hist),
+       |g AS (
+       |  SELECT l_returnflag AS flag, count(*) AS ni,
+       |         sum(CAST(r2 AS HUGEINT)) AS s2i
+       |  FROM lineitem JOIN hist ON CAST(round(l_quantity) AS BIGINT) = hist.v
+       |  GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS n,
+       |         sum(CAST(s2i AS DOUBLE) * CAST(s2i AS DOUBLE) / (CAST(ni AS DOUBLE) * 4.0)) AS sumterm
+       |  FROM g)
+       |SELECT k, n,
+       |       ${Det.rndSql(
+            "12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sumterm - 3.0 * (n + 1)", 6)}
+       |         AS h_stat,
+       |       ${Det.rndSql(
+            "CASE WHEN CAST(tie AS DOUBLE) >= CAST(n AS DOUBLE) * n * n - n THEN 0.0 ELSE " +
+              "(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sumterm - 3.0 * (n + 1)) " +
+              "/ (1.0 - CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) END", 6)}
+       |         AS h_tie_corrected
+       |FROM a CROSS JOIN tie""".stripMargin
+
+  private val BhAlpha = "0.05"
+
+  /** Two-sided normal CDF tail 2·(1−Φ(|z|)) = erfc(|z|/√2) via the
+    * Abramowitz-Stegun 7.1.26 rational approximation (|err| < 1.5e-7)
+    * — spelled as ONE SQL expression text shared verbatim by the
+    * Spark plan and the DuckDB oracle, so both engines evaluate the
+    * identical formula on identical doubles. */
+  private def erfcTailSql(z: String): String = {
+    val x = s"(abs($z) / sqrt(2.0))"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"($t * (0.254829592 + $t * (-0.284496736 + $t * (1.421413741 + " +
+      s"$t * (-1.453152027 + $t * 1.061405429)))) * exp(-($x * $x)))"
+  }
+
+  /** BENJAMINI-HOCHBERG FALSE-DISCOVERY-RATE CONTROL over the daily
+    * mean-value z-tests: each calendar day tests whether its mean
+    * event value drifted from the corpus mean; BH at α=0.05 picks
+    * which of the ~30 simultaneous tests to reject — the multiple-
+    * comparisons discipline every monitoring surface ([[spcChart]],
+    * [[cusumChangepoint]]) needs once it alarms on many windows at
+    * once.
+    *
+    * Scale shape: the corpus collapses to per-day exact-cents moments
+    * in one partial-aggregated pass; the z/p computation and the BH
+    * step-up (rank by p, compare to i·α/m, reject up to the largest
+    * passing rank) run entirely in the day-cardinality relation —
+    * bounded windows, no second corpus scan. Variance comes from
+    * exact integer moments (Σc, Σc² in cents), never a float-order-
+    * dependent stddev; the only transcendental is the shared
+    * [[erfcTailSql]] text both engines evaluate identically. */
+  def fdrBh(spark: SparkSession, dir: String): DataFrame =
+    fdrBhOf(Tables(spark, dir, "events"))
+
+  private[graft] def fdrBhOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(to_date(col("ts")).as("day"), Det.cents(col("value")).as("c"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("nd"), sum("c").as("sd"))
+    val glob = events.select(Det.cents(col("value")).as("c"))
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val wRank = Window.orderBy("p", "day")
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.crossJoin(broadcast(glob))
+      .withColumn("z", expr(
+        "(CAST(sd AS DOUBLE) / nd - CAST(s AS DOUBLE) / n) / " +
+          "sqrt(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / nd)"))
+      .withColumn("p", expr(erfcTailSql("z")))
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("cutoff", max(when(
+        col("p") <= col("i") * lit(BhAlpha).cast("double") / col("m"), col("i"))
+        .otherwise(0)).over(wAll))
+      .select(col("day"), col("nd").as("n_events"),
+        Det.rnd(col("z"), 6).as("z"),
+        Det.rnd(col("p"), 8).as("p"),
+        col("i").as("bh_rank"),
+        (col("i") <= col("cutoff")).as("rejected"))
+      .orderBy("day")
+  }
+
+  val fdrBhSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*) AS nd,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS sd
+       |  FROM events GROUP BY 1),
+       |gstats AS (
+       |  SELECT count(*) AS n, CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS s,
+       |         CAST(sum(${Det.centsSql("value")} * ${Det.centsSql("value")}) AS BIGINT) AS q
+       |  FROM events),
+       |zp AS (
+       |  SELECT day, nd,
+       |         (CAST(sd AS DOUBLE) / nd - CAST(s AS DOUBLE) / n) /
+       |           sqrt(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / nd) AS z
+       |  FROM daily CROSS JOIN gstats),
+       |pp AS (SELECT day, nd, z, ${erfcTailSql("z")} AS p FROM zp),
+       |r AS (
+       |  SELECT day, nd, z, p,
+       |         CAST(row_number() OVER (ORDER BY p, day) AS INTEGER) AS i,
+       |         count(*) OVER () AS m
+       |  FROM pp),
+       |c AS (SELECT r.*, max(CASE WHEN p <= i * CAST($BhAlpha AS DOUBLE) / m THEN i ELSE 0 END)
+       |               OVER () AS cutoff
+       |      FROM r)
+       |SELECT day, nd AS n_events, ${Det.rndSql("z", 6)} AS z,
+       |       ${Det.rndSql("p", 8)} AS p, i AS bh_rank, i <= cutoff AS rejected
+       |FROM c
+       |ORDER BY day""".stripMargin
 }

@@ -148,4 +148,87 @@ class Round9dSpec extends SparkSpec {
     }
     assert(rho === expect)
   }
+
+  test("kruskalWallis: textbook no-tie case and identical-distribution null") {
+    // A={1,2}, B={3,4}: ranks 1..4, R_A=3, R_B=7 → H = 2.4 exactly
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (2L, 1L, 1L, 2.0, 1.0, 0.0, "1996-01-01"),
+      (3L, 1L, 1L, 3.0, 1.0, 0.0, "1996-01-01"),
+      (4L, 1L, 1L, 4.0, 1.0, 0.0, "1996-01-01")))
+      .withColumn("l_returnflag",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("l_quantity") <= 2.0, "A")
+          .otherwise("B"))
+    val r = ExtensionQueries.kruskalWallisOf(li).head()
+    assert(r.getLong(0) === 2L)     // k
+    assert(r.getLong(1) === 4L)     // n
+    assert(r.getDouble(2) === 2.4)  // no ties → H exact
+    assert(r.getDouble(3) === 2.4)  // correction factor 1
+  }
+
+  test("kruskalWallis: identical groups score 0; all-equal values hit the guard") {
+    val same = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (2L, 1L, 1L, 2.0, 1.0, 0.0, "1996-01-01"),
+      (3L, 1L, 1L, 1.0, 1.0, 0.0, "1996-01-01"),
+      (4L, 1L, 1L, 2.0, 1.0, 0.0, "1996-01-01")))
+      .withColumn("l_returnflag",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("l_orderkey") <= 2L, "A")
+          .otherwise("B"))
+    val row = ExtensionQueries.kruskalWallisOf(same).head()
+    assert(row.getDouble(2) === 0.0)
+    assert(row.getDouble(3) === 0.0)
+    val allEq = lineitemDf(Seq(
+      (1L, 1L, 1L, 5.0, 1.0, 0.0, "1996-01-01"),
+      (2L, 1L, 1L, 5.0, 1.0, 0.0, "1996-01-01")))
+    val g = ExtensionQueries.kruskalWallisOf(allEq).head()
+    assert(g.getDouble(3) === 0.0) // degenerate correction guard
+  }
+
+  test("fdrBh: a planted shifted day is rejected, quiet days are not") {
+    val s = spark; import s.implicits._
+    // 9 quiet days at mean 10.00 (alternating ±1 cents for nonzero
+    // variance) and one day at mean 1000.00
+    val rows = (for {
+      d <- 1 to 9
+      i <- 0 until 20
+    } yield (d.toLong * 100 + i, Timestamp.valueOf(f"2024-01-$d%02d 01:00:00"),
+      i.toLong, "click", if (i % 2 == 0) 9.99 else 10.01, "{}")) ++
+      (0 until 20).map(i => (1000L + i,
+        Timestamp.valueOf("2024-01-10 01:00:00"), i.toLong, "click", 1000.0, "{}"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.ExtensionQueries.fdrBhOf(events).collect()
+    assert(got.length === 10)
+    val byDay = got.map(r => r.getDate(0).toString ->
+      (r.getDouble(3), r.getInt(4), r.getBoolean(5))).toMap
+    // the planted day has the smallest p and is rejected
+    assert(byDay("2024-01-10")._2 === 1)
+    assert(byDay("2024-01-10")._3)
+    // quiet days: all z small → large p → not rejected
+    (1 to 9).foreach { d =>
+      assert(!byDay(f"2024-01-$d%02d")._3, s"day $d should not be rejected")
+    }
+    got.foreach { r =>
+      val p = r.getDouble(3); assert(p >= 0.0 && p <= 1.0 + 1e-9)
+    }
+  }
+
+  test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
+    val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val events = Tables(spark, sfDir, "events")
+    val thresh = events.count() / 5
+    val expect = events.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        graft.functions.Det.moneySum(
+          org.apache.spark.sql.functions.col("value")).as("total_value"))
+      .filter(org.apache.spark.sql.functions.col("n_events") >= thresh)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty && got.length < 5) // the filter actually prunes
+  }
 }
