@@ -6705,4 +6705,168 @@ object ExtensionQueries {
        |       ${Det.rndSql("p", 8)} AS p, i AS bh_rank, i <= cutoff AS rejected
        |FROM c
        |ORDER BY day""".stripMargin
+
+  private val HitsIters = 2
+  private val HitsScale = 1000000000000L // 1e12 L1-normalized score units
+
+  /** HITS HUBS & AUTHORITIES (Kleinberg 1999) over the bipartite
+    * customer→part purchase graph: authority(part) = Σ hub(buyers),
+    * hub(customer) = Σ authority(bought parts), L1-renormalized each
+    * half-step — the second graph-centrality family next to
+    * [[graft.queries.SimilarityQueries]]' PageRank (which propagates
+    * along one node set; HITS alternates between two).
+    *
+    * Scale shape: the distinct edge relation is materialized ONCE to
+    * session-keyed scratch parquet (the knn-edges precedent), so the
+    * [[HitsIters]] iterations re-read a flat columnar relation; each
+    * half-step is one join on the propagation key + one partial-
+    * aggregated groupBy — the BSP shape that holds on 1000 executors.
+    * Normalization sums are 1-row broadcast crosses, never driver
+    * round-trips. Determinism: the [[graft.queries.SimilarityQueries]]
+    * PageRank integer ring — scores in exact 10¹² units, each
+    * renormalize is `raw·SCALE div Σraw` in decimal(38,0), truncating
+    * identically in both engines. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${graft.Tables.scratchDir}/purchedges-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
+    if (!spark.conf.getOption("graft.purchedges.dir").contains(dir)) {
+      Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+      spark.conf.set("graft.purchedges.dir", dir)
+    }
+    hitsOnEdges(spark.read.parquet(path))
+  }
+
+  private[graft] def hitsOnEdges(edges: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    var h = edges.select("c").distinct().withColumn("h", lit(HitsScale))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val aRaw = edges.join(h, "c").groupBy("p")
+        .agg(sum(col("h").cast(d38)).as("ar"))
+      val sA = aRaw.agg(sum(col("ar")).as("sa"))
+      a = aRaw.crossJoin(broadcast(sA))
+        .select(col("p"),
+          expr(s"CAST(ar AS DECIMAL(38,0)) * $HitsScale div sa").as("a"))
+      val hRaw = edges.join(a, "p").groupBy("c")
+        .agg(sum(col("a").cast(d38)).as("hr"))
+      val sH = hRaw.agg(sum(col("hr")).as("sh"))
+      h = hRaw.crossJoin(broadcast(sH))
+        .select(col("c"),
+          expr(s"CAST(hr AS DECIMAL(38,0)) * $HitsScale div sh").as("h"))
+    }
+    val auth = a.orderBy(desc("a"), asc("p")).limit(10)
+      .select(lit("authority").as("kind"), col("p").as("key"),
+        col("a").as("score"),
+        Det.rnd(col("a").cast("double") / HitsScale, 9).as("score_norm"))
+    val hubs = h.orderBy(desc("h"), asc("c")).limit(10)
+      .select(lit("hub").as("kind"), col("c").as("key"),
+        col("h").as("score"),
+        Det.rnd(col("h").cast("double") / HitsScale, 9).as("score_norm"))
+    auth.unionAll(hubs).orderBy(col("kind"), desc("score"), col("key"))
+  }
+
+  val hitsSql: String = {
+    val steps = (1 to HitsIters).map { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      s"""a${k}r AS (SELECT p, sum(hh) AS ar FROM edges e
+         |           JOIN $prevH ON e.c = $prevH.c GROUP BY p),
+         |a$k AS (SELECT p, (CAST(ar AS HUGEINT) * $HitsScale)
+         |                  // (SELECT sum(ar) FROM a${k}r) AS a
+         |        FROM a${k}r),
+         |h${k}r AS (SELECT c, sum(a) AS hr FROM edges e
+         |           JOIN a$k ON e.p = a$k.p GROUP BY c),
+         |h$k AS (SELECT c, (CAST(hr AS HUGEINT) * $HitsScale)
+         |                  // (SELECT sum(hr) FROM h${k}r) AS hh
+         |        FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT c, CAST($HitsScale AS HUGEINT) AS hh
+       |       FROM (SELECT DISTINCT c FROM edges)),
+       |$steps
+       |SELECT kind, key, score, score_norm FROM (
+       |  SELECT 'authority' AS kind, p AS key, CAST(a AS BIGINT) AS score,
+       |         ${Det.rndSql(s"CAST(a AS DOUBLE) / $HitsScale", 9)} AS score_norm
+       |  FROM a$HitsIters ORDER BY a DESC, p LIMIT 10)
+       |UNION ALL
+       |SELECT kind, key, score, score_norm FROM (
+       |  SELECT 'hub' AS kind, c AS key, CAST(hh AS BIGINT) AS score,
+       |         ${Det.rndSql(s"CAST(hh AS DOUBLE) / $HitsScale", 9)} AS score_norm
+       |  FROM h$HitsIters ORDER BY hh DESC, c LIMIT 10)
+       |ORDER BY kind, score DESC, key""".stripMargin
+  }
+
+  /** STL-LITE DECOMPOSITION of the daily event-value series into
+    * trend + weekly seasonal + residual: trend is the centered 7-row
+    * moving average over the day histogram, the seasonal component is
+    * the per-weekday mean of the detrended series, and the residual
+    * is what's left — the classical additive decomposition
+    * (Cleveland's STL without the loess refinements), feeding the
+    * same monitoring family as [[seasonalIndex]] (multiplicative,
+    * monthly) from the daily side.
+    *
+    * Scale shape: the corpus collapses to the day histogram in one
+    * partial-aggregated pass; every window after that is bounded by
+    * day cardinality. Determinism: the detrended series is kept in
+    * exact integer 7ths-of-a-cent units (7·x − Σ₇x — no float until
+    * the final fenced divisions), so the per-weekday means divide
+    * exact integer sums; weekday numbering is pinned to Monday=0 via
+    * Spark `weekday` = DuckDB `isodow − 1`. Edge days without a full
+    * 7-row frame get NULL trend/residual in both engines (their
+    * weekday's seasonal mean is still reported). */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame =
+    stlDecomposeOf(Tables(spark, dir, "events"))
+
+  private[graft] def stlDecomposeOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val wDow = Window.partitionBy("dow").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(to_date(col("ts")).as("day"), Det.cents(col("value")).as("c"))
+      .groupBy("day").agg(sum("c").as("x"))
+      .withColumn("dow", expr("CAST(weekday(day) AS BIGINT)"))
+      .withColumn("s7", when(count(lit(1)).over(w7) === 7,
+        sum("x").over(w7)))
+      // exact integer 7ths of a cent; NULL propagates off full frames
+      .withColumn("det7", lit(7) * col("x") - col("s7"))
+      .withColumn("seas7", sum("det7").over(wDow).cast("double")
+        / count("det7").over(wDow))
+      .select(col("day"), col("dow"),
+        (col("x").cast("double") / 100.0).as("total"),
+        Det.rnd(col("s7").cast("double") / 700.0, 4).as("trend"),
+        Det.rnd(col("seas7") / 700.0, 4).as("seasonal"),
+        Det.rnd(col("det7").cast("double") / 700.0 - col("seas7") / 700.0, 4)
+          .as("residual"))
+      .orderBy("day")
+  }
+
+  val stlDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |f AS (
+       |  SELECT day, CAST(isodow(day) - 1 AS BIGINT) AS dow, x,
+       |         CASE WHEN count(*) OVER w7 = 7
+       |              THEN CAST(sum(x) OVER w7 AS BIGINT) END AS s7
+       |  FROM daily
+       |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |d AS (SELECT f.*, 7 * x - s7 AS det7 FROM f),
+       |s AS (
+       |  SELECT d.*,
+       |         CAST(sum(det7) OVER (PARTITION BY dow) AS DOUBLE)
+       |           / count(det7) OVER (PARTITION BY dow) AS seas7
+       |  FROM d)
+       |SELECT day, dow, CAST(x AS DOUBLE) / 100.0 AS total,
+       |       ${Det.rndSql("CAST(s7 AS DOUBLE) / 700.0", 4)} AS trend,
+       |       ${Det.rndSql("seas7 / 700.0", 4)} AS seasonal,
+       |       ${Det.rndSql("CAST(det7 AS DOUBLE) / 700.0 - seas7 / 700.0", 4)} AS residual
+       |FROM s
+       |ORDER BY day""".stripMargin
 }

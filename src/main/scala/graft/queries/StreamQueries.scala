@@ -523,4 +523,87 @@ object StreamQueries {
             "(CAST(ssq AS DOUBLE) / r - f2_exact) / f2_exact * 100", 6)} AS rel_err_pct
        |FROM exact CROSS JOIN est""".stripMargin
   }
+
+  /** HDR-HISTOGRAM QUANTILE SKETCH (the HdrHistogram/DDSketch family):
+    * relative-error-bounded quantiles of event value from a LOG₂
+    * bucket histogram with 16 linear sub-buckets per octave — the
+    * mergeable alternative to [[quantileSketch]]'s rank-error
+    * `approx_percentile`: here the guarantee is RELATIVE value error
+    * ≤ ~3% per estimate regardless of the value range, and the sketch
+    * is a plain additive histogram.
+    *
+    * Scale shape: the corpus collapses to ≤ 64·16 bucket counts in
+    * one partial-aggregated pass (map-side combine — the exchange
+    * carries bucket-cardinality rows per task, constant in corpus
+    * size, same as the CMS/HLL/AMS aggregators); ranks, cumulative
+    * sums and bucket→bound algebra run in bucket space. Bucketing is
+    * EXACT INTEGER arithmetic — octave e = length(bin(cents))−1,
+    * sub-bucket = 16·c div 2ᵉ − 16 — so no engine's log/float can
+    * shift a value across a bucket edge (a ulp-divergent `ceil(log
+    * x/log γ)` is exactly how a naive DDSketch port loses cross-
+    * engine determinism). Rank targets are per-mille integers:
+    * r = ⌈n·q⌉ = (n·qm + 999) div 1000. */
+  def hdrQuantiles(spark: SparkSession, dir: String): DataFrame =
+    hdrQuantilesOf(Tables(spark, dir, "events"))
+
+  private[graft] def hdrQuantilesOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = events.sparkSession; import s.implicits._
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // bucket-cardinality relation (≤ 64 octaves × 16 sub-buckets)
+    val hist = events.select(Det.cents(col("value")).as("c"))
+      .select(expr("CAST(length(bin(c)) - 1 AS BIGINT)").as("e"), col("c"))
+      .select((col("e") * 16 +
+        expr("(c * 16) div shiftleft(CAST(1 AS BIGINT), e) - 16")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    val targets = Seq(500L, 900L, 990L, 999L).toDF("qm")
+    targets.join(hist,
+        col("cum") >= expr("(n * qm + 999) div 1000"), "inner")
+      .groupBy("qm")
+      .agg(max("n").as("n"), min("bucket").as("bucket"))
+      .select(col("qm"), col("n"), col("bucket"),
+        Det.rnd(expr("(16 + bucket % 16) * shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(bucket div 16 AS INT)) / 1600.0"), 6).as("lo"),
+        Det.rnd(expr("(17 + bucket % 16) * shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(bucket div 16 AS INT)) / 1600.0"), 6).as("hi"),
+        Det.rnd(expr("(33 + 2 * (bucket % 16)) * shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(bucket div 16 AS INT)) / 3200.0"), 6).as("est"),
+        Det.rnd(expr("1.0 / (33 + 2 * (bucket % 16))"), 6).as("rel_err_bound"))
+      .orderBy("qm")
+  }
+
+  val hdrQuantilesSql: String = {
+    import graft.functions.Det
+    s"""WITH h AS (
+       |  SELECT bucket, count(*) AS cnt
+       |  FROM (SELECT (length(bin(c)) - 1) * 16
+       |               + (c * 16) // (CAST(1 AS BIGINT) << (length(bin(c)) - 1))
+       |               - 16 AS bucket
+       |        FROM (SELECT ${Det.centsSql("value")} AS c FROM events))
+       |  GROUP BY 1),
+       |hc AS (
+       |  SELECT bucket, cnt,
+       |         sum(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |                        AND CURRENT ROW) AS cum,
+       |         sum(cnt) OVER () AS n
+       |  FROM h),
+       |t AS (SELECT CAST(qm AS BIGINT) AS qm
+       |      FROM (VALUES (500), (900), (990), (999)) v(qm)),
+       |pick AS (
+       |  SELECT qm, CAST(max(n) AS BIGINT) AS n, min(bucket) AS bucket
+       |  FROM t JOIN hc ON cum >= (n * qm + 999) // 1000
+       |  GROUP BY qm)
+       |SELECT qm, n, bucket,
+       |       ${Det.rndSql("(16 + bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16)) / 1600.0", 6)} AS lo,
+       |       ${Det.rndSql("(17 + bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16)) / 1600.0", 6)} AS hi,
+       |       ${Det.rndSql("(33 + 2 * (bucket % 16)) * (CAST(1 AS BIGINT) << (bucket // 16)) / 3200.0", 6)} AS est,
+       |       ${Det.rndSql("1.0 / (33 + 2 * (bucket % 16))", 6)} AS rel_err_bound
+       |FROM pick
+       |ORDER BY qm""".stripMargin
+  }
 }

@@ -215,6 +215,88 @@ class Round9dSpec extends SparkSpec {
     }
   }
 
+  test("hdrQuantiles: exact integer bucketing and rank selection on a known set") {
+    val s = spark; import s.implicits._
+    // 100 events of 1.00, 10 of 100.00 (cents 100 → e=6, sub=9, bucket 105;
+    // cents 10000 → e=13, sub=3, bucket 211)
+    val rows = (0 until 100).map(i => (i.toLong,
+      Timestamp.valueOf("2024-01-01 01:00:00"), i.toLong, "click", 1.0, "{}")) ++
+      (0 until 10).map(i => (1000L + i,
+        Timestamp.valueOf("2024-01-01 02:00:00"), i.toLong, "click", 100.0, "{}"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.StreamQueries.hdrQuantilesOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // q50 rank 55 ≤ 100 → small bucket; q999 rank 110 → large bucket
+    assert(got(500L)._1 === 6L * 16 + ((100L * 16) / 64 - 16))
+    assert(got(999L)._1 === 13L * 16 + ((10000L * 16) / 8192 - 16))
+    // the true value lies inside [lo, hi) for both picked buckets
+    assert(got(500L)._2 <= 1.0 && 1.0 < got(500L)._3)
+    assert(got(999L)._2 <= 100.0 && 100.0 < got(999L)._3)
+  }
+
+  test("hdrQuantiles: relative error bound holds against exact percentiles") {
+    val got = graft.queries.StreamQueries
+      .hdrQuantilesOf(Tables(spark, sfDir, "events")).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      val (lo, hi, est, bound) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(lo < hi && lo <= est && est <= hi)
+      assert((hi - lo) / (hi + lo) <= bound + 2e-6) // 6-dp fences on both sides
+      assert(bound <= 1.0 / 33 + 1e-9) // 16 sub-buckets → ≤ ~3%
+    }
+  }
+
+  test("hitsOnEdges: authorities concentrate on the shared part; scores L1-normalize") {
+    val s = spark; import s.implicits._
+    // part 100 bought by everyone; parts 1-3 by one customer each
+    val edges = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L),
+      (1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("c", "p")
+    val got = graft.queries.ExtensionQueries.hitsOnEdges(edges).collect()
+    val auth = got.filter(_.getString(0) == "authority")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val hubs = got.filter(_.getString(0) == "hub")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // the universally-bought part dominates authority mass
+    assert(auth(100L) > auth(1L) && auth(100L) > auth(2L) && auth(100L) > auth(3L))
+    // symmetric customers tie exactly (integer ring — no float drift)
+    assert(hubs(1L) === hubs(2L) && hubs(2L) === hubs(3L))
+    // L1 normalization: each side sums to ~Scale (truncation leaks < k ulps)
+    val sa = auth.values.sum; val sh = hubs.values.sum
+    assert(math.abs(sa - 1000000000000L) < 10)
+    assert(math.abs(sh - 1000000000000L) < 10)
+  }
+
+  test("stlDecompose: flat series with a planted weekly bump decomposes cleanly") {
+    val s = spark; import s.implicits._
+    // 21 consecutive days: 100.00/day, but +70.00 every Monday
+    val rows = (0 until 21).flatMap { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d) // Jan 1 2024 = Monday
+      val bump = if (day.getDayOfWeek.getValue == 1) 170.0 else 100.0
+      Seq((d.toLong, Timestamp.valueOf(day.atTime(12, 0)), 1L, "click", bump, "{}"))
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.ExtensionQueries.stlDecomposeOf(events).collect()
+    assert(got.length === 21)
+    val mid = got.filter(r => !r.isNullAt(3)) // full 7-day frames only
+    assert(mid.length === 15)
+    mid.foreach { r =>
+      // trend = weekly mean = (6·100 + 170)/7 = 110.0 everywhere
+      assert(math.abs(r.getDouble(3) - 110.0) < 1e-9)
+      // seasonal: +60 on Mondays, −10 elsewhere; residual 0
+      val expSeason = if (r.getLong(1) == 0L) 60.0 else -10.0
+      assert(math.abs(r.getDouble(4) - expSeason) < 1e-9,
+        s"day ${r.getDate(0)} seasonal ${r.getDouble(4)}")
+      assert(math.abs(r.getDouble(5)) < 1e-9)
+    }
+    // edge days: trend and residual NULL, seasonal still reported
+    got.filter(r => r.isNullAt(3)).foreach { r =>
+      assert(r.isNullAt(5) && !r.isNullAt(4))
+    }
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
