@@ -4743,4 +4743,273 @@ object TextQueries {
        |       ${Det.rndSql("(p_side + q_own + (1.0 - q_mass)) / 2.0", 6)} AS jsd
        |FROM own
        |ORDER BY jsd DESC, source""".stripMargin
+
+  private final val PrfFbDocs = 5
+  private final val PrfExpTerms = 5
+  private final val PrfTopDocs = 10
+
+  /** ROCCHIO PSEUDO-RELEVANCE FEEDBACK (the classic PRF loop): run
+    * the [[bm25]] seed query, treat its top [[PrfFbDocs]] docs as
+    * relevant, mine the [[PrfExpTerms]] highest tf·idf NON-seed terms
+    * from that feedback set, and re-score the corpus with the
+    * expanded query — the retrieval-quality composition on top of
+    * the BM25 trunk that [[graft.queries.SimilarityQueries]]' RRF
+    * fuses from the OUTSIDE (rank lists), while PRF feeds back on the
+    * INSIDE (the term set itself).
+    *
+    * Scale shape: identical to bm25 — the corpus-sized relations (tf,
+    * dl) are built once ([[localCheckpoint]]ed tf is vocabulary×doc
+    * sparse, the same pin bm25 carries); both scoring passes are
+    * probe-bounded broadcast joins of a ≤10-term query list into tf;
+    * the feedback-term mining runs over [[PrfFbDocs]] docs' postings
+    * only. Expansion weights are idf·Σtf with the integer tf sum
+    * exact and one fenced idf product; every pick has a unique
+    * (fenced score, id) order. */
+  def rocchioPrf(spark: SparkSession, dir: String): DataFrame =
+    rocchioPrfOf(Tables(spark, dir, "documents"))
+
+  private[graft] def rocchioPrfOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // the bm25 pin: feeds dl, df, and BOTH score passes
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = df.orderBy(desc("df"), asc("term")).limit(Bm25QTerms)
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(tf.agg(sum("tf").as("tot")))
+      .withColumn("avgdl", col("tot").cast("double") / col("n"))
+    def scoreAgainst(terms: DataFrame): DataFrame =
+      tf.join(broadcast(terms.select(col("term"), col("df"))), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("tscore",
+          col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), Det.rnd(sum("tscore"), 6).as("score"))
+    val fb = scoreAgainst(q)
+      .orderBy(desc("score"), asc("doc_id")).limit(PrfFbDocs)
+    val exp = tf.join(broadcast(fb.select("doc_id")), "doc_id")
+      .groupBy("term").agg(sum("tf").as("fbtf"))
+      .join(df, "term")
+      .join(broadcast(q.select(col("term").as("qt"))),
+        col("term") === col("qt"), "left_anti")
+      .crossJoin(broadcast(stats.select("n")))
+      .withColumn("w", Det.rnd(
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("fbtf"), 6))
+      .orderBy(desc("w"), asc("term")).limit(PrfExpTerms)
+    val expanded = q.select(col("term"), col("df"))
+      .unionAll(exp.select(col("term"), col("df")))
+    scoreAgainst(expanded)
+      .orderBy(desc("score"), asc("doc_id")).limit(PrfTopDocs)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rank")
+  }
+
+  val rocchioPrfSql: String =
+    s"""WITH $bm25RankedCte,
+       |fb AS (SELECT doc_id FROM ranked ORDER BY score DESC, doc_id LIMIT $PrfFbDocs),
+       |fbtf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS fbtf
+       |         FROM tf JOIN fb USING (doc_id) GROUP BY 1),
+       |expn AS (
+       |  SELECT term, df.df,
+       |         ${Det.rndSql("ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) * fbtf", 6)} AS w
+       |  FROM fbtf JOIN df USING (term) CROSS JOIN stats s
+       |  WHERE term NOT IN (SELECT term FROM q)
+       |  ORDER BY w DESC, term LIMIT $PrfExpTerms),
+       |q2 AS (SELECT term, df FROM q UNION ALL SELECT term, df FROM expn),
+       |scored2 AS (
+       |  SELECT tf.doc_id,
+       |         ln(1.0 + (s.n - q2.df + 0.5) / (q2.df + 0.5))
+       |           * tf.tf * 2.2
+       |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+       |                / (CAST(s.tot AS DOUBLE) / s.n))) AS tscore
+       |  FROM tf JOIN q2 USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |ranked2 AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |         ${Det.rndSql("sum(tscore)", 6)} AS score
+       |  FROM scored2 GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $PrfTopDocs)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |         AS rank,
+       |       doc_id, n_terms, score
+       |FROM ranked2
+       |ORDER BY rank""".stripMargin
+
+  private final val ReshardOld = 8
+  private final val ReshardNew = 9
+
+  /** RENDEZVOUS-HASH RESHARD AUDIT (highest-random-weight hashing,
+    * Thaler & Ravishankar 1998): assign every document to one of
+    * [[ReshardOld]] shards by argmax of a per-(doc, shard) hash, then
+    * re-assign under [[ReshardNew]] shards and measure movement — the
+    * consistent-hashing property a 100 TB store depends on when it
+    * grows capacity: ONLY documents whose argmax lands on the new
+    * shard move (expected 1/(S+1) of the corpus); every other
+    * assignment is provably unchanged, unlike mod-S hashing where
+    * nearly everything reshuffles.
+    *
+    * Scale shape: one bounded 9-way fanout (explode over the shard
+    * list), one groupBy(doc) computing both argmaxes at once, then
+    * shard-cardinality aggregation — no joins over the corpus at all.
+    * The per-(doc, shard) weight is the engine-neutral 32-bit
+    * multiplicative doc mix (the AMS sketch oracle's) plus a
+    * golden-ratio Weyl offset s·2654435761 mod 2³² — affine-in-s
+    * offsets make win probabilities exactly the Weyl gap lengths,
+    * which the three-distance theorem keeps near-uniform (each shard
+    * wins 5.6–14.6% here), while a naive doc·131+s remix concentrates
+    * a third of the corpus on one shard. The argmax is pure integer
+    * MAX on h·16+s (shard recovered by mod 16): no float, no
+    * tie-break ambiguity (s makes the key unique). */
+  def rendezvousReshard(spark: SparkSession, dir: String): DataFrame =
+    rendezvousReshardOf(Tables(spark, dir, "documents"))
+
+  private[graft] def rendezvousReshardOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession; import s.implicits._
+    val hExpr = "((((doc_id % 4294967296) * 34283 % 65536) * 65536" +
+      " + (doc_id % 4294967296) * 51831) % 4294967296" +
+      " + s * 2654435761) % 4294967296"
+    val assigned = docs.select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${ReshardNew - 1})")).as("s"))
+      .withColumn("r", expr(s"($hExpr) * 16 + s"))
+      .groupBy("doc_id")
+      .agg((max(when(col("s") < ReshardOld, col("r"))) % 16).as("old_shard"),
+        (max(col("r")) % 16).as("new_shard"))
+    val shards = Seq.range(0L, ReshardNew.toLong).toDF("shard")
+    val oldC = assigned.groupBy(col("old_shard").as("shard"))
+      .agg(count(lit(1)).as("n_old"))
+    val newC = assigned.groupBy(col("new_shard").as("shard"))
+      .agg(count(lit(1)).as("n_new"))
+    val movedC = assigned.filter(col("old_shard") =!= col("new_shard"))
+      .groupBy(col("new_shard").as("shard"))
+      .agg(count(lit(1)).as("n_moved_in"))
+    shards.join(oldC, Seq("shard"), "left")
+      .join(newC, Seq("shard"), "left")
+      .join(movedC, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+      .orderBy("shard")
+  }
+
+  val rendezvousReshardSql: String = {
+    val h = "((((doc_id % 4294967296) * 34283 % 65536) * 65536" +
+      " + (doc_id % 4294967296) * 51831) % 4294967296" +
+      " + s * 2654435761) % 4294967296"
+    s"""WITH e AS (
+       |  SELECT doc_id, s
+       |  FROM documents CROSS JOIN (SELECT unnest(range($ReshardNew)) AS s)),
+       |a AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN s < $ReshardOld THEN r END) % 16 AS old_shard,
+       |         max(r) % 16 AS new_shard
+       |  FROM (SELECT doc_id, s, ($h) * 16 + s AS r FROM e)
+       |  GROUP BY 1),
+       |shards AS (SELECT unnest(range($ReshardNew)) AS shard),
+       |o AS (SELECT old_shard AS shard, count(*) AS n FROM a GROUP BY 1),
+       |nn AS (SELECT new_shard AS shard, count(*) AS n FROM a GROUP BY 1),
+       |m AS (SELECT new_shard AS shard, count(*) AS n FROM a
+       |      WHERE old_shard <> new_shard GROUP BY 1)
+       |SELECT shard, coalesce(o.n, 0) AS n_old, coalesce(nn.n, 0) AS n_new,
+       |       coalesce(m.n, 0) AS n_moved_in
+       |FROM shards
+       |LEFT JOIN o USING (shard) LEFT JOIN nn USING (shard)
+       |LEFT JOIN m USING (shard)
+       |ORDER BY shard""".stripMargin
+  }
+
+  // Fellegi-Sunter field parameters: (m = P(agree | match),
+  // u = P(agree | non-match)); weights are log2 odds computed once
+  // here and embedded as IDENTICAL literals in both engines.
+  private final val FsFields = Seq(
+    ("lang", 0.95, 0.20), ("source", 0.90, 0.05), ("len", 0.85, 0.10))
+  private final val FsThreshold = 2.0
+
+  /** FELLEGI-SUNTER PROBABILISTIC RECORD LINKAGE (1969): score
+    * candidate document pairs by summed log₂ likelihood ratios of
+    * per-field agreement — agree on a field and earn log₂(m/u),
+    * disagree and pay log₂((1−m)/(1−u)) — the probabilistic
+    * entity-resolution discipline next to [[graft.queries
+    * .ExtensionQueries]]' edit-distance matcher (distance says HOW
+    * SIMILAR two strings are; FS says HOW DIAGNOSTIC each field's
+    * agreement is) and [[graft.queries.ExtensionQueries]]' golden-
+    * record survivorship (which consumes the matches FS produces).
+    *
+    * Scale shape: the fuzzy-match blocking pattern — candidate pairs
+    * form only inside first-token blocks (Σ block² ≪ n²; oversized
+    * blocks would salt-shard as `DedupQueries.minhashCandidates`
+    * does); agreements are integer comparisons; the score is a sum of
+    * 3 FIXED double literals in a fixed expression order, identical
+    * in both engines, fenced at 6 dp with a unique (score, a, b)
+    * output order. */
+  def fellegiSunter(spark: SparkSession, dir: String): DataFrame =
+    fellegiSunterOf(Tables(spark, dir, "documents"))
+
+  private def fsW(m: Double, u: Double): (String, String) = {
+    def f(x: Double) = "%.8f".format(math.log(x) / math.log(2.0))
+    (f(m / u), f((1.0 - m) / (1.0 - u)))
+  }
+
+  private[graft] def fellegiSunterOf(docs: DataFrame): DataFrame = {
+    val recs = docs.select(col("doc_id"),
+      col("lang"), col("source"),
+      expr("n_chars div 100").as("lenb"),
+      lower(element_at(split(trim(col("text")), "\\s+"), 1)).as("blk"))
+    val a = recs.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+      col("source").as("sa"), col("lenb").as("za"), col("blk"))
+    val b = recs.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+      col("source").as("sb"), col("lenb").as("zb"), col("blk"))
+    val Seq((wl1, wl0), (ws1, ws0), (wz1, wz0)) =
+      FsFields.map { case (_, m, u) => fsW(m, u) }
+    a.join(b, "blk").filter(col("doc_a") < col("doc_b"))
+      .withColumn("agree_lang", col("la") === col("lb"))
+      .withColumn("agree_source", col("sa") === col("sb"))
+      .withColumn("agree_len", col("za") === col("zb"))
+      .withColumn("score", Det.rnd(expr(
+        s"(CASE WHEN agree_lang THEN $wl1 ELSE $wl0 END) + " +
+          s"(CASE WHEN agree_source THEN $ws1 ELSE $ws0 END) + " +
+          s"(CASE WHEN agree_len THEN $wz1 ELSE $wz0 END)"), 6))
+      .select(col("doc_a"), col("doc_b"), col("agree_lang"),
+        col("agree_source"), col("agree_len"), col("score"),
+        (col("score") >= FsThreshold).as("is_match"))
+      .orderBy(desc("score"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
+  }
+
+  val fellegiSunterSql: String = {
+    val Seq((wl1, wl0), (ws1, ws0), (wz1, wz0)) =
+      FsFields.map { case (_, m, u) => fsW(m, u) }
+    s"""WITH recs AS (
+       |  SELECT doc_id, lang, source, n_chars // 100 AS lenb,
+       |         lower(string_split_regex(trim(text), '\\s+')[1]) AS blk
+       |  FROM documents),
+       |p AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.lang = y.lang AS agree_lang,
+       |         x.source = y.source AS agree_source,
+       |         x.lenb = y.lenb AS agree_len
+       |  FROM recs x JOIN recs y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, agree_lang, agree_source, agree_len,
+       |       ${Det.rndSql(
+            s"(CASE WHEN agree_lang THEN $wl1 ELSE $wl0 END) + " +
+              s"(CASE WHEN agree_source THEN $ws1 ELSE $ws0 END) + " +
+              s"(CASE WHEN agree_len THEN $wz1 ELSE $wz0 END)", 6)} AS score,
+       |       ${Det.rndSql(
+            s"(CASE WHEN agree_lang THEN $wl1 ELSE $wl0 END) + " +
+              s"(CASE WHEN agree_source THEN $ws1 ELSE $ws0 END) + " +
+              s"(CASE WHEN agree_len THEN $wz1 ELSE $wz0 END)", 6)} >= $FsThreshold
+       |         AS is_match
+       |FROM p
+       |ORDER BY score DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin
+  }
 }

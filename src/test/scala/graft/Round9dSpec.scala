@@ -297,6 +297,75 @@ class Round9dSpec extends SparkSpec {
     }
   }
 
+  test("rocchioPrf: expansion terms retrieve docs the seed query cannot see") {
+    val s = spark; import s.implicits._
+    // docs 1-5: dense seed matches + the rare term; 6-9: diluted seed
+    // matches (long filler drags bm25 length normalization down);
+    // 20: ONLY the rare term — invisible to the seed query. All five
+    // seed terms (df 9) outrank zebra (df 6) for the top-5 df cut.
+    val docs = ((1L to 5L).map(i =>
+      (i, "c1 c1 c2 c2 c3 c3 c4 c5 zebra", "en", "s", 1L)) ++
+      (6L to 9L).map(i =>
+        (i, "c1 c2 c3 c4 c5 x1 x2 x3 x4 x5 x6 x7 x8 x9 x0", "en", "s", 1L)) :+
+      (20L, "zebra zebra zebra", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val prf = graft.queries.TextQueries.rocchioPrfOf(docs).collect()
+    val bm = graft.queries.TextQueries.bm25Of(docs).collect()
+    assert(!bm.exists(_.getLong(1) == 20L), "seed query must not see doc 20")
+    assert(prf.exists(_.getLong(1) == 20L), "expanded query must retrieve doc 20")
+    // ranks are 1..k with descending scores
+    val ranks = prf.map(_.getInt(0)).toSeq
+    assert(ranks === (1 to prf.length))
+    val scores = prf.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("rendezvousReshard: only the new shard gains; totals conserve") {
+    val got = graft.queries.TextQueries
+      .rendezvousReshardOf(Tables(spark, sfDir, "documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables(spark, sfDir, "documents").count()
+    assert(got.length === 9)
+    assert(got.map(_._2).sum === n) // old assignment partitions the corpus
+    assert(got.map(_._3).sum === n) // so does the new one
+    val byShard = got.map(t => t._1 -> t).toMap
+    assert(byShard(8L)._2 === 0L)   // shard 8 did not exist before
+    // rendezvous monotonicity: every move lands on the NEW shard only
+    (0L to 7L).foreach(s => assert(byShard(s)._4 === 0L, s"shard $s gained"))
+    assert(byShard(8L)._4 === byShard(8L)._3 && byShard(8L)._4 > 0L)
+    // movement is in the right ballpark of the theoretical 1/9
+    val moved = byShard(8L)._4.toDouble / n
+    assert(moved > 0.03 && moved < 0.25, s"moved fraction $moved")
+  }
+
+  test("fellegiSunter: agreement weights replay exactly; threshold splits pairs") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha one", "en", "web", 150L),   // agrees with 2 on all fields
+      (2L, "alpha two", "en", "web", 120L),
+      (3L, "alpha three", "fr", "book", 950L)) // disagrees with both on all
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.fellegiSunterOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    assert(got.size === 3)
+    def w(m: Double, u: Double, agree: Boolean): Double = {
+      val x = if (agree) m / u else (1.0 - m) / (1.0 - u)
+      ("%.8f".format(math.log(x) / math.log(2.0))).toDouble
+    }
+    def score(a1: Boolean, a2: Boolean, a3: Boolean): Double = {
+      val raw = w(0.95, 0.20, a1) + w(0.90, 0.05, a2) + w(0.85, 0.10, a3)
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    val full = got((1L, 2L))
+    assert(full._1 && full._2 && full._3)
+    assert(full._4 === score(true, true, true) && full._5)
+    val none = got((1L, 3L))
+    assert(!none._1 && !none._2 && !none._3)
+    assert(none._4 === score(false, false, false) && !none._5)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
