@@ -1232,6 +1232,57 @@ object BatchQueries {
       .orderBy("event_type")
   }
 
+  /** TPC-H Q19 (discounted revenue, adapted to this schema's
+    * brand/size/quantity columns): revenue from three DISJOINT
+    * brand × size × quantity bands OR'd together — the classic
+    * disjunctive-predicate plan test: Catalyst must push the
+    * extractable part-side disjunction (brand ∈ {…} ∧ size bands)
+    * into the part scan AND keep the cross-table residual
+    * (brand↔quantity correlation) as the join filter, instead of
+    * evaluating the whole OR post-join.
+    *
+    * Scale shape: the pushed disjunction prunes part row-groups
+    * before the join (PushedFilters shows the Or tree); the surviving
+    * part sliver broadcasts; lineitem carries only the quantity range
+    * filter l_quantity ≤ 30 (the union of the bands) pushed to its
+    * scan. Revenue rides the exact integer 1/10⁴-dollar units of
+    * [[tpchQ14]]. */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame =
+    tpchQ19Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "part"))
+
+  private[graft] def tpchQ19Of(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    val band = (col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    lineitem
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(band)
+      .agg(count(lit(1)).as("n_items"),
+        (((sum(units.cast("decimal(38,0)")) + 50).cast("decimal(38,0)") / 100)
+          .cast("long").cast("double") / 100.0).as("revenue"))
+  }
+
+  val tpchQ19Sql: String =
+    """SELECT count(*) AS n_items,
+      |       CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      |             AND l_quantity BETWEEN 1 AND 11)
+      |         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |             AND l_quantity BETWEEN 10 AND 20)
+      |         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |             AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
   val dppPruneSql: String =
     s"""WITH sel AS (SELECT event_type FROM events GROUP BY 1
        |             HAVING count(*) >= (SELECT count(*) // 5 FROM events))

@@ -1661,7 +1661,9 @@ object SimilarityQueries {
     val path =
       s"${Tables.scratchDir}/knnedges-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
     if (!spark.conf.getOption("graft.knnedges.dir").contains(dir)) {
-      knnGraph(spark, dir).select("src", "dst")
+      // cos rides along for the distance-consuming readers ([[lof]]);
+      // src/dst-only readers column-prune it away at the scan
+      knnGraph(spark, dir).select("src", "dst", "cos")
         .write.mode("overwrite").parquet(path)
       spark.conf.set("graft.knnedges.dir", dir)
     }
@@ -2804,4 +2806,75 @@ object SimilarityQueries {
        |SELECT -1, count(*), ${Det.rndSql("avg(s)", 6)} FROM sv
        |ORDER BY cell""".stripMargin
   }
+
+  private val LofTopK = 20
+  private val LofFloor = "0.000001" // reach-distance floor: exact-dup
+                                    // neighborhoods (d=0) stay finite
+
+  /** LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the shared k-NN
+    * graph: a vector is anomalous when its local density is LOW
+    * RELATIVE to its neighbors' densities — the density-ratio
+    * discipline that catches outliers sitting next to a tight
+    * cluster, which the global-distance detectors ([[oodZscore]],
+    * [[embeddingOutliers]]) miss by construction.
+    *
+    * Scale shape: everything derives from the ONCE-materialized
+    * scratch edge relation ([[knnEdgesScratch]], ≤ k out-edges per
+    * node): k-distance is a groupBy(src) max, reachability joins the
+    * neighbor's k-distance back on dst (same key, k-bounded fan-in),
+    * and the two density averages are k-bounded aggregations — no
+    * corpus-sized join ever forms beyond the graph build itself.
+    * Distances come from the 6-dp-rounded cos the graph already
+    * oracles, so both engines consume identical doubles; the
+    * [[LofFloor]] keeps duplicate-collapsed neighborhoods (reach 0)
+    * finite in both engines identically. */
+  def lof(spark: SparkSession, dir: String): DataFrame =
+    lofOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def lofOnEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      (lit(1.0) - col("cos")).as("d"))
+    val kd = e.groupBy(col("src").as("id")).agg(max("d").as("kdist"))
+    val reach = e.join(kd.select(col("id").as("dst"), col("kdist").as("kd_o")), "dst")
+      .select(col("src"), col("dst"),
+        greatest(col("kd_o"), col("d"), lit(LofFloor).cast("double")).as("reach"))
+    val lrdinv = reach.groupBy(col("src").as("id"))
+      .agg((sum("reach") / count(lit(1))).as("lrdinv"),
+        count(lit(1)).as("n_nb"))
+    val lof = e.join(lrdinv.select(col("id").as("dst"),
+        col("lrdinv").as("lrdinv_o")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg((sum(lit(1.0) / col("lrdinv_o")) / count(lit(1))).as("nb_lrd"))
+    lrdinv.join(lof, "id").join(kd, "id")
+      .select(col("id").as("vec_id"), col("n_nb"),
+        graft.functions.Det.rnd(col("kdist"), 6).as("k_dist"),
+        graft.functions.Det.rnd(lit(1.0) / col("lrdinv"), 6).as("lrd"),
+        graft.functions.Det.rnd(col("nb_lrd") * col("lrdinv"), 6).as("lof"))
+      .orderBy(desc("lof"), asc("vec_id"))
+      .limit(LofTopK)
+  }
+
+  val lofSql: String =
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst, 1.0 - round(cos, 6) AS d
+       |           FROM r WHERE rank <= 5),
+       |kd AS (SELECT src AS id, max(d) AS kdist FROM kedges GROUP BY 1),
+       |reach AS (
+       |  SELECT ke.src, ke.dst, greatest(kd.kdist, ke.d, $LofFloor) AS reach
+       |  FROM kedges ke JOIN kd ON kd.id = ke.dst),
+       |lrdinv AS (
+       |  SELECT src AS id, sum(reach) / count(*) AS lrdinv,
+       |         count(*) AS n_nb
+       |  FROM reach GROUP BY 1),
+       |nb AS (
+       |  SELECT ke.src AS id, sum(1.0 / li.lrdinv) / count(*) AS nb_lrd
+       |  FROM kedges ke JOIN lrdinv li ON li.id = ke.dst
+       |  GROUP BY 1)
+       |SELECT li.id AS vec_id, li.n_nb,
+       |       ${graft.functions.Det.rndSql("kd.kdist", 6)} AS k_dist,
+       |       ${graft.functions.Det.rndSql("1.0 / li.lrdinv", 6)} AS lrd,
+       |       ${graft.functions.Det.rndSql("nb.nb_lrd * li.lrdinv", 6)} AS lof
+       |FROM lrdinv li JOIN nb ON nb.id = li.id JOIN kd ON kd.id = li.id
+       |ORDER BY lof DESC, vec_id
+       |LIMIT $LofTopK""".stripMargin
 }

@@ -546,6 +546,16 @@ object StreamQueries {
   def hdrQuantiles(spark: SparkSession, dir: String): DataFrame =
     hdrQuantilesOf(Tables(spark, dir, "events"))
 
+  /** The row→bucket mapping of the HDR sketch — shared by the batch
+    * histogram and the streaming twin
+    * ([[graft.streaming.StreamJobs.hdrStream]]) so the two cannot
+    * drift: bucket = 16·octave + sub, all exact integer ops. */
+  private[graft] def hdrBuckets(values: DataFrame): DataFrame =
+    values.select(Det.cents(col("value")).as("c"))
+      .select(expr("CAST(length(bin(c)) - 1 AS BIGINT)").as("e"), col("c"))
+      .select((col("e") * 16 +
+        expr("(c * 16) div shiftleft(CAST(1 AS BIGINT), e) - 16")).as("bucket"))
+
   private[graft] def hdrQuantilesOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = events.sparkSession; import s.implicits._
@@ -554,10 +564,7 @@ object StreamQueries {
     val wAll = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // bucket-cardinality relation (≤ 64 octaves × 16 sub-buckets)
-    val hist = events.select(Det.cents(col("value")).as("c"))
-      .select(expr("CAST(length(bin(c)) - 1 AS BIGINT)").as("e"), col("c"))
-      .select((col("e") * 16 +
-        expr("(c * 16) div shiftleft(CAST(1 AS BIGINT), e) - 16")).as("bucket"))
+    val hist = hdrBuckets(events)
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(wAll))

@@ -986,4 +986,15 @@ object StreamJobs {
   def amsStream(users: DataFrame): DataFrame =
     graft.queries.StreamQueries.amsSigns(users)
       .groupBy("j").agg(sum("s").as("sj"))
+
+  /** Streaming twin of the HDR quantile sketch's bucket histogram
+    * (complete mode): the SAME row→bucket mapping as the batch query
+    * ([[graft.queries.StreamQueries.hdrBuckets]]) feeding a state-
+    * store count per bucket — additive, bounded state (≤ 64·16
+    * buckets), bit-equal to the batch histogram after any batch
+    * split because bucket assignment is pure integer arithmetic and
+    * counts are exact. */
+  def hdrStream(values: DataFrame): DataFrame =
+    graft.queries.StreamQueries.hdrBuckets(values)
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 }

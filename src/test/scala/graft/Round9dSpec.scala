@@ -366,6 +366,48 @@ class Round9dSpec extends SparkSpec {
     assert(none._4 === score(false, false, false) && !none._5)
   }
 
+  test("tpchQ19: disjoint bands OR together; cross-band combos are excluded") {
+    val part = partDf(Seq((1L, "Brand#1"), (2L, "Brand#2"), (3L, "Brand#3")))
+      .withColumn("p_size",
+        org.apache.spark.sql.functions.col("p_partkey").cast("int") * 4 - 3)
+    // sizes: part1→1, part2→5, part3→9 (all inside their band's size range)
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 5.0, 100.0, 0.10, "1996-01-01"),  // band 1: in → 90
+      (2L, 1L, 1L, 12.0, 100.0, 0.00, "1996-01-01"), // qty 12 > 11 → out
+      (3L, 2L, 1L, 15.0, 200.0, 0.00, "1996-01-01"), // band 2: in → 200
+      (4L, 2L, 1L, 5.0, 999.0, 0.00, "1996-01-01"),  // brand2 w/ band-1 qty → out
+      (5L, 3L, 1L, 25.0, 300.0, 0.00, "1996-01-01"), // band 3: in → 300
+      (6L, 3L, 1L, 31.0, 999.0, 0.00, "1996-01-01"))) // qty 31 > 30 → out
+    val got = BatchQueries.tpchQ19Of(li, part).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 3L)
+    assert(got.head.getDouble(1) === 590.0)
+  }
+
+  test("lofOnEdges: the isolated point next to a tight cluster scores highest") {
+    val s = spark; import s.implicits._
+    // tight 4-clique {1,2,3,4} (d=.01 between members, k-neighborhoods
+    // stay inside the clique); point 9's neighbors are clique members
+    // at d=.2 — the density-ratio shape global detectors miss
+    val q = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L), (4L, 1L), (4L, 2L), (4L, 3L))
+      .map { case (a, b) => (a, b, 0.99) } ++
+      Seq((9L, 1L, 0.80), (9L, 2L, 0.80), (9L, 3L, 0.80))
+    val edges = q.toDF("src", "dst", "cos")
+    val got = graft.queries.SimilarityQueries.lofOnEdges(edges).collect()
+    assert(got.length === 5)
+    val top = got.head
+    assert(top.getLong(0) === 9L)          // ordered by lof desc
+    // reach(9→member)=max(kdist(member)=.01, .2)=.2 ⇒ lrd(9)=5;
+    // members: lrd=100, lof(9)=100·0.2=20
+    assert(math.abs(top.getDouble(4) - 20.0) < 1e-6)
+    // clique members sit at exact density parity (lof = 1)
+    got.tail.foreach(r => assert(math.abs(r.getDouble(4) - 1.0) < 1e-6,
+      s"vec ${r.getLong(0)} lof ${r.getDouble(4)}"))
+    assert(math.abs(got.find(_.getLong(0) == 1L).get.getDouble(3) - 100.0) < 1e-6)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -1167,4 +1167,38 @@ class StreamingSpec extends SparkSpec {
       assert(math.floor(f2Streamed * 1e4 + 0.5) / 1e4 === batch.getDouble(1))
     } finally q.stop()
   }
+
+  test("streaming HDR bucket histogram is bit-equal to the batch sketch across splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val q = StreamJobs.hdrStream(mem.toDF().toDF("value"))
+      .writeStream.format("memory").queryName("hdrs").outputMode("complete").start()
+    try {
+      val values = Tables(spark, sfDir, "events")
+        .select("value").collect().map(_.getDouble(0))
+      val (b1, rest) = values.splitAt(values.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("hdrs").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = queries.StreamQueries
+        .hdrBuckets(Tables(spark, sfDir, "events"))
+        .groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+      // and the quantile finish over the streamed state matches the query
+      val n = streamed.values.sum
+      val cum = streamed.toSeq.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
+      val got = queries.StreamQueries.hdrQuantiles(spark, sfDir).collect()
+      got.foreach { r =>
+        val rank = (n * r.getLong(0) + 999) / 1000
+        val expect = cum.find(_._2 >= rank).get._1
+        assert(r.getLong(2) === expect, s"qm ${r.getLong(0)}")
+      }
+    } finally q.stop()
+  }
 }
