@@ -1283,6 +1283,54 @@ object BatchQueries {
       |         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
       |             AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
+  /** TPC-H Q15 (top supplier): the supplier(s) whose one-quarter
+    * revenue equals the GLOBAL maximum — the "HAVING = scalar max"
+    * view pattern, which must keep ties (unlike a top-1 LIMIT) and
+    * therefore compares against a 1-row aggregate instead of sorting.
+    *
+    * Scale shape: one date-pruned pass builds per-supplier revenue in
+    * exact integer 1/10⁴-dollar units (map-side partials on suppkey);
+    * the max is a 1-row broadcast cross — never a global sort — and
+    * the equality test is EXACT INTEGER, so ties survive identically
+    * in both engines (a float-revenue comparison could drop one side
+    * of a tie per engine). Supplier is dimension-sized → broadcast. */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame =
+    tpchQ15Of(Tables(spark, dir, "supplier"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def tpchQ15Of(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(units.cast("decimal(38,0)")).as("uu"))
+    val top = rev.agg(max("uu").as("mx"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("uu") === col("mx"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (((col("uu") + 50).cast("decimal(38,0)") / 100).cast("long")
+          .cast("double") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val tpchQ15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)) AS uu
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name,
+      |       CAST(CAST((uu + 50) // 100 AS BIGINT) AS DOUBLE) / 100.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE uu = (SELECT max(uu) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   val dppPruneSql: String =
     s"""WITH sel AS (SELECT event_type FROM events GROUP BY 1
        |             HAVING count(*) >= (SELECT count(*) // 5 FROM events))

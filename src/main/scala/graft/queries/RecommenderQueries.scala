@@ -373,4 +373,98 @@ object RecommenderQueries {
         |  UNION ALL SELECT 'n_pairs', CAST(count(*) AS DOUBLE) FROM err
         |  UNION ALL SELECT 'rmse', round(sqrt(avg((p - r) * (p - r))), 6) FROM err)
         |ORDER BY metric""".stripMargin
+
+  /** ONE ALTERNATING-LEAST-SQUARES HALF-STEP (Koren/Bell/Volinsky's
+    * MF family) with rank-2 latent factors on the customer×part
+    * quantity matrix: item factors are FIXED (a deterministic integer
+    * hash init), and each user's factor vector solves its 2×2
+    * ridge-regularized normal equations in CLOSED FORM — the
+    * matrix-factorization complement of the neighborhood predictor
+    * ([[predictEval]] interpolates over users; ALS embeds them).
+    *
+    * Scale shape: this is the exact computation a distributed ALS
+    * iteration does — per-user independent solves after ONE shuffle
+    * of the rating relation on custkey (map-side partial sums build
+    * the per-user Gram entries); no iteration-global state beyond the
+    * broadcast-sized item-factor derivation, which here is a hash
+    * FORMULA (zero bytes shipped). Determinism: item factors and
+    * ratings are integers, so all five Gram/moment sums are EXACT
+    * (Σqₐ², Σqₐq_b, Σrqₐ … in longs), the ridge (λ=1) determinant is
+    * an exact positive integer, and Cramer's rule divides exact
+    * integers once — both engines produce bit-identical factors. The
+    * per-user SSE sums ≤|items| identical doubles, fenced at 4 dp. */
+  def alsStep(spark: SparkSession, dir: String): DataFrame =
+    alsStepOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"))
+
+  private[graft] def alsStepOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    // 32-bit multiplicative mix of the part key → two factors in [−9, 9]
+    val mix = "(((l_partkey % 4294967296) * 34283 % 65536) * 65536" +
+      " + (l_partkey % 4294967296) * 51831) % 4294967296"
+    val ratings = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .withColumn("qa", expr(s"($mix) % 19 - 9"))
+      .withColumn("qb", expr(s"($mix) div 19 % 19 - 9"))
+    val solved = ratings.groupBy("u")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("qa") * col("qa")).as("saa"),
+        sum(col("qa") * col("qb")).as("sab"),
+        sum(col("qb") * col("qb")).as("sbb"),
+        sum(col("r") * col("qa")).as("ba"),
+        sum(col("r") * col("qb")).as("bb"))
+      .withColumn("det", expr(
+        "(saa + 1) * (sbb + 1) - sab * sab").cast("double"))
+      .withColumn("u1", expr(
+        "(ba * (sbb + 1) - bb * sab)").cast("double") / col("det"))
+      .withColumn("u2", expr(
+        "(bb * (saa + 1) - ba * sab)").cast("double") / col("det"))
+    val e = col("r") - col("u1") * col("qa") - col("u2") * col("qb")
+    ratings.join(solved, "u")
+      .groupBy(col("u"), col("n_items"), col("u1"), col("u2"))
+      .agg(sum(e * e).as("sse"))
+      .select(col("u").as("custkey"), col("n_items"),
+        Det.rnd(col("u1"), 6).as("u1"), Det.rnd(col("u2"), 6).as("u2"),
+        Det.rnd(col("sse"), 4).as("sse"))
+      .orderBy("custkey")
+      .limit(20)
+  }
+
+  val alsStepSql: String = {
+    val mix = "(((l_partkey % 4294967296) * 34283 % 65536) * 65536" +
+      " + (l_partkey % 4294967296) * 51831) % 4294967296"
+    s"""WITH ratings AS (
+       |  SELECT u, l_partkey, r,
+       |         ($mix) % 19 - 9 AS qa,
+       |         ($mix) // 19 % 19 - 9 AS qb
+       |  FROM (SELECT o_custkey AS u, l_partkey,
+       |               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+       |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |        GROUP BY 1, 2)),
+       |solved AS (
+       |  SELECT u, count(*) AS n_items,
+       |         CAST(sum(qa * qa) AS BIGINT) AS saa,
+       |         CAST(sum(qa * qb) AS BIGINT) AS sab,
+       |         CAST(sum(qb * qb) AS BIGINT) AS sbb,
+       |         CAST(sum(r * qa) AS BIGINT) AS ba,
+       |         CAST(sum(r * qb) AS BIGINT) AS bb
+       |  FROM ratings GROUP BY 1),
+       |uf AS (
+       |  SELECT u, n_items,
+       |         CAST(ba * (sbb + 1) - bb * sab AS DOUBLE)
+       |           / CAST((saa + 1) * (sbb + 1) - sab * sab AS DOUBLE) AS u1,
+       |         CAST(bb * (saa + 1) - ba * sab AS DOUBLE)
+       |           / CAST((saa + 1) * (sbb + 1) - sab * sab AS DOUBLE) AS u2
+       |  FROM solved)
+       |SELECT r.u AS custkey, any_value(n_items) AS n_items,
+       |       ${Det.rndSql("any_value(u1)", 6)} AS u1,
+       |       ${Det.rndSql("any_value(u2)", 6)} AS u2,
+       |       ${Det.rndSql(
+            "sum((r.r - u1 * qa - u2 * qb) * (r.r - u1 * qa - u2 * qb))", 4)} AS sse
+       |FROM ratings r JOIN uf ON uf.u = r.u
+       |GROUP BY r.u
+       |ORDER BY custkey
+       |LIMIT 20""".stripMargin
+  }
 }

@@ -5012,4 +5012,91 @@ object TextQueries {
        |ORDER BY score DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin
   }
+
+  private final val WinK = 8 // character k-gram length
+  private final val WinW = 4 // winnow window (k-grams per window)
+
+  /** WINNOWING DOCUMENT FINGERPRINTS (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every character
+    * [[WinK]]-gram, keep the MINIMUM hash of each sliding
+    * [[WinW]]-window, and report the top document pairs by shared
+    * fingerprint count — the LOCAL fingerprint family next to the
+    * global ones (MinHash samples the whole doc uniformly; winnowing
+    * GUARANTEES any shared substring of length ≥ k+w−1 yields a
+    * shared fingerprint, which is what plagiarism/copy detection
+    * needs).
+    *
+    * Scale shape: the k-gram explode is the only corpus-sized fanout
+    * (≈ |chars| rows, the shingle pipelines' scale); window minima
+    * are PER-DOCUMENT windows (partitioned by doc_id — never a
+    * global sort); the pair join runs over the DISTINCT fingerprint
+    * relation (winnowing keeps ~2/(w+1) of positions, then distinct
+    * collapses repeats). Hashes are md5-hex PREFIX STRINGS — both
+    * engines produce identical digests and compare fixed-width hex
+    * lexicographically, so window minima are engine-neutral without
+    * any numeric conversion. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowingOf(Tables(spark, dir, "documents"))
+
+  private[graft] def winnowingOf(docs: DataFrame): DataFrame = {
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WinW - 1)
+    val norm = docs.select(col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+    val grams = norm
+      .filter(length(col("t")) >= WinK)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(t) - ${WinK - 1})")).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(md5(substring(t, pos, $WinK)), 1, 8)").as("h"))
+    val fps = grams
+      .withColumn("nw", count(lit(1)).over(wWin))
+      .withColumn("mh", min("h").over(wWin))
+      .filter(col("nw") === WinW) // full windows only, as in the paper
+      .select(col("doc_id"), col("mh")).distinct()
+    val nfp = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    fps.select(col("doc_id").as("doc_a"), col("mh"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("mh")), "mh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(nfp.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+      .join(nfp.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("nfp_a"), col("nfp_b"),
+        Det.rnd(col("shared").cast("double") / least(col("nfp_a"), col("nfp_b")), 6)
+          .as("overlap"))
+      .orderBy(desc("shared"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
+  }
+
+  val winnowingSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, pos, substring(md5(substring(t, CAST(pos AS INTEGER), $WinK)), 1, 8) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - ${WinK - 2})) AS pos
+       |        FROM norm WHERE length(t) >= $WinK)),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, mh FROM (
+       |    SELECT doc_id,
+       |           count(*) OVER w AS nw, min(h) OVER w AS mh
+       |    FROM grams
+       |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING))
+       |  WHERE nw = $WinW),
+       |nfp AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM fps a JOIN fps b ON a.mh = b.mh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared, na.nfp AS nfp_a, nb.nfp AS nfp_b,
+       |       ${Det.rndSql("CAST(shared AS DOUBLE) / least(na.nfp, nb.nfp)", 6)}
+       |         AS overlap
+       |FROM pairs
+       |JOIN nfp na ON na.doc_id = doc_a
+       |JOIN nfp nb ON nb.doc_id = doc_b
+       |ORDER BY shared DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin
 }

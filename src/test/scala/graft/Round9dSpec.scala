@@ -408,6 +408,78 @@ class Round9dSpec extends SparkSpec {
     assert(math.abs(got.find(_.getLong(0) == 1L).get.getDouble(3) - 100.0) < 1e-6)
   }
 
+  test("alsStep: closed-form factors replay the exact normal equations") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val ord = Tables(spark, sfDir, "orders")
+    val got = graft.queries.RecommenderQueries.alsStepOf(li, ord).collect()
+    assert(got.length === 20)
+    val users = got.map(_.getLong(0)).toSet
+    val ratings = li.join(ord,
+        li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey").as("u"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_quantity").cast("long")).as("r"))
+      .collect()
+      .filter(r => users.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def mix(p: Long): Long =
+      (((p % 4294967296L) * 34283 % 65536) * 65536 + (p % 4294967296L) * 51831) % 4294967296L
+    def rnd(x: Double, s: Int): Double = {
+      val f = math.pow(10, s); math.floor(x * f + 0.5) / f
+    }
+    got.foreach { row =>
+      val u = row.getLong(0)
+      val items = ratings.filter(_._1 == u)
+        .map { case (_, p, r) =>
+          (r, mix(p) % 19 - 9, mix(p) / 19 % 19 - 9) }
+      assert(row.getLong(1) === items.length.toLong)
+      val (saa, sab, sbb) = (items.map(i => i._2 * i._2).sum,
+        items.map(i => i._2 * i._3).sum, items.map(i => i._3 * i._3).sum)
+      val (ba, bb) = (items.map(i => i._1 * i._2).sum, items.map(i => i._1 * i._3).sum)
+      val det = ((saa + 1) * (sbb + 1) - sab * sab).toDouble
+      val (u1, u2) = ((ba * (sbb + 1) - bb * sab) / det,
+        (bb * (saa + 1) - ba * sab) / det)
+      assert(row.getDouble(2) === rnd(u1, 6), s"u1 for $u")
+      assert(row.getDouble(3) === rnd(u2, 6), s"u2 for $u")
+      val sse = items.map { case (r, qa, qb) =>
+        val e = r - u1 * qa - u2 * qb; e * e }.sum
+      assert(math.abs(row.getDouble(4) - sse) < 1e-3, s"sse for $u")
+    }
+  }
+
+  test("winnowing: a shared >= k+w-1 substring guarantees a shared fingerprint") {
+    val s = spark; import s.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta", "en", "s", 1L),
+      (2L, s"unrelated prefix words $shared and a different tail", "en", "s", 1L),
+      (3L, "0123 456 789 012 345 678 901 234 567 890", "en", "s", 1L),
+      (4L, "tiny text", "en", "s", 1L)) // 9 chars: grams but no full window
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.winnowingOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)), "docs sharing a 43-char substring must pair")
+    assert(got((1L, 2L)) >= 1L)
+    // the digit-only doc shares no 8-gram with the letter docs
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // doc 4 never forms a full window → no fingerprints → no pairs
+    assert(!got.keys.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  test("tpchQ15: exact-integer max keeps revenue ties; window edges respected") {
+    val supp = supplierDf(Seq((1L, "s1"), (2L, "s2"), (3L, "s3")))
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 100.0, 0.0, "1996-02-01"),  // s1: 100.00
+      (2L, 1L, 2L, 1.0, 50.0, 0.0, "1996-02-01"),   // s2: 50+50 = 100.00 (tie)
+      (3L, 1L, 2L, 1.0, 50.0, 0.0, "1996-03-31"),
+      (4L, 1L, 3L, 1.0, 99.0, 0.0, "1996-02-01"),   // s3: 99 — below max
+      (5L, 1L, 1L, 1.0, 999.0, 0.0, "1996-04-01"))) // outside the quarter
+    val got = BatchQueries.tpchQ15Of(supp, li).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "s1", 100.0), (2L, "s2", 100.0)))
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
