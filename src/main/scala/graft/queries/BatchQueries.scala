@@ -1331,6 +1331,229 @@ object BatchQueries {
       |WHERE uu = (SELECT max(uu) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations
+    * by year — the SYMMETRIC-PAIR disjunction ((n1,n2) ∨ (n2,n1))
+    * evaluated across the supplier-side and customer-side nation
+    * joins, which only becomes a testable predicate after BOTH fact
+    * joins resolve.
+    *
+    * Scale shape: nation is broadcast twice (supplier side, customer
+    * side — 25 rows each); the shipdate window prunes the lineitem
+    * scan; the two fact-fact joins shuffle on their natural keys and
+    * the nation-pair disjunction runs as a residual filter on the
+    * joined stream, exactly where a distributed planner needs it.
+    * Revenue in exact integer units; (n1, n2, year) ordering unique. */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame =
+    tpchQ7Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "nation"))
+
+  private[graft] def tpchQ7Of(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    val n1 = nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((((sum(units.cast("decimal(38,0)")) + 50).cast("decimal(38,0)") / 100)
+        .cast("long").cast("double") / 100.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             year(l_shipdate) AS l_year,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+      |      FROM lineitem
+      |      JOIN supplier ON l_suppkey = s_suppkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01'
+      |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 (national market share): one nation's share of a
+    * region's yearly revenue in one part type — the conditional-
+    * aggregation-after-wide-join classic: the numerator is a CASE
+    * inside the same sum as the denominator, so the 7-relation join
+    * runs ONCE.
+    *
+    * Scale shape: part (type filter), both nation hops and region are
+    * broadcast slivers; the fact chain shuffles once per natural key;
+    * numerator/denominator ride one exact-integer aggregation and
+    * divide once, fenced — never two scans, never a float sum. */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame =
+    tpchQ8Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"),
+      Tables(spark, dir, "part"))
+
+  private[graft] def tpchQ8Of(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, part: DataFrame): DataFrame = {
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    val cregion = nation
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cregion), col("c_nationkey") === col("cnk"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("s_nationkey") === 3, units).otherwise(0L)
+          .cast("decimal(38,0)")).as("nation_u"),
+        sum(units.cast("decimal(38,0)")).as("all_u"))
+      .select(col("o_year"),
+        Det.rnd(col("nation_u").cast("double") / col("all_u").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val tpchQ8Sql: String =
+    s"""SELECT o_year,
+       |       ${Det.rndSql(
+          "CAST(sum(CASE WHEN s_nationkey = 3 THEN CAST(u AS HUGEINT) ELSE 0 END) AS DOUBLE)" +
+            " / CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE)", 6)} AS mkt_share
+       |FROM (SELECT year(o_orderdate) AS o_year, s_nationkey,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT)
+       |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+       |      FROM lineitem
+       |      JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+       |      JOIN orders ON l_orderkey = o_orderkey
+       |      JOIN customer ON o_custkey = c_custkey
+       |      JOIN nation ON c_nationkey = n_nationkey
+       |      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+       |      JOIN supplier ON l_suppkey = s_suppkey
+       |      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |        AND o_orderdate < TIMESTAMP '1998-01-01')
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9 (product-type profit, adapted: unit cost =
+    * p_retailprice since this schema has no partsupp): per supplier
+    * nation and order year, profit = discounted revenue − retail cost
+    * of the quantities shipped, over parts matching a name substring
+    * — the signed-amount aggregation whose NEGATIVE sums make
+    * truncate-vs-floor rounding diverge (handled by the fenced
+    * double division, not integer div).
+    *
+    * Scale shape: the LIKE filter prunes part before its broadcast;
+    * amounts stay exact integer 1/10⁴-dollar units through the sum
+    * (revenue cents·(100−d) minus cost cents·qty·100); the single
+    * division is Det-fenced so the sign never hits an
+    * engine-specific floor. */
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame =
+    tpchQ9Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "part"))
+
+  private[graft] def tpchQ9Of(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame, part: DataFrame): DataFrame = {
+    val amount = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))" +
+        " - CAST(round(p_retailprice * 100) AS BIGINT)" +
+        " * CAST(round(l_quantity) AS BIGINT) * 100")
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(Det.rnd(sum(amount.cast("decimal(38,0)")).cast("double") / 10000.0, 2)
+        .as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  val tpchQ9Sql: String =
+    s"""SELECT nation, o_year,
+       |       ${Det.rndSql("CAST(sum(CAST(a AS HUGEINT)) AS DOUBLE) / 10000.0", 2)}
+       |         AS sum_profit
+       |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT)
+       |               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |             - CAST(round(p_retailprice * 100) AS BIGINT)
+       |               * CAST(round(l_quantity) AS BIGINT) * 100 AS a
+       |      FROM lineitem
+       |      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+       |      JOIN orders ON l_orderkey = o_orderkey
+       |      JOIN supplier ON l_suppkey = s_suppkey
+       |      JOIN nation ON s_nationkey = n_nationkey)
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q12 (shipping-priority audit, adapted: l_returnflag stands
+    * in for the schema-absent shipmode): per flag, how many lines
+    * shipped in one year belong to urgent/high-priority orders vs the
+    * rest — the two-way conditional count whose CASE pair rides one
+    * aggregation.
+    *
+    * Scale shape: the year filter prunes the lineitem scan; orders
+    * joins on its key (AQE broadcasts the 2-column projection when it
+    * fits); both counts are exact integers in a single pass. */
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame =
+    tpchQ12Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"))
+
+  private[graft] def tpchQ12Of(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val dppPruneSql: String =
     s"""WITH sel AS (SELECT event_type FROM events GROUP BY 1
        |             HAVING count(*) >= (SELECT count(*) // 5 FROM events))

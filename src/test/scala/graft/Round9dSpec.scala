@@ -480,6 +480,97 @@ class Round9dSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "s1", 100.0), (2L, "s2", 100.0)))
   }
 
+  private def nationDf(rows: Seq[(Int, String, Int)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("n_nationkey", "n_name", "n_regionkey")
+  }
+  private def regionDf(rows: Seq[(Int, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("r_regionkey", "r_name")
+  }
+
+  test("tpchQ7: both directions of the nation pair survive; others drop") {
+    val nat = nationDf(Seq((1, "NATION_1", 0), (2, "NATION_2", 0), (3, "NATION_3", 0)))
+    val supp = supplierDf(Seq((10L, "s10"), (20L, "s20"), (30L, "s30")))
+      .withColumn("s_nationkey",
+        (org.apache.spark.sql.functions.col("s_suppkey") / 10).cast("int"))
+    val cust = customerDf(Seq((100L, "c", 2, 0.0, "B"), (200L, "c", 1, 0.0, "B"),
+      (300L, "c", 3, 0.0, "B")))
+    val ord = ordersDf(Seq(
+      (1L, 100L, "O", 0.0, "1996-05-01", "p"),   // cust nation 2
+      (2L, 200L, "O", 0.0, "1996-05-01", "p"),   // cust nation 1
+      (3L, 300L, "O", 0.0, "1996-05-01", "p")))  // cust nation 3
+    val li = lineitemDf(Seq(
+      (1L, 1L, 10L, 1.0, 100.0, 0.0, "1996-06-01"), // n1 → n2: 100
+      (2L, 1L, 20L, 1.0, 200.0, 0.0, "1997-06-01"), // n2 → n1: 200
+      (3L, 1L, 10L, 1.0, 999.0, 0.0, "1996-06-01"), // n1 → n3: drop
+      (1L, 1L, 30L, 1.0, 999.0, 0.0, "1996-06-01"))) // n3 → n2: drop
+    val got = BatchQueries.tpchQ7Of(li, ord, cust, supp, nat).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("NATION_1", "NATION_2", 1996L, 100.0),
+      ("NATION_2", "NATION_1", 1997L, 200.0)))
+  }
+
+  test("tpchQ8: market share is the focal nation's slice of one aggregation") {
+    val nat = nationDf(Seq((3, "NATION_3", 3), (8, "NATION_8", 3), (0, "NATION_0", 0)))
+    val reg = regionDf(Seq((3, "EUROPE"), (0, "AFRICA")))
+    val part = partDf(Seq((1L, "Brand#1"))) // partDf sets p_type = "TYPE"
+      .withColumn("p_type", org.apache.spark.sql.functions.lit("ECONOMY"))
+    val supp = supplierDf(Seq((1L, "s1"), (2L, "s2")))
+      .withColumn("s_nationkey",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("s_suppkey") === 1L, 3).otherwise(0))
+    val cust = customerDf(Seq(
+      (100L, "c", 3, 0.0, "B"),   // EUROPE
+      (200L, "c", 0, 0.0, "B")))  // AFRICA — its orders drop
+    val ord = ordersDf(Seq(
+      (1L, 100L, "O", 0.0, "1996-05-01", "p"),
+      (2L, 100L, "O", 0.0, "1996-06-01", "p"),
+      (3L, 200L, "O", 0.0, "1996-07-01", "p")))
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 300.0, 0.0, "1996-06-01"), // focal supplier: 300
+      (2L, 1L, 2L, 1.0, 100.0, 0.0, "1996-07-01"), // other supplier: 100
+      (3L, 1L, 1L, 1.0, 999.0, 0.0, "1996-07-01"))) // non-EUROPE customer
+    val got = BatchQueries.tpchQ8Of(li, ord, cust, supp, nat, reg, part).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 1996L)
+    assert(got.head.getDouble(1) === 0.75) // 300 / 400
+  }
+
+  test("tpchQ9: signed profits round with the fenced division, not integer div") {
+    val nat = nationDf(Seq((1, "NATION_1", 0)))
+    val supp = supplierDf(Seq((1L, "s1"))).withColumn("s_nationkey",
+      org.apache.spark.sql.functions.lit(1))
+    val part = partDf(Seq((1L, "Brand#1")))
+      .withColumn("p_name", org.apache.spark.sql.functions.lit("red widget"))
+      .withColumn("p_retailprice", org.apache.spark.sql.functions.lit(10.0))
+    val ord = ordersDf(Seq((1L, 1L, "O", 0.0, "1996-05-01", "p")))
+    // revenue 100·(1−0.1259…) no — keep exact: ep=15.55, disc=0, qty=2
+    // amount = 1555·100 − 1000·2·100 = 155500 − 200000 = −44500 units
+    // → −4.45 exactly
+    val li = lineitemDf(Seq((1L, 1L, 1L, 2.0, 15.55, 0.0, "1996-06-01")))
+    val got = BatchQueries.tpchQ9Of(li, ord, supp, nat, part).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "NATION_1")
+    assert(got.head.getDouble(2) === -4.45)
+  }
+
+  test("tpchQ12: urgent/high vs rest split in a single pass") {
+    val ord = ordersDf(Seq(
+      (1L, 1L, "O", 0.0, "1996-01-01", "1-URGENT"),
+      (2L, 1L, "O", 0.0, "1996-01-01", "2-HIGH"),
+      (3L, 1L, "O", 0.0, "1996-01-01", "5-LOW")))
+    val li = lineitemDf(Seq(
+      (1L, 1L, 1L, 1.0, 1.0, 0.0, "1996-06-01"),
+      (2L, 1L, 1L, 1.0, 1.0, 0.0, "1996-06-02"),
+      (3L, 1L, 1L, 1.0, 1.0, 0.0, "1996-06-03"),
+      (3L, 1L, 1L, 1.0, 1.0, 0.0, "1997-06-03"))) // outside the year
+    val got = BatchQueries.tpchQ12Of(li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("N", 2L, 1L))) // fixture flag is always N
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
