@@ -6869,4 +6869,120 @@ object ExtensionQueries {
        |       ${Det.rndSql("CAST(det7 AS DOUBLE) / 700.0 - seas7 / 700.0", 4)} AS residual
        |FROM s
        |ORDER BY day""".stripMargin
+
+  /** FORMAT-PRESERVING PSEUDONYMIZATION of user ids via a 2-round
+    * 32-bit FEISTEL NETWORK: the privacy middle ground between
+    * redaction ([[graft.queries.TextQueries]]' PII redact destroys
+    * the value) and k-anonymity ([[kAnonymity]] generalizes it) —
+    * here every id maps to a DIFFERENT id in the same 32-bit domain,
+    * provably bijectively (a Feistel permutation is invertible by
+    * construction, whatever the round function), so joins and
+    * distinct-counts on the pseudonymized corpus still work.
+    *
+    * Scale shape: a codegen'd scalar projection per row plus one
+    * distinct-count audit pass — no joins, no windows. All integer
+    * arithmetic (16-bit halves, multiplicative round function, XOR),
+    * identical in both engines; the bijectivity audit
+    * (n_pseudo = n_users) rides the output as constant columns from
+    * a 1-row broadcast cross. */
+  def feistelPseudonymize(spark: SparkSession, dir: String): DataFrame =
+    feistelPseudonymizeOf(Tables(spark, dir, "events"))
+
+  private[graft] def feistelPseudonymizeOf(events: DataFrame): DataFrame = {
+    // two rounds: (L,R) → (R, L ⊕ F(R,c)) with F(r,c) = (r·34283+c) mod 2¹⁶
+    val pseudo =
+      "(SELECT_L2) * 65536 + (SELECT_R2)"
+        .replace("(SELECT_L2)",
+          "(u % 65536 ^ ((u div 65536) % 65536 * 34283 + 12345) % 65536)")
+        .replace("(SELECT_R2)",
+          "((u div 65536) % 65536 ^ " +
+            "((u % 65536 ^ ((u div 65536) % 65536 * 34283 + 12345) % 65536)" +
+            " * 34283 + 54321) % 65536)")
+    val ids = events.select((col("user_id") % 4294967296L).as("u")).distinct()
+      .withColumn("pseudo_id", expr(pseudo))
+    val audit = ids.agg(count(lit(1)).as("n_users"),
+      countDistinct("pseudo_id").as("n_pseudo"))
+    ids.crossJoin(broadcast(audit))
+      .select(col("u").as("user_id"), col("pseudo_id"),
+        col("n_users"), col("n_pseudo"),
+        (col("n_users") === col("n_pseudo")).as("bijective"))
+      .orderBy("user_id")
+      .limit(20)
+  }
+
+  val feistelPseudonymizeSql: String = {
+    // the same expression text with DuckDB's xor()/integer-div spelling
+    val l1 = "((u // 65536) % 65536)"          // L0
+    val r0 = "(u % 65536)"
+    val f1 = s"(($l1 * 34283 + 12345) % 65536)"
+    val r1 = s"xor($r0, $f1)"                  // new R after round 1
+    val f2 = s"(($r1 * 34283 + 54321) % 65536)"
+    val r2 = s"xor($l1, $f2)"
+    s"""WITH ids AS (
+       |  SELECT DISTINCT user_id % 4294967296 AS u FROM events),
+       |p AS (SELECT u, $r1 * 65536 + $r2 AS pseudo_id FROM ids),
+       |a AS (SELECT count(*) AS n_users,
+       |             count(DISTINCT pseudo_id) AS n_pseudo FROM p)
+       |SELECT u AS user_id, pseudo_id, n_users, n_pseudo,
+       |       n_users = n_pseudo AS bijective
+       |FROM p CROSS JOIN a
+       |ORDER BY user_id
+       |LIMIT 20""".stripMargin
+  }
+
+  private val DpEpsilon = "0.5"
+
+  /** DIFFERENTIAL-PRIVACY CALIBRATION AUDIT: the per-type event
+    * counts released through a seeded Laplace mechanism (sensitivity
+    * 1, ε = [[DpEpsilon]]) next to their true values — the noise-
+    * calibration check a privacy engineer runs BEFORE shipping the
+    * release pipeline (is the noise scale right? does the seeded
+    * draw reproduce?). The "noise" is a DETERMINISTIC inverse-CDF
+    * draw from a per-type Weyl offset, which is exactly how a
+    * seeded-PRNG release replays in both engines.
+    *
+    * Scale shape: the corpus collapses to type-cardinality counts in
+    * one pass; rank, draw and release all live in that tiny relation.
+    * The only transcendental is one ln on identical doubles inside a
+    * 4-dp fence. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame =
+    dpCountsOf(Tables(spark, dir, "events"))
+
+  private[graft] def dpCountsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(Window.orderBy("event_type")))
+    // u ∈ (0,1): golden-ratio Weyl point of the type's alphabetical rank
+    val noisy = counts
+      .withColumn("u", expr(
+        "((i * 2654435761) % 4294967296 + 0.5) / 4294967296.0"))
+      .withColumn("v", col("u") - 0.5)
+      .withColumn("noise", expr(
+        s"-(2.0 / $DpEpsilon) * sign(v) * ln(1.0 - 2.0 * abs(v)) / 2.0"))
+    noisy.select(col("event_type"), col("n").as("true_count"),
+      lit(DpEpsilon).cast("double").as("epsilon"),
+      Det.rnd(col("noise"), 4).as("noise"),
+      Det.rnd(col("n") + col("noise"), 4).as("released_count"))
+      .orderBy("event_type")
+  }
+
+  val dpCountsSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS i
+       |  FROM events GROUP BY 1),
+       |d AS (
+       |  SELECT event_type, n,
+       |         ((i * 2654435761) % 4294967296 + 0.5) / 4294967296.0 - 0.5 AS v
+       |  FROM c),
+       |z AS (
+       |  SELECT event_type, n,
+       |         -(2.0 / $DpEpsilon) * sign(v) * ln(1.0 - 2.0 * abs(v)) / 2.0 AS noise
+       |  FROM d)
+       |SELECT event_type, n AS true_count,
+       |       CAST($DpEpsilon AS DOUBLE) AS epsilon,
+       |       ${Det.rndSql("noise", 4)} AS noise,
+       |       ${Det.rndSql("n + noise", 4)} AS released_count
+       |FROM z
+       |ORDER BY event_type""".stripMargin
 }

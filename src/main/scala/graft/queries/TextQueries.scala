@@ -5099,4 +5099,71 @@ object TextQueries {
        |JOIN nfp nb ON nb.doc_id = doc_b
        |ORDER BY shared DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin
+
+  private final val NeymanBudget = 100L
+
+  /** NEYMAN-OPTIMAL STRATIFIED ALLOCATION (Neyman 1934): split a
+    * fixed sampling budget across sources proportionally to
+    * N_h·σ_h — the survey-sampling upgrade of [[stratifiedSample]]'s
+    * equal-rate strata: high-variance sources get more budget, so the
+    * estimator variance is minimized for the same cost. The output is
+    * the allocation table a sampling pipeline then feeds into its
+    * hash-threshold keep rule.
+    *
+    * Scale shape: one partial-aggregated pass collapses the corpus to
+    * per-source EXACT integer moments (Σlen, Σlen² in longs); every
+    * later step (σ_h, weights, allocation) runs in the source-
+    * cardinality relation with one bounded window for the
+    * normalizing Σ N_h·σ_h. The integer allocation is
+    * floor(B·w + 0.5) on identically-derived doubles in both
+    * engines. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame =
+    neymanAllocationOf(Tables(spark, dir, "documents"))
+
+  private[graft] def neymanAllocationOf(docs: DataFrame): DataFrame = {
+    val wAll = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nh"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .withColumn("sd", expr(
+        "CASE WHEN nh = 1 THEN 0.0 ELSE " +
+          "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nh) / (nh - 1)) END"))
+      .withColumn("nsd", col("nh") * col("sd"))
+      .withColumn("tot", sum("nsd").over(wAll))
+      .select(col("source"), col("nh").as("n_docs"),
+        Det.rnd(col("sd"), 6).as("sd_chars"),
+        Det.rnd(col("nsd") / col("tot"), 6).as("weight"),
+        Det.rnd(lit(NeymanBudget) * col("nsd") / col("tot"), 4).as("alloc"),
+        expr(s"CAST(floor($NeymanBudget * nsd / tot + 0.5) AS BIGINT)")
+          .as("alloc_int"))
+      .orderBy("source")
+  }
+
+  val neymanAllocationSql: String =
+    s"""WITH m AS (
+       |  SELECT source, count(*) AS nh,
+       |         CAST(sum(n_chars) AS BIGINT) AS s,
+       |         CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+       |  FROM documents GROUP BY 1),
+       |sd AS (
+       |  SELECT source, nh,
+       |         CASE WHEN nh = 1 THEN 0.0 ELSE
+       |           sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nh) / (nh - 1))
+       |         END AS sd
+       |  FROM m),
+       |w AS (
+       |  SELECT source, nh, sd, nh * sd AS nsd,
+       |         sum(nh * sd) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
+       |                            PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+       |  FROM sd)
+       |SELECT source, nh AS n_docs,
+       |       ${Det.rndSql("sd", 6)} AS sd_chars,
+       |       ${Det.rndSql("nsd / tot", 6)} AS weight,
+       |       ${Det.rndSql(s"$NeymanBudget * nsd / tot", 4)} AS alloc,
+       |       CAST(floor($NeymanBudget * nsd / tot + 0.5) AS BIGINT) AS alloc_int
+       |FROM w
+       |ORDER BY source""".stripMargin
 }

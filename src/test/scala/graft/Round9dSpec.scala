@@ -571,6 +571,62 @@ class Round9dSpec extends SparkSpec {
     assert(got.toSeq === Seq(("N", 2L, 1L))) // fixture flag is always N
   }
 
+  test("feistelPseudonymize: a 2-round Feistel permutes the id domain bijectively") {
+    val got = graft.queries.ExtensionQueries
+      .feistelPseudonymizeOf(Tables(spark, sfDir, "events")).collect()
+    val nUsers = Tables(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(got.length === math.min(20L, nUsers).toInt)
+    got.foreach { r =>
+      assert(r.getBoolean(4), "pseudonymization must be collision-free")
+      assert(r.getLong(2) === r.getLong(3))
+      assert(r.getLong(1) !== r.getLong(0)) // ids actually move
+      // replay the inverse: recover the original id from the pseudonym
+      val (a, b) = (r.getLong(1) / 65536 % 65536, r.getLong(1) % 65536)
+      val l0 = b ^ ((a * 34283 + 54321) % 65536)
+      val r0 = a ^ ((l0 * 34283 + 12345) % 65536)
+      assert(l0 * 65536 + r0 === r.getLong(0), s"inverse of ${r.getLong(1)}")
+    }
+  }
+
+  test("dpCounts: seeded Laplace draws replay and stay near the true counts") {
+    val got = graft.queries.ExtensionQueries
+      .dpCountsOf(Tables(spark, sfDir, "events")).collect()
+    assert(got.length === 5)
+    got.zipWithIndex.foreach { case (r, idx) =>
+      val i = idx + 1L // alphabetical rank
+      val u = ((i * 2654435761L) % 4294967296L + 0.5) / 4294967296.0
+      val v = u - 0.5
+      val noise = -(2.0 / 0.5) * math.signum(v) * math.log(1.0 - 2.0 * math.abs(v)) / 2.0
+      def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(3) === rnd4(noise), s"noise for ${r.getString(0)}")
+      assert(r.getDouble(4) === rnd4(r.getLong(1) + noise))
+      // ε=0.5, b=2 → |noise| rarely exceeds 20 for these Weyl points
+      assert(math.abs(r.getDouble(3)) < 20.0)
+    }
+  }
+
+  test("neymanAllocation: weights normalize; high-variance strata get more budget") {
+    val s = spark; import s.implicits._
+    val docs = ((1 to 50).map(i => (i.toLong, "t", "en", "low", 100L)) ++ // σ=0
+      (1 to 50).map(i => (100L + i, "t", "en", "high",
+        if (i % 2 == 0) 10L else 990L)))                                  // σ≈495
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.neymanAllocationOf(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getLong(5))).toMap
+    // zero-variance stratum earns zero budget; the whole budget goes high
+    assert(got("low")._2 === 0.0 && got("low")._3 === 0L)
+    assert(got("high")._2 === 1.0 && got("high")._3 === 100L)
+    val sf = graft.queries.TextQueries
+      .neymanAllocationOf(Tables(spark, sfDir, "documents")).collect()
+    val wsum = sf.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4)
+    // integer allocations land within rounding of the budget
+    val isum = sf.map(_.getLong(5)).sum
+    assert(math.abs(isum - 100L) <= sf.length / 2 + 1)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
