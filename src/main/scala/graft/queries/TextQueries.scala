@@ -5166,4 +5166,93 @@ object TextQueries {
        |       CAST(floor($NeymanBudget * nsd / tot + 0.5) AS BIGINT) AS alloc_int
        |FROM w
        |ORDER BY source""".stripMargin
+
+  private final val SetCoverRounds = 5
+
+  /** GREEDY SET COVER over sources (the submodular coverage-based
+    * data-selection step — Nemhauser's greedy is (1−1/e)-optimal):
+    * pick [[SetCoverRounds]] sources that together cover the most
+    * (lang × length-bucket) corpus cells, each round taking the
+    * source with the largest MARGINAL gain — how a curation pipeline
+    * chooses which feeds to license/ingest first for coverage rather
+    * than volume ([[mixtureWeights]] balances what you already have;
+    * set cover decides what to ADD).
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * (source, cell) incidence relation (bounded by |sources|·|cells|);
+    * every greedy round is an anti-join + count over that tiny
+    * relation, with ONLY the picked source name crossing to the
+    * driver per round (the loop-literal discipline). Gains are exact
+    * integers; ties break on source name — both engines replay the
+    * identical pick sequence, which the unrolled-CTE oracle proves. */
+  def greedySetCover(spark: SparkSession, dir: String): DataFrame =
+    greedySetCoverOf(Tables(spark, dir, "documents"))
+
+  private[graft] def greedySetCoverOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession; import s.implicits._
+    val inc = docs.select(col("source"),
+      concat(col("lang"), lit("/"), expr("CAST(n_chars div 100 AS STRING)"))
+        .as("cell")).distinct()
+      .localCheckpoint() // incidence relation: |sources|·|cells| bounded
+    var covered = inc.select("cell").limit(0)
+    var pickedNames = List.empty[String]
+    // never more rounds than candidates (small fixtures; the corpus
+    // always has ≥ SetCoverRounds sources, so the oracle unroll is fixed)
+    val nRounds = math.min(SetCoverRounds.toLong,
+      inc.select("source").distinct().count()).toInt
+    val out = (1 to nRounds).map { round =>
+      val notPicked = !col("source").isInCollection(
+        if (pickedNames.isEmpty) Seq("") else pickedNames)
+      // candidates keep their row at gain 0 (a fully-covered round
+      // must still pick deterministically, not crash on an empty agg)
+      val gains = inc.select("source").distinct().filter(notPicked)
+        .join(inc.join(covered, Seq("cell"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("g")), Seq("source"), "left")
+        .select(col("source"), coalesce(col("g"), lit(0L)).as("gain"))
+        .orderBy(desc("gain"), asc("source"))
+      val pick = gains.head()
+      val (src, gain) = (pick.getString(0), pick.getLong(1))
+      pickedNames = src :: pickedNames
+      covered = covered
+        .unionAll(inc.filter(col("source") === src).select("cell"))
+        .distinct().localCheckpoint()
+      (round, src, gain, covered.count())
+    }
+    out.toDF("round", "source", "gain", "covered_cells")
+      .select(col("round").cast("long").as("round"), col("source"),
+        col("gain"), col("covered_cells"))
+      .orderBy("round")
+  }
+
+  val greedySetCoverSql: String = {
+    val rounds = (1 to SetCoverRounds).map { k =>
+      val prevCov = if (k == 1) "cov0" else s"cov${k - 1}"
+      val prevPicks = (1 until k).map(j => s"SELECT source FROM p$j")
+        .mkString(" UNION ALL ")
+      val notPicked =
+        if (k == 1) "" else s"WHERE source NOT IN ($prevPicks)"
+      s"""g$k AS (
+         |  SELECT s.source, coalesce(gg.gain, 0) AS gain
+         |  FROM (SELECT DISTINCT source FROM inc $notPicked) s
+         |  LEFT JOIN (SELECT source, count(*) AS gain FROM inc
+         |             WHERE cell NOT IN (SELECT cell FROM $prevCov)
+         |             GROUP BY 1) gg ON gg.source = s.source),
+         |p$k AS (SELECT source, gain FROM g$k
+         |        ORDER BY gain DESC, source LIMIT 1),
+         |cov$k AS (SELECT cell FROM $prevCov
+         |          UNION SELECT cell FROM inc WHERE source IN (SELECT source FROM p$k))""".stripMargin
+    }.mkString(",\n")
+    val outRows = (1 to SetCoverRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, source, CAST(gain AS BIGINT) AS gain,
+         |       (SELECT count(*) FROM cov$k) AS covered_cells
+         |FROM p$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH inc AS MATERIALIZED (
+       |  SELECT DISTINCT source, lang || '/' || CAST(n_chars // 100 AS VARCHAR) AS cell
+       |  FROM documents),
+       |cov0 AS (SELECT cell FROM inc WHERE 1 = 0),
+       |$rounds
+       |SELECT round, source, gain, covered_cells FROM ($outRows)
+       |ORDER BY round""".stripMargin
+  }
 }

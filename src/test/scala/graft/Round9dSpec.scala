@@ -627,6 +627,23 @@ class Round9dSpec extends SparkSpec {
     assert(math.abs(isum - 100L) <= sf.length / 2 + 1)
   }
 
+  test("greedySetCover: marginal gains drive the pick order; ties break by name") {
+    val s = spark; import s.implicits._
+    // cells via lang/bucket: craft sources with known coverage
+    //  A: cells {en/1, fr/1, de/1}; B: {de/1, es/1}; C: {es/1}
+    val docs = Seq(
+      (1L, "t", "en", "A", 100L), (2L, "t", "fr", "A", 100L),
+      (3L, "t", "de", "A", 100L),
+      (4L, "t", "de", "B", 100L), (5L, "t", "es", "B", 100L),
+      (6L, "t", "es", "C", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.greedySetCoverOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // greedy: A gains 3; B adds es (1 new); C adds nothing (gain 0)
+    assert(got.toSeq === Seq(
+      (1L, "A", 3L, 3L), (2L, "B", 1L, 4L), (3L, "C", 0L, 4L)))
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
