@@ -6985,4 +6985,245 @@ object ExtensionQueries {
        |       ${Det.rndSql("n + noise", 4)} AS released_count
        |FROM z
        |ORDER BY event_type""".stripMargin
+
+  /** DIFFERENCE-IN-DIFFERENCES over the hash-split user halves and
+    * the timeline midpoint: (treat_post − treat_pre) −
+    * (ctrl_post − ctrl_pre) on per-event purchase value — the
+    * two-group counterfactual contrast that [[eventStudy]] (one
+    * group, own control) and [[cuped]] (variance reduction) both
+    * lack: parallel-trends differencing removes any shared shock from
+    * the estimate.
+    *
+    * Scale shape: ONE conditional-aggregation pass builds all four
+    * (group × period) cells' exact-cents moments (map-side partials);
+    * the timeline midpoint is a 1-row broadcast of integer-micros
+    * min/max — no driver round-trip, no second scan. Estimate and
+    * its pooled-variance z evaluate once on doubles derived from
+    * exact integers, fenced. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame =
+    diffInDiffOf(Tables(spark, dir, "events"))
+
+  private[graft] def diffInDiffOf(events: DataFrame): DataFrame = {
+    val span = events.agg(min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"))
+    def cell(g: Int, p: Int, e: String) = {
+      val cond = (col("user_id") % 2 === g) && (col("post") === p)
+      e match {
+        case "n" => sum(when(cond, 1L).otherwise(0L))
+        case "s" => sum(when(cond, col("c")).otherwise(0L))
+        case "q" => sum(when(cond, col("c") * col("c")).otherwise(0L))
+      }
+    }
+    val agg = events.crossJoin(broadcast(span))
+      .select(col("user_id"), Det.cents(col("value")).as("c"),
+        when(unix_micros(col("ts")) * 2 >= col("t0") + col("t1"), 1)
+          .otherwise(0).as("post"))
+      .agg(
+        cell(1, 0, "n").as("n_t0"), cell(1, 0, "s").as("s_t0"), cell(1, 0, "q").as("q_t0"),
+        cell(1, 1, "n").as("n_t1"), cell(1, 1, "s").as("s_t1"), cell(1, 1, "q").as("q_t1"),
+        cell(0, 0, "n").as("n_c0"), cell(0, 0, "s").as("s_c0"), cell(0, 0, "q").as("q_c0"),
+        cell(0, 1, "n").as("n_c1"), cell(0, 1, "s").as("s_c1"), cell(0, 1, "q").as("q_c1"))
+    def m(sfx: String) = s"(CAST(s_$sfx AS DOUBLE) / n_$sfx)"
+    def v(sfx: String) = // sample variance of the cell / its n
+      s"(((CAST(q_$sfx AS DOUBLE) - CAST(s_$sfx AS DOUBLE) * s_$sfx / n_$sfx)" +
+        s" / (n_$sfx - 1)) / n_$sfx)"
+    val didE = s"((${m("t1")} - ${m("t0")}) - (${m("c1")} - ${m("c0")}))"
+    val seE = s"sqrt(${v("t1")} + ${v("t0")} + ${v("c1")} + ${v("c0")})"
+    agg.select(
+      (col("n_t0") + col("n_t1")).as("n_treat"),
+      (col("n_c0") + col("n_c1")).as("n_ctrl"),
+      Det.rnd(expr(s"${m("t1")} - ${m("t0")}") / 100.0, 4).as("treat_delta"),
+      Det.rnd(expr(s"${m("c1")} - ${m("c0")}") / 100.0, 4).as("ctrl_delta"),
+      Det.rnd(expr(didE) / 100.0, 4).as("did"),
+      Det.rnd(expr(s"$didE / $seE"), 6).as("z"))
+  }
+
+  val diffInDiffSql: String = {
+    def cell(g: Int, p: Int, e: String, name: String) = e match {
+      case "n" => s"CAST(sum(CASE WHEN g = $g AND post = $p THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+      case "s" => s"CAST(sum(CASE WHEN g = $g AND post = $p THEN c ELSE 0 END) AS BIGINT) AS $name"
+      case "q" => s"CAST(sum(CASE WHEN g = $g AND post = $p THEN c * c ELSE 0 END) AS BIGINT) AS $name"
+    }
+    val cells = Seq(
+      cell(1, 0, "n", "n_t0"), cell(1, 0, "s", "s_t0"), cell(1, 0, "q", "q_t0"),
+      cell(1, 1, "n", "n_t1"), cell(1, 1, "s", "s_t1"), cell(1, 1, "q", "q_t1"),
+      cell(0, 0, "n", "n_c0"), cell(0, 0, "s", "s_c0"), cell(0, 0, "q", "q_c0"),
+      cell(0, 1, "n", "n_c1"), cell(0, 1, "s", "s_c1"), cell(0, 1, "q", "q_c1"))
+      .mkString(",\n       |         ")
+    def m(sfx: String) = s"(CAST(s_$sfx AS DOUBLE) / n_$sfx)"
+    def v(sfx: String) =
+      s"(((CAST(q_$sfx AS DOUBLE) - CAST(s_$sfx AS DOUBLE) * s_$sfx / n_$sfx)" +
+        s" / (n_$sfx - 1)) / n_$sfx)"
+    val didE = s"((${m("t1")} - ${m("t0")}) - (${m("c1")} - ${m("c0")}))"
+    val seE = s"sqrt(${v("t1")} + ${v("t0")} + ${v("c1")} + ${v("c0")})"
+    s"""WITH span AS (
+       |  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+       |r AS (
+       |  SELECT user_id % 2 AS g, ${Det.centsSql("value")} AS c,
+       |         CASE WHEN epoch_us(ts) * 2 >= t0 + t1 THEN 1 ELSE 0 END AS post
+       |  FROM events CROSS JOIN span),
+       |a AS (
+       |  SELECT $cells
+       |  FROM r)
+       |SELECT n_t0 + n_t1 AS n_treat, n_c0 + n_c1 AS n_ctrl,
+       |       ${Det.rndSql(s"(${m("t1")} - ${m("t0")}) / 100.0", 4)} AS treat_delta,
+       |       ${Det.rndSql(s"(${m("c1")} - ${m("c0")}) / 100.0", 4)} AS ctrl_delta,
+       |       ${Det.rndSql(s"$didE / 100.0", 4)} AS did,
+       |       ${Det.rndSql(s"$didE / $seE", 6)} AS z
+       |FROM a""".stripMargin
+  }
+
+  /** SIMPSON'S-PARADOX AUDIT of the urgency → lateness association:
+    * does the pooled "urgent orders ship later/earlier" direction
+    * hold inside every order-year stratum, or does aggregation
+    * reverse it? — the stratification sanity check every pooled
+    * metric ([[abTest]], [[ratioDelta]]) should pass before anyone
+    * acts on it.
+    *
+    * Scale shape: one pass collapses the joined fact stream to
+    * (year × urgency) integer cells; the pooled row is the cells'
+    * own rollup. Rate comparisons NEVER divide: a/b vs c/d compares
+    * as a·d vs c·b in exact integers, so the reversal flag cannot
+    * sit on a float boundary. Rates are emitted fenced for reading,
+    * but no decision consumes them. */
+  def simpsonCheck(spark: SparkSession, dir: String): DataFrame =
+    simpsonCheckOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def simpsonCheckOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val late = lineitem.select(col("l_orderkey"),
+      col("l_shipdate").as("sd"))
+    val base = orders
+      .join(late, col("o_orderkey") === col("l_orderkey"))
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0).as("urgent"),
+        when(col("sd") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L).as("late"))
+    val cells = base.groupBy("yr")
+      .agg(sum(when(col("urgent") === 1, 1L).otherwise(0L)).as("n_u"),
+        sum(when(col("urgent") === 1, col("late")).otherwise(0L)).as("l_u"),
+        sum(when(col("urgent") === 0, 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("urgent") === 0, col("late")).otherwise(0L)).as("l_o"))
+    val pooled = cells.agg(
+      sum("n_u").as("n_u"), sum("l_u").as("l_u"),
+      sum("n_o").as("n_o"), sum("l_o").as("l_o"))
+      .withColumn("yr", lit(-1L))
+    val all = cells.unionByName(pooled)
+      // exact cross-multiplication in decimal (counts² outgrow BIGINT at
+      // corpus scale): sign of l_u/n_u − l_o/n_o
+      .withColumn("diff_sign", expr(
+        "CASE WHEN CAST(l_u AS DECIMAL(38,0)) * n_o > CAST(l_o AS DECIMAL(38,0)) * n_u THEN 1 " +
+          "WHEN CAST(l_u AS DECIMAL(38,0)) * n_o < CAST(l_o AS DECIMAL(38,0)) * n_u THEN -1 ELSE 0 END"))
+    val pooledSign = all.filter(col("yr") === -1L)
+      .select(col("diff_sign").as("ps"))
+    all.crossJoin(broadcast(pooledSign))
+      .select(col("yr"), col("n_u"), col("l_u"), col("n_o"), col("l_o"),
+        Det.rnd(col("l_u").cast("double") / col("n_u"), 6).as("rate_urgent"),
+        Det.rnd(col("l_o").cast("double") / col("n_o"), 6).as("rate_other"),
+        col("diff_sign"),
+        (col("yr") =!= -1L && col("diff_sign") =!= col("ps") &&
+          col("diff_sign") =!= 0).as("reversed"))
+      .orderBy("yr")
+  }
+
+  val simpsonCheckSql: String =
+    s"""WITH base AS (
+       |  SELECT year(o_orderdate) AS yr,
+       |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS urgent,
+       |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |cells AS (
+       |  SELECT yr,
+       |         CAST(sum(CASE WHEN urgent = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+       |         CAST(sum(CASE WHEN urgent = 1 THEN late ELSE 0 END) AS BIGINT) AS l_u,
+       |         CAST(sum(CASE WHEN urgent = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       |         CAST(sum(CASE WHEN urgent = 0 THEN late ELSE 0 END) AS BIGINT) AS l_o
+       |  FROM base GROUP BY 1),
+       |allrows AS (
+       |  SELECT * FROM cells
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(sum(n_u) AS BIGINT), CAST(sum(l_u) AS BIGINT),
+       |         CAST(sum(n_o) AS BIGINT), CAST(sum(l_o) AS BIGINT) FROM cells),
+       |signed AS (
+       |  SELECT a.*, CASE WHEN CAST(l_u AS HUGEINT) * n_o > CAST(l_o AS HUGEINT) * n_u THEN 1
+       |                   WHEN CAST(l_u AS HUGEINT) * n_o < CAST(l_o AS HUGEINT) * n_u THEN -1 ELSE 0 END AS diff_sign
+       |  FROM allrows a),
+       |ps AS (SELECT diff_sign AS ps FROM signed WHERE yr = -1)
+       |SELECT yr, n_u, l_u, n_o, l_o,
+       |       ${Det.rndSql("CAST(l_u AS DOUBLE) / n_u", 6)} AS rate_urgent,
+       |       ${Det.rndSql("CAST(l_o AS DOUBLE) / n_o", 6)} AS rate_other,
+       |       diff_sign,
+       |       yr <> -1 AND diff_sign <> ps AND diff_sign <> 0 AS reversed
+       |FROM signed CROSS JOIN ps
+       |ORDER BY yr""".stripMargin
+
+  /** PARTIAL CORRELATION of quantity and line revenue CONTROLLING
+    * for discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    * — the confound-removal step between [[graft.queries
+    * .RecommenderQueries]]' raw Pearson surface and a causal claim:
+    * if discount drives both, the partialled coefficient collapses.
+    *
+    * Scale shape: ONE aggregation pass collects all nine moment sums
+    * (Σx, Σx², Σxy … as exact integers in decimal(38,0) — quantity,
+    * cents, discount-% are all integral); the three Pearsons and the
+    * partialling formula evaluate once on identical doubles, fenced.
+    * Degenerate guard: zero variance in any variable → NULL (both
+    * engines' 0/0), surfaced rather than masked. */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame =
+    partialCorrOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def partialCorrOf(lineitem: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = lineitem.select(
+      col("l_quantity").cast("long").as("x"),
+      Det.cents(col("l_extendedprice")).as("y"),
+      Det.units(col("l_discount"), 2).as("z"))
+    def s2(a: String, b: String) = sum(col(a).cast(d38) * col(b).cast(d38))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum(col("z").cast(d38)).as("sz"),
+      s2("x", "x").as("sxx"), s2("y", "y").as("syy"), s2("z", "z").as("szz"),
+      s2("x", "y").as("sxy"), s2("x", "z").as("sxz"), s2("y", "z").as("syz"))
+    def r(ab: String, a: String, b: String) =
+      s"((CAST(n AS DOUBLE) * CAST(s$ab AS DOUBLE) - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE)) / " +
+        s"(sqrt(CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE) - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE) - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE))))"
+    val rxy = r("xy", "x", "y"); val rxz = r("xz", "x", "z"); val ryz = r("yz", "y", "z")
+    m.select(col("n"),
+      Det.rnd(expr(rxy), 6).as("r_xy"),
+      Det.rnd(expr(rxz), 6).as("r_xz"),
+      Det.rnd(expr(ryz), 6).as("r_yz"),
+      Det.rnd(expr(
+        s"($rxy - $rxz * $ryz) / sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz))"), 6)
+        .as("r_xy_given_z"))
+  }
+
+  val partialCorrSql: String = {
+    def r(ab: String, a: String, b: String) =
+      s"((CAST(n AS DOUBLE) * CAST(s$ab AS DOUBLE) - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE)) / " +
+        s"(sqrt(CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE) - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE) - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE))))"
+    val rxy = r("xy", "x", "y"); val rxz = r("xz", "x", "z"); val ryz = r("yz", "y", "z")
+    s"""WITH base AS (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+       |         ${Det.centsSql("l_extendedprice")} AS y,
+       |         ${Det.unitsSql("l_discount", 2)} AS z
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(z AS HUGEINT)) AS sz,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(z AS HUGEINT) * z) AS szz,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * z) AS sxz,
+       |         sum(CAST(y AS HUGEINT) * z) AS syz
+       |  FROM base)
+       |SELECT n, ${Det.rndSql(rxy, 6)} AS r_xy,
+       |       ${Det.rndSql(rxz, 6)} AS r_xz,
+       |       ${Det.rndSql(ryz, 6)} AS r_yz,
+       |       ${Det.rndSql(
+          s"($rxy - $rxz * $ryz) / sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz))", 6)}
+       |         AS r_xy_given_z
+       |FROM m""".stripMargin
+  }
 }

@@ -644,6 +644,70 @@ class Round9dSpec extends SparkSpec {
       (1L, "A", 3L, 3L), (2L, "B", 1L, 4L), (3L, "C", 0L, 4L)))
   }
 
+  test("diffInDiff: a planted treatment effect is recovered net of the shared shock") {
+    val s = spark; import s.implicits._
+    // shared shock: everyone +5 post; treated (odd users) +10 more.
+    // ±0.01 jitter keeps each cell's variance nonzero.
+    val rows = for {
+      u <- 1L to 40L
+      i <- 0 until 5
+      post <- Seq(0, 1)
+    } yield {
+      val base = 10.0 + (if (post == 1) 5.0 else 0.0) +
+        (if (post == 1 && u % 2 == 1) 10.0 else 0.0) +
+        (if (i % 2 == 0) 0.01 else -0.01)
+      val ts = Timestamp.valueOf(if (post == 0) "2024-01-05 00:00:00"
+        else "2024-01-25 00:00:00")
+      (u * 1000 + i, ts, u, "click", base, "{}")
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.ExtensionQueries.diffInDiffOf(events).head()
+    assert(r.getLong(0) === 200L && r.getLong(1) === 200L)
+    assert(math.abs(r.getDouble(2) - 15.0) < 1e-9) // treated: shock + effect
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-9)  // control: shock only
+    assert(math.abs(r.getDouble(4) - 10.0) < 1e-9) // DiD isolates the effect
+    assert(r.getDouble(5) > 100.0)                 // tiny jitter → huge z
+  }
+
+  test("simpsonCheck: classic aggregation reversal flags every stratum") {
+    // 1996: urgent 1/10 late vs other 0/1 → urgent later (+)
+    // 1997: urgent 10/10 late vs other 9/10 → (+)
+    // pooled: urgent 11/20 (55%) vs other 9/11 (82%) → (−) — reversal
+    def orderRows(yr: String, n: Int, prio: String, startKey: Long) =
+      (0 until n).map(i => (startKey + i, 1L, "F", 0.0, s"$yr-03-01", prio))
+    val ord = ordersDf(
+      orderRows("1996", 10, "1-URGENT", 100L) ++ orderRows("1996", 1, "5-LOW", 200L) ++
+        orderRows("1997", 10, "1-URGENT", 300L) ++ orderRows("1997", 10, "5-LOW", 400L))
+    def li(ok: Long, late: Boolean, yr: String) =
+      (ok, 1L, 1L, 1.0, 1.0, 0.0, if (late) s"$yr-08-01" else s"$yr-03-15")
+    val lineitems = lineitemDf(
+      (100L until 110L).map(k => li(k, k == 100L, "1996")) ++ Seq(li(200L, false, "1996")) ++
+        (300L until 310L).map(k => li(k, true, "1997")) ++
+        (400L until 410L).map(k => li(k, k != 400L, "1997")))
+    val got = graft.queries.ExtensionQueries.simpsonCheckOf(ord, lineitems).collect()
+      .map(r => r.getLong(0) -> (r.getInt(7), r.getBoolean(8))).toMap
+    assert(got(-1L)._1 === -1)             // pooled: urgent looks SAFER
+    assert(got(1996L)._1 === 1 && got(1996L)._2) // ...but every stratum says later
+    assert(got(1997L)._1 === 1 && got(1997L)._2)
+    assert(!got(-1L)._2)                   // the pooled row never self-flags
+  }
+
+  test("partialCorr: controlling the confounder recovers the exact direct link") {
+    val s = spark; import s.implicits._
+    // y = x + z with x ⊥ z (balanced factorial): r_xy·z must be exactly 1
+    val li = (for {x <- Seq(0, 1); z <- Seq(0, 1); rep <- 0 until 3} yield {
+      (x.toLong * 10 + z * 2 + rep, 1L, 1L, 1, x.toDouble, (x + z) / 100.0,
+        z / 100.0, 0.0, "N", "O", Timestamp.valueOf("1996-01-01 00:00:00"))
+    }).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = graft.queries.ExtensionQueries.partialCorrOf(li).head()
+    assert(r.getLong(0) === 12L)
+    assert(r.getDouble(2) === 0.0)        // x ⊥ z by construction
+    assert(math.abs(r.getDouble(1) - 0.707107) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-6)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
