@@ -7226,4 +7226,213 @@ object ExtensionQueries {
        |         AS r_xy_given_z
        |FROM m""".stripMargin
   }
+
+  private val TostMarginPct = 5L   // equivalence margin: ±5% of the pooled mean
+  private val TostZCrit = "1.6449" // one-sided 5% critical value, pinned literal
+
+  /** TOST EQUIVALENCE TEST (two one-sided tests, Schuirmann 1987) on
+    * the hash-split halves' mean event value: the NON-INFERIORITY
+    * discipline [[abTest]] cannot express — failing to reject "they
+    * differ" is NOT evidence of sameness; TOST rejects both
+    * "diff ≤ −δ" and "diff ≥ +δ" to positively CONCLUDE equivalence
+    * within the margin. The margin is ±[[TostMarginPct]]% of the
+    * pooled mean; the launch-safety check for a refactor that should
+    * change nothing.
+    *
+    * Scale shape: one conditional-aggregation pass builds both
+    * groups' exact-cents moments; estimate, SE, both z's and the
+    * verdict evaluate once on doubles from exact integers, with the
+    * critical value pinned as a shared literal (no engine quantile
+    * function). */
+  def tostEquivalence(spark: SparkSession, dir: String): DataFrame =
+    tostEquivalenceOf(Tables(spark, dir, "events"))
+
+  private[graft] def tostEquivalenceOf(events: DataFrame): DataFrame = {
+    val agg = events
+      .select((col("user_id") % 2).as("g"), Det.cents(col("value")).as("c"))
+      .agg(
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1, col("c")).otherwise(0L)).as("sa"),
+        sum(when(col("g") === 1, col("c") * col("c")).otherwise(0L)).as("qa"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === 0, col("c")).otherwise(0L)).as("sb"),
+        sum(when(col("g") === 0, col("c") * col("c")).otherwise(0L)).as("qb"))
+    val ma = "(CAST(sa AS DOUBLE) / na)"; val mb = "(CAST(sb AS DOUBLE) / nb)"
+    val va = "(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1)) / na)"
+    val vb = "(((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)) / nb)"
+    val diff = s"($ma - $mb)"
+    val se = s"sqrt($va + $vb)"
+    val delta = s"($TostMarginPct / 100.0 * (CAST(sa AS DOUBLE) + sb) / (na + nb))"
+    agg.select(col("na"), col("nb"),
+      Det.rnd(expr(ma) / 100.0, 4).as("mean_a"),
+      Det.rnd(expr(mb) / 100.0, 4).as("mean_b"),
+      Det.rnd(expr(diff) / 100.0, 4).as("diff"),
+      Det.rnd(expr(delta) / 100.0, 4).as("delta"),
+      Det.rnd(expr(s"($diff + $delta) / $se"), 6).as("z_lower"),
+      Det.rnd(expr(s"($delta - $diff) / $se"), 6).as("z_upper"),
+      expr(s"($diff + $delta) / $se > $TostZCrit AND ($delta - $diff) / $se > $TostZCrit")
+        .as("equivalent"))
+  }
+
+  val tostEquivalenceSql: String = {
+    val ma = "(CAST(sa AS DOUBLE) / na)"; val mb = "(CAST(sb AS DOUBLE) / nb)"
+    val va = "(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1)) / na)"
+    val vb = "(((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)) / nb)"
+    val diff = s"($ma - $mb)"
+    val se = s"sqrt($va + $vb)"
+    val delta = s"($TostMarginPct / 100.0 * (CAST(sa AS DOUBLE) + sb) / (na + nb))"
+    s"""WITH r AS (
+       |  SELECT user_id % 2 AS g, ${Det.centsSql("value")} AS c FROM events),
+       |a AS (
+       |  SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT) AS sa,
+       |         CAST(sum(CASE WHEN g = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+       |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |         CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT) AS sb,
+       |         CAST(sum(CASE WHEN g = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+       |  FROM r)
+       |SELECT na, nb,
+       |       ${Det.rndSql(s"$ma / 100.0", 4)} AS mean_a,
+       |       ${Det.rndSql(s"$mb / 100.0", 4)} AS mean_b,
+       |       ${Det.rndSql(s"$diff / 100.0", 4)} AS diff,
+       |       ${Det.rndSql(s"$delta / 100.0", 4)} AS delta,
+       |       ${Det.rndSql(s"($diff + $delta) / $se", 6)} AS z_lower,
+       |       ${Det.rndSql(s"($delta - $diff) / $se", 6)} AS z_upper,
+       |       ($diff + $delta) / $se > $TostZCrit AND ($delta - $diff) / $se > $TostZCrit
+       |         AS equivalent
+       |FROM a""".stripMargin
+  }
+
+  /** PROPENSITY-SCORE MATCHED ATT: the effect of a bad first
+    * impression (first event = error) on a user's purchase total,
+    * estimated by matching every exposed user to the UNEXPOSED user
+    * with the nearest propensity score — the
+    * observational-causal step beyond [[diffInDiff]] (which needs a
+    * pre-period) and the naive exposed-vs-not difference (which
+    * inherits all the activity confounding): users who see errors
+    * are simply more active, and activity drives purchases.
+    *
+    * Scale shape: one pass builds the per-user (features, exposure,
+    * outcome) relation; the propensity is a FIXED-LITERAL logistic
+    * (fenced at 6 dp before any comparison); 1-D nearest matching is
+    * the [[asofNearest]] carry trick over the score-ordered relation
+    * (backward last + forward first control, closer one wins, exact
+    * integer-cents outcome differences) — one user-cardinality sort,
+    * never a pair join. ATT sums exact integers. */
+  def propensityAtt(spark: SparkSession, dir: String): DataFrame =
+    propensityAttOf(Tables(spark, dir, "events"))
+
+  private[graft] def propensityAttOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exposure = the user's FIRST event is an error (splits any corpus;
+    // "ever saw an error" saturates to 100% once activity is high enough)
+    val wFirst = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val firstEv = events
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        when(col("event_type") === "error", 1).otherwise(0).as("treated"))
+    val users = events.groupBy("user_id").agg(
+      count(lit(1)).as("n_ev"),
+      countDistinct(to_date(col("ts"))).as("n_days"),
+      sum(when(col("event_type") === "purchase", Det.cents(col("value")))
+        .otherwise(0L)).as("outcome_c"))
+      .join(firstEv, "user_id")
+      .withColumn("score", Det.rnd(expr(
+        "1.0 / (1.0 + exp(-(-1.0 + 0.8 * ln(1.0 + n_ev) - 0.5 * ln(1.0 + n_days))))"), 6))
+    val w = Window.orderBy("score", "user_id")
+    val back = w.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    val ctrlOut = when(col("treated") === 0, col("outcome_c"))
+    val ctrlScore = when(col("treated") === 0, col("score"))
+    val matched = users
+      .withColumn("b_out", last(ctrlOut, ignoreNulls = true).over(back))
+      .withColumn("b_sc", last(ctrlScore, ignoreNulls = true).over(back))
+      .withColumn("f_out", first(ctrlOut, ignoreNulls = true).over(fwd))
+      .withColumn("f_sc", first(ctrlScore, ignoreNulls = true).over(fwd))
+      .filter(col("treated") === 1)
+      .withColumn("m_out", expr(
+        "CASE WHEN b_sc IS NOT NULL AND (f_sc IS NULL OR score - b_sc <= f_sc - score)" +
+          " THEN b_out ELSE f_out END"))
+      .filter(col("m_out").isNotNull)
+    val att = matched.agg(count(lit(1)).as("n_matched"),
+      sum(col("outcome_c") - col("m_out")).as("d"))
+    val naive = users.agg(
+      sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_treated"),
+      sum(when(col("treated") === 1, col("outcome_c")).otherwise(0L)).as("s_t"),
+      sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("treated") === 0, col("outcome_c")).otherwise(0L)).as("s_c"))
+    naive.crossJoin(broadcast(att))
+      .select(col("n_treated"), col("n_control"), col("n_matched"),
+        Det.rnd(expr(
+          "CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL ELSE " +
+            "CAST(s_t AS DOUBLE) / n_treated - CAST(s_c AS DOUBLE) / n_control END") / 100.0, 4)
+          .as("naive_diff"),
+        Det.rnd(expr(
+          "CASE WHEN n_matched = 0 THEN NULL ELSE CAST(d AS DOUBLE) / n_matched END")
+          / 100.0, 4).as("att"))
+  }
+
+  val propensityAttSql: String =
+    s"""WITH fe AS (
+       |  SELECT user_id,
+       |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS treated
+       |  FROM (SELECT user_id, event_type,
+       |               row_number() OVER (PARTITION BY user_id
+       |                                  ORDER BY epoch_us(ts), event_id) AS rn
+       |        FROM events)
+       |  WHERE rn = 1),
+       |u AS (
+       |  SELECT g.user_id, g.n_ev, g.n_days, fe.treated, g.outcome_c
+       |  FROM (SELECT user_id, count(*) AS n_ev,
+       |               count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       |               CAST(sum(CASE WHEN event_type = 'purchase'
+       |                             THEN ${Det.centsSql("value")} ELSE 0 END) AS BIGINT) AS outcome_c
+       |        FROM events GROUP BY 1) g
+       |  JOIN fe ON fe.user_id = g.user_id),
+       |s AS (
+       |  SELECT u.*, ${Det.rndSql(
+          "1.0 / (1.0 + exp(-(-1.0 + 0.8 * ln(1.0 + n_ev) - 0.5 * ln(1.0 + n_days))))", 6)}
+       |           AS score
+       |  FROM u),
+       |m AS (
+       |  SELECT *,
+       |         last_value(CASE WHEN treated = 0 THEN outcome_c END IGNORE NULLS)
+       |           OVER (ORDER BY score, user_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_out,
+       |         last_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+       |           OVER (ORDER BY score, user_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_sc,
+       |         first_value(CASE WHEN treated = 0 THEN outcome_c END IGNORE NULLS)
+       |           OVER (ORDER BY score, user_id
+       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_out,
+       |         first_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+       |           OVER (ORDER BY score, user_id
+       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_sc
+       |  FROM s),
+       |t AS (
+       |  SELECT outcome_c,
+       |         CASE WHEN b_sc IS NOT NULL AND (f_sc IS NULL OR score - b_sc <= f_sc - score)
+       |              THEN b_out ELSE f_out END AS m_out
+       |  FROM m WHERE treated = 1),
+       |att AS (
+       |  SELECT count(*) AS n_matched,
+       |         CAST(sum(outcome_c - m_out) AS BIGINT) AS d
+       |  FROM t WHERE m_out IS NOT NULL),
+       |naive AS (
+       |  SELECT CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+       |         CAST(sum(CASE WHEN treated = 1 THEN outcome_c ELSE 0 END) AS BIGINT) AS s_t,
+       |         CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+       |         CAST(sum(CASE WHEN treated = 0 THEN outcome_c ELSE 0 END) AS BIGINT) AS s_c
+       |  FROM s)
+       |SELECT n_treated, n_control, n_matched,
+       |       ${Det.rndSql(
+          "(CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL ELSE " +
+            "CAST(s_t AS DOUBLE) / n_treated - CAST(s_c AS DOUBLE) / n_control END) / 100.0", 4)}
+       |         AS naive_diff,
+       |       ${Det.rndSql(
+          "(CASE WHEN n_matched = 0 THEN NULL ELSE CAST(d AS DOUBLE) / n_matched END) / 100.0", 4)}
+       |         AS att
+       |FROM naive CROSS JOIN att""".stripMargin
 }

@@ -708,6 +708,50 @@ class Round9dSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-6)
   }
 
+  test("tostEquivalence: same-mean halves pass; a shifted half fails the margin") {
+    val s = spark; import s.implicits._
+    def events(shift: Double) = (for {
+      u <- 1L to 40L; i <- 0 until 10
+    } yield (u * 100 + i, Timestamp.valueOf("2024-01-05 00:00:00"), u, "click",
+      10.0 + (if (i % 2 == 0) 0.5 else -0.5) + (if (u % 2 == 1) shift else 0.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val same = graft.queries.ExtensionQueries.tostEquivalenceOf(events(0.0)).head()
+    assert(same.getBoolean(8), "identical halves must conclude equivalence")
+    assert(math.abs(same.getDouble(4)) < 1e-9)
+    // a 20% shift blows past the ±5% margin
+    val far = graft.queries.ExtensionQueries.tostEquivalenceOf(events(2.0)).head()
+    assert(!far.getBoolean(8))
+    assert(far.getDouble(4) > far.getDouble(5)) // diff exceeds delta
+  }
+
+  test("propensityAtt: matching on activity removes the planted confounding") {
+    val s = spark; import s.implicits._
+    // activity drives BOTH error exposure and purchases; the true causal
+    // effect of exposure is 0. Heavy users (n_ev=20): half exposed; light
+    // users (n_ev=4): none exposed. Purchases scale with activity only.
+    val rows = (for (u <- 1L to 60L) yield {
+      val heavy = u <= 30
+      val exposed = heavy && u % 2 == 1
+      val n = if (heavy) 20 else 4
+      (0 until n).map { i =>
+        val typ = if (exposed && i == 0) "error"
+          else if (i % 2 == 0) "purchase" else "click"
+        (u * 1000 + i, Timestamp.valueOf("2024-01-05 00:00:00"), u, typ, 10.0, "{}")
+      }
+    }).flatten
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.ExtensionQueries.propensityAttOf(events).head()
+    assert(r.getLong(0) === 15L)   // treated
+    assert(r.getLong(1) === 45L)   // controls
+    assert(r.getLong(2) === 15L)   // all treated matched
+    // naive: exposed users are heavy → big spurious positive diff
+    assert(r.getDouble(3) > 20.0)
+    // matched: each exposed heavy user pairs with an unexposed heavy user
+    // → ATT collapses to the one purchase slot the error displaced
+    assert(math.abs(r.getDouble(4)) <= 10.0 + 1e-9)
+    assert(r.getDouble(4) < r.getDouble(3) / 2)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
