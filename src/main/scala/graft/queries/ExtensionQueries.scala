@@ -7435,4 +7435,127 @@ object ExtensionQueries {
           "(CASE WHEN n_matched = 0 THEN NULL ELSE CAST(d AS DOUBLE) / n_matched END) / 100.0", 4)}
        |         AS att
        |FROM naive CROSS JOIN att""".stripMargin
+
+  private val SloBudgetPm = 220L // error budget: 22% of events (per-mille)
+
+  /** SLO ERROR-BUDGET BURN RATE (the Google-SRE multi-window alert):
+    * per clock hour, the error share as a multiple of the budget, at
+    * two window lengths (1 h and 6 h) — paging only when BOTH burn
+    * fast and have burned for a while, which kills the single-window
+    * alert's flappiness. The monitoring sibling of [[spcChart]]
+    * (value excursions) for RATE-of-bad-events excursions.
+    *
+    * Scale shape: the corpus collapses to the hour histogram in one
+    * partial-aggregated pass; the 6-h window and both burn ratios
+    * live in hour space. The PAGE decision is exact integer
+    * cross-multiplication (err·10⁶ vs threshold·budget·total — no
+    * float boundary); the emitted burn ratios are fenced doubles for
+    * reading only. */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame =
+    sloBurnOf(Tables(spark, dir, "events"))
+
+  private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w6 = Window.orderBy("hour_start").rowsBetween(-5, 0)
+    val hourly = events
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .withColumn("n6", sum("n").over(w6))
+      .withColumn("e6", sum("n_err").over(w6))
+    hourly.select(col("hour_start"), col("n"), col("n_err"),
+      Det.rnd(col("n_err").cast("double") / col("n"), 6).as("err_rate"),
+      Det.rnd(col("n_err").cast("double") * 1000.0 / (col("n") * SloBudgetPm), 4)
+        .as("burn_1h"),
+      Det.rnd(col("e6").cast("double") * 1000.0 / (col("n6") * SloBudgetPm), 4)
+        .as("burn_6h"),
+      // page ⟺ burn_1h ≥ 1.2 AND burn_6h ≥ 1.1, as exact integers:
+      // err·1000·10 ≥ 12·budget·n  and  e6·1000·10 ≥ 11·budget·n6
+      expr(s"n_err * 10000 >= 12 * $SloBudgetPm * n" +
+        s" AND e6 * 10000 >= 11 * $SloBudgetPm * n6").as("page"))
+      .orderBy("hour_start")
+  }
+
+  val sloBurnSql: String =
+    s"""WITH h AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       |         count(*) AS n,
+       |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+       |  FROM events GROUP BY 1),
+       |w AS (
+       |  SELECT h.*,
+       |         sum(n) OVER (ORDER BY hour_start ROWS BETWEEN 5 PRECEDING
+       |                      AND CURRENT ROW) AS n6,
+       |         sum(n_err) OVER (ORDER BY hour_start ROWS BETWEEN 5 PRECEDING
+       |                          AND CURRENT ROW) AS e6
+       |  FROM h)
+       |SELECT hour_start, n, n_err,
+       |       ${Det.rndSql("CAST(n_err AS DOUBLE) / n", 6)} AS err_rate,
+       |       ${Det.rndSql(s"CAST(n_err AS DOUBLE) * 1000.0 / (n * $SloBudgetPm)", 4)} AS burn_1h,
+       |       ${Det.rndSql(s"CAST(e6 AS DOUBLE) * 1000.0 / (n6 * $SloBudgetPm)", 4)} AS burn_6h,
+       |       n_err * 10000 >= 12 * $SloBudgetPm * n
+       |         AND e6 * 10000 >= 11 * $SloBudgetPm * n6 AS page
+       |FROM w
+       |ORDER BY hour_start""".stripMargin
+
+  private val BotBurstWindowUs = 60000000L // rolling 60 s
+  private val BotBurstMax = 20L            // events/min that flags
+  private val BotMinGapUs = 1000000L       // sub-second repeat that flags
+
+  /** RATE-BASED BOT/ABUSE DETECTION: per user, the peak events-per-
+    * rolling-minute and the minimum inter-arrival gap — the two
+    * signatures (sustained burst, sub-second repeats) an ingest
+    * pipeline screens before letting traffic into analytics or
+    * training corpora ([[skewDiagnose]] finds hot KEYS; this finds
+    * hot ACTORS with rate semantics a plain count can't express).
+    *
+    * Scale shape: every window is user-partitioned (the rolling
+    * minute is a RANGE frame on integer micros — gap-correct where a
+    * ROWS frame is not), so the work distributes on the user key with
+    * no global sort; flags are exact integer comparisons; output is
+    * the top-20 burstiest users with their census. */
+  def botDetect(spark: SparkSession, dir: String): DataFrame =
+    botDetectOf(Tables(spark, dir, "events"))
+
+  private[graft] def botDetectOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy("user_id").orderBy("tus")
+    val wMin = wU.rangeBetween(-BotBurstWindowUs, 0)
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("in_min", count(lit(1)).over(wMin))
+      .withColumn("gap", col("tus") - lag("tus", 1).over(wU))
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("in_min").as("max_per_min"),
+        min("gap").as("min_gap_us"))
+      .select(col("user_id"), col("n_events"), col("max_per_min"),
+        col("min_gap_us"),
+        (col("max_per_min") >= BotBurstMax ||
+          col("min_gap_us") < BotMinGapUs).as("is_bot"))
+      // no min_gap in the tie-break: its NULLs (single-event users) sort
+      // first in Spark but last in DuckDB; user_id alone is total
+      .orderBy(desc("max_per_min"), asc("user_id"))
+      .limit(20)
+  }
+
+  val botDetectSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus FROM events),
+       |f AS (
+       |  SELECT user_id, tus,
+       |         count(*) OVER (PARTITION BY user_id ORDER BY tus
+       |                        RANGE BETWEEN $BotBurstWindowUs PRECEDING
+       |                        AND CURRENT ROW) AS in_min,
+       |         tus - lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus) AS gap
+       |  FROM e),
+       |u AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |         CAST(max(in_min) AS BIGINT) AS max_per_min,
+       |         min(gap) AS min_gap_us
+       |  FROM f GROUP BY 1)
+       |SELECT user_id, n_events, max_per_min, min_gap_us,
+       |       max_per_min >= $BotBurstMax OR min_gap_us < $BotMinGapUs AS is_bot
+       |FROM u
+       |ORDER BY max_per_min DESC, user_id
+       |LIMIT 20""".stripMargin
 }

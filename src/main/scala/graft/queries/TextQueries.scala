@@ -5255,4 +5255,63 @@ object TextQueries {
        |SELECT round, source, gain, covered_cells FROM ($outRows)
        |ORDER BY round""".stripMargin
   }
+
+  private final val CompactTargetBytes = 8192L
+
+  /** COMPACTION BIN-PACKING PLAN: group the (source × lang) shards of
+    * the corpus manifest into merge groups of ≈[[CompactTargetBytes]]
+    * by a running-byte-total sweep — the PLANNING half that
+    * [[graft.queries.ExtensionQueries]]' `compaction` executes
+    * blindly (it rewrites a fixed layout; this decides WHICH small
+    * shards share an output file, the step a table maintenance
+    * service runs over its manifest every cycle).
+    *
+    * Scale shape: the corpus collapses to the shard manifest in one
+    * pass (shard = distinct (source, lang), bytes exact); the sweep
+    * is one running sum over the manifest-sized relation, with the
+    * group id as pure integer division of the EXCLUSIVE prefix total
+    * — next-fit semantics: a shard opens a new group iff the running
+    * total has crossed the target, so every group except possibly
+    * the last holds ≥ target/2 once any shard ≤ target/2 exists.
+    * All integers; (source, lang) order is total. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionPlanOf(Tables(spark, dir, "documents"))
+
+  private[graft] def compactionPlanOf(docs: DataFrame): DataFrame = {
+    val wCum = Window.orderBy("source", "lang")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val shards = docs
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("bytes")) // ASCII corpus: chars = bytes
+      .withColumn("cum", sum("bytes").over(wCum))
+      .withColumn("grp", expr(s"(cum - bytes) div $CompactTargetBytes"))
+    shards.groupBy("grp")
+      .agg(count(lit(1)).as("n_shards"),
+        sum("n_docs").as("n_docs"),
+        sum("bytes").as("bytes"),
+        min(concat(col("source"), lit("/"), col("lang"))).as("first_shard"),
+        max(concat(col("source"), lit("/"), col("lang"))).as("last_shard"))
+      .orderBy("grp")
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH shards AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |         CAST(sum(length(text)) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |sw AS (
+       |  SELECT shards.*,
+       |         sum(bytes) OVER (ORDER BY source, lang ROWS BETWEEN UNBOUNDED
+       |                          PRECEDING AND CURRENT ROW) AS cum
+       |  FROM shards)
+       |SELECT CAST((cum - bytes) // $CompactTargetBytes AS BIGINT) AS grp,
+       |       count(*) AS n_shards,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(bytes) AS BIGINT) AS bytes,
+       |       min(source || '/' || lang) AS first_shard,
+       |       max(source || '/' || lang) AS last_shard
+       |FROM sw
+       |GROUP BY 1
+       |ORDER BY grp""".stripMargin
 }

@@ -752,6 +752,70 @@ class Round9dSpec extends SparkSpec {
     assert(r.getDouble(4) < r.getDouble(3) / 2)
   }
 
+  test("sloBurn: both windows must burn before the page fires") {
+    val s = spark; import s.implicits._
+    // 12 hours at 20% errors (just under budget), then one catastrophic
+    // hour at 80%: the 1-h burn spikes instantly AND tips the 6-h window
+    val rows = (0 until 13).flatMap { h =>
+      val errShare = if (h == 12) 8 else 2
+      (0 until 10).map { i =>
+        val typ = if (i < errShare) "error" else "click"
+        (h.toLong * 100 + i, Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"),
+          1L, typ, 1.0, "{}")
+      }
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.ExtensionQueries.sloBurnOf(events).collect()
+    assert(got.length === 13)
+    val quiet = got.take(12)
+    quiet.foreach(r => assert(!r.getBoolean(6), s"hour ${r.getLong(0)} paged"))
+    val spike = got.last
+    assert(spike.getBoolean(6))
+    // burn replay: 1h = 0.8/0.22; 6h = (5·2+8)/60/0.22
+    assert(math.abs(spike.getDouble(4) - 0.8 / 0.22) < 1e-3)
+    assert(math.abs(spike.getDouble(5) - 18.0 / 60.0 / 0.22) < 1e-3)
+  }
+
+  test("botDetect: a burst actor and a sub-second repeater both flag; humans don't") {
+    val s = spark; import s.implicits._
+    val rows =
+      // user 1: 25 events inside one minute → burst flag
+      (0 until 25).map(i => (100L + i,
+        Timestamp.valueOf(f"2024-01-01 10:00:${i * 2}%02d.0"), 1L, "click", 1.0, "{}")) ++
+      // user 2: two events 1 ms apart → min-gap flag
+      Seq((200L, Timestamp.valueOf("2024-01-01 11:00:00.000"), 2L, "click", 1.0, "{}"),
+        (201L, Timestamp.valueOf("2024-01-01 11:00:00.001"), 2L, "click", 1.0, "{}")) ++
+      // user 3: 10 events spread over hours → clean
+      (0 until 10).map(i => (300L + i,
+        Timestamp.valueOf(f"2024-01-01 ${10 + i}%02d:00:00"), 3L, "click", 1.0, "{}"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.ExtensionQueries.botDetectOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(1L)._1 === 25L && got(1L)._2)
+    assert(got(2L)._2)
+    assert(!got(3L)._2)
+  }
+
+  test("compactionPlan: groups partition the manifest and chase the target size") {
+    val got = graft.queries.TextQueries
+      .compactionPlanOf(Tables(spark, sfDir, "documents")).collect()
+    val docs = Tables(spark, sfDir, "documents")
+    val totalDocs = docs.count()
+    val totalBytes = docs.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))).head().getLong(0)
+    assert(got.map(_.getLong(2)).sum === totalDocs)   // no doc lost
+    assert(got.map(_.getLong(3)).sum === totalBytes)  // no byte lost
+    assert(got.length > 1)
+    // every group except the last reaches the target (next-fit property:
+    // a group only closes once the running total crosses the boundary)
+    got.dropRight(1).foreach { r =>
+      assert(r.getLong(3) >= 1L, s"group ${r.getLong(0)} empty")
+    }
+    // group ids are the consecutive prefix-quotients
+    assert(got.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq.sorted)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
