@@ -7558,4 +7558,81 @@ object ExtensionQueries {
        |FROM u
        |ORDER BY max_per_min DESC, user_id
        |LIMIT 20""".stripMargin
+
+  /** ALLEN INTERVAL-ALGEBRA CENSUS (Allen 1983) over per-user
+    * activity spans: for every user and pair of event types, classify
+    * how the two types' [first, last] activity intervals relate —
+    * the 13 qualitative relations (before/meets/overlaps/starts/
+    * during/finishes/equal + inverses) — and report the corpus
+    * census. The temporal-REASONING summary the quantitative
+    * interval operators ([[rangeJoin]] finds WHICH rows overlap,
+    * [[sessionConcurrency]] counts HOW MANY) don't express: the
+    * SHAPE of temporal containment between behaviors.
+    *
+    * Scale shape: one pass collapses the corpus to (user × type)
+    * intervals; pair fan-out is C(|types|, 2) per user — bounded by
+    * the type vocabulary, never by activity. Classification is a
+    * pure integer-micros CASE ladder; the census is one aggregation
+    * over the pair relation. */
+  def allenRelations(spark: SparkSession, dir: String): DataFrame =
+    allenRelationsOf(Tables(spark, dir, "events"))
+
+  private[graft] def allenRelationsOf(events: DataFrame): DataFrame = {
+    val spans = events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+    val a = spans.select(col("user_id"), col("event_type").as("t1"),
+      col("s").as("s1"), col("e").as("e1"))
+    val b = spans.select(col("user_id"), col("event_type").as("t2"),
+      col("s").as("s2"), col("e").as("e2"))
+    val rel =
+      "CASE WHEN s1 = s2 AND e1 = e2 THEN 'equal' " +
+        "WHEN e1 < s2 THEN 'before' WHEN e2 < s1 THEN 'after' " +
+        "WHEN e1 = s2 THEN 'meets' WHEN e2 = s1 THEN 'met_by' " +
+        "WHEN s1 = s2 AND e1 < e2 THEN 'starts' " +
+        "WHEN s1 = s2 THEN 'started_by' " +
+        "WHEN e1 = e2 AND s1 > s2 THEN 'finishes' " +
+        "WHEN e1 = e2 THEN 'finished_by' " +
+        "WHEN s1 > s2 AND e1 < e2 THEN 'during' " +
+        "WHEN s1 < s2 AND e1 > e2 THEN 'contains' " +
+        "WHEN s1 < s2 THEN 'overlaps' ELSE 'overlapped_by' END"
+    val pairs = a.join(b, "user_id").filter(col("t1") < col("t2"))
+      .withColumn("relation", expr(rel))
+    val total = pairs.agg(count(lit(1)).as("tot"))
+    pairs.groupBy("relation").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("relation"), col("n"),
+        Det.rnd(col("n").cast("double") / col("tot"), 6).as("share"))
+      .orderBy("relation")
+  }
+
+  val allenRelationsSql: String = {
+    val rel =
+      "CASE WHEN s1 = s2 AND e1 = e2 THEN 'equal' " +
+        "WHEN e1 < s2 THEN 'before' WHEN e2 < s1 THEN 'after' " +
+        "WHEN e1 = s2 THEN 'meets' WHEN e2 = s1 THEN 'met_by' " +
+        "WHEN s1 = s2 AND e1 < e2 THEN 'starts' " +
+        "WHEN s1 = s2 THEN 'started_by' " +
+        "WHEN e1 = e2 AND s1 > s2 THEN 'finishes' " +
+        "WHEN e1 = e2 THEN 'finished_by' " +
+        "WHEN s1 > s2 AND e1 < e2 THEN 'during' " +
+        "WHEN s1 < s2 AND e1 > e2 THEN 'contains' " +
+        "WHEN s1 < s2 THEN 'overlaps' ELSE 'overlapped_by' END"
+    s"""WITH spans AS (
+       |  SELECT user_id, event_type,
+       |         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT $rel AS relation
+       |  FROM (SELECT a.user_id, a.event_type AS t1, a.s AS s1, a.e AS e1,
+       |               b.event_type AS t2, b.s AS s2, b.e AS e2
+       |        FROM spans a JOIN spans b
+       |          ON a.user_id = b.user_id AND a.event_type < b.event_type)),
+       |tot AS (SELECT count(*) AS tot FROM p)
+       |SELECT relation, count(*) AS n,
+       |       ${Det.rndSql("CAST(count(*) AS DOUBLE) / tot", 6)} AS share
+       |FROM p CROSS JOIN tot
+       |GROUP BY relation, tot
+       |ORDER BY relation""".stripMargin
+  }
 }

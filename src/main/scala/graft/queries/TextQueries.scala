@@ -5314,4 +5314,89 @@ object TextQueries {
        |FROM sw
        |GROUP BY 1
        |ORDER BY grp""".stripMargin
+
+  /** ISOTONIC CALIBRATION FIT (PAVA's closed form): the monotone-
+    * nondecreasing curve closest (L2, bin-weighted) to the per-bin
+    * positive rates of the hashed-logit classifier — what
+    * [[classifierCalibration]] DIAGNOSES (reliability), this REPAIRS
+    * (the post-hoc calibrator production scorers apply). Computed by
+    * the minimax identity fit_i = min_{j≥i} max_{k≤i} avg(k..j) —
+    * no sequential pool-adjacent-violators loop to replay.
+    *
+    * Scale shape: the corpus collapses to [[CalibEdges]]-bounded bins
+    * in one pass; the minimax runs over the ≤ B(B+1)/2 interval
+    * relation — pure bin-space arithmetic. Interval averages are
+    * exact-integer ratios fenced at 9 dp BEFORE the min/max lattice
+    * (both engines pick extrema over identical doubles); monotonicity
+    * of the output is a theorem, asserted in spec. */
+  def isotonicFit(spark: SparkSession, dir: String): DataFrame =
+    isotonicFitOf(Tables(spark, dir, "documents"))
+
+  private[graft] def isotonicFitOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val binExpr = CalibEdges.map(e => s"CAST(z >= $e AS INT)").mkString(" + ")
+    val bins = docs.select(
+        expr("hashed_logit(text)").getItem(0).as("score"),
+        expr("hashed_logit(text)").getItem(1).as("nt"),
+        (col("lang") === "en").cast("long").as("pos"))
+      .withColumn("z", col("score").cast("double") / col("nt"))
+      .withColumn("bin", expr(binExpr))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+      .localCheckpoint() // bin-bounded; feeds intervals AND the output
+    val iv = bins.select(col("bin").as("k"), col("n").as("nk"), col("p").as("pk"))
+      .join(bins.select(col("bin").as("j")), col("k") <= col("j"))
+    // interval (k..j) weighted average, exact sums fenced at 9 dp
+    val avgs = iv
+      .join(bins.select(col("bin").as("m"), col("n").as("nm"), col("p").as("pm")),
+        col("m") >= col("k") && col("m") <= col("j"))
+      .groupBy("k", "j")
+      .agg(Det.rnd(sum("pm").cast("double") / sum("nm"), 9).as("r"))
+    val fit = bins.select(col("bin"))
+      .join(avgs, col("k") <= col("bin") && col("j") >= col("bin"))
+      .groupBy("bin", "j").agg(max("r").as("mx"))
+      .groupBy("bin").agg(min("mx").as("iso"))
+    bins.join(fit, "bin")
+      .select(col("bin"), col("n"),
+        Det.rnd(col("p").cast("double") / col("n"), 6).as("frac_pos"),
+        Det.rnd(col("iso"), 6).as("iso_fit"))
+      .orderBy("bin")
+  }
+
+  val isotonicFitSql: String = {
+    val binExpr = CalibEdges.map(e => s"CAST(z >= $e AS INT)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id,
+       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |               % 4294967296 % 17 - 8 AS w
+       |      FROM toks),
+       |scored AS (SELECT s.doc_id,
+       |                  CAST(sum(s.w) AS DOUBLE) / count(*) AS z,
+       |                  CAST(max(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |           FROM w s JOIN documents d ON s.doc_id = d.doc_id
+       |           GROUP BY s.doc_id),
+       |bins AS (SELECT $binExpr AS bin, count(*) AS n,
+       |                CAST(sum(pos) AS BIGINT) AS p
+       |         FROM scored GROUP BY 1),
+       |avgs AS (
+       |  SELECT k.bin AS k, j.bin AS j,
+       |         ${Det.rndSql(
+            "CAST(sum(m.p) AS DOUBLE) / sum(m.n)", 9)} AS r
+       |  FROM bins k JOIN bins j ON k.bin <= j.bin
+       |  JOIN bins m ON m.bin >= k.bin AND m.bin <= j.bin
+       |  GROUP BY 1, 2),
+       |fit AS (
+       |  SELECT bin, min(mx) AS iso FROM (
+       |    SELECT b.bin, a.j, max(a.r) AS mx
+       |    FROM bins b JOIN avgs a ON a.k <= b.bin AND a.j >= b.bin
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT b.bin, b.n,
+       |       ${Det.rndSql("CAST(b.p AS DOUBLE) / b.n", 6)} AS frac_pos,
+       |       ${Det.rndSql("iso", 6)} AS iso_fit
+       |FROM bins b JOIN fit USING (bin)
+       |ORDER BY bin""".stripMargin
+  }
 }

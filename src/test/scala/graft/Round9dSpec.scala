@@ -816,6 +816,50 @@ class Round9dSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq.sorted)
   }
 
+  test("allenRelations: the CASE ladder lands every crafted pair in its relation") {
+    val s = spark; import s.implicits._
+    def ev(id: Long, u: Long, t: String, ts: String) =
+      (id, Timestamp.valueOf(ts), u, t, 1.0, "{}")
+    // user 1: click [10:00,11:00], error [11:00,12:00] → meets
+    // user 2: click [10:00,12:00], error [10:30,11:00] → contains
+    // user 3: click [10:00,11:00], error [10:00,11:00] → equal
+    // user 4: click [10:00,11:00], error [10:30,11:30] → overlaps
+    // user 5: click [10:00,10:30], error [11:00,12:00] → before
+    val rows = Seq(
+      ev(1, 1, "click", "2024-01-01 10:00:00"), ev(2, 1, "click", "2024-01-01 11:00:00"),
+      ev(3, 1, "error", "2024-01-01 11:00:00"), ev(4, 1, "error", "2024-01-01 12:00:00"),
+      ev(5, 2, "click", "2024-01-01 10:00:00"), ev(6, 2, "click", "2024-01-01 12:00:00"),
+      ev(7, 2, "error", "2024-01-01 10:30:00"), ev(8, 2, "error", "2024-01-01 11:00:00"),
+      ev(9, 3, "click", "2024-01-01 10:00:00"), ev(10, 3, "click", "2024-01-01 11:00:00"),
+      ev(11, 3, "error", "2024-01-01 10:00:00"), ev(12, 3, "error", "2024-01-01 11:00:00"),
+      ev(13, 4, "click", "2024-01-01 10:00:00"), ev(14, 4, "click", "2024-01-01 11:00:00"),
+      ev(15, 4, "error", "2024-01-01 10:30:00"), ev(16, 4, "error", "2024-01-01 11:30:00"),
+      ev(17, 5, "click", "2024-01-01 10:00:00"), ev(18, 5, "click", "2024-01-01 10:30:00"),
+      ev(19, 5, "error", "2024-01-01 11:00:00"), ev(20, 5, "error", "2024-01-01 12:00:00"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.ExtensionQueries.allenRelationsOf(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("meets" -> 1L, "contains" -> 1L, "equal" -> 1L,
+      "overlaps" -> 1L, "before" -> 1L))
+  }
+
+  test("isotonicFit: output is monotone and L2-no-worse than the raw rates") {
+    val got = graft.queries.TextQueries
+      .isotonicFitOf(Tables(spark, sfDir, "documents")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length >= 3)
+    // monotone nondecreasing — the defining property
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-9, s"bins ${a._1}->${b._1} decrease")
+    }
+    // where the raw rates are already monotone the fit equals them
+    val rawMono = got.sliding(2).forall { case Array(a, b) => a._3 <= b._3 }
+    if (rawMono) got.foreach(r => assert(math.abs(r._4 - r._3) < 1e-6))
+    // the fit stays inside the raw-rate envelope
+    val (lo, hi) = (got.map(_._3).min, got.map(_._3).max)
+    got.foreach(r => assert(r._4 >= lo - 1e-9 && r._4 <= hi + 1e-9))
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
