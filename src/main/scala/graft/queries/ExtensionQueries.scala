@@ -7635,4 +7635,96 @@ object ExtensionQueries {
        |GROUP BY relation, tot
        |ORDER BY relation""".stripMargin
   }
+
+  // Shapley over 4 channels: weight(|S|) = |S|!(3−|S|)!/4!, exact
+  // rational literals shared by both engines
+  private val ShapleyChannels = Seq("click", "error", "signup", "view")
+  private val ShapleyW = "CASE bit_count(s) WHEN 0 THEN 0.25 WHEN 1 THEN " +
+    "0.0833333333333333 WHEN 2 THEN 0.0833333333333333 ELSE 0.25 END"
+
+  /** EXACT SHAPLEY-VALUE CHANNEL ATTRIBUTION (the game-theoretic
+    * upgrade of [[attribution]]'s first/last-touch): each channel's
+    * credit for conversion is its average marginal contribution over
+    * ALL coalition orders — v(S) = empirical conversion rate of
+    * users whose exposure set is exactly S, φᵢ = Σ_S w(|S|)·
+    * (v(S∪i) − v(S)) with the factorial weights as pinned literals.
+    * Position-free and symmetric by construction, which touch-based
+    * rules provably are not.
+    *
+    * Scale shape: the corpus collapses to the 2⁴-row exposure-mask
+    * value table in one pass (mask = bit-OR of exposure flags, conv
+    * = any purchase); the Shapley sum is a 4×8 lattice walk in mask
+    * space — broadcast joins over a 16-row relation. Missing
+    * coalitions (no user with that exact set) contribute v = 0,
+    * surfaced via the n_obs column. Rates are exact-integer ratios
+    * fenced before the weighted sum of ≤ 8 terms. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    shapleyAttributionOf(Tables(spark, dir, "events"))
+
+  private[graft] def shapleyAttributionOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession; import s.implicits._
+    val aggs = ShapleyChannels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, 1L << i).otherwise(0L)).as(s"b$i")
+    } :+ max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv")
+    val users = events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+      .withColumn("mask", col("b0") + col("b1") + col("b2") + col("b3"))
+    val vtab = users.groupBy("mask")
+      .agg(count(lit(1)).as("nm"), sum("conv").as("cm"))
+      .select(col("mask"), col("nm"), col("cm"),
+        Det.rnd(col("cm").cast("double") / col("nm"), 9).as("v"))
+      .localCheckpoint() // ≤ 16 rows
+    val channels = ShapleyChannels.zipWithIndex.toDF("channel", "i")
+    // enumerate ALL 2⁴ coalitions (not just observed masks): a missing
+    // BASE coalition must still contribute its v(S∪i) − 0 term
+    val coalitions = channels
+      .select(col("channel"), col("i"),
+        explode(expr("sequence(0, 15)")).as("s0"))
+      .select(col("channel"), col("i"), col("s0").cast("long").as("s"))
+      .filter(expr("(s div shiftleft(CAST(1 AS BIGINT), i)) % 2 = 0"))
+    val terms = coalitions
+      .join(vtab.select(col("mask").as("s"), col("v").as("v0")), Seq("s"), "left")
+      .join(vtab.select(
+        col("mask").as("swith"), col("v").as("v1"), col("nm").as("n1")),
+        expr("swith = s + shiftleft(CAST(1 AS BIGINT), i)"), "left")
+      .withColumn("w", expr(ShapleyW))
+      .withColumn("term",
+        col("w") * (coalesce(col("v1"), lit(0.0)) - coalesce(col("v0"), lit(0.0))))
+    terms.groupBy("channel")
+      .agg(Det.rnd(sum("term"), 6).as("phi"),
+        sum(coalesce(col("n1"), lit(0L))).as("n_obs"))
+      .orderBy("channel")
+  }
+
+  val shapleyAttributionSql: String = {
+    val bits = ShapleyChannels.zipWithIndex.map { case (c, i) =>
+      s"max(CASE WHEN event_type = '$c' THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val chan = ShapleyChannels.zipWithIndex
+      .map { case (c, i) => s"('$c', $i)" }.mkString(", ")
+    s"""WITH u AS (
+       |  SELECT user_id, $bits AS mask,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1),
+       |vt AS (
+       |  SELECT mask, count(*) AS nm, CAST(sum(conv) AS BIGINT) AS cm,
+       |         ${Det.rndSql("CAST(sum(conv) AS DOUBLE) / count(*)", 9)} AS v
+       |  FROM u GROUP BY 1),
+       |ch AS (SELECT * FROM (VALUES $chan) c(channel, i)),
+       |co AS (
+       |  SELECT channel, i, s
+       |  FROM ch CROSS JOIN (SELECT unnest(range(16)) AS s)
+       |  WHERE (s // (CAST(1 AS BIGINT) << i)) % 2 = 0),
+       |t AS (
+       |  SELECT co.channel,
+       |         ($ShapleyW) * (coalesce(v1.v, 0.0) - coalesce(v0.v, 0.0)) AS term,
+       |         coalesce(v1.nm, 0) AS n1
+       |  FROM co
+       |  LEFT JOIN vt v0 ON v0.mask = co.s
+       |  LEFT JOIN vt v1 ON v1.mask = co.s + (CAST(1 AS BIGINT) << co.i))
+       |SELECT channel, ${Det.rndSql("sum(term)", 6)} AS phi,
+       |       CAST(sum(n1) AS BIGINT) AS n_obs
+       |FROM t
+       |GROUP BY channel
+       |ORDER BY channel""".stripMargin
+  }
 }

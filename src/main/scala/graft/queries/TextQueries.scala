@@ -5399,4 +5399,83 @@ object TextQueries {
        |FROM bins b JOIN fit USING (bin)
        |ORDER BY bin""".stripMargin
   }
+
+  /** CLASSIFIER FAIRNESS AUDIT across sources: per-source selection
+    * rate of the hashed-logit quality classifier, the four-fifths
+    * disparate-impact ratio (min/max selection rate, EEOC rule), and
+    * the equalized-odds ingredients (TPR/FPR vs the en label) — the
+    * group-fairness gate a quality-filtering pipeline must pass
+    * before its keep/drop decisions ship ([[qualityClassifier]]
+    * scores; this audits WHO the scores keep).
+    *
+    * Scale shape: one pass collapses the corpus to per-source integer
+    * confusion cells; the DI ratio is a 1-row broadcast over the
+    * source-cardinality relation. The prediction is the EXACT integer
+    * sign of the summed token weights (score ≥ 0 ⟺ sigmoid ≥ ½) — no
+    * float threshold anywhere in a decision; zero-denominator groups
+    * surface as NULL (both engines' guard), never masked. */
+  def fairnessAudit(spark: SparkSession, dir: String): DataFrame =
+    fairnessAuditOf(Tables(spark, dir, "documents"))
+
+  private[graft] def fairnessAuditOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val base = docs.select(col("source"),
+      (expr("hashed_logit(text)").getItem(0) >= 0L).as("pred"),
+      (col("lang") === "en").as("lab"))
+    val per = base.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pred"), 1L).otherwise(0L)).as("n_sel"),
+      sum(when(col("pred") && col("lab"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("lab"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("lab"), 1L).otherwise(0L)).as("pos"),
+      sum(when(!col("lab"), 1L).otherwise(0L)).as("neg"))
+      .withColumn("sel_rate", Det.rnd(col("n_sel").cast("double") / col("n"), 6))
+    val di = per.agg(min("sel_rate").as("min_sel"), max("sel_rate").as("max_sel"))
+      .select(Det.rnd(expr(
+        "CASE WHEN max_sel = 0.0 THEN NULL ELSE min_sel / max_sel END"), 6)
+        .as("di_ratio"))
+    per.crossJoin(broadcast(di))
+      .select(col("source"), col("n"), col("n_sel"), col("sel_rate"),
+        Det.rnd(expr("CASE WHEN pos = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / pos END"), 6)
+          .as("tpr"),
+        Det.rnd(expr("CASE WHEN neg = 0 THEN NULL ELSE CAST(fp AS DOUBLE) / neg END"), 6)
+          .as("fpr"),
+        col("di_ratio"),
+        (col("di_ratio") < 0.8).as("di_violation"))
+      .orderBy("source")
+  }
+
+  val fairnessAuditSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id,
+       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |               % 4294967296 % 17 - 8 AS w
+       |      FROM toks),
+       |scored AS (SELECT s.doc_id, d.source,
+       |                  CAST(sum(s.w) AS BIGINT) >= 0 AS pred,
+       |                  d.lang = 'en' AS lab
+       |           FROM w s JOIN documents d ON s.doc_id = d.doc_id
+       |           GROUP BY s.doc_id, d.source, d.lang),
+       |per AS (
+       |  SELECT source, count(*) AS n,
+       |         CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+       |         CAST(sum(CASE WHEN pred AND lab THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN pred AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |         CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS neg
+       |  FROM scored GROUP BY 1),
+       |pr AS (SELECT per.*, ${Det.rndSql("CAST(n_sel AS DOUBLE) / n", 6)} AS sel_rate
+       |       FROM per),
+       |di AS (SELECT ${Det.rndSql(
+          "CASE WHEN max(sel_rate) = 0.0 THEN NULL ELSE min(sel_rate) / max(sel_rate) END", 6)}
+       |         AS di_ratio
+       |       FROM pr)
+       |SELECT source, n, n_sel, sel_rate,
+       |       ${Det.rndSql("CASE WHEN pos = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / pos END", 6)} AS tpr,
+       |       ${Det.rndSql("CASE WHEN neg = 0 THEN NULL ELSE CAST(fp AS DOUBLE) / neg END", 6)} AS fpr,
+       |       di_ratio, di_ratio < 0.8 AS di_violation
+       |FROM pr CROSS JOIN di
+       |ORDER BY source""".stripMargin
 }

@@ -860,6 +860,46 @@ class Round9dSpec extends SparkSpec {
     got.foreach(r => assert(r._4 >= lo - 1e-9 && r._4 <= hi + 1e-9))
   }
 
+  test("shapleyAttribution: efficiency and the null-player axiom hold empirically") {
+    val s = spark; import s.implicits._
+    // click alone converts (v=1), view alone doesn't (v=0), both → 1:
+    // click carries all credit; view is a null player; signup/error unseen
+    def ev(id: Long, u: Long, t: String) =
+      (id, Timestamp.valueOf("2024-01-01 10:00:00"), u, t, 1.0, "{}")
+    val rows =
+      (1L to 10L).flatMap(u => Seq(ev(u * 10, u, "click"), ev(u * 10 + 1, u, "purchase"))) ++
+      (11L to 20L).map(u => ev(u * 10, u, "view")) ++
+      (21L to 30L).flatMap(u => Seq(ev(u * 10, u, "click"), ev(u * 10 + 1, u, "view"),
+        ev(u * 10 + 2, u, "purchase")))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.ExtensionQueries.shapleyAttributionOf(events).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // click: w(∅)·(v(c)−v(∅)) + w({v})·(v(cv)−v(v)) = ¼ + 1/12 = 1/3
+    assert(math.abs(got("click") - (0.25 + 0.0833333333333333)) < 1e-6)
+    assert(got("view") === 0.0) // exact null player
+    // unseen channels: only missing-coalition (v=0) phantom terms,
+    // which are ≤ 0 and symmetric between the two
+    assert(got("signup") === got("error") && got("signup") <= 0.0)
+  }
+
+  test("fairnessAudit: integer-sign predictions, DI ratio, and guards") {
+    val got = graft.queries.TextQueries
+      .fairnessAuditOf(Tables(spark, sfDir, "documents")).collect()
+    assert(got.nonEmpty)
+    val di = got.head.getDouble(6)
+    got.foreach(r => assert(r.getDouble(6) === di)) // one global ratio
+    assert(di >= 0.0 && di <= 1.0 + 1e-9)
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val sel = r.getDouble(3); assert(sel >= 0.0 && sel <= 1.0)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // DI equals the min/max of the reported per-source rates
+    val rates = got.map(_.getDouble(3))
+    val expect = math.floor(rates.min / rates.max * 1e6 + 0.5) / 1e6
+    assert(math.abs(di - expect) < 1e-9)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
