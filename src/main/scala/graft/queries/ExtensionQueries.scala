@@ -7454,13 +7454,23 @@ object ExtensionQueries {
   def sloBurn(spark: SparkSession, dir: String): DataFrame =
     sloBurnOf(Tables(spark, dir, "events"))
 
-  private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w6 = Window.orderBy("hour_start").rowsBetween(-5, 0)
-    val hourly = events
+  private[graft] def sloBurnOf(events: DataFrame): DataFrame =
+    sloFinish(sloHourlyFrom(events))
+
+  /** The mergeable hourly (n, n_err) histogram — the streaming-safe
+    * state shared with [[graft.streaming.StreamJobs.sloStream]],
+    * exactly as the daily histogram feeds the CUSUM/SPC/EWMA family. */
+  private[graft] def sloHourlyFrom(events: DataFrame): DataFrame =
+    events
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+
+  /** The hour-space burn/page finish over the mergeable state. */
+  private[graft] def sloFinish(hourlyState: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w6 = Window.orderBy("hour_start").rowsBetween(-5, 0)
+    val hourly = hourlyState
       .withColumn("n6", sum("n").over(w6))
       .withColumn("e6", sum("n_err").over(w6))
     hourly.select(col("hour_start"), col("n"), col("n_err"),

@@ -997,4 +997,17 @@ object StreamJobs {
   def hdrStream(values: DataFrame): DataFrame =
     graft.queries.StreamQueries.hdrBuckets(values)
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Streaming twin of the SLO burn-rate monitor: the SAME mergeable
+    * hourly (n, n_err) histogram state as the batch operator
+    * (complete mode — counts are additive across batches), with the
+    * hour-space burn/page finish ([[graft.queries.ExtensionQueries
+    * .sloFinish]]) recomputed per batch — the fifth monitor on the
+    * shared-histogram pattern (CUSUM/trailing/EWMA/SPC ride the
+    * daily state; SLO burn rides the hourly one). */
+  def sloStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.sloHourlyFrom(events)
+
+  def sloFinish(hourly: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.sloFinish(hourly)
 }

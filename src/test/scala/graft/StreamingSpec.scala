@@ -987,6 +987,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SLO burn finish over the hourly state is bit-equal to batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = Tables(spark, sfDir, "events").as[Ev].collect()
+    val q = StreamJobs.sloStream(mem.toDF())
+      .writeStream.format("memory").queryName("slos").outputMode("complete").start()
+    try {
+      val (b1, rest) = all.sortBy(_.event_id).splitAt(all.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq
+      val streamed = rows(StreamJobs.sloFinish(spark.table("slos")))
+      val batch = rows(graft.queries.ExtensionQueries.sloBurn(spark, sfDir))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming ROC-AUC is bit-equal to the batch twin across batch splits") {
     val s = spark
     import s.implicits._
