@@ -7737,4 +7737,77 @@ object ExtensionQueries {
        |GROUP BY channel
        |ORDER BY channel""".stripMargin
   }
+
+  /** OTSU'S THRESHOLD (1979) on the event-value distribution: the
+    * cut that MAXIMIZES between-class variance — the histogram-space
+    * answer to "where do I split cheap from expensive events" that
+    * needs no labels, no quantile target, and no iteration (every
+    * candidate cut is evaluated in closed form from prefix moments).
+    * The unsupervised complement of [[graft.queries.TextQueries]]'
+    * threshold sweep (which needs a ground-truth label to sweep
+    * against).
+    *
+    * Scale shape: the corpus collapses to the distinct-cents
+    * histogram in one pass (value-bounded — the gini/equi-depth
+    * technique); prefix count/sum windows run in histogram space;
+    * σ²_between = N₀N₁(μ₀−μ₁)²/N² per candidate evaluates from exact
+    * integer prefixes, fenced at 9 dp before the argmax (threshold
+    * asc tie-break), so both engines pick the identical cut. */
+  def otsuThreshold(spark: SparkSession, dir: String): DataFrame =
+    otsuThresholdOf(Tables(spark, dir, "events"))
+
+  private[graft] def otsuThresholdOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = events.select(Det.cents(col("value")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+      .withColumn("n0", sum("cnt").over(wCum))     // class 0: values ≤ c
+      .withColumn("s0", sum(col("c") * col("cnt")).over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("s", sum(col("c") * col("cnt")).over(wAll))
+      .filter(col("n0") < col("n")) // a cut must leave both classes nonempty
+    val sb = "(CAST(n0 AS DOUBLE) * (n - n0) * " +
+      "((CAST(s0 AS DOUBLE) / n0) - (CAST(s - s0 AS DOUBLE) / (n - n0))) * " +
+      "((CAST(s0 AS DOUBLE) / n0) - (CAST(s - s0 AS DOUBLE) / (n - n0))) / " +
+      "(CAST(n AS DOUBLE) * n))"
+    hist
+      .withColumn("sbv", Det.rnd(expr(sb), 9))
+      .orderBy(desc("sbv"), asc("c"))
+      .limit(1)
+      .select((col("c").cast("double") / 100.0).as("threshold"),
+        col("n0"), (col("n") - col("n0")).as("n1"),
+        Det.rnd(expr("CAST(s0 AS DOUBLE) / n0") / 100.0, 4).as("mean_low"),
+        Det.rnd(expr("CAST(s - s0 AS DOUBLE) / (n - n0)") / 100.0, 4).as("mean_high"),
+        col("sbv").as("between_var"))
+  }
+
+  val otsuThresholdSql: String = {
+    val sb = "(CAST(n0 AS DOUBLE) * (n - n0) * " +
+      "((CAST(s0 AS DOUBLE) / n0) - (CAST(s - s0 AS DOUBLE) / (n - n0))) * " +
+      "((CAST(s0 AS DOUBLE) / n0) - (CAST(s - s0 AS DOUBLE) / (n - n0))) / " +
+      "(CAST(n AS DOUBLE) * n))"
+    s"""WITH h AS (
+       |  SELECT c, count(*) AS cnt
+       |  FROM (SELECT ${Det.centsSql("value")} AS c FROM events)
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT c,
+       |         CAST(sum(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+       |                             AND CURRENT ROW) AS BIGINT) AS n0,
+       |         CAST(sum(c * cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                 AND CURRENT ROW) AS BIGINT) AS s0,
+       |         CAST(sum(cnt) OVER () AS BIGINT) AS n,
+       |         CAST(sum(c * cnt) OVER () AS BIGINT) AS s
+       |  FROM h),
+       |f AS (SELECT p.*, ${Det.rndSql(sb, 9)} AS sbv FROM p WHERE n0 < n)
+       |SELECT CAST(c AS DOUBLE) / 100.0 AS threshold, n0, n - n0 AS n1,
+       |       ${Det.rndSql("(CAST(s0 AS DOUBLE) / n0) / 100.0", 4)} AS mean_low,
+       |       ${Det.rndSql("(CAST(s - s0 AS DOUBLE) / (n - n0)) / 100.0", 4)} AS mean_high,
+       |       sbv AS between_var
+       |FROM f
+       |ORDER BY sbv DESC, c
+       |LIMIT 1""".stripMargin
+  }
 }

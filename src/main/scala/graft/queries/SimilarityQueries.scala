@@ -2854,6 +2854,73 @@ object SimilarityQueries {
       .limit(LofTopK)
   }
 
+  /** ATTRIBUTE-FILTERED VECTOR SEARCH (the vector-DB "filtered ANN"
+    * operator): per probe, the top-[[K]] nearest vectors AMONG THOSE
+    * SHARING THE PROBE'S LABEL — with the per-probe selectivity the
+    * filter induces. PRE-filtering by design: the label predicate
+    * cuts the candidate set BEFORE any distance is computed (a
+    * post-filtered top-k can silently return < k rows whenever the
+    * filter is selective — the classic filtered-ANN failure mode
+    * this operator's n_candidates column makes visible).
+    *
+    * Scale shape: the label predicate joins probe↔candidate as an
+    * equality BEFORE the distance stage, so the per-probe work is
+    * selectivity·|corpus| (and at scale rides a label-partitioned or
+    * label-bucketed layout — the same predicate-aligned-layout lever
+    * as `q_partitioned_scan`); the codegen'd [[graft.functions
+    * .CosineSimilarity]] kernel scores only surviving pairs; the
+    * top-k is a per-probe window over the filtered set. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    annFilteredOn(Tables(spark, dir, "embeddings"))
+
+  private[graft] def annFilteredOn(emb: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlab"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("clab"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val wQ = Window.partitionBy("qid")
+      .orderBy("cid").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    broadcast(q).join(c, col("qlab") === col("clab"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(expr("cosine_sim(qe, ce)"), 6))
+      .withColumn("n_candidates", count(lit(1)).over(wQ))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("qlab").as("label"), col("cid"), col("cos"),
+        col("rank"), col("n_candidates"))
+      .orderBy("qid", "rank")
+  }
+
+  val annFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |                  unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, q.label, c.vec_id AS cid,
+       |               sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.label = c.label
+       |                       AND q.vec_id <> c.vec_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT qid, label, cid,
+       |         round(CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END, 6) AS cos
+       |  FROM dot),
+       |r AS (
+       |  SELECT scored.*,
+       |         count(*) OVER (PARTITION BY qid) AS n_candidates,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, label, cid, cos, CAST(rank AS INTEGER) AS rank,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM r
+       |WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+
   val lofSql: String =
     s"""WITH $knnGraphRankedCte,
        |kedges AS (SELECT src, dst, 1.0 - round(cos, 6) AS d

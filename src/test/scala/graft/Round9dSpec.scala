@@ -900,6 +900,41 @@ class Round9dSpec extends SparkSpec {
     assert(math.abs(di - expect) < 1e-9)
   }
 
+  test("otsuThreshold: a clean bimodal distribution splits at the valley") {
+    val s = spark; import s.implicits._
+    // two tight modes: 100 events at ~1.00, 50 at ~9.00 → the cut must
+    // land between them and recover both class means
+    val rows = (0 until 100).map(i => (i.toLong,
+      Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click",
+      1.0 + (i % 3) * 0.01, "{}")) ++
+      (0 until 50).map(i => (1000L + i,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click",
+        9.0 + (i % 3) * 0.01, "{}"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.ExtensionQueries.otsuThresholdOf(events).head()
+    assert(r.getDouble(0) >= 1.0 && r.getDouble(0) < 9.0)
+    assert(r.getLong(1) === 100L && r.getLong(2) === 50L)
+    assert(math.abs(r.getDouble(3) - 1.01) < 0.01)
+    assert(math.abs(r.getDouble(4) - 9.01) < 0.01)
+  }
+
+  test("annFiltered: every hit shares the probe's label; selectivity is visible") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val labelOf = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val labelCounts = labelOf.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val got = graft.queries.SimilarityQueries.annFilteredOn(emb).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qid, lab, cid) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(labelOf(qid) === lab && labelOf(cid) === lab) // pre-filter holds
+      assert(r.getLong(5) === labelCounts(lab).toLong - 1) // candidates = label size − self
+    }
+    // per-probe ranks are 1..k over the filtered set only
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(4)).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
