@@ -7810,4 +7810,85 @@ object ExtensionQueries {
        |ORDER BY sbv DESC, c
        |LIMIT 1""".stripMargin
   }
+
+  /** PRICE/VOLUME/MIX DECOMPOSITION of the year-over-year revenue
+    * change per order-priority segment (the FP&A variance bridge):
+    * Δrev = price effect (Q_B·Δp) + volume effect ((ΔQ)·p_A), with
+    * the volume effect further split into PURE volume (the segment
+    * growing with the market) and MIX (the segment's share shifting)
+    * — the decomposition identity Δrev = price + pure_volume + mix
+    * holds EXACTLY by construction and is emitted as an audit column.
+    *
+    * Scale shape: one pass collapses the fact join to per-(segment ×
+    * year) exact integer (quantity, revenue-unit) cells; the whole
+    * bridge is arithmetic on the segment-cardinality relation with a
+    * 1-row broadcast of the market totals. Unit prices are exact-
+    * integer ratios; effects are fenced once at output. */
+  def priceVolumeMix(spark: SparkSession, dir: String): DataFrame =
+    priceVolumeMixOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def priceVolumeMixOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    val cells = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("yr")), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("o_orderpriority").as("segment"))
+      .agg(
+        sum(when(col("yr") === 1996, col("l_quantity").cast("long")).otherwise(0L)).as("qa"),
+        sum(when(col("yr") === 1996, units).otherwise(0L).cast("decimal(38,0)")).as("ra"),
+        sum(when(col("yr") === 1997, col("l_quantity").cast("long")).otherwise(0L)).as("qb"),
+        sum(when(col("yr") === 1997, units).otherwise(0L).cast("decimal(38,0)")).as("rb"))
+    val tot = cells.agg(sum("qa").as("ta"), sum("qb").as("tb"))
+    // all in 1/10⁴-dollar units; pa/pb are exact-integer ratios
+    val pa = "(CAST(ra AS DOUBLE) / qa)"; val pb = "(CAST(rb AS DOUBLE) / qb)"
+    val priceEff = s"(qb * ($pb - $pa))"
+    val volEff = s"((qb - qa) * $pa)"
+    val pureVol = s"(qa * (CAST(tb AS DOUBLE) / ta - 1.0) * $pa)"
+    cells.crossJoin(broadcast(tot))
+      .select(col("segment"), col("qa"), col("qb"),
+        Det.rnd(expr("CAST(ra AS DOUBLE)") / 10000.0, 2).as("rev_a"),
+        Det.rnd(expr("CAST(rb AS DOUBLE)") / 10000.0, 2).as("rev_b"),
+        Det.rnd(expr(priceEff) / 10000.0, 2).as("price_eff"),
+        Det.rnd(expr(pureVol) / 10000.0, 2).as("pure_volume_eff"),
+        Det.rnd(expr(s"$volEff - $pureVol") / 10000.0, 2).as("mix_eff"),
+        // the bridge identity, auditable: Δrev − (price + volume) ≡ 0
+        Det.rnd(expr(s"CAST(rb - ra AS DOUBLE) - ($priceEff + $volEff)") / 10000.0, 2)
+          .as("residual"))
+      .orderBy("segment")
+  }
+
+  val priceVolumeMixSql: String = {
+    val pa = "(CAST(ra AS DOUBLE) / qa)"; val pb = "(CAST(rb AS DOUBLE) / qb)"
+    val priceEff = s"(qb * ($pb - $pa))"
+    val volEff = s"((qb - qa) * $pa)"
+    val pureVol = s"(qa * (CAST(tb AS DOUBLE) / ta - 1.0) * $pa)"
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority AS segment,
+       |         CAST(sum(CASE WHEN yr = 1996 THEN q ELSE 0 END) AS BIGINT) AS qa,
+       |         sum(CASE WHEN yr = 1996 THEN CAST(u AS HUGEINT) ELSE 0 END) AS ra,
+       |         CAST(sum(CASE WHEN yr = 1997 THEN q ELSE 0 END) AS BIGINT) AS qb,
+       |         sum(CASE WHEN yr = 1997 THEN CAST(u AS HUGEINT) ELSE 0 END) AS rb
+       |  FROM (SELECT o_orderpriority, year(o_orderdate) AS yr,
+       |               CAST(round(l_quantity) AS BIGINT) AS q,
+       |               CAST(round(l_extendedprice * 100) AS BIGINT)
+       |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+       |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |        WHERE year(o_orderdate) IN (1996, 1997))
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(qa) AS BIGINT) AS ta,
+       |               CAST(sum(qb) AS BIGINT) AS tb FROM cells)
+       |SELECT segment, qa, qb,
+       |       ${Det.rndSql("CAST(ra AS DOUBLE) / 10000.0", 2)} AS rev_a,
+       |       ${Det.rndSql("CAST(rb AS DOUBLE) / 10000.0", 2)} AS rev_b,
+       |       ${Det.rndSql(s"$priceEff / 10000.0", 2)} AS price_eff,
+       |       ${Det.rndSql(s"$pureVol / 10000.0", 2)} AS pure_volume_eff,
+       |       ${Det.rndSql(s"($volEff - $pureVol) / 10000.0", 2)} AS mix_eff,
+       |       ${Det.rndSql(s"(CAST(rb - ra AS DOUBLE) - ($priceEff + $volEff)) / 10000.0", 2)}
+       |         AS residual
+       |FROM cells CROSS JOIN tot
+       |ORDER BY segment""".stripMargin
+  }
 }

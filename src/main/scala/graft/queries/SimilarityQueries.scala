@@ -2921,6 +2921,168 @@ object SimilarityQueries {
        |WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
 
+  /** KENDALL-τ AGREEMENT between the lexical (BM25) and semantic
+    * (cosine-to-probe) rankings of the retrieval shortlist — the
+    * rank-correlation companion to [[rrfFuse]] (which MERGES the two
+    * lists; τ measures whether merging is even needed: τ→1 means the
+    * rankers agree and fusion adds nothing, τ→0 means they carry
+    * independent signal).
+    *
+    * Scale shape: both rankings live on the ≤ [[graft.queries
+    * .TextQueries]] Bm25TopDocs shortlist, so the concordance count
+    * is an all-pairs join over ≤ 50 rows — bounded, never corpus.
+    * Ranks are row_numbers (no ties), concordance is exact integer
+    * sign agreement, τ = (C−D)/(m(m−1)/2) with one fenced division. */
+  def kendallRankings(spark: SparkSession, dir: String): DataFrame =
+    kendallRankingsOn(Tables(spark, dir, "documents"),
+      Tables(spark, dir, "embeddings"))
+
+  private[graft] def kendallRankingsOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val shortlist = TextQueries.bm25Of(docs)
+      .select(col("doc_id"), col("score").as("bm25"))
+    val joined = emb
+      .join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
+      .select(col("doc_id"), col("bm25"), col("embedding").as("ce"))
+      .localCheckpoint() // ≤ Bm25TopDocs rows
+    val probe = joined.orderBy(desc("bm25"), asc("doc_id")).limit(1)
+      .select(col("doc_id").as("probe_id"), col("ce").as("qe"))
+    graft.functions.CosineSimilarity.register(docs.sparkSession)
+    val ranked = joined.crossJoin(broadcast(probe))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr("cosine_sim(qe, ce)"), 6))
+      .withColumn("lex", row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
+      .withColumn("sem", row_number().over(Window.orderBy(desc("cos"), asc("doc_id"))))
+      .select(col("doc_id"), col("lex"), col("sem"))
+    val pairs = ranked.select(col("doc_id").as("a"), col("lex").as("la"), col("sem").as("sa"))
+      .crossJoin(ranked.select(col("doc_id").as("b"), col("lex").as("lb"), col("sem").as("sb")))
+      .filter(col("a") < col("b"))
+      .withColumn("conc",
+        when((col("la") - col("lb")) * (col("sa") - col("sb")) > 0, 1L).otherwise(0L))
+    pairs.agg(count(lit(1)).as("n_pairs"), sum("conc").as("concordant"))
+      .select(
+        (expr("CAST((1 + sqrt(8.0 * n_pairs + 1)) / 2 AS BIGINT)")).as("n_items"),
+        col("concordant"),
+        (col("n_pairs") - col("concordant")).as("discordant"),
+        graft.functions.Det.rnd(
+          (col("concordant") * 2 - col("n_pairs")).cast("double") / col("n_pairs"), 6)
+          .as("tau"))
+  }
+
+  val kendallRankingsSql: String = {
+    import graft.functions.Det
+    s"""WITH ${TextQueries.bm25RankedCte},
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |sv AS (SELECT r.doc_id, r.score AS bm25, e.i, e.v
+       |       FROM ranked r JOIN e ON e.vec_id = r.doc_id),
+       |probe AS (SELECT doc_id
+       |          FROM (SELECT DISTINCT doc_id, bm25 FROM sv)
+       |          ORDER BY bm25 DESC, doc_id LIMIT 1),
+       |qv AS (SELECT sv.i, sv.v FROM sv JOIN probe USING (doc_id)),
+       |dot AS (SELECT s.doc_id, max(s.bm25) AS bm25, sum(s.v * q.v) AS dot,
+       |               sqrt(sum(s.v * s.v)) AS nc, sqrt(sum(q.v * q.v)) AS nq
+       |        FROM sv s JOIN qv q USING (i), probe p
+       |        WHERE s.doc_id <> p.doc_id
+       |        GROUP BY s.doc_id),
+       |cosd AS (SELECT doc_id, bm25,
+       |                round(CASE WHEN nq * nc = 0 THEN 0.0
+       |                           ELSE dot / (nq * nc) END, 6) AS cos
+       |         FROM dot),
+       |rk AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex,
+       |         row_number() OVER (ORDER BY cos DESC, doc_id) AS sem
+       |  FROM cosd),
+       |p AS (
+       |  SELECT count(*) AS n_pairs,
+       |         CAST(sum(CASE WHEN (x.lex - y.lex) * (x.sem - y.sem) > 0
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS concordant
+       |  FROM rk x JOIN rk y ON x.doc_id < y.doc_id)
+       |SELECT CAST((1 + sqrt(8.0 * n_pairs + 1)) / 2 AS BIGINT) AS n_items,
+       |       concordant, n_pairs - concordant AS discordant,
+       |       ${Det.rndSql(
+          "CAST(concordant * 2 - n_pairs AS DOUBLE) / n_pairs", 6)} AS tau
+       |FROM p""".stripMargin
+  }
+
+  private val CoresetK = 5
+
+  /** K-CENTER GREEDY CORESET (Gonzalez 1985 — the 2-approximation
+    * farthest-point selection): pick [[CoresetK]] vectors that cover
+    * the embedding space, each round taking the point FARTHEST from
+    * the current selection — the diversity-first data-selection
+    * discipline ([[graft.queries.TextQueries]]' keep-best selects by
+    * per-item SCORE; a coreset selects by what the set SPANS, which
+    * is what an annotation-budget or eval-set builder needs).
+    *
+    * Scale shape: round r is ONE corpus pass scoring min-distance to
+    * the ≤ r broadcast selected vectors through the codegen'd
+    * [[graft.functions.CosineSimilarity]] kernel — k passes total,
+    * the known shape of the greedy algorithm; only the picked id
+    * crosses to the driver per round (the loop-literal discipline).
+    * Distances are 6-dp-fenced before every argmax (vec_id asc
+    * tie-break), so both engines replay the identical pick
+    * sequence, which the unrolled-CTE oracle proves. */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    kcenterCoresetOn(Tables(spark, dir, "embeddings"))
+
+  private[graft] def kcenterCoresetOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession; import s.implicits._
+    graft.functions.CosineSimilarity.register(s)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    var picked = List(0L) // seed: the minimum id, a fixed deterministic start
+    val rows = (2 to CoresetK).map { rnd =>
+      val sel = base.filter(col("vec_id").isInCollection(picked))
+        .select(col("vec_id").as("sid"), col("embedding").as("se"))
+      val far = base.filter(!col("vec_id").isInCollection(picked))
+        .crossJoin(broadcast(sel))
+        .withColumn("d", round(lit(1.0) - expr("cosine_sim(embedding, se)"), 6))
+        .groupBy("vec_id").agg(min("d").as("dist"))
+        .orderBy(desc("dist"), asc("vec_id"))
+        .head()
+      picked = far.getLong(0) :: picked
+      (rnd, far.getLong(0), far.getDouble(1))
+    }
+    ((1, 0L, Double.NaN) +: rows).toDF("round", "vec_id", "dist_to_set")
+      .select(col("round").cast("long").as("round"), col("vec_id"),
+        when(col("round") === 1, lit(null).cast("double"))
+          .otherwise(col("dist_to_set")).as("dist_to_set"))
+      .orderBy("round")
+  }
+
+  val kcenterCoresetSql: String = {
+    import graft.functions.Det
+    val rounds = (2 to CoresetK).map { k =>
+      val prevSel = (1 until k).map(j => s"SELECT vec_id FROM p$j").mkString(" UNION ALL ")
+      s"""d$k AS (
+         |  SELECT vec_id,
+         |         min(round(1.0 - CASE WHEN na * nb = 0 THEN 0.0
+         |                              ELSE dd / (na * nb) END, 6)) AS dist
+         |  FROM (SELECT x.vec_id, y.vec_id AS sid, sum(x.v * y.v) AS dd,
+         |               sqrt(sum(x.v * x.v)) AS na, sqrt(sum(y.v * y.v)) AS nb
+         |        FROM e x JOIN e y ON x.i = y.i
+         |        WHERE y.vec_id IN ($prevSel) AND x.vec_id NOT IN ($prevSel)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |p$k AS (SELECT CAST($k AS BIGINT) AS round, vec_id, dist FROM d$k
+         |        ORDER BY dist DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val outs = (2 to CoresetK).map(k => s"SELECT round, vec_id, dist AS dist_to_set FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |p1 AS (SELECT CAST(1 AS BIGINT) AS round, CAST(0 AS BIGINT) AS vec_id,
+       |              CAST(NULL AS DOUBLE) AS dist),
+       |$rounds
+       |SELECT round, vec_id, dist_to_set FROM (
+       |  SELECT round, vec_id, dist AS dist_to_set FROM p1
+       |  UNION ALL
+       |  $outs)
+       |ORDER BY round""".stripMargin
+  }
+
   val lofSql: String =
     s"""WITH $knnGraphRankedCte,
        |kedges AS (SELECT src, dst, 1.0 - round(cos, 6) AS d

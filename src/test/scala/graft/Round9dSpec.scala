@@ -935,6 +935,50 @@ class Round9dSpec extends SparkSpec {
     }
   }
 
+  test("priceVolumeMix: the bridge identity closes exactly on the corpus") {
+    val got = graft.queries.ExtensionQueries
+      .priceVolumeMixOf(Tables(spark, sfDir, "orders"), Tables(spark, sfDir, "lineitem"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // residual ≡ 0: Δrev = price + volume by construction
+      assert(math.abs(r.getDouble(8)) < 0.02, s"${r.getString(0)} residual")
+      // pure volume + mix = volume effect = Δrev − price effect
+      val dRev = r.getDouble(4) - r.getDouble(3)
+      assert(math.abs(r.getDouble(5) + r.getDouble(6) + r.getDouble(7) - dRev) < 0.05,
+        s"${r.getString(0)} bridge")
+    }
+    // a segment growing exactly at the market rate would have mix 0;
+    // the decomposition must produce BOTH signs across real segments
+    val mixes = got.map(_.getDouble(7))
+    assert(mixes.exists(_ > 0) && mixes.exists(_ < 0))
+  }
+
+  test("kendallRankings: identical rankers give tau 1; output is internally consistent") {
+    val s = spark; import s.implicits._
+    val r = graft.queries.SimilarityQueries
+      .kendallRankingsOn(Tables(spark, sfDir, "documents"),
+        Tables(spark, sfDir, "embeddings")).head()
+    val (m, c, d, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(c + d === m * (m - 1) / 2)
+    assert(tau >= -1.0 && tau <= 1.0)
+    val expect = math.floor((c - d).toDouble / (c + d) * 1e6 + 0.5) / 1e6
+    assert(tau === expect)
+  }
+
+  test("kcenterCoreset: farthest-point picks are distinct and distances shrink") {
+    val got = graft.queries.SimilarityQueries
+      .kcenterCoresetOn(Tables(spark, sfDir, "embeddings")).collect()
+    assert(got.length === 5)
+    assert(got.head.getLong(1) === 0L && got.head.isNullAt(2)) // the seed
+    val ids = got.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length)
+    val dists = got.tail.map(_.getDouble(2))
+    // greedy max-min distances are non-increasing (cover radius shrinks)
+    dists.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9) }
+    assert(dists.forall(d => d >= 0.0 && d <= 2.0 + 1e-9))
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
