@@ -887,4 +887,66 @@ object DedupQueries {
        |      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
        |WHERE j >= $JThreshold
        |ORDER BY existing_id, new_id""".stripMargin
+
+  // the (bands × rows) splits of a 16-hash MinHash signature
+  private val LshPlanGrid = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+  private val LshPlanSBelow = "0.5" // a clearly-below-threshold pair
+  private val LshPlanSAbove = "0.8" // a clearly-above-threshold pair
+
+  /** LSH BANDING PLANNER: the S-curve P(candidate | s) = 1−(1−sʳ)ᵇ
+    * evaluated for every (bands × rows) split of the 16-hash MinHash
+    * signature: per configuration, the crossover threshold
+    * (1/b)^(1/r), the false-candidate rate at a below-threshold
+    * similarity and the miss rate at an above-threshold one, and the
+    * pick minimizing their sum. At the (0.5, 0.8) operating points
+    * the planner selects 4×4; [[minhashLsh]] ships 8×2 because its
+    * verify threshold sits lower (crossover ≈ 0.35) — re-planning
+    * the banding per target threshold WITHOUT re-indexing is the
+    * point of having the closed form in the engine (no corpus pass
+    * at all).
+    *
+    * Determinism: the grid is a 5-row literal relation in both
+    * engines; `pow` on identical double literals is the only
+    * transcendental, fenced before the argmin (bands asc
+    * tie-break). */
+  def lshPlan(spark: SparkSession, dir: String): DataFrame = lshPlanOf(spark)
+
+  private[graft] def lshPlanOf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grid = LshPlanGrid.toDF("b", "r")
+    val wAll = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = grid
+      .withColumn("s_star", Det.rnd(expr("pow(1.0 / b, 1.0 / r)"), 4))
+      .withColumn("fp", Det.rnd(expr(
+        s"1.0 - pow(1.0 - pow($LshPlanSBelow, r), b)"), 6))
+      .withColumn("fn", Det.rnd(expr(
+        s"pow(1.0 - pow($LshPlanSAbove, r), b)"), 6))
+      .withColumn("objective", Det.rnd(col("fp") + col("fn"), 6))
+      .withColumn("best", min(struct(col("objective"), col("b"))).over(wAll))
+    scored.select(col("b"), col("r"), col("s_star"), col("fp"), col("fn"),
+      col("objective"),
+      (col("objective") === col("best.objective") &&
+        col("b") === col("best.b")).as("chosen"))
+      .orderBy("b")
+  }
+
+  val lshPlanSql: String = {
+    val grid = LshPlanGrid.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""WITH g AS (SELECT * FROM (VALUES $grid) t(b, r)),
+       |s AS (
+       |  SELECT b, r,
+       |         ${Det.rndSql("pow(1.0 / b, 1.0 / r)", 4)} AS s_star,
+       |         ${Det.rndSql(s"1.0 - pow(1.0 - pow($LshPlanSBelow, r), b)", 6)} AS fp,
+       |         ${Det.rndSql(s"pow(1.0 - pow($LshPlanSAbove, r), b)", 6)} AS fn
+       |  FROM g),
+       |o AS (SELECT s.*, ${Det.rndSql("fp + fn", 6)} AS objective FROM s),
+       |best AS (SELECT objective AS bo, b AS bb FROM o
+       |         ORDER BY objective, b LIMIT 1)
+       |SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r, s_star, fp, fn, objective,
+       |       objective = bo AND b = bb AS chosen
+       |FROM o CROSS JOIN best
+       |ORDER BY b""".stripMargin
+  }
 }

@@ -5478,4 +5478,57 @@ object TextQueries {
        |       di_ratio, di_ratio < 0.8 AS di_violation
        |FROM pr CROSS JOIN di
        |ORDER BY source""".stripMargin
+
+  /** LOG-TEMPLATE MINING (the Drain/Spell family, reduced to its
+    * relational core): render each event as a log line, mask the
+    * numeric slots, and report the template census — how many
+    * distinct SHAPES the stream contains, each with its volume,
+    * actor spread, slot count and a concrete example. The first step
+    * of any log-analytics pipeline; [[dupRateBySource]] counts exact
+    * repeats, templates count STRUCTURAL repeats.
+    *
+    * Scale shape: one codegen'd projection builds line and template
+    * (regex masking — no explode), one partial-aggregated groupBy on
+    * the template key; output is template-cardinality-sized.
+    * Determinism: the line embeds only integers (cents, ids) and
+    * verbatim strings — never a float rendered to text, where engine
+    * formatting diverges; the example is min(line). */
+  def logTemplates(spark: SparkSession, dir: String): DataFrame =
+    logTemplatesOf(Tables(spark, dir, "events"))
+
+  private[graft] def logTemplatesOf(events: DataFrame): DataFrame = {
+    val line = concat(col("event_type"), lit(" user="), col("user_id"),
+      lit(" amount_c="), Det.cents(col("value")), lit(" props="), col("props"))
+    events.select(col("user_id"), line.as("line"))
+      .withColumn("template", regexp_replace(col("line"), "[0-9]+", "#"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        (length(col("template"))
+          - length(regexp_replace(col("template"), "#", ""))).as("n_slots"),
+        min("line").as("example"))
+      .select(col("template"), col("n"), col("n_users"),
+        col("n_slots").cast("long").as("n_slots"), col("example"))
+      .orderBy(desc("n"), asc("template"))
+      .limit(20)
+  }
+
+  val logTemplatesSql: String =
+    s"""WITH l AS (
+       |  SELECT user_id,
+       |         event_type || ' user=' || user_id || ' amount_c=' ||
+       |           ${Det.centsSql("value")} || ' props=' || props AS line
+       |  FROM events),
+       |t AS (SELECT user_id, line,
+       |             regexp_replace(line, '[0-9]+', '#', 'g') AS template
+       |      FROM l)
+       |SELECT template, count(*) AS n,
+       |       count(DISTINCT user_id) AS n_users,
+       |       CAST(length(template)
+       |            - length(regexp_replace(template, '#', '', 'g')) AS BIGINT) AS n_slots,
+       |       min(line) AS example
+       |FROM t
+       |GROUP BY template
+       |ORDER BY n DESC, template
+       |LIMIT 20""".stripMargin
 }

@@ -979,6 +979,42 @@ class Round9dSpec extends SparkSpec {
     assert(dists.forall(d => d >= 0.0 && d <= 2.0 + 1e-9))
   }
 
+  test("lshPlan: the S-curve table replays and the shipped 8x2 banding is chosen") {
+    val got = graft.queries.DedupQueries.lshPlanOf(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.length === 5)
+    def rnd(x: Double, s: Int) = { val f = math.pow(10, s); math.floor(x * f + 0.5) / f }
+    got.foreach { case (b, r, sStar, fp, fn, obj, _) =>
+      assert(sStar === rnd(math.pow(1.0 / b, 1.0 / r), 4))
+      assert(fp === rnd(1.0 - math.pow(1.0 - math.pow(0.5, r), b), 6))
+      assert(fn === rnd(math.pow(1.0 - math.pow(0.8, r), b), 6))
+      assert(obj === rnd(fp + fn, 6))
+    }
+    val chosen = got.filter(_._7)
+    assert(chosen.length === 1)
+    // at the (0.5, 0.8) operating points the balanced 4×4 split wins
+    // (production 8×2 targets a lower crossover — see scaladoc)
+    assert(chosen.head._1 === 4 && chosen.head._2 === 4)
+    assert(chosen.head._6 === got.map(_._6).min)
+  }
+
+  test("logTemplates: numeric slots mask to one shape per event type") {
+    val got = graft.queries.TextQueries
+      .logTemplatesOf(Tables(spark, sfDir, "events")).collect()
+    // 5 event types → 5 structural templates on this corpus
+    assert(got.length === 5)
+    val n = Tables(spark, sfDir, "events").count()
+    assert(got.map(_.getLong(1)).sum === n)
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(!t.exists(_.isDigit), s"unmasked digit in $t")
+      assert(r.getLong(3) >= 3L) // user, amount, props slots at minimum
+      // the example is a real line whose masking reproduces the template
+      assert(r.getString(4).replaceAll("[0-9]+", "#") === t)
+    }
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
