@@ -1015,6 +1015,30 @@ class Round9dSpec extends SparkSpec {
     }
   }
 
+  test("round-9d queries are repartition-invariant") {
+    val ev9 = Tables(spark, sfDir, "events").repartition(9)
+    assert(ExtensionQueries.fdrBhOf(ev9).collect().toSeq ===
+      ExtensionQueries.fdrBh(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.diffInDiffOf(ev9).collect().toSeq ===
+      ExtensionQueries.diffInDiff(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.sloBurnOf(ev9).collect().toSeq ===
+      ExtensionQueries.sloBurn(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.otsuThresholdOf(ev9).collect().toSeq ===
+      ExtensionQueries.otsuThreshold(spark, sfDir).collect().toSeq)
+    assert(graft.queries.ExtensionQueries.shapleyAttributionOf(ev9).collect().toSeq ===
+      ExtensionQueries.shapleyAttribution(spark, sfDir).collect().toSeq)
+    val li7 = Tables(spark, sfDir, "lineitem").repartition(7)
+    assert(ExtensionQueries.spearmanOf(li7).collect().toSeq ===
+      ExtensionQueries.spearman(spark, sfDir).collect().toSeq)
+    assert(ExtensionQueries.kruskalWallisOf(li7).collect().toSeq ===
+      ExtensionQueries.kruskalWallis(spark, sfDir).collect().toSeq)
+    val docs5 = Tables(spark, sfDir, "documents").repartition(5)
+    assert(graft.queries.TextQueries.winnowingOf(docs5).collect().toSeq ===
+      graft.queries.TextQueries.winnowing(spark, sfDir).collect().toSeq)
+    assert(graft.queries.TextQueries.isotonicFitOf(docs5).collect().toSeq ===
+      graft.queries.TextQueries.isotonicFit(spark, sfDir).collect().toSeq)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
