@@ -7811,6 +7811,85 @@ object ExtensionQueries {
        |LIMIT 1""".stripMargin
   }
 
+  /** 1-D WASSERSTEIN (earth-mover) DRIFT between the event-value
+    * distributions of the two timeline halves: W₁ = ∫|F_A − F_B| —
+    * the drift measure in DOLLARS (how far probability mass moved),
+    * where [[psiDrift]] reports binned log-ratios and [[ksSplitDrift]]
+    * the single worst CDF gap; W₁ is the one that's also a bound on
+    * how much any Lipschitz metric (mean revenue, say) can have
+    * moved.
+    *
+    * Scale shape: the corpus collapses to the distinct-cents
+    * histogram with per-half conditional counts in one pass; the CDF
+    * walk is a prefix window + lead over that value-bounded relation.
+    * EXACT END TO END: the integrand |cumA·n_B − cumB·n_A|·gap sums
+    * in decimal(38,0) over a common denominator, with ONE fenced
+    * division at output — no per-step float CDF. */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame =
+    wassersteinDriftOf(Tables(spark, dir, "events"))
+
+  private[graft] def wassersteinDriftOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = events.agg(min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"))
+    val halves = events.crossJoin(broadcast(span))
+      .select(Det.cents(col("value")).as("c"),
+        when(unix_micros(col("ts")) * 2 >= col("t0") + col("t1"), 1)
+          .otherwise(0).as("h"))
+    val wCum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.orderBy("c")
+    val d38 = "decimal(38,0)"
+    val hist = halves.groupBy("c")
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cuma", sum("ca").over(wCum))
+      .withColumn("cumb", sum("cb").over(wCum))
+      .withColumn("gap", coalesce(lead("c", 1).over(wLead) - col("c"), lit(0L)))
+    val tot = halves.agg(
+      sum(when(col("h") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("h") === 1, 1L).otherwise(0L)).as("nb"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(col("cuma").cast(d38) * col("nb") - col("cumb").cast(d38) * col("na"))
+          * col("gap"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(col("term").cast(d38)).as("s"))
+      .select(col("n_a"), col("n_b"),
+        Det.rnd(col("s").cast("double")
+          / (col("n_a").cast("double") * col("n_b") * 100.0), 6).as("w1_dollars"))
+  }
+
+  val wassersteinDriftSql: String =
+    s"""WITH span AS (
+       |  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+       |halves AS (
+       |  SELECT ${Det.centsSql("value")} AS c,
+       |         CASE WHEN epoch_us(ts) * 2 >= t0 + t1 THEN 1 ELSE 0 END AS h
+       |  FROM events CROSS JOIN span),
+       |tot AS (
+       |  SELECT CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM halves),
+       |hist AS (
+       |  SELECT c,
+       |         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM halves GROUP BY 1),
+       |cdf AS (
+       |  SELECT c,
+       |         CAST(sum(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+       |                            AND CURRENT ROW) AS BIGINT) AS cuma,
+       |         CAST(sum(cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+       |                            AND CURRENT ROW) AS BIGINT) AS cumb,
+       |         coalesce(lead(c, 1) OVER (ORDER BY c) - c, 0) AS gap
+       |  FROM hist)
+       |SELECT na AS n_a, nb AS n_b,
+       |       ${Det.rndSql(
+          "CAST(sum(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) * gap) AS DOUBLE)" +
+            " / (CAST(na AS DOUBLE) * nb * 100.0)", 6)} AS w1_dollars
+       |FROM cdf CROSS JOIN tot
+       |GROUP BY na, nb""".stripMargin
+
   /** PRICE/VOLUME/MIX DECOMPOSITION of the year-over-year revenue
     * change per order-priority segment (the FP&A variance bridge):
     * Δrev = price effect (Q_B·Δp) + volume effect ((ΔQ)·p_A), with

@@ -1039,6 +1039,25 @@ class Round9dSpec extends SparkSpec {
       graft.queries.TextQueries.isotonicFit(spark, sfDir).collect().toSeq)
   }
 
+  test("wassersteinDrift: identical halves give 0; a pure shift gives the shift") {
+    val s = spark; import s.implicits._
+    def ev(id: Long, ts: String, v: Double) =
+      (id, Timestamp.valueOf(ts), 1L, "click", v, "{}")
+    // halves with identical value multisets → W1 = 0
+    val same = ((0 until 50).map(i => ev(i.toLong, "2024-01-01 00:00:00", 10.0 + i % 5)) ++
+      (0 until 50).map(i => ev(100L + i, "2024-01-31 00:00:00", 10.0 + i % 5)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r0 = graft.queries.ExtensionQueries.wassersteinDriftOf(same).head()
+    assert(r0.getLong(0) === 50L && r0.getLong(1) === 50L)
+    assert(r0.getDouble(2) === 0.0)
+    // second half shifted by exactly +2.50 → W1 = 2.50 (translation)
+    val shifted = ((0 until 50).map(i => ev(i.toLong, "2024-01-01 00:00:00", 10.0 + i % 5)) ++
+      (0 until 50).map(i => ev(100L + i, "2024-01-31 00:00:00", 12.5 + i % 5)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r1 = graft.queries.ExtensionQueries.wassersteinDriftOf(shifted).head()
+    assert(math.abs(r1.getDouble(2) - 2.5) < 1e-9)
+  }
+
   test("dppPrune: equals the unpartitioned HAVING-filtered aggregation") {
     val got = graft.queries.BatchQueries.dppPrune(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
