@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+
+/** Round-9e additions: resampling inference (jackknife, permutation),
+  * population estimation (capture–recapture), distribution-disclosure
+  * privacy audit (t-closeness), and rank-based omnibus tests — the
+  * statistical-inference layer a curation pipeline runs over its own
+  * aggregates. All pure built-ins, all oracled, all shaped as
+  * one-corpus-pass → value-bounded finish.
+  */
+object AnalyticsQueries {
+
+  /** T-CLOSENESS audit — the third rung of the disclosure-audit ladder
+    * after [[ExtensionQueries.kAnonymity]] (class SIZE) and
+    * [[ExtensionQueries.lDiversity]] (distinct sensitive VALUES): a
+    * class can be k-anonymous and l-diverse yet still leak because its
+    * sensitive-value DISTRIBUTION differs sharply from the global one
+    * (e.g. 90% URGENT where the population is 20%). t is the total
+    * variation distance ½·Σ|p_class − p_global| per quasi-identifier
+    * class (the categorical earth-mover distance with unit ground
+    * metric); the release is t-close if every class stays under t.
+    *
+    * Scale shape: one orders⋈customer join (custkey, the natural
+    * co-partition key), one (class × value) count, then the audit
+    * runs in class-cardinality space — the grid is classes × 5
+    * priorities, value-bounded. EXACT: the TVD numerator
+    * Σ|cnt·N − g_v·n_c| rides decimal(38,0) over the common
+    * denominator 2·n_c·N (cnt·N overflows long at ~10¹¹ rows — the
+    * 100 TB case); the >0.25 threshold test is the integer
+    * cross-multiplication 2·num > n_c·N, no float near the boundary;
+    * one fenced division at output. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def tClosenessOf(
+      customer: DataFrame, orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val joined = customer.select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        (Det.cents(col("c_acctbal")).cast("double") / 50000.0)
+          .cast("long").as("bal_band"))
+      .join(orders.select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("o_orderpriority").as("v"))
+    val cnt = joined.groupBy("c_nationkey", "c_mktsegment", "bal_band", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val classTot = cnt.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(sum("cnt").as("n_c"))
+    val globTot = cnt.groupBy("v").agg(sum("cnt").as("g_v"))
+    val tot = joined.agg(count(lit(1)).as("n"))
+    // full class × value grid: a class MISSING a global value v leaks
+    // |0 − g_v·n_c| of variation distance, so absent cells must count
+    val grid = classTot.crossJoin(broadcast(globTot))
+      .join(cnt, Seq("c_nationkey", "c_mktsegment", "bal_band", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val perClass = grid.crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(col("cnt").cast(d38) * col("n") - col("g_v").cast(d38) * col("n_c")))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(max("n_c").as("n_c"), max("n").as("n"),
+        sum(col("term").cast(d38)).as("num"))
+    perClass.agg(
+        count(lit(1)).as("n_classes"),
+        Det.rnd(max(col("num").cast("double")
+          / (col("n_c").cast("double") * col("n") * 2.0)), 6).as("max_t"),
+        sum(when(col("num") * 2 > col("n_c").cast(d38) * col("n"), 1L)
+          .otherwise(0L)).as("classes_gt_025"))
+      .select(col("n_classes"), col("max_t"), col("classes_gt_025"),
+        Det.rnd(col("classes_gt_025").cast("double") / col("n_classes"), 6)
+          .as("share_gt_025"))
+  }
+
+  val tClosenessSql: String =
+    s"""WITH j AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |         ${Det.centsSql("c_acctbal")} // 50000 AS bal_band,
+       |         o_orderpriority AS v
+       |  FROM customer JOIN orders ON o_custkey = c_custkey),
+       |cnt AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, v, count(*) AS cnt
+       |  FROM j GROUP BY 1, 2, 3, 4),
+       |ct AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band,
+       |         CAST(sum(cnt) AS BIGINT) AS n_c
+       |  FROM cnt GROUP BY 1, 2, 3),
+       |gt AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS g_v FROM cnt GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+       |grid AS (
+       |  SELECT ct.c_nationkey, ct.c_mktsegment, ct.bal_band, ct.n_c,
+       |         gt.g_v, coalesce(cnt.cnt, 0) AS cnt
+       |  FROM ct CROSS JOIN gt
+       |  LEFT JOIN cnt ON cnt.c_nationkey = ct.c_nationkey
+       |    AND cnt.c_mktsegment = ct.c_mktsegment
+       |    AND cnt.bal_band = ct.bal_band AND cnt.v = gt.v),
+       |pc AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band,
+       |         max(n_c) AS n_c, max(n) AS n,
+       |         sum(abs(CAST(cnt AS HUGEINT) * n - CAST(g_v AS HUGEINT) * n_c)) AS num
+       |  FROM grid CROSS JOIN tot GROUP BY 1, 2, 3)
+       |SELECT count(*) AS n_classes,
+       |       ${Det.rndSql(
+            "max(CAST(num AS DOUBLE) / (CAST(n_c AS DOUBLE) * n * 2.0))", 6)} AS max_t,
+       |       CAST(sum(CASE WHEN num * 2 > CAST(n_c AS HUGEINT) * n
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS classes_gt_025,
+       |       ${Det.rndSql(
+            "CAST(sum(CASE WHEN num * 2 > CAST(n_c AS HUGEINT) * n THEN 1 ELSE 0 END)" +
+              " AS DOUBLE) / count(*)", 6)} AS share_gt_025
+       |FROM pc""".stripMargin
+
+  /** CAPTURE–RECAPTURE population estimation (Chapman's corrected
+    * Lincoln–Petersen): how many users exist in total, estimated from
+    * two short observation windows — the ecology estimator that data
+    * pipelines reuse to size "how many distinct entities will I
+    * eventually see" from limited probes (bot populations, device
+    * counts, crawl frontier size) without scanning everything. Two
+    * capture occasions = the first two 2-hour slices of the event
+    * timeline; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its standard error,
+    * emitted next to the true distinct-user count the synthetic
+    * corpus lets us audit against.
+    *
+    * Scale shape: ONE groupBy(user) pass computes both membership
+    * flags (no per-occasion distinct jobs), then a 1-row finish; the
+    * only exchange is on user_id. Estimator algebra is pure integer
+    * in, fenced double out. */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame =
+    captureRecaptureOf(Tables(spark, dir, "events"))
+
+  private[graft] def captureRecaptureOf(events: DataFrame): DataFrame = {
+    val win = 7200000000L // 2 h in micros
+    val t0d = events.agg(min(unix_micros(col("ts"))).as("t0"))
+    val marks = events.crossJoin(broadcast(t0d))
+      .select(col("user_id"), (unix_micros(col("ts")) - col("t0")).as("off"))
+      .groupBy("user_id")
+      .agg(max(when(col("off") < win, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("off") >= win && col("off") < 2 * win, 1L)
+          .otherwise(0L)).as("in_b"))
+    val s = marks.agg(sum("in_a").as("n1"), sum("in_b").as("n2"),
+      sum(col("in_a") * col("in_b")).as("m"), count(lit(1)).as("n_users"))
+    val est = "(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0)"
+    val se = "sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m)" +
+      " / ((CAST(m + 1 AS DOUBLE)) * (m + 1) * (m + 2)))"
+    s.select(col("n1"), col("n2"), col("m"), col("n_users"),
+      Det.rnd(expr(est), 4).as("chapman_n"),
+      Det.rnd(expr(se), 4).as("chapman_se"))
+  }
+
+  val captureRecaptureSql: String = {
+    val est = "(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0)"
+    val se = "sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m)" +
+      " / ((CAST(m + 1 AS DOUBLE)) * (m + 1) * (m + 2)))"
+    s"""WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN epoch_us(ts) - t0 < 7200000000 THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN epoch_us(ts) - t0 >= 7200000000
+       |                   AND epoch_us(ts) - t0 < 14400000000 THEN 1 ELSE 0 END) AS in_b
+       |  FROM events CROSS JOIN t0 GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(sum(in_a) AS BIGINT) AS n1, CAST(sum(in_b) AS BIGINT) AS n2,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS m, count(*) AS n_users
+       |  FROM u)
+       |SELECT n1, n2, m, n_users,
+       |       ${Det.rndSql(est, 4)} AS chapman_n,
+       |       ${Det.rndSql(se, 4)} AS chapman_se
+       |FROM s""".stripMargin
+  }
+
+  /** DELETE-ONE-GROUP JACKKNIFE of a ratio estimator: the standard
+    * error of revenue-per-customer (Σ order cents / Σ distinct
+    * buyers) obtained by recomputing the ratio with each NATION's
+    * contribution removed — the survey-statistics variance method for
+    * nonlinear statistics where [[ExtensionQueries.bootstrapCi]]
+    * resamples rows, this deletes design groups (and unlike the
+    * bootstrap it is closed-form deterministic: no replicate
+    * randomness at all). Emits the plug-in ratio, the jackknife SE,
+    * the jackknife bias estimate (k−1)(θ̄₍·₎ − θ̂), and the ±1.96·SE
+    * interval.
+    *
+    * Scale shape: one join + one groupBy(nation) pass collapses the
+    * corpus to k≈25 group totals; every replicate is ARITHMETIC on
+    * those totals against a 1-row broadcast (no k extra passes —
+    * the leave-one-out identity θ₍ᵢ₎ = (S−sᵢ)/(C−cᵢ) needs only
+    * sums). Replicates are exact-integer ratios; the spread is
+    * computed on centered deviations (no Σr² cancellation); fences
+    * only at output. */
+  def jackknifeRatio(spark: SparkSession, dir: String): DataFrame =
+    jackknifeRatioOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def jackknifeRatioOf(
+      customer: DataFrame, orders: DataFrame): DataFrame = {
+    val g = orders
+      .select(col("o_custkey"), Det.cents(col("o_totalprice")).as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum("cents").as("s_i"), countDistinct(col("o_custkey")).as("c_i"))
+    val tot = g.agg(sum("s_i").as("s"), sum("c_i").as("c"), count(lit(1)).as("k"))
+    val reps = g.crossJoin(broadcast(tot))
+      .select(col("s"), col("c"), col("k"),
+        ((col("s") - col("s_i")).cast("double")
+          / (col("c") - col("c_i")).cast("double")
+          - col("s").cast("double") / col("c")).as("d_i"))
+    val varSum = "(sd2 - sd * sd / kk)" // Σ(dᵢ−d̄)² from centered dᵢ
+    reps.agg(max("k").as("kk"), max("s").as("s"), max("c").as("c"),
+        sum("d_i").as("sd"), sum(col("d_i") * col("d_i")).as("sd2"))
+      .select(col("kk").as("n_groups"),
+        Det.rnd(col("s").cast("double") / col("c") / 100.0, 4).as("ratio_per_cust"),
+        Det.rnd(sqrt(expr(s"(kk - 1.0) / kk * $varSum")) / 100.0, 4).as("jk_se"),
+        Det.rnd(expr("(kk - 1.0) * (sd / kk)") / 100.0, 6).as("jk_bias"),
+        Det.rnd((col("s").cast("double") / col("c")
+          - expr(s"1.96 * sqrt((kk - 1.0) / kk * $varSum)")) / 100.0, 4).as("ci_lo"),
+        Det.rnd((col("s").cast("double") / col("c")
+          + expr(s"1.96 * sqrt((kk - 1.0) / kk * $varSum)")) / 100.0, 4).as("ci_hi"))
+  }
+
+  val jackknifeRatioSql: String = {
+    val varSum = "(sd2 - sd * sd / k)"
+    s"""WITH g AS (
+       |  SELECT c_nationkey, CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS s_i,
+       |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_i
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  GROUP BY 1),
+       |t AS (SELECT CAST(sum(s_i) AS BIGINT) AS s, CAST(sum(c_i) AS BIGINT) AS c,
+       |             count(*) AS k FROM g),
+       |r AS (
+       |  SELECT s, c, k,
+       |         CAST(s - s_i AS DOUBLE) / CAST(c - c_i AS DOUBLE)
+       |           - CAST(s AS DOUBLE) / c AS d_i
+       |  FROM g CROSS JOIN t),
+       |a AS (
+       |  SELECT max(k) AS k, max(s) AS s, max(c) AS c,
+       |         sum(d_i) AS sd, sum(d_i * d_i) AS sd2
+       |  FROM r)
+       |SELECT k AS n_groups,
+       |       ${Det.rndSql("CAST(s AS DOUBLE) / c / 100.0", 4)} AS ratio_per_cust,
+       |       ${Det.rndSql(s"sqrt((k - 1.0) / k * $varSum) / 100.0", 4)} AS jk_se,
+       |       ${Det.rndSql("(k - 1.0) * (sd / k) / 100.0", 6)} AS jk_bias,
+       |       ${Det.rndSql(
+            s"(CAST(s AS DOUBLE) / c - 1.96 * sqrt((k - 1.0) / k * $varSum)) / 100.0", 4)} AS ci_lo,
+       |       ${Det.rndSql(
+            s"(CAST(s AS DOUBLE) / c + 1.96 * sqrt((k - 1.0) / k * $varSum)) / 100.0", 4)} AS ci_hi
+       |FROM a""".stripMargin
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.AnalyticsQueries
+
+/** Round-9e additions: t-closeness disclosure audit, Chapman
+  * capture–recapture population estimation, and delete-one-group
+  * jackknife variance of a ratio estimator. */
+class Round9eSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tCloseness: single-priority classes reach TVD 1/2 against a uniform global") {
+    val s = spark; import s.implicits._
+    // two customers, each a singleton class (different nations), each
+    // ordering ONLY its own priority; global is 50/50.
+    val customer = Seq(
+      (1L, "a", 1, 100.0, "SEG"),
+      (2L, "b", 2, 100.0, "SEG")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "1-URGENT"), (11L, 1L, "1-URGENT"),
+      (12L, 2L, "2-HIGH"), (13L, 2L, "2-HIGH")
+    ).map { case (ok, ck, pr) => (ok, ck, "O", 1.0, ts("1996-01-01 00:00:00"), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = AnalyticsQueries.tClosenessOf(customer, orders).collect()(0)
+    // per class: num = |2·4−2·2| + |0·4−2·2| = 8; t = 8/(2·2·4) = 0.5
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Double]("max_t") === 0.5)
+    assert(r.getAs[Long]("classes_gt_025") === 2L)
+    assert(r.getAs[Double]("share_gt_025") === 1.0)
+  }
+
+  test("tCloseness: class matching the global distribution scores t = 0") {
+    val s = spark; import s.implicits._
+    val customer = Seq(
+      (1L, "a", 1, 100.0, "SEG")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "1-URGENT"), (11L, 1L, "2-HIGH")
+    ).map { case (ok, ck, pr) => (ok, ck, "O", 1.0, ts("1996-01-01 00:00:00"), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = AnalyticsQueries.tClosenessOf(customer, orders).collect()(0)
+    assert(r.getAs[Double]("max_t") === 0.0)
+    assert(r.getAs[Long]("classes_gt_025") === 0L)
+  }
+
+  test("captureRecapture: Chapman estimator and SE from planted occupancy") {
+    val s = spark; import s.implicits._
+    // window A = [t0, t0+2h), window B = [t0+2h, t0+4h)
+    // users 1,2,3 in A; users 3,4,5 in B; user 6 only later.
+    val base = "2024-01-01 "
+    val rows = Seq(
+      (1L, 1L, base + "00:00:00"), (2L, 2L, base + "00:30:00"),
+      (3L, 3L, base + "01:00:00"), (4L, 3L, base + "02:30:00"),
+      (5L, 4L, base + "03:00:00"), (6L, 5L, base + "03:30:00"),
+      (7L, 6L, base + "09:00:00"))
+    val events = rows.map { case (id, u, t) => (id, ts(t), u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AnalyticsQueries.captureRecaptureOf(events).collect()(0)
+    assert(r.getAs[Long]("n1") === 3L)
+    assert(r.getAs[Long]("n2") === 3L)
+    assert(r.getAs[Long]("m") === 1L)
+    assert(r.getAs[Long]("n_users") === 6L)
+    // (3+1)(3+1)/(1+1) − 1 = 7; se = sqrt(4·4·2·2/(2²·3)) = sqrt(64/12)
+    assert(r.getAs[Double]("chapman_n") === 7.0)
+    assert(math.abs(r.getAs[Double]("chapman_se") - math.sqrt(64.0 / 12.0)) < 1e-4)
+  }
+
+  test("jackknifeRatio: two-group closed form matches a hand replay") {
+    val s = spark; import s.implicits._
+    val customer = Seq(
+      (1L, "a", 1, 0.0, "SEG"), (2L, "b", 1, 0.0, "SEG"),
+      (3L, "c", 2, 0.0, "SEG")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // nation 1: $300 over 2 buyers; nation 2: $100 over 1 buyer
+    val orders = Seq(
+      (10L, 1L, 100.0), (11L, 2L, 200.0), (12L, 3L, 100.0)
+    ).map { case (ok, ck, tp) => (ok, ck, "O", tp, ts("1996-01-01 00:00:00"), "P") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = AnalyticsQueries.jackknifeRatioOf(customer, orders).collect()(0)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    // R = 400/3 dollars
+    assert(math.abs(r.getAs[Double]("ratio_per_cust") - 400.0 / 3.0) < 1e-3)
+    // replicates (dollars): drop n1 → 100/1; drop n2 → 300/2
+    val repl = Seq(100.0, 150.0); val rbar = repl.sum / 2
+    val seExp = math.sqrt(repl.map(x => (x - rbar) * (x - rbar)).sum * (1.0 / 2))
+    assert(math.abs(r.getAs[Double]("jk_se") - seExp) < 1e-3)
+    val biasExp = (2 - 1) * (rbar - 400.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("jk_bias") - biasExp) < 1e-4)
+  }
+}
