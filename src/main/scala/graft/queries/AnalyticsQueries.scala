@@ -218,6 +218,246 @@ object AnalyticsQueries {
           + expr(s"1.96 * sqrt((kk - 1.0) / kk * $varSum)")) / 100.0, 4).as("ci_hi"))
   }
 
+  /** PAIRED SIGN-FLIP PERMUTATION TEST (Monte-Carlo randomization
+    * inference): did per-customer spend CHANGE from 1996 to 1997? The
+    * paired design's full permutation group is sign-flipping the
+    * within-pair differences; each of R=256 replicates flips every
+    * pair by an engine-neutral hash bit and recomputes T = Σ±dᵢ, and
+    * p = (#{|T_r| ≥ |T_obs|}+1)/(R+1) — distribution-free inference
+    * where [[ExtensionQueries.bootstrapCi]] gives intervals and the
+    * t-test needs normality. EXACT end to end: dᵢ is integer cents,
+    * every replicate statistic is an integer sum, the extremeness
+    * comparison is integer — the Monte-Carlo draw is the only
+    * "randomness" and it is a deterministic two-round modmul both
+    * engines replay bit-equally.
+    *
+    * Scale shape: one groupBy(custkey) builds the pair relation; the
+    * replicate stage fans each pair ×256 but aggregates immediately —
+    * map-side partial sums mean the exchange carries ≤256 rows per
+    * task regardless of corpus size. |T_r| rides BIGINT (overflows
+    * only past ~10¹⁰ pairs × max-cents; decimal38 is the swap there). */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame =
+    permutationTestOf(Tables(spark, dir, "orders"))
+
+  private[graft] def permutationTestOf(orders: DataFrame): DataFrame = {
+    val reps = 256
+    val pairs = orders
+      .select(col("o_custkey").as("k"), year(col("o_orderdate")).as("yr"),
+        Det.cents(col("o_totalprice")).as("cents"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy("k")
+      .agg(sum(when(col("yr") === 1996, col("cents")).otherwise(0L)).as("a"),
+        sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("b"),
+        max(when(col("yr") === 1996, 1L).otherwise(0L)).as("ha"),
+        max(when(col("yr") === 1997, 1L).otherwise(0L)).as("hb"))
+      .filter(col("ha") === 1 && col("hb") === 1)
+      .select(col("k"), (col("b") - col("a")).as("d"))
+    val obs = pairs.agg(count(lit(1)).as("n_pairs"), sum("d").as("t_obs"))
+    val flips = pairs
+      .select(col("k"), col("d"), explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .withColumn("h1", expr("pmod(k * 2654435761 + r * 40503, 4294967296)"))
+      .withColumn("h2",
+        expr("pmod(pmod(h1 * 34283, 65536) * 65536 + h1 * 51831, 4294967296)"))
+      .groupBy("r")
+      .agg(sum(when(col("h2") < 2147483648L, col("d")).otherwise(-col("d")))
+        .as("t_r"))
+    flips.crossJoin(broadcast(obs))
+      .agg(max("n_pairs").as("n_pairs"),
+        max(col("t_obs")).as("t_obs_c"),
+        sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("n_pairs"),
+        Det.rnd(col("t_obs_c").cast("double") / 100.0, 2).as("t_obs_dollars"),
+        col("n_extreme"),
+        Det.rnd((col("n_extreme").cast("double") + 1.0) / (reps + 1.0), 6)
+          .as("p_value"))
+  }
+
+  val permutationTestSql: String =
+    s"""WITH p0 AS (
+       |  SELECT o_custkey AS k,
+       |         CAST(sum(CASE WHEN year(o_orderdate) = 1996
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END) AS BIGINT) AS a,
+       |         CAST(sum(CASE WHEN year(o_orderdate) = 1997
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END) AS BIGINT) AS b,
+       |         max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS ha,
+       |         max(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS hb
+       |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+       |  GROUP BY 1),
+       |pairs AS (SELECT k, b - a AS d FROM p0 WHERE ha = 1 AND hb = 1),
+       |obs AS (SELECT count(*) AS n_pairs, CAST(sum(d) AS BIGINT) AS t_obs FROM pairs),
+       |f AS (
+       |  SELECT r, d,
+       |         (k * 2654435761 + r * 40503) % 4294967296 AS h1
+       |  FROM pairs CROSS JOIN (SELECT unnest(range(256)) AS r)),
+       |t AS (
+       |  SELECT r,
+       |         CAST(sum(CASE WHEN ((h1 * 34283) % 65536 * 65536 + h1 * 51831)
+       |                            % 4294967296 < 2147483648
+       |                       THEN d ELSE -d END) AS BIGINT) AS t_r
+       |  FROM f GROUP BY 1)
+       |SELECT max(n_pairs) AS n_pairs,
+       |       ${Det.rndSql("max(CAST(t_obs AS DOUBLE)) / 100.0", 2)} AS t_obs_dollars,
+       |       CAST(sum(CASE WHEN abs(t_r) >= abs(t_obs) THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_extreme,
+       |       ${Det.rndSql(
+            "(CAST(sum(CASE WHEN abs(t_r) >= abs(t_obs) THEN 1 ELSE 0 END) AS DOUBLE)" +
+              " + 1.0) / 257.0", 6)} AS p_value
+       |FROM t CROSS JOIN obs""".stripMargin
+
+  /** BROWN–FORSYTHE TEST (the robust Levene variant): are order-value
+    * VARIANCES equal across market segments? One-way ANOVA on
+    * zᵢⱼ = |xᵢⱼ − median_g| — the variance-homogeneity check run
+    * before trusting [[ExtensionQueries.anovaF]]'s equal-variance
+    * assumption (which tests MEANS; this tests SPREADS, and uses the
+    * group MEDIAN so heavy tails don't inflate the test itself).
+    *
+    * Scale shape: group medians come from the distinct-cents
+    * HISTOGRAM (value-bounded, never a global row sort); the z
+    * transform is one codegen'd pass; both ANOVA sums ride exact
+    * integers (half-cent units make the two-middle median exact) —
+    * Σz and Σz² per group are BIGINT/decimal38 — and the F assembly
+    * is k=5 arithmetic on exact sums, fenced once. */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame =
+    brownForsytheOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def brownForsytheOf(
+      customer: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val seg = orders
+      .select(col("o_custkey"), Det.cents(col("o_totalprice")).as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("cents"))
+    val hist = seg.groupBy("g", "cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("g").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = hist.groupBy("g").agg(sum("cnt").as("n_g"))
+    // two-middle median in half-cents: m2 = lo + hi stays integer
+    val med = hist.join(tot, Seq("g"))
+      .groupBy("g")
+      .agg(min(when(col("cum") >= expr("(n_g + 1) div 2"), col("cents"))).as("lo"),
+        min(when(col("cum") >= expr("n_g div 2 + 1"), col("cents"))).as("hi"))
+      .select(col("g"), (col("lo") + col("hi")).as("m2"))
+    val z = seg.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("cents") * 2 - col("m2")).as("z"))
+    val grp = z.groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum("z").as("s_g"),
+        sum(col("z").cast(d38) * col("z")).as("ss_g"))
+    // SSB = Σ n_g·(z̄_g − z̄)², SSW = Σz² − Σ S_g²/n_g — doubles built
+    // from exact integer sums, identical on both engines
+    grp.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum("s_g").as("s"),
+        sum(col("ss_g")).as("ss"),
+        sum(col("s_g").cast("double") * col("s_g") / col("n_g")).as("ssq_over_n"))
+      .select(col("k"), col("n"),
+        Det.rnd(
+          ((col("ssq_over_n") - col("s").cast("double") * col("s") / col("n"))
+            / (col("k") - 1))
+            / ((col("ss").cast("double") - col("ssq_over_n"))
+              / (col("n") - col("k"))), 4).as("f_bf"))
+  }
+
+  val brownForsytheSql: String =
+    s"""WITH seg AS (
+       |  SELECT c_mktsegment AS g, ${Det.centsSql("o_totalprice")} AS cents
+       |  FROM orders JOIN customer ON c_custkey = o_custkey),
+       |hist AS (
+       |  SELECT g, cents, count(*) AS cnt,
+       |         sum(count(*)) OVER (PARTITION BY g ORDER BY cents
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM seg GROUP BY 1, 2),
+       |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM hist GROUP BY 1),
+       |med AS (
+       |  SELECT h.g,
+       |         min(CASE WHEN cum >= (n_g + 1) // 2 THEN cents END)
+       |           + min(CASE WHEN cum >= n_g // 2 + 1 THEN cents END) AS m2
+       |  FROM hist h JOIN tot USING (g) GROUP BY 1),
+       |z AS (
+       |  SELECT seg.g, abs(cents * 2 - m2) AS z
+       |  FROM seg JOIN med ON seg.g = med.g),
+       |grp AS (
+       |  SELECT g, count(*) AS n_g, CAST(sum(z) AS BIGINT) AS s_g,
+       |         sum(CAST(z AS HUGEINT) * z) AS ss_g
+       |  FROM z GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+       |         CAST(sum(s_g) AS BIGINT) AS s,
+       |         CAST(sum(ss_g) AS DOUBLE) AS ss,
+       |         sum(CAST(s_g AS DOUBLE) * s_g / n_g) AS ssq_over_n
+       |  FROM grp)
+       |SELECT k, n,
+       |       ${Det.rndSql(
+            "((ssq_over_n - CAST(s AS DOUBLE) * s / n) / (k - 1))" +
+              " / ((ss - ssq_over_n) / (n - k))", 4)} AS f_bf
+       |FROM a""".stripMargin
+
+  /** FRIEDMAN RANK TEST (repeated-measures omnibus): do order
+    * priorities consistently out-revenue each other month after
+    * month? Blocks = calendar months, treatments = the 5 priorities;
+    * revenues rank WITHIN each month so scale drift across months
+    * cancels — the nonparametric two-way companion to
+    * [[ExtensionQueries.kruskalWallis]] (which has no blocking).
+    * Kendall's W = χ²/(b(k−1)) rides along as the agreement effect
+    * size. Only COMPLETE blocks (months with all k treatments) enter,
+    * and the count is emitted.
+    *
+    * Scale shape: the corpus collapses to the (month × priority)
+    * revenue matrix in one pass; ranking is a window over that
+    * calendar-bounded relation. Revenue cells are exact cents so
+    * ranks are integers (ties broken by priority name, identically in
+    * both engines); ΣR² is integer; ONE fenced division. */
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame =
+    friedmanTestOf(Tables(spark, dir, "orders"))
+
+  private[graft] def friedmanTestOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val cells = orders
+      .select(date_trunc("month", col("o_orderdate")).as("mon"),
+        col("o_orderpriority").as("trt"),
+        Det.cents(col("o_totalprice")).as("cents"))
+      .groupBy("mon", "trt").agg(sum("cents").as("rev"))
+    val complete = cells.groupBy("mon").agg(count(lit(1)).as("n_trt"))
+      .filter(col("n_trt") === k).select("mon")
+    val ranked = cells.join(broadcast(complete), Seq("mon"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("mon").orderBy(col("rev"), col("trt"))))
+    val rsums = ranked.groupBy("trt").agg(sum("rk").as("r_j"),
+      count(lit(1)).as("b"))
+    rsums.agg(max("b").as("b"), sum(col("r_j") * col("r_j")).as("sr2"))
+      .select(col("b").as("b_blocks"), lit(k.toLong).as("k_treatments"),
+        Det.rnd(lit(12.0) * col("sr2") / (col("b") * k * (k + 1))
+          - lit(3.0) * col("b") * (k + 1), 4).as("chi2_f"),
+        Det.rnd((lit(12.0) * col("sr2") / (col("b") * k * (k + 1))
+          - lit(3.0) * col("b") * (k + 1)) / (col("b") * (k - 1)), 6)
+          .as("kendall_w"))
+  }
+
+  val friedmanTestSql: String = {
+    val chi2 = "12.0 * sr2 / (b * 5 * 6) - 3.0 * b * 6"
+    s"""WITH cells AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS trt,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |complete AS (
+       |  SELECT mon FROM cells GROUP BY 1 HAVING count(*) = 5),
+       |ranked AS (
+       |  SELECT trt,
+       |         row_number() OVER (PARTITION BY mon ORDER BY rev, trt) AS rk
+       |  FROM cells JOIN complete USING (mon)),
+       |rs AS (
+       |  SELECT trt, CAST(sum(rk) AS BIGINT) AS r_j, count(*) AS b
+       |  FROM ranked GROUP BY 1),
+       |a AS (SELECT max(b) AS b, CAST(sum(r_j * r_j) AS BIGINT) AS sr2 FROM rs)
+       |SELECT b AS b_blocks, CAST(5 AS BIGINT) AS k_treatments,
+       |       ${Det.rndSql(chi2, 4)} AS chi2_f,
+       |       ${Det.rndSql(s"($chi2) / (b * 4)", 6)} AS kendall_w
+       |FROM a""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -70,6 +70,71 @@ class Round9eSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("chapman_se") - math.sqrt(64.0 / 12.0)) < 1e-4)
   }
 
+  private def ordersOf(rows: Seq[(Long, Long, Double, String, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (ok, ck, tp, d, pr) => (ok, ck, "O", tp, ts(d + " 00:00:00"), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+
+  test("permutationTest: zero observed difference is never beaten, p = 1") {
+    // every pair's 1996 and 1997 spend are equal → d = 0 for all pairs:
+    // T_obs = 0 and every replicate T_r = 0, so all 256 are "as extreme".
+    val orders = ordersOf(Seq(
+      (1L, 1L, 100.0, "1996-03-01", "P"), (2L, 1L, 100.0, "1997-03-01", "P"),
+      (3L, 2L, 50.0, "1996-05-01", "P"), (4L, 2L, 50.0, "1997-05-01", "P"),
+      (5L, 3L, 70.0, "1995-01-01", "P"))) // outside years → not a pair
+    val r = AnalyticsQueries.permutationTestOf(orders).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 2L)
+    assert(r.getAs[Double]("t_obs_dollars") === 0.0)
+    assert(r.getAs[Long]("n_extreme") === 256L)
+    assert(r.getAs[Double]("p_value") === 1.0)
+  }
+
+  test("permutationTest: single pair is extreme in every replicate (|±d| = |d|)") {
+    val orders = ordersOf(Seq(
+      (1L, 1L, 100.0, "1996-03-01", "P"), (2L, 1L, 160.0, "1997-03-01", "P")))
+    val r = AnalyticsQueries.permutationTestOf(orders).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Double]("t_obs_dollars") === 60.0)
+    assert(r.getAs[Long]("n_extreme") === 256L) // sign flip keeps |T|
+  }
+
+  test("brownForsythe: hand-computed F over two groups") {
+    val s = spark; import s.implicits._
+    val customer = Seq(
+      (1L, "a", 1, 0.0, "G1"), (2L, "b", 1, 0.0, "G2")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // G1 values: 1,2,3 (median 2 → z2 = 2,0,2); G2: 10,30 (median 20 → z2 = 20,20)
+    val orders = ordersOf(Seq(
+      (1L, 1L, 0.01, "1996-01-01", "P"), (2L, 1L, 0.02, "1996-01-02", "P"),
+      (3L, 1L, 0.03, "1996-01-03", "P"),
+      (4L, 2L, 0.10, "1996-01-04", "P"), (5L, 2L, 0.30, "1996-01-05", "P")))
+    val r = AnalyticsQueries.brownForsytheOf(customer, orders).collect()(0)
+    // half-cent z: G1 = {2,0,2} (S=4, SS=8), G2 = {20,20} (S=40, SS=800)
+    // SSB = Σs²/n − S²/N = 16/3 + 1600/2 − 44²/5 = 805.333… − 387.2 = 418.1333…
+    // SSW = 808 − 805.3333… = 2.6666…; F = (SSB/1)/(SSW/3) = 418.1333/0.8888…
+    val exp = (16.0 / 3 + 800.0 - 44.0 * 44 / 5) / ((808.0 - 16.0 / 3 - 800.0) / 3)
+    assert(math.abs(r.getAs[Double]("f_bf") - exp) < 1e-3)
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Long]("n") === 5L)
+  }
+
+  test("friedmanTest: perfectly consistent ranking gives maximal chi2 (W = 1)") {
+    // 2 complete months, 5 priorities, same revenue order both months.
+    val rows = for {
+      (mon, base) <- Seq(("1996-01", 10.0), ("1996-02", 20.0))
+      (pr, i) <- Seq("1-U", "2-H", "3-M", "4-L", "5-N").zipWithIndex
+    } yield (mon.hashCode.toLong * 100 + i, i.toLong + 1,
+      base + i * 10.0, s"$mon-05", pr)
+    val orders = ordersOf(rows)
+    val r = AnalyticsQueries.friedmanTestOf(orders).collect()(0)
+    assert(r.getAs[Long]("b_blocks") === 2L)
+    // max chi2 = b(k−1) = 8; W = 1
+    assert(r.getAs[Double]("chi2_f") === 8.0)
+    assert(r.getAs[Double]("kendall_w") === 1.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
