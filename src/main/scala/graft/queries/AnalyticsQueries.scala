@@ -458,6 +458,235 @@ object AnalyticsQueries {
        |FROM a""".stripMargin
   }
 
+  /** MATRIX PROFILE (motif + discord discovery, STAMP/STOMP family):
+    * over the daily revenue series, the closest pair of
+    * non-overlapping 7-day windows (the MOTIF — a repeated weekly
+    * pattern) and the window whose nearest neighbor is farthest (the
+    * DISCORD — the most anomalous week, the distance-based
+    * changepoint [[ExtensionQueries.cusumChangepoint]] can't rank).
+    * Distances are unnormalized Euclidean on exact cents so every
+    * comparison — including all tie-breaks — is integer arithmetic.
+    *
+    * Scale shape: the corpus collapses to the dense day grid in one
+    * pass (missing days are true zeros); windows are 7 leads over
+    * that CALENDAR-BOUNDED relation (single-partition window by
+    * design — the documented vocabulary-sized finish); the all-pairs
+    * stage is windows², bounded by the calendar no matter the corpus
+    * size (the same argument as Theil–Sen's month×month pair join).
+    * d² rides decimal(38,0): daily cents² already passes long at
+    * ~10⁵× this corpus. */
+  def matrixProfile(spark: SparkSession, dir: String): DataFrame =
+    matrixProfileOf(Tables(spark, dir, "events"))
+
+  private[graft] def matrixProfileOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"), coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.orderBy("i")
+    val wins = dense.select(
+      (col("i") +: (0 to 6).map(t =>
+        (if (t == 0) col("x") else lead("x", t).over(w)).as(s"v$t"))): _*)
+      .filter(col("v6").isNotNull)
+    val a = wins.select(col("i").as("ia") +: (0 to 6).map(t => col(s"v$t").as(s"a$t")): _*)
+    val b = wins.select(col("i").as("ib") +: (0 to 6).map(t => col(s"v$t").as(s"b$t")): _*)
+    val pairs = a.join(b, col("ib") >= col("ia") + 7)
+      .select(col("ia"), col("ib"),
+        (0 to 6).map(t => (col(s"a$t") - col(s"b$t")).cast(d38)
+          * (col(s"a$t") - col(s"b$t"))).reduce(_ + _).as("d2"))
+    val motif = pairs.orderBy(col("d2"), col("ia"), col("ib")).limit(1)
+      .select(lit("motif").as("role"), col("ia").as("day_a"),
+        col("ib").as("day_b"), col("d2"))
+    val sym = pairs.select(col("ia").as("i"), col("ib").as("j"), col("d2"))
+      .union(pairs.select(col("ib").as("i"), col("ia").as("j"), col("d2")))
+    val nn = sym.groupBy("i").agg(min("d2").as("nnd"))
+    val nnj = sym.join(nn, Seq("i")).filter(col("d2") === col("nnd"))
+      .groupBy("i", "nnd").agg(min("j").as("j"))
+    val discord = nnj.orderBy(desc("nnd"), col("i")).limit(1)
+      .select(lit("discord").as("role"), col("i").as("day_a"),
+        col("j").as("day_b"), col("nnd").as("d2"))
+    motif.union(discord)
+      .select(col("role"), col("day_a"), col("day_b"),
+        Det.rnd(sqrt(col("d2").cast("double")) / 100.0, 4).as("dist_dollars"))
+      .orderBy("role")
+  }
+
+  val matrixProfileSql: String = {
+    val d2 = (0 to 6).map(t =>
+      s"CAST(a.v$t - b.v$t AS HUGEINT) * (a.v$t - b.v$t)").mkString(" + ")
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |grid AS (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp),
+       |dense AS (
+       |  SELECT CAST(grid.i AS BIGINT) AS i, coalesce(byday.c, 0) AS x
+       |  FROM grid LEFT JOIN byday ON byday.d = grid.d0 + CAST(grid.i AS INTEGER)),
+       |wins AS (
+       |  SELECT i, x AS v0,
+       |         ${(1 to 6).map(t => s"lead(x, $t) OVER (ORDER BY i) AS v$t")
+            .mkString(", ")}
+       |  FROM dense),
+       |wv AS (SELECT * FROM wins WHERE v6 IS NOT NULL),
+       |pairs AS (
+       |  SELECT a.i AS ia, b.i AS ib, $d2 AS d2
+       |  FROM wv a JOIN wv b ON b.i >= a.i + 7),
+       |motif AS (
+       |  SELECT 'motif' AS role, ia AS day_a, ib AS day_b, d2
+       |  FROM pairs ORDER BY d2, ia, ib LIMIT 1),
+       |sym AS (
+       |  SELECT ia AS i, ib AS j, d2 FROM pairs
+       |  UNION ALL SELECT ib, ia, d2 FROM pairs),
+       |nn AS (SELECT i, min(d2) AS nnd FROM sym GROUP BY 1),
+       |nnj AS (
+       |  SELECT s.i, s.d2 AS nnd, min(s.j) AS j
+       |  FROM sym s JOIN nn ON nn.i = s.i AND s.d2 = nn.nnd
+       |  GROUP BY 1, 2),
+       |discord AS (
+       |  SELECT 'discord' AS role, i AS day_a, j AS day_b, nnd AS d2
+       |  FROM nnj ORDER BY nnd DESC, i LIMIT 1)
+       |SELECT role, day_a, day_b,
+       |       ${Det.rndSql("sqrt(CAST(d2 AS DOUBLE)) / 100.0", 4)} AS dist_dollars
+       |FROM (SELECT * FROM motif UNION ALL SELECT * FROM discord)
+       |ORDER BY role""".stripMargin
+  }
+
+  /** LAG-1 GRANGER CAUSALITY between the daily click and purchase
+    * series, BOTH directions: does adding yesterday's clicks improve
+    * the autoregression of today's purchases (and vice versa)? The
+    * F-statistic compares restricted (own lag only) vs unrestricted
+    * (own + cross lag) OLS — the standard temporal-precedence test
+    * that [[ExtensionQueries.partialCorr]] (contemporaneous) and
+    * [[ExtensionQueries.olsTrend]] (trend-only) don't cover.
+    *
+    * Scale shape: one pass collapses the corpus to dense daily
+    * counts; ALL cross-moments for both directions come from ONE
+    * aggregation over the calendar-bounded lagged relation; both
+    * regressions are closed-form Cramer solves on centered moments
+    * (kept n-scaled so every moment is an exact integer — the
+    * homogeneous F ratio cancels the scaling). Doubles enter only in
+    * the final algebra on exact sums, identically on both engines. */
+  def grangerCausality(spark: SparkSession, dir: String): DataFrame =
+    grangerCausalityOf(Tables(spark, dir, "events"))
+
+  /** n-scaled centered moment algebra shared by both engines:
+    * given dep d, own lag l, cross lag c — F, b_own, b_cross. */
+  private def grangerAlgebra(d: String, l: String, c: String): (String, String, String) = {
+    def m(p: String, q: String) = s"(nn * s_${p}_${q} - s_$p * s_$q)"
+    val det = s"(${m(l, l)} * ${m(c, c)} - ${m(l, c)} * ${m(l, c)})"
+    val b1 = s"((${m(d, l)} * ${m(c, c)} - ${m(d, c)} * ${m(l, c)}) / $det)"
+    val b2 = s"((${m(d, c)} * ${m(l, l)} - ${m(d, l)} * ${m(l, c)}) / $det)"
+    val ru = s"(${m(d, d)} - $b1 * ${m(d, l)} - $b2 * ${m(d, c)})"
+    val rr = s"(${m(d, d)} - ${m(d, l)} * ${m(d, l)} / ${m(l, l)})"
+    (s"(($rr - $ru) * (nn - 3) / $ru)", b1, b2)
+  }
+
+  private[graft] def grangerCausalityOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yc"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i"), coalesce(col("xc"), lit(0L)).as("x"),
+        coalesce(col("yc"), lit(0L)).as("y"))
+    val w = Window.orderBy("i")
+    val lagged = dense
+      .select(col("x"), col("y"),
+        lag("x", 1).over(w).as("x1"), lag("y", 1).over(w).as("y1"))
+      .filter(col("x1").isNotNull)
+    def s2(p: String, q: String) =
+      sum((col(p) * col(q)).cast("decimal(38,0)")).cast("double").as(s"s_${p}_${q}")
+    val mom = lagged.agg(
+      count(lit(1)).cast("double").as("nn"),
+      sum(col("x")).cast("double").as("s_x"),
+      sum(col("y")).cast("double").as("s_y"),
+      sum(col("x1")).cast("double").as("s_x1"),
+      sum(col("y1")).cast("double").as("s_y1"),
+      s2("x", "x"), s2("y", "y"),
+      s2("x", "x1"), s2("x", "y1"),
+      s2("y", "y1"), s2("y", "x1"),
+      s2("x1", "x1"), s2("x1", "y1"), s2("y1", "y1"))
+      // the algebra reads lag-pair moments in (own, cross) order
+      .withColumn("s_y1_x1", col("s_x1_y1"))
+    val (fXy, bOwnXy, bCrossXy) = grangerAlgebra("y", "y1", "x1")
+    val (fYx, bOwnYx, bCrossYx) = grangerAlgebra("x", "x1", "y1")
+    // ONE explode, not a union: a union would recompute the corpus
+    // pass per direction (the measured per-metric-union lesson)
+    mom.select(explode(array(
+        struct(lit("click->purchase").as("direction"),
+          col("nn").cast("long").as("n_obs"),
+          Det.rnd(expr(fXy), 4).as("f_stat"),
+          Det.rnd(expr(bOwnXy), 6).as("beta_own_lag"),
+          Det.rnd(expr(bCrossXy), 6).as("beta_cross_lag")),
+        struct(lit("purchase->click").as("direction"),
+          col("nn").cast("long").as("n_obs"),
+          Det.rnd(expr(fYx), 4).as("f_stat"),
+          Det.rnd(expr(bOwnYx), 6).as("beta_own_lag"),
+          Det.rnd(expr(bCrossYx), 6).as("beta_cross_lag")))).as("r"))
+      .select(col("r.direction").as("direction"), col("r.n_obs").as("n_obs"),
+        col("r.f_stat").as("f_stat"), col("r.beta_own_lag").as("beta_own_lag"),
+        col("r.beta_cross_lag").as("beta_cross_lag"))
+      .orderBy("direction")
+  }
+
+  val grangerCausalitySql: String = {
+    val (fXy, bOwnXy, bCrossXy) = grangerAlgebra("y", "y1", "x1")
+    val (fYx, bOwnYx, bCrossYx) = grangerAlgebra("x", "x1", "y1")
+    val prods = Seq(("x", "x"), ("y", "y"), ("x", "x1"), ("x", "y1"),
+      ("y", "y1"), ("y", "x1"), ("x1", "x1"), ("x1", "y1"), ("y1", "y1"))
+      .map { case (p, q) => s"CAST(sum(CAST($p AS HUGEINT) * $q) AS DOUBLE) AS s_${p}_${q}" }
+      .mkString(", ") + ", CAST(sum(CAST(x1 AS HUGEINT) * y1) AS DOUBLE) AS s_y1_x1"
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yc
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |grid AS (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp),
+       |dense AS (
+       |  SELECT grid.i AS i, coalesce(byday.xc, 0) AS x, coalesce(byday.yc, 0) AS y
+       |  FROM grid LEFT JOIN byday ON byday.d = grid.d0 + CAST(grid.i AS INTEGER)),
+       |lagged AS (
+       |  SELECT x, y,
+       |         lag(x, 1) OVER (ORDER BY i) AS x1,
+       |         lag(y, 1) OVER (ORDER BY i) AS y1
+       |  FROM dense),
+       |lv AS (SELECT * FROM lagged WHERE x1 IS NOT NULL),
+       |mom AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nn,
+       |         CAST(sum(x) AS DOUBLE) AS s_x, CAST(sum(y) AS DOUBLE) AS s_y,
+       |         CAST(sum(x1) AS DOUBLE) AS s_x1, CAST(sum(y1) AS DOUBLE) AS s_y1,
+       |         $prods
+       |  FROM lv)
+       |SELECT * FROM (
+       |  SELECT 'click->purchase' AS direction, CAST(nn AS BIGINT) AS n_obs,
+       |         ${Det.rndSql(fXy, 4)} AS f_stat,
+       |         ${Det.rndSql(bOwnXy, 6)} AS beta_own_lag,
+       |         ${Det.rndSql(bCrossXy, 6)} AS beta_cross_lag
+       |  FROM mom
+       |  UNION ALL
+       |  SELECT 'purchase->click' AS direction, CAST(nn AS BIGINT) AS n_obs,
+       |         ${Det.rndSql(fYx, 4)} AS f_stat,
+       |         ${Det.rndSql(bOwnYx, 6)} AS beta_own_lag,
+       |         ${Det.rndSql(bCrossYx, 6)} AS beta_cross_lag
+       |  FROM mom)
+       |ORDER BY direction""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

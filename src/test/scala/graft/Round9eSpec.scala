@@ -135,6 +135,60 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("kendall_w") === 1.0)
   }
 
+  private def eventsOf(rows: Seq[(Long, Long, String, String, Double)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (id, u, t, ty, v) => (id, ts(t), u, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("matrixProfile: planted repeat is the motif, planted spike week the discord") {
+    // 21 days: pattern days 0-6, anomaly day 7 (=100), pattern again days 14-20
+    val vals = (1 to 7) ++ (Seq(100) ++ Seq.fill(6)(1)) ++ (1 to 7)
+    val events = eventsOf(vals.zipWithIndex.map { case (v, day) =>
+      (day.toLong, 1L, f"2024-01-${day + 1}%02d 12:00:00", "click", v.toDouble)
+    })
+    val rows = graft.queries.AnalyticsQueries.matrixProfileOf(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (ma, mb, md) = rows("motif")
+    assert((ma, mb) === (0L, 14L) && md === 0.0)
+    val (da, _, dd) = rows("discord")
+    assert(da >= 1L && da <= 7L) // a window containing the spike day
+    assert(dd >= 99.0)           // at least the 100-vs-1 term
+  }
+
+  test("granger: lag-causal series scores high F in the causal direction only") {
+    // y_t follows x_{t−1}; x is unpredictable from y's past
+    val x = Seq(3, 9, 2, 8, 1, 7, 4, 9, 1, 6, 2, 9, 3, 7, 1)
+    val y = Seq(5, 4, 10, 3, 9, 2, 8, 5, 10, 2, 7, 3, 10, 4, 8)
+      .zipWithIndex.map { case (_, i) => if (i == 0) 5 else x(i - 1) + (i % 3) }
+    var id = 0L
+    val rows = for {
+      day <- x.indices
+      (ty, n) <- Seq(("click", x(day)), ("purchase", y(day)))
+      _ <- 1 to n
+    } yield { id += 1; (id, 1L, f"2024-02-${day + 1}%02d 08:00:00", ty, 1.0) }
+    val got = graft.queries.AnalyticsQueries.grangerCausalityOf(eventsOf(rows))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // replay the restricted/unrestricted OLS in plain Scala
+    def replay(dep: Seq[Int], ownLag: Seq[Int], crossLag: Seq[Int]): Double = {
+      val n = dep.size.toDouble
+      def m(a: Seq[Int], b: Seq[Int]) =
+        n * a.zip(b).map { case (p, q) => p.toDouble * q }.sum - a.sum.toDouble * b.sum
+      val det = m(ownLag, ownLag) * m(crossLag, crossLag) - math.pow(m(ownLag, crossLag), 2)
+      val b1 = (m(dep, ownLag) * m(crossLag, crossLag) - m(dep, crossLag) * m(ownLag, crossLag)) / det
+      val b2 = (m(dep, crossLag) * m(ownLag, ownLag) - m(dep, ownLag) * m(ownLag, crossLag)) / det
+      val ru = m(dep, dep) - b1 * m(dep, ownLag) - b2 * m(dep, crossLag)
+      val rr = m(dep, dep) - math.pow(m(dep, ownLag), 2) / m(ownLag, ownLag)
+      (rr - ru) * (n - 3) / ru
+    }
+    val yt = y.drop(1); val y1 = y.dropRight(1)
+    val xt = x.drop(1); val x1 = x.dropRight(1)
+    assert(math.abs(got("click->purchase") - replay(yt, y1, x1)) < 1e-3)
+    assert(math.abs(got("purchase->click") - replay(xt, x1, y1)) < 1e-3)
+    assert(got("click->purchase") > 10.0 * math.max(got("purchase->click"), 0.1))
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
