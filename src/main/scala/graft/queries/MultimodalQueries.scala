@@ -123,6 +123,78 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  private val SceneJump = 320 // ~p90 of consecutive-frame L1 jumps
+
+  /** SCENE-CUT DETECTION (temporal segmentation of the frame stream):
+    * consecutive [[FrameBytes]]-byte frames (stride 1 — segmentation
+    * needs every boundary, unlike [[frameSample]]'s strided probe)
+    * are pooled to the same 4-bin signatures, and a CUT fires where
+    * the L1 jump between adjacent frame signatures exceeds
+    * [[SceneJump]] — the classic histogram-difference shot-boundary
+    * detector; a real pipeline swaps byte bins for color histograms,
+    * the plan shape is identical. Per media: frame count, cut count,
+    * the largest jump, and the mean scene length.
+    *
+    * Scale shape: one narrow scan, per-row frame explode bounded by
+    * payload size, ONE window lag partitioned by media_id (the key
+    * the exploded rows already carry), one groupBy finish. Bin sums
+    * and L1 jumps are exact integers; the only division is the
+    * fenced mean scene length. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binExpr = (b: Int) =>
+      expr(s"aggregate(transform(sequence(1, ${FrameBytes / 4}), j -> " +
+        s"ascii(substring(text, frame_idx * $FrameBytes + $b * ${FrameBytes / 4} + j, 1))), 0, (a, v) -> a + v)")
+        .as(s"bin$b")
+    val frames = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"),
+        floor(octet_length(col("text")) / FrameBytes).cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1, 1)")))
+      .select(Seq(col("media_id"), col("frame_idx")) ++ (0 until 4).map(binExpr): _*)
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val jumps = frames
+      .select(col("media_id"),
+        (0 until 4).map(b =>
+          abs(col(s"bin$b") - lag(s"bin$b", 1).over(w))).reduce(_ + _).as("l1"))
+    jumps.groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("l1") > SceneJump, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max("l1"), lit(0)).cast("long").as("max_jump"))
+      .filter(col("n_frames") > 1)
+      .select(col("media_id"), col("n_frames"), col("n_cuts"), col("max_jump"),
+        graft.functions.Det.rnd(col("n_frames").cast("double")
+          / (col("n_cuts") + 1), 4).as("avg_scene_len"))
+      .orderBy("media_id")
+  }
+
+  val sceneCutsSql: String = {
+    val binSql = (b: Int) =>
+      s"CAST(list_sum(list_transform(range(${FrameBytes / 4}), j -> " +
+        s"ascii(substr(text, CAST(frame_idx * $FrameBytes + $b * ${FrameBytes / 4} + j + 1 AS INTEGER), 1)))) AS INTEGER) AS bin$b"
+    val l1 = (0 until 4).map(b =>
+      s"abs(bin$b - lag(bin$b) OVER w)").mkString(" + ")
+    s"""WITH fr AS (
+       |  SELECT media_id, frame_idx,
+       |         ${(0 until 4).map(binSql).mkString(",\n         ")}
+       |  FROM (SELECT doc_id AS media_id, text,
+       |               unnest(range(0, CAST(floor(strlen(text) / $FrameBytes) AS BIGINT), 1)) AS frame_idx
+       |        FROM documents WHERE strlen(text) >= $FrameBytes)),
+       |j AS (
+       |  SELECT media_id, $l1 AS l1
+       |  FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+       |g AS (
+       |  SELECT media_id, count(*) AS n_frames,
+       |         CAST(sum(CASE WHEN l1 > $SceneJump THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |         CAST(coalesce(max(l1), 0) AS BIGINT) AS max_jump
+       |  FROM j GROUP BY 1)
+       |SELECT media_id, n_frames, n_cuts, max_jump,
+       |       ${graft.functions.Det.rndSql(
+            "CAST(n_frames AS DOUBLE) / (n_cuts + 1)", 4)} AS avg_scene_len
+       |FROM g WHERE n_frames > 1
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** Signature Hamming radius for [[mediaNeardup]] — strictly inside
     * the banding's deterministic radius 11 (see below), so candidate
     * generation provably reaches every pair the signature filter

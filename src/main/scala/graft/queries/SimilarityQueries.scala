@@ -2650,6 +2650,120 @@ object SimilarityQueries {
        |ORDER BY round""".stripMargin
   }
 
+  private val DbEps = 0.28
+  private val DbMinPts = 3
+  private val DbRounds = 10
+
+  /** DBSCAN DENSITY CLUSTERING over the k-NN graph (the "kNN-DBSCAN"
+    * scale formulation: neighborhoods come from the bucketed k-NN
+    * pipeline, not an all-pairs range query): an ε-edge is a k-NN
+    * edge with cos ≥ [[DbEps]]; CORE points have ≥ [[DbMinPts]]
+    * distinct ε-neighbors; clusters are connected components of the
+    * core-core subgraph; BORDER points attach to their min-labeled
+    * adjacent core cluster; everything else in the ε-graph is NOISE.
+    * This is the density view [[semanticClusters]] (mutuality) and
+    * [[kcore]] (degree peeling) don't give: clusters grow through
+    * dense regions only, and sparse chains between them stay noise.
+    * Vectors with no ε-edge at all are trivial singletons and are
+    * omitted, matching the dedup-clusters contract.
+    *
+    * Scale shape: the ε-cut edge relation is ≤ k·|V| rows (top-k
+    * bounded, never a range self-join); degree/core/border are
+    * groupBys on the node key the edges hash by; the component labels
+    * propagate over the CORE subgraph only ([[DbRounds]] unrolled
+    * min-label rounds, per-round lineage cut — identical unroll in
+    * the oracle, so even a non-converged round count is replayed
+    * bit-equally). Output is one row per cluster + one noise row —
+    * pure integer counts. */
+  def dbscan(spark: SparkSession, dir: String): DataFrame =
+    dbscanOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def dbscanOnEdges(edges: DataFrame): DataFrame = {
+    val sym = edges.filter(col("cos") >= DbEps)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint() // ε-cut edges: ≤ k·|V|, reused 4×
+    val both = sym.select(col("a").as("v"), col("b").as("u"))
+      .union(sym.select(col("b").as("v"), col("a").as("u")))
+    val deg = both.groupBy("v").agg(count(lit(1)).as("d"))
+    val core = deg.filter(col("d") >= DbMinPts).select("v")
+      .localCheckpoint() // core set ⊂ nodes, read every round
+    val ce = both
+      .join(core, Seq("v"), "left_semi")
+      .join(core.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
+      .select(col("v"), col("u")).localCheckpoint()
+    var lab = core.select(col("v"), col("v").as("l"))
+    for (_ <- 1 to DbRounds) {
+      val nbrMin = ce
+        .join(lab.select(col("v").as("u"), col("l").as("lu")), Seq("u"))
+        .groupBy("v").agg(min("lu").as("nl"))
+      lab = lab.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint() // per-round lineage cut (sanctioned class c)
+    }
+    val borders = both
+      .join(core.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
+      .join(core, Seq("v"), "left_anti")
+      .join(lab.select(col("v").as("u"), col("l").as("lu")), Seq("u"))
+      .groupBy("v").agg(min("lu").as("l"))
+    val clusters = lab.groupBy("l").agg(count(lit(1)).as("n_core"))
+      .join(borders.groupBy("l").agg(count(lit(1)).as("n_border")), Seq("l"), "left")
+      .na.fill(0L, Seq("n_border"))
+    val noise = deg.select("v")
+      .join(core, Seq("v"), "left_anti")
+      .join(borders.select("v"), Seq("v"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    clusters.select(col("l").as("cluster_id"), col("n_core"), col("n_border"))
+      .union(noise.select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+        col("n").as("n_border")))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB twin of [[dbscan]]: identical ε-cut, core rule, unrolled
+    * min-label rounds (MATERIALIZED per round — the [[kcoreSql]]
+    * linear-unroll pattern), border attachment, and noise count. */
+  val dbscanSql: String = {
+    val rounds = (1 to DbRounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""l$r AS MATERIALIZED (
+         |  SELECT p.v, least(p.l, coalesce(min(q.l), p.l)) AS l
+         |  FROM $prev p LEFT JOIN ce ON ce.v = p.v
+         |                LEFT JOIN $prev q ON q.v = ce.u
+         |  GROUP BY p.v, p.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (
+       |  SELECT src, dst, round(cos, 6) AS cos FROM r WHERE rank <= 5),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM kedges WHERE round(cos, 6) >= $DbEps),
+       |b2 AS (SELECT a AS v, b AS u FROM sym UNION ALL SELECT b, a FROM sym),
+       |deg AS (SELECT v, count(*) AS d FROM b2 GROUP BY 1),
+       |core AS MATERIALIZED (SELECT v FROM deg WHERE d >= $DbMinPts),
+       |ce AS MATERIALIZED (
+       |  SELECT v, u FROM b2
+       |  WHERE v IN (SELECT v FROM core) AND u IN (SELECT v FROM core)),
+       |l0 AS (SELECT v, v AS l FROM core),
+       |$rounds,
+       |bord AS MATERIALIZED (
+       |  SELECT b2.v, min(q.l) AS l
+       |  FROM b2 JOIN core cu ON cu.v = b2.u
+       |          JOIN l$DbRounds q ON q.v = b2.u
+       |  WHERE b2.v NOT IN (SELECT v FROM core)
+       |  GROUP BY 1),
+       |cl AS (SELECT l, count(*) AS n_core FROM l$DbRounds GROUP BY 1),
+       |bc AS (SELECT l, count(*) AS n_border FROM bord GROUP BY 1),
+       |noise AS (
+       |  SELECT count(*) AS n FROM deg
+       |  WHERE v NOT IN (SELECT v FROM core) AND v NOT IN (SELECT v FROM bord))
+       |SELECT cl.l AS cluster_id, cl.n_core,
+       |       coalesce(bc.n_border, 0) AS n_border
+       |FROM cl LEFT JOIN bc USING (l)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), n FROM noise
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** NEWMAN MODULARITY of the semantic-cluster partition over the
     * mutual-k-NN graph: Q = Σ_c [e_c/m − (d_c/2m)²] — the one-number
     * answer to "are the clusters [[semanticClusters]] found actually

@@ -189,6 +189,44 @@ class Round9eSpec extends SparkSpec {
     assert(got("click->purchase") > 10.0 * math.max(got("purchase->click"), 0.1))
   }
 
+  test("dbscan: cores, border attachment, and noise on a planted graph") {
+    val s = spark; import s.implicits._
+    // clique A {1,2,3,4} + border 5; clique B {8,9,10,11};
+    // pair {6,7} too sparse; sub-eps edge 2-8 must not bridge A and B
+    val cliqueA = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 0.9)
+    val cliqueB = for (a <- 8L to 11L; b <- a + 1 to 11L) yield (a, b, 0.9)
+    val edges = (cliqueA ++ cliqueB ++ Seq((4L, 5L, 0.9), (6L, 7L, 0.9),
+      (2L, 8L, 0.1))).toDF("src", "dst", "cos")
+    val got = graft.queries.SimilarityQueries.dbscanOnEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((-1L, 0L, 2L), (1L, 4L, 1L), (8L, 4L, 0L)))
+  }
+
+  test("sceneCuts: planted byte jump fires exactly one cut") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a" * 64 + "z" * 32, "en", "web", 96L), // frames a,a,z → one cut
+      (2L, "b" * 32, "en", "web", 32L),            // single frame → excluded
+      (3L, "c" * 10, "en", "web", 10L)             // sub-frame → excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.MultimodalQueries.sceneCuts _
+    val rows = {
+      // call the Tables-free core by writing a temp parquet layout is
+      // overkill — reuse the public entry via a temp dir
+      val dir = java.nio.file.Files.createTempDirectory("scenecuts").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      got(spark, dir).collect()
+    }
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getLong(0) === 1L)
+    assert(r.getAs[Long]("n_frames") === 3L)
+    assert(r.getAs[Long]("n_cuts") === 1L)
+    // bins jump from 8·'a'=776 to 8·'z'=976 in all 4 bins → L1 = 800
+    assert(r.getAs[Long]("max_jump") === 800L)
+    assert(r.getAs[Double]("avg_scene_len") === 1.5)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
