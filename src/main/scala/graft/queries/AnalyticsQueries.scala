@@ -687,6 +687,335 @@ object AnalyticsQueries {
        |ORDER BY direction""".stripMargin
   }
 
+  /** HURST EXPONENT by rescaled-range (R/S) analysis over the hourly
+    * event-count series: for block sizes 16/32/64/128 hours, each full
+    * block contributes R/S = (max−min of mean-adjusted cumulative
+    * deviations) / (population std); H is the log-log slope of the
+    * per-size mean — H≈0.5 is memoryless, H>0.5 long-range dependent
+    * (bursty load that [[ExtensionQueries.autocorr]]'s fixed-lag view
+    * can't summarize in one number).
+    *
+    * Scale shape: the corpus collapses to the dense hourly histogram
+    * in one pass (calendar-bounded); the block machinery is windows
+    * PARTITIONED by (size, block) over a bounded explode (hours × 4
+    * sizes). EXACT: n·Yₜ = n·Cₜ − t·S_b and the variance radicand
+    * n·Σx² − S_b² are integer algebra — the only floats are the final
+    * ln/sqrt on exact integers and the 4-point OLS, fenced once. */
+  def hurstExponent(spark: SparkSession, dir: String): DataFrame =
+    hurstExponentOf(Tables(spark, dir, "events"))
+
+  private[graft] def hurstExponentOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t0d = events.agg(min(unix_micros(col("ts"))).as("t0"),
+      ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+        / 3600000000L).cast("long").as("nh"))
+    val byHour = events.crossJoin(broadcast(t0d))
+      .select(((unix_micros(col("ts")) - col("t0")) / 3600000000L)
+        .cast("long").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val dense = t0d.select(explode(sequence(lit(0L), col("nh"))).as("h"),
+        (col("nh") + 1).as("nhours"))
+      .join(byHour, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"), col("nhours"))
+    val sized = dense
+      .select(col("h"), col("x"), col("nhours"),
+        explode(array(lit(16L), lit(32L), lit(64L), lit(128L))).as("s"))
+      .filter((col("h") / col("s")).cast("long") < (col("nhours") / col("s")).cast("long"))
+      .select(col("s"), (col("h") / col("s")).cast("long").as("blk"),
+        col("h"), col("x"))
+    val w = Window.partitionBy("s", "blk").orderBy("h")
+    val cum = sized
+      .withColumn("c", sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", row_number().over(w).cast("long"))
+    val btot = cum.groupBy("s", "blk")
+      .agg(sum("x").as("sb"), sum(col("x") * col("x")).as("sx2"))
+    val rs = cum.join(btot, Seq("s", "blk"))
+      .select(col("s"), col("blk"), col("sb"), col("sx2"),
+        (col("s") * col("c") - col("t") * col("sb")).as("ny"))
+      .groupBy("s", "blk")
+      .agg((max("ny") - min("ny")).as("rsc"), max("sb").as("sb"),
+        max("sx2").as("sx2"))
+      .withColumn("denom", col("s") * col("sx2") - col("sb") * col("sb"))
+      .filter(col("denom") > 0 && col("rsc") > 0) // constant/flat blocks drop
+      .select(col("s"),
+        log(col("rsc").cast("double") / sqrt(col("denom").cast("double")))
+          .as("lrs"))
+    val pts = rs.groupBy("s")
+      .agg(avg("lrs").as("m"), count(lit(1)).as("n_blocks"))
+      .select(log(col("s").cast("double")).as("lx"), col("m"))
+    pts.agg(count(lit(1)).cast("double").as("k"),
+        sum("lx").as("sx"), sum("m").as("sy"),
+        sum(col("lx") * col("m")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("k").cast("long").as("n_sizes"),
+        Det.rnd(expr("(k * sxy - sx * sy) / (k * sxx - sx * sx)"), 4)
+          .as("hurst_h"),
+        Det.rnd(expr("(sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k"), 4)
+          .as("intercept"))
+  }
+
+  val hurstExponentSql: String =
+    s"""WITH t0 AS (
+       |  SELECT min(epoch_us(ts)) AS t0,
+       |         (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS nh
+       |  FROM events),
+       |byhour AS (
+       |  SELECT (epoch_us(ts) - t0) // 3600000000 AS h, count(*) AS x
+       |  FROM events CROSS JOIN t0 GROUP BY 1),
+       |dense AS (
+       |  SELECT g.h, coalesce(byhour.x, 0) AS x, g.nhours
+       |  FROM (SELECT unnest(range(nh + 1)) AS h, nh + 1 AS nhours FROM t0) g
+       |  LEFT JOIN byhour ON byhour.h = g.h),
+       |sized AS (
+       |  SELECT s, h // s AS blk, h, x
+       |  FROM dense CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS s)
+       |  WHERE h // s < nhours // s),
+       |cum AS (
+       |  SELECT s, blk, x,
+       |         sum(x) OVER (PARTITION BY s, blk ORDER BY h
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+       |         CAST(row_number() OVER (PARTITION BY s, blk ORDER BY h) AS BIGINT) AS t
+       |  FROM sized),
+       |btot AS (
+       |  SELECT s, blk, CAST(sum(x) AS BIGINT) AS sb,
+       |         CAST(sum(x * x) AS BIGINT) AS sx2
+       |  FROM cum GROUP BY 1, 2),
+       |rs AS (
+       |  SELECT c.s, c.blk,
+       |         CAST(max(c.s * c.c - c.t * b.sb)
+       |              - min(c.s * c.c - c.t * b.sb) AS BIGINT) AS rsc,
+       |         max(b.sb) AS sb, max(b.sx2) AS sx2
+       |  FROM cum c JOIN btot b ON b.s = c.s AND b.blk = c.blk
+       |  GROUP BY 1, 2),
+       |lrs AS (
+       |  SELECT s, ln(CAST(rsc AS DOUBLE) / sqrt(CAST(s * sx2 - sb * sb AS DOUBLE))) AS lrs
+       |  FROM rs WHERE s * sx2 - sb * sb > 0 AND rsc > 0),
+       |pts AS (
+       |  SELECT ln(CAST(s AS DOUBLE)) AS lx, avg(lrs) AS m
+       |  FROM lrs GROUP BY s),
+       |a AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(lx) AS sx, sum(m) AS sy,
+       |         sum(lx * m) AS sxy, sum(lx * lx) AS sxx
+       |  FROM pts)
+       |SELECT CAST(k AS BIGINT) AS n_sizes,
+       |       ${Det.rndSql("(k * sxy - sx * sy) / (k * sxx - sx * sx)", 4)} AS hurst_h,
+       |       ${Det.rndSql(
+            "(sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k", 4)} AS intercept
+       |FROM a""".stripMargin
+
+  /** HAAR WAVELET ENERGY DECOMPOSITION of the daily revenue series:
+    * unnormalized dyadic detail coefficients d_{k,i} = (left-half sum
+    * − right-half sum) of block i at scale 2ᵏ, with the series
+    * zero-padded to the next power of two (the pad is chosen by
+    * integer comparison, not float log2). The per-level energy shares
+    * localize WHERE the variance lives in time-scale — day-to-day
+    * noise vs weekly structure vs the month trend — the
+    * multi-resolution view [[ExtensionQueries.stlDecompose]]'s fixed
+    * weekly split doesn't give. Level 0 is the approximation (total
+    * sum).
+    *
+    * Scale shape: one pass to the calendar-bounded daily histogram;
+    * the transform is an explode over (days × levels) — still
+    * calendar-bounded — then one groupBy(level, block). EXACT: cents
+    * sums and signed differences are integers; energies ride
+    * decimal(38,0); one fenced share division per level. */
+  def haarEnergy(spark: SparkSession, dir: String): DataFrame =
+    haarEnergyOf(Tables(spark, dir, "events"))
+
+  private[graft] def haarEnergyOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      (datediff(max(col("d")), min(col("d"))) + 1).as("n"))
+    // next power of two ≥ n by integer comparison over exponents 1..20
+    val pexp = span.select(col("d0"), col("n"),
+        explode(sequence(lit(1), lit(20))).as("p"))
+      .filter(expr("shiftleft(CAST(1 AS BIGINT), p) >= n"))
+      .groupBy("d0", "n").agg(min("p").as("lmax"))
+    val dense = pexp
+      .select(col("d0"), col("lmax"),
+        explode(expr(
+          "sequence(CAST(0 AS BIGINT), shiftleft(CAST(1 AS BIGINT), lmax) - 1)"))
+          .as("i"))
+      .join(byDay, expr("date_add(d0, CAST(i AS INT)) = d"), "left")
+      .select(col("i"), coalesce(col("c"), lit(0L)).as("x"), col("lmax"))
+    val detail = dense
+      .select(col("i"), col("x"), explode(sequence(lit(1), col("lmax"))).as("k"))
+      .select(col("k"), expr("shiftright(i, k)").as("blk"),
+        expr("CASE WHEN i % shiftleft(CAST(1 AS BIGINT), k)" +
+          " < shiftleft(CAST(1 AS BIGINT), k - 1) THEN x ELSE -x END").as("sx"))
+      .groupBy("k", "blk").agg(sum("sx").as("dcoef"))
+      .groupBy("k").agg(count(lit(1)).as("n_coeffs"),
+        sum((col("dcoef").cast(d38)) * col("dcoef")).as("energy"))
+    val approx = dense.agg(sum("x").as("s"))
+      .select(lit(0).as("k"), lit(1L).as("n_coeffs"),
+        (col("s").cast(d38) * col("s")).as("energy"))
+    val all = detail.union(approx)
+    val tot = all.agg(sum(col("energy")).as("te"))
+    all.crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("level"), col("n_coeffs"),
+        Det.rnd(col("energy").cast("double") / 10000.0, 4).as("energy_d2"),
+        Det.rnd(col("energy").cast("double") / col("te").cast("double"), 6)
+          .as("energy_share"))
+      .orderBy("level")
+  }
+
+  val haarEnergySql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) + 1 AS n FROM byday),
+       |pe AS (
+       |  SELECT d0, n, min(p) AS lmax
+       |  FROM sp CROSS JOIN (SELECT unnest(range(1, 21)) AS p)
+       |  WHERE (CAST(1 AS BIGINT) << p) >= n GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT g.i, coalesce(byday.c, 0) AS x, g.lmax
+       |  FROM (SELECT unnest(range(CAST(1 AS BIGINT) << lmax)) AS i, d0, lmax
+       |        FROM pe) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |det AS (
+       |  SELECT k, i >> k AS blk,
+       |         CASE WHEN i % (CAST(1 AS BIGINT) << k)
+       |                   < (CAST(1 AS BIGINT) << (k - 1))
+       |              THEN x ELSE -x END AS sx
+       |  FROM dense CROSS JOIN (SELECT unnest(range(1, 21)) AS k)
+       |  WHERE k <= lmax),
+       |dc AS (
+       |  SELECT k, blk, CAST(sum(sx) AS BIGINT) AS dcoef
+       |  FROM det GROUP BY 1, 2),
+       |lev AS (
+       |  SELECT k, count(*) AS n_coeffs,
+       |         sum(CAST(dcoef AS HUGEINT) * dcoef) AS energy
+       |  FROM dc GROUP BY 1),
+       |app AS (
+       |  SELECT 0 AS k, CAST(1 AS BIGINT) AS n_coeffs,
+       |         (SELECT CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT)
+       |          FROM dense) AS energy),
+       |allv AS (SELECT * FROM lev UNION ALL SELECT * FROM app),
+       |tot AS (SELECT sum(energy) AS te FROM allv)
+       |SELECT CAST(k AS BIGINT) AS level, n_coeffs,
+       |       ${Det.rndSql("CAST(energy AS DOUBLE) / 10000.0", 4)} AS energy_d2,
+       |       ${Det.rndSql("CAST(energy AS DOUBLE) / CAST(te AS DOUBLE)", 6)}
+       |         AS energy_share
+       |FROM allv CROSS JOIN tot
+       |ORDER BY level""".stripMargin
+
+  /** ROLLING-ORIGIN FORECAST BACKTEST over the daily revenue series:
+    * the last 14 days are the holdout; for each holdout day the NAIVE
+    * (yesterday) and SEASONAL-NAIVE (same weekday last week) one-step
+    * forecasts are scored with MAE, sMAPE, and MASE (error scaled by
+    * the TRAINING-period seasonal-naive MAE — the standard
+    * scale-free comparison). This is the evaluation harness that
+    * turns [[ExtensionQueries.ewmaForecast]]/[[ExtensionQueries.joinForecast]]
+    * from "a forecast" into "a measured forecast".
+    *
+    * Scale shape: one pass to the calendar-bounded daily histogram;
+    * both forecasts are lag() windows over it; all error sums are
+    * exact integer cents (sMAPE's per-day ratio is the one
+    * non-integer — a deterministic double from exact cents); two
+    * output rows ride a single explode, not a re-computing union. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    forecastBacktestOf(Tables(spark, dir, "events"))
+
+  private[graft] def forecastBacktestOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"),
+        col("d0"), col("nd"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"),
+        coalesce(col("c"), lit(0L)).as("x"), col("nd").cast("long").as("nd"))
+    val w = Window.orderBy("i")
+    val lagged = dense
+      .withColumn("f1", lag("x", 1).over(w))
+      .withColumn("f7", lag("x", 7).over(w))
+      .filter(col("f7").isNotNull)
+      .withColumn("is_test", col("i") > col("nd") - 14)
+    val agg = lagged.agg(
+      sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+      sum(when(col("is_test"), abs(col("x") - col("f1"))).otherwise(0L)).as("ae1"),
+      sum(when(col("is_test"), abs(col("x") - col("f7"))).otherwise(0L)).as("ae7"),
+      sum(when(col("is_test"),
+        when(col("x") + col("f1") > 0,
+          abs(col("x") - col("f1")).cast("double") * 2
+            / (col("x") + col("f1"))).otherwise(0.0)).otherwise(0.0)).as("sm1"),
+      sum(when(col("is_test"),
+        when(col("x") + col("f7") > 0,
+          abs(col("x") - col("f7")).cast("double") * 2
+            / (col("x") + col("f7"))).otherwise(0.0)).otherwise(0.0)).as("sm7"),
+      sum(when(!col("is_test"), abs(col("x") - col("f7"))).otherwise(0L)).as("tae"),
+      sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"))
+    agg.select(explode(array(
+        struct(lit("naive").as("method"), col("n_test"),
+          Det.rnd(col("ae1").cast("double") / col("n_test") / 100.0, 4).as("mae"),
+          Det.rnd(col("sm1") / col("n_test"), 6).as("smape"),
+          Det.rnd(col("ae1").cast("double") * col("n_train")
+            / (col("n_test") * col("tae").cast("double")), 4).as("mase")),
+        struct(lit("snaive").as("method"), col("n_test"),
+          Det.rnd(col("ae7").cast("double") / col("n_test") / 100.0, 4).as("mae"),
+          Det.rnd(col("sm7") / col("n_test"), 6).as("smape"),
+          Det.rnd(col("ae7").cast("double") * col("n_train")
+            / (col("n_test") * col("tae").cast("double")), 4).as("mase")))).as("r"))
+      .select(col("r.method").as("method"), col("r.n_test").as("n_test"),
+        col("r.mae").as("mae"), col("r.smape").as("smape"),
+        col("r.mase").as("mase"))
+      .orderBy("method")
+  }
+
+  val forecastBacktestSql: String = {
+    def mrow(tag: String, ae: String, sm: String) =
+      s"""SELECT '$tag' AS method, n_test,
+         |       ${Det.rndSql(s"CAST($ae AS DOUBLE) / n_test / 100.0", 4)} AS mae,
+         |       ${Det.rndSql(s"$sm / n_test", 6)} AS smape,
+         |       ${Det.rndSql(
+          s"CAST($ae AS DOUBLE) * n_train / (n_test * CAST(tae AS DOUBLE))", 4)} AS mase
+         |FROM agg""".stripMargin
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |dense AS (
+       |  SELECT CAST(g.i AS BIGINT) AS i, coalesce(byday.c, 0) AS x,
+       |         CAST(g.nd AS BIGINT) AS nd
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0, nd FROM sp) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |lagged AS (
+       |  SELECT i, x, nd,
+       |         lag(x, 1) OVER (ORDER BY i) AS f1,
+       |         lag(x, 7) OVER (ORDER BY i) AS f7
+       |  FROM dense),
+       |lv AS (SELECT *, i > nd - 14 AS is_test FROM lagged WHERE f7 IS NOT NULL),
+       |agg AS (
+       |  SELECT CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |         CAST(sum(CASE WHEN is_test THEN abs(x - f1) ELSE 0 END) AS BIGINT) AS ae1,
+       |         CAST(sum(CASE WHEN is_test THEN abs(x - f7) ELSE 0 END) AS BIGINT) AS ae7,
+       |         sum(CASE WHEN is_test AND x + f1 > 0
+       |                  THEN CAST(abs(x - f1) AS DOUBLE) * 2 / (x + f1)
+       |                  ELSE 0.0 END) AS sm1,
+       |         sum(CASE WHEN is_test AND x + f7 > 0
+       |                  THEN CAST(abs(x - f7) AS DOUBLE) * 2 / (x + f7)
+       |                  ELSE 0.0 END) AS sm7,
+       |         CAST(sum(CASE WHEN NOT is_test THEN abs(x - f7) ELSE 0 END) AS BIGINT) AS tae,
+       |         CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+       |  FROM lv)
+       |SELECT * FROM (
+       |${mrow("naive", "ae1", "sm1")}
+       |UNION ALL
+       |${mrow("snaive", "ae7", "sm7")})
+       |ORDER BY method""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

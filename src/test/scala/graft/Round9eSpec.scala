@@ -227,6 +227,49 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_scene_len") === 1.5)
   }
 
+  test("haarEnergy: 4-day planted series decomposes exactly") {
+    // cents [1,1,3,3]: level1 details 0,0; level2 detail −4 (energy 16);
+    // approx 8 (energy 64); total 80
+    val events = eventsOf((0 until 4).map { day =>
+      (day.toLong, 1L, f"2024-03-${day + 1}%02d 12:00:00", "click",
+        if (day < 2) 0.01 else 0.03)
+    })
+    val rows = graft.queries.AnalyticsQueries.haarEnergyOf(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 1L, 0.0064, 0.8), (1L, 2L, 0.0, 0.0), (2L, 1L, 0.0016, 0.2)))
+  }
+
+  test("hurstExponent: strictly alternating series has R/S = 1 at every scale → H = 0") {
+    val base = ts("2024-04-01 00:00:00").getTime
+    val events = eventsOf((0 until 128).flatMap { k =>
+      val t = new java.sql.Timestamp(base + (2L * k + 1) * 3600000L)
+      Seq((2L * k, 1L, t.toString.stripSuffix(".0"), "click", 1.0),
+        (2L * k + 1, 1L, t.toString.stripSuffix(".0"), "click", 1.0))
+    })
+    val r = graft.queries.AnalyticsQueries.hurstExponentOf(events).collect()(0)
+    assert(r.getAs[Long]("n_sizes") === 4L)
+    assert(r.getAs[Double]("hurst_h") === 0.0)
+    assert(r.getAs[Double]("intercept") === 0.0)
+  }
+
+  test("forecastBacktest: linear-ramp series scores the hand-computed MAE/MASE") {
+    // 22 days, x_i = i dollars: naive error $1/day, snaive $7/day,
+    // train window is the single day i=7 → tae = 700 cents
+    val events = eventsOf((0 until 22).map { day =>
+      (day.toLong, 1L, f"2024-05-${day + 1}%02d 12:00:00", "purchase", day.toDouble)
+    })
+    val got = graft.queries.AnalyticsQueries.forecastBacktestOf(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("naive").getAs[Long]("n_test") === 14L)
+    assert(got("naive").getAs[Double]("mae") === 1.0)
+    assert(got("snaive").getAs[Double]("mae") === 7.0)
+    assert(math.abs(got("naive").getAs[Double]("mase") - 1400.0 / (14 * 700)) < 1e-4)
+    assert(got("snaive").getAs[Double]("mase") === 1.0)
+    val smapeNaive = (8 to 21).map(i => 2.0 / (2 * i - 1)).sum / 14
+    assert(math.abs(got("naive").getAs[Double]("smape") - smapeNaive) < 1e-5)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
