@@ -130,15 +130,20 @@ object AnalyticsQueries {
   def captureRecapture(spark: SparkSession, dir: String): DataFrame =
     captureRecaptureOf(Tables(spark, dir, "events"))
 
-  private[graft] def captureRecaptureOf(events: DataFrame): DataFrame = {
-    val win = 7200000000L // 2 h in micros
-    val t0d = events.agg(min(unix_micros(col("ts"))).as("t0"))
-    val marks = events.crossJoin(broadcast(t0d))
-      .select(col("user_id"), (unix_micros(col("ts")) - col("t0")).as("off"))
-      .groupBy("user_id")
-      .agg(max(when(col("off") < win, 1L).otherwise(0L)).as("in_a"),
-        max(when(col("off") >= win && col("off") < 2 * win, 1L)
+  private val CaptureWin = 7200000000L // 2 h in micros
+
+  /** Per-user occasion-membership flags — the MERGEABLE state shared
+    * with the streaming twin ([[graft.streaming.StreamJobs.captureStream]]):
+    * max() flags merge across arbitrary batch splits. */
+  private[graft] def captureMarks(offs: DataFrame): DataFrame =
+    offs.groupBy("user_id")
+      .agg(max(when(col("off") < CaptureWin, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("off") >= CaptureWin && col("off") < 2 * CaptureWin, 1L)
           .otherwise(0L)).as("in_b"))
+
+  /** Chapman estimator finish over the marks state (shared verbatim by
+    * batch and streaming — bit-equal by construction). */
+  private[graft] def chapmanFinish(marks: DataFrame): DataFrame = {
     val s = marks.agg(sum("in_a").as("n1"), sum("in_b").as("n2"),
       sum(col("in_a") * col("in_b")).as("m"), count(lit(1)).as("n_users"))
     val est = "(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0)"
@@ -147,6 +152,12 @@ object AnalyticsQueries {
     s.select(col("n1"), col("n2"), col("m"), col("n_users"),
       Det.rnd(expr(est), 4).as("chapman_n"),
       Det.rnd(expr(se), 4).as("chapman_se"))
+  }
+
+  private[graft] def captureRecaptureOf(events: DataFrame): DataFrame = {
+    val t0d = events.agg(min(unix_micros(col("ts"))).as("t0"))
+    chapmanFinish(captureMarks(events.crossJoin(broadcast(t0d))
+      .select(col("user_id"), (unix_micros(col("ts")) - col("t0")).as("off"))))
   }
 
   val captureRecaptureSql: String = {
@@ -1014,6 +1025,157 @@ object AnalyticsQueries {
        |UNION ALL
        |${mrow("snaive", "ae7", "sm7")})
        |ORDER BY method""".stripMargin
+  }
+
+  private val MkRounds = 24
+  private val MkScale = 1000000000000L // value iteration in 1e-12 units
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al.): build the
+    * first-order journey chain start → {click,view,signup,error} →
+    * {conv,null} from each user's event sequence up to their FIRST
+    * purchase, compute the conversion-absorption probability by value
+    * iteration, and per channel the REMOVAL EFFECT 1 − P(conv |
+    * channel blocked) / P(conv) — the path-aware attribution that
+    * [[ExtensionQueries.shapleyAttribution]] (set-based, order-free)
+    * and [[ExtensionQueries.attribution]] (position rules) don't
+    * capture: a channel that only relays traffic INTO converting
+    * channels still earns credit here.
+    *
+    * Scale shape: one window pass extracts transitions (partitioned
+    * by user_id — the shuffle key); the chain collapses to a ≤
+    * 7×7-count relation, and ALL five variants (base + 4 removals)
+    * ride ONE value iteration over a (variant × state) relation of ≤
+    * 30 rows — blocking a channel is reading its value as 0, so no
+    * per-variant chain rebuild. Determinism: the iteration is exact
+    * scaled-integer ([[MkScale]] units) with truncating division,
+    * bit-reproducible on both engines (the [[SimilarityQueries.pageRank]]
+    * contract); [[MkRounds]] unrolled rounds are identical in the
+    * oracle, so even pre-convergence residue replays bit-equally. */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame =
+    markovAttributionOf(Tables(spark, dir, "events"))
+
+  private[graft] def markovAttributionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val fp = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("tus").as("ftus"), col("event_id").as("feid"))
+    val j = ev.join(fp, Seq("user_id"), "left")
+      .filter(col("ftus").isNull || col("tus") < col("ftus")
+        || (col("tus") === col("ftus") && col("event_id") <= col("feid")))
+    val seqT = j
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .select(coalesce(col("prev"), lit("start")).as("s"),
+        when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(col("event_type")).as("t"))
+    val wd = Window.partitionBy("user_id").orderBy(desc("tus"), desc("event_id"))
+    val lastE = j.filter(col("ftus").isNull)
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+      .select(col("event_type").as("s"), lit("null").as("t"))
+    val trans = seqT.union(lastE).groupBy("s", "t")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint() // ≤ 7×7 rows
+    val outdeg = trans.groupBy("s").agg(sum("cnt").as("o"))
+    val variants = Seq("none", "click", "view", "signup", "error")
+    var v = outdeg.select(col("s"),
+        explode(array(variants.map(lit): _*)).as("variant"))
+      .withColumn("val", lit(0L))
+    for (_ <- 1 to MkRounds) {
+      val upd = outdeg
+        .select(col("s"), col("o"), explode(array(variants.map(lit): _*)).as("variant"))
+        .join(trans.withColumnRenamed("s", "ts_"), col("ts_") === col("s"))
+        .join(v.select(col("variant").as("pv_var"), col("s").as("pv_s"),
+          col("val").as("pval")),
+          col("pv_var") === col("variant") && col("pv_s") === col("t"), "left")
+        .withColumn("ev", when(col("t") === "conv", lit(MkScale))
+          .when(col("t") === "null", lit(0L))
+          .when(col("t") === col("variant"), lit(0L))
+          .otherwise(coalesce(col("pval"), lit(0L))))
+        .groupBy("variant", "s", "o")
+        .agg(sum(col("cnt") * col("ev")).as("sv"))
+        .select(col("variant"), col("s"), expr("sv div o").as("val"))
+      v = upd.localCheckpoint() // (variant × state)-bounded
+    }
+    val starts = v.filter(col("s") === "start")
+    val baseV = starts.filter(col("variant") === "none")
+      .select(col("val").as("pb"))
+    val chans = starts.filter(col("variant") =!= "none")
+      .crossJoin(broadcast(baseV))
+    val totRem = chans.agg(sum(col("pb") - col("val")).as("tr"))
+    chans.crossJoin(broadcast(totRem))
+      .select(col("variant").as("channel"),
+        Det.rnd(col("pb").cast("double") / MkScale, 6).as("p_conv_base"),
+        Det.rnd(col("val").cast("double") / MkScale, 6).as("p_conv_removed"),
+        Det.rnd((col("pb") - col("val")).cast("double") / col("pb"), 6)
+          .as("removal_effect"),
+        Det.rnd((col("pb") - col("val")).cast("double") / col("tr"), 6)
+          .as("attribution"))
+      .orderBy("channel")
+  }
+
+  val markovAttributionSql: String = {
+    val rounds = (1 to MkRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""v$r AS MATERIALIZED (
+         |  SELECT nv.variant, nv.s,
+         |         CAST(coalesce(sum(tr.cnt *
+         |           CASE WHEN tr.t = 'conv' THEN $MkScale
+         |                WHEN tr.t = 'null' THEN 0
+         |                WHEN tr.t = nv.variant THEN 0
+         |                ELSE coalesce(pv.val, 0) END), 0) // nv.o AS BIGINT) AS val
+         |  FROM nv JOIN tr ON tr.s = nv.s
+         |       LEFT JOIN $prev pv ON pv.variant = nv.variant AND pv.s = tr.t
+         |  GROUP BY nv.variant, nv.s, nv.o)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+       |fp AS (
+       |  SELECT user_id, tus AS ftus, event_id AS feid
+       |  FROM (SELECT user_id, tus, event_id,
+       |               row_number() OVER (PARTITION BY user_id
+       |                 ORDER BY tus, event_id) AS rn
+       |        FROM ev WHERE event_type = 'purchase')
+       |  WHERE rn = 1),
+       |j AS (
+       |  SELECT ev.* FROM ev LEFT JOIN fp USING (user_id)
+       |  WHERE ftus IS NULL OR tus < ftus
+       |     OR (tus = ftus AND event_id <= feid)),
+       |sq AS (
+       |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY tus, event_id), 'start') AS s,
+       |         CASE WHEN event_type = 'purchase' THEN 'conv'
+       |              ELSE event_type END AS t
+       |  FROM j),
+       |le AS (
+       |  SELECT event_type AS s, 'null' AS t
+       |  FROM (SELECT j.event_type,
+       |               row_number() OVER (PARTITION BY j.user_id
+       |                 ORDER BY tus DESC, event_id DESC) AS rn
+       |        FROM j LEFT JOIN fp USING (user_id) WHERE ftus IS NULL)
+       |  WHERE rn = 1),
+       |tr AS MATERIALIZED (
+       |  SELECT s, t, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT * FROM sq UNION ALL SELECT * FROM le) GROUP BY 1, 2),
+       |outdeg AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS o FROM tr GROUP BY 1),
+       |nv AS MATERIALIZED (
+       |  SELECT variant, s, o FROM outdeg CROSS JOIN
+       |    (SELECT unnest(['none', 'click', 'view', 'signup', 'error']) AS variant)),
+       |v0 AS (SELECT variant, s, CAST(0 AS BIGINT) AS val FROM nv),
+       |$rounds,
+       |starts AS (SELECT variant, val FROM v$MkRounds WHERE s = 'start'),
+       |base AS (SELECT val AS pb FROM starts WHERE variant = 'none'),
+       |chans AS (
+       |  SELECT variant, val, pb FROM starts CROSS JOIN base
+       |  WHERE variant <> 'none'),
+       |trm AS (SELECT CAST(sum(pb - val) AS BIGINT) AS tr FROM chans)
+       |SELECT variant AS channel,
+       |       ${Det.rndSql(s"CAST(pb AS DOUBLE) / $MkScale", 6)} AS p_conv_base,
+       |       ${Det.rndSql(s"CAST(val AS DOUBLE) / $MkScale", 6)} AS p_conv_removed,
+       |       ${Det.rndSql("CAST(pb - val AS DOUBLE) / pb", 6)} AS removal_effect,
+       |       ${Det.rndSql("CAST(pb - val AS DOUBLE) / tr", 6)} AS attribution
+       |FROM chans CROSS JOIN trm
+       |ORDER BY channel""".stripMargin
   }
 
   val jackknifeRatioSql: String = {

@@ -1010,4 +1010,20 @@ object StreamJobs {
 
   def sloFinish(hourly: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.sloFinish(hourly)
+
+  /** Streaming twin of the capture–recapture estimator: per-user
+    * occasion-membership flags are the complete-mode state (max()
+    * flags merge across any batch split — one row per user, constant
+    * width), and the Chapman finish recomputes per batch from the
+    * state table, sharing the batch finish verbatim. `startUs` is the
+    * micros origin of the two capture windows (the batch twin derives
+    * it as min(ts); a deployment pins it at stream start — same
+    * pattern as [[ewmaStream]]). */
+  def captureStream(events: DataFrame, startUs: Long): DataFrame =
+    graft.queries.AnalyticsQueries.captureMarks(
+      events.select(col("user_id"),
+        (unix_micros(col("ts")) - startUs).as("off")))
+
+  def captureFinish(state: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.chapmanFinish(state)
 }

@@ -270,6 +270,28 @@ class Round9eSpec extends SparkSpec {
     assert(math.abs(got("naive").getAs[Double]("smape") - smapeNaive) < 1e-5)
   }
 
+  test("markovAttribution: DAG chain matches the hand-solved removal effects") {
+    // u1: click→purchase; u2: view→(end); u3: click→view→purchase;
+    // u4: signup→(end). Hand-solved: P(conv)=1/2; removing click →
+    // 1/8 (effect .75); view → 1/4 (effect .5); signup/error → no change.
+    val events = eventsOf(Seq(
+      (1L, 1L, "2024-06-01 10:00:00", "click", 1.0),
+      (2L, 1L, "2024-06-01 10:01:00", "purchase", 1.0),
+      (3L, 2L, "2024-06-01 10:00:00", "view", 1.0),
+      (4L, 3L, "2024-06-01 10:00:00", "click", 1.0),
+      (5L, 3L, "2024-06-01 10:01:00", "view", 1.0),
+      (6L, 3L, "2024-06-01 10:02:00", "purchase", 1.0),
+      (7L, 4L, "2024-06-01 10:00:00", "signup", 1.0)))
+    val got = graft.queries.AnalyticsQueries.markovAttributionOf(events).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("click", 0.5, 0.125, 0.75, 0.6),
+      ("error", 0.5, 0.5, 0.0, 0.0),
+      ("signup", 0.5, 0.5, 0.0, 0.0),
+      ("view", 0.5, 0.25, 0.5, 0.4)))
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(

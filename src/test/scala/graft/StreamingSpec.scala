@@ -1009,6 +1009,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming capture-recapture finish is bit-equal to batch across splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = Tables(spark, sfDir, "events").as[Ev].collect()
+    // micros-exact shared origin (the ewmaStream origin contract)
+    val startUs = Tables(spark, sfDir, "events")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")))).collect()(0).getLong(0)
+    val q = StreamJobs.captureStream(mem.toDF(), startUs)
+      .writeStream.format("memory").queryName("capt").outputMode("complete").start()
+    try {
+      val (b1, rest) = all.sortBy(_.event_id).splitAt(all.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      val streamed = rows(StreamJobs.captureFinish(spark.table("capt")))
+      val batch = rows(graft.queries.AnalyticsQueries.captureRecapture(spark, sfDir))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming ROC-AUC is bit-equal to the batch twin across batch splits") {
     val s = spark
     import s.implicits._
