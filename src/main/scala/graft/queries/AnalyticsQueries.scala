@@ -1178,6 +1178,93 @@ object AnalyticsQueries {
        |ORDER BY channel""".stripMargin
   }
 
+  /** CROSS-CORRELATION FUNCTION (CCF) LAG SCAN between the daily
+    * click and purchase series: Pearson correlation of (clicks_t,
+    * purchases_{t+l}) for every lag l ∈ [−7, +7] — the lag-
+    * identification companion to [[grangerCausality]] (which fixes
+    * lag 1 and tests significance; this locates WHERE the
+    * lead-lag relationship peaks, e.g. "purchases follow clicks by 2
+    * days"). The best row is flagged (max correlation, ties to the
+    * smallest lag).
+    *
+    * Scale shape: the corpus collapses once to the dense daily grid;
+    * the lag fan-out is a calendar-bounded explode joined back on the
+    * shifted day index (an EQUI join — no theta join); per-lag
+    * Pearson comes from exact integer moments, fenced once per row. */
+  def ccfLagScan(spark: SparkSession, dir: String): DataFrame =
+    ccfLagScanOf(Tables(spark, dir, "events"))
+
+  private[graft] def ccfLagScanOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yc"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"),
+        coalesce(col("xc"), lit(0L)).as("x"), coalesce(col("yc"), lit(0L)).as("y"))
+      .localCheckpoint() // calendar-bounded; joined once per lag side
+    val pairs = dense
+      .select(col("i"), col("x"), explode(sequence(lit(-7), lit(7))).as("l"))
+      .withColumn("j", col("i") + col("l"))
+      .join(dense.select(col("i").as("j"), col("y")), Seq("j"))
+    val corr = pairs.groupBy("l").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("l").cast("long").as("lag"), col("n").cast("long").as("n_days"),
+        Det.rnd(expr("(n * sxy - sx * sy)" +
+          " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"), 6).as("ccf"))
+      .localCheckpoint() // 15 rows; read twice (best pick + output)
+    val best = corr.orderBy(desc("ccf"), asc("lag")).limit(1)
+      .select(col("lag").as("bl"))
+    corr.crossJoin(broadcast(best))
+      .select(col("lag"), col("n_days"), col("ccf"),
+        (col("lag") === col("bl")).as("is_best"))
+      .orderBy("lag")
+  }
+
+  val ccfLagScanSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yc
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |dense AS (
+       |  SELECT CAST(g.i AS BIGINT) AS i, coalesce(byday.xc, 0) AS x,
+       |         coalesce(byday.yc, 0) AS y
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |p AS (
+       |  SELECT a.l, a.x, d2.y
+       |  FROM (SELECT i, x, l, i + l AS j FROM dense
+       |        CROSS JOIN (SELECT unnest(range(-7, 8)) AS l)) a
+       |  JOIN dense d2 ON d2.i = a.j),
+       |mom AS (
+       |  SELECT l, CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+       |  FROM p GROUP BY 1),
+       |corr AS (
+       |  SELECT CAST(l AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+       |         ${Det.rndSql("(n * sxy - sx * sy)" +
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)} AS ccf
+       |  FROM mom),
+       |best AS (SELECT lag AS bl FROM corr ORDER BY ccf DESC, lag LIMIT 1)
+       |SELECT lag, n_days, ccf, lag = bl AS is_best
+       |FROM corr CROSS JOIN best
+       |ORDER BY lag""".stripMargin
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

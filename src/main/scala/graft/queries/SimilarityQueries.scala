@@ -2764,6 +2764,166 @@ object SimilarityQueries {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  /** RICH-CLUB COEFFICIENT of the k-NN graph: for each degree
+    * threshold k, the edge density φ(k) among nodes of degree > k —
+    * do the best-connected vectors preferentially link to EACH OTHER
+    * (hub oligarchy) or spread their edges? The structural companion
+    * to [[assortativity]] (one correlation number) and [[kcore]]
+    * (peeling profile): φ(k) localizes hub clustering per tier.
+    *
+    * Scale shape: degrees are one groupBy over the symmetrized
+    * scratch edges; each tier is two semi-joins on the node key plus
+    * a count — the tier relation shrinks as k grows. Pure integer
+    * counts, one fenced density per row. */
+  def richClub(spark: SparkSession, dir: String): DataFrame =
+    richClubOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def richClubOnEdges(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+      .localCheckpoint() // ≤ k·|V| rows, read once per tier
+    val deg = sym.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // node-bounded, read once per tier
+    val tiers = Seq(2, 4, 6, 8)
+    tiers.map { k =>
+      val rich = deg.filter(col("d") > k).select("v")
+      val ek = sym
+        .join(rich.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(rich.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .agg(count(lit(1)).as("n_edges"))
+      val nk = rich.agg(count(lit(1)).as("n_nodes"))
+      nk.crossJoin(ek).select(lit(k.toLong).as("k"), col("n_nodes"),
+        col("n_edges"),
+        graft.functions.Det.rnd(
+          when(col("n_nodes") > 1, col("n_edges").cast("double") * 2
+            / (col("n_nodes") * (col("n_nodes") - 1))).otherwise(0.0), 6)
+          .as("phi"))
+    }.reduce(_ union _).orderBy("k")
+  }
+
+  /** DuckDB twin of [[richClub]]: same symmetrized edge set, same
+    * degree tiers. */
+  val richClubSql: String = {
+    val tiers = Seq(2, 4, 6, 8).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT count(*) FROM deg WHERE d > $k) AS n_nodes,
+         |  (SELECT count(*) FROM sym
+         |   WHERE src IN (SELECT v FROM deg WHERE d > $k)
+         |     AND dst IN (SELECT v FROM deg WHERE d > $k)) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+       |  FROM kedges),
+       |deg AS MATERIALIZED (
+       |  SELECT v, count(*) AS d FROM
+       |    (SELECT src AS v FROM sym UNION ALL SELECT dst FROM sym)
+       |  GROUP BY 1),
+       |t AS ($tiers)
+       |SELECT k, n_nodes, n_edges,
+       |       ${graft.functions.Det.rndSql(
+            "CASE WHEN n_nodes > 1 THEN CAST(n_edges AS DOUBLE) * 2" +
+              " / (n_nodes * (n_nodes - 1)) ELSE 0.0 END", 6)} AS phi
+       |FROM t
+       |ORDER BY k""".stripMargin
+  }
+
+  /** POLYNOMIAL-KERNEL MMD² two-sample test between the even- and
+    * odd-id embedding halves: with k(x,y) = (1 + x·y)², the V-statistic
+    * MMD² = K_AA + K_BB − 2·K_AB where every block K_HH' = 1 +
+    * 2·μ_H·μ_H' + ⟨M_H, M_H'⟩ is a CLOSED FORM in the half's mean
+    * vector μ and second-moment matrix M — the kernel two-sample
+    * discrepancy ([[embeddingDrift]] compares centroid directions
+    * only; MMD² with a degree-2 kernel also catches covariance-shape
+    * drift) computed WITHOUT any pairwise kernel evaluation.
+    *
+    * Scale shape: one explode pass accumulates μ (64 rows/half) and M
+    * (64²/half) with map-side partial sums — the pair space never
+    * materializes, which is the whole point at 100 TB. Moments are
+    * rounded to 6dp before the kernel algebra (the [[embeddingDrift]]
+    * centroid contract — makes the bounded finish independent of
+    * float summation order); one fenced output per component. */
+  def mmdPoly(spark: SparkSession, dir: String): DataFrame =
+    mmdPolyOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def mmdPolyOf(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .withColumn("h", pmod(col("vec_id"), lit(2)))
+    val mu = e.groupBy("h", "i").agg(round(avg("v"), 6).as("c"))
+      .localCheckpoint() // 2×64 rows
+    val mm = e.as("a")
+      .join(e.as("b"), col("a.vec_id") === col("b.vec_id")
+        && col("a.h") === col("b.h"))
+      .groupBy(col("a.h").as("h"), col("a.i").as("i"), col("b.i").as("j"))
+      .agg(round(avg(col("a.v") * col("b.v")), 6).as("m"))
+      .localCheckpoint() // 2×64² rows
+    def muDot(ha: Int, hb: Int) = mu.filter(col("h") === ha)
+      .select(col("i"), col("c").as("ca"))
+      .join(mu.filter(col("h") === hb).select(col("i"), col("c").as("cb")), Seq("i"))
+      .agg(sum(col("ca") * col("cb")).as(s"mu_$ha$hb"))
+    def mDot(ha: Int, hb: Int) = mm.filter(col("h") === ha)
+      .select(col("i"), col("j"), col("m").as("ma"))
+      .join(mm.filter(col("h") === hb)
+        .select(col("i"), col("j"), col("m").as("mb")), Seq("i", "j"))
+      .agg(sum(col("ma") * col("mb")).as(s"m_$ha$hb"))
+    val counts = emb.agg(
+      sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+    val k = (h: String) => s"(1.0 + 2.0 * mu_$h + m_$h)"
+    counts.crossJoin(muDot(0, 0)).crossJoin(muDot(1, 1)).crossJoin(muDot(0, 1))
+      .crossJoin(mDot(0, 0)).crossJoin(mDot(1, 1)).crossJoin(mDot(0, 1))
+      .select(col("n_a"), col("n_b"),
+        graft.functions.Det.rnd(expr(k("00")), 6).as("k_aa"),
+        graft.functions.Det.rnd(expr(k("11")), 6).as("k_bb"),
+        graft.functions.Det.rnd(expr(k("01")), 6).as("k_ab"),
+        graft.functions.Det.rnd(
+          expr(s"${k("00")} + ${k("11")} - 2.0 * ${k("01")}"), 6).as("mmd2"))
+  }
+
+  val mmdPolySql: String = {
+    val k = (h: String) => s"(1.0 + 2.0 * mu_$h + m_$h)"
+    s"""WITH e AS (
+       |  SELECT vec_id, vec_id % 2 AS h,
+       |         unnest(embedding)::DOUBLE AS v,
+       |         unnest(range(len(embedding))) AS i
+       |  FROM embeddings),
+       |mu AS (SELECT h, i, round(avg(v), 6) AS c FROM e GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT a.h, a.i, b.i AS j, round(avg(a.v * b.v), 6) AS m
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2, 3),
+       |md AS (
+       |  SELECT
+       |    (SELECT sum(a.c * b.c) FROM mu a JOIN mu b ON a.i = b.i
+       |     WHERE a.h = 0 AND b.h = 0) AS mu_00,
+       |    (SELECT sum(a.c * b.c) FROM mu a JOIN mu b ON a.i = b.i
+       |     WHERE a.h = 1 AND b.h = 1) AS mu_11,
+       |    (SELECT sum(a.c * b.c) FROM mu a JOIN mu b ON a.i = b.i
+       |     WHERE a.h = 0 AND b.h = 1) AS mu_01,
+       |    (SELECT sum(a.m * b.m) FROM mm a JOIN mm b ON a.i = b.i AND a.j = b.j
+       |     WHERE a.h = 0 AND b.h = 0) AS m_00,
+       |    (SELECT sum(a.m * b.m) FROM mm a JOIN mm b ON a.i = b.i AND a.j = b.j
+       |     WHERE a.h = 1 AND b.h = 1) AS m_11,
+       |    (SELECT sum(a.m * b.m) FROM mm a JOIN mm b ON a.i = b.i AND a.j = b.j
+       |     WHERE a.h = 0 AND b.h = 1) AS m_01,
+       |    (SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |     FROM embeddings) AS n_a,
+       |    (SELECT CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |     FROM embeddings) AS n_b)
+       |SELECT n_a, n_b,
+       |       ${graft.functions.Det.rndSql(k("00"), 6)} AS k_aa,
+       |       ${graft.functions.Det.rndSql(k("11"), 6)} AS k_bb,
+       |       ${graft.functions.Det.rndSql(k("01"), 6)} AS k_ab,
+       |       ${graft.functions.Det.rndSql(
+            s"${k("00")} + ${k("11")} - 2.0 * ${k("01")}", 6)} AS mmd2
+       |FROM md""".stripMargin
+  }
+
   /** NEWMAN MODULARITY of the semantic-cluster partition over the
     * mutual-k-NN graph: Q = Σ_c [e_c/m − (d_c/2m)²] — the one-number
     * answer to "are the clusters [[semanticClusters]] found actually

@@ -292,6 +292,52 @@ class Round9eSpec extends SparkSpec {
       ("view", 0.5, 0.25, 0.5, 0.4)))
   }
 
+  test("ccfLagScan: planted 2-day lead is the best lag with corr 1") {
+    val x = Seq(3, 9, 2, 8, 1, 7, 4, 9, 1, 6, 2, 9, 3, 7, 1)
+    var id = 0L
+    val rows = for {
+      day <- x.indices
+      (ty, n) <- Seq(("click", x(day)),
+        ("purchase", if (day >= 2) x(day - 2) else 5))
+      _ <- 1 to n
+    } yield { id += 1; (id, 1L, f"2024-07-${day + 1}%02d 08:00:00", ty, 1.0) }
+    val got = graft.queries.AnalyticsQueries.ccfLagScanOf(eventsOf(rows))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length === 15)
+    val best = got.filter(_._3)
+    assert(best.toSeq === Seq((2L, 1.0, true)))
+  }
+
+  test("richClub: K5 with pendant leaves has phi 1 at tier 2") {
+    val s = spark; import s.implicits._
+    val k5 = for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b, 0.9)
+    val leaves = Seq((1L, 6L, 0.9), (1L, 7L, 0.9), (1L, 8L, 0.9))
+    val edges = (k5 ++ leaves).toDF("src", "dst", "cos")
+    val got = graft.queries.SimilarityQueries.richClubOnEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (2L, 5L, 10L, 1.0), (4L, 1L, 0L, 0.0), (6L, 1L, 0L, 0.0), (8L, 0L, 0L, 0.0)))
+  }
+
+  test("mmdPoly: identical halves give zero, disjoint axes the closed form 48") {
+    val s = spark; import s.implicits._
+    val same = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0), (3L, Array(0f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r0 = graft.queries.SimilarityQueries.mmdPolyOf(same).collect()(0)
+    assert(r0.getAs[Double]("mmd2") === 0.0)
+    // A = {[2,0],[2,0]}, B = {[0,2],[0,2]}: K_AA = K_BB = 25, K_AB = 1
+    val split = Seq(
+      (0L, Array(2f, 0f), 0), (2L, Array(2f, 0f), 0),
+      (1L, Array(0f, 2f), 0), (3L, Array(0f, 2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r1 = graft.queries.SimilarityQueries.mmdPolyOf(split).collect()(0)
+    assert(r1.getAs[Double]("k_aa") === 25.0)
+    assert(r1.getAs[Double]("k_ab") === 1.0)
+    assert(r1.getAs[Double]("mmd2") === 48.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
