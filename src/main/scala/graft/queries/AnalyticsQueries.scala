@@ -1265,6 +1265,57 @@ object AnalyticsQueries {
        |FROM corr CROSS JOIN best
        |ORDER BY lag""".stripMargin
 
+  /** ORDER-INDEPENDENT TABLE CHECKSUM (content digest): each order row
+    * canonicalizes to a delimited string, hashes to a 60-bit integer
+    * (md5-derived — engine-neutral), and the per-year and whole-table
+    * digests are the hash SUMS mod 2⁶¹ — identical no matter how the
+    * table is partitioned, ordered, or which engine computes it. This
+    * is the replication/migration verification primitive ("did the
+    * copy arrive bit-identical?") that [[ExtensionQueries.reconciliation]]'s
+    * aggregate comparisons approximate: a single flipped character
+    * anywhere changes the digest, and the per-year subtotals localize
+    * WHICH slice diverged without re-scanning everything.
+    *
+    * Scale shape: one narrow scan, hash as a codegen'd projection,
+    * ROLLUP aggregation with map-side partials; the modular sum rides
+    * decimal(38,0) (hash sums pass 2⁶³ at ~15 rows). Pure integer
+    * output — no floats anywhere. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    tableChecksumOf(Tables(spark, dir, "orders"))
+
+  private[graft] def tableChecksumOf(orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val canon = "concat_ws('|', CAST(o_orderkey AS STRING), " +
+      "CAST(o_custkey AS STRING), o_orderstatus, " +
+      "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
+      "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"
+    orders
+      .select(year(col("o_orderdate")).as("yr"),
+        expr(s"CAST(conv(substring(md5($canon), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .rollup("yr")
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(pmod(sum(CAST(h AS $d38)), 2305843009213693952) AS BIGINT)")
+          .as("checksum"))
+      .select(coalesce(col("yr").cast("string"), lit("ALL")).as("scope"),
+        col("n_rows"), col("checksum"))
+      .orderBy("scope")
+  }
+
+  val tableChecksumSql: String = {
+    val canon = "o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || " +
+      s"${Det.centsSql("o_totalprice")} || '|' || " +
+      "strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority"
+    s"""SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS scope,
+       |       count(*) AS n_rows,
+       |       CAST(sum(h) % 2305843009213693952 AS BIGINT) AS checksum
+       |FROM (SELECT year(o_orderdate) AS yr,
+       |             CAST('0x' || substr(md5($canon), 1, 15) AS BIGINT) AS h
+       |      FROM orders)
+       |GROUP BY ROLLUP (yr)
+       |ORDER BY scope""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

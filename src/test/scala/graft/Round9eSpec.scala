@@ -338,6 +338,21 @@ class Round9eSpec extends SparkSpec {
     assert(r1.getAs[Double]("mmd2") === 48.0)
   }
 
+  test("tableChecksum: digest is row-order independent and flags a one-cent edit") {
+    val mk = (rows: Seq[(Long, Long, Double)]) => ordersOf(
+      rows.map { case (ok, ck, tp) => (ok, ck, tp, "1996-01-01", "P") })
+    val a = graft.queries.AnalyticsQueries.tableChecksumOf(
+      mk(Seq((1L, 1L, 10.0), (2L, 2L, 20.0), (3L, 3L, 30.0)))).collect()
+    val b = graft.queries.AnalyticsQueries.tableChecksumOf(
+      mk(Seq((3L, 3L, 30.0), (1L, 1L, 10.0), (2L, 2L, 20.0)))).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(a.map(_.getString(0)).toSeq === Seq("1996", "ALL"))
+    val c = graft.queries.AnalyticsQueries.tableChecksumOf(
+      mk(Seq((1L, 1L, 10.01), (2L, 2L, 20.0), (3L, 3L, 30.0)))).collect()
+    assert(a(1).getLong(2) !== c(1).getLong(2)) // one cent flips the digest
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
