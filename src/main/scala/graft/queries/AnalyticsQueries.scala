@@ -1283,6 +1283,36 @@ object AnalyticsQueries {
   def tableChecksum(spark: SparkSession, dir: String): DataFrame =
     tableChecksumOf(Tables(spark, dir, "orders"))
 
+  /** The digest's MERGEABLE state — per-year (row count, raw hash
+    * sum) — shared with the streaming twin
+    * ([[graft.streaming.StreamJobs.checksumStream]]): counts and
+    * decimal sums are additive across any batch split; the mod-2⁶¹
+    * fold happens only in the finish. */
+  private[graft] def checksumState(orders: DataFrame): DataFrame = {
+    val canon = "concat_ws('|', CAST(o_orderkey AS STRING), " +
+      "CAST(o_custkey AS STRING), o_orderstatus, " +
+      "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
+      "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"
+    orders
+      .select(year(col("o_orderdate")).as("yr"),
+        expr(s"CAST(conv(substring(md5($canon), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).as("hs"))
+  }
+
+  /** Per-year + ALL digests from the state (equals the batch ROLLUP
+    * output because the mod distributes over the raw decimal sums). */
+  private[graft] def checksumFinish(state: DataFrame): DataFrame = {
+    val modSql = "CAST(pmod(hs, 2305843009213693952) AS BIGINT)"
+    val years = state.select(col("yr").cast("string").as("scope"),
+      col("n_rows"), expr(modSql).as("checksum"))
+    val all = state.agg(sum("n_rows").as("n_rows"), sum("hs").as("hs"))
+      .select(lit("ALL").as("scope"), col("n_rows"), expr(modSql).as("checksum"))
+    years.union(all).orderBy("scope")
+  }
+
   private[graft] def tableChecksumOf(orders: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
     val canon = "concat_ws('|', CAST(o_orderkey AS STRING), " +
@@ -1315,6 +1345,68 @@ object AnalyticsQueries {
        |GROUP BY ROLLUP (yr)
        |ORDER BY scope""".stripMargin
   }
+
+  /** GAUSSIAN KDE evaluated on a 21-point grid over the order-value
+    * range: density(g) = Σᵢ exp(−(xᵢ−g)²/2h²) / (n·h·√2π) with the
+    * fixed bandwidth h = range/20 — the smooth nonparametric density
+    * readout where [[ExtensionQueries.histogram]] gives counts in
+    * arbitrary bins and [[ExtensionQueries.equidepthHist]] gives
+    * quantile edges; the grid form is what a dashboard plots and what
+    * modes/valleys are read from.
+    *
+    * Scale shape: the grid explode fans the scan ×21 with immediate
+    * map-side aggregation — the exchange carries 21 rows regardless
+    * of corpus size. Grid points and bandwidth derive from exact
+    * integer min/max cents; the kernel sum is the one float
+    * accumulation (engine libm exp differs in the last ulp — the 9dp
+    * fence absorbs it, the [[TextQueries.weightedSample]] ln
+    * precedent). */
+  def kdeGrid(spark: SparkSession, dir: String): DataFrame =
+    kdeGridOf(Tables(spark, dir, "orders"))
+
+  private[graft] def kdeGridOf(orders: DataFrame): DataFrame = {
+    val x = orders.select(Det.cents(col("o_totalprice")).as("x"))
+    val mm = x.agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("n"))
+    val pts = x.crossJoin(broadcast(mm))
+      .select(col("x"), col("mn"), col("mx"), col("n"),
+        explode(sequence(lit(0), lit(20))).as("j"))
+      .withColumn("g", col("mn") + col("j") * (col("mx") - col("mn")) / 20.0)
+      .withColumn("h", (col("mx") - col("mn")) / 20.0)
+      .withColumn("kern",
+        exp((col("x") - col("g")) * (col("x") - col("g"))
+          / (col("h") * col("h")) * -0.5))
+    pts.groupBy("j")
+      .agg(max("g").as("g"), max("h").as("h"), max("n").as("n"),
+        sum("kern").as("s"))
+      .select(col("j").cast("long").as("j"),
+        Det.rnd(col("g") / 100.0, 2).as("x_dollars"),
+        Det.rnd(col("s") / (col("n") * col("h") * math.sqrt(2 * math.Pi)) * 100.0, 9)
+          .as("density_per_dollar"))
+      .orderBy("j")
+  }
+
+  val kdeGridSql: String =
+    s"""WITH mm AS (
+       |  SELECT CAST(min(${Det.centsSql("o_totalprice")}) AS BIGINT) AS mn,
+       |         CAST(max(${Det.centsSql("o_totalprice")}) AS BIGINT) AS mx,
+       |         count(*) AS n
+       |  FROM orders),
+       |pts AS (
+       |  SELECT j, x, mn + j * (mx - mn) / 20.0 AS g,
+       |         (mx - mn) / 20.0 AS h, n
+       |  FROM (SELECT ${Det.centsSql("o_totalprice")} AS x FROM orders)
+       |  CROSS JOIN mm
+       |  CROSS JOIN (SELECT unnest(range(21)) AS j)),
+       |agg AS (
+       |  SELECT j, max(g) AS g, max(h) AS h, max(n) AS n,
+       |         sum(exp((x - g) * (x - g) / (h * h) * -0.5)) AS s
+       |  FROM pts GROUP BY 1)
+       |SELECT CAST(j AS BIGINT) AS j,
+       |       ${Det.rndSql("g / 100.0", 2)} AS x_dollars,
+       |       ${Det.rndSql(
+          s"s / (n * h * ${math.sqrt(2 * math.Pi)}) * 100.0", 9)} AS density_per_dollar
+       |FROM agg
+       |ORDER BY j""".stripMargin
 
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"

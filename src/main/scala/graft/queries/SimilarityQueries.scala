@@ -2764,6 +2764,90 @@ object SimilarityQueries {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  private val KtrussSupport = 2 // k = 4: every surviving edge in ≥ 2 triangles
+  private val KtrussRounds = 5
+
+  /** K-TRUSS PEELING of the k-NN graph (k = 4, [[KtrussRounds]]
+    * unrolled rounds): repeatedly delete every EDGE that sits in
+    * fewer than k−2 triangles and report the shrinking (nodes, edges)
+    * profile — the edge-level dense-substructure extraction that is
+    * strictly stronger than [[kcore]] (degree alone can't fake
+    * triangle support: a hub with many unconnected neighbors survives
+    * k-core but its spoke edges die here). The surviving truss is the
+    * triangle-reinforced cluster fabric.
+    *
+    * Scale shape: per round, triangle support is the oriented wedge
+    * join bounded by the k-NN out-degree cap (the [[triangleCount]]
+    * argument — wedge fan-out linear in nodes); the edge relation
+    * shrinks monotonically. Rounds are UNROLLED identically in the
+    * oracle (the [[kcoreSql]] MATERIALIZED pattern); pure integer
+    * counts throughout. */
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    ktrussOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def ktrussOnEdges(edges: DataFrame): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint() // ≤ k·|V| rows, shrinks every round
+    def stats(round: Int, ed: DataFrame): DataFrame =
+      ed.select(explode(array(col("a"), col("b"))).as("v"))
+        .agg(lit(round.toLong).as("round"),
+          coalesce(count_distinct(col("v")), lit(0L)).as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+    var out = stats(0, e)
+    for (r <- 1 to KtrussRounds) {
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val sup = e
+        .join(adj.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+        .filter(col("w") =!= col("b"))
+        .join(adj.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"),
+          "left_semi")
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      e = e.join(sup.filter(col("c") >= KtrussSupport).select("a", "b"),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      out = out.union(stats(r, e))
+    }
+    out.orderBy("round")
+  }
+
+  /** DuckDB twin of [[ktruss]]: identical unrolled support/peel
+    * rounds, MATERIALIZED per round. */
+  val ktrussSql: String = {
+    val rounds = (1 to KtrussRounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""a$r AS (SELECT a AS u, b AS v FROM $prev
+         |        UNION ALL SELECT b, a FROM $prev),
+         |s$r AS MATERIALIZED (
+         |  SELECT e.a, e.b, count(*) AS c
+         |  FROM $prev e
+         |  JOIN a$r c1 ON c1.u = e.a AND c1.v <> e.b
+         |  JOIN a$r c2 ON c2.u = e.b AND c2.v = c1.v
+         |  GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN s$r s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.c >= $KtrussSupport)""".stripMargin
+    }.mkString(",\n")
+    val profile = (0 to KtrussRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |       (SELECT count(DISTINCT v) FROM
+         |          (SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r)) AS n_nodes,
+         |       (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |e0 AS MATERIALIZED (
+       |       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM kedges),
+       |$rounds
+       |$profile
+       |ORDER BY round""".stripMargin
+  }
+
   /** RICH-CLUB COEFFICIENT of the k-NN graph: for each degree
     * threshold k, the edge density φ(k) among nodes of degree > k —
     * do the best-connected vectors preferentially link to EACH OTHER

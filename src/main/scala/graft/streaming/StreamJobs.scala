@@ -1026,4 +1026,16 @@ object StreamJobs {
 
   def captureFinish(state: DataFrame): DataFrame =
     graft.queries.AnalyticsQueries.chapmanFinish(state)
+
+  /** Streaming twin of the table checksum: per-year (count, raw hash
+    * sum) is the complete-mode state — both additive, so any batch
+    * split merges exactly — and the finish folds mod 2⁶¹ per year
+    * plus the ALL row, equal to the batch ROLLUP digest by
+    * distributivity. The production use is continuous replication
+    * verification: ship the state table, not the corpus. */
+  def checksumStream(orders: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.checksumState(orders)
+
+  def checksumFinish(state: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.checksumFinish(state)
 }

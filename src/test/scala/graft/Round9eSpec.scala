@@ -353,6 +353,30 @@ class Round9eSpec extends SparkSpec {
     assert(a(1).getLong(2) !== c(1).getLong(2)) // one cent flips the digest
   }
 
+  test("ktruss: K4 survives, the lone triangle and pendant edge peel in round 1") {
+    val s = spark; import s.implicits._
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 0.9)
+    val tri = Seq((5L, 6L, 0.9), (5L, 7L, 0.9), (6L, 7L, 0.9))
+    val edges = (k4 ++ tri ++ Seq((7L, 8L, 0.9))).toDF("src", "dst", "cos")
+    val got = graft.queries.SimilarityQueries.ktrussOnEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === ((0L, 8L, 10L) +: (1L to 5L).map(r => (r, 4L, 6L))))
+  }
+
+  test("kdeGrid: two-point fixture matches the closed-form edge density") {
+    val orders = ordersOf(Seq(
+      (1L, 1L, 10.0, "1996-01-01", "P"), (2L, 2L, 30.0, "1996-01-02", "P")))
+    val got = graft.queries.AnalyticsQueries.kdeGridOf(orders).collect()
+    assert(got.length === 21)
+    val d0 = got(0).getAs[Double]("density_per_dollar")
+    // x = mn contributes exp(0) = 1, the far point ~exp(−200) ≈ 0:
+    // density = 1/(2·100·√2π)·100 per dollar
+    assert(math.abs(d0 - 100.0 / (2 * 100 * math.sqrt(2 * math.Pi))) < 1e-6)
+    assert(got(0).getAs[Double]("x_dollars") === 10.0)
+    assert(got(20).getAs[Double]("x_dollars") === 30.0)
+    assert(got(10).getAs[Double]("density_per_dollar") === 0.0) // exp(−50)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(

@@ -1036,6 +1036,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming table checksum equals the batch ROLLUP digest across splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp, String)]
+    val q = StreamJobs.checksumStream(mem.toDF().toDF("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+      .writeStream.format("memory").queryName("cksum").outputMode("complete").start()
+    try {
+      val all = Tables(spark, sfDir, "orders")
+        .withColumn("o_orderdate",
+          org.apache.spark.sql.functions.col("o_orderdate").cast("timestamp"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+            r.getTimestamp(4), r.getString(5)))
+      val (b1, b2) = all.sortBy(_._1).splitAt(all.length / 3)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val streamed = rows(StreamJobs.checksumFinish(spark.table("cksum")))
+      val batch = rows(graft.queries.AnalyticsQueries.tableChecksum(spark, sfDir))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming ROC-AUC is bit-equal to the batch twin across batch splits") {
     val s = spark
     import s.implicits._
