@@ -2884,6 +2884,106 @@ object ExtensionQueries {
     * integers; only the survival product itself is floating (exp∘Σln —
     * associativity-free because the window prefix order is fixed),
     * rounded via [[Det]]. */
+  /** LOG-RANK TEST between the two user-id-parity cohorts on the same
+    * time-to-conversion data as [[survivalKm]]: at every conversion
+    * day the observed group-1 conversions are compared to the
+    * hypergeometric expectation given both risk sets, and
+    * χ² = (O₁−E₁)²/V decides whether the two survival curves differ —
+    * the inference companion to the KM curve (which only DESCRIBES
+    * one cohort). Parity split = the engine-neutral A/B assignment
+    * the drift family already uses.
+    *
+    * Scale shape: one groupBy(user) pass, then everything lives in
+    * day-histogram space (two cumulative windows over the
+    * calendar-bounded day relation). Counts and risk sets are exact
+    * integers; E₁ and V are per-day rationals summed over the
+    * day relation and fenced once. Days with n ≤ 1 at risk carry no
+    * variance (the standard convention, identical in the oracle). */
+  def logrankTest(spark: SparkSession, dir: String): DataFrame =
+    logrankTestOf(Tables(spark, dir, "events"))
+
+  private[graft] def logrankTestOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy("user_id").agg(
+      min(unix_micros(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase" && col("value") >= KmValueMin,
+        unix_micros(col("ts")))).as("conv_us"))
+    val corpusEnd = events.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val daily = users.crossJoin(broadcast(corpusEnd))
+      .select(pmod(col("user_id"), lit(2)).as("g"),
+        expr("(coalesce(conv_us, end_us) - first_us) div 86400000000").as("day"),
+        col("conv_us").isNotNull.as("obs"))
+      .groupBy("day").agg(
+        sum(when(col("obs") && col("g") === 0, 1L).otherwise(0L)).as("d0"),
+        sum(when(!col("obs") && col("g") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("obs") && col("g") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("obs") && col("g") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy("day")
+    val risk = daily
+      .withColumn("n0", sum(col("d0") + col("c0")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        - coalesce(sum(col("d0") + col("c0")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n1", sum(col("d1") + col("c1")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        - coalesce(sum(col("d1") + col("c1")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("d", col("d0") + col("d1"))
+    risk.agg(
+        sum("d0").as("o0"), sum("d1").as("o1"),
+        sum(col("d").cast("double") * col("n1") / col("n")).as("e1"),
+        sum(when(col("n") > 1,
+          col("d").cast("double") * col("n1") / col("n")
+            * (lit(1.0) - col("n1").cast("double") / col("n"))
+            * (col("n") - col("d")).cast("double") / (col("n") - 1))
+          .otherwise(0.0)).as("v"))
+      .select(col("o0"), col("o1"),
+        Det.rnd(col("e1"), 4).as("e1"),
+        Det.rnd((col("o1").cast("double") - col("e1"))
+          / sqrt(col("v")), 4).as("z"),
+        Det.rnd((col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("v"), 4).as("chi2"))
+  }
+
+  val logrankTestSql: String =
+    s"""WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+       |                  min(CASE WHEN event_type = 'purchase' AND value >= $KmValueMin
+       |                           THEN epoch_us(ts) END) AS conv
+       |           FROM events GROUP BY 1),
+       |h AS (SELECT max(epoch_us(ts)) AS e FROM events),
+       |dd AS (SELECT (coalesce(conv, e) - f) // 86400000000 AS day,
+       |              CAST(sum(CASE WHEN conv IS NOT NULL AND user_id % 2 = 0
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+       |              CAST(sum(CASE WHEN conv IS NULL AND user_id % 2 = 0
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |              CAST(sum(CASE WHEN conv IS NOT NULL AND user_id % 2 = 1
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |              CAST(sum(CASE WHEN conv IS NULL AND user_id % 2 = 1
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS c1
+       |       FROM u CROSS JOIN h GROUP BY 1),
+       |rk AS (SELECT day, d0, d1,
+       |              sum(d0 + c0) OVER ()
+       |                - coalesce(sum(d0 + c0) OVER (ORDER BY day
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+       |              sum(d1 + c1) OVER ()
+       |                - coalesce(sum(d1 + c1) OVER (ORDER BY day
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+       |       FROM dd),
+       |a AS (SELECT CAST(sum(d0) AS BIGINT) AS o0, CAST(sum(d1) AS BIGINT) AS o1,
+       |             sum(CAST(d0 + d1 AS DOUBLE) * n1 / (n0 + n1)) AS e1,
+       |             sum(CASE WHEN n0 + n1 > 1
+       |                      THEN CAST(d0 + d1 AS DOUBLE) * n1 / (n0 + n1)
+       |                           * (1.0 - CAST(n1 AS DOUBLE) / (n0 + n1))
+       |                           * CAST(n0 + n1 - d0 - d1 AS DOUBLE) / (n0 + n1 - 1)
+       |                      ELSE 0.0 END) AS v
+       |      FROM rk)
+       |SELECT o0, o1, ${Det.rndSql("e1", 4)} AS e1,
+       |       ${Det.rndSql("(CAST(o1 AS DOUBLE) - e1) / sqrt(v)", 4)} AS z,
+       |       ${Det.rndSql(
+          "(CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v", 4)} AS chi2
+       |FROM a""".stripMargin
+
   def survivalKm(spark: SparkSession, dir: String): DataFrame =
     survivalKmOf(Tables(spark, dir, "events"))
 

@@ -2764,6 +2764,78 @@ object SimilarityQueries {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  private val GeoMedIters = 3
+
+  /** GEOMETRIC MEDIAN of the embedding cloud by [[GeoMedIters]]
+    * Weiszfeld iterations (seeded at the mean): the robust
+    * multivariate center that a few corrupt/outlier vectors cannot
+    * drag the way they drag the mean centroid — the robust-statistics
+    * companion to [[embeddingStats]] (norms) and [[pcaPower]]
+    * (direction). Emitted per dimension next to the plain mean so the
+    * pull of the tails is directly readable.
+    *
+    * Scale shape: each iteration is ONE corpus pass (distance to the
+    * broadcast 64-row center, then inverse-distance-weighted per-dim
+    * sums with map-side partials); the iterate is ROUNDED to 6dp
+    * before the next pass (the [[embeddingDrift]] centroid contract —
+    * float summation order cannot compound across iterations).
+    * Iteration count is fixed and identical in the oracle, so
+    * pre-convergence residue replays exactly. */
+  def geometricMedian(spark: SparkSession, dir: String): DataFrame =
+    geometricMedianOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def geometricMedianOf(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "v")))
+      .withColumn("v", col("v").cast("double"))
+    var m = e.groupBy("j").agg(round(avg("v"), 6).as("m"))
+      .localCheckpoint() // 64 rows
+    for (_ <- 1 to GeoMedIters) {
+      val dist = e.join(broadcast(m), Seq("j"))
+        .groupBy("vec_id")
+        .agg(sqrt(sum((col("v") - col("m")) * (col("v") - col("m")))).as("dist"))
+        .select(col("vec_id"),
+          (lit(1.0) / greatest(col("dist"), lit(1e-9))).as("w"))
+      m = e.join(broadcast(dist), Seq("vec_id"))
+        .groupBy("j")
+        .agg(round(sum(col("w") * col("v")) / sum(col("w")), 6).as("m"))
+        .localCheckpoint() // 64 rows per iterate
+    }
+    val mean = e.groupBy("j").agg(round(avg("v"), 6).as("mean_coord"))
+    m.join(mean, Seq("j"))
+      .select(col("j").cast("long").as("j"), col("m").as("median_coord"),
+        col("mean_coord"))
+      .orderBy("j")
+  }
+
+  /** DuckDB twin of [[geometricMedian]]: identical seeded iterates,
+    * MATERIALIZED per round. */
+  val geometricMedianSql: String = {
+    val iters = (1 to GeoMedIters).map { r =>
+      val prev = if (r == 1) "m0" else s"m${r - 1}"
+      s"""w$r AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         1.0 / greatest(sqrt(sum((e.v - $prev.m) * (e.v - $prev.m))), 1e-9) AS w
+         |  FROM e JOIN $prev ON $prev.j = e.j
+         |  GROUP BY 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT e.j, round(sum(w$r.w * e.v) / sum(w$r.w), 6) AS m
+         |  FROM e JOIN w$r ON w$r.vec_id = e.vec_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |         unnest(range(len(embedding))) AS j
+       |  FROM embeddings),
+       |m0 AS (SELECT j, round(avg(v), 6) AS m FROM e GROUP BY 1),
+       |$iters,
+       |mean AS (SELECT j, round(avg(v), 6) AS mean_coord FROM e GROUP BY 1)
+       |SELECT CAST(m$GeoMedIters.j AS BIGINT) AS j,
+       |       m$GeoMedIters.m AS median_coord, mean.mean_coord
+       |FROM m$GeoMedIters JOIN mean ON mean.j = m$GeoMedIters.j
+       |ORDER BY j""".stripMargin
+  }
+
   private val KtrussSupport = 2 // k = 4: every surviving edge in ≥ 2 triangles
   private val KtrussRounds = 5
 

@@ -377,6 +377,35 @@ class Round9eSpec extends SparkSpec {
     assert(got(10).getAs[Double]("density_per_dollar") === 0.0) // exp(−50)
   }
 
+  test("logrank: one-sided conversion split matches the hand-computed chi2") {
+    // g0 users (2,4) convert day 1; g1 users (1,3) censor at day 5
+    val events = eventsOf(Seq(
+      (1L, 1L, "2024-08-01 00:00:00", "click", 1.0),
+      (2L, 1L, "2024-08-06 00:00:00", "click", 1.0),
+      (3L, 3L, "2024-08-01 00:00:00", "click", 1.0),
+      (4L, 2L, "2024-08-01 00:00:00", "click", 1.0),
+      (5L, 2L, "2024-08-02 00:00:00", "purchase", 200.0),
+      (6L, 4L, "2024-08-01 00:00:00", "click", 1.0),
+      (7L, 4L, "2024-08-02 00:00:00", "purchase", 200.0)))
+    val r = graft.queries.ExtensionQueries.logrankTestOf(events).collect()(0)
+    assert(r.getAs[Long]("o0") === 2L)
+    assert(r.getAs[Long]("o1") === 0L)
+    assert(r.getAs[Double]("e1") === 1.0)
+    assert(r.getAs[Double]("chi2") === 3.0)
+    assert(math.abs(r.getAs[Double]("z") + math.sqrt(3.0)) < 1e-4)
+  }
+
+  test("geometricMedian: outlier pulls the mean but barely moves the median") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 0f), 0), (3L, Array(9f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.queries.SimilarityQueries.geometricMedianOf(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // Weiszfeld from mean 3.0: → 1.8 → 1.0 → 1.125/2.125
+    assert(got.toSeq === Seq((0L, 0.529412, 3.0), (1L, 0.0, 0.0)))
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
