@@ -1408,6 +1408,177 @@ object AnalyticsQueries {
        |FROM agg
        |ORDER BY j""".stripMargin
 
+  private val BtRounds = 8
+
+  /** BRADLEY–TERRY STRENGTH FITTING from pairwise monthly wins
+    * (Zermelo's fixed point, [[BtRounds]] rounds): each complete
+    * month is a tournament round where priority i "beats" j if it
+    * out-revenues it, and the BT model turns the win matrix into
+    * latent strengths p with P(i beats j) = pᵢ/(pᵢ+pⱼ) — the
+    * preference-learning primitive (the same likelihood RLHF reward
+    * models fit over human pairwise choices) where
+    * [[friedmanTest]] only tests "is there ANY consistent order" and
+    * [[ExtensionQueries.kendallRankings]] compares two fixed
+    * rankings.
+    *
+    * Scale shape: the corpus collapses once to (month × priority)
+    * revenue cells; wins are a month-keyed self-join of that
+    * calendar-bounded relation; the Zermelo iteration runs on a
+    * 5-row strength relation joined to a 20-row win relation,
+    * rounded to 9dp per iterate (the determinism contract for float
+    * fixed points), identically unrolled in the oracle. */
+  def bradleyTerry(spark: SparkSession, dir: String): DataFrame =
+    bradleyTerryOf(Tables(spark, dir, "orders"))
+
+  private[graft] def bradleyTerryOf(orders: DataFrame): DataFrame = {
+    val k = 5
+    val cells = orders
+      .select(date_trunc("month", col("o_orderdate")).as("mon"),
+        col("o_orderpriority").as("trt"),
+        Det.cents(col("o_totalprice")).as("cents"))
+      .groupBy("mon", "trt").agg(sum("cents").as("rev"))
+    val complete = cells.groupBy("mon").agg(count(lit(1)).as("n_trt"))
+      .filter(col("n_trt") === k).select("mon")
+    val cc = cells.join(broadcast(complete), Seq("mon"))
+    val duels = cc.as("a").join(cc.as("b"),
+        col("a.mon") === col("b.mon") && col("a.trt") < col("b.trt"))
+      .select(col("a.trt").as("i"), col("b.trt").as("j"),
+        // exact-cents tie breaks to the lexicographically smaller name
+        when(col("a.rev") >= col("b.rev"), 1L).otherwise(0L).as("wi"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"), sum("wi").as("w"))
+      .localCheckpoint() // ≤ k² rows
+    val sym = duels.select(col("i"), col("j"), col("n"), col("w"))
+      .union(duels.select(col("j").as("i"), col("i").as("j"), col("n"),
+        (col("n") - col("w")).as("w")))
+    val wins = sym.groupBy("i").agg(sum("w").as("wins"), sum("n").as("games"))
+      .localCheckpoint()
+    var p = wins.select(col("i"), lit(1.0 / k).as("p"))
+    for (_ <- 1 to BtRounds) {
+      val denom = sym
+        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
+        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
+        .groupBy("i").agg(sum(col("n") / (col("pi") + col("pj"))).as("dn"))
+      val raw = wins.join(denom, Seq("i"))
+        .select(col("i"), (col("wins").cast("double") / col("dn")).as("r"))
+      val tot = raw.agg(sum("r").as("t"))
+      p = raw.crossJoin(broadcast(tot))
+        .select(col("i"), round(col("r") / col("t"), 9).as("p"))
+        .localCheckpoint() // k rows per iterate
+    }
+    wins.join(p, Seq("i"))
+      .select(col("i").as("priority"), col("wins"), col("games"),
+        Det.rnd(col("p"), 6).as("bt_strength"))
+      .orderBy(desc("bt_strength"), col("priority"))
+  }
+
+  val bradleyTerrySql: String = {
+    val rounds = (1 to BtRounds).map { r =>
+      val prev = s"p${r - 1}"
+      s"""r$r AS (
+         |  SELECT s.i, w.wins / sum(s.n / (pi.p + pj.p)) AS r
+         |  FROM sym s JOIN $prev pi ON pi.i = s.i
+         |             JOIN $prev pj ON pj.i = s.j
+         |             JOIN wins w ON w.i = s.i
+         |  GROUP BY s.i, w.wins),
+         |p$r AS MATERIALIZED (
+         |  SELECT i, round(r / (SELECT sum(r) FROM r$r), 9) AS p FROM r$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS trt,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |complete AS (SELECT mon FROM cells GROUP BY 1 HAVING count(*) = 5),
+       |cc AS (SELECT cells.* FROM cells JOIN complete USING (mon)),
+       |duels AS MATERIALIZED (
+       |  SELECT a.trt AS i, b.trt AS j, count(*) AS n,
+       |         CAST(sum(CASE WHEN a.rev >= b.rev THEN 1 ELSE 0 END) AS BIGINT) AS w
+       |  FROM cc a JOIN cc b ON a.mon = b.mon AND a.trt < b.trt
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT i, j, n, w FROM duels
+       |        UNION ALL SELECT j, i, n, n - w FROM duels),
+       |wins AS MATERIALIZED (
+       |  SELECT i, CAST(sum(w) AS DOUBLE) AS wins,
+       |         CAST(sum(n) AS BIGINT) AS games
+       |  FROM sym GROUP BY 1),
+       |p0 AS (SELECT i, 0.2 AS p FROM wins),
+       |$rounds
+       |SELECT w.i AS priority, CAST(w.wins AS BIGINT) AS wins, w.games,
+       |       ${Det.rndSql("p.p", 6)} AS bt_strength
+       |FROM wins w JOIN p$BtRounds p ON p.i = w.i
+       |ORDER BY bt_strength DESC, priority""".stripMargin
+  }
+
+  /** CRONBACH'S ALPHA over the four engagement "items" (daily click /
+    * view / signup / error counts, days as subjects): do the four
+    * channels move together enough to justify summing them into one
+    * daily engagement score? α = k/(k−1)·(1 − Σvarᵢ/var_total) — the
+    * internal-consistency reliability gate run before any composite
+    * metric ships; [[ExtensionQueries.partialCorr]] relates two
+    * series, α certifies a SCALE of k of them.
+    *
+    * Scale shape: one pass to the calendar-bounded daily item matrix;
+    * all variances come from exact integer moment sums; one fenced
+    * assembly. */
+  def cronbachAlpha(spark: SparkSession, dir: String): DataFrame =
+    cronbachAlphaOf(Tables(spark, dir, "events"))
+
+  private[graft] def cronbachAlphaOf(events: DataFrame): DataFrame = {
+    val types = Seq("click", "view", "signup", "error")
+    val daily = events
+      .filter(col("event_type").isin(types.map(x => x: Any): _*))
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d")
+      .agg(sum(when(col("event_type") === types.head, 1L).otherwise(0L))
+          .as(types.head),
+        types.tail.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(t)): _*)
+      .withColumn("tot", types.map(col).reduce(_ + _))
+    val momCols = (types.flatMap(t => Seq(
+        sum(col(t)).cast("double").as(s"s_$t"),
+        sum(col(t) * col(t)).cast("double").as(s"q_$t"))) :+
+      sum(col("tot")).cast("double").as("s_tot") :+
+      sum(col("tot") * col("tot")).cast("double").as("q_tot"))
+    val mom = daily.agg(count(lit(1)).cast("double").as("n"), momCols: _*)
+    val varOf = (s: String, q: String) => s"(($q - $s * $s / n) / (n - 1))"
+    val sumVars = types.map(t => varOf(s"s_$t", s"q_$t")).mkString(" + ")
+    val vTot = varOf("s_tot", "q_tot")
+    mom.select(col("n").cast("long").as("n_days"),
+      lit(types.size.toLong).as("k_items"),
+      Det.rnd(expr(s"$vTot"), 4).as("var_total"),
+      Det.rnd(expr(s"${types.size}.0 / ${types.size - 1}.0" +
+        s" * (1.0 - ($sumVars) / $vTot)"), 6).as("alpha"))
+  }
+
+  val cronbachAlphaSql: String = {
+    val types = Seq("click", "view", "signup", "error")
+    val items = types.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(", ")
+    val moms = types.flatMap(t => Seq(
+      s"CAST(sum($t) AS DOUBLE) AS s_$t",
+      s"CAST(sum(CAST($t AS HUGEINT) * $t) AS DOUBLE) AS q_$t")).mkString(", ")
+    val varOf = (s: String, q: String) => s"(($q - $s * $s / n) / (n - 1))"
+    val sumVars = types.map(t => varOf(s"s_$t", s"q_$t")).mkString(" + ")
+    val vTot = varOf("s_tot", "q_tot")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, $items
+       |  FROM events
+       |  WHERE event_type IN (${types.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1),
+       |dt AS (SELECT *, ${types.mkString(" + ")} AS tot FROM daily),
+       |mom AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, $moms,
+       |         CAST(sum(tot) AS DOUBLE) AS s_tot,
+       |         CAST(sum(CAST(tot AS HUGEINT) * tot) AS DOUBLE) AS q_tot
+       |  FROM dt)
+       |SELECT CAST(n AS BIGINT) AS n_days, CAST(${types.size} AS BIGINT) AS k_items,
+       |       ${Det.rndSql(vTot, 4)} AS var_total,
+       |       ${Det.rndSql(s"${types.size}.0 / ${types.size - 1}.0" +
+            s" * (1.0 - ($sumVars) / $vTot)", 6)} AS alpha
+       |FROM mom""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -406,6 +406,40 @@ class Round9eSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 0.529412, 3.0), (1L, 0.0, 0.0)))
   }
 
+  test("bradleyTerry: dominant item earns the top strength, order follows wins") {
+    // 2 complete months; priority order by revenue identical both months
+    val rows = for {
+      (mon, base) <- Seq(("1996-01", 10.0), ("1996-02", 20.0))
+      (pr, i) <- Seq("1-U", "2-H", "3-M", "4-L", "5-N").zipWithIndex
+    } yield (mon.hashCode.toLong * 100 + i, i.toLong + 1,
+      base + (4 - i) * 10.0, s"$mon-05", pr)
+    val got = graft.queries.AnalyticsQueries.bradleyTerryOf(ordersOf(rows))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // wins: 1-U beats all (8), 2-H (6), 3-M (4), 4-L (2), 5-N (0); 8 games each
+    assert(got.toSeq === Seq(("1-U", 8L, 8L), ("2-H", 6L, 8L),
+      ("3-M", 4L, 8L), ("4-L", 2L, 8L), ("5-N", 0L, 8L)))
+    val s = graft.queries.AnalyticsQueries.bradleyTerryOf(ordersOf(rows))
+      .collect().map(_.getAs[Double]("bt_strength"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b }) // monotone strengths
+    assert(s.last === 0.0) // never-winning item collapses to zero strength
+  }
+
+  test("cronbachAlpha: perfectly parallel items give alpha 1") {
+    // four items identical per day → Σvar_i = 4v, var_tot = 16v →
+    // α = 4/3·(1 − 4v/16v) = 1
+    val rows = (0 until 6).flatMap { day =>
+      val n = 2 + day % 3
+      Seq("click", "view", "signup", "error").zipWithIndex.flatMap { case (ty, t) =>
+        (0 until n).map(e =>
+          ((day * 40 + t * 10 + e).toLong, 1L,
+            f"2024-09-${day + 1}%02d 08:00:00", ty, 1.0))
+      }
+    }
+    val r = graft.queries.AnalyticsQueries.cronbachAlphaOf(eventsOf(rows)).collect()(0)
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Double]("alpha") === 1.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
