@@ -1579,6 +1579,70 @@ object AnalyticsQueries {
        |FROM mom""".stripMargin
   }
 
+  /** FUNCTIONAL-DEPENDENCY DISCOVERY over a fixed candidate lattice:
+    * for each candidate A→B the number of A-groups carrying more than
+    * one distinct B decides whether the dependency HOLDS — the
+    * schema-semantics profiler that complements
+    * [[ExtensionQueries.fkDiscovery]] (cross-table inclusion) with
+    * intra-table determination, the check that catches "this column
+    * is secretly derivable" (drop it from the feature set) and "this
+    * key isn't actually a key" (dedup before joining on it).
+    *
+    * Scale shape: one groupBy per candidate on its LHS key (the
+    * natural shuffle), collapsing to a 1-row verdict each; the pass
+    * count is bounded by the candidate list, not the data. Pure
+    * integer counts, one fenced share per row. */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    fdDiscoveryOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "part"))
+
+  private[graft] def fdDiscoveryOf(
+      customer: DataFrame, orders: DataFrame, part: DataFrame): DataFrame = {
+    val candidates: Seq[(String, DataFrame, String, String)] = Seq(
+      ("c_custkey->c_mktsegment", customer, "c_custkey", "c_mktsegment"),
+      ("c_nationkey->c_mktsegment", customer, "c_nationkey", "c_mktsegment"),
+      ("c_mktsegment->c_nationkey", customer, "c_mktsegment", "c_nationkey"),
+      ("o_orderkey->o_orderpriority", orders, "o_orderkey", "o_orderpriority"),
+      ("o_custkey->o_orderpriority", orders, "o_custkey", "o_orderpriority"),
+      ("o_orderdate->o_orderstatus", orders, "o_orderdate", "o_orderstatus"),
+      ("p_brand->p_type", part, "p_brand", "p_type"),
+      ("p_type->p_brand", part, "p_type", "p_brand"))
+    candidates.map { case (name, df, lhs, rhs) =>
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"),
+          Det.rnd(col("n_violating").cast("double") / col("n_groups"), 6)
+            .as("violation_share"))
+    }.reduce(_ union _).orderBy("fd")
+  }
+
+  val fdDiscoverySql: String = {
+    val candidates = Seq(
+      ("c_custkey->c_mktsegment", "customer", "c_custkey", "c_mktsegment"),
+      ("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+      ("c_mktsegment->c_nationkey", "customer", "c_mktsegment", "c_nationkey"),
+      ("o_orderkey->o_orderpriority", "orders", "o_orderkey", "o_orderpriority"),
+      ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+      ("o_orderdate->o_orderstatus", "orders", "o_orderdate", "o_orderstatus"),
+      ("p_brand->p_type", "part", "p_brand", "p_type"),
+      ("p_type->p_brand", "part", "p_type", "p_brand"))
+    val rows = candidates.map { case (name, table, lhs, rhs) =>
+      s"""SELECT '$name' AS fd, count(*) AS n_groups,
+         |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+         |       ${Det.rndSql(
+          "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)}
+         |         AS violation_share
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd FROM $table GROUP BY 1)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$rows)
+       |ORDER BY fd""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -2764,6 +2764,99 @@ object SimilarityQueries {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  private val SpecRounds = 12
+  // 1e6 (not 1e12): the renorm product x·SpecScale must stay in BIGINT
+  // with x ≤ max_deg·SpecScale after a round
+  private val SpecScale = 1000000L
+
+  /** SPECTRAL RADIUS λ₁ of the symmetrized k-NN adjacency by integer
+    * power iteration ([[SpecRounds]] rounds, [[SpecScale]]-scaled
+    * vector renormalized by its max each round — truncating division,
+    * the [[pageRank]] bit-reproducibility contract), finished with a
+    * Rayleigh quotient on exact integer sums. λ₁ measures how
+    * hub-concentrated the neighborhood graph is (average degree ≤ λ₁
+    * ≤ max degree, both emitted as the audit bounds): a λ₁ near max
+    * degree means a few vectors dominate everyone's neighbor lists —
+    * the spectral early warning for the hub pathology
+    * [[semanticClusters]]' mutuality cut defends against.
+    *
+    * Scale shape: each round is one edge⋈vector join on the
+    * co-partitioned node key + a groupBy — the pagerank plan shape;
+    * the vector is node-bounded. Oracle unrolls identically. */
+  def spectralRadius(spark: SparkSession, dir: String): DataFrame =
+    spectralRadiusOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def spectralRadiusOnEdges(edges: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint() // ≤ 2k·|V| rows, read every round
+    val nodes = sym.select(col("src").as("v")).distinct()
+    var x = nodes.withColumn("x", lit(SpecScale))
+    for (_ <- 1 to SpecRounds) {
+      val ax = sym.join(x.select(col("v").as("dst"), col("x")), Seq("dst"))
+        .groupBy(col("src").as("v")).agg(sum("x").as("ax"))
+      val mx = ax.agg(max("ax").as("mx"))
+      x = nodes.join(ax, Seq("v"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("v"),
+          expr(s"CAST(coalesce(ax, 0) * $SpecScale div mx AS BIGINT)").as("x"))
+        .localCheckpoint() // node-bounded per round
+    }
+    val ax = sym.join(x.select(col("v").as("dst"), col("x")), Seq("dst"))
+      .groupBy(col("src").as("v")).agg(sum("x").as("ax"))
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val lam = x.join(ax, Seq("v")).agg(
+      sum(col("x").cast(d38) * col("ax")).as("num"),
+      sum(col("x").cast(d38) * col("x")).as("den"))
+    val bounds = deg.agg(count(lit(1)).as("n_nodes"), sum("d").as("deg_sum"),
+      max("d").as("max_deg"))
+    bounds.crossJoin(lam)
+      .select(col("n_nodes"), (col("deg_sum") / 2).cast("long").as("n_edges"),
+        graft.functions.Det.rnd(col("deg_sum").cast("double") / col("n_nodes"), 4).as("avg_deg"),
+        col("max_deg"),
+        graft.functions.Det.rnd(col("num").cast("double") / col("den").cast("double"), 4)
+          .as("lambda1"))
+  }
+
+  /** DuckDB twin of [[spectralRadius]]: identical integer rounds. */
+  val spectralRadiusSql: String = {
+    val rounds = (1 to SpecRounds).map { r =>
+      val prev = s"x${r - 1}"
+      s"""a$r AS (SELECT sym.src AS v, CAST(sum($prev.x) AS BIGINT) AS ax
+         |        FROM sym JOIN $prev ON $prev.v = sym.dst GROUP BY 1),
+         |x$r AS MATERIALIZED (
+         |  SELECT n.v,
+         |         CAST(coalesce(a$r.ax, 0) * $SpecScale
+         |              // (SELECT max(ax) FROM a$r) AS BIGINT) AS x
+         |  FROM nodes n LEFT JOIN a$r ON a$r.v = n.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM kedges UNION ALL SELECT dst, src FROM kedges)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+       |x0 AS (SELECT v, CAST($SpecScale AS BIGINT) AS x FROM nodes),
+       |$rounds,
+       |af AS (SELECT sym.src AS v, CAST(sum(x$SpecRounds.x) AS BIGINT) AS ax
+       |       FROM sym JOIN x$SpecRounds ON x$SpecRounds.v = sym.dst GROUP BY 1),
+       |lam AS (
+       |  SELECT sum(CAST(x.x AS HUGEINT) * af.ax) AS num,
+       |         sum(CAST(x.x AS HUGEINT) * x.x) AS den
+       |  FROM x$SpecRounds x JOIN af ON af.v = x.v),
+       |deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY 1),
+       |b AS (SELECT count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS deg_sum,
+       |             CAST(max(d) AS BIGINT) AS max_deg FROM deg)
+       |SELECT n_nodes, deg_sum // 2 AS n_edges,
+       |       ${graft.functions.Det.rndSql(
+            "CAST(deg_sum AS DOUBLE) / n_nodes", 4)} AS avg_deg,
+       |       max_deg,
+       |       ${graft.functions.Det.rndSql(
+            "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 4)} AS lambda1
+       |FROM b CROSS JOIN lam""".stripMargin
+  }
+
   private val GeoMedIters = 3
 
   /** GEOMETRIC MEDIAN of the embedding cloud by [[GeoMedIters]]

@@ -440,6 +440,45 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha") === 1.0)
   }
 
+  test("fdDiscovery: planted violations land in the right candidates") {
+    val s = spark; import s.implicits._
+    val customer = Seq(
+      (1L, "a", 1, 0.0, "SEG_A"), (2L, "b", 1, 0.0, "SEG_B"),
+      (3L, "c", 2, 0.0, "SEG_A")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = ordersOf(Seq(
+      (10L, 1L, 1.0, "1996-01-01", "P_HI"), (11L, 1L, 1.0, "1996-01-01", "P_LO"),
+      (12L, 2L, 1.0, "1996-01-01", "P_HI")))
+    val part = Seq(
+      (1L, "p1", "B1", "T1", 1, 1.0), (2L, "p2", "B1", "T1", 1, 1.0),
+      (3L, "p3", "B2", "T1", 1, 1.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val got = graft.queries.AnalyticsQueries.fdDiscoveryOf(customer, orders, part)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("c_custkey->c_mktsegment", 3L, 0L, true),
+      ("c_mktsegment->c_nationkey", 2L, 1L, false),
+      ("c_nationkey->c_mktsegment", 2L, 1L, false),
+      ("o_custkey->o_orderpriority", 2L, 1L, false),
+      ("o_orderdate->o_orderstatus", 1L, 0L, true),
+      ("o_orderkey->o_orderpriority", 3L, 0L, true),
+      ("p_brand->p_type", 2L, 0L, true),
+      ("p_type->p_brand", 1L, 1L, false)))
+  }
+
+  test("spectralRadius: complete K4 has lambda1 exactly 3") {
+    val s = spark; import s.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 0.9))
+      .toDF("src", "dst", "cos")
+    val r = graft.queries.SimilarityQueries.spectralRadiusOnEdges(k4).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Double]("avg_deg") === 3.0)
+    assert(r.getAs[Long]("max_deg") === 3L)
+    assert(r.getAs[Double]("lambda1") === 3.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
