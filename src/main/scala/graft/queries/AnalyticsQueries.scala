@@ -1643,6 +1643,129 @@ object AnalyticsQueries {
        |ORDER BY fd""".stripMargin
   }
 
+  /** PRICE ELASTICITY per brand: log-log OLS of quantity on effective
+    * unit price (list price net of discount) over the brand's line
+    * items — ε = d ln q / d ln p, the unit-free demand-curve slope
+    * the pricing bridge ([[ExtensionQueries.priceVolumeMix]]) treats
+    * as exogenous and this estimates. Per-group closed-form OLS —
+    * no iterative fitting.
+    *
+    * Scale shape: one lineitem⋈part join (partkey — the natural key),
+    * one groupBy(brand) collapsing to moment sums; ln() runs on
+    * ratios of EXACT integers (cents × discount-% / quantity), so
+    * both engines feed identical doubles to identical closed forms,
+    * fenced per row. */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame =
+    priceElasticityOf(Tables(spark, dir, "lineitem"), Tables(spark, dir, "part"))
+
+  private[graft] def priceElasticityOf(
+      lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rows = lineitem
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("ln(CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))" +
+          " / CAST(round(l_quantity) AS BIGINT))").as("x"),
+        expr("ln(CAST(round(l_quantity) AS BIGINT))").as("y"))
+    rows.groupBy("brand")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("brand"), col("n").cast("long").as("n_lines"),
+        Det.rnd(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 4)
+          .as("elasticity"),
+        Det.rnd(expr("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n"), 4)
+          .as("intercept"),
+        Det.rnd(expr("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+          " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"), 6).as("r2"))
+      .orderBy("brand")
+  }
+
+  val priceElasticitySql: String =
+    s"""WITH r AS (
+       |  SELECT p_brand AS brand,
+       |         ln(${Det.centsSql("l_extendedprice")}
+       |            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |            / CAST(round(l_quantity) AS BIGINT)) AS x,
+       |         ln(CAST(round(l_quantity) AS BIGINT)) AS y
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+       |m AS (
+       |  SELECT brand, CAST(count(*) AS DOUBLE) AS n,
+       |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |         sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM r GROUP BY 1)
+       |SELECT brand, CAST(n AS BIGINT) AS n_lines,
+       |       ${Det.rndSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS elasticity,
+       |       ${Det.rndSql(
+            "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 4)} AS intercept,
+       |       ${Det.rndSql("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+       |FROM m
+       |ORDER BY brand""".stripMargin
+
+  /** SURVEY DESIGN EFFECT of market-segment stratification for the
+    * mean order value: DEFF = Σ W_h·S²_h / S² — how much variance a
+    * proportionally-allocated stratified sample buys over simple
+    * random sampling (DEFF < 1 ⟺ the strata explain between-group
+    * variance). The planning companion to
+    * [[ExtensionQueries.neymanAllocation]] (which OPTIMIZES the
+    * allocation; this scores whether stratifying is worth anything
+    * at all).
+    *
+    * Scale shape: one join + one groupBy(segment) to exact integer
+    * moments; the assembly is k-row arithmetic, fenced once. */
+  def designEffect(spark: SparkSession, dir: String): DataFrame =
+    designEffectOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def designEffectOf(
+      customer: DataFrame, orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val seg = orders
+      .select(col("o_custkey"), Det.cents(col("o_totalprice")).as("c"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("h"))
+      .agg(count(lit(1)).as("n_h"), sum("c").as("s_h"),
+        sum(col("c").cast(d38) * col("c")).as("q_h"))
+    val varH = "((CAST(q_h AS DOUBLE) - CAST(s_h AS DOUBLE) * s_h / n_h) / (n_h - 1))"
+    seg.agg(count(lit(1)).as("k"), sum("n_h").as("n"),
+        sum("s_h").as("s"), sum(col("q_h")).as("q"),
+        sum(expr(s"n_h * $varH")).as("wv"))
+      .select(col("n").cast("long").as("n_orders"), col("k").as("k_strata"),
+        Det.rnd(expr("((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))")
+          / 10000.0, 2).as("s2_total_d2"),
+        Det.rnd(expr("wv / n") / 10000.0, 2).as("s2_within_d2"),
+        Det.rnd(expr("(wv / n)" +
+          " / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))"), 6)
+          .as("deff"))
+  }
+
+  val designEffectSql: String = {
+    val varH = "((CAST(q_h AS DOUBLE) - CAST(s_h AS DOUBLE) * s_h / n_h) / (n_h - 1))"
+    s"""WITH seg AS (
+       |  SELECT c_mktsegment AS h, count(*) AS n_h,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS s_h,
+       |         sum(CAST(${Det.centsSql("o_totalprice")} AS HUGEINT)
+       |             * ${Det.centsSql("o_totalprice")}) AS q_h
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS k, CAST(sum(n_h) AS BIGINT) AS n,
+       |         CAST(sum(s_h) AS BIGINT) AS s, CAST(sum(q_h) AS DOUBLE) AS q,
+       |         sum(n_h * $varH) AS wv
+       |  FROM seg)
+       |SELECT n AS n_orders, k AS k_strata,
+       |       ${Det.rndSql(
+            "((q - CAST(s AS DOUBLE) * s / n) / (n - 1)) / 10000.0", 2)} AS s2_total_d2,
+       |       ${Det.rndSql("wv / n / 10000.0", 2)} AS s2_within_d2,
+       |       ${Det.rndSql(
+            "(wv / n) / ((q - CAST(s AS DOUBLE) * s / n) / (n - 1))", 6)} AS deff
+       |FROM a""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

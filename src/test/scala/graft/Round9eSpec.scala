@@ -479,6 +479,49 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("lambda1") === 3.0)
   }
 
+  private def lineitemOf(rows: Seq[(Long, Long, Double, Double, Double)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (ok, pk, q, ep, disc) =>
+      (ok, pk, 1L, 1, q, ep, disc, 0.02, "N", "O", ts("1996-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
+  test("priceElasticity: planted constant-elasticity demand recovers epsilon = -2") {
+    val s = spark; import s.implicits._
+    val part = Seq((1L, "p1", "B1", "T", 1, 1.0), (2L, "p2", "B1", "T", 1, 1.0),
+      (3L, "p3", "B1", "T", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    // q = (100/p)²: p=1 → q=10000·? keep small: unit prices 1, 2, 4 →
+    // q = 16, 4, 1 (ε = −2); no discount; extendedprice = p·q
+    val li = lineitemOf(Seq(
+      (1L, 1L, 16.0, 16.0, 0.0), (2L, 2L, 4.0, 8.0, 0.0), (3L, 3L, 1.0, 4.0, 0.0)))
+    val r = graft.queries.AnalyticsQueries.priceElasticityOf(li, part).collect()(0)
+    assert(r.getString(0) === "B1")
+    assert(r.getAs[Long]("n_lines") === 3L)
+    assert(r.getAs[Double]("elasticity") === -2.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("designEffect: homogeneous strata with separated means push DEFF below 1") {
+    val s = spark; import s.implicits._
+    val customer = Seq(
+      (1L, "a", 1, 0.0, "SEG_A"), (2L, "b", 1, 0.0, "SEG_B")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // SEG_A orders: 10, 12; SEG_B: 100, 102 — tiny within, huge between
+    val orders = ordersOf(Seq(
+      (1L, 1L, 10.0, "1996-01-01", "P"), (2L, 1L, 12.0, "1996-01-01", "P"),
+      (3L, 2L, 100.0, "1996-01-01", "P"), (4L, 2L, 102.0, "1996-01-01", "P")))
+    val r = graft.queries.AnalyticsQueries.designEffectOf(customer, orders).collect()(0)
+    assert(r.getAs[Long]("n_orders") === 4L)
+    assert(r.getAs[Long]("k_strata") === 2L)
+    // S²_h = 2 (both strata, dollars² = 20000 cents²); wv/n = 20000 cents²
+    // S²_total = (Σq − S²/n)/3 — dominated by the 90-dollar gap
+    assert(r.getAs[Double]("s2_within_d2") === 2.0)
+    assert(r.getAs[Double]("deff") < 0.01)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
