@@ -1766,6 +1766,228 @@ object AnalyticsQueries {
        |FROM a""".stripMargin
   }
 
+  /** TRANSFER ENTROPY (Schreiber) between the binarized daily click
+    * and purchase series, both directions: TE(X→Y) =
+    * Σ p(y⁺,y,x)·log₂[p(y⁺|y,x)/p(y⁺|y)] — the model-free causality
+    * measure that catches NONLINEAR lagged influence
+    * [[grangerCausality]]'s linear F-test misses. States binarize
+    * against the series MEAN by exact integer cross-multiplication
+    * (xₜ·n > Σx — no float threshold), so the whole joint histogram
+    * is exact integer counts.
+    *
+    * Scale shape: the corpus collapses to the dense daily grid once;
+    * the TE assembly is arithmetic over the 8-cell joint histogram
+    * and its margins (value-bounded joins). Zero-count contexts
+    * contribute zero by the standard convention, identically in both
+    * engines; one fence per direction. */
+  def transferEntropy(spark: SparkSession, dir: String): DataFrame =
+    transferEntropyOf(Tables(spark, dir, "events"))
+
+  private[graft] def transferEntropyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yc"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i"), coalesce(col("xc"), lit(0L)).as("xv"),
+        coalesce(col("yc"), lit(0L)).as("yv"))
+    val tot = dense.agg(count(lit(1)).as("n"), sum("xv").as("sx"),
+      sum("yv").as("sy"))
+    val bin = dense.crossJoin(broadcast(tot))
+      .select(col("i"),
+        when(col("xv") * col("n") > col("sx"), 1).otherwise(0).as("x"),
+        when(col("yv") * col("n") > col("sy"), 1).otherwise(0).as("y"))
+    val w = Window.orderBy("i")
+    val lagged = bin
+      .select(col("x"), col("y"),
+        lag("x", 1).over(w).as("x1"), lag("y", 1).over(w).as("y1"))
+      .filter(col("x1").isNotNull)
+      .localCheckpoint() // calendar-bounded; two TE directions read it
+    def te(dep: String, own: String, cross: String): DataFrame = {
+      val cells = lagged.groupBy(col(dep).as("dn"), col(own).as("ow"),
+        col(cross).as("cr")).agg(count(lit(1)).as("c"))
+      val mOwCr = cells.groupBy("ow", "cr").agg(sum("c").as("n_owcr"))
+      val mDnOw = cells.groupBy("dn", "ow").agg(sum("c").as("n_dnow"))
+      val mOw = cells.groupBy("ow").agg(sum("c").as("n_ow"))
+      val nT = cells.agg(sum("c").as("nn"))
+      cells.join(mOwCr, Seq("ow", "cr")).join(mDnOw, Seq("dn", "ow"))
+        .join(mOw, Seq("ow")).crossJoin(broadcast(nT))
+        .select((col("c").cast("double") / col("nn")
+          * log(col("c").cast("double") * col("n_ow")
+            / (col("n_owcr").cast("double") * col("n_dnow")))
+          / math.log(2.0)).as("term"))
+        .agg(coalesce(sum("term"), lit(0.0)).as("te"))
+    }
+    val teXy = te("y", "y1", "x1")
+    val teYx = te("x", "x1", "y1")
+    val n = lagged.agg(count(lit(1)).as("n_days"))
+    n.crossJoin(teXy.select(col("te").as("te_xy")))
+      .crossJoin(teYx.select(col("te").as("te_yx")))
+      .select(explode(array(
+        struct(lit("click->purchase").as("direction"), col("n_days"),
+          Det.rnd(col("te_xy"), 6).as("te_bits")),
+        struct(lit("purchase->click").as("direction"), col("n_days"),
+          Det.rnd(col("te_yx"), 6).as("te_bits")))).as("r"))
+      .select(col("r.direction").as("direction"), col("r.n_days").as("n_days"),
+        col("r.te_bits").as("te_bits"))
+      .orderBy("direction")
+  }
+
+  val transferEntropySql: String = {
+    def te(dep: String, own: String, cross: String) =
+      s"""SELECT coalesce(sum(
+         |  CAST(c AS DOUBLE) / nn
+         |  * ln(CAST(c AS DOUBLE) * n_ow / (CAST(n_owcr AS DOUBLE) * n_dnow))
+         |  / ${math.log(2.0)}), 0.0) AS te
+         |FROM (
+         |  SELECT c.c, m1.n_owcr, m2.n_dnow, m3.n_ow, t.nn
+         |  FROM (SELECT $dep AS dn, $own AS ow, $cross AS cr, count(*) AS c
+         |        FROM lv GROUP BY 1, 2, 3) c
+         |  JOIN (SELECT $own AS ow, $cross AS cr, count(*) AS n_owcr
+         |        FROM lv GROUP BY 1, 2) m1 ON m1.ow = c.ow AND m1.cr = c.cr
+         |  JOIN (SELECT $dep AS dn, $own AS ow, count(*) AS n_dnow
+         |        FROM lv GROUP BY 1, 2) m2 ON m2.dn = c.dn AND m2.ow = c.ow
+         |  JOIN (SELECT $own AS ow, count(*) AS n_ow
+         |        FROM lv GROUP BY 1) m3 ON m3.ow = c.ow
+         |  CROSS JOIN (SELECT count(*) AS nn FROM lv) t)""".stripMargin
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yc
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |dense AS (
+       |  SELECT g.i, coalesce(byday.xc, 0) AS xv, coalesce(byday.yc, 0) AS yv
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |tot AS (SELECT count(*) AS n, CAST(sum(xv) AS BIGINT) AS sx,
+       |               CAST(sum(yv) AS BIGINT) AS sy FROM dense),
+       |bin AS (
+       |  SELECT i, CASE WHEN xv * n > sx THEN 1 ELSE 0 END AS x,
+       |         CASE WHEN yv * n > sy THEN 1 ELSE 0 END AS y
+       |  FROM dense CROSS JOIN tot),
+       |lagged AS (
+       |  SELECT x, y, lag(x) OVER (ORDER BY i) AS x1,
+       |         lag(y) OVER (ORDER BY i) AS y1
+       |  FROM bin),
+       |lv AS MATERIALIZED (SELECT * FROM lagged WHERE x1 IS NOT NULL),
+       |nr AS (SELECT count(*) AS n_days FROM lv),
+       |xy AS (${te("y", "y1", "x1")}),
+       |yx AS (${te("x", "x1", "y1")})
+       |SELECT * FROM (
+       |  SELECT 'click->purchase' AS direction, n_days,
+       |         ${Det.rndSql("xy.te", 6)} AS te_bits
+       |  FROM nr CROSS JOIN xy
+       |  UNION ALL
+       |  SELECT 'purchase->click', n_days, ${Det.rndSql("yx.te", 6)}
+       |  FROM nr CROSS JOIN yx)
+       |ORDER BY direction""".stripMargin
+  }
+
+  /** SAMPLE ENTROPY (Richman–Moorman, m=2) of the daily revenue
+    * series: −ln(A/B) where B counts template pairs of length 2 and A
+    * of length 3 matching within Chebyshev tolerance r — the
+    * regularity/complexity readout (low = predictable rhythm, high =
+    * structureless) that [[hurstExponent]]'s long-memory slope and
+    * [[ExtensionQueries.autocorr]]'s fixed lags don't capture.
+    * Tolerance r = half the interquartile range, RANK-PICKED from the
+    * distinct-cents day histogram — an exact integer, so every match
+    * decision is integer Chebyshev ≤ r with no float boundary.
+    *
+    * Scale shape: corpus → calendar-bounded day grid → windows² pair
+    * join (the matrix-profile argument: bounded at any corpus size).
+    * A = 0 yields NULL entropy by the standard convention, same in
+    * both engines. */
+  def sampleEntropy(spark: SparkSession, dir: String): DataFrame =
+    sampleEntropyOf(Tables(spark, dir, "events"))
+
+  private[graft] def sampleEntropyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"), coalesce(col("c"), lit(0L)).as("x"))
+    // r = IQR/2 rank-picked from the sorted day values (exact integer)
+    val wv = Window.orderBy("x")
+    val ranked = dense.withColumn("rk", row_number().over(wv))
+    val nRow = dense.agg(count(lit(1)).as("n"))
+    val r = ranked.crossJoin(broadcast(nRow))
+      .agg((min(when(col("rk") >= expr("(n * 3 + 3) div 4"), col("x")))
+        - min(when(col("rk") >= expr("(n + 3) div 4"), col("x")))).as("iqr"))
+      .select(expr("iqr div 2").as("r"))
+    val w = Window.orderBy("i")
+    val wins = dense
+      .select(col("i"), col("x").as("v0"), lead("x", 1).over(w).as("v1"),
+        lead("x", 2).over(w).as("v2"))
+      .filter(col("v2").isNotNull)
+    val pairs = wins.as("a").join(wins.as("b"), col("b.i") > col("a.i"))
+      .crossJoin(broadcast(r))
+      .select(col("r"),
+        greatest(abs(col("a.v0") - col("b.v0")),
+          abs(col("a.v1") - col("b.v1"))).as("d2"),
+        greatest(abs(col("a.v0") - col("b.v0")),
+          abs(col("a.v1") - col("b.v1")),
+          abs(col("a.v2") - col("b.v2"))).as("d3"))
+    pairs.agg(max("r").as("r"),
+        sum(when(col("d2") <= col("r"), 1L).otherwise(0L)).as("b_pairs"),
+        sum(when(col("d3") <= col("r"), 1L).otherwise(0L)).as("a_pairs"))
+      .select(Det.rnd(col("r").cast("double") / 100.0, 2).as("r_dollars"),
+        col("b_pairs"), col("a_pairs"),
+        when(col("a_pairs") > 0 && col("b_pairs") > 0,
+          Det.rnd(-log(col("a_pairs").cast("double") / col("b_pairs")), 4))
+          .as("sampen"))
+  }
+
+  val sampleEntropySql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |dense AS (
+       |  SELECT CAST(g.i AS BIGINT) AS i, coalesce(byday.c, 0) AS x
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |rk AS (SELECT x, row_number() OVER (ORDER BY x) AS rk,
+       |              count(*) OVER () AS n FROM dense),
+       |rr AS (SELECT CAST((min(CASE WHEN rk >= (n * 3 + 3) // 4 THEN x END)
+       |                    - min(CASE WHEN rk >= (n + 3) // 4 THEN x END)) // 2
+       |              AS BIGINT) AS r
+       |       FROM rk),
+       |wins AS (
+       |  SELECT i, x AS v0, lead(x, 1) OVER (ORDER BY i) AS v1,
+       |         lead(x, 2) OVER (ORDER BY i) AS v2
+       |  FROM dense),
+       |wv AS (SELECT * FROM wins WHERE v2 IS NOT NULL),
+       |p AS (
+       |  SELECT r,
+       |         greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1)) AS d2,
+       |         greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1),
+       |                  abs(a.v2 - b.v2)) AS d3
+       |  FROM wv a JOIN wv b ON b.i > a.i CROSS JOIN rr),
+       |agg AS (
+       |  SELECT max(r) AS r,
+       |         CAST(sum(CASE WHEN d2 <= r THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+       |         CAST(sum(CASE WHEN d3 <= r THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+       |  FROM p)
+       |SELECT ${Det.rndSql("CAST(r AS DOUBLE) / 100.0", 2)} AS r_dollars,
+       |       b_pairs, a_pairs,
+       |       CASE WHEN a_pairs > 0 AND b_pairs > 0
+       |            THEN ${Det.rndSql("-ln(CAST(a_pairs AS DOUBLE) / b_pairs)", 4)}
+       |       END AS sampen
+       |FROM agg""".stripMargin
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -1414,6 +1414,89 @@ object TextQueries {
     * precedent). Totals ride a genuine 1-row broadcast; the final cut
     * is a TakeOrderedAndProject. Floats only at the one ln per
     * surviving pair, rounded to 4dp before ranking. */
+  private val BurrowsK = 30
+
+  /** BURROWS' DELTA stylometric distance between sources: the
+    * [[BurrowsK]] most frequent corpus tokens ("function words" at
+    * this corpus's scale), each source's per-mille frequency
+    * z-scored across sources, Delta(s₁,s₂) = mean |z₁−z₂| — the
+    * standard authorship-attribution distance, here the
+    * PROVENANCE-drift audit between ingest sources (two sources with
+    * tiny Delta likely share a generator/template even when their
+    * content dedups clean; the style layer [[langId]]/[[textQuality]]
+    * don't see).
+    *
+    * Scale shape: ONE token-explode pass aggregates (source × term)
+    * counts; everything after lives in (K × sources) space — the
+    * z-score table and the 10-row pairwise Delta matrix are
+    * value-bounded. Frequencies are exact-integer ratios; the
+    * cross-source σ guard drops zero-variance terms identically in
+    * both engines; fenced once per pair. */
+  def burrowsDelta(spark: SparkSession, dir: String): DataFrame =
+    burrowsDeltaOf(Tables(spark, dir, "documents"))
+
+  private[graft] def burrowsDeltaOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w"))
+    val st = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocabulary-sized; feeds top-K + totals
+    val topK = st.groupBy("w").agg(sum("c").as("ct"))
+      .orderBy(desc("ct"), col("w")).limit(BurrowsK).select("w")
+    val srcTot = st.groupBy("source").agg(sum("c").as("n_s"))
+    // absent (source, term) cells are true zero frequencies: build the
+    // full K × sources grid so zeros enter the z-scores
+    val grid = topK.crossJoin(srcTot.select("source", "n_s"))
+      .join(st, Seq("w", "source"), "left")
+      .select(col("w"), col("source"),
+        (coalesce(col("c"), lit(0L)).cast("double") * 1000.0 / col("n_s")).as("f"))
+    val stats = grid.groupBy("w").agg(
+        count(lit(1)).cast("double").as("k"),
+        sum("f").as("sf"), sum(col("f") * col("f")).as("sff"))
+      .select(col("w"), (col("sf") / col("k")).as("mu"),
+        sqrt(expr("(sff - sf * sf / k) / (k - 1)")).as("sig"))
+      .filter(col("sig") > 0)
+    val z = grid.join(broadcast(stats), Seq("w"))
+      .select(col("w"), col("source"), ((col("f") - col("mu")) / col("sig")).as("z"))
+      .localCheckpoint() // K × sources rows, self-joined
+    z.as("a").join(z.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        graft.functions.Det.rnd(avg(abs(col("a.z") - col("b.z"))), 4).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val burrowsDeltaSql: String =
+    s"""WITH st AS (
+       |  SELECT source, w, count(*) AS c
+       |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT w FROM (SELECT w, sum(c) AS ct FROM st GROUP BY 1)
+       |  ORDER BY ct DESC, w LIMIT $BurrowsK),
+       |srctot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+       |grid AS (
+       |  SELECT topk.w, srctot.source,
+       |         CAST(coalesce(st.c, 0) AS DOUBLE) * 1000.0 / srctot.n_s AS f
+       |  FROM topk CROSS JOIN srctot
+       |  LEFT JOIN st ON st.w = topk.w AND st.source = srctot.source),
+       |stats AS (
+       |  SELECT w, sf / k AS mu, sqrt((sff - sf * sf / k) / (k - 1)) AS sig
+       |  FROM (SELECT w, CAST(count(*) AS DOUBLE) AS k, sum(f) AS sf,
+       |               sum(f * f) AS sff
+       |        FROM grid GROUP BY 1)
+       |  WHERE sqrt((sff - sf * sf / k) / (k - 1)) > 0),
+       |z AS (
+       |  SELECT grid.w, grid.source, (grid.f - stats.mu) / stats.sig AS z
+       |  FROM grid JOIN stats ON stats.w = grid.w)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       count(*) AS n_terms,
+       |       ${graft.functions.Det.rndSql("avg(abs(a.z - b.z))", 4)} AS delta
+       |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(split(trim(col("text")), "\\s+").as("toks"))

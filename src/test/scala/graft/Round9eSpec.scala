@@ -522,6 +522,64 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("deff") < 0.01)
   }
 
+  test("transferEntropy: planted y=lag(x) coupling matches a plain-Scala replay") {
+    // last day must be active or the event span drops it from the grid
+    val x = Seq(1, 0, 0, 1, 1, 0, 1, 0, 0, 1, 1, 0, 1, 1, 0, 1)
+    val y = x.indices.map(i => if (i == 0) 0 else x(i - 1))
+    var id = 0L
+    val rows = for {
+      day <- x.indices
+      (ty, n) <- Seq(("click", 2 * x(day)), ("purchase", 2 * y(day)))
+      _ <- 1 to n
+    } yield { id += 1; (id, 1L, f"2024-10-${day + 1}%02d 08:00:00", ty, 1.0) }
+    val got = graft.queries.AnalyticsQueries.transferEntropyOf(eventsOf(rows))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    def replay(dep: Seq[Int], own: Seq[Int], cross: Seq[Int]): Double = {
+      val t = dep.indices.map(i => (dep(i), own(i), cross(i)))
+      val n = t.size.toDouble
+      val c3 = t.groupBy(identity).view.mapValues(_.size).toMap
+      val cOwCr = t.groupBy(v => (v._2, v._3)).view.mapValues(_.size).toMap
+      val cDnOw = t.groupBy(v => (v._1, v._2)).view.mapValues(_.size).toMap
+      val cOw = t.groupBy(_._2).view.mapValues(_.size).toMap
+      c3.map { case ((dn, ow, cr), c) =>
+        c / n * math.log(c.toDouble * cOw(ow)
+          / (cOwCr((ow, cr)).toDouble * cDnOw((dn, ow)))) / math.log(2)
+      }.sum
+    }
+    // binarization: day count 2 > mean(=1) → 1; 0 → 0 (exactly x, y)
+    val yt = y.drop(1); val y1 = y.dropRight(1); val x1 = x.dropRight(1)
+    val xt = x.drop(1)
+    assert(math.abs(got("click->purchase") - replay(yt, y1, x1)) < 1e-4)
+    assert(math.abs(got("purchase->click") - replay(xt, x1, y1)) < 1e-4)
+    assert(got("click->purchase") > 0.3) // deterministic coupling carries bits
+  }
+
+  test("sampleEntropy: constant series is perfectly regular (sampen 0)") {
+    val events = eventsOf((0 until 6).map { day =>
+      (day.toLong, 1L, f"2024-11-${day + 1}%02d 08:00:00", "purchase", 5.0)
+    })
+    val r = graft.queries.AnalyticsQueries.sampleEntropyOf(events).collect()(0)
+    assert(r.getAs[Double]("r_dollars") === 0.0)
+    assert(r.getAs[Long]("b_pairs") === 6L) // C(4,2) template pairs
+    assert(r.getAs[Long]("a_pairs") === 6L)
+    assert(r.getAs[Double]("sampen") === 0.0)
+  }
+
+  test("burrowsDelta: identical-style sources score 0, contrasting style 1.7321") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "x x y", "en", "src_a", 5L),
+      (2L, "x x y", "en", "src_b", 5L),
+      (3L, "y y x", "en", "src_c", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.burrowsDeltaOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("src_a", "src_b", 2L, 0.0),
+      ("src_a", "src_c", 2L, 1.7321),
+      ("src_b", "src_c", 2L, 1.7321)))
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
