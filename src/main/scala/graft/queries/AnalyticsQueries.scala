@@ -1988,6 +1988,192 @@ object AnalyticsQueries {
        |       END AS sampen
        |FROM agg""".stripMargin
 
+  /** TUKEY MEDIAN POLISH (two full row/col sweeps) of the month ×
+    * priority revenue matrix: the ROBUST two-way decomposition value =
+    * row effect + column effect + residual, where
+    * [[ExtensionQueries.seasonalIndex]]'s mean ratios let one wild
+    * month drag every priority's profile. Emits the per-priority
+    * column effects and the residual MAD (the robust "what the
+    * additive model can't explain" number).
+    *
+    * Scale shape: the corpus collapses once to the calendar-bounded
+    * complete-month matrix; each sweep is a rank-picked two-middle
+    * median over that bounded relation. EXACT: cents are integers and
+    * every median halves at most twice per sweep pair, so all
+    * intermediates are dyadic rationals (k/4, k/8 …) that doubles
+    * represent exactly — both engines run identical exact arithmetic
+    * end-to-end, fenced only at output. */
+  def medianPolish(spark: SparkSession, dir: String): DataFrame =
+    medianPolishOf(Tables(spark, dir, "orders"))
+
+  private[graft] def medianPolishOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val cells0 = orders
+      .select(date_trunc("month", col("o_orderdate")).as("mon"),
+        col("o_orderpriority").as("trt"),
+        Det.cents(col("o_totalprice")).as("cents"))
+      .groupBy("mon", "trt").agg(sum("cents").cast("double").as("v"))
+    val complete = cells0.groupBy("mon").agg(count(lit(1)).as("n_trt"))
+      .filter(col("n_trt") === k).select("mon")
+    var resid = cells0.join(broadcast(complete), Seq("mon"))
+      .localCheckpoint() // calendar-bounded matrix
+    def medOver(df: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy("v")
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
+        .groupBy(key)
+        .agg(((min(when(col("rk") >= expr("(n + 1) div 2"), col("v")))
+          + min(when(col("rk") >= expr("n div 2 + 1"), col("v")))) / 2).as("med"))
+    }
+    var colEff = resid.select(col("trt")).distinct()
+      .withColumn("ce", lit(0.0))
+    for (_ <- 1 to 2) {
+      val rm = medOver(resid, "mon").withColumnRenamed("med", "rm")
+      resid = resid.join(broadcast(rm), Seq("mon"))
+        .select(col("mon"), col("trt"), (col("v") - col("rm")).as("v"))
+      val cm = medOver(resid, "trt").withColumnRenamed("med", "cm")
+      resid = resid.join(broadcast(cm), Seq("trt"))
+        .select(col("mon"), col("trt"), (col("v") - col("cm")).as("v"))
+        .localCheckpoint() // bounded; next sweep + MAD read it
+      colEff = colEff.join(cm, Seq("trt"))
+        .select(col("trt"), (col("ce") + col("cm")).as("ce"))
+    }
+    val wAll = Window.orderBy("av")
+    val mad = resid.select(abs(col("v")).as("av"))
+      .withColumn("rk", row_number().over(wAll))
+      .withColumn("n", count(lit(1)).over())
+      .agg(((min(when(col("rk") >= expr("(n + 1) div 2"), col("av")))
+        + min(when(col("rk") >= expr("n div 2 + 1"), col("av")))) / 2).as("mad"))
+    colEff.crossJoin(broadcast(mad))
+      .select(col("trt").as("priority"),
+        Det.rnd(col("ce") / 100.0, 4).as("col_effect_dollars"),
+        Det.rnd(col("mad") / 100.0, 4).as("residual_mad_dollars"))
+      .orderBy("priority")
+  }
+
+  val medianPolishSql: String = {
+    def med(src: String, key: String, out: String) =
+      s"""$out AS (
+         |  SELECT $key,
+         |         (min(CASE WHEN rk >= (n + 1) // 2 THEN v END)
+         |          + min(CASE WHEN rk >= n // 2 + 1 THEN v END)) / 2 AS med
+         |  FROM (SELECT $key, v,
+         |               row_number() OVER (PARTITION BY $key ORDER BY v) AS rk,
+         |               count(*) OVER (PARTITION BY $key) AS n
+         |        FROM $src)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH cells0 AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS trt,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS DOUBLE) AS v
+       |  FROM orders GROUP BY 1, 2),
+       |complete AS (SELECT mon FROM cells0 GROUP BY 1 HAVING count(*) = 5),
+       |r0 AS (SELECT cells0.* FROM cells0 JOIN complete USING (mon)),
+       |${med("r0", "mon", "rm1")},
+       |r1 AS (SELECT mon, trt, v - med AS v FROM r0 JOIN rm1 USING (mon)),
+       |${med("r1", "trt", "cm1")},
+       |r2 AS (SELECT mon, trt, v - med AS v FROM r1 JOIN cm1 USING (trt)),
+       |${med("r2", "mon", "rm2")},
+       |r3 AS (SELECT mon, trt, v - med AS v FROM r2 JOIN rm2 USING (mon)),
+       |${med("r3", "trt", "cm2")},
+       |r4 AS (SELECT mon, trt, v - med AS v FROM r3 JOIN cm2 USING (trt)),
+       |madc AS (
+       |  SELECT (min(CASE WHEN rk >= (n + 1) // 2 THEN av END)
+       |          + min(CASE WHEN rk >= n // 2 + 1 THEN av END)) / 2 AS mad
+       |  FROM (SELECT abs(v) AS av,
+       |               row_number() OVER (ORDER BY abs(v)) AS rk,
+       |               count(*) OVER () AS n
+       |        FROM r4))
+       |SELECT cm1.trt AS priority,
+       |       ${Det.rndSql("(cm1.med + cm2.med) / 100.0", 4)} AS col_effect_dollars,
+       |       ${Det.rndSql("mad / 100.0", 4)} AS residual_mad_dollars
+       |FROM cm1 JOIN cm2 USING (trt) CROSS JOIN madc
+       |ORDER BY priority""".stripMargin
+  }
+
+  /** TAIL-DEPENDENCE coefficients between the daily click and
+    * purchase series: λ_U = P(X > q₈₀ˣ ∧ Y > q₈₀ʸ)/P(Y > q₈₀ʸ) and
+    * its lower-tail mirror — do extreme days CO-OCCUR? The
+    * dependence-structure readout a correlation can't give (two
+    * series can be ρ=0.5 with independent extremes, or ρ=0.5 with
+    * every spike shared — different capacity-planning worlds).
+    * Thresholds are rank-picked exact integers from each series'
+    * day histogram; every count and comparison is integer.
+    *
+    * Scale shape: corpus → calendar-bounded day grid; two bounded
+    * rank windows pick the quantiles; one pass counts the joint
+    * exceedances. */
+  def tailDependence(spark: SparkSession, dir: String): DataFrame =
+    tailDependenceOf(Tables(spark, dir, "events"))
+
+  private[graft] def tailDependenceOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yc"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(coalesce(col("xc"), lit(0L)).as("x"),
+        coalesce(col("yc"), lit(0L)).as("y"))
+      .localCheckpoint() // calendar-bounded; quantiles + count read it
+    def q(cn: String, p: Int) = { // the ceil(p%·n)-th order statistic
+      val w = Window.orderBy(cn)
+      dense.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over())
+        .agg(min(when(col("rk") >= expr(s"(n * $p + 99) div 100"), col(cn)))
+          .as(s"q_$cn"))
+    }
+    val qs = q("x", 80).crossJoin(q("y", 80))
+      .crossJoin(q("x", 20).withColumnRenamed("q_x", "l_x"))
+      .crossJoin(q("y", 20).withColumnRenamed("q_y", "l_y"))
+    dense.crossJoin(broadcast(qs))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("y") > col("q_y"), 1L).otherwise(0L)).as("ny"),
+        sum(when(col("x") > col("q_x") && col("y") > col("q_y"), 1L)
+          .otherwise(0L)).as("nxy"),
+        sum(when(col("y") <= col("l_y"), 1L).otherwise(0L)).as("nly"),
+        sum(when(col("x") <= col("l_x") && col("y") <= col("l_y"), 1L)
+          .otherwise(0L)).as("nlxy"))
+      .select(col("n_days"), col("ny"), col("nxy"),
+        Det.rnd(col("nxy").cast("double") / col("ny"), 4).as("lambda_upper"),
+        Det.rnd(col("nlxy").cast("double") / col("nly"), 4).as("lambda_lower"))
+  }
+
+  val tailDependenceSql: String = {
+    def q(cn: String, p: Int, out: String) =
+      s"""$out AS (
+         |  SELECT min(CASE WHEN rk >= (n * $p + 99) // 100 THEN $cn END) AS v
+         |  FROM (SELECT $cn, row_number() OVER (ORDER BY $cn) AS rk,
+         |               count(*) OVER () AS n FROM dense))""".stripMargin
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yc
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |dense AS (
+       |  SELECT coalesce(byday.xc, 0) AS x, coalesce(byday.yc, 0) AS y
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |${q("x", 80, "qx")}, ${q("y", 80, "qy")},
+       |${q("x", 20, "lx")}, ${q("y", 20, "ly")}
+       |SELECT count(*) AS n_days,
+       |       CAST(sum(CASE WHEN y > qy.v THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+       |       CAST(sum(CASE WHEN x > qx.v AND y > qy.v THEN 1 ELSE 0 END) AS BIGINT) AS nxy,
+       |       ${Det.rndSql(
+            "CAST(sum(CASE WHEN x > qx.v AND y > qy.v THEN 1 ELSE 0 END) AS DOUBLE)" +
+              " / sum(CASE WHEN y > qy.v THEN 1 ELSE 0 END)", 4)} AS lambda_upper,
+       |       ${Det.rndSql(
+            "CAST(sum(CASE WHEN x <= lx.v AND y <= ly.v THEN 1 ELSE 0 END) AS DOUBLE)" +
+              " / sum(CASE WHEN y <= ly.v THEN 1 ELSE 0 END)", 4)} AS lambda_lower
+       |FROM dense CROSS JOIN qx CROSS JOIN qy CROSS JOIN lx CROSS JOIN ly""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

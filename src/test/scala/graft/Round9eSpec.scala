@@ -580,6 +580,37 @@ class Round9eSpec extends SparkSpec {
       ("src_b", "src_c", 2L, 1.7321)))
   }
 
+  test("medianPolish: exactly additive matrix leaves zero residual MAD") {
+    // v(i,j) = R_i + C_j → col effects = C_j − median(C), residuals ≡ 0
+    val cs = Seq("1-U" -> 0.0, "2-H" -> 10.0, "3-M" -> 20.0,
+      "4-L" -> 30.0, "5-N" -> 40.0)
+    val rows = for {
+      (mon, r) <- Seq(("1996-01", 100.0), ("1996-02", 200.0))
+      ((pr, c), i) <- cs.zipWithIndex
+    } yield ((mon.hashCode.toLong * 10 + i), i.toLong + 1, r + c,
+      s"$mon-05", pr)
+    val got = graft.queries.AnalyticsQueries.medianPolishOf(ordersOf(rows))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("1-U", -20.0, 0.0), ("2-H", -10.0, 0.0),
+      ("3-M", 0.0, 0.0), ("4-L", 10.0, 0.0), ("5-N", 20.0, 0.0)))
+  }
+
+  test("tailDependence: comonotone series have both tail coefficients 1") {
+    var id = 0L
+    val rows = for {
+      day <- 1 to 10
+      (ty, n) <- Seq(("click", day), ("purchase", 2 * day))
+      _ <- 1 to n
+    } yield { id += 1; (id, 1L, f"2024-12-$day%02d 08:00:00", ty, 1.0) }
+    val r = graft.queries.AnalyticsQueries.tailDependenceOf(eventsOf(rows))
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("ny") === 2L)
+    assert(r.getAs[Long]("nxy") === 2L)
+    assert(r.getAs[Double]("lambda_upper") === 1.0)
+    assert(r.getAs[Double]("lambda_lower") === 1.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
