@@ -611,6 +611,52 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("lambda_lower") === 1.0)
   }
 
+  test("round-9e queries are repartition-invariant") {
+    import graft.queries.{AnalyticsQueries => A, SimilarityQueries => Sim,
+      TextQueries => T}
+    val ev9 = Tables(spark, sfDir, "events").repartition(9)
+    assert(A.matrixProfileOf(ev9).collect().toSeq ===
+      A.matrixProfile(spark, sfDir).collect().toSeq)
+    assert(A.grangerCausalityOf(ev9).collect().toSeq ===
+      A.grangerCausality(spark, sfDir).collect().toSeq)
+    assert(A.hurstExponentOf(ev9).collect().toSeq ===
+      A.hurstExponent(spark, sfDir).collect().toSeq)
+    assert(A.markovAttributionOf(ev9).collect().toSeq ===
+      A.markovAttribution(spark, sfDir).collect().toSeq)
+    assert(A.captureRecaptureOf(ev9).collect().toSeq ===
+      A.captureRecapture(spark, sfDir).collect().toSeq)
+    assert(A.transferEntropyOf(ev9).collect().toSeq ===
+      A.transferEntropy(spark, sfDir).collect().toSeq)
+    assert(A.sampleEntropyOf(ev9).collect().toSeq ===
+      A.sampleEntropy(spark, sfDir).collect().toSeq)
+    assert(A.tailDependenceOf(ev9).collect().toSeq ===
+      A.tailDependence(spark, sfDir).collect().toSeq)
+    val ord7 = Tables(spark, sfDir, "orders").repartition(7)
+    assert(A.permutationTestOf(ord7).collect().toSeq ===
+      A.permutationTest(spark, sfDir).collect().toSeq)
+    assert(A.bradleyTerryOf(ord7).collect().toSeq ===
+      A.bradleyTerry(spark, sfDir).collect().toSeq)
+    assert(A.medianPolishOf(ord7).collect().toSeq ===
+      A.medianPolish(spark, sfDir).collect().toSeq)
+    assert(A.tableChecksumOf(ord7).collect().toSeq ===
+      A.tableChecksum(spark, sfDir).collect().toSeq)
+    assert(A.kdeGridOf(ord7).collect().toSeq ===
+      A.kdeGrid(spark, sfDir).collect().toSeq)
+    val cust3 = Tables(spark, sfDir, "customer").repartition(3)
+    assert(A.tClosenessOf(cust3, ord7).collect().toSeq ===
+      A.tCloseness(spark, sfDir).collect().toSeq)
+    assert(A.jackknifeRatioOf(cust3, ord7).collect().toSeq ===
+      A.jackknifeRatio(spark, sfDir).collect().toSeq)
+    val docs5 = Tables(spark, sfDir, "documents").repartition(5)
+    assert(T.burrowsDeltaOf(docs5).collect().toSeq ===
+      T.burrowsDelta(spark, sfDir).collect().toSeq)
+    val emb4 = Tables(spark, sfDir, "embeddings").repartition(4)
+    assert(Sim.mmdPolyOf(emb4).collect().toSeq ===
+      Sim.mmdPoly(spark, sfDir).collect().toSeq)
+    assert(Sim.geometricMedianOf(emb4).collect().toSeq ===
+      Sim.geometricMedian(spark, sfDir).collect().toSeq)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
