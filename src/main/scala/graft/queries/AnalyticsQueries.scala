@@ -2174,6 +2174,206 @@ object AnalyticsQueries {
        |FROM dense CROSS JOIN qx CROSS JOIN qy CROSS JOIN lx CROSS JOIN ly""".stripMargin
   }
 
+  /** RANSAC CONSENSUS LINE FIT of monthly revenue vs month index:
+    * every month PAIR proposes a line, each line's inlier count is
+    * tested with the band |residual| ≤ MAD, the maximum-consensus
+    * line wins, and OLS refits on its inliers — the
+    * consensus-maximization robust fit (up to 50% arbitrary
+    * corruption) where [[ExtensionQueries.theilSen]] medians all
+    * pairwise slopes (29% breakdown) and OLS chases every outlier.
+    * EXACT consensus: the inlier test cross-multiplies to
+    * |y_k·Δ − y_i·Δ − Δy·(k−i)| ≤ band·Δ — pure integers, no float
+    * residual ever decides membership; ties break to the smallest
+    * (i, j).
+    *
+    * Scale shape: the corpus collapses once to the calendar-bounded
+    * month histogram; candidates × months is calendar² — bounded at
+    * any corpus size (the Theil–Sen argument); the refit is a
+    * closed-form OLS over the winner's inliers. */
+  def ransacTrend(spark: SparkSession, dir: String): DataFrame =
+    ransacTrendOf(Tables(spark, dir, "orders"))
+
+  private[graft] def ransacTrendOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mon = orders
+      .select(date_trunc("month", col("o_orderdate")).as("m"),
+        Det.cents(col("o_totalprice")).as("c"))
+      .groupBy("m").agg(sum("c").as("y"))
+    val t0 = mon.agg(min(col("m")).as("m0"))
+    val pts = mon.crossJoin(broadcast(t0))
+      .select(((year(col("m")) - year(col("m0"))) * 12
+        + month(col("m")) - month(col("m0"))).cast("long").as("k"), col("y"))
+      .localCheckpoint() // calendar-bounded
+    val wv = Window.orderBy("ay")
+    val band = pts.select(abs(col("y")).as("ay"))
+      .withColumn("rk", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over())
+      .agg(min(when(col("rk") >= expr("(n + 1) div 2"), col("ay"))).as("medy"))
+      .crossJoin(pts.select(col("k").as("kk"), col("y").as("yy")))
+      .select(abs(col("yy") - col("medy")).as("ad"))
+      .withColumn("rk", row_number().over(Window.orderBy("ad")))
+      .withColumn("n", count(lit(1)).over())
+      .agg(min(when(col("rk") >= expr("(n + 1) div 2"), col("ad"))).as("band"))
+    val cand = pts.as("a").join(pts.as("b"), col("b.k") > col("a.k"))
+      .select(col("a.k").as("i"), col("a.y").as("yi"),
+        col("b.k").as("j"), col("b.y").as("yj"))
+    val scored = cand.crossJoin(pts).crossJoin(broadcast(band))
+      .withColumn("dl", col("j") - col("i"))
+      .withColumn("resid",
+        abs(col("y") * col("dl") - col("yi") * col("dl")
+          - (col("yj") - col("yi")) * (col("k") - col("i"))))
+      .groupBy("i", "j", "yi", "yj", "dl")
+      .agg(sum(when(col("resid") <= col("band") * col("dl"), 1L)
+        .otherwise(0L)).as("n_in"))
+    val best = scored.orderBy(desc("n_in"), col("i"), col("j")).limit(1)
+      .localCheckpoint() // 1 row, read by the refit join
+    val refit = pts.crossJoin(broadcast(best)).crossJoin(broadcast(band))
+      .filter(abs(col("y") * col("dl") - col("yi") * col("dl")
+        - (col("yj") - col("yi")) * (col("k") - col("i")))
+        <= col("band") * col("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("k").cast("double").as("sk"), sum("y").cast("double").as("sy"),
+        sum((col("k") * col("y")).cast("decimal(38,0)")).cast("double").as("sky"),
+        sum(col("k") * col("k")).cast("double").as("skk"))
+    best.crossJoin(refit)
+      .select(col("i").as("month_i"), col("j").as("month_j"),
+        col("n_in").as("n_inliers"),
+        Det.rnd((col("yj") - col("yi")).cast("double")
+          / (col("dl") * 100.0), 4).as("slope_dollars"),
+        Det.rnd(expr("(n * sky - sk * sy) / (n * skk - sk * sk)") / 100.0, 4)
+          .as("refit_slope_dollars"))
+  }
+
+  val ransacTrendSql: String =
+    s"""WITH mon AS (
+       |  SELECT date_trunc('month', o_orderdate) AS m,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |t0 AS (SELECT min(m) AS m0 FROM mon),
+       |pts AS (
+       |  SELECT CAST((year(m) - year(m0)) * 12 + month(m) - month(m0) AS BIGINT) AS k, y
+       |  FROM mon CROSS JOIN t0),
+       |medy AS (
+       |  SELECT min(CASE WHEN rk >= (n + 1) // 2 THEN ay END) AS medy
+       |  FROM (SELECT abs(y) AS ay, row_number() OVER (ORDER BY abs(y)) AS rk,
+       |               count(*) OVER () AS n FROM pts)),
+       |band AS (
+       |  SELECT min(CASE WHEN rk >= (n + 1) // 2 THEN ad END) AS band
+       |  FROM (SELECT abs(y - medy) AS ad,
+       |               row_number() OVER (ORDER BY abs(y - medy)) AS rk,
+       |               count(*) OVER () AS n
+       |        FROM pts CROSS JOIN medy)),
+       |cand AS (
+       |  SELECT a.k AS i, a.y AS yi, b.k AS j, b.y AS yj, b.k - a.k AS dl
+       |  FROM pts a JOIN pts b ON b.k > a.k),
+       |scored AS (
+       |  SELECT c.i, c.j, c.yi, c.yj, c.dl,
+       |         CAST(sum(CASE WHEN abs(p.y * c.dl - c.yi * c.dl
+       |                                 - (c.yj - c.yi) * (p.k - c.i))
+       |                            <= band.band * c.dl
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+       |  FROM cand c CROSS JOIN pts p CROSS JOIN band
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |best AS (SELECT * FROM scored ORDER BY n_in DESC, i, j LIMIT 1),
+       |refit AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(p.k) AS DOUBLE) AS sk, CAST(sum(p.y) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(p.k AS HUGEINT) * p.y) AS DOUBLE) AS sky,
+       |         CAST(sum(p.k * p.k) AS DOUBLE) AS skk
+       |  FROM pts p CROSS JOIN best b CROSS JOIN band
+       |  WHERE abs(p.y * b.dl - b.yi * b.dl - (b.yj - b.yi) * (p.k - b.i))
+       |        <= band.band * b.dl)
+       |SELECT b.i AS month_i, b.j AS month_j, b.n_in AS n_inliers,
+       |       ${Det.rndSql(
+            "CAST(b.yj - b.yi AS DOUBLE) / (b.dl * 100.0)", 4)} AS slope_dollars,
+       |       ${Det.rndSql(
+            "(n * sky - sk * sy) / (n * skk - sk * sk) / 100.0", 4)}
+       |         AS refit_slope_dollars
+       |FROM best b CROSS JOIN refit""".stripMargin
+
+  /** DISTANCE CORRELATION (Székely) between the daily click and
+    * purchase series: dCor² = dCov²/√(dVar_x·dVar_y) over
+    * double-centered pairwise-distance matrices — zero iff the
+    * series are INDEPENDENT (Pearson/Spearman miss non-monotone
+    * coupling; [[transferEntropy]] needs binarization and a lag —
+    * this is the contemporaneous any-shape dependence test).
+    *
+    * Scale shape: the corpus collapses once to the calendar-bounded
+    * day grid; the n² distance matrices are calendar² (the
+    * matrix-profile argument). Distances are exact integers; row
+    * means enter as exact-ratio doubles and the three V-statistics
+    * are assembled from them identically in both engines, fenced at
+    * output. */
+  def distanceCorr(spark: SparkSession, dir: String): DataFrame =
+    distanceCorrOf(Tables(spark, dir, "events"))
+
+  private[graft] def distanceCorrOf(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yc"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"),
+        coalesce(col("xc"), lit(0L)).as("x"), coalesce(col("yc"), lit(0L)).as("y"))
+      .localCheckpoint() // calendar-bounded; self-joined
+    val pair = dense.as("a").crossJoin(dense.as("b"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        abs(col("a.x") - col("b.x")).as("ax"),
+        abs(col("a.y") - col("b.y")).as("ay"))
+      .localCheckpoint() // calendar²-bounded; three consumers
+    val rowm = pair.groupBy("i").agg(
+      avg(col("ax")).as("rx"), avg(col("ay")).as("ry"))
+    val gm = pair.agg(avg(col("ax")).as("gx"), avg(col("ay")).as("gy"))
+    val centered = pair
+      .join(broadcast(rowm), Seq("i"))
+      .join(broadcast(rowm.select(col("i").as("j"), col("rx").as("cx"),
+        col("ry").as("cy"))), Seq("j"))
+      .crossJoin(broadcast(gm))
+      .select((col("ax") - col("rx") - col("cx") + col("gx")).as("axc"),
+        (col("ay") - col("ry") - col("cy") + col("gy")).as("ayc"))
+    centered.agg(count(lit(1)).cast("double").as("n2"),
+        sum(col("axc") * col("ayc")).as("sxy"),
+        sum(col("axc") * col("axc")).as("sxx"),
+        sum(col("ayc") * col("ayc")).as("syy"))
+      .select(sqrt(col("n2")).cast("long").as("n_days"),
+        Det.rnd(expr("sxy / sqrt(sxx * syy)"), 4).as("dcor2"))
+  }
+
+  val distanceCorrSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yc
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |dense AS (
+       |  SELECT CAST(g.i AS BIGINT) AS i, coalesce(byday.xc, 0) AS x,
+       |         coalesce(byday.yc, 0) AS y
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |pair AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, abs(a.x - b.x) AS ax, abs(a.y - b.y) AS ay
+       |  FROM dense a CROSS JOIN dense b),
+       |rowm AS (SELECT i, avg(ax) AS rx, avg(ay) AS ry FROM pair GROUP BY 1),
+       |gm AS (SELECT avg(ax) AS gx, avg(ay) AS gy FROM pair),
+       |cent AS (
+       |  SELECT (p.ax - r1.rx - r2.rx + gm.gx) AS axc,
+       |         (p.ay - r1.ry - r2.ry + gm.gy) AS ayc
+       |  FROM pair p JOIN rowm r1 ON r1.i = p.i JOIN rowm r2 ON r2.i = p.j
+       |  CROSS JOIN gm),
+       |a AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n2, sum(axc * ayc) AS sxy,
+       |         sum(axc * axc) AS sxx, sum(ayc * ayc) AS syy
+       |  FROM cent)
+       |SELECT CAST(sqrt(n2) AS BIGINT) AS n_days,
+       |       ${Det.rndSql("sxy / sqrt(sxx * syy)", 4)} AS dcor2
+       |FROM a""".stripMargin
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -657,6 +657,34 @@ class Round9eSpec extends SparkSpec {
       Sim.geometricMedian(spark, sfDir).collect().toSeq)
   }
 
+  test("ransacTrend: consensus line ignores planted wild months") {
+    val y = Seq(1000.0, 1100.0, 1200.0, 10000.0, 1400.0,
+      1500.0, 1600.0, 10000.0, 1800.0, 1900.0) // line 1000+100k, 2 outliers
+    val orders = ordersOf(y.zipWithIndex.map { case (v, k) =>
+      ((k + 1).toLong, 1L, v, f"1996-${k + 1}%02d-05", "P")
+    })
+    val r = graft.queries.AnalyticsQueries.ransacTrendOf(orders).collect()(0)
+    assert(r.getAs[Long]("month_i") === 0L)
+    assert(r.getAs[Long]("month_j") === 1L)
+    assert(r.getAs[Long]("n_inliers") === 8L)
+    assert(r.getAs[Double]("slope_dollars") === 100.0)
+    assert(r.getAs[Double]("refit_slope_dollars") === 100.0)
+  }
+
+  test("distanceCorr: exact linear dependence scores dcor2 = 1") {
+    val x = Seq(1, 5, 2, 8, 3, 9, 4, 7)
+    var id = 0L
+    val rows = for {
+      day <- x.indices
+      (ty, n) <- Seq(("click", x(day)), ("purchase", 2 * x(day)))
+      _ <- 1 to n
+    } yield { id += 1; (id, 1L, f"2025-01-${day + 1}%02d 08:00:00", ty, 1.0) }
+    val r = graft.queries.AnalyticsQueries.distanceCorrOf(eventsOf(rows))
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 8L)
+    assert(r.getAs[Double]("dcor2") === 1.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
