@@ -2374,6 +2374,161 @@ object AnalyticsQueries {
        |       ${Det.rndSql("sxy / sqrt(sxx * syy)", 4)} AS dcor2
        |FROM a""".stripMargin
 
+  /** Daily-revenue ACF ρ_k for k = 1..maxLag (full-mean biased-1/n
+    * estimator) — shared by [[pacf]] and [[ljungBox]]. One row per
+    * lag: (k, n, rho), rho a deterministic double assembled from
+    * exact integer sums (Σxₜx₍ₜ₊ₖ₎, head/tail sums, Σx, Σx²). */
+  private def dailyAcfOf(events: DataFrame, maxLag: Int): DataFrame = {
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"), coalesce(col("c"), lit(0L)).as("x"))
+      .localCheckpoint() // calendar-bounded; lag joins + totals read it
+    val tot = dense.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum((col("x").cast("decimal(38,0)")) * col("x")).cast("double").as("sxx"))
+    val lagged = dense
+      .select(col("i"), col("x"), explode(sequence(lit(1), lit(maxLag))).as("k"))
+      .withColumn("j", col("i") + col("k"))
+      .join(dense.select(col("i").as("j"), col("x").as("xb")), Seq("j"))
+      .groupBy("k")
+      .agg(sum((col("x").cast("decimal(38,0)")) * col("xb")).cast("double").as("sk"),
+        sum("x").cast("double").as("hk"), sum("xb").cast("double").as("tk"),
+        count(lit(1)).cast("double").as("cnt"))
+    lagged.crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"), col("n"),
+        expr("(sk - (CAST(sx AS DOUBLE) / n) * (hk + tk)" +
+          " + cnt * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))" +
+          " / (sxx - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))")
+          .as("rho"))
+  }
+
+  /** The identical ACF pipeline as a DuckDB CTE chain ending in `acf`
+    * (k, n, rho) — shared verbatim by both oracle twins. */
+  private def dailyAcfCte(maxLag: Int): String =
+    s"""byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |dense AS (
+       |  SELECT CAST(g.i AS BIGINT) AS i, coalesce(byday.c, 0) AS x
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) g
+       |  LEFT JOIN byday ON byday.d = g.d0 + CAST(g.i AS INTEGER)),
+       |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+       |        FROM dense),
+       |lagged AS (
+       |  SELECT a.k,
+       |         CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS DOUBLE) AS sk,
+       |         CAST(sum(a.x) AS DOUBLE) AS hk, CAST(sum(b.x) AS DOUBLE) AS tk,
+       |         CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM (SELECT i, x, k, i + k AS j FROM dense
+       |        CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS k)) a
+       |  JOIN dense b ON b.i = a.j
+       |  GROUP BY 1),
+       |acf AS (
+       |  SELECT CAST(k AS BIGINT) AS k, n,
+       |         (sk - (CAST(sx AS DOUBLE) / n) * (hk + tk)
+       |          + cnt * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+       |         / (sxx - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS rho
+       |  FROM lagged CROSS JOIN tot)""".stripMargin
+
+  /** PARTIAL AUTOCORRELATION (Durbin–Levinson, lags 1–3) of the daily
+    * revenue series: φ_kk strips the shorter-lag chain out of ρ_k —
+    * the AR-order diagnostic ([[ExtensionQueries.autocorr]] answers
+    * "is there memory at lag k", PACF answers "is lag k NEEDED once
+    * lags < k are modeled"). Closed-form recursion on three ρ values;
+    * no fitting.
+    *
+    * Scale shape: one corpus pass to the day histogram; the lag sums
+    * are calendar-bounded equi-joins; the recursion is scalar
+    * algebra on one row, identical text in both engines. */
+  def pacf(spark: SparkSession, dir: String): DataFrame =
+    pacfOf(Tables(spark, dir, "events"))
+
+  /** Durbin–Levinson closed forms over r1..r3 (shared text). */
+  private val PacfPhi2 = "((r2 - r1 * r1) / (1.0 - r1 * r1))"
+  private val PacfPhi21 = s"(r1 - $PacfPhi2 * r1)"
+  private val PacfPhi3 =
+    s"((r3 - $PacfPhi21 * r2 - $PacfPhi2 * r1)" +
+      s" / (1.0 - $PacfPhi21 * r1 - $PacfPhi2 * r2))"
+
+  private[graft] def pacfOf(events: DataFrame): DataFrame = {
+    val wide = dailyAcfOf(events, 3)
+      .groupBy().agg(max("n").as("n"),
+        max(when(col("k") === 1, col("rho"))).as("r1"),
+        max(when(col("k") === 2, col("rho"))).as("r2"),
+        max(when(col("k") === 3, col("rho"))).as("r3"))
+    wide.select(explode(array(
+        struct(lit(1L).as("lag"), col("n").as("n_days"),
+          Det.rnd(col("r1"), 4).as("acf"), Det.rnd(col("r1"), 4).as("pacf")),
+        struct(lit(2L).as("lag"), col("n").as("n_days"),
+          Det.rnd(col("r2"), 4).as("acf"),
+          Det.rnd(expr(PacfPhi2), 4).as("pacf")),
+        struct(lit(3L).as("lag"), col("n").as("n_days"),
+          Det.rnd(col("r3"), 4).as("acf"),
+          Det.rnd(expr(PacfPhi3), 4).as("pacf")))).as("r"))
+      .select(col("r.lag").as("lag"), col("r.n_days").as("n_days"),
+        col("r.acf").as("acf"), col("r.pacf").as("pacf"))
+      .orderBy("lag")
+  }
+
+  val pacfSql: String =
+    s"""WITH ${dailyAcfCte(3)},
+       |wide AS (
+       |  SELECT max(n) AS n,
+       |         max(CASE WHEN k = 1 THEN rho END) AS r1,
+       |         max(CASE WHEN k = 2 THEN rho END) AS r2,
+       |         max(CASE WHEN k = 3 THEN rho END) AS r3
+       |  FROM acf)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS lag, n AS n_days,
+       |         ${Det.rndSql("r1", 4)} AS acf, ${Det.rndSql("r1", 4)} AS pacf
+       |  FROM wide
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), n, ${Det.rndSql("r2", 4)},
+       |         ${Det.rndSql(PacfPhi2, 4)} FROM wide
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), n, ${Det.rndSql("r3", 4)},
+       |         ${Det.rndSql(PacfPhi3, 4)} FROM wide)
+       |ORDER BY lag""".stripMargin
+
+  /** LJUNG–BOX PORTMANTEAU TEST (lags 1–7) on the daily revenue
+    * series: Q = n(n+2)·Σρ_k²/(n−k) against χ²₇ — the ONE-number
+    * "is there any serial structure at all" gate run before trusting
+    * i.i.d.-assuming statistics (bootstrap, plain CIs) on a time
+    * series. Critical value 14.067 (95%) pinned as a literal so no
+    * engine quantile function is involved.
+    *
+    * Scale shape: same calendar-bounded ACF machinery as [[pacf]];
+    * one summed assembly, fenced once. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame =
+    ljungBoxOf(Tables(spark, dir, "events"))
+
+  private[graft] def ljungBoxOf(events: DataFrame): DataFrame = {
+    dailyAcfOf(events, 7)
+      .agg(max("n").as("n"),
+        sum(col("rho") * col("rho") / (col("n") - col("k"))).as("s"))
+      .select(col("n").as("n_days"), lit(7L).as("df"),
+        Det.rnd(col("n") * (col("n") + 2) * col("s"), 4).as("q_stat"),
+        (col("n") * (col("n") + 2) * col("s") > 14.067).as("reject_white_noise"))
+  }
+
+  val ljungBoxSql: String =
+    s"""WITH ${dailyAcfCte(7)},
+       |a AS (SELECT max(n) AS n,
+       |             sum(rho * rho / (n - k)) AS s
+       |      FROM acf)
+       |SELECT n AS n_days, CAST(7 AS BIGINT) AS df,
+       |       ${Det.rndSql("n * (n + 2) * s", 4)} AS q_stat,
+       |       n * (n + 2) * s > 14.067 AS reject_white_noise
+       |FROM a""".stripMargin
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -685,6 +685,41 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("dcor2") === 1.0)
   }
 
+  private def acfReplay(xs: Seq[Double], k: Int): Double = {
+    val n = xs.size; val m = xs.sum / n
+    val num = (0 until n - k).map(t => (xs(t) - m) * (xs(t + k) - m)).sum
+    num / xs.map(v => (v - m) * (v - m)).sum
+  }
+
+  test("pacf: Durbin-Levinson levels match a plain-Scala replay; pacf(1) = acf(1)") {
+    val v = Seq(3, 7, 1, 9, 2, 8, 4, 6, 3, 9, 1, 7, 5, 8, 2, 9).map(_.toDouble)
+    val events = eventsOf(v.zipWithIndex.map { case (x, day) =>
+      (day.toLong, 1L, f"2025-02-${day + 1}%02d 08:00:00", "purchase", x)
+    })
+    val got = graft.queries.AnalyticsQueries.pacfOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (r1, r2, r3) = (acfReplay(v, 1), acfReplay(v, 2), acfReplay(v, 3))
+    val p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val p21 = r1 - p2 * r1
+    val p3 = (r3 - p21 * r2 - p2 * r1) / (1 - p21 * r1 - p2 * r2)
+    assert(math.abs(got(1L)._1 - r1) < 1e-4 && got(1L)._1 === got(1L)._2)
+    assert(math.abs(got(2L)._2 - p2) < 1e-4)
+    assert(math.abs(got(3L)._2 - p3) < 1e-4)
+  }
+
+  test("ljungBox: strongly alternating series rejects white noise") {
+    val v = (0 until 16).map(d => if (d % 2 == 0) 2.0 else 10.0)
+    val events = eventsOf(v.zipWithIndex.map { case (x, day) =>
+      (day.toLong, 1L, f"2025-03-${day + 1}%02d 08:00:00", "purchase", x)
+    })
+    val r = graft.queries.AnalyticsQueries.ljungBoxOf(events).collect()(0)
+    val q = 16 * 18 * (1 to 7).map(k =>
+      math.pow(acfReplay(v, k), 2) / (16 - k)).sum
+    assert(r.getAs[Long]("n_days") === 16L)
+    assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-3)
+    assert(r.getAs[Boolean]("reject_white_noise"))
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
