@@ -2529,6 +2529,152 @@ object AnalyticsQueries {
        |       n * (n + 2) * s > 14.067 AS reject_white_noise
        |FROM a""".stripMargin
 
+  /** GUMBEL BLOCK-MAXIMA RETURN LEVELS: weekly maxima of the daily
+    * revenue series fit a Gumbel law by method of moments
+    * (β = s·√6/π, μ = m̄ − γβ), giving the T-week RETURN LEVEL
+    * μ − β·ln(−ln(1−1/T)) — "the weekly peak you should expect once a
+    * quarter / once a year", the extreme-value capacity number
+    * [[ExtensionQueries.hillTail]]'s tail index (per-order, shape
+    * only) and [[ExtensionQueries.tailLatency]]'s empirical p99
+    * (within-sample only) can't extrapolate to. Euler–Mascheroni and
+    * √6/π enter as pinned literals.
+    *
+    * Scale shape: one pass to the day histogram, one groupBy to
+    * week maxima (calendar-bounded), exact integer moments of the
+    * maxima, closed-form assembly fenced per row. */
+  def gevReturn(spark: SparkSession, dir: String): DataFrame =
+    gevReturnOf(Tables(spark, dir, "events"))
+
+  private[graft] def gevReturnOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val t0 = byDay.agg(min(col("d")).as("d0"))
+    val weekMax = byDay.crossJoin(broadcast(t0))
+      .select((datediff(col("d"), col("d0")) / 7).cast("long").as("wk"), col("c"))
+      .groupBy("wk").agg(max("c").as("mx"))
+    val mom = weekMax.agg(count(lit(1)).cast("double").as("n"),
+      sum("mx").cast("double").as("s"),
+      sum((col("mx").cast(d38)) * col("mx")).cast("double").as("q"))
+    // β = s_sample·√6/π, μ = mean − γ·β  (γ = Euler–Mascheroni)
+    val beta = "(sqrt((q - s * s / n) / (n - 1)) * 0.7796968012336793)"
+    val mu = s"(s / n - 0.5772156649015329 * $beta)"
+    // ln(−ln(1−1/T)) are CONSTANTS — pinned as literals so no engine
+    // libm ln() enters the plan (sqrt alone is IEEE-exact); observed:
+    // a 1-ulp engine ln() spread landed exactly on a 2dp fence edge
+    val k13 = math.log(-math.log(1.0 - 1.0 / 13))
+    val k52 = math.log(-math.log(1.0 - 1.0 / 52))
+    mom.select(explode(array(
+        struct(lit(13L).as("t_weeks"), col("n").cast("long").as("n_weeks"),
+          Det.rnd(expr(s"($mu - $beta * ($k13))") / 100.0, 2)
+            .as("return_level_dollars")),
+        struct(lit(52L).as("t_weeks"), col("n").cast("long").as("n_weeks"),
+          Det.rnd(expr(s"($mu - $beta * ($k52))") / 100.0, 2)
+            .as("return_level_dollars")))).as("r"))
+      .select(col("r.t_weeks").as("t_weeks"), col("r.n_weeks").as("n_weeks"),
+        col("r.return_level_dollars").as("return_level_dollars"))
+      .orderBy("t_weeks")
+  }
+
+  val gevReturnSql: String = {
+    val beta = "(sqrt((q - s * s / n) / (n - 1)) * 0.7796968012336793)"
+    val mu = s"(s / n - 0.5772156649015329 * $beta)"
+    val k13 = math.log(-math.log(1.0 - 1.0 / 13))
+    val k52 = math.log(-math.log(1.0 - 1.0 / 52))
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |t0 AS (SELECT min(d) AS d0 FROM byday),
+       |wm AS (
+       |  SELECT date_diff('day', d0, d) // 7 AS wk, max(c) AS mx
+       |  FROM byday CROSS JOIN t0 GROUP BY 1),
+       |mom AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(mx) AS DOUBLE) AS s,
+       |         CAST(sum(CAST(mx AS HUGEINT) * mx) AS DOUBLE) AS q
+       |  FROM wm)
+       |SELECT * FROM (
+       |  SELECT CAST(13 AS BIGINT) AS t_weeks, CAST(n AS BIGINT) AS n_weeks,
+       |         ${Det.rndSql(
+            s"($mu - $beta * ($k13)) / 100.0", 2)}
+       |           AS return_level_dollars
+       |  FROM mom
+       |  UNION ALL
+       |  SELECT CAST(52 AS BIGINT), CAST(n AS BIGINT),
+       |         ${Det.rndSql(
+            s"($mu - $beta * ($k52)) / 100.0", 2)}
+       |  FROM mom)
+       |ORDER BY t_weeks""".stripMargin
+  }
+
+  /** THEIL-T INEQUALITY DECOMPOSITION of customer revenue by nation:
+    * T = Σ(yᵢ/Y)·ln(yᵢ/μ) splits EXACTLY into within-nation +
+    * between-nation terms — the question
+    * [[ExtensionQueries.giniConcentration]] cannot answer (Gini does
+    * not decompose): is revenue inequality a within-market
+    * phenomenon or a cross-market one? The between share is the
+    * emitted verdict.
+    *
+    * Scale shape: one join + one groupBy(custkey) pass to per-customer
+    * cents, one groupBy(nation); the per-customer ln() runs on exact
+    * integer ratios and aggregates with map-side partials (the only
+    * corpus-sized float sum — fenced; the decomposition identity is
+    * emitted as an audit residual). */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame =
+    theilDecompositionOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def theilDecompositionOf(
+      customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cust = orders
+      .select(col("o_custkey"), Det.cents(col("o_totalprice")).as("c"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("g"), col("o_custkey").as("ck"))
+      .agg(sum("c").as("y"))
+      .localCheckpoint() // customer-bounded; three aggregates read it
+    val gstat = cust.groupBy("g").agg(sum("y").as("yg"), count(lit(1)).as("ng"))
+    val tot = gstat.agg(sum("yg").as("yt"), sum("ng").as("nt"))
+    // T_total = Σ (y/Y)·ln(y·N/Y); T_between = Σ (Yg/Y)·ln((Yg/Y)/(ng/N))
+    val tTotal = cust.crossJoin(broadcast(tot))
+      .agg(sum(col("y").cast("double") / col("yt")
+        * log(col("y").cast("double") * col("nt") / col("yt"))).as("t_total"))
+    val tBetween = gstat.crossJoin(broadcast(tot))
+      .agg(sum(col("yg").cast("double") / col("yt")
+        * log(col("yg").cast("double") * col("nt")
+          / (col("yt").cast("double") * col("ng")))).as("t_between"))
+    tTotal.crossJoin(tBetween)
+      .select(Det.rnd(col("t_total"), 6).as("theil_total"),
+        Det.rnd(col("t_between"), 6).as("theil_between"),
+        Det.rnd(col("t_total") - col("t_between"), 6).as("theil_within"),
+        Det.rnd(col("t_between") / col("t_total"), 6).as("between_share"))
+  }
+
+  val theilDecompositionSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_nationkey AS g, o_custkey AS ck,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS y
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  GROUP BY 1, 2),
+       |gstat AS (SELECT g, CAST(sum(y) AS BIGINT) AS yg, count(*) AS ng
+       |          FROM cust GROUP BY 1),
+       |tot AS (SELECT CAST(sum(yg) AS BIGINT) AS yt,
+       |               CAST(sum(ng) AS BIGINT) AS nt FROM gstat),
+       |tt AS (
+       |  SELECT sum(CAST(y AS DOUBLE) / yt
+       |             * ln(CAST(y AS DOUBLE) * nt / yt)) AS t_total
+       |  FROM cust CROSS JOIN tot),
+       |tb AS (
+       |  SELECT sum(CAST(yg AS DOUBLE) / yt
+       |             * ln(CAST(yg AS DOUBLE) * nt
+       |                  / (CAST(yt AS DOUBLE) * ng))) AS t_between
+       |  FROM gstat CROSS JOIN tot)
+       |SELECT ${Det.rndSql("t_total", 6)} AS theil_total,
+       |       ${Det.rndSql("t_between", 6)} AS theil_between,
+       |       ${Det.rndSql("t_total - t_between", 6)} AS theil_within,
+       |       ${Det.rndSql("t_between / t_total", 6)} AS between_share
+       |FROM tt CROSS JOIN tb""".stripMargin
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -720,6 +720,33 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Boolean]("reject_white_noise"))
   }
 
+  test("gevReturn: identical weekly maxima collapse both return levels to the mean") {
+    val events = eventsOf((0 until 21).map { day =>
+      (day.toLong, 1L, f"2025-04-${day + 1}%02d 08:00:00", "purchase",
+        if (day % 7 == 0) 100.0 else 10.0)
+    })
+    val got = graft.queries.AnalyticsQueries.gevReturnOf(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((13L, 3L, 100.0), (52L, 3L, 100.0)))
+  }
+
+  test("theilDecomposition: equal-within nations put all inequality between") {
+    val s = spark; import s.implicits._
+    val customer = Seq(
+      (1L, "a", 1, 0.0, "S"), (2L, "b", 1, 0.0, "S"),
+      (3L, "c", 2, 0.0, "S"), (4L, "d", 2, 0.0, "S")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = ordersOf(Seq(
+      (1L, 1L, 100.0, "1996-01-01", "P"), (2L, 2L, 100.0, "1996-01-01", "P"),
+      (3L, 3L, 300.0, "1996-01-01", "P"), (4L, 4L, 300.0, "1996-01-01", "P")))
+    val r = graft.queries.AnalyticsQueries
+      .theilDecompositionOf(customer, orders).collect()(0)
+    val exp = 0.25 * math.log(0.5) + 0.75 * math.log(1.5)
+    assert(math.abs(r.getAs[Double]("theil_total") - exp) < 1e-5)
+    assert(r.getAs[Double]("theil_within") === 0.0)
+    assert(r.getAs[Double]("between_share") === 1.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
