@@ -2675,6 +2675,55 @@ object AnalyticsQueries {
        |       ${Det.rndSql("t_between / t_total", 6)} AS between_share
        |FROM tt CROSS JOIN tb""".stripMargin
 
+  /** JAIN'S FAIRNESS INDEX J = (Σx)²/(n·Σx²) for two allocations —
+    * events per user and revenue per customer: the systems-standard
+    * fairness scalar (1 = perfectly even, 1/n = one entity holds
+    * everything; J = 1/(1+cv²), so the cv rides along).
+    * [[ExtensionQueries.giniConcentration]] ranks the whole Lorenz
+    * curve; J is the number capacity planners and schedulers quote.
+    *
+    * Scale shape: one groupBy per allocation to per-entity integer
+    * totals, exact integer moment sums (Σx in BIGINT, Σx² in
+    * decimal(38,0)), closed-form assembly fenced per row. */
+  def jainsIndex(spark: SparkSession, dir: String): DataFrame =
+    jainsIndexOf(Tables(spark, dir, "events"), Tables(spark, dir, "orders"))
+
+  private[graft] def jainsIndexOf(
+      events: DataFrame, orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def momentsOf(per: DataFrame) = per.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").cast("double").as("s"),
+      sum((col("x").cast(d38)) * col("x")).cast("double").as("q"))
+    val ue = momentsOf(events.groupBy("user_id").agg(count(lit(1)).as("x")))
+    val cr = momentsOf(orders.groupBy("o_custkey")
+      .agg(sum(Det.cents(col("o_totalprice"))).as("x")))
+    def rowOf(tag: String, m: DataFrame) = m.select(lit(tag).as("allocation"),
+      col("n").cast("long").as("n_entities"),
+      Det.rnd(expr("s * s / (n * q)"), 6).as("jains_j"),
+      Det.rnd(expr("sqrt(n * q / (s * s) - 1.0)"), 6).as("cv"))
+    rowOf("events_per_user", ue).union(rowOf("revenue_per_customer", cr))
+      .orderBy("allocation")
+  }
+
+  val jainsIndexSql: String = {
+    def block(tag: String, sub: String) =
+      s"""SELECT '$tag' AS allocation, CAST(n AS BIGINT) AS n_entities,
+         |       ${Det.rndSql("s * s / (n * q)", 6)} AS jains_j,
+         |       ${Det.rndSql("sqrt(n * q / (s * s) - 1.0)", 6)} AS cv
+         |FROM (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS s,
+         |             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS q
+         |      FROM ($sub))""".stripMargin
+    s"""SELECT * FROM (
+       |${block("events_per_user",
+          "SELECT user_id, count(*) AS x FROM events GROUP BY 1")}
+       |UNION ALL
+       |${block("revenue_per_customer",
+          s"SELECT o_custkey, CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS x" +
+            " FROM orders GROUP BY 1")})
+       |ORDER BY allocation""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -2857,6 +2857,104 @@ object SimilarityQueries {
        |FROM b CROSS JOIN lam""".stripMargin
   }
 
+  private val PercRounds = 10
+  private val PercThresholds = Seq("0.26", "0.28", "0.30", "0.32")
+
+  /** PERCOLATION PROFILE of the k-NN graph: at each cosine threshold,
+    * the ε-graph's nodes, edges, component count, and giant-component
+    * share — HOW connectivity emerges as the similarity bar drops
+    * (the single-linkage dendrogram's horizontal cuts). The sharp
+    * giant-component onset is the percolation transition that tells a
+    * dedup/clustering pipeline where "clusters" end and "everything
+    * chains into one blob" begins — the threshold-selection evidence
+    * behind [[dbscan]]'s ε and [[semanticClusters]]' mutuality cut.
+    *
+    * Scale shape: ONE min-label unroll handles ALL thresholds — the
+    * label relation is keyed (threshold, node), so adding thresholds
+    * widens a bounded relation instead of re-running the pipeline;
+    * edges come from the shared scratch. [[PercRounds]] rounds are
+    * mirrored in the oracle; all counts integer, one fenced share. */
+  def percolationProfile(spark: SparkSession, dir: String): DataFrame =
+    percolationProfileOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def percolationProfileOnEdges(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("cos"))
+      .groupBy("a", "b").agg(max("cos").as("cos"))
+    val e = und
+      .select(col("a"), col("b"), col("cos"),
+        explode(array(PercThresholds.map(t => lit(t.toDouble)): _*)).as("t"))
+      .filter(col("cos") >= col("t"))
+      .select(col("t"), col("a"), col("b"))
+      .localCheckpoint() // ≤ |thresholds|·k·|V| rows, read every round
+    val both = e.select(col("t"), col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("t"), col("b").as("v"), col("a").as("u")))
+    val nodes = both.select("t", "v").distinct().localCheckpoint()
+    var lab = nodes.withColumn("l", col("v"))
+    for (_ <- 1 to PercRounds) {
+      val nbr = both
+        .join(lab.select(col("t"), col("v").as("u"), col("l").as("lu")),
+          Seq("t", "u"))
+        .groupBy("t", "v").agg(min("lu").as("nl"))
+      lab = lab.join(nbr, Seq("t", "v"), "left")
+        .select(col("t"), col("v"),
+          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint() // (thresholds × nodes)-bounded per round
+    }
+    val sizes = lab.groupBy("t", "l").agg(count(lit(1)).as("sz"))
+    val comp = sizes.groupBy("t").agg(count(lit(1)).as("n_components"),
+      max("sz").as("giant"))
+    val nn = nodes.groupBy("t").agg(count(lit(1)).as("n_nodes"))
+    val ne = e.groupBy("t").agg(count(lit(1)).as("n_edges"))
+    nn.join(ne, Seq("t")).join(comp, Seq("t"))
+      .select(col("t").as("threshold"), col("n_nodes"), col("n_edges"),
+        col("n_components"),
+        graft.functions.Det.rnd(col("giant").cast("double") / col("n_nodes"), 4)
+          .as("giant_share"))
+      .orderBy("threshold")
+  }
+
+  /** DuckDB twin of [[percolationProfile]]: identical multi-threshold
+    * unroll, MATERIALIZED per round. */
+  val percolationProfileSql: String = {
+    val ths = PercThresholds.mkString(", ")
+    val rounds = (1 to PercRounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""l$r AS MATERIALIZED (
+         |  SELECT p.t, p.v, least(p.l, coalesce(min(q.l), p.l)) AS l
+         |  FROM $prev p
+         |  LEFT JOIN b2 ON b2.t = p.t AND b2.v = p.v
+         |  LEFT JOIN $prev q ON q.t = p.t AND q.v = b2.u
+         |  GROUP BY p.t, p.v, p.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (
+       |  SELECT src, dst, round(cos, 6) AS cos FROM r WHERE rank <= 5),
+       |und AS (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b, max(cos) AS cos
+       |  FROM kedges GROUP BY 1, 2),
+       |pe AS MATERIALIZED (
+       |  SELECT t, a, b FROM und
+       |  CROSS JOIN (SELECT unnest(CAST([$ths] AS DOUBLE[])) AS t)
+       |  WHERE cos >= t),
+       |b2 AS MATERIALIZED (
+       |  SELECT t, a AS v, b AS u FROM pe UNION ALL SELECT t, b, a FROM pe),
+       |nodes AS MATERIALIZED (SELECT DISTINCT t, v FROM b2),
+       |l0 AS (SELECT t, v, v AS l FROM nodes),
+       |$rounds,
+       |sizes AS (SELECT t, l, count(*) AS sz FROM l$PercRounds GROUP BY 1, 2),
+       |comp AS (SELECT t, count(*) AS n_components, max(sz) AS giant
+       |         FROM sizes GROUP BY 1),
+       |nn AS (SELECT t, count(*) AS n_nodes FROM nodes GROUP BY 1),
+       |ne AS (SELECT t, count(*) AS n_edges FROM pe GROUP BY 1)
+       |SELECT nn.t AS threshold, nn.n_nodes, ne.n_edges, comp.n_components,
+       |       ${graft.functions.Det.rndSql(
+            "CAST(giant AS DOUBLE) / n_nodes", 4)} AS giant_share
+       |FROM nn JOIN ne ON ne.t = nn.t JOIN comp ON comp.t = nn.t
+       |ORDER BY threshold""".stripMargin
+  }
+
   private val GeoMedIters = 3
 
   /** GEOMETRIC MEDIAN of the embedding cloud by [[GeoMedIters]]

@@ -747,6 +747,38 @@ class Round9eSpec extends SparkSpec {
     assert(r.getAs[Double]("between_share") === 1.0)
   }
 
+  test("percolationProfile: rising threshold splits the planted chain") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3 at cos .31/.27: at t=.26 one component, at t=.28 the
+    // .27 edge drops (3 isolates from the chain's tail), at t=.32 all gone
+    val edges = Seq((1L, 2L, 0.31), (2L, 3L, 0.27), (4L, 5L, 0.33))
+      .toDF("src", "dst", "cos")
+    val got = graft.queries.SimilarityQueries.percolationProfileOnEdges(edges)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0.26, 5L, 3L, 2L, 0.6),  // {1,2,3} + {4,5}
+      (0.28, 4L, 2L, 2L, 0.5),  // {1,2} + {4,5}
+      (0.30, 4L, 2L, 2L, 0.5),
+      (0.32, 2L, 1L, 1L, 1.0))) // {4,5} only
+  }
+
+  test("jainsIndex: perfectly even allocation scores J = 1") {
+    val s = spark; import s.implicits._
+    val events = eventsOf((0 until 12).map { i =>
+      (i.toLong, (i % 4).toLong, f"2025-05-${i % 28 + 1}%02d 08:00:00", "click", 1.0)
+    }) // 4 users × 3 events each
+    val orders = ordersOf(Seq(
+      (1L, 1L, 100.0, "1996-01-01", "P"), (2L, 2L, 50.0, "1996-01-02", "P"),
+      (3L, 2L, 50.0, "1996-01-03", "P")))
+    val got = graft.queries.AnalyticsQueries.jainsIndexOf(events, orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("events_per_user", 4L, 1.0, 0.0),
+      ("revenue_per_customer", 2L, 1.0, 0.0))) // both customers total 100
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
