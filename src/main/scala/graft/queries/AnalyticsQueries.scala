@@ -2724,6 +2724,130 @@ object AnalyticsQueries {
        |ORDER BY allocation""".stripMargin
   }
 
+  /** HODGES–LEHMANN PSEUDO-MEDIAN of daily revenue: the median of all
+    * pairwise Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the location
+    * estimator dual to the Wilcoxon test (≈ 96% Gaussian efficiency
+    * with a 29% breakdown point; the plain median trades more
+    * efficiency, the mean all robustness). Emitted next to both for
+    * contrast.
+    *
+    * Scale shape: corpus → calendar-bounded day histogram; Walsh
+    * pairs are calendar² (the Theil–Sen argument); sums xᵢ+xⱼ stay
+    * exact integers (half-cents resolved by keeping SUMS and halving
+    * once at output), the median is a rank pick. */
+  def hodgesLehmann(spark: SparkSession, dir: String): DataFrame =
+    hodgesLehmannOf(Tables(spark, dir, "events"))
+
+  private[graft] def hodgesLehmannOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+      .localCheckpoint() // calendar-bounded; self-joined + medians
+    val walsh = byDay.as("a").join(byDay.as("b"), col("a.d") <= col("b.d"))
+      .select((col("a.c") + col("b.c")).as("w")) // 2×(Walsh average)
+    val wW = Window.orderBy("w")
+    val hl = walsh.withColumn("rk", row_number().over(wW))
+      .withColumn("n", count(lit(1)).over())
+      .agg(((min(when(col("rk") >= expr("(n + 1) div 2"), col("w")))
+        + min(when(col("rk") >= expr("n div 2 + 1"), col("w")))) / 2).as("hl2"))
+    val wM = Window.orderBy("c")
+    val med = byDay.withColumn("rk", row_number().over(wM))
+      .withColumn("n", count(lit(1)).over())
+      .agg(count(lit(1)).as("n_days_ph"),
+        ((min(when(col("rk") >= expr("(n + 1) div 2"), col("c")))
+          + min(when(col("rk") >= expr("n div 2 + 1"), col("c")))) / 2).as("med"))
+    val mean = byDay.agg(count(lit(1)).as("n_days"), sum("c").as("s"))
+    mean.crossJoin(hl).crossJoin(med.select("med"))
+      .select(col("n_days"),
+        Det.rnd(col("hl2") / 200.0, 2).as("hodges_lehmann_dollars"),
+        Det.rnd(col("med") / 100.0, 2).as("median_dollars"),
+        Det.rnd(col("s").cast("double") / col("n_days") / 100.0, 2)
+          .as("mean_dollars"))
+  }
+
+  val hodgesLehmannSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |walsh AS (
+       |  SELECT a.c + b.c AS w
+       |  FROM byday a JOIN byday b ON a.d <= b.d),
+       |hl AS (
+       |  SELECT (min(CASE WHEN rk >= (n + 1) // 2 THEN w END)
+       |          + min(CASE WHEN rk >= n // 2 + 1 THEN w END)) / 2 AS hl2
+       |  FROM (SELECT w, row_number() OVER (ORDER BY w) AS rk,
+       |               count(*) OVER () AS n FROM walsh)),
+       |med AS (
+       |  SELECT (min(CASE WHEN rk >= (n + 1) // 2 THEN c END)
+       |          + min(CASE WHEN rk >= n // 2 + 1 THEN c END)) / 2 AS med
+       |  FROM (SELECT c, row_number() OVER (ORDER BY c) AS rk,
+       |               count(*) OVER () AS n FROM byday)),
+       |mn AS (SELECT count(*) AS n_days, CAST(sum(c) AS BIGINT) AS s FROM byday)
+       |SELECT n_days,
+       |       ${Det.rndSql("hl2 / 200.0", 2)} AS hodges_lehmann_dollars,
+       |       ${Det.rndSql("med / 100.0", 2)} AS median_dollars,
+       |       ${Det.rndSql("CAST(s AS DOUBLE) / n_days / 100.0", 2)} AS mean_dollars
+       |FROM mn CROSS JOIN hl CROSS JOIN med""".stripMargin
+
+  /** PAGE'S TREND TEST (ordered alternatives) over the same
+    * month-block × priority ranks as [[friedmanTest]]: L = Σ j·R_j
+    * with treatments in their hypothesized order — sensitive to a
+    * MONOTONE progression Friedman's any-difference χ² dilutes. The
+    * z approximation uses the exact closed-form E(L) and Var(L).
+    *
+    * Scale shape: identical calendar-bounded rank machinery as
+    * Friedman; L and its moments are exact integers/rationals, one
+    * fence. */
+  def pageTrend(spark: SparkSession, dir: String): DataFrame =
+    pageTrendOf(Tables(spark, dir, "orders"))
+
+  private[graft] def pageTrendOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val cells = orders
+      .select(date_trunc("month", col("o_orderdate")).as("mon"),
+        col("o_orderpriority").as("trt"),
+        Det.cents(col("o_totalprice")).as("cents"))
+      .groupBy("mon", "trt").agg(sum("cents").as("rev"))
+    val complete = cells.groupBy("mon").agg(count(lit(1)).as("n_trt"))
+      .filter(col("n_trt") === k).select("mon")
+    val ranked = cells.join(broadcast(complete), Seq("mon"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("mon").orderBy(col("rev"), col("trt"))))
+      // hypothesized order = priority name order (1-URGENT … 5-LOW):
+      // j = the treatment's ordinal in that order
+      .withColumn("j", dense_rank().over(Window.orderBy("trt")))
+    val l = ranked.agg(sum(col("j") * col("rk")).as("l"),
+      (count(lit(1)) / k).cast("long").as("b"))
+    l.select(col("b").as("b_blocks"), col("l").as("page_l"),
+        Det.rnd((col("l").cast("double")
+          - lit(k * (k + 1) * (k + 1) / 4.0) * col("b"))
+          / sqrt(lit(k * k * (k + 1) * (k * k - 1) / 144.0) * col("b")), 4)
+          .as("z"))
+  }
+
+  val pageTrendSql: String = {
+    val k = 5
+    s"""WITH cells AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS trt,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |complete AS (SELECT mon FROM cells GROUP BY 1 HAVING count(*) = $k),
+       |ranked AS (
+       |  SELECT row_number() OVER (PARTITION BY mon ORDER BY rev, trt) AS rk,
+       |         dense_rank() OVER (ORDER BY trt) AS j
+       |  FROM cells JOIN complete USING (mon)),
+       |a AS (SELECT CAST(sum(j * rk) AS BIGINT) AS l,
+       |             count(*) // $k AS b FROM ranked)
+       |SELECT b AS b_blocks, l AS page_l,
+       |       ${Det.rndSql(
+          s"(CAST(l AS DOUBLE) - ${k * (k + 1) * (k + 1) / 4.0} * b)" +
+            s" / sqrt(${k * k * (k + 1) * (k * k - 1) / 144.0} * b)", 4)} AS z
+       |FROM a""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

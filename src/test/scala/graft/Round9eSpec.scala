@@ -779,6 +779,30 @@ class Round9eSpec extends SparkSpec {
       ("revenue_per_customer", 2L, 1.0, 0.0))) // both customers total 100
   }
 
+  test("hodgesLehmann: symmetric series collapses HL = median = mean") {
+    val events = eventsOf(Seq(
+      (1L, 1L, "2025-06-01 08:00:00", "purchase", 10.0),
+      (2L, 1L, "2025-06-02 08:00:00", "purchase", 20.0),
+      (3L, 1L, "2025-06-03 08:00:00", "purchase", 30.0)))
+    val r = graft.queries.AnalyticsQueries.hodgesLehmannOf(events).collect()(0)
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Double]("hodges_lehmann_dollars") === 20.0)
+    assert(r.getAs[Double]("median_dollars") === 20.0)
+    assert(r.getAs[Double]("mean_dollars") === 20.0)
+  }
+
+  test("pageTrend: perfectly ordered months give the closed-form z") {
+    val rows = for {
+      (mon, base) <- Seq(("1996-01", 10.0), ("1996-02", 20.0))
+      (pr, i) <- Seq("1-U", "2-H", "3-M", "4-L", "5-N").zipWithIndex
+    } yield (mon.hashCode.toLong * 100 + i, i.toLong + 1,
+      base + i * 10.0, s"$mon-05", pr)
+    val r = graft.queries.AnalyticsQueries.pageTrendOf(ordersOf(rows)).collect()(0)
+    assert(r.getAs[Long]("b_blocks") === 2L)
+    assert(r.getAs[Long]("page_l") === 110L) // 2·Σj² = 110, max possible
+    assert(math.abs(r.getAs[Double]("z") - 20.0 / math.sqrt(50.0)) < 1e-4)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
