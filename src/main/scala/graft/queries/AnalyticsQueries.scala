@@ -2848,6 +2848,127 @@ object AnalyticsQueries {
        |FROM a""".stripMargin
   }
 
+  /** CIRCULAR STATISTICS of event arrival hour per type: the circular
+    * mean hour, the resultant length R̄ (1 = all events at one hour,
+    * 0 = uniform around the clock), and the Rayleigh test z = n·R̄²
+    * against 24-hour uniformity — the CORRECT treatment of
+    * hour-of-day as an angle, where [[ExtensionQueries.heatmapHour]]'s
+    * linear histogram can't even average 23:00 and 01:00 to midnight.
+    * The 24 unit-circle coordinates are PINNED Scala-computed
+    * literals (the Gumbel lesson: constants never go through engine
+    * libm); atan2 is the one data-dependent transcendental, fenced.
+    *
+    * Scale shape: one pass to the (type × 24)-bin histogram; the
+    * trig algebra runs on that vocabulary-bounded relation. */
+  def circularStats(spark: SparkSession, dir: String): DataFrame =
+    circularStatsOf(Tables(spark, dir, "events"))
+
+  private[graft] def circularStatsOf(events: DataFrame): DataFrame = {
+    val cosW = (0 until 24).map(h => math.cos(2 * math.Pi * h / 24))
+    val sinW = (0 until 24).map(h => math.sin(2 * math.Pi * h / 24))
+    val cosCase = (0 until 24).map(h => s"WHEN h = $h THEN ${cosW(h)}")
+      .mkString("CASE ", " ", " END")
+    val sinCase = (0 until 24).map(h => s"WHEN h = $h THEN ${sinW(h)}")
+      .mkString("CASE ", " ", " END")
+    val hist = events
+      .select(col("event_type").as("ty"), hour(col("ts")).as("h"))
+      .groupBy("ty", "h").agg(count(lit(1)).as("cnt"))
+    hist.groupBy("ty")
+      .agg(sum("cnt").as("n"),
+        sum(expr(s"cnt * ($cosCase)")).as("c"),
+        sum(expr(s"cnt * ($sinCase)")).as("s"))
+      .select(col("ty").as("event_type"), col("n"),
+        Det.rnd(expr(
+          "pmod(atan2(s, c) * 12.0 / pi() + 24.0, 24.0)"), 4).as("mean_hour"),
+        Det.rnd(expr("sqrt(c * c + s * s)") / col("n"), 6).as("resultant_r"),
+        Det.rnd(expr("(c * c + s * s)") / col("n"), 4).as("rayleigh_z"),
+        (expr("(c * c + s * s)") / col("n") > 2.9957).as("nonuniform"))
+      .orderBy("event_type")
+  }
+
+  val circularStatsSql: String = {
+    val cosW = (0 until 24).map(h => math.cos(2 * math.Pi * h / 24))
+    val sinW = (0 until 24).map(h => math.sin(2 * math.Pi * h / 24))
+    val cosCase = (0 until 24).map(h => s"WHEN h = $h THEN ${cosW(h)}")
+      .mkString("CASE ", " ", " END")
+    val sinCase = (0 until 24).map(h => s"WHEN h = $h THEN ${sinW(h)}")
+      .mkString("CASE ", " ", " END")
+    s"""WITH hist AS (
+       |  SELECT event_type AS ty, hour(ts) AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT ty, CAST(sum(cnt) AS BIGINT) AS n,
+       |         sum(cnt * ($cosCase)) AS c,
+       |         sum(cnt * ($sinCase)) AS s
+       |  FROM hist GROUP BY 1)
+       |SELECT ty AS event_type, n,
+       |       ${Det.rndSql(
+            "fmod(fmod(atan2(s, c) * 12.0 / pi(), 24.0) + 24.0, 24.0)", 4)}
+       |         AS mean_hour,
+       |       ${Det.rndSql("sqrt(c * c + s * s) / n", 6)} AS resultant_r,
+       |       ${Det.rndSql("(c * c + s * s) / n", 4)} AS rayleigh_z,
+       |       (c * c + s * s) / n > 2.9957 AS nonuniform
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** COCHRAN–ARMITAGE TREND TEST: is the 'F'-status share of orders
+    * drifting LINEARLY across the ordered years? The
+    * ordered-exposure test for proportions — [[ExtensionQueries.chiSquare]]
+    * asks "any association at all" and burns power on non-monotone
+    * patterns; CA concentrates it on the trend with weights = year
+    * index. z = Σwᵢ(xᵢ − nᵢp̄) / √[p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N)] —
+    * every moment an exact integer, one fenced assembly.
+    *
+    * Scale shape: one groupBy(year) pass; the test runs on the
+    * ≤7-row year table. */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame =
+    cochranArmitageOf(Tables(spark, dir, "orders"))
+
+  private[graft] def cochranArmitageOf(orders: DataFrame): DataFrame = {
+    val yr = orders
+      .select(year(col("o_orderdate")).as("y"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+      .groupBy("y").agg(count(lit(1)).as("n_i"), sum("f").as("x_i"))
+    val t0 = yr.agg(min("y").as("y0"))
+    val w = yr.crossJoin(broadcast(t0))
+      .select((col("y") - col("y0")).cast("long").as("w"),
+        col("n_i"), col("x_i"))
+    w.agg(count(lit(1)).as("k"), sum("n_i").as("nn"), sum("x_i").as("xx"),
+        sum(col("w") * col("x_i")).cast("double").as("swx"),
+        sum(col("w") * col("n_i")).cast("double").as("swn"),
+        sum(col("w") * col("w") * col("n_i")).cast("double").as("swwn"))
+      .select(col("k").as("n_years"), col("nn").as("n_orders"),
+        Det.rnd(col("xx").cast("double") / col("nn"), 6).as("p_overall"),
+        Det.rnd(expr(
+          "(swx - (CAST(xx AS DOUBLE) / nn) * swn)" +
+            " / sqrt((CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)" +
+            " * (swwn - swn * swn / nn))"), 4).as("z_trend"))
+  }
+
+  val cochranArmitageSql: String =
+    s"""WITH yr AS (
+       |  SELECT year(o_orderdate) AS y, count(*) AS n_i,
+       |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+       |  FROM orders GROUP BY 1),
+       |t0 AS (SELECT min(y) AS y0 FROM yr),
+       |w AS (SELECT CAST(y - y0 AS BIGINT) AS w, n_i, x_i
+       |      FROM yr CROSS JOIN t0),
+       |a AS (
+       |  SELECT count(*) AS k, CAST(sum(n_i) AS BIGINT) AS nn,
+       |         CAST(sum(x_i) AS BIGINT) AS xx,
+       |         CAST(sum(w * x_i) AS DOUBLE) AS swx,
+       |         CAST(sum(w * n_i) AS DOUBLE) AS swn,
+       |         CAST(sum(w * w * n_i) AS DOUBLE) AS swwn
+       |  FROM w)
+       |SELECT k AS n_years, nn AS n_orders,
+       |       ${Det.rndSql("CAST(xx AS DOUBLE) / nn", 6)} AS p_overall,
+       |       ${Det.rndSql(
+          "(swx - (CAST(xx AS DOUBLE) / nn) * swn)" +
+            " / sqrt((CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)" +
+            " * (swwn - swn * swn / nn))", 4)} AS z_trend
+       |FROM a""".stripMargin
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -803,6 +803,42 @@ class Round9eSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z") - 20.0 / math.sqrt(50.0)) < 1e-4)
   }
 
+  test("circularStats: all events at one hour give R = 1 and that mean hour") {
+    val events = eventsOf((0 until 5).map { i =>
+      (i.toLong, 1L, f"2025-07-${i + 1}%02d 06:${10 + i}%02d:00", "click", 1.0)
+    })
+    val r = graft.queries.AnalyticsQueries.circularStatsOf(events).collect()(0)
+    assert(r.getString(0) === "click")
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("mean_hour") === 6.0)
+    assert(r.getAs[Double]("resultant_r") === 1.0)
+    assert(r.getAs[Double]("rayleigh_z") === 5.0)
+    assert(r.getAs[Boolean]("nonuniform"))
+  }
+
+  test("cochranArmitage: planted linear proportion trend matches the replay") {
+    val rows = for {
+      (yr, nf) <- Seq(("1996", 2), ("1997", 5), ("1998", 8))
+      i <- 0 until 10
+    } yield (yr.toLong * 100 + i, 1L, 10.0, s"$yr-03-05",
+      if (i < nf) "F" else "O")
+    val orders = {
+      val s = spark; import s.implicits._
+      rows.map { case (ok, ck, tp, d, st) =>
+        (ok, ck, st, tp, ts(d + " 00:00:00"), "P")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }
+    val r = graft.queries.AnalyticsQueries.cochranArmitageOf(orders).collect()(0)
+    // replay: w = 0,1,2; x = 2,5,8; n = 10 each; p̄ = 0.5
+    val (swx, swn, swwn, nn, p) = (0.0 * 2 + 1 * 5 + 2 * 8.0,
+      0.0 * 10 + 1 * 10 + 2 * 10.0, 0.0 * 10 + 1 * 10 + 4 * 10.0, 30.0, 0.5)
+    val zExp = (swx - p * swn) / math.sqrt(p * (1 - p) * (swwn - swn * swn / nn))
+    assert(r.getAs[Long]("n_years") === 3L)
+    assert(r.getAs[Double]("p_overall") === 0.5)
+    assert(math.abs(r.getAs[Double]("z_trend") - zExp) < 1e-4)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
