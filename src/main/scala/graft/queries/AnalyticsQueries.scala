@@ -2969,6 +2969,60 @@ object AnalyticsQueries {
             " * (swwn - swn * swn / nn))", 4)} AS z_trend
        |FROM a""".stripMargin
 
+  /** QUANTILE-BASED ROBUST SHAPE per event type: Bowley skewness
+    * (Q₁+Q₃−2·Q₂)/(Q₃−Q₁) and Moors kurtosis
+    * ((E₇−E₅)+(E₃−E₁))/(E₆−E₂) from rank-picked octiles — the
+    * outlier-immune skew/kurtosis that [[StreamQueries.quantileSketch]]'s
+    * moment-based shape stats are not (one wild value saturates a
+    * classical kurtosis; octiles shrug). Every octile is an exact
+    * integer rank pick; the two ratios are integer-over-integer,
+    * fenced once each.
+    *
+    * Scale shape: one pass to per-type ordered values with
+    * type-partitioned rank windows (the tail-latency pattern — never
+    * a global sort); the shape algebra runs on a k-type relation. */
+  def robustShape(spark: SparkSession, dir: String): DataFrame =
+    robustShapeOf(Tables(spark, dir, "events"))
+
+  private[graft] def robustShapeOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("ty").orderBy("c")
+    val ranked = events
+      .select(col("event_type").as("ty"), Det.cents(col("value")).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("ty")))
+    val octCols = (1 to 7).map(i =>
+      min(when(col("rk") >= expr(s"($i * n + 7) div 8"), col("c"))).as(s"e$i"))
+    val oct = ranked.groupBy("ty").agg(max("n").as("n"), octCols: _*)
+    oct.select(col("ty").as("event_type"), col("n"),
+        Det.rnd(expr("CAST(e2 + e6 - 2 * e4 AS DOUBLE) / (e6 - e2)"), 4)
+          .as("bowley_skew"),
+        Det.rnd(expr("CAST((e7 - e5) + (e3 - e1) AS DOUBLE) / (e6 - e2)"), 4)
+          .as("moors_kurtosis"),
+        Det.rnd(col("e4").cast("double") / 100.0, 2).as("median_dollars"))
+      .orderBy("event_type")
+  }
+
+  val robustShapeSql: String = {
+    val octs = (1 to 7).map(i =>
+      s"min(CASE WHEN rk >= ($i * n + 7) // 8 THEN c END) AS e$i").mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT event_type AS ty, ${Det.centsSql("value")} AS c,
+       |         row_number() OVER (PARTITION BY event_type
+       |           ORDER BY ${Det.centsSql("value")}) AS rk,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |oct AS (SELECT ty, max(n) AS n, $octs FROM ranked GROUP BY 1)
+       |SELECT ty AS event_type, CAST(n AS BIGINT) AS n,
+       |       ${Det.rndSql("CAST(e2 + e6 - 2 * e4 AS DOUBLE) / (e6 - e2)", 4)}
+       |         AS bowley_skew,
+       |       ${Det.rndSql("CAST((e7 - e5) + (e3 - e1) AS DOUBLE) / (e6 - e2)", 4)}
+       |         AS moors_kurtosis,
+       |       ${Det.rndSql("CAST(e4 AS DOUBLE) / 100.0", 2)} AS median_dollars
+       |FROM oct
+       |ORDER BY event_type""".stripMargin
+  }
+
   val jackknifeRatioSql: String = {
     val varSum = "(sd2 - sd * sd / k)"
     s"""WITH g AS (

@@ -839,6 +839,21 @@ class Round9eSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_trend") - zExp) < 1e-4)
   }
 
+  test("robustShape: symmetric octiles give zero Bowley skew, uniform Moors 1") {
+    // 8 values 10..80: octile ranks ceil(i·8/8)… e_i = 10·i exactly
+    val events = eventsOf((1 to 8).map { i =>
+      (i.toLong, 1L, f"2025-08-$i%02d 08:00:00", "view", i * 10.0)
+    })
+    val r = graft.queries.AnalyticsQueries.robustShapeOf(events).collect()(0)
+    assert(r.getString(0) === "view")
+    assert(r.getAs[Long]("n") === 8L)
+    // e2=20, e4=40, e6=60: skew = (20+60−80)/40 = 0
+    assert(r.getAs[Double]("bowley_skew") === 0.0)
+    // ((70−50)+(30−10))/40 = 1
+    assert(r.getAs[Double]("moors_kurtosis") === 1.0)
+    assert(r.getAs[Double]("median_dollars") === 40.0)
+  }
+
   test("jackknifeRatio: two-group closed form matches a hand replay") {
     val s = spark; import s.implicits._
     val customer = Seq(
