@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** Round-10 closures of the r9 verdict: the single-pass winnowing
+  * kernel equals the r9 explode pipeline value-for-value, and the
+  * MOSS over-frequent-fingerprint cut drops planted boilerplate. */
+class Round10Spec extends SparkSpec {
+
+  test("winnowFps kernel equals the explode pipeline on real sf0.001 documents") {
+    val docs = Tables(spark, sfDir, "documents")
+    val kernel = TextQueries.winnowFpsKernelOf(docs)
+      .groupBy("doc_id").agg(sort_array(collect_list("mh")).as("fps"))
+    val explode = TextQueries.winnowFpsExplodeOf(docs)
+      .groupBy("doc_id").agg(sort_array(collect_list("mh")).as("fps"))
+    val diff = kernel.join(explode, Seq("doc_id"), "full_outer")
+    assert(diff.count() > 0)
+    assert(
+      kernel.as("k").join(explode.as("e"), Seq("doc_id"), "full_outer")
+        .filter(not(col("k.fps") <=> col("e.fps"))).count() === 0L)
+  }
+
+  test("winnowFps kernel: short text below one full window yields no fingerprints") {
+    val s = spark; import s.implicits._
+    graft.functions.WinnowFps.register(spark)
+    // k=8, w=4 → needs at least k+w-1 = 11 chars for one full window
+    val r = Seq("0123456789", "0123456789a", "abc")
+      .toDF("t")
+      .select(size(expr("winnow_fps(t, 8, 4)")).as("n"))
+      .collect().map(_.getInt(0))
+    assert(r(0) === 0) // 10 chars: 3 grams < w
+    assert(r(1) >= 1)  // 11 chars: exactly one full window
+    assert(r(2) === 0) // shorter than k
+  }
+
+  test("winnowFps kernel: multi-byte UTF-8 uses character (not byte) addressing") {
+    val s = spark; import s.implicits._
+    graft.functions.WinnowFps.register(spark)
+    val txt = "αβγδεζηθικλμνξο πρστυφχψω" // greek: 2-byte chars
+    val kernel = Seq((1L, txt)).toDF("doc_id", "text")
+    val viaKernel = TextQueries.winnowFpsKernelOf(kernel)
+      .select("mh").collect().map(_.getString(0)).sorted
+    val viaExplode = TextQueries.winnowFpsExplodeOf(kernel)
+      .select("mh").collect().map(_.getString(0)).sorted
+    assert(viaKernel.nonEmpty)
+    assert(viaKernel.toSeq === viaExplode.toSeq)
+  }
+
+  test("winnowing df cut drops a planted hot fingerprint, keeps rare ones") {
+    val s = spark; import s.implicits._
+    // 40 docs all sharing one boilerplate sentence (df = 40 > thr =
+    // max(4, 40 div 100 = 0) = 4) plus per-doc unique filler; two docs
+    // additionally share a unique passage (df = 2 ≤ thr).
+    val boiler = "subscribe to our newsletter today"
+    val sharedRare = "the quick brown fox jumps over the lazy dog"
+    val docs = (1 to 40).map { i =>
+      val unique = s"document number $i carries payload ${i * 7919} end"
+      val extra = if (i == 3 || i == 17) s" $sharedRare" else ""
+      (i.toLong, s"$boiler $unique$extra")
+    }.toDF("doc_id", "text")
+    val fps = TextQueries.winnowFpsKernelOf(docs)
+    val cut = TextQueries.winnowCutOf(fps)
+    // fingerprints of the pure boilerplate text (windows fully inside
+    // it) must be gone after the cut
+    val boilerFps = TextQueries.winnowFpsKernelOf(
+      Seq((0L, boiler)).toDF("doc_id", "text"))
+      .select("mh").collect().map(_.getString(0)).toSet
+    assert(boilerFps.nonEmpty)
+    val kept = cut.select("mh").distinct().collect().map(_.getString(0)).toSet
+    assert(boilerFps.intersect(kept).isEmpty,
+      "planted hot (boilerplate) fingerprints must be cut")
+    // the rare shared passage's fingerprints survive: docs 3 and 17
+    // still share at least one fingerprint
+    val pairShared = cut.as("a").join(cut.as("b"), "mh")
+      .filter(col("a.doc_id") === 3L && col("b.doc_id") === 17L)
+      .count()
+    assert(pairShared > 0, "rare shared fingerprints must survive the cut")
+  }
+
+  test("winnowing report is green end-to-end on the planted corpus") {
+    val s = spark; import s.implicits._
+    val boiler = "all rights reserved contact us at example dot com"
+    val sharedRare = "winnowing guarantees matches of length k plus w minus one"
+    val docs = (1 to 30).map { i =>
+      val extra = if (i == 5 || i == 9) s" $sharedRare $sharedRare" else ""
+      (i.toLong, s"$boiler unique marker ${i * 104729}$extra")
+    }.toDF("doc_id", "text")
+    val out = TextQueries.winnowingOf(docs).collect()
+    // docs 5 and 9 share the rare passage → must be the top pair
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("doc_a") === 5L)
+    assert(out.head.getAs[Long]("doc_b") === 9L)
+    assert(out.head.getAs[Long]("shared") > 0L)
+  }
+}
