@@ -156,13 +156,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "graft_might_contain"),
+      new ExpressionInfo(classOf[GraftMightContain].getName, "graft_might_contain"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2,
           s"graft_might_contain(bloom, col) takes 2 arguments, got ${exprs.length}")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+        GraftMightContain(exprs(0), exprs(1))
       }))
   }
 }
