@@ -618,8 +618,13 @@ object AnalyticsQueries {
       .select(col("x"), col("y"),
         lag("x", 1).over(w).as("x1"), lag("y", 1).over(w).as("y1"))
       .filter(col("x1").isNotNull)
+    // cast-BEFORE-multiply (ADVICE r9): the product must widen to
+    // decimal first — (long * long) wraps silently at ~3e9/day counts
+    // before a post-hoc cast could save it, and the DuckDB twin
+    // widens first (CAST(x AS HUGEINT) * y), so the engines would
+    // diverge exactly when it matters
     def s2(p: String, q: String) =
-      sum((col(p) * col(q)).cast("decimal(38,0)")).cast("double").as(s"s_${p}_${q}")
+      sum(col(p).cast("decimal(38,0)") * col(q)).cast("double").as(s"s_${p}_${q}")
     val mom = lagged.agg(
       count(lit(1)).cast("double").as("nn"),
       sum(col("x")).cast("double").as("s_x"),
@@ -1288,11 +1293,24 @@ object AnalyticsQueries {
     * ([[graft.streaming.StreamJobs.checksumStream]]): counts and
     * decimal sums are additive across any batch split; the mod-2⁶¹
     * fold happens only in the finish. */
+  /** Shared canonical-row string for both checksum tiers: every field
+    * rides an explicit coalesce sentinel (ADVICE r9) — concat_ws
+    * silently SKIPS null args (distinct rows could canonicalize
+    * identically) while the DuckDB twin's || chain NULLs the whole
+    * hash and drops the row from the digest; for a replication-
+    * verification primitive both engines must see the same
+    * collision-free canonical string, so NULL becomes a sentinel
+    * token on both sides. */
+  private val ChecksumCanon =
+    "concat_ws('|', coalesce(CAST(o_orderkey AS STRING), '<NULL>'), " +
+      "coalesce(CAST(o_custkey AS STRING), '<NULL>'), " +
+      "coalesce(o_orderstatus, '<NULL>'), " +
+      "coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), '<NULL>'), " +
+      "coalesce(date_format(o_orderdate, 'yyyy-MM-dd'), '<NULL>'), " +
+      "coalesce(o_orderpriority, '<NULL>'))"
+
   private[graft] def checksumState(orders: DataFrame): DataFrame = {
-    val canon = "concat_ws('|', CAST(o_orderkey AS STRING), " +
-      "CAST(o_custkey AS STRING), o_orderstatus, " +
-      "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
-      "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"
+    val canon = ChecksumCanon
     orders
       .select(year(col("o_orderdate")).as("yr"),
         expr(s"CAST(conv(substring(md5($canon), 1, 15), 16, 10) AS BIGINT)")
@@ -1315,10 +1333,7 @@ object AnalyticsQueries {
 
   private[graft] def tableChecksumOf(orders: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    val canon = "concat_ws('|', CAST(o_orderkey AS STRING), " +
-      "CAST(o_custkey AS STRING), o_orderstatus, " +
-      "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
-      "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"
+    val canon = ChecksumCanon
     orders
       .select(year(col("o_orderdate")).as("yr"),
         expr(s"CAST(conv(substring(md5($canon), 1, 15), 16, 10) AS BIGINT)")
@@ -1333,9 +1348,13 @@ object AnalyticsQueries {
   }
 
   val tableChecksumSql: String = {
-    val canon = "o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || " +
-      s"${Det.centsSql("o_totalprice")} || '|' || " +
-      "strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority"
+    // mirror of the Spark side's per-field NULL sentinels (ADVICE r9)
+    val canon = "coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' || " +
+      "coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' || " +
+      "coalesce(o_orderstatus, '<NULL>') || '|' || " +
+      s"coalesce(CAST(${Det.centsSql("o_totalprice")} AS VARCHAR), '<NULL>') || '|' || " +
+      "coalesce(strftime(o_orderdate, '%Y-%m-%d'), '<NULL>') || '|' || " +
+      "coalesce(o_orderpriority, '<NULL>')"
     s"""SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS scope,
        |       count(*) AS n_rows,
        |       CAST(sum(h) % 2305843009213693952 AS BIGINT) AS checksum
@@ -1371,7 +1390,11 @@ object AnalyticsQueries {
       .select(col("x"), col("mn"), col("mx"), col("n"),
         explode(sequence(lit(0), lit(20))).as("j"))
       .withColumn("g", col("mn") + col("j") * (col("mx") - col("mn")) / 20.0)
-      .withColumn("h", (col("mx") - col("mn")) / 20.0)
+      // bandwidth floor of 1 cent (ADVICE r9): a degenerate corpus
+      // where every order value is equal makes mx = mn and h = 0 —
+      // NaN/Inf densities on both engines, invisible to the oracle
+      // gate; the floor is mirrored in the twin
+      .withColumn("h", greatest((col("mx") - col("mn")) / 20.0, lit(1.0)))
       .withColumn("kern",
         exp((col("x") - col("g")) * (col("x") - col("g"))
           / (col("h") * col("h")) * -0.5))
@@ -1393,7 +1416,7 @@ object AnalyticsQueries {
        |  FROM orders),
        |pts AS (
        |  SELECT j, x, mn + j * (mx - mn) / 20.0 AS g,
-       |         (mx - mn) / 20.0 AS h, n
+       |         greatest((mx - mn) / 20.0, 1.0) AS h, n
        |  FROM (SELECT ${Det.centsSql("o_totalprice")} AS x FROM orders)
        |  CROSS JOIN mm
        |  CROSS JOIN (SELECT unnest(range(21)) AS j)),
@@ -2233,7 +2256,8 @@ object AnalyticsQueries {
         <= col("band") * col("dl"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum("k").cast("double").as("sk"), sum("y").cast("double").as("sy"),
-        sum((col("k") * col("y")).cast("decimal(38,0)")).cast("double").as("sky"),
+        // cast-before-multiply (ADVICE r9): widen, then multiply
+        sum(col("k").cast("decimal(38,0)") * col("y")).cast("double").as("sky"),
         sum(col("k") * col("k")).cast("double").as("skk"))
     best.crossJoin(refit)
       .select(col("i").as("month_i"), col("j").as("month_j"),

@@ -2693,7 +2693,9 @@ object SimilarityQueries {
       .join(core.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
       .select(col("v"), col("u")).localCheckpoint()
     var lab = core.select(col("v"), col("v").as("l"))
+    var prevLab = lab
     for (_ <- 1 to DbRounds) {
+      prevLab = lab
       val nbrMin = ce
         .join(lab.select(col("v").as("u"), col("l").as("lu")), Seq("u"))
         .groupBy("v").agg(min("lu").as("nl"))
@@ -2701,6 +2703,16 @@ object SimilarityQueries {
         .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .localCheckpoint() // per-round lineage cut (sanctioned class c)
     }
+    // convergence audit (ADVICE r9): the unroll is fixed-depth by the
+    // oracle contract (dynamic rounds can't be mirrored statically),
+    // so a core subgraph with diameter > DbRounds would silently
+    // report one cluster as several — the count of labels still
+    // moving in the FINAL round makes non-convergence observable
+    // (0 = converged) on both engines
+    val moves = prevLab.select(col("v"), col("l").as("lp"))
+      .join(lab, Seq("v"))
+      .agg(sum(when(col("l") =!= col("lp"), 1L).otherwise(0L))
+        .as("n_label_moves_last_round"))
     val borders = both
       .join(core.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
       .join(core, Seq("v"), "left_anti")
@@ -2716,6 +2728,9 @@ object SimilarityQueries {
     clusters.select(col("l").as("cluster_id"), col("n_core"), col("n_border"))
       .union(noise.select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
         col("n").as("n_border")))
+      .crossJoin(broadcast(moves.select(
+        coalesce(col("n_label_moves_last_round"), lit(0L))
+          .as("n_label_moves_last_round")))) // 1-row scalar
       .orderBy("cluster_id")
   }
 
@@ -2755,12 +2770,19 @@ object SimilarityQueries {
        |bc AS (SELECT l, count(*) AS n_border FROM bord GROUP BY 1),
        |noise AS (
        |  SELECT count(*) AS n FROM deg
-       |  WHERE v NOT IN (SELECT v FROM core) AND v NOT IN (SELECT v FROM bord))
-       |SELECT cl.l AS cluster_id, cl.n_core,
-       |       coalesce(bc.n_border, 0) AS n_border
-       |FROM cl LEFT JOIN bc USING (l)
-       |UNION ALL
-       |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), n FROM noise
+       |  WHERE v NOT IN (SELECT v FROM core) AND v NOT IN (SELECT v FROM bord)),
+       |aud AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN q.l <> p.l THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS nm
+       |  FROM l${DbRounds - 1} p JOIN l$DbRounds q ON q.v = p.v)
+       |SELECT cluster_id, n_core, n_border,
+       |       (SELECT nm FROM aud) AS n_label_moves_last_round
+       |FROM (
+       |  SELECT cl.l AS cluster_id, cl.n_core,
+       |         coalesce(bc.n_border, 0) AS n_border
+       |  FROM cl LEFT JOIN bc USING (l)
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), n FROM noise)
        |ORDER BY cluster_id""".stripMargin
   }
 
@@ -2892,7 +2914,9 @@ object SimilarityQueries {
       .union(e.select(col("t"), col("b").as("v"), col("a").as("u")))
     val nodes = both.select("t", "v").distinct().localCheckpoint()
     var lab = nodes.withColumn("l", col("v"))
+    var prevLab = lab
     for (_ <- 1 to PercRounds) {
+      prevLab = lab
       val nbr = both
         .join(lab.select(col("t"), col("v").as("u"), col("l").as("lu")),
           Seq("t", "u"))
@@ -2902,16 +2926,27 @@ object SimilarityQueries {
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .localCheckpoint() // (thresholds × nodes)-bounded per round
     }
+    // per-threshold convergence audit (ADVICE r9): labels still moving
+    // in the FINAL unrolled round — 0 means the fixed-depth unroll
+    // converged; nonzero makes a split giant component observable
+    val moves = prevLab.select(col("t"), col("v"), col("l").as("lp"))
+      .join(lab, Seq("t", "v"))
+      .groupBy("t")
+      .agg(sum(when(col("l") =!= col("lp"), 1L).otherwise(0L))
+        .as("n_label_moves_last_round"))
     val sizes = lab.groupBy("t", "l").agg(count(lit(1)).as("sz"))
     val comp = sizes.groupBy("t").agg(count(lit(1)).as("n_components"),
       max("sz").as("giant"))
     val nn = nodes.groupBy("t").agg(count(lit(1)).as("n_nodes"))
     val ne = e.groupBy("t").agg(count(lit(1)).as("n_edges"))
     nn.join(ne, Seq("t")).join(comp, Seq("t"))
+      .join(moves, Seq("t"), "left")
       .select(col("t").as("threshold"), col("n_nodes"), col("n_edges"),
         col("n_components"),
         graft.functions.Det.rnd(col("giant").cast("double") / col("n_nodes"), 4)
-          .as("giant_share"))
+          .as("giant_share"),
+        coalesce(col("n_label_moves_last_round"), lit(0L))
+          .as("n_label_moves_last_round"))
       .orderBy("threshold")
   }
 
@@ -2947,11 +2982,19 @@ object SimilarityQueries {
        |comp AS (SELECT t, count(*) AS n_components, max(sz) AS giant
        |         FROM sizes GROUP BY 1),
        |nn AS (SELECT t, count(*) AS n_nodes FROM nodes GROUP BY 1),
-       |ne AS (SELECT t, count(*) AS n_edges FROM pe GROUP BY 1)
+       |ne AS (SELECT t, count(*) AS n_edges FROM pe GROUP BY 1),
+       |aud AS (
+       |  SELECT p.t,
+       |         CAST(sum(CASE WHEN q.l <> p.l THEN 1 ELSE 0 END) AS BIGINT) AS nm
+       |  FROM l${PercRounds - 1} p
+       |  JOIN l$PercRounds q ON q.t = p.t AND q.v = p.v
+       |  GROUP BY 1)
        |SELECT nn.t AS threshold, nn.n_nodes, ne.n_edges, comp.n_components,
        |       ${graft.functions.Det.rndSql(
-            "CAST(giant AS DOUBLE) / n_nodes", 4)} AS giant_share
+            "CAST(giant AS DOUBLE) / n_nodes", 4)} AS giant_share,
+       |       coalesce(aud.nm, 0) AS n_label_moves_last_round
        |FROM nn JOIN ne ON ne.t = nn.t JOIN comp ON comp.t = nn.t
+       |     LEFT JOIN aud ON aud.t = nn.t
        |ORDER BY threshold""".stripMargin
   }
 

@@ -128,6 +128,70 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("dbscan convergence audit: converged planted graph reports 0, deep chain reports > 0") {
+    val s = spark; import s.implicits._
+    // converged case: two 4-cliques (diameter 1) — audit must be 0
+    val cliqueA = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 0.9)
+    val cliqueB = for (a <- 8L to 11L; b <- a + 1 to 11L) yield (a, b, 0.9)
+    val small = (cliqueA ++ cliqueB).toDF("src", "dst", "cos")
+    val gotSmall = queries.SimilarityQueries.dbscanOnEdges(small).collect()
+    assert(gotSmall.forall(_.getAs[Long]("n_label_moves_last_round") === 0L))
+    // deep case: a chain of 15 triangles (every node degree >= 3 so all
+    // are core; core-graph diameter ~ 30 > the 10-round unroll) — the
+    // min label cannot reach the far end, and the audit must say so
+    val tri = (0 until 15).flatMap { i =>
+      val (a, b, c) = (3L * i + 1, 3L * i + 2, 3L * i + 3)
+      Seq((a, b, 0.9), (a, c, 0.9), (b, c, 0.9)) ++
+        (if (i < 14) Seq((c, 3L * (i + 1) + 1, 0.9)) else Nil)
+    }.toDF("src", "dst", "cos")
+    val gotDeep = queries.SimilarityQueries.dbscanOnEdges(tri).collect()
+    assert(gotDeep.head.getAs[Long]("n_label_moves_last_round") > 0L,
+      "non-convergence must be observable")
+  }
+
+  test("percolationProfile convergence audit: long chain reports moves, short chain 0") {
+    val s = spark; import s.implicits._
+    val shortChain = Seq((1L, 2L, 0.31), (2L, 3L, 0.27), (4L, 5L, 0.33))
+      .toDF("src", "dst", "cos")
+    val gotShort = queries.SimilarityQueries.percolationProfileOnEdges(shortChain).collect()
+    assert(gotShort.forall(_.getAs[Long]("n_label_moves_last_round") === 0L))
+    val longChain = (1L until 30L).map(i => (i, i + 1, 0.5))
+      .toDF("src", "dst", "cos")
+    val gotLong = queries.SimilarityQueries.percolationProfileOnEdges(longChain).collect()
+    assert(gotLong.forall(_.getAs[Long]("n_label_moves_last_round") > 0L))
+  }
+
+  test("kdeGrid: degenerate all-equal corpus yields finite densities") {
+    val s = spark; import s.implicits._
+    val orders = Seq.fill(5)((1L, 1L, "O", 42.0,
+      java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "1-URGENT"))
+      .zipWithIndex.map { case ((_, ck, st, tp, d, pr), i) => (i.toLong, ck, st, tp, d, pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = queries.AnalyticsQueries.kdeGridOf(orders).collect()
+    assert(got.length === 21)
+    assert(got.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
+  test("tableChecksum: NULL fields canonicalize via sentinel, distinct rows stay distinct") {
+    val s = spark; import s.implicits._
+    // two rows that concat_ws WITHOUT sentinels would canonicalize
+    // identically: (status=NULL, priority='X|P') vs (status='X', priority='P')
+    // — with per-field sentinels + separators they hash differently
+    val mk = (k: Long, st: String, pr: String) => (k, 1L, st, 10.0,
+      java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), pr)
+    val a = Seq(mk(1L, null, "P")).toDF("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val b = Seq(mk(1L, "P", null)).toDF("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val ca = queries.AnalyticsQueries.tableChecksumOf(a).collect()
+    val cb = queries.AnalyticsQueries.tableChecksumOf(b).collect()
+    // both digests exist (no NULL-propagation row drop)...
+    assert(ca.length === 2 && cb.length === 2)
+    // ...and the two field layouts produce DIFFERENT checksums
+    assert(ca.map(_.getLong(2)).toSeq !== cb.map(_.getLong(2)).toSeq)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
