@@ -62,4 +62,21 @@ object Tables {
   /** Scratch dir for sink round-trips (CSV/DDL). Kept under target/ so it
     * is git-ignored and never collides with the read-only corpus. */
   val scratchDir = "/root/repo/target/scratch"
+
+  /** Guard predicate for one-time scratch materializations (VERDICT r9
+    * #8): true iff this session already wrote the artifacts for `dir`
+    * AND every path still exists on disk. The session-conf flag alone
+    * trusts the filesystem blindly — an operator wiping the scratch
+    * root mid-session (disk pressure, tmp cleaner, manual rm) used to
+    * turn every later trunk read into an opaque PATH_NOT_FOUND; with
+    * the existence check the guard silently rebuilds instead, which
+    * is the failure mode durable scratch exists to absorb (chaos-
+    * tested in Round10Spec). Listing a parquet dir's footer is a
+    * metadata stat, not a data scan. */
+  def scratchReady(spark: SparkSession, flagKey: String, dir: String,
+                   paths: Seq[String]): Boolean =
+    spark.conf.getOption(flagKey).contains(dir) && paths.forall { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
 }

@@ -335,7 +335,7 @@ object DedupQueries {
     * drag in the minhash signature/verify stages it doesn't need. */
   private def groupsScratch(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${Tables.scratchDir}/dedupgroups-${scratchKey(spark, dir)}/groups.parquet"
-    if (!spark.conf.getOption("graft.dedupgroups.dir").contains(dir)) {
+    if (!Tables.scratchReady(spark, "graft.dedupgroups.dir", dir, Seq(path))) {
       groupsOf(Tables(spark, dir, "documents")).write.mode("overwrite").parquet(path)
       groupsWrites += 1
       spark.conf.set("graft.dedupgroups.dir", dir)
@@ -361,7 +361,8 @@ object DedupQueries {
   private def trunk(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val base = s"${Tables.scratchDir}/deduptrunk-${scratchKey(spark, dir)}"
     val groups = groupsScratch(spark, dir) // shared stage-1 collapse
-    if (!spark.conf.getOption("graft.deduptrunk.dir").contains(dir)) {
+    if (!Tables.scratchReady(spark, "graft.deduptrunk.dir", dir,
+        Seq(s"$base/verified.parquet", s"$base/labels.parquet"))) {
       val verified = verifiedFromGroups(Tables(spark, dir, "documents"), groups)
       verified.write.mode("overwrite").parquet(s"$base/verified.parquet")
       // the connected-component labels ride in the trunk too: both

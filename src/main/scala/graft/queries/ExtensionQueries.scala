@@ -3138,7 +3138,7 @@ object ExtensionQueries {
     // (the VERDICT r8 #2 pattern)
     val path =
       s"${Tables.scratchDir}/rfm-${DedupQueries.scratchKey(spark, dir)}/features.parquet"
-    if (!spark.conf.getOption("graft.rfm.dir").contains(dir)) {
+    if (!graft.Tables.scratchReady(spark, "graft.rfm.dir", dir, Seq(path))) {
       rfmFeaturesOf(Tables(spark, dir, "events"))
         .write.mode("overwrite").parquet(path)
       spark.conf.set("graft.rfm.dir", dir)
@@ -6828,7 +6828,7 @@ object ExtensionQueries {
     * identically in both engines. */
   def hits(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${graft.Tables.scratchDir}/purchedges-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
-    if (!spark.conf.getOption("graft.purchedges.dir").contains(dir)) {
+    if (!graft.Tables.scratchReady(spark, "graft.purchedges.dir", dir, Seq(path))) {
       Tables(spark, dir, "lineitem")
         .join(Tables(spark, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))

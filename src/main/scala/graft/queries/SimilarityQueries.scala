@@ -1203,7 +1203,7 @@ object SimilarityQueries {
     // executor-pinned localCheckpoint (the VERDICT r8 #2 pattern)
     val path =
       s"${Tables.scratchDir}/hardneg-${DedupQueries.scratchKey(spark, dir)}/scored.parquet"
-    if (!spark.conf.getOption("graft.hardneg.dir").contains(dir)) {
+    if (!Tables.scratchReady(spark, "graft.hardneg.dir", dir, Seq(path))) {
       val emb = Tables(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
@@ -1282,7 +1282,7 @@ object SimilarityQueries {
     // executor loss and spills to storage instead of memory
     val path =
       s"${Tables.scratchDir}/pca-${DedupQueries.scratchKey(spark, dir)}/centered.parquet"
-    if (!spark.conf.getOption("graft.pca.dir").contains(dir)) {
+    if (!Tables.scratchReady(spark, "graft.pca.dir", dir, Seq(path))) {
       pcaCenteredOf(Tables(spark, dir, "embeddings"))
         .write.mode("overwrite").parquet(path)
       spark.conf.set("graft.pca.dir", dir)
@@ -1540,7 +1540,7 @@ object SimilarityQueries {
   def bitextMine(spark: SparkSession, dir: String): DataFrame = {
     val path =
       s"${Tables.scratchDir}/bitext-${DedupQueries.scratchKey(spark, dir)}/scored.parquet"
-    if (!spark.conf.getOption("graft.bitext.dir").contains(dir)) {
+    if (!Tables.scratchReady(spark, "graft.bitext.dir", dir, Seq(path))) {
       bitextScored(Tables(spark, dir, "documents"), Tables(spark, dir, "embeddings"))
         .write.mode("overwrite").parquet(path)
       spark.conf.set("graft.bitext.dir", dir)
@@ -1660,7 +1660,7 @@ object SimilarityQueries {
   private def knnEdgesScratch(spark: SparkSession, dir: String): DataFrame = {
     val path =
       s"${Tables.scratchDir}/knnedges-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
-    if (!spark.conf.getOption("graft.knnedges.dir").contains(dir)) {
+    if (!Tables.scratchReady(spark, "graft.knnedges.dir", dir, Seq(path))) {
       // cos rides along for the distance-consuming readers ([[lof]]);
       // src/dst-only readers column-prune it away at the scan
       knnGraph(spark, dir).select("src", "dst", "cos")

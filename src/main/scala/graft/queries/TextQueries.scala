@@ -5179,7 +5179,8 @@ object TextQueries {
     * recompute (VERDICT r9 #1a). */
   private def winnowCutScratch(spark: SparkSession, dir: String): DataFrame = {
     val base = s"${Tables.scratchDir}/winnowfps-${DedupQueries.scratchKey(spark, dir)}"
-    if (!spark.conf.getOption("graft.winnowfps.dir").contains(dir)) {
+    if (!Tables.scratchReady(spark, "graft.winnowfps.dir", dir,
+        Seq(s"$base/fps.parquet", s"$base/cut.parquet"))) {
       // two-step write: the raw kernel relation lands first so the cut
       // derives from flat columnar reads (kernel runs exactly once),
       // then the CUT relation — the one all three report consumers

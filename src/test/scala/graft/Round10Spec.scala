@@ -192,6 +192,34 @@ class Round10Spec extends SparkSpec {
     assert(ca.map(_.getLong(2)).toSeq !== cb.map(_.getLong(2)).toSeq)
   }
 
+  test("chaos: deleting the scratch root mid-session rebuilds every trunk consumer") {
+    // VERDICT r9 #8: the failure mode durable scratch exists to absorb.
+    // Cycle build -> rm -rf scratch -> re-run for consumers of two
+    // different trunks (dedup trunk: q_dedup_keep + q_minhash_lsh;
+    // winnow trunk: q_winnowing) and assert identical results.
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    val before = Map(
+      "q_dedup_keep" -> rows("q_dedup_keep"),
+      "q_minhash_lsh" -> rows("q_minhash_lsh"),
+      "q_winnowing" -> rows("q_winnowing"))
+    // simulate the operator/tmp-cleaner wiping scratch mid-session
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val scratch = new java.io.File(Tables.scratchDir)
+    assert(scratch.exists, "trunks must have been written")
+    scratch.listFiles()
+      .filter(f => f.getName.startsWith("deduptrunk-") ||
+        f.getName.startsWith("dedupgroups-") || f.getName.startsWith("winnowfps-"))
+      .foreach(rm)
+    // guards must detect the missing files and rebuild, not crash
+    before.foreach { case (name, want) =>
+      assert(rows(name) === want, s"$name must survive a scratch wipe")
+    }
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
