@@ -8070,4 +8070,288 @@ object ExtensionQueries {
        |FROM cells CROSS JOIN tot
        |ORDER BY segment""".stripMargin
   }
+
+  private val RboP = 0.9
+  private val RboDepth = 20
+  private val RboPivot = "1998-01-01"
+
+  /** RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between the
+    * customer revenue rankings of the two order-date halves — the
+    * top-weighted ranking-stability readout [[SimilarityQueries
+    * .kendallRankings]]' Kendall-tau (uniform pair weighting) cannot
+    * give: RBO discounts depth d by p^(d-1), so churn among the top
+    * customers moves the score and churn at rank 19 barely does —
+    * exactly the emphasis a "did our biggest accounts change?"
+    * question needs. Output is the per-depth agreement PROFILE plus
+    * the cumulative truncated RBO, so the depth where the halves
+    * diverge is readable directly.
+    *
+    * Scale shape: each half's ranking is one exact-cents aggregate +
+    * TakeOrdered([[RboDepth]]); everything after lives on two
+    * 20-row relations (overlap join, depth explode, prefix sums).
+    * Agreement counts are exact integers; p^(d-1) is a double power
+    * of the same literals on both engines behind a 6-dp fence. */
+  def rbo(spark: SparkSession, dir: String): DataFrame =
+    rboOf(Tables(spark, dir, "orders"))
+
+  private[graft] def rboOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def half(pred: org.apache.spark.sql.Column, name: String): DataFrame = orders
+      .filter(pred)
+      .groupBy("o_custkey").agg(sum(Det.cents(col("o_totalprice"))).as("rev"))
+      .withColumn(name, row_number().over(Window.orderBy(desc("rev"), asc("o_custkey"))))
+      .filter(col(name) <= RboDepth)
+      .select(col("o_custkey").as("c"), col(name))
+    val a = half(col("o_orderdate") < lit(RboPivot).cast("date"), "ra")
+    val b = half(col("o_orderdate") >= lit(RboPivot).cast("date"), "rb")
+    val m = a.join(b, "c").select(greatest(col("ra"), col("rb")).as("m"))
+    val depths = orders.sparkSession.range(1, RboDepth + 1)
+      .select(col("id").cast("int").as("d"))
+    depths.join(m, col("m") <= col("d"), "left")
+      .groupBy("d").agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("x_d"))
+      .withColumn("agree", Det.rnd(col("x_d").cast("double") / col("d"), 6))
+      .withColumn("w", pow(lit(RboP), col("d") - 1) * (1 - RboP)
+        * col("x_d").cast("double") / col("d"))
+      .withColumn("rbo_cum", Det.rnd(
+        sum("w").over(Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)), 6))
+      .select(col("d"), col("x_d"), col("agree"), col("rbo_cum"))
+      .orderBy("d")
+  }
+
+  val rboSql: String =
+    s"""WITH ha AS (
+       |  SELECT o_custkey AS c,
+       |         row_number() OVER (ORDER BY CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) DESC,
+       |                            o_custkey) AS ra
+       |  FROM orders WHERE o_orderdate < DATE '$RboPivot' GROUP BY 1),
+       |hb AS (
+       |  SELECT o_custkey AS c,
+       |         row_number() OVER (ORDER BY CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) DESC,
+       |                            o_custkey) AS rb
+       |  FROM orders WHERE o_orderdate >= DATE '$RboPivot' GROUP BY 1),
+       |m AS (
+       |  SELECT greatest(ra, rb) AS m
+       |  FROM (SELECT * FROM ha WHERE ra <= $RboDepth) a
+       |  JOIN (SELECT * FROM hb WHERE rb <= $RboDepth) b USING (c)),
+       |prof AS (
+       |  SELECT d, CAST(coalesce(sum(CASE WHEN m.m <= d THEN 1 ELSE 0 END), 0) AS BIGINT) AS x_d
+       |  FROM (SELECT CAST(unnest(range(1, ${RboDepth + 1})) AS INTEGER) AS d)
+       |  LEFT JOIN m ON m.m <= d
+       |  GROUP BY 1)
+       |SELECT d, x_d,
+       |       ${Det.rndSql("CAST(x_d AS DOUBLE) / d", 6)} AS agree,
+       |       ${Det.rndSql(
+          s"sum(power($RboP, d - 1) * ${1 - RboP} * x_d / d) OVER (ORDER BY d)", 6)}
+       |         AS rbo_cum
+       |FROM prof
+       |ORDER BY d""".stripMargin
+
+  private val SegThresholds = Seq(("high", 100000000L), ("mid", 50000000L)) // cents: $1M / $500K per half
+
+  /** CUSTOMER SEGMENT MIGRATION across the [[RboPivot]] date halves:
+    * each customer lands in a fixed-threshold spend tier per half
+    * (high / mid / low in exact cents; 'none' when absent from a
+    * half), and the output is the from->to transition matrix with row
+    * shares — the churn/upgrade ledger behind every "where did our
+    * high-value customers go" review, and the customer-level
+    * companion of [[markovTransitions]]' event-level chain.
+    *
+    * Scale shape: one exact-cents aggregate per (customer, half) —
+    * a single shuffle on the customer key — then a full-outer join of
+    * the two customer-bounded tier relations and a tier x tier (<= 16
+    * row) matrix aggregate. Thresholds are fixed literals, so tiers
+    * never depend on data-order quantiles. */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame =
+    segmentMigrationOf(Tables(spark, dir, "orders"))
+
+  private[graft] def segmentMigrationOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tier = (c: org.apache.spark.sql.Column) =>
+      when(c >= SegThresholds(0)._2, SegThresholds(0)._1)
+        .when(c >= SegThresholds(1)._2, SegThresholds(1)._1)
+        .otherwise("low")
+    def half(pred: org.apache.spark.sql.Column, name: String): DataFrame = orders.filter(pred)
+      .groupBy("o_custkey").agg(sum(Det.cents(col("o_totalprice"))).as("rev"))
+      .select(col("o_custkey").as("c"), tier(col("rev")).as(name))
+    val a = half(col("o_orderdate") < lit(RboPivot).cast("date"), "t_from")
+    val b = half(col("o_orderdate") >= lit(RboPivot).cast("date"), "t_to")
+    a.join(b, Seq("c"), "full_outer")
+      .select(coalesce(col("t_from"), lit("none")).as("from_tier"),
+        coalesce(col("t_to"), lit("none")).as("to_tier"))
+      .groupBy("from_tier", "to_tier").agg(count(lit(1)).as("n_customers"))
+      .withColumn("row_share", Det.rnd(col("n_customers").cast("double")
+        / sum("n_customers").over(Window.partitionBy("from_tier")), 6))
+      .orderBy("from_tier", "to_tier")
+  }
+
+  val segmentMigrationSql: String = {
+    val tierSql = (rev: String) =>
+      s"CASE WHEN $rev >= ${SegThresholds(0)._2} THEN '${SegThresholds(0)._1}' " +
+        s"WHEN $rev >= ${SegThresholds(1)._2} THEN '${SegThresholds(1)._1}' " +
+        "ELSE 'low' END"
+    s"""WITH ha AS (
+       |  SELECT o_custkey AS c, ${tierSql(
+          s"CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT)")} AS t_from
+       |  FROM orders WHERE o_orderdate < DATE '$RboPivot' GROUP BY 1),
+       |hb AS (
+       |  SELECT o_custkey AS c, ${tierSql(
+          s"CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT)")} AS t_to
+       |  FROM orders WHERE o_orderdate >= DATE '$RboPivot' GROUP BY 1),
+       |j AS (
+       |  SELECT coalesce(t_from, 'none') AS from_tier,
+       |         coalesce(t_to, 'none') AS to_tier
+       |  FROM ha FULL OUTER JOIN hb USING (c))
+       |SELECT from_tier, to_tier, count(*) AS n_customers,
+       |       ${Det.rndSql(
+          "CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY from_tier)", 6)}
+       |         AS row_share
+       |FROM j
+       |GROUP BY 1, 2
+       |ORDER BY from_tier, to_tier""".stripMargin
+  }
+
+  /** ABC (PARETO) CLASSIFICATION of parts by lineitem revenue: rank
+    * parts by exact-cents revenue, classify by cumulative share — A
+    * carries the first 80% of revenue, B to 95%, C the tail — the
+    * inventory-policy operator next to [[giniConcentration]] (one
+    * inequality number) and `q_decile_lift` (fixed-width deciles):
+    * ABC cuts at REVENUE share, so class sizes reveal concentration
+    * directly. Class boundaries compare exact integer products
+    * (cum*100 vs total*80), never float shares, so the classline
+    * cannot sit in rounding noise.
+    *
+    * Scale shape: one shuffle aggregates revenue per part; the
+    * cumulative window runs over the part-bounded relation (the
+    * [[ExtensionQueries]] rank-window discipline), and the output is
+    * 3 rows of class aggregates. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame =
+    abcAnalysisOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def abcAnalysisOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the tpchQ3 exact-revenue idiom: cent-hundredths integer units
+    // summed in decimal, half-up rounded to exact cents — the class
+    // boundaries then compare exact longs
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    val rev = lineitem
+      .groupBy("l_partkey")
+      .agg(((sum(units.cast("decimal(38,0)")) + 50).cast("decimal(38,0)") / 100)
+        .cast("long").as("rev"))
+    val w = Window.orderBy(desc("rev"), asc("l_partkey"))
+    val classed = rev
+      .withColumn("cum", sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("rev").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+    classed.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"),
+        min("rev").as("min_cents"))
+      .withColumn("revenue_share", Det.rnd(col("rev_cents").cast("double")
+        / sum("rev_cents").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 6))
+      .select(col("abc_class"), col("n_parts"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        col("revenue_share"),
+        (col("min_cents").cast("double") / 100.0).as("min_part_revenue"))
+      .orderBy("abc_class")
+  }
+
+  val abcAnalysisSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey,
+       |         CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS BIGINT) AS rev
+       |  FROM (SELECT l_partkey,
+       |               CAST(round(l_extendedprice * 100) AS BIGINT)
+       |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+       |        FROM lineitem)
+       |  GROUP BY 1),
+       |classed AS (
+       |  SELECT rev,
+       |         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+       |              WHEN cum * 100 <= total * 95 THEN 'B'
+       |              ELSE 'C' END AS abc_class
+       |  FROM (SELECT l_partkey, rev,
+       |               CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS cum,
+       |               CAST(sum(rev) OVER () AS BIGINT) AS total
+       |        FROM rev))
+       |SELECT abc_class, count(*) AS n_parts,
+       |       CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+       |       ${Det.rndSql("CAST(sum(rev) AS DOUBLE) / CAST(sum(sum(rev)) OVER () AS DOUBLE)", 6)}
+       |         AS revenue_share,
+       |       CAST(min(rev) AS DOUBLE) / 100.0 AS min_part_revenue
+       |FROM classed
+       |GROUP BY 1
+       |ORDER BY abc_class""".stripMargin
+
+  /** ENTROPY RATE of the user-event Markov chain — the
+    * conditional-entropy-of-the-next-event estimator H = -SUM p(i,j)
+    * ln p(j|i) over the empirical bigram distribution that
+    * [[markovTransitions]] tabulates: one number (and its per-state
+    * decomposition) for how PREDICTABLE user behavior is, bounded
+    * above by ln(out-degree); the behavioral-entropy companion of
+    * `q_char_entropy` (symbol level) and `q_mix_entropy` (corpus
+    * composition level).
+    *
+    * Scale shape: identical to [[markovTransitions]] — one exchange
+    * on user_id for the lag, one aggregate to the state x state (<=
+    * event-type-squared) relation; every entropy term then lives on
+    * bounded rows. ln on exact count ratios behind the 6-dp fence. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame =
+    entropyRateOf(Tables(spark, dir, "events"))
+
+  private[graft] def entropyRateOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val counts = events
+      .select(col("user_id"), col("event_type").as("dst"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("src", lag("dst", 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("row_total", sum("cnt").over(Window.partitionBy("src")))
+      .withColumn("grand", sum("cnt").over(wAll))
+      .groupBy(col("src").as("state"))
+      .agg(max("row_total").as("n_from"), max("grand").as("grand"),
+        count(lit(1)).as("out_degree"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double")
+          / col("row_total"))).as("negH"))
+      .select(col("state"), col("n_from"), col("out_degree").cast("long").as("out_degree"),
+        Det.rnd(col("n_from").cast("double") / col("grand"), 6).as("p_state"),
+        Det.rnd(-col("negH") / col("n_from"), 6).as("h_cond_nats"),
+        Det.rnd(-col("negH") / col("grand"), 6).as("h_contribution"))
+      .orderBy("state")
+  }
+
+  val entropyRateSql: String =
+    s"""WITH bi AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_us(ts), event_id) AS src,
+       |         event_type AS dst
+       |  FROM events),
+       |c AS (SELECT src, dst, count(*) AS cnt FROM bi
+       |      WHERE src IS NOT NULL GROUP BY 1, 2),
+       |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS grand FROM c)
+       |SELECT src AS state,
+       |       CAST(sum(cnt) AS BIGINT) AS n_from,
+       |       count(*) AS out_degree,
+       |       ${Det.rndSql("CAST(sum(cnt) AS DOUBLE) / (SELECT grand FROM g)", 6)} AS p_state,
+       |       ${Det.rndSql(
+          "-sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))) / sum(cnt)", 6)}
+       |         AS h_cond_nats,
+       |       ${Det.rndSql(
+          "-sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))) / (SELECT grand FROM g)", 6)}
+       |         AS h_contribution
+       |FROM (SELECT src, dst, cnt,
+       |             CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS tot
+       |      FROM c)
+       |GROUP BY src
+       |ORDER BY state""".stripMargin
 }

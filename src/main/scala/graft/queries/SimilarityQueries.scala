@@ -3770,4 +3770,261 @@ object SimilarityQueries {
        |FROM lrdinv li JOIN nb ON nb.id = li.id JOIN kd ON kd.id = li.id
        |ORDER BY lof DESC, vec_id
        |LIMIT $LofTopK""".stripMargin
+
+  /** CLUSTERING-vs-LABELS AGREEMENT — purity and NMI of the fitted
+    * k-means cells against the embedding labels: the EXTERNAL quality
+    * audit next to [[silhouette]]'s internal one (silhouette asks "are
+    * the cells geometrically tight"; purity/NMI ask "do the cells mean
+    * anything" — the sanity gate before trusting cells for curation
+    * decisions like [[clusterKeywords]] labeling or cell-stratified
+    * sampling).
+    *
+    * Scale shape: one corpus pass joins the fitted assignment to the
+    * label column and collapses to the cell x label contingency (<=
+    * k * |labels| rows); every entropy/purity term lives on that
+    * bounded relation. Exact integer counts; ln ratios behind the
+    * 6-dp fence; NMI = I / sqrt(H_c * H_l) with the degenerate
+    * single-cell/single-label case fenced to 0 identically on both
+    * engines. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame =
+    clusterPurityOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def clusterPurityOf(emb: DataFrame): DataFrame = {
+    val e = kmCoo(emb)
+    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // contingency: <= k x |labels| rows, read 4x
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val n = ct.agg(sum("nij").as("n")).select(col("n"))
+    val byCell = ct.groupBy("cell").agg(sum("nij").as("nc"), max("nij").as("topn"))
+    val byLabel = ct.groupBy("label").agg(sum("nij").as("nl"))
+    def ent(df: DataFrame, cnt: String) = df.crossJoin(broadcast(n))
+      .agg(sum(col(cnt).cast("double") / col("n")
+        * log(col(cnt).cast("double") / col("n"))).as("negH"))
+      .select((-col("negH")).as("h"))
+    val hc = ent(byCell, "nc").select(col("h").as("h_cell"))
+    val hl = ent(byLabel, "nl").select(col("h").as("h_label"))
+    val hcl = ent(ct, "nij").select(col("h").as("h_joint"))
+    val pur = byCell.agg(sum("topn").as("top"), sum("nc").as("tot"))
+      .select((col("top").cast("double") / col("tot")).as("purity_raw"),
+        col("tot").as("n"))
+    val kAndL = ct.agg(countDistinct("cell").as("n_cells"),
+      countDistinct("label").as("n_labels"))
+    pur.crossJoin(broadcast(kAndL)).crossJoin(broadcast(hc))
+      .crossJoin(broadcast(hl)).crossJoin(broadcast(hcl))
+      .select(col("n"), col("n_cells"), col("n_labels"),
+        graft.functions.Det.rnd(col("purity_raw"), 6).as("purity"),
+        graft.functions.Det.rnd(col("h_cell"), 6).as("h_cell"),
+        graft.functions.Det.rnd(col("h_label"), 6).as("h_label"),
+        graft.functions.Det.rnd(col("h_cell") + col("h_label") - col("h_joint"), 6)
+          .as("mutual_info"),
+        graft.functions.Det.rnd(
+          when(col("h_cell") * col("h_label") > 0,
+            (col("h_cell") + col("h_label") - col("h_joint"))
+              / sqrt(col("h_cell") * col("h_label"))).otherwise(0.0), 6)
+          .as("nmi"))
+  }
+
+  val clusterPuritySql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |ct AS (
+       |  SELECT a.cell, b.label, count(*) AS nij
+       |  FROM a2 a JOIN embeddings b ON b.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+       |hc AS (SELECT -sum(CAST(nc AS DOUBLE) / n * ln(CAST(nc AS DOUBLE) / n)) AS h
+       |       FROM (SELECT cell, sum(nij) AS nc FROM ct GROUP BY 1), tot),
+       |hl AS (SELECT -sum(CAST(nl AS DOUBLE) / n * ln(CAST(nl AS DOUBLE) / n)) AS h
+       |       FROM (SELECT label, sum(nij) AS nl FROM ct GROUP BY 1), tot),
+       |hj AS (SELECT -sum(CAST(nij AS DOUBLE) / n * ln(CAST(nij AS DOUBLE) / n)) AS h
+       |       FROM ct, tot),
+       |pur AS (SELECT CAST(sum(topn) AS DOUBLE) / sum(nc) AS purity_raw
+       |        FROM (SELECT cell, sum(nij) AS nc, max(nij) AS topn FROM ct GROUP BY 1)),
+       |kl AS (SELECT count(DISTINCT cell) AS n_cells,
+       |              count(DISTINCT label) AS n_labels FROM ct)
+       |SELECT tot.n, kl.n_cells, kl.n_labels,
+       |       ${Det.rndSql("purity_raw", 6)} AS purity,
+       |       ${Det.rndSql("hc.h", 6)} AS h_cell,
+       |       ${Det.rndSql("hl.h", 6)} AS h_label,
+       |       ${Det.rndSql("hc.h + hl.h - hj.h", 6)} AS mutual_info,
+       |       ${Det.rndSql(
+          "CASE WHEN hc.h * hl.h > 0 THEN (hc.h + hl.h - hj.h) / sqrt(hc.h * hl.h) ELSE 0.0 END", 6)}
+       |         AS nmi
+       |FROM tot, kl, hc, hl, hj, pur""".stripMargin
+  }
+
+  /** UMASS TOPIC COHERENCE (Mimno et al. 2011) of each cell's
+    * [[clusterKeywords]] top terms: C = SUM over ranked pairs (wi
+    * before wj) of ln((D(wi,wj) + 1) / D(wj)), with D = corpus
+    * document co-occurrence — the standard "are these keywords a
+    * topic or an accident" audit over the labeling step: terms that
+    * never co-occur in documents drive C strongly negative.
+    *
+    * Scale shape: the term universe is the <= k * 3 top keywords, so
+    * the document-term relation is corpus docs x 24 terms AFTER a
+    * broadcast semi-join prunes the token explode, and the
+    * co-occurrence self-join fans out <= 24^2 per doc. Counts exact;
+    * one fenced ln per pair. */
+  def topicCoherence(spark: SparkSession, dir: String): DataFrame =
+    topicCoherenceOf(Tables(spark, dir, "embeddings"),
+      Tables(spark, dir, "documents"))
+
+  private[graft] def topicCoherenceOf(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val top = clusterKeywordsOf(emb, docs)
+      .select(col("cell"), col("term_rank"), col("term"))
+      .localCheckpoint() // <= k x 3 rows
+    val termSet = top.select("term").distinct()
+    val docTerm = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .distinct()
+      .localCheckpoint() // <= docs x 24 rows; both sides of the co-join
+    val dfTerm = docTerm.groupBy("term").agg(count(lit(1)).as("d_term"))
+    val co = docTerm.select(col("doc_id"), col("term").as("wi"))
+      .join(docTerm.select(col("doc_id"), col("term").as("wj")), Seq("doc_id"))
+      .filter(col("wi") =!= col("wj"))
+      .groupBy("wi", "wj").agg(count(lit(1)).as("d_co"))
+    val pairs = top.select(col("cell"), col("term_rank").as("ri"), col("term").as("wi"))
+      .join(top.select(col("cell"), col("term_rank").as("rj"), col("term").as("wj")),
+        Seq("cell"))
+      .filter(col("ri") < col("rj"))
+    pairs
+      .join(broadcast(co), Seq("wi", "wj"), "left")
+      .join(broadcast(dfTerm.select(col("term").as("wj"), col("d_term"))), Seq("wj"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.Det.rnd(
+          sum(log((coalesce(col("d_co"), lit(0L)).cast("double") + 1.0)
+            / col("d_term"))), 6).as("coherence"))
+      .orderBy("cell")
+  }
+
+  val topicCoherenceSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |toks AS (
+       |  SELECT doc_id AS vec_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT a.cell, t.term, count(*) AS tf
+       |  FROM a2 a JOIN toks t USING (vec_id) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT cell, term, tf, df,
+       |         ${Det.rndSql(s"CAST(tf AS DOUBLE) * ln(1.0 + $KmK.0 / CAST(df AS DOUBLE))", 6)} AS score
+       |  FROM tf JOIN df USING (term)),
+       |top3 AS (
+       |  SELECT cell, term, term_rank FROM (
+       |    SELECT cell, term,
+       |           row_number() OVER (PARTITION BY cell
+       |             ORDER BY score DESC, term) AS term_rank
+       |    FROM scored)
+       |  WHERE term_rank <= $CkTopTerms),
+       |dt AS (
+       |  SELECT DISTINCT t.vec_id AS doc_id, t.term
+       |  FROM toks t WHERE t.term IN (SELECT term FROM top3)),
+       |dterm AS (SELECT term, count(*) AS d_term FROM dt GROUP BY 1),
+       |co AS (
+       |  SELECT x.term AS wi, y.term AS wj, count(*) AS d_co
+       |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term <> y.term
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.cell, a.term AS wi, b.term AS wj
+       |  FROM top3 a JOIN top3 b ON a.cell = b.cell AND a.term_rank < b.term_rank)
+       |SELECT p.cell, count(*) AS n_pairs,
+       |       ${Det.rndSql(
+          "sum(ln((CAST(coalesce(co.d_co, 0) AS DOUBLE) + 1.0) / dterm.d_term))", 6)}
+       |         AS coherence
+       |FROM pairs p
+       |LEFT JOIN co ON co.wi = p.wi AND co.wj = p.wj
+       |JOIN dterm ON dterm.term = p.wj
+       |GROUP BY 1
+       |ORDER BY cell""".stripMargin
+  }
+
+  private val CcSeeds = 8
+  private val CcDepth = 6
+
+  /** CLOSENESS + HARMONIC CENTRALITY of [[CcSeeds]] fixed seed nodes
+    * (the smallest ids in the k-NN graph) by multi-source BFS: who
+    * sits "in the middle" of the similarity graph — the
+    * distance-based centrality next to [[pageRank]] (flow),
+    * [[kcore]] (density), [[assortativity]] (mixing). Harmonic
+    * centrality (Boldi-Vigna) rides along because it stays defined
+    * when the BFS ball doesn't cover a component. [[CcDepth]]
+    * unrolled rounds bound the ball (paths beyond 6 hops contribute
+    * < 1/6 per node to harmonic), the same fixed-depth contract as
+    * [[dbscan]] — mirrored exactly in the oracle.
+    *
+    * Scale shape: frontier relation is (seed x node)-bounded (<=
+    * [[CcSeeds]] x |V|); each round is one join against the shared
+    * scratch edge relation + a min aggregate. */
+  def closenessCentrality(spark: SparkSession, dir: String): DataFrame =
+    closenessCentralityOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def closenessCentralityOnEdges(edges: DataFrame): DataFrame = {
+    val both = edges.select(col("src").as("v"), col("dst").as("u"))
+      .union(edges.select(col("dst").as("v"), col("src").as("u")))
+      .distinct().localCheckpoint() // <= 2k|V| rows, read every round
+    val nodes = both.select("v").distinct()
+    val seeds = nodes.orderBy("v").limit(CcSeeds)
+      .select(col("v").as("s")).localCheckpoint() // 8 rows, fixed
+    var d = seeds.select(col("s"), col("s").as("v"), lit(0).as("dist"))
+    for (r <- 1 to CcDepth) {
+      val nxt = d.filter(col("dist") === r - 1)
+        .join(both, Seq("v"))
+        .select(col("s"), col("u").as("v"), lit(r).as("dist"))
+      d = d.unionAll(nxt).groupBy("s", "v").agg(min("dist").as("dist"))
+        .localCheckpoint() // (seeds x nodes)-bounded per round
+    }
+    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
+    d.filter(col("dist") > 0)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"),
+        sum(lit(1.0) / col("dist")).as("harm"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("s").as("seed"), col("n_reached"), col("sum_dist"),
+        graft.functions.Det.rnd(
+          col("n_reached").cast("double") * col("n_reached")
+            / (col("sum_dist") * (col("n_nodes") - 1)), 6).as("closeness"),
+        graft.functions.Det.rnd(col("harm"), 6).as("harmonic"))
+      .orderBy("seed")
+  }
+
+  val closenessCentralitySql: String = {
+    import graft.functions.Det
+    val rounds = (1 to CcDepth).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT s, v, min(dist) AS dist FROM (
+         |    SELECT s, v, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT p.s, b2.u AS v, ${r} AS dist
+         |    FROM d${r - 1} p JOIN b2 ON b2.v = p.v
+         |    WHERE p.dist = ${r - 1})
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |b2 AS MATERIALIZED (
+       |  SELECT DISTINCT v, u FROM (
+       |    SELECT src AS v, dst AS u FROM kedges
+       |    UNION ALL SELECT dst, src FROM kedges)),
+       |nodes AS (SELECT DISTINCT v FROM b2),
+       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       |seeds AS (SELECT v AS s FROM nodes ORDER BY v LIMIT $CcSeeds),
+       |d0 AS (SELECT s, s AS v, 0 AS dist FROM seeds),
+       |$rounds
+       |SELECT s AS seed, count(*) AS n_reached,
+       |       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |       ${Det.rndSql(
+          "CAST(count(*) AS DOUBLE) * count(*) / (sum(dist) * (nn.n_nodes - 1))", 6)}
+       |         AS closeness,
+       |       ${Det.rndSql("sum(1.0 / dist)", 6)} AS harmonic
+       |FROM d$CcDepth, nn
+       |WHERE dist > 0
+       |GROUP BY s, nn.n_nodes
+       |ORDER BY seed""".stripMargin
+  }
 }

@@ -5702,4 +5702,72 @@ object TextQueries {
        |GROUP BY template
        |ORDER BY n DESC, template
        |LIMIT 20""".stripMargin
+
+  private val CsWin = 20 // tokens per window
+  private val CsStop = Seq("the", "a", "data") // the langId stopword family
+
+  /** CODE-SWITCH / LANGUAGE-MIX DETECTION: per-document VARIANCE of
+    * the [[langId]] stopword-density signal across fixed 20-token
+    * windows — a document whose windows disagree (one English-dense,
+    * one not) is mixed-language or template-stitched content, which a
+    * monolingual training mix wants flagged even when the doc-LEVEL
+    * density (what [[langId]] reads) looks normal. Top 20 docs by
+    * density RANGE (max - min window density), the mixing readout.
+    *
+    * Scale shape: the token explode is one corpus pass aggregated
+    * immediately to (doc, window) densities — [[tokenCount]]'s scale
+    * — then per-doc min/max on the window-bounded relation; FULL
+    * windows only, so the range is never an artifact of a 3-token
+    * tail. Density is an exact count ratio behind the 6-dp fence;
+    * ordering ties break by doc_id. */
+  def codeSwitch(spark: SparkSession, dir: String): DataFrame =
+    codeSwitchOf(Tables(spark, dir, "documents"))
+
+  private[graft] def codeSwitchOf(docs: DataFrame): DataFrame = {
+    val stopPred = CsStop.map(w => s"t = '$w'").mkString(" OR ")
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "t")))
+      .groupBy(col("doc_id"), (col("pos") / CsWin).cast("int").as("win"))
+      .agg(count(lit(1)).as("nt"),
+        sum(when(expr(stopPred), 1L).otherwise(0L)).as("ns"))
+      .filter(col("nt") === CsWin) // full windows only
+      .select(col("doc_id"),
+        Det.rnd(col("ns").cast("double") / CsWin, 6).as("dens"))
+    wins.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        min("dens").as("min_density"), max("dens").as("max_density"))
+      .filter(col("n_windows") >= 2)
+      .select(col("doc_id"), col("n_windows"), col("min_density"),
+        col("max_density"),
+        Det.rnd(col("max_density") - col("min_density"), 6).as("mix_range"))
+      .orderBy(desc("mix_range"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val codeSwitchSql: String = {
+    val stopList = CsStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(ts) AS t,
+       |         CAST(unnest(range(len(ts))) AS INTEGER) AS pos
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(trim(lower(text)), '\\s+') AS ts
+       |        FROM documents)),
+       |wins AS (
+       |  SELECT doc_id,
+       |         ${Det.rndSql(
+          s"CAST(sum(CASE WHEN t IN ($stopList) THEN 1 ELSE 0 END) AS DOUBLE) / $CsWin", 6)}
+       |           AS dens
+       |  FROM toks
+       |  GROUP BY doc_id, pos // $CsWin
+       |  HAVING count(*) = $CsWin)
+       |SELECT doc_id, count(*) AS n_windows,
+       |       min(dens) AS min_density, max(dens) AS max_density,
+       |       ${Det.rndSql("max(dens) - min(dens)", 6)} AS mix_range
+       |FROM wins
+       |GROUP BY 1
+       |HAVING count(*) >= 2
+       |ORDER BY mix_range DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
 }

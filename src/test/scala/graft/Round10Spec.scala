@@ -220,6 +220,149 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  private def ordersOf(rows: Seq[(Long, Long, Double, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (ok, ck, tp, d) =>
+      (ok, ck, "O", tp, java.sql.Timestamp.valueOf(d + " 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+  }
+
+  test("rbo: identical half-rankings converge to 1 - p^k, disjoint to 0") {
+    // same three customers, same revenue ORDER in both halves
+    val orders = ordersOf(Seq(
+      (1L, 1L, 300.0, "1997-01-01"), (2L, 2L, 200.0, "1997-02-01"),
+      (3L, 3L, 100.0, "1997-03-01"),
+      (4L, 1L, 330.0, "1999-01-01"), (5L, 2L, 220.0, "1999-02-01"),
+      (6L, 3L, 110.0, "1999-03-01")))
+    val got = queries.ExtensionQueries.rboOf(orders).collect()
+    assert(got.length === 20)
+    val byD = got.map(r => r.getInt(0) -> r).toMap
+    // at depth 1..3: X_d = d (identical prefixes), agree = 1
+    assert((1 to 3).forall(d => byD(d).getAs[Long]("x_d") === d.toLong))
+    assert(byD(3).getAs[Double]("agree") === 1.0)
+    // closed form: rbo_cum(20) = 0.1 * sum p^(d-1) * min(d,3)/d
+    val want = (1 to 20).map(d => 0.1 * math.pow(0.9, d - 1) * math.min(d, 3).toDouble / d).sum
+    assert(math.abs(byD(20).getAs[Double]("rbo_cum") - want) < 1e-5)
+    // disjoint halves: customers 1-3 in H1 only, 4-6 in H2 only
+    val disj = ordersOf(Seq(
+      (1L, 1L, 300.0, "1997-01-01"), (2L, 2L, 200.0, "1997-02-01"),
+      (3L, 3L, 100.0, "1997-03-01"),
+      (4L, 4L, 330.0, "1999-01-01"), (5L, 5L, 220.0, "1999-02-01"),
+      (6L, 6L, 110.0, "1999-03-01")))
+    val got2 = queries.ExtensionQueries.rboOf(disj).collect()
+    assert(got2.forall(_.getAs[Double]("rbo_cum") === 0.0))
+  }
+
+  test("segmentMigration: planted upgrade, churn, and arrival cells") {
+    // c1: high -> low; c2: absent -> mid; c3: mid -> mid
+    val orders = ordersOf(Seq(
+      (1L, 1L, 2000000.0, "1997-01-01"), (2L, 1L, 10.0, "1999-01-01"),
+      (3L, 2L, 600000.0, "1999-01-01"),
+      (4L, 3L, 600000.0, "1997-01-01"), (5L, 3L, 700000.0, "1999-01-01")))
+    val got = queries.ExtensionQueries.segmentMigrationOf(orders).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("high", "low", 1L), ("none", "mid", 1L), ("mid", "mid", 1L)))
+  }
+
+  test("abcAnalysis: 80/15/5 revenue split classifies one part per class") {
+    val s = spark; import s.implicits._
+    // revenues 80.00 / 15.00 / 5.00 dollars, no discount
+    val li = Seq((1L, 101L, 80.0), (2L, 102L, 15.0), (3L, 103L, 5.0))
+      .map { case (ok, pk, price) =>
+        (ok, pk, 1L, 1, 1.0, price, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val got = queries.ExtensionQueries.abcAnalysisOf(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("A", 1L, 80.0), ("B", 1L, 15.0), ("C", 1L, 5.0)))
+  }
+
+  test("entropyRate: deterministic chain scores 0, fair alternation ln 2") {
+    val s = spark; import s.implicits._
+    // user 1: a->b->a->b deterministic; user 2: c->(d|e) 50/50
+    val base = "2024-01-01 00:0"
+    val ev = Seq(
+      (1L, 1L, "a", 0), (2L, 1L, "b", 1), (3L, 1L, "a", 2), (4L, 1L, "b", 3),
+      (5L, 1L, "a", 4),
+      (10L, 2L, "c", 0), (11L, 2L, "d", 1), (12L, 2L, "c", 2), (13L, 2L, "e", 3),
+      (14L, 2L, "c", 4)
+    ).map { case (id, u, t, m) =>
+      (id, java.sql.Timestamp.valueOf(s"$base$m:00"), u, t, 1.0, """{"x":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = queries.ExtensionQueries.entropyRateOf(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("h_cond_nats")).toMap
+    assert(got("a") === 0.0) // a always -> b
+    assert(math.abs(got("c") - math.log(2)) < 1e-5) // c -> d or e evenly
+  }
+
+  test("clusterPurity: label-aligned clusters score purity 1 and NMI 1") {
+    val s = spark; import s.implicits._
+    // 16 vectors in two orthogonal groups, labels follow the groups;
+    // seeds (vec_id < 8) cover both groups
+    val emb = (0L until 16L).map { i =>
+      val g = (i % 2).toInt
+      val v = Array.tabulate(64)(j => if (j == g) 1.0f else 0.0f)
+      (i, v, if (g == 0) "x" else "y")
+    }.toDF("vec_id", "embedding", "label")
+    val r = queries.SimilarityQueries.clusterPurityOf(emb).collect()(0)
+    assert(r.getAs[Double]("purity") === 1.0)
+    assert(r.getAs[Double]("nmi") === 1.0)
+  }
+
+  test("topicCoherence: co-occurring top terms beat never-co-occurring ones") {
+    val s = spark; import s.implicits._
+    // group 0 docs share alpha+beta (always together); group 1 docs
+    // alternate gamma / delta (never together)
+    val emb = (0L until 16L).map { i =>
+      val g = (i % 2).toInt
+      (i, Array.tabulate(64)(j => if (j == g) 1.0f else 0.0f), s"l$g")
+    }.toDF("vec_id", "embedding", "label")
+    val docs = (0L until 16L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta alpha beta alpha beta", "en", "web", 30L)
+      else if (i % 4 == 1) (i, "gamma gamma gamma gamma gamma gamma", "en", "web", 30L)
+      else (i, "delta delta delta delta delta delta", "en", "web", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = queries.SimilarityQueries.topicCoherenceOf(emb, docs).collect()
+    assert(got.nonEmpty)
+    val byCohesion = got.map(_.getAs[Double]("coherence"))
+    // at least one strongly-negative (the gamma/delta cells) and the
+    // alpha-beta cells near 0 (ln((D+1)/D) > 0 slightly)
+    assert(byCohesion.max > byCohesion.min)
+  }
+
+  test("closenessCentrality: path graph distances from the end seed") {
+    val s = spark; import s.implicits._
+    // path 1-2-3-4-5; seeds are all 5 nodes (CcSeeds=8 > 5)
+    val edges = (1L until 5L).map(i => (i, i + 1, 0.9)).toDF("src", "dst", "cos")
+    val got = queries.SimilarityQueries.closenessCentralityOnEdges(edges).collect()
+    val r1 = got.find(_.getAs[Long]("seed") === 1L).get
+    // from node 1: dists 1,2,3,4 -> sum 10, harmonic 1+1/2+1/3+1/4
+    assert(r1.getAs[Long]("n_reached") === 4L)
+    assert(r1.getAs[Long]("sum_dist") === 10L)
+    assert(math.abs(r1.getAs[Double]("harmonic") - (1.0 + 0.5 + 1.0 / 3 + 0.25)) < 1e-5)
+    val r3 = got.find(_.getAs[Long]("seed") === 3L).get
+    assert(r3.getAs[Long]("sum_dist") === 6L) // 1+2 both directions
+  }
+
+  test("codeSwitch: stitched doc outranks homogeneous docs") {
+    val s = spark; import s.implicits._
+    val en = Seq.fill(20)("the").mkString(" ")          // density 1
+    val other = Seq.fill(20)("zzz").mkString(" ")        // density 0
+    val docs = Seq(
+      (1L, s"$en $other", "en", "web", 83L),            // mixed: range 1
+      (2L, s"$en $en", "en", "web", 83L),               // uniform: range 0
+      (3L, s"$other $other", "xx", "web", 83L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = queries.TextQueries.codeSwitchOf(docs).collect()
+    assert(got.head.getAs[Long]("doc_id") === 1L)
+    assert(got.head.getAs[Double]("mix_range") === 1.0)
+    assert(got.filter(_.getAs[Long]("doc_id") === 2L)
+      .head.getAs[Double]("mix_range") === 0.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
