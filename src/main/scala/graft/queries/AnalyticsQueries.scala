@@ -3075,4 +3075,181 @@ object AnalyticsQueries {
             s"(CAST(s AS DOUBLE) / c + 1.96 * sqrt((k - 1.0) / k * $varSum)) / 100.0", 4)} AS ci_hi
        |FROM a""".stripMargin
   }
+
+  private val SaxWin = 7     // days per PAA window
+  private val SaxWord = 3    // windows per SAX word
+  private val SaxBp = 0.6745 // N(0,1) quartile breakpoints -> 4 symbols
+
+  /** SAX SYMBOLIZATION + MOTIF CENSUS of the daily revenue series
+    * (Lin et al. 2003): PAA over [[SaxWin]]-day windows, z-normalize
+    * against the window population, quantize at the fixed N(0,1)
+    * quartile breakpoints into symbols a-d, and report the most
+    * frequent [[SaxWord]]-window words — the discrete-pattern view of
+    * the series ([[matrixProfile]] finds the single best motif by
+    * exact distance; the SAX census counts HOW OFTEN each coarse
+    * shape repeats, which is what "is this weekly pattern recurring
+    * or a one-off" asks).
+    *
+    * Scale shape: the dense day grid is calendar-bounded; window sums
+    * are exact cents; mu/sigma come from exact integer moments (one
+    * division each), so both engines symbolize identical doubles at
+    * pinned literal breakpoints. Degenerate all-equal series fences
+    * sigma to 1 (symbols all 'c'). */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame =
+    saxMotifsOf(Tables(spark, dir, "events"))
+
+  private[graft] def saxMotifsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"), coalesce(col("c"), lit(0L)).as("x"))
+    val wins = dense
+      .groupBy((col("i") / SaxWin).cast("long").as("win"))
+      .agg(count(lit(1)).as("nt"), sum("x").as("s"))
+      .filter(col("nt") === SaxWin) // full windows only
+    val mom = wins.agg(count(lit(1)).as("n"), sum("s").as("ssum"),
+      sum(col("s").cast(d38) * col("s")).as("sq"))
+    val sym = wins.crossJoin(broadcast(mom))
+      .withColumn("mu", col("ssum").cast("double") / col("n"))
+      .withColumn("sg", expr(
+        "CASE WHEN n <= 1 THEN 1.0 ELSE " +
+          "greatest(sqrt((CAST(sq AS DOUBLE) - CAST(ssum AS DOUBLE) * ssum / n) / (n - 1)), 1.0) END"))
+      .withColumn("z", (col("s") - col("mu")) / col("sg"))
+      .withColumn("sym",
+        when(col("z") < -SaxBp, "a").when(col("z") < 0, "b")
+          .when(col("z") < SaxBp, "c").otherwise("d"))
+      .select(col("win"), col("sym"))
+    val w = Window.orderBy("win")
+    val words = sym
+      .withColumn("w1", lead("sym", 1).over(w))
+      .withColumn("w2", lead("sym", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("win"), concat(col("sym"), col("w1"), col("w2")).as("word"))
+    words.groupBy("word")
+      .agg(count(lit(1)).as("n"), min("win").as("first_win"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(10)
+  }
+
+  val saxMotifsSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |grid AS (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp),
+       |dense AS (
+       |  SELECT CAST(grid.i AS BIGINT) AS i, coalesce(byday.c, 0) AS x
+       |  FROM grid LEFT JOIN byday ON byday.d = grid.d0 + CAST(grid.i AS INTEGER)),
+       |wins AS (
+       |  SELECT i // $SaxWin AS win, count(*) AS nt, CAST(sum(x) AS BIGINT) AS s
+       |  FROM dense GROUP BY 1 HAVING count(*) = $SaxWin),
+       |mom AS (SELECT count(*) AS n, CAST(sum(s) AS BIGINT) AS ssum,
+       |               sum(CAST(s AS HUGEINT) * s) AS sq FROM wins),
+       |sym AS (
+       |  SELECT win,
+       |         CASE WHEN z < -$SaxBp THEN 'a' WHEN z < 0 THEN 'b'
+       |              WHEN z < $SaxBp THEN 'c' ELSE 'd' END AS sym
+       |  FROM (SELECT win,
+       |               (s - CAST(ssum AS DOUBLE) / n) /
+       |               (CASE WHEN n <= 1 THEN 1.0 ELSE
+       |                 greatest(sqrt((CAST(sq AS DOUBLE) - CAST(ssum AS DOUBLE) * ssum / n) / (n - 1)), 1.0)
+       |                END) AS z
+       |        FROM wins, mom)),
+       |words AS (
+       |  SELECT win, sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS word
+       |  FROM sym WINDOW w AS (ORDER BY win))
+       |SELECT word, count(*) AS n, CAST(min(win) AS BIGINT) AS first_win
+       |FROM words WHERE word IS NOT NULL AND length(word) = $SaxWord
+       |GROUP BY 1
+       |ORDER BY n DESC, word
+       |LIMIT 10""".stripMargin
+
+  private val EsdRounds = 5
+  private val EsdZ = 3.0
+
+  /** ITERATIVE SIGMA-CLIP OUTLIER EXTRACTION over the daily revenue
+    * series — the generalized-ESD shape with a fixed z cut: each of
+    * [[EsdRounds]] rounds recomputes mean/stddev from the REMAINING
+    * days' exact integer moments, extracts the most deviant day
+    * (ties by day index), and flags it if |z| > [[EsdZ]]. Unlike the
+    * single-pass [[ExtensionQueries.anomalyMad]] rule, re-estimation
+    * after each removal keeps one enormous spike from masking the
+    * next ([[https://www.itl.nist.gov/div898/handbook/eda/section3/eda35h3.htm ESD masking]]) —
+    * the top-k anomaly queue, most-masked last.
+    *
+    * Scale shape: the series is calendar-bounded; each round is one
+    * moment aggregate + one TakeOrdered(1) over it, unrolled
+    * [[EsdRounds]] times identically in the oracle. */
+  def esdOutliers(spark: SparkSession, dir: String): DataFrame =
+    esdOutliersOf(Tables(spark, dir, "events"))
+
+  private[graft] def esdOutliersOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("x"))
+      .localCheckpoint() // calendar-bounded; re-read every round
+    var remaining = byDay
+    val spark = events.sparkSession
+    var out: DataFrame = null
+    for (r <- 1 to EsdRounds) {
+      val mom = remaining.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"))
+      val pick = remaining.crossJoin(broadcast(mom))
+        .withColumn("mu", col("sx").cast("double") / col("n"))
+        .withColumn("sg", expr(
+          "CASE WHEN n <= 1 THEN 1.0 ELSE " +
+            "greatest(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)), 1e-9) END"))
+        .withColumn("z", abs(col("x") - col("mu")) / col("sg"))
+        .orderBy(desc("z"), asc("d")).limit(1)
+        .select(lit(r).as("round"), col("d").as("day"),
+          (col("x").cast("double") / 100.0).as("revenue"),
+          Det.rnd(col("z"), 4).as("z"),
+          (col("z") > EsdZ).as("flagged"))
+        .localCheckpoint() // 1 row
+      out = if (out == null) pick else out.unionAll(pick)
+      val d = pick.select("day")
+      remaining = remaining.join(broadcast(d), remaining("d") === d("day"), "left_anti")
+        .localCheckpoint() // calendar-bounded per round
+    }
+    out.orderBy("round")
+  }
+
+  val esdOutliersSql: String = {
+    val rounds = (1 to EsdRounds).map { r =>
+      val prev = s"r${r - 1}"
+      s"""m$r AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |              sum(CAST(x AS HUGEINT) * x) AS sxx FROM $prev),
+         |p$r AS MATERIALIZED (
+         |  SELECT $r AS round, d AS day, x,
+         |         abs(x - CAST(sx AS DOUBLE) / n) /
+         |         (CASE WHEN n <= 1 THEN 1.0 ELSE
+         |            greatest(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)), 1e-9)
+         |          END) AS z
+         |  FROM $prev, m$r
+         |  ORDER BY z DESC, d LIMIT 1),
+         |r$r AS MATERIALIZED (
+         |  SELECT $prev.* FROM $prev, p$r WHERE $prev.d <> p$r.day)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to EsdRounds).map(r =>
+      s"SELECT round, day, x, z FROM p$r").mkString("\nUNION ALL\n")
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT * FROM byday),
+       |$rounds
+       |SELECT round, day, CAST(x AS DOUBLE) / 100.0 AS revenue,
+       |       ${Det.rndSql("z", 4)} AS z, z > $EsdZ AS flagged
+       |FROM ($sel)
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -5770,4 +5770,124 @@ object TextQueries {
        |ORDER BY mix_range DESC, doc_id
        |LIMIT 20""".stripMargin
   }
+
+  private val WjTopPairs = 100
+
+  /** IDF-WEIGHTED JACCARD near-dup pairs — the token-level dedup tier
+    * where shared RARE vocabulary counts more than shared stopwords:
+    * J_w(A,B) = SUM over A INTERSECT B of w(t) / SUM over A UNION B of
+    * w(t) with w(t) = ln(1 + N/df). Two template documents sharing
+    * only boilerplate score LOW here even when plain [[ngramJaccard]]
+    * would pass them — the complement the MinHash family (uniform
+    * shingle weighting) cannot express. Same capped verification
+    * universe as [[ngramJaccard]] (doc_id < 300), top-[[WjTopPairs]]
+    * report (the 6-dp fence totalizes the rank order before the cut):
+    * the operator is the verify tier that runs AFTER candidate
+    * generation at scale.
+    *
+    * Scale shape: distinct (doc, token) relation, token-df aggregate,
+    * one equi-join on token for intersection weights — the inverted-
+    * index join, never all-pairs on docs. Weight sums are doubles
+    * behind the 6-dp fence (the clusterKeywords ln(1 + K/df)
+    * precedent). */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    weightedJaccardOf(Tables(spark, dir, "documents").filter(col("doc_id") < 300))
+
+  private[graft] def weightedJaccardOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val wts = toks.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t"), log(lit(1.0) + col("nd").cast("double") / col("df")).as("w"))
+    val tw = toks.join(wts, Seq("t"))
+    val sums = tw.groupBy("doc_id").agg(sum("w").as("sw"))
+    tw.select(col("doc_id").as("d1"), col("t"), col("w"))
+      .join(tw.select(col("doc_id").as("d2"), col("t")), Seq("t"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(sum("w").as("iw"))
+      .join(sums.select(col("doc_id").as("d1"), col("sw").as("sw1")), "d1")
+      .join(sums.select(col("doc_id").as("d2"), col("sw").as("sw2")), "d2")
+      .withColumn("jw", Det.rnd(
+        col("iw") / (col("sw1") + col("sw2") - col("iw")), 6))
+      .select(col("d1"), col("d2"), col("jw").as("weighted_jaccard"))
+      .orderBy(desc("weighted_jaccard"), asc("d1"), asc("d2"))
+      .limit(WjTopPairs)
+  }
+
+  val weightedJaccardSql: String =
+    s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM docs),
+       |nd AS (SELECT count(*) AS nd FROM docs),
+       |wts AS (
+       |  SELECT t, ln(1.0 + CAST((SELECT nd FROM nd) AS DOUBLE) / count(*)) AS w
+       |  FROM toks GROUP BY t),
+       |tw AS (SELECT toks.doc_id, toks.t, wts.w FROM toks JOIN wts USING (t)),
+       |sums AS (SELECT doc_id, sum(w) AS sw FROM tw GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w) AS iw
+       |  FROM tw a JOIN tw b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       ${Det.rndSql("iw / (s1.sw + s2.sw - iw)", 6)} AS weighted_jaccard
+       |FROM inter
+       |JOIN sums s1 ON s1.doc_id = d1
+       |JOIN sums s2 ON s2.doc_id = d2
+       |ORDER BY weighted_jaccard DESC, d1, d2
+       |LIMIT $WjTopPairs""".stripMargin
+
+  /** FLESCH READING-EASE per ingest source — 206.835 − 1.015·(words/
+    * sentence) − 84.6·(syllables/word) with vowel-group syllable
+    * counting — the classic readability score a quality-filtering
+    * recipe thresholds on, computed on RATIOS OF EXACT CORPUS SUMS
+    * (one division each) rather than averaged per-doc floats, so the
+    * engines cannot drift on summation order. Sentences floor at 1
+    * (unpunctuated synthetic text is one sentence).
+    *
+    * Scale shape: three integer counters per doc inside one
+    * projection (regex counts — no explode at all), then one
+    * aggregate per source. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables(spark, dir, "documents"))
+
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("w"),
+      greatest(lit(1),
+        size(expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)")))
+        .cast("long").as("sen"),
+      size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long").as("syl"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+        sum("sen").as("ss"), sum("syl").as("sy"))
+      .select(col("source"), col("n_docs"),
+        Det.rnd(col("sw").cast("double") / col("ss"), 4).as("words_per_sentence"),
+        Det.rnd(col("sy").cast("double") / col("sw"), 4).as("syllables_per_word"),
+        Det.rnd(lit(206.835)
+          - lit(1.015) * col("sw").cast("double") / col("ss")
+          - lit(84.6) * col("sy").cast("double") / col("sw"), 4).as("flesch"))
+      .orderBy("source")
+  }
+
+  val readabilitySql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+       |         CAST(greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+       |                                          x -> length(trim(x)) > 0))) AS BIGINT) AS sen,
+       |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       ${Det.rndSql("CAST(sum(w) AS DOUBLE) / sum(sen)", 4)} AS words_per_sentence,
+       |       ${Det.rndSql("CAST(sum(syl) AS DOUBLE) / sum(w)", 4)} AS syllables_per_word,
+       |       ${Det.rndSql(
+          "206.835 - 1.015 * CAST(sum(w) AS DOUBLE) / sum(sen) - 84.6 * CAST(sum(syl) AS DOUBLE) / sum(w)", 4)}
+       |         AS flesch
+       |FROM per
+       |GROUP BY 1
+       |ORDER BY source""".stripMargin
 }

@@ -363,6 +363,74 @@ class Round10Spec extends SparkSpec {
       .head.getAs[Double]("mix_range") === 0.0)
   }
 
+  test("weightedJaccard: rare shared vocabulary outranks boilerplate-only overlap") {
+    val s = spark; import s.implicits._
+    // docs 1,2 share a RARE word; docs 3,4 share only corpus-wide
+    // boilerplate (present in all docs -> low idf weight)
+    val boiler = "common words everywhere always"
+    val docs = Seq(
+      (1L, s"$boiler quetzalcoatl alpha", "en", "web", 30L),
+      (2L, s"$boiler quetzalcoatl beta", "en", "web", 30L),
+      (3L, s"$boiler gamma", "en", "web", 20L),
+      (4L, s"$boiler delta", "en", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = queries.TextQueries.weightedJaccardOf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) > got((3L, 4L)),
+      "rare-word pair must outrank boilerplate-only pair")
+  }
+
+  test("readability: long unpunctuated vowel-heavy text scores lower flesch") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "See the cat. It sat.", "en", "simple", 20L),
+      (2L, ("onomatopoeia " * 40).trim, "en", "dense", 520L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = queries.TextQueries.readabilityOf(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("flesch")).toMap
+    assert(got("simple") > got("dense"))
+    // closed form for 'simple': 5 words, 2 sentences, 5 vowel groups
+    // flesch = 206.835 - 1.015*2.5 - 84.6*1 = 119.6975
+    assert(math.abs(got("simple") - 119.6975) < 1e-9)
+  }
+
+  test("saxMotifs: alternating weekly pattern yields one dominant word") {
+    val s = spark; import s.implicits._
+    // 6 weeks alternating high/low revenue -> windows symbolize to two
+    // alternating symbols, words repeat
+    val ev = (0 until 42).map { day =>
+      val ts = java.time.LocalDate.of(2024, 1, 1).plusDays(day).atStartOfDay()
+      (day.toLong, java.sql.Timestamp.valueOf(ts),
+        1L, "purchase", if ((day / 7) % 2 == 0) 100.0 else 10.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = queries.AnalyticsQueries.saxMotifsOf(ev).collect()
+    assert(got.nonEmpty)
+    // 6 windows alternate d,a,d,a,d,a -> words dad (x2) and ada (x2)
+    val words = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(words.keySet === Set("dad", "ada"))
+    assert(words.values.toSet === Set(2L))
+  }
+
+  test("esdOutliers: planted spike is extracted first and flagged; masking avoided") {
+    val s = spark; import s.implicits._
+    // 40 flat days + one huge spike + one medium spike the first
+    // extraction would mask under a single-pass rule
+    val ev = (0 until 42).map { day =>
+      val ts = java.time.LocalDate.of(2024, 3, 1).plusDays(day).atStartOfDay()
+      val v = if (day == 10) 100000.0 else if (day == 20) 20000.0 else 100.0
+      (day.toLong, java.sql.Timestamp.valueOf(ts), 1L, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = queries.AnalyticsQueries.esdOutliersOf(ev).collect()
+    assert(got.length === 5)
+    assert(got(0).getAs[java.sql.Date]("day").toString === "2024-03-11")
+    assert(got(0).getAs[Boolean]("flagged"))
+    // round 2 finds the medium spike with a RE-ESTIMATED sigma
+    assert(got(1).getAs[java.sql.Date]("day").toString === "2024-03-21")
+    assert(got(1).getAs[Boolean]("flagged"))
+    // later rounds: flat days, not flagged
+    assert(!got(4).getAs[Boolean]("flagged"))
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
