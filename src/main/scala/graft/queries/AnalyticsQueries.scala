@@ -3252,4 +3252,182 @@ object AnalyticsQueries {
        |FROM ($sel)
        |ORDER BY round""".stripMargin
   }
+
+  private val PgramMaxK = 10
+
+  /** PERIODOGRAM of the daily revenue series — DFT power at harmonics
+    * k = 1..[[PgramMaxK]] of the observed span, reported as POWER
+    * SHARES with the implied period in days: the frequency-domain
+    * seasonality detector next to `q_seasonality` (which ASSUMES the
+    * weekly period and measures it) — the periodogram FINDS the
+    * dominant periods, weekly or not.
+    *
+    * Scale shape: the day grid is calendar-bounded; the k x t
+    * explode is (harmonics x days) rows with immediate map-side
+    * aggregation. cos/sin arguments are ratios of exact integers
+    * times the pinned 2*pi literal, so both engines call libm on
+    * identical doubles; shares are scale-free and 6-dp fenced. */
+  def periodogram(spark: SparkSession, dir: String): DataFrame =
+    periodogramOf(Tables(spark, dir, "events"))
+
+  private[graft] def periodogramOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"), coalesce(col("c"), lit(0L)).as("x"))
+    val mom = dense.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val centered = dense.crossJoin(broadcast(mom))
+      .select(col("i"), col("n"),
+        (col("x").cast("double") - col("sx").cast("double") / col("n")).as("xc"))
+    val tau = 6.283185307179586 // pinned 2*pi
+    val terms = centered
+      .select(col("i"), col("n"), col("xc"),
+        explode(sequence(lit(1), lit(PgramMaxK))).as("k"))
+      .groupBy("k")
+      .agg(max("n").as("n"),
+        sum(col("xc") * cos(lit(tau) * col("k") * col("i") / col("n"))).as("a"),
+        sum(col("xc") * sin(lit(tau) * col("k") * col("i") / col("n"))).as("b"))
+      .withColumn("power", col("a") * col("a") + col("b") * col("b"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    terms
+      .withColumn("tot", sum("power").over(wAll))
+      .select(col("k").cast("int").as("k"),
+        Det.rnd(col("n").cast("double") / col("k"), 4).as("period_days"),
+        Det.rnd(col("power") / col("tot"), 6).as("power_share"))
+      .orderBy(desc("power_share"), asc("k"))
+      .limit(PgramMaxK)
+  }
+
+  val periodogramSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |grid AS (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp),
+       |dense AS (
+       |  SELECT CAST(grid.i AS BIGINT) AS i, coalesce(byday.c, 0) AS x
+       |  FROM grid LEFT JOIN byday ON byday.d = grid.d0 + CAST(grid.i AS INTEGER)),
+       |mom AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM dense),
+       |terms AS (
+       |  SELECT k, max(n) AS n,
+       |         sum(xc * cos(6.283185307179586 * k * i / n)) AS a,
+       |         sum(xc * sin(6.283185307179586 * k * i / n)) AS b
+       |  FROM (SELECT i, n, x - CAST(sx AS DOUBLE) / n AS xc FROM dense, mom)
+       |  CROSS JOIN (SELECT unnest(range(1, ${PgramMaxK + 1})) AS k)
+       |  GROUP BY k),
+       |pw AS (SELECT k, n, a * a + b * b AS power FROM terms)
+       |SELECT CAST(k AS INTEGER) AS k,
+       |       ${Det.rndSql("CAST(n AS DOUBLE) / k", 4)} AS period_days,
+       |       ${Det.rndSql("power / sum(power) OVER ()", 6)} AS power_share
+       |FROM pw
+       |ORDER BY power_share DESC, k
+       |LIMIT $PgramMaxK""".stripMargin
+
+  /** BINARY-SEGMENTATION CHANGEPOINTS of the daily revenue series —
+    * the top split minimizes two-segment SSE over the whole span,
+    * then each side is split again (3 reported changepoints, rank
+    * order): the multi-changepoint extension of the single-shift
+    * CUSUM ([[ExtensionQueries.cusumChangepoint]]) — a level shift
+    * UP then DOWN needs two points; binary segmentation finds both.
+    * SSE gains reduce to prefix-sum algebra — gain(k) = S_L^2/n_L +
+    * S_R^2/n_R - S^2/n — computed on exact integer prefix sums with
+    * one double division per term, 6-dp-fenced before each argmax
+    * (day-index tiebreak), so both engines replay identical picks.
+    *
+    * Scale shape: calendar-bounded grid; each level is one windowed
+    * prefix-sum pass + a TakeOrdered(1) per segment. */
+  def binsegChangepoints(spark: SparkSession, dir: String): DataFrame =
+    binsegChangepointsOf(Tables(spark, dir, "events"))
+
+  private[graft] def binsegChangepointsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"), coalesce(col("c"), lit(0L)).as("x"))
+      .localCheckpoint() // calendar-bounded; re-read per level
+    // best split of [lo, hi): last index of the LEFT segment, gain 6dp
+    def bestSplit(seg: DataFrame): DataFrame = {
+      val w = Window.orderBy("i")
+      seg
+        .withColumn("cs", sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cn", count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("ts", sum("x").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("tn", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("cn") < col("tn")) // both sides non-empty
+        .withColumn("gain", graft.functions.Det.rnd(
+          col("cs").cast("double") * col("cs") / col("cn")
+            + (col("ts") - col("cs")).cast("double") * (col("ts") - col("cs"))
+              / (col("tn") - col("cn"))
+            - col("ts").cast("double") * col("ts") / col("tn"), 6))
+        .orderBy(desc("gain"), asc("i"))
+        .limit(1)
+        .select(col("i").as("split_i"), col("gain"))
+    }
+    val l1 = bestSplit(dense).localCheckpoint() // 1 row
+    val left = dense.crossJoin(broadcast(l1)).filter(col("i") <= col("split_i"))
+      .select("i", "x")
+    val right = dense.crossJoin(broadcast(l1)).filter(col("i") > col("split_i"))
+      .select("i", "x")
+    val l2a = bestSplit(left)
+      .select(lit(2).as("rank"), col("split_i"), col("gain"))
+    val l2b = bestSplit(right)
+      .select(lit(3).as("rank"), col("split_i"), col("gain"))
+    l1.select(lit(1).as("rank"), col("split_i"), col("gain"))
+      .unionAll(l2a).unionAll(l2b)
+      .select(col("rank"), col("split_i").as("split_day_index"), col("gain"))
+      .orderBy("rank")
+  }
+
+  val binsegChangepointsSql: String = {
+    def splitCte(src: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT i AS split_i, gain FROM (
+         |    SELECT i,
+         |           ${Det.rndSql(
+               "CAST(cs AS DOUBLE) * cs / cn" +
+                 " + CAST(ts - cs AS DOUBLE) * (ts - cs) / (tn - cn)" +
+                 " - CAST(ts AS DOUBLE) * ts / tn", 6)} AS gain
+         |    FROM (SELECT i,
+         |                 CAST(sum(x) OVER (ORDER BY i) AS BIGINT) AS cs,
+         |                 CAST(count(*) OVER (ORDER BY i) AS BIGINT) AS cn,
+         |                 CAST(sum(x) OVER () AS BIGINT) AS ts,
+         |                 CAST(count(*) OVER () AS BIGINT) AS tn
+         |          FROM $src)
+         |    WHERE cn < tn)
+         |  ORDER BY gain DESC, i LIMIT 1)""".stripMargin
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0,
+       |              date_diff('day', min(d), max(d)) AS nd FROM byday),
+       |grid AS (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp),
+       |dense AS MATERIALIZED (
+       |  SELECT CAST(grid.i AS BIGINT) AS i, coalesce(byday.c, 0) AS x
+       |  FROM grid LEFT JOIN byday ON byday.d = grid.d0 + CAST(grid.i AS INTEGER)),
+       |${splitCte("dense", "l1")},
+       |lseg AS (SELECT dense.i, dense.x FROM dense, l1 WHERE dense.i <= l1.split_i),
+       |rseg AS (SELECT dense.i, dense.x FROM dense, l1 WHERE dense.i > l1.split_i),
+       |${splitCte("lseg", "l2a")},
+       |${splitCte("rseg", "l2b")}
+       |SELECT rank, split_i AS split_day_index, gain FROM (
+       |  SELECT 1 AS rank, split_i, gain FROM l1
+       |  UNION ALL SELECT 2, split_i, gain FROM l2a
+       |  UNION ALL SELECT 3, split_i, gain FROM l2b)
+       |ORDER BY rank""".stripMargin
+  }
 }

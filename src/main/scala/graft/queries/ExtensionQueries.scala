@@ -8354,4 +8354,237 @@ object ExtensionQueries {
        |      FROM c)
        |GROUP BY src
        |ORDER BY state""".stripMargin
+
+  /** NELSON-AALEN CUMULATIVE HAZARD of the conversion process —
+    * H(t) = SUM over days <= t of d/n_risk, with variance SUM
+    * d/n_risk^2 and the Fleming-Harrington survival exp(-H): the
+    * hazard-scale companion of [[survivalKm]] (KM multiplies survival
+    * factors; NA adds hazard increments, is defined even past KM's
+    * S = 0 extinction day, and its increments read directly as
+    * "conversion pressure per day"). Identical time-to-event framing
+    * (first event -> first >= [[KmValueMin]] purchase; censor at
+    * corpus end), so the two curves share the per-day risk table and
+    * are directly comparable.
+    *
+    * Scale shape: one groupBy(user) pass to durations, a
+    * day-cardinality risk table, windowed prefix sums in day order —
+    * both engines add the same doubles in the same order (the
+    * survivalKm log-sum precedent). */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalenOf(Tables(spark, dir, "events"))
+
+  private[graft] def nelsonAalenOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy("user_id").agg(
+      min(unix_micros(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase" && col("value") >= KmValueMin,
+        unix_micros(col("ts")))).as("conv_us"))
+    val corpusEnd = events.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val daily = users.crossJoin(broadcast(corpusEnd))
+      .select(
+        expr("(coalesce(conv_us, end_us) - first_us) div 86400000000").as("day"),
+        col("conv_us").isNotNull.as("obs"))
+      .groupBy("day").agg(
+        sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("gone_before", coalesce(sum(col("d") + col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("d") + col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_risk", col("total") - col("gone_before"))
+      .withColumn("cum_hazard", Det.rnd(
+        sum(col("d").cast("double") / col("n_risk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .withColumn("hazard_var", Det.rnd(
+        sum(col("d").cast("double") / (col("n_risk") * col("n_risk")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 6))
+      .withColumn("surv_fh", Det.rnd(exp(-sum(col("d").cast("double") / col("n_risk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))), 4))
+      .select(col("day"), col("d"), col("c"), col("n_risk"),
+        col("cum_hazard"), col("hazard_var"), col("surv_fh"))
+      .orderBy("day")
+  }
+
+  val nelsonAalenSql: String =
+    s"""WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+       |                  min(CASE WHEN event_type = 'purchase' AND value >= $KmValueMin
+       |                           THEN epoch_us(ts) END) AS conv
+       |           FROM events GROUP BY 1),
+       |h AS (SELECT max(epoch_us(ts)) AS e FROM events),
+       |dd AS (SELECT (coalesce(conv, e) - f) // 86400000000 AS day,
+       |              CAST(sum(CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |              CAST(sum(CASE WHEN conv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |       FROM u CROSS JOIN h GROUP BY 1),
+       |wdw AS (SELECT day, d, c,
+       |               sum(d + c) OVER ()
+       |                 - coalesce(sum(d + c) OVER (ORDER BY day
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |        FROM dd)
+       |SELECT day, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+       |       ${Det.rndSql(
+          "sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY day " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS cum_hazard,
+       |       ${Det.rndSql(
+          "sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk)) OVER (ORDER BY day " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)} AS hazard_var,
+       |       ${Det.rndSql(
+          "exp(-sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY day " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 4)} AS surv_fh
+       |FROM wdw
+       |ORDER BY day""".stripMargin
+
+  /** HERFINDAHL-HIRSCHMAN CONCENTRATION of customer revenue within
+    * each region — HHI = SUM over customers of (share x 10000)^2 /
+    * 1e8, the antitrust-style market-concentration index next to
+    * [[giniConcentration]] (Gini reads inequality of the
+    * distribution; HHI reads how close a market is to monopoly and
+    * moves sharply with the TOP shares). Top-1 share rides along.
+    *
+    * Scale shape: star join orders->customer->nation->region (dims
+    * broadcast), one exact-cents aggregate per (region, customer),
+    * then region-bounded share math. */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame =
+    hhiConcentrationOf(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  private[graft] def hhiConcentrationOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val percust = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("o_custkey"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("cents"))
+    val wr = Window.partitionBy("region")
+    percust
+      .withColumn("tot", sum("cents").over(wr))
+      .withColumn("share", col("cents").cast("double") / col("tot"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum("cents").cast("double") / 100.0).as("revenue"),
+        Det.rnd(sum(col("share") * col("share")) * 10000, 2).as("hhi"),
+        Det.rnd(max("share"), 6).as("top_share"))
+      .orderBy("region")
+  }
+
+  val hhiConcentrationSql: String =
+    s"""WITH pc AS (
+       |  SELECT r_name AS region, o_custkey,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS cents
+       |  FROM orders
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT region, cents,
+       |         CAST(cents AS DOUBLE) / sum(cents) OVER (PARTITION BY region) AS share
+       |  FROM pc)
+       |SELECT region, count(*) AS n_customers,
+       |       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+       |       ${Det.rndSql("sum(share * share) * 10000", 2)} AS hhi,
+       |       ${Det.rndSql("max(share)", 6)} AS top_share
+       |FROM sh
+       |GROUP BY 1
+       |ORDER BY region""".stripMargin
+
+  /** ENERGY DISTANCE (Szekely) between the two order-date halves'
+    * order-value distributions — ED^2 = 2E|X-Y| - E|X-X'| - E|Y-Y'|,
+    * the metric two-sample statistic that detects ANY distributional
+    * change (location, scale, shape) where [[wassersteinDrift]] reads
+    * transport cost and `q_ks_split_drift` reads max CDF gap. All
+    * three expectations are EXACT: for 1-D data, SUM over pairs
+    * |a-b| = SUM over the sorted sequence of rank-weighted prefix
+    * differences — one sort-order window per population pairing, no
+    * pair join, every term an integer product in decimal(38,0).
+    *
+    * Scale shape: the pairwise-sum trick is rank arithmetic — for
+    * sorted v with 1-based rank r: SUM pairs |v_i - v_j| (i<j) =
+    * SUM_r v_r * (2r - n - 1); the cross term E|X-Y| comes from the
+    * same identity on the pooled sequence minus the within terms
+    * (|pooled pairs| = |XX'| + |YY'| + |XY|). Windows run on the
+    * value-bounded sorted relations. */
+  def energyDistance(spark: SparkSession, dir: String): DataFrame =
+    energyDistanceOf(Tables(spark, dir, "orders"))
+
+  private[graft] def energyDistanceOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val vals = orders.select(Det.cents(col("o_totalprice")).as("v"),
+      (col("o_orderdate") < lit("1998-01-01").cast("date")).as("isx"))
+    // pairwise-|diff| sum of one population over its VALUE HISTOGRAM
+    // (the wassersteinDrift discipline): contribution of value v_k =
+    // v_k*c_k*P_k - c_k*S_k with prefix count P and prefix value-sum
+    // S — windows run over the distinct-cents relation, never a
+    // global row sort of the corpus
+    def pairSum(df: DataFrame): DataFrame = {
+      val w = Window.orderBy("v")
+      df.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("pc", coalesce(sum("c")
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("ps", coalesce(sum(col("c").cast(d38) * col("v"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(d38)))
+        .agg(sum(col("v").cast(d38) * col("c") * col("pc")
+          - col("c").cast(d38) * col("ps")).as("s"),
+          sum("c").as("n"))
+    }
+    val sx = pairSum(vals.filter(col("isx")).select("v"))
+      .select(col("s").as("sxx"), col("n").as("nx"))
+    val sy = pairSum(vals.filter(!col("isx")).select("v"))
+      .select(col("s").as("syy"), col("n").as("ny"))
+    val sp = pairSum(vals.select("v")).select(col("s").as("spp"))
+    sx.crossJoin(sy).crossJoin(sp)
+      .withColumn("sxy", col("spp") - col("sxx") - col("syy"))
+      .select(col("nx"), col("ny"),
+        Det.rnd(col("sxy").cast("double") / (col("nx") * col("ny") * 100.0), 4)
+          .as("e_xy"),
+        Det.rnd(col("sxx").cast("double") * 2
+          / (col("nx").cast("double") * col("nx") * 100.0), 4).as("e_xx"),
+        Det.rnd(col("syy").cast("double") * 2
+          / (col("ny").cast("double") * col("ny") * 100.0), 4).as("e_yy"),
+        Det.rnd(
+          col("sxy").cast("double") * 2 / (col("nx") * col("ny") * 100.0)
+            - col("sxx").cast("double") * 2 / (col("nx").cast("double") * col("nx") * 100.0)
+            - col("syy").cast("double") * 2 / (col("ny").cast("double") * col("ny") * 100.0),
+          4).as("energy_dist_sq"))
+  }
+
+  val energyDistanceSql: String = {
+    def pairCte(name: String, where: String) =
+      s"""$name AS (
+         |  SELECT sum(CAST(v AS HUGEINT) * c * pc - CAST(c AS HUGEINT) * ps) AS s,
+         |         sum(c) AS n
+         |  FROM (SELECT v, c,
+         |               coalesce(sum(c) OVER (ORDER BY v
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pc,
+         |               coalesce(sum(CAST(c AS HUGEINT) * v) OVER (ORDER BY v
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ps
+         |        FROM (SELECT v, count(*) AS c FROM vals $where GROUP BY 1)))""".stripMargin
+    s"""WITH vals AS (
+       |  SELECT ${Det.centsSql("o_totalprice")} AS v,
+       |         o_orderdate < DATE '1998-01-01' AS isx
+       |  FROM orders),
+       |${pairCte("sx", "WHERE isx")},
+       |${pairCte("sy", "WHERE NOT isx")},
+       |${pairCte("sp", "")}
+       |SELECT CAST(sx.n AS BIGINT) AS nx, CAST(sy.n AS BIGINT) AS ny,
+       |       ${Det.rndSql(
+          "CAST(sp.s - sx.s - sy.s AS DOUBLE) / (sx.n * sy.n * 100.0)", 4)} AS e_xy,
+       |       ${Det.rndSql(
+          "CAST(sx.s AS DOUBLE) * 2 / (CAST(sx.n AS DOUBLE) * sx.n * 100.0)", 4)} AS e_xx,
+       |       ${Det.rndSql(
+          "CAST(sy.s AS DOUBLE) * 2 / (CAST(sy.n AS DOUBLE) * sy.n * 100.0)", 4)} AS e_yy,
+       |       ${Det.rndSql(
+          "CAST(sp.s - sx.s - sy.s AS DOUBLE) * 2 / (sx.n * sy.n * 100.0)" +
+            " - CAST(sx.s AS DOUBLE) * 2 / (CAST(sx.n AS DOUBLE) * sx.n * 100.0)" +
+            " - CAST(sy.s AS DOUBLE) * 2 / (CAST(sy.n AS DOUBLE) * sy.n * 100.0)", 4)}
+       |         AS energy_dist_sq
+       |FROM sx, sy, sp""".stripMargin
+  }
 }

@@ -431,6 +431,92 @@ class Round10Spec extends SparkSpec {
     assert(!got(4).getAs[Boolean]("flagged"))
   }
 
+  private def eventsDaily(vals: Seq[Double], start: String = "2024-03-01"): org.apache.spark.sql.DataFrame = {
+    val s = spark; import s.implicits._
+    vals.zipWithIndex.map { case (v, day) =>
+      val ts = java.time.LocalDate.parse(start).plusDays(day).atStartOfDay()
+      (day.toLong, java.sql.Timestamp.valueOf(ts), 1L, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("nelsonAalen: cumulative hazard matches hand-computed d/n sums") {
+    val s = spark; import s.implicits._
+    // 4 users; users 1,2 convert on day 1 and 2; users 3,4 censored
+    val mk = (id: Long, u: Long, t: String, ty: String, v: Double) =>
+      (id, java.sql.Timestamp.valueOf(t), u, ty, v, "{}")
+    val ev = Seq(
+      mk(1, 1, "2024-01-01 00:00:00", "click", 1.0),
+      mk(2, 1, "2024-01-02 00:00:00", "purchase", 200.0), // day 1
+      mk(3, 2, "2024-01-01 00:00:00", "click", 1.0),
+      mk(4, 2, "2024-01-03 00:00:00", "purchase", 200.0), // day 2
+      mk(5, 3, "2024-01-01 00:00:00", "click", 1.0),      // censored day 4
+      mk(6, 4, "2024-01-02 00:00:00", "click", 1.0),      // censored day 3
+      mk(7, 9, "2024-01-05 00:00:00", "click", 1.0)       // sets corpus end
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = queries.ExtensionQueries.nelsonAalenOf(ev).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    // risk sets: day0 has user 9 (censored, c=1) n=5; day1: d=1 n=4;
+    // day2: d=1 n=3; day3: c=1 n=2; day4: c=1 n=1
+    assert(got(1L).getAs[Double]("cum_hazard") === 0.25)
+    assert(got(2L).getAs[Double]("cum_hazard") === math.floor((0.25 + 1.0 / 3) * 1e4 + 0.5) / 1e4)
+    // hazard never decreases
+    val seq = queries.ExtensionQueries.nelsonAalenOf(ev).collect()
+      .map(_.getAs[Double]("cum_hazard"))
+    assert(seq.sameElements(seq.sorted))
+  }
+
+  test("hhiConcentration: monopoly region scores 10000, even split 1/n") {
+    val s = spark; import s.implicits._
+    val region = Seq((0, "AMERICA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "US", 0), (1, "FR", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq(
+      (1L, "a", 0, 0.0, "S"), (2L, "b", 1, 0.0, "S"), (3L, "c", 1, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, 100.0, "1996-01-01"), // AMERICA: single customer -> HHI 10000
+      (2L, 2L, 50.0, "1996-01-01"), (3L, 3L, 50.0, "1996-01-01")) // EUROPE even
+      .map { case (ok, ck, tp, d) =>
+        (ok, ck, "O", tp, java.sql.Timestamp.valueOf(d + " 00:00:00"), "P")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = queries.ExtensionQueries
+      .hhiConcentrationOf(orders, customer, nation, region).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hhi")).toMap
+    assert(got("AMERICA") === 10000.0)
+    assert(got("EUROPE") === 5000.0)
+  }
+
+  test("energyDistance: identical halves score 0, shifted halves positive") {
+    val s = spark; import s.implicits._
+    def orders(h2shift: Double) = (1 to 40).map { i =>
+      val (d, v) = if (i <= 20) ("1997-01-01", i.toDouble)
+      else ("1999-01-01", (i - 20).toDouble + h2shift)
+      (i.toLong, 1L, "O", v, java.sql.Timestamp.valueOf(d + " 00:00:00"), "P")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val same = queries.ExtensionQueries.energyDistanceOf(orders(0.0)).collect()(0)
+    assert(same.getAs[Double]("energy_dist_sq") === 0.0)
+    val shifted = queries.ExtensionQueries.energyDistanceOf(orders(100.0)).collect()(0)
+    assert(shifted.getAs[Double]("energy_dist_sq") > 50.0)
+  }
+
+  test("periodogram: planted 7-day cycle dominates the power shares") {
+    val vals = (0 until 70).map(d => if (d % 7 == 0) 1000.0 else 10.0)
+    val got = queries.AnalyticsQueries.periodogramOf(eventsDaily(vals)).collect()
+    // 70 days -> weekly cycle is harmonic k = 10 (period 7.0)
+    assert(got.head.getAs[Double]("period_days") === 7.0)
+    assert(got.head.getAs[Double]("power_share") > 0.5)
+  }
+
+  test("binsegChangepoints: two level shifts are found at the planted days") {
+    // 30 days at 100, 30 at 1000, 30 at 100 -> splits at i=29 and i=59
+    val vals = Seq.fill(30)(100.0) ++ Seq.fill(30)(1000.0) ++ Seq.fill(30)(100.0)
+    val got = queries.AnalyticsQueries.binsegChangepointsOf(eventsDaily(vals)).collect()
+    val splits = got.map(_.getAs[Long]("split_day_index")).toSet
+    assert(splits.contains(29L) && splits.contains(59L),
+      s"expected splits at 29 and 59, got $splits")
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
