@@ -68,13 +68,13 @@ object Det {
 
   /** SQL-side twins of the helpers above, for composing oracle strings. */
   def centsSql(col: String): String =
-    s"CAST(round($col * 100) AS BIGINT)"
+    s"CAST(round(($col) * 100) AS BIGINT)"
   def moneySumSql(col: String): String =
     s"CAST(sum(${centsSql(col)}) AS DOUBLE) / 100.0"
   def moneyAvgSql(col: String, scale: Int): String =
     rndSql(s"CAST(sum(${centsSql(col)}) AS DOUBLE) / (count($col) * 100.0)", scale)
   def unitsSql(col: String, scale: Int): String =
-    s"CAST(round($col * 1${"0" * scale}) AS BIGINT)"
+    s"CAST(round(($col) * 1${"0" * scale}) AS BIGINT)"
   def fixedAvgSql(col: String, scale: Int, outScale: Int): String =
     rndSql(s"CAST(sum(${unitsSql(col, scale)}) AS DOUBLE) / (count($col) * 1${"0" * scale}.0)", outScale)
   def rndSql(expr: String, scale: Int): String = {

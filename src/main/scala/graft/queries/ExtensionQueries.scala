@@ -8587,4 +8587,266 @@ object ExtensionQueries {
        |         AS energy_dist_sq
        |FROM sx, sy, sp""".stripMargin
   }
+
+  /** ATKINSON INEQUALITY INDEX of per-customer revenue within each
+    * region, at aversion eps = 0.5 and eps = 1 — the welfare-based
+    * member of the inequality family ([[giniConcentration]] reads
+    * rank-order inequality, [[hhiConcentration]] top-share market
+    * power; Atkinson answers "what equal-revenue fraction buys the
+    * same welfare", with eps tuning how much the bottom matters):
+    * A(0.5) = 1 - (mean sqrt y)^2 / mean y and
+    * A(1) = 1 - geomean(y) / mean y — both scale-invariant, so exact
+    * integer cents feed them directly.
+    *
+    * Determinism: sqrt is IEEE-exact on integer-valued doubles; each
+    * per-customer sqrt/ln term is fenced to fixed-point integer units
+    * BEFORE the region sum (4dp sqrt, 8dp ln), so the aggregates are
+    * exact integer sums no partial-aggregation order can move; the
+    * two index divisions run once per region on identical doubles.
+    *
+    * Scale shape: the [[hhiConcentrationOf]] star join (dims
+    * broadcast), one exact aggregate per (region, customer), then a
+    * region-cardinality finish. */
+  def atkinsonIndex(spark: SparkSession, dir: String): DataFrame =
+    atkinsonIndexOf(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  private[graft] def atkinsonIndexOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val percust = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("o_custkey"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("cents"))
+    percust
+      .select(col("region"), col("cents"),
+        Det.units(sqrt(col("cents").cast("double")), 4).as("sq4"),
+        Det.units(log(col("cents").cast("double")), 8).as("ln8"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("tot"),
+        sum("sq4").as("ssq"), sum("ln8").as("sln"))
+      .select(col("region"), col("n_customers"),
+        Det.rnd(col("tot").cast("double") / (col("n_customers") * 100.0), 2)
+          .as("mean_revenue"),
+        Det.rnd(greatest(lit(0.0), lit(1.0)
+          - pow(col("ssq").cast("double") / (col("n_customers") * 1e4), 2)
+            / (col("tot").cast("double") / col("n_customers"))), 6)
+          .as("atkinson_05"),
+        Det.rnd(greatest(lit(0.0), lit(1.0)
+          - exp(col("sln").cast("double") / (col("n_customers") * 1e8))
+            / (col("tot").cast("double") / col("n_customers"))), 6)
+          .as("atkinson_1"))
+      .orderBy("region")
+  }
+
+  val atkinsonIndexSql: String =
+    s"""WITH pc AS (
+       |  SELECT r_name AS region, o_custkey,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS cents
+       |  FROM orders
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  GROUP BY 1, 2),
+       |t AS (SELECT region, cents,
+       |             ${Det.unitsSql("sqrt(CAST(cents AS DOUBLE))", 4)} AS sq4,
+       |             ${Det.unitsSql("ln(CAST(cents AS DOUBLE))", 8)} AS ln8
+       |      FROM pc),
+       |ag AS (SELECT region, count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot,
+       |              CAST(sum(sq4) AS BIGINT) AS ssq, CAST(sum(ln8) AS BIGINT) AS sln
+       |       FROM t GROUP BY 1)
+       |SELECT region, n AS n_customers,
+       |       ${Det.rndSql("CAST(tot AS DOUBLE) / (n * 100.0)", 2)} AS mean_revenue,
+       |       ${Det.rndSql(
+          "greatest(0.0, 1.0 - pow(CAST(ssq AS DOUBLE) / (n * 1e4), 2)" +
+            " / (CAST(tot AS DOUBLE) / n))", 6)} AS atkinson_05,
+       |       ${Det.rndSql(
+          "greatest(0.0, 1.0 - exp(CAST(sln AS DOUBLE) / (n * 1e8))" +
+            " / (CAST(tot AS DOUBLE) / n))", 6)} AS atkinson_1
+       |FROM ag
+       |ORDER BY region""".stripMargin
+
+  /** MOOD'S MEDIAN TEST of order value across order priorities —
+    * counts above vs at-or-below the POOLED lower median per group
+    * and reads the chi-square contingency statistic: the
+    * median-robust companion of `q_kruskal_wallis` (KW ranks
+    * everything and reacts to any distributional shift; Mood only
+    * asks "does this group land above the common median more often
+    * than chance", immune to tails and ties beyond the median cell).
+    *
+    * Exactness: the pooled median comes off the distinct-cents
+    * histogram (smallest value whose cumulative count reaches
+    * ceil(n/2) — the [[giniConcentration]] histogram discipline, no
+    * global row sort); cell counts and margins are exact integers;
+    * each group's chi-square term is one double expression on exact
+    * ints, fenced to 6dp units before the final exact sum. */
+  def moodMedian(spark: SparkSession, dir: String): DataFrame =
+    moodMedianOf(Tables(spark, dir, "orders"))
+
+  private[graft] def moodMedianOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = orders.select(col("o_orderpriority").as("grp"),
+      Det.cents(col("o_totalprice")).as("v"))
+    val hist = vals.groupBy("v").agg(count(lit(1)).as("m"))
+    val wa = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val med = hist
+      .withColumn("cum", sum("m").over(wa))
+      .withColumn("n", sum("m").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("v").as("med"), first("n").as("n"))
+    val cells = vals.crossJoin(broadcast(med))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_group"),
+        sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("above"),
+        first("med").as("med"), first("n").as("n"))
+      .withColumn("tot_above", sum("above").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("e_above",
+        col("n_group").cast("double") * col("tot_above") / col("n"))
+      .withColumn("e_le",
+        col("n_group").cast("double") * (col("n") - col("tot_above")) / col("n"))
+      .withColumn("term6", Det.units(
+        pow(col("above") - col("e_above"), 2) / col("e_above")
+          + pow((col("n_group") - col("above")) - col("e_le"), 2) / col("e_le"), 6))
+    cells
+      .withColumn("chi2", Det.rnd(sum("term6").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("double") / 1e6, 4))
+      .select(col("grp").as("priority"), col("n_group"), col("above"),
+        (col("n_group") - col("above")).as("below_eq"),
+        Det.rnd(col("e_above"), 4).as("expected_above"),
+        col("med").as("median_cents"), col("chi2"))
+      .orderBy("priority")
+  }
+
+  val moodMedianSql: String =
+    s"""WITH vals AS (SELECT o_orderpriority AS grp,
+       |                     ${Det.centsSql("o_totalprice")} AS v
+       |              FROM orders),
+       |hist AS (SELECT v, count(*) AS m FROM vals GROUP BY 1),
+       |med AS (SELECT min(v) AS med, any_value(n) AS n
+       |        FROM (SELECT v,
+       |                     sum(m) OVER (ORDER BY v
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |                     sum(m) OVER () AS n
+       |              FROM hist)
+       |        WHERE cum >= (n + 1) // 2),
+       |cells AS (SELECT grp, count(*) AS n_group,
+       |                 CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT) AS above,
+       |                 any_value(med) AS med, any_value(n) AS n
+       |          FROM vals CROSS JOIN med GROUP BY 1),
+       |ex AS (SELECT grp, n_group, above, med, n,
+       |              sum(above) OVER () AS tot_above,
+       |              CAST(n_group AS DOUBLE) * sum(above) OVER () / n AS e_above,
+       |              CAST(n_group AS DOUBLE) * (n - sum(above) OVER ()) / n AS e_le
+       |       FROM cells),
+       |tm AS (SELECT *, ${Det.unitsSql(
+          "pow(above - e_above, 2) / e_above" +
+            " + pow((n_group - above) - e_le, 2) / e_le", 6)} AS term6
+       |       FROM ex)
+       |SELECT grp AS priority, n_group, above,
+       |       CAST(n_group - above AS BIGINT) AS below_eq,
+       |       ${Det.rndSql("e_above", 4)} AS expected_above,
+       |       CAST(med AS BIGINT) AS median_cents,
+       |       ${Det.rndSql("CAST(sum(term6) OVER () AS DOUBLE) / 1e6", 4)} AS chi2
+       |FROM tm
+       |ORDER BY priority""".stripMargin
+
+  /** Cutoff and bandwidth (both in acctbal cents) for the regression
+    * discontinuity read: customers within $1000 either side of a zero
+    * account balance. */
+  private val RddCutCents = 0L
+  private val RddBwCents = 100000L
+
+  /** REGRESSION DISCONTINUITY of customer revenue at the zero-balance
+    * cutoff — separate local linear fits (closed-form OLS) on the
+    * customers within the [[RddBwCents]] bandwidth either side of
+    * acctbal = 0, reporting both fits and the intercept JUMP at the
+    * cutoff: the threshold-based causal design next to
+    * `q_diff_in_diff` (DiD needs a time dimension; RD needs only the
+    * running variable, and reads the causal effect of crossing the
+    * threshold under local-continuity).
+    *
+    * Exactness: x (acctbal cents, negative-capable) and y (revenue
+    * cents) are exact integers; all five OLS moments accumulate in
+    * decimal(38,0) with every operand cast BEFORE multiplying (the
+    * repo's overflow contract); slope/intercepts are single double
+    * expressions on those exact moments, fenced at output.
+    *
+    * Scale shape: one broadcast-joined revenue aggregate per
+    * customer, one filtered moment pass, a 2-row finish. */
+  def regressionDiscontinuity(spark: SparkSession, dir: String): DataFrame =
+    regressionDiscontinuityOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def regressionDiscontinuityOf(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rev = orders.groupBy("o_custkey")
+      .agg(sum(Det.cents(col("o_totalprice"))).as("ycents"))
+    val xy = customer
+      .select(col("c_custkey"), Det.cents(col("c_acctbal")).as("x"))
+      .filter(col("x") >= RddCutCents - RddBwCents && col("x") <= RddCutCents + RddBwCents)
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("x"), coalesce(col("ycents"), lit(0L)).as("y"),
+        (col("x") >= RddCutCents).as("isr"))
+    val m = xy.groupBy("isr").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+      sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
+      .withColumn("den", col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        (col("n").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / col("den").cast("double"))
+      .withColumn("icept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"))
+    val l = m.filter(!col("isr")).select(col("n").as("n_left"),
+      col("slope").as("bl"), col("icept").as("al"))
+    val r = m.filter(col("isr")).select(col("n").as("n_right"),
+      col("slope").as("br"), col("icept").as("ar"))
+    l.crossJoin(r).select(
+      col("n_left"), col("n_right"),
+      Det.rnd(col("bl"), 8).as("slope_left"),
+      Det.rnd(col("br"), 8).as("slope_right"),
+      Det.rnd(col("al") / 100.0, 2).as("intercept_left"),
+      Det.rnd(col("ar") / 100.0, 2).as("intercept_right"),
+      Det.rnd((col("ar") - col("al")) / 100.0, 2).as("jump"))
+  }
+
+  val regressionDiscontinuitySql: String =
+    s"""WITH rev AS (SELECT o_custkey,
+       |                    CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS ycents
+       |             FROM orders GROUP BY 1),
+       |xy AS (SELECT ${Det.centsSql("c_acctbal")} AS x,
+       |              coalesce(ycents, 0) AS y,
+       |              ${Det.centsSql("c_acctbal")} >= $RddCutCents AS isr
+       |       FROM customer LEFT JOIN rev ON o_custkey = c_custkey
+       |       WHERE ${Det.centsSql("c_acctbal")}
+       |               BETWEEN ${RddCutCents - RddBwCents} AND ${RddCutCents + RddBwCents}),
+       |m AS (SELECT isr, count(*) AS n,
+       |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+       |      FROM xy GROUP BY 1),
+       |f AS (SELECT isr, n, slope,
+       |             (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept
+       |      FROM (SELECT *,
+       |                   CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |                     / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS slope
+       |            FROM m))
+       |SELECT l.n AS n_left, r.n AS n_right,
+       |       ${Det.rndSql("l.slope", 8)} AS slope_left,
+       |       ${Det.rndSql("r.slope", 8)} AS slope_right,
+       |       ${Det.rndSql("l.icept / 100.0", 2)} AS intercept_left,
+       |       ${Det.rndSql("r.icept / 100.0", 2)} AS intercept_right,
+       |       ${Det.rndSql("(r.icept - l.icept) / 100.0", 2)} AS jump
+       |FROM (SELECT * FROM f WHERE NOT isr) l
+       |CROSS JOIN (SELECT * FROM f WHERE isr) r""".stripMargin
 }

@@ -517,6 +517,76 @@ class Round10Spec extends SparkSpec {
       s"expected splits at 29 and 59, got $splits")
   }
 
+  test("atkinsonIndex: 90/10 split scores the closed-form 0.2 / 0.4") {
+    val s = spark; import s.implicits._
+    val region = Seq((0, "AMERICA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "US", 0), (1, "FR", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq(
+      (1L, "a", 0, 0.0, "S"), (2L, "b", 0, 0.0, "S"),
+      (3L, "c", 1, 0.0, "S"), (4L, "d", 1, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // AMERICA: 90.00 / 10.00 -> (sqrt9000+sqrt1000)^2/4 = 4000 exactly
+    // (cross term 2*sqrt(9e6) = 6000), so A(0.5) = 1-4000/5000 = 0.2 and
+    // geomean = 3000 -> A(1) = 0.4. EUROPE: equal split -> 0 / 0.
+    val orders = Seq(
+      (1L, 1L, 90.0), (2L, 2L, 10.0), (3L, 3L, 50.0), (4L, 4L, 50.0))
+      .map { case (ok, ck, tp) =>
+        (ok, ck, "O", tp, java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "P")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = queries.ExtensionQueries
+      .atkinsonIndexOf(orders, customer, nation, region).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("AMERICA").getAs[Double]("atkinson_05") - 0.2) < 1e-4)
+    assert(math.abs(got("AMERICA").getAs[Double]("atkinson_1") - 0.4) < 1e-4)
+    assert(got("EUROPE").getAs[Double]("atkinson_05") === 0.0)
+    assert(got("EUROPE").getAs[Double]("atkinson_1") === 0.0)
+  }
+
+  test("moodMedian: fully separated groups hit the maximal chi-square") {
+    val s = spark; import s.implicits._
+    val orders = Seq(
+      ("1-URGENT", 200.0), ("1-URGENT", 300.0), ("1-URGENT", 400.0), ("1-URGENT", 500.0),
+      ("5-LOW", 0.1), ("5-LOW", 0.2), ("5-LOW", 0.3), ("5-LOW", 0.4))
+      .zipWithIndex.map { case ((pr, tp), i) =>
+        (i.toLong, 1L, "O", tp, java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), pr)
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = queries.ExtensionQueries.moodMedianOf(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // pooled lower median = 4th smallest = 40 cents; urgent all above
+    assert(got("1-URGENT").getAs[Long]("above") === 4L)
+    assert(got("5-LOW").getAs[Long]("above") === 0L)
+    assert(got("1-URGENT").getAs[Long]("median_cents") === 40L)
+    assert(got("1-URGENT").getAs[Double]("chi2") === 8.0)
+    assert(got("5-LOW").getAs[Double]("expected_above") === 2.0)
+  }
+
+  test("regressionDiscontinuity: planted flat sides report the exact jump") {
+    val s = spark; import s.implicits._
+    // left side acctbal in [-500,-100] with revenue 10.00; right side
+    // [100,500] with revenue 30.00 -> slopes 0, jump 20.00
+    val customer = (1 to 10).map { i =>
+      val bal = if (i <= 5) -100.0 * i else 100.0 * (i - 5)
+      (i.toLong, s"c$i", 0, bal, "S")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = (1 to 10).map { i =>
+      val tp = if (i <= 5) 10.0 else 30.0
+      (i.toLong, i.toLong, "O", tp,
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "P")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val got = queries.ExtensionQueries
+      .regressionDiscontinuityOf(customer, orders).collect()(0)
+    assert(got.getAs[Long]("n_left") === 5L)
+    assert(got.getAs[Long]("n_right") === 5L)
+    assert(got.getAs[Double]("slope_left") === 0.0)
+    assert(got.getAs[Double]("slope_right") === 0.0)
+    assert(got.getAs[Double]("intercept_left") === 10.0)
+    assert(got.getAs[Double]("intercept_right") === 30.0)
+    assert(got.getAs[Double]("jump") === 20.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
