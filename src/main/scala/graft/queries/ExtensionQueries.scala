@@ -8849,4 +8849,194 @@ object ExtensionQueries {
        |       ${Det.rndSql("(r.icept - l.icept) / 100.0", 2)} AS jump
        |FROM (SELECT * FROM f WHERE NOT isr) l
        |CROSS JOIN (SELECT * FROM f WHERE isr) r""".stripMargin
+
+  /** IMPUTATION EVALUATION — the masked-holdout benchmark every
+    * missing-data strategy needs before it touches production: hide a
+    * deterministic 20% of customer balances (the [[TextQueries]]
+    * two-round modmul split on `c_custkey`, so membership is a pure
+    * function of the key — repartition/engine independent), impute
+    * each masked balance with its nation's mean over the UNMASKED 80%
+    * (the donor pool), and score the imputation per region with
+    * MAE/RMSE against the hidden truth.
+    *
+    * Exactness: truth is integer cents; the donor mean is half-up
+    * rounded to integer cents once (floor(x+0.5) on the identical
+    * double both engines compute from exact sum/count), so every
+    * per-customer error `d` is an exact BIGINT; |d| and d² are summed
+    * with cast-before-multiply decimal(38,0) widening (100 TB
+    * overflow contract — d² alone reaches 1e12, and region row counts
+    * at scale put the plain-long sum past 2⁶³).
+    *
+    * Scale shape: one pass for donor means (nation-sized aggregate,
+    * broadcast back), one pass for the masked 20% — dims broadcast,
+    * never a shuffle wider than the nation-key agg. */
+  def imputeEval(spark: SparkSession, dir: String): DataFrame =
+    imputeEvalOf(Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "region"))
+
+  private[graft] def imputeEvalOf(customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"),
+      Det.cents(col("c_acctbal")).as("cents"),
+      (expr(TextQueries.splitBucketOf("c_custkey")) < 20).as("masked"))
+    val donors = cust.filter(!col("masked"))
+      .groupBy("c_nationkey")
+      .agg(sum("cents").as("s"), count(lit(1)).as("n_donor"))
+      .select(col("c_nationkey").as("d_nationkey"), col("n_donor"),
+        Det.rnd(col("s").cast("double") / col("n_donor"), 0).cast("long")
+          .as("imp_cents"))
+    cust.filter(col("masked"))
+      .join(broadcast(donors), col("c_nationkey") === col("d_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"),
+        (col("cents") - col("imp_cents")).as("d"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_masked"),
+        sum(abs(col("d")).cast("decimal(38,0)")).as("sad"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("ssd"))
+      .select(col("region"), col("n_masked"),
+        Det.rnd(col("sad").cast("double") / (col("n_masked") * 100.0), 2).as("mae"),
+        Det.rnd(sqrt(col("ssd").cast("double") / col("n_masked")) / 100.0, 2)
+          .as("rmse"))
+      .orderBy("region")
+  }
+
+  val imputeEvalSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         ${Det.centsSql("c_acctbal")} AS cents,
+       |         ${TextQueries.splitBucketSqlOf("c_custkey")} < 20 AS masked
+       |  FROM customer),
+       |don AS (
+       |  SELECT c_nationkey AS d_nationkey, count(*) AS n_donor,
+       |         CAST(${Det.rndSql(
+          "CAST(sum(cents) AS DOUBLE) / count(*)", 0)} AS BIGINT) AS imp_cents
+       |  FROM cust WHERE NOT masked GROUP BY 1),
+       |m AS (
+       |  SELECT r_name AS region, cents - imp_cents AS d
+       |  FROM cust
+       |  JOIN don ON d_nationkey = c_nationkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  WHERE masked)
+       |SELECT region, count(*) AS n_masked,
+       |       ${Det.rndSql(
+          "CAST(sum(CAST(abs(d) AS HUGEINT)) AS DOUBLE) / (count(*) * 100.0)",
+          2)} AS mae,
+       |       ${Det.rndSql(
+          "sqrt(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) / count(*)) / 100.0",
+          2)} AS rmse
+       |FROM m GROUP BY 1
+       |ORDER BY region""".stripMargin
+
+  /** Nations of the SYNTHETIC CONTROL study: treated unit and its
+    * three region-0 donor peers. */
+  private final val ScTreated = 0
+  private final val ScDonors = Seq(5, 10, 15)
+  private final val ScPostFrom = "1999-01"
+
+  /** SYNTHETIC CONTROL — the causal-inference estimator for a single
+    * treated unit: express nation 0's pre-period monthly revenue as
+    * the best convex combination of three donor nations (weights on
+    * an exact integer grid w1+w2+w3 = 20, i.e. twentieths), then read
+    * the post-period gap between the treated series and its synthetic
+    * twin. The grid search replaces the usual constrained-QP fit with
+    * an exactly-reproducible argmin: every candidate SSE is an exact
+    * integer (revenues in cents, the 1/20 weight scale cleared by
+    * comparing 20·treated against Σwᵢ·donorᵢ), widened
+    * cast-before-multiply to decimal(38,0)/HUGEINT, so both engines
+    * pick the identical winner; ties break on the (w1,w2,w3) tuple.
+    *
+    * Scale shape: the star join aggregates straight to a months×4
+    * relation (dims broadcast); the 231-combo grid and the best-row
+    * join are broadcast literals. Nothing downstream of the first
+    * agg scales with the corpus. */
+  def syntheticControl(spark: SparkSession, dir: String): DataFrame =
+    syntheticControlOf(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"))
+
+  private[graft] def syntheticControlOf(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def natSum(k: Int) =
+      sum(when(col("c_nationkey") === k, Det.cents(col("o_totalprice")))
+        .otherwise(0L))
+    val rev = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey").isin((ScTreated +: ScDonors).map(Int.box): _*))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(natSum(ScTreated).as("t"), natSum(ScDonors(0)).as("d1"),
+        natSum(ScDonors(1)).as("d2"), natSum(ScDonors(2)).as("d3"))
+    val combos = rev.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(20))).as("w1"))
+      .select(col("w1"), explode(sequence(lit(0), lit(20) - col("w1"))).as("w2"))
+      .withColumn("w3", lit(20) - col("w1") - col("w2"))
+    val syn = col("w1") * col("d1") + col("w2") * col("d2") + col("w3") * col("d3")
+    val best = rev.filter(col("month") < ScPostFrom)
+      .crossJoin(broadcast(combos))
+      .select(col("w1"), col("w2"), col("w3"),
+        (lit(20L) * col("t") - syn).as("diff20"))
+      .groupBy("w1", "w2", "w3")
+      .agg(sum(col("diff20").cast("decimal(38,0)") * col("diff20")).as("sse"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sse").asc, col("w1").asc, col("w2").asc, col("w3").asc)))
+      .filter(col("rk") === 1)
+      .select("w1", "w2", "w3")
+    rev.filter(col("month") >= ScPostFrom)
+      .crossJoin(broadcast(best))
+      .select(col("month"), col("w1"), col("w2"), col("w3"),
+        Det.rnd(col("t").cast("double") / 100.0, 2).as("treated_revenue"),
+        Det.rnd(syn.cast("double") / 2000.0, 2).as("synthetic_revenue"),
+        Det.rnd((lit(20L) * col("t") - syn).cast("double") / 2000.0, 2).as("gap"))
+      .orderBy("month")
+  }
+
+  val syntheticControlSql: String =
+    s"""WITH rev AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |         CAST(sum(CASE WHEN c_nationkey = $ScTreated
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              AS BIGINT) AS t,
+       |         CAST(sum(CASE WHEN c_nationkey = ${ScDonors(0)}
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              AS BIGINT) AS d1,
+       |         CAST(sum(CASE WHEN c_nationkey = ${ScDonors(1)}
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              AS BIGINT) AS d2,
+       |         CAST(sum(CASE WHEN c_nationkey = ${ScDonors(2)}
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              AS BIGINT) AS d3
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey IN ($ScTreated, ${ScDonors.mkString(", ")})
+       |  GROUP BY 1),
+       |combos AS (
+       |  SELECT a.g AS w1, b.g AS w2, 20 - a.g - b.g AS w3
+       |  FROM (SELECT unnest(range(21)) AS g) a,
+       |       (SELECT unnest(range(21)) AS g) b
+       |  WHERE a.g + b.g <= 20),
+       |sse AS (
+       |  SELECT w1, w2, w3, sum(CAST(diff20 AS HUGEINT) * diff20) AS sse
+       |  FROM (SELECT c.w1, c.w2, c.w3,
+       |               20 * t - (c.w1 * d1 + c.w2 * d2 + c.w3 * d3) AS diff20
+       |        FROM rev CROSS JOIN combos c
+       |        WHERE month < '$ScPostFrom')
+       |  GROUP BY 1, 2, 3),
+       |best AS (SELECT w1, w2, w3 FROM sse
+       |         ORDER BY sse, w1, w2, w3 LIMIT 1)
+       |SELECT month,
+       |       CAST(w1 AS INTEGER) AS w1, CAST(w2 AS INTEGER) AS w2,
+       |       CAST(w3 AS INTEGER) AS w3,
+       |       ${Det.rndSql("CAST(t AS DOUBLE) / 100.0", 2)} AS treated_revenue,
+       |       ${Det.rndSql(
+          "CAST(w1 * d1 + w2 * d2 + w3 * d3 AS DOUBLE) / 2000.0",
+          2)} AS synthetic_revenue,
+       |       ${Det.rndSql(
+          "CAST(20 * t - (w1 * d1 + w2 * d2 + w3 * d3) AS DOUBLE) / 2000.0",
+          2)} AS gap
+       |FROM rev CROSS JOIN best
+       |WHERE month >= '$ScPostFrom'
+       |ORDER BY month""".stripMargin
 }

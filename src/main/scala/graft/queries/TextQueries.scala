@@ -5890,4 +5890,103 @@ object TextQueries {
        |FROM per
        |GROUP BY 1
        |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------- RAKE keywords
+
+  private final val RakeTopK = 20
+  private final val RakeMaxLen = 6
+  /** Phrase delimiters — the [[langId]] stopword family. */
+  private[graft] val RakeStops = Seq("the", "a", "data")
+
+  /** Segmentation expression shared verbatim by both engines: double
+    * every space so each token owns private delimiters (consecutive
+    * stopwords can then never share a boundary space), replace each
+    * ` stop ` token with ` | ` via PLAIN string replace — no regex
+    * lookahead, which DuckDB's RE2 lacks — and leave a '|'-separated
+    * phrase string both engines split identically. */
+  private val RakeSegExpr: String = RakeStops.foldLeft(
+    "' ' || replace(trim(text), ' ', '  ') || ' '")(
+    (acc, w) => s"replace($acc, ' $w ', ' | ')")
+
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the classic
+    * unsupervised keyphrase scorer a corpus-curation pipeline runs to
+    * label shards by topic: candidate phrases are the maximal runs of
+    * non-stopword tokens (delimiters: [[RakeStops]]); each word earns
+    * ratio = deg/freq where freq counts its occurrences across kept
+    * phrase instances and deg sums the lengths of the phrases it
+    * appears in (long phrases reward their members); a phrase scores
+    * the sum of its members' ratios, with multiplicity. Emits the
+    * top [[RakeTopK]] phrases of length ≤ [[RakeMaxLen]].
+    *
+    * Exactness: freq/deg are exact integers → each ratio is the same
+    * IEEE division on both engines, fenced to 6dp integer units
+    * BEFORE the phrase sum (so phrase scores are exact integer sums —
+    * addition order cannot move them); final score half-up at 4dp;
+    * ties past the LIMIT boundary broken by phrase text.
+    *
+    * Scale shape: two vocabulary-sized aggregates off single corpus
+    * passes (the [[collocations]] discipline), word-ratio relation
+    * broadcast into the distinct-phrase token join; never an
+    * all-pairs. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    rakeKeywordsOf(Tables(spark, dir, "documents"))
+
+  private[graft] def rakeKeywordsOf(docs: DataFrame): DataFrame = {
+    val phr = docs
+      .select(explode(split(expr(RakeSegExpr), "\\|")).as("seg"))
+      .select(trim(col("seg")).as("seg"))
+      .filter(length(col("seg")) > 0)
+      .select(split(col("seg"), "\\s+").as("ws"))
+      .filter(size(col("ws")).between(1, RakeMaxLen))
+      .select(array_join(col("ws"), " ").as("phrase"), col("ws"),
+        size(col("ws")).cast("long").as("len"))
+    // vocabulary-sized aggregates of corpus-sized streams: checkpoint
+    // each once (collocations precedent) rather than re-run the scan
+    val ratio = phr.select(explode(col("ws")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("w"),
+        Det.units(col("deg").cast("double") / col("freq"), 6).as("r6"))
+      .localCheckpoint()
+    val pstat = phr.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences")).localCheckpoint()
+    pstat
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(ratio), "w")
+      .groupBy("phrase", "n_occurrences")
+      .agg(count(lit(1)).as("n_words"), sum("r6").as("s6"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        Det.rnd(col("s6").cast("double") / 1e6, 4).as("score"))
+      .orderBy(desc("score"), asc("phrase"))
+      .limit(RakeTopK)
+  }
+
+  val rakeKeywordsSql: String =
+    s"""WITH seg AS (
+       |  SELECT trim(s) AS seg FROM (
+       |    SELECT unnest(string_split($RakeSegExpr, '|')) AS s
+       |    FROM documents)),
+       |ph AS (
+       |  SELECT array_to_string(ws, ' ') AS phrase, ws,
+       |         CAST(len(ws) AS BIGINT) AS len
+       |  FROM (SELECT string_split_regex(seg, '\\s+') AS ws
+       |        FROM seg WHERE length(seg) > 0)
+       |  WHERE len(ws) BETWEEN 1 AND $RakeMaxLen),
+       |ratio AS (
+       |  SELECT w, ${Det.unitsSql("CAST(deg AS DOUBLE) / freq", 6)} AS r6
+       |  FROM (SELECT w, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+       |        FROM (SELECT unnest(ws) AS w, len FROM ph) GROUP BY 1)),
+       |pstat AS (SELECT phrase, count(*) AS n_occurrences FROM ph GROUP BY 1),
+       |sc AS (
+       |  SELECT pt.phrase, count(*) AS n_words, CAST(sum(r6) AS BIGINT) AS s6
+       |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+       |        FROM pstat) pt
+       |  JOIN ratio ON ratio.w = pt.w
+       |  GROUP BY 1)
+       |SELECT sc.phrase, n_words, n_occurrences,
+       |       ${Det.rndSql("CAST(s6 AS DOUBLE) / 1e6", 4)} AS score
+       |FROM sc JOIN pstat ON pstat.phrase = sc.phrase
+       |ORDER BY score DESC, sc.phrase
+       |LIMIT $RakeTopK""".stripMargin
 }

@@ -587,6 +587,83 @@ class Round10Spec extends SparkSpec {
     assert(got.getAs[Double]("jump") === 20.0)
   }
 
+  // the two-round modmul split bucket, driver-side (keys ≥ 0)
+  private def bucket(k: Long): Long =
+    (((k % 4294967296L) * 40503 % 65536) * 65536
+      + (k % 4294967296L) * 31153) % 4294967296L % 100
+
+  test("imputeEval: constant-balance nation scores zero error; planted gap is exact") {
+    val s = spark; import s.implicits._
+    val all = (1L to 5000L)
+    val (m0, u0) = (all.filter(bucket(_) < 20).take(15),
+      all.filter(bucket(_) >= 20).take(15))
+    val off = 10000L
+    val (m1, u1) = (all.filter(k => bucket(k + off) < 20).take(15).map(_ + off),
+      all.filter(k => bucket(k + off) >= 20).take(15).map(_ + off))
+    val customer = (
+      m0.map((_, 0, 500.0)) ++ u0.map((_, 0, 500.0)) ++
+        m1.map((_, 1, 200.0)) ++ u1.map((_, 1, 100.0))
+      ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val nation = Seq((0, 0), (1, 1)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq((0, "R0"), (1, "R1")).toDF("r_regionkey", "r_name")
+    val got = queries.ExtensionQueries.imputeEvalOf(customer, nation, region)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("R0").getAs[Long]("n_masked") === 15L)
+    assert(got("R0").getAs[Double]("mae") === 0.0)
+    assert(got("R0").getAs[Double]("rmse") === 0.0)
+    // masked nation-1 rows are 200.00, donors all 100.00 → error 100.00
+    assert(got("R1").getAs[Double]("mae") === 100.0)
+    assert(got("R1").getAs[Double]("rmse") === 100.0)
+  }
+
+  test("syntheticControl: planted (10,10,0) mix recovered with exact gap") {
+    val s = spark; import s.implicits._
+    // custkey k → nation k
+    val customer = Seq(0L, 5L, 10L, 15L).map(k => (k, k.toInt))
+      .toDF("c_custkey", "c_nationkey")
+    def o(month: String, nat: Long, tp: Double, id: Long) =
+      (id, nat, tp, java.sql.Timestamp.valueOf(s"$month-01 00:00:00"))
+    // pre: t = (d1+d2)/2 in both months, d-ratios flipped → unique w=(10,10,0)
+    val orders = Seq(
+      o("1997-03", 0L, 300.0, 1), o("1997-03", 5L, 200.0, 2),
+      o("1997-03", 10L, 400.0, 3), o("1997-03", 15L, 999.0, 4),
+      o("1998-05", 0L, 300.0, 5), o("1998-05", 5L, 400.0, 6),
+      o("1998-05", 10L, 200.0, 7), o("1998-05", 15L, 999.0, 8),
+      o("1999-02", 0L, 1000.0, 9), o("1999-02", 5L, 100.0, 10),
+      o("1999-02", 10L, 100.0, 11), o("1999-02", 15L, 777.0, 12)
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val got = queries.ExtensionQueries.syntheticControlOf(orders, customer).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[String]("month") === "1999-02")
+    assert(r.getAs[Int]("w1") === 10)
+    assert(r.getAs[Int]("w2") === 10)
+    assert(r.getAs[Int]("w3") === 0)
+    assert(r.getAs[Double]("treated_revenue") === 1000.0)
+    assert(r.getAs[Double]("synthetic_revenue") === 100.0)
+    assert(r.getAs[Double]("gap") === 900.0)
+  }
+
+  test("rakeKeywords: closed-form deg/freq scores; stop runs and long runs handled") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "deep learning the deep learning a spark"),
+      (2L, "the a data spark"),                    // consecutive stops → one phrase
+      (3L, "w1 w2 w3 w4 w5 w6 w7")                 // 7-token run: over MaxLen, dropped
+    ).toDF("doc_id", "text")
+    val got = TextQueries.rakeKeywordsOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // freq: deep 2, learning 2, spark 2; deg: deep 4, learning 4, spark 2
+    // "deep learning" = 2.0+2.0 = 4.0; "spark" = 1.0
+    assert(got("deep learning").getAs[Double]("score") === 4.0)
+    assert(got("deep learning").getAs[Long]("n_occurrences") === 2L)
+    assert(got("deep learning").getAs[Long]("n_words") === 2L)
+    assert(got("spark").getAs[Double]("score") === 1.0)
+    assert(got("spark").getAs[Long]("n_occurrences") === 2L)
+    assert(!got.contains("w1 w2 w3 w4 w5 w6 w7"))
+    assert(got.keySet === Set("deep learning", "spark"))
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
