@@ -9039,4 +9039,314 @@ object ExtensionQueries {
        |FROM rev CROSS JOIN best
        |WHERE month >= '$ScPostFrom'
        |ORDER BY month""".stripMargin
+
+  /** WELCH'S ANOVA of order value across order priorities — the
+    * unequal-variance generalization of [[anovaF]] (classic F assumes
+    * homoscedasticity; Welch weights each group by nᵢ/s²ᵢ and
+    * Satterthwaite-corrects the denominator df, the robust default
+    * recommendation). Both the numerator and the λ correction expand
+    * algebraically into PER-GROUP power sums (Σwᵢmᵢ, Σwᵢmᵢ², Σwᵢ²/(nᵢ−1),
+    * …), so the whole statistic is closed-form over one k-row group
+    * table — the [[anovaF]] discipline: exact integer moments per
+    * group (Σc exact BIGINT, Σc² widened cast-before-multiply to
+    * decimal(38,0) per the 100 TB overflow contract), then fixed
+    * double expressions over the tiny relation. Groups with nᵢ < 2 or
+    * zero variance carry no weight information and are dropped
+    * (documented, mirrored). */
+  def welchAnova(spark: SparkSession, dir: String): DataFrame =
+    welchAnovaOf(Tables(spark, dir, "orders"))
+
+  private[graft] def welchAnovaOf(orders: DataFrame): DataFrame = {
+    val g = orders
+      .select(col("o_orderpriority").as("grp"),
+        Det.cents(col("o_totalprice")).as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("qi"))
+      .select(col("ni"), col("si"),
+        ((col("qi").cast("double")
+          - col("si").cast("double") * col("si") / col("ni"))
+          / (col("ni") - 1)).as("vi"))
+      .filter(col("ni") >= 2 && col("vi") > 0)
+      .select(col("ni"), (col("ni") / col("vi")).as("wi"),
+        (col("si").cast("double") / col("ni")).as("mi"))
+    g.agg(count(lit(1)).as("k"), sum("ni").as("n"),
+        sum("wi").as("sw"), sum(col("wi") * col("mi")).as("swm"),
+        sum(col("wi") * col("mi") * col("mi")).as("swm2"),
+        sum(lit(1.0) / (col("ni") - 1)).as("h0"),
+        sum(col("wi") / (col("ni") - 1)).as("h1"),
+        sum(col("wi") * col("wi") / (col("ni") - 1)).as("h2"))
+      .select(col("k"), col("n"),
+        Det.rnd(expr(
+          "((swm2 - swm * swm / sw) / (k - 1)) / " +
+            "(1.0 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1) * " +
+            "(h0 - 2.0 * h1 / sw + h2 / (sw * sw)))"), 4).as("f_stat"),
+        Det.rnd(expr(
+          "(CAST(k AS DOUBLE) * k - 1) / " +
+            "(3.0 * (h0 - 2.0 * h1 / sw + h2 / (sw * sw)))"), 2).as("df2"))
+  }
+
+  val welchAnovaSql: String =
+    s"""WITH g0 AS (
+       |  SELECT o_orderpriority AS grp, count(*) AS ni,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS si,
+       |         sum(CAST(${Det.centsSql("o_totalprice")} AS HUGEINT)
+       |             * ${Det.centsSql("o_totalprice")}) AS qi
+       |  FROM orders GROUP BY 1),
+       |g1 AS (
+       |  SELECT ni, si,
+       |         (CAST(qi AS DOUBLE) - CAST(si AS DOUBLE) * si / ni) / (ni - 1) AS vi
+       |  FROM g0 WHERE ni >= 2),
+       |g AS (
+       |  SELECT ni, ni / vi AS wi, CAST(si AS DOUBLE) / ni AS mi
+       |  FROM g1 WHERE vi > 0),
+       |a AS (
+       |  SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS n,
+       |         sum(wi) AS sw, sum(wi * mi) AS swm, sum(wi * mi * mi) AS swm2,
+       |         sum(1.0 / (ni - 1)) AS h0, sum(wi / (ni - 1)) AS h1,
+       |         sum(wi * wi / (ni - 1)) AS h2
+       |  FROM g)
+       |SELECT k, n,
+       |       ${Det.rndSql(
+          "((swm2 - swm * swm / sw) / (k - 1)) / " +
+            "(1.0 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1) * " +
+            "(h0 - 2.0 * h1 / sw + h2 / (sw * sw)))", 4)} AS f_stat,
+       |       ${Det.rndSql(
+          "(CAST(k AS DOUBLE) * k - 1) / " +
+            "(3.0 * (h0 - 2.0 * h1 / sw + h2 / (sw * sw)))", 2)} AS df2
+       |FROM a""".stripMargin
+
+  /** Studentized-range critical value q(α=0.05, k=5, df=∞) — pinned
+    * literal per the repo rule that constants never go through engine
+    * math (orders are plentiful at every SF, so the ∞-df row of the
+    * published table is the honest approximation; documented). */
+  private final val TukeyQCrit = "3.858"
+
+  /** TUKEY'S HSD post-hoc pairwise comparison across order
+    * priorities — the test run AFTER [[anovaF]] rejects, to say WHICH
+    * group means differ while controlling the family-wise error rate
+    * (10 pairwise t-tests at α=0.05 would inflate it to ~40%). Pooled
+    * MSE from exact per-group power sums ([[welchAnova]] moment
+    * discipline); each pair's q = |mᵢ−mⱼ| / √((MSE/2)(1/nᵢ+1/nⱼ))
+    * compared against the pinned [[TukeyQCrit]]. The pair join is a
+    * k×k self-join of the 5-row group table — value-bounded, never
+    * corpus-sized. */
+  def tukeyHsd(spark: SparkSession, dir: String): DataFrame =
+    tukeyHsdOf(Tables(spark, dir, "orders"))
+
+  private[graft] def tukeyHsdOf(orders: DataFrame): DataFrame = {
+    val g = orders
+      .select(col("o_orderpriority").as("grp"),
+        Det.cents(col("o_totalprice")).as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("qi"))
+    val mse = g.agg(
+      ((sum(col("qi").cast("double")
+        - col("si").cast("double") * col("si") / col("ni")))
+        / (sum("ni") - count(lit(1)))).as("mse"))
+    g.select(col("grp").as("pa"), col("ni").as("na"),
+        (col("si").cast("double") / col("ni")).as("ma"))
+      .join(g.select(col("grp").as("pb"), col("ni").as("nb"),
+        (col("si").cast("double") / col("ni")).as("mb")), col("pa") < col("pb"))
+      .crossJoin(broadcast(mse))
+      .select(col("pa").as("prio_a"), col("pb").as("prio_b"),
+        Det.rnd(col("ma") / 100.0, 2).as("mean_a"),
+        Det.rnd(col("mb") / 100.0, 2).as("mean_b"),
+        Det.rnd(abs(col("ma") - col("mb")) / 100.0, 2).as("diff"),
+        Det.rnd(abs(col("ma") - col("mb"))
+          / sqrt(col("mse") / 2.0 * (lit(1.0) / col("na") + lit(1.0) / col("nb"))),
+          4).as("q_stat"))
+      .withColumn("significant", col("q_stat") > expr(TukeyQCrit))
+      .orderBy("prio_a", "prio_b")
+  }
+
+  val tukeyHsdSql: String =
+    s"""WITH g AS (
+       |  SELECT o_orderpriority AS grp, count(*) AS ni,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS si,
+       |         sum(CAST(${Det.centsSql("o_totalprice")} AS HUGEINT)
+       |             * ${Det.centsSql("o_totalprice")}) AS qi
+       |  FROM orders GROUP BY 1),
+       |mse AS (
+       |  SELECT sum(CAST(qi AS DOUBLE) - CAST(si AS DOUBLE) * si / ni)
+       |           / (sum(ni) - count(*)) AS mse
+       |  FROM g),
+       |q AS (
+       |  SELECT a.grp AS prio_a, b.grp AS prio_b,
+       |         ${Det.rndSql("CAST(a.si AS DOUBLE) / a.ni / 100.0", 2)} AS mean_a,
+       |         ${Det.rndSql("CAST(b.si AS DOUBLE) / b.ni / 100.0", 2)} AS mean_b,
+       |         ${Det.rndSql(
+          "abs(CAST(a.si AS DOUBLE) / a.ni - CAST(b.si AS DOUBLE) / b.ni) / 100.0",
+          2)} AS diff,
+       |         ${Det.rndSql(
+          "abs(CAST(a.si AS DOUBLE) / a.ni - CAST(b.si AS DOUBLE) / b.ni) / " +
+            "sqrt(mse / 2.0 * (1.0 / a.ni + 1.0 / b.ni))", 4)} AS q_stat
+       |  FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN mse)
+       |SELECT prio_a, prio_b, mean_a, mean_b, diff, q_stat,
+       |       q_stat > $TukeyQCrit AS significant
+       |FROM q
+       |ORDER BY prio_a, prio_b""".stripMargin
+
+  private final val DhondtSeats = 64
+
+  /** D'HONDT + SAINTE-LAGUË SEAT APPORTIONMENT of [[DhondtSeats]]
+    * shards across document sources proportional to their doc counts —
+    * the divisor methods every sharded ingest eventually reinvents
+    * when "round(share·N)" hands out 63 or 65 shards (largest-
+    * remainder is non-monotone; divisor methods are). Quotients
+    * cᵢ/d over the divisor ladders (d = 1..N for D'Hondt, odd 1,3,5,…
+    * for Sainte-Laguë which favors small sources); the top N quotient
+    * rows ARE the seat grants. Both engines divide the same exact
+    * integers — identical IEEE doubles — and exact quotient ties
+    * (cᵢdⱼ = cⱼdᵢ) break on (source, divisor).
+    *
+    * Scale shape: one count per source, then a sources×N ladder —
+    * value-bounded (sources are an enum), never corpus-sized. */
+  def dhondtAlloc(spark: SparkSession, dir: String): DataFrame =
+    dhondtAllocOf(Tables(spark, dir, "documents"), DhondtSeats)
+
+  private[graft] def dhondtAllocOf(docs: DataFrame, seats: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val ladder = counts
+      .select(col("source"), col("n_docs"),
+        explode(sequence(lit(1), lit(seats))).as("i"))
+      .select(col("source"), col("n_docs"), col("i"),
+        (col("n_docs").cast("double") / col("i")).as("dh_q"),
+        (col("n_docs").cast("double") / (col("i") * 2 - 1)).as("sl_q"))
+    val dh = Window.orderBy(desc("dh_q"), asc("source"), asc("i"))
+    val sl = Window.orderBy(desc("sl_q"), asc("source"), asc("i"))
+    ladder
+      .withColumn("dh_r", row_number().over(dh))
+      .withColumn("sl_r", row_number().over(sl))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        sum(when(col("dh_r") <= seats, 1L).otherwise(0L)).as("dhondt_seats"),
+        sum(when(col("sl_r") <= seats, 1L).otherwise(0L)).as("sl_seats"))
+      .withColumn("share", Det.rnd(
+        col("n_docs").cast("double")
+          / sum("n_docs").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)), 6))
+      .select(col("source"), col("n_docs"), col("dhondt_seats"),
+        col("sl_seats"), col("share"))
+      .orderBy("source")
+  }
+
+  def dhondtAllocSqlOf(seats: Int): String =
+    s"""WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |ladder AS (
+       |  SELECT source, n_docs, CAST(i + 1 AS INTEGER) AS i,
+       |         CAST(n_docs AS DOUBLE) / (i + 1) AS dh_q,
+       |         CAST(n_docs AS DOUBLE) / ((i + 1) * 2 - 1) AS sl_q
+       |  FROM counts, (SELECT unnest(range($seats)) AS i)),
+       |rk AS (
+       |  SELECT source, n_docs,
+       |         row_number() OVER (ORDER BY dh_q DESC, source, i) AS dh_r,
+       |         row_number() OVER (ORDER BY sl_q DESC, source, i) AS sl_r
+       |  FROM ladder),
+       |seats AS (
+       |  SELECT source, max(n_docs) AS n_docs,
+       |         CAST(sum(CASE WHEN dh_r <= $seats THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS dhondt_seats,
+       |         CAST(sum(CASE WHEN sl_r <= $seats THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS sl_seats
+       |  FROM rk GROUP BY 1)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, dhondt_seats, sl_seats,
+       |       ${Det.rndSql(
+          "CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()", 6)} AS share
+       |FROM seats
+       |ORDER BY source""".stripMargin
+
+  val dhondtAllocSql: String = dhondtAllocSqlOf(DhondtSeats)
+
+  /** QINI UPLIFT CURVE for a deterministic holdout experiment: rank
+    * customers by the model score (account balance, the stand-in
+    * scoring column), split treatment/control on the [[TextQueries]]
+    * modmul bucket of `c_custkey` (engine/partitioning independent),
+    * define conversion as "placed ≥ 1 order", and emit the cumulative
+    * Qini statistic per score decile:
+    * Qini(d) = convT(d) − convC(d)·nT(d)/nC(d) — the area under this
+    * curve is how uplift models are actually ranked.
+    *
+    * Deciles come from the distinct-score histogram (the
+    * [[TextQueries.decileLift]] rule: a per-row global sort "would
+    * demand a corpus-wide sort"; score values are value-bounded, rank
+    * ties are unsplittable so both engines bucket identically).
+    * All counts exact integers; the only doubles are the final fenced
+    * ratios. */
+  def qiniUplift(spark: SparkSession, dir: String): DataFrame =
+    qiniUpliftOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def qiniUpliftOf(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("no"))
+    val cust = customer
+      .select(col("c_custkey"), Det.cents(col("c_acctbal")).as("score"),
+        (expr(TextQueries.splitBucketOf("c_custkey")) < 50).as("treated"))
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("score"), col("treated"),
+        when(col("no").isNotNull, 1L).otherwise(0L).as("conv"))
+    val h = cust.groupBy("score")
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("treated"), col("conv")).otherwise(0L)).as("ct"),
+        sum(when(!col("treated"), col("conv")).otherwise(0L)).as("cc"))
+    val w = Window.orderBy(desc("score"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dec = h
+      .withColumn("cum", coalesce(
+        sum(col("nt") + col("nc")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("nt") + col("nc")).over(full))
+      .groupBy((least(lit(9L), expr("(cum * 10) div n")) + 1).as("decile"))
+      .agg(sum("nt").as("n_t"), sum("nc").as("n_c"),
+        sum("ct").as("conv_t"), sum("cc").as("conv_c"))
+    val cw = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dec
+      .withColumn("cn_t", sum("n_t").over(cw))
+      .withColumn("cn_c", sum("n_c").over(cw))
+      .withColumn("cconv_t", sum("conv_t").over(cw))
+      .withColumn("cconv_c", sum("conv_c").over(cw))
+      .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        Det.rnd(col("cconv_t") - col("cconv_c").cast("double")
+          * col("cn_t") / col("cn_c"), 4).as("qini"))
+      .orderBy("decile")
+  }
+
+  val qiniUpliftSql: String =
+    s"""WITH conv AS (SELECT o_custkey, count(*) AS no FROM orders GROUP BY 1),
+       |cust AS (
+       |  SELECT ${Det.centsSql("c_acctbal")} AS score,
+       |         ${TextQueries.splitBucketSqlOf("c_custkey")} < 50 AS treated,
+       |         CASE WHEN no IS NOT NULL THEN 1 ELSE 0 END AS conv
+       |  FROM customer LEFT JOIN conv ON o_custkey = c_custkey),
+       |h AS (
+       |  SELECT score,
+       |         CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |         CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |         CAST(sum(CASE WHEN treated THEN conv ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(sum(CASE WHEN NOT treated THEN conv ELSE 0 END) AS BIGINT) AS cc
+       |  FROM cust GROUP BY 1),
+       |c AS (
+       |  SELECT *, coalesce(sum(nt + nc) OVER (ORDER BY score DESC
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+       |         sum(nt + nc) OVER () AS n
+       |  FROM h),
+       |dec AS (
+       |  SELECT least(9, (cum * 10) // n) + 1 AS decile,
+       |         CAST(sum(nt) AS BIGINT) AS n_t, CAST(sum(nc) AS BIGINT) AS n_c,
+       |         CAST(sum(ct) AS BIGINT) AS conv_t, CAST(sum(cc) AS BIGINT) AS conv_c
+       |  FROM c GROUP BY 1)
+       |SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, conv_t, conv_c,
+       |       ${Det.rndSql(
+          "sum(conv_t) OVER (ORDER BY decile) - " +
+            "CAST(sum(conv_c) OVER (ORDER BY decile) AS DOUBLE) * " +
+            "sum(n_t) OVER (ORDER BY decile) / sum(n_c) OVER (ORDER BY decile)",
+          4)} AS qini
+       |FROM dec
+       |ORDER BY decile""".stripMargin
 }

@@ -664,6 +664,83 @@ class Round10Spec extends SparkSpec {
     assert(got.keySet === Set("deep learning", "spark"))
   }
 
+  test("welchAnova: three equal-variance shifted groups hit the closed form") {
+    val s = spark; import s.implicits._
+    val orders = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 11.0), ("B", 12.0), ("B", 13.0),
+      ("C", 21.0), ("C", 22.0), ("C", 23.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val r = queries.ExtensionQueries.welchAnovaOf(orders).collect()(0)
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Long]("n") === 9L)
+    // wi = 3 ∀; A = (Σw·m² − (Σw·m)²/Σw)/2 = 300; λ = 3·(2/3)²/2 = 2/3
+    // F = 300/(1 + 2·1/8·2/3) = 2700/10.5 = 257.142857…
+    assert(r.getAs[Double]("f_stat") === 257.1429)
+    assert(r.getAs[Double]("df2") === 4.0)
+  }
+
+  test("tukeyHsd: planted separation flags only the distant pairs") {
+    val s = spark; import s.implicits._
+    val orders = Seq(
+      ("A", 0.0), ("A", 2.0), ("B", 10.0), ("B", 12.0), ("C", 10.0), ("C", 12.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val got = queries.ExtensionQueries.tukeyHsdOf(orders).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // MSE = 3·(2·10⁴)/3 /... pooled: each group SS = 20000 cents² → MSE 20000
+    // se = sqrt(10⁴·(1/2+1/2)) = 100 cents
+    assert(got(("A", "B")).getAs[Double]("q_stat") === 10.0)
+    assert(got(("A", "B")).getAs[Boolean]("significant"))
+    assert(got(("A", "B")).getAs[Double]("diff") === 10.0)
+    assert(got(("B", "C")).getAs[Double]("q_stat") === 0.0)
+    assert(!got(("B", "C")).getAs[Boolean]("significant"))
+  }
+
+  test("dhondtAlloc: 5 seats over 100/60/40 with an exact quotient tie") {
+    val s = spark; import s.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "A"))
+      ++ (1 to 60).map(i => (i.toLong + 100, "B"))
+      ++ (1 to 40).map(i => (i.toLong + 200, "C")))
+      .toDF("doc_id", "source")
+    val got = queries.ExtensionQueries.dhondtAllocOf(docs, 5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // D'Hondt top5: 100A 60B 50A 40C 33.3A; SL top5: 100A 60B 40C 33.3A,
+    // then 20.0 ties A(d=5) vs B(d=3) → source asc → A
+    assert(got("A").getAs[Long]("dhondt_seats") === 3L)
+    assert(got("B").getAs[Long]("dhondt_seats") === 1L)
+    assert(got("C").getAs[Long]("dhondt_seats") === 1L)
+    assert(got("A").getAs[Long]("sl_seats") === 3L)
+    assert(got("B").getAs[Long]("sl_seats") === 1L)
+    assert(got("C").getAs[Long]("sl_seats") === 1L)
+    assert(got("A").getAs[Double]("share") === 0.5)
+  }
+
+  test("qiniUplift: interleaved deciles accumulate to the exact total uplift") {
+    val s = spark; import s.implicits._
+    val all = (1L to 20000L)
+    val treatedKeys = all.filter(bucket(_) < 50).take(10)
+    val controlKeys = all.filter(bucket(_) >= 50).take(10)
+    // scores interleave: treated 1000,900,… control 950,850,… → each
+    // decile of 2 holds one of each; top-5 treated convert
+    val customer = (treatedKeys.zipWithIndex.map { case (k, i) =>
+      (k, (1000 - 100 * i).toDouble)
+    } ++ controlKeys.zipWithIndex.map { case (k, i) =>
+      (k, (950 - 100 * i).toDouble)
+    }).toDF("c_custkey", "c_acctbal")
+    val orders = treatedKeys.take(5).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("o_orderkey", "o_custkey")
+    val got = queries.ExtensionQueries.qiniUpliftOf(customer, orders).collect()
+    assert(got.length === 10)
+    val byDec = got.map(r => r.getLong(0) -> r).toMap
+    assert(byDec(1L).getAs[Long]("n_t") === 1L)
+    assert(byDec(1L).getAs[Long]("n_c") === 1L)
+    assert(byDec(1L).getAs[Double]("qini") === 1.0)
+    assert(byDec(5L).getAs[Double]("qini") === 5.0)  // all 5 conversions in
+    assert(byDec(10L).getAs[Double]("qini") === 5.0) // no control conv ever
+    assert(got.map(_.getAs[Long]("conv_t")).sum === 5L)
+    assert(got.map(_.getAs[Long]("conv_c")).sum === 0L)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
