@@ -9349,4 +9349,245 @@ object ExtensionQueries {
           4)} AS qini
        |FROM dec
        |ORDER BY decile""".stripMargin
+
+  /** WILCOXON SIGNED-RANK test of per-customer revenue pre vs post
+    * the [[ScPostFrom]] cut — the PAIRED companion of
+    * `q_mann_whitney` (rank-sum compares two independent samples;
+    * signed-rank asks whether the within-customer change has median
+    * zero, immune to heavy tails where the paired t is not). Zero
+    * diffs drop per the standard treatment.
+    *
+    * Rank statistics without ranking the rows (the mannWhitney
+    * histogram identity): |d| collapses to its distinct-value
+    * histogram — cardinality bounded by the 2dp money domain, the
+    * only corpus-sized passes are the two aggregations — and the
+    * tie-averaged doubled rank is r2 = 2·below + t + 1, so
+    * 2·W⁺ = Σ p(a)·r2(a) stays exact integer (decimal-widened) until
+    * the final fixed z expression with the Σ(t³−t)/48 tie
+    * correction. */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame =
+    wilcoxonSignedOf(Tables(spark, dir, "orders"))
+
+  private[graft] def wilcoxonSignedOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val per = orders
+      .groupBy(col("o_custkey"))
+      .agg((sum(when(date_format(col("o_orderdate"), "yyyy-MM") >= ScPostFrom,
+        Det.cents(col("o_totalprice"))).otherwise(0L))
+        - sum(when(date_format(col("o_orderdate"), "yyyy-MM") < ScPostFrom,
+          Det.cents(col("o_totalprice"))).otherwise(0L))).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("a"), (col("d") > 0).cast("long").as("pos"))
+    val w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
+    val hist = per.groupBy("a")
+      .agg(count(lit(1)).as("t"), sum("pos").as("p"))
+      .withColumn("r2", lit(2) * (sum("t").over(w) - col("t")) + col("t") + lit(1))
+    hist.agg(sum("t").as("n"),
+        sum(col("p").cast(d38) * col("r2")).as("w2"),
+        sum(col("t").cast(d38) * col("t") * col("t") - col("t")).as("tie"))
+      .select(col("n"),
+        Det.rnd(col("w2").cast("double") / 2.0, 1).as("w_plus"),
+        // z with tie-corrected variance; degenerate var → 0
+        Det.rnd(expr(
+          "CASE WHEN CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0" +
+            " - CAST(tie AS DOUBLE) / 48.0 <= 0.0 THEN 0.0 ELSE " +
+            "(CAST(w2 AS DOUBLE) / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4.0) / " +
+            "sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0" +
+            " - CAST(tie AS DOUBLE) / 48.0) END"), 4).as("z"))
+  }
+
+  val wilcoxonSignedSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |         CAST(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') >= '$ScPostFrom'
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              - sum(CASE WHEN strftime(o_orderdate, '%Y-%m') < '$ScPostFrom'
+       |                         THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              AS BIGINT) AS d
+       |  FROM orders GROUP BY 1),
+       |v AS (SELECT abs(d) AS a, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+       |      FROM per WHERE d <> 0),
+       |hist AS (
+       |  SELECT a, count(*) AS t, CAST(sum(pos) AS BIGINT) AS p,
+       |         2 * (sum(count(*)) OVER (ORDER BY a
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - count(*))
+       |           + count(*) + 1 AS r2
+       |  FROM v GROUP BY 1),
+       |ag AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n,
+       |         sum(CAST(p AS HUGEINT) * r2) AS w2,
+       |         sum(CAST(t AS HUGEINT) * t * t - t) AS tie
+       |  FROM hist)
+       |SELECT n, ${Det.rndSql("CAST(w2 AS DOUBLE) / 2.0", 1)} AS w_plus,
+       |       ${Det.rndSql(
+          "CASE WHEN CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0" +
+            " - CAST(tie AS DOUBLE) / 48.0 <= 0.0 THEN 0.0 ELSE " +
+            "(CAST(w2 AS DOUBLE) / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4.0) / " +
+            "sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0" +
+            " - CAST(tie AS DOUBLE) / 48.0) END", 4)} AS z
+       |FROM ag""".stripMargin
+
+  private final val OaxacaSegA = "BUILDING"
+  private final val OaxacaSegB = "MACHINERY"
+
+  /** OAXACA-BLINDER DECOMPOSITION of the mean-revenue gap between the
+    * [[OaxacaSegA]] and [[OaxacaSegB]] customer segments: how much of
+    * the gap is EXPLAINED by the account-balance endowment (segment A
+    * sits on richer balances) vs UNEXPLAINED (the same balance earns
+    * different revenue — the "discrimination" term in the original
+    * wage-gap setting). Two-fold decomposition with A's coefficients
+    * as the reference: explained = βA·(x̄A − x̄B), unexplained = gap −
+    * explained. Per-segment OLS slopes are closed forms over exact
+    * integer power sums (Σx, Σy exact cents; Σxy, Σx² decimal-widened
+    * cast-before-multiply), the [[welchAnova]] moment discipline — the
+    * whole decomposition reduces to one fixed double expression over
+    * a 2-row group table. Customers with no orders count y = 0 (they
+    * are part of each segment's endowment). */
+  def oaxacaBlinder(spark: SparkSession, dir: String): DataFrame =
+    oaxacaBlinderOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def oaxacaBlinderOf(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("y0"))
+    val base = customer
+      .filter(col("c_mktsegment").isin(OaxacaSegA, OaxacaSegB))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("seg"),
+        Det.cents(col("c_acctbal")).as("x"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val g = base.groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"))
+      .select(col("seg"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mx"),
+        (col("sy").cast("double") / col("n")).as("my"),
+        ((col("sxy").cast("double") - col("sx").cast("double")
+          * col("sy").cast("double") / col("n"))
+          / (col("sxx").cast("double") - col("sx").cast("double")
+            * col("sx").cast("double") / col("n"))).as("beta"))
+    val aa = g.filter(col("seg") === OaxacaSegA)
+      .select(col("n").as("n_a"), col("mx").as("mxa"),
+        col("my").as("mya"), col("beta").as("ba"))
+    val bb = g.filter(col("seg") === OaxacaSegB)
+      .select(col("n").as("n_b"), col("mx").as("mxb"),
+        col("my").as("myb"), col("beta").as("bb"))
+    aa.crossJoin(broadcast(bb))
+      .select(
+        lit(OaxacaSegA).as("seg_a"), lit(OaxacaSegB).as("seg_b"),
+        col("n_a"), col("n_b"),
+        Det.rnd((col("mya") - col("myb")) / 100.0, 2).as("gap"),
+        Det.rnd(col("ba") * (col("mxa") - col("mxb")) / 100.0, 2).as("explained"),
+        Det.rnd(((col("mya") - col("myb"))
+          - col("ba") * (col("mxa") - col("mxb"))) / 100.0, 2).as("unexplained"),
+        Det.rnd(col("ba"), 6).as("slope_a"), Det.rnd(col("bb"), 6).as("slope_b"))
+  }
+
+  val oaxacaBlinderSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey, CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS y0
+       |  FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT c_mktsegment AS seg, ${Det.centsSql("c_acctbal")} AS x,
+       |         coalesce(y0, 0) AS y
+       |  FROM customer LEFT JOIN rev ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('$OaxacaSegA', '$OaxacaSegB')),
+       |g AS (
+       |  SELECT seg, count(*) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM base GROUP BY 1),
+       |m AS (
+       |  SELECT seg, n, CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+       |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+       |           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS beta
+       |  FROM g)
+       |SELECT '$OaxacaSegA' AS seg_a, '$OaxacaSegB' AS seg_b,
+       |       a.n AS n_a, b.n AS n_b,
+       |       ${Det.rndSql("(a.my - b.my) / 100.0", 2)} AS gap,
+       |       ${Det.rndSql("a.beta * (a.mx - b.mx) / 100.0", 2)} AS explained,
+       |       ${Det.rndSql(
+          "((a.my - b.my) - a.beta * (a.mx - b.mx)) / 100.0", 2)} AS unexplained,
+       |       ${Det.rndSql("a.beta", 6)} AS slope_a,
+       |       ${Det.rndSql("b.beta", 6)} AS slope_b
+       |FROM (SELECT * FROM m WHERE seg = '$OaxacaSegA') a
+       |CROSS JOIN (SELECT * FROM m WHERE seg = '$OaxacaSegB') b""".stripMargin
+
+  /** JAMES-STEIN SHRINKAGE of per-nation mean account balance toward
+    * the grand mean of nation means — the estimator that DOMINATES
+    * the per-group MLE whenever k ≥ 4 (Stein's paradox; the Efron-
+    * Morris baseball treatment): noisy small-nation means borrow
+    * strength from the ensemble. Positive-part factor
+    * B = clamp₀¹(1 − (k−3)·v̄ / S) with S = Σ(mᵢ−m̄)², v̄ the pooled
+    * within-group variance times the mean 1/nᵢ.
+    *
+    * [[anovaF]] discipline: exact per-nation power sums (Σc exact,
+    * Σc² decimal-widened), the k-row cross-group reduction, then one
+    * fixed expression per nation. The grand mean is UNWEIGHTED over
+    * nation means (the equal-variance JS setting; documented). */
+  def jamesStein(spark: SparkSession, dir: String): DataFrame =
+    jamesSteinOf(Tables(spark, dir, "customer"))
+
+  private[graft] def jamesSteinOf(customer: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = customer
+      .select(col("c_nationkey").as("nation"), Det.cents(col("c_acctbal")).as("c"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+        sum(col("c").cast(d38) * col("c")).as("qi"))
+      .select(col("nation"), col("ni"),
+        (col("si").cast("double") / col("ni")).as("mi"),
+        (col("qi").cast("double") - col("si").cast("double")
+          * col("si") / col("ni")).as("ssi"))
+    val red = g.agg(count(lit(1)).as("k"), sum("ni").as("n"),
+      sum("mi").as("sm"), sum(col("mi") * col("mi")).as("sm2"),
+      sum("ssi").as("ssw"), sum(lit(1.0) / col("ni")).as("sinv"))
+      .select(col("k"), (col("sm") / col("k")).as("gm"),
+        (col("sm2") - col("sm") * col("sm") / col("k")).as("s"),
+        ((col("ssw") / (col("n") - col("k"))) * (col("sinv") / col("k"))).as("vbar"))
+      .select(col("gm"),
+        expr("CASE WHEN s = 0.0 THEN 1.0 ELSE " +
+          "greatest(0.0, least(1.0, 1.0 - (k - 3) * vbar / s)) END").as("b"))
+    g.crossJoin(broadcast(red))
+      .select(col("nation"), col("ni").as("n"),
+        Det.rnd(col("mi") / 100.0, 4).as("raw_mean"),
+        Det.rnd((col("gm") + col("b") * (col("mi") - col("gm"))) / 100.0, 4)
+          .as("js_mean"),
+        Det.rnd(col("b"), 6).as("shrinkage"))
+      .orderBy("nation")
+  }
+
+  val jamesSteinSql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey AS nation, count(*) AS ni,
+       |         CAST(sum(${Det.centsSql("c_acctbal")}) AS BIGINT) AS si,
+       |         sum(CAST(${Det.centsSql("c_acctbal")} AS HUGEINT)
+       |             * ${Det.centsSql("c_acctbal")}) AS qi
+       |  FROM customer GROUP BY 1),
+       |m AS (
+       |  SELECT nation, ni, CAST(si AS DOUBLE) / ni AS mi,
+       |         CAST(qi AS DOUBLE) - CAST(si AS DOUBLE) * si / ni AS ssi
+       |  FROM g),
+       |red AS (
+       |  SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS n,
+       |         sum(mi) AS sm, sum(mi * mi) AS sm2,
+       |         sum(ssi) AS ssw, sum(1.0 / ni) AS sinv
+       |  FROM m),
+       |bf AS (
+       |  SELECT sm / k AS gm,
+       |         CASE WHEN sm2 - sm * sm / k = 0.0 THEN 1.0 ELSE
+       |           greatest(0.0, least(1.0, 1.0 - (k - 3)
+       |             * ((ssw / (n - k)) * (sinv / k))
+       |             / (sm2 - sm * sm / k))) END AS b
+       |  FROM red)
+       |SELECT nation, ni AS n,
+       |       ${Det.rndSql("mi / 100.0", 4)} AS raw_mean,
+       |       ${Det.rndSql("(gm + b * (mi - gm)) / 100.0", 4)} AS js_mean,
+       |       ${Det.rndSql("b", 6)} AS shrinkage
+       |FROM m CROSS JOIN bf
+       |ORDER BY nation""".stripMargin
 }

@@ -741,6 +741,59 @@ class Round10Spec extends SparkSpec {
     assert(got.map(_.getAs[Long]("conv_c")).sum === 0L)
   }
 
+  test("wilcoxonSigned: planted diffs +1,+2,+3,-4 give W+=6, z=1/sqrt(7.5)") {
+    val s = spark; import s.implicits._
+    // customer k: pre order 100.00, post order 100.00+d_k
+    val diffs = Seq(1.0, 2.0, 3.0, -4.0)
+    val orders = diffs.zipWithIndex.flatMap { case (d, i) =>
+      Seq((i * 2L, i.toLong, 100.0,
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00")),
+        (i * 2L + 1, i.toLong, 100.0 + d,
+          java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val r = queries.ExtensionQueries.wilcoxonSignedOf(orders).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("w_plus") === 6.0)
+    // mean 5, var 4·5·9/24 = 7.5 → z = 1/sqrt(7.5) = 0.36514…
+    assert(r.getAs[Double]("z") === 0.3651)
+  }
+
+  test("oaxacaBlinder: planted slopes decompose the gap exactly") {
+    val s = spark; import s.implicits._
+    // A: (x,y) = (0,10),(2,14) → βA=2, x̄A=1, ȳA=12
+    // B: (x,y) = (2,7),(4,9)  → βB=1, x̄B=3, ȳB=8
+    // gap 4; explained = 2·(1−3) = −4; unexplained = 8
+    val customer = Seq(
+      (1L, "BUILDING", 0.0), (2L, "BUILDING", 2.0),
+      (3L, "MACHINERY", 2.0), (4L, "MACHINERY", 4.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val orders = Seq((1L, 1L, 10.0), (2L, 2L, 14.0), (3L, 3L, 7.0), (4L, 4L, 9.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = queries.ExtensionQueries.oaxacaBlinderOf(customer, orders).collect()(0)
+    assert(r.getAs[Double]("gap") === 4.0)
+    assert(r.getAs[Double]("explained") === -4.0)
+    assert(r.getAs[Double]("unexplained") === 8.0)
+    assert(r.getAs[Double]("slope_a") === 2.0)
+    assert(r.getAs[Double]("slope_b") === 1.0)
+  }
+
+  test("jamesStein: four planted nations shrink by the closed-form factor") {
+    val s = spark; import s.implicits._
+    // means 0,10,10,20 (±1 pairs) → m̄=10, S=200, s²=2, v̄=1,
+    // B = 1 − 1·1/200 = 0.995 → nation 0: 10 + 0.995·(−10) = 0.05
+    val customer = Seq(
+      (1L, 0, -1.0), (2L, 0, 1.0), (3L, 1, 9.0), (4L, 1, 11.0),
+      (5L, 2, 9.0), (6L, 2, 11.0), (7L, 3, 19.0), (8L, 3, 21.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val got = queries.ExtensionQueries.jamesSteinOf(customer).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Double]("shrinkage") === 0.995)
+    assert(got(0).getAs[Double]("raw_mean") === 0.0)
+    assert(got(0).getAs[Double]("js_mean") === 0.05)
+    assert(got(3).getAs[Double]("js_mean") === 19.95)
+    assert(got(1).getAs[Double]("js_mean") === 10.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
