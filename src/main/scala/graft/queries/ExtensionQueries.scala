@@ -9590,4 +9590,102 @@ object ExtensionQueries {
        |       ${Det.rndSql("b", 6)} AS shrinkage
        |FROM m CROSS JOIN bf
        |ORDER BY nation""".stripMargin
+
+  /** DECISION-STUMP INDUCTION on account balance → "has ≥ 1 order":
+    * the depth-1 CART split every tree/GBM library opens with, run as
+    * a set-based scan instead of a per-node loop. Every distinct
+    * balance value is a candidate threshold (x ≤ v goes left);
+    * weighted Gini impurity
+    * g(v) = (n_L·(1 − (pos_L² + neg_L²)/n_L²) + n_R·(…))/n comes
+    * entirely from the running (cum count, cum positives) windows
+    * over the distinct-value histogram — the [[TextQueries.decileLift]]
+    * rule: cardinality bounded by the 2dp money domain, never a
+    * per-row sort. Both engines evaluate g(v) as the identical double
+    * on exact integers; argmin ties break on the smaller threshold.
+    * Degenerate splits (empty side) are excluded by construction
+    * (the last histogram row cannot be a threshold). */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame =
+    decisionStumpOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def decisionStumpOf(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("no"))
+    val base = customer
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .select(Det.cents(col("c_acctbal")).as("v"),
+        when(col("no").isNotNull, 1L).otherwise(0L).as("pos"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val h = base.groupBy("v")
+      .agg(count(lit(1)).as("t"), sum("pos").as("p"))
+      .withColumn("nl", sum("t").over(w))
+      .withColumn("pl", sum("p").over(w))
+      .withColumn("n", sum("t").over(full))
+      .withColumn("np", sum("p").over(full))
+      .filter(col("nl") < col("n")) // last value: no right side
+    val scored = h.select(col("v"), col("nl"), col("pl"),
+        (col("n") - col("nl")).as("nr"), (col("np") - col("pl")).as("pr"),
+        col("n"), col("np"))
+      .withColumn("gini",
+        (col("nl") * (lit(1.0)
+          - (col("pl").cast("double") * col("pl")
+            + (col("nl") - col("pl")).cast("double") * (col("nl") - col("pl")))
+            / (col("nl").cast("double") * col("nl")))
+          + col("nr") * (lit(1.0)
+            - (col("pr").cast("double") * col("pr")
+              + (col("nr") - col("pr")).cast("double") * (col("nr") - col("pr")))
+              / (col("nr").cast("double") * col("nr"))))
+          / col("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gini").asc, col("v").asc)))
+      .filter(col("rk") === 1)
+    scored.select(
+      Det.rnd(col("v").cast("double") / 100.0, 2).as("threshold"),
+      col("nl").as("n_left"), col("nr").as("n_right"),
+      col("pl").as("pos_left"), col("pr").as("pos_right"),
+      Det.rnd(col("gini"), 6).as("gini_split"),
+      Det.rnd(lit(1.0) - (col("np").cast("double") * col("np")
+        + (col("n") - col("np")).cast("double") * (col("n") - col("np")))
+        / (col("n").cast("double") * col("n")), 6).as("gini_base"))
+  }
+
+  val decisionStumpSql: String =
+    s"""WITH conv AS (SELECT o_custkey, count(*) AS no FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT ${Det.centsSql("c_acctbal")} AS v,
+       |         CASE WHEN no IS NOT NULL THEN 1 ELSE 0 END AS pos
+       |  FROM customer LEFT JOIN conv ON o_custkey = c_custkey),
+       |h AS (
+       |  SELECT v, count(*) AS t, sum(pos) AS p FROM base GROUP BY 1),
+       |c AS (
+       |  SELECT v,
+       |         sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND CURRENT ROW) AS nl,
+       |         sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND CURRENT ROW) AS pl,
+       |         sum(t) OVER () AS n, sum(p) OVER () AS np
+       |  FROM h),
+       |g AS (
+       |  SELECT v, nl, pl, n - nl AS nr, np - pl AS pr, n, np,
+       |         (nl * (1.0 - (CAST(pl AS DOUBLE) * pl
+       |                       + CAST(nl - pl AS DOUBLE) * (nl - pl))
+       |                      / (CAST(nl AS DOUBLE) * nl))
+       |          + (n - nl) * (1.0 - (CAST(np - pl AS DOUBLE) * (np - pl)
+       |                               + CAST((n - nl) - (np - pl) AS DOUBLE)
+       |                                 * ((n - nl) - (np - pl)))
+       |                              / (CAST(n - nl AS DOUBLE) * (n - nl))))
+       |           / n AS gini
+       |  FROM c WHERE nl < n)
+       |SELECT ${Det.rndSql("CAST(v AS DOUBLE) / 100.0", 2)} AS threshold,
+       |       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       |       CAST(pl AS BIGINT) AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+       |       ${Det.rndSql("gini", 6)} AS gini_split,
+       |       ${Det.rndSql(
+          "1.0 - (CAST(np AS DOUBLE) * np + CAST(n - np AS DOUBLE) * (n - np))" +
+            " / (CAST(n AS DOUBLE) * n)", 6)} AS gini_base
+       |FROM g
+       |ORDER BY gini, v
+       |LIMIT 1""".stripMargin
 }

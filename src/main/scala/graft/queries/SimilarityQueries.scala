@@ -1509,6 +1509,88 @@ object SimilarityQueries {
        |FROM d JOIN nr USING (qid)
        |ORDER BY qid""".stripMargin
 
+  private val MapK = 10
+
+  /** MAP@[[MapK]] (mean-average-precision) of the brute-force cosine
+    * ranking per anchor — the order-sensitive companion of
+    * [[ndcgEval]] (NDCG log-discounts graded gains; AP averages exact
+    * precision AT each hit, the metric TREC and retrieval leaderboards
+    * actually rank by). AP = Σ_{hits r≤k} P@r / min(k, n_rel).
+    *
+    * Determinism: each P@r = cum_hits(r)/r is one double from exact
+    * window integers, fenced to 6dp units BEFORE the per-anchor sum
+    * (so AP is an exact integer sum no aggregation order can move —
+    * unlike [[ndcgEval]]'s in-rank-order window sum, the hit terms
+    * here are aggregated from an unordered groupBy). */
+  def mapEval(spark: SparkSession, dir: String): DataFrame =
+    mapEvalOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def mapEvalOf(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val scored = withCos(broadcast(q).crossJoin(c))
+      .filter(col("qid") =!= col("cid"))
+      .localCheckpoint() // rank window AND the relevant-count agg
+    val nRel = scored.filter(col("qlabel") === col("clabel"))
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val cw = Window.partitionBy("qid").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MapK)
+      .withColumn("hit", (col("qlabel") === col("clabel")).cast("long"))
+      .withColumn("p6", when(col("hit") === 1L,
+        graft.functions.Det.units(
+          sum("hit").over(cw).cast("double") / col("rank"), 6))
+        .otherwise(0L))
+      .groupBy("qid").agg(sum("p6").as("s6"), sum("hit").as("hits"))
+      .join(nRel, "qid")
+      .select(col("qid"), col("n_rel"), col("hits"),
+        graft.functions.Det.rnd(col("s6").cast("double") / 1e6
+          / least(lit(MapK.toLong), col("n_rel")), 6).as("ap"))
+      .orderBy("qid")
+  }
+
+  val mapEvalSql: String = {
+    import graft.functions.Det
+    s"""WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+       |               c.vec_id AS cid, any_value(c.label) AS clabel,
+       |               sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY q.vec_id, c.vec_id),
+       |s AS (SELECT qid, qlabel, cid, clabel,
+       |             CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |      FROM dot),
+       |nr AS (SELECT qid, count(*) AS n_rel FROM s WHERE qlabel = clabel GROUP BY 1),
+       |rk AS (SELECT qid, CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS hit,
+       |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |       FROM s),
+       |p AS (SELECT qid, hit,
+       |             CASE WHEN hit = 1 THEN ${Det.unitsSql(
+          "CAST(sum(hit) OVER (PARTITION BY qid ORDER BY rank " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / rank",
+          6)}
+       |                  ELSE 0 END AS p6
+       |      FROM rk WHERE rank <= $MapK),
+       |a AS (SELECT qid, CAST(sum(p6) AS BIGINT) AS s6,
+       |             CAST(sum(hit) AS BIGINT) AS hits
+       |      FROM p GROUP BY 1)
+       |SELECT a.qid, CAST(nr.n_rel AS BIGINT) AS n_rel, a.hits,
+       |       ${Det.rndSql(
+          s"CAST(s6 AS DOUBLE) / 1e6 / least($MapK, nr.n_rel)", 6)} AS ap
+       |FROM a JOIN nr USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
   private val BtK = 4
   private val BtMinScore = 1.1
   private val BtPlanes = 8

@@ -5989,4 +5989,51 @@ object TextQueries {
        |FROM sc JOIN pstat ON pstat.phrase = sc.phrase
        |ORDER BY score DESC, sc.phrase
        |LIMIT $RakeTopK""".stripMargin
+
+  /** CHAO1 SPECIES-RICHNESS estimate of the corpus vocabulary — "how
+    * many word types exist that we have NOT yet seen?", the abundance
+    * estimator ecology built and corpus linguistics adopted: the
+    * singleton/doubleton ratio predicts unseen mass, so
+    * Chao1 = S + f₁(f₁−1)/(2(f₂+1)) (the bias-corrected form — finite
+    * even when no doubletons exist). Complements [[goodTuring]]
+    * (probability of the next NEW token) and [[vocabGrowth]] (the
+    * empirical curve) with the asymptote the curve is heading to;
+    * Good's coverage C = 1 − f₁/N rides along.
+    *
+    * Everything is exact integers off the token-frequency histogram
+    * (the one corpus-sized pass) until the two fenced divisions. */
+  def chao1Richness(spark: SparkSession, dir: String): DataFrame =
+    chao1RichnessOf(Tables(spark, dir, "documents"))
+
+  private[graft] def chao1RichnessOf(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    freq.agg(count(lit(1)).as("s_obs"), sum("c").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("s_obs"), col("n_tokens"), col("f1"), col("f2"),
+        Det.rnd(col("s_obs") + col("f1").cast("double") * (col("f1") - 1)
+          / ((col("f2") + 1) * 2.0), 2).as("chao1"),
+        Det.rnd(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+  }
+
+  val chao1RichnessSql: String =
+    s"""WITH freq AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS s_obs, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM freq)
+       |SELECT s_obs, n_tokens, f1, f2,
+       |       ${Det.rndSql(
+          "s_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))", 2)} AS chao1,
+       |       ${Det.rndSql("1.0 - CAST(f1 AS DOUBLE) / n_tokens", 6)} AS coverage
+       |FROM a""".stripMargin
 }

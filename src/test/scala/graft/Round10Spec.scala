@@ -794,6 +794,50 @@ class Round10Spec extends SparkSpec {
     assert(got(1).getAs[Double]("js_mean") === 10.0)
   }
 
+  test("mapEval: hits at ranks 1 and 3 give AP = (1 + 2/3)/2") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // the query, label 0
+      (10L, Array(1.0f, 0.0f), 0),  // rank 1, hit
+      (11L, Array(0.8f, 0.6f), 1),  // rank 2, miss
+      (12L, Array(0.6f, 0.8f), 0)   // rank 3, hit
+    ).toDF("vec_id", "embedding", "label")
+    val got = queries.SimilarityQueries.mapEvalOf(emb).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_rel") === 2L)
+    assert(r.getAs[Long]("hits") === 2L)
+    // p@1 = 1, p@3 = 2/3 → AP = (1000000 + 666667)/1e6/2 = 0.833334 (6dp fence)
+    assert(r.getAs[Double]("ap") === 0.833334)
+  }
+
+  test("chao1Richness: counts a:2 b:1 c:1 give the closed form 3.5") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = TextQueries.chao1RichnessOf(docs).collect()(0)
+    assert(r.getAs[Long]("s_obs") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("f1") === 2L)
+    assert(r.getAs[Long]("f2") === 1L)
+    assert(r.getAs[Double]("chao1") === 3.5) // 3 + 2·1/(2·2)
+    assert(r.getAs[Double]("coverage") === 0.5)
+  }
+
+  test("decisionStump: perfectly separable balances split at the exact boundary") {
+    val s = spark; import s.implicits._
+    val customer = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("c_custkey", "c_acctbal")
+    val orders = Seq((1L, 3L), (2L, 4L)).toDF("o_orderkey", "o_custkey")
+    val r = queries.ExtensionQueries.decisionStumpOf(customer, orders).collect()(0)
+    assert(r.getAs[Double]("threshold") === 2.0)
+    assert(r.getAs[Long]("n_left") === 2L)
+    assert(r.getAs[Long]("n_right") === 2L)
+    assert(r.getAs[Long]("pos_left") === 0L)
+    assert(r.getAs[Long]("pos_right") === 2L)
+    assert(r.getAs[Double]("gini_split") === 0.0)
+    assert(r.getAs[Double]("gini_base") === 0.5)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
