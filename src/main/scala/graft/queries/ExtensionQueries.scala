@@ -9688,4 +9688,257 @@ object ExtensionQueries {
        |FROM g
        |ORDER BY gini, v
        |LIMIT 1""".stripMargin
+
+  /** CLIFF'S DELTA ordinal effect size between 'click' and 'purchase'
+    * event values — the magnitude companion to `q_mann_whitney` (a U
+    * test on millions of rows is ALWAYS significant; δ = P(x>y) −
+    * P(x<y) says whether the difference matters). Computed entirely
+    * from the joint distinct-value histogram (the mannWhitney
+    * discipline — never a pair join, never a row-level rank):
+    * gt = Σ_v n₁(v)·below₂(v), lt = Σ_v n₁(v)·above₂(v), both exact
+    * decimal-widened integers off one prefix-sum window; δ is one
+    * division, banded by the pinned Romano thresholds
+    * (.147/.33/.474). */
+  def cliffDelta(spark: SparkSession, dir: String): DataFrame =
+    cliffDeltaOf(Tables(spark, dir, "events"), "click", "purchase")
+
+  private[graft] def cliffDeltaOf(events: DataFrame, g1: String,
+      g2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val h = events.filter(col("event_type").isin(g1, g2))
+      .select(Det.cents(col("value")).as("v"),
+        (col("event_type") === g1).cast("long").as("is1"))
+      .groupBy("v")
+      .agg(sum("is1").as("n1v"), sum(lit(1L) - col("is1")).as("n2v"))
+    val w = Window.orderBy("v")
+    val cum = h
+      .withColumn("below2", coalesce(sum("n2v").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("above2", coalesce(sum("n2v").over(
+        w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+    cum.agg(sum("n1v").as("n1"), sum("n2v").as("n2"),
+        sum(col("n1v").cast(d38) * col("below2")).as("gt"),
+        sum(col("n1v").cast(d38) * col("above2")).as("lt"),
+        sum(col("n1v").cast(d38) * col("n2v")).as("ties"))
+      .select(col("n1"), col("n2"), col("gt").cast("long").as("gt"),
+        col("lt").cast("long").as("lt"), col("ties").cast("long").as("ties"),
+        Det.rnd((col("gt") - col("lt")).cast("double")
+          / (col("n1").cast("double") * col("n2")), 6).as("delta"))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium").otherwise("large"))
+  }
+
+  private[graft] def cliffDeltaSqlOf(g1: String, g2: String): String =
+    s"""WITH h AS (
+       |  SELECT ${Det.centsSql("value")} AS v,
+       |         CAST(sum(CASE WHEN event_type = '$g1' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n1v,
+       |         CAST(sum(CASE WHEN event_type = '$g2' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n2v
+       |  FROM events WHERE event_type IN ('$g1', '$g2') GROUP BY 1),
+       |c AS (
+       |  SELECT n1v, n2v,
+       |         coalesce(sum(n2v) OVER (ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below2,
+       |         coalesce(sum(n2v) OVER (ORDER BY v
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS above2
+       |  FROM h),
+       |a AS (
+       |  SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+       |         CAST(sum(CAST(n1v AS HUGEINT) * below2) AS BIGINT) AS gt,
+       |         CAST(sum(CAST(n1v AS HUGEINT) * above2) AS BIGINT) AS lt,
+       |         CAST(sum(CAST(n1v AS HUGEINT) * n2v) AS BIGINT) AS ties
+       |  FROM c)
+       |SELECT n1, n2, gt, lt, ties,
+       |       ${Det.rndSql(
+          "CAST(gt - lt AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)", 6)} AS delta,
+       |       CASE WHEN abs(${Det.rndSql(
+          "CAST(gt - lt AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)",
+          6)}) < 0.147 THEN 'negligible'
+       |            WHEN abs(${Det.rndSql(
+          "CAST(gt - lt AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)",
+          6)}) < 0.33 THEN 'small'
+       |            WHEN abs(${Det.rndSql(
+          "CAST(gt - lt AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)",
+          6)}) < 0.474 THEN 'medium'
+       |            ELSE 'large' END AS magnitude
+       |FROM a""".stripMargin
+
+  val cliffDeltaSql: String = cliffDeltaSqlOf("click", "purchase")
+
+  /** POISSON DISPERSION test of the daily purchase-count process —
+    * "is daily traffic actually Poisson?", the first question before
+    * any rate-based alerting: the index of dispersion
+    * D = (n−1)s²/x̄ is χ²(n−1) under Poisson, VMR ≈ 1. Computed over
+    * the CALENDAR-DENSE day grid (zero-count days are real
+    * observations — omitting them biases VMR up). Exact integer count
+    * moments (Σx, Σx² decimal-widened); the overdispersion verdict
+    * uses the normal tail bound n−1 + 2√(2(n−1)) computed from n on
+    * both engines identically. */
+  def poissonDispersion(spark: SparkSession, dir: String): DataFrame =
+    poissonDispersionOf(Tables(spark, dir, "events"))
+
+  private[graft] def poissonDispersionOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byDay = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    val span = events.agg(to_date(min(col("ts"))).as("d0"),
+      datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("nd"))
+    val dense = span
+      .select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("x"))
+    dense.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x").cast(d38) * col("x")).as("q"))
+      .select(col("n"), col("s").as("n_events"),
+        Det.rnd(col("s").cast("double") / col("n"), 4).as("mean"),
+        Det.rnd((col("q").cast("double") - col("s").cast("double")
+          * col("s") / col("n")) / (col("n") - 1)
+          / (col("s").cast("double") / col("n")), 4).as("vmr"),
+        Det.rnd((col("q").cast("double") - col("s").cast("double")
+          * col("s") / col("n"))
+          / (col("s").cast("double") / col("n")), 4).as("dispersion_index"),
+        ((col("q").cast("double") - col("s").cast("double")
+          * col("s") / col("n"))
+          / (col("s").cast("double") / col("n"))
+          > (col("n") - 1).cast("double")
+            + sqrt((col("n") - 1).cast("double") * 2.0) * 2.0)
+          .as("overdispersed"))
+  }
+
+  val poissonDispersionSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d, count(*) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |span AS (SELECT CAST(min(ts) AS DATE) AS d0,
+       |                date_diff('day', CAST(min(ts) AS DATE),
+       |                          CAST(max(ts) AS DATE)) AS nd
+       |         FROM events),
+       |dense AS (
+       |  SELECT coalesce(c, 0) AS x
+       |  FROM (SELECT d0 + CAST(i AS INTEGER) AS day
+       |        FROM span, (SELECT unnest(range(nd + 1)) AS i FROM span))
+       |  LEFT JOIN byday ON day = d),
+       |a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |             sum(CAST(x AS HUGEINT) * x) AS q
+       |      FROM dense)
+       |SELECT n, s AS n_events,
+       |       ${Det.rndSql("CAST(s AS DOUBLE) / n", 4)} AS mean,
+       |       ${Det.rndSql(
+          "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)" +
+            " / (CAST(s AS DOUBLE) / n)", 4)} AS vmr,
+       |       ${Det.rndSql(
+          "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)" +
+            " / (CAST(s AS DOUBLE) / n)", 4)} AS dispersion_index,
+       |       (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+       |         / (CAST(s AS DOUBLE) / n)
+       |         > CAST(n - 1 AS DOUBLE) + sqrt(CAST(n - 1 AS DOUBLE) * 2.0) * 2.0
+       |         AS overdispersed
+       |FROM a""".stripMargin
+
+  /** MANTEL-HAENSZEL stratified odds ratio + CMH test of the
+    * treatment→conversion association ADJUSTED for region — the
+    * Simpson's-paradox-proof pooling (`q_simpson_check` detects the
+    * reversal; MH is the estimator you run once it's detected):
+    * OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) over per-region 2×2 tables, CMH
+    * χ² with continuity correction. Treatment is the modmul bucket of
+    * `c_custkey`; the outcome is "heavy customer" (≥ 11 orders — the
+    * design puts ~10 orders on every customer at every SF, so "≥ 1
+    * order" would be degenerate). Every per-stratum
+    * term (ad/n, bc/n, Eᵢ, Vᵢ) is fenced to 6dp integer units BEFORE
+    * the cross-stratum sum — the k-row reduction is exact-integer,
+    * immune to engine addition order. */
+  def mantelHaenszel(spark: SparkSession, dir: String): DataFrame =
+    mantelHaenszelOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  private[graft] def mantelHaenszelOf(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val conv = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("no"))
+    val strata = customer
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("stratum"),
+        (expr(TextQueries.splitBucketOf("c_custkey")) < 50).as("t"),
+        // outcome: heavy customer (> the ~10-orders/customer design
+        // mean at every SF) — "≥ 1 order" is degenerate, nearly
+        // everyone converts
+        when(coalesce(col("no"), lit(0L)) >= 11L, 1L).otherwise(0L).as("y"))
+      .groupBy("stratum")
+      .agg(sum(when(col("t") && col("y") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("t") && col("y") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(!col("t") && col("y") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(!col("t") && col("y") === 0L, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .select(col("a"), col("n"),
+        Det.units(col("a").cast("double") * col("d") / col("n"), 6).as("ad6"),
+        Det.units(col("b").cast("double") * col("c") / col("n"), 6).as("bc6"),
+        Det.units((col("a") + col("b")).cast("double") * (col("a") + col("c"))
+          / col("n"), 6).as("e6"),
+        Det.units((col("a") + col("b")).cast("double") * (col("c") + col("d"))
+          * (col("a") + col("c")) * (col("b") + col("d"))
+          / (col("n").cast("double") * col("n") * (col("n") - 1)), 6).as("v6"))
+    strata.agg(count(lit(1)).as("n_strata"), sum("a").as("sa"),
+        sum("ad6").as("sad"), sum("bc6").as("sbc"),
+        sum("e6").as("se"), sum("v6").as("sv"))
+      .select(col("n_strata"),
+        Det.rnd(when(col("sbc") =!= 0L,
+          col("sad").cast("double") / col("sbc")), 4).as("or_mh"),
+        Det.rnd(expr(
+          "CASE WHEN sv = 0 THEN NULL ELSE " +
+            "pow(abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1e6) - 0.5, 2)" +
+            " / (CAST(sv AS DOUBLE) / 1e6) END"), 4).as("cmh_chi2"))
+  }
+
+  val mantelHaenszelSql: String =
+    s"""WITH conv AS (SELECT o_custkey, count(*) AS no FROM orders GROUP BY 1),
+       |rows_ AS (
+       |  SELECT r_name AS stratum,
+       |         ${TextQueries.splitBucketSqlOf("c_custkey")} < 50 AS t,
+       |         CASE WHEN coalesce(no, 0) >= 11 THEN 1 ELSE 0 END AS y
+       |  FROM customer
+       |  LEFT JOIN conv ON o_custkey = c_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey),
+       |cells AS (
+       |  SELECT stratum,
+       |         CAST(sum(CASE WHEN t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |         CAST(sum(CASE WHEN t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |         CAST(sum(CASE WHEN NOT t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |         CAST(sum(CASE WHEN NOT t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM rows_ GROUP BY 1),
+       |terms AS (
+       |  SELECT a, a + b + c + d AS n,
+       |         ${Det.unitsSql(
+          "CAST(a AS DOUBLE) * d / (a + b + c + d)", 6)} AS ad6,
+       |         ${Det.unitsSql(
+          "CAST(b AS DOUBLE) * c / (a + b + c + d)", 6)} AS bc6,
+       |         ${Det.unitsSql(
+          "CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)", 6)} AS e6,
+       |         ${Det.unitsSql(
+          "CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)" +
+            " / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)" +
+            " * (a + b + c + d - 1))", 6)} AS v6
+       |  FROM cells),
+       |agg AS (
+       |  SELECT count(*) AS n_strata, CAST(sum(a) AS BIGINT) AS sa,
+       |         CAST(sum(ad6) AS BIGINT) AS sad, CAST(sum(bc6) AS BIGINT) AS sbc,
+       |         CAST(sum(e6) AS BIGINT) AS se, CAST(sum(v6) AS BIGINT) AS sv
+       |  FROM terms)
+       |SELECT n_strata,
+       |       ${Det.rndSql(
+          "CASE WHEN sbc = 0 THEN NULL ELSE CAST(sad AS DOUBLE) / sbc END",
+          4)} AS or_mh,
+       |       ${Det.rndSql(
+          "CASE WHEN sv = 0 THEN NULL ELSE " +
+            "pow(abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1e6) - 0.5, 2)" +
+            " / (CAST(sv AS DOUBLE) / 1e6) END", 4)} AS cmh_chi2
+       |FROM agg""".stripMargin
 }

@@ -6036,4 +6036,121 @@ object TextQueries {
           "s_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))", 2)} AS chao1,
        |       ${Det.rndSql("1.0 - CAST(f1 AS DOUBLE) / n_tokens", 6)} AS coverage
        |FROM a""".stripMargin
+
+  /** z₀.₉₇₅ pinned as a round-trip-exact literal (constants never go
+    * through engine math — the repo rule). */
+  private final val WilsonZ = "1.959963984540054"
+
+  /** WILSON SCORE 95% intervals for each source's share of English
+    * documents — the proportion CI that behaves at the boundaries
+    * where the Wald interval collapses (p̂ = 0 or 1 gives Wald width
+    * zero; Wilson stays honest — the reason every A/B dashboard and
+    * binomial monitor uses it). One conditional-count pass per
+    * source; the interval is a fixed double expression on exact
+    * integers with the pinned [[WilsonZ]]. */
+  def wilsonCi(spark: SparkSession, dir: String): DataFrame =
+    wilsonCiOf(Tables(spark, dir, "documents"))
+
+  private[graft] def wilsonCiOf(docs: DataFrame): DataFrame = {
+    val g = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+    val z = WilsonZ.toDouble
+    val p = col("k").cast("double") / col("n")
+    val center = (p + lit(z * z) / (col("n") * 2.0))
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / col("n")
+      + lit(z * z) / (col("n").cast("double") * col("n") * 4.0))
+    val denom = lit(1.0) + lit(z * z) / col("n")
+    g.select(col("source"), col("n"), col("k"),
+        Det.rnd(p, 6).as("share"),
+        Det.rnd((center - half) / denom, 6).as("lo"),
+        Det.rnd((center + half) / denom, 6).as("hi"))
+      .orderBy("source")
+  }
+
+  val wilsonCiSql: String =
+    s"""WITH g AS (
+       |  SELECT source, count(*) AS n,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM documents GROUP BY 1)
+       |SELECT source, n, k,
+       |       ${Det.rndSql("CAST(k AS DOUBLE) / n", 6)} AS share,
+       |       ${Det.rndSql(
+          s"(CAST(k AS DOUBLE) / n + $WilsonZ * $WilsonZ / (n * 2.0)" +
+            s" - $WilsonZ * sqrt(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n) / n" +
+            s" + $WilsonZ * $WilsonZ / (CAST(n AS DOUBLE) * n * 4.0)))" +
+            s" / (1.0 + $WilsonZ * $WilsonZ / n)", 6)} AS lo,
+       |       ${Det.rndSql(
+          s"(CAST(k AS DOUBLE) / n + $WilsonZ * $WilsonZ / (n * 2.0)" +
+            s" + $WilsonZ * sqrt(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n) / n" +
+            s" + $WilsonZ * $WilsonZ / (CAST(n AS DOUBLE) * n * 4.0)))" +
+            s" / (1.0 + $WilsonZ * $WilsonZ / n)", 6)} AS hi
+       |FROM g
+       |ORDER BY source""".stripMargin
+
+  /** FLEISS' KAPPA agreement among three deterministic rule raters of
+    * document quality — the MULTI-rater generalization `q_kappa_agreement`
+    * (Cohen, 2 raters) cannot give: do "length ≥ 200 chars",
+    * "≥ 40 tokens", and "contains 'the'" agree beyond chance? The
+    * LLM-judge-ensemble calibration readout. Per-item agreement
+    * Pᵢ = (n_pos² + n_neg² − r)/(r(r−1)) has denominator 6 at r = 3, so
+    * r(r−1)·n·P̄ = Σ(n_pos² + n_neg²) − 3n is EXACT integer; chance
+    * agreement P_e = p₊² + p₋² is one double on exact totals; all-same
+    * degenerate (1 − P_e = 0) emits κ = 1 (perfect trivial agreement,
+    * mirrored). */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame =
+    fleissKappaOf(Tables(spark, dir, "documents"))
+
+  private[graft] def fleissKappaOf(docs: DataFrame): DataFrame = {
+    val rated = docs.select(
+      (when(length(trim(col("text"))) >= 200, 1L).otherwise(0L)
+        + when(size(split(trim(col("text")), "\\s+")) >= 40, 1L).otherwise(0L)
+        + when(col("text").contains("the"), 1L).otherwise(0L)).as("npos"))
+    rated
+      .agg(count(lit(1)).as("n"), sum("npos").as("spos"),
+        sum(col("npos") * col("npos")
+          + (lit(3L) - col("npos")) * (lit(3L) - col("npos"))).as("sq"))
+      .select(col("n"),
+        Det.rnd((col("sq") - col("n") * 3L).cast("double")
+          / (col("n") * 6L), 6).as("p_bar"),
+        Det.rnd(expr(
+          "pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2)"), 6).as("p_e"),
+        Det.rnd(expr(
+          "CASE WHEN 1.0 - (pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2)) = 0.0 THEN 1.0" +
+            " ELSE ((CAST(sq - n * 3 AS DOUBLE) / (n * 6))" +
+            " - (pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2)))" +
+            " / (1.0 - (pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2))) END"), 6)
+          .as("kappa"))
+  }
+
+  val fleissKappaSql: String =
+    s"""WITH rated AS (
+       |  SELECT (CASE WHEN length(trim(text)) >= 200 THEN 1 ELSE 0 END
+       |          + CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 40
+       |                 THEN 1 ELSE 0 END
+       |          + CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) AS npos
+       |  FROM documents),
+       |a AS (
+       |  SELECT count(*) AS n, CAST(sum(npos) AS BIGINT) AS spos,
+       |         CAST(sum(npos * npos + (3 - npos) * (3 - npos)) AS BIGINT) AS sq
+       |  FROM rated)
+       |SELECT n,
+       |       ${Det.rndSql(
+          "CAST(sq - n * 3 AS DOUBLE) / (n * 6)", 6)} AS p_bar,
+       |       ${Det.rndSql(
+          "pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2)", 6)} AS p_e,
+       |       ${Det.rndSql(
+          "CASE WHEN 1.0 - (pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2)) = 0.0 THEN 1.0" +
+            " ELSE ((CAST(sq - n * 3 AS DOUBLE) / (n * 6))" +
+            " - (pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2)))" +
+            " / (1.0 - (pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
+            " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2))) END", 6)} AS kappa
+       |FROM a""".stripMargin
 }

@@ -838,6 +838,91 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Double]("gini_base") === 0.5)
   }
 
+  test("cliffDelta: fully separated groups give delta = 1 / large") {
+    val s = spark; import s.implicits._
+    val events = (Seq(10.0, 11.0, 12.0).map(("click", _))
+      ++ Seq(1.0, 2.0, 3.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    val r = queries.ExtensionQueries.cliffDeltaOf(events, "click", "purchase")
+      .collect()(0)
+    assert(r.getAs[Double]("delta") === 1.0)
+    assert(r.getAs[String]("magnitude") === "large")
+    assert(r.getAs[Long]("gt") === 9L)
+    assert(r.getAs[Long]("lt") === 0L)
+    // tie plant: identical distributions → delta 0
+    val same = (Seq(1.0, 2.0).map(("click", _)) ++ Seq(1.0, 2.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    val r2 = queries.ExtensionQueries.cliffDeltaOf(same, "click", "purchase")
+      .collect()(0)
+    assert(r2.getAs[Double]("delta") === 0.0)
+    assert(r2.getAs[Long]("ties") === 2L)
+  }
+
+  test("mantelHaenszel: one hand-computed stratum gives the exact OR") {
+    val s = spark; import s.implicits._
+    // stratum R0: a=4 (treated heavy), b=1, c=1, d=4 → OR = 16/... ad/n=1.6, bc/n=0.1 → OR 16
+    val all = (1L to 20000L)
+    val t = all.filter(k => bucket(k) < 50).take(5)
+    val c = all.filter(k => bucket(k) >= 50).take(5)
+    val customer = (t ++ c).map(k => (k, 0)).toDF("c_custkey", "c_nationkey")
+    // heavy = ≥11 orders: 4 treated heavy, 1 control heavy
+    val heavy = t.take(4) ++ c.take(1)
+    val orders = heavy.flatMap(k => (1 to 11).map(i => (k * 100 + i, k)))
+      .toDF("o_orderkey", "o_custkey")
+    val nation = Seq((0, 0)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq((0, "R0")).toDF("r_regionkey", "r_name")
+    val r = queries.ExtensionQueries
+      .mantelHaenszelOf(customer, orders, nation, region).collect()(0)
+    assert(r.getAs[Long]("n_strata") === 1L)
+    assert(r.getAs[Double]("or_mh") === 16.0)
+    // CMH: E=2.5, V=25·25/(100·9)=0.6944…, (|4−2.5|−0.5)²/V = 1/0.694444
+    assert(math.abs(r.getAs[Double]("cmh_chi2") - 1.44) < 0.01)
+  }
+
+  test("poissonDispersion: constant daily counts are underdispersed (VMR 0)") {
+    val s = spark; import s.implicits._
+    // 3 purchases every day over 10 days → variance 0
+    val events = (0 until 10).flatMap(d => (1 to 3).map(i =>
+      ("purchase", java.sql.Timestamp.valueOf(f"1996-01-${d + 1}%02d 12:00:00"), i)))
+      .toDF("event_type", "ts", "event_id")
+    val r = queries.ExtensionQueries.poissonDispersionOf(events).collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("mean") === 3.0)
+    assert(r.getAs[Double]("vmr") === 0.0)
+    assert(!r.getAs[Boolean]("overdispersed"))
+  }
+
+  test("wilsonCi: p-hat 0 keeps a positive upper bound (the Wald failure case)") {
+    val s = spark; import s.implicits._
+    val docs = ((1 to 4).map(i => (i.toLong, "de", "s0"))
+      ++ (1 to 4).map(i => (i.toLong + 10, "en", "s1")))
+      .toDF("doc_id", "lang", "source")
+    val got = TextQueries.wilsonCiOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("s0").getAs[Double]("share") === 0.0)
+    assert(got("s0").getAs[Double]("lo") === 0.0)
+    assert(got("s0").getAs[Double]("hi") > 0.4) // Wilson: 0.49 at n=4, p=0
+    assert(got("s1").getAs[Double]("share") === 1.0)
+    assert(got("s1").getAs[Double]("hi") === 1.0)
+    assert(got("s1").getAs[Double]("lo") < 0.6)
+  }
+
+  test("fleissKappa: unanimous raters on a mixed corpus give kappa 1") {
+    val s = spark; import s.implicits._
+    // doc A: all three raters positive (long, many tokens, has 'the');
+    // doc B: all three negative → P̄=1, P_e<1 → κ=1
+    val longText = "the " + Seq.fill(60)("word").mkString(" ")
+    val docs = Seq((1L, longText), (2L, "x y")).toDF("doc_id", "text")
+    val r = TextQueries.fleissKappaOf(docs).collect()(0)
+    assert(r.getAs[Double]("p_bar") === 1.0)
+    assert(r.getAs[Double]("kappa") === 1.0)
+    // flip one rater on doc B (give it 'the' but keep it short/sparse)
+    val docs2 = Seq((1L, longText), (2L, "the y")).toDF("doc_id", "text")
+    val r2 = TextQueries.fleissKappaOf(docs2).collect()(0)
+    assert(r2.getAs[Double]("p_bar") < 1.0)
+    assert(r2.getAs[Double]("kappa") < 1.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
