@@ -9840,6 +9840,209 @@ object ExtensionQueries {
        |         AS overdispersed
        |FROM a""".stripMargin
 
+  /** Two-sample CRAMÉR–VON MISES test between 'click' and 'purchase'
+    * values — the omnibus ECDF-distance companion of `q_ks_split_drift`
+    * (KS reacts to the single worst gap; CvM integrates the squared
+    * gap over the whole distribution, far more sensitive to spread/
+    * tail differences that never produce one big vertical gap).
+    * T = nm/N² · Σ_v t_v·(F₁(v) − F₂(v))², evaluated on the joint
+    * distinct-value histogram (the mannWhitney discipline — never a
+    * row-level sort): the squared ECDF gap at each value is one
+    * double on exact cumulative integers, fenced to 9dp units, then
+    * weighted by the exact combined count and decimal-sum'd. Reject
+    * at the pinned asymptotic 5% point 0.461. */
+  def cramerVonMises(spark: SparkSession, dir: String): DataFrame =
+    cramerVonMisesOf(Tables(spark, dir, "events"), "click", "purchase")
+
+  private[graft] def cramerVonMisesOf(events: DataFrame, g1: String,
+      g2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val h = events.filter(col("event_type").isin(g1, g2))
+      .select(Det.cents(col("value")).as("v"),
+        (col("event_type") === g1).cast("long").as("is1"))
+      .groupBy("v")
+      .agg(sum("is1").as("n1v"), sum(lit(1L) - col("is1")).as("n2v"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    h.withColumn("c1", sum("n1v").over(w))
+      .withColumn("c2", sum("n2v").over(w))
+      .withColumn("n1", sum("n1v").over(full))
+      .withColumn("n2", sum("n2v").over(full))
+      .select(col("n1"), col("n2"),
+        ((col("n1v") + col("n2v")).cast(d38)
+          * Det.units(pow(col("c1").cast("double") / col("n1")
+            - col("c2").cast("double") / col("n2"), 2), 9)).as("term"))
+      .groupBy("n1", "n2")
+      .agg(sum("term").as("s9"))
+      .select(col("n1"), col("n2"),
+        Det.rnd(col("n1").cast("double") * col("n2")
+          / pow((col("n1") + col("n2")).cast("double"), 2)
+          * col("s9").cast("double") / 1e9, 6).as("t_stat"))
+      .withColumn("reject_5pct",
+        col("t_stat") > 0.461)
+  }
+
+  private[graft] def cramerVonMisesSqlOf(g1: String, g2: String): String =
+    s"""WITH h AS (
+       |  SELECT ${Det.centsSql("value")} AS v,
+       |         CAST(sum(CASE WHEN event_type = '$g1' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n1v,
+       |         CAST(sum(CASE WHEN event_type = '$g2' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n2v
+       |  FROM events WHERE event_type IN ('$g1', '$g2') GROUP BY 1),
+       |c AS (
+       |  SELECT n1v, n2v,
+       |         sum(n1v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |                        AND CURRENT ROW) AS c1,
+       |         sum(n2v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |                        AND CURRENT ROW) AS c2,
+       |         sum(n1v) OVER () AS n1, sum(n2v) OVER () AS n2
+       |  FROM h),
+       |a AS (
+       |  SELECT CAST(any_value(n1) AS BIGINT) AS n1,
+       |         CAST(any_value(n2) AS BIGINT) AS n2,
+       |         CAST(sum(CAST(n1v + n2v AS HUGEINT) * ${Det.unitsSql(
+          "pow(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2, 2)",
+          9)}) AS HUGEINT) AS s9
+       |  FROM c)
+       |SELECT n1, n2,
+       |       ${Det.rndSql(
+          "CAST(n1 AS DOUBLE) * n2 / pow(CAST(n1 + n2 AS DOUBLE), 2)" +
+            " * CAST(s9 AS DOUBLE) / 1e9", 6)} AS t_stat,
+       |       ${Det.rndSql(
+          "CAST(n1 AS DOUBLE) * n2 / pow(CAST(n1 + n2 AS DOUBLE), 2)" +
+            " * CAST(s9 AS DOUBLE) / 1e9", 6)} > 0.461 AS reject_5pct
+       |FROM a""".stripMargin
+
+  val cramerVonMisesSql: String = cramerVonMisesSqlOf("click", "purchase")
+
+  /** The calendar-dense daily purchase-count relation shared by
+    * [[poissonDispersion]] and [[negbinFit]] — zero-count days are
+    * real observations for count-process inference. */
+  private def dailyPurchaseCounts(events: DataFrame): DataFrame = {
+    val byDay = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    val span = events.agg(to_date(min(col("ts"))).as("d0"),
+      datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("nd"))
+    span.select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  /** NEGATIVE-BINOMIAL method-of-moments fit of the daily purchase
+    * counts — the model you reach for the moment [[poissonDispersion]]
+    * says overdispersed: r = m̄²/(s²−m̄), p = m̄/s² (NB collapses to
+    * Poisson as r→∞). Same exact integer moments over the calendar-
+    * dense day grid; the parameters are NULL when s² ≤ m̄ (MoM is
+    * undefined at equi/under-dispersion — mirrored on both
+    * engines). */
+  def negbinFit(spark: SparkSession, dir: String): DataFrame =
+    negbinFitOf(Tables(spark, dir, "events"))
+
+  private[graft] def negbinFitOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    dailyPurchaseCounts(events)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x").cast(d38) * col("x")).as("q"))
+      .select(col("n"), col("s").as("n_events"),
+        (col("s").cast("double") / col("n")).as("m"),
+        ((col("q").cast("double") - col("s").cast("double")
+          * col("s") / col("n")) / (col("n") - 1)).as("v"))
+      .select(col("n"), col("n_events"),
+        Det.rnd(col("m"), 4).as("mean"), Det.rnd(col("v"), 4).as("variance"),
+        Det.rnd(when(col("v") > col("m"),
+          col("m") * col("m") / (col("v") - col("m"))), 4).as("r"),
+        Det.rnd(when(col("v") > col("m"), col("m") / col("v")), 6).as("p"),
+        (col("v") > col("m")).as("overdispersed"))
+  }
+
+  val negbinFitSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d, count(*) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |span AS (SELECT CAST(min(ts) AS DATE) AS d0,
+       |                date_diff('day', CAST(min(ts) AS DATE),
+       |                          CAST(max(ts) AS DATE)) AS nd
+       |         FROM events),
+       |dense AS (
+       |  SELECT coalesce(c, 0) AS x
+       |  FROM (SELECT d0 + CAST(i AS INTEGER) AS day
+       |        FROM span, (SELECT unnest(range(nd + 1)) AS i FROM span))
+       |  LEFT JOIN byday ON day = d),
+       |a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |             sum(CAST(x AS HUGEINT) * x) AS q
+       |      FROM dense),
+       |m AS (SELECT n, s, CAST(s AS DOUBLE) / n AS m,
+       |             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS v
+       |      FROM a)
+       |SELECT n, s AS n_events,
+       |       ${Det.rndSql("m", 4)} AS mean, ${Det.rndSql("v", 4)} AS variance,
+       |       ${Det.rndSql("CASE WHEN v > m THEN m * m / (v - m) END", 4)} AS r,
+       |       ${Det.rndSql("CASE WHEN v > m THEN m / v END", 6)} AS p,
+       |       v > m AS overdispersed
+       |FROM m""".stripMargin
+
+  /** HELLINGER / BHATTACHARYYA distance between the hour-of-day load
+    * shapes of 'click' and 'purchase' traffic — the bounded symmetric
+    * distribution distance ([[q_js_divergence]]'s sibling with an
+    * honest metric triangle inequality; H ∈ [0,1] reads as "how
+    * different are the daily rhythms"). 24 fixed bins, per-bin
+    * √(pᵢqᵢ) fenced to 9dp units on identical exact-rational doubles,
+    * exact integer sum, two fixed output expressions. */
+  def hellingerHourly(spark: SparkSession, dir: String): DataFrame =
+    hellingerHourlyOf(Tables(spark, dir, "events"), "click", "purchase")
+
+  private[graft] def hellingerHourlyOf(events: DataFrame, g1: String,
+      g2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val h = events.filter(col("event_type").isin(g1, g2))
+      .select(hour(col("ts")).as("hr"),
+        (col("event_type") === g1).cast("long").as("is1"))
+      .groupBy("hr")
+      .agg(sum("is1").as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+    h.withColumn("n1", sum("c1").over(full))
+      .withColumn("n2", sum("c2").over(full))
+      .select(Det.units(sqrt((col("c1").cast("double") / col("n1"))
+        * (col("c2").cast("double") / col("n2"))), 9).as("bc9"))
+      .agg(count(lit(1)).as("hours_used"), sum("bc9").as("s9"))
+      .select(col("hours_used"),
+        Det.rnd(col("s9").cast("double") / 1e9, 6).as("bc"),
+        Det.rnd(sqrt(greatest(lit(0.0),
+          lit(1.0) - col("s9").cast("double") / 1e9)), 6).as("hellinger"),
+        Det.rnd(when(col("s9") > 0L,
+          -log(col("s9").cast("double") / 1e9)), 6).as("bhattacharyya_dist"))
+  }
+
+  private[graft] def hellingerHourlySqlOf(g1: String, g2: String): String =
+    s"""WITH h AS (
+       |  SELECT hour(ts) AS hr,
+       |         CAST(sum(CASE WHEN event_type = '$g1' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN event_type = '$g2' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c2
+       |  FROM events WHERE event_type IN ('$g1', '$g2') GROUP BY 1),
+       |t AS (
+       |  SELECT ${Det.unitsSql(
+          "sqrt((CAST(c1 AS DOUBLE) / sum(c1) OVER ())" +
+            " * (CAST(c2 AS DOUBLE) / sum(c2) OVER ()))", 9)} AS bc9
+       |  FROM h),
+       |a AS (SELECT count(*) AS hours_used, CAST(sum(bc9) AS BIGINT) AS s9 FROM t)
+       |SELECT hours_used,
+       |       ${Det.rndSql("CAST(s9 AS DOUBLE) / 1e9", 6)} AS bc,
+       |       ${Det.rndSql(
+          "sqrt(greatest(0.0, 1.0 - CAST(s9 AS DOUBLE) / 1e9))", 6)} AS hellinger,
+       |       ${Det.rndSql(
+          "CASE WHEN s9 > 0 THEN -ln(CAST(s9 AS DOUBLE) / 1e9) END",
+          6)} AS bhattacharyya_dist
+       |FROM a""".stripMargin
+
+  val hellingerHourlySql: String = hellingerHourlySqlOf("click", "purchase")
+
   /** MANTEL-HAENSZEL stratified odds ratio + CMH test of the
     * treatment→conversion association ADJUSTED for region — the
     * Simpson's-paradox-proof pooling (`q_simpson_check` detects the

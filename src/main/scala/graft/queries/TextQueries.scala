@@ -6153,4 +6153,76 @@ object TextQueries {
             " / (1.0 - (pow(CAST(spos AS DOUBLE) / (n * 3), 2)" +
             " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2))) END", 6)} AS kappa
        |FROM a""".stripMargin
+
+  /** BRIER SCORE + MURPHY DECOMPOSITION of the hashed-logit quality
+    * classifier against the is-English label — the PROPER scoring
+    * rule [[rocAuc]] (rank quality) and [[classifierCalibration]]
+    * (bin table) both stop short of: one number that a classifier
+    * can only improve by being honestly calibrated, split into
+    * reliability (calibration error, lower better) − resolution
+    * (discrimination, higher better) + uncertainty (label entropy,
+    * fixed). Probability = σ(logit/32), fenced to 9dp per DISTINCT
+    * logit (the kdeGrid rule: the fence absorbs libm exp ulps);
+    * every per-score term is fenced to 6dp units on exact-integer
+    * histogram counts before the value-bounded sum — the identity
+    * brier = rel − res + unc holds to fence precision (spec-checked).
+    * Shares the (score → n_pos, n_neg) histogram with [[rocAuc]] via
+    * [[rocHistFrom]] — streaming-mergeable state. */
+  def brierScore(spark: SparkSession, dir: String): DataFrame =
+    brierScoreOf(Tables(spark, dir, "documents"))
+
+  private[graft] def brierScoreOf(docs: DataFrame): DataFrame = {
+    val h = rocHistFrom(docs)
+      .select(col("np"), col("nn"), (col("np") + col("nn")).as("t"),
+        Det.rnd(lit(1.0)
+          / (lit(1.0) + exp(col("score").cast("double") / -32.0)), 9).as("p"))
+    h.agg(sum("t").as("n"), sum("np").as("pos"),
+        sum(Det.units(col("np") * pow(col("p") - 1.0, 2)
+          + col("nn") * pow(col("p"), 2), 6)).as("b6"),
+        sum(Det.units(col("t")
+          * pow(col("p") - col("np").cast("double") / col("t"), 2), 6)).as("r6"),
+        sum(Det.units(col("np").cast("double") * col("np") / col("t"), 6))
+          .as("y2"))
+      .select(col("n"),
+        Det.rnd(col("b6").cast("double") / 1e6 / col("n"), 6).as("brier"),
+        Det.rnd(col("r6").cast("double") / 1e6 / col("n"), 6).as("reliability"),
+        Det.rnd(col("y2").cast("double") / 1e6 / col("n")
+          - pow(col("pos").cast("double") / col("n"), 2), 6).as("resolution"),
+        Det.rnd((col("pos").cast("double") / col("n"))
+          * (lit(1.0) - col("pos").cast("double") / col("n")), 6)
+          .as("uncertainty"))
+  }
+
+  val brierScoreSql: String =
+    s"""WITH $hashedLogitCte,
+       |h AS (
+       |  SELECT logits.logit AS score,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM logits JOIN documents USING (doc_id)
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT np, nn, np + nn AS t,
+       |         ${Det.rndSql(
+          "1.0 / (1.0 + exp(CAST(score AS DOUBLE) / -32.0))", 9)} AS p
+       |  FROM h),
+       |a AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS pos,
+       |         CAST(sum(${Det.unitsSql(
+          "np * pow(p - 1.0, 2) + nn * pow(p, 2)", 6)}) AS BIGINT) AS b6,
+       |         CAST(sum(${Det.unitsSql(
+          "t * pow(p - CAST(np AS DOUBLE) / t, 2)", 6)}) AS BIGINT) AS r6,
+       |         CAST(sum(${Det.unitsSql(
+          "CAST(np AS DOUBLE) * np / t", 6)}) AS BIGINT) AS y2
+       |  FROM t)
+       |SELECT n,
+       |       ${Det.rndSql("CAST(b6 AS DOUBLE) / 1e6 / n", 6)} AS brier,
+       |       ${Det.rndSql("CAST(r6 AS DOUBLE) / 1e6 / n", 6)} AS reliability,
+       |       ${Det.rndSql(
+          "CAST(y2 AS DOUBLE) / 1e6 / n - pow(CAST(pos AS DOUBLE) / n, 2)",
+          6)} AS resolution,
+       |       ${Det.rndSql(
+          "(CAST(pos AS DOUBLE) / n) * (1.0 - CAST(pos AS DOUBLE) / n)",
+          6)} AS uncertainty
+       |FROM a""".stripMargin
 }

@@ -923,6 +923,68 @@ class Round10Spec extends SparkSpec {
     assert(r2.getAs[Double]("kappa") < 1.0)
   }
 
+  test("cramerVonMises: disjoint two-and-two gives the closed-form 0.375") {
+    val s = spark; import s.implicits._
+    val events = (Seq(1.0, 2.0).map(("click", _)) ++ Seq(3.0, 4.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    val r = queries.ExtensionQueries.cramerVonMisesOf(events, "click", "purchase")
+      .collect()(0)
+    // gaps² at v=1..4: .25, 1, .25, 0 → Σ=1.5; T = 4/16·1.5
+    assert(r.getAs[Double]("t_stat") === 0.375)
+    assert(!r.getAs[Boolean]("reject_5pct"))
+    val same = (Seq(5.0, 5.0).map(("click", _)) ++ Seq(5.0, 5.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    assert(queries.ExtensionQueries.cramerVonMisesOf(same, "click", "purchase")
+      .collect()(0).getAs[Double]("t_stat") === 0.0)
+  }
+
+  test("negbinFit: daily counts 0/2/4 give r=2, p=0.5") {
+    val s = spark; import s.implicits._
+    def e(t: String, d: Int, n: Int) = (1 to n).map(i =>
+      (t, java.sql.Timestamp.valueOf(f"1996-01-$d%02d 10:00:00"), i))
+    val events = (e("click", 1, 1) ++ e("purchase", 2, 2) ++ e("purchase", 3, 4))
+      .toDF("event_type", "ts", "event_id")
+    val r = queries.ExtensionQueries.negbinFitOf(events).collect()(0)
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("mean") === 2.0)
+    assert(r.getAs[Double]("variance") === 4.0)
+    assert(r.getAs[Double]("r") === 2.0)
+    assert(r.getAs[Double]("p") === 0.5)
+    assert(r.getAs[Boolean]("overdispersed"))
+  }
+
+  test("hellingerHourly: identical shapes → 0; disjoint hours → 1") {
+    val s = spark; import s.implicits._
+    def at(t: String, h: Int) =
+      (t, java.sql.Timestamp.valueOf(f"1996-01-01 $h%02d:00:00"), 1)
+    val same = Seq(at("click", 5), at("purchase", 5))
+      .toDF("event_type", "ts", "event_id")
+    val r1 = queries.ExtensionQueries.hellingerHourlyOf(same, "click", "purchase")
+      .collect()(0)
+    assert(r1.getAs[Double]("hellinger") === 0.0)
+    assert(r1.getAs[Double]("bhattacharyya_dist") === 0.0)
+    val disj = Seq(at("click", 5), at("purchase", 9))
+      .toDF("event_type", "ts", "event_id")
+    val r2 = queries.ExtensionQueries.hellingerHourlyOf(disj, "click", "purchase")
+      .collect()(0)
+    assert(r2.getAs[Double]("hellinger") === 1.0)
+    assert(r2.isNullAt(r2.fieldIndex("bhattacharyya_dist")))
+  }
+
+  test("brierScore: Murphy identity holds and separable docs resolve fully") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "alpha", "en"), (2L, "bb cc dd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextQueries.brierScoreOf(docs).collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Double]("uncertainty") === 0.25)
+    // one doc per score bin → per-bin ȳ ∈ {0,1} → resolution = uncertainty
+    assert(r.getAs[Double]("resolution") === 0.25)
+    val identity = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    assert(math.abs(r.getAs[Double]("brier") - identity) < 5e-6)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
