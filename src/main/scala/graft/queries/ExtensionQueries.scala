@@ -9855,14 +9855,19 @@ object ExtensionQueries {
     cramerVonMisesOf(Tables(spark, dir, "events"), "click", "purchase")
 
   private[graft] def cramerVonMisesOf(events: DataFrame, g1: String,
-      g2: String): DataFrame = {
+      g2: String): DataFrame =
+    cvmFinish(mannWhitneyHist(events, g1, g2))
+
+  /** The finishing step of [[cramerVonMises]] over the SAME
+    * (v, t, n1v) histogram state [[mannWhitney]] maintains — the
+    * streaming twin (`StreamJobs.cvmFinish`) reads one shared
+    * aggregation for BOTH drift monitors: MW z for location, CvM T
+    * for the whole-distribution gap. Vocabulary-sized input. */
+  private[graft] def cvmFinish(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
-    val h = events.filter(col("event_type").isin(g1, g2))
-      .select(Det.cents(col("value")).as("v"),
-        (col("event_type") === g1).cast("long").as("is1"))
-      .groupBy("v")
-      .agg(sum("is1").as("n1v"), sum(lit(1L) - col("is1")).as("n2v"))
+    val h = hist.select(col("v"), col("n1v"),
+      (col("t") - col("n1v")).as("n2v"))
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     val full = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
@@ -10042,6 +10047,122 @@ object ExtensionQueries {
        |FROM a""".stripMargin
 
   val hellingerHourlySql: String = hellingerHourlySqlOf("click", "purchase")
+
+  private final val YuenG1 = "1-URGENT"
+  private final val YuenG2 = "5-LOW"
+
+  /** YUEN'S TRIMMED-MEAN t-test between [[YuenG1]] and [[YuenG2]]
+    * order values — the robust two-sample test for heavy-tailed money
+    * metrics (the plain t chases tail orders; `q_mann_whitney` changes
+    * the null to stochastic dominance; Yuen keeps "difference of
+    * central location" while 20%-trimming both tails and using the
+    * matching WINSORIZED variance — Yuen 1974, the robust-statistics
+    * textbook default). Everything rank-based is picked exactly off
+    * the per-group distinct-cents histogram (the [[q_winsorize]]
+    * clamp algebra): per-value inclusion counts
+    * max(0, min(cum, n−g) − max(cum−t, g)) make the trimmed sum an
+    * exact decimal-widened integer; the winsorized moments add
+    * g·(v₍g+1₎, v₍n−g₎) mass in exact cents; t and the Welch-
+    * Satterthwaite df are fixed double expressions over the 2-row
+    * group table. */
+  def yuenTest(spark: SparkSession, dir: String): DataFrame =
+    yuenTestOf(Tables(spark, dir, "orders"))
+
+  private[graft] def yuenTestOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val hist = orders
+      .filter(col("o_orderpriority").isin(YuenG1, YuenG2))
+      .select(col("o_orderpriority").as("grp"),
+        Det.cents(col("o_totalprice")).as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val full = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = hist
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("n", sum("t").over(full))
+      .withColumn("g", expr("n div 5"))
+      .withColumn("inc", greatest(lit(0L),
+        least(col("cum"), col("n") - col("g"))
+          - greatest(col("cum") - col("t"), col("g"))))
+    val g = c.groupBy("grp")
+      .agg(max("n").as("n"), max("g").as("g"),
+        sum(col("v").cast(d38) * col("inc")).as("ts"),
+        sum(col("v").cast(d38) * col("v") * col("inc")).as("tq"),
+        min(when(col("cum") >= col("g") + 1, col("v"))).as("vlo"),
+        min(when(col("cum") >= col("n") - col("g"), col("v"))).as("vhi"))
+      .select(col("grp"), col("n"), col("g"), (col("n") - col("g") * 2).as("h"),
+        (col("ts") + col("g").cast(d38) * (col("vlo") + col("vhi"))).as("ws"),
+        (col("tq") + col("g").cast(d38)
+          * (col("vlo") * col("vlo") + col("vhi") * col("vhi"))).as("wq"),
+        col("ts"))
+      .select(col("grp"), col("h"),
+        (col("ts").cast("double") / col("h")).as("tm"),
+        (((col("wq").cast("double") - col("ws").cast("double")
+          * col("ws").cast("double") / col("n")) / (col("n") - 1))
+          * (col("n") - 1) / (col("h").cast("double") * (col("h") - 1))).as("dd"))
+    val a = g.filter(col("grp") === YuenG1)
+      .select(col("h").as("h1"), col("tm").as("tm1"), col("dd").as("d1"))
+    val b = g.filter(col("grp") === YuenG2)
+      .select(col("h").as("h2"), col("tm").as("tm2"), col("dd").as("d2"))
+    a.crossJoin(broadcast(b)).select(
+      lit(YuenG1).as("group_a"), lit(YuenG2).as("group_b"),
+      col("h1"), col("h2"),
+      Det.rnd(col("tm1") / 100.0, 2).as("trimmed_mean_a"),
+      Det.rnd(col("tm2") / 100.0, 2).as("trimmed_mean_b"),
+      Det.rnd((col("tm1") - col("tm2")) / sqrt(col("d1") + col("d2")), 4)
+        .as("t_stat"),
+      Det.rnd(pow(col("d1") + col("d2"), 2)
+        / (pow(col("d1"), 2) / (col("h1") - 1)
+          + pow(col("d2"), 2) / (col("h2") - 1)), 2).as("df"))
+  }
+
+  val yuenTestSql: String =
+    s"""WITH hist AS (
+       |  SELECT o_orderpriority AS grp, ${Det.centsSql("o_totalprice")} AS v,
+       |         count(*) AS t
+       |  FROM orders WHERE o_orderpriority IN ('$YuenG1', '$YuenG2')
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT grp, v, t,
+       |         sum(t) OVER (PARTITION BY grp ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(t) OVER (PARTITION BY grp) AS n
+       |  FROM hist),
+       |i AS (
+       |  SELECT grp, v, t, cum, n, n // 5 AS g,
+       |         greatest(0, least(cum, n - n // 5)
+       |                     - greatest(cum - t, n // 5)) AS inc
+       |  FROM c),
+       |gr AS (
+       |  SELECT grp, max(n) AS n, max(g) AS g,
+       |         sum(CAST(v AS HUGEINT) * inc) AS ts,
+       |         sum(CAST(v AS HUGEINT) * v * inc) AS tq,
+       |         min(CASE WHEN cum >= g + 1 THEN v END) AS vlo,
+       |         min(CASE WHEN cum >= n - g THEN v END) AS vhi
+       |  FROM i GROUP BY 1),
+       |m AS (
+       |  SELECT grp, n - g * 2 AS h,
+       |         CAST(ts AS DOUBLE) / (n - g * 2) AS tm,
+       |         ((CAST(tq + CAST(g AS HUGEINT) * (CAST(vlo AS HUGEINT) * vlo
+       |             + CAST(vhi AS HUGEINT) * vhi) AS DOUBLE)
+       |           - CAST(ts + CAST(g AS HUGEINT) * (vlo + vhi) AS DOUBLE)
+       |             * CAST(ts + CAST(g AS HUGEINT) * (vlo + vhi) AS DOUBLE) / n)
+       |          / (n - 1))
+       |         * (n - 1) / (CAST(n - g * 2 AS DOUBLE) * (n - g * 2 - 1)) AS dd
+       |  FROM gr)
+       |SELECT '$YuenG1' AS group_a, '$YuenG2' AS group_b,
+       |       CAST(a.h AS BIGINT) AS h1, CAST(b.h AS BIGINT) AS h2,
+       |       ${Det.rndSql("a.tm / 100.0", 2)} AS trimmed_mean_a,
+       |       ${Det.rndSql("b.tm / 100.0", 2)} AS trimmed_mean_b,
+       |       ${Det.rndSql("(a.tm - b.tm) / sqrt(a.dd + b.dd)", 4)} AS t_stat,
+       |       ${Det.rndSql(
+          "pow(a.dd + b.dd, 2) / (pow(a.dd, 2) / (a.h - 1)" +
+            " + pow(b.dd, 2) / (b.h - 1))", 2)} AS df
+       |FROM (SELECT * FROM m WHERE grp = '$YuenG1') a
+       |CROSS JOIN (SELECT * FROM m WHERE grp = '$YuenG2') b""".stripMargin
 
   /** MANTEL-HAENSZEL stratified odds ratio + CMH test of the
     * treatment→conversion association ADJUSTED for region — the

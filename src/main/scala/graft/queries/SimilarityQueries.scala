@@ -2517,6 +2517,74 @@ object SimilarityQueries {
        |FROM nn CROSS JOIN ne CROSS JOIN wg CROSS JOIN tr""".stripMargin
   }
 
+  /** LOCAL CLUSTERING-COEFFICIENT profile c(k) of the k-NN graph —
+    * per-degree average of cᵥ = 2·tri(v)/(dᵥ(dᵥ−1)): the hierarchy
+    * readout [[triangleCount]]'s single global transitivity cannot
+    * give (a falling c(k) means low-degree vectors sit in tight local
+    * cliques while hubs bridge between them — exactly the structure
+    * mutual-kNN cuts exploit). Per-node triangle counts come from the
+    * SAME degree-ordered oriented triangle join as [[triangleCount]],
+    * exploded once to its three corners; each cᵥ is one double on
+    * exact integers fenced to 9dp units before the per-degree exact
+    * sum. Degree ≤ 2k on a k-NN graph, so the output is k-bounded. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoeffOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def clusteringCoeffOnEdges(edges: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+      .localCheckpoint() // k-NN-bounded; triangle join reads it 3×
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val triV = und.select(col("src").as("a"), col("dst").as("b"))
+      .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(und.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(triV, Seq("v"), "left")
+      .select(col("d"),
+        when(col("d") >= 2, Det.units(
+          coalesce(col("tri"), lit(0L)).cast("double") * 2.0
+            / (col("d").cast("double") * (col("d") - 1)), 9))
+          .otherwise(0L).as("cc9"))
+      .groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"),
+        Det.rnd(sum("cc9").cast("double") / 1e9 / count(lit(1)), 6).as("avg_cc"))
+      .orderBy("degree")
+  }
+
+  val clusteringCoeffSql: String = {
+    import graft.functions.Det
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+       |        FROM kedges),
+       |deg AS (SELECT v, count(*) AS d
+       |        FROM (SELECT src AS v FROM und UNION ALL SELECT dst FROM und)
+       |        GROUP BY 1),
+       |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |        FROM und e1 JOIN und e2 ON e2.src = e1.dst
+       |             JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |triv AS (SELECT v, count(*) AS tri
+       |         FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+       |               UNION ALL SELECT c FROM tri)
+       |         GROUP BY 1),
+       |cc AS (SELECT d,
+       |              CASE WHEN d >= 2 THEN ${Det.unitsSql(
+          "CAST(coalesce(tri, 0) AS DOUBLE) * 2.0" +
+            " / (CAST(d AS DOUBLE) * (d - 1))", 9)}
+       |                   ELSE 0 END AS cc9
+       |       FROM deg LEFT JOIN triv USING (v))
+       |SELECT d AS degree, count(*) AS n_nodes,
+       |       ${Det.rndSql(
+          "CAST(sum(cc9) AS DOUBLE) / 1e9 / count(*)", 6)} AS avg_cc
+       |FROM cc
+       |GROUP BY 1
+       |ORDER BY degree""".stripMargin
+  }
+
   /** DEGREE ASSORTATIVITY of the k-NN graph: the Pearson correlation
     * of endpoint degrees across edges (Newman's r) — positive means
     * high-degree vectors neighbor each other (a dense semantic core),

@@ -900,6 +900,14 @@ object StreamJobs {
   def mannWhitneyFinish(hist: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.mannWhitneyFinish(hist)
 
+  /** Cramér–von Mises finish over the SAME histogram state as
+    * [[mannWhitneyFinish]] — two drift monitors (location rank-sum +
+    * whole-distribution ECDF gap), ONE streaming aggregation; the
+    * per-batch T is proven equal to the batch operator on the same
+    * prefix (StreamingSpec). */
+  def cvmFinish(hist: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cvmFinish(hist)
+
   /** Streaming twin of the EWMA volume forecaster
     * ([[graft.queries.ExtensionQueries.ewmaForecast]]): the running
     * state is the plain day-count aggregation (mergeable, any batch

@@ -985,6 +985,36 @@ class Round10Spec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("brier") - identity) < 5e-6)
   }
 
+  test("clusteringCoeff: K4 is fully clustered, a star contributes zeros") {
+    val s = spark; import s.implicits._
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L))
+    val got = queries.SimilarityQueries
+      .clusteringCoeffOnEdges((k4 ++ star).toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(3L).getAs[Long]("n_nodes") === 4L)   // the K4 corners
+    assert(got(3L).getAs[Double]("avg_cc") === 1.0)
+    assert(got(1L).getAs[Long]("n_nodes") === 2L)   // star leaves, d<2 → 0
+    assert(got(1L).getAs[Double]("avg_cc") === 0.0)
+    assert(got(2L).getAs[Double]("avg_cc") === 0.0) // star center, no triangle
+  }
+
+  test("yuenTest: planted outliers are trimmed; closed-form t and df") {
+    val s = spark; import s.implicits._
+    val g1 = Seq(0.0, 10.0, 10.0, 12.0, 12.0, 14.0, 14.0, 16.0, 16.0, 1000.0)
+    val g2 = Seq(0.0, 5.0, 5.0, 7.0, 7.0, 9.0, 9.0, 11.0, 11.0, 995.0)
+    val orders = (g1.map(("1-URGENT", _)) ++ g2.map(("5-LOW", _)))
+      .toDF("o_orderpriority", "o_totalprice")
+    val r = queries.ExtensionQueries.yuenTestOf(orders).collect()(0)
+    assert(r.getAs[Long]("h1") === 6L)
+    assert(r.getAs[Long]("h2") === 6L)
+    assert(r.getAs[Double]("trimmed_mean_a") === 13.0) // outliers 0/1000 gone
+    assert(r.getAs[Double]("trimmed_mean_b") === 8.0)
+    // s²w = 58/9 both sides → d = 58/30 each → t = 5/√(58/15), df = 10
+    assert(r.getAs[Double]("t_stat") === 2.5427)
+    assert(r.getAs[Double]("df") === 10.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"

@@ -155,6 +155,15 @@ class StreamingSpec extends SparkSpec {
           .mannWhitneyOf(seen.toDF(), "click", "purchase"))
         assert(streamed == batch,
           s"after ${seen.size} events: streamed $streamed vs batch $batch")
+        // the SAME state feeds the Cramér–von Mises gap monitor
+        def tRow(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).head
+        val cvmStreamed = tRow(StreamJobs.cvmFinish(spark.table("mwhist")))
+        val cvmBatch = tRow(graft.queries.ExtensionQueries
+          .cramerVonMisesOf(seen.toDF(), "click", "purchase"))
+        assert(cvmStreamed == cvmBatch,
+          s"after ${seen.size} events: cvm streamed $cvmStreamed vs $cvmBatch")
       }
       // the histogram state is value-cardinality-sized, not event-sized
       assert(spark.table("mwhist").count() <= seen.count(_.event_type != "view"))
