@@ -10048,6 +10048,84 @@ object ExtensionQueries {
 
   val hellingerHourlySql: String = hellingerHourlySqlOf("click", "purchase")
 
+  /** YEARLY GROWTH ACCOUNTING of the ordering customer base — the
+    * Social-Capital decomposition every growth team reports: each
+    * year's active customers split into NEW (first active year ever),
+    * RETAINED (also active last year), RESURRECTED (active before,
+    * skipped last year); CHURNED(y) = active(y−1) − retained(y) is a
+    * closed form on the aggregates (no extra pass), and quick ratio =
+    * (new + resurrected)/churned is the health scalar. Per-customer
+    * flags are one lag window over the distinct (customer, year)
+    * relation — exact integer year arithmetic on both engines. The
+    * first year's churned/quick_ratio are NULL (no prior year),
+    * mirrored. (The events table spans one month; orders span seven
+    * years — the axis with real churn.) */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthAccountingOf(Tables(spark, dir, "orders"))
+
+  private[graft] def growthAccountingOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val am = orders
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("yr")
+    val flagged = am
+      .withColumn("prev", lag("yr", 1).over(w))
+      .select(col("yr"),
+        when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("prev") === col("yr") - 1, 1L).otherwise(0L).as("is_ret"),
+        when(col("prev").isNotNull && col("prev") < col("yr") - 1, 1L)
+          .otherwise(0L).as("is_res"))
+    val byY = flagged.groupBy("yr")
+      .agg(count(lit(1)).as("active"), sum("is_new").as("new_users"),
+        sum("is_ret").as("retained"), sum("is_res").as("resurrected"))
+    val lw = Window.orderBy("yr")
+    byY
+      .withColumn("prev_active", lag("active", 1).over(lw))
+      .withColumn("prev_yr", lag("yr", 1).over(lw))
+      .select(col("yr").as("year"), col("active"), col("new_users"),
+        col("retained"), col("resurrected"),
+        when(col("prev_yr") === col("yr") - 1,
+          col("prev_active") - col("retained")).as("churned"))
+      .withColumn("quick_ratio", Det.rnd(
+        when(col("churned") > 0,
+          (col("new_users") + col("resurrected")).cast("double")
+            / col("churned")), 4))
+      .orderBy("year")
+  }
+
+  val growthAccountingSql: String =
+    s"""WITH am AS (
+       |  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders),
+       |f AS (
+       |  SELECT yr,
+       |         CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+       |         CASE WHEN prev = yr - 1 THEN 1 ELSE 0 END AS is_ret,
+       |         CASE WHEN prev IS NOT NULL AND prev < yr - 1 THEN 1 ELSE 0 END
+       |           AS is_res
+       |  FROM (SELECT yr,
+       |               lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev
+       |        FROM am)),
+       |byy AS (
+       |  SELECT yr, count(*) AS active,
+       |         CAST(sum(is_new) AS BIGINT) AS new_users,
+       |         CAST(sum(is_ret) AS BIGINT) AS retained,
+       |         CAST(sum(is_res) AS BIGINT) AS resurrected
+       |  FROM f GROUP BY 1),
+       |fin AS (
+       |  SELECT yr, active, new_users, retained, resurrected,
+       |         CASE WHEN lag(yr) OVER (ORDER BY yr) = yr - 1
+       |              THEN lag(active) OVER (ORDER BY yr) - retained END AS churned
+       |  FROM byy)
+       |SELECT CAST(yr AS INTEGER) AS year, active, new_users, retained,
+       |       resurrected, CAST(churned AS BIGINT) AS churned,
+       |       ${Det.rndSql(
+          "CASE WHEN churned > 0 THEN" +
+            " CAST(new_users + resurrected AS DOUBLE) / churned END",
+          4)} AS quick_ratio
+       |FROM fin
+       |ORDER BY year""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

@@ -1591,6 +1591,65 @@ object SimilarityQueries {
        |ORDER BY qid""".stripMargin
   }
 
+  /** MRR@[[MapK]] (mean reciprocal rank) per anchor — the third leg
+    * of the retrieval-eval stool ([[ndcgEval]] grades the whole list,
+    * [[mapEval]] all hits; MRR asks only "how fast is the FIRST
+    * relevant result", the metric for lookup-style retrieval where
+    * one hit suffices). rr = 1/rank(first hit in top k), 0 if none —
+    * exact rational per anchor, fenced at output only. Same
+    * brute-force cosine ranking and tie-breaks as its siblings. */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame =
+    mrrEvalOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def mrrEvalOf(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    withCos(broadcast(q).crossJoin(c))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MapK)
+      .groupBy("qid")
+      .agg(min(when(col("qlabel") === col("clabel"), col("rank")))
+        .as("first_hit_rank"))
+      .select(col("qid"), col("first_hit_rank"),
+        graft.functions.Det.rnd(coalesce(
+          lit(1.0) / col("first_hit_rank"), lit(0.0)), 6).as("rr"))
+      .orderBy("qid")
+  }
+
+  val mrrEvalSql: String = {
+    import graft.functions.Det
+    s"""WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+       |               c.vec_id AS cid, any_value(c.label) AS clabel,
+       |               sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY q.vec_id, c.vec_id),
+       |s AS (SELECT qid, qlabel, cid, clabel,
+       |             CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |      FROM dot),
+       |rk AS (SELECT qid, qlabel, clabel,
+       |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |       FROM s)
+       |SELECT qid,
+       |       CAST(min(CASE WHEN qlabel = clabel THEN rank END) AS INTEGER)
+       |         AS first_hit_rank,
+       |       ${Det.rndSql(
+          "coalesce(1.0 / min(CASE WHEN qlabel = clabel THEN rank END), 0.0)",
+          6)} AS rr
+       |FROM rk WHERE rank <= $MapK
+       |GROUP BY qid
+       |ORDER BY qid""".stripMargin
+  }
+
   private val BtK = 4
   private val BtMinScore = 1.1
   private val BtPlanes = 8
@@ -3936,6 +3995,147 @@ object SimilarityQueries {
     * 6-dp fence; NMI = I / sqrt(H_c * H_l) with the degenerate
     * single-cell/single-label case fenced to 0 identically on both
     * engines. */
+  /** ADJUSTED RAND INDEX of the fitted k-means cells vs labels — the
+    * pair-counting external validity metric ([[clusterPurity]]'s NMI
+    * is information-theoretic; ARI counts agreeing pairs and is the
+    * one that is ZERO in expectation under random labeling, so it
+    * can't be gamed by raising k). Everything is exact integer
+    * combinatorics on the same ≤ k×|labels| contingency:
+    * Σᵢⱼ C(nᵢⱼ,2), ΣᵢC(aᵢ,2), ΣⱼC(bⱼ,2), decimal-widened; ARI is one
+    * fixed double expression. Shares the k-means fit prefix with
+    * [[clusterPurity]] so the two metrics grade the same clustering. */
+  def adjustedRand(spark: SparkSession, dir: String): DataFrame =
+    adjustedRandOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def adjustedRandOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val d38 = "decimal(38,0)"
+    val e = kmCoo(emb)
+    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // ≤ k × |labels| rows, read 3×
+    def comb2(c: org.apache.spark.sql.Column) =
+      c.cast(d38) * (c - 1) / 2
+    val sj = ct.agg(sum(comb2(col("nij"))).as("sij"), sum("nij").as("n"))
+    val sa = ct.groupBy("cell").agg(sum("nij").as("a"))
+      .agg(sum(comb2(col("a"))).as("sa"))
+    val sb = ct.groupBy("label").agg(sum("nij").as("b"))
+      .agg(sum(comb2(col("b"))).as("sb"))
+    sj.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n"),
+        col("sij").cast("long").as("pairs_joint"),
+        col("sa").cast("long").as("pairs_cells"),
+        col("sb").cast("long").as("pairs_labels"),
+        Det.rnd(expr(
+          "CASE WHEN (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2" +
+            " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * (n - 1) / 2) = 0.0 THEN 1.0 ELSE " +
+            "(CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * (n - 1) / 2))" +
+            " / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2" +
+            " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * (n - 1) / 2)) END"), 6).as("ari"))
+  }
+
+  val adjustedRandSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |ct AS (
+       |  SELECT a.cell, b.label, count(*) AS nij
+       |  FROM a2 a JOIN embeddings b ON b.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |sj AS (SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1) / 2) AS BIGINT) AS sij,
+       |              CAST(sum(nij) AS BIGINT) AS n
+       |       FROM ct),
+       |sa AS (SELECT CAST(sum(CAST(a AS HUGEINT) * (a - 1) / 2) AS BIGINT) AS sa
+       |       FROM (SELECT cell, sum(nij) AS a FROM ct GROUP BY 1)),
+       |sb AS (SELECT CAST(sum(CAST(b AS HUGEINT) * (b - 1) / 2) AS BIGINT) AS sb
+       |       FROM (SELECT label, sum(nij) AS b FROM ct GROUP BY 1))
+       |SELECT n, sij AS pairs_joint, sa AS pairs_cells, sb AS pairs_labels,
+       |       ${Det.rndSql(
+          "CASE WHEN (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2" +
+            " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * (n - 1) / 2) = 0.0 THEN 1.0 ELSE " +
+            "(CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * (n - 1) / 2))" +
+            " / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2" +
+            " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * (n - 1) / 2)) END", 6)} AS ari
+       |FROM sj CROSS JOIN sa CROSS JOIN sb""".stripMargin
+  }
+
+  /** V-MEASURE (homogeneity / completeness) of the fitted k-means
+    * cells vs labels — the asymmetric decomposition [[clusterPurity]]'s
+    * symmetric NMI hides: homogeneity = MI/H(label) punishes mixed
+    * cells, completeness = MI/H(cell) punishes split labels, and a
+    * high-k clustering can max one while tanking the other. V is
+    * their harmonic mean (Rosenberg & Hirschberg '07). Same entropy
+    * sums over the shared contingency ([[clusterPurity]] discipline);
+    * degenerate zero entropies emit the 1.0 convention, mirrored. */
+  def vMeasure(spark: SparkSession, dir: String): DataFrame =
+    vMeasureOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def vMeasureOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val e = kmCoo(emb)
+    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val n = ct.agg(sum("nij").as("n"))
+    def ent(df: DataFrame, cnt: String) = df.crossJoin(broadcast(n))
+      .agg((-sum(col(cnt).cast("double") / col("n")
+        * log(col(cnt).cast("double") / col("n")))).as("h"))
+    val hc = ent(ct.groupBy("cell").agg(sum("nij").as("nc")), "nc")
+      .select(col("h").as("hc"))
+    val hl = ent(ct.groupBy("label").agg(sum("nij").as("nl")), "nl")
+      .select(col("h").as("hl"))
+    val hj = ent(ct, "nij").select(col("h").as("hj"))
+    hc.crossJoin(broadcast(hl)).crossJoin(broadcast(hj))
+      .select((col("hc") + col("hl") - col("hj")).as("mi"),
+        col("hc"), col("hl"))
+      .select(
+        Det.rnd(when(col("hl") > 0, col("mi") / col("hl")).otherwise(1.0), 6)
+          .as("homogeneity"),
+        Det.rnd(when(col("hc") > 0, col("mi") / col("hc")).otherwise(1.0), 6)
+          .as("completeness"))
+      .select(col("homogeneity"), col("completeness"),
+        Det.rnd(when(col("homogeneity") + col("completeness") > 0,
+          col("homogeneity") * col("completeness") * 2.0
+            / (col("homogeneity") + col("completeness"))).otherwise(0.0), 6)
+          .as("v_measure"))
+  }
+
+  val vMeasureSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |ct AS (
+       |  SELECT a.cell, b.label, count(*) AS nij
+       |  FROM a2 a JOIN embeddings b ON b.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+       |hc AS (SELECT -sum(CAST(nc AS DOUBLE) / n * ln(CAST(nc AS DOUBLE) / n)) AS hc
+       |       FROM (SELECT cell, sum(nij) AS nc FROM ct GROUP BY 1), tot),
+       |hl AS (SELECT -sum(CAST(nl AS DOUBLE) / n * ln(CAST(nl AS DOUBLE) / n)) AS hl
+       |       FROM (SELECT label, sum(nij) AS nl FROM ct GROUP BY 1), tot),
+       |hj AS (SELECT -sum(CAST(nij AS DOUBLE) / n * ln(CAST(nij AS DOUBLE) / n)) AS hj
+       |       FROM ct, tot),
+       |hm AS (SELECT ${Det.rndSql(
+          "CASE WHEN hl > 0 THEN (hc + hl - hj) / hl ELSE 1.0 END",
+          6)} AS homogeneity,
+       |              ${Det.rndSql(
+          "CASE WHEN hc > 0 THEN (hc + hl - hj) / hc ELSE 1.0 END",
+          6)} AS completeness
+       |       FROM hc CROSS JOIN hl CROSS JOIN hj)
+       |SELECT homogeneity, completeness,
+       |       ${Det.rndSql(
+          "CASE WHEN homogeneity + completeness > 0 THEN" +
+            " homogeneity * completeness * 2.0 / (homogeneity + completeness)" +
+            " ELSE 0.0 END", 6)} AS v_measure
+       |FROM hm""".stripMargin
+  }
+
   def clusterPurity(spark: SparkSession, dir: String): DataFrame =
     clusterPurityOf(Tables(spark, dir, "embeddings"))
 

@@ -1015,6 +1015,66 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Double]("df") === 10.0)
   }
 
+  test("adjustedRand and vMeasure: label-aligned clusters score 1; ARI pair counts exact") {
+    val s = spark; import s.implicits._
+    val emb = (0L until 16L).map { i =>
+      val g = (i % 2).toInt
+      val v = Array.tabulate(64)(j => if (j == g) 1.0f else 0.0f)
+      (i, v, if (g == 0) "x" else "y")
+    }.toDF("vec_id", "embedding", "label")
+    val ari = queries.SimilarityQueries.adjustedRandOf(emb).collect()(0)
+    assert(ari.getAs[Double]("ari") === 1.0)
+    // two perfect cells of 8 → C(8,2)·2 = 56 pairs in all three counts
+    assert(ari.getAs[Long]("pairs_joint") === 56L)
+    assert(ari.getAs[Long]("pairs_cells") === 56L)
+    assert(ari.getAs[Long]("pairs_labels") === 56L)
+    val v = queries.SimilarityQueries.vMeasureOf(emb).collect()(0)
+    assert(v.getAs[Double]("homogeneity") === 1.0)
+    assert(v.getAs[Double]("completeness") === 1.0)
+    assert(v.getAs[Double]("v_measure") === 1.0)
+  }
+
+  test("mrrEval: first hit at rank 2 gives rr 0.5; no hit gives 0") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query, label 0
+      (10L, Array(1.0f, 0.0f), 1),  // rank 1, miss
+      (11L, Array(0.8f, 0.6f), 0),  // rank 2, hit → rr = 1/2
+      (1L, Array(0.0f, 1.0f), 7),   // query with no same-label candidate
+      (12L, Array(0.0f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = queries.SimilarityQueries.mrrEvalOf(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Int]("first_hit_rank") === 2)
+    assert(got(0L).getAs[Double]("rr") === 0.5)
+    assert(got(1L).isNullAt(got(1L).fieldIndex("first_hit_rank")))
+    assert(got(1L).getAs[Double]("rr") === 0.0)
+  }
+
+  test("growthAccounting: planted year gaps split new/retained/resurrected/churned") {
+    val s = spark; import s.implicits._
+    // u1 active 1995,1996; u2 active 1995 only (churns in 96);
+    // u3 active 1995, skips 96, returns 97 (resurrected)
+    val orders = Seq(
+      (1L, 1L, "1995-03-01"), (2L, 1L, "1996-05-01"),
+      (3L, 2L, "1995-07-01"),
+      (4L, 3L, "1995-02-01"), (5L, 3L, "1997-08-01"))
+      .map { case (ok, ck, d) =>
+        (ok, ck, java.sql.Timestamp.valueOf(s"$d 00:00:00"))
+      }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = queries.ExtensionQueries.growthAccountingOf(orders).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(1995).getAs[Long]("active") === 3L)
+    assert(got(1995).getAs[Long]("new_users") === 3L)
+    assert(got(1995).isNullAt(got(1995).fieldIndex("churned")))
+    assert(got(1996).getAs[Long]("retained") === 1L)
+    assert(got(1996).getAs[Long]("churned") === 2L) // u2 and u3 went quiet
+    assert(got(1996).getAs[Double]("quick_ratio") === 0.0)
+    assert(got(1997).getAs[Long]("resurrected") === 1L) // u3 returns
+    assert(got(1997).getAs[Long]("churned") === 1L)     // u1 quiet in 97
+    assert(got(1997).getAs[Double]("quick_ratio") === 1.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
