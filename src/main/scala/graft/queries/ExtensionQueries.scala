@@ -10126,6 +10126,226 @@ object ExtensionQueries {
        |FROM fin
        |ORDER BY year""".stripMargin
 
+  /** EMPIRICAL-BAYES GAMMA-POISSON shrinkage of per-nation order
+    * rates (orders per customer) — the count-data companion of
+    * [[jamesStein]] (Gaussian means shrink linearly; rates shrink
+    * through the conjugate Gamma posterior (kᵢ+α)/(nᵢ+β), so
+    * small-exposure nations pull harder toward the prior). Prior by
+    * method of moments over the k nation rates: β = m/v, α = m²/v
+    * (unweighted, the equal-unit EB setting; [[jamesStein]]
+    * discipline). Exact integer (kᵢ, nᵢ) per nation; rates and the
+    * 2-moment reduction are fixed doubles over the 25-row table;
+    * degenerate v = 0 emits the prior mean for every nation,
+    * mirrored. */
+  def ebRates(spark: SparkSession, dir: String): DataFrame =
+    ebRatesOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"))
+
+  private[graft] def ebRatesOf(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val ko = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+    val g = customer
+      .join(ko, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("k"), lit(0L))).as("k"))
+      .withColumn("r", col("k").cast("double") / col("n"))
+    val prior = g.agg(count(lit(1)).as("ng"), sum("r").as("sr"),
+        sum(col("r") * col("r")).as("sr2"))
+      .select((col("sr") / col("ng")).as("m"),
+        ((col("sr2") - col("sr") * col("sr") / col("ng"))
+          / (col("ng") - 1)).as("v"))
+      .select(col("m"),
+        when(col("v") > 0, col("m") * col("m") / col("v")).as("alpha"),
+        when(col("v") > 0, col("m") / col("v")).as("beta"))
+    g.crossJoin(broadcast(prior))
+      .select(col("nation"), col("n").as("n_customers"), col("k").as("n_orders"),
+        Det.rnd(col("r"), 4).as("raw_rate"),
+        Det.rnd(when(col("alpha").isNotNull,
+          (col("k") + col("alpha")) / (col("n") + col("beta")))
+          .otherwise(col("m")), 4).as("eb_rate"),
+        Det.rnd(col("alpha"), 4).as("alpha"),
+        Det.rnd(col("beta"), 4).as("beta"))
+      .orderBy("nation")
+  }
+
+  val ebRatesSql: String =
+    s"""WITH ko AS (SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1),
+       |g AS (
+       |  SELECT c_nationkey AS nation, count(*) AS n,
+       |         CAST(sum(coalesce(k, 0)) AS BIGINT) AS k,
+       |         CAST(sum(coalesce(k, 0)) AS DOUBLE) / count(*) AS r
+       |  FROM customer LEFT JOIN ko ON o_custkey = c_custkey
+       |  GROUP BY 1),
+       |pr AS (
+       |  SELECT m, CASE WHEN v > 0 THEN m * m / v END AS alpha,
+       |         CASE WHEN v > 0 THEN m / v END AS beta
+       |  FROM (SELECT sum(r) / count(*) AS m,
+       |               (sum(r * r) - sum(r) * sum(r) / count(*)) / (count(*) - 1) AS v
+       |        FROM g))
+       |SELECT nation, n AS n_customers, k AS n_orders,
+       |       ${Det.rndSql("r", 4)} AS raw_rate,
+       |       ${Det.rndSql(
+          "CASE WHEN alpha IS NOT NULL THEN (k + alpha) / (n + beta)" +
+            " ELSE m END", 4)} AS eb_rate,
+       |       ${Det.rndSql("alpha", 4)} AS alpha,
+       |       ${Det.rndSql("beta", 4)} AS beta
+       |FROM g CROSS JOIN pr
+       |ORDER BY nation""".stripMargin
+
+  /** RECORD-HIGHS census of the daily revenue series — how many days
+    * set a new all-time high, and is that MORE than an i.i.d. series
+    * would produce? Under exchangeability the expected record count
+    * is the harmonic number H_n (day 1 is always a record, day k is
+    * with probability 1/k) — a trending series beats it, a mean-
+    * reverting one undershoots: the zero-parameter trend read to put
+    * next to `q_mann_kendall`. Records from one running-max window
+    * over the calendar day histogram (exact cents; strict >); H_n by
+    * an in-plan 1/k sum over the ≤calendar-length sequence, fenced. */
+  def recordHighs(spark: SparkSession, dir: String): DataFrame =
+    recordHighsOf(Tables(spark, dir, "orders"))
+
+  private[graft] def recordHighsOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    val rec = byDay
+      .withColumn("prevmax", max("c").over(w))
+      .withColumn("is_rec",
+        when(col("prevmax").isNull || col("c") > col("prevmax"), 1L)
+          .otherwise(0L))
+    rec.agg(count(lit(1)).as("n_days"), sum("is_rec").as("n_records"),
+        max(when(col("is_rec") === 1L, col("d"))).as("last_record_day"))
+      .withColumn("expected_records", Det.rnd(expr(
+        "aggregate(sequence(1, CAST(n_days AS INT)), CAST(0 AS DOUBLE)," +
+          " (acc, k) -> acc + 1.0 / k)"), 4))
+      .select(col("n_days"), col("n_records"),
+        date_format(col("last_record_day"), "yyyy-MM-dd").as("last_record_day"),
+        col("expected_records"),
+        Det.rnd(col("n_records").cast("double") / col("expected_records"), 4)
+          .as("record_ratio"))
+  }
+
+  val recordHighsSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT d, c,
+       |         max(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND 1 PRECEDING) AS prevmax
+       |  FROM byday),
+       |a AS (
+       |  SELECT count(*) AS n_days,
+       |         CAST(sum(CASE WHEN prevmax IS NULL OR c > prevmax
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       |         max(CASE WHEN prevmax IS NULL OR c > prevmax THEN d END)
+       |           AS last_record_day
+       |  FROM r),
+       |h AS (SELECT ${Det.rndSql(
+          "list_sum(list_transform(range(1, n_days + 1)," +
+            " k -> 1.0 / k))", 4)} AS expected_records
+       |      FROM a)
+       |SELECT n_days, n_records,
+       |       strftime(last_record_day, '%Y-%m-%d') AS last_record_day,
+       |       expected_records,
+       |       ${Det.rndSql(
+          "CAST(n_records AS DOUBLE) / expected_records", 4)} AS record_ratio
+       |FROM a CROSS JOIN h""".stripMargin
+
+  /** TAYLOR'S POWER LAW fit across nations — does the variance of a
+    * nation's monthly order count scale as a POWER of its mean
+    * (V = a·m^b)? b ≈ 1 is Poisson-like; b → 2 means aggregation/
+    * clumping (ecology's fluctuation scaling, equally standard for
+    * traffic). Per-nation monthly-count mean/variance from exact
+    * integers over the (nation × month)-bounded table; ln(m), ln(v)
+    * fenced to 8dp per nation (pinned-literal rule: engine libm ln
+    * only ever feeds a fence); the log-log OLS slope/R² are closed
+    * forms over the ≤25-row point set. Nations with zero variance
+    * drop (ln undefined), mirrored. */
+  def taylorLaw(spark: SparkSession, dir: String): DataFrame =
+    taylorLawOf(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"))
+
+  private[graft] def taylorLawOf(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val cnt = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("x"))
+    val g = cnt.groupBy("nation")
+      .agg(count(lit(1)).as("nm"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .filter(col("nm") >= 2)
+      .select(col("nation"),
+        (col("s").cast("double") / col("nm")).as("m"),
+        ((col("q").cast("double") - col("s").cast("double")
+          * col("s") / col("nm")) / (col("nm") - 1)).as("v"))
+      .filter(col("v") > 0 && col("m") > 0)
+      .select(Det.units(log(col("m")), 8).as("lx"),
+        Det.units(log(col("v")), 8).as("ly"))
+    g.agg(count(lit(1)).as("ng"), sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx").cast("decimal(38,0)") * col("ly")).as("sxy"),
+        sum(col("lx").cast("decimal(38,0)") * col("lx")).as("sxx"),
+        sum(col("ly").cast("decimal(38,0)") * col("ly")).as("syy"))
+      .select(col("ng").as("n_groups"),
+        Det.rnd(expr(
+          "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ng)" +
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ng)"), 4)
+          .as("slope"),
+        Det.rnd(expr(
+          "(CAST(sy AS DOUBLE) / ng - ((CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * sy / ng) / (CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * sx / ng)) * CAST(sx AS DOUBLE) / ng)" +
+            " / 1e8"), 4).as("intercept_ln"),
+        Det.rnd(expr(
+          "pow(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ng, 2)" +
+            " / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ng)" +
+            " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ng))"), 4)
+          .as("r2"))
+  }
+
+  val taylorLawSql: String =
+    s"""WITH cnt AS (
+       |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+       |         count(*) AS x
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT nation, CAST(sum(x) AS DOUBLE) / count(*) AS m,
+       |         (CAST(sum(x * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE)
+       |            * sum(x) / count(*)) / (count(*) - 1) AS v
+       |  FROM cnt GROUP BY 1 HAVING count(*) >= 2),
+       |p AS (
+       |  SELECT ${Det.unitsSql("ln(m)", 8)} AS lx,
+       |         ${Det.unitsSql("ln(v)", 8)} AS ly
+       |  FROM g WHERE v > 0 AND m > 0),
+       |a AS (
+       |  SELECT count(*) AS ng, CAST(sum(lx) AS BIGINT) AS sx,
+       |         CAST(sum(ly) AS BIGINT) AS sy,
+       |         sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+       |         sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+       |         sum(CAST(ly AS HUGEINT) * ly) AS syy
+       |  FROM p)
+       |SELECT ng AS n_groups,
+       |       ${Det.rndSql(
+          "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ng)" +
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ng)",
+          4)} AS slope,
+       |       ${Det.rndSql(
+          "(CAST(sy AS DOUBLE) / ng - ((CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * sy / ng) / (CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * sx / ng)) * CAST(sx AS DOUBLE) / ng)" +
+            " / 1e8", 4)} AS intercept_ln,
+       |       ${Det.rndSql(
+          "pow(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ng, 2)" +
+            " / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ng)" +
+            " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ng))",
+          4)} AS r2
+       |FROM a""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

@@ -2644,6 +2644,42 @@ object SimilarityQueries {
        |ORDER BY degree""".stripMargin
   }
 
+  /** EDGE RECIPROCITY of the DIRECTED k-NN graph — the share of
+    * "a ranks b in its top-k" edges where b also ranks a: every other
+    * graph metric here symmetrizes first, but reciprocity is exactly
+    * the quantity lost in that step, and it is the quality signal
+    * mutual-kNN cuts act on (low reciprocity ⇒ hub-dominated
+    * neighborhoods ⇒ asymmetric edges are suspect). One self-join of
+    * the scratch edge relation on the reversed pair; pure integer
+    * counts, one fenced share. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocityOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def reciprocityOnEdges(edges: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val e = edges.select(col("src"), col("dst"))
+    val mutual = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+      .select(col("n_edges"), col("n_mutual"),
+        Det.rnd(col("n_mutual").cast("double") / col("n_edges"), 6)
+          .as("reciprocity"))
+  }
+
+  val reciprocitySql: String = {
+    import graft.functions.Det
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |mu AS (SELECT count(*) AS n_mutual
+       |       FROM kedges a JOIN kedges b ON b.src = a.dst AND b.dst = a.src),
+       |te AS (SELECT count(*) AS n_edges FROM kedges)
+       |SELECT n_edges, n_mutual,
+       |       ${Det.rndSql(
+          "CAST(n_mutual AS DOUBLE) / n_edges", 6)} AS reciprocity
+       |FROM te CROSS JOIN mu""".stripMargin
+  }
+
   /** DEGREE ASSORTATIVITY of the k-NN graph: the Pearson correlation
     * of endpoint degrees across edges (Newman's r) — positive means
     * high-degree vectors neighbor each other (a dense semantic core),

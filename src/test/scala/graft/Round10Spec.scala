@@ -1075,6 +1075,68 @@ class Round10Spec extends SparkSpec {
     assert(got(1997).getAs[Double]("quick_ratio") === 1.0)
   }
 
+  test("ebRates: planted rates 1/2/2/3 give Gamma(6,3) prior and exact posteriors") {
+    val s = spark; import s.implicits._
+    val customer = (0 until 8).map(i => (i.toLong, i / 2))
+      .toDF("c_custkey", "c_nationkey")
+    // nation rates: 1, 2, 2, 3 orders/customer → m=2, v=2/3 → α=6, β=3
+    val ks = Seq(0 -> 2, 1 -> 4, 2 -> 4, 3 -> 6)
+    val orders = ks.flatMap { case (nat, k) =>
+      (1 to k).map(i => (nat * 100L + i, (nat * 2).toLong))
+    }.toDF("o_orderkey", "o_custkey")
+    val got = queries.ExtensionQueries.ebRatesOf(customer, orders).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Double]("alpha") === 6.0)
+    assert(got(0).getAs[Double]("beta") === 3.0)
+    assert(got(0).getAs[Double]("raw_rate") === 1.0)
+    assert(got(0).getAs[Double]("eb_rate") === 1.6)  // (2+6)/(2+3)
+    assert(got(3).getAs[Double]("eb_rate") === 2.4)  // (6+6)/(2+3)
+  }
+
+  test("recordHighs: 10/20/15/30 sets three records vs H4") {
+    val s = spark; import s.implicits._
+    val orders = Seq(("1996-01-01", 10.0), ("1996-01-02", 20.0),
+      ("1996-01-03", 15.0), ("1996-01-04", 30.0)).zipWithIndex
+      .map { case ((d, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(s"$d 00:00:00"), v)
+      }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = queries.ExtensionQueries.recordHighsOf(orders).collect()(0)
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("n_records") === 3L)
+    assert(r.getAs[String]("last_record_day") === "1996-01-04")
+    assert(r.getAs[Double]("expected_records") === 2.0833) // H4
+    assert(r.getAs[Double]("record_ratio") === 1.44)
+  }
+
+  test("taylorLaw: planted v = m^2/2 recovers slope 2, R^2 1") {
+    val s = spark; import s.implicits._
+    val customer = Seq((0L, 0), (1L, 1), (2L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    // monthly counts per nation: (1,3), (2,6), (4,12) → v = m²/2
+    val plan = Seq((0L, "1996-01", 1), (0L, "1996-02", 3),
+      (1L, "1996-01", 2), (1L, "1996-02", 6),
+      (2L, "1996-01", 4), (2L, "1996-02", 12))
+    val orders = plan.flatMap { case (ck, mo, k) =>
+      (1 to k).map(i => (ck * 1000 + mo.hashCode.abs % 100 + i * 13L, ck,
+        java.sql.Timestamp.valueOf(s"$mo-05 00:00:00")))
+    }.zipWithIndex.map { case ((_, ck, ts), i) => (i.toLong, ck, ts) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = queries.ExtensionQueries.taylorLawOf(orders, customer).collect()(0)
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+    assert(math.abs(r.getAs[Double]("intercept_ln") + 0.6931) < 1e-3)
+  }
+
+  test("reciprocity: two of three directed edges are mutual") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = queries.SimilarityQueries.reciprocityOnEdges(edges).collect()(0)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_mutual") === 2L)
+    assert(r.getAs[Double]("reciprocity") === 0.666667)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
