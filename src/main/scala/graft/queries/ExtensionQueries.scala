@@ -10346,6 +10346,297 @@ object ExtensionQueries {
           4)} AS r2
        |FROM a""".stripMargin
 
+  /** PEAKS-OVER-THRESHOLD GPD fit of daily revenue exceedances — the
+    * EVT tail model between [[AnalyticsQueries]]'s Gumbel block maxima
+    * (annual-maximum framing, wastes within-block data) and
+    * `q_hill_tail` (pure power-law index): threshold u = the exact
+    * rank-picked q90 of daily totals (histogram prefix pick, the
+    * `q_median_ci` discipline), exceedances y = x − u in exact cents,
+    * GPD by method of moments ξ = (1 − m²/v)/2, σ = m(m²/v + 1)/2 —
+    * ξ > 0 reads heavy-tailed. Moments decimal-widened; the two
+    * parameters are fixed doubles; degenerate v = 0 emits NULLs,
+    * mirrored. */
+  def potGpd(spark: SparkSession, dir: String): DataFrame =
+    potGpdOf(Tables(spark, dir, "orders"))
+
+  private[graft] def potGpdOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val byDay = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val u = byDay.groupBy("c").agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("n", sum("t").over(full))
+      .filter(col("cum") * 10 >= col("n") * 9)
+      .agg(min("c").as("u"))
+    val exc = byDay.crossJoin(broadcast(u))
+      .filter(col("c") > col("u"))
+      .select((col("c") - col("u")).as("y"), col("u"))
+    exc.agg(count(lit(1)).as("n_exceed"), max("u").as("u"),
+        sum("y").as("s"), sum(col("y").cast(d38) * col("y")).as("q"))
+      .select(
+        Det.rnd(col("u").cast("double") / 100.0, 2).as("threshold"),
+        col("n_exceed"),
+        (col("s").cast("double") / col("n_exceed")).as("m"),
+        (when(col("n_exceed") >= 2,
+          (col("q").cast("double") - col("s").cast("double")
+            * col("s") / col("n_exceed")) / (col("n_exceed") - 1))).as("v"),
+        col("s"))
+      .select(col("threshold"), col("n_exceed"),
+        Det.rnd(col("m") / 100.0, 2).as("mean_excess"),
+        Det.rnd(when(col("v") > 0,
+          (lit(1.0) - col("m") * col("m") / col("v")) / 2.0), 4).as("xi"),
+        Det.rnd(when(col("v") > 0,
+          col("m") * (col("m") * col("m") / col("v") + 1.0) / 2.0 / 100.0), 2)
+          .as("sigma"))
+  }
+
+  val potGpdSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |h AS (SELECT c, count(*) AS t FROM byday GROUP BY 1),
+       |u AS (SELECT min(c) AS u FROM (
+       |        SELECT c,
+       |               sum(t) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+       |                            AND CURRENT ROW) AS cum,
+       |               sum(t) OVER () AS n
+       |        FROM h)
+       |      WHERE cum * 10 >= n * 9),
+       |exc AS (SELECT c - u AS y, u FROM byday CROSS JOIN u WHERE c > u),
+       |a AS (
+       |  SELECT count(*) AS n_exceed, max(u) AS u, CAST(sum(y) AS BIGINT) AS s,
+       |         sum(CAST(y AS HUGEINT) * y) AS q
+       |  FROM exc),
+       |m AS (
+       |  SELECT u, n_exceed, CAST(s AS DOUBLE) / n_exceed AS m,
+       |         CASE WHEN n_exceed >= 2 THEN
+       |           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_exceed)
+       |             / (n_exceed - 1) END AS v
+       |  FROM a)
+       |SELECT ${Det.rndSql("CAST(u AS DOUBLE) / 100.0", 2)} AS threshold,
+       |       n_exceed,
+       |       ${Det.rndSql("m / 100.0", 2)} AS mean_excess,
+       |       ${Det.rndSql(
+          "CASE WHEN v > 0 THEN (1.0 - m * m / v) / 2.0 END", 4)} AS xi,
+       |       ${Det.rndSql(
+          "CASE WHEN v > 0 THEN m * (m * m / v + 1.0) / 2.0 / 100.0 END",
+          2)} AS sigma
+       |FROM m""".stripMargin
+
+  /** PERMUTATION (ordinal-pattern) ENTROPY of the daily revenue
+    * series, window m = 3 — the complexity readout between
+    * `q_sample_entropy` (metric, tolerance-based) and
+    * `q_entropy_rate` (symbolic, needs a state alphabet): ordinal
+    * patterns need NO tolerance and NO binning. Each day's pattern is
+    * the three pairwise comparison bits of (xₜ, xₜ₊₁, xₜ₊₂) — the
+    * tie-deterministic variant of the classic strict-ranking encoding
+    * (documented; ties collapse to the ≤ branch identically on both
+    * engines). 8-cell exact integer histogram → −Σp·ln p fenced, plus
+    * the ln-8-normalized score. */
+  def permutationEntropy(spark: SparkSession, dir: String): DataFrame =
+    permutationEntropyOf(Tables(spark, dir, "orders"))
+
+  private[graft] def permutationEntropyOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+    val w = Window.orderBy("d")
+    val pat = byDay
+      .withColumn("c1", lead("c", 1).over(w))
+      .withColumn("c2", lead("c", 2).over(w))
+      .filter(col("c2").isNotNull)
+      .select((when(col("c1") > col("c"), 1L).otherwise(0L)
+        + when(col("c2") > col("c"), 2L).otherwise(0L)
+        + when(col("c2") > col("c1"), 4L).otherwise(0L)).as("pat"))
+    val h = pat.groupBy("pat").agg(count(lit(1)).as("t"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    h.withColumn("n", sum("t").over(full))
+      .select(Det.units(col("t").cast("double") / col("n")
+        * log(col("t").cast("double") / col("n")), 9).as("e9"),
+        col("n"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_patterns"), sum("e9").as("s9"))
+      .select(col("n").as("n_windows"), col("n_patterns"),
+        Det.rnd(-col("s9").cast("double") / 1e9, 6).as("h"),
+        Det.rnd(-col("s9").cast("double") / 1e9 / math.log(8.0), 6)
+          .as("h_norm"))
+  }
+
+  val permutationEntropySql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |pat AS (
+       |  SELECT (CASE WHEN c1 > c THEN 1 ELSE 0 END
+       |          + CASE WHEN c2 > c THEN 2 ELSE 0 END
+       |          + CASE WHEN c2 > c1 THEN 4 ELSE 0 END) AS pat
+       |  FROM (SELECT c, lead(c, 1) OVER (ORDER BY d) AS c1,
+       |               lead(c, 2) OVER (ORDER BY d) AS c2
+       |        FROM byday)
+       |  WHERE c2 IS NOT NULL),
+       |h AS (SELECT pat, count(*) AS t FROM pat GROUP BY 1),
+       |e AS (
+       |  SELECT CAST(any_value(n) AS BIGINT) AS n, count(*) AS n_patterns,
+       |         CAST(sum(${Det.unitsSql(
+          "CAST(t AS DOUBLE) / n * ln(CAST(t AS DOUBLE) / n)",
+          9)}) AS BIGINT) AS s9
+       |  FROM (SELECT t, sum(t) OVER () AS n FROM h))
+       |SELECT n AS n_windows, n_patterns,
+       |       ${Det.rndSql("-CAST(s9 AS DOUBLE) / 1e9", 6)} AS h,
+       |       ${Det.rndSql(
+          s"-CAST(s9 AS DOUBLE) / 1e9 / ${math.log(8.0)}", 6)} AS h_norm
+       |FROM e""".stripMargin
+
+  /** MAXIMUM DRAWDOWN of the daily revenue LEVEL — worst peak-to-
+    * trough decline and where it happened: the risk readout
+    * `q_cusum_changepoint` (sustained mean shift) and
+    * `q_reflected_balance` (clamped walk) bracket but don't report.
+    * One running-max window over the calendar day histogram, exact
+    * cents throughout; the trough is the argmax of drawdown
+    * (ties → earliest day), its peak is the LATEST prior day
+    * attaining the running max — both picks deterministic. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame =
+    maxDrawdownOf(Tables(spark, dir, "orders"))
+
+  private[graft] def maxDrawdownOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+      .localCheckpoint() // calendar-bounded; trough + peak-day reads
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val dd = byDay
+      .withColumn("peak", max("c").over(w))
+      .withColumn("dd", col("peak") - col("c"))
+    val trough = dd
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("dd").desc, col("d").asc)))
+      .filter(col("rk") === 1)
+      .select(col("d").as("trough_day"), col("peak").as("tpeak"),
+        col("dd").as("tdd"))
+    val peakDay = dd.crossJoin(broadcast(trough))
+      .filter(col("c") === col("tpeak") && col("d") <= col("trough_day"))
+      .agg(max("d").as("peak_day"))
+    trough.crossJoin(broadcast(peakDay))
+      .select(
+        Det.rnd(col("tdd").cast("double") / 100.0, 2).as("max_drawdown"),
+        Det.rnd(col("tpeak").cast("double") / 100.0, 2).as("peak_revenue"),
+        date_format(col("peak_day"), "yyyy-MM-dd").as("peak_day"),
+        date_format(col("trough_day"), "yyyy-MM-dd").as("trough_day"),
+        datediff(col("trough_day"), col("peak_day")).as("days_underwater"))
+  }
+
+  val maxDrawdownSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |dd AS (
+       |  SELECT d, c,
+       |         max(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND CURRENT ROW) AS peak
+       |  FROM byday),
+       |tr AS (
+       |  SELECT d AS trough_day, peak, peak - c AS dd
+       |  FROM dd ORDER BY peak - c DESC, d LIMIT 1),
+       |pk AS (
+       |  SELECT max(dd.d) AS peak_day
+       |  FROM dd CROSS JOIN tr
+       |  WHERE dd.c = tr.peak AND dd.d <= tr.trough_day)
+       |SELECT ${Det.rndSql("CAST(dd AS DOUBLE) / 100.0", 2)} AS max_drawdown,
+       |       ${Det.rndSql("CAST(peak AS DOUBLE) / 100.0", 2)} AS peak_revenue,
+       |       strftime(peak_day, '%Y-%m-%d') AS peak_day,
+       |       strftime(trough_day, '%Y-%m-%d') AS trough_day,
+       |       CAST(date_diff('day', peak_day, trough_day) AS INTEGER)
+       |         AS days_underwater
+       |FROM tr CROSS JOIN pk""".stripMargin
+
+  /** LASPEYRES / PAASCHE / FISHER monthly PRICE INDICES over the
+    * parts basket — the national-accounts question "did revenue move
+    * because prices moved or because the basket moved?", which no
+    * single-series operator here separates. Unit values are
+    * extendedprice/quantity per (part, month), fenced to 4dp-cent
+    * integer units; index numerators/denominators are exact decimal
+    * sums of fenced-price × exact-base-quantity products over parts
+    * present in BOTH the base month and the current month (matched-
+    * sample convention, documented); Fisher = √(L·P). */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame =
+    priceIndexOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def priceIndexOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val pm = lineitem
+      .groupBy(col("l_partkey").as("part"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(Det.cents(col("l_extendedprice"))).as("v"),
+        sum(col("l_quantity").cast("long")).as("q"))
+      .select(col("part"), col("month"), col("q"),
+        Det.units(col("v").cast("double") / col("q") / 100.0, 4).as("p4"))
+    val base = pm
+      .withColumn("m0", min("month").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("month") === col("m0"))
+      .select(col("part"), col("p4").as("p0"), col("q").as("q0"))
+    pm.join(base, "part")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p4").cast(d38) * col("q0")).as("ptq0"),
+        sum(col("p0").cast(d38) * col("q0")).as("p0q0"),
+        sum(col("p4").cast(d38) * col("q")).as("ptqt"),
+        sum(col("p0").cast(d38) * col("q")).as("p0qt"))
+      .select(col("month"), col("n_parts"),
+        Det.rnd(col("ptq0").cast("double") / col("p0q0").cast("double"), 4)
+          .as("laspeyres"),
+        Det.rnd(col("ptqt").cast("double") / col("p0qt").cast("double"), 4)
+          .as("paasche"),
+        Det.rnd(sqrt((col("ptq0").cast("double") / col("p0q0").cast("double"))
+          * (col("ptqt").cast("double") / col("p0qt").cast("double"))), 4)
+          .as("fisher"))
+      .orderBy("month")
+  }
+
+  val priceIndexSql: String =
+    s"""WITH pm AS (
+       |  SELECT l_partkey AS part, strftime(l_shipdate, '%Y-%m') AS month,
+       |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+       |         ${Det.unitsSql(
+          s"CAST(CAST(sum(${Det.centsSql("l_extendedprice")}) AS BIGINT)" +
+            " AS DOUBLE) / sum(CAST(l_quantity AS BIGINT)) / 100.0",
+          4)} AS p4
+       |  FROM lineitem GROUP BY 1, 2),
+       |base AS (
+       |  SELECT part, p4 AS p0, q AS q0
+       |  FROM pm WHERE month = (SELECT min(month) FROM pm))
+       |SELECT pm.month, count(*) AS n_parts,
+       |       ${Det.rndSql(
+          "CAST(sum(CAST(p4 AS HUGEINT) * q0) AS DOUBLE)" +
+            " / CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DOUBLE)",
+          4)} AS laspeyres,
+       |       ${Det.rndSql(
+          "CAST(sum(CAST(p4 AS HUGEINT) * q) AS DOUBLE)" +
+            " / CAST(sum(CAST(p0 AS HUGEINT) * q) AS DOUBLE)",
+          4)} AS paasche,
+       |       ${Det.rndSql(
+          "sqrt((CAST(sum(CAST(p4 AS HUGEINT) * q0) AS DOUBLE)" +
+            " / CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DOUBLE))" +
+            " * (CAST(sum(CAST(p4 AS HUGEINT) * q) AS DOUBLE)" +
+            " / CAST(sum(CAST(p0 AS HUGEINT) * q) AS DOUBLE)))",
+          4)} AS fisher
+       |FROM pm JOIN base USING (part)
+       |GROUP BY 1
+       |ORDER BY month""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

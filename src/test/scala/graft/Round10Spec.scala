@@ -1137,6 +1137,66 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Double]("reciprocity") === 0.666667)
   }
 
+  test("potGpd: 20 ramp days give the closed-form GPD moments") {
+    val s = spark; import s.implicits._
+    val orders = (1 to 20).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"1996-01-$i%02d 00:00:00"), i.toDouble))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = queries.ExtensionQueries.potGpdOf(orders).collect()(0)
+    assert(r.getAs[Double]("threshold") === 18.0) // rank-picked q90
+    assert(r.getAs[Long]("n_exceed") === 2L)      // 19, 20
+    assert(r.getAs[Double]("mean_excess") === 1.5)
+    // m=150c, v=5000c² → ξ = (1 − 4.5)/2, σ = 150·5.5/2 = 412.5c
+    assert(r.getAs[Double]("xi") === -1.75)
+    assert(r.getAs[Double]("sigma") === 4.13)
+  }
+
+  test("permutationEntropy: alternating series uses exactly two patterns") {
+    val s = spark; import s.implicits._
+    val orders = (1 to 12).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"1996-01-$i%02d 00:00:00"),
+        if (i % 2 == 1) 1.0 else 2.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = queries.ExtensionQueries.permutationEntropyOf(orders).collect()(0)
+    assert(r.getAs[Long]("n_windows") === 10L)
+    assert(r.getAs[Long]("n_patterns") === 2L)
+    assert(r.getAs[Double]("h") === 0.693147)       // ln 2
+    assert(r.getAs[Double]("h_norm") === 0.333333)  // ln2/ln8
+  }
+
+  test("maxDrawdown: 10/30/5/20 falls 25 from the day-2 peak") {
+    val s = spark; import s.implicits._
+    val orders = Seq(10.0, 30.0, 5.0, 20.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"1996-01-${i + 1}%02d 00:00:00"), v)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = queries.ExtensionQueries.maxDrawdownOf(orders).collect()(0)
+    assert(r.getAs[Double]("max_drawdown") === 25.0)
+    assert(r.getAs[Double]("peak_revenue") === 30.0)
+    assert(r.getAs[String]("peak_day") === "1996-01-02")
+    assert(r.getAs[String]("trough_day") === "1996-01-03")
+    assert(r.getAs[Int]("days_underwater") === 1)
+  }
+
+  test("priceIndex: planted basket gives Laspeyres 5/3, Paasche 4/3") {
+    val s = spark; import s.implicits._
+    // (part, month, unit price, qty); extendedprice = p·q
+    val rows = Seq(
+      (1L, "1996-01", 2.0, 10L), (2L, "1996-01", 1.0, 10L),
+      (1L, "1996-02", 4.0, 5L), (2L, "1996-02", 1.0, 20L))
+    val lineitem = rows.zipWithIndex.map { case ((p, mo, pr, q), i) =>
+      (i.toLong, p, q.toDouble, pr * q,
+        java.sql.Timestamp.valueOf(s"$mo-15 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_shipdate")
+    val got = queries.ExtensionQueries.priceIndexOf(lineitem).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("1996-01").getAs[Double]("laspeyres") === 1.0)
+    assert(got("1996-01").getAs[Double]("fisher") === 1.0)
+    assert(got("1996-02").getAs[Double]("laspeyres") === 1.6667)
+    assert(got("1996-02").getAs[Double]("paasche") === 1.3333)
+    assert(got("1996-02").getAs[Double]("fisher") === 1.4907)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
