@@ -10637,6 +10637,325 @@ object ExtensionQueries {
        |GROUP BY 1
        |ORDER BY month""".stripMargin
 
+  /** ABC × XYZ inventory matrix — [[abcAnalysis]]'s revenue classes
+    * crossed with demand-VARIABILITY classes (X: monthly-quantity
+    * CV ≤ 0.5 steady, Y: ≤ 1.0, Z: erratic — pinned thresholds): the
+    * 9-cell planning matrix ops teams stock by (AX = automate,
+    * CZ = make-to-order). Same exact-revenue classing idiom as ABC;
+    * CV per part from exact monthly-quantity moments, compared
+    * against the thresholds as one double each; parts with a single
+    * active month class Z (no variability estimate — the
+    * conservative bucket, mirrored). */
+  def abcXyz(spark: SparkSession, dir: String): DataFrame =
+    abcXyzOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def abcXyzOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    val rev = lineitem
+      .groupBy("l_partkey")
+      .agg(((sum(units.cast("decimal(38,0)")) + 50).cast("decimal(38,0)") / 100)
+        .cast("long").as("rev"))
+    val w = Window.orderBy(desc("rev"), asc("l_partkey"))
+    val abc = rev
+      .withColumn("cum", sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("rev").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("abc_class"), col("rev"))
+    val xyz = lineitem
+      .groupBy(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("nm"), sum("q").as("s"),
+        sum(col("q") * col("q")).as("sq"))
+      .select(col("l_partkey"),
+        when(col("nm") >= 2,
+          sqrt((col("sq").cast("double") - col("s").cast("double")
+            * col("s") / col("nm")) / (col("nm") - 1))
+            / (col("s").cast("double") / col("nm"))).as("cv"))
+      .select(col("l_partkey"),
+        when(col("cv").isNull, "Z").when(col("cv") <= 0.5, "X")
+          .when(col("cv") <= 1.0, "Y").otherwise("Z").as("xyz_class"))
+    abc.join(xyz, "l_partkey")
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("revc"))
+      .withColumn("revenue_share", Det.rnd(col("revc").cast("double")
+        / sum("revc").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 6))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        Det.rnd(col("revc").cast("double") / 100.0, 2).as("revenue"),
+        col("revenue_share"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
+  val abcXyzSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey,
+       |         CAST((sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |                        AS HUGEINT)) + 50) // 100 AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |abc AS (
+       |  SELECT l_partkey, rev,
+       |         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+       |              WHEN cum * 100 <= total * 95 THEN 'B'
+       |              ELSE 'C' END AS abc_class
+       |  FROM (SELECT l_partkey, rev,
+       |               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |               sum(rev) OVER () AS total
+       |        FROM rev)),
+       |mq AS (
+       |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+       |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+       |  FROM lineitem GROUP BY 1, 2),
+       |xyz AS (
+       |  SELECT l_partkey,
+       |         CASE WHEN cv IS NULL THEN 'Z' WHEN cv <= 0.5 THEN 'X'
+       |              WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+       |  FROM (SELECT l_partkey,
+       |               CASE WHEN count(*) >= 2 THEN
+       |                 sqrt((CAST(sum(q * q) AS DOUBLE) - CAST(sum(q) AS DOUBLE)
+       |                         * sum(q) / count(*)) / (count(*) - 1))
+       |                   / (CAST(sum(q) AS DOUBLE) / count(*)) END AS cv
+       |        FROM mq GROUP BY 1))
+       |SELECT abc_class, xyz_class, count(*) AS n_parts,
+       |       ${Det.rndSql("CAST(sum(rev) AS DOUBLE) / 100.0", 2)} AS revenue,
+       |       ${Det.rndSql(
+          "CAST(sum(rev) AS DOUBLE) / sum(sum(rev)) OVER ()", 6)} AS revenue_share
+       |FROM abc JOIN xyz USING (l_partkey)
+       |GROUP BY 1, 2
+       |ORDER BY abc_class, xyz_class""".stripMargin
+
+  /** DAU/MAU STICKINESS per calendar month — "of the users who showed
+    * up this month, what share shows up on an average day?": the
+    * engagement-quality scalar `q_active_users`'s rolling windows
+    * don't produce. Exact distinct counts per day and per month; the
+    * ratio is one fenced division. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame =
+    stickinessOf(Tables(spark, dir, "events"))
+
+  private[graft] def stickinessOf(events: DataFrame): DataFrame = {
+    val dau = events
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .groupBy("month", "d").agg(count(lit(1)).as("dau"))
+      .groupBy("month").agg(count(lit(1)).as("n_days"), sum("dau").as("sdau"))
+    val mau = events
+      .select(date_format(col("ts"), "yyyy-MM").as("month"), col("user_id"))
+      .distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("n_days"), col("mau"),
+        Det.rnd(col("sdau").cast("double") / col("n_days"), 2).as("avg_dau"),
+        Det.rnd(col("sdau").cast("double") / col("n_days") / col("mau"), 4)
+          .as("stickiness"))
+      .orderBy("month")
+  }
+
+  val stickinessSql: String =
+    s"""WITH dd AS (
+       |  SELECT DISTINCT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS d,
+       |         user_id
+       |  FROM events),
+       |dau AS (
+       |  SELECT month, count(*) AS n_days, CAST(sum(dau) AS BIGINT) AS sdau
+       |  FROM (SELECT month, d, count(*) AS dau FROM dd GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |mau AS (
+       |  SELECT month, count(*) AS mau
+       |  FROM (SELECT DISTINCT month, user_id FROM dd) GROUP BY 1)
+       |SELECT month, n_days, mau,
+       |       ${Det.rndSql("CAST(sdau AS DOUBLE) / n_days", 2)} AS avg_dau,
+       |       ${Det.rndSql(
+          "CAST(sdau AS DOUBLE) / n_days / mau", 4)} AS stickiness
+       |FROM dau JOIN mau USING (month)
+       |ORDER BY month""".stripMargin
+
+  /** INTRACLASS CORRELATION ICC(1) of account balance within nations
+    * — "how much of balance variance is BETWEEN nations?", the
+    * variance-components reliability scalar that decides whether
+    * nation is worth stratifying on ([[anovaF]] tests the same
+    * decomposition; ICC reports it as a share with the unbalanced-
+    * design n₀ correction). MSB/MSW from exact decimal-widened power
+    * sums; n₀ = (N − Σnᵢ²/N)/(k−1); one fixed expression. */
+  def icc(spark: SparkSession, dir: String): DataFrame =
+    iccOf(Tables(spark, dir, "customer"))
+
+  private[graft] def iccOf(customer: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = customer
+      .select(col("c_nationkey").as("g"), Det.cents(col("c_acctbal")).as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+        sum(col("c").cast(d38) * col("c")).as("qi"))
+    g.agg(count(lit(1)).as("k"), sum("ni").as("n"),
+        sum("si").as("s"), sum("qi").as("q"),
+        // per-group sᵢ²/nᵢ fenced to INTEGER cents² (values ~1e14 sit
+        // far below 2⁵³; a raw double sum re-orders across engines and
+        // moved the 2dp msb output at sf0.1) then exact decimal sum
+        sum(Det.units(col("si").cast("double") * col("si") / col("ni"), 0)
+          .cast("decimal(38,0)")).cast("double").as("gm"),
+        sum(col("ni") * col("ni")).as("n2"))
+      .select(col("k"), col("n"),
+        Det.rnd(expr("(gm - CAST(s AS DOUBLE) * s / n) / (k - 1)"), 2).as("msb"),
+        Det.rnd(expr("(CAST(q AS DOUBLE) - gm) / (n - k)"), 2).as("msw"),
+        Det.rnd(expr(
+          "CASE WHEN (gm - CAST(s AS DOUBLE) * s / n) / (k - 1)" +
+            " + ((n - n2 / n) / (k - 1) - 1) * ((CAST(q AS DOUBLE) - gm) / (n - k))" +
+            " = 0.0 THEN 0.0 ELSE " +
+            "((gm - CAST(s AS DOUBLE) * s / n) / (k - 1)" +
+            " - (CAST(q AS DOUBLE) - gm) / (n - k))" +
+            " / ((gm - CAST(s AS DOUBLE) * s / n) / (k - 1)" +
+            " + ((n - n2 / n) / (k - 1) - 1)" +
+            " * ((CAST(q AS DOUBLE) - gm) / (n - k))) END"), 6).as("icc1"))
+  }
+
+  val iccSql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey AS g, count(*) AS ni,
+       |         CAST(sum(${Det.centsSql("c_acctbal")}) AS BIGINT) AS si,
+       |         sum(CAST(${Det.centsSql("c_acctbal")} AS HUGEINT)
+       |             * ${Det.centsSql("c_acctbal")}) AS qi
+       |  FROM customer GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS n,
+       |         CAST(sum(si) AS BIGINT) AS s, sum(qi) AS q,
+       |         CAST(sum(${Det.unitsSql(
+          "CAST(si AS DOUBLE) * si / ni", 0)}) AS DOUBLE) AS gm,
+       |         CAST(sum(ni * ni) AS BIGINT) AS n2
+       |  FROM g)
+       |SELECT k, n,
+       |       ${Det.rndSql(
+          "(gm - CAST(s AS DOUBLE) * s / n) / (k - 1)", 2)} AS msb,
+       |       ${Det.rndSql("(CAST(q AS DOUBLE) - gm) / (n - k)", 2)} AS msw,
+       |       ${Det.rndSql(
+          "CASE WHEN (gm - CAST(s AS DOUBLE) * s / n) / (k - 1)" +
+            " + ((n - n2 / n) / (k - 1) - 1) * ((CAST(q AS DOUBLE) - gm) / (n - k))" +
+            " = 0.0 THEN 0.0 ELSE " +
+            "((gm - CAST(s AS DOUBLE) * s / n) / (k - 1)" +
+            " - (CAST(q AS DOUBLE) - gm) / (n - k))" +
+            " / ((gm - CAST(s AS DOUBLE) * s / n) / (k - 1)" +
+            " + ((n - n2 / n) / (k - 1) - 1)" +
+            " * ((CAST(q AS DOUBLE) - gm) / (n - k))) END", 6)} AS icc1
+       |FROM a""".stripMargin
+
+  /** FIXED- AND RANDOM-EFFECTS META-ANALYSIS of the per-region
+    * treatment effect (modmul-bucket treatment, outcome = customer
+    * order spend): inverse-variance pooling, Cochran's Q
+    * heterogeneity, DerSimonian–Laird τ², and I² — the "do the five
+    * regions even agree?" layer that a single pooled
+    * [[mantelHaenszel]]-style estimate hides. Per-region moments are
+    * exact decimal-widened integers; the 5-row inverse-variance
+    * reduction is the [[anovaF]] k-row double discipline; τ² and I²
+    * clamp at 0, mirrored. */
+  def metaAnalysis(spark: SparkSession, dir: String): DataFrame =
+    metaAnalysisOf(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  private[graft] def metaAnalysisOf(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("y0"))
+    val base = customer
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("stratum"),
+        (expr(TextQueries.splitBucketOf("c_custkey")) < 50).as("t"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val g = base.groupBy("stratum")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("st"),
+        sum(when(col("t"), col("y").cast(d38) * col("y")).otherwise(lit(0L)
+          .cast(d38))).as("qt"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("sc"),
+        sum(when(!col("t"), col("y").cast(d38) * col("y")).otherwise(lit(0L)
+          .cast(d38))).as("qc"))
+      .filter(col("nt") >= 2 && col("nc") >= 2)
+      .select(
+        ((col("st").cast("double") / col("nt")
+          - col("sc").cast("double") / col("nc")) / 100.0).as("eff"),
+        (((col("qt").cast("double") - col("st").cast("double")
+          * col("st") / col("nt")) / (col("nt") - 1) / col("nt")
+          + (col("qc").cast("double") - col("sc").cast("double")
+            * col("sc") / col("nc")) / (col("nc") - 1) / col("nc")) / 1e4)
+          .as("v"))
+      .filter(col("v") > 0)
+      .select(col("eff"), (lit(1.0) / col("v")).as("w"))
+    g.agg(count(lit(1)).as("k"), sum("w").as("sw"),
+        sum(col("w") * col("w")).as("sw2"),
+        sum(col("w") * col("eff")).as("swe"),
+        sum(col("w") * col("eff") * col("eff")).as("swe2"))
+      .select(col("k"),
+        Det.rnd(expr("swe / sw"), 4).as("theta_fixed"),
+        Det.rnd(expr("swe2 - swe * swe / sw"), 4).as("q_stat"),
+        Det.rnd(expr(
+          "greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
+            " / (sw - sw2 / sw))"), 6).as("tau2"),
+        Det.rnd(expr(
+          "CASE WHEN swe2 - swe * swe / sw = 0.0 THEN 0.0 ELSE" +
+            " greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
+            " / (swe2 - swe * swe / sw)) END"), 4).as("i2"))
+  }
+
+  val metaAnalysisSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT)
+       |           AS y0
+       |  FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT r_name AS stratum,
+       |         ${TextQueries.splitBucketSqlOf("c_custkey")} < 50 AS t,
+       |         coalesce(y0, 0) AS y
+       |  FROM customer
+       |  LEFT JOIN spend ON o_custkey = c_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey),
+       |cells AS (
+       |  SELECT stratum,
+       |         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |         CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS st,
+       |         sum(CASE WHEN t THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qt,
+       |         CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |         CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS sc,
+       |         sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qc
+       |  FROM base GROUP BY 1),
+       |eff AS (
+       |  SELECT (CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc) / 100.0 AS eff,
+       |         ((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nt) / (nt - 1) / nt
+       |          + (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc)
+       |            / (nc - 1) / nc) / 1e4 AS v
+       |  FROM cells WHERE nt >= 2 AND nc >= 2),
+       |w AS (SELECT eff, 1.0 / v AS w FROM eff WHERE v > 0),
+       |a AS (
+       |  SELECT count(*) AS k, sum(w) AS sw, sum(w * w) AS sw2,
+       |         sum(w * eff) AS swe, sum(w * eff * eff) AS swe2
+       |  FROM w)
+       |SELECT k,
+       |       ${Det.rndSql("swe / sw", 4)} AS theta_fixed,
+       |       ${Det.rndSql("swe2 - swe * swe / sw", 4)} AS q_stat,
+       |       ${Det.rndSql(
+          "greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
+            " / (sw - sw2 / sw))", 6)} AS tau2,
+       |       ${Det.rndSql(
+          "CASE WHEN swe2 - swe * swe / sw = 0.0 THEN 0.0 ELSE" +
+            " greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
+            " / (swe2 - swe * swe / sw)) END", 4)} AS i2
+       |FROM a""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

@@ -1197,6 +1197,77 @@ class Round10Spec extends SparkSpec {
     assert(got("1996-02").getAs[Double]("fisher") === 1.4907)
   }
 
+  test("abcXyz: planted revenue shares and CVs land in AX/BY/CZ") {
+    val s = spark; import s.implicits._
+    def li(id: Long, part: Long, mo: String, q: Double, ep: Double) =
+      (id, part, q, ep, 0.0, java.sql.Timestamp.valueOf(s"$mo-10 00:00:00"))
+    val lineitem = Seq(
+      li(1, 1, "1996-01", 5, 40.0), li(2, 1, "1996-02", 5, 40.0), // A, cv 0 → X
+      li(3, 2, "1996-01", 2, 3.0), li(4, 2, "1996-02", 8, 12.0),  // B, cv .849 → Y
+      li(5, 3, "1996-01", 1, 5.0)                                  // C, 1 month → Z
+    ).toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate")
+    val got = queries.ExtensionQueries.abcXyzOf(lineitem).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet === Set(("A", "X"), ("B", "Y"), ("C", "Z")))
+    assert(got(("A", "X")).getAs[Double]("revenue") === 80.0)
+    assert(got(("A", "X")).getAs[Double]("revenue_share") === 0.8)
+    assert(got(("B", "Y")).getAs[Long]("n_parts") === 1L)
+  }
+
+  test("stickiness: 2-day month with DAU 2,1 over MAU 2 gives 0.75") {
+    val s = spark; import s.implicits._
+    def e(u: Long, d: Int) =
+      (u, java.sql.Timestamp.valueOf(f"1996-01-$d%02d 10:00:00"), "click")
+    val events = Seq(e(1, 1), e(2, 1), e(1, 2))
+      .toDF("user_id", "ts", "event_type")
+    val r = queries.ExtensionQueries.stickinessOf(events).collect()(0)
+    assert(r.getAs[String]("month") === "1996-01")
+    assert(r.getAs[Long]("n_days") === 2L)
+    assert(r.getAs[Long]("mau") === 2L)
+    assert(r.getAs[Double]("avg_dau") === 1.5)
+    assert(r.getAs[Double]("stickiness") === 0.75)
+  }
+
+  test("icc: two separated noisy nations give the closed form 0.960784") {
+    val s = spark; import s.implicits._
+    val customer = Seq((1L, 0, 0.0), (2L, 0, 2.0), (3L, 1, 10.0), (4L, 1, 12.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val r = queries.ExtensionQueries.iccOf(customer).collect()(0)
+    assert(r.getAs[Double]("msb") === 1000000.0) // cents²
+    assert(r.getAs[Double]("msw") === 20000.0)
+    assert(r.getAs[Double]("icc1") === 0.960784)
+  }
+
+  test("metaAnalysis: two identical-effect regions pool with zero heterogeneity") {
+    val s = spark; import s.implicits._
+    val all = (1L to 50000L)
+    def pick(reg: Int, treated: Boolean, k: Int) =
+      all.filter(x => (bucket(x) < 50) == treated)
+        .filter(x => x % 2 == reg % 2).take(k)
+    // per region: treated spends {10,12}, control {5,7} → eff 5, v 2
+    val regs = Seq(0, 1)
+    val custRows = regs.flatMap { rg =>
+      (pick(rg, treated = true, 2) ++ pick(rg, treated = false, 2))
+        .map(k => (k, rg))
+    }
+    val customer = custRows.toDF("c_custkey", "c_nationkey")
+    val spends = Seq(10.0, 12.0, 5.0, 7.0)
+    val orders = regs.flatMap { rg =>
+      val ks = pick(rg, treated = true, 2) ++ pick(rg, treated = false, 2)
+      ks.zip(spends).map { case (k, v) => (k * 10 + rg, k, v) }
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val nation = Seq((0, 0), (1, 1)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq((0, "R0"), (1, "R1")).toDF("r_regionkey", "r_name")
+    val r = queries.ExtensionQueries
+      .metaAnalysisOf(customer, orders, nation, region).collect()(0)
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Double]("theta_fixed") === 5.0)
+    assert(r.getAs[Double]("q_stat") === 0.0)
+    assert(r.getAs[Double]("tau2") === 0.0)
+    assert(r.getAs[Double]("i2") === 0.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
