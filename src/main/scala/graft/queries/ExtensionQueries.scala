@@ -10956,6 +10956,127 @@ object ExtensionQueries {
             " / (swe2 - swe * swe / sw)) END", 4)} AS i2
        |FROM a""".stripMargin
 
+  /** ACTUARIAL LIFE TABLE of customer active lifespans (years from
+    * first to last order) — the lx/dx/qx/ex columns `q_survival_km`
+    * (survival curve) and `q_nelson_aalen` (hazard) don't report:
+    * qx = the conditional "retire this year" probability at tenure t,
+    * ex = expected REMAINING active years — the number a CFO
+    * multiplies revenue-per-year by. lx via a backward cumulative
+    * over the lifespan histogram (exact integers); ex = Σ_{s>t} l(s)/
+    * l(t) + 0.5 (standard mid-year convention, documented); one
+    * fenced division per column. */
+  def lifeTable(spark: SparkSession, dir: String): DataFrame =
+    lifeTableOf(Tables(spark, dir, "orders"))
+
+  private[graft] def lifeTableOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = orders.groupBy(col("o_custkey"))
+      .agg((year(max(col("o_orderdate"))) - year(min(col("o_orderdate"))))
+        .as("t"))
+    val h = span.groupBy("t").agg(count(lit(1)).as("dx"))
+    val back = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val after = Window.orderBy("t")
+      .rowsBetween(1, Window.unboundedFollowing)
+    h.withColumn("lx", sum("dx").over(back))
+      .withColumn("sx", coalesce(sum("lx").over(after), lit(0L)))
+      .select(col("t").as("tenure_years"), col("lx"), col("dx"),
+        Det.rnd(col("dx").cast("double") / col("lx"), 6).as("qx"),
+        Det.rnd(col("sx").cast("double") / col("lx") + 0.5, 4).as("ex"))
+      .orderBy("tenure_years")
+  }
+
+  val lifeTableSql: String =
+    s"""WITH span AS (
+       |  SELECT o_custkey,
+       |         year(max(o_orderdate)) - year(min(o_orderdate)) AS t
+       |  FROM orders GROUP BY 1),
+       |h AS (SELECT t, count(*) AS dx FROM span GROUP BY 1),
+       |l AS (
+       |  SELECT t, dx,
+       |         sum(dx) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+       |                       AND UNBOUNDED FOLLOWING) AS lx
+       |  FROM h),
+       |c AS (
+       |  SELECT t, dx, lx,
+       |         coalesce(sum(lx) OVER (ORDER BY t ROWS BETWEEN 1 FOLLOWING
+       |                                AND UNBOUNDED FOLLOWING), 0) AS sx
+       |  FROM l)
+       |SELECT CAST(t AS INTEGER) AS tenure_years, CAST(lx AS BIGINT) AS lx,
+       |       CAST(dx AS BIGINT) AS dx,
+       |       ${Det.rndSql("CAST(dx AS DOUBLE) / lx", 6)} AS qx,
+       |       ${Det.rndSql("CAST(sx AS DOUBLE) / lx + 0.5", 4)} AS ex
+       |FROM c
+       |ORDER BY tenure_years""".stripMargin
+
+  private final val VariogramMaxLag = 14
+
+  /** EMPIRICAL VARIOGRAM of daily revenue, lags 1..[[VariogramMaxLag]]
+    * — γ(h) = Σ(xₜ − xₜ₊ₕ)²/(2·Nₕ): the geostatistics read of
+    * temporal structure that `q_autocorr` (two fixed lags) and
+    * `q_periodogram` (global frequencies) bracket — the lag where
+    * γ(h) flattens is the decorrelation range, directly the right
+    * window size for rolling features. Calendar-lag self-joins of the
+    * day histogram per h (exact-cents squared diffs, decimal-widened
+    * sums); the sill normalizer is the series variance from the same
+    * exact moments. */
+  def variogram(spark: SparkSession, dir: String): DataFrame =
+    variogramOf(Tables(spark, dir, "orders"))
+
+  private[graft] def variogramOf(orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byDay = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+      .localCheckpoint() // calendar-bounded; both join sides + variance
+    val vr = byDay.agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c").cast(d38) * col("c")).as("q"))
+      .select(((col("q").cast("double") - col("s").cast("double")
+        * col("s") / col("n")) / (col("n") - 1)).as("sill"))
+    val lags = byDay
+      .select(col("d"), col("c"), explode(sequence(lit(1),
+        lit(VariogramMaxLag))).as("h"))
+      .join(byDay.select(col("d").as("d2"), col("c").as("c2")),
+        expr("date_add(d, h) = d2"))
+    lags.groupBy("h")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("c") - col("c2")).cast(d38) * (col("c") - col("c2")))
+          .as("ssd"))
+      .crossJoin(broadcast(vr))
+      .select(col("h").as("lag_days"), col("n_pairs"),
+        Det.rnd(col("ssd").cast("double") / (col("n_pairs") * 2.0) / 1e4, 2)
+          .as("gamma"),
+        Det.rnd(col("ssd").cast("double") / (col("n_pairs") * 2.0)
+          / col("sill"), 4).as("gamma_over_sill"))
+      .orderBy("lag_days")
+  }
+
+  val variogramSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |vr AS (
+       |  SELECT (CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+       |          - CAST(sum(c) AS DOUBLE) * sum(c) / count(*)) / (count(*) - 1)
+       |           AS sill
+       |  FROM byday),
+       |lags AS (
+       |  SELECT h.h, a.c AS c, b.c AS c2
+       |  FROM byday a, (SELECT unnest(range(1, ${VariogramMaxLag + 1})) AS h) h
+       |  JOIN byday b ON b.d = a.d + CAST(h.h AS INTEGER)),
+       |g AS (
+       |  SELECT h AS lag_days, count(*) AS n_pairs,
+       |         sum(CAST(c - c2 AS HUGEINT) * (c - c2)) AS ssd
+       |  FROM lags GROUP BY 1)
+       |SELECT CAST(lag_days AS INTEGER) AS lag_days, n_pairs,
+       |       ${Det.rndSql(
+          "CAST(ssd AS DOUBLE) / (n_pairs * 2.0) / 1e4", 2)} AS gamma,
+       |       ${Det.rndSql(
+          "CAST(ssd AS DOUBLE) / (n_pairs * 2.0) / sill", 4)} AS gamma_over_sill
+       |FROM g CROSS JOIN vr
+       |ORDER BY lag_days""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

@@ -6154,6 +6154,142 @@ object TextQueries {
             " + pow(1.0 - CAST(spos AS DOUBLE) / (n * 3), 2))) END", 6)} AS kappa
        |FROM a""".stripMargin
 
+  /** COCHRAN'S Q test across the three binary rule raters of
+    * [[fleissKappa]] — the k-matched-samples hypothesis test the
+    * kappa's descriptive agreement score stops short of: do the three
+    * raters mark DIFFERENT positive rates on the same documents
+    * (the binary Friedman)? Q = (k−1)(k·ΣCⱼ² − N²)/(k·N − ΣRᵢ²) with
+    * column totals Cⱼ (per-rater positives), row totals Rᵢ (per-doc
+    * positives), N = ΣRᵢ — ALL exact integers off one corpus pass;
+    * Q is a single fixed double, compared against the pinned
+    * χ²₀.₀₅(2) = 5.991. Degenerate denominator (all rows unanimous)
+    * emits Q = 0, mirrored. */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame =
+    cochranQOf(Tables(spark, dir, "documents"))
+
+  private[graft] def cochranQOf(docs: DataFrame): DataFrame = {
+    val rated = docs.select(
+      when(length(trim(col("text"))) >= 200, 1L).otherwise(0L).as("r1"),
+      when(size(split(trim(col("text")), "\\s+")) >= 40, 1L).otherwise(0L)
+        .as("r2"),
+      when(col("text").contains("the"), 1L).otherwise(0L).as("r3"))
+    rated
+      .agg(count(lit(1)).as("n_docs"),
+        sum("r1").as("c1"), sum("r2").as("c2"), sum("r3").as("c3"),
+        sum((col("r1") + col("r2") + col("r3"))
+          * (col("r1") + col("r2") + col("r3"))).as("sr2"))
+      .select(col("n_docs"), col("c1"), col("c2"), col("c3"),
+        Det.rnd(expr(
+          "CASE WHEN 3 * (c1 + c2 + c3) - sr2 = 0 THEN 0.0 ELSE " +
+            "2.0 * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2" +
+            " + CAST(c3 AS DOUBLE) * c3)" +
+            " - CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3))" +
+            " / (3 * (c1 + c2 + c3) - sr2) END"), 4).as("q_stat"))
+      .withColumn("reject_5pct", col("q_stat") > 5.991)
+  }
+
+  val cochranQSql: String =
+    s"""WITH rated AS (
+       |  SELECT CASE WHEN length(trim(text)) >= 200 THEN 1 ELSE 0 END AS r1,
+       |         CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 40
+       |              THEN 1 ELSE 0 END AS r2,
+       |         CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS r3
+       |  FROM documents),
+       |a AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(r1) AS BIGINT) AS c1, CAST(sum(r2) AS BIGINT) AS c2,
+       |         CAST(sum(r3) AS BIGINT) AS c3,
+       |         CAST(sum((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sr2
+       |  FROM rated)
+       |SELECT n_docs, c1, c2, c3,
+       |       ${Det.rndSql(
+          "CASE WHEN 3 * (c1 + c2 + c3) - sr2 = 0 THEN 0.0 ELSE " +
+            "2.0 * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2" +
+            " + CAST(c3 AS DOUBLE) * c3)" +
+            " - CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3))" +
+            " / (3 * (c1 + c2 + c3) - sr2) END", 4)} AS q_stat,
+       |       ${Det.rndSql(
+          "CASE WHEN 3 * (c1 + c2 + c3) - sr2 = 0 THEN 0.0 ELSE " +
+            "2.0 * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2" +
+            " + CAST(c3 AS DOUBLE) * c3)" +
+            " - CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3))" +
+            " / (3 * (c1 + c2 + c3) - sr2) END", 4)} > 5.991 AS reject_5pct
+       |FROM a""".stripMargin
+
+  private final val KeynessTopK = 20
+
+  /** DUNNING LOG-LIKELIHOOD KEYNESS — which terms CHARACTERIZE each
+    * source against the rest of the corpus: the G² = 2ΣO·ln(O/E)
+    * statistic over each term's 2×2 (in-source vs rest occurrence)
+    * table, the corpus-linguistics standard that behaves at low
+    * counts where [[tfidfTopTerms]]'s idf and χ² both break. Exact
+    * integer contingencies off one (source × term) aggregation;
+    * each cell's O·ln(O/E) is one double on exact ints (zero cells
+    * contribute 0 by the xlnx limit, guarded identically); top
+    * [[KeynessTopK]] overrepresented terms (O > E) by G², ties on
+    * (source, term). */
+  def keyness(spark: SparkSession, dir: String): DataFrame =
+    keynessOf(Tables(spark, dir, "documents"))
+
+  private[graft] def keynessOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = docs
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("a"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wTot = Window.partitionBy("w")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sTot = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cells = st
+      .withColumn("tw", sum("a").over(wTot))
+      .withColumn("ts", sum("a").over(sTot))
+      .withColumn("n", sum("a").over(full))
+      .select(col("source"), col("w"), col("a"),
+        (col("tw") - col("a")).as("b"), col("ts"), col("n"), col("tw"))
+    def xlnx(o: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      when(o > 0, o.cast("double") * log(o.cast("double") / e)).otherwise(0.0)
+    val g2 = cells.select(col("source"), col("w"), col("a"), col("b"),
+      (col("tw").cast("double") * col("ts") / col("n")).as("ea"),
+      (col("tw").cast("double") * (col("n") - col("ts")) / col("n")).as("eb"))
+      .filter(col("a").cast("double") > col("ea")) // overrepresented only
+      .select(col("source"), col("w").as("term"), col("a").as("obs"),
+        Det.rnd((xlnx(col("a"), col("ea")) + xlnx(col("b"), col("eb"))) * 2.0, 4)
+          .as("g2"))
+    g2.orderBy(desc("g2"), asc("source"), asc("term")).limit(KeynessTopK)
+  }
+
+  val keynessSql: String =
+    s"""WITH st AS (
+       |  SELECT source, w, count(*) AS a
+       |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT source, w, a,
+       |         sum(a) OVER (PARTITION BY w) - a AS b,
+       |         sum(a) OVER (PARTITION BY source) AS ts,
+       |         sum(a) OVER () AS n,
+       |         sum(a) OVER (PARTITION BY w) AS tw
+       |  FROM st),
+       |g AS (
+       |  SELECT source, w AS term, a AS obs,
+       |         CAST(tw AS DOUBLE) * ts / n AS ea,
+       |         CAST(tw AS DOUBLE) * (n - ts) / n AS eb,
+       |         a, b
+       |  FROM cells)
+       |SELECT source, term, CAST(obs AS BIGINT) AS obs,
+       |       ${Det.rndSql(
+          "(CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / ea)" +
+            " ELSE 0.0 END" +
+            " + CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / eb)" +
+            " ELSE 0.0 END) * 2.0", 4)} AS g2
+       |FROM g WHERE CAST(a AS DOUBLE) > ea
+       |ORDER BY g2 DESC, source, term
+       |LIMIT $KeynessTopK""".stripMargin
+
   /** BRIER SCORE + MURPHY DECOMPOSITION of the hashed-logit quality
     * classifier against the is-English label — the PROPER scoring
     * rule [[rocAuc]] (rank quality) and [[classifierCalibration]]

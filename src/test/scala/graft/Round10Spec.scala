@@ -1268,6 +1268,66 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Double]("i2") === 0.0)
   }
 
+  test("cochranQ: raters with rates 2/2/0 over four docs give Q = 2") {
+    val s = spark; import s.implicits._
+    val longTok = "w" * 250                      // r1 only
+    val manyToks = Seq.fill(45)("ab").mkString(" ") // r2 only (135 chars)
+    val docs = Seq((1L, longTok), (2L, longTok), (3L, manyToks), (4L, manyToks))
+      .toDF("doc_id", "text")
+    val r = TextQueries.cochranQOf(docs).collect()(0)
+    assert(r.getAs[Long]("c1") === 2L)
+    assert(r.getAs[Long]("c2") === 2L)
+    assert(r.getAs[Long]("c3") === 0L)
+    assert(r.getAs[Double]("q_stat") === 2.0)
+    assert(!r.getAs[Boolean]("reject_5pct"))
+  }
+
+  test("keyness: each source's private term tops its G2 list") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta", "s0"), (2L, "alpha beta beta", "s0"),
+      (3L, "gamma gamma beta", "s1"), (4L, "gamma beta beta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = TextQueries.keynessOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("g2")).toMap
+    assert(got.contains(("s0", "alpha")))
+    assert(got.contains(("s1", "gamma")))
+    assert(got(("s0", "alpha")) === got(("s1", "gamma"))) // symmetric plant
+    assert(got(("s0", "alpha")) > 0.0)
+    assert(!got.keySet.exists(_._2 == "beta")) // balanced term: never over-rep
+  }
+
+  test("lifeTable: spans 0,0,1,2 give the closed-form lx/qx/ex columns") {
+    val s = spark; import s.implicits._
+    def o(id: Long, ck: Long, y: Int) =
+      (id, ck, java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00"))
+    val orders = Seq(o(1, 1, 1995), o(2, 2, 1996), // spans 0
+      o(3, 3, 1995), o(4, 3, 1996),                // span 1
+      o(5, 4, 1995), o(6, 4, 1997))                // span 2
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = queries.ExtensionQueries.lifeTableOf(orders).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Long]("lx") === 4L)
+    assert(got(0).getAs[Double]("qx") === 0.5)
+    assert(got(0).getAs[Double]("ex") === 1.25) // (2+1)/4 + 0.5
+    assert(got(1).getAs[Double]("ex") === 1.0)
+    assert(got(2).getAs[Double]("qx") === 1.0)
+    assert(got(2).getAs[Double]("ex") === 0.5)
+  }
+
+  test("variogram: alternating days give gamma(1)=0.5, gamma(2)=0") {
+    val s = spark; import s.implicits._
+    val orders = (1 to 10).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"1996-01-$i%02d 00:00:00"),
+        if (i % 2 == 1) 1.0 else 2.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = queries.ExtensionQueries.variogramOf(orders).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getAs[Long]("n_pairs") === 9L)
+    assert(got(1).getAs[Double]("gamma") === 0.5)
+    assert(got(2).getAs[Double]("gamma") === 0.0)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
