@@ -11077,6 +11077,242 @@ object ExtensionQueries {
        |FROM g CROSS JOIN vr
        |ORDER BY lag_days""".stripMargin
 
+  /** BLAND–ALTMAN agreement between the order-header total and the
+    * recomputed lineitem total (price·(1−disc)·(1+tax)) — the method-
+    * comparison statistics [[reconciliation]]'s balanced/drift census
+    * stops short of: BIAS (mean difference), the 95% LIMITS OF
+    * AGREEMENT bias ± 1.96σ_d (pinned z), and the share of orders
+    * outside them — the medical-statistics standard for "do two
+    * measurements of the same thing agree". Diffs are exact integers
+    * at the 10⁻⁴-cent scale (the reconciliation units), moments
+    * decimal-widened; the outside-LoA count is a second exact pass
+    * against the 1-row broadcast bias/σ. */
+  def blandAltman(spark: SparkSession, dir: String): DataFrame =
+    blandAltmanOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def blandAltmanOf(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def diffs = {
+      val lines = lineitem.groupBy(col("l_orderkey").as("okey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))" +
+          " * (100 + CAST(round(l_tax * 100) AS BIGINT))").cast(d38))
+          .as("lu"))
+      orders.select(col("o_orderkey").as("okey"),
+          (Det.cents(col("o_totalprice")).cast(d38) * 10000L).as("hu"))
+        .join(lines, Seq("okey"))
+        .select((col("lu") - col("hu")).cast("long").as("d"))
+    }
+    val m = diffs.agg(count(lit(1)).as("n"), sum(col("d").cast(d38)).as("s"),
+        sum(col("d").cast(d38) * col("d")).as("q"))
+      .select(col("n"),
+        (col("s").cast("double") / col("n")).as("bias_u"),
+        sqrt((col("q").cast("double") - col("s").cast("double")
+          * col("s").cast("double") / col("n")) / (col("n") - 1)).as("sd_u"))
+    val outside = diffs.crossJoin(broadcast(m))
+      .filter(abs(col("d") - col("bias_u")) > col("sd_u") * 1.959963984540054)
+      .agg(count(lit(1)).as("n_outside"))
+    m.crossJoin(broadcast(outside))
+      .select(col("n"),
+        Det.rnd(col("bias_u") / 1e6, 4).as("bias"),
+        Det.rnd(col("sd_u") / 1e6, 4).as("sd_diff"),
+        Det.rnd((col("bias_u") - col("sd_u") * 1.959963984540054) / 1e6, 4)
+          .as("loa_lower"),
+        Det.rnd((col("bias_u") + col("sd_u") * 1.959963984540054) / 1e6, 4)
+          .as("loa_upper"),
+        Det.rnd(col("n_outside").cast("double") / col("n"), 6)
+          .as("share_outside"))
+  }
+
+  val blandAltmanSql: String =
+    s"""WITH lines AS (
+       |  SELECT l_orderkey AS okey,
+       |         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |                  * (100 + CAST(round(l_tax * 100) AS BIGINT))
+       |                  AS HUGEINT)) AS lu
+       |  FROM lineitem GROUP BY 1),
+       |d AS (
+       |  SELECT CAST(lu - CAST(${Det.centsSql("o_totalprice")} AS HUGEINT)
+       |              * 10000 AS BIGINT) AS d
+       |  FROM orders JOIN lines ON okey = o_orderkey),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) / count(*) AS bias_u,
+       |         sqrt((CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+       |               - CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE)
+       |                 * CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) / count(*))
+       |              / (count(*) - 1)) AS sd_u
+       |  FROM d),
+       |o AS (
+       |  SELECT count(*) AS n_outside
+       |  FROM d CROSS JOIN m
+       |  WHERE abs(d - bias_u) > sd_u * 1.959963984540054)
+       |SELECT n,
+       |       ${Det.rndSql("bias_u / 1e6", 4)} AS bias,
+       |       ${Det.rndSql("sd_u / 1e6", 4)} AS sd_diff,
+       |       ${Det.rndSql(
+          "(bias_u - sd_u * 1.959963984540054) / 1e6", 4)} AS loa_lower,
+       |       ${Det.rndSql(
+          "(bias_u + sd_u * 1.959963984540054) / 1e6", 4)} AS loa_upper,
+       |       ${Det.rndSql(
+          "CAST(n_outside AS DOUBLE) / n", 6)} AS share_outside
+       |FROM m CROSS JOIN o""".stripMargin
+
+  private final val CpkLsl = 5000000L  // $50,000 in cents — pinned spec
+  private final val CpkUsl = 45000000L // $450,000 in cents
+
+  /** PROCESS CAPABILITY Cp/Cpk of order value against the pinned
+    * [$50k, $450k] spec band — the SPC index `q_spc_chart` (control
+    * limits from the process itself) cannot give: capability compares
+    * the process against EXTERNAL requirements. Exact decimal-widened
+    * moments; out-of-spec shares are exact counts (not a normality
+    * extrapolation — both reported so the gap between them reads as
+    * non-normality). */
+  def processCapability(spark: SparkSession, dir: String): DataFrame =
+    processCapabilityOf(Tables(spark, dir, "orders"))
+
+  private[graft] def processCapabilityOf(orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    orders.select(Det.cents(col("o_totalprice")).as("c"))
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c").cast(d38) * col("c")).as("q"),
+        sum(when(col("c") < CpkLsl || col("c") > CpkUsl, 1L).otherwise(0L))
+          .as("n_out"))
+      .select(col("n"), col("n_out"),
+        (col("s").cast("double") / col("n")).as("mu"),
+        sqrt((col("q").cast("double") - col("s").cast("double")
+          * col("s") / col("n")) / (col("n") - 1)).as("sig"))
+      .select(col("n"),
+        Det.rnd(col("mu") / 100.0, 2).as("mean"),
+        Det.rnd(col("sig") / 100.0, 2).as("sigma"),
+        Det.rnd(lit((CpkUsl - CpkLsl).toDouble) / (col("sig") * 6.0), 4)
+          .as("cp"),
+        Det.rnd(least(lit(CpkUsl.toDouble) - col("mu"),
+          col("mu") - lit(CpkLsl.toDouble)) / (col("sig") * 3.0), 4).as("cpk"),
+        Det.rnd(col("n_out").cast("double") / col("n"), 6)
+          .as("share_out_of_spec"))
+  }
+
+  val processCapabilitySql: String =
+    s"""WITH a AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS s,
+       |         sum(CAST(${Det.centsSql("o_totalprice")} AS HUGEINT)
+       |             * ${Det.centsSql("o_totalprice")}) AS q,
+       |         CAST(sum(CASE WHEN ${Det.centsSql("o_totalprice")} < $CpkLsl
+       |                       OR ${Det.centsSql("o_totalprice")} > $CpkUsl
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+       |  FROM orders),
+       |m AS (
+       |  SELECT n, n_out, CAST(s AS DOUBLE) / n AS mu,
+       |         sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+       |           AS sig
+       |  FROM a)
+       |SELECT n,
+       |       ${Det.rndSql("mu / 100.0", 2)} AS mean,
+       |       ${Det.rndSql("sig / 100.0", 2)} AS sigma,
+       |       ${Det.rndSql(
+          s"${(CpkUsl - CpkLsl).toDouble} / (sig * 6.0)", 4)} AS cp,
+       |       ${Det.rndSql(
+          s"least(${CpkUsl.toDouble} - mu, mu - ${CpkLsl.toDouble})" +
+            " / (sig * 3.0)", 4)} AS cpk,
+       |       ${Det.rndSql("CAST(n_out AS DOUBLE) / n", 6)} AS share_out_of_spec
+       |FROM m""".stripMargin
+
+  /** BCG GROWTH–SHARE MATRIX of nations within their regions — each
+    * nation plotted by RELATIVE market share (its revenue over the
+    * largest OTHER nation's in the region — the classic leader-gets-
+    * ratio-vs-runner-up convention) and revenue GROWTH (post- vs
+    * pre-[[ScPostFrom]]), then binned into star / cash_cow /
+    * question_mark / dog at the pinned share ≥ 1, growth > 0 cuts.
+    * Exact cents throughout; the runner-up denominator comes from two
+    * region-window maxes (ties → both leaders get share 1,
+    * documented). */
+  def bcgMatrix(spark: SparkSession, dir: String): DataFrame =
+    bcgMatrixOf(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  private[graft] def bcgMatrixOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"),
+        col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("rev"),
+        sum(when(date_format(col("o_orderdate"), "yyyy-MM") >= ScPostFrom,
+          Det.cents(col("o_totalprice"))).otherwise(0L)).as("post"),
+        sum(when(date_format(col("o_orderdate"), "yyyy-MM") < ScPostFrom,
+          Det.cents(col("o_totalprice"))).otherwise(0L)).as("pre"))
+    val w = Window.partitionBy("region")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rev
+      .withColumn("m1", max("rev").over(w))
+      .withColumn("m2", max(when(col("rev") < col("m1"), col("rev"))).over(w))
+      .select(col("region"), col("nation"),
+        Det.rnd(col("rev").cast("double") / 100.0, 2).as("revenue"),
+        Det.rnd(when(col("rev") === col("m1"),
+          col("rev").cast("double") / coalesce(col("m2"), col("m1")))
+          .otherwise(col("rev").cast("double") / col("m1")), 4)
+          .as("rel_share"),
+        Det.rnd(when(col("pre") > 0,
+          col("post").cast("double") / col("pre") - 1.0), 4).as("growth"))
+      .withColumn("quadrant",
+        when(col("rel_share") >= 1.0 && col("growth") > 0, "star")
+          .when(col("rel_share") >= 1.0, "cash_cow")
+          .when(col("growth") > 0, "question_mark")
+          .otherwise("dog"))
+      .orderBy("region", "nation")
+  }
+
+  val bcgMatrixSql: String =
+    s"""WITH rev AS (
+       |  SELECT r_name AS region, n_name AS nation,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS rev,
+       |         CAST(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') >= '$ScPostFrom'
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              AS BIGINT) AS post,
+       |         CAST(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') < '$ScPostFrom'
+       |                       THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+       |              AS BIGINT) AS pre
+       |  FROM orders
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  GROUP BY 1, 2),
+       |m1c AS (
+       |  SELECT region, nation, rev, post, pre,
+       |         max(rev) OVER (PARTITION BY region) AS m1
+       |  FROM rev),
+       |mx AS (
+       |  SELECT region, nation, rev, post, pre, m1,
+       |         max(CASE WHEN rev < m1 THEN rev END)
+       |           OVER (PARTITION BY region) AS m2
+       |  FROM m1c),
+       |f AS (
+       |  SELECT region, nation,
+       |         ${Det.rndSql("CAST(rev AS DOUBLE) / 100.0", 2)} AS revenue,
+       |         ${Det.rndSql(
+          "CASE WHEN rev = m1 THEN CAST(rev AS DOUBLE) / coalesce(m2, m1)" +
+            " ELSE CAST(rev AS DOUBLE) / m1 END", 4)} AS rel_share,
+       |         ${Det.rndSql(
+          "CASE WHEN pre > 0 THEN CAST(post AS DOUBLE) / pre - 1.0 END",
+          4)} AS growth
+       |  FROM mx)
+       |SELECT region, nation, revenue, rel_share, growth,
+       |       CASE WHEN rel_share >= 1.0 AND growth > 0 THEN 'star'
+       |            WHEN rel_share >= 1.0 THEN 'cash_cow'
+       |            WHEN growth > 0 THEN 'question_mark'
+       |            ELSE 'dog' END AS quadrant
+       |FROM f
+       |ORDER BY region, nation""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

@@ -6290,6 +6290,67 @@ object TextQueries {
        |ORDER BY g2 DESC, source, term
        |LIMIT $KeynessTopK""".stripMargin
 
+  /** HILL-NUMBER DIVERSITY PROFILE of the corpus vocabulary —
+    * ⁰D = richness S, ¹D = exp(Shannon H), ²D = inverse Simpson: one
+    * parametric family (Hill 1973) that orders "how many EFFECTIVE
+    * word types" by how much rare types count, unifying
+    * [[chao1Richness]] (the q=0 asymptote) and the entropy readouts
+    * into the ecology-standard profile; Pielou evenness H/ln S rides
+    * along. Exact token-frequency histogram; per-term p·ln p fenced
+    * to 9dp units before the exact sum; Σp² from decimal-widened
+    * Σc² over N². */
+  def hillDiversity(spark: SparkSession, dir: String): DataFrame =
+    hillDiversityOf(Tables(spark, dir, "documents"))
+
+  private[graft] def hillDiversityOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val freq = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    freq
+      .withColumn("n", sum("c").over(full))
+      .select(col("n"),
+        Det.units(col("c").cast("double") / col("n")
+          * log(col("c").cast("double") / col("n")), 9).as("e9"),
+        col("c"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("s_obs"), sum("e9").as("h9"),
+        sum(col("c").cast(d38) * col("c")).as("c2"))
+      .select(col("n").as("n_tokens"), col("s_obs"),
+        Det.rnd(exp(-col("h9").cast("double") / 1e9), 2).as("hill_q1"),
+        Det.rnd(col("n").cast("double") * col("n")
+          / col("c2").cast("double"), 2).as("hill_q2"),
+        Det.rnd(-col("h9").cast("double") / 1e9
+          / log(col("s_obs").cast("double")), 4).as("evenness"))
+  }
+
+  val hillDiversitySql: String =
+    s"""WITH freq AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |t AS (SELECT c, sum(c) OVER () AS n FROM freq),
+       |a AS (
+       |  SELECT CAST(any_value(n) AS BIGINT) AS n, count(*) AS s_obs,
+       |         CAST(sum(${Det.unitsSql(
+          "CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n)", 9)})
+       |              AS BIGINT) AS h9,
+       |         sum(CAST(c AS HUGEINT) * c) AS c2
+       |  FROM t)
+       |SELECT n AS n_tokens, s_obs,
+       |       ${Det.rndSql("exp(-CAST(h9 AS DOUBLE) / 1e9)", 2)} AS hill_q1,
+       |       ${Det.rndSql(
+          "CAST(n AS DOUBLE) * n / CAST(c2 AS DOUBLE)", 2)} AS hill_q2,
+       |       ${Det.rndSql(
+          "-CAST(h9 AS DOUBLE) / 1e9 / ln(CAST(s_obs AS DOUBLE))",
+          4)} AS evenness
+       |FROM a""".stripMargin
+
   /** BRIER SCORE + MURPHY DECOMPOSITION of the hashed-logit quality
     * classifier against the is-English label — the PROPER scoring
     * rule [[rocAuc]] (rank quality) and [[classifierCalibration]]

@@ -1328,6 +1328,69 @@ class Round10Spec extends SparkSpec {
     assert(got(2).getAs[Double]("gamma") === 0.0)
   }
 
+  test("blandAltman: planted ±1-dollar diffs give bias 0 and the exact LoA") {
+    val s = spark; import s.implicits._
+    // header totals all 100; line totals 101, 99, 100, 100 (disc=tax=0)
+    val orders = (1L to 4L).map(k => (k, 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val lineTotals = Seq(101.0, 99.0, 100.0, 100.0)
+    val lineitem = lineTotals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, v, 0.0, 0.0)
+    }.toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = queries.ExtensionQueries.blandAltmanOf(orders, lineitem).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("bias") === 0.0)
+    assert(r.getAs[Double]("sd_diff") === 0.8165)   // √(2/3)
+    assert(r.getAs[Double]("loa_upper") === 1.6003)
+    assert(r.getAs[Double]("share_outside") === 0.0)
+  }
+
+  test("processCapability: two symmetric values give Cp = Cpk = 47.1405") {
+    val s = spark; import s.implicits._
+    val orders = Seq((1L, 249000.0), (2L, 251000.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = queries.ExtensionQueries.processCapabilityOf(orders).collect()(0)
+    assert(r.getAs[Double]("mean") === 250000.0)
+    assert(r.getAs[Double]("sigma") === 1414.21)
+    assert(r.getAs[Double]("cp") === 47.1405)
+    assert(r.getAs[Double]("cpk") === 47.1405)
+    assert(r.getAs[Double]("share_out_of_spec") === 0.0)
+  }
+
+  test("bcgMatrix: leader with growth is a star; laggards are dogs") {
+    val s = spark; import s.implicits._
+    val customer = Seq((0L, 0), (1L, 1), (2L, 2)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((0, 0, "NA"), (1, 0, "NB"), (2, 0, "NC"))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+    val region = Seq((0, "R0")).toDF("r_regionkey", "r_name")
+    def o(id: Long, ck: Long, mo: String, v: Double) =
+      (id, ck, java.sql.Timestamp.valueOf(s"$mo-05 00:00:00"), v)
+    val orders = Seq(
+      o(1, 0, "1997-01", 100.0), o(2, 0, "2000-01", 200.0), // A: growth 1.0
+      o(3, 1, "1997-01", 100.0), o(4, 1, "2000-01", 50.0),  // B: growth −0.5
+      o(5, 2, "1997-01", 10.0), o(6, 2, "2000-01", 10.0))   // C: growth 0
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = queries.ExtensionQueries
+      .bcgMatrixOf(orders, customer, nation, region).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(got("NA").getAs[Double]("rel_share") === 2.0) // 300 vs runner-up 150
+    assert(got("NA").getAs[String]("quadrant") === "star")
+    assert(got("NB").getAs[Double]("rel_share") === 0.5)
+    assert(got("NB").getAs[String]("quadrant") === "dog")
+    assert(got("NC").getAs[String]("quadrant") === "dog") // growth 0 not > 0
+  }
+
+  test("hillDiversity: counts a:2 b:1 c:1 give the closed Hill profile") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = TextQueries.hillDiversityOf(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("s_obs") === 3L)
+    assert(r.getAs[Double]("hill_q1") === 2.83)  // e^H
+    assert(r.getAs[Double]("hill_q2") === 2.67)  // 16/6
+    assert(r.getAs[Double]("evenness") === 0.9464)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
