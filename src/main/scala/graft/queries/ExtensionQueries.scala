@@ -11313,6 +11313,97 @@ object ExtensionQueries {
        |FROM f
        |ORDER BY region, nation""".stripMargin
 
+  /** SEASONAL MANN–KENDALL trend test over monthly revenue — the
+    * Hirsch–Slack variant that `q_mann_kendall` (daily, unstratified)
+    * needs when the series has a seasonal cycle: S is summed over
+    * WITHIN-month-of-year year pairs only (January-vs-January, never
+    * January-vs-July), so the seasonal swing can't masquerade as
+    * trend. Exact integer S per season from the (season × year
+    * pair)-bounded self-join; tie-corrected variance per season
+    * (mirrored); continuity-corrected z one fixed double. */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame =
+    seasonalMannKendallOf(Tables(spark, dir, "orders"))
+
+  private[graft] def seasonalMannKendallOf(orders: DataFrame): DataFrame = {
+    val my = orders
+      .groupBy(month(col("o_orderdate")).as("moy"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+      .localCheckpoint() // (12 × years)-bounded; pair join + tie scan
+    val pairs = my.select(col("moy"), col("yr").as("y1"), col("c").as("c1"))
+      .join(my.select(col("moy"), col("yr").as("y2"), col("c").as("c2")),
+        Seq("moy"))
+      .filter(col("y1") < col("y2"))
+      .groupBy("moy")
+      .agg(sum(signum((col("c2") - col("c1")).cast("double")).cast("long"))
+        .as("s_m"), count(lit(1)).as("n_pairs"))
+    val nm = my.groupBy("moy").agg(count(lit(1)).as("nm"))
+    val ties = my.groupBy("moy", "c").agg(count(lit(1)).as("t"))
+      .groupBy("moy")
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie"))
+    val per = pairs.join(nm, "moy").join(ties, "moy")
+      .select(col("moy"), col("s_m"),
+        ((col("nm") * (col("nm") - 1) * (col("nm") * 2 + 5) - col("tie")))
+          .as("var18"))
+    per.agg(sum("s_m").as("s"), sum("var18").as("v18"),
+        count(lit(1)).as("n_seasons"))
+      .select(col("n_seasons"), col("s"),
+        Det.rnd(col("v18").cast("double") / 18.0, 2).as("var_s"),
+        Det.rnd(expr(
+          "CASE WHEN v18 = 0 THEN 0.0" +
+            " WHEN s > 0 THEN (s - 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " WHEN s < 0 THEN (s + 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " ELSE 0.0 END"), 4).as("z"))
+      .withColumn("trend",
+        when(col("z") > 1.959963984540054, "increasing")
+          .when(col("z") < -1.959963984540054, "decreasing")
+          .otherwise("none"))
+  }
+
+  val seasonalMannKendallSql: String =
+    s"""WITH my AS (
+       |  SELECT month(o_orderdate) AS moy, year(o_orderdate) AS yr,
+       |         CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.moy,
+       |         CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+       |                       ELSE 0 END) AS BIGINT) AS s_m
+       |  FROM my a JOIN my b ON b.moy = a.moy AND a.yr < b.yr
+       |  GROUP BY 1),
+       |nm AS (SELECT moy, count(*) AS nm FROM my GROUP BY 1),
+       |ties AS (
+       |  SELECT moy, CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie
+       |  FROM (SELECT moy, c, count(*) AS t FROM my GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |per AS (
+       |  SELECT pairs.moy, s_m,
+       |         nm * (nm - 1) * (nm * 2 + 5) - tie AS var18
+       |  FROM pairs JOIN nm USING (moy) JOIN ties USING (moy)),
+       |a AS (
+       |  SELECT count(*) AS n_seasons, CAST(sum(s_m) AS BIGINT) AS s,
+       |         CAST(sum(var18) AS BIGINT) AS v18
+       |  FROM per)
+       |SELECT n_seasons, s,
+       |       ${Det.rndSql("CAST(v18 AS DOUBLE) / 18.0", 2)} AS var_s,
+       |       ${Det.rndSql(
+          "CASE WHEN v18 = 0 THEN 0.0" +
+            " WHEN s > 0 THEN (s - 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " WHEN s < 0 THEN (s + 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " ELSE 0.0 END", 4)} AS z,
+       |       CASE WHEN ${Det.rndSql(
+          "CASE WHEN v18 = 0 THEN 0.0" +
+            " WHEN s > 0 THEN (s - 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " WHEN s < 0 THEN (s + 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " ELSE 0.0 END", 4)} > 1.959963984540054 THEN 'increasing'
+       |            WHEN ${Det.rndSql(
+          "CASE WHEN v18 = 0 THEN 0.0" +
+            " WHEN s > 0 THEN (s - 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " WHEN s < 0 THEN (s + 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)" +
+            " ELSE 0.0 END", 4)} < -1.959963984540054 THEN 'decreasing'
+       |            ELSE 'none' END AS trend
+       |FROM a""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

@@ -2680,6 +2680,80 @@ object SimilarityQueries {
        |FROM te CROSS JOIN mu""".stripMargin
   }
 
+  /** MORAN'S I spatial autocorrelation of the LABEL attribute over
+    * the k-NN graph — "do same-valued vectors neighbor each other?",
+    * the attribute-level companion of [[assortativity]] (which
+    * correlates DEGREES): I ≈ +1 means the label field is smooth on
+    * the graph (embeddings separate classes), I ≈ E[I] = −1/(n−1)
+    * means no structure. Both orientations of each undirected edge
+    * (the standard symmetric W); per-edge z·z products are fenced to
+    * 6dp units before the edge-sized exact sum (labels are small
+    * ints, the fence loses nothing), Σz² likewise per node; x̄ rides
+    * a 1-row broadcast. */
+  def moranI(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("double").as("x"))
+    moranIOnEdges(knnEdgesScratch(spark, dir), emb)
+  }
+
+  private[graft] def moranIOnEdges(edges: DataFrame,
+      values: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+      .localCheckpoint() // k-NN-bounded, read twice
+    val nodes = und.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct()
+      .join(values, col("v") === col("vec_id"))
+      .select(col("v"), col("x"))
+    val mean = nodes.agg((sum("x") / count(lit(1))).as("xbar"))
+    val z = nodes.crossJoin(broadcast(mean))
+      .select(col("v"), (col("x") - col("xbar")).as("z"))
+      .localCheckpoint() // node-sized
+    val denom = z.agg(sum(Det.units(col("z") * col("z"), 6)).as("d6"),
+      count(lit(1)).as("n"))
+    val num = und
+      .join(z.select(col("v").as("src"), col("z").as("zi")), "src")
+      .join(z.select(col("v").as("dst"), col("z").as("zj")), "dst")
+      .agg(sum(Det.units(col("zi") * col("zj"), 6)).as("n6"),
+        count(lit(1)).as("n_edges"))
+    num.crossJoin(broadcast(denom))
+      .select(col("n").as("n_nodes"), col("n_edges"),
+        // both orientations double the numerator AND ΣW — they cancel:
+        // I = n·Σ_und(z_i z_j) / (E·Σz²)
+        Det.rnd(col("n").cast("double") * col("n6")
+          / col("n_edges") / col("d6"), 6).as("moran_i"),
+        Det.rnd(lit(-1.0) / (col("n") - 1), 6).as("expected_i"))
+  }
+
+  val moranISql: String = {
+    import graft.functions.Det
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+       |        FROM kedges),
+       |nodes AS (
+       |  SELECT v, CAST(label AS DOUBLE) AS x
+       |  FROM (SELECT DISTINCT v FROM (SELECT src AS v FROM und
+       |                                UNION ALL SELECT dst FROM und))
+       |  JOIN embeddings ON vec_id = v),
+       |mz AS (SELECT sum(x) / count(*) AS xbar FROM nodes),
+       |z AS (SELECT v, x - xbar AS z FROM nodes CROSS JOIN mz),
+       |dn AS (SELECT CAST(sum(${Det.unitsSql("z * z", 6)}) AS BIGINT) AS d6,
+       |              count(*) AS n
+       |       FROM z),
+       |nm AS (
+       |  SELECT CAST(sum(${Det.unitsSql("a.z * b.z", 6)}) AS BIGINT) AS n6,
+       |         count(*) AS n_edges
+       |  FROM und JOIN z a ON a.v = und.src JOIN z b ON b.v = und.dst)
+       |SELECT n AS n_nodes, n_edges,
+       |       ${Det.rndSql(
+          "CAST(n AS DOUBLE) * n6 / n_edges / d6", 6)} AS moran_i,
+       |       ${Det.rndSql("-1.0 / (n - 1)", 6)} AS expected_i
+       |FROM nm CROSS JOIN dn""".stripMargin
+  }
+
   /** DEGREE ASSORTATIVITY of the k-NN graph: the Pearson correlation
     * of endpoint degrees across edges (Newman's r) — positive means
     * high-degree vectors neighbor each other (a dense semantic core),

@@ -6290,6 +6290,48 @@ object TextQueries {
        |ORDER BY g2 DESC, source, term
        |LIMIT $KeynessTopK""".stripMargin
 
+  private final val BurstTopK = 20
+  private final val BurstMinDf = 3L
+
+  /** TERM BURSTINESS (Church–Gale cf/df) — terms whose occurrences
+    * CLUMP inside few documents instead of spreading: cf/df ≫ 1 is
+    * the signature of boilerplate blocks, code, and templated spans
+    * that document-frequency measures (idf, [[keyness]]) score as
+    * ordinary. Top [[BurstTopK]] terms with df ≥ [[BurstMinDf]]
+    * (singleton-doc terms trivially maximize the ratio); exact
+    * integer cf/df off one (doc, term) aggregation; ties on term. */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame =
+    termBurstinessOf(Tables(spark, dir, "documents"))
+
+  private[graft] def termBurstinessOf(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    dt.groupBy("w")
+      .agg(sum("tf").as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= BurstMinDf)
+      .select(col("w").as("term"), col("cf"), col("df"),
+        Det.rnd(col("cf").cast("double") / col("df"), 4).as("burstiness"))
+      .orderBy(desc("burstiness"), asc("term"))
+      .limit(BurstTopK)
+  }
+
+  val termBurstinessSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, w, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |a AS (
+       |  SELECT w AS term, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df
+       |  FROM dt GROUP BY 1 HAVING count(*) >= $BurstMinDf)
+       |SELECT term, cf, df,
+       |       ${Det.rndSql("CAST(cf AS DOUBLE) / df", 4)} AS burstiness
+       |FROM a
+       |ORDER BY burstiness DESC, term
+       |LIMIT $BurstTopK""".stripMargin
+
   /** HILL-NUMBER DIVERSITY PROFILE of the corpus vocabulary —
     * ⁰D = richness S, ¹D = exp(Shannon H), ²D = inverse Simpson: one
     * parametric family (Hill 1973) that orders "how many EFFECTIVE

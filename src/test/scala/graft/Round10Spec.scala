@@ -1391,6 +1391,50 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Double]("evenness") === 0.9464)
   }
 
+  test("termBurstiness: clumped term scores cf/df 3; singleton-df term excluded") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "b b b a"), (2L, "b b b a"), (3L, "b b b a only only only"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.termBurstinessOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("b").getAs[Double]("burstiness") === 3.0)
+    assert(got("b").getAs[Long]("cf") === 9L)
+    assert(got("a").getAs[Double]("burstiness") === 1.0)
+    assert(!got.contains("only")) // df 1 < min df 3
+  }
+
+  test("moranI: clustered values give I = 1, anti-clustered give −1") {
+    val s = spark; import s.implicits._
+    val values = Seq((1L, 1.0), (2L, 1.0), (3L, 3.0), (4L, 3.0))
+      .toDF("vec_id", "x")
+    val clustered = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val r1 = queries.SimilarityQueries.moranIOnEdges(clustered, values)
+      .collect()(0)
+    assert(r1.getAs[Double]("moran_i") === 1.0)
+    assert(r1.getAs[Double]("expected_i") === -0.333333)
+    val anti = Seq((1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r2 = queries.SimilarityQueries.moranIOnEdges(anti, values).collect()(0)
+    assert(r2.getAs[Double]("moran_i") === -1.0)
+  }
+
+  test("seasonalMannKendall: two rising seasons over three years give S=6") {
+    val s = spark; import s.implicits._
+    def o(id: Long, y: Int, m: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"$y-$m%02d-10 00:00:00"), v)
+    val orders = (for {
+      (y, i) <- Seq(1995, 1996, 1997).zipWithIndex
+      m <- Seq(1, 2)
+    } yield o((y * 10 + m).toLong, y, m, (i + 1).toDouble))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = queries.ExtensionQueries.seasonalMannKendallOf(orders).collect()(0)
+    assert(r.getAs[Long]("n_seasons") === 2L)
+    assert(r.getAs[Long]("s") === 6L)
+    assert(r.getAs[Double]("var_s") === 7.33)
+    assert(r.getAs[Double]("z") === 1.8464)
+    assert(r.getAs[String]("trend") === "none")
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
