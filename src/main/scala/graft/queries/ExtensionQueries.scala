@@ -11404,6 +11404,239 @@ object ExtensionQueries {
        |            ELSE 'none' END AS trend
        |FROM a""".stripMargin
 
+  /** ZERO-INFLATION SCORE TEST (van den Broek 1995) on nation-0's
+    * daily order counts — are there MORE zero days than the fitted
+    * Poisson allows (dual question to [[poissonDispersion]]'s
+    * variance check; a process can be equidispersed yet zero-
+    * inflated)? The single-nation series keeps real zeros at every
+    * SF. S = (n₀ − n·p₀)²/(n·p₀(1−p₀) − n·λ̂·p₀²) ~ χ²(1), with
+    * p₀ = e^(−λ̂) fenced to 9dp (the kdeGrid libm-exp rule); exact
+    * integer n₀/n; NULL when the denominator degenerates (λ̂ so large
+    * zeros are impossible — mirrored). Pinned χ²₀.₀₅(1) = 3.841. */
+  def zeroInflation(spark: SparkSession, dir: String): DataFrame =
+    zeroInflationOf(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"))
+
+  private[graft] def zeroInflationOf(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val byDay = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 0)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val span = orders.agg(to_date(min(col("o_orderdate"))).as("d0"),
+      datediff(to_date(max(col("o_orderdate"))),
+        to_date(min(col("o_orderdate")))).as("nd"))
+    val dense = span
+      .select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"))
+    dense.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(when(col("x") === 0L, 1L).otherwise(0L)).as("n0"))
+      .select(col("n"), col("n0"),
+        (col("s").cast("double") / col("n")).as("lam"))
+      .select(col("n"), col("n0"),
+        Det.rnd(col("lam"), 4).as("lambda"),
+        Det.rnd(exp(-col("lam")), 9).as("p0"))
+      .select(col("n").as("n_days"), col("n0").as("n_zero"), col("lambda"),
+        Det.rnd(col("n") * col("p0"), 2).as("expected_zero"),
+        Det.rnd(when(
+          col("n") * col("p0") * (lit(1.0) - col("p0"))
+            - col("n") * col("lambda") * col("p0") * col("p0") > 0,
+          pow(col("n0") - col("n") * col("p0"), 2)
+            / (col("n") * col("p0") * (lit(1.0) - col("p0"))
+              - col("n") * col("lambda") * col("p0") * col("p0"))), 4)
+          .as("score_stat"))
+      .withColumn("zero_inflated",
+        coalesce(col("score_stat") > 3.841, lit(false))
+          && col("n_zero").cast("double") > col("expected_zero"))
+  }
+
+  val zeroInflationSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey = 0 GROUP BY 1),
+       |span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+       |                date_diff('day', CAST(min(o_orderdate) AS DATE),
+       |                          CAST(max(o_orderdate) AS DATE)) AS nd
+       |         FROM orders),
+       |dense AS (
+       |  SELECT coalesce(x, 0) AS x
+       |  FROM (SELECT d0 + CAST(i AS INTEGER) AS day
+       |        FROM span, (SELECT unnest(range(nd + 1)) AS i FROM span))
+       |  LEFT JOIN byday ON day = d),
+       |a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |             CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+       |      FROM dense),
+       |m AS (SELECT n, n0, ${Det.rndSql("CAST(s AS DOUBLE) / n", 4)} AS lambda,
+       |             ${Det.rndSql("exp(-(CAST(s AS DOUBLE) / n))", 9)} AS p0
+       |      FROM a)
+       |SELECT n AS n_days, n0 AS n_zero, lambda,
+       |       ${Det.rndSql("n * p0", 2)} AS expected_zero,
+       |       ${Det.rndSql(
+          "CASE WHEN n * p0 * (1.0 - p0) - n * lambda * p0 * p0 > 0 THEN" +
+            " pow(n0 - n * p0, 2)" +
+            " / (n * p0 * (1.0 - p0) - n * lambda * p0 * p0) END",
+          4)} AS score_stat,
+       |       coalesce(${Det.rndSql(
+          "CASE WHEN n * p0 * (1.0 - p0) - n * lambda * p0 * p0 > 0 THEN" +
+            " pow(n0 - n * p0, 2)" +
+            " / (n * p0 * (1.0 - p0) - n * lambda * p0 * p0) END",
+          4)} > 3.841, false)
+       |         AND CAST(n0 AS DOUBLE) > ${Det.rndSql("n * p0", 2)}
+       |         AS zero_inflated
+       |FROM m""".stripMargin
+
+  private final val KeyGapBucket = 10000L
+
+  /** PRIMARY-KEY GAP AUDIT of `o_orderkey` — the data-quality census
+    * a lost-partition incident shows up in first: expected-vs-actual
+    * key counts over [min, max] (a wholly-missing ingest chunk shows
+    * up in these totals), and the SPARSEST nonempty [[KeyGapBucket]]-
+    * wide key bucket (a partially-lost chunk reads as one near-empty
+    * bucket) — bucketed, so NO global key sort, unlike a lag-based
+    * largest-gap scan. Pure exact integers; density one
+    * fenced division; sparsest-bucket tie breaks on the lower start
+    * key. Assumes keys unique (they are — `q_ref_integrity`'s
+    * contract); interior buckets only, the two edge buckets are
+    * partial by construction (documented). */
+  def keyGaps(spark: SparkSession, dir: String): DataFrame =
+    keyGapsOf(Tables(spark, dir, "orders"))
+
+  private[graft] def keyGapsOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = orders.select(col("o_orderkey").as("k"))
+    val bounds = k.agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    val buckets = k.select((col("k") - col("k") % KeyGapBucket).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    // interior buckets preferred (edges are partial by construction);
+    // when the key range spans < 3 buckets the least-bad edge bucket
+    // is reported instead of an empty result (small-SF safety)
+    val sparsest = buckets.crossJoin(broadcast(bounds))
+      .withColumn("edge",
+        (col("b") <= col("mn") - (col("mn") % KeyGapBucket)
+          || col("b") >= col("mx") - (col("mx") % KeyGapBucket)).cast("int"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("edge").asc, col("cnt").asc, col("b").asc)))
+      .filter(col("rk") === 1)
+      .select(col("b").as("sparsest_bucket"), col("cnt").as("sparsest_count"))
+    bounds.crossJoin(broadcast(sparsest))
+      .select(col("n"), col("mn").as("min_key"), col("mx").as("max_key"),
+        (col("mx") - col("mn") + 1 - col("n")).as("n_missing"),
+        Det.rnd((col("mx") - col("mn") + 1 - col("n")).cast("double")
+          / (col("mx") - col("mn") + 1), 6).as("missing_share"),
+        col("sparsest_bucket"), col("sparsest_count"),
+        Det.rnd(col("sparsest_count").cast("double") / KeyGapBucket, 6)
+          .as("sparsest_density"))
+  }
+
+  val keyGapsSql: String =
+    s"""WITH k AS (SELECT o_orderkey AS k FROM orders),
+       |bounds AS (SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM k),
+       |buckets AS (
+       |  SELECT k - k % $KeyGapBucket AS b, count(*) AS cnt
+       |  FROM k GROUP BY 1),
+       |sparsest AS (
+       |  SELECT b AS sparsest_bucket, cnt AS sparsest_count
+       |  FROM buckets CROSS JOIN bounds
+       |  ORDER BY CASE WHEN b <= mn - (mn % $KeyGapBucket)
+       |                OR b >= mx - (mx % $KeyGapBucket) THEN 1 ELSE 0 END,
+       |           cnt, b LIMIT 1)
+       |SELECT n, mn AS min_key, mx AS max_key,
+       |       mx - mn + 1 - n AS n_missing,
+       |       ${Det.rndSql(
+          "CAST(mx - mn + 1 - n AS DOUBLE) / (mx - mn + 1)",
+          6)} AS missing_share,
+       |       sparsest_bucket, sparsest_count,
+       |       ${Det.rndSql(
+          s"CAST(sparsest_count AS DOUBLE) / $KeyGapBucket",
+          6)} AS sparsest_density
+       |FROM bounds CROSS JOIN sparsest""".stripMargin
+
+  /** C-CHART (Poisson count control chart) over daily purchase
+    * counts — the COUNT-data member of the SPC family
+    * (`q_spc_chart` monitors a continuous total with mean±3σ; the
+    * c-chart's limits are λ̂ ± 3√λ̂ because a Poisson process's σ IS
+    * √λ): out-of-control days above UCL / below LCL, and the worst
+    * single day. Calendar-dense exact counts; limits are two doubles
+    * off exact moments; the worst-day pick breaks ties on the
+    * earlier date. */
+  def cChart(spark: SparkSession, dir: String): DataFrame =
+    cChartOf(Tables(spark, dir, "events"))
+
+  private[graft] def cChartOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val span = events.agg(to_date(min(col("ts"))).as("d0"),
+      datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("nd"))
+    val dense = span
+      .select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .select(expr("date_add(d0, i)").as("day"), col("i"))
+      .join(byDay, expr("day = d"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // calendar-bounded; stats + worst-day reads
+    val m = dense.agg(count(lit(1)).as("n"),
+        (sum("x").cast("double") / count(lit(1))).as("lam"))
+      .select(col("n"), col("lam"),
+        (col("lam") + sqrt(col("lam")) * 3.0).as("ucl"),
+        greatest(lit(0.0), col("lam") - sqrt(col("lam")) * 3.0).as("lcl"))
+    val flagged = dense.crossJoin(broadcast(m))
+    val worst = flagged
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("x") - col("lam")).desc, col("day").asc)))
+      .filter(col("rk") === 1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("worst_day"),
+        col("x").as("worst_count"))
+    flagged.agg(
+        sum(when(col("x") > col("ucl"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("x") < col("lcl"), 1L).otherwise(0L)).as("n_below"),
+        max("n").as("n_days"), max("lam").as("lam"),
+        max("ucl").as("ucl"), max("lcl").as("lcl"))
+      .crossJoin(broadcast(worst))
+      .select(col("n_days"),
+        Det.rnd(col("lam"), 4).as("lambda"),
+        Det.rnd(col("ucl"), 4).as("ucl"), Det.rnd(col("lcl"), 4).as("lcl"),
+        col("n_above"), col("n_below"), col("worst_day"), col("worst_count"))
+  }
+
+  val cChartSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |span AS (SELECT CAST(min(ts) AS DATE) AS d0,
+       |                date_diff('day', CAST(min(ts) AS DATE),
+       |                          CAST(max(ts) AS DATE)) AS nd
+       |         FROM events),
+       |dense AS (
+       |  SELECT day, coalesce(x, 0) AS x
+       |  FROM (SELECT d0 + CAST(i AS INTEGER) AS day
+       |        FROM span, (SELECT unnest(range(nd + 1)) AS i FROM span))
+       |  LEFT JOIN byday ON day = d),
+       |m AS (
+       |  SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) / count(*) AS lam
+       |  FROM dense),
+       |lim AS (
+       |  SELECT n, lam, lam + sqrt(lam) * 3.0 AS ucl,
+       |         greatest(0.0, lam - sqrt(lam) * 3.0) AS lcl
+       |  FROM m),
+       |worst AS (
+       |  SELECT strftime(day, '%Y-%m-%d') AS worst_day,
+       |         CAST(x AS BIGINT) AS worst_count
+       |  FROM dense CROSS JOIN lim
+       |  ORDER BY abs(x - lam) DESC, day LIMIT 1)
+       |SELECT n AS n_days,
+       |       ${Det.rndSql("lam", 4)} AS lambda,
+       |       ${Det.rndSql("ucl", 4)} AS ucl, ${Det.rndSql("lcl", 4)} AS lcl,
+       |       (SELECT CAST(sum(CASE WHEN x > ucl THEN 1 ELSE 0 END) AS BIGINT)
+       |        FROM dense) AS n_above,
+       |       (SELECT CAST(sum(CASE WHEN x < lcl THEN 1 ELSE 0 END) AS BIGINT)
+       |        FROM dense) AS n_below,
+       |       worst_day, worst_count
+       |FROM lim CROSS JOIN worst""".stripMargin
+
   private final val YuenG1 = "1-URGENT"
   private final val YuenG2 = "5-LOW"
 

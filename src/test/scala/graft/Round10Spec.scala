@@ -1435,6 +1435,56 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[String]("trend") === "none")
   }
 
+  test("zeroInflation: 8 zero days against lambda 1 score as inflated") {
+    val s = spark; import s.implicits._
+    val customer = Seq((1L, 0), (2L, 5)).toDF("c_custkey", "c_nationkey")
+    // nation 0: 5 orders on day 3 and day 7; span pinned to 10 days
+    // by nation-5 orders on days 1 and 10
+    val orders = ((1 to 5).map(i => (i.toLong, 1L, "1996-01-03"))
+      ++ (6 to 10).map(i => (i.toLong, 1L, "1996-01-07"))
+      ++ Seq((90L, 2L, "1996-01-01"), (91L, 2L, "1996-01-10")))
+      .map { case (id, ck, d) =>
+        (id, ck, java.sql.Timestamp.valueOf(s"$d 00:00:00"))
+      }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = queries.ExtensionQueries.zeroInflationOf(orders, customer)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("n_zero") === 8L)
+    assert(r.getAs[Double]("lambda") === 1.0)
+    assert(r.getAs[Double]("expected_zero") === 3.68)
+    assert(math.abs(r.getAs[Double]("score_stat") - 19.209) < 0.01)
+    assert(r.getAs[Boolean]("zero_inflated"))
+  }
+
+  test("keyGaps: a half-lost interior chunk is the sparsest bucket") {
+    val s = spark; import s.implicits._
+    val keys = (1L to 10L) ++ (15000L to 15004L) ++ (30001L to 30010L)
+    val orders = keys.map(k => Tuple1(k)).toDF("o_orderkey")
+    val r = queries.ExtensionQueries.keyGapsOf(orders).collect()(0)
+    assert(r.getAs[Long]("n") === 25L)
+    assert(r.getAs[Long]("n_missing") === 30010L - 25L)
+    assert(r.getAs[Long]("sparsest_bucket") === 10000L)
+    assert(r.getAs[Long]("sparsest_count") === 5L)
+    assert(r.getAs[Double]("sparsest_density") === 0.0005)
+  }
+
+  test("cChart: one spike day breaches the Poisson UCL") {
+    val s = spark; import s.implicits._
+    val plan = Seq((1, 3), (2, 3), (3, 3), (4, 30))
+    val events = plan.flatMap { case (d, k) =>
+      (1 to k).map(i =>
+        ("purchase", java.sql.Timestamp.valueOf(f"1996-01-$d%02d 09:00:00"), i))
+    }.toDF("event_type", "ts", "event_id")
+    val r = queries.ExtensionQueries.cChartOf(events).collect()(0)
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Double]("lambda") === 9.75)
+    assert(r.getAs[Double]("ucl") === 19.1175)
+    assert(r.getAs[Long]("n_above") === 1L)
+    assert(r.getAs[Long]("n_below") === 0L)
+    assert(r.getAs[String]("worst_day") === "1996-01-04")
+    assert(r.getAs[Long]("worst_count") === 30L)
+  }
+
   test("winnowing report is green end-to-end on the planted corpus") {
     val s = spark; import s.implicits._
     val boiler = "all rights reserved contact us at example dot com"
