@@ -11563,15 +11563,28 @@ object ExtensionQueries {
     * off exact moments; the worst-day pick breaks ties on the
     * earlier date. */
   def cChart(spark: SparkSession, dir: String): DataFrame =
-    cChartOf(Tables(spark, dir, "events"))
+    cChartFinish(cChartDailyFrom(Tables(spark, dir, "events")))
 
-  private[graft] def cChartOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDay = events.filter(col("event_type") === "purchase")
+  private[graft] def cChartOf(events: DataFrame): DataFrame =
+    cChartFinish(cChartDailyFrom(events))
+
+  /** The c-chart's running state: the daily purchase-count histogram
+    * — one mergeable aggregation, exactly what Structured Streaming
+    * maintains in complete mode (`StreamJobs.cChartStream`); the
+    * span is the state's own [min, max] purchase day so a stream
+    * needs no retroactive all-events scan. */
+  private[graft] def cChartDailyFrom(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select(to_date(col("ts")).as("d"))
       .groupBy("d").agg(count(lit(1)).as("x"))
-    val span = events.agg(to_date(min(col("ts"))).as("d0"),
-      datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("nd"))
+
+  /** Calendar-dense finish over the state — runs per micro-batch in
+    * the streaming twin, BIT-equal to the batch operator on the same
+    * prefix (exact integer counts; StreamingSpec). */
+  private[graft] def cChartFinish(byDay: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
     val dense = span
       .select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
       .select(expr("date_add(d0, i)").as("day"), col("i"))
@@ -11606,10 +11619,9 @@ object ExtensionQueries {
     s"""WITH byday AS (
        |  SELECT CAST(ts AS DATE) AS d, count(*) AS x
        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-       |span AS (SELECT CAST(min(ts) AS DATE) AS d0,
-       |                date_diff('day', CAST(min(ts) AS DATE),
-       |                          CAST(max(ts) AS DATE)) AS nd
-       |         FROM events),
+       |span AS (SELECT min(d) AS d0,
+       |                date_diff('day', min(d), max(d)) AS nd
+       |         FROM byday),
        |dense AS (
        |  SELECT day, coalesce(x, 0) AS x
        |  FROM (SELECT d0 + CAST(i AS INTEGER) AS day

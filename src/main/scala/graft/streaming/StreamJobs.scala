@@ -938,6 +938,18 @@ object StreamJobs {
   def cusumFinish(daily: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.cusumFinish(daily)
 
+  /** Streaming c-chart: the state is the daily purchase-COUNT
+    * histogram (one mergeable aggregation — the count sibling of
+    * [[cusumStream]]'s cents histogram); [[cChartFinish]] replays the
+    * calendar-dense λ±3√λ limits per batch, BIT-equal to the batch
+    * operator on the same prefix because every count is an exact
+    * integer (StreamingSpec). */
+  def cChartStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cChartDailyFrom(events)
+
+  def cChartFinish(daily: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cChartFinish(daily)
+
   /** Streaming ROC-AUC monitor: state is the (score → n_pos, n_neg)
     * histogram — mergeable sums per distinct logit; the rank-sum sweep
     * ([[aucFinish]]) reruns per batch on the value-bounded result.

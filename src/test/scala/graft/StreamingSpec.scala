@@ -961,6 +961,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming c-chart is bit-equal to the batch twin across batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = Tables(spark, sfDir, "events").as[Ev].collect()
+    val q = StreamJobs.cChartStream(mem.toDF())
+      .writeStream.format("memory").queryName("cchart").outputMode("complete").start()
+    try {
+      val (b1, rest) = all.sortBy(_.event_id).splitAt(all.length / 3)
+      Seq(b1, rest).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      def row(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toSeq
+      val streamed = row(StreamJobs.cChartFinish(spark.table("cchart")))
+      val batch = row(graft.queries.ExtensionQueries.cChart(spark, sfDir))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch) // exact integer counts end-to-end
+    } finally q.stop()
+  }
+
   test("streaming trailing-window finish shares the CUSUM state and is bit-equal") {
     val s = spark
     import s.implicits._
