@@ -65,7 +65,7 @@ object Bench {
     // family-shared cost by map-iteration luck, and (b) two consecutive
     // bench runs attribute the trunk to the same key (VERDICT r6 #2).
     val setupT0 = System.nanoTime()
-    val setup: Map[String, Double] =
+    val setup0: Map[String, Double] =
       try {
         queries.DedupQueries.materializeTrunk(spark, sfDir)
         Map("_setup_dedup_trunk" -> (System.nanoTime() - setupT0) / 1e9)
@@ -73,6 +73,18 @@ object Bench {
         System.err.println(s"[bench] _setup_dedup_trunk FAILED: ${e.getMessage}")
         Map("_setup_dedup_trunk" -> -1.0)
       }
+    // same treatment for the retrieval family's postings trunk (r11):
+    // one corpus tokenize pass shared by tfidf/bm25/dirichlet/rocchio/
+    // postings/phrase + the bm25-shortlist consumers
+    val setupT1 = System.nanoTime()
+    val setup: Map[String, Double] = setup0 ++
+      (try {
+        queries.TextQueries.materializePostingsTrunk(spark, sfDir)
+        Map("_setup_postings_trunk" -> (System.nanoTime() - setupT1) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] _setup_postings_trunk FAILED: ${e.getMessage}")
+        Map("_setup_postings_trunk" -> -1.0)
+      })
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // sorted key order: per-query timings comparable across rounds —

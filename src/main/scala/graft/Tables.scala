@@ -63,6 +63,29 @@ object Tables {
     * is git-ignored and never collides with the read-only corpus. */
   val scratchDir = "/root/repo/target/scratch"
 
+  /** Pin a derived relation to scratch parquet (VERDICT r10 #2): the
+    * 100 TB-safe replacement for `localCheckpoint` on CORPUS-LINEAR
+    * relations (k·|V| edge sets, node tables). `localCheckpoint` pins
+    * blocks on executor storage with no lineage and no replication —
+    * one executor loss aborts the job, and the blocks occupy executor
+    * memory/disk for the session. A scratch-parquet pin computes the
+    * relation exactly once (same as an eager localCheckpoint), gives
+    * every re-read a flat columnar scan, and in production the scratch
+    * root is the durable cluster filesystem, so executor loss costs a
+    * re-read, not the job. Path is unique per call — the pin has the
+    * same lifecycle as the localCheckpoint it replaces (one query
+    * invocation), files land under the git-ignored scratch root.
+    * `localCheckpoint` remains the right tool for the genuinely
+    * vocabulary/calendar/shortlist-BOUNDED class. */
+  private val pinSeq = new java.util.concurrent.atomic.AtomicLong()
+  def scratchPin(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val path = s"$scratchDir/pins/$tag-${java.lang.Long.toHexString(System.nanoTime())}" +
+      s"-${pinSeq.incrementAndGet()}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Guard predicate for one-time scratch materializations (VERDICT r9
     * #8): true iff this session already wrote the artifacts for `dir`
     * AND every path still exists on disk. The session-conf flag alone

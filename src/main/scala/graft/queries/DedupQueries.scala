@@ -406,7 +406,7 @@ object DedupQueries {
     // at 100 TB it is the largest intermediate in the pipeline and
     // checkpointing it (r3) cost more than recomputing the few
     // candidate docs' shingles for verification.
-    val groups = groupsOf(docs).localCheckpoint()
+    val groups = Tables.scratchPin(groupsOf(docs), "vrp-groups") // doc-sized — durable pin (r11)
     (groups, verifiedFromGroups(docs, groups))
   }
 
@@ -415,7 +415,7 @@ object DedupQueries {
     * rather than recomputing the full-text hash scan. */
   private def verifiedFromGroups(docs: DataFrame, groups: DataFrame): DataFrame = {
     val reps = repTexts(docs, groups)
-    val sigs = minhashSignatures(reps).localCheckpoint()
+    val sigs = Tables.scratchPin(minhashSignatures(reps), "minhash-sigs") // rep-sized, corpus-linear — durable pin (r11)
     // cheap estimated-Jaccard prefilter between candidate generation
     // and the (expensive) exact verification: signature agreement is a
     // 16-term comparison per pair, so spurious single-band collisions
@@ -602,7 +602,7 @@ object DedupQueries {
   private def clustersFrom(groups: DataFrame, comp: DataFrame): DataFrame = {
     val canon = groups.join(comp, groups("rep") === comp("doc"), "left")
       .select(col("doc_id").as("doc"), coalesce(col("root"), col("rep")).as("root"))
-      .localCheckpoint() // consumed by the size filter and the output
+      .transform(Tables.scratchPin(_, "clusters-canon")) // doc-sized — durable pin (r11)
     val sizes = canon.groupBy("root").agg(count(lit(1)).as("csz"))
     canon.join(sizes, "root")
       .filter(col("csz") >= 2)
@@ -761,11 +761,11 @@ object DedupQueries {
 
   /** Same pipeline on an arbitrary documents frame (test surface). */
   private[graft] def simhashPairsOn(docs: DataFrame): DataFrame =
-    simhashFromGroups(docs, groupsOf(docs).localCheckpoint())
+    simhashFromGroups(docs, Tables.scratchPin(groupsOf(docs), "simhash-groups"))
 
   private def simhashFromGroups(docs: DataFrame, groups: DataFrame): DataFrame = {
     val reps = repTexts(docs, groups)
-    val sig = simhashOf(reps).localCheckpoint()
+    val sig = Tables.scratchPin(simhashOf(reps), "simhash-sig") // rep-sized, corpus-linear — durable pin (r11)
     // cheap Hamming prefilter between banding and the (expensive)
     // exact verification: a single bit_count per candidate pair, so
     // the ~0.8% of random pairs that collide in some probed band
@@ -853,7 +853,10 @@ object DedupQueries {
   private[graft] case class IngestIndex(corpus: DataFrame, corpusSigs: DataFrame)
 
   private[graft] def buildIndex(corpus: DataFrame): IngestIndex =
-    IngestIndex(corpus, minhashSignatures(corpus).localCheckpoint())
+    // the maintained corpus-side index artifact lives on durable
+    // scratch (r11) — in production it is built once per corpus
+    // snapshot on the cluster filesystem and probed by every batch
+    IngestIndex(corpus, Tables.scratchPin(minhashSignatures(corpus), "ingest-sigs"))
 
   private def bandedOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
@@ -869,7 +872,7 @@ object DedupQueries {
     * on signature agreement, verify survivors by exact shingle
     * Jaccard. |batch|-proportional work. */
   private[graft] def screen(index: IngestIndex, batch: DataFrame): DataFrame = {
-    val batchSigs = minhashSignatures(batch).localCheckpoint()
+    val batchSigs = Tables.scratchPin(minhashSignatures(batch), "ingest-batchsigs") // |batch|-sized — durable pin (r11)
     val agree = expr(
       "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
     val prefiltered = asymBucketJoinPairs(bandedOf(index.corpusSigs), bandedOf(batchSigs),

@@ -386,7 +386,7 @@ object ExtensionQueries {
       .withColumn("session_id", sum("new_session").over(byUser))
       .groupBy("user_id", "session_id")
       .agg(min("tsec").as("s_start"), max("tsec").as("s_end"))
-      .localCheckpoint() // small (one row per session); consumed twice
+      .transform(graft.Tables.scratchPin(_, "evstudy-sessions")) // one row per session, corpus-linear — durable pin (r11)
     val errs = ev.filter(col("event_type") === "error")
       .select(unix_timestamp(col("ts")).as("tsec"))
       .withColumn("bin", expr("tsec div 3600"))
@@ -561,7 +561,7 @@ object ExtensionQueries {
       .withColumn("t4", min(when(col("event_type") === "purchase" && col("tsec") > col("t3"), col("tsec"))).over(w))
       .groupBy("user_id")
       .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"), max("t4").as("t4"))
-      .localCheckpoint()
+      .transform(graft.Tables.scratchPin(_, "funnel-stages")) // one row per user, corpus-linear — durable pin (r11)
   }
 
   def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
@@ -772,7 +772,7 @@ object ExtensionQueries {
     val ud = events
       .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
       .distinct()
-      .localCheckpoint() // consumed three times: bounds, wau explode, dau agg
+      .transform(graft.Tables.scratchPin(_, "active-ud")) // (user×day) distinct, corpus-linear — durable pin (r11)
     val spine = ud.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val wau = ud
@@ -1026,7 +1026,7 @@ object ExtensionQueries {
         .agg(max(when(col("rn") === expr("(n + 1) div 2"), col(valueCol))).as(out))
     }
     val vals = events.select(col("event_type"), col("value"), col("event_id"))
-      .localCheckpoint() // ranked twice (values, deviations) + final agg
+      .transform(graft.Tables.scratchPin(_, "mad-vals")) // event-sized, corpus-linear — durable pin (r11)
     val med = rankPick(vals, "value", "med")
     val dev = vals.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
@@ -1369,7 +1369,7 @@ object ExtensionQueries {
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase" && col("last_touch").isNotNull)
-      .localCheckpoint() // consumed by both model aggregates
+      .transform(graft.Tables.scratchPin(_, "attrib-purch")) // purchase-sized, corpus-linear — durable pin (r11)
     def model(c: String) = p.groupBy(col(c).as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
         Det.moneySum(col("value")).as("revenue"))
@@ -1592,7 +1592,7 @@ object ExtensionQueries {
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables(spark, dir, "part").select(col("p_name")).distinct()
       .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-      .localCheckpoint() // tiny; both sides of the blocked self-join
+      .transform(graft.Tables.scratchPin(_, "fuzzy-names")) // distinct part names, dimension-linear — durable pin (r11)
     names.select(col("p_name").as("a"), col("blk"))
       .join(names.select(col("p_name").as("b"), col("blk")), "blk")
       .filter(col("a") < col("b"))
@@ -2267,7 +2267,7 @@ object ExtensionQueries {
 
   private[graft] def frequentPairsOf(lineitem: DataFrame): DataFrame = {
     val items = basketItems(lineitem)
-      .localCheckpoint() // three consumers (pairs ×2, counts) — scan once
+      .transform(graft.Tables.scratchPin(_, "fp-items")) // (order×part) distinct, corpus-sized — durable pin (r11)
     val nBaskets = items.agg(countDistinct("o").as("n_baskets"))
     val itemCnt = items.groupBy("p").agg(count(lit(1)).as("ic"))
     val top = items.alias("a").join(items.alias("b"),
@@ -2703,7 +2703,7 @@ object ExtensionQueries {
     assocRulesOf(Tables(spark, dir, "lineitem"))
 
   private[graft] def assocRulesOf(lineitem: DataFrame): DataFrame = {
-    val items = basketItems(lineitem).localCheckpoint()
+    val items = graft.Tables.scratchPin(basketItems(lineitem), "ar-items") // corpus-sized — durable pin (r11)
     val nBaskets = items.agg(countDistinct("o").as("n_baskets"))
     val itemCnt = items.groupBy("p").agg(count(lit(1)).as("ic"))
     val pairs = items.alias("a").join(items.alias("b"),

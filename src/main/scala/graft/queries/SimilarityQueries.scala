@@ -340,9 +340,9 @@ object SimilarityQueries {
     // executor-pinned localCheckpoint; non-default geometries (spec
     // fixtures) still derive it inline
     val g = if (nPlanes == 8 && k == 5) knnEdgesScratch(spark, dir)
-      else knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+      else Tables.scratchPin(
+        knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
+          .select(col("src"), col("dst")), "semclust-edges")
     val mut = g.alias("a").join(g.alias("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
       .filter(col("a.src") < col("a.dst"))
@@ -920,11 +920,14 @@ object SimilarityQueries {
     * to 6dp BEFORE ranking with doc_id tiebreak — identical
     * cross-engine. */
   def hybridRetrieve(spark: SparkSession, dir: String): DataFrame =
-    hybridRetrieveOn(
-      Tables(spark, dir, "documents"), Tables(spark, dir, "embeddings"))
+    hybridRetrieveRanked(
+      Tables(spark, dir, "embeddings"), TextQueries.bm25(spark, dir))
 
-  private[graft] def hybridRetrieveOn(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val shortlist = TextQueries.bm25Of(docs)
+  private[graft] def hybridRetrieveOn(docs: DataFrame, emb: DataFrame): DataFrame =
+    hybridRetrieveRanked(emb, TextQueries.bm25Of(docs))
+
+  private def hybridRetrieveRanked(emb: DataFrame, ranked: DataFrame): DataFrame = {
+    val shortlist = ranked
       .select(col("doc_id"), col("score").as("bm25"))
     val joined = emb
       .join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
@@ -932,7 +935,7 @@ object SimilarityQueries {
       .localCheckpoint() // ≤ Bm25TopDocs rows; probe AND rerank side
     val probe = joined.orderBy(desc("bm25"), asc("doc_id")).limit(1)
       .select(col("doc_id").as("probe_id"), col("ce").as("qe"))
-    graft.functions.CosineSimilarity.register(docs.sparkSession)
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
     val w = Window.orderBy(desc("cos"), asc("doc_id"))
     joined.crossJoin(broadcast(probe))
       .filter(col("doc_id") =!= col("probe_id"))
@@ -1376,10 +1379,13 @@ object SimilarityQueries {
     * identical-input IEEE divisions, so cross-engine ordering is exact
     * without a rounding fence (rounded only at output). */
   def rrfFuse(spark: SparkSession, dir: String): DataFrame =
-    rrfFuseOn(Tables(spark, dir, "documents"), Tables(spark, dir, "embeddings"))
+    rrfFuseRanked(Tables(spark, dir, "embeddings"), TextQueries.bm25(spark, dir))
 
-  private[graft] def rrfFuseOn(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val shortlist = TextQueries.bm25Of(docs)
+  private[graft] def rrfFuseOn(docs: DataFrame, emb: DataFrame): DataFrame =
+    rrfFuseRanked(emb, TextQueries.bm25Of(docs))
+
+  private def rrfFuseRanked(emb: DataFrame, ranked: DataFrame): DataFrame = {
+    val shortlist = ranked
       .select(col("doc_id"), col("score").as("bm25"))
     val joined = emb
       .join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
@@ -1387,7 +1393,7 @@ object SimilarityQueries {
       .localCheckpoint() // ≤ Bm25TopDocs rows; probe AND both rank sides
     val probe = joined.orderBy(desc("bm25"), asc("doc_id")).limit(1)
       .select(col("doc_id").as("probe_id"), col("ce").as("qe"))
-    graft.functions.CosineSimilarity.register(docs.sparkSession)
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
     val scored = joined.crossJoin(broadcast(probe))
       .filter(col("doc_id") =!= col("probe_id"))
       .withColumn("cos", round(expr("cosine_sim(qe, ce)"), 6))
@@ -2536,7 +2542,7 @@ object SimilarityQueries {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()
-      .localCheckpoint() // k-NN-bounded: ≤ k·|V| rows, reused three times
+      .transform(Tables.scratchPin(_, "tri-und")) // k·|V| rows, reused 3× — durable pin (r11)
     val nNodes = und.select(explode(array(col("src"), col("dst"))).as("v"))
       .distinct().agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
@@ -2594,7 +2600,7 @@ object SimilarityQueries {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()
-      .localCheckpoint() // k-NN-bounded; triangle join reads it 3×
+      .transform(Tables.scratchPin(_, "cc-und")) // k·|V|; triangle join reads it 3× — durable pin (r11)
     val deg = und.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val triV = und.select(col("src").as("a"), col("dst").as("b"))
@@ -2702,7 +2708,7 @@ object SimilarityQueries {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()
-      .localCheckpoint() // k-NN-bounded, read twice
+      .transform(Tables.scratchPin(_, "moran-und")) // k·|V|, read twice — durable pin (r11)
     val nodes = und.select(explode(array(col("src"), col("dst"))).as("v"))
       .distinct()
       .join(values, col("v") === col("vec_id"))
@@ -2710,7 +2716,7 @@ object SimilarityQueries {
     val mean = nodes.agg((sum("x") / count(lit(1))).as("xbar"))
     val z = nodes.crossJoin(broadcast(mean))
       .select(col("v"), (col("x") - col("xbar")).as("z"))
-      .localCheckpoint() // node-sized
+      .transform(Tables.scratchPin(_, "moran-z")) // node-sized — durable pin (r11)
     val denom = z.agg(sum(Det.units(col("z") * col("z"), 6)).as("d6"),
       count(lit(1)).as("n"))
     val num = und
@@ -2844,13 +2850,13 @@ object SimilarityQueries {
   private[graft] def ssspOnEdges(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Tables.scratchPin(_, "sssp-adj")) // 2k·|V| — durable pin (r11)
     val nodes = adj.select(col("src").as("v")).distinct()
     val seed = nodes.agg(min("v").as("s"))
     var dist = nodes.crossJoin(broadcast(seed))
       .select(col("v"),
         when(col("v") === col("s"), 0L).otherwise(SsspFar).as("d"))
-      .localCheckpoint()
+      .transform(Tables.scratchPin(_, "sssp-d0")) // node-sized — durable pin (r11)
     for (_ <- 1 to SsspRounds) {
       val prop = adj.join(dist.filter(col("d") < SsspFar),
           adj("src") === col("v"))
@@ -2858,7 +2864,7 @@ object SimilarityQueries {
       dist = dist.join(prop, col("v") === col("u"), "left")
         .select(col("v"),
           least(col("d"), coalesce(col("nd"), lit(SsspFar))).as("d"))
-        .localCheckpoint()
+        .transform(Tables.scratchPin(_, "sssp-round")) // node-sized round state — durable pin (r11)
     }
     dist.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist")
@@ -2916,7 +2922,7 @@ object SimilarityQueries {
     var edg = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()
-      .localCheckpoint() // k·|V|-bounded, shrinks every round
+      .transform(Tables.scratchPin(_, "kcore-e0")) // k·|V|, shrinks every round — durable pin (r11)
     def stats(round: Int, e: DataFrame): DataFrame =
       e.select(explode(array(col("src"), col("dst"))).as("v"))
         .agg(lit(round.toLong).as("round"),
@@ -2931,7 +2937,7 @@ object SimilarityQueries {
         .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .transform(Tables.scratchPin(_, "kcore-round")) // edge round state — durable pin (r11)
       out = out.union(stats(r, edg))
     }
     out.orderBy("round")
@@ -3001,16 +3007,17 @@ object SimilarityQueries {
     val sym = edges.filter(col("cos") >= DbEps)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().localCheckpoint() // ε-cut edges: ≤ k·|V|, reused 4×
+      .distinct().transform(Tables.scratchPin(_, "dbscan-eps")) // ε-cut edges ≤ k·|V|, reused 4× — durable pin (r11)
     val both = sym.select(col("a").as("v"), col("b").as("u"))
       .union(sym.select(col("b").as("v"), col("a").as("u")))
     val deg = both.groupBy("v").agg(count(lit(1)).as("d"))
     val core = deg.filter(col("d") >= DbMinPts).select("v")
-      .localCheckpoint() // core set ⊂ nodes, read every round
+      .transform(Tables.scratchPin(_, "dbscan-core")) // core ⊆ nodes, read every round — durable pin (r11)
     val ce = both
       .join(core, Seq("v"), "left_semi")
       .join(core.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
-      .select(col("v"), col("u")).localCheckpoint()
+      .select(col("v"), col("u"))
+      .transform(Tables.scratchPin(_, "dbscan-ce")) // core-core edges — durable pin (r11)
     var lab = core.select(col("v"), col("v").as("l"))
     var prevLab = lab
     for (_ <- 1 to DbRounds) {
@@ -3020,7 +3027,7 @@ object SimilarityQueries {
         .groupBy("v").agg(min("lu").as("nl"))
       lab = lab.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .localCheckpoint() // per-round lineage cut (sanctioned class c)
+        .transform(Tables.scratchPin(_, "dbscan-round")) // label round state — durable pin (r11)
     }
     // convergence audit (ADVICE r9): the unroll is fixed-depth by the
     // oracle contract (dynamic rounds can't be mirrored statically),
@@ -3131,7 +3138,7 @@ object SimilarityQueries {
     val d38 = "decimal(38,0)"
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint() // ≤ 2k·|V| rows, read every round
+      .distinct().transform(Tables.scratchPin(_, "spec-sym")) // 2k·|V|, read every round — durable pin (r11)
     val nodes = sym.select(col("src").as("v")).distinct()
     var x = nodes.withColumn("x", lit(SpecScale))
     for (_ <- 1 to SpecRounds) {
@@ -3142,7 +3149,7 @@ object SimilarityQueries {
         .crossJoin(broadcast(mx))
         .select(col("v"),
           expr(s"CAST(coalesce(ax, 0) * $SpecScale div mx AS BIGINT)").as("x"))
-        .localCheckpoint() // node-bounded per round
+        .transform(Tables.scratchPin(_, "spec-round")) // node-sized round state — durable pin (r11)
     }
     val ax = sym.join(x.select(col("v").as("dst"), col("x")), Seq("dst"))
       .groupBy(col("src").as("v")).agg(sum("x").as("ax"))
@@ -3228,10 +3235,11 @@ object SimilarityQueries {
         explode(array(PercThresholds.map(t => lit(t.toDouble)): _*)).as("t"))
       .filter(col("cos") >= col("t"))
       .select(col("t"), col("a"), col("b"))
-      .localCheckpoint() // ≤ |thresholds|·k·|V| rows, read every round
+      .transform(Tables.scratchPin(_, "perc-e")) // |thresholds|·k·|V|, read every round — durable pin (r11)
     val both = e.select(col("t"), col("a").as("v"), col("b").as("u"))
       .union(e.select(col("t"), col("b").as("v"), col("a").as("u")))
-    val nodes = both.select("t", "v").distinct().localCheckpoint()
+    val nodes = both.select("t", "v").distinct()
+      .transform(Tables.scratchPin(_, "perc-nodes")) // (thresholds × nodes) — durable pin (r11)
     var lab = nodes.withColumn("l", col("v"))
     var prevLab = lab
     for (_ <- 1 to PercRounds) {
@@ -3243,7 +3251,7 @@ object SimilarityQueries {
       lab = lab.join(nbr, Seq("t", "v"), "left")
         .select(col("t"), col("v"),
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .localCheckpoint() // (thresholds × nodes)-bounded per round
+        .transform(Tables.scratchPin(_, "perc-round")) // label round state — durable pin (r11)
     }
     // per-threshold convergence audit (ADVICE r9): labels still moving
     // in the FINAL unrolled round — 0 means the fixed-depth unroll
@@ -3415,7 +3423,7 @@ object SimilarityQueries {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()
       .select(col("src").as("a"), col("dst").as("b"))
-      .localCheckpoint() // ≤ k·|V| rows, shrinks every round
+      .transform(Tables.scratchPin(_, "ktruss-e0")) // k·|V|, shrinks every round — durable pin (r11)
     def stats(round: Int, ed: DataFrame): DataFrame =
       ed.select(explode(array(col("a"), col("b"))).as("v"))
         .agg(lit(round.toLong).as("round"),
@@ -3433,7 +3441,7 @@ object SimilarityQueries {
         .groupBy("a", "b").agg(count(lit(1)).as("c"))
       e = e.join(sup.filter(col("c") >= KtrussSupport).select("a", "b"),
           Seq("a", "b"), "left_semi")
-        .localCheckpoint()
+        .transform(Tables.scratchPin(_, "ktruss-round")) // edge round state — durable pin (r11)
       out = out.union(stats(r, e))
     }
     out.orderBy("round")
@@ -3491,10 +3499,10 @@ object SimilarityQueries {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") < col("dst")).distinct()
-      .localCheckpoint() // ≤ k·|V| rows, read once per tier
+      .transform(Tables.scratchPin(_, "rich-sym")) // k·|V|, read once per tier — durable pin (r11)
     val deg = sym.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
-      .localCheckpoint() // node-bounded, read once per tier
+      .transform(Tables.scratchPin(_, "rich-deg")) // node-sized, read once per tier — durable pin (r11)
     val tiers = Seq(2, 4, 6, 8)
     tiers.map { k =>
       val rich = deg.filter(col("d") > k).select("v")
@@ -3655,7 +3663,7 @@ object SimilarityQueries {
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
       .filter(col("a.src") < col("a.dst"))
       .select(col("a.src").as("d1"), col("a.dst").as("d2"))
-      .localCheckpoint() // mutual edges: ≤ k·|V|/2, reused three times
+      .transform(Tables.scratchPin(_, "mod-mut")) // mutual edges ≤ k·|V|/2, reused 3× — durable pin (r11)
     val cl = semanticClusters(spark, dir).select(col("vec_id"), col("cluster_id"))
     modularityOf(mut, cl)
   }
@@ -3917,11 +3925,14 @@ object SimilarityQueries {
     * Ranks are row_numbers (no ties), concordance is exact integer
     * sign agreement, τ = (C−D)/(m(m−1)/2) with one fenced division. */
   def kendallRankings(spark: SparkSession, dir: String): DataFrame =
-    kendallRankingsOn(Tables(spark, dir, "documents"),
-      Tables(spark, dir, "embeddings"))
+    kendallRankingsRanked(
+      Tables(spark, dir, "embeddings"), TextQueries.bm25(spark, dir))
 
-  private[graft] def kendallRankingsOn(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val shortlist = TextQueries.bm25Of(docs)
+  private[graft] def kendallRankingsOn(docs: DataFrame, emb: DataFrame): DataFrame =
+    kendallRankingsRanked(emb, TextQueries.bm25Of(docs))
+
+  private def kendallRankingsRanked(emb: DataFrame, ranked: DataFrame): DataFrame = {
+    val shortlist = ranked
       .select(col("doc_id"), col("score").as("bm25"))
     val joined = emb
       .join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
@@ -3929,15 +3940,15 @@ object SimilarityQueries {
       .localCheckpoint() // ≤ Bm25TopDocs rows
     val probe = joined.orderBy(desc("bm25"), asc("doc_id")).limit(1)
       .select(col("doc_id").as("probe_id"), col("ce").as("qe"))
-    graft.functions.CosineSimilarity.register(docs.sparkSession)
-    val ranked = joined.crossJoin(broadcast(probe))
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val rankedBoth = joined.crossJoin(broadcast(probe))
       .filter(col("doc_id") =!= col("probe_id"))
       .withColumn("cos", round(expr("cosine_sim(qe, ce)"), 6))
       .withColumn("lex", row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
       .withColumn("sem", row_number().over(Window.orderBy(desc("cos"), asc("doc_id"))))
       .select(col("doc_id"), col("lex"), col("sem"))
-    val pairs = ranked.select(col("doc_id").as("a"), col("lex").as("la"), col("sem").as("sa"))
-      .crossJoin(ranked.select(col("doc_id").as("b"), col("lex").as("lb"), col("sem").as("sb")))
+    val pairs = rankedBoth.select(col("doc_id").as("a"), col("lex").as("la"), col("sem").as("sa"))
+      .crossJoin(rankedBoth.select(col("doc_id").as("b"), col("lex").as("lb"), col("sem").as("sb")))
       .filter(col("a") < col("b"))
       .withColumn("conc",
         when((col("la") - col("lb")) * (col("sa") - col("sb")) > 0, 1L).otherwise(0L))
@@ -4340,7 +4351,7 @@ object SimilarityQueries {
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .join(broadcast(termSet), Seq("term"))
       .distinct()
-      .localCheckpoint() // <= docs x 24 rows; both sides of the co-join
+      .transform(Tables.scratchPin(_, "topic-dt")) // docs×24, both sides of the co-join — durable pin (r11)
     val dfTerm = docTerm.groupBy("term").agg(count(lit(1)).as("d_term"))
     val co = docTerm.select(col("doc_id"), col("term").as("wi"))
       .join(docTerm.select(col("doc_id"), col("term").as("wj")), Seq("doc_id"))
@@ -4427,7 +4438,7 @@ object SimilarityQueries {
   private[graft] def closenessCentralityOnEdges(edges: DataFrame): DataFrame = {
     val both = edges.select(col("src").as("v"), col("dst").as("u"))
       .union(edges.select(col("dst").as("v"), col("src").as("u")))
-      .distinct().localCheckpoint() // <= 2k|V| rows, read every round
+      .distinct().transform(Tables.scratchPin(_, "close-adj")) // 2k·|V|, read every round — durable pin (r11)
     val nodes = both.select("v").distinct()
     val seeds = nodes.orderBy("v").limit(CcSeeds)
       .select(col("v").as("s")).localCheckpoint() // 8 rows, fixed
@@ -4437,7 +4448,7 @@ object SimilarityQueries {
         .join(both, Seq("v"))
         .select(col("s"), col("u").as("v"), lit(r).as("dist"))
       d = d.unionAll(nxt).groupBy("s", "v").agg(min("dist").as("dist"))
-        .localCheckpoint() // (seeds x nodes)-bounded per round
+        .transform(Tables.scratchPin(_, "close-round")) // (seeds × nodes) round state — durable pin (r11)
     }
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
     d.filter(col("dist") > 0)

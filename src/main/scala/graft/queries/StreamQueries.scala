@@ -309,7 +309,7 @@ object StreamQueries {
     val sk = hashed.groupBy("event_type").agg(kmv(col("h")).as("mins"))
       .localCheckpoint() // group-cardinality-sized; both join sides
     val du = hashed.select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint() // exact tier: sizes + pairwise intersections
+      .transform(Tables.scratchPin(_, "kmv-du")) // (type×user) distinct, corpus-linear — durable pin (r11)
     val sizes = du.groupBy("event_type").agg(count(lit(1)).as("nd"))
     val exact = du.as("a")
       .join(du.as("b"), col("a.user_id") === col("b.user_id")
