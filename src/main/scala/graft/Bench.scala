@@ -48,6 +48,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // reliable-checkpoint round state is deleted once its RDD is
+      // GC'd (ADVICE r10: checkpoint files otherwise accumulate
+      // unboundedly over a long session)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

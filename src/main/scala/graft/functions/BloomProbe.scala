@@ -5,11 +5,12 @@ import java.io.ByteArrayInputStream
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, PlanExpression, Predicate}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, TrueLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.trees.TreePattern.OUTER_REFERENCE
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, NullType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Session registration for Spark's OWN Bloom-filter expression pair —
@@ -75,9 +76,23 @@ case class GraftMightContain(bloomFilterExpression: Expression,
 
   override def nullable: Boolean = true
 
+  // mirrors the upstream BloomFilterMightContain contract (ADVICE r10):
+  // NullType is accepted on either side (a NULL bloom or probe yields a
+  // NULL result, not an analysis failure), and the bloom argument must
+  // be foldable or a scalar subquery — the one-time `eval(null)`
+  // deserialization below is only sound for a plan-constant filter; a
+  // per-row bloom column would NPE or silently probe one stale filter
   override def checkInputDataTypes(): TypeCheckResult =
     (bloomFilterExpression.dataType, valueExpression.dataType) match {
-      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (BinaryType | NullType, LongType | NullType) =>
+        bloomFilterExpression match {
+          case e: Expression if e.foldable => TypeCheckResult.TypeCheckSuccess
+          case subquery: PlanExpression[_] if !subquery.containsPattern(OUTER_REFERENCE) =>
+            TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            "the bloom filter argument to graft_might_contain must be a " +
+              "constant (foldable) value or an uncorrelated scalar subquery")
+        }
       case (bt, vt) => TypeCheckResult.TypeCheckFailure(
         s"graft_might_contain expects (binary bloom, bigint value), got ($bt, $vt)")
     }

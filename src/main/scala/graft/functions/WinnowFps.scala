@@ -160,13 +160,28 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 
 object WinnowFps {
   private[functions] val builder = (children: Seq[Expression]) => {
-    require(children.length == 3, "winnow_fps takes (text, k, w)")
-    (children(1), children(2)) match {
-      case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
-        WinnowFps(children.head, k, w)
-      case other => throw new IllegalArgumentException(
-        s"winnow_fps k/w must be integer literals, got $other")
+    if (children.length != 3)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3084",
+        messageParameters = Map("msg" -> "winnow_fps takes (text, k, w)"))
+    // fold any constant integer expression (CAST(8 AS INT), 4+4, …),
+    // not just bare literals (ADVICE r10) — and fail as an analysis
+    // error naming the function, not a raw IllegalArgumentException
+    def foldInt(e: Expression, name: String): Int = e match {
+      case fe if fe.foldable && fe.dataType == IntegerType =>
+        fe.eval(null) match {
+          case i: Int => i
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3084",
+            messageParameters =
+              Map("msg" -> s"winnow_fps $name must be a non-null constant integer"))
+        }
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3084",
+        messageParameters = Map("msg" ->
+          s"winnow_fps $name must be a constant (foldable) integer, got $other"))
     }
+    WinnowFps(children.head, foldInt(children(1), "k"), foldInt(children(2), "w"))
   }
   /** Session-local registration, same policy as [[Shingles.register]]. */
   def register(spark: SparkSession): Unit = {

@@ -16,6 +16,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // reliable-checkpoint round state is deleted once its RDD is
+      // GC'd (ADVICE r10: checkpoint files otherwise accumulate
+      // unboundedly over a long session)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -982,6 +982,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked c-chart merges an in-delay late day-bucket and drops beyond-watermark data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    def purch(id: Long, t: String) = ev(id, t, "purchase")
+    // five calendar days; two day-4 purchases held back as LATE arrivals
+    val onTime = Seq(
+      purch(1, "2024-01-01 09:00:00"), purch(2, "2024-01-01 17:00:00"),
+      purch(3, "2024-01-02 08:00:00"),
+      purch(4, "2024-01-03 12:00:00"), purch(5, "2024-01-03 13:00:00"),
+      purch(6, "2024-01-04 07:00:00"),
+      purch(7, "2024-01-05 10:00:00"), purch(8, "2024-01-05 23:00:00"))
+    val late = Seq(purch(9, "2024-01-04 20:00:00"), purch(10, "2024-01-04 21:30:00"))
+    val ancient = Seq(purch(11, "2024-01-01 01:00:00")) // beyond the 2-day delay
+    val q = StreamJobs.cChartStreamWatermarked(mem.toDF(), "2 days")
+      .writeStream.format("memory").queryName("cchart_wm").outputMode("update").start()
+    try {
+      mem.addData(onTime: _*); q.processAllAvailable()
+      // watermark is now 2024-01-05 23:00 − 2d = 2024-01-03 23:00: the
+      // day-4 window (ends 01-05 00:00) is still OPEN, day-1 is expired
+      mem.addData(late: _*); q.processAllAvailable()
+      // update-mode memory sink appends every re-emission; counts only
+      // grow, so the latest state per day is max(x)
+      def mergedState() = spark.table("cchart_wm").groupBy("d").agg(max("x").as("x"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toSeq
+      val streamed = rows(StreamJobs.cChartFinish(mergedState()))
+      val batchAccepted = rows(graft.queries.ExtensionQueries.cChartOf(
+        (onTime ++ late).toDF()))
+      assert(streamed === batchAccepted) // the late day-4 bucket MERGED (6 → 8 day-4 rows feed identical limits)
+      // day-4 carries the late rows: 1 on-time + 2 late
+      val day4 = mergedState().filter(col("d") === lit("2024-01-04").cast("date"))
+        .collect().map(_.getLong(1))
+      assert(day4.toSeq == Seq(3L))
+      // an event older than the watermark is DROPPED, not merged
+      mem.addData(ancient: _*); q.processAllAvailable()
+      val afterAncient = rows(StreamJobs.cChartFinish(mergedState()))
+      assert(afterAncient === batchAccepted) // state unchanged — bounded retention
+    } finally q.stop()
+  }
+
   test("streaming trailing-window finish shares the CUSUM state and is bit-equal") {
     val s = spark
     import s.implicits._
