@@ -95,7 +95,13 @@ object Bench {
     // map-iteration order previously decided which query followed which
     // (and, pre-trunk-split, who paid shared costs)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val repResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated key filter for targeted re-medians (VERDICT r10
+    // #4 flow) — absent means the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val repResults = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must NOT masquerade as a fast one: record -1

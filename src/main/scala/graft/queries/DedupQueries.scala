@@ -128,13 +128,13 @@ object DedupQueries {
     * integers — bit-identical across engines. `sizes` (doc_id, sz =
     * distinct shingle count) rides along from the signature
     * aggregation — the full shingle stream is aggregated once, not
-    * twice. `cand` must be materialized (localCheckpoint) by the
-    * caller — it is consumed twice. */
+    * twice. `cand` must be materialized (durable
+    * scratch pin) by the caller — it is consumed twice. */
   private def verify(cand: DataFrame, repDocs: DataFrame): DataFrame = {
     val candDocs = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     val shingles = shinglesOf(repDocs.join(broadcast(candDocs), "doc_id"))
-      .localCheckpoint() // tiny (candidate docs only); consumed three times
+      .transform(Tables.scratchPin(_, "verify-shingles")) // candidate docs×shingles, output-proportional — durable pin (r11)
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cand
       .join(shingles.select(col("doc_id").as("d1"), col("s")), "d1")
@@ -434,7 +434,7 @@ object DedupQueries {
       .filter(agree >= NumHashes / 4)
       .select(col("d1"), col("d2"))
       .distinct()
-      .localCheckpoint() // tiny; consumed twice inside verify
+      .transform(Tables.scratchPin(_, "minhash-cand")) // candidate pairs, output-proportional — durable pin (r11)
     verify(prefiltered, reps)
   }
 
@@ -779,7 +779,7 @@ object DedupQueries {
       .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 13)
       .select("d1", "d2")
       .distinct()
-      .localCheckpoint() // tiny; consumed twice inside verify
+      .transform(Tables.scratchPin(_, "simhash-cand")) // candidate pairs, output-proportional — durable pin (r11)
     expand(verify(prefiltered, reps), groups)
   }
 
@@ -882,7 +882,7 @@ object DedupQueries {
       .filter(agree >= NumHashes / 4)
       .select(col("d1"), col("d2"))
       .distinct()
-      .localCheckpoint() // tiny; consumed twice inside verify
+      .transform(Tables.scratchPin(_, "ingest-cand")) // candidate pairs, output-proportional — durable pin (r11)
     verify(prefiltered, index.corpus.select("doc_id", "text")
       .unionByName(batch.select("doc_id", "text")))
       .select(col("d1").as("existing_id"), col("d2").as("new_id"),

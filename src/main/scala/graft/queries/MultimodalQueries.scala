@@ -288,11 +288,11 @@ object MultimodalQueries {
       .withColumn("rep", min("media_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .select("media_id", "rep")
-      .localCheckpoint() // consumed by reps, inter- and intra-expansion
+      .transform(graft.Tables.scratchPin(_, "media-groups")) // media-corpus-linear — durable pin (r11)
     val reps = media.join(
       groups.filter(col("media_id") === col("rep")).select("media_id"), "media_id")
     val sig = sigsOf(reps)
-      .localCheckpoint() // small (one 129-long array/rep); consumed by banding + both verify sides
+      .transform(graft.Tables.scratchPin(_, "media-sigs")) // one 129-long array/rep, rep-linear — durable pin (r11)
     val nBands = 4
     val bandBits = 32
     val bandCols = (0 until nBands).map { b =>
@@ -456,9 +456,9 @@ object MultimodalQueries {
   def mediaIncremental(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(spark, dir).toDF()
     val corpus = sigsOf(media.filter(pmod(col("media_id"), lit(10)) =!= 7))
-      .localCheckpoint() // index side: banding + verify
+      .transform(graft.Tables.scratchPin(_, "mediainc-corpus")) // index side, media-linear — durable pin (r11)
     val batch = sigsOf(media.filter(pmod(col("media_id"), lit(10)) === 7))
-      .localCheckpoint() // probe side: banding + verify
+      .transform(graft.Tables.scratchPin(_, "mediainc-batch")) // probe side, batch-linear — durable pin (r11)
     val nBands = 4
     val bandBits = 32
     def bandCols(src0: String, src1: String) = (0 until nBands).map { b =>

@@ -1466,7 +1466,7 @@ object SimilarityQueries {
       col("embedding").as("ce"))
     val scored = withCos(broadcast(q).crossJoin(c))
       .filter(col("qid") =!= col("cid"))
-      .localCheckpoint() // top-k window AND the relevant-count agg
+      .transform(Tables.scratchPin(_, "ndcg-scored")) // NQueries·|V|, corpus-linear — durable pin (r11)
     val nRel = scored.filter(col("qlabel") === col("clabel"))
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
@@ -1539,7 +1539,7 @@ object SimilarityQueries {
       col("embedding").as("ce"))
     val scored = withCos(broadcast(q).crossJoin(c))
       .filter(col("qid") =!= col("cid"))
-      .localCheckpoint() // rank window AND the relevant-count agg
+      .transform(Tables.scratchPin(_, "map-scored")) // NQueries·|V|, corpus-linear — durable pin (r11)
     val nRel = scored.filter(col("qlabel") === col("clabel"))
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))

@@ -870,8 +870,11 @@ object StreamJobs {
   def annProbeStream(corpus: DataFrame, queries: DataFrame,
                      nPlanes: Int = 4, k: Int = 5)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val index = graft.queries.SimilarityQueries
-      .buildLshIndex(corpus, nPlanes).localCheckpoint(true)
+    // the serving index is corpus-linear state shared by every
+    // micro-batch — durable scratch, not executor-pinned blocks (r11):
+    // on a cluster an executor loss then costs a re-read, not the query
+    val index = graft.Tables.scratchPin(
+      graft.queries.SimilarityQueries.buildLshIndex(corpus, nPlanes), "ann-serve-index")
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
