@@ -3272,6 +3272,21 @@ object AnalyticsQueries {
 
   private[graft] def periodogramOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val terms = pgramPowersOf(events)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    terms
+      .withColumn("tot", sum("power").over(wAll))
+      .select(col("k").cast("int").as("k"),
+        Det.rnd(col("n").cast("double") / col("k"), 4).as("period_days"),
+        Det.rnd(col("power") / col("tot"), 6).as("power_share"))
+      .orderBy(desc("power_share"), asc("k"))
+      .limit(PgramMaxK)
+  }
+
+  /** The DFT power table (k, n, power) behind [[periodogram]] and
+    * [[spectralEntropy]] — one shared derivation so the two cannot
+    * fork. */
+  private[graft] def pgramPowersOf(events: DataFrame): DataFrame = {
     val byDay = events
       .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
       .groupBy("d").agg(sum("c").as("c"))
@@ -3285,7 +3300,7 @@ object AnalyticsQueries {
       .select(col("i"), col("n"),
         (col("x").cast("double") - col("sx").cast("double") / col("n")).as("xc"))
     val tau = 6.283185307179586 // pinned 2*pi
-    val terms = centered
+    centered
       .select(col("i"), col("n"), col("xc"),
         explode(sequence(lit(1), lit(PgramMaxK))).as("k"))
       .groupBy("k")
@@ -3293,18 +3308,13 @@ object AnalyticsQueries {
         sum(col("xc") * cos(lit(tau) * col("k") * col("i") / col("n"))).as("a"),
         sum(col("xc") * sin(lit(tau) * col("k") * col("i") / col("n"))).as("b"))
       .withColumn("power", col("a") * col("a") + col("b") * col("b"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    terms
-      .withColumn("tot", sum("power").over(wAll))
-      .select(col("k").cast("int").as("k"),
-        Det.rnd(col("n").cast("double") / col("k"), 4).as("period_days"),
-        Det.rnd(col("power") / col("tot"), 6).as("power_share"))
-      .orderBy(desc("power_share"), asc("k"))
-      .limit(PgramMaxK)
   }
 
-  val periodogramSql: String =
-    s"""WITH byday AS (
+  /** Shared oracle prefix of [[periodogramSql]] and
+    * [[spectralEntropySql]]: the dense daily series → DFT power table
+    * `pw(k, n, power)`. */
+  private[graft] val pgramPowerCtes: String =
+    s"""byday AS (
        |  SELECT CAST(ts AS DATE) AS d,
        |         CAST(sum(${Det.centsSql("value")}) AS BIGINT) AS c
        |  FROM events GROUP BY 1),
@@ -3322,13 +3332,57 @@ object AnalyticsQueries {
        |  FROM (SELECT i, n, x - CAST(sx AS DOUBLE) / n AS xc FROM dense, mom)
        |  CROSS JOIN (SELECT unnest(range(1, ${PgramMaxK + 1})) AS k)
        |  GROUP BY k),
-       |pw AS (SELECT k, n, a * a + b * b AS power FROM terms)
+       |pw AS (SELECT k, n, a * a + b * b AS power FROM terms)""".stripMargin
+
+  val periodogramSql: String =
+    s"""WITH $pgramPowerCtes
        |SELECT CAST(k AS INTEGER) AS k,
        |       ${Det.rndSql("CAST(n AS DOUBLE) / k", 4)} AS period_days,
        |       ${Det.rndSql("power / sum(power) OVER ()", 6)} AS power_share
        |FROM pw
        |ORDER BY power_share DESC, k
        |LIMIT $PgramMaxK""".stripMargin
+
+  /** SPECTRAL ENTROPY of the daily-revenue periodogram — the one
+    * scalar that separates "one dominant cycle" (entropy → 0) from
+    * "white noise" (entropy → 1): H = −Σ p̂_k ln p̂_k over the
+    * [[PgramMaxK]] harmonic power shares, normalized by ln K. The
+    * forecastability pre-check a planner runs BEFORE fitting seasonal
+    * models — [[ExtensionQueries.seasonality]] and the seasonal index
+    * assume a cycle exists; this measures whether one does.
+    *
+    * Scale shape: identical to [[periodogram]] ([[pgramPowersOf]] is
+    * shared verbatim) — calendar-bounded after the daily collapse.
+    * The K-term entropy sum is fenced at 6 dp. */
+  def spectralEntropy(spark: SparkSession, dir: String): DataFrame =
+    spectralEntropyOf(Tables(spark, dir, "events"))
+
+  private[graft] def spectralEntropyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = pgramPowersOf(events)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val shares = terms.withColumn("tot", sum("power").over(wAll))
+      .select(col("k"), col("n"), (col("power") / col("tot")).as("s"))
+    shares
+      .withColumn("top", row_number().over(Window.orderBy(desc("s"), asc("k"))))
+      .agg(max("n").as("n_days"),
+        Det.rnd(-sum(col("s") * log(col("s"))), 6).as("spectral_entropy"),
+        Det.rnd(-sum(col("s") * log(col("s"))) / math.log(PgramMaxK), 6)
+          .as("h_norm"),
+        max(when(col("top") === 1, col("k"))).cast("int").as("dominant_k"),
+        Det.rnd(max(when(col("top") === 1, col("s"))), 6).as("dominant_share"))
+  }
+
+  val spectralEntropySql: String =
+    s"""WITH $pgramPowerCtes,
+       |sh AS (SELECT k, n, power / sum(power) OVER () AS s FROM pw),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY s DESC, k) AS top FROM sh)
+       |SELECT CAST(max(n) AS BIGINT) AS n_days,
+       |       ${Det.rndSql("-sum(s * ln(s))", 6)} AS spectral_entropy,
+       |       ${Det.rndSql(s"-sum(s * ln(s)) / ln($PgramMaxK)", 6)} AS h_norm,
+       |       CAST(max(CASE WHEN top = 1 THEN k END) AS INTEGER) AS dominant_k,
+       |       ${Det.rndSql("max(CASE WHEN top = 1 THEN s END)", 6)} AS dominant_share
+       |FROM rk""".stripMargin
 
   /** BINARY-SEGMENTATION CHANGEPOINTS of the daily revenue series —
     * the top split minimizes two-segment SSE over the whole span,

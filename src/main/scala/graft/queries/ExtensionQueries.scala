@@ -11866,4 +11866,265 @@ object ExtensionQueries {
             "pow(abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1e6) - 0.5, 2)" +
             " / (CAST(sv AS DOUBLE) / 1e6) END", 4)} AS cmh_chi2
        |FROM agg""".stripMargin
+
+  // ------------------------------------------- round-11 additions
+
+  private val HoltFence = "1000000.0" // 6-dp per-step fence
+
+  /** HOLT'S LINEAR-TREND exponential smoothing (α=β=½) of the daily
+    * purchase-revenue series — the trend-aware sibling of
+    * [[ewmaForecast]]'s level-only EWMA: l_t = ½x_t + ½(l_{t−1}+b_{t−1}),
+    * b_t = ½(l_t−l_{t−1}) + ½b_{t−1}, initialized l₁=x₁, b₁=x₂−x₁
+    * (Hyndman). The recursion has no dyadic closed form (the joint
+    * transition matrix has irrational eigenvalues), so it runs as ONE
+    * sequential fold over the calendar-dense day array — sort_array
+    * makes the order explicit, and every step fences l and b to 6 dp
+    * (floor-half-up), so both engines walk the identical 6-dp
+    * trajectory (the [[graft.queries.SimilarityQueries]] k-means
+    * fenced-iterate rule applied to a fold).
+    *
+    * Scale shape: the daily collapse is the only corpus pass; the fold
+    * runs over the ≤ span-days array inside one projection — a
+    * calendar-bounded computation no matter the corpus size. Output:
+    * final level/trend and the h-step forecasts level + h·trend. */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame =
+    holtLinearOf(Tables(spark, dir, "events"))
+
+  private[graft] def holtLinearOf(events: DataFrame): DataFrame = {
+    val byDay = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val span = byDay.agg(min(col("d")).as("d0"),
+      datediff(max(col("d")), min(col("d"))).as("nd"))
+    val dense = span
+      .select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i"), coalesce(col("c"), lit(0L)).as("x"))
+    val f = HoltFence
+    // D-suffixed literals: Spark SQL parses bare decimal literals as
+    // DECIMAL, which silently turns the fold arithmetic (and floor)
+    // into DECIMAL(30,9) — the fence must run in IEEE doubles
+    val step =
+      s"(acc, x) -> named_struct(" +
+        s"'l', CAST(floor((x / 100.0D + acc.l + acc.b) / 2.0D * ${f}D + 0.5D) AS DOUBLE) / ${f}D, " +
+        s"'b', CAST(floor((CAST(floor((x / 100.0D + acc.l + acc.b) / 2.0D * ${f}D + 0.5D) AS DOUBLE) / ${f}D" +
+        s" - acc.l + acc.b) / 2.0D * ${f}D + 0.5D) AS DOUBLE) / ${f}D)"
+    dense.agg(sort_array(collect_list(struct(col("i"), col("x")))).as("sx"))
+      .select(size(col("sx")).cast("long").as("n_days"),
+        expr("transform(sx, e -> CAST(e.x AS DOUBLE))").as("xs"))
+      .select(col("n_days"), expr(
+        s"aggregate(slice(xs, 2, CAST(n_days AS INT) - 1), " +
+          s"named_struct('l', xs[0] / 100.0D, 'b', (xs[1] - xs[0]) / 100.0D), " +
+          s"$step, acc -> acc)").as("hb"))
+      .select(col("n_days"),
+        col("hb.l").as("level"), col("hb.b").as("trend"),
+        Det.rnd(col("hb.l") + col("hb.b"), 4).as("forecast_1"),
+        Det.rnd(col("hb.l") + col("hb.b") * 3, 4).as("forecast_3"),
+        Det.rnd(col("hb.l") + col("hb.b") * 7, 4).as("forecast_7"))
+  }
+
+  val holtLinearSql: String = {
+    val f = HoltFence
+    val c = Det.centsSql("value")
+    s"""WITH RECURSIVE byday AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(sum($c) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |sp AS (SELECT min(d) AS d0, date_diff('day', min(d), max(d)) AS nd
+       |       FROM byday),
+       |dense AS (
+       |  SELECT CAST(grid.i AS BIGINT) AS i,
+       |         CAST(coalesce(byday.c, 0) AS DOUBLE) / 100.0 AS x
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) grid
+       |  LEFT JOIN byday ON byday.d = grid.d0 + CAST(grid.i AS INTEGER)),
+       |n AS (SELECT count(*) AS nd FROM dense),
+       |r AS (
+       |  SELECT CAST(1 AS BIGINT) AS t, a.x AS l, b.x - a.x AS b
+       |  FROM (SELECT x FROM dense WHERE i = 0) a,
+       |       (SELECT x FROM dense WHERE i = 1) b
+       |  UNION ALL
+       |  SELECT r.t + 1,
+       |         floor((d.x + r.l + r.b) / 2 * $f + 0.5) / $f,
+       |         floor((floor((d.x + r.l + r.b) / 2 * $f + 0.5) / $f
+       |                - r.l + r.b) / 2 * $f + 0.5) / $f
+       |  FROM r JOIN dense d ON d.i = r.t
+       |  WHERE r.t < (SELECT nd FROM n))
+       |SELECT (SELECT CAST(nd AS BIGINT) FROM n) AS n_days, l AS level, b AS trend,
+       |       ${Det.rndSql("l + b", 4)} AS forecast_1,
+       |       ${Det.rndSql("l + b * 3", 4)} AS forecast_3,
+       |       ${Det.rndSql("l + b * 7", 4)} AS forecast_7
+       |FROM r WHERE t = (SELECT nd FROM n)""".stripMargin
+  }
+
+  /** O'BRIEN-FLEMING group-sequential monitoring of the [[abTest]]
+    * experiment — the peeking-safe way to read an experiment four
+    * times: at each interim look k (25/50/75/100% of the event-time
+    * span) the cumulative z statistic is compared against the OBF
+    * boundary c·√(K/k) (c = 2.024407 pinned for K=4, two-sided
+    * α≈0.05) — very strict early, nominal at the final look, total
+    * α preserved. Early looks can only stop for overwhelming effects;
+    * the final boundary ≈ the fixed-horizon test.
+    *
+    * Scale shape: ONE conditional-aggregation pass — each event joins
+    * the 4-row broadcast look table (tus ≤ cut), moments accumulate
+    * per (look, arm) exactly as [[abTest]]'s exact integer power
+    * sums; z and the boundary are fixed double expressions fenced at
+    * 6 dp. */
+  def obrienFleming(spark: SparkSession, dir: String): DataFrame =
+    obrienFlemingOf(Tables(spark, dir, "events"))
+
+  private[graft] def obrienFlemingOf(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("tus"),
+        (col("user_id") % 2).as("g"), Det.cents(col("value")).as("c"))
+    val span = p.agg(min("tus").as("t0"), max("tus").as("t1"))
+    val looks = span.select(explode(sequence(lit(1), lit(4))).as("look"),
+      col("t0"), col("t1"))
+      // integer `div`, not `/` (Spark long / long is DOUBLE)
+      .select(col("look"), expr("t0 + (look * (t1 - t0)) div 4").as("cut"))
+    val m = p.crossJoin(broadcast(looks))
+      .filter(col("tus") <= col("cut"))
+      .groupBy("look")
+      .agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") === 0, col("c")).otherwise(0L)).as("s_a"),
+        sum(when(col("g") === 0, col("c") * col("c")).otherwise(0L)).as("ssq_a"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g") === 1, col("c")).otherwise(0L)).as("s_b"),
+        sum(when(col("g") === 1, col("c") * col("c")).otherwise(0L)).as("ssq_b"))
+    def mean(sc: String, n: String) = col(sc).cast("double") / col(n)
+    def vr(n: String, sc: String, ssq: String) =
+      (col(n) * col(ssq) - col(sc) * col(sc)).cast("double") / (col(n) * col(n))
+    m.select(col("look").cast("int").as("look"), col("n_a"), col("n_b"),
+        Det.rnd((mean("s_a", "n_a") - mean("s_b", "n_b")) /
+          sqrt(vr("n_a", "s_a", "ssq_a") / col("n_a")
+            + vr("n_b", "s_b", "ssq_b") / col("n_b")), 6).as("z"),
+        Det.rnd(lit(2.024407) * sqrt(lit(4.0) / col("look")), 6).as("boundary"))
+      .withColumn("crossed", abs(col("z")) > col("boundary"))
+      .orderBy("look")
+  }
+
+  val obrienFlemingSql: String = {
+    val c = Det.centsSql("value")
+    s"""WITH p AS (
+       |  SELECT epoch_us(ts) AS tus, user_id % 2 AS g, $c AS cv
+       |  FROM events WHERE event_type = 'purchase'),
+       |sp AS (SELECT min(tus) AS t0, max(tus) AS t1 FROM p),
+       |looks AS (SELECT CAST(k AS INTEGER) AS look,
+       |                 t0 + (k * (t1 - t0)) // 4 AS cut
+       |          FROM (SELECT unnest(range(1, 5)) AS k), sp),
+       |m AS (
+       |  SELECT look,
+       |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN g = 0 THEN cv ELSE 0 END) AS BIGINT) AS s_a,
+       |         CAST(sum(CASE WHEN g = 0 THEN cv * cv ELSE 0 END) AS BIGINT) AS ssq_a,
+       |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN g = 1 THEN cv ELSE 0 END) AS BIGINT) AS s_b,
+       |         CAST(sum(CASE WHEN g = 1 THEN cv * cv ELSE 0 END) AS BIGINT) AS ssq_b
+       |  FROM p JOIN looks ON p.tus <= looks.cut
+       |  GROUP BY 1)
+       |SELECT look, n_a, n_b,
+       |       ${Det.rndSql(
+        "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)" +
+          " / sqrt(CAST(n_a * ssq_a - s_a * s_a AS DOUBLE) / (n_a * n_a) / n_a" +
+          "      + CAST(n_b * ssq_b - s_b * s_b AS DOUBLE) / (n_b * n_b) / n_b)",
+        6)} AS z,
+       |       ${Det.rndSql("2.024407 * sqrt(4.0 / look)", 6)} AS boundary,
+       |       abs(${Det.rndSql(
+        "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)" +
+          " / sqrt(CAST(n_a * ssq_a - s_a * s_a AS DOUBLE) / (n_a * n_a) / n_a" +
+          "      + CAST(n_b * ssq_b - s_b * s_b AS DOUBLE) / (n_b * n_b) / n_b)",
+        6)}) > ${Det.rndSql("2.024407 * sqrt(4.0 / look)", 6)} AS crossed
+       |FROM m
+       |ORDER BY look""".stripMargin
+  }
+
+  /** CROSTON'S METHOD for intermittent demand (nation-0 daily order
+    * counts — the [[zeroInflation]] slice, which has real zero days
+    * at every SF): separate ½-EWMAs of the non-zero demand SIZES and
+    * the inter-demand INTERVALS, forecast = ẑ/q̂ demand per day — the
+    * standard sparse-series forecaster where a plain EWMA chases
+    * zeros. Both EWMAs use the dyadic α=½ closed form
+    * l_m = z₁·2^{1−m} + Σ_{j≥2} z_j·2^{j−m−1} — every term is a
+    * power-of-two multiple of an integer, so the sums are EXACT in
+    * IEEE doubles (order-independent, no fence needed until the final
+    * ratio). First interval pins the q₁ = i₁+1 convention (days since
+    * the virtual day −1).
+    *
+    * Scale shape: broadcast dim join + one daily aggregate; the
+    * non-zero subsequence lives on the calendar-bounded dense grid. */
+  def croston(spark: SparkSession, dir: String): DataFrame =
+    crostonOf(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"))
+
+  private[graft] def crostonOf(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 0)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val span = orders.agg(to_date(min(col("o_orderdate"))).as("d0"),
+      datediff(to_date(max(col("o_orderdate"))),
+        to_date(min(col("o_orderdate")))).as("nd"))
+    val dense = span
+      .select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
+      .join(byDay, expr("date_add(d0, i) = d"), "left")
+      .select(col("i").cast("long").as("i"), coalesce(col("x"), lit(0L)).as("x"))
+    val nz = dense.filter(col("x") > 0)
+      .withColumn("rn", row_number().over(Window.orderBy("i")).cast("long"))
+      .withColumn("gap",
+        when(col("rn") === 1, col("i") + 1)
+          .otherwise(col("i") - lag("i", 1).over(Window.orderBy("i"))))
+    val m = nz.agg(max("rn").as("m"))
+    val ew = nz.crossJoin(broadcast(m))
+      .select(
+        (col("x").cast("double") *
+          pow(lit(2.0), when(col("rn") === 1, lit(1L) - col("m"))
+            .otherwise(col("rn") - col("m") - 1).cast("double"))).as("zt"),
+        (col("gap").cast("double") *
+          pow(lit(2.0), when(col("rn") === 1, lit(1L) - col("m"))
+            .otherwise(col("rn") - col("m") - 1).cast("double"))).as("qt"))
+      .agg(sum("zt").as("z_hat"), sum("qt").as("q_hat"))
+    dense.agg(count(lit(1)).as("n_days"),
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_demands"))
+      .crossJoin(broadcast(ew))
+      .select(col("n_days"), col("n_demands"),
+        Det.rnd(col("z_hat"), 6).as("z_hat"),
+        Det.rnd(col("q_hat"), 6).as("q_hat"),
+        Det.rnd(col("z_hat") / col("q_hat"), 6).as("croston_forecast"))
+  }
+
+  val crostonSql: String =
+    s"""WITH byday AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_nationkey = 0
+       |  GROUP BY 1),
+       |sp AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+       |              date_diff('day', CAST(min(o_orderdate) AS DATE),
+       |                        CAST(max(o_orderdate) AS DATE)) AS nd
+       |       FROM orders),
+       |dense AS (
+       |  SELECT CAST(grid.i AS BIGINT) AS i, coalesce(byday.x, 0) AS x
+       |  FROM (SELECT unnest(range(nd + 1)) AS i, d0 FROM sp) grid
+       |  LEFT JOIN byday ON byday.d = grid.d0 + CAST(grid.i AS INTEGER)),
+       |nz AS (SELECT i, x, CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS rn,
+       |              CASE WHEN row_number() OVER (ORDER BY i) = 1 THEN i + 1
+       |                   ELSE i - lag(i) OVER (ORDER BY i) END AS gap
+       |       FROM dense WHERE x > 0),
+       |m AS (SELECT max(rn) AS m FROM nz),
+       |ew AS (SELECT sum(CAST(x AS DOUBLE)
+       |                  * pow(2.0, CASE WHEN rn = 1 THEN 1 - m
+       |                                  ELSE rn - m - 1 END)) AS z_hat,
+       |              sum(CAST(gap AS DOUBLE)
+       |                  * pow(2.0, CASE WHEN rn = 1 THEN 1 - m
+       |                                  ELSE rn - m - 1 END)) AS q_hat
+       |       FROM nz, m)
+       |SELECT (SELECT count(*) FROM dense) AS n_days,
+       |       (SELECT CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |        FROM dense) AS n_demands,
+       |       ${Det.rndSql("z_hat", 6)} AS z_hat,
+       |       ${Det.rndSql("q_hat", 6)} AS q_hat,
+       |       ${Det.rndSql("z_hat / q_hat", 6)} AS croston_forecast
+       |FROM ew""".stripMargin
 }

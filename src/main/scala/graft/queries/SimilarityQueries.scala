@@ -4326,6 +4326,76 @@ object SimilarityQueries {
        |FROM tot, kl, hc, hl, hj, pur""".stripMargin
   }
 
+  /** BCUBED precision/recall/F1 of the shared seeded k-means fit
+    * against the embedding labels (Bagga-Baldwin; the Amigó et al.
+    * 2009 survey's recommended extrinsic clustering metric — the only
+    * one of the four families satisfying all their formal
+    * constraints): per ITEM, precision = the share of its cluster
+    * sharing its label, recall = the share of its label-mates in its
+    * cluster; averaging over items reduces exactly to
+    * Σ_ij n_ij²/n_cell / N and Σ_ij n_ij²/n_label / N on the
+    * (cell × label) contingency — completing the external-validity
+    * suite (purity/NMI, ARI, V-measure) with the item-weighted view
+    * that punishes both scattered labels and lumped clusters.
+    *
+    * Scale shape: rides the SAME `kmFitCtes` fit prefix as
+    * [[clusterPurity]] (the replay cannot fork); everything after the
+    * contingency is arithmetic on ≤ k·|labels| rows. Exact integer
+    * n_ij²; the two rational sums are fenced at 6 dp (the purity
+    * entropy-sum precedent). */
+  def bcubedF1(spark: SparkSession, dir: String): DataFrame =
+    bcubedF1Of(Tables(spark, dir, "embeddings"))
+
+  private[graft] def bcubedF1Of(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val e = kmCoo(emb)
+    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // contingency: <= k x |labels| rows, read 4x
+    val nc = ct.groupBy("cell").agg(sum("nij").as("nc"))
+    val nl = ct.groupBy("label").agg(sum("nij").as("nl"))
+    val n = ct.agg(sum("nij").as("n"))
+    val pr = ct.join(nc, "cell").crossJoin(broadcast(n))
+      .agg(sum((col("nij") * col("nij")).cast("double") / col("nc")).as("sp"),
+        max("n").as("n"))
+      .select((col("sp") / col("n")).as("p_raw"), col("n"))
+    val rc = ct.join(nl, "label")
+      .agg(sum((col("nij") * col("nij")).cast("double") / col("nl")).as("sr"))
+    val kl = ct.agg(countDistinct("cell").as("n_cells"),
+      countDistinct("label").as("n_labels"))
+    pr.crossJoin(broadcast(rc)).crossJoin(broadcast(kl))
+      .select(col("n"), col("n_cells"), col("n_labels"),
+        Det.rnd(col("p_raw"), 6).as("bcubed_precision"),
+        Det.rnd(col("sr") / col("n"), 6).as("bcubed_recall"),
+        Det.rnd(lit(2.0) * col("p_raw") * (col("sr") / col("n"))
+          / (col("p_raw") + col("sr") / col("n")), 6).as("bcubed_f1"))
+  }
+
+  val bcubedF1Sql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |ct AS (
+       |  SELECT a.cell, b.label, count(*) AS nij
+       |  FROM a2 a JOIN embeddings b ON b.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+       |pr AS (SELECT sum(CAST(nij * nij AS DOUBLE) / nc.nc) AS sp
+       |       FROM ct JOIN (SELECT cell, sum(nij) AS nc FROM ct GROUP BY 1) nc
+       |         USING (cell)),
+       |rc AS (SELECT sum(CAST(nij * nij AS DOUBLE) / nl.nl) AS sr
+       |       FROM ct JOIN (SELECT label, sum(nij) AS nl FROM ct GROUP BY 1) nl
+       |         USING (label)),
+       |kl AS (SELECT count(DISTINCT cell) AS n_cells,
+       |              count(DISTINCT label) AS n_labels FROM ct)
+       |SELECT tot.n, kl.n_cells, kl.n_labels,
+       |       ${Det.rndSql("sp / n", 6)} AS bcubed_precision,
+       |       ${Det.rndSql("sr / n", 6)} AS bcubed_recall,
+       |       ${Det.rndSql("2.0 * (sp / n) * (sr / n) / (sp / n + sr / n)", 6)}
+       |         AS bcubed_f1
+       |FROM tot, pr, rc, kl""".stripMargin
+  }
+
   /** UMASS TOPIC COHERENCE (Mimno et al. 2011) of each cell's
     * [[clusterKeywords]] top terms: C = SUM over ranked pairs (wi
     * before wj) of ln((D(wi,wj) + 1) / D(wj)), with D = corpus

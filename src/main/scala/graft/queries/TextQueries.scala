@@ -4584,6 +4584,365 @@ object TextQueries {
        |FROM sc
        |ORDER BY rank""".stripMargin
 
+  // ----------------------- round-11 postings-trunk retrieval family
+
+  private val JmHalf = 0.5 // λ = ½: dyadic, same mix both engines
+
+  /** JELINEK-MERCER smoothed query likelihood (λ=[[JmHalf]]) over the
+    * [[bm25]] probe query — the third classical LM retrieval scorer
+    * beside BM25 and Dirichlet QL: score = Σ_t ln((1−λ)·tf/dl +
+    * λ·cf/C). Same decomposition as [[dirichletQl]] so ABSENT query
+    * terms never materialize rows: a per-corpus constant Σ_t ln(λ·
+    * cf_t/C) plus, for PRESENT (doc, query-term) pairs only,
+    * ln(1 + tf·C/(dl·cf_t)) — λ=½ makes the mix ratio exactly 1.
+    * All relations are trunk reads ([[postingsTrunk]]); the probe is
+    * a 5-row broadcast; the cut is TakeOrderedAndProject. Exact
+    * integer inputs; the score is fenced at 6 dp before ranking with
+    * a doc_id tiebreak. */
+  def jmQl(spark: SparkSession, dir: String): DataFrame =
+    jmQlOnPostings(postingsTrunk(spark, dir))
+
+  private[graft] def jmQlOf(docs: DataFrame): DataFrame =
+    jmQlOnPostings(postingsLocalOf(docs))
+
+  private def jmQlOnPostings(p: PostingsIndex): DataFrame = {
+    val tf = p.tf.select("doc_id", "term", "tf")
+    val dl = p.dl
+    val q = p.df.orderBy(desc("df"), asc("term")).limit(Bm25QTerms)
+      .select(col("term"), col("cf"))
+    val tot = dl.agg(sum("dl").as("c_tot"))
+    val c0 = q.crossJoin(broadcast(tot))
+      .agg(sum(log(lit(JmHalf) * col("cf") / col("c_tot"))).as("c0"),
+        count(lit(1)).as("n_q"))
+    val bonus = tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(log(lit(1.0) +
+          (col("tf").cast("double") * col("c_tot")) /
+            (col("dl").cast("double") * col("cf")))).as("bonus"),
+        count(lit(1)).as("n_terms"))
+    dl.join(bonus, Seq("doc_id"), "left")
+      .crossJoin(broadcast(c0))
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        Det.rnd(col("c0") + coalesce(col("bonus"), lit(0.0)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(Bm25TopDocs)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rank")
+  }
+
+  val jmQlSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |       FROM tf GROUP BY 1),
+       |q AS (SELECT term, cf FROM df ORDER BY df DESC, term LIMIT $Bm25QTerms),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS c_tot FROM tf),
+       |c0 AS (SELECT sum(ln($JmHalf * cf / c_tot)) AS c0, count(*) AS n_q
+       |       FROM q CROSS JOIN tot),
+       |bonus AS (SELECT tf.doc_id,
+       |                 sum(ln(1.0 + (CAST(tf.tf AS DOUBLE) * c_tot)
+       |                        / (CAST(dl.dl AS DOUBLE) * q.cf))) AS bonus,
+       |                 count(*) AS n_terms
+       |          FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+       |          GROUP BY 1),
+       |sc AS (SELECT dl.doc_id,
+       |              CAST(coalesce(b.n_terms, 0) AS BIGINT) AS n_terms,
+       |              ${Det.rndSql("c0.c0 + coalesce(b.bonus, 0.0)", 6)} AS score
+       |       FROM dl LEFT JOIN bonus b USING (doc_id) CROSS JOIN c0
+       |       ORDER BY score DESC, doc_id LIMIT $Bm25TopDocs)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+       |       doc_id, n_terms, score
+       |FROM sc
+       |ORDER BY rank""".stripMargin
+
+  private val ProxWindow = 8 // "close pair" = positions within 8 tokens
+
+  /** TERM PROXIMITY statistics for the corpus's top-2 DF terms — the
+    * positional signal a proximity-boosted ranker (or phrase-ish
+    * retrieval without exact adjacency) adds on top of bag-of-words
+    * BM25: per document containing BOTH terms, the minimum absolute
+    * position gap and the count of co-occurrences within
+    * [[ProxWindow]] tokens.
+    *
+    * Scale shape: the positional postings trunk serves both terms'
+    * (doc, pos) rows (a 2-row broadcast join prunes the postings
+    * scan; with term-partitioned postings it is an index seek); the
+    * pair fan-out is per-doc tf₁×tf₂ — bounded by within-document
+    * term counts, never cross-document. Exact integers end-to-end. */
+  def termProximity(spark: SparkSession, dir: String): DataFrame =
+    termProximityOnPostings(postingsTrunk(spark, dir))
+
+  private[graft] def termProximityOf(docs: DataFrame): DataFrame =
+    termProximityOnPostings(postingsLocalOf(docs))
+
+  private def termProximityOnPostings(p: PostingsIndex): DataFrame = {
+    val q2 = p.df.orderBy(desc("df"), asc("term")).limit(2)
+      .withColumn("qrank",
+        row_number().over(Window.orderBy(desc("df"), asc("term"))))
+      .select("term", "qrank")
+    val pos = p.tf.join(broadcast(q2), "term")
+      .select(col("doc_id"), col("qrank"), explode(col("positions")).as("pos"))
+    val pa = pos.filter(col("qrank") === 1).select(col("doc_id"), col("pos").as("pa"))
+    val pb = pos.filter(col("qrank") === 2).select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, "doc_id")
+      .select(col("doc_id"), abs(col("pa") - col("pb")).as("gap"))
+      .groupBy("doc_id")
+      .agg(min("gap").as("min_gap"),
+        sum(when(col("gap") <= ProxWindow, 1L).otherwise(0L)).as("n_close_pairs"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("doc_id")
+  }
+
+  val termProximitySql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q2 AS (SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term) AS INTEGER)
+       |                AS qrank
+       |       FROM (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 2)),
+       |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |      FROM documents),
+       |pos AS (SELECT doc_id, q2.qrank, i AS pos
+       |        FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w)
+       |        JOIN q2 ON ws[i + 1] = q2.term),
+       |pairs AS (SELECT a.doc_id, abs(a.pos - b.pos) AS gap
+       |          FROM pos a JOIN pos b
+       |            ON a.doc_id = b.doc_id AND a.qrank = 1 AND b.qrank = 2)
+       |SELECT doc_id, CAST(min(gap) AS INTEGER) AS min_gap,
+       |       CAST(sum(CASE WHEN gap <= $ProxWindow THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_close_pairs,
+       |       count(*) AS n_pairs
+       |FROM pairs GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private val SnippetDocs = 5
+  private val SnippetWin = 20 // snippet window length in tokens
+
+  /** SNIPPET EXTRACTION — the serving step after retrieval: for the
+    * [[bm25]] top-[[SnippetDocs]] documents, the best
+    * [[SnippetWin]]-token window (most query-term hits; earliest
+    * start breaks ties) — what a search result page shows under each
+    * hit. Candidate windows start AT a hit (the standard reduction:
+    * some optimal window starts at a hit), so the per-doc cost is
+    * hits² — query-bounded, never corpus. The hit relation is a
+    * positional-trunk seek for the 5 query terms semi-joined to the
+    * 5-doc shortlist. Integer counts; (hits desc, start asc, doc)
+    * is a total order. */
+  def snippetExtract(spark: SparkSession, dir: String): DataFrame =
+    snippetOnPostings(postingsTrunk(spark, dir),
+      bm25(spark, dir).filter(col("rank") <= SnippetDocs))
+
+  private def snippetOnPostings(p: PostingsIndex, top: DataFrame): DataFrame = {
+    val q = p.df.orderBy(desc("df"), asc("term")).limit(Bm25QTerms)
+      .select("term")
+    val hits = p.tf.join(broadcast(q), "term")
+      .join(broadcast(top.select(col("doc_id"), col("rank"))), "doc_id")
+      .select(col("doc_id"), col("rank"), explode(col("positions")).as("pos"))
+    val windows = hits.select(col("doc_id"), col("rank"), col("pos").as("start"))
+      .join(hits.select(col("doc_id"), col("pos")), "doc_id")
+      .filter(col("pos") >= col("start") &&
+        col("pos") < col("start") + SnippetWin)
+      .groupBy("doc_id", "rank", "start")
+      .agg(count(lit(1)).as("n_hits_in_window"))
+    windows
+      .withColumn("wrank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(desc("n_hits_in_window"), asc("start"))))
+      .filter(col("wrank") === 1)
+      .select(col("rank"), col("doc_id"), col("start").as("best_start"),
+        col("n_hits_in_window"))
+      .orderBy("rank")
+  }
+
+  val snippetExtractSql: String =
+    s"""WITH $bm25RankedCte,
+       |top AS (SELECT doc_id,
+       |               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |                 AS rank
+       |        FROM ranked
+       |        ORDER BY score DESC, doc_id LIMIT $SnippetDocs),
+       |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |      FROM documents),
+       |hits AS (SELECT t.doc_id, t.rank, i AS pos
+       |         FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w) x
+       |         JOIN top t USING (doc_id)
+       |         JOIN q ON x.ws[i + 1] = q.term),
+       |wins AS (SELECT a.doc_id, a.rank, a.pos AS start, count(*) AS n_hits_in_window
+       |         FROM hits a JOIN hits b
+       |           ON a.doc_id = b.doc_id
+       |          AND b.pos >= a.pos AND b.pos < a.pos + $SnippetWin
+       |         GROUP BY 1, 2, 3)
+       |SELECT rank, doc_id, CAST(start AS INTEGER) AS best_start, n_hits_in_window
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |              ORDER BY n_hits_in_window DESC, start) AS wrank
+       |      FROM wins)
+       |WHERE wrank = 1
+       |ORDER BY rank""".stripMargin
+
+  private val TierTerms = 20
+  private val TierDepth = 10
+
+  /** TIERED (champion-list) POSTINGS layout audit — the index-side
+    * lever behind fast disjunctive retrieval: for the
+    * [[TierTerms]] highest-DF terms, tier 1 keeps only the
+    * [[TierDepth]] highest-tf postings (the "champions"); queries
+    * evaluate tier 1 first and touch the long tail only if the heap
+    * isn't full. Output per term: df, total tf, the tier-1 tf mass,
+    * its exact-integer ppm coverage, and the tier-1 minimum tf (the
+    * entry bar). High coverage at depth 10 is what makes the
+    * tier-1-only pass safe in practice — this is the per-snapshot
+    * number that chooses the tier depth.
+    *
+    * Scale: one window rank inside the ≤ [[TierTerms]] broadcast-
+    * pruned term partitions of the trunk; no corpus pass at all. */
+  def tieredPostings(spark: SparkSession, dir: String): DataFrame =
+    tieredOnPostings(postingsTrunk(spark, dir))
+
+  private def tieredOnPostings(p: PostingsIndex): DataFrame = {
+    val top = p.df.orderBy(desc("df"), asc("term")).limit(TierTerms)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("df"), asc("term"))))
+      .select("term", "rank", "df", "cf")
+    val ranked = p.tf.join(broadcast(top), "term")
+      .withColumn("trank", row_number().over(
+        Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id"))))
+    ranked.filter(col("trank") <= TierDepth)
+      .groupBy("rank", "term", "df", "cf")
+      .agg(sum("tf").as("tier_tf"), min("tf").as("tier_min_tf"),
+        count(lit(1)).as("tier_size"))
+      .select(col("rank"), col("term"), col("df"),
+        col("cf").as("total_tf"), col("tier_size"), col("tier_min_tf"),
+        expr("tier_tf * CAST(1000000 AS BIGINT) div total_tf").as("coverage_ppm"))
+      .orderBy("rank")
+  }
+
+  val tieredPostingsSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |top AS (SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term) AS INTEGER)
+       |                 AS rank, df, cf
+       |        FROM (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |              FROM tf GROUP BY 1
+       |              ORDER BY df DESC, term LIMIT $TierTerms)),
+       |rk AS (SELECT tf.term, tf.doc_id, tf.tf, top.rank, top.df, top.cf,
+       |              row_number() OVER (PARTITION BY tf.term
+       |                ORDER BY tf.tf DESC, tf.doc_id) AS trank
+       |       FROM tf JOIN top USING (term))
+       |SELECT rank, term, df, cf AS total_tf, count(*) AS tier_size,
+       |       CAST(min(tf) AS BIGINT) AS tier_min_tf,
+       |       CAST(sum(tf) AS BIGINT) * CAST(1000000 AS BIGINT) // cf AS coverage_ppm
+       |FROM rk WHERE trank <= $TierDepth
+       |GROUP BY rank, term, df, cf
+       |ORDER BY rank""".stripMargin
+
+  private val WandTheta = 10 // θ = the 10th-best full score
+
+  /** WAND upper-bound metadata + pruning audit — the other index-side
+    * artifact of fast disjunctive retrieval (Broder et al., CIKM'03):
+    * each query term's maximum possible contribution U_t (the max
+    * BM25 tscore over its postings), and the audit of how much of the
+    * scored-doc universe a WAND traversal could SKIP at threshold
+    * θ = the [[WandTheta]]ᵗʰ-best full score: docs whose Σ U_t over
+    * present query terms can't reach θ. The skippable share is the
+    * number that justifies upper-bound-ordered traversal at scale.
+    *
+    * Scale: tscore rides the same trunk probe as [[bm25]] (5-row
+    * broadcast into tf); U_t is a 5-row aggregate; the audit is one
+    * more pass over the probe-bounded (doc, term) pairs. U_t and per-
+    * doc bounds are fenced at 6 dp before any comparison; θ is bm25's
+    * already-fenced score. */
+  def wandBounds(spark: SparkSession, dir: String): DataFrame =
+    wandOnPostings(Tables(spark, dir, "documents"), postingsTrunk(spark, dir))
+
+  private def wandOnPostings(docs: DataFrame, p: PostingsIndex): DataFrame = {
+    val tf = p.tf.select("doc_id", "term", "tf")
+    val dl = p.dl
+    val q = p.df.orderBy(desc("df"), asc("term")).limit(Bm25QTerms)
+      .select(col("term"), col("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("tot")))
+      .withColumn("avgdl", col("tot").cast("double") / col("n"))
+    val scored = tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val u = scored.groupBy("term", "df")
+      .agg(Det.rnd(max("tscore"), 6).as("u_t"), count(lit(1)).as("n_postings"))
+    val theta = scored.groupBy("doc_id")
+      .agg(Det.rnd(sum("tscore"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(WandTheta)
+      .agg(min("score").as("theta"))
+    val audit = scored.select("doc_id", "term")
+      .join(broadcast(u.select(col("term"), col("u_t"))), "term")
+      .groupBy("doc_id").agg(Det.rnd(sum("u_t"), 6).as("ub"))
+      .crossJoin(broadcast(theta))
+      .agg(count(lit(1)).as("n_scored_docs"),
+        sum(when(col("ub") < col("theta"), 1L).otherwise(0L)).as("n_skippable"))
+      .select(col("n_scored_docs"), col("n_skippable"),
+        expr("n_skippable * CAST(1000000 AS BIGINT) div n_scored_docs")
+          .as("skippable_ppm"))
+    u.withColumn("rank",
+        row_number().over(Window.orderBy(desc("u_t"), asc("term"))))
+      .crossJoin(broadcast(audit))
+      .select(col("rank"), col("term"), col("df"), col("u_t"), col("n_postings"),
+        col("n_scored_docs"), col("n_skippable"), col("skippable_ppm"))
+      .orderBy("rank")
+  }
+
+  val wandBoundsSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT $Bm25QTerms),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |                 CAST((SELECT sum(tf) FROM tf) AS BIGINT) AS tot),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, q.df,
+       |         ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+       |           * tf.tf * 2.2
+       |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+       |                / (CAST(s.tot AS DOUBLE) / s.n))) AS tscore
+       |  FROM tf JOIN q USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |u AS (SELECT term, df, ${Det.rndSql("max(tscore)", 6)} AS u_t,
+       |             count(*) AS n_postings
+       |      FROM scored GROUP BY 1, 2),
+       |theta AS (SELECT min(score) AS theta
+       |          FROM (SELECT doc_id, ${Det.rndSql("sum(tscore)", 6)} AS score
+       |                FROM scored GROUP BY 1
+       |                ORDER BY score DESC, doc_id LIMIT $WandTheta)),
+       |ub AS (SELECT doc_id, ${Det.rndSql("sum(u_t)", 6)} AS ub
+       |       FROM scored JOIN u USING (term)
+       |       GROUP BY 1),
+       |audit AS (SELECT count(*) AS n_scored_docs,
+       |                 CAST(sum(CASE WHEN ub < theta THEN 1 ELSE 0 END) AS BIGINT)
+       |                   AS n_skippable
+       |          FROM ub CROSS JOIN theta)
+       |SELECT CAST(row_number() OVER (ORDER BY u_t DESC, term) AS INTEGER) AS rank,
+       |       term, df, u_t, n_postings, n_scored_docs, n_skippable,
+       |       n_skippable * CAST(1000000 AS BIGINT) // n_scored_docs AS skippable_ppm
+       |FROM u CROSS JOIN audit
+       |ORDER BY rank""".stripMargin
+
   /** MUTUAL INFORMATION between the `lang` and `source` columns —
     * I(L;S) in bits, the marginal entropies, and the normalized MI —
     * the dependence audit a corpus owner runs to see whether sources
