@@ -4534,6 +4534,141 @@ object SimilarityQueries {
       .orderBy("seed")
   }
 
+  /** SEEDED BETWEENNESS CENTRALITY (Brandes 2001, from the same
+    * [[CcSeeds]] fixed seeds and [[CcDepth]]-bounded BFS as
+    * [[closenessCentrality]] — the standard sampled approximation;
+    * exact Brandes needs all-sources BFS, quadratic at corpus scale):
+    * forward pass accumulates shortest-path COUNTS σ(s,v) level by
+    * level (exact BIGINT — a node's σ is the sum of its parents'),
+    * backward pass accumulates dependencies δ(s,v) =
+    * Σ_{u: d(u)=d(v)+1} σ_v/σ_u · (1+δ_u) down the BFS DAG, fenced at
+    * 6 dp per level so both engines replay identical values.
+    * Betweenness(v) = Σ_s δ(s,v), v ≠ s — the brokerage ranking that
+    * catches connector nodes closeness misses.
+    *
+    * Scale shape: every relation is (seeds × nodes)-bounded; each
+    * level is one join+aggregate against the durable adjacency pin —
+    * 2·[[CcDepth]] shuffles total, never a pair-space blowup. */
+  def betweennessSeeds(spark: SparkSession, dir: String): DataFrame =
+    betweennessOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def betweennessOnEdges(edges: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val both = edges.select(col("src").as("v"), col("dst").as("u"))
+      .union(edges.select(col("dst").as("v"), col("src").as("u")))
+      .distinct().transform(Tables.scratchPin(_, "btw-adj")) // 2k·|V| — durable pin (r11)
+    val nodes = both.select("v").distinct()
+    val seeds = nodes.orderBy("v").limit(CcSeeds)
+      .select(col("v").as("s")).localCheckpoint() // 8 rows, fixed
+    var vis = seeds.select(col("s"), col("s").as("v"),
+      lit(0).as("dist"), lit(1L).as("sig"))
+    for (r <- 1 to CcDepth) {
+      val cand = vis.filter(col("dist") === r - 1)
+        .join(both, Seq("v"))
+        .groupBy(col("s"), col("u").as("v"))
+        .agg(sum("sig").as("sig"))
+      val nxt = cand
+        .join(vis.select("s", "v"), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(r).as("dist"), col("sig"))
+      vis = vis.unionAll(nxt)
+        .transform(Tables.scratchPin(_, "btw-fwd")) // (seeds × nodes) round state — durable pin (r11)
+    }
+    // backward dependency accumulation, deepest level first (δ = 0
+    // there: no in-horizon successors)
+    var delta = vis.filter(col("dist") === CcDepth)
+      .select(col("s"), col("v"), col("dist"), lit(0.0).as("delta"))
+    for (lev <- CcDepth - 1 to 0 by -1) {
+      val up = vis.filter(col("dist") === lev + 1)
+        .join(delta.select(col("s"), col("v"), col("delta")), Seq("s", "v"))
+        .select(col("s"), col("v").as("u"), col("sig").as("sigu"), col("delta").as("du"))
+      // each TERM is fenced to integer 1e-6 units before the sum, so
+      // the per-level aggregation is pure BIGINT — order-independent
+      // across engines (the mannWhitney exact-units rule; a fence
+      // AFTER a double sum still drifted on the last digit here)
+      val contrib = vis.filter(col("dist") === lev)
+        .join(both, Seq("v"))
+        .join(up, Seq("s", "u"))
+        .groupBy("s", "v")
+        .agg(sum(Det.units(col("sig").cast("double") / col("sigu")
+          * (lit(1.0) + col("du")), 6)).as("d6"))
+      val levRows = vis.filter(col("dist") === lev)
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("dist"),
+          (coalesce(col("d6"), lit(0L)).cast("double") / 1e6).as("delta"))
+      delta = delta.unionAll(levRows)
+        .transform(Tables.scratchPin(_, "btw-bwd")) // (seeds × nodes) round state — durable pin (r11)
+    }
+    delta.filter(col("dist") > 0)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_seeds_reaching"),
+        (sum(Det.units(col("delta"), 6)).cast("double") / 1e6).as("betweenness"))
+      .orderBy(desc("betweenness"), asc("v"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("betweenness"), asc("v"))))
+      .select(col("rank"), col("v").as("vec_id"), col("n_seeds_reaching"),
+        col("betweenness"))
+      .orderBy("rank")
+  }
+
+  val betweennessSeedsSql: String = {
+    import graft.functions.Det
+    val fwd = (1 to CcDepth).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT s, v, dist, sig FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT c.s, c.v, $r AS dist, c.sig FROM (
+         |    SELECT p.s, b2.u AS v, CAST(sum(p.sig) AS BIGINT) AS sig
+         |    FROM v${r - 1} p JOIN b2 ON b2.v = p.v
+         |    WHERE p.dist = ${r - 1}
+         |    GROUP BY 1, 2) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
+         |                    WHERE x.s = c.s AND x.v = c.v))""".stripMargin
+    }.mkString(",\n")
+    val bwd = (CcDepth - 1 to 0 by -1).map { lev =>
+      s"""bd$lev AS MATERIALIZED (
+         |  SELECT base.s, base.v, $lev AS dist,
+         |         CAST(coalesce(sum(${Det.unitsSql(
+               "CAST(base.sig AS DOUBLE) / nx.sig * (1.0 + nx.delta)", 6)}), 0)
+         |              AS DOUBLE) / 1e6 AS delta
+         |  FROM (SELECT s, v, sig FROM v$CcDepth WHERE dist = $lev) base
+         |  LEFT JOIN b2 ON b2.v = base.v
+         |  LEFT JOIN (SELECT x.s, x.v, x.sig, d.delta
+         |             FROM v$CcDepth x JOIN bd${lev + 1} d
+         |               ON d.s = x.s AND d.v = x.v
+         |             WHERE x.dist = ${lev + 1}) nx
+         |    ON nx.s = base.s AND nx.v = b2.u
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val levels = (1 to CcDepth - 1).map(l => s"SELECT s, v, delta FROM bd$l")
+      .mkString(" UNION ALL ")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |b2 AS MATERIALIZED (
+       |  SELECT DISTINCT v, u FROM (
+       |    SELECT src AS v, dst AS u FROM kedges
+       |    UNION ALL SELECT dst, src FROM kedges)),
+       |nodes AS (SELECT DISTINCT v FROM b2),
+       |seeds AS (SELECT v AS s FROM nodes ORDER BY v LIMIT $CcSeeds),
+       |v0 AS (SELECT s, s AS v, 0 AS dist, CAST(1 AS BIGINT) AS sig FROM seeds),
+       |$fwd,
+       |bd$CcDepth AS (SELECT s, v, $CcDepth AS dist, 0.0 AS delta
+       |               FROM v$CcDepth WHERE dist = $CcDepth),
+       |$bwd,
+       |alld AS ($levels
+       |         UNION ALL SELECT s, v, delta FROM bd$CcDepth),
+       |bc AS (SELECT v, count(*) AS n_seeds_reaching,
+       |              CAST(sum(${Det.unitsSql("delta", 6)}) AS DOUBLE) / 1e6
+       |                AS betweenness
+       |       FROM alld GROUP BY 1
+       |       ORDER BY betweenness DESC, v LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY betweenness DESC, v) AS INTEGER)
+       |         AS rank,
+       |       v AS vec_id, n_seeds_reaching, betweenness
+       |FROM bc
+       |ORDER BY rank""".stripMargin
+  }
+
   val closenessCentralitySql: String = {
     import graft.functions.Det
     val rounds = (1 to CcDepth).map { r =>
