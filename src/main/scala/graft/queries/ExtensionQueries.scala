@@ -12038,6 +12038,95 @@ object ExtensionQueries {
        |ORDER BY look""".stripMargin
   }
 
+  private val TailRate = 8 // common-type sampling rate 1/8
+  private val TailRarePct = 5 // "rare" = type below 5% of traffic
+
+  /** TAIL SAMPLING with exact reweighting — the telemetry-pipeline
+    * lever that keeps EVERY rare event (errors, anomalies) while
+    * sampling the commodity traffic at 1/[[TailRate]]: rare event
+    * types (< [[TailRarePct]]% of rows) pass whole; common types keep
+    * rows whose event-id modmul bucket ≡ 0 (mod [[TailRate]]), each
+    * carrying weight [[TailRate]] — deterministic (no rand), an
+    * INDEPENDENT multiplier (xxHash prime-3) so sample membership
+    * never correlates with the split/sample/fold rings. The output is
+    * the audit: per type, the Horvitz–Thompson estimates vs the exact
+    * totals, with exact-integer ppm errors — the number that sizes
+    * how much telemetry budget the sampler buys at what accuracy.
+    *
+    * Scale shape: one tiny per-type aggregate broadcast back, one
+    * codegen'd keep predicate, one final aggregate. At 100 TB only
+    * the kept rows flow downstream — the whole point. */
+  def tailSampling(spark: SparkSession, dir: String): DataFrame =
+    tailSamplingOf(Tables(spark, dir, "events"))
+
+  private[graft] def tailSamplingOf(events: DataFrame): DataFrame = {
+    // overflow-safe two-step modmul, multiplier 0xC2B2AE3D (xxHash
+    // prime-3 = 49842·65536 + 44605), independent of the split/
+    // sample/fold multipliers
+    val bucket = "pmod(pmod(pmod(event_id, 4294967296) * 49842, 65536) * 65536" +
+      " + pmod(event_id, 4294967296) * 44605, 4294967296)"
+    val typed = events.select(col("event_type"),
+      Det.cents(col("value")).as("c"),
+      expr(s"$bucket % $TailRate").as("b"))
+    val freq = typed.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val tot = typed.agg(count(lit(1)).as("n_all"))
+    val marked = typed
+      .join(broadcast(freq), "event_type")
+      .crossJoin(broadcast(tot))
+      .withColumn("rare", col("n_type") * 100 < col("n_all") * TailRarePct)
+      .withColumn("kept", col("rare") || col("b") === 0)
+      .withColumn("wt", when(col("rare"), 1L).otherwise(lit(TailRate.toLong)))
+    marked.groupBy("event_type")
+      .agg(max(col("rare")).as("is_rare"),
+        count(lit(1)).as("n_exact"),
+        sum("c").as("cents_exact"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("wt")).otherwise(0L)).as("n_est"),
+        sum(when(col("kept"), col("wt") * col("c")).otherwise(0L)).as("cents_est"))
+      .select(col("event_type"), col("is_rare"), col("n_exact"), col("n_kept"),
+        col("n_est"),
+        expr("abs(n_est - n_exact) * CAST(1000000 AS BIGINT) div n_exact")
+          .as("n_err_ppm"),
+        expr("CASE WHEN cents_exact = 0 THEN NULL ELSE " +
+          "abs(cents_est - cents_exact) * CAST(1000000 AS BIGINT) div abs(cents_exact) END")
+          .as("value_err_ppm"))
+      .orderBy("event_type")
+  }
+
+  val tailSamplingSql: String = {
+    val c = Det.centsSql("value")
+    val bucket = "((((event_id % 4294967296) * 49842) % 65536) * 65536" +
+      " + (event_id % 4294967296) * 44605) % 4294967296"
+    s"""WITH t AS (
+       |  SELECT event_type, $c AS cv, ($bucket) % $TailRate AS b
+       |  FROM events),
+       |freq AS (SELECT event_type, count(*) AS n_type FROM t GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_all FROM t),
+       |m AS (SELECT t.event_type, t.cv,
+       |             freq.n_type * 100 < tot.n_all * $TailRarePct AS rare,
+       |             (freq.n_type * 100 < tot.n_all * $TailRarePct) OR t.b = 0
+       |               AS kept
+       |      FROM t JOIN freq USING (event_type) CROSS JOIN tot)
+       |SELECT event_type, max(rare) AS is_rare,
+       |       count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN kept THEN (CASE WHEN rare THEN 1 ELSE $TailRate END)
+       |                     ELSE 0 END) AS BIGINT) AS n_est,
+       |       abs(CAST(sum(CASE WHEN kept THEN
+       |                       (CASE WHEN rare THEN 1 ELSE $TailRate END)
+       |                     ELSE 0 END) AS BIGINT) - count(*))
+       |         * CAST(1000000 AS BIGINT) // count(*) AS n_err_ppm,
+       |       CASE WHEN sum(cv) = 0 THEN NULL ELSE
+       |         abs(CAST(sum(CASE WHEN kept THEN
+       |                        (CASE WHEN rare THEN 1 ELSE $TailRate END) * cv
+       |                      ELSE 0 END) AS BIGINT) - CAST(sum(cv) AS BIGINT))
+       |           * CAST(1000000 AS BIGINT) // abs(CAST(sum(cv) AS BIGINT)) END
+       |         AS value_err_ppm
+       |FROM m
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** CROSTON'S METHOD for intermittent demand (nation-0 daily order
     * counts — the [[zeroInflation]] slice, which has real zero days
     * at every SF): separate ½-EWMAs of the non-zero demand SIZES and

@@ -1445,6 +1445,128 @@ object SimilarityQueries {
        |ORDER BY rrf DESC, doc_id
        |LIMIT $RrfTopK""".stripMargin
 
+  private val IlTopK = 10
+
+  /** BALANCED INTERLEAVING evaluation (Joachims 2002 / Chapelle et al.
+    * 2012) of the lexical (BM25) vs semantic (cosine) rankings — the
+    * online-eval harness production search runs BEFORE trusting an
+    * offline metric: both rankings interleave into one list (order by
+    * min(rank_lex, rank_sem), ties toward lexical, doc_id total
+    * order), the top [[IlTopK]] is "shown", and same-label-as-probe
+    * docs play the clicks. Credit per click goes to the team that
+    * ranked the doc higher (half-credit each on equal ranks, counted
+    * in integer HALVES so the scoreboard is exact); the winner column
+    * is the verdict. Everything after the BM25 stage is
+    * shortlist-bounded. */
+  def interleaving(spark: SparkSession, dir: String): DataFrame =
+    interleavingRanked(
+      Tables(spark, dir, "embeddings"), TextQueries.bm25(spark, dir))
+
+  private[graft] def interleavingOn(docs: DataFrame, emb: DataFrame): DataFrame =
+    interleavingRanked(emb, TextQueries.bm25Of(docs))
+
+  private def interleavingRanked(emb: DataFrame, ranked: DataFrame): DataFrame = {
+    val shortlist = ranked.select(col("doc_id"), col("score").as("bm25"))
+    val joined = emb
+      .join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
+      .select(col("doc_id"), col("bm25"), col("label"), col("embedding").as("ce"))
+      .localCheckpoint() // ≤ Bm25TopDocs rows
+    val probe = joined.orderBy(desc("bm25"), asc("doc_id")).limit(1)
+      .select(col("doc_id").as("probe_id"), col("label").as("qlabel"),
+        col("ce").as("qe"))
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val rk = joined.crossJoin(broadcast(probe))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr("cosine_sim(qe, ce)"), 6))
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
+      .withColumn("rank_sem",
+        row_number().over(Window.orderBy(desc("cos"), asc("doc_id"))))
+      .withColumn("ipos", row_number().over(Window.orderBy(
+        least(col("rank_lex"), col("rank_sem")).asc,
+        when(col("rank_lex") <= col("rank_sem"), 0).otherwise(1).asc,
+        col("doc_id").asc)))
+      .filter(col("ipos") <= IlTopK)
+    val click = col("label") === col("qlabel")
+    rk.agg(
+        count(lit(1)).as("n_top"),
+        sum(when(click, 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(click,
+          when(col("rank_lex") < col("rank_sem"), 2L)
+            .when(col("rank_lex") > col("rank_sem"), 0L).otherwise(1L))
+          .otherwise(0L)).as("lex_credit_halves"),
+        sum(when(click,
+          when(col("rank_sem") < col("rank_lex"), 2L)
+            .when(col("rank_sem") > col("rank_lex"), 0L).otherwise(1L))
+          .otherwise(0L)).as("sem_credit_halves"))
+      .withColumn("winner",
+        when(col("lex_credit_halves") > col("sem_credit_halves"), "lexical")
+          .when(col("lex_credit_halves") < col("sem_credit_halves"), "semantic")
+          .otherwise("tie"))
+  }
+
+  val interleavingSql: String =
+    s"""WITH ${TextQueries.bm25RankedCte},
+       |e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |             unnest(range(len(embedding))) AS i
+       |      FROM embeddings),
+       |sv AS (SELECT r.doc_id, r.score AS bm25, e.i, e.v
+       |       FROM ranked r JOIN e ON e.vec_id = r.doc_id),
+       |probe AS (SELECT doc_id
+       |          FROM (SELECT DISTINCT doc_id, bm25 FROM sv)
+       |          ORDER BY bm25 DESC, doc_id LIMIT 1),
+       |qlab AS (SELECT label AS qlabel FROM embeddings JOIN probe
+       |           ON vec_id = doc_id),
+       |qv AS (SELECT sv.i, sv.v FROM sv JOIN probe USING (doc_id)),
+       |dot AS (SELECT s.doc_id, max(s.bm25) AS bm25, sum(s.v * q.v) AS dot,
+       |               sqrt(sum(s.v * s.v)) AS nc, sqrt(sum(q.v * q.v)) AS nq
+       |        FROM sv s JOIN qv q USING (i), probe p
+       |        WHERE s.doc_id <> p.doc_id
+       |        GROUP BY s.doc_id),
+       |cosd AS (SELECT d.doc_id, d.bm25, l.label,
+       |                round(CASE WHEN nq * nc = 0 THEN 0.0
+       |                           ELSE dot / (nq * nc) END, 6) AS cos
+       |         FROM dot d JOIN embeddings l ON l.vec_id = d.doc_id),
+       |rk AS (SELECT doc_id, label,
+       |              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex,
+       |              row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_sem
+       |       FROM cosd),
+       |il AS (SELECT *, row_number() OVER (ORDER BY
+       |                least(rank_lex, rank_sem),
+       |                CASE WHEN rank_lex <= rank_sem THEN 0 ELSE 1 END,
+       |                doc_id) AS ipos
+       |       FROM rk)
+       |SELECT count(*) AS n_top,
+       |       CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_clicks,
+       |       CAST(sum(CASE WHEN label = qlabel THEN
+       |                  CASE WHEN rank_lex < rank_sem THEN 2
+       |                       WHEN rank_lex > rank_sem THEN 0 ELSE 1 END
+       |                ELSE 0 END) AS BIGINT) AS lex_credit_halves,
+       |       CAST(sum(CASE WHEN label = qlabel THEN
+       |                  CASE WHEN rank_sem < rank_lex THEN 2
+       |                       WHEN rank_sem > rank_lex THEN 0 ELSE 1 END
+       |                ELSE 0 END) AS BIGINT) AS sem_credit_halves,
+       |       CASE WHEN sum(CASE WHEN label = qlabel THEN
+       |                       CASE WHEN rank_lex < rank_sem THEN 2
+       |                            WHEN rank_lex > rank_sem THEN 0 ELSE 1 END
+       |                     ELSE 0 END)
+       |               > sum(CASE WHEN label = qlabel THEN
+       |                       CASE WHEN rank_sem < rank_lex THEN 2
+       |                            WHEN rank_sem > rank_lex THEN 0 ELSE 1 END
+       |                     ELSE 0 END) THEN 'lexical'
+       |            WHEN sum(CASE WHEN label = qlabel THEN
+       |                       CASE WHEN rank_lex < rank_sem THEN 2
+       |                            WHEN rank_lex > rank_sem THEN 0 ELSE 1 END
+       |                     ELSE 0 END)
+       |               < sum(CASE WHEN label = qlabel THEN
+       |                       CASE WHEN rank_sem < rank_lex THEN 2
+       |                            WHEN rank_sem > rank_lex THEN 0 ELSE 1 END
+       |                     ELSE 0 END) THEN 'semantic'
+       |            ELSE 'tie' END AS winner
+       |FROM il CROSS JOIN qlab
+       |WHERE ipos <= $IlTopK""".stripMargin
+
   private val NdcgK = 10
 
   /** NDCG@[[NdcgK]] of the brute-force cosine ranking, per anchor,

@@ -4943,6 +4943,142 @@ object TextQueries {
        |FROM u CROSS JOIN audit
        |ORDER BY rank""".stripMargin
 
+  /** TOKENIZER FERTILITY per language — the tokenizer-efficiency
+    * audit every multilingual training pipeline runs (a language with
+    * fertility 2× pays 2× the context budget per word): subwords per
+    * whitespace word (the [[tokenCount]] ⌈len/4⌉ BPE-proxy) and bytes
+    * per subword, as ratios of EXACT corpus sums (never averaged
+    * per-doc floats — engines cannot drift on summation order).
+    * Scale: one projection with in-row array arithmetic + one tiny
+    * per-language aggregate. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertilityOf(Tables(spark, dir, "documents"))
+
+  private[graft] def tokenizerFertilityOf(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("w"),
+        expr("aggregate(split(trim(text), '\\\\s+'), 0L, " +
+          "(acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))").as("sub"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"), sum("sub").as("n_subwords"),
+        sum("n_chars").as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        Det.rnd(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        Det.rnd(col("n_bytes").cast("double") / col("n_subwords"), 6)
+          .as("bytes_per_token"))
+      .orderBy("lang")
+
+  val tokenizerFertilitySql: String =
+    s"""WITH d AS (
+       |  SELECT lang, n_chars,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+       |         CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+       |                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS sub
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(w) AS BIGINT) AS n_words,
+       |       CAST(sum(sub) AS BIGINT) AS n_subwords,
+       |       ${Det.rndSql("CAST(sum(sub) AS DOUBLE) / sum(w)", 6)} AS fertility,
+       |       ${Det.rndSql("CAST(sum(n_chars) AS DOUBLE) / sum(sub)", 6)}
+       |         AS bytes_per_token
+       |FROM d GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  private val ShBudgets = Seq(25, 50, 100)
+
+  /** SUCCESSIVE-HALVING source tournament (Jamieson-Talwalkar; the
+    * Hyperband inner loop) over the five ingest feeds, scored by the
+    * hashed-logit quality classifier: round 1 evaluates each source's
+    * first 25 docs (doc_id order = arrival order) and keeps the top
+    * 3 by mean logit; round 2 re-scores survivors at 50 docs and
+    * keeps 2; round 3 crowns a winner at 100 — the
+    * budget-doubling/candidate-halving schedule a data-mixture tuner
+    * runs instead of paying the full evaluation for every feed.
+    *
+    * Scale: ONE conditional-aggregation pass computes every (source,
+    * budget) sum — the tournament itself is window arithmetic on the
+    * 5-row table. Logit sums are exact integers; means are fenced at
+    * 6 dp before each rank (source tiebreak). */
+  def successiveHalving(spark: SparkSession, dir: String): DataFrame =
+    successiveHalvingOf(Tables(spark, dir, "documents"))
+
+  private[graft] def successiveHalvingOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashedLogit.register(docs.sparkSession)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val scored = docs
+      .select(col("source"), col("doc_id"),
+        expr("hashed_logit(text)").getItem(0).as("logit"))
+      .withColumn("rn", row_number().over(w))
+    val Seq(b1, b2, b3) = ShBudgets
+    val base = scored.groupBy("source").agg(
+      sum(when(col("rn") <= b1, col("logit"))).as("s1"),
+      sum(when(col("rn") <= b1, 1L)).as("n1"),
+      sum(when(col("rn") <= b2, col("logit"))).as("s2"),
+      sum(when(col("rn") <= b2, 1L)).as("n2"),
+      sum(when(col("rn") <= b3, col("logit"))).as("s3"),
+      sum(when(col("rn") <= b3, 1L)).as("n3"))
+      .select(col("source"),
+        Det.rnd(col("s1").cast("double") / col("n1"), 6).as("mean_25"),
+        Det.rnd(col("s2").cast("double") / col("n2"), 6).as("mean_50"),
+        Det.rnd(col("s3").cast("double") / col("n3"), 6).as("mean_100"))
+    val r1 = base.withColumn("rk1",
+      row_number().over(Window.orderBy(desc("mean_25"), asc("source"))))
+    val r2 = r1.withColumn("rk2",
+      row_number().over(Window.orderBy(
+        when(col("rk1") <= 3, col("mean_50")).otherwise(lit(null)).desc_nulls_last,
+        asc("source"))))
+    val r3 = r2.withColumn("rk3",
+      row_number().over(Window.orderBy(
+        when(col("rk1") <= 3 && col("rk2") <= 2, col("mean_100"))
+          .otherwise(lit(null)).desc_nulls_last,
+        asc("source"))))
+    r3.select(col("source"), col("mean_25"), col("mean_50"), col("mean_100"),
+        (col("rk1") <= 3).as("r1_survived"),
+        (col("rk1") <= 3 && col("rk2") <= 2).as("r2_survived"),
+        (col("rk1") <= 3 && col("rk2") <= 2 && col("rk3") === 1).as("is_winner"))
+      .orderBy("source")
+  }
+
+  val successiveHalvingSql: String = {
+    val Seq(b1, b2, b3) = ShBudgets
+    s"""WITH $hashedLogitCte,
+       |src AS (SELECT d.doc_id, d.source, l.logit
+       |        FROM documents d JOIN logits l USING (doc_id)),
+       |rn AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |                 AS rn
+       |       FROM src),
+       |base AS (
+       |  SELECT source,
+       |         ${Det.rndSql(
+        s"CAST(sum(CASE WHEN rn <= $b1 THEN logit END) AS DOUBLE)" +
+          s" / sum(CASE WHEN rn <= $b1 THEN 1 END)", 6)} AS mean_25,
+       |         ${Det.rndSql(
+        s"CAST(sum(CASE WHEN rn <= $b2 THEN logit END) AS DOUBLE)" +
+          s" / sum(CASE WHEN rn <= $b2 THEN 1 END)", 6)} AS mean_50,
+       |         ${Det.rndSql(
+        s"CAST(sum(CASE WHEN rn <= $b3 THEN logit END) AS DOUBLE)" +
+          s" / sum(CASE WHEN rn <= $b3 THEN 1 END)", 6)} AS mean_100
+       |  FROM rn GROUP BY 1),
+       |r1 AS (SELECT *, row_number() OVER (ORDER BY mean_25 DESC, source) AS rk1
+       |       FROM base),
+       |r2 AS (SELECT *, row_number() OVER (
+       |         ORDER BY CASE WHEN rk1 <= 3 THEN mean_50 END DESC NULLS LAST,
+       |                  source) AS rk2
+       |       FROM r1),
+       |r3 AS (SELECT *, row_number() OVER (
+       |         ORDER BY CASE WHEN rk1 <= 3 AND rk2 <= 2 THEN mean_100 END
+       |                  DESC NULLS LAST, source) AS rk3
+       |       FROM r2)
+       |SELECT source, mean_25, mean_50, mean_100,
+       |       rk1 <= 3 AS r1_survived,
+       |       rk1 <= 3 AND rk2 <= 2 AS r2_survived,
+       |       rk1 <= 3 AND rk2 <= 2 AND rk3 = 1 AS is_winner
+       |FROM r3
+       |ORDER BY source""".stripMargin
+  }
+
   /** MUTUAL INFORMATION between the `lang` and `source` columns —
     * I(L;S) in bits, the marginal entropies, and the normalized MI —
     * the dependence audit a corpus owner runs to see whether sources
