@@ -1637,6 +1637,72 @@ object SimilarityQueries {
        |FROM d JOIN nr USING (qid)
        |ORDER BY qid""".stripMargin
 
+  private val RbpK = 20
+
+  /** RANK-BIASED PRECISION @ [[RbpK]] (Moffat-Zobel 2008, persistence
+    * p=½) of the brute-force cosine ranking per anchor — the
+    * user-model retrieval metric where the evaluator inspects rank
+    * k+1 with probability p: RBP = (1−p)·Σ p^(k−1)·rel_k. p=½ makes
+    * every weight an exact power of two, so the per-anchor sum is
+    * EXACT in IEEE doubles (order-independent — no fence), and the
+    * rank-[[RbpK]] truncation error is bounded by 2⁻²⁰. Completes the
+    * top-weighted eval family (NDCG log-discount, MAP prefix-
+    * precision, MRR first-hit, RBP geometric user model).
+    * Scale: the NQueries-anchor broadcast cross pattern of
+    * [[ndcgEval]] — candidates never self-join. */
+  def rbpEval(spark: SparkSession, dir: String): DataFrame =
+    rbpEvalOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def rbpEvalOf(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val scored = withCos(broadcast(q).crossJoin(c))
+      .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RbpK)
+      .groupBy("qid")
+      .agg(
+        sum(when(col("qlabel") === col("clabel"), 1L).otherwise(0L))
+          .as("n_rel_topk"),
+        sum(when(col("qlabel") === col("clabel"),
+          pow(lit(2.0), (lit(1) - col("rank")).cast("double"))).otherwise(0.0))
+          .as("sw"))
+      .select(col("qid"), col("n_rel_topk"), (col("sw") * 0.5).as("rbp"))
+      .orderBy("qid")
+  }
+
+  val rbpEvalSql: String =
+    s"""WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+       |               c.vec_id AS cid, any_value(c.label) AS clabel,
+       |               sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY q.vec_id, c.vec_id),
+       |s AS (SELECT qid, qlabel, cid, clabel,
+       |             CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |      FROM dot),
+       |rk AS (SELECT qid, qlabel, clabel,
+       |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+       |                AS rank
+       |       FROM s)
+       |SELECT qid,
+       |       CAST(sum(CASE WHEN qlabel = clabel THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_rel_topk,
+       |       sum(CASE WHEN qlabel = clabel
+       |                THEN pow(2.0, CAST(1 - rank AS DOUBLE)) ELSE 0.0 END) * 0.5
+       |         AS rbp
+       |FROM rk WHERE rank <= $RbpK
+       |GROUP BY qid
+       |ORDER BY qid""".stripMargin
+
   private val MapK = 10
 
   /** MAP@[[MapK]] (mean-average-precision) of the brute-force cosine

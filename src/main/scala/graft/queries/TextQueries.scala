@@ -5079,6 +5079,194 @@ object TextQueries {
        |ORDER BY source""".stripMargin
   }
 
+  private val KnD = 0.75 // absolute discount (Chen-Goodman default)
+
+  /** KNESER-NEY smoothed bigram LM scoring of the validation split —
+    * the industry-standard n-gram smoothing (Chen-Goodman 1999)
+    * beside [[ngramLmScore]]'s Laplace baseline: P(w₂|w₁) =
+    * max(c(w₁w₂)−d, 0)/c(w₁·) + d·N₁₊(w₁·)/c(w₁·) · P_cont(w₂),
+    * where the CONTINUATION probability P_cont counts distinct
+    * predecessor TYPES, not tokens — the "San Francisco" correction
+    * that makes KN the strongest count-based LM. Unseen histories
+    * back off to P_cont alone; P_cont carries a Laplace floor
+    * (N₁₊(·w₂)+1)/(types+V) so out-of-vocabulary continuations stay
+    * finite (documented deviation, mirrored exactly in the oracle).
+    * Deterministic split reuse ([[SplitBucket]]); per-doc average
+    * log-prob rounded at 4 dp (the ngram-LM precedent).
+    *
+    * Scale shape: identical to [[ngramLmScore]] — vocabulary-sized
+    * count tables, AQE picks broadcast vs shuffle for the val-side
+    * probes; no corpus-wide sort anywhere. */
+  def knBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = splitAssign(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("split"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs
+      .select(col("doc_id"), col("split"),
+        explode(expr("sequence(0, size(toks) - 2)")).as("i"), col("toks"))
+      .select(col("doc_id"), col("split"),
+        col("toks").getItem(col("i")).as("w1"), expr("toks[i + 1]").as("w2"))
+    val train = bigrams.filter(col("split") === "train")
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1")
+      .agg(count(lit(1)).as("c1"), countDistinct("w2").as("nfollow"))
+    val nprec = train.groupBy("w2").agg(countDistinct("w1").as("nprec"))
+    val stats = train.agg(countDistinct(col("w1"), col("w2")).as("ntypes"))
+      .crossJoin(train.select(col("w1")).unionByName(train.select(col("w2").as("w1")))
+        .agg(countDistinct("w1").as("v")))
+    val scored = bigrams.filter(col("split") === "val")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(nprec, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("pcont",
+        (coalesce(col("nprec"), lit(0L)) + 1).cast("double")
+          / (col("ntypes") + col("v")))
+      .withColumn("p",
+        when(col("c1").isNotNull,
+          greatest(coalesce(col("c2"), lit(0L)).cast("double") - KnD, lit(0.0))
+            / col("c1")
+            + lit(KnD) * col("nfollow") / col("c1") * col("pcont"))
+          .otherwise(col("pcont")))
+      .withColumn("logp", log(col("p")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val knBigramSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $SplitBucketSql < 80 THEN 'train'
+       |              WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+       |         string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+       |bg AS (
+       |  SELECT doc_id, split, t[CAST(i + 1 AS INTEGER)] AS w1,
+       |         t[CAST(i + 2 AS INTEGER)] AS w2
+       |  FROM (SELECT doc_id, split, t, unnest(range(len(t) - 1)) AS i FROM toks)),
+       |train AS (SELECT * FROM bg WHERE split = 'train'),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS nfollow
+       |       FROM train GROUP BY 1),
+       |np AS (SELECT w2, count(DISTINCT w1) AS nprec FROM train GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM c2) AS ntypes,
+       |              (SELECT count(DISTINCT w) FROM (
+       |                 SELECT w1 AS w FROM train UNION ALL SELECT w2 FROM train))
+       |                AS v),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |         CASE WHEN c1.c1 IS NOT NULL THEN
+       |                greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - $KnD, 0.0)
+       |                  / c1.c1
+       |                + $KnD * c1.nfollow / c1.c1
+       |                  * (CAST(coalesce(np.nprec, 0) + 1 AS DOUBLE)
+       |                     / (st.ntypes + st.v))
+       |              ELSE CAST(coalesce(np.nprec, 0) + 1 AS DOUBLE)
+       |                     / (st.ntypes + st.v) END AS p
+       |  FROM bg
+       |  LEFT JOIN c2 USING (w1, w2)
+       |  LEFT JOIN c1 USING (w1)
+       |  LEFT JOIN np USING (w2)
+       |  CROSS JOIN st
+       |  WHERE bg.split = 'val')
+       |SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logp
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** PER-SOURCE DATASET CARD — the one-row-per-feed release summary a
+    * corpus owner publishes with every snapshot (the per-source
+    * counterpart of [[datasetManifest]]): volume (docs, bytes), mean
+    * whitespace tokens, language diversity (count + modal language
+    * with lexicographic tie), exact-duplicate ppm (the
+    * [[docFingerprint]] normalization), and the exact lower-median
+    * document length rank-picked from the per-source (n_chars)
+    * histogram — no per-source sort of the corpus, the
+    * [[qualityPercentile]] technique.
+    *
+    * Scale shape: one corpus projection feeds three small aggregates
+    * (per-source totals, (source, fp) dup collapse, (source, n_chars)
+    * histogram); everything joins back on the |sources|-row key. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    val tot = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"),
+        sum("ntok").as("n_tokens"), countDistinct("lang").as("n_langs"))
+    val topLang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("c"), asc("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("top_lang_n"))
+    val dup = base.groupBy("source", "fp").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg((sum("c") - count(lit(1))).as("n_dups"), sum("c").as("nd"))
+      .select(col("source"),
+        expr("n_dups * CAST(1000000 AS BIGINT) div nd").as("dup_ppm"))
+    val hist = base.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val med = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(tot.select(col("source"), col("n_docs")), "source")
+      .filter(col("cum") >= expr("(n_docs + 1) div 2")) // integer div, not /
+      .groupBy("source").agg(min("n_chars").cast("long").as("median_chars"))
+    tot.join(topLang, "source").join(dup, "source").join(med, "source")
+      .select(col("source"), col("n_docs"), col("n_bytes"), col("n_langs"),
+        col("top_lang"),
+        expr("top_lang_n * CAST(1000000 AS BIGINT) div n_docs").as("top_lang_ppm"),
+        col("dup_ppm"),
+        Det.rnd(col("n_tokens").cast("double") / col("n_docs"), 2)
+          .as("mean_tokens"),
+        col("median_chars"))
+      .orderBy("source")
+  }
+
+  val datasetCardSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang, n_chars,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |tot AS (SELECT source, count(*) AS n_docs,
+       |               CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       |               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |               count(DISTINCT lang) AS n_langs
+       |        FROM base GROUP BY 1),
+       |tl AS (SELECT source, lang AS top_lang, c AS top_lang_n
+       |       FROM (SELECT source, lang, count(*) AS c,
+       |                    row_number() OVER (PARTITION BY source
+       |                      ORDER BY count(*) DESC, lang) AS rk
+       |             FROM base GROUP BY 1, 2)
+       |       WHERE rk = 1),
+       |dup AS (SELECT source,
+       |               (CAST(sum(c) AS BIGINT) - count(*))
+       |                 * CAST(1000000 AS BIGINT) // CAST(sum(c) AS BIGINT)
+       |                 AS dup_ppm
+       |        FROM (SELECT source, fp, count(*) AS c FROM base GROUP BY 1, 2)
+       |        GROUP BY 1),
+       |med AS (SELECT source, CAST(min(n_chars) AS BIGINT) AS median_chars
+       |        FROM (SELECT source, n_chars,
+       |                     sum(c) OVER (PARTITION BY source ORDER BY n_chars
+       |                       ROWS UNBOUNDED PRECEDING) AS cum,
+       |                     sum(c) OVER (PARTITION BY source) AS n
+       |              FROM (SELECT source, n_chars, count(*) AS c
+       |                    FROM base GROUP BY 1, 2))
+       |        WHERE cum >= (n + 1) // 2
+       |        GROUP BY 1)
+       |SELECT source, n_docs, n_bytes, n_langs, top_lang,
+       |       top_lang_n * CAST(1000000 AS BIGINT) // n_docs AS top_lang_ppm,
+       |       dup_ppm,
+       |       ${Det.rndSql("CAST(n_tokens AS DOUBLE) / n_docs", 2)} AS mean_tokens,
+       |       median_chars
+       |FROM tot JOIN tl USING (source) JOIN dup USING (source)
+       |JOIN med USING (source)
+       |ORDER BY source""".stripMargin
+
   /** MUTUAL INFORMATION between the `lang` and `source` columns —
     * I(L;S) in bits, the marginal entropies, and the normalized MI —
     * the dependence audit a corpus owner runs to see whether sources
