@@ -1703,6 +1703,188 @@ object SimilarityQueries {
        |GROUP BY qid
        |ORDER BY qid""".stripMargin
 
+  private val VprfFb = 5
+  private val VprfK = 10
+
+  /** VECTOR-SPACE PSEUDO-RELEVANCE FEEDBACK (Rocchio in embedding
+    * space, α=β=1): retrieve the probe vector's top-[[VprfFb]] cosine
+    * neighbors, move the query toward their 6dp-fenced centroid, and
+    * re-retrieve — the dense-retrieval twin of the term-space
+    * [[graft.queries.TextQueries]] rocchioPrf, and the standard
+    * recall-repair trick when one query vector undersamples its
+    * topic. Output: the top-[[VprfK]] of the EXPANDED query with both
+    * cosines and the original rank, so the re-ranking movement is
+    * visible.
+    *
+    * Determinism: per-dim centroid and expanded-query values fenced
+    * at 6 dp; both cosines fenced at 6 dp before their rank windows,
+    * vec_id total tie-break. Scale: COO joins against a 64-row
+    * broadcast query relation; the feedback set is constant-bounded;
+    * no pair space anywhere. */
+  def vectorPrf(spark: SparkSession, dir: String): DataFrame =
+    vectorPrfOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def vectorPrfOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v0")))
+      .select(col("vec_id"), col("i"), col("v0").cast("double").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("i"), col("v").as("qv"))
+      .localCheckpoint() // 64 rows
+    val norms = e.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+    val nq = q.agg(sqrt(sum(col("qv") * col("qv"))).as("nq"))
+    val cos0 = e.join(broadcast(q), Seq("i"))
+      .groupBy("vec_id").agg(sum(col("v") * col("qv")).as("dot"))
+      .join(norms, "vec_id")
+      .crossJoin(broadcast(nq))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Det.rnd(when(col("nv") * col("nq") === 0, 0.0)
+          .otherwise(col("dot") / (col("nv") * col("nq"))), 6).as("cos_orig"))
+      .transform(Tables.scratchPin(_, "vprf-cos0")) // vector-count rows, corpus-linear — durable pin (r11)
+    val fb = cos0.orderBy(desc("cos_orig"), asc("vec_id")).limit(VprfFb)
+      .select("vec_id")
+    val cent = e.join(broadcast(fb), Seq("vec_id"))
+      .groupBy("i").agg(Det.rnd(avg("v"), 6).as("cv"))
+    val q2 = q.join(cent, Seq("i"))
+      .select(col("i"), Det.rnd(col("qv") + col("cv"), 6).as("q2v"))
+      .localCheckpoint() // 64 rows
+    val nq2 = q2.agg(sqrt(sum(col("q2v") * col("q2v"))).as("nq2"))
+    val cosPrf = e.join(broadcast(q2), Seq("i"))
+      .groupBy("vec_id").agg(sum(col("v") * col("q2v")).as("dot2"))
+      .join(norms, "vec_id")
+      .crossJoin(broadcast(nq2))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Det.rnd(when(col("nv") * col("nq2") === 0, 0.0)
+          .otherwise(col("dot2") / (col("nv") * col("nq2"))), 6).as("cos_prf"))
+    val rankedOrig = cos0.withColumn("rank_orig",
+      row_number().over(Window.orderBy(desc("cos_orig"), asc("vec_id"))))
+    cosPrf
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cos_prf"), asc("vec_id"))))
+      .filter(col("rank") <= VprfK)
+      .join(rankedOrig, "vec_id")
+      .select(col("rank"), col("vec_id"), col("cos_prf"), col("cos_orig"),
+        col("rank_orig"))
+      .orderBy("rank")
+  }
+
+  val vectorPrfSql: String = {
+    import graft.functions.Det
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM e GROUP BY 1),
+       |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+       |cos0 AS (SELECT d.vec_id,
+       |                ${Det.rndSql(
+        "CASE WHEN n.nv * nq.nq = 0 THEN 0.0 ELSE d.dot / (n.nv * nq.nq) END", 6)}
+       |                  AS cos_orig
+       |         FROM (SELECT e.vec_id, sum(e.v * q.qv) AS dot
+       |               FROM e JOIN q USING (i) GROUP BY 1) d
+       |         JOIN nrm n USING (vec_id) CROSS JOIN nq
+       |         WHERE d.vec_id <> 0),
+       |fb AS (SELECT vec_id FROM cos0 ORDER BY cos_orig DESC, vec_id
+       |       LIMIT $VprfFb),
+       |cent AS (SELECT i, ${Det.rndSql("avg(v)", 6)} AS cv
+       |         FROM e JOIN fb USING (vec_id) GROUP BY 1),
+       |q2 AS (SELECT q.i, ${Det.rndSql("q.qv + cent.cv", 6)} AS q2v
+       |       FROM q JOIN cent USING (i)),
+       |nq2 AS (SELECT sqrt(sum(q2v * q2v)) AS nq2 FROM q2),
+       |cosp AS (SELECT d.vec_id,
+       |                ${Det.rndSql(
+        "CASE WHEN n.nv * nq2.nq2 = 0 THEN 0.0 ELSE d.dot2 / (n.nv * nq2.nq2) END",
+        6)} AS cos_prf
+       |         FROM (SELECT e.vec_id, sum(e.v * q2.q2v) AS dot2
+       |               FROM e JOIN q2 USING (i) GROUP BY 1) d
+       |         JOIN nrm n USING (vec_id) CROSS JOIN nq2
+       |         WHERE d.vec_id <> 0),
+       |ro AS (SELECT vec_id, cos_orig,
+       |              CAST(row_number() OVER (ORDER BY cos_orig DESC, vec_id)
+       |                AS INTEGER) AS rank_orig
+       |       FROM cos0)
+       |SELECT CAST(row_number() OVER (ORDER BY cos_prf DESC, vec_id) AS INTEGER)
+       |         AS rank,
+       |       vec_id, cos_prf, cos_orig, rank_orig
+       |FROM cosp JOIN ro USING (vec_id)
+       |ORDER BY cos_prf DESC, vec_id
+       |LIMIT $VprfK""".stripMargin
+  }
+
+  private val ErrK = 20
+
+  /** EXPECTED RECIPROCAL RANK @ [[ErrK]] (Chapelle et al., CIKM'09)
+    * of the brute-force cosine ranking — the CASCADE-model eval: the
+    * user scans down and stops at a satisfying result with
+    * probability R_k (here R = ½ for a same-label hit, 0 otherwise —
+    * dyadic, so every stop-probability product is an exact power of
+    * two): ERR = Σ_k (1/k)·R_k·Π_{i<k}(1−R_i). Unlike RBP's fixed
+    * geometric patience, ERR discounts by what was ALREADY found —
+    * the metric that punishes redundant top ranks. Per-anchor sums
+    * are ≤ [[ErrK]] terms, fenced at 6 dp. */
+  def errEval(spark: SparkSession, dir: String): DataFrame =
+    errEvalOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def errEvalOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val scored = withCos(broadcast(q).crossJoin(c))
+      .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val wPrev = Window.partitionBy("qid").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ErrK)
+      .withColumn("rel", (col("qlabel") === col("clabel")).cast("long"))
+      .withColumn("nrel_before", coalesce(sum("rel").over(wPrev), lit(0L)))
+      .groupBy("qid")
+      .agg(sum("rel").as("n_rel_topk"),
+        Det.rnd(sum(
+          col("rel").cast("double") * lit(0.5)
+            * pow(lit(0.5), col("nrel_before").cast("double"))
+            / col("rank")), 6).as("err"))
+      .orderBy("qid")
+  }
+
+  val errEvalSql: String = {
+    import graft.functions.Det
+    s"""WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+       |               c.vec_id AS cid, any_value(c.label) AS clabel,
+       |               sum(q.v * c.v) AS dot,
+       |               sqrt(sum(q.v * q.v)) AS nq, sqrt(sum(c.v * c.v)) AS nc
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY q.vec_id, c.vec_id),
+       |s AS (SELECT qid, qlabel, cid, clabel,
+       |             CASE WHEN nq * nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cos
+       |      FROM dot),
+       |rk AS (SELECT qid,
+       |              CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS rel,
+       |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+       |                AS rank
+       |       FROM s),
+       |cum AS (SELECT qid, rel, rank,
+       |               coalesce(sum(rel) OVER (PARTITION BY qid ORDER BY rank
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                 AS nrel_before
+       |        FROM rk WHERE rank <= $ErrK)
+       |SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+       |       ${Det.rndSql(
+        "sum(CAST(rel AS DOUBLE) * 0.5 * pow(0.5, CAST(nrel_before AS DOUBLE)) / rank)",
+        6)} AS err
+       |FROM cum GROUP BY qid
+       |ORDER BY qid""".stripMargin
+  }
+
   private val MapK = 10
 
   /** MAP@[[MapK]] (mean-average-precision) of the brute-force cosine

@@ -5267,6 +5267,176 @@ object TextQueries {
        |JOIN med USING (source)
        |ORDER BY source""".stripMargin
 
+  /** MULTINOMIAL NAIVE BAYES is-English classifier — trained on the
+    * deterministic train split, evaluated on the val split: per class
+    * (en / other), Laplace-smoothed token likelihoods
+    * (c_tc+1)/(T_c+V) and document priors; prediction = argmax of
+    * log prior + Σ log-likelihood. The generative-counts baseline
+    * beside the discriminative [[hashedLogitCte]] classifier (NB is
+    * the standard first model for corpus labeling because training IS
+    * one count aggregation).
+    *
+    * Determinism (the q_icc rule): every per-token log term AND the
+    * prior is fenced to integer 1e-9 units BEFORE the per-doc sum, so
+    * the class scores are exact BIGINTs — the argmax can never flip
+    * on double summation order. Ties (impossible in practice, exact
+    * by construction) go to 'en'.
+    *
+    * Scale shape: training = two vocabulary-sized aggregations; val
+    * scoring joins each token against the (term × 2)-class likelihood
+    * table (AQE broadcast when it fits); one per-doc aggregation. */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = splitAssign(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("split"),
+        (col("lang") === "en").cast("int").as("y"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+    val train = docs.filter(col("split") === "train")
+    // per-(term, class) token counts + class totals + vocab
+    val ctc = train.groupBy("t")
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c_en"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c_ot"))
+    val totals = ctc.agg(sum("c_en").as("t_en"), sum("c_ot").as("t_ot"),
+      count(lit(1)).as("v"))
+    val priors = train.select("doc_id", "y").distinct()
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("d_en"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("d_ot"))
+    val scored = docs.filter(col("split") === "val")
+      .join(ctc, Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("y"),
+        graft.functions.Det.units(
+          log((coalesce(col("c_en"), lit(0L)) + 1).cast("double")
+            / (col("t_en") + col("v"))), 9).as("l_en9"),
+        graft.functions.Det.units(
+          log((coalesce(col("c_ot"), lit(0L)) + 1).cast("double")
+            / (col("t_ot") + col("v"))), 9).as("l_ot9"))
+      .groupBy("doc_id", "y")
+      .agg(sum("l_en9").as("s_en9"), sum("l_ot9").as("s_ot9"))
+      .crossJoin(broadcast(priors))
+      .select(col("y"),
+        (col("s_en9") + graft.functions.Det.units(
+          log(col("d_en").cast("double") / (col("d_en") + col("d_ot"))), 9))
+          .as("sc_en"),
+        (col("s_ot9") + graft.functions.Det.units(
+          log(col("d_ot").cast("double") / (col("d_en") + col("d_ot"))), 9))
+          .as("sc_ot"))
+      .select(col("y").as("actual_en"),
+        (col("sc_en") >= col("sc_ot")).cast("int").as("predicted_en"))
+    scored.groupBy("actual_en", "predicted_en")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_en", "predicted_en")
+  }
+
+  val naiveBayesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $SplitBucketSql < 80 THEN 'train'
+       |              WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |train AS (SELECT * FROM d WHERE split = 'train'),
+       |ctc AS (SELECT t,
+       |               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+       |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ot
+       |        FROM train GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_en) AS BIGINT) AS t_en,
+       |               CAST(sum(c_ot) AS BIGINT) AS t_ot,
+       |               count(*) AS v FROM ctc),
+       |pri AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d_en,
+       |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_ot
+       |        FROM (SELECT DISTINCT doc_id, y FROM train)),
+       |sc AS (SELECT v.doc_id, v.y,
+       |              CAST(sum(${Det.unitsSql(
+        "ln(CAST(coalesce(ctc.c_en, 0) + 1 AS DOUBLE) / (tot.t_en + tot.v))", 9)})
+       |                AS BIGINT) AS s_en9,
+       |              CAST(sum(${Det.unitsSql(
+        "ln(CAST(coalesce(ctc.c_ot, 0) + 1 AS DOUBLE) / (tot.t_ot + tot.v))", 9)})
+       |                AS BIGINT) AS s_ot9
+       |       FROM d v LEFT JOIN ctc USING (t) CROSS JOIN tot
+       |       WHERE v.split = 'val'
+       |       GROUP BY 1, 2),
+       |cls AS (SELECT y AS actual_en,
+       |               CASE WHEN s_en9 + ${Det.unitsSql(
+        "ln(CAST(pri.d_en AS DOUBLE) / (pri.d_en + pri.d_ot))", 9)}
+       |                      >= s_ot9 + ${Det.unitsSql(
+        "ln(CAST(pri.d_ot AS DOUBLE) / (pri.d_en + pri.d_ot))", 9)}
+       |                    THEN 1 ELSE 0 END AS predicted_en
+       |        FROM sc CROSS JOIN pri)
+       |SELECT actual_en, predicted_en, count(*) AS n_docs
+       |FROM cls GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  private val CovFractions = 8 // train fractions 10%..80%
+
+  /** N-GRAM COVERAGE CURVE — how much of the validation split's
+    * bigram stream has been seen after ingesting the first f% of the
+    * training split (f = 10..80): the data-scaling readout that says
+    * whether MORE data still buys novelty (the Heaps-curve question
+    * asked about the val split specifically — the generalization-side
+    * complement of [[vocabGrowth]]). A bigram is "seen at f" iff its
+    * MINIMUM split-bucket over training documents is < f — computed
+    * once per bigram, so the whole 8-point curve costs one
+    * vocabulary-sized join, not 8 rescans.
+    *
+    * Exact integer ppm; the split/bucket assignment is the standing
+    * deterministic modmul ring. */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = splitAssign(Tables(spark, dir, "documents"))
+      .withColumn("b", expr(SplitBucket))
+      .select(col("doc_id"), col("split"), col("b"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs
+      .select(col("split"), col("b"),
+        explode(expr("sequence(0, size(toks) - 2)")).as("i"), col("toks"))
+      .select(col("split"), col("b"),
+        col("toks").getItem(col("i")).as("w1"), expr("toks[i + 1]").as("w2"))
+    val trainMin = bigrams.filter(col("split") === "train")
+      .groupBy("w1", "w2").agg(min("b").as("minb"))
+    val valBg = bigrams.filter(col("split") === "val").select("w1", "w2")
+    val joined = valBg.join(trainMin, Seq("w1", "w2"), "left")
+    joined
+      .select(col("minb"),
+        explode(expr(s"transform(sequence(1, $CovFractions), k -> k * 10)"))
+          .as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("n_val_bigrams"),
+        sum(when(col("minb") < col("f"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("f"), col("n_val_bigrams"), col("n_seen"),
+        expr("n_seen * CAST(1000000 AS BIGINT) div n_val_bigrams")
+          .as("seen_ppm"))
+      .orderBy("f")
+  }
+
+  val ngramCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $SplitBucketSql < 80 THEN 'train'
+       |              WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+       |         $SplitBucketSql AS b,
+       |         string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+       |bg AS (
+       |  SELECT split, b, t[CAST(i + 1 AS INTEGER)] AS w1,
+       |         t[CAST(i + 2 AS INTEGER)] AS w2
+       |  FROM (SELECT split, b, t, unnest(range(len(t) - 1)) AS i FROM toks)),
+       |tm AS (SELECT w1, w2, min(b) AS minb
+       |       FROM bg WHERE split = 'train' GROUP BY 1, 2),
+       |vb AS (SELECT v.w1, v.w2, tm.minb
+       |       FROM bg v LEFT JOIN tm USING (w1, w2)
+       |       WHERE v.split = 'val'),
+       |f AS (SELECT CAST(unnest(range(1, ${CovFractions + 1})) * 10 AS INTEGER)
+       |               AS f)
+       |SELECT f, count(*) AS n_val_bigrams,
+       |       CAST(sum(CASE WHEN minb < f THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |       CAST(sum(CASE WHEN minb < f THEN 1 ELSE 0 END) AS BIGINT)
+       |         * CAST(1000000 AS BIGINT) // count(*) AS seen_ppm
+       |FROM vb CROSS JOIN f
+       |GROUP BY f
+       |ORDER BY f""".stripMargin
+
   /** MUTUAL INFORMATION between the `lang` and `source` columns —
     * I(L;S) in bits, the marginal entropies, and the normalized MI —
     * the dependence audit a corpus owner runs to see whether sources
