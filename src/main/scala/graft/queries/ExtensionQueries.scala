@@ -11890,16 +11890,22 @@ object ExtensionQueries {
   def holtLinear(spark: SparkSession, dir: String): DataFrame =
     holtLinearOf(Tables(spark, dir, "events"))
 
-  private[graft] def holtLinearOf(events: DataFrame): DataFrame = {
-    val byDay = events.filter(col("event_type") === "purchase")
-      .select(to_date(col("ts")).as("d"), Det.cents(col("value")).as("c"))
-      .groupBy("d").agg(sum("c").as("c"))
-    val span = byDay.agg(min(col("d")).as("d0"),
-      datediff(max(col("d")), min(col("d"))).as("nd"))
+  private[graft] def holtLinearOf(events: DataFrame): DataFrame =
+    holtFinish(cusumDailyFrom(events))
+
+  /** The calendar-dense fold finish over the SHARED daily
+    * purchase-cents state ([[cusumDailyFrom]] — the same mergeable
+    * aggregation that already feeds the CUSUM, Shewhart SPC and
+    * trailing-window finishes): Holt makes it a FIFTH monitor on one
+    * streaming aggregation (`StreamJobs.holtStream`, batch-parity
+    * tested). */
+  private[graft] def holtFinish(byDay: DataFrame): DataFrame = {
+    val span = byDay.agg(min(col("day")).as("d0"),
+      datediff(max(col("day")), min(col("day"))).as("nd"))
     val dense = span
       .select(explode(sequence(lit(0), col("nd"))).as("i"), col("d0"))
-      .join(byDay, expr("date_add(d0, i) = d"), "left")
-      .select(col("i"), coalesce(col("c"), lit(0L)).as("x"))
+      .join(byDay, expr("date_add(d0, i) = day"), "left")
+      .select(col("i"), coalesce(col("x"), lit(0L)).as("x"))
     val f = HoltFence
     // D-suffixed literals: Spark SQL parses bare decimal literals as
     // DECIMAL, which silently turns the fold arithmetic (and floor)

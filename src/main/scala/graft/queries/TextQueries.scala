@@ -5382,19 +5382,33 @@ object TextQueries {
     * Exact integer ppm; the split/bucket assignment is the standing
     * deterministic modmul ring. */
   def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = splitAssign(Tables(spark, dir, "documents"))
+    val docs = Tables(spark, dir, "documents")
+    coverageFinish(trainMinFrom(docs), valBigramsOf(docs))
+  }
+
+  private def splitBigrams(docs: DataFrame): DataFrame =
+    splitAssign(docs)
       .withColumn("b", expr(SplitBucket))
-      .select(col("doc_id"), col("split"), col("b"),
-        split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("split"), col("b"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
-    val bigrams = docs
       .select(col("split"), col("b"),
         explode(expr("sequence(0, size(toks) - 2)")).as("i"), col("toks"))
       .select(col("split"), col("b"),
         col("toks").getItem(col("i")).as("w1"), expr("toks[i + 1]").as("w2"))
-    val trainMin = bigrams.filter(col("split") === "train")
+
+  /** The coverage curve's RUNNING state: per train bigram, the MIN
+    * split-bucket over containing docs — a plain mergeable min
+    * aggregation, streaming-safe (`StreamJobs.coverageStream`). */
+  private[graft] def trainMinFrom(docs: DataFrame): DataFrame =
+    splitBigrams(docs).filter(col("split") === "train")
       .groupBy("w1", "w2").agg(min("b").as("minb"))
-    val valBg = bigrams.filter(col("split") === "val").select("w1", "w2")
+
+  /** The fixed validation benchmark's bigram stream. */
+  private[graft] def valBigramsOf(docs: DataFrame): DataFrame =
+    splitBigrams(docs).filter(col("split") === "val").select("w1", "w2")
+
+  /** Curve finish over (running train-min state × fixed val set). */
+  private[graft] def coverageFinish(trainMin: DataFrame, valBg: DataFrame): DataFrame = {
     val joined = valBg.join(trainMin, Seq("w1", "w2"), "left")
     joined
       .select(col("minb"),

@@ -953,6 +953,30 @@ object StreamJobs {
   def cChartFinish(daily: DataFrame): DataFrame =
     graft.queries.ExtensionQueries.cChartFinish(daily)
 
+  /** Streaming Holt linear-trend forecaster: a FIFTH finish on the
+    * SAME mergeable daily purchase-cents state as the CUSUM/SPC/
+    * trailing monitors — [[holtFinish]] replays the 6dp-fenced fold
+    * over the calendar-bounded histogram per batch, value-equal to
+    * the batch operator on the same prefix (StreamingSpec). */
+  def holtStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.cusumDailyFrom(events)
+
+  def holtFinish(daily: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.holtFinish(daily)
+
+  /** Streaming n-gram coverage monitor: the state is the per-train-
+    * bigram MIN split-bucket ([[graft.queries.TextQueries]]
+    * trainMinFrom — one mergeable min aggregation over the growing
+    * train corpus); each batch, [[coverageFinish]] recomputes the
+    * 8-point coverage curve of a FIXED validation benchmark — the
+    * "is more data still buying novelty" dashboard, batch-parity
+    * tested across batch splits (StreamingSpec). */
+  def coverageStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.trainMinFrom(docs)
+
+  def coverageFinish(trainMin: DataFrame, valBg: DataFrame): DataFrame =
+    graft.queries.TextQueries.coverageFinish(trainMin, valBg)
+
   /** EVENT-TIME watermarked c-chart state (VERDICT r10 #8 — the
     * [[asofWatermarked]] treatment applied to the SPC family): the
     * same daily purchase-count histogram as [[cChartStream]], but as

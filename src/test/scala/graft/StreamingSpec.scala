@@ -1025,6 +1025,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt finish shares the CUSUM cents state and equals the batch fold") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = Tables(spark, sfDir, "events").as[Ev].collect()
+    val q = StreamJobs.holtStream(mem.toDF())
+      .writeStream.format("memory").queryName("holts").outputMode("complete").start()
+    try {
+      val (b1, b2) = all.sortBy(_.event_id).splitAt(all.length / 3)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      def row(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      val streamed = row(StreamJobs.holtFinish(spark.table("holts")))
+      val batch = row(graft.queries.ExtensionQueries.holtLinear(spark, sfDir))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch) // the 6dp-fenced fold is value-equal
+    } finally q.stop()
+  }
+
+  test("streaming n-gram coverage state converges to the batch curve") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Tables(spark, sfDir, "documents")
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val q = StreamJobs.coverageStream(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("covmin").outputMode("complete").start()
+    try {
+      val (b1, b2) = all.sortBy(_._1).splitAt(all.length / 2)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val streamed = rows(StreamJobs.coverageFinish(spark.table("covmin"),
+        graft.queries.TextQueries.valBigramsOf(docs)))
+      val batch = rows(graft.queries.TextQueries.ngramCoverage(spark, sfDir))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch) // min-bucket state merged across batches
+    } finally q.stop()
+  }
+
   test("streaming trailing-window finish shares the CUSUM state and is bit-equal") {
     val s = spark
     import s.implicits._
