@@ -12044,6 +12044,59 @@ object ExtensionQueries {
        |ORDER BY look""".stripMargin
   }
 
+  private val GapSweepSec = Seq(600, 1800, 3600)
+
+  /** SESSIONIZATION GAP SENSITIVITY — how many sessions (and events
+    * per session) the corpus yields at inactivity gaps of 10/30/60
+    * minutes, from ONE per-user lag pass: every user's first event
+    * opens a session and each inter-event gap > t opens another, so
+    * n_sessions(t) = n_users + Σ 1[gap > t] — all three thresholds
+    * are conditional counts over the same gap relation. The
+    * parameter-sensitivity pre-flight for the q_sessionize 30-minute
+    * rule (a knee in this curve is what justifies the chosen gap).
+    * Exact integers; one user-keyed window exchange. */
+  def sessionGapSweep(spark: SparkSession, dir: String): DataFrame =
+    sessionGapSweepOf(Tables(spark, dir, "events"))
+
+  private[graft] def sessionGapSweepOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+    val aggCols = Seq(countDistinct("user_id").as("n_users")) ++
+      GapSweepSec.map(t =>
+        sum(when(col("gap") > t, 1L).otherwise(0L)).as(s"brk_$t"))
+    val agg = gaps.agg(count(lit(1)).as("n_events"), aggCols: _*)
+    agg.select(explode(expr(
+        s"array(${GapSweepSec.map(t => s"struct($t AS gap_sec, n_users + brk_$t AS n_sessions)").mkString(", ")})"))
+        .as("r"), col("n_events"), col("n_users"))
+      .select(col("r.gap_sec").as("gap_sec"), col("n_users"),
+        col("r.n_sessions").as("n_sessions"), col("n_events"),
+        Det.rnd(col("n_events").cast("double") / col("r.n_sessions"), 4)
+          .as("events_per_session"))
+      .orderBy("gap_sec")
+  }
+
+  val sessionGapSweepSql: String = {
+    val sweep = GapSweepSec.map(t =>
+      s"SELECT $t AS gap_sec, CAST(sum(CASE WHEN gap > $t THEN 1 ELSE 0 END) AS BIGINT) AS brk FROM g")
+      .mkString(" UNION ALL ")
+    s"""WITH g AS (
+       |  SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER
+       |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+       |  FROM events),
+       |tot AS (SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users
+       |        FROM events),
+       |sw AS ($sweep)
+       |SELECT CAST(gap_sec AS INTEGER) AS gap_sec, n_users,
+       |       CAST(n_users + brk AS BIGINT) AS n_sessions, n_events,
+       |       ${Det.rndSql("CAST(n_events AS DOUBLE) / (n_users + brk)", 4)}
+       |         AS events_per_session
+       |FROM sw CROSS JOIN tot
+       |ORDER BY gap_sec""".stripMargin
+  }
+
   private val TailRate = 8 // common-type sampling rate 1/8
   private val TailRarePct = 5 // "rare" = type below 5% of traffic
 

@@ -5285,8 +5285,19 @@ object TextQueries {
     * Scale shape: training = two vocabulary-sized aggregations; val
     * scoring joins each token against the (term × 2)-class likelihood
     * table (AQE broadcast when it fits); one per-doc aggregation. */
-  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
-    val docs = splitAssign(Tables(spark, dir, "documents"))
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame =
+    nbScores(Tables(spark, dir, "documents"))
+      .select(col("y").as("actual_en"),
+        (col("sc_en") >= col("sc_ot")).cast("int").as("predicted_en"))
+      .groupBy("actual_en", "predicted_en")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_en", "predicted_en")
+
+  /** Val-split NB class scores (doc_id, y, sc_en, sc_ot) — exact
+    * BIGINT 1e-9-unit log scores shared by [[naiveBayes]] and the
+    * [[uncertaintySampling]] annotation queue. */
+  private[graft] def nbScores(documents: DataFrame): DataFrame = {
+    val docs = splitAssign(documents)
       .select(col("doc_id"), col("split"),
         (col("lang") === "en").cast("int").as("y"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
@@ -5300,7 +5311,7 @@ object TextQueries {
     val priors = train.select("doc_id", "y").distinct()
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("d_en"),
         sum(when(col("y") === 0, 1L).otherwise(0L)).as("d_ot"))
-    val scored = docs.filter(col("split") === "val")
+    docs.filter(col("split") === "val")
       .join(ctc, Seq("t"), "left")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("y"),
@@ -5313,22 +5324,20 @@ object TextQueries {
       .groupBy("doc_id", "y")
       .agg(sum("l_en9").as("s_en9"), sum("l_ot9").as("s_ot9"))
       .crossJoin(broadcast(priors))
-      .select(col("y"),
+      .select(col("doc_id"), col("y"),
         (col("s_en9") + graft.functions.Det.units(
           log(col("d_en").cast("double") / (col("d_en") + col("d_ot"))), 9))
           .as("sc_en"),
         (col("s_ot9") + graft.functions.Det.units(
           log(col("d_ot").cast("double") / (col("d_en") + col("d_ot"))), 9))
           .as("sc_ot"))
-      .select(col("y").as("actual_en"),
-        (col("sc_en") >= col("sc_ot")).cast("int").as("predicted_en"))
-    scored.groupBy("actual_en", "predicted_en")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("actual_en", "predicted_en")
   }
 
-  val naiveBayesSql: String =
-    s"""WITH d AS (
+  /** Shared oracle prefix for [[naiveBayesSql]] and
+    * [[uncertaintySamplingSql]]: val-split class scores
+    * `nbsc(doc_id, y, sc_en, sc_ot)` in exact 1e-9 BIGINT units. */
+  private[graft] val nbScoreCtes: String =
+    s"""d AS (
        |  SELECT doc_id,
        |         CASE WHEN $SplitBucketSql < 80 THEN 'train'
        |              WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
@@ -5356,16 +5365,56 @@ object TextQueries {
        |       FROM d v LEFT JOIN ctc USING (t) CROSS JOIN tot
        |       WHERE v.split = 'val'
        |       GROUP BY 1, 2),
-       |cls AS (SELECT y AS actual_en,
-       |               CASE WHEN s_en9 + ${Det.unitsSql(
-        "ln(CAST(pri.d_en AS DOUBLE) / (pri.d_en + pri.d_ot))", 9)}
-       |                      >= s_ot9 + ${Det.unitsSql(
-        "ln(CAST(pri.d_ot AS DOUBLE) / (pri.d_en + pri.d_ot))", 9)}
-       |                    THEN 1 ELSE 0 END AS predicted_en
-       |        FROM sc CROSS JOIN pri)
-       |SELECT actual_en, predicted_en, count(*) AS n_docs
-       |FROM cls GROUP BY 1, 2
+       |nbsc AS (SELECT doc_id, y,
+       |                s_en9 + ${Det.unitsSql(
+        "ln(CAST(pri.d_en AS DOUBLE) / (pri.d_en + pri.d_ot))", 9)} AS sc_en,
+       |                s_ot9 + ${Det.unitsSql(
+        "ln(CAST(pri.d_ot AS DOUBLE) / (pri.d_en + pri.d_ot))", 9)} AS sc_ot
+       |         FROM sc CROSS JOIN pri)""".stripMargin
+
+  val naiveBayesSql: String =
+    s"""WITH $nbScoreCtes
+       |SELECT y AS actual_en,
+       |       CASE WHEN sc_en >= sc_ot THEN 1 ELSE 0 END AS predicted_en,
+       |       count(*) AS n_docs
+       |FROM nbsc GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  private val UncK = 20
+
+  /** UNCERTAINTY SAMPLING — the active-learning annotation queue: the
+    * [[UncK]] validation documents where the [[naiveBayes]] classifier
+    * is LEAST sure (smallest |score margin| between the two classes),
+    * i.e. exactly the docs whose human label buys the most model
+    * improvement per annotation dollar. Margins are differences of
+    * exact 1e-9-unit BIGINT scores ([[nbScores]]), so the queue order
+    * is fully deterministic (margin asc, doc_id).
+    * Scale: one TakeOrdered over the val-split score relation. */
+  def uncertaintySampling(spark: SparkSession, dir: String): DataFrame =
+    nbScores(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("y").as("actual_en"),
+        (col("sc_en") >= col("sc_ot")).cast("int").as("predicted_en"),
+        abs(col("sc_en") - col("sc_ot")).as("margin9"))
+      .orderBy(asc("margin9"), asc("doc_id"))
+      .limit(UncK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(asc("margin9"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("actual_en"),
+        col("predicted_en"), col("margin9"))
+      .orderBy("rank")
+
+  val uncertaintySamplingSql: String =
+    s"""WITH $nbScoreCtes,
+       |m AS (SELECT doc_id, y AS actual_en,
+       |             CASE WHEN sc_en >= sc_ot THEN 1 ELSE 0 END AS predicted_en,
+       |             abs(sc_en - sc_ot) AS margin9
+       |      FROM nbsc
+       |      ORDER BY margin9, doc_id LIMIT $UncK)
+       |SELECT CAST(row_number() OVER (ORDER BY margin9, doc_id) AS INTEGER)
+       |         AS rank,
+       |       doc_id, actual_en, predicted_en, margin9
+       |FROM m
+       |ORDER BY rank""".stripMargin
 
   private val CovFractions = 8 // train fractions 10%..80%
 
@@ -5450,6 +5499,98 @@ object TextQueries {
        |FROM vb CROSS JOIN f
        |GROUP BY f
        |ORDER BY f""".stripMargin
+
+  /** BM25 PARAMETER SWEEP — ranking stability of the top-50 under
+    * (k1, b) ∈ {default (1.2, 0.75), low-saturation (0.9, 0.4),
+    * high-k1 (2.0, 0.75), no-length-norm (1.2, 0)}: per variant, the
+    * overlap with the default's top-50 set and the count of
+    * positions ranked identically — the index-tuning pre-flight that
+    * says whether the corpus even CARES about the parameters before
+    * anyone runs a relevance study. One trunk probe scores all four
+    * variants (the 4-row parameter table rides the broadcast, so the
+    * (doc, term) relation is scanned once, not four times); scores
+    * fenced at 6 dp with doc_id tiebreak, everything after the
+    * shortlists is 200-row arithmetic. */
+  def bm25ParamSweep(spark: SparkSession, dir: String): DataFrame =
+    bm25ParamSweepOnPostings(Tables(spark, dir, "documents"),
+      postingsTrunk(spark, dir))
+
+  private def bm25ParamSweepOnPostings(docs: DataFrame, p: PostingsIndex): DataFrame = {
+    val tf = p.tf.select("doc_id", "term", "tf")
+    val dl = p.dl
+    val df = p.df.select("term", "df")
+    val q = df.orderBy(desc("df"), asc("term")).limit(Bm25QTerms)
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("tot")))
+      .withColumn("avgdl", col("tot").cast("double") / col("n"))
+    val params = stats.sparkSession.range(1).select(explode(expr(
+      "array(struct(1 AS pid, 1.2D AS k1, 0.75D AS b), " +
+        "struct(2 AS pid, 0.9D AS k1, 0.4D AS b), " +
+        "struct(3 AS pid, 2.0D AS k1, 0.75D AS b), " +
+        "struct(4 AS pid, 1.2D AS k1, 0.0D AS b))")).as("p"))
+      .select(col("p.pid").as("pid"), col("p.k1").as("k1"), col("p.b").as("b"))
+    val ranked = tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(params))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * col("tf") * (col("k1") + 1.0) /
+          (col("tf") + col("k1")
+            * (lit(1.0) - col("b") + col("b") * col("dl") / col("avgdl"))))
+      .groupBy("pid", "k1", "b", "doc_id")
+      .agg(Det.rnd(sum("tscore"), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= Bm25TopDocs)
+    val base = ranked.filter(col("pid") === 1)
+      .select(col("doc_id"), col("rank").as("rank0"))
+    ranked.join(broadcast(base), Seq("doc_id"), "left")
+      .groupBy("pid", "k1", "b")
+      .agg(sum(when(col("rank0").isNotNull, 1L).otherwise(0L)).as("overlap_50"),
+        sum(when(col("rank") === col("rank0"), 1L).otherwise(0L)).as("same_rank_50"))
+      .orderBy("pid")
+  }
+
+  val bm25ParamSweepSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT $Bm25QTerms),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |                 CAST((SELECT sum(tf) FROM tf) AS BIGINT) AS tot),
+       |params(pid, k1, b) AS (
+       |  SELECT pid, CAST(k1 AS DOUBLE), CAST(b AS DOUBLE)
+       |  FROM (VALUES (1, 1.2, 0.75), (2, 0.9, 0.4),
+       |               (3, 2.0, 0.75), (4, 1.2, 0.0)) v(pid, k1, b)),
+       |ranked AS (
+       |  SELECT pid, k1, b, doc_id,
+       |         row_number() OVER (PARTITION BY pid
+       |           ORDER BY score DESC, doc_id) AS rank
+       |  FROM (
+       |    SELECT p.pid, p.k1, p.b, tf.doc_id,
+       |           ${Det.rndSql(
+        "sum(ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))" +
+          " * tf.tf * (p.k1 + 1.0)" +
+          " / (tf.tf + p.k1 * (1.0 - p.b + p.b * dl.dl" +
+          " / (CAST(s.tot AS DOUBLE) / s.n))))", 6)} AS score
+       |    FROM tf JOIN q USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN params p
+       |    GROUP BY p.pid, p.k1, p.b, tf.doc_id)),
+       |cut AS (SELECT * FROM ranked WHERE rank <= $Bm25TopDocs),
+       |base AS (SELECT doc_id, rank AS rank0 FROM cut WHERE pid = 1)
+       |SELECT pid, k1, b,
+       |       CAST(sum(CASE WHEN rank0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS overlap_50,
+       |       CAST(sum(CASE WHEN rank = rank0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS same_rank_50
+       |FROM cut LEFT JOIN base USING (doc_id)
+       |GROUP BY pid, k1, b
+       |ORDER BY pid""".stripMargin
 
   /** MUTUAL INFORMATION between the `lang` and `source` columns —
     * I(L;S) in bits, the marginal entropies, and the normalized MI —
