@@ -12061,12 +12061,15 @@ object ExtensionQueries {
   private[graft] def sessionGapSweepOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // gaps in exact MICROSECONDS: unix_timestamp floors to seconds but
+    // DuckDB's epoch keeps the fraction — a gap exactly on the
+    // threshold boundary would flip between engines (caught at sf0.01)
     val gaps = events
       .withColumn("gap",
-        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+        unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
     val aggCols = Seq(countDistinct("user_id").as("n_users")) ++
       GapSweepSec.map(t =>
-        sum(when(col("gap") > t, 1L).otherwise(0L)).as(s"brk_$t"))
+        sum(when(col("gap") > t * 1000000L, 1L).otherwise(0L)).as(s"brk_$t"))
     val agg = gaps.agg(count(lit(1)).as("n_events"), aggCols: _*)
     agg.select(explode(expr(
         s"array(${GapSweepSec.map(t => s"struct($t AS gap_sec, n_users + brk_$t AS n_sessions)").mkString(", ")})"))
@@ -12080,10 +12083,10 @@ object ExtensionQueries {
 
   val sessionGapSweepSql: String = {
     val sweep = GapSweepSec.map(t =>
-      s"SELECT $t AS gap_sec, CAST(sum(CASE WHEN gap > $t THEN 1 ELSE 0 END) AS BIGINT) AS brk FROM g")
+      s"SELECT $t AS gap_sec, CAST(sum(CASE WHEN gap > ${t}000000 THEN 1 ELSE 0 END) AS BIGINT) AS brk FROM g")
       .mkString(" UNION ALL ")
     s"""WITH g AS (
-       |  SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER
+       |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
        |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
        |  FROM events),
        |tot AS (SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users
