@@ -57,6 +57,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // transient pins are session-local; a fresh driver starts clean
+    // (VERDICT r11 #1 / ADVICE r11: pin garbage had no lifecycle)
+    Tables.wipeTransientPins(spark)
     // untimed JVM/codegen/IO warmup (no benchmark query runs early):
     // a shuffle, a parquet read and a tiny sort initialize the executor
     // pools and JIT paths that would otherwise inflate the first query
@@ -81,13 +84,26 @@ object Bench {
     // one corpus tokenize pass shared by tfidf/bm25/dirichlet/rocchio/
     // postings/phrase + the bm25-shortlist consumers
     val setupT1 = System.nanoTime()
-    val setup: Map[String, Double] = setup0 ++
+    val setup1: Map[String, Double] = setup0 ++
       (try {
         queries.TextQueries.materializePostingsTrunk(spark, sfDir)
         Map("_setup_postings_trunk" -> (System.nanoTime() - setupT1) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] _setup_postings_trunk FAILED: ${e.getMessage}")
         Map("_setup_postings_trunk" -> -1.0)
+      })
+    // the seeded-centrality family's shared adjacency + forward-BFS
+    // trunk (VERDICT r11 #2): closeness and betweenness both read it —
+    // pay it here under its own label (includes the knn-edges scratch
+    // build if no earlier setup materialized it)
+    val setupT2 = System.nanoTime()
+    val setup: Map[String, Double] = setup1 ++
+      (try {
+        queries.SimilarityQueries.materializeSeededBfs(spark, sfDir)
+        Map("_setup_seeded_bfs" -> (System.nanoTime() - setupT2) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] _setup_seeded_bfs FAILED: ${e.getMessage}")
+        Map("_setup_seeded_bfs" -> -1.0)
       })
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -72,18 +72,93 @@ object Tables {
     * relation exactly once (same as an eager localCheckpoint), gives
     * every re-read a flat columnar scan, and in production the scratch
     * root is the durable cluster filesystem, so executor loss costs a
-    * re-read, not the job. Path is unique per call — the pin has the
-    * same lifecycle as the localCheckpoint it replaces (one query
-    * invocation), files land under the git-ignored scratch root.
+    * re-read, not the job.
+    *
+    * Lifecycle (VERDICT r11 #1 — the nanoTime-unique paths of r11
+    * accumulated 4.6k dirs / 523 MB over one test run with no GC):
+    * the path is DETERMINISTIC per tag and the write mode is
+    * overwrite, so a pin's storage is reclaimed by the next
+    * invocation of the same site instead of leaking forever — total
+    * pin storage is bounded by the number of pin SITES, not by query
+    * count. Tags are unique per call site (audited), and the
+    * harnesses (Bench/Verify/tests) complete each query's action
+    * before constructing the next, so an overwrite never races a
+    * pending read. Loops that re-pin evolving round state use
+    * [[PinChain]] (per-level deterministic paths); relations reusable
+    * across invocations of the same (session, dir) use [[pinKeyed]].
     * `localCheckpoint` remains the right tool for the genuinely
     * vocabulary/calendar/shortlist-BOUNDED class. */
-  private val pinSeq = new java.util.concurrent.atomic.AtomicLong()
   def scratchPin(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
-    val path = s"$scratchDir/pins/$tag-${java.lang.Long.toHexString(System.nanoTime())}" +
-      s"-${pinSeq.incrementAndGet()}.parquet"
+    val path = s"$scratchDir/pins/$tag.parquet"
     df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
+  }
+
+  /** Round-state pin sequence for iterative operators (sssp/kcore/
+    * dbscan/…): level i of a chain writes `pins/<tag>-l<i>.parquet` —
+    * deterministic, so re-invocations overwrite the previous run's
+    * levels instead of accumulating, and DISTINCT per level, so (a) a
+    * level's write job never overwrites the predecessor path it reads
+    * and (b) operators whose OUTPUT references every round (the kcore
+    * per-round profile) read each level's own file at action time.
+    * Storage is bounded by the unroll depth (≤ 12 everywhere). Also
+    * fixes ADVICE r11: accumulate-style loops (betweenness) pin only
+    * the new frontier per level and union cheap reads of the level
+    * files, instead of rewriting the whole accumulated relation every
+    * round (O(depth²) write volume → O(depth)). */
+  final class PinChain(tag: String) {
+    private var i = 0
+    def next(df: DataFrame): DataFrame = {
+      i += 1
+      val path = s"$scratchDir/pins/$tag-l$i.parquet"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+  }
+
+  /** One-time guarded pin per (session, data dir) — the
+    * `postingsTrunk` pattern (VERDICT r11 #1a) for relations that are
+    * pure functions of the corpus at `dir` and are re-derived by
+    * every invocation of their query family (the symmetric k-NN
+    * adjacency, the seeded-BFS relation): the first caller computes
+    * and writes, every later caller — including later bench reps and
+    * other queries in the family — does a plain columnar read. The
+    * existence check makes a mid-session scratch wipe a silent
+    * rebuild, not a PATH_NOT_FOUND (chaos-tested). */
+  def pinKeyed(spark: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame = {
+    val path = s"$scratchDir/pins-keyed/$tag-${sessionKey(spark, dir)}.parquet"
+    if (!scratchReady(spark, s"graft.pin.$tag", dir, Seq(path))) {
+      build.write.mode("overwrite").parquet(path)
+      scratchMark(spark, s"graft.pin.$tag", dir)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Session-scoped scratch key: a random session token (so two JVMs
+    * sharing the scratch root never collide) × the data-dir hash (so
+    * one session serving several SF dirs keeps them apart). */
+  def sessionKey(spark: SparkSession, dir: String): String = {
+    val tokenKey = "graft.scratch.session"
+    val token = spark.conf.getOption(tokenKey).getOrElse {
+      val t = java.lang.Long.toHexString(System.nanoTime())
+      spark.conf.set(tokenKey, t)
+      t
+    }
+    s"$token-${java.lang.Integer.toHexString(dir.hashCode)}"
+  }
+
+  /** Startup sweep for the transient pin root: pins are session-local
+    * (deterministic paths keep them bounded WITHIN a session; a new
+    * driver process starts from a clean slate — ADVICE r11). Keyed
+    * pins/trunks are left alone: their guards re-validate existence
+    * and their paths carry the session token, so stale ones from a
+    * dead session are unreachable either way — but the transient root
+    * is the one place tags collide across processes. */
+  def wipeTransientPins(spark: SparkSession): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$scratchDir/pins")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
   }
 
   /** Guard predicate for one-time scratch materializations (VERDICT r9
@@ -95,11 +170,26 @@ object Tables {
     * the existence check the guard silently rebuilds instead, which
     * is the failure mode durable scratch exists to absorb (chaos-
     * tested in Round10Spec). Listing a parquet dir's footer is a
-    * metadata stat, not a data scan. */
+    * metadata stat, not a data scan.
+    *
+    * The readiness flag is keyed PER DIR (ADVICE r11): the artifact
+    * paths were always dir-keyed via [[sessionKey]], but a single
+    * `flag → last dir` conf entry made a session alternating between
+    * two SF dirs (a multi-SF verify loop in one JVM) re-tokenize and
+    * rewrite the full trunk on every switch even though the other
+    * dir's artifacts were still valid on disk. */
   def scratchReady(spark: SparkSession, flagKey: String, dir: String,
                    paths: Seq[String]): Boolean =
-    spark.conf.getOption(flagKey).contains(dir) && paths.forall { p =>
+    spark.conf.getOption(dirFlag(flagKey, dir)).contains("true") && paths.forall { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     }
+
+  /** Record that the artifacts guarded by `flagKey` are written for
+    * `dir` — the setter half of [[scratchReady]]'s dir-keyed flag. */
+  def scratchMark(spark: SparkSession, flagKey: String, dir: String): Unit =
+    spark.conf.set(dirFlag(flagKey, dir), "true")
+
+  private def dirFlag(flagKey: String, dir: String): String =
+    s"$flagKey.${java.lang.Integer.toHexString(dir.hashCode)}"
 }

@@ -3361,25 +3361,34 @@ object AnalyticsQueries {
     import org.apache.spark.sql.expressions.Window
     val terms = pgramPowersOf(events)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // tot = 0 (a constant series: every harmonic's power is exactly 0)
+    // would be an ANSI DIVIDE_BY_ZERO — shares go NULL instead, and the
+    // 0·ln(0) guard below treats NULL like zero power (ADVICE r11)
     val shares = terms.withColumn("tot", sum("power").over(wAll))
-      .select(col("k"), col("n"), (col("power") / col("tot")).as("s"))
+      .select(col("k"), col("n"),
+        when(col("tot") > 0, col("power") / col("tot")).as("s"))
     shares
       .withColumn("top", row_number().over(Window.orderBy(desc("s"), asc("k"))))
       .agg(max("n").as("n_days"),
-        Det.rnd(-sum(col("s") * log(col("s"))), 6).as("spectral_entropy"),
-        Det.rnd(-sum(col("s") * log(col("s"))) / math.log(PgramMaxK), 6)
-          .as("h_norm"),
+        // 0·ln(0) = 0 convention (ADVICE r11): a harmonic with exactly
+        // zero power would yield 0 * -Infinity = NaN and poison the
+        // whole entropy — guard mirrored in the SQL twin
+        Det.rnd(-sum(when(col("s") > 0, col("s") * log(col("s"))).otherwise(0.0)), 6)
+          .as("spectral_entropy"),
+        Det.rnd(-sum(when(col("s") > 0, col("s") * log(col("s"))).otherwise(0.0))
+          / math.log(PgramMaxK), 6).as("h_norm"),
         max(when(col("top") === 1, col("k"))).cast("int").as("dominant_k"),
         Det.rnd(max(when(col("top") === 1, col("s"))), 6).as("dominant_share"))
   }
 
   val spectralEntropySql: String =
     s"""WITH $pgramPowerCtes,
-       |sh AS (SELECT k, n, power / sum(power) OVER () AS s FROM pw),
+       |sh AS (SELECT k, n, CASE WHEN sum(power) OVER () > 0
+       |                         THEN power / sum(power) OVER () END AS s FROM pw),
        |rk AS (SELECT *, row_number() OVER (ORDER BY s DESC, k) AS top FROM sh)
        |SELECT CAST(max(n) AS BIGINT) AS n_days,
-       |       ${Det.rndSql("-sum(s * ln(s))", 6)} AS spectral_entropy,
-       |       ${Det.rndSql(s"-sum(s * ln(s)) / ln($PgramMaxK)", 6)} AS h_norm,
+       |       ${Det.rndSql("-sum(CASE WHEN s > 0 THEN s * ln(s) ELSE 0.0 END)", 6)} AS spectral_entropy,
+       |       ${Det.rndSql(s"-sum(CASE WHEN s > 0 THEN s * ln(s) ELSE 0.0 END) / ln($PgramMaxK)", 6)} AS h_norm,
        |       CAST(max(CASE WHEN top = 1 THEN k END) AS INTEGER) AS dominant_k,
        |       ${Det.rndSql("max(CASE WHEN top = 1 THEN s END)", 6)} AS dominant_share
        |FROM rk""".stripMargin

@@ -313,15 +313,8 @@ object DedupQueries {
       sc.setCheckpointDir(s"${Tables.scratchDir}/checkpoints")
   }
 
-  private[graft] def scratchKey(spark: SparkSession, dir: String): String = {
-    val tokenKey = "graft.scratch.session"
-    val token = spark.conf.getOption(tokenKey).getOrElse {
-      val t = java.lang.Long.toHexString(System.nanoTime())
-      spark.conf.set(tokenKey, t)
-      t
-    }
-    s"$token-${java.lang.Integer.toHexString(dir.hashCode)}"
-  }
+  private[graft] def scratchKey(spark: SparkSession, dir: String): String =
+    Tables.sessionKey(spark, dir)
 
   /** One-time materialization of the stage-1 exact-duplicate collapse
     * per (session, data dir) — the method-INDEPENDENT prefix shared by
@@ -338,7 +331,7 @@ object DedupQueries {
     if (!Tables.scratchReady(spark, "graft.dedupgroups.dir", dir, Seq(path))) {
       groupsOf(Tables(spark, dir, "documents")).write.mode("overwrite").parquet(path)
       groupsWrites += 1
-      spark.conf.set("graft.dedupgroups.dir", dir)
+      graft.Tables.scratchMark(spark, "graft.dedupgroups.dir", dir)
     }
     spark.read.parquet(path)
   }
@@ -372,7 +365,7 @@ object DedupQueries {
       components(spark.read.parquet(s"$base/verified.parquet").select("d1", "d2"))
         .write.mode("overwrite").parquet(s"$base/labels.parquet")
       trunkWrites += 1
-      spark.conf.set("graft.deduptrunk.dir", dir)
+      graft.Tables.scratchMark(spark, "graft.deduptrunk.dir", dir)
     }
     (groups,
       spark.read.parquet(s"$base/verified.parquet"),

@@ -3141,7 +3141,7 @@ object ExtensionQueries {
     if (!graft.Tables.scratchReady(spark, "graft.rfm.dir", dir, Seq(path))) {
       rfmFeaturesOf(Tables(spark, dir, "events"))
         .write.mode("overwrite").parquet(path)
-      spark.conf.set("graft.rfm.dir", dir)
+      graft.Tables.scratchMark(spark, "graft.rfm.dir", dir)
     }
     rfmFinish(spark.read.parquet(path))
   }
@@ -6835,7 +6835,7 @@ object ExtensionQueries {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
         .write.mode("overwrite").parquet(path)
-      spark.conf.set("graft.purchedges.dir", dir)
+      graft.Tables.scratchMark(spark, "graft.purchedges.dir", dir)
     }
     hitsOnEdges(spark.read.parquet(path))
   }
@@ -10902,9 +10902,14 @@ object ExtensionQueries {
       .select(col("k"),
         Det.rnd(expr("swe / sw"), 4).as("theta_fixed"),
         Det.rnd(expr("swe2 - swe * swe / sw"), 4).as("q_stat"),
+        // tau2 is dollars²-scale (~1e9 at sf0.01) with a ~1e-8-scale
+        // denominator: a 6dp fence demanded ~16 significant digits —
+        // beyond what ANY double pipeline reproduces across summation
+        // orders (observed 2e-6 drift at sf0.01). 2dp is the honest
+        // magnitude-aware fence (drift ≪ boundary spacing).
         Det.rnd(expr(
           "greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
-            " / (sw - sw2 / sw))"), 6).as("tau2"),
+            " / (sw - sw2 / sw))"), 2).as("tau2"),
         Det.rnd(expr(
           "CASE WHEN swe2 - swe * swe / sw = 0.0 THEN 0.0 ELSE" +
             " greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
@@ -10949,7 +10954,7 @@ object ExtensionQueries {
        |       ${Det.rndSql("swe2 - swe * swe / sw", 4)} AS q_stat,
        |       ${Det.rndSql(
           "greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
-            " / (sw - sw2 / sw))", 6)} AS tau2,
+            " / (sw - sw2 / sw))", 2)} AS tau2,
        |       ${Det.rndSql(
           "CASE WHEN swe2 - swe * swe / sw = 0.0 THEN 0.0 ELSE" +
             " greatest(0.0, (swe2 - swe * swe / sw - (k - 1))" +
@@ -11918,6 +11923,12 @@ object ExtensionQueries {
     dense.agg(sort_array(collect_list(struct(col("i"), col("x")))).as("sx"))
       .select(size(col("sx")).cast("long").as("n_days"),
         expr("transform(sx, e -> CAST(e.x AS DOUBLE))").as("xs"))
+      // Holt needs two observations to initialize b₁ = x₂ − x₁: on a
+      // degenerate 1-day span Spark's xs[1] is NULL (one row of NULL
+      // trend/forecasts) while the recursive SQL twin's i = 1 seed
+      // subquery is EMPTY (zero rows) — the cross-engine hash forks
+      // (ADVICE r11). Convention: both twins emit zero rows below 2.
+      .filter(col("n_days") >= 2)
       .select(col("n_days"), expr(
         s"aggregate(slice(xs, 2, CAST(n_days AS INT) - 1), " +
           s"named_struct('l', xs[0] / 100.0D, 'b', (xs[1] - xs[0]) / 100.0D), " +
@@ -11958,7 +11969,7 @@ object ExtensionQueries {
        |       ${Det.rndSql("l + b", 4)} AS forecast_1,
        |       ${Det.rndSql("l + b * 3", 4)} AS forecast_3,
        |       ${Det.rndSql("l + b * 7", 4)} AS forecast_7
-       |FROM r WHERE t = (SELECT nd FROM n)""".stripMargin
+       |FROM r WHERE t = (SELECT nd FROM n) AND (SELECT nd FROM n) >= 2""".stripMargin
   }
 
   /** O'BRIEN-FLEMING group-sequential monitoring of the [[abTest]]

@@ -1331,7 +1331,7 @@ object TextQueries {
       tf.groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
         .write.mode("overwrite").parquet(pDf)
       postingsWrites += 1
-      spark.conf.set("graft.postings.dir", dir)
+      graft.Tables.scratchMark(spark, "graft.postings.dir", dir)
     }
     PostingsIndex(spark.read.parquet(pTf),
       spark.read.parquet(pDl), spark.read.parquet(pDf))
@@ -1833,7 +1833,10 @@ object TextQueries {
     def tier(name: String, fpCol: String): DataFrame = {
       val fs = keyed.select(col("split"), col(fpCol).as("fp"))
         .groupBy("fp", "split").agg(count(lit(1)).as("n"))
-        .transform(graft.Tables.scratchPin(_, "splitaudit-fs")) // distinct fingerprints, corpus-linear — durable pin (r11)
+        // tag is PER TIER: deterministic pin paths (r12) mean a tag
+        // written twice in one lineage would alias — each call site
+        // (here: each tier) owns its own tag
+        .transform(graft.Tables.scratchPin(_, s"splitaudit-fs-$name")) // distinct fingerprints, corpus-linear
       fs.as("a")
         .join(fs.as("b"),
           col("a.fp") === col("b.fp") && col("a.split") < col("b.split"))
@@ -6300,7 +6303,7 @@ object TextQueries {
         .write.mode("overwrite").parquet(s"$base/fps.parquet")
       winnowCutOf(spark.read.parquet(s"$base/fps.parquet"))
         .write.mode("overwrite").parquet(s"$base/cut.parquet")
-      spark.conf.set("graft.winnowfps.dir", dir)
+      graft.Tables.scratchMark(spark, "graft.winnowfps.dir", dir)
     }
     spark.read.parquet(s"$base/cut.parquet")
   }

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticsQueries, ExtensionQueries, SimilarityQueries}
+
+/** Round-12 additions: the scratch-pin lifecycle (VERDICT r11 #1), the
+  * shared seeded-BFS trunk (#2), the whole-surface join plan gate (#3),
+  * the pin-wipe chaos test (#6), and the ADVICE r11 expression guards. */
+class Round12Spec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def pinEntries(): Int = {
+    val d = new java.io.File(s"${Tables.scratchDir}/pins")
+    if (d.exists()) d.list().length else 0
+  }
+
+  // ------------------------------------------ pin lifecycle (#1)
+
+  test("repeated graph queries do not grow the pin root: storage is bounded by pin sites, not query count") {
+    // three full invocations of iterative graph operators (each writes
+    // adjacency + per-round pins); with deterministic overwrite paths
+    // the entry count after rep 3 equals the count after rep 1
+    SimilarityQueries.sssp(spark, sfDir).count()
+    SimilarityQueries.dbscan(spark, sfDir).count()
+    val afterRep1 = pinEntries()
+    assert(afterRep1 > 0)
+    (2 to 3).foreach { _ =>
+      SimilarityQueries.sssp(spark, sfDir).count()
+      SimilarityQueries.dbscan(spark, sfDir).count()
+    }
+    val afterRep3 = pinEntries()
+    assert(afterRep3 == afterRep1,
+      s"pin root grew with reps: $afterRep1 -> $afterRep3 (r11 leaked one dir per pin per invocation)")
+  }
+
+  test("seeded-BFS trunk is shared: closeness and betweenness reuse one keyed relation and agree with the OnEdges path") {
+    val c1 = rows(SimilarityQueries.closenessCentrality(spark, sfDir))
+    val keyedRoot = new java.io.File(s"${Tables.scratchDir}/pins-keyed")
+    val trunks = keyedRoot.list().filter(n =>
+      n.startsWith("seedadj-") || n.startsWith("seedbfs-"))
+    assert(trunks.length >= 2, s"expected keyed seedadj+seedbfs pins, found ${trunks.mkString(",")}")
+    val mod1 = keyedRoot.list().map(n =>
+      n -> new java.io.File(keyedRoot, n).lastModified()).toMap
+    // betweenness must READ the trunk, not rebuild it
+    val b1 = rows(SimilarityQueries.betweennessSeeds(spark, sfDir))
+    val mod2 = keyedRoot.list().map(n =>
+      n -> new java.io.File(keyedRoot, n).lastModified()).toMap
+    trunks.foreach { t =>
+      assert(mod2(t) == mod1(t), s"keyed trunk $t was rewritten by betweenness")
+    }
+    // and both finishes agree with the un-keyed OnEdges derivation
+    val edges = SimilarityQueries.knnGraph(spark, sfDir).select("src", "dst", "cos")
+    assert(c1 == rows(SimilarityQueries.closenessCentralityOnEdges(edges)))
+    assert(b1 == rows(SimilarityQueries.betweennessOnEdges(edges)))
+  }
+
+  // ------------------------------------------ pin-wipe chaos (#6)
+
+  test("wiping the pin roots mid-query-sequence is absorbed: later queries rebuild and answer identically") {
+    val before = rows(SimilarityQueries.betweennessSeeds(spark, sfDir))
+    // simulate a tmp-cleaner / disk-pressure wipe of BOTH pin roots
+    def wipe(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    wipe(s"${Tables.scratchDir}/pins")
+    wipe(s"${Tables.scratchDir}/pins-keyed")
+    val after = rows(SimilarityQueries.betweennessSeeds(spark, sfDir))
+    assert(after == before)
+    assert(rows(SimilarityQueries.closenessCentrality(spark, sfDir)).size == 8)
+  }
+
+  // ------------------------------------- whole-surface join gate (#3)
+
+  /** Walk DOWN a physical subtree looking for a raw corpus scan not
+    * bounded by an aggregate or a limit — the Round11Spec window-guard
+    * walk, reused for the broadcast side of nested-loop joins. */
+  private def unboundedCorpusScan(p: org.apache.spark.sql.execution.SparkPlan): Option[String] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => None
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec | _: CollectLimitExec => None
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).find(_.contains("/testdata/"))
+      case r: ReusedExchangeExec => unboundedCorpusScan(r.child)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        import org.apache.spark.sql.catalyst.plans._
+        val (l, r) = (unboundedCorpusScan(j.left), unboundedCorpusScan(j.right))
+        j.joinType match {
+          // inner: a bounded side bounds the output (shortlist ⋈
+          // corpus-lookup enrichment — e.g. a top-k anchor set joined
+          // to per-doc attributes stays top-k-sized)
+          case Inner => if (l.isEmpty || r.isEmpty) None else l.orElse(r)
+          // row-preserving sides must themselves be bounded
+          case LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin => l
+          case RightOuter => r
+          case _ => l.orElse(r)
+        }
+      case other => other.children.view.flatMap(unboundedCorpusScan(_)).headOption
+    }
+  }
+
+  /** The per-plan gate: no CartesianProductExec anywhere; every
+    * BroadcastNestedLoopJoinExec's BROADCAST side must be aggregate-
+    * or limit-bounded (the 1-row-scalar / enum-bounded contract that
+    * was previously enforced by a manual per-round Explain audit
+    * recorded in PERF.md). */
+  private def joinGateOffenses(name: String,
+                               plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val carts = plan.collect { case c: CartesianProductExec =>
+      s"$name: CartesianProductExec (${c.simpleStringWithNodeId()})"
+    }
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec =>
+      val build = j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+      unboundedCorpusScan(build).map(path =>
+        s"$name: BroadcastNestedLoopJoin broadcasts an unbounded corpus scan $path")
+    }.flatten
+    carts ++ bnlj
+  }
+
+  test("join gate: every declared query plans with zero CartesianProduct and only bounded BNLJ broadcasts") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan: ${e.getMessage}")
+          }
+        offenders ++= joinGateOffenses(name, plan)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("join gate flags a planted unbounded cross join (both CartesianProduct and BNLJ shapes)") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val abtWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = Tables(spark, sfDir, "events").select("event_id")
+      val docs = Tables(spark, sfDir, "documents").select("doc_id")
+      // small side broadcastable -> BNLJ over a raw corpus scan
+      val bnljPlan = ev.crossJoin(Tables(spark, sfDir, "region"))
+        .queryExecution.executedPlan
+      // broadcast disabled -> genuine CartesianProductExec
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cartPlan = ev.crossJoin(docs).queryExecution.executedPlan
+      assert(joinGateOffenses("planted_bnlj", bnljPlan).nonEmpty)
+      assert(joinGateOffenses("planted_cart", cartPlan).exists(_.contains("CartesianProduct")))
+      // and the legitimate shape stays clean: broadcast of a 1-row agg
+      val scalar = ev.agg(count(lit(1)).as("n"))
+      val okPlan = docs.crossJoin(broadcast(scalar)).queryExecution.executedPlan
+      assert(joinGateOffenses("scalar_cross", okPlan).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtWas)
+    }
+  }
+
+  // ------------------------------------------ ADVICE r11 guards
+
+  test("holtLinear emits zero rows on a degenerate 1-day span (matching the recursive oracle)") {
+    val s = spark
+    import s.implicits._
+    val oneDay = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 08:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-03-01 17:00:00"), 2L, "purchase", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(ExtensionQueries.holtLinearOf(oneDay).collect().isEmpty)
+    // and a 2-day span still answers (l1 = x1, b1 = x2 - x1)
+    val twoDay = oneDay.union(Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-03-02 08:00:00"), 1L, "purchase", 40.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = ExtensionQueries.holtLinearOf(twoDay).collect().head
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Double]("level") == 40.0 && r.getAs[Double]("trend") == 10.0)
+  }
+
+  test("spectralEntropy of a constant daily series is 0, not NaN (0*ln(0) convention)") {
+    val s = spark
+    import s.implicits._
+    val evs = (1 to 30).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 12:00:00"),
+        1L, "purchase", 50.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AnalyticsQueries.spectralEntropyOf(evs).collect().head
+    assert(r.getAs[Double]("spectral_entropy") == 0.0)
+    assert(r.getAs[Double]("h_norm") == 0.0)
+  }
+}
