@@ -483,19 +483,54 @@ object TextQueries {
   private[graft] def phraseSearchOf(docs: DataFrame): DataFrame =
     phraseSearchOnPostings(postingsLocalOf(docs))
 
-  private def phraseSearchOnPostings(p: PostingsIndex): DataFrame = {
-    // with the positional trunk this is a real index SEEK: the term
-    // equality filters push into the parquet scan, so only the two
-    // query terms' postings rows are ever read (VERDICT r10 #1)
-    def postingsFor(t: String): DataFrame =
+  private def phraseSearchOnPostings(p: PostingsIndex): DataFrame =
+    phraseSearchN(p, Seq(PhraseT1, PhraseT2))
+
+  /** N-term positional phrase AND (VERDICT r11 #8 — [[phraseSearch]]
+    * generalized from exactly two terms so the index serves real
+    * quoted queries): term i's postings are seeked and shifted back by
+    * i, then the adjacency chain is a FOLD of equi-joins on
+    * (doc, pos) — every join a hash join on the same key, fan-out
+    * bounded by the rarest term's postings, and a repeated term in
+    * the phrase is just two seeks into the same postings list with
+    * different offsets. With the positional trunk each seek is an
+    * index read: the term equality pushes into the parquet scan, so
+    * only the query terms' rows are ever read (VERDICT r10 #1). */
+  private def phraseSearchN(p: PostingsIndex, terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val seeks = terms.zipWithIndex.map { case (t, i) =>
       p.tf.filter(col("term") === t)
-        .select(col("doc_id"), explode(col("positions")).as("pos"))
-    val p1 = postingsFor(PhraseT1)
-    val p2 = postingsFor(PhraseT2).select(col("doc_id"), (col("pos") - 1).as("pos"))
-    p1.join(p2, Seq("doc_id", "pos"))
+        .select(col("doc_id"), explode(col("positions")).as("p0"))
+        .select(col("doc_id"), (col("p0") - i).as("pos"))
+    }
+    seeks.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
       .orderBy("doc_id")
+  }
+
+  /** The 3-term phrase used by `q_phrase_multi` — chosen to occur at
+    * every gate SF and to REPEAT a term (positions 0 and 2), the case
+    * a 2-term intersect cannot express. */
+  private[graft] val PhraseMulti = Seq("the", "data", "the")
+
+  def phraseMulti(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchN(postingsTrunk(spark, dir), PhraseMulti)
+
+  private[graft] def phraseMultiOf(docs: DataFrame, terms: Seq[String] = PhraseMulti): DataFrame =
+    phraseSearchN(postingsLocalOf(docs), terms)
+
+  val phraseMultiSql: String = {
+    val conds = PhraseMulti.zipWithIndex
+      .map { case (t, i) => s"w[i + ${i + 1}] = '$t'" }.mkString(" AND ")
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |            FROM documents),
+       |hits AS (SELECT doc_id, i
+       |         FROM (SELECT doc_id, w, unnest(range(greatest(len(w) - ${PhraseMulti.size - 1}, 0))) AS i
+       |               FROM tk)
+       |         WHERE $conds)
+       |SELECT doc_id, count(*) AS n_hits, CAST(min(i) AS INTEGER) AS first_pos
+       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val phraseSearchSql: String =
@@ -2810,6 +2845,97 @@ object TextQueries {
       |               AS rank, pair, cnt
       |      FROM c)
       |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  private val BpeTrainRounds = 8
+
+  /** Full ITERATIVE BPE training (VERDICT r11 #7 — [[bpeMerges]]
+    * induces only the FIRST merge; real tokenizer induction unrolls k
+    * merges with the pair-count update rule): [[BpeTrainRounds]]
+    * rounds, each picking the most frequent adjacent symbol pair
+    * (count desc, then lexicographic — fully tie-broken) and applying
+    * the merge to every word before recounting.
+    *
+    * Representation: each distinct word becomes a DELIMITED symbol
+    * string — every symbol wrapped in its own spaces (`" l  o  w "`),
+    * built by one `regexp_replace(word, "(.)", " $1 ")`. A merge of
+    * (a, b) is then ONE `replace(w, " a  b ", " ab ")`: the private
+    * per-symbol delimiters make the left-to-right non-overlapping
+    * replace-all EXACTLY greedy BPE application (an overlapping run
+    * "a a a" merges its first pair only — the shared middle symbol
+    * cannot match twice because its delimiters were consumed), and the
+    * same two string functions exist with identical semantics in the
+    * oracle engine, which replays all rounds as chained CTEs.
+    *
+    * Scale shape: ONE corpus tokenize pass collapses to the
+    * (distinct word, count) vocabulary — every round after that is
+    * vocabulary-bounded: a pair explode + aggregation (keyspace ≤
+    * symbol-alphabet², shrinking concatenations included), a 1-row
+    * argmax broadcast into the vocabulary rewrite. The per-round
+    * vocabulary state is value-bounded, so `localCheckpoint` is the
+    * sanctioned pin. Determinism: exact integer occurrence counts;
+    * the only strings are exact concatenations. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(Tables(spark, dir, "documents"), BpeTrainRounds)
+
+  private[graft] def bpeTrainOf(docs: DataFrame, rounds: Int): DataFrame = {
+    var words = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("t"), "(.)", " $1 ").as("w"), col("n"))
+      .localCheckpoint() // vocabulary-bounded
+    val merges = (1 to rounds).map { r =>
+      val pairs = words
+        .select(split(trim(col("w")), "  ").as("s"), col("n"))
+        .filter(size(col("s")) >= 2) // sequence(0,-1) DESCENDS — guard 1-symbol words
+        .select(explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i + 1] AS b))")).as("p"),
+          col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("c"))
+      val best = pairs.orderBy(desc("c"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint() // 1 row
+      words = words.crossJoin(broadcast(best))
+        .select(expr("replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')").as("w"),
+          col("n"))
+        .localCheckpoint() // vocabulary-bounded round state
+      best.select(lit(r).as("round"), col("a").as("left"), col("b").as("right"),
+        concat(col("a"), col("b")).as("merged"), col("c").as("pair_count"))
+    }
+    merges.reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the identical rounds as chained
+    * MATERIALIZED CTEs (the kcore/kmeans unroll pattern) — same
+    * delimited-string representation, same replace-all application,
+    * same (count desc, a, b) argmax. */
+  val bpeTrainSql: String = {
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""c$r AS MATERIALIZED (
+         |  SELECT s[CAST(i + 1 AS INTEGER)] AS a, s[CAST(i + 2 AS INTEGER)] AS b,
+         |         CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT s, n, unnest(range(greatest(len(s) - 1, 0))) AS i
+         |        FROM (SELECT string_split(trim(w), '  ') AS s, n FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, c FROM c$r ORDER BY c DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(w, ' ' || b$r.a || '  ' || b$r.b || ' ',
+         |                 ' ' || b$r.a || b$r.b || ' ') AS w, n
+         |  FROM $prev, b$r)""".stripMargin
+    }.mkString(",\n")
+    // left/right are reserved words in the oracle engine — quoted
+    val out = (1 to BpeTrainRounds)
+      .map(r => s"""SELECT $r AS round, a AS "left", b AS "right", a || b AS merged, c AS pair_count FROM b$r""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(t, '(.)', ' \\1 ', 'g') AS w, count(*) AS n
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents)
+       |  GROUP BY 1),
+       |$rounds
+       |SELECT CAST(round AS INTEGER) AS round, "left", "right", merged, pair_count
+       |FROM ($out)
+       |ORDER BY round""".stripMargin
+  }
 
   /** Zipf-law fit — OLS slope/intercept of ln(frequency) on ln(rank)
     * over the top-k unigrams: the companion diagnostic to

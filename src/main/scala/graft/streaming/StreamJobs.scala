@@ -1108,4 +1108,54 @@ object StreamJobs {
 
   def checksumFinish(state: DataFrame): DataFrame =
     graft.queries.AnalyticsQueries.checksumFinish(state)
+
+  /** Incremental POSTINGS-INDEX maintenance (VERDICT r11 #4): the
+    * batch trunk ([[graft.queries.TextQueries.postingsTrunk]]) is
+    * built once per corpus snapshot; at 100 TB the real system
+    * maintains it per micro-batch of NEW documents. Documents are
+    * append-only and arrive whole, so the per-batch tokenize is
+    * batch-local and the index update splits by mergeability:
+    *
+    *  - `tf` (doc, term, tf, positions) and `dl` (doc, dl) rows are
+    *    per-document — pure APPEND segments, no state;
+    *  - the DICTIONARY `df` (term → df, cf) is the only merged
+    *    relation, and both statistics are ADDITIVE — the per-batch
+    *    delta merges into the vocabulary-keyed table by summation
+    *    (read → union → re-aggregate → overwrite; in production a
+    *    MERGE INTO on the term key).
+    *
+    * `foreachBatch` because the (doc, term) tf aggregation is
+    * batch-local by the docs-arrive-whole contract — a fact the
+    * engine's stateful operators cannot be told (they would buffer
+    * doc state forever). The ScalaTest twin feeds a 3-way batch split
+    * and asserts the maintained (tf, dl, df) artifacts equal the
+    * one-shot batch trunk of the union after EVERY batch — the
+    * [[ingestScreening]]/[[kmvStream]] precedent. */
+  def postingsMaintain(newDocs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // one tokenize pass per batch; |batch|-bounded, so the
+        // localCheckpoint pin is batch-sized, not corpus-sized
+        val delta = graft.queries.TextQueries.postingsOf(batch).localCheckpoint()
+        delta.write.mode("append").parquet(s"$outDir/tf.parquet")
+        delta.groupBy("doc_id").agg(sum("tf").as("dl"))
+          .write.mode("append").parquet(s"$outDir/dl.parquet")
+        val dfDelta = delta.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+        val dictPath = s"$outDir/df.parquet"
+        val hp = new org.apache.hadoop.fs.Path(dictPath)
+        val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+        val merged =
+          if (exists)
+            spark.read.parquet(dictPath).unionAll(dfDelta)
+              .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
+          else dfDelta
+        // vocabulary-bounded; the eager pin also severs lineage from
+        // dictPath so the overwrite below is not a read-under-write
+        merged.localCheckpoint().write.mode("overwrite").parquet(dictPath)
+      }
+      .start()
 }

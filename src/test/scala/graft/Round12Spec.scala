@@ -193,6 +193,61 @@ class Round12Spec extends SparkSpec {
     assert(r.getAs[Double]("level") == 40.0 && r.getAs[Double]("trend") == 10.0)
   }
 
+  // ------------------------------------------ round-12 wave operators
+
+  test("bpeTrain replays the classic low/lower/lowest merge sequence exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "low low low lower lowest", "en", "web", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.bpeTrainOf(docs, 6).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    // hand-derived greedy BPE: lo(5) beats ow(5) lexicographically,
+    // then low(5), lowe(2), then the 1-count ties resolve (lowe,r) <
+    // (lowe,s) < (s,t) by (a, b) order
+    assert(got == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "e", "lowe", 2L),
+      (4, "lowe", "r", "lower", 1L),
+      (5, "lowe", "s", "lowes", 1L),
+      (6, "lowes", "t", "lowest", 1L)))
+  }
+
+  test("bpeTrain merge application is greedy left-to-right: an odd run merges floor(n/2) pairs") {
+    val s = spark
+    import s.implicits._
+    // "aaaaa" = 5 a's: greedy (a,a) merging gives [aa, aa, a] — the
+    // delimited-replace trick must not double-consume the middle a
+    val docs = Seq((1L, "aaaaa aaaaa", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.bpeTrainOf(docs, 2).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    // round 1: pair (a,a) count = 8 (4 per word occurrence × 2 words);
+    // after merging: [aa, aa, a] per word → round 2 ties (aa,aa)=2 with
+    // (aa,a)=2 and the lexicographic b tie-break ("a" < "aa") picks
+    // (aa,a) → "aaa"
+    assert(got == Seq((1, "aa", 8L), (2, "aaa", 2L)))
+  }
+
+  test("phraseSearchN finds a planted 3-word phrase with a repeated term and counts overlaps correctly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the data the data the end", "en", "web", 26L), // "the data the" at pos 0 AND 2
+      (2L, "the data lake", "en", "web", 13L),              // prefix only — no hit
+      (3L, "data the data the", "en", "web", 17L),          // hit at pos 1
+      (4L, "the the data the", "en", "web", 16L))           // hit at pos 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.phraseMultiOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Int]("first_pos"))).toSeq
+    assert(got == Seq((1L, 2L, 0), (3L, 1L, 1), (4L, 1L, 1)))
+  }
+
   test("spectralEntropy of a constant daily series is 0, not NaN (0*ln(0) convention)") {
     val s = spark
     import s.implicits._

@@ -1394,4 +1394,40 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("postingsMaintain: stream-built (tf, dl, df) equals the batch trunk after every batch of a 3-way split") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val outDir = Files.createTempDirectory("postings_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamJobs.postingsMaintain(
+      mem.toDF().toDF("doc_id", "text"), outDir)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    try {
+      var fed = Seq.empty[(Long, String)]
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        fed = fed ++ b
+        // the maintained artifacts equal the one-shot batch index of
+        // every document seen so far — tf/dl by appended segments,
+        // df by the merged vocabulary state
+        val twin = queries.TextQueries.postingsLocalOf(
+          fed.toDF("doc_id", "text"))
+        assert(sortedRows(spark.read.parquet(s"$outDir/tf.parquet"))
+          == sortedRows(twin.tf))
+        assert(sortedRows(spark.read.parquet(s"$outDir/dl.parquet"))
+          == sortedRows(twin.dl))
+        assert(sortedRows(spark.read.parquet(s"$outDir/df.parquet"))
+          == sortedRows(twin.df))
+      }
+      assert(fed.length == docs.length && docs.nonEmpty)
+    } finally q.stop()
+  }
 }
