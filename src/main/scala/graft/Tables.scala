@@ -190,6 +190,10 @@ object Tables {
   def scratchMark(spark: SparkSession, flagKey: String, dir: String): Unit =
     spark.conf.set(dirFlag(flagKey, dir), "true")
 
+  /** Reset a guard (test/chaos tooling): the next consumer rebuilds. */
+  def scratchUnmark(spark: SparkSession, flagKey: String, dir: String): Unit =
+    spark.conf.unset(dirFlag(flagKey, dir))
+
   private def dirFlag(flagKey: String, dir: String): String =
     s"$flagKey.${java.lang.Integer.toHexString(dir.hashCode)}"
 }

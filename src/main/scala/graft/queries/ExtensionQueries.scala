@@ -12289,4 +12289,250 @@ object ExtensionQueries {
        |       ${Det.rndSql("q_hat", 6)} AS q_hat,
        |       ${Det.rndSql("z_hat / q_hat", 6)} AS croston_forecast
        |FROM ew""".stripMargin
+
+  // ------------------------------------------- round-12 additions
+
+  /** INSTRUMENTAL-VARIABLE 2SLS with one binary instrument (the Wald
+    * estimator): the causal effect of per-user ACTIVITY (event count)
+    * on SPEND when activity is self-selected — plain OLS is
+    * confounded (engaged users both click more and buy more); the
+    * randomized assignment hash is the instrument (it moves activity
+    * only through the encouragement arm, never spend directly).
+    * β_IV = cov(z,y)/cov(z,x) vs β_OLS = cov(x,y)/var(x), plus the
+    * first-stage F = (n−2)·r²/(1−r²) — the weak-instrument gate
+    * (F < 10 means don't trust β_IV; reported, not hidden). The
+    * experimentation-family companion of [[cuped]] (variance
+    * reduction) and [[propensityAtt]] (observational adjustment).
+    *
+    * Determinism: one user-keyed pass to exact integer (z, x, y-cents)
+    * rows, then every moment (Σz, Σx, Σy, Σzx, Σzy, Σxy, Σxx) is an
+    * exact BIGINT/decimal sum — β and F are fixed double expressions
+    * over the one moments row. */
+  def iv2sls(spark: SparkSession, dir: String): DataFrame =
+    iv2slsOf(Tables(spark, dir, "events"))
+
+  private[graft] def iv2slsOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val users = events.groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          Det.cents(col("value")))), lit(0L)).as("y"))
+      .select(
+        when(expr(graft.queries.TextQueries.splitBucketOf("user_id")) < 50, 1L)
+          .otherwise(0L).as("z"),
+        col("x"), col("y"))
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum("z").as("sz"),
+      sum("x").as("sx"),
+      sum("y").as("sy"),
+      sum(col("z") * col("x")).as("szx"),
+      sum(col("z").cast(d38) * col("y")).as("szy"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"))
+    m.select(col("n"),
+        Det.rnd(expr(
+          "(CAST(n AS DOUBLE) * szy - CAST(sz AS DOUBLE) * sy)" +
+            " / (CAST(n AS DOUBLE) * szx - CAST(sz AS DOUBLE) * sx) / 100.0"), 4)
+          .as("beta_iv"),
+        Det.rnd(expr(
+          "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
+            " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0"), 4)
+          .as("beta_ols"),
+        Det.rnd(expr(
+          "(n - 2) * (pow(CAST(n AS DOUBLE) * szx - CAST(sz AS DOUBLE) * sx, 2)" +
+            " / ((CAST(n AS DOUBLE) * sz - CAST(sz AS DOUBLE) * sz)" +
+            "  * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))" +
+            " / (1.0 - pow(CAST(n AS DOUBLE) * szx - CAST(sz AS DOUBLE) * sx, 2)" +
+            " / ((CAST(n AS DOUBLE) * sz - CAST(sz AS DOUBLE) * sz)" +
+            "  * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))"), 4)
+          .as("first_stage_f"))
+  }
+
+  val iv2slsSql: String = {
+    val c = Det.centsSql("value")
+    val zExpr = s"CASE WHEN ${graft.queries.TextQueries.splitBucketSqlOf("user_id")} < 50 THEN 1 ELSE 0 END"
+    val r2 = "pow(CAST(n AS DOUBLE) * szx - CAST(sz AS DOUBLE) * sx, 2)" +
+      " / ((CAST(n AS DOUBLE) * sz - CAST(sz AS DOUBLE) * sz)" +
+      "  * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    s"""WITH u AS (
+       |  SELECT $zExpr AS z, count(*) AS x,
+       |         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |                                THEN $c END), 0) AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT count(*) AS n, CAST(sum(z) AS BIGINT) AS sz,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(z * x) AS BIGINT) AS szx,
+       |         sum(CAST(z AS HUGEINT) * y) AS szy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM u)
+       |SELECT n,
+       |       ${Det.rndSql(
+        "(CAST(n AS DOUBLE) * szy - CAST(sz AS DOUBLE) * sy)" +
+          " / (CAST(n AS DOUBLE) * szx - CAST(sz AS DOUBLE) * sx) / 100.0", 4)} AS beta_iv,
+       |       ${Det.rndSql(
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
+          " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0", 4)} AS beta_ols,
+       |       ${Det.rndSql(s"(n - 2) * ($r2) / (1.0 - ($r2))", 4)} AS first_stage_f
+       |FROM m""".stripMargin
+  }
+
+  private val HuberK = 1.345 // 95%-efficiency tuning constant
+  private val HuberRounds = 3
+
+  /** HUBER M-ESTIMATE of the typical purchase value — the robust
+    * location between the mean (0% breakdown) and the median (50%
+    * breakdown but throws away efficiency): [[HuberRounds]] unrolled
+    * IRLS rounds with weights w = min(1, k·s/|x − m|), scale s = the
+    * MAD (both from the distinct-cents histogram, rank-picked exact),
+    * started at the median. Heavy orders down-weight smoothly instead
+    * of being dropped at a hard winsor cut ([[winsorize]]) or gate
+    * ([[anomalyMad]]).
+    *
+    * Determinism (the fenced-iterate rule): each round's weights are
+    * computed per DISTINCT cents value (value-bounded relation, never
+    * the corpus), fenced to exact 1e-6 integer units; Σw·x and Σw
+    * are then pure integer sums (decimal-widened), and the next m is
+    * ONE division fenced to whole cents — both engines walk the
+    * identical integer trajectory. Rounds mirrored as chained CTEs. */
+  def huberLocation(spark: SparkSession, dir: String): DataFrame =
+    huberLocationOf(Tables(spark, dir, "events"))
+
+  private[graft] def huberLocationOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val hist = events.filter(col("event_type") === "purchase")
+      .select(Det.cents(col("value")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("f"))
+    // exact lower median + MAD from the value histogram (the
+    // anomalyMad rank-pick technique)
+    val wv = Window.orderBy("c")
+    val tot = hist.agg(sum("f").as("n"))
+    val med = hist
+      .withColumn("cum", sum("f").over(wv.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .orderBy("c").limit(1).select(col("c").as("m0"))
+    val dev = hist.crossJoin(broadcast(med))
+      .select(abs(col("c") - col("m0")).as("d"), col("f"))
+      .groupBy("d").agg(sum("f").as("f"))
+    val wd = Window.orderBy("d")
+    val mad = dev
+      .withColumn("cum", sum("f").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .orderBy("d").limit(1).select(col("d").as("mad"))
+    var state = med.crossJoin(broadcast(mad))
+      .select(col("m0").cast("double").as("m"), col("mad")).localCheckpoint() // 1 row
+    for (_ <- 1 to HuberRounds) {
+      val next = hist.crossJoin(broadcast(state))
+        // mad clamped to 1 cent: a degenerate half-identical corpus
+        // (MAD = 0) must not zero every weight (0/0 location)
+        .withColumn("w6", Det.units(
+          least(lit(1.0),
+            lit(HuberK) * greatest(col("mad"), lit(1L))
+              / greatest(abs(col("c") - col("m")), lit(1e-9))), 6))
+        .agg(
+          (sum(col("w6").cast(d38) * col("c") * col("f")).cast("double")
+            / sum(col("w6").cast(d38) * col("f")).cast("double")).as("mRaw"),
+          max("mad").as("mad"))
+        .select((expr("CAST(floor(mRaw * 100.0D + 0.5D) AS DOUBLE)") / 100.0)
+          .as("m"), col("mad")) // fence to whole cents of the cents value? no: 2dp of cents
+      state = next.localCheckpoint() // 1 row
+    }
+    state.crossJoin(broadcast(tot))
+      .select(col("n").as("n_purchases"),
+        Det.rnd(col("mad").cast("double") / 100.0, 2).as("mad_dollars"),
+        Det.rnd(col("m") / 100.0, 4).as("huber_dollars"))
+  }
+
+  val huberLocationSql: String = {
+    val c = Det.centsSql("value")
+    val rounds = (1 to HuberRounds).map { r =>
+      s"""s$r AS (
+         |  SELECT CAST(floor(
+         |           CAST(sum(CAST(${Det.unitsSql(
+              s"least(1.0, $HuberK * greatest(s${r - 1}.mad, 1) / greatest(abs(h.c - s${r - 1}.m), 1e-9))", 6)}
+         |             AS HUGEINT) * h.c * h.f) AS DOUBLE)
+         |           / CAST(sum(CAST(${Det.unitsSql(
+              s"least(1.0, $HuberK * greatest(s${r - 1}.mad, 1) / greatest(abs(h.c - s${r - 1}.m), 1e-9))", 6)}
+         |             AS HUGEINT) * h.f) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0 AS m,
+         |         max(s${r - 1}.mad) AS mad
+         |  FROM h, s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT $c AS c, count(*) AS f
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM h),
+       |med AS (
+       |  SELECT c AS m0 FROM (
+       |    SELECT c, sum(f) OVER (ORDER BY c) AS cum FROM h), tot
+       |  WHERE cum >= (n + 1) // 2 ORDER BY c LIMIT 1),
+       |dev AS (
+       |  SELECT abs(c - m0) AS d, CAST(sum(f) AS BIGINT) AS f
+       |  FROM h, med GROUP BY 1),
+       |mad AS (
+       |  SELECT d AS mad FROM (
+       |    SELECT d, sum(f) OVER (ORDER BY d) AS cum FROM dev), tot
+       |  WHERE cum >= (n + 1) // 2 ORDER BY d LIMIT 1),
+       |s0 AS (SELECT CAST(m0 AS DOUBLE) AS m, mad FROM med, mad),
+       |$rounds
+       |SELECT (SELECT n FROM tot) AS n_purchases,
+       |       (SELECT ${Det.rndSql("CAST(mad AS DOUBLE) / 100.0", 2)} FROM mad)
+       |         AS mad_dollars,
+       |       ${Det.rndSql("m / 100.0", 4)} AS huber_dollars
+       |FROM s$HuberRounds""".stripMargin
+  }
+
+  /** FILE-ZONE OVERLAP DEPTH — the layout-health metric behind an
+    * OPTIMIZE/re-clustering decision ([[compactionPlan]] decides by
+    * size; this decides by ORDER): per ingestion zone (the
+    * [[zonemapPrune]] segments), the (min, max) event-time range; the
+    * audit sweeps all range boundaries (+1 at min, −1 past max — the
+    * [[sessionConcurrency]] technique on file statistics) and reports
+    * the MAX overlap depth (how many zones a point query must open —
+    * 1 = perfectly clustered, ≈ zone count = ingestion fully shuffled)
+    * and how many zones begin inside another zone's range. Zone-count
+    * bounded: this is a METADATA query, never a data scan — exactly
+    * how a lakehouse table service evaluates clustering drift. */
+  def overlapDepth(spark: SparkSession, dir: String): DataFrame =
+    overlapDepthOf(Tables(spark, dir, "events"))
+
+  private[graft] def overlapDepthOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = events
+      .select(expr(s"event_id div $ZoneRows").as("zone"),
+        unix_micros(col("ts")).as("tus"))
+      .groupBy("zone").agg(min("tus").as("mn"), max("tus").as("mx"))
+    val bounds = stats.select(col("zone"), col("mn").as("pos"), lit(1L).as("delta"))
+      .unionAll(stats.select(col("zone"), (col("mx") + 1).as("pos"), lit(-1L).as("delta")))
+    // +1 sorts before −1 at equal pos (delta desc) — max-inclusive
+    // ranges: zones touching at a point count as overlapping
+    val wSweep = Window.orderBy(asc("pos"), desc("delta"), asc("zone"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val swept = bounds.withColumn("depth", sum("delta").over(wSweep))
+    swept.agg(
+        (count(lit(1)) / 2).cast("long").as("zones_total"),
+        max("depth").as("max_overlap_depth"),
+        sum(when(col("delta") === 1L && col("depth") >= 2L, 1L).otherwise(0L))
+          .as("zones_starting_inside_another"))
+  }
+
+  val overlapDepthSql: String =
+    s"""WITH s AS (
+       |  SELECT event_id // $ZoneRows AS zone, min(epoch_us(ts)) AS mn,
+       |         max(epoch_us(ts)) AS mx
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT zone, mn AS pos, 1 AS delta FROM s
+       |      UNION ALL SELECT zone, mx + 1, -1 FROM s),
+       |sw AS (SELECT zone, pos, delta,
+       |              sum(delta) OVER (ORDER BY pos, delta DESC, zone) AS depth
+       |       FROM b)
+       |SELECT CAST(count(*) // 2 AS BIGINT) AS zones_total,
+       |       CAST(max(depth) AS BIGINT) AS max_overlap_depth,
+       |       CAST(sum(CASE WHEN delta = 1 AND depth >= 2 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS zones_starting_inside_another
+       |FROM sw""".stripMargin
 }

@@ -5133,4 +5133,174 @@ object SimilarityQueries {
        |GROUP BY s, nn.n_nodes
        |ORDER BY seed""".stripMargin
   }
+
+  // ------------------------------------------- round-12 additions
+
+  private val JlK = 16         // projected dimensions
+  private val JlSampleMod = 29 // candidate sample ring
+  private val JlSampleHit = 3
+
+  /** JOHNSON-LINDENSTRAUSS random-projection DISTORTION audit — the
+    * pre-flight for dimensionality reduction before ANN indexing
+    * (project 64 → [[JlK]] dims, then bucket/search in the cheap
+    * space): a seeded ±1 sign matrix (Achlioptas 2003 — the database-
+    * friendly JL construction; sign s(j,d) from the engine-neutral
+    * modmul ring on j·64+d, so BOTH engines build the identical
+    * matrix) projects anchors and a deterministic 1-in-
+    * [[JlSampleMod]] candidate sample; the audit reports how pairwise
+    * squared distances survive: ratio = (‖ŷa−ŷb‖²/k) / ‖xa−xb‖²,
+    * mean/min/max. A mean far from 1 or a wide spread means k is too
+    * small for the recall target — measured, not assumed.
+    *
+    * Determinism: inner products fold dimensions IN ORDER on both
+    * engines (Spark `aggregate`, oracle `list_sum` over the same
+    * index range); each pair's ratio is fenced to exact 1e-6 units
+    * BEFORE the aggregate, so mean/min/max are pure integer
+    * reductions (the mannWhitney exact-units rule).
+    *
+    * Scale shape: projection is one narrow codegen'd pass over the
+    * sampled rows only; the pair relation is anchors × sample (one
+    * broadcast), never all-pairs. */
+  def jlDistortion(spark: SparkSession, dir: String): DataFrame =
+    jlDistortionOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def jlDistortionOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val signCase =
+      s"CASE WHEN ${graft.queries.TextQueries.splitBucketOf("(j * 64 + d)")} < 50" +
+        " THEN 1.0D ELSE -1.0D END"
+    val proj = expr(
+      s"transform(sequence(0, ${JlK - 1}), j -> aggregate(sequence(0, 63), " +
+        s"CAST(0 AS DOUBLE), (acc, d) -> acc + CAST(embedding[d] AS DOUBLE) * $signCase))")
+    def projected(df: DataFrame, idc: String, ec: String, yc: String) =
+      df.select(col("vec_id").as(idc), col("embedding").as(ec),
+        proj.as(yc))
+    val anchors = projected(
+      emb.filter(col("vec_id") < NQueries).limit(NQueries), "qid", "qe", "qy")
+    val cands = projected(
+      emb.filter(pmod(col("vec_id"), lit(JlSampleMod)) === JlSampleHit),
+      "cid", "ce", "cy")
+    val dx2 = expr(
+      "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, d) -> " +
+        "acc + (CAST(qe[d] AS DOUBLE) - CAST(ce[d] AS DOUBLE))" +
+        " * (CAST(qe[d] AS DOUBLE) - CAST(ce[d] AS DOUBLE)))")
+    val dy2 = expr(
+      s"aggregate(sequence(0, ${JlK - 1}), CAST(0 AS DOUBLE), (acc, j) -> " +
+        "acc + (qy[j] - cy[j]) * (qy[j] - cy[j]))")
+    broadcast(anchors).crossJoin(cands)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dx2", dx2)
+      .filter(col("dx2") > 0)
+      .withColumn("r6", Det.units(dy2 / JlK.toDouble / col("dx2"), 6))
+      .agg(count(lit(1)).as("n_pairs"),
+        Det.rnd(avg(col("r6")) / 1e6, 6).as("mean_ratio"),
+        (min("r6").cast("double") / 1e6).as("min_ratio"),
+        (max("r6").cast("double") / 1e6).as("max_ratio"))
+  }
+
+  val jlDistortionSql: String = {
+    import graft.functions.Det
+    val signCase =
+      s"CASE WHEN ${graft.queries.TextQueries.splitBucketSqlOf("(j * 64 + d)")} < 50" +
+        " THEN 1.0 ELSE -1.0 END"
+    s"""WITH pr AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(range(0, $JlK), j -> list_sum(
+       |           list_transform(range(0, 64), d ->
+       |             embedding[CAST(d + 1 AS INTEGER)]::DOUBLE * ($signCase)))) AS y
+       |  FROM embeddings
+       |  WHERE vec_id < $NQueries OR vec_id % $JlSampleMod = $JlSampleHit),
+       |pairs AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         list_sum(list_transform(range(0, 64), d ->
+       |           pow(a.embedding[CAST(d + 1 AS INTEGER)]::DOUBLE
+       |               - b.embedding[CAST(d + 1 AS INTEGER)]::DOUBLE, 2))) AS dx2,
+       |         list_sum(list_transform(range(0, $JlK), j ->
+       |           pow(a.y[CAST(j + 1 AS INTEGER)] - b.y[CAST(j + 1 AS INTEGER)], 2))) AS dy2
+       |  FROM (SELECT * FROM pr WHERE vec_id < $NQueries) a
+       |  JOIN (SELECT * FROM pr WHERE vec_id % $JlSampleMod = $JlSampleHit) b
+       |    ON a.vec_id <> b.vec_id),
+       |r AS (SELECT ${Det.unitsSql(s"dy2 / $JlK.0 / dx2", 6)} AS r6
+       |      FROM pairs WHERE dx2 > 0)
+       |SELECT count(*) AS n_pairs,
+       |       ${Det.rndSql("avg(r6) / 1e6", 6)} AS mean_ratio,
+       |       CAST(min(r6) AS DOUBLE) / 1e6 AS min_ratio,
+       |       CAST(max(r6) AS DOUBLE) / 1e6 AS max_ratio
+       |FROM r""".stripMargin
+  }
+
+  private val MatK = 5
+  private val MatPrefix = 16
+
+  /** MATRYOSHKA-STYLE PREFIX-DIMENSION retrieval audit: how much of
+    * the full-dimension ranking survives truncating embeddings to
+    * their first [[MatPrefix]] dims (the MRL deployment question —
+    * serve the cheap prefix, keep the quality?): per anchor, the
+    * top-[[MatK]] under full-64 cosine vs under prefix-16 cosine,
+    * reporting the overlap count and whether the top-1 survives. Low
+    * overlap = these embeddings were not trained matryoshka-style and
+    * prefix serving would silently degrade retrieval — the audit runs
+    * BEFORE the index is built at the cheap width.
+    *
+    * Scale shape: the anchor-broadcast cross pattern of
+    * [[cosineTopk]] run once with BOTH scores in one pass (the
+    * candidate scan is not read twice); integer overlap outputs. */
+  def matryoshkaAudit(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaAuditOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def matryoshkaAuditOf(emb: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < NQueries).limit(NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos_full", expr("cosine_sim(qe, ce)"))
+      .withColumn("cos_pre", expr(
+        s"cosine_sim(slice(qe, 1, $MatPrefix), slice(ce, 1, $MatPrefix))"))
+    val wf = Window.partitionBy("qid").orderBy(desc("cos_full"), asc("cid"))
+    val wp = Window.partitionBy("qid").orderBy(desc("cos_pre"), asc("cid"))
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rf") <= MatK || col("rp") <= MatK)
+    ranked.groupBy("qid")
+      .agg(
+        sum(when(col("rf") <= MatK && col("rp") <= MatK, 1L).otherwise(0L))
+          .as("n_common"),
+        max(when(col("rf") === 1 && col("rp") === 1, true).otherwise(false))
+          .as("top1_match"))
+      .orderBy("qid")
+  }
+
+  val matryoshkaAuditSql: String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+       |                  unnest(range(len(embedding))) AS i
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |dot AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |               sum(q.v * c.v) AS dotf,
+       |               sqrt(sum(q.v * q.v)) AS nqf, sqrt(sum(c.v * c.v)) AS ncf,
+       |               sum(CASE WHEN q.i < $MatPrefix THEN q.v * c.v END) AS dotp,
+       |               sqrt(sum(CASE WHEN q.i < $MatPrefix THEN q.v * q.v END)) AS nqp,
+       |               sqrt(sum(CASE WHEN q.i < $MatPrefix THEN c.v * c.v END)) AS ncp
+       |        FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |        GROUP BY 1, 2),
+       |rk AS (SELECT qid, cid,
+       |              row_number() OVER (PARTITION BY qid ORDER BY
+       |                CASE WHEN nqf * ncf = 0 THEN 0.0 ELSE dotf / (nqf * ncf) END
+       |                DESC, cid) AS rf,
+       |              row_number() OVER (PARTITION BY qid ORDER BY
+       |                CASE WHEN nqp * ncp = 0 THEN 0.0 ELSE dotp / (nqp * ncp) END
+       |                DESC, cid) AS rp
+       |       FROM dot)
+       |SELECT qid,
+       |       CAST(sum(CASE WHEN rf <= $MatK AND rp <= $MatK THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_common,
+       |       CAST(max(CASE WHEN rf = 1 AND rp = 1 THEN 1 ELSE 0 END) = 1
+       |            AS BOOLEAN) AS top1_match
+       |FROM rk
+       |WHERE rf <= $MatK OR rp <= $MatK
+       |GROUP BY qid
+       |ORDER BY qid""".stripMargin
 }

@@ -5226,14 +5226,23 @@ object TextQueries {
     * Scale shape: identical to [[ngramLmScore]] — vocabulary-sized
     * count tables, AQE picks broadcast vs shuffle for the val-side
     * probes; no corpus-wide sort anywhere. */
-  def knBigram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = splitAssign(Tables(spark, dir, "documents"))
+  def knBigram(spark: SparkSession, dir: String): DataFrame =
+    knScoredVal(Tables(spark, dir, "documents"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+
+  /** The per-bigram Kneser-Ney val-split scoring relation
+    * (doc_id, i, p, logp) — shared by [[knBigram]] (per-doc average)
+    * and [[minKProb]] (lowest-k% selection), so the two cannot fork. */
+  private[graft] def knScoredVal(documents: DataFrame): DataFrame = {
+    val docs = splitAssign(documents)
       .select(col("doc_id"), col("split"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
     val bigrams = docs
       .select(col("doc_id"), col("split"),
         explode(expr("sequence(0, size(toks) - 2)")).as("i"), col("toks"))
-      .select(col("doc_id"), col("split"),
+      .select(col("doc_id"), col("split"), col("i"),
         col("toks").getItem(col("i")).as("w1"), expr("toks[i + 1]").as("w2"))
     val train = bigrams.filter(col("split") === "train")
     val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -5243,7 +5252,7 @@ object TextQueries {
     val stats = train.agg(countDistinct(col("w1"), col("w2")).as("ntypes"))
       .crossJoin(train.select(col("w1")).unionByName(train.select(col("w2").as("w1")))
         .agg(countDistinct("w1").as("v")))
-    val scored = bigrams.filter(col("split") === "val")
+    bigrams.filter(col("split") === "val")
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .join(nprec, Seq("w2"), "left")
@@ -5258,13 +5267,13 @@ object TextQueries {
             + lit(KnD) * col("nfollow") / col("c1") * col("pcont"))
           .otherwise(col("pcont")))
       .withColumn("logp", log(col("p")))
-    scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("avg_logp"))
-      .orderBy("doc_id")
+      .select("doc_id", "i", "p", "logp")
   }
 
-  val knBigramSql: String =
-    s"""WITH toks AS (
+  /** Shared oracle prefix producing the per-bigram KN val scoring
+    * relation `sc` (doc_id, i, p) — the twin of [[knScoredVal]]. */
+  private val knScoredCtes: String =
+    s"""toks AS (
        |  SELECT doc_id,
        |         CASE WHEN $SplitBucketSql < 80 THEN 'train'
        |              WHEN $SplitBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
@@ -5272,7 +5281,8 @@ object TextQueries {
        |  FROM documents
        |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
        |bg AS (
-       |  SELECT doc_id, split, t[CAST(i + 1 AS INTEGER)] AS w1,
+       |  SELECT doc_id, split, CAST(i AS BIGINT) AS i,
+       |         t[CAST(i + 1 AS INTEGER)] AS w1,
        |         t[CAST(i + 2 AS INTEGER)] AS w2
        |  FROM (SELECT doc_id, split, t, unnest(range(len(t) - 1)) AS i FROM toks)),
        |train AS (SELECT * FROM bg WHERE split = 'train'),
@@ -5285,7 +5295,7 @@ object TextQueries {
        |                 SELECT w1 AS w FROM train UNION ALL SELECT w2 FROM train))
        |                AS v),
        |sc AS (
-       |  SELECT bg.doc_id,
+       |  SELECT bg.doc_id, bg.i,
        |         CASE WHEN c1.c1 IS NOT NULL THEN
        |                greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - $KnD, 0.0)
        |                  / c1.c1
@@ -5299,10 +5309,77 @@ object TextQueries {
        |  LEFT JOIN c1 USING (w1)
        |  LEFT JOIN np USING (w2)
        |  CROSS JOIN st
-       |  WHERE bg.split = 'val')
+       |  WHERE bg.split = 'val')""".stripMargin
+
+  val knBigramSql: String =
+    s"""WITH $knScoredCtes
        |SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logp
        |FROM sc GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  private val MinKPct = 20 // keep the lowest 20% of token log-probs
+  private val MinKTop = 10
+
+  /** MIN-K% PROB membership-inference audit (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models") on the val split:
+    * a document the model (here: the [[knBigram]] Kneser-Ney LM, fit
+    * on the train split) has effectively SEEN scores high even on its
+    * least-likely tokens, while a genuinely novel document always
+    * contains surprising ones — so the statistic is the mean log-prob
+    * of only the LOWEST [[MinKPct]]% of each document's bigrams. The
+    * [[MinKTop]] highest-scoring docs are the contamination review
+    * queue — the member-suspects a train/val leak produces, and the
+    * LM-side complement of the n-gram [[decontamination]] overlap
+    * audits.
+    *
+    * Scale shape: rides [[knScoredVal]] verbatim (vocabulary-sized
+    * count tables, val-probe joins); the selection window is
+    * doc-partitioned (p asc, position tiebreak — fully deterministic:
+    * p values are fixed expressions over exact counts), and the final
+    * top-10 is a TakeOrdered, never a global sort. */
+  def minKProb(spark: SparkSession, dir: String): DataFrame =
+    minKProbOf(Tables(spark, dir, "documents"))
+
+  private[graft] def minKProbOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = knScoredVal(documents)
+    val w = Window.partitionBy("doc_id").orderBy(asc("p"), asc("i"))
+    val perDoc = scored
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("k_used", greatest(lit(1L), expr(s"n div ${100 / MinKPct}")))
+      .filter(col("rk") <= col("k_used"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_bigrams"), max("k_used").as("k_used"),
+        round(avg("logp"), 4).as("mink_avg_logp"))
+    perDoc.orderBy(desc("mink_avg_logp"), asc("doc_id")).limit(MinKTop)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("mink_avg_logp"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_bigrams"), col("k_used"),
+        col("mink_avg_logp"))
+      .orderBy("rank")
+  }
+
+  val minKProbSql: String =
+    s"""WITH $knScoredCtes,
+       |rk AS (
+       |  SELECT doc_id, ln(p) AS logp,
+       |         count(*) OVER (PARTITION BY doc_id) AS n,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY p, i) AS rk
+       |  FROM sc),
+       |pd AS (
+       |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bigrams,
+       |         CAST(max(greatest(1, n // ${100 / MinKPct})) AS BIGINT) AS k_used,
+       |         round(avg(logp), 4) AS mink_avg_logp
+       |  FROM rk
+       |  WHERE rk <= greatest(1, n // ${100 / MinKPct})
+       |  GROUP BY 1),
+       |top AS (SELECT * FROM pd ORDER BY mink_avg_logp DESC, doc_id LIMIT $MinKTop)
+       |SELECT CAST(row_number() OVER (ORDER BY mink_avg_logp DESC, doc_id)
+       |            AS INTEGER) AS rank,
+       |       doc_id, n_bigrams, k_used, mink_avg_logp
+       |FROM top
+       |ORDER BY rank""".stripMargin
 
   /** PER-SOURCE DATASET CARD — the one-row-per-feed release summary a
     * corpus owner publishes with every snapshot (the per-source

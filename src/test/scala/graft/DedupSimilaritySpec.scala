@@ -298,8 +298,8 @@ class DedupSimilaritySpec extends SparkSpec {
     // first caller writes it to scratch parquet, the others must do a
     // pure read — proven two ways: the write counter stays at 1, and
     // the scratch files' mtimes are byte-for-byte untouched.
-    spark.conf.unset("graft.deduptrunk.dir")
-    spark.conf.unset("graft.dedupgroups.dir")
+    graft.Tables.scratchUnmark(spark, "graft.deduptrunk.dir", sfDir)
+    graft.Tables.scratchUnmark(spark, "graft.dedupgroups.dir", sfDir)
     DedupQueries.trunkWrites = 0
     DedupQueries.groupsWrites = 0
     DedupQueries.minhashLsh(spark, sfDir).count()

@@ -248,6 +248,114 @@ class Round12Spec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0), (3L, 1L, 1), (4L, 1L, 1)))
   }
 
+  test("iv2sls satisfies the Wald identity and reports a finite first-stage F") {
+    val r = ExtensionQueries.iv2sls(spark, sfDir).collect().head
+    // independent recomputation of the Wald estimator from group means
+    // (a different algebraic path over the same per-user relation)
+    val ev = Tables(spark, sfDir, "events")
+    val users = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          graft.functions.Det.cents(col("value")))), lit(0L)).as("y"))
+      .withColumn("z", expr(
+        s"CASE WHEN ${graft.queries.TextQueries.splitBucketOf("user_id")} < 50 THEN 1 ELSE 0 END"))
+    val g = users.groupBy("z")
+      .agg(avg("x").as("mx"), avg("y").as("my")).collect()
+      .map(row => row.getAs[Int]("z") -> (row.getAs[Double]("mx"), row.getAs[Double]("my"))).toMap
+    val wald = (g(1)._2 - g(0)._2) / (g(1)._1 - g(0)._1) / 100.0
+    assert(math.abs(r.getAs[Double]("beta_iv") - wald) < 1e-3)
+    assert(r.getAs[Double]("first_stage_f") >= 0.0)
+    assert(!r.getAs[Double]("beta_ols").isNaN)
+  }
+
+  test("huberLocation reproduces the center of a symmetric sample and shrugs off an outlier") {
+    val s = spark
+    import s.implicits._
+    def evs(cents: Seq[Long]) = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+        i.toLong, "purchase", c / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // symmetric: IRLS cannot move off the center
+    val sym = ExtensionQueries.huberLocationOf(
+      evs(Seq(400L, 450L, 500L, 550L, 600L))).collect().head
+    assert(sym.getAs[Double]("huber_dollars") == 5.0)
+    assert(sym.getAs[Double]("mad_dollars") == 0.5)
+    // 4 × $5 + one $50 outlier: mean is $14, huber stays by the mass
+    val rob = ExtensionQueries.huberLocationOf(
+      evs(Seq(500L, 500L, 500L, 500L, 5000L))).collect().head
+    assert(rob.getAs[Double]("huber_dollars") < 5.5)
+    assert(rob.getAs[Long]("n_purchases") == 5L)
+  }
+
+  test("overlapDepth reads max depth 2 from a planted half-overlapping zone layout") {
+    val s = spark
+    import s.implicits._
+    def ev(id: Long, sec: Long) =
+      (id, new java.sql.Timestamp(sec * 1000L), 1L, "view", 1.0, "{}")
+    // zone 0 (ids 0..255): [0, 100]s; zone 1 (256..511): [50, 150]s —
+    // starts inside zone 0; zone 2 (512..767): [200, 300]s — disjoint
+    val evs = Seq(ev(0L, 0L), ev(255L, 100L), ev(256L, 50L),
+      ev(511L, 150L), ev(512L, 200L), ev(767L, 300L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = ExtensionQueries.overlapDepthOf(evs).collect().head
+    assert(r.getAs[Long]("zones_total") == 3L)
+    assert(r.getAs[Long]("max_overlap_depth") == 2L)
+    assert(r.getAs[Long]("zones_starting_inside_another") == 1L)
+  }
+
+  test("jlDistortion is exactly 1 for a unit-coordinate difference (sign matrix columns are ±1)") {
+    val s = spark
+    import s.implicits._
+    // vec 0 = 0, vec 3 = e_0 (and 3 % 29 == 3 puts it in the candidate
+    // sample): dy2 = Σ_j s(j,0)² = 16 → ratio = 16/16/1 = 1 exactly
+    val emb = Seq(
+      (0L, Array.fill(64)(0.0f), "a"),
+      (3L, (1.0f +: Array.fill(63)(0.0f)).toArray, "b"))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.queries.SimilarityQueries.jlDistortionOf(emb).collect().head
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Double]("mean_ratio") == 1.0)
+    assert(r.getAs[Double]("min_ratio") == 1.0 && r.getAs[Double]("max_ratio") == 1.0)
+  }
+
+  test("matryoshkaAudit agrees with a plain-Scala replay of both rankings") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na * nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top5(qid: Long, d: Int): Set[Long] =
+      emb.toSeq.filter(_._1 != qid)
+        .map { case (cid, ce) => (cid, cos(emb(qid), ce, d)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1).toSet
+    val got = graft.queries.SimilarityQueries.matryoshkaAudit(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_common"), r.getAs[Boolean]("top1_match"))).toMap
+    (0L until 10L).foreach { q =>
+      val (full, pre) = (top5(q, 64), top5(q, 16))
+      assert(got(q)._1 == (full & pre).size.toLong, s"anchor $q overlap")
+    }
+  }
+
+  test("minKProb scores are bounded above by the doc's full KN average") {
+    val docs = Tables(spark, sfDir, "documents")
+    val mink = graft.queries.TextQueries.minKProbOf(docs).collect()
+    assert(mink.nonEmpty && mink.length <= 10)
+    val full = graft.queries.TextQueries.knBigram(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+    mink.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      // the mean of the LOWEST k log-probs cannot exceed the full mean
+      assert(r.getAs[Double]("mink_avg_logp") <= full(d) + 1e-9, s"doc $d")
+      assert(r.getAs[Long]("k_used") ==
+        math.max(1L, r.getAs[Long]("n_bigrams") / 5), s"doc $d k")
+    }
+  }
+
   test("spectralEntropy of a constant daily series is 0, not NaN (0*ln(0) convention)") {
     val s = spark
     import s.implicits._
