@@ -12400,12 +12400,21 @@ object ExtensionQueries {
   def huberLocation(spark: SparkSession, dir: String): DataFrame =
     huberLocationOf(Tables(spark, dir, "events"))
 
-  private[graft] def huberLocationOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d38 = "decimal(38,0)"
-    val hist = events.filter(col("event_type") === "purchase")
+  private[graft] def huberLocationOf(events: DataFrame): DataFrame =
+    huberFinish(huberHistFrom(events))
+
+  /** The purchase-cents value histogram — the mergeable state the
+    * streaming twin (`StreamJobs.huberStream`) maintains: counts per
+    * distinct cents value are additive across any batch split, and
+    * the whole IRLS finish is value-bounded arithmetic over it. */
+  private[graft] def huberHistFrom(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select(Det.cents(col("value")).as("c"))
       .groupBy("c").agg(count(lit(1)).as("f"))
+
+  private[graft] def huberFinish(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
     // exact lower median + MAD from the value histogram (the
     // anomalyMad rank-pick technique)
     val wv = Window.orderBy("c")

@@ -2248,6 +2248,91 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  private val PprTop = 20
+
+  /** PERSONALIZED PAGERANK from the [[CcSeeds]] canonical seed set —
+    * the seed-relative authority ranking behind "more like these"
+    * expansion and seed-anchored curation (Jeh-Widom 2003): identical
+    * integer iteration to [[pageRank]] (d = 0.85, [[PrIters]] rounds,
+    * exact 10¹²-scaled mass with truncating division — bit-reproducible
+    * in both engines) except the teleport mass lands ONLY on the seeds
+    * (PrScale div CcSeeds each), so scores measure proximity to the
+    * seed set instead of global authority. Top-[[PprTop]] by exact
+    * integer mass (vec_id tiebreak) — the expansion candidates.
+    *
+    * Scale shape: the pageRank BSP plan against the same shared
+    * scratch edge relation; the teleport branch is a broadcast
+    * 8-row semi-join flag. */
+  def pprSeeds(spark: SparkSession, dir: String): DataFrame =
+    pprSeedsOnEdges(knnEdgesScratch(spark, dir))
+
+  private[graft] def pprSeedsOnEdges(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outdeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("o"))
+    val nodes = outdeg.select("id")
+    val seeds = nodes.orderBy("id").limit(CcSeeds)
+      .select(col("id"), lit(1).as("is_seed")).localCheckpoint() // 8 rows
+    val tele = PrScale / CcSeeds
+    var p = nodes.join(broadcast(seeds), Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed") === 1, tele).otherwise(0L).as("p"))
+    for (_ <- 1 to PrIters) {
+      val contrib = p.join(outdeg, "id")
+        .select(col("id").as("src"), expr("p div o").as("c"))
+      val inflow = edges.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum("c").as("inflow"))
+      p = nodes.join(inflow, Seq("id"), "left")
+        .join(broadcast(seeds), Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(15 * CASE WHEN is_seed = 1 THEN ${tele}L ELSE 0L END" +
+            s" + 85 * coalesce(inflow, 0L)) div 100").as("p"))
+    }
+    p.orderBy(desc("p"), asc("id")).limit(PprTop)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("p"), asc("id"))))
+      .select(col("rank"), col("id").as("vec_id"), col("p").as("ppr12"),
+        graft.functions.Det.rnd(col("p").cast("double") / PrScale, 9).as("ppr"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB twin of [[pprSeeds]]: the pageRank unroll with the
+    * seed-only teleport term. */
+  // lazy: CcSeeds/PprTop are declared later in the file — a strict val
+  // would read 0 during object init (observed as / by zero)
+  lazy val pprSeedsSql: String = {
+    import graft.functions.Det
+    val tele = PrScale / CcSeeds
+    val iters = (1 to PrIters).map { k =>
+      val prev = s"pp${k - 1}"
+      s"""pp$k AS (
+         |  SELECT nd.id,
+         |         (15 * CASE WHEN sd.id IS NOT NULL THEN $tele ELSE 0 END
+         |          + 85 * coalesce(f.s, 0)) // 100 AS p
+         |  FROM nodes nd
+         |  LEFT JOIN seeds sd ON sd.id = nd.id
+         |  LEFT JOIN (SELECT ke.dst, sum($prev.p // od.o) AS s
+         |             FROM kedges ke
+         |             JOIN $prev ON ke.src = $prev.id
+         |             JOIN outdeg od ON od.id = ke.src
+         |             GROUP BY ke.dst) f ON f.dst = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS (SELECT src, dst FROM r WHERE rank <= 5),
+       |outdeg AS (SELECT src AS id, count(*) AS o FROM kedges GROUP BY 1),
+       |nodes AS (SELECT id FROM outdeg),
+       |seeds AS (SELECT id FROM nodes ORDER BY id LIMIT $CcSeeds),
+       |pp0 AS (SELECT nd.id,
+       |               CASE WHEN sd.id IS NOT NULL THEN $tele ELSE 0 END AS p
+       |        FROM nodes nd LEFT JOIN seeds sd ON sd.id = nd.id),
+       |$iters,
+       |top AS (SELECT id, p FROM pp$PrIters ORDER BY p DESC, id LIMIT $PprTop)
+       |SELECT CAST(row_number() OVER (ORDER BY p DESC, id) AS INTEGER) AS rank,
+       |       id AS vec_id, CAST(p AS BIGINT) AS ppr12,
+       |       ${Det.rndSql(s"CAST(p AS DOUBLE) / $PrScale", 9)} AS ppr
+       |FROM top
+       |ORDER BY rank""".stripMargin
+  }
+
   // -------------------------------------------- product quantization ANN
 
   private val PqM      = 8  // subspaces (64 dims / 8)

@@ -5360,6 +5360,152 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  private val LrSlots = 64
+  private val LrNum = 8L // dyadic learning rate
+  private val LrRounds = 2
+
+  /** DISTRIBUTED LOGISTIC-REGRESSION TRAINING STEP — [[LrRounds]]
+    * full-batch gradient-descent steps of the is-English classifier
+    * on the [[LrSlots]]-slot hashed term-frequency features (the
+    * [[qualityClassifier]] feature space, now TRAINED instead of
+    * using pinned weights): the map-reduce shape of every
+    * data-parallel trainer — broadcast the (65-row) weight vector,
+    * one pass computes per-row margins and loss, one aggregation
+    * reduces per-slot gradients, the driver-side state is just the
+    * weight table. Reported per step: log-loss and accuracy of the
+    * CURRENT weights (step 0 = the w=0 baseline, ln 2), so the spec
+    * can assert the loss actually DESCENDS.
+    *
+    * Determinism (the exact-units discipline end-to-end): weights
+    * live as 1e-9-unit BIGINTs; margins are exact rationals
+    * Σ(W·count) / (1e9·dl) evaluated with ONE division; per-row loss
+    * and gradient terms are fenced to 1e-9/1e-12 integer units BEFORE
+    * their sums (the betweenness rule), and the weight update is pure
+    * integer arithmetic — (g·[[LrNum]]) div n div 1000 — so both
+    * engines walk the bit-identical weight trajectory.
+    *
+    * Scale shape: features are one tokenize pass collapsed to
+    * (doc, slot) counts (≤ 65 rows per doc, pinned — corpus-linear);
+    * each step is one broadcast join + two aggregations; nothing is
+    * ever collected. */
+  def logregStep(spark: SparkSession, dir: String): DataFrame =
+    logregStepOf(Tables(spark, dir, "documents"))
+
+  private[graft] def logregStepOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val tokSlots = docs
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), col("y"),
+        expr(s"(length(t) * 31 + ascii(t)) % $LrSlots").as("slot"))
+      .groupBy("doc_id", "y", "slot").agg(count(lit(1)).as("num"))
+    val dl = tokSlots.groupBy("doc_id", "y").agg(sum("num").as("dl"))
+    val feats = tokSlots.join(dl.select("doc_id", "dl"), "doc_id")
+      .select("doc_id", "y", "slot", "num", "dl")
+      .unionByName(dl.select(col("doc_id"), col("y"),
+        lit(LrSlots).as("slot"), col("dl").as("num"), col("dl")))
+      .transform(graft.Tables.scratchPin(_, "lr-feats")) // doc×(slots+1), corpus-linear
+    val nDocs = dl.count() // loop literal (the pageRank precedent)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var w = (0 to LrSlots).map(s => (s, 0L)).toDF("slot", "w9")
+      .localCheckpoint() // 65 rows
+    val pc = new graft.Tables.PinChain("lr-m")
+    val evals = (0 to LrRounds).map { step =>
+      val m = feats.join(broadcast(w), "slot")
+        .groupBy("doc_id", "y")
+        .agg((sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        .transform(pc.next) // doc-sized, read by BOTH the eval and the gradient
+      val eval = m.agg(
+        count(lit(1)).as("n_docs"),
+        Det.rnd(sum(Det.units(
+          -(col("y") * log(col("p"))
+            + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 9))
+          .cast("double") / 1e9 / nDocs, 6).as("logloss"),
+        expr(s"sum(CASE WHEN (m > 0.0D) = (y = 1) THEN 1L ELSE 0L END)" +
+          s" * 1000000 div $nDocs").as("acc_ppm"))
+        .select(lit(step).as("step"), col("n_docs"), col("logloss"), col("acc_ppm"))
+        .localCheckpoint() // 1 row
+      if (step < LrRounds) {
+        val g = feats
+          .join(m.select("doc_id", "p"), "doc_id")
+          .groupBy("slot")
+          .agg(sum(Det.units((col("p") - col("y"))
+            * col("num").cast("double") / col("dl"), 12)).as("g12"))
+        w = w.join(g, Seq("slot"), "left")
+          .select(col("slot"),
+            (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
+              .as("w9"))
+          .localCheckpoint() // 65 rows
+      }
+      eval
+    }
+    evals.reduce(_ unionAll _).orderBy("step")
+  }
+
+  val logregStepSql: String = {
+    import graft.functions.Det
+    val lossExpr = Det.unitsSql(
+      "-(y * ln(p) + (1 - y) * ln(1.0 - p))", 9)
+    val rounds = (0 to LrRounds).map { step =>
+      val mc =
+        s"""m$step AS MATERIALIZED (
+           |  SELECT f.doc_id, f.y,
+           |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+           |                            / (1e9 * max(f.dl))))) AS p,
+           |         CAST(sum(w.w9 * f.num) AS DOUBLE) / (1e9 * max(f.dl)) AS m
+           |  FROM feats f JOIN w$step w USING (slot)
+           |  GROUP BY 1, 2),
+           |e$step AS (
+           |  SELECT $step AS step, count(*) AS n_docs,
+           |         ${Det.rndSql(
+          s"CAST(sum($lossExpr) AS DOUBLE) / 1e9 / (SELECT n FROM nd)", 6)} AS logloss,
+           |         CAST(sum(CASE WHEN (m > 0.0) = (y = 1) THEN 1 ELSE 0 END)
+           |              * 1000000 // (SELECT n FROM nd) AS BIGINT) AS acc_ppm
+           |  FROM m$step)""".stripMargin
+      if (step < LrRounds)
+        mc + s""",
+           |g$step AS (
+           |  SELECT f.slot,
+           |         CAST(sum(${Det.unitsSql(
+          "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
+           |  FROM feats f JOIN m$step m USING (doc_id)
+           |  GROUP BY 1),
+           |w${step + 1} AS (
+           |  SELECT w.slot,
+           |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
+           |           AS w9
+           |  FROM w$step w LEFT JOIN g$step g USING (slot))""".stripMargin
+      else mc
+    }.mkString(",\n")
+    val out = (0 to LrRounds).map(s => s"SELECT * FROM e$s").mkString(" UNION ALL ")
+    s"""WITH ts AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         (length(t) * 31 + ascii(t)) % $LrSlots AS slot
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ts GROUP BY 1, 2, 3),
+       |dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
+       |        FROM tsl GROUP BY 1, 2),
+       |feats AS MATERIALIZED (
+       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
+       |         CAST(t.num AS BIGINT) AS num, d.dl
+       |  FROM tsl t JOIN dlt d USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, $LrSlots, dl, dl FROM dlt),
+       |nd AS (SELECT count(*) AS n FROM dlt),
+       |w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
+       |              CAST(0 AS BIGINT) AS w9),
+       |$rounds
+       |SELECT CAST(step AS INTEGER) AS step, CAST(n_docs AS BIGINT) AS n_docs,
+       |       logloss, acc_ppm
+       |FROM ($out)
+       |ORDER BY step""".stripMargin
+  }
+
   val minKProbSql: String =
     s"""WITH $knScoredCtes,
        |rk AS (

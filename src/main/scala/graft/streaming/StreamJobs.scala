@@ -1109,6 +1109,19 @@ object StreamJobs {
   def checksumFinish(state: DataFrame): DataFrame =
     graft.queries.AnalyticsQueries.checksumFinish(state)
 
+  /** Streaming twin of the Huber robust-location monitor: the state
+    * is the purchase-cents VALUE histogram (mergeable counts per
+    * distinct value — the mannWhitneyStream discipline), and the
+    * whole 3-round IRLS finish replays per batch over the
+    * value-bounded state via [[huberFinish]] — a live robust "typical
+    * order value" that outliers cannot drag, proven equal to the
+    * batch operator on every prefix (StreamingSpec). */
+  def huberStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.huberHistFrom(events)
+
+  def huberFinish(hist: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.huberFinish(hist)
+
   /** Incremental POSTINGS-INDEX maintenance (VERDICT r11 #4): the
     * batch trunk ([[graft.queries.TextQueries.postingsTrunk]]) is
     * built once per corpus snapshot; at 100 TB the real system

@@ -341,6 +341,44 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("pprSeeds on K4 (all nodes seeded) reaches the symmetric integer fixpoint") {
+    val s = spark
+    import s.implicits._
+    // complete graph on 4 nodes, symmetric edge list: every node is a
+    // seed (limit 8 takes all), by symmetry every round is uniform.
+    // Hand fold: p0 = tele = 1e12 div 8; r≥1: inflow = 3·(p div 3),
+    // p' = (15·tele + 85·inflow) div 100 = 124999999998 (fixpoint)
+    val edges = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b, 1.0))
+      .toDF("src", "dst", "cos")
+    val sym = edges.unionAll(edges.select(col("dst"), col("src"), col("cos"))
+      .toDF("src", "dst", "cos"))
+    val got = graft.queries.SimilarityQueries.pprSeedsOnEdges(sym).collect()
+    assert(got.length == 4)
+    got.foreach { r => assert(r.getAs[Long]("ppr12") == 124999999998L) }
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("logregStep descends: ln2 baseline, exact first-step loss on a separable fixture, perfect accuracy") {
+    val s = spark
+    import s.implicits._
+    // 2 English docs say "aa" (slot 31), 2 others say "bb" (slot 32):
+    // step 0 gradient moves w(aa) to +2.0 and w(bb) to −2.0 exactly
+    // (integer update (∓1e12·8) div 4 div 1000 = ±2e9), so step-1
+    // margins are ±2.0 and the loss is ln(1+e⁻²) = 0.126928
+    val docs = Seq(
+      (1L, "aa", "en", "web", 2L), (2L, "aa", "en", "web", 2L),
+      (3L, "bb", "de", "web", 2L), (4L, "bb", "fr", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextQueries.logregStepOf(docs).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Double]("logloss"),
+        r.getAs[Long]("acc_ppm"))).toSeq
+    assert(got.map(_._1) == Seq(0, 1, 2))
+    assert(got(0)._2 == 0.693147)
+    assert(got(1)._2 == 0.126928)
+    assert(got(2)._2 < got(1)._2 && got(1)._2 < got(0)._2)
+    assert(got(1)._3 == 1000000L && got(2)._3 == 1000000L)
+  }
+
   test("minKProb scores are bounded above by the doc's full KN average") {
     val docs = Tables(spark, sfDir, "documents")
     val mink = graft.queries.TextQueries.minKProbOf(docs).collect()

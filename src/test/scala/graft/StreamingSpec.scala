@@ -1395,6 +1395,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("huberStream: per-batch IRLS finish over the histogram state equals the batch operator on every prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.huberStream(mem.toDF())
+      .writeStream.format("memory").queryName("huber_hist").outputMode("complete").start()
+    try {
+      val evs = Tables(spark, sfDir, "events").as[Ev].collect()
+      val (b1, rest) = evs.splitAt(evs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      var fed = Seq.empty[Ev]
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        fed = fed ++ b
+        val live = StreamJobs.huberFinish(spark.table("huber_hist"))
+          .collect().map(_.toString).toSeq
+        val batch = queries.ExtensionQueries.huberLocationOf(fed.toDF())
+          .collect().map(_.toString).toSeq
+        assert(live == batch)
+      }
+    } finally q.stop()
+  }
+
   test("postingsMaintain: stream-built (tf, dl, df) equals the batch trunk after every batch of a 3-way split") {
     val s = spark
     import s.implicits._
