@@ -12509,12 +12509,22 @@ object ExtensionQueries {
   def overlapDepth(spark: SparkSession, dir: String): DataFrame =
     overlapDepthOf(Tables(spark, dir, "events"))
 
-  private[graft] def overlapDepthOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val stats = events
+  private[graft] def overlapDepthOf(events: DataFrame): DataFrame =
+    overlapFinish(zoneStatsFrom(events))
+
+  /** Per-zone (min, max) event-time range — the mergeable state the
+    * streaming twin (`StreamJobs.overlapDepthStream`) maintains: min
+    * and max are additive-mergeable per zone across any batch split,
+    * so a live layout monitor costs one streaming aggregation and the
+    * zone-count-bounded sweep per batch. */
+  private[graft] def zoneStatsFrom(events: DataFrame): DataFrame =
+    events
       .select(expr(s"event_id div $ZoneRows").as("zone"),
         unix_micros(col("ts")).as("tus"))
       .groupBy("zone").agg(min("tus").as("mn"), max("tus").as("mx"))
+
+  private[graft] def overlapFinish(stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bounds = stats.select(col("zone"), col("mn").as("pos"), lit(1L).as("delta"))
       .unionAll(stats.select(col("zone"), (col("mx") + 1).as("pos"), lit(-1L).as("delta")))
     // +1 sorts before −1 at equal pos (delta desc) — max-inclusive
@@ -12544,4 +12554,146 @@ object ExtensionQueries {
        |       CAST(sum(CASE WHEN delta = 1 AND depth >= 2 THEN 1 ELSE 0 END)
        |            AS BIGINT) AS zones_starting_inside_another
        |FROM sw""".stripMargin
+
+  private val OtEps = 4.0
+  private val OtRounds = 3
+  private val OtBins = 24
+
+  /** SINKHORN ENTROPIC OPTIMAL TRANSPORT between the hour-of-day
+    * profiles of clicks and purchases (Cuturi 2013) — the
+    * distribution distance that knows 01:00 is CLOSE to 02:00 where
+    * KL/JS ([[jsDivergence]]) treat bins as unordered and the exact
+    * 1-D Wasserstein ([[wassersteinDrift]]) has no regularized
+    * transport PLAN: cost = circular hour distance, Gibbs kernel
+    * K = exp(−c/ε), [[OtRounds]] unrolled Sinkhorn scalings
+    * v = b/(Kᵀu), u = a/(Kv). Output: the regularized transport cost
+    * ⟨P, c⟩ and the row-marginal violation (how converged 3 rounds
+    * got — reported, not hidden).
+    *
+    * Determinism: marginals are exact count ratios; every 24-term
+    * kernel sum is fenced per term to 1e-12 integer units before the
+    * BIGINT reduction (the betweenness rule) and u, v are fenced to
+    * 9 dp per round, so both engines walk identical scaling vectors.
+    * Scale shape: ONE corpus pass to the 24-bin histograms; the
+    * iteration is 24×24-bounded arithmetic. */
+  def sinkhornOt(spark: SparkSession, dir: String): DataFrame =
+    sinkhornOtOf(Tables(spark, dir, "events"))
+
+  private[graft] def sinkhornOtOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val hours = spark.range(OtBins).select(col("id").cast("int").as("h"))
+    import org.apache.spark.sql.expressions.Window
+    def marginal(tpe: String, nc: String, sc: String): DataFrame = {
+      val cnt = events.filter(col("event_type") === tpe)
+        .select(expr("(unix_timestamp(ts) div 3600) % 24").cast("int").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n"))
+      hours.join(cnt, Seq("h"), "left")
+        .select(col("h"), coalesce(col("n"), lit(0L)).as(nc))
+        .withColumn(sc, col(nc).cast("double")
+          / sum(nc).over(org.apache.spark.sql.expressions.Window
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    }
+    val a = marginal("click", "na", "pa").localCheckpoint()    // 24 rows
+    val b = marginal("purchase", "nb", "pb").localCheckpoint() // 24 rows
+    val k = hours.select(col("h").as("i"))
+      .crossJoin(hours.select(col("h").as("j")))
+      .withColumn("c", least(abs(col("i") - col("j")),
+        lit(OtBins) - abs(col("i") - col("j"))).cast("double"))
+      .withColumn("kv", exp(-col("c") / OtEps))
+      .localCheckpoint() // 576 rows
+    var u = a.select(col("h").as("i"), lit(1.0).as("u"))
+    var v: DataFrame = null
+    for (_ <- 1 to OtRounds) {
+      val ktu = k.join(u, Seq("i"))
+        .groupBy(col("j"))
+        .agg((sum(Det.units(col("kv") * col("u"), 12)).cast("double") / 1e12)
+          .as("ktu"))
+      v = b.select(col("h").as("j"), col("pb"))
+        .join(ktu, Seq("j"))
+        .select(col("j"), Det.rnd(col("pb") / col("ktu"), 9).as("v"))
+        .localCheckpoint() // 24 rows
+      val kv2 = k.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg((sum(Det.units(col("kv") * col("v"), 12)).cast("double") / 1e12)
+          .as("kv2"))
+      u = a.select(col("h").as("i"), col("pa"))
+        .join(kv2, Seq("i"))
+        .select(col("i"), Det.rnd(col("pa") / col("kv2"), 9).as("u"))
+        .localCheckpoint() // 24 rows
+    }
+    val plan = k.join(u, Seq("i")).join(v, Seq("j"))
+      .select(col("i"), col("c"),
+        (col("u") * col("kv") * col("v")).as("pij"))
+    val rowMass = plan.groupBy("i")
+      .agg((sum(Det.units(col("pij"), 12)).cast("double") / 1e12).as("pi"))
+      .join(a.select(col("h").as("i"), col("pa")), Seq("i"))
+    val cost = plan.agg(
+      (sum(Det.units(col("pij") * col("c"), 12)).cast("double") / 1e12).as("costRaw"))
+    val err = rowMass.agg(
+      (sum(Det.units(abs(col("pi") - col("pa")), 12)).cast("double") / 1e12)
+        .as("errRaw"))
+    a.agg(sum("na").as("n_clicks"))
+      .crossJoin(b.agg(sum("nb").as("n_purchases")))
+      .crossJoin(broadcast(cost))
+      .crossJoin(broadcast(err))
+      .select(col("n_clicks"), col("n_purchases"),
+        Det.rnd(col("costRaw"), 6).as("sinkhorn_cost"),
+        Det.rnd(col("errRaw"), 6).as("row_marginal_err"))
+  }
+
+  val sinkhornOtSql: String = {
+    val rounds = (1 to OtRounds).map { r =>
+      val ktu = s"CAST((SELECT sum(${Det.unitsSql("k.kv * u.u", 12)}) " +
+        s"FROM k JOIN u${r - 1} u ON u.i = k.i WHERE k.j = b.j) AS DOUBLE) / 1e12"
+      val kvv = s"CAST((SELECT sum(${Det.unitsSql("k.kv * v.v", 12)}) " +
+        s"FROM k JOIN v$r v ON v.j = k.j WHERE k.i = a.i) AS DOUBLE) / 1e12"
+      s"""v$r AS MATERIALIZED (
+         |  SELECT b.j, ${Det.rndSql(s"b.pb / ($ktu)", 9)} AS v
+         |  FROM b),
+         |u$r AS MATERIALIZED (
+         |  SELECT a.i, ${Det.rndSql(s"a.pa / ($kvv)", 9)} AS u
+         |  FROM a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH grid AS (SELECT CAST(unnest(range($OtBins)) AS INTEGER) AS h),
+       |ca AS (SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24 AS h,
+       |              count(*) AS n
+       |       FROM events WHERE event_type = 'click' GROUP BY 1),
+       |cb AS (SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24 AS h,
+       |              count(*) AS n
+       |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |a AS MATERIALIZED (SELECT grid.h AS i, CAST(coalesce(ca.n, 0) AS BIGINT) AS na,
+       |             CAST(coalesce(ca.n, 0) AS DOUBLE)
+       |               / (SELECT sum(coalesce(ca2.n, 0)) FROM grid g2
+       |                  LEFT JOIN ca ca2 ON ca2.h = g2.h) AS pa
+       |      FROM grid LEFT JOIN ca ON ca.h = grid.h),
+       |b AS MATERIALIZED (SELECT grid.h AS j, CAST(coalesce(cb.n, 0) AS BIGINT) AS nb,
+       |             CAST(coalesce(cb.n, 0) AS DOUBLE)
+       |               / (SELECT sum(coalesce(cb2.n, 0)) FROM grid g2
+       |                  LEFT JOIN cb cb2 ON cb2.h = g2.h) AS pb
+       |      FROM grid LEFT JOIN cb ON cb.h = grid.h),
+       |k AS MATERIALIZED (SELECT ga.h AS i, gb.h AS j,
+       |             CAST(least(abs(ga.h - gb.h), $OtBins - abs(ga.h - gb.h)) AS DOUBLE)
+       |               AS c,
+       |             exp(-CAST(least(abs(ga.h - gb.h), $OtBins - abs(ga.h - gb.h))
+       |                 AS DOUBLE) / $OtEps) AS kv
+       |      FROM grid ga CROSS JOIN grid gb),
+       |u0 AS (SELECT i, 1.0 AS u FROM a),
+       |$rounds,
+       |pl AS (SELECT k.i, k.c, u.u * k.kv * v.v AS pij
+       |       FROM k JOIN u$OtRounds u ON u.i = k.i
+       |       JOIN v$OtRounds v ON v.j = k.j),
+       |rm AS (SELECT pl.i,
+       |              CAST(sum(${Det.unitsSql("pl.pij", 12)}) AS DOUBLE) / 1e12 AS pi
+       |       FROM pl GROUP BY 1),
+       |cost AS (SELECT CAST(sum(${Det.unitsSql("pij * c", 12)}) AS DOUBLE) / 1e12
+       |                  AS costraw
+       |         FROM pl),
+       |err AS (SELECT CAST(sum(${Det.unitsSql("abs(rm.pi - a.pa)", 12)}) AS DOUBLE)
+       |                 / 1e12 AS errraw
+       |        FROM rm JOIN a ON a.i = rm.i)
+       |SELECT (SELECT CAST(sum(na) AS BIGINT) FROM a) AS n_clicks,
+       |       (SELECT CAST(sum(nb) AS BIGINT) FROM b) AS n_purchases,
+       |       ${Det.rndSql("(SELECT costraw FROM cost)", 6)} AS sinkhorn_cost,
+       |       ${Det.rndSql("(SELECT errraw FROM err)", 6)} AS row_marginal_err""".stripMargin
+  }
 }

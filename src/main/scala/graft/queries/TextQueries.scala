@@ -5360,6 +5360,73 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** CONFIDENT-LEARNING label-noise audit (Northcutt et al. 2021,
+    * binary form) — the label-quality step a training pipeline runs
+    * over weakly-labeled data: using the [[naiveBayes]] classifier's
+    * OUT-OF-SAMPLE val-split probabilities, an example is confidently
+    * of class c when p_c clears the class's SELF-CONFIDENCE threshold
+    * t_c = mean p_c over examples labeled c; the (labeled ×
+    * confident) joint matrix's off-diagonal mass estimates the label
+    * noise rate, and off-diagonal examples are the relabel/review
+    * queue. `confident_en = -1` is the below-both-thresholds
+    * (unassigned) bucket — reported, not hidden.
+    *
+    * Determinism: p = σ((sc_en − sc_ot)/1e9) from the exact-BIGINT
+    * [[nbScores]]; p is fenced to 1e-9 integer units and the
+    * thresholds are integer-division means of those units, so every
+    * comparison is pure BIGINT. */
+  def confidentLearning(spark: SparkSession, dir: String): DataFrame =
+    confidentLearningOf(Tables(spark, dir, "documents"))
+
+  private[graft] def confidentLearningOf(documents: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val p = nbScores(documents)
+      .select(col("doc_id"), col("y"),
+        Det.units(lit(1.0) / (lit(1.0)
+          + exp((col("sc_ot") - col("sc_en")).cast("double") / 1e9)), 9).as("p9"))
+    val th = p.groupBy("y").agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1, col("p9")).otherwise(lit(1000000000L) - col("p9")))
+          .as("sp9"))
+      .select(col("y"), expr("sp9 div n").as("t9"))
+    val tEn = th.filter(col("y") === 1).select(col("t9").as("t_en9"))
+    val tOt = th.filter(col("y") === 0).select(col("t9").as("t_ot9"))
+    p.crossJoin(broadcast(tEn)).crossJoin(broadcast(tOt))
+      .select(col("y").as("labeled_en"),
+        when(col("p9") >= col("t_en9") && (lit(1000000000L) - col("p9")) >= col("t_ot9"),
+          when(col("p9") >= 500000000L, 1).otherwise(0))
+          .when(col("p9") >= col("t_en9"), 1)
+          .when(lit(1000000000L) - col("p9") >= col("t_ot9"), 0)
+          .otherwise(-1).as("confident_en"))
+      .groupBy("labeled_en", "confident_en")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("labeled_en", "confident_en")
+  }
+
+  lazy val confidentLearningSql: String =
+    s"""WITH $nbScoreCtes,
+       |p AS (SELECT doc_id, y,
+       |             ${graft.functions.Det.unitsSql(
+      "1.0 / (1.0 + exp(CAST(sc_ot - sc_en AS DOUBLE) / 1e9))", 9)} AS p9
+       |      FROM nbsc),
+       |th AS (SELECT y,
+       |              CAST(sum(CASE WHEN y = 1 THEN p9 ELSE 1000000000 - p9 END)
+       |                   // count(*) AS BIGINT) AS t9
+       |       FROM p GROUP BY 1),
+       |cl AS (SELECT p.y AS labeled_en,
+       |              CASE
+       |                WHEN p9 >= te.t9 AND 1000000000 - p9 >= toth.t9 THEN
+       |                  CASE WHEN p9 >= 500000000 THEN 1 ELSE 0 END
+       |                WHEN p9 >= te.t9 THEN 1
+       |                WHEN 1000000000 - p9 >= toth.t9 THEN 0
+       |                ELSE -1 END AS confident_en
+       |       FROM p,
+       |            (SELECT t9 FROM th WHERE y = 1) te,
+       |            (SELECT t9 FROM th WHERE y = 0) toth)
+       |SELECT labeled_en, CAST(confident_en AS INTEGER) AS confident_en,
+       |       count(*) AS n_docs
+       |FROM cl GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   private val LrSlots = 64
   private val LrNum = 8L // dyadic learning rate
   private val LrRounds = 2

@@ -1109,6 +1109,18 @@ object StreamJobs {
   def checksumFinish(state: DataFrame): DataFrame =
     graft.queries.AnalyticsQueries.checksumFinish(state)
 
+  /** Streaming twin of the file-zone overlap-depth layout monitor:
+    * per-zone (min, max) event-time ranges are a plain mergeable
+    * min/max aggregation (any batch split merges exactly), and the
+    * zone-count-bounded boundary sweep replays per batch via
+    * [[overlapFinish]] — live clustering-drift dashboard, per-prefix
+    * batch parity (StreamingSpec). */
+  def overlapDepthStream(events: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.zoneStatsFrom(events)
+
+  def overlapFinish(stats: DataFrame): DataFrame =
+    graft.queries.ExtensionQueries.overlapFinish(stats)
+
   /** Streaming twin of the Huber robust-location monitor: the state
     * is the purchase-cents VALUE histogram (mergeable counts per
     * distinct value — the mannWhitneyStream discipline), and the

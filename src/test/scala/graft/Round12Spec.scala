@@ -379,6 +379,54 @@ class Round12Spec extends SparkSpec {
     assert(got(1)._3 == 1000000L && got(2)._3 == 1000000L)
   }
 
+  test("sinkhornOt moves a single-atom marginal pair at exactly the hour distance") {
+    val s = spark
+    import s.implicits._
+    // all clicks at hour 3, all purchases at hour 7: every feasible
+    // plan puts ALL mass in cell (3,7), so <P,c> = c(3,7) = 4 exactly
+    // (row constraint holds after any u-update, fence-level error only)
+    val evs = ((1 to 50).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 03:10:00"), 1L, "click", 1.0, "{}")) ++
+      (51 to 90).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-02 07:20:00"), 1L, "purchase", 2.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = ExtensionQueries.sinkhornOtOf(evs).collect().head
+    assert(r.getAs[Long]("n_clicks") == 50L && r.getAs[Long]("n_purchases") == 40L)
+    assert(r.getAs[Double]("sinkhorn_cost") == 4.0)
+    assert(r.getAs[Double]("row_marginal_err") == 0.0)
+  }
+
+  test("confidentLearning puts a planted flipped label in the off-diagonal cell") {
+    val s = spark
+    import s.implicits._
+    // find doc ids per split under the engine's own bucket rule
+    val ids = spark.range(400).select(col("id").as("doc_id"),
+        expr(s"${graft.queries.TextQueries.splitBucketOf("doc_id")}").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val valIds = ids.filter { case (_, b) => b >= 80 && b < 90 }.keys.toSeq.sorted
+    assert(valIds.nonEmpty)
+    val flipped = valIds.head
+    val docs = (0L until 400L).map { id =>
+      val en = id % 2 == 0
+      val text = if (en) "aa aa aa" else "bb bb bb"
+      // ONE val doc keeps English text but carries a wrong label
+      val lang = if (id == flipped) { if (en) "de" else "en" }
+        else if (en) "en" else "de"
+      (id, text, lang, "web", 8L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cells = graft.queries.TextQueries.confidentLearningOf(docs).collect()
+      .map(r => (r.getAs[Int]("labeled_en"), r.getAs[Int]("confident_en"))
+        -> r.getAs[Long]("n_docs")).toMap
+    val flippedIsEven = flipped % 2 == 0
+    // the flipped doc: labeled opposite its (perfectly separable) text
+    val offCell = if (flippedIsEven) (0, 1) else (1, 0)
+    assert(cells.getOrElse(offCell, 0L) == 1L, s"cells=$cells flipped=$flipped")
+    assert(cells.getOrElse((1, 1), 0L) > 0L && cells.getOrElse((0, 0), 0L) > 0L)
+    // no other off-diagonal mass on a separable fixture
+    val otherOff = if (flippedIsEven) (1, 0) else (0, 1)
+    assert(cells.getOrElse(otherOff, 0L) == 0L)
+  }
+
   test("minKProb scores are bounded above by the doc's full KN average") {
     val docs = Tables(spark, sfDir, "documents")
     val mink = graft.queries.TextQueries.minKProbOf(docs).collect()

@@ -1395,6 +1395,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("overlapDepthStream: zone min/max state merges across batches; sweep equals the batch operator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.overlapDepthStream(mem.toDF())
+      .writeStream.format("memory").queryName("zone_stats").outputMode("complete").start()
+    try {
+      val evs = Tables(spark, sfDir, "events").as[Ev].collect()
+      // interleaved split: both batches carry rows of MOST zones, so
+      // the per-zone min/max state must genuinely MERGE
+      val b1 = evs.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+      val b2 = evs.zipWithIndex.filter(_._2 % 2 == 1).map(_._1)
+      var fed = Seq.empty[Ev]
+      Seq(b1, b2).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        fed = fed ++ b
+        val live = StreamJobs.overlapFinish(spark.table("zone_stats"))
+          .collect().map(_.toString).toSeq
+        val batch = queries.ExtensionQueries.overlapDepthOf(fed.toDF())
+          .collect().map(_.toString).toSeq
+        assert(live == batch)
+      }
+    } finally q.stop()
+  }
+
   test("huberStream: per-batch IRLS finish over the histogram state equals the batch operator on every prefix") {
     val s = spark
     import s.implicits._
