@@ -5360,6 +5360,219 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  private val SlFracs = Seq(10, 20, 40, 80) // % of the train split
+
+  /** DATA SCALING-LAW fit (the Kaplan/Hoffmann-style "is more data
+    * still buying loss?" read, at bigram-LM scale): the Laplace
+    * bigram LM is trained on nested PREFIXES of the train split
+    * ([[SlFracs]]% each — the deterministic bucket ring, so prefix f
+    * ⊂ prefix f′ for f < f′ exactly like a growing corpus), each
+    * evaluated on the SAME val split, and a log-log OLS over
+    * (train bigrams, val NLL) reports the power-law slope — the
+    * marginal value of data. A slope near 0 says the corpus has
+    * saturated this model class; the acquisition-planning companion
+    * of [[vocabGrowth]] (which tracks vocabulary, not loss).
+    *
+    * Scale shape: ONE pass builds every prefix's count tables — the
+    * 4 fractions are conditional aggregations over the bucket column
+    * (never 4 corpus scans); the val probe joins once against the
+    * 4-column count tables. Determinism: counts exact; per-bigram NLL
+    * terms fenced to 1e-9 units before the per-fraction sums; the
+    * 4-point OLS runs on fenced ln values with decimal-widened exact
+    * product sums. */
+  def scalingLaw(spark: SparkSession, dir: String): DataFrame =
+    scalingLawOf(Tables(spark, dir, "documents"))
+
+  private[graft] def scalingLawOf(documents: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val toks = documents
+      .select(col("doc_id"), expr(SplitBucket).as("b"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks
+      .select(col("doc_id"), col("b"),
+        explode(expr("sequence(0, size(toks) - 2)")).as("i"), col("toks"))
+      .select(col("doc_id"), col("b"),
+        col("toks").getItem(col("i")).as("w1"), expr("toks[i + 1]").as("w2"))
+    val train = bigrams.filter(col("b") < 80)
+    // first f% of train = bucket < f·80/100 (nested prefixes)
+    def cut(f: Int): Int = f * 80 / 100
+    val c2Cols = SlFracs.map(f => sum(when(col("b") < cut(f), 1L).otherwise(0L)).as(s"c2_$f"))
+    val c2 = train.groupBy("w1", "w2").agg(c2Cols.head, c2Cols.tail: _*)
+    val c1Cols = SlFracs.map(f => sum(when(col("b") < cut(f), 1L).otherwise(0L)).as(s"c1_$f"))
+    val c1 = train.groupBy("w1").agg(c1Cols.head, c1Cols.tail: _*)
+    val vCols = SlFracs.map(f =>
+      countDistinct(when(col("b") < cut(f), col("w"))).as(s"v_$f"))
+    val vocab = train.select(col("b"), col("w1").as("w"))
+      .unionByName(train.select(col("b"), col("w2").as("w")))
+      .agg(vCols.head, vCols.tail: _*)
+    val tbCols = SlFracs.map(f =>
+      sum(when(col("b") < cut(f), 1L).otherwise(0L)).as(s"tb_$f"))
+    val tb = train.agg(tbCols.head, tbCols.tail: _*)
+    val scored = bigrams.filter(col("b") >= 80 && col("b") < 90)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+    val aggs = SlFracs.map { f =>
+      sum(Det.units(-log(
+        (coalesce(col(s"c2_$f"), lit(0L)) + 1).cast("double")
+          / (coalesce(col(s"c1_$f"), lit(0L)) + col(s"v_$f"))), 9)).as(s"s_$f")
+    } :+ count(lit(1)).as("n_val")
+    val sums = scored.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(tb))
+    val perF = sums.select(explode(array(SlFracs.map { f =>
+      struct(lit(f).as("pct"), col(s"tb_$f").as("train_bigrams"),
+        (col(s"s_$f").cast("double") / 1e9 / col("n_val")).as("nllRaw"))
+    }: _*)).as("r")).select("r.*")
+    // 4-point log-log OLS on fenced coordinates, exact product sums
+    val pts = perF.select(col("pct"), col("train_bigrams"), col("nllRaw"),
+      Det.units(log(col("train_bigrams").cast("double")), 9).as("x9"),
+      Det.units(log(col("nllRaw")), 9).as("y9"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pts
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum("x9").over(wAll))
+      .withColumn("sy", sum("y9").over(wAll))
+      .withColumn("sxy", sum(col("x9").cast(d38) * col("y9")).over(wAll))
+      .withColumn("sxx", sum(col("x9").cast(d38) * col("x9")).over(wAll))
+      .select(col("pct"), col("train_bigrams"),
+        Det.rnd(col("nllRaw"), 6).as("val_nll"),
+        Det.rnd(expr(
+          "(n * CAST(sxy AS DOUBLE) / 1e18 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))" +
+            " / (n * CAST(sxx AS DOUBLE) / 1e18 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))"), 6)
+          .as("fit_slope"))
+      .orderBy("pct")
+  }
+
+  val scalingLawSql: String = {
+    import graft.functions.Det
+    val cutC2 = SlFracs.map(f =>
+      s"CAST(sum(CASE WHEN b < ${f * 80 / 100} THEN 1 ELSE 0 END) AS BIGINT) AS c2_$f")
+      .mkString(", ")
+    val cutC1 = SlFracs.map(f =>
+      s"CAST(sum(CASE WHEN b < ${f * 80 / 100} THEN 1 ELSE 0 END) AS BIGINT) AS c1_$f")
+      .mkString(", ")
+    val cutV = SlFracs.map(f =>
+      s"count(DISTINCT CASE WHEN b < ${f * 80 / 100} THEN w END) AS v_$f").mkString(", ")
+    val cutTb = SlFracs.map(f =>
+      s"CAST(sum(CASE WHEN b < ${f * 80 / 100} THEN 1 ELSE 0 END) AS BIGINT) AS tb_$f")
+      .mkString(", ")
+    val sAgg = SlFracs.map { f =>
+      s"CAST(sum(${Det.unitsSql(
+        s"-ln(CAST(coalesce(c2_$f, 0) + 1 AS DOUBLE) / (coalesce(c1_$f, 0) + v.v_$f))", 9)})" +
+        s" AS BIGINT) AS s_$f"
+    }.mkString(", ")
+    val rows = SlFracs.map { f =>
+      s"SELECT $f AS pct, tb_$f AS train_bigrams, CAST(s_$f AS DOUBLE) / 1e9 / n_val AS nllraw FROM sums"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $SplitBucketSql AS b,
+       |         string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+       |bg AS (
+       |  SELECT doc_id, b, t[CAST(i + 1 AS INTEGER)] AS w1,
+       |         t[CAST(i + 2 AS INTEGER)] AS w2
+       |  FROM (SELECT doc_id, b, t, unnest(range(len(t) - 1)) AS i FROM toks)),
+       |train AS (SELECT * FROM bg WHERE b < 80),
+       |c2 AS MATERIALIZED (SELECT w1, w2, $cutC2 FROM train GROUP BY 1, 2),
+       |c1 AS MATERIALIZED (SELECT w1, $cutC1 FROM train GROUP BY 1),
+       |v AS (SELECT $cutV FROM (
+       |  SELECT b, w1 AS w FROM train UNION ALL SELECT b, w2 FROM train)),
+       |tb AS (SELECT $cutTb FROM train),
+       |sums AS (
+       |  SELECT $sAgg, count(*) AS n_val
+       |  FROM bg
+       |  LEFT JOIN c2 USING (w1, w2)
+       |  LEFT JOIN c1 USING (w1)
+       |  CROSS JOIN v
+       |  WHERE bg.b >= 80 AND bg.b < 90),
+       |perf AS (SELECT pct, train_bigrams, nllraw FROM (${rows.replace("FROM sums", "FROM sums CROSS JOIN tb")}) ),
+       |pts AS (SELECT pct, train_bigrams, nllraw,
+       |               ${Det.unitsSql("ln(CAST(train_bigrams AS DOUBLE))", 9)} AS x9,
+       |               ${Det.unitsSql("ln(nllraw)", 9)} AS y9
+       |        FROM perf),
+       |fit AS (SELECT count(*) AS n, CAST(sum(x9) AS BIGINT) AS sx,
+       |               CAST(sum(y9) AS BIGINT) AS sy,
+       |               sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+       |               sum(CAST(x9 AS HUGEINT) * x9) AS sxx
+       |        FROM pts)
+       |SELECT CAST(pct AS INTEGER) AS pct, train_bigrams,
+       |       ${Det.rndSql("nllraw", 6)} AS val_nll,
+       |       ${Det.rndSql(
+      "(n * CAST(sxy AS DOUBLE) / 1e18 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))" +
+        " / (n * CAST(sxx AS DOUBLE) / 1e18 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))", 6)}
+       |         AS fit_slope
+       |FROM pts CROSS JOIN fit
+       |ORDER BY pct""".stripMargin
+  }
+
+  private val EceBins = 10
+
+  /** EXPECTED CALIBRATION ERROR of the [[naiveBayes]] classifier's
+    * val-split probabilities — "when it says 90%, is it right 90% of
+    * the time?": equal-width probability bins, per-bin mean predicted
+    * p vs realized positive rate, ECE = Σ (n_b/N)·|p̄_b − rate_b|. The
+    * probability-level companion of the logit-bin [[classifierCalibration]]
+    * and the input a temperature-scaling step would minimize.
+    *
+    * Determinism: p in exact 1e-9 units ([[confidentLearning]]'s
+    * fence), bins by integer division, per-bin sums pure BIGINT; ECE
+    * is one fixed double expression over the ≤[[EceBins]]-row table. */
+  def eceCalibration(spark: SparkSession, dir: String): DataFrame =
+    eceCalibrationOf(Tables(spark, dir, "documents"))
+
+  private[graft] def eceCalibrationOf(documents: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val p = nbScores(documents)
+      .select(col("y"),
+        Det.units(lit(1.0) / (lit(1.0)
+          + exp((col("sc_ot") - col("sc_en")).cast("double") / 1e9)), 9).as("p9"))
+      .withColumn("bin", least(expr(s"p9 * $EceBins div 1000000000"),
+        lit((EceBins - 1).toLong)).cast("int"))
+    val bins = p.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum("p9").as("sp9"),
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("nt", sum("n").over(wAll))
+      .withColumn("gap9", abs(expr("sp9 div n") - expr("n_pos * 1000000000L div n")))
+      .withColumn("ece9", sum(col("gap9") * col("n")).over(wAll))
+      .select(col("bin"), col("n"),
+        Det.rnd(col("sp9").cast("double") / 1e9 / col("n"), 6).as("avg_p"),
+        Det.rnd(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        Det.rnd(col("ece9").cast("double") / 1e9 / col("nt"), 6).as("ece"))
+      .orderBy("bin")
+  }
+
+  lazy val eceCalibrationSql: String =
+    s"""WITH $nbScoreCtes,
+       |p AS (SELECT y,
+       |             ${graft.functions.Det.unitsSql(
+      "1.0 / (1.0 + exp(CAST(sc_ot - sc_en AS DOUBLE) / 1e9))", 9)} AS p9
+       |      FROM nbsc),
+       |pb AS (SELECT y, p9,
+       |              CAST(least(p9 * $EceBins // 1000000000, ${EceBins - 1})
+       |                   AS INTEGER) AS bin
+       |       FROM p),
+       |bins AS (SELECT bin, count(*) AS n, CAST(sum(p9) AS BIGINT) AS sp9,
+       |                CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |         FROM pb GROUP BY 1),
+       |etot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |                CAST(sum(abs(sp9 // n - n_pos * 1000000000 // n) * n)
+       |                     AS BIGINT) AS ece9
+       |         FROM bins)
+       |SELECT bin, n,
+       |       ${graft.functions.Det.rndSql("CAST(sp9 AS DOUBLE) / 1e9 / n", 6)} AS avg_p,
+       |       ${graft.functions.Det.rndSql("CAST(n_pos AS DOUBLE) / n", 6)} AS pos_rate,
+       |       ${graft.functions.Det.rndSql("CAST(ece9 AS DOUBLE) / 1e9 / nt", 6)} AS ece
+       |FROM bins CROSS JOIN etot
+       |ORDER BY bin""".stripMargin
+
   /** CONFIDENT-LEARNING label-noise audit (Northcutt et al. 2021,
     * binary form) — the label-quality step a training pipeline runs
     * over weakly-labeled data: using the [[naiveBayes]] classifier's

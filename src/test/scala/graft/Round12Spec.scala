@@ -427,6 +427,30 @@ class Round12Spec extends SparkSpec {
     assert(cells.getOrElse(otherOff, 0L) == 0L)
   }
 
+  test("scalingLaw: nested prefixes grow, val NLL falls, the log-log slope is negative") {
+    val rows = graft.queries.TextQueries.scalingLaw(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == Seq(10, 20, 40, 80))
+    val tb = rows.map(_.getAs[Long]("train_bigrams"))
+    assert(tb.zip(tb.tail).forall { case (a, b) => a < b })
+    val nll = rows.map(_.getAs[Double]("val_nll"))
+    assert(nll.last < nll.head, s"more data did not lower val NLL: $nll")
+    val slopes = rows.map(_.getAs[Double]("fit_slope")).distinct
+    assert(slopes.length == 1 && slopes.head < 0.0)
+  }
+
+  test("eceCalibration: the reported ECE equals the bin-weighted gap recomputed from its own rows") {
+    val rows = graft.queries.TextQueries.eceCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val replay = rows.map { r =>
+      r.getAs[Long]("n") * math.abs(r.getAs[Double]("avg_p") - r.getAs[Double]("pos_rate"))
+    }.sum / n
+    val ece = rows.map(_.getAs[Double]("ece")).distinct
+    assert(ece.length == 1)
+    assert(math.abs(ece.head - replay) < 1e-4, s"ece=${ece.head} replay=$replay")
+    rows.foreach { r => assert(r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") < 10) }
+  }
+
   test("minKProb scores are bounded above by the doc's full KN average") {
     val docs = Tables(spark, sfDir, "documents")
     val mink = graft.queries.TextQueries.minKProbOf(docs).collect()
