@@ -5509,6 +5509,112 @@ object TextQueries {
        |ORDER BY pct""".stripMargin
   }
 
+  /** YOUDEN-J OPTIMAL THRESHOLD for the hashed-logit is-English
+    * classifier — the operating-point pick that [[rocAuc]] (ranking
+    * quality) deliberately doesn't make: sweep every distinct score
+    * as the decision cut (predict positive at score ≥ t) and maximize
+    * J = TPR − FPR. The comparison runs on the exact integer form
+    * J·P·N = cum_tp·N − cum_fp·P, so the argmax (ties: smaller
+    * threshold) is pure BIGINT — no float decides the cut.
+    *
+    * Scale: the sweep is a window over the distinct-SCORE histogram
+    * ([[rocHistFrom]] — value-bounded), never the corpus. */
+  def youdenThreshold(spark: SparkSession, dir: String): DataFrame =
+    youdenThresholdOf(Tables(spark, dir, "documents"))
+
+  private[graft] def youdenThresholdOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val hist = rocHistFrom(docs)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("p", sum("np").over(wAll))
+      .withColumn("n", sum("nn").over(wAll))
+      .withColumn("ctp", sum("np").over(wDesc))
+      .withColumn("cfp", sum("nn").over(wDesc))
+      .withColumn("jpn", col("ctp") * col("n") - col("cfp") * col("p"))
+      .orderBy(desc("jpn"), asc("score")).limit(1)
+      .select(col("score").as("threshold"),
+        col("p").as("n_pos"), col("n").as("n_neg"),
+        Det.rnd(col("ctp").cast("double") / col("p"), 6).as("tpr"),
+        Det.rnd(col("cfp").cast("double") / col("n"), 6).as("fpr"),
+        Det.rnd(col("ctp").cast("double") / col("p")
+          - col("cfp").cast("double") / col("n"), 6).as("youden_j"))
+  }
+
+  val youdenThresholdSql: String = {
+    import graft.functions.Det
+    s"""WITH $hashedLogitCte,
+       |h AS (SELECT l.logit AS score,
+       |             CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS np,
+       |             CAST(sum(CASE WHEN d.lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+       |               AS nn
+       |      FROM logits l JOIN documents d USING (doc_id)
+       |      GROUP BY 1),
+       |sw AS (SELECT score,
+       |              CAST(sum(np) OVER () AS BIGINT) AS p,
+       |              CAST(sum(nn) OVER () AS BIGINT) AS n,
+       |              CAST(sum(np) OVER (ORDER BY score DESC) AS BIGINT) AS ctp,
+       |              CAST(sum(nn) OVER (ORDER BY score DESC) AS BIGINT) AS cfp
+       |       FROM h),
+       |best AS (SELECT * FROM sw ORDER BY ctp * n - cfp * p DESC, score LIMIT 1)
+       |SELECT score AS threshold, p AS n_pos, n AS n_neg,
+       |       ${Det.rndSql("CAST(ctp AS DOUBLE) / p", 6)} AS tpr,
+       |       ${Det.rndSql("CAST(cfp AS DOUBLE) / n", 6)} AS fpr,
+       |       ${Det.rndSql(
+      "CAST(ctp AS DOUBLE) / p - CAST(cfp AS DOUBLE) / n", 6)} AS youden_j
+       |FROM best""".stripMargin
+  }
+
+  /** MATTHEWS CORRELATION COEFFICIENT of the [[naiveBayes]] sign
+    * prediction — the single-number classifier summary that stays
+    * honest under class imbalance (accuracy and even F1 don't): exact
+    * integer 2×2 cells from one pass over the val-split NB scores,
+    * MCC as one fixed double expression. Completes the evaluation
+    * family (AUC, PR-AUC, kappa, Brier, ECE, Youden). */
+  def mccScore(spark: SparkSession, dir: String): DataFrame =
+    mccScoreOf(Tables(spark, dir, "documents"))
+
+  private[graft] def mccScoreOf(documents: DataFrame): DataFrame = {
+    import graft.functions.Det
+    nbScores(documents)
+      .select(col("y"), (col("sc_en") >= col("sc_ot")).cast("long").as("pred"))
+      .agg(
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        Det.rnd(expr(
+          "CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0 THEN 0.0D" +
+            " ELSE (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)" +
+            " / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn))" +
+            " END"), 6).as("mcc"))
+  }
+
+  lazy val mccScoreSql: String =
+    s"""WITH $nbScoreCtes,
+       |cells AS (
+       |  SELECT CAST(sum(CASE WHEN y = 1 AND sc_en >= sc_ot THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN y = 0 AND sc_en >= sc_ot THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN y = 1 AND sc_en < sc_ot THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS fn,
+       |         CAST(sum(CASE WHEN y = 0 AND sc_en < sc_ot THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS tn
+       |  FROM nbsc)
+       |SELECT tp, fp, fn, tn,
+       |       ${graft.functions.Det.rndSql(
+      "CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0 THEN 0.0" +
+        " ELSE (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)" +
+        " / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)) END", 6)}
+       |         AS mcc
+       |FROM cells""".stripMargin
+
   private val EceBins = 10
 
   /** EXPECTED CALIBRATION ERROR of the [[naiveBayes]] classifier's

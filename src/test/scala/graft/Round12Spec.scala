@@ -451,6 +451,47 @@ class Round12Spec extends SparkSpec {
     rows.foreach { r => assert(r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") < 10) }
   }
 
+  test("youdenThreshold equals a plain-Scala sweep over the score histogram") {
+    val docs = Tables(spark, sfDir, "documents")
+    val hist = graft.queries.TextQueries.rocHistFrom(docs).collect()
+      .map(r => (r.getAs[Long]("score"), r.getAs[Long]("np"), r.getAs[Long]("nn")))
+      .sortBy(-_._1)
+    val p = hist.map(_._2).sum
+    val n = hist.map(_._3).sum
+    var (ctp, cfp) = (0L, 0L)
+    val sweep = hist.map { case (s, np, nn) =>
+      ctp += np; cfp += nn
+      (s, ctp, cfp, ctp * n - cfp * p)
+    }
+    val best = sweep.maxBy(t => (t._4, -t._1)) // J·P·N desc, score asc
+    val got = graft.queries.TextQueries.youdenThreshold(spark, sfDir).collect().head
+    assert(got.getAs[Long]("threshold") == best._1)
+    assert(got.getAs[Double]("youden_j") ==
+      math.floor((best._2.toDouble / p - best._3.toDouble / n) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("mcc is exactly 1 on a separable fixture and degrades under a planted flip") {
+    val s = spark
+    import s.implicits._
+    def corpus(flip: Option[Long]): org.apache.spark.sql.DataFrame =
+      (0L until 400L).map { id =>
+        val en = id % 2 == 0
+        val lang = if (flip.contains(id)) { if (en) "de" else "en" }
+          else if (en) "en" else "de"
+        (id, if (en) "aa aa aa" else "bb bb bb", lang, "web", 8L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clean = graft.queries.TextQueries.mccScoreOf(corpus(None)).collect().head
+    assert(clean.getAs[Long]("fp") == 0L && clean.getAs[Long]("fn") == 0L)
+    assert(clean.getAs[Double]("mcc") == 1.0)
+    // flip a val-split doc's label: exactly one off-diagonal cell
+    val ids = spark.range(400).select(col("id"),
+        expr(s"${graft.queries.TextQueries.splitBucketOf("id")}").as("b"))
+      .collect().collect { case r if r.getInt(1) >= 80 && r.getInt(1) < 90 => r.getLong(0) }
+    val noisy = graft.queries.TextQueries.mccScoreOf(corpus(Some(ids.min))).collect().head
+    assert(noisy.getAs[Long]("fp") + noisy.getAs[Long]("fn") == 1L)
+    assert(noisy.getAs[Double]("mcc") < 1.0 && noisy.getAs[Double]("mcc") > 0.8)
+  }
+
   test("minKProb scores are bounded above by the doc's full KN average") {
     val docs = Tables(spark, sfDir, "documents")
     val mink = graft.queries.TextQueries.minKProbOf(docs).collect()
