@@ -57,9 +57,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // transient pins are session-local; a fresh driver starts clean
-    // (VERDICT r11 #1 / ADVICE r11: pin garbage had no lifecycle)
-    Tables.wipeTransientPins(spark)
+    // GC dead-session scratch leftovers only — live concurrent
+    // siblings' pins are untouched (VERDICT r12 "wrong" #1)
+    Tables.sweepStaleScratch(spark)
     // untimed JVM/codegen/IO warmup (no benchmark query runs early):
     // a shuffle, a parquet read and a tiny sort initialize the executor
     // pools and JIT paths that would otherwise inflate the first query
@@ -96,8 +96,21 @@ object Bench {
     // trunk (VERDICT r11 #2): closeness and betweenness both read it —
     // pay it here under its own label (includes the knn-edges scratch
     // build if no earlier setup materialized it)
+    // the whole graph family's shared adjacency trunks (VERDICT r12
+    // #1): und (oriented) + sym — seven census/fixpoint queries and
+    // the seeded-BFS family read them (includes the knn-edges scratch
+    // build if no earlier setup materialized it)
+    val setupT2a = System.nanoTime()
+    val setup2: Map[String, Double] = setup1 ++
+      (try {
+        queries.SimilarityQueries.materializeGraphAdj(spark, sfDir)
+        Map("_setup_graph_adj" -> (System.nanoTime() - setupT2a) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] _setup_graph_adj FAILED: ${e.getMessage}")
+        Map("_setup_graph_adj" -> -1.0)
+      })
     val setupT2 = System.nanoTime()
-    val setup: Map[String, Double] = setup1 ++
+    val setup: Map[String, Double] = setup2 ++
       (try {
         queries.SimilarityQueries.materializeSeededBfs(spark, sfDir)
         Map("_setup_seeded_bfs" -> (System.nanoTime() - setupT2) / 1e9)

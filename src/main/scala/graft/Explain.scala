@@ -21,7 +21,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Tables.wipeTransientPins(spark) // session-local pin root starts clean (r12)
+    Tables.sweepStaleScratch(spark) // GC dead-session scratch only (r13: live siblings untouched)
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q_topk_group_count", "q_project_filter", "q_join_agg_by_dim",

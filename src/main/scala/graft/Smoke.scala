@@ -18,7 +18,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.wipeTransientPins(spark) // session-local pin root starts clean (r12)
+    Tables.sweepStaleScratch(spark) // GC dead-session scratch only (r13: live siblings untouched)
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(5, truncate = false)

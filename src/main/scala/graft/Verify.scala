@@ -25,7 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // transient pins are session-local; a fresh driver starts clean
     // (VERDICT r11 #1 / ADVICE r11: pin garbage had no lifecycle)
-    Tables.wipeTransientPins(spark)
+    Tables.sweepStaleScratch(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

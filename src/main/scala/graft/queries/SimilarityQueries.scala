@@ -2191,6 +2191,38 @@ object SimilarityQueries {
     spark.read.parquet(path)
   }
 
+  /** The oriented UNDIRECTED adjacency (low-id → high-id, distinct) of
+    * the k-NN graph — ONE (session, dir)-keyed trunk (VERDICT r12 #1:
+    * triangleCount/clusteringCoeff/moranI/assortativity/kcore/ktruss/
+    * richClub each re-derived and re-pinned this same ≤ k·|V| relation
+    * from [[knnEdgesScratch]] on EVERY invocation — seven sites
+    * re-paying the derivation the seeded-BFS family stopped paying in
+    * r11). First caller in a (session, dir) builds it; every later
+    * caller — including later bench reps and the other six queries —
+    * does a flat columnar read. */
+  private[graft] def undAdjScratch(spark: SparkSession, dir: String): DataFrame =
+    Tables.pinKeyed(spark, "undadj", dir) {
+      undOf(knnEdgesScratch(spark, dir))
+    }
+
+  /** The SYMMETRIZED adjacency (both directions, distinct) — the
+    * second shared trunk shape: [[sssp]]'s frontier expansion,
+    * [[spectralRadius]]'s power iteration and the seeded-BFS family
+    * all iterate over it. Derived from [[undAdjScratch]] by a
+    * union-with-reverse (the two orientations are disjoint, so no
+    * distinct is re-paid). */
+  private[graft] def symAdjScratch(spark: SparkSession, dir: String): DataFrame =
+    Tables.pinKeyed(spark, "symadj", dir) {
+      val und = undAdjScratch(spark, dir)
+      und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
+  /** The per-edge-list und derivation (tests / OnEdges paths). */
+  private def undOf(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+
   def pageRank(spark: SparkSession, dir: String): DataFrame =
     pageRankOnEdges(knnEdgesScratch(spark, dir))
 
@@ -2994,14 +3026,14 @@ object SimilarityQueries {
     * all three census joins re-read one flat columnar file. Counts are
     * exact integers; the one ratio is fenced at 6dp. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
-    triangleCountOnEdges(knnEdgesScratch(spark, dir))
+    triangleCountOnUnd(undAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
-  private[graft] def triangleCountOnEdges(edges: DataFrame): DataFrame = {
+  private[graft] def triangleCountOnEdges(edges: DataFrame): DataFrame =
+    triangleCountOnUnd(undOf(edges)
+      .transform(Tables.scratchPin(_, "tri-und"))) // k·|V| rows, reused 3× — durable pin (r11)
+
+  private def triangleCountOnUnd(und: DataFrame): DataFrame = {
     import graft.functions.Det
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst")).distinct()
-      .transform(Tables.scratchPin(_, "tri-und")) // k·|V| rows, reused 3× — durable pin (r11)
     val nNodes = und.select(explode(array(col("src"), col("dst"))).as("v"))
       .distinct().agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
@@ -3052,14 +3084,14 @@ object SimilarityQueries {
     * exact integers fenced to 9dp units before the per-degree exact
     * sum. Degree ≤ 2k on a k-NN graph, so the output is k-bounded. */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
-    clusteringCoeffOnEdges(knnEdgesScratch(spark, dir))
+    clusteringCoeffOnUnd(undAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
-  private[graft] def clusteringCoeffOnEdges(edges: DataFrame): DataFrame = {
+  private[graft] def clusteringCoeffOnEdges(edges: DataFrame): DataFrame =
+    clusteringCoeffOnUnd(undOf(edges)
+      .transform(Tables.scratchPin(_, "cc-und"))) // k·|V|; triangle join reads it 3× — durable pin (r11)
+
+  private def clusteringCoeffOnUnd(und: DataFrame): DataFrame = {
     import graft.functions.Det
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst")).distinct()
-      .transform(Tables.scratchPin(_, "cc-und")) // k·|V|; triangle join reads it 3× — durable pin (r11)
     val deg = und.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val triV = und.select(col("src").as("a"), col("dst").as("b"))
@@ -3158,16 +3190,16 @@ object SimilarityQueries {
   def moranI(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("double").as("x"))
-    moranIOnEdges(knnEdgesScratch(spark, dir), emb)
+    moranIOnUnd(undAdjScratch(spark, dir), emb) // shared keyed trunk (r13)
   }
 
   private[graft] def moranIOnEdges(edges: DataFrame,
-      values: DataFrame): DataFrame = {
+      values: DataFrame): DataFrame =
+    moranIOnUnd(undOf(edges)
+      .transform(Tables.scratchPin(_, "moran-und")), values) // k·|V|, read twice — durable pin (r11)
+
+  private def moranIOnUnd(und: DataFrame, values: DataFrame): DataFrame = {
     import graft.functions.Det
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst")).distinct()
-      .transform(Tables.scratchPin(_, "moran-und")) // k·|V|, read twice — durable pin (r11)
     val nodes = und.select(explode(array(col("src"), col("dst"))).as("v"))
       .distinct()
       .join(values, col("v") === col("vec_id"))
@@ -3234,13 +3266,13 @@ object SimilarityQueries {
     * are one sqrt (IEEE-exact, correctly rounded in both engines) and
     * the final division, fenced at 6 dp. */
   def assortativity(spark: SparkSession, dir: String): DataFrame =
-    assortativityOnEdges(knnEdgesScratch(spark, dir))
+    assortativityOnUnd(undAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
-  private[graft] def assortativityOnEdges(edges: DataFrame): DataFrame = {
+  private[graft] def assortativityOnEdges(edges: DataFrame): DataFrame =
+    assortativityOnUnd(undOf(edges))
+
+  private def assortativityOnUnd(und: DataFrame): DataFrame = {
     import graft.functions.Det
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst")).distinct()
     val deg = und.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val pts = und
@@ -3304,12 +3336,15 @@ object SimilarityQueries {
     * the sentinel replaces NULL so both engines run identical
     * min-algebra (no engine-specific NULL-in-least semantics). */
   def sssp(spark: SparkSession, dir: String): DataFrame =
-    ssspOnEdges(knnEdgesScratch(spark, dir))
+    ssspOnAdj(symAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
   private[graft] def ssspOnEdges(edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().transform(Tables.scratchPin(_, "sssp-adj")) // 2k·|V| — durable pin (r11)
+    val und = undOf(edges)
+    ssspOnAdj(und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(Tables.scratchPin(_, "sssp-adj"))) // 2k·|V| — durable pin (r11)
+  }
+
+  private def ssspOnAdj(adj: DataFrame): DataFrame = {
     val nodes = adj.select(col("src").as("v")).distinct()
     val seed = nodes.agg(min("v").as("s"))
     var dist = nodes.crossJoin(broadcast(seed))
@@ -3376,13 +3411,14 @@ object SimilarityQueries {
     * the per-round profile makes non-convergence visible instead of
     * silent. Pure integer counts, no rounding anywhere. */
   def kcore(spark: SparkSession, dir: String): DataFrame =
-    kcoreOnEdges(knnEdgesScratch(spark, dir))
+    kcoreOnUnd(undAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
-  private[graft] def kcoreOnEdges(edges: DataFrame): DataFrame = {
-    var edg = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst")).distinct()
-      .transform(Tables.scratchPin(_, "kcore-e0")) // k·|V|, shrinks every round — durable pin (r11)
+  private[graft] def kcoreOnEdges(edges: DataFrame): DataFrame =
+    kcoreOnUnd(undOf(edges)
+      .transform(Tables.scratchPin(_, "kcore-e0"))) // k·|V|, shrinks every round — durable pin (r11)
+
+  private def kcoreOnUnd(und: DataFrame): DataFrame = {
+    var edg = und
     def stats(round: Int, e: DataFrame): DataFrame =
       e.select(explode(array(col("src"), col("dst"))).as("v"))
         .agg(lit(round.toLong).as("round"),
@@ -3594,13 +3630,16 @@ object SimilarityQueries {
     * co-partitioned node key + a groupBy — the pagerank plan shape;
     * the vector is node-bounded. Oracle unrolls identically. */
   def spectralRadius(spark: SparkSession, dir: String): DataFrame =
-    spectralRadiusOnEdges(knnEdgesScratch(spark, dir))
+    spectralRadiusOnSym(symAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
   private[graft] def spectralRadiusOnEdges(edges: DataFrame): DataFrame = {
+    val und = undOf(edges)
+    spectralRadiusOnSym(und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(Tables.scratchPin(_, "spec-sym"))) // 2k·|V|, read every round — durable pin (r11)
+  }
+
+  private def spectralRadiusOnSym(sym: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().transform(Tables.scratchPin(_, "spec-sym")) // 2k·|V|, read every round — durable pin (r11)
     val nodes = sym.select(col("src").as("v")).distinct()
     var x = nodes.withColumn("x", lit(SpecScale))
     val pc = new Tables.PinChain("spec-round")
@@ -3880,14 +3919,14 @@ object SimilarityQueries {
     * oracle (the [[kcoreSql]] MATERIALIZED pattern); pure integer
     * counts throughout. */
   def ktruss(spark: SparkSession, dir: String): DataFrame =
-    ktrussOnEdges(knnEdgesScratch(spark, dir))
+    ktrussOnUnd(undAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
-  private[graft] def ktrussOnEdges(edges: DataFrame): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst")).distinct()
-      .select(col("src").as("a"), col("dst").as("b"))
-      .transform(Tables.scratchPin(_, "ktruss-e0")) // k·|V|, shrinks every round — durable pin (r11)
+  private[graft] def ktrussOnEdges(edges: DataFrame): DataFrame =
+    ktrussOnUnd(undOf(edges)
+      .transform(Tables.scratchPin(_, "ktruss-e0"))) // k·|V|, shrinks every round — durable pin (r11)
+
+  private def ktrussOnUnd(und: DataFrame): DataFrame = {
+    var e = und.select(col("src").as("a"), col("dst").as("b"))
     def stats(round: Int, ed: DataFrame): DataFrame =
       ed.select(explode(array(col("a"), col("b"))).as("v"))
         .agg(lit(round.toLong).as("round"),
@@ -3958,13 +3997,13 @@ object SimilarityQueries {
     * a count — the tier relation shrinks as k grows. Pure integer
     * counts, one fenced density per row. */
   def richClub(spark: SparkSession, dir: String): DataFrame =
-    richClubOnEdges(knnEdgesScratch(spark, dir))
+    richClubOnUnd(undAdjScratch(spark, dir)) // shared keyed trunk (r13)
 
-  private[graft] def richClubOnEdges(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") < col("dst")).distinct()
-      .transform(Tables.scratchPin(_, "rich-sym")) // k·|V|, read once per tier — durable pin (r11)
+  private[graft] def richClubOnEdges(edges: DataFrame): DataFrame =
+    richClubOnUnd(undOf(edges)
+      .transform(Tables.scratchPin(_, "rich-sym"))) // k·|V|, read once per tier — durable pin (r11)
+
+  private def richClubOnUnd(sym: DataFrame): DataFrame = {
     val deg = sym.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .transform(Tables.scratchPin(_, "rich-deg")) // node-sized, read once per tier — durable pin (r11)
@@ -4978,10 +5017,12 @@ object SimilarityQueries {
     * frontier for Brandes. Closeness reads (s, v, dist); betweenness
     * adds its backward δ pass. The repo's "N monitors, one
     * aggregation" discipline applied to the graph family. */
+  /** The seeded family's adjacency is the shared [[symAdjScratch]]
+    * trunk (r13: the separate "seedadj" pin duplicated it on disk),
+    * renamed to the BFS's (v, u) convention at the scan. */
   private def seededAdjScratch(spark: SparkSession, dir: String): DataFrame =
-    Tables.pinKeyed(spark, "seedadj", dir) {
-      symAdjOf(knnEdgesScratch(spark, dir))
-    }
+    symAdjScratch(spark, dir)
+      .select(col("src").as("v"), col("dst").as("u"))
 
   private def seededBfsScratch(spark: SparkSession, dir: String): DataFrame =
     Tables.pinKeyed(spark, "seedbfs", dir) {
@@ -4994,6 +5035,14 @@ object SimilarityQueries {
     * bench-order luck. */
   def materializeSeededBfs(spark: SparkSession, dir: String): Unit = {
     seededBfsScratch(spark, dir)
+    ()
+  }
+
+  /** Eager materialization of the shared adjacency trunks (r13) — the
+    * `_setup_graph_adj` bench label: no graph query absorbs the
+    * family-shared derivation cost by bench-order luck. */
+  def materializeGraphAdj(spark: SparkSession, dir: String): Unit = {
+    symAdjScratch(spark, dir) // builds undAdjScratch transitively
     ()
   }
 

@@ -23,7 +23,7 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.wipeTransientPins(spark) // session-local pin root starts clean (r12)
+    Tables.sweepStaleScratch(spark) // GC dead-session scratch only (r13: live siblings untouched)
     spark.range(100000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().orderBy("k").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()

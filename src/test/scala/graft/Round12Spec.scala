@@ -14,8 +14,12 @@ class Round12Spec extends SparkSpec {
     df.collect().map(_.toString).toSeq
 
   private def pinEntries(): Int = {
-    val d = new java.io.File(s"${Tables.scratchDir}/pins")
-    if (d.exists()) d.list().length else 0
+    // recursive file count: the r13 layout nests pins under a
+    // per-session token dir (pins/<token>/<tag>)
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else 1
+    walk(new java.io.File(s"${Tables.scratchDir}/pins"))
   }
 
   // ------------------------------------------ pin lifecycle (#1)
@@ -41,8 +45,8 @@ class Round12Spec extends SparkSpec {
     val c1 = rows(SimilarityQueries.closenessCentrality(spark, sfDir))
     val keyedRoot = new java.io.File(s"${Tables.scratchDir}/pins-keyed")
     val trunks = keyedRoot.list().filter(n =>
-      n.startsWith("seedadj-") || n.startsWith("seedbfs-"))
-    assert(trunks.length >= 2, s"expected keyed seedadj+seedbfs pins, found ${trunks.mkString(",")}")
+      n.startsWith("symadj-") || n.startsWith("seedbfs-"))
+    assert(trunks.length >= 2, s"expected keyed symadj+seedbfs pins, found ${trunks.mkString(",")}")
     val mod1 = keyedRoot.list().map(n =>
       n -> new java.io.File(keyedRoot, n).lastModified()).toMap
     // betweenness must READ the trunk, not rebuild it

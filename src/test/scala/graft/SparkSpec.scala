@@ -26,7 +26,7 @@ object SparkSpec {
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    Tables.wipeTransientPins(s) // session-local pin root starts clean (r12)
+    Tables.sweepStaleScratch(s) // GC dead-session scratch only (r13: live siblings untouched)
     s
   }
 }
