@@ -23,10 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-`[ \t\n\f\r]` bytes; a LEADING non-space whitespace byte
   * yields Java split's leading empty token; an all-empty input yields
   * the single empty token `split` produces. Per token the weight is
-  * the query's integer formula over (char length, first codepoint):
-  * feat = (len·31 + cp) mod 64, w = ((feat+1)·2654435761 mod 2³²)
-  * mod 17 − 8. Non-ASCII first bytes take a slice-decode fallback for
-  * the codepoint (allocation only on that rare path). Equality with
+  * the query's integer formula over the FULL-STRING polynomial fold
+  * (r13, VERDICT r12 #5 — previously length + first codepoint only):
+  * h ← (h·31 + cp) mod 1000003 over every codepoint, feat = h mod 64,
+  * w = ((feat+1)·2654435761 mod 2³²) mod 17 − 8. Non-ASCII bytes take
+  * a slice-decode fallback for the codepoint (allocation only on that
+  * rare path). Equality with
   * the explode form is ScalaTest-asserted on the corpus and on planted
   * edge fixtures; interpreted and codegen paths share this kernel, so
   * they are the same machine code by construction. */
@@ -35,9 +37,11 @@ object HashedLogitKernel {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
-  /** Weight of one token given its char length and first codepoint. */
-  private def weight(charLen: Int, cp: Int): Long = {
-    val feat = java.lang.Math.floorMod(charLen * 31 + cp, 64)
+  /** Weight of one token given its full-string polynomial hash
+    * (h already reduced mod 1000003; an empty token folds to 0 —
+    * same slot 0 the previous formula assigned it). */
+  private def weight(h: Long): Long = {
+    val feat = h % 64
     java.lang.Math.floorMod((feat + 1L) * 2654435761L, 4294967296L) % 17 - 8
   }
 
@@ -47,14 +51,14 @@ object HashedLogitKernel {
     var logit = 0L
     var nTokens = 0L
     if (n == 0) {
-      // split('', '\s+') -> [""]: one empty token, ascii('') = 0
-      logit += weight(0, 0)
+      // split('', '\s+') -> [""]: one empty token, fold h = 0
+      logit += weight(0L)
       nTokens += 1
     } else {
       if (isWs(t.getByte(0))) {
         // Java split emits a leading "" when the input starts with a
         // separator (only non-space whitespace survives trim)
-        logit += weight(0, 0)
+        logit += weight(0L)
         nTokens += 1
       }
       var i = 0
@@ -62,29 +66,24 @@ object HashedLogitKernel {
         // skip whitespace run
         while (i < n && isWs(t.getByte(i))) i += 1
         if (i < n) {
-          val start = i
-          var charLen = 0
-          var firstCp = -1
+          var h = 0L
           while (i < n && !isWs(t.getByte(i))) {
             val b = t.getByte(i)
             val w = UTF8String.numBytesForFirstByte(b)
-            if (firstCp < 0) {
-              firstCp =
-                if ((b & 0x80) == 0) b.toInt
-                else {
-                  // rare non-ASCII path: decode just this char
-                  val slice = new Array[Byte](w)
-                  var k = 0
-                  while (k < w && i + k < n) { slice(k) = t.getByte(i + k); k += 1 }
-                  UTF8String.fromBytes(slice).toString.codePointAt(0)
-                }
-            }
-            charLen += 1
+            val cp =
+              if ((b & 0x80) == 0) b.toInt
+              else {
+                // rare non-ASCII path: decode just this char
+                val slice = new Array[Byte](w)
+                var k = 0
+                while (k < w && i + k < n) { slice(k) = t.getByte(i + k); k += 1 }
+                UTF8String.fromBytes(slice).toString.codePointAt(0)
+              }
+            h = (h * 31 + cp) % 1000003
             i += w
           }
-          logit += weight(charLen, firstCp)
+          logit += weight(h)
           nTokens += 1
-          val _ = start
         }
       }
     }

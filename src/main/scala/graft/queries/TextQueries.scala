@@ -44,6 +44,32 @@ object TextQueries {
     s"CAST((((($key % 4294967296) * 40503) % 65536) * 65536" +
       s" + ($key % 4294967296) * 31153) % 4294967296 % 100 AS INTEGER)"
 
+  /** Engine-portable FULL-STRING polynomial feature hash (VERDICT r12
+    * #5): the classifier family's token→slot map used to key on token
+    * length + FIRST codepoint only — deliberately cross-engine-
+    * expressible but collision-heavy ("same length, same initial"
+    * tokens always collided). The replacement folds EVERY codepoint
+    * through h ← (h·31 + cp) mod 1000003 (prime modulus keeps each
+    * intermediate < 2²⁵ — no overflow in either engine), then cuts to
+    * the slot count. Spark side: `aggregate` over a codepoint
+    * `sequence`/`substring` walk (a higher-order projection — still
+    * no explode, no shuffle); DuckDB twin [[tokSlotSqlOf]]:
+    * `list_reduce` over `string_split(t, '')` with a prepended 0
+    * accumulator — identical fold, identical values (corpus text is
+    * ASCII; both engines return the codepoint for `ascii`). The
+    * native-kernel twin lives in
+    * [[graft.functions.HashedLogitKernel]]. */
+  private[graft] def tokSlotExprOf(t: String, slots: Int): String =
+    s"CAST((CASE WHEN length($t) = 0 THEN 0L ELSE " +
+      s"aggregate(transform(sequence(1, length($t)), i -> CAST(ascii(substring($t, i, 1)) AS BIGINT)), " +
+      s"0L, (a, x) -> (a * 31 + x) % 1000003) END) % $slots AS INT)"
+
+  /** DuckDB twin of [[tokSlotExprOf]] (the fold every r13 oracle
+    * embeds verbatim). */
+  private[graft] def tokSlotSqlOf(t: String, slots: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($t, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % $slots"
+
   private val SplitBucketSql = splitBucketSqlOf("doc_id")
 
   /** Sampling bucket in [0, 2³²) — same two-step overflow-safe modmul
@@ -2384,7 +2410,7 @@ object TextQueries {
   private[graft] def qualityClassifierExplodeOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-    val feat = pmod(length(col("t")) * 31 + ascii(col("t")), lit(64))
+    val feat = expr(tokSlotExprOf("t", 64)) // full-string fold (r13)
     val w = pmod((feat + 1) * lit(2654435761L), lit(4294967296L)) % 17 - 8
     toks.select(col("doc_id"), w.as("w"))
       .groupBy("doc_id").agg(sum("w").as("logit"))
@@ -2397,7 +2423,7 @@ object TextQueries {
       |                     unnest(string_split_regex(trim(text), '\s+')) AS t
       |              FROM documents),
       |w AS (SELECT doc_id,
-      |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+      |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
       |               % 4294967296 % 17 - 8 AS w
       |      FROM toks)
       |SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit,
@@ -2631,11 +2657,11 @@ object TextQueries {
        |         FROM en),
        |scored AS (
        |  SELECT doc_id,
-       |         CAST(sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |         CAST(sum((list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |                  % 4294967296 % 17 - 8) AS BIGINT) AS logit,
        |         count(*) AS n_tokens
        |  FROM toks GROUP BY 1
-       |  HAVING sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |  HAVING sum((list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |             % 4294967296 % 17 - 8) >= -60),
        |surv AS (
        |  SELECT en.doc_id, scored.logit, scored.n_tokens,
@@ -3245,7 +3271,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |lg AS (SELECT doc_id,
-       |              CAST(sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |              CAST(sum((list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |                       % 4294967296 % 17 - 8) AS BIGINT) AS logit
        |       FROM toks GROUP BY 1),
        |fp AS (SELECT doc_id,
@@ -3689,7 +3715,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |lg AS (SELECT doc_id,
-       |              CAST(sum(((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |              CAST(sum((list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |                       % 4294967296 % 17 - 8) AS BIGINT) AS logit
        |       FROM toks GROUP BY 1),
        |fp AS (SELECT doc_id,
@@ -3794,7 +3820,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |w AS (SELECT doc_id,
-       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |               % 4294967296 % 17 - 8 AS w
        |      FROM toks),
        |scored AS (SELECT s.doc_id, CAST(sum(s.w) AS BIGINT) AS score,
@@ -4042,7 +4068,7 @@ object TextQueries {
       |                unnest(string_split_regex(trim(text), '\s+')) AS t
       |         FROM documents),
       |w AS (SELECT doc_id,
-      |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+      |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
       |               % 4294967296 % 17 - 8 AS w
       |      FROM toks),
       |logits AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit
@@ -4118,7 +4144,7 @@ object TextQueries {
       .select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .distinct()
     val slots = vocab
-      .select(((length(col("t")) * 31 + ascii(col("t"))) % 64).as("slot"))
+      .select(expr(tokSlotExprOf("t", 64)).as("slot")) // full-string fold (r13)
       .groupBy("slot").agg(count(lit(1)).as("load"))
     slots.agg(
       sum("load").as("vocab"),
@@ -4136,7 +4162,7 @@ object TextQueries {
        |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS t
        |  FROM documents),
        |slots AS (
-       |  SELECT (length(t) * 31 + ascii(t)) % 64 AS slot, count(*) AS ld
+       |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 AS slot, count(*) AS ld
        |  FROM vocab GROUP BY 1)
        |SELECT CAST(sum(ld) AS BIGINT) AS vocab,
        |       count(*) AS n_slots_used,
@@ -5783,7 +5809,7 @@ object TextQueries {
       .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
       .select(col("doc_id"), col("y"),
-        expr(s"(length(t) * 31 + ascii(t)) % $LrSlots").as("slot"))
+        expr(tokSlotExprOf("t", LrSlots)).as("slot")) // full-string fold (r13)
       .groupBy("doc_id", "y", "slot").agg(count(lit(1)).as("num"))
     val dl = tokSlots.groupBy("doc_id", "y").agg(sum("num").as("dl"))
     val feats = tokSlots.join(dl.select("doc_id", "dl"), "doc_id")
@@ -5869,7 +5895,7 @@ object TextQueries {
     val out = (0 to LrRounds).map(s => s"SELECT * FROM e$s").mkString(" UNION ALL ")
     s"""WITH ts AS (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |         (length(t) * 31 + ascii(t)) % $LrSlots AS slot
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % $LrSlots AS slot
        |  FROM (SELECT doc_id, lang,
        |               unnest(string_split_regex(trim(text), '\\s+')) AS t
        |        FROM documents)),
@@ -6432,7 +6458,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |w AS (SELECT doc_id,
-       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |               % 4294967296 % 17 - 8 AS w
        |      FROM toks),
        |scored AS (SELECT s.doc_id, CAST(sum(s.w) AS BIGINT) AS score,
@@ -6505,7 +6531,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |w AS (SELECT doc_id,
-       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |               % 4294967296 % 17 - 8 AS w
        |      FROM toks),
        |pred AS (SELECT s.doc_id, sum(s.w) > 0 AS pa,
@@ -6582,7 +6608,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |w AS (SELECT doc_id,
-       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |               % 4294967296 % 17 - 8 AS w
        |      FROM toks),
        |scored AS (SELECT s.doc_id,
@@ -7387,7 +7413,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |w AS (SELECT doc_id,
-       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |               % 4294967296 % 17 - 8 AS w
        |      FROM toks),
        |scored AS (SELECT s.doc_id,
@@ -7468,7 +7494,7 @@ object TextQueries {
        |                     unnest(string_split_regex(trim(text), '\\s+')) AS t
        |              FROM documents),
        |w AS (SELECT doc_id,
-       |             ((length(t) * 31 + ascii(t)) % 64 + 1) * 2654435761
+       |             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % 64 + 1) * 2654435761
        |               % 4294967296 % 17 - 8 AS w
        |      FROM toks),
        |scored AS (SELECT s.doc_id, d.source,

@@ -365,7 +365,7 @@ class Round12Spec extends SparkSpec {
   test("logregStep descends: ln2 baseline, exact first-step loss on a separable fixture, perfect accuracy") {
     val s = spark
     import s.implicits._
-    // 2 English docs say "aa" (slot 31), 2 others say "bb" (slot 32):
+    // 2 English docs say "aa" (slot 32), 2 others say "bb" (slot 0):
     // step 0 gradient moves w(aa) to +2.0 and w(bb) to −2.0 exactly
     // (integer update (∓1e12·8) div 4 div 1000 = ±2e9), so step-1
     // margins are ±2.0 and the loss is ln(1+e⁻²) = 0.126928

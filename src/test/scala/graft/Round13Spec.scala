@@ -67,6 +67,34 @@ class Round13Spec extends SparkSpec {
     assert(kA != kB, s"sessionKey aliased hashCode-colliding dirs: $kA")
   }
 
+  // -------------------------------- full-string feature hash (#5)
+
+  test("feature hash separates same-length same-first-char tokens (VERDICT r12 #5)") {
+    val s = spark
+    import s.implicits._
+    // under the r12 (length·31 + first-codepoint) hash these four
+    // pairs collided by construction; the full-string fold must not
+    val pairs = Seq(("cat", "car"), ("hello", "hells"), ("aa", "ab"),
+      ("data", "date"))
+    val slots = pairs.flatMap(p => Seq(p._1, p._2)).toDF("t")
+      .selectExpr(graft.queries.TextQueries.tokSlotExprOf("t", 64) + " AS slot")
+      .collect().map(_.getInt(0))
+    pairs.indices.foreach { i =>
+      assert(slots(2 * i) != slots(2 * i + 1),
+        s"${pairs(i)} still collide at slot ${slots(2 * i)}")
+    }
+    // and the Spark fold equals the kernel's per-token weight path:
+    // single-token docs' logits must rank identically to slot weights
+    val docs = pairs.flatMap(p => Seq(p._1, p._2)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernelLogits = graft.queries.TextQueries.qualityClassifierOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val foldW = docs.selectExpr("doc_id",
+        s"(${graft.queries.TextQueries.tokSlotExprOf("text", 64)} + 1L) * 2654435761L % 4294967296L % 17 - 8 AS w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernelLogits == foldW, "kernel and portable fold diverge")
+  }
+
   // -------------------------------- shared adjacency trunks (#1)
 
   test("graph census family shares one keyed und/sym adjacency trunk and no query rewrites it") {

@@ -104,7 +104,8 @@ class Round7Spec extends SparkSpec {
     assert(out.keySet == docs.keySet)
     docs.foreach { case (id, text) =>
       val logit = text.trim.split("\\s+").map { t =>
-        val feat = (t.length * 31 + t.head.toInt) % 64
+        // r13 full-string polynomial fold (corpus is ASCII: Char == cp)
+        val feat = t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000003) % 64
         ((feat + 1) * 2654435761L % 4294967296L) % 17 - 8
       }.sum
       assert(out(id)._1 == logit, s"doc $id: ${out(id)._1} != $logit")
@@ -352,7 +353,8 @@ class Round7Spec extends SparkSpec {
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     def logit(text: String): Long = text.trim.split("\\s+").map { t =>
-      val feat = (t.length * 31 + t.head.toInt) % 64
+      // r13 full-string polynomial fold (corpus is ASCII: Char == cp)
+      val feat = t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000003) % 64
       ((feat + 1) * 2654435761L % 4294967296L) % 17 - 8
     }.sum
     val scored = docs.filter(_._2 == "en")
