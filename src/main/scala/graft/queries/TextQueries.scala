@@ -5772,7 +5772,7 @@ object TextQueries {
        |FROM cl GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
-  private val LrSlots = 64
+  private[graft] val LrSlots = 64
   private val LrNum = 8L // dyadic learning rate
   private val LrRounds = 2
 
@@ -5803,8 +5803,14 @@ object TextQueries {
   def logregStep(spark: SparkSession, dir: String): DataFrame =
     logregStepOf(Tables(spark, dir, "documents"))
 
-  private[graft] def logregStepOf(docs: DataFrame): DataFrame = {
-    import graft.functions.Det
+  /** The trainer's hashed feature relation (doc_id, y, slot, num, dl)
+    * — one tokenize pass collapsed to (doc, slot) counts plus the
+    * bias pseudo-slot [[LrSlots]]. Factored out (r13) so the batch
+    * trainer and the streaming mini-batch SGD twin
+    * ([[graft.streaming.StreamJobs.logregStream]]) tokenize and hash
+    * IDENTICALLY; pinning is the caller's choice (corpus-linear →
+    * scratch pin; micro-batch-bounded → localCheckpoint). */
+  private[graft] def lrFeatsOf(docs: DataFrame): DataFrame = {
     val tokSlots = docs
       .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
@@ -5812,16 +5818,54 @@ object TextQueries {
         expr(tokSlotExprOf("t", LrSlots)).as("slot")) // full-string fold (r13)
       .groupBy("doc_id", "y", "slot").agg(count(lit(1)).as("num"))
     val dl = tokSlots.groupBy("doc_id", "y").agg(sum("num").as("dl"))
-    val feats = tokSlots.join(dl.select("doc_id", "dl"), "doc_id")
+    tokSlots.join(dl.select("doc_id", "dl"), "doc_id")
       .select("doc_id", "y", "slot", "num", "dl")
       .unionByName(dl.select(col("doc_id"), col("y"),
         lit(LrSlots).as("slot"), col("dl").as("num"), col("dl")))
-      .transform(graft.Tables.scratchPin(_, "lr-feats")) // doc×(slots+1), corpus-linear
-    val nDocs = dl.count() // loop literal (the pageRank precedent)
-    val spark = docs.sparkSession
+  }
+
+  /** The 65-row zero weight vector every trajectory starts from. */
+  private[graft] def lrZeroWeights(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    var w = (0 to LrSlots).map(s => (s, 0L)).toDF("slot", "w9")
+    (0 to LrSlots).map(s => (s, 0L)).toDF("slot", "w9")
       .localCheckpoint() // 65 rows
+  }
+
+  /** ONE exact-integer gradient step on a feature relation — the unit
+    * both the full-batch trainer ([[logregStepOf]], n = corpus) and
+    * the streaming mini-batch SGD twin (n = micro-batch) apply:
+    * margins from the broadcast 65-row weight vector, per-slot
+    * gradient fenced to 1e-12 units BEFORE the sum, update
+    * w' = w − (g·[[LrNum]]) div n div 1000 — pure integer arithmetic,
+    * so any engine replaying the same batch sequence walks the
+    * bit-identical weight trajectory. */
+  private[graft] def logregSgdStep(w: DataFrame, feats: DataFrame,
+      nDocs: Long): DataFrame = {
+    import graft.functions.Det
+    val m = feats.join(broadcast(w), "slot")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("w9") * col("num")).cast("double")
+        / (lit(1e9) * max("dl"))).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+    val g = feats
+      .join(m.select("doc_id", "p"), "doc_id")
+      .groupBy("slot")
+      .agg(sum(Det.units((col("p") - col("y"))
+        * col("num").cast("double") / col("dl"), 12)).as("g12"))
+    w.join(g, Seq("slot"), "left")
+      .select(col("slot"),
+        (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
+          .as("w9"))
+  }
+
+  private[graft] def logregStepOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "lr-feats")) // doc×(slots+1), corpus-linear
+    // loop literal (the pageRank precedent): one bias row per doc
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val spark = docs.sparkSession
+    var w = lrZeroWeights(spark)
     val pc = new graft.Tables.PinChain("lr-m")
     val evals = (0 to LrRounds).map { step =>
       val m = feats.join(broadcast(w), "slot")

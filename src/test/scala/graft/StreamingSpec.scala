@@ -1467,17 +1467,88 @@ class StreamingSpec extends SparkSpec {
         fed = fed ++ b
         // the maintained artifacts equal the one-shot batch index of
         // every document seen so far — tf/dl by appended segments,
-        // df by the merged vocabulary state
+        // df by the merged bucketed vocabulary state
         val twin = queries.TextQueries.postingsLocalOf(
           fed.toDF("doc_id", "text"))
         assert(sortedRows(spark.read.parquet(s"$outDir/tf.parquet"))
           == sortedRows(twin.tf))
         assert(sortedRows(spark.read.parquet(s"$outDir/dl.parquet"))
           == sortedRows(twin.dl))
-        assert(sortedRows(spark.read.parquet(s"$outDir/df.parquet"))
-          == sortedRows(twin.df))
+        assert(sortedRows(spark.read.parquet(s"$outDir/df.parquet")
+          .select("term", "df", "cf")) == sortedRows(twin.df))
       }
       assert(fed.length == docs.length && docs.nonEmpty)
+      // VERDICT r12 #3: a batch touching ONE term's bucket must leave
+      // every other bucket's files bit-untouched (dynamic partition
+      // overwrite, not read-all → overwrite-all)
+      def bucketFiles(): Map[String, Long] = {
+        val root = new java.io.File(s"$outDir/df.parquet")
+        root.listFiles().filter(_.getName.startsWith("bucket=")).flatMap { d =>
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+        }.toMap
+      }
+      val before = bucketFiles()
+      assert(before.keys.map(_.split("/")(0)).toSet.size > 1,
+        "fixture too small: corpus vocabulary landed in one bucket")
+      val tiny = Seq((999999L, "zzzonlyterm zzzonlyterm"))
+      mem.addData(tiny); q.processAllAvailable()
+      fed = fed ++ tiny
+      val after = bucketFiles()
+      val twin = queries.TextQueries.postingsLocalOf(fed.toDF("doc_id", "text"))
+      assert(sortedRows(spark.read.parquet(s"$outDir/df.parquet")
+        .select("term", "df", "cf")) == sortedRows(twin.df))
+      val changed = after.filter { case (k, m) => before.get(k).forall(_ != m) }
+      val touchedBuckets = changed.keys.map(_.split("/")(0)).toSet ++
+        after.keySet.diff(before.keySet).map(_.split("/")(0))
+      assert(touchedBuckets.size <= 1,
+        s"single-term batch rewrote ${touchedBuckets.size} buckets: $touchedBuckets")
+      val untouched = before.keySet.filterNot(k =>
+        touchedBuckets.contains(k.split("/")(0)))
+      assert(untouched.nonEmpty)
+      untouched.foreach { k =>
+        assert(after.get(k).contains(before(k)), s"untouched bucket file $k changed")
+      }
+    } finally q.stop()
+  }
+
+  test("logregStream: mini-batch SGD weight state equals the batch trajectory replay after every batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val outDir = Files.createTempDirectory("logreg_stream").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamJobs.logregStream(
+      mem.toDF().toDF("doc_id", "text", "lang"), outDir)
+    def wRows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    try {
+      // batch twin: replay the SAME batch sequence through the shared
+      // exact-integer step — the stream state must walk the identical
+      // integer weight trajectory (bit-equality, not tolerance)
+      var wTwin = queries.TextQueries.lrZeroWeights(spark)
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        val bDf = b.toSeq.toDF("doc_id", "text", "lang")
+        val feats = queries.TextQueries.lrFeatsOf(bDf).localCheckpoint()
+        wTwin = queries.TextQueries.logregSgdStep(wTwin, feats, b.length.toLong)
+          .localCheckpoint()
+        val streamed = spark.read.parquet(s"$outDir/weights.parquet")
+        assert(streamed.agg(org.apache.spark.sql.functions.max("step"))
+          .head().getInt(0) == i + 1, s"step counter after batch ${i + 1}")
+        assert(wRows(streamed.select("slot", "w9"))
+          == wRows(wTwin.select("slot", "w9")), s"weights diverge at batch ${i + 1}")
+      }
+      // the persisted trajectory holds every step, not just the last
+      val traj = spark.read.parquet(s"$outDir/trajectory.parquet")
+      assert(traj.select("step").distinct().count() == 3)
+      // and training moved at least one weight off zero
+      assert(wRows(wTwin).exists(_._2 != 0L), "trajectory never left w=0")
     } finally q.stop()
   }
 }
