@@ -95,6 +95,61 @@ class Round13Spec extends SparkSpec {
     assert(kernelLogits == foldW, "kernel and portable fold diverge")
   }
 
+  // -------------------------------- real BMP decode (#7)
+
+  test("decodeBmp parses a hand-assembled container and hits every error-lane branch") {
+    import graft.queries.MultimodalQueries
+    // 2 rows of 12 pixel bytes: values 10..33
+    val px = (10 until 34).map(_.toByte).toArray
+    val bmp = MultimodalQueries.buildBmp(px)
+    assert(bmp.length == 54 + 24)
+    val ok = MultimodalQueries.decodeBmp(1L, bmp)
+    assert(ok.status == "ok")
+    assert(ok.width.contains(4) && ok.height.contains(2) && ok.bpp.contains(24))
+    assert(ok.n_px.contains(8L))
+    assert(ok.px_sum.contains((10 until 34).map(_.toLong).sum))
+    assert(ok.px_min.contains(10) && ok.px_max.contains(33))
+    // error lanes: each is a distinct real container defect
+    assert(MultimodalQueries.decodeBmp(2L, bmp.take(10)).status == "too_short")
+    val badMagic = bmp.clone(); badMagic(0) = 'X'.toByte
+    assert(MultimodalQueries.decodeBmp(3L, badMagic).status == "bad_magic")
+    val badBpp = bmp.clone(); badBpp(28) = 8.toByte
+    assert(MultimodalQueries.decodeBmp(4L, badBpp).status == "unsupported_bpp")
+    val badSize = bmp.clone(); badSize(2) = (badSize(2) + 1).toByte
+    assert(MultimodalQueries.decodeBmp(5L, badSize).status == "size_mismatch")
+    val badH = bmp.clone(); badH(22) = 9.toByte // claims 9 rows, has 2
+    // keep the claimed file size consistent so the height check fires
+    assert(MultimodalQueries.decodeBmp(6L, badH).status == "truncated_pixels")
+  }
+
+  test("mediaDecode: ok-lane stats equal a plain-Scala byte replay; corrupted ids land in the error lane") {
+    import graft.queries.MultimodalQueries
+    val out = MultimodalQueries.mediaDecode(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val bytes = docs(id).getBytes("UTF-8")
+      val rows = bytes.length / 12
+      assert(rows >= 1)
+      if (id % 7 == 0) {
+        assert(r.getAs[String]("status") == "bad_magic")
+        assert(r.isNullAt(r.fieldIndex("px_sum")))
+      } else {
+        assert(r.getAs[String]("status") == "ok")
+        val used = bytes.take(rows * 12).map(_ & 0xff)
+        assert(r.getAs[Long]("px_sum") == used.map(_.toLong).sum, s"doc $id sum")
+        assert(r.getAs[Int]("px_min") == used.min && r.getAs[Int]("px_max") == used.max)
+        assert(r.getAs[Int]("height") == rows && r.getAs[Long]("n_px") == 4L * rows)
+      }
+    }
+    // the fixture actually exercises both lanes
+    assert(out.exists(_.getAs[String]("status") == "bad_magic"))
+    assert(out.count(_.getAs[String]("status") == "ok") > out.length / 2)
+  }
+
   // -------------------------------- shared adjacency trunks (#1)
 
   test("graph census family shares one keyed und/sym adjacency trunk and no query rewrites it") {
