@@ -5437,4 +5437,100 @@ object SimilarityQueries {
        |WHERE rf <= $MatK OR rp <= $MatK
        |GROUP BY qid
        |ORDER BY qid""".stripMargin
+
+  private val ShapK = 5 // the valued KNN classifier's K
+
+  /** EXACT KNN-SHAPLEY DATA VALUATION (Jia et al., VLDB 2019) — the
+    * training-data-pricing op: every training vector's exact Shapley
+    * contribution to a K-NN classifier's accuracy on the seeded
+    * validation anchors. The O(2^n) Shapley definition collapses, for
+    * KNN utility v(S) = (1/K)·Σ_{j≤min(K,|S|)} 1[label match of S's
+    * j-th nearest], to a closed recursion over the distance ranking:
+    * s_N = m_N/N and s_i = s_{i+1} + (m_i − m_{i+1})·min(K,i)/(K·i) —
+    * i.e. a SUFFIX SUM of rank-local deltas, which is exactly one
+    * window pass, not a recursion. Positive values mark examples that
+    * help the anchor's classification; negative ones actively hurt —
+    * the per-example curation signal dedup/quality scores cannot give.
+    *
+    * Determinism (total-order contract): ranking by float cosine is
+    * only safe for top-k cuts; a FULL ranking here feeds rank-indexed
+    * arithmetic, so ties/ulp drift would shift every downstream value.
+    * Distances are therefore exact integers end-to-end: coordinates
+    * are fenced to 1e-6 units ([[graft.functions.Det.units]] — both
+    * engines multiply the identical float-widened double), d² is an
+    * integer sum of squares (≤ 64·(4e6)² ≪ 2⁶³), ranks break ties on
+    * vec_id, each delta is one truncating `div` (identical in both
+    * engines incl. the negative −1·X case), and the suffix sum runs
+    * over exact 1e-12-unit integers.
+    *
+    * Scale shape: anchors broadcast (provably `.limit`-bounded per the
+    * join-gate contract) against ONE corpus scan; the window sorts
+    * anchor-partitioned distance lists (NQueries·|V| rows); the finish
+    * is one groupBy(vec_id). No iteration, no driver state. */
+  def knnShapley(spark: SparkSession, dir: String): DataFrame =
+    knnShapleyOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def knnShapleyOf(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < NQueries).limit(NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlab"))
+    val c = emb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("clab"))
+    val d = broadcast(q).crossJoin(c)
+      .select(col("qid"), col("cid"),
+        expr("aggregate(zip_with(qe, ce, (a, b) -> " +
+          "CAST(round(CAST(a AS DOUBLE) * 1000000) AS BIGINT) - " +
+          "CAST(round(CAST(b AS DOUBLE) * 1000000) AS BIGINT)), " +
+          "0L, (acc, x) -> acc + x * x)").as("d2"),
+        (col("clab") === col("qlab")).cast("long").as("m"))
+    val wOrd = Window.partitionBy("qid").orderBy(asc("d2"), asc("cid"))
+    val wAll = Window.partitionBy("qid")
+    val ranked = d
+      .withColumn("rnk", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("mn", lead("m", 1).over(wOrd))
+    val deltas = ranked.select(col("qid"), col("cid"), col("rnk"),
+      when(col("mn").isNull, expr("m * 1000000000000L div n"))
+        .otherwise(expr(
+          s"((m - mn) * 1000000000000L * least($ShapK, rnk)) div ($ShapK * rnk)"))
+        .as("d12"))
+    val wSuf = Window.partitionBy("qid").orderBy("rnk")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    deltas
+      .withColumn("s12", sum("d12").over(wSuf))
+      .groupBy(col("cid").as("vec_id"))
+      .agg(sum("s12").as("shap12"), count(lit(1)).as("n_anchors"))
+      .orderBy("vec_id")
+  }
+
+  val knnShapleySql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |             list_transform(embedding,
+       |               v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS e6
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlab, e6 AS q6 FROM e WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cid, label AS clab, e6 AS c6 FROM e WHERE vec_id >= $NQueries),
+       |d AS (SELECT qid, cid,
+       |             CAST(list_sum(list_transform(range(len(q6)),
+       |               i -> (q6[CAST(i + 1 AS INTEGER)] - c6[CAST(i + 1 AS INTEGER)])
+       |                  * (q6[CAST(i + 1 AS INTEGER)] - c6[CAST(i + 1 AS INTEGER)]))) AS BIGINT) AS d2,
+       |             CASE WHEN clab = qlab THEN 1 ELSE 0 END AS m
+       |      FROM q CROSS JOIN c),
+       |r AS (SELECT qid, cid, m,
+       |             row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk,
+       |             count(*) OVER (PARTITION BY qid) AS n
+       |      FROM d),
+       |x AS (SELECT qid, cid, rnk,
+       |             CASE WHEN lead(m) OVER w IS NULL THEN m * 1000000000000 // n
+       |                  ELSE ((m - lead(m) OVER w) * 1000000000000 * least($ShapK, rnk))
+       |                       // ($ShapK * rnk) END AS d12
+       |      FROM r WINDOW w AS (PARTITION BY qid ORDER BY rnk)),
+       |s AS (SELECT qid, cid, rnk,
+       |             sum(d12) OVER (PARTITION BY qid ORDER BY rnk
+       |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s12
+       |      FROM x)
+       |SELECT cid AS vec_id, CAST(sum(s12) AS BIGINT) AS shap12,
+       |       count(*) AS n_anchors
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 }
