@@ -8381,4 +8381,186 @@ object TextQueries {
           "(CAST(pos AS DOUBLE) / n) * (1.0 - CAST(pos AS DOUBLE) / n)",
           6)} AS uncertainty
        |FROM a""".stripMargin
+
+  /** SPECULATIVE-DECODING DRAFT ACCEPTANCE RATE (r13) — the serving
+    * economics readout for a corpus: if a bigram LM were the draft
+    * model (greedy argmax next-token, count-desc / token-asc
+    * tie-break), what fraction of each language's tokens would the
+    * target model "accept" (= the actual next token equals the
+    * draft)? High acceptance means the corpus is n-gram-predictable
+    * and speculative decoding pays; the per-language split shows
+    * which slices benefit.
+    *
+    * Scale shape: one tokenize pass with a per-doc lead window (doc
+    * key already carried), one bigram aggregation, the argmax as a
+    * vocabulary-bounded row_number cut, one broadcastable join back,
+    * one language rollup. Counts and the ppm rate are exact integers. */
+  def speculativeNgram(spark: SparkSession, dir: String): DataFrame =
+    speculativeNgramOf(Tables(spark, dir, "documents"))
+
+  private[graft] def speculativeNgramOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = toks.withColumn("nxt", lead("t", 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val big = pairs.groupBy("t", "nxt").agg(count(lit(1)).as("c"))
+    val wp = Window.partitionBy("t").orderBy(desc("c"), asc("nxt"))
+    val pred = big.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1).select(col("t"), col("nxt").as("pred"))
+    pairs.join(pred, "t") // vocabulary-bounded dim — broadcastable
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("nxt") === col("pred")).cast("long")).as("n_accept"),
+        expr("sum(CASE WHEN nxt = pred THEN 1L ELSE 0L END)" +
+          " * 1000000 div count(1)").as("accept_ppm"))
+      .orderBy("lang")
+  }
+
+  val speculativeNgramSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+       |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS l
+       |        FROM documents)),
+       |pairs AS (
+       |  SELECT doc_id, lang, t,
+       |         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM toks),
+       |p2 AS (SELECT * FROM pairs WHERE nxt IS NOT NULL),
+       |big AS (SELECT t, nxt, count(*) AS c FROM p2 GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT t, nxt AS pred FROM (
+       |    SELECT t, nxt, row_number() OVER (PARTITION BY t ORDER BY c DESC, nxt) AS rn
+       |    FROM big)
+       |  WHERE rn = 1)
+       |SELECT lang, count(*) AS n_pairs,
+       |       CAST(sum(CASE WHEN p2.nxt = pred.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       |       CAST(sum(CASE WHEN p2.nxt = pred.pred THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS accept_ppm
+       |FROM p2 JOIN pred USING (t)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val PfxCacheMin = 16 // chars of shared prefix worth caching
+
+  /** PREFIX-CACHE SHARING AUDIT (r13) — the KV-cache planning readout
+    * for serving: within each source shard, sort documents and take
+    * the longest common prefix with the sorted predecessor — exactly
+    * the prefix-sharing structure a radix-tree prefix cache (vLLM /
+    * SGLang style) exploits; adjacent-in-sorted-order LCP is the
+    * standard lower-bound estimate of cacheable prefix mass. Reports
+    * per source: docs, docs with a ≥ [[PfxCacheMin]]-char shared
+    * prefix, total shared chars, hit rate ppm, and the longest prefix.
+    *
+    * Scale shape: the window sorts WITHIN source shards (the unit a
+    * serving cache lives in) — no global single-partition sort; the
+    * LCP is a per-row higher-order expression over the char walk
+    * (first-mismatch position via array_position, null/0 semantics
+    * aligned per engine); one source rollup. All integers. */
+  def prefixCache(spark: SparkSession, dir: String): DataFrame =
+    prefixCacheOf(Tables(spark, dir, "documents"))
+
+  private[graft] def prefixCacheOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("text", "doc_id")
+    val lcp = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("prev", lag("text", 1).over(w))
+      .withColumn("lcp", expr(
+        """CASE WHEN prev IS NULL OR least(length(text), length(prev)) = 0 THEN 0L
+          |     ELSE CASE WHEN array_position(
+          |            transform(sequence(1, least(length(text), length(prev))),
+          |              i -> substring(text, i, 1) = substring(prev, i, 1)),
+          |            false) = 0
+          |          THEN CAST(least(length(text), length(prev)) AS BIGINT)
+          |          ELSE array_position(
+          |            transform(sequence(1, least(length(text), length(prev))),
+          |              i -> substring(text, i, 1) = substring(prev, i, 1)),
+          |            false) - 1 END
+          |END""".stripMargin))
+    lcp.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("lcp") >= PfxCacheMin).cast("long")).as("n_cacheable"),
+        sum("lcp").as("shared_chars"),
+        expr(s"sum(CASE WHEN lcp >= $PfxCacheMin THEN 1L ELSE 0L END)" +
+          " * 1000000 div count(1)").as("hit_ppm"),
+        max("lcp").as("max_lcp"))
+      .orderBy("source")
+  }
+
+  val prefixCacheSql: String =
+    s"""WITH srt AS (
+       |  SELECT doc_id, source, text,
+       |         lag(text) OVER (PARTITION BY source ORDER BY text, doc_id) AS prev
+       |  FROM documents),
+       |l AS (
+       |  -- list_position returns 0 (this DuckDB) / NULL (newer) when
+       |  -- no mismatch exists — both mean "prefix runs the full min
+       |  -- length" (same alignment Spark needs for array_position=0)
+       |  SELECT source,
+       |         CASE WHEN prev IS NULL OR least(strlen(text), strlen(prev)) = 0 THEN 0
+       |              WHEN coalesce(list_position(
+       |                     list_transform(range(1, least(strlen(text), strlen(prev)) + 1),
+       |                       i -> substr(text, CAST(i AS INTEGER), 1)
+       |                          = substr(prev, CAST(i AS INTEGER), 1)),
+       |                     false), 0) = 0
+       |              THEN least(strlen(text), strlen(prev))
+       |              ELSE list_position(
+       |                     list_transform(range(1, least(strlen(text), strlen(prev)) + 1),
+       |                       i -> substr(text, CAST(i AS INTEGER), 1)
+       |                          = substr(prev, CAST(i AS INTEGER), 1)),
+       |                     false) - 1
+       |         END AS lcp
+       |  FROM srt)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN lcp >= $PfxCacheMin THEN 1 ELSE 0 END) AS BIGINT) AS n_cacheable,
+       |       CAST(sum(lcp) AS BIGINT) AS shared_chars,
+       |       CAST(sum(CASE WHEN lcp >= $PfxCacheMin THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS hit_ppm,
+       |       CAST(max(lcp) AS BIGINT) AS max_lcp
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val CbBeta = 0.999 // effective-number re-weighting horizon
+
+  /** CLASS-BALANCE RE-WEIGHTING by effective number of samples (Cui
+    * et al., CVPR 2019) — the loss-weighting table a trainer applies
+    * to a skewed corpus: a class with n samples carries effective
+    * mass E(n) = (1 − β^n)/(1 − β) (diminishing returns of
+    * near-duplicate evidence), and its loss weight is ∝ 1/E(n),
+    * normalized over classes. Reported per language class.
+    *
+    * Determinism: E(n) is exp/ln double arithmetic on identical
+    * inputs (the logloss precedent), fenced at 6 dp; the inverse
+    * masses are fenced to 1e-9 integer units BEFORE the class-bounded
+    * normalization sum, so summation order cannot move the weights. */
+  def classBalance(spark: SparkSession, dir: String): DataFrame =
+    classBalanceOf(Tables(spark, dir, "documents"))
+
+  private[graft] def classBalanceOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val cls = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("eff_n",
+        Det.rnd((lit(1.0) - pow(lit(CbBeta), col("n"))) / (1.0 - CbBeta), 6))
+      .withColumn("inv9", Det.units(lit(1.0) / col("eff_n"), 9))
+    val tot = cls.agg(sum("inv9").as("tot9"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"), col("eff_n"),
+        Det.rnd(col("inv9").cast("double") / col("tot9"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
+  val classBalanceSql: String = {
+    import graft.functions.Det
+    s"""WITH cls AS (
+       |  SELECT lang, count(*) AS n,
+       |         ${Det.rndSql(s"(1.0 - pow($CbBeta, count(*))) / (1.0 - $CbBeta)", 6)} AS eff_n
+       |  FROM documents GROUP BY 1),
+       |iv AS (SELECT lang, n, eff_n,
+       |              ${Det.unitsSql("1.0 / eff_n", 9)} AS inv9
+       |       FROM cls),
+       |t AS (SELECT CAST(sum(inv9) AS BIGINT) AS tot9 FROM iv)
+       |SELECT lang, n, eff_n,
+       |       ${Det.rndSql("CAST(inv9 AS DOUBLE) / tot9", 6)} AS weight
+       |FROM iv CROSS JOIN t
+       |ORDER BY lang""".stripMargin
+  }
 }

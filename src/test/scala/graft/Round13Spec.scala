@@ -147,6 +147,67 @@ class Round13Spec extends SparkSpec {
     assert(got(10L) > 0L && got(12L) < 0L)
   }
 
+  // -------------------------------- r13 wave: serving/training ops
+
+  test("speculativeNgram: acceptance is exact on a fully-predictable corpus and the argmax tie-break is count-desc/token-asc") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a b": bigram argmax is a->b, b->a; every pair accepted
+    val det = Seq((1L, "a b a b a b", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = graft.queries.TextQueries.speculativeNgramOf(det).collect().head
+    assert(r1.getAs[Long]("n_pairs") == 5L && r1.getAs[Long]("n_accept") == 5L)
+    assert(r1.getAs[Long]("accept_ppm") == 1000000L)
+    // "x a x b x a": x->a (2) beats x->b (1); pairs x_a,a_x,x_b,b_x,x_a
+    // → accepted: both x->a pairs; a->x and b->x are each that token's
+    // only continuation → accepted too; x->b rejected (draft says a)
+    val mix = Seq((1L, "x a x b x a", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r2 = graft.queries.TextQueries.speculativeNgramOf(mix).collect().head
+    assert(r2.getAs[Long]("n_pairs") == 5L && r2.getAs[Long]("n_accept") == 4L)
+    assert(r2.getAs[Long]("accept_ppm") == 800000L)
+  }
+
+  test("prefixCache: LCP with the sorted predecessor matches a plain-Scala replay per source") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lcpOf(a: String, b: String): Long = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i.toLong
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      val lcps = 0L +: sorted.sliding(2).map {
+        case Array(p, c) => lcpOf(c._3, p._3)
+      }.toSeq
+      src -> (ds.length.toLong, lcps.count(_ >= 16).toLong, lcps.sum, lcps.max)
+    }
+    val got = graft.queries.TextQueries.prefixCache(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_cacheable"),
+          r.getAs[Long]("shared_chars"), r.getAs[Long]("max_lcp"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+  }
+
+  test("classBalance: effective numbers follow the closed form and weights normalize to 1") {
+    val rows = graft.queries.TextQueries.classBalance(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val expected = (1.0 - math.pow(0.999, n.toDouble)) / (1.0 - 0.999)
+      assert(math.abs(r.getAs[Double]("eff_n") - expected) < 1e-5, s"lang ${r.getString(0)}")
+    }
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // the rarest class carries the largest weight
+    val byN = rows.sortBy(_.getAs[Long]("n"))
+    assert(byN.head.getAs[Double]("weight") >= byN.last.getAs[Double]("weight"))
+  }
+
   // -------------------------------- real BMP decode (#7)
 
   test("decodeBmp parses a hand-assembled container and hits every error-lane branch") {
