@@ -12696,4 +12696,87 @@ object ExtensionQueries {
        |       ${Det.rndSql("(SELECT costraw FROM cost)", 6)} AS sinkhorn_cost,
        |       ${Det.rndSql("(SELECT errraw FROM err)", 6)} AS row_marginal_err""".stripMargin
   }
+
+  /** DP MEDIAN via the EXPONENTIAL MECHANISM (McSherry–Talwar 2007) —
+    * the quantile-release twin of [[dpCounts]]' Laplace counts: the
+    * purchase-amount median is released by sampling a DOLLAR BIN with
+    * probability ∝ exp(ε·u/2), where the utility u(bin) is minus the
+    * rank distance of the bin's center from n/2 (sensitivity 1). The
+    * "sample" is the Gumbel-max trick — argmax of ε·u/2 + Gumbel —
+    * with the per-bin Gumbel from the same deterministic golden-ratio
+    * Weyl point as [[dpCounts]] (an auditable-replay demo, NOT a
+    * secret-randomness DP deployment; swap the Weyl point for a real
+    * PRG in production).
+    *
+    * Scale shape: one cents histogram (value-domain-bounded bins), a
+    * bounded cumulative window over the bins, one argmax cut — the
+    * full-rank formulation would window over every row; binning is
+    * what makes the mechanism 100 TB-safe. Utility, ranks and the
+    * 1e-9-fenced scores are integers; the only doubles are the two ln
+    * calls on identical inputs. */
+  def dpQuantile(spark: SparkSession, dir: String): DataFrame =
+    dpQuantileOf(Tables(spark, dir, "events"))
+
+  private[graft] def dpQuantileOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = events.filter(col("event_type") === "purchase")
+      .select(Det.cents(col("value")).as("cents"))
+      .groupBy(expr("cents div 100").as("bin")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.agg(sum("cnt").as("n"))
+    val scored = bins
+      .withColumn("cum", sum("cnt").over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("u", -abs(lit(2L) * col("cum") - col("cnt") - col("n")))
+      .withColumn("uw", expr(
+        "((bin * 2654435761) % 4294967296 + 0.5) / 4294967296.0"))
+      .withColumn("score9", Det.units(
+        lit(0.5 * DpEpsilon.toDouble) * col("u") - log(-log(col("uw"))), 9))
+    val dp = scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("score9"), asc("bin"))))
+      .filter(col("rn") === 1)
+      .select((col("bin") * 100 + 50).as("dp_median_cents"))
+    val med = scored.filter(col("cum") >= expr("(n + 1) div 2"))
+      .orderBy("bin").limit(1)
+      .select((col("bin") * 100 + 50).as("true_median_cents"), col("n"))
+    med.crossJoin(broadcast(dp))
+      .select(col("n"), col("true_median_cents"), col("dp_median_cents"),
+        abs(col("dp_median_cents") - col("true_median_cents")).as("err_cents"),
+        lit(DpEpsilon).cast("double").as("epsilon"))
+  }
+
+  val dpQuantileSql: String =
+    s"""WITH b AS (
+       |  SELECT ${Det.centsSql("value")} // 100 AS bin, count(*) AS cnt
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+       |s AS (
+       |  SELECT bin, cnt, n,
+       |         sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS cum
+       |  FROM b CROSS JOIN t),
+       |sc AS (
+       |  SELECT bin, cum, n,
+       |         ${Det.unitsSql(
+          s"0.5 * $DpEpsilon * (-abs(2 * cum - cnt - n)) " +
+            "- ln(-ln(((bin * 2654435761) % 4294967296 + 0.5) / 4294967296.0))", 9)}
+       |           AS score9
+       |  FROM s),
+       |dp AS (
+       |  SELECT bin * 100 + 50 AS dp_median_cents FROM (
+       |    SELECT bin, row_number() OVER (ORDER BY score9 DESC, bin) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |md AS (
+       |  SELECT bin * 100 + 50 AS true_median_cents, n FROM (
+       |    SELECT bin, n, row_number() OVER (ORDER BY bin) AS rn
+       |    FROM sc WHERE cum >= (n + 1) // 2)
+       |  WHERE rn = 1)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       CAST(true_median_cents AS BIGINT) AS true_median_cents,
+       |       CAST(dp_median_cents AS BIGINT) AS dp_median_cents,
+       |       CAST(abs(dp_median_cents - true_median_cents) AS BIGINT) AS err_cents,
+       |       CAST($DpEpsilon AS DOUBLE) AS epsilon
+       |FROM md CROSS JOIN dp""".stripMargin
 }

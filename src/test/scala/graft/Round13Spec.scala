@@ -208,6 +208,27 @@ class Round13Spec extends SparkSpec {
     assert(byN.head.getAs[Double]("weight") >= byN.last.getAs[Double]("weight"))
   }
 
+  test("dpQuantile: a spiked distribution pins both the true and the DP median to the spike bin") {
+    val s = spark
+    import s.implicits._
+    // 999 purchases at $5.50 + one at $99: utility of the $5 bin is
+    // ~0 while every other bin sits ~1000 ranks away — ε/2·Δu ≈ 250
+    // dwarfs the O(1) Gumbel spread, so the mechanism must pick it
+    val evs = ((1 to 999).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "purchase", 5.50, "{}")) :+
+      ((1000L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "purchase", 99.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.ExtensionQueries.dpQuantileOf(evs).collect().head
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(r.getAs[Long]("true_median_cents") == 550L)
+    assert(r.getAs[Long]("dp_median_cents") == 550L)
+    assert(r.getAs[Long]("err_cents") == 0L)
+    // corpus run: error is bounded by the bin width + mechanism spread
+    val c = graft.queries.ExtensionQueries.dpQuantile(spark, sfDir).collect().head
+    assert(c.getAs[Long]("n") > 0L)
+    assert(c.getAs[Double]("epsilon") == 0.5)
+  }
+
   // -------------------------------- real BMP decode (#7)
 
   test("decodeBmp parses a hand-assembled container and hits every error-lane branch") {
