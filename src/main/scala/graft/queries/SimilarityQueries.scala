@@ -5533,4 +5533,103 @@ object SimilarityQueries {
        |SELECT cid AS vec_id, CAST(sum(s12) AS BIGINT) AS shap12,
        |       count(*) AS n_anchors
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val SubK    = 4                      // greedy picks
+  private val SubCand = 16                     // candidate pool
+  private val SubFar  = 1000000000000000L      // > any d2 (coords ≤ 1e3 units)
+
+  /** SUBMODULAR DATA SELECTION — greedy k-medoids coverage (the
+    * facility-location dual): pick [[SubK]] representatives from a
+    * [[SubCand]]-candidate pool minimizing Σ_v min_{s∈S} d²(v, s) —
+    * the classic diverse-subset selection a training pipeline runs to
+    * choose prototypes / prompt exemplars; the greedy is (1−1/e)-
+    * optimal by submodularity of the coverage decrease (Nemhauser et
+    * al. 1978). Complements [[kcenterCoreset]]: k-center optimizes
+    * the WORST-covered point (minimax radius), this optimizes TOTAL
+    * coverage (sum) — different extremes, different selections.
+    *
+    * Scale shape: one candidate×corpus distance relation (SubCand·|V|
+    * rows, exact-integer d² on 1e-3-unit coordinates), scratch-pinned
+    * once and re-read by all [[SubK]] unrolled rounds; each round is
+    * one join + a [[SubCand]]-bounded aggregation + an argmin cut,
+    * with node-sized coverage state pinned per level ([[Tables.PinChain]]).
+    * Costs stay < 2⁶³ up to ~10⁹ vectors at this quantization. Oracle
+    * unrolls the same rounds as MATERIALIZED CTEs. */
+  def submodularSelect(spark: SparkSession, dir: String): DataFrame =
+    submodularSelectOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def submodularSelectOf(emb: DataFrame): DataFrame = {
+    val d2e = "aggregate(zip_with(qe, ce, (a, b) -> " +
+      "CAST(round(CAST(a AS DOUBLE) * 1000) AS BIGINT) - " +
+      "CAST(round(CAST(b AS DOUBLE) * 1000) AS BIGINT)), " +
+      "0L, (acc, x) -> acc + x * x)"
+    val cand = emb.filter(col("vec_id") < SubCand).limit(SubCand)
+      .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+    val all = emb.select(col("vec_id").as("vid"), col("embedding").as("ce"))
+    val cd = broadcast(cand).crossJoin(all)
+      .select(col("cid"), col("vid"), expr(d2e).as("d2"))
+      .transform(Tables.scratchPin(_, "submod-cd")) // SubCand·|V|, read every round
+    val pc = new Tables.PinChain("submod-cur")
+    var cur = all.select(col("vid"), lit(SubFar).as("best"))
+    var picked: DataFrame = null
+    val rounds = (1 to SubK).map { r =>
+      val gains = cd.join(cur, "vid")
+        .groupBy("cid").agg(sum(least(col("best"), col("d2"))).as("cost"))
+      val open = if (picked == null) gains
+        else gains.join(picked, Seq("cid"), "left_anti")
+      val pick = open // SubCand-bounded argmin cut
+        .withColumn("rn", row_number().over(
+          Window.orderBy(asc("cost"), asc("cid"))))
+        .filter(col("rn") === 1).select(col("cid"), col("cost"))
+        .localCheckpoint() // 1 row
+      picked = (if (picked == null) pick.select("cid")
+        else picked.unionAll(pick.select("cid"))).localCheckpoint() // ≤ SubK rows
+      val pickD = cd.join(broadcast(pick.select("cid")), "cid")
+        .select(col("vid"), col("d2").as("dp"))
+      cur = cur.join(pickD, "vid")
+        .select(col("vid"), least(col("best"), col("dp")).as("best"))
+        .transform(pc.next) // node-sized round state
+      pick.select(lit(r).as("round"), col("cid").as("vec_id"),
+        col("cost").as("total_cost"))
+    }
+    rounds.reduce(_ unionAll _).orderBy("round")
+  }
+
+  val submodularSelectSql: String = {
+    val d2sql = "CAST(list_sum(list_transform(range(len(q3)), " +
+      "i -> (q3[CAST(i + 1 AS INTEGER)] - c3[CAST(i + 1 AS INTEGER)])" +
+      " * (q3[CAST(i + 1 AS INTEGER)] - c3[CAST(i + 1 AS INTEGER)]))) AS BIGINT)"
+    val rounds = (1 to SubK).map { r =>
+      val excl = if (r == 1) ""
+        else "WHERE " + (1 until r).map(p => s"cid <> (SELECT cid FROM p$p)").mkString(" AND ")
+      val curPrev = if (r == 1) s"CAST($SubFar AS BIGINT) AS best, vid FROM (SELECT DISTINCT vid FROM cd)"
+        else s"best, vid FROM cur${r - 1}"
+      s"""g$r AS MATERIALIZED (
+         |  SELECT cd.cid, CAST(sum(least(c.best, cd.d2)) AS BIGINT) AS cost
+         |  FROM cd JOIN (SELECT $curPrev) c USING (vid)
+         |  $excl
+         |  GROUP BY 1),
+         |p$r AS MATERIALIZED (
+         |  SELECT cid, cost FROM (
+         |    SELECT cid, cost, row_number() OVER (ORDER BY cost, cid) AS rn FROM g$r)
+         |  WHERE rn = 1),
+         |cur$r AS MATERIALIZED (
+         |  SELECT c.vid, least(c.best, cd.d2) AS best
+         |  FROM (SELECT $curPrev) c
+         |  JOIN cd ON cd.vid = c.vid AND cd.cid = (SELECT cid FROM p$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding,
+       |               v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS e3
+       |           FROM embeddings),
+       |cd AS MATERIALIZED (
+       |  SELECT q.vec_id AS cid, c.vec_id AS vid, $d2sql AS d2
+       |  FROM (SELECT vec_id, e3 AS q3 FROM e WHERE vec_id < $SubCand) q
+       |  CROSS JOIN (SELECT vec_id, e3 AS c3 FROM e) c),
+       |$rounds
+       |${(1 to SubK).map(r =>
+          s"SELECT $r AS round, (SELECT cid FROM p$r) AS vec_id, (SELECT cost FROM p$r) AS total_cost")
+         .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -208,6 +208,33 @@ class Round13Spec extends SparkSpec {
     assert(byN.head.getAs[Double]("weight") >= byN.last.getAs[Double]("weight"))
   }
 
+  test("submodularSelect: greedy coverage equals a plain-Scala replay and cost is monotone nonincreasing") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v =>
+        math.round(v.toDouble * 1000)).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cands = emb.keys.filter(_ < 16).toSeq.sorted
+    val all = emb.keys.toSeq.sorted
+    var best = all.map(_ -> 1000000000000000L).toMap
+    var left = cands
+    val expected = (1 to 4).map { r =>
+      val scored = left.map(c =>
+        c -> all.map(v => math.min(best(v), d2(emb(v), emb(c)))).sum)
+      val (pick, cost) = scored.minBy { case (c, s) => (s, c) }
+      left = left.filterNot(_ == pick)
+      best = all.map(v => v -> math.min(best(v), d2(emb(v), emb(pick)))).toMap
+      (r, pick, cost)
+    }
+    val got = graft.queries.SimilarityQueries.submodularSelect(spark, sfDir)
+      .collect().map(r => (r.getAs[Int]("round"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("total_cost"))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    val costs = got.map(_._3)
+    assert(costs.zip(costs.tail).forall { case (a, b) => b <= a })
+  }
+
   test("dpQuantile: a spiked distribution pins both the true and the DP median to the spike bin") {
     val s = spark
     import s.implicits._
