@@ -5534,6 +5534,138 @@ object SimilarityQueries {
        |       count(*) AS n_anchors
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val RptDepth = 2 // levels -> 4 leaves
+
+  /** RANDOM-PROJECTION FOREST ANN (median splits — Dasgupta & Freund
+    * 2008): the BALANCED counterpart of [[annLsh]]'s sign buckets.
+    * Sign-LSH cuts every hyperplane at 0, so bucket sizes follow the
+    * data's mass around the origin; an RP-tree cuts each node at the
+    * MEDIAN of the projections, so leaves are balanced by
+    * construction — predictable per-leaf search cost. Trees are built
+    * PER LABEL SHARD (an RP-forest): a single global median would
+    * demand an unpartitioned corpus-rank — the shape the standing
+    * window contract forbids — while per-shard trees keep every
+    * median cut local, which is exactly how production RP-forests
+    * compose (sampled/sharded medians, one tree per shard). Two
+    * levels → 4 leaves per shard; anchors route to their shard's leaf
+    * and search it brute-force; recall@5 against the exact top-5 is
+    * the quality readout.
+    *
+    * Determinism: projections are exact integer dot products of
+    * 1e-6-unit coordinates with ±1 sign directions (the
+    * [[graft.functions.SignLshBucket]] Knuth-hash scheme), medians
+    * are rank cuts (row_number, vec_id tie-break), and recall is
+    * integer ppm — no float enters the tree.
+    *
+    * Scale shape: two projection passes + two shard-partitioned rank
+    * windows, the routed search is an equi-join on (shard, leaf),
+    * top-5s are per-anchor windows. */
+  def annRptree(spark: SparkSession, dir: String): DataFrame =
+    annRptreeOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def annRptreeOf(emb: DataFrame): DataFrame = {
+    // ±1 direction d(p, i): bit 15 of (i+1)·(K + 4096p + 2p²) mod 2³²
+    // (the SignLshBucket scheme-1 plane family)
+    def projExpr(p: Int): String =
+      "aggregate(zip_with(embedding, sequence(1, size(embedding)), (v, i) -> " +
+        s"CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * " +
+        s"(CAST((CAST(i AS BIGINT) * (2654435761 + 4096 * $p + 2 * $p * $p)) % 4294967296 AS BIGINT) div 32768 % 2 * 2 - 1)), " +
+        "0L, (acc, x) -> acc + x)"
+    val pr = emb.select(col("vec_id"), col("embedding"), col("label"),
+      expr(projExpr(0)).as("p0"), expr(projExpr(1)).as("p1"))
+    val leafed = pr
+      .withColumn("r0", row_number().over(
+        Window.partitionBy("label").orderBy(asc("p0"), asc("vec_id"))))
+      .withColumn("nShard", count(lit(1)).over(Window.partitionBy("label")))
+      .withColumn("b0", (col("r0") > expr("nShard div 2")).cast("int"))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy("label", "b0").orderBy(asc("p1"), asc("vec_id"))))
+      .withColumn("nHalf", count(lit(1)).over(Window.partitionBy("label", "b0")))
+      .withColumn("leaf", col("b0") * 2
+        + (col("r1") > expr("nHalf div 2")).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("leaf"))
+      .transform(Tables.scratchPin(_, "rpt-leaf")) // |V| rows, read 3×
+    val d2e = "aggregate(zip_with(qe, ce, (a, b) -> " +
+      "CAST(round(CAST(a AS DOUBLE) * 1000000) AS BIGINT) - " +
+      "CAST(round(CAST(b AS DOUBLE) * 1000000) AS BIGINT)), " +
+      "0L, (acc, x) -> acc + x * x)"
+    val q = leafed.filter(col("vec_id") < NQueries).limit(NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlab"), col("leaf").as("qleaf"))
+    val c = leafed.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("clab"), col("leaf").as("cleaf"))
+    val wq = Window.partitionBy("qid").orderBy(asc("d2"), asc("cid"))
+    val exact = broadcast(q).crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(d2e).as("d2"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= K)
+      .select(col("qid"), col("cid"))
+    val routed = broadcast(q).join(c,
+        col("qlab") === col("clab") && col("qleaf") === col("cleaf"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(d2e).as("d2"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= K)
+      .select(col("qid"), col("cid"))
+    val rec = exact.join(routed, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    val perQ = q.select("qid").join(rec, Seq("qid"), "left")
+      .select(col("qid"),
+        expr(s"coalesce(hits, 0L) * 1000000 div $K").as("rppm"))
+    val leafStats = leafed.groupBy("label", "leaf").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_leaves"), min("sz").as("min_leaf"),
+        max("sz").as("max_leaf"))
+    val recall = perQ.agg(count(lit(1)).as("n_anchors"),
+      expr("sum(rppm) div count(1)").as("mean_recall_ppm"))
+    leafStats.crossJoin(broadcast(recall))
+  }
+
+  val annRptreeSql: String = {
+    def projSql(p: Int): String =
+      "CAST(list_sum(list_transform(range(len(e6)), " +
+        s"i -> e6[CAST(i + 1 AS INTEGER)] * " +
+        s"((CAST((i + 1) * (2654435761 + 4096 * $p + 2 * $p * $p) % 4294967296 AS BIGINT) // 32768) % 2 * 2 - 1))) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |             list_transform(embedding,
+       |               v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS e6
+       |           FROM embeddings),
+       |pr AS (SELECT vec_id, label, e6, ${projSql(0)} AS p0, ${projSql(1)} AS p1 FROM e),
+       |l0 AS (SELECT vec_id, label, e6, p1,
+       |              CASE WHEN row_number() OVER (PARTITION BY label ORDER BY p0, vec_id)
+       |                   > (count(*) OVER (PARTITION BY label)) // 2 THEN 1 ELSE 0 END AS b0
+       |       FROM pr),
+       |lf AS (SELECT vec_id, label, e6,
+       |              b0 * 2 + CASE WHEN row_number() OVER (PARTITION BY label, b0 ORDER BY p1, vec_id)
+       |                   > (count(*) OVER (PARTITION BY label, b0)) // 2 THEN 1 ELSE 0 END AS leaf
+       |       FROM l0),
+       |q AS (SELECT vec_id AS qid, e6 AS q6, label AS qlab, leaf AS qleaf
+       |      FROM lf WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cid, e6 AS c6, label AS clab, leaf AS cleaf FROM lf),
+       |dall AS (SELECT qid, cid, clab, cleaf, qlab, qleaf,
+       |               CAST(list_sum(list_transform(range(len(q6)),
+       |                 i -> (q6[CAST(i + 1 AS INTEGER)] - c6[CAST(i + 1 AS INTEGER)])
+       |                    * (q6[CAST(i + 1 AS INTEGER)] - c6[CAST(i + 1 AS INTEGER)]))) AS BIGINT) AS d2
+       |        FROM q CROSS JOIN c WHERE qid <> cid),
+       |ex AS (SELECT qid, cid FROM (
+       |         SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+       |         FROM dall) WHERE rk <= $K),
+       |rt AS (SELECT qid, cid FROM (
+       |         SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+       |         FROM dall WHERE cleaf = qleaf AND clab = qlab) WHERE rk <= $K),
+       |pq AS (SELECT q.qid,
+       |              CAST(coalesce(h.hits, 0) * 1000000 // $K AS BIGINT) AS rppm
+       |       FROM q LEFT JOIN (
+       |         SELECT ex.qid, count(*) AS hits
+       |         FROM ex JOIN rt ON ex.qid = rt.qid AND ex.cid = rt.cid
+       |         GROUP BY 1) h ON q.qid = h.qid),
+       |ls AS (SELECT count(*) AS n_leaves, CAST(min(sz) AS BIGINT) AS min_leaf,
+       |              CAST(max(sz) AS BIGINT) AS max_leaf
+       |       FROM (SELECT label, leaf, count(*) AS sz FROM lf GROUP BY 1, 2)),
+       |rc AS (SELECT count(*) AS n_anchors,
+       |              CAST(sum(rppm) // count(*) AS BIGINT) AS mean_recall_ppm
+       |       FROM pq)
+       |SELECT * FROM ls CROSS JOIN rc""".stripMargin
+  }
+
   private val SubK    = 4                      // greedy picks
   private val SubCand = 16                     // candidate pool
   private val SubFar  = 1000000000000000L      // > any d2 (coords ≤ 1e3 units)

@@ -235,6 +235,24 @@ class Round13Spec extends SparkSpec {
     assert(costs.zip(costs.tail).forall { case (a, b) => b <= a })
   }
 
+  test("annRptree: per-shard median splits balance leaves within one row and recall is sane") {
+    val r = graft.queries.SimilarityQueries.annRptree(spark, sfDir).collect().head
+    val emb = Tables(spark, sfDir, "embeddings")
+    val nVec = emb.count()
+    val nLab = emb.select("label").distinct().count()
+    // every (label-shard, leaf) cell exists when shards have ≥ 4 rows
+    assert(r.getAs[Long]("n_leaves") <= 4L * nLab)
+    assert(r.getAs[Long]("n_leaves") > nLab)
+    // median splits: within a shard, leaf sizes differ by ≤ 1 per cut;
+    // across shards the spread is bounded by shard-size spread + 2
+    val shardSizes = emb.groupBy("label").count().collect().map(_.getLong(1))
+    assert(r.getAs[Long]("max_leaf") <= shardSizes.max / 4 + 2)
+    assert(r.getAs[Long]("min_leaf") >= math.max(0L, shardSizes.min / 4 - 1))
+    assert(r.getAs[Long]("n_anchors") == math.min(10L, nVec))
+    val ppm = r.getAs[Long]("mean_recall_ppm")
+    assert(ppm >= 0L && ppm <= 1000000L)
+  }
+
   test("dpQuantile: a spiked distribution pins both the true and the DP median to the spike bin") {
     val s = spark
     import s.implicits._
