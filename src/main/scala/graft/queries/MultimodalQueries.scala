@@ -797,4 +797,161 @@ object MultimodalQueries {
        |FROM px
        |ORDER BY media_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // WAV decode — the AUDIO twin of the BMP lane (r13): a RIFF/WAVE
+  // container demands genuine CHUNK WALKING (fmt/data/unknown chunks
+  // with even-padding), not just a fixed-offset header read — the
+  // parse structure every real media demuxer has. Some containers get
+  // a junk chunk inserted before `data` so the walk is actually
+  // exercised on the happy path.
+
+  private val WavHeaderLen = 44 // RIFF(12) + fmt(24) + data hdr(8)
+
+  /** Decoded WAV stats (or the error lane). */
+  case class WavDecoded(
+      media_id: Long, status: String,
+      n_samples: Option[Long], s_min: Option[Int], s_max: Option[Int],
+      s_sum: Option[Long])
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** A VALID 16-bit mono PCM WAV whose data chunk is `data` verbatim
+    * (length must be even); `withJunk` inserts an unknown 6-byte chunk
+    * (odd size → pad byte) between fmt and data. */
+  private[graft] def buildWav(data: Array[Byte], withJunk: Boolean): Array[Byte] = {
+    require(data.length % 2 == 0, "PCM16 data must be whole samples")
+    val junkLen = if (withJunk) 8 + 5 + 1 else 0 // hdr + odd size + pad
+    val riffSize = 4 + 24 + junkLen + 8 + data.length
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+    out.put(fourcc("RIFF")).put(le32(riffSize)).put(fourcc("WAVE"))
+      .put(fourcc("fmt ")).put(le32(16))
+      .put(le16(1))      // PCM
+      .put(le16(1))      // mono
+      .put(le32(8000))   // sample rate
+      .put(le32(16000))  // byte rate
+      .put(le16(2))      // block align
+      .put(le16(16))     // bits per sample
+    if (withJunk) {
+      out.put(fourcc("junk")).put(le32(5))
+        .put(Array.fill(5)(0x5a.toByte)).put(0.toByte) // odd size → pad byte
+    }
+    out.put(fourcc("data")).put(le32(data.length)).put(data)
+    out.array()
+  }
+
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** The genuine demuxer: RIFF/WAVE validation, then a chunk WALK
+    * (size-skipping unknown chunks with even padding) to locate fmt
+    * and data; every failure class is its own row-level status. */
+  private[graft] def decodeWav(id: Long, payload: Array[Byte]): WavDecoded = {
+    def bad(status: String) =
+      WavDecoded(id, status, None, None, None, None)
+    if (payload.length < 12) bad("too_short")
+    else if (cc(payload, 0) != "RIFF") bad("bad_magic")
+    else if (cc(payload, 8) != "WAVE") bad("bad_wave")
+    else {
+      var off = 12
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = -1
+      var status: String = null
+      while (status == null && dataOff < 0 && off + 8 <= payload.length) {
+        val id4 = cc(payload, off)
+        val size = rdLe32(payload, off + 4)
+        if (size < 0 || off + 8 + size > payload.length) status = "truncated_chunk"
+        else id4 match {
+          case "fmt " =>
+            val audioFormat = rdLe16(payload, off + 8)
+            val bits = rdLe16(payload, off + 22)
+            if (audioFormat != 1 || bits != 16) status = "unsupported_format"
+            else { fmtOk = true; off += 8 + size + (size & 1) }
+          case "data" => dataOff = off + 8; dataLen = size
+          case _ => off += 8 + size + (size & 1) // skip unknown, even-pad
+        }
+      }
+      if (status != null) bad(status)
+      else if (dataOff < 0) bad("no_data_chunk")
+      else if (!fmtOk) bad("no_fmt_chunk")
+      else {
+        var i = dataOff
+        val end = dataOff + dataLen
+        var sum = 0L; var mn = 65536; var mx = -65536; var n = 0L
+        while (i + 1 < end) {
+          val raw = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+          val s = if (raw >= 32768) raw - 65536 else raw
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          n += 1
+          i += 2
+        }
+        WavDecoded(id, "ok", Some(n), Some(mn), Some(mx), Some(sum))
+      }
+    }
+  }
+
+  /** The WAV "tape archive": one container per document with ≥ 1 whole
+    * 16-bit sample of text bytes; `doc_id % 5 == 0` containers carry a
+    * junk chunk before data (the walk must skip it — same stats);
+    * `doc_id % 11 == 0` are corrupted at the RIFF magic. */
+  def wavContainers(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    val s = spark
+    import s.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(octet_length(col("text")) >= 2)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val data = bytes.take(bytes.length / 2 * 2)
+          val wav = buildWav(data, withJunk = id % 5 == 0)
+          if (id % 11 == 0) wav(0) = 'X'.toByte
+          MediaRecord(id, "audio/wav", wav, wav.length.toLong)
+        }
+      }
+  }
+
+  /** Oracled WAV decode pass — plan shape identical to
+    * [[mediaDecode]]; the oracle reproduces the ok-lane sample stats
+    * from text-byte algebra (little-endian 16-bit pairs) and the
+    * error lane from the corruption rule, so the compare checks the
+    * chunk WALK landed on exactly the data the builder wrote (junk
+    * chunk skipped, padding honored). */
+  def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    wavContainers(spark, dir)
+      .mapPartitions(it => it.map(r => decodeWav(r.media_id, r.payload)))
+      .toDF()
+      .select(col("media_id"), col("status"), col("n_samples"),
+        col("s_min"), col("s_max"), col("s_sum"),
+        graft.functions.Det.rnd(col("s_sum").cast("double") / col("n_samples"), 6)
+          .as("amp_mean"))
+      .orderBy("media_id")
+  }
+
+  val wavDecodeSql: String =
+    s"""WITH sm AS (
+       |  SELECT doc_id AS media_id, doc_id % 11 = 0 AS corrupt,
+       |         CAST(strlen(text) // 2 AS BIGINT) AS n,
+       |         list_transform(range(CAST(strlen(text) // 2 AS BIGINT)),
+       |           i -> ascii(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+       |              + 256 * ascii(substr(text, CAST(2 * i + 2 AS INTEGER), 1))) AS s
+       |  FROM documents WHERE strlen(text) >= 2)
+       |SELECT media_id,
+       |       CASE WHEN corrupt THEN 'bad_magic' ELSE 'ok' END AS status,
+       |       CASE WHEN corrupt THEN NULL ELSE n END AS n_samples,
+       |       CASE WHEN corrupt THEN NULL ELSE CAST(list_min(s) AS INTEGER) END AS s_min,
+       |       CASE WHEN corrupt THEN NULL ELSE CAST(list_max(s) AS INTEGER) END AS s_max,
+       |       CASE WHEN corrupt THEN NULL ELSE CAST(list_sum(s) AS BIGINT) END AS s_sum,
+       |       CASE WHEN corrupt THEN NULL
+       |            ELSE ${graft.functions.Det.rndSql(
+                     "CAST(list_sum(s) AS DOUBLE) / n", 6)}
+       |       END AS amp_mean
+       |FROM sm
+       |ORDER BY media_id""".stripMargin
 }

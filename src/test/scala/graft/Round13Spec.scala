@@ -329,6 +329,58 @@ class Round13Spec extends SparkSpec {
     assert(out.count(_.getAs[String]("status") == "ok") > out.length / 2)
   }
 
+  test("decodeWav walks chunks (junk skipped, odd-size padded), handles signed samples, and hits every error lane") {
+    import graft.queries.MultimodalQueries
+    // two samples: 0x0102 = 258 and 0xFFFE = -2 (signed 16-bit LE)
+    val data = Array(0x02, 0x01, 0xfe, 0xff).map(_.toByte)
+    Seq(false, true).foreach { junk =>
+      val wav = MultimodalQueries.buildWav(data, withJunk = junk)
+      val ok = MultimodalQueries.decodeWav(1L, wav)
+      assert(ok.status == "ok", s"junk=$junk")
+      assert(ok.n_samples.contains(2L))
+      assert(ok.s_min.contains(-2) && ok.s_max.contains(258))
+      assert(ok.s_sum.contains(256L))
+    }
+    val wav = MultimodalQueries.buildWav(data, withJunk = false)
+    val badMagic = wav.clone(); badMagic(0) = 'X'.toByte
+    assert(MultimodalQueries.decodeWav(2L, badMagic).status == "bad_magic")
+    val badWave = wav.clone(); badWave(8) = 'X'.toByte
+    assert(MultimodalQueries.decodeWav(3L, badWave).status == "bad_wave")
+    val badFmt = wav.clone(); badFmt(20) = 3.toByte // IEEE float format
+    assert(MultimodalQueries.decodeWav(4L, badFmt).status == "unsupported_format")
+    val trunc = wav.clone()
+    // data chunk claims more bytes than the payload carries
+    trunc(wav.length - data.length - 4) = 99.toByte
+    assert(MultimodalQueries.decodeWav(5L, trunc).status == "truncated_chunk")
+    assert(MultimodalQueries.decodeWav(6L, wav.take(10)).status == "too_short")
+  }
+
+  test("wavDecode: ok-lane stats equal a plain-Scala 16-bit LE replay for both junk and plain containers") {
+    import graft.queries.MultimodalQueries
+    val out = MultimodalQueries.wavDecode(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val bytes = docs(id).getBytes("UTF-8")
+      if (id % 11 == 0) assert(r.getAs[String]("status") == "bad_magic")
+      else {
+        assert(r.getAs[String]("status") == "ok", s"doc $id")
+        val samples = bytes.take(bytes.length / 2 * 2).grouped(2)
+          .map(p => (p(0) & 0xff) | ((p(1) & 0xff) << 8)).toSeq
+        assert(r.getAs[Long]("n_samples") == samples.length.toLong)
+        assert(r.getAs[Long]("s_sum") == samples.map(_.toLong).sum, s"doc $id")
+        assert(r.getAs[Int]("s_min") == samples.min && r.getAs[Int]("s_max") == samples.max)
+      }
+    }
+    assert(out.exists(_.getAs[String]("status") == "bad_magic"))
+    // junk-chunk containers (id % 5 == 0, not corrupt) decode identically
+    assert(out.exists(r => r.getAs[Long]("media_id") % 5 == 0
+      && r.getAs[String]("status") == "ok"))
+  }
+
   // -------------------------------- shared adjacency trunks (#1)
 
   test("graph census family shares one keyed und/sym adjacency trunk and no query rewrites it") {
