@@ -12697,6 +12697,76 @@ object ExtensionQueries {
        |       ${Det.rndSql("(SELECT errraw FROM err)", 6)} AS row_marginal_err""".stripMargin
   }
 
+  /** OFF-POLICY EVALUATION by inverse-propensity scoring — the
+    * counterfactual serving question every recommender/ranker team
+    * asks of its logs: "what value WOULD the new policy earn, judged
+    * only from traffic the old policy logged?" Logged bandit feedback
+    * = view events (action = the shown item `props.k`, reward = the
+    * view's dollar value); behavior propensities μ(k) are the
+    * empirical action shares; the target policy π is uniform over the
+    * k < 10 slate. Reported: the IPS estimate
+    * V̂ = (1/N)·Σ rᵢ·π(aᵢ)/μ(aᵢ) (unbiased, high variance), the
+    * self-normalized SNIPS = Σ rw / Σ w (biased, low variance —
+    * Swaminathan & Joachims 2015), and the on-slate direct mean for
+    * reference.
+    *
+    * Determinism: rewards are exact cents; each importance weight and
+    * each weighted reward is fenced to integer units PER ROW before
+    * the sums (identical double products in both engines), so
+    * partial-aggregation order cannot move either estimator.
+    *
+    * Scale shape: one action-share aggregation (item-bounded),
+    * broadcast back over one pass of the log, one final aggregate —
+    * no shuffle wider than the item dimension. */
+  def ipsEval(spark: SparkSession, dir: String): DataFrame =
+    ipsEvalOf(Tables(spark, dir, "events"))
+
+  private[graft] def ipsEvalOf(events: DataFrame): DataFrame = {
+    val logged = events.filter(col("event_type") === "view")
+      .select(expr("CAST(get_json_object(props, '$.k') AS INT)").as("k"),
+        Det.cents(col("value")).as("r_cents"))
+    val mu = logged.groupBy("k").agg(count(lit(1)).as("nk"))
+    val tot = logged.agg(count(lit(1)).as("n"))
+    val w = logged.join(broadcast(mu), "k").crossJoin(broadcast(tot))
+      .withColumn("target", (col("k") < 10).cast("long"))
+      .withColumn("w9", Det.units(
+        col("target") * col("n").cast("double") / (lit(10.0) * col("nk")), 9))
+      .withColumn("rw6", Det.units(
+        col("target") * (col("r_cents").cast("double") / 100.0)
+          * col("n").cast("double") / (lit(10.0) * col("nk")), 6))
+    w.agg(
+      count(lit(1)).as("n_logged"),
+      sum("target").as("n_on_slate"),
+      Det.rnd(sum("rw6").cast("double") / 1e6 / max("n"), 6).as("ips_value"),
+      Det.rnd(sum("rw6").cast("double") * 1e3 / sum("w9"), 6).as("snips_value"),
+      Det.rnd(sum(col("target") * col("r_cents")).cast("double") / 100.0
+        / sum("target"), 6).as("direct_value"))
+  }
+
+  val ipsEvalSql: String =
+    s"""WITH lg AS (
+       |  SELECT TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k,
+       |         ${Det.centsSql("value")} AS r_cents
+       |  FROM events WHERE event_type = 'view'),
+       |mu AS (SELECT k, count(*) AS nk FROM lg GROUP BY 1),
+       |t AS (SELECT count(*) AS n FROM lg),
+       |w AS (
+       |  SELECT CASE WHEN lg.k < 10 THEN 1 ELSE 0 END AS target,
+       |         r_cents, n, nk,
+       |         ${Det.unitsSql(
+      "CASE WHEN lg.k < 10 THEN 1 ELSE 0 END * CAST(n AS DOUBLE) / (10.0 * nk)", 9)} AS w9,
+       |         ${Det.unitsSql(
+      "CASE WHEN lg.k < 10 THEN 1 ELSE 0 END * (CAST(r_cents AS DOUBLE) / 100.0) " +
+        "* CAST(n AS DOUBLE) / (10.0 * nk)", 6)} AS rw6
+       |  FROM lg JOIN mu USING (k) CROSS JOIN t)
+       |SELECT count(*) AS n_logged,
+       |       CAST(sum(target) AS BIGINT) AS n_on_slate,
+       |       ${Det.rndSql("CAST(sum(rw6) AS DOUBLE) / 1e6 / max(n)", 6)} AS ips_value,
+       |       ${Det.rndSql("CAST(sum(rw6) AS DOUBLE) * 1e3 / sum(w9)", 6)} AS snips_value,
+       |       ${Det.rndSql(
+      "CAST(sum(target * r_cents) AS DOUBLE) / 100.0 / sum(target)", 6)} AS direct_value
+       |FROM w""".stripMargin
+
   /** DP MEDIAN via the EXPONENTIAL MECHANISM (McSherry–Talwar 2007) —
     * the quantile-release twin of [[dpCounts]]' Laplace counts: the
     * purchase-amount median is released by sampling a DOLLAR BIN with

@@ -8441,6 +8441,143 @@ object TextQueries {
        |FROM p2 JOIN pred USING (t)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** GRADIENT-ALIGNMENT DATA ATTRIBUTION (TracIn, Pruthi et al. 2020
+    * — the one-checkpoint form): the gradient-based counterpart of
+    * the model-free [[graft.queries.SimilarityQueries.knnShapley]].
+    * After ONE exact SGD step of the is-English trainer (off-zero
+    * weights, so per-example gradients differ), each TRAIN-split
+    * document is scored by the dot product of its per-slot gradient
+    * with the VAL-split mean gradient: positive alignment means a
+    * descent step on that example also descends the validation loss —
+    * helpful; negative means it actively pulls the model away —
+    * harmful (mislabeled/noisy candidates). Top-10 of each lane.
+    *
+    * Determinism: the step is the bit-identical integer trainer
+    * ([[logregSgdStep]]); per-(doc, slot) gradients are fenced to
+    * 1e-6 integer units before any sum, the val mean is an integer
+    * div, and the alignment is an exact integer dot product (≤ 65 ·
+    * 1e12 ≪ 2⁶³).
+    *
+    * Scale shape: feature pass → one broadcast step → one margin pass
+    * → slot-keyed gradient relation (doc × ≤65 rows, pinned); the val
+    * reduction is slot-bounded (65 rows, broadcast back); the finish
+    * is a per-doc aggregation and two top-10 cuts. */
+  def influenceProxy(spark: SparkSession, dir: String): DataFrame =
+    influenceProxyOf(Tables(spark, dir, "documents"))
+
+  private[graft] def influenceProxyOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "infl-feats")) // doc×(slots+1)
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val w1 = logregSgdStep(lrZeroWeights(docs.sparkSession), feats, nDocs)
+      .localCheckpoint() // 65 rows
+    val m = feats.join(broadcast(w1), "slot")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("w9") * col("num")).cast("double")
+        / (lit(1e9) * max("dl"))).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+    val g = feats.join(m.select("doc_id", "p"), "doc_id")
+      .select(col("doc_id"), col("slot"),
+        Det.units((col("p") - col("y"))
+          * col("num").cast("double") / col("dl"), 6).as("g6"),
+        expr(SplitBucket).as("b"))
+      .transform(graft.Tables.scratchPin(_, "infl-g")) // doc×(slots+1), read twice
+    val nVal = g.filter(col("b") >= 80 && col("b") < 90)
+      .filter(col("slot") === LrSlots).count() // loop literal: val docs
+    val valG = g.filter(col("b") >= 80 && col("b") < 90)
+      .groupBy("slot").agg(expr(s"sum(g6) div $nVal").as("vg6")) // 65 rows
+    val infl = g.filter(col("b") < 80)
+      .join(broadcast(valG), "slot")
+      .groupBy("doc_id").agg(sum(col("g6") * col("vg6")).as("infl12"))
+    val help = infl.orderBy(desc("infl12"), asc("doc_id")).limit(10)
+      .withColumn("lane", lit("helpful"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("infl12"), asc("doc_id"))))
+    val harm = infl.orderBy(asc("infl12"), asc("doc_id")).limit(10)
+      .withColumn("lane", lit("harmful"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(asc("infl12"), asc("doc_id"))))
+    help.unionAll(harm)
+      .select(col("lane"), col("rank"), col("doc_id"), col("infl12"))
+      .orderBy("lane", "rank")
+  }
+
+  lazy val influenceProxySql: String = {
+    import graft.functions.Det
+    // feature/step CTEs mirror logregStepSql's step-0 prefix verbatim
+    // (same trainer, same bit-identical w1)
+    s"""WITH ts AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % $LrSlots AS slot
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ts GROUP BY 1, 2, 3),
+       |dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
+       |        FROM tsl GROUP BY 1, 2),
+       |feats AS MATERIALIZED (
+       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
+       |         CAST(t.num AS BIGINT) AS num, d.dl
+       |  FROM tsl t JOIN dlt d USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, $LrSlots, dl, dl FROM dlt),
+       |nd AS (SELECT count(*) AS n FROM dlt),
+       |w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
+       |              CAST(0 AS BIGINT) AS w9),
+       |m0 AS MATERIALIZED (
+       |  SELECT f.doc_id, f.y,
+       |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+       |                            / (1e9 * max(f.dl))))) AS p
+       |  FROM feats f JOIN w0 w USING (slot)
+       |  GROUP BY 1, 2),
+       |g0 AS (
+       |  SELECT f.slot,
+       |         CAST(sum(${Det.unitsSql(
+      "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
+       |  FROM feats f JOIN m0 m USING (doc_id)
+       |  GROUP BY 1),
+       |w1 AS (
+       |  SELECT w.slot,
+       |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
+       |           AS w9
+       |  FROM w0 w LEFT JOIN g0 g USING (slot)),
+       |m1 AS MATERIALIZED (
+       |  SELECT f.doc_id, f.y,
+       |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+       |                            / (1e9 * max(f.dl))))) AS p
+       |  FROM feats f JOIN w1 w USING (slot)
+       |  GROUP BY 1, 2),
+       |gd AS MATERIALIZED (
+       |  SELECT f.doc_id, f.slot,
+       |         ${Det.unitsSql(
+      "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 6)} AS g6,
+       |         ${splitBucketSqlOf("f.doc_id")} AS b
+       |  FROM feats f JOIN m1 m USING (doc_id)),
+       |nv AS (SELECT count(DISTINCT doc_id) AS nval
+       |       FROM gd WHERE b >= 80 AND b < 90),
+       |vg AS (SELECT slot,
+       |              CAST(sum(g6) AS BIGINT) // (SELECT nval FROM nv) AS vg6
+       |       FROM gd WHERE b >= 80 AND b < 90 GROUP BY 1),
+       |inf AS MATERIALIZED (
+       |  SELECT gd.doc_id, CAST(sum(gd.g6 * vg.vg6) AS BIGINT) AS infl12
+       |  FROM gd JOIN vg USING (slot) WHERE gd.b < 80 GROUP BY 1),
+       |hp AS (SELECT 'helpful' AS lane,
+       |              row_number() OVER (ORDER BY infl12 DESC, doc_id) AS rank,
+       |              doc_id, infl12
+       |       FROM inf),
+       |hm AS (SELECT 'harmful' AS lane,
+       |              row_number() OVER (ORDER BY infl12, doc_id) AS rank,
+       |              doc_id, infl12
+       |       FROM inf)
+       |SELECT lane, CAST(rank AS INTEGER) AS rank, doc_id, infl12
+       |FROM (SELECT * FROM hp WHERE rank <= 10
+       |      UNION ALL SELECT * FROM hm WHERE rank <= 10)
+       |ORDER BY lane, rank""".stripMargin
+  }
+
   private val PfxCacheMin = 16 // chars of shared prefix worth caching
 
   /** PREFIX-CACHE SHARING AUDIT (r13) — the KV-cache planning readout

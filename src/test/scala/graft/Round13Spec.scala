@@ -253,6 +253,68 @@ class Round13Spec extends SparkSpec {
     assert(ppm >= 0L && ppm <= 1000000L)
   }
 
+  test("influenceProxy: mislabeled train docs land in the harmful lane, clean ones in helpful") {
+    val s = spark
+    import s.implicits._
+    // separable corpus with exactly 2 mislabeled TRAIN-split docs:
+    // their gradients oppose the val mean gradient by construction
+    val buckets = spark.range(300).selectExpr("id",
+        graft.queries.TextQueries.splitBucketOf("id") + " AS b")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val trainIds = (0L until 300L).filter(buckets(_) < 80)
+    val flipped = trainIds.take(2).toSet
+    val docs = (0L until 300L).map { id =>
+      val en = id % 2 == 0
+      val lang = if (flipped(id)) { if (en) "de" else "en" }
+        else if (en) "en" else "de"
+      (id, if (en) "aa aa" else "bb bb", lang, "web", 5L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.queries.TextQueries.influenceProxyOf(docs).collect()
+    val harmful = out.filter(_.getAs[String]("lane") == "harmful")
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    val helpful = out.filter(_.getAs[String]("lane") == "helpful")
+      .map(_.getAs[Long]("doc_id")).toSet
+    // the two planted flips are the MOST harmful examples
+    assert(harmful.take(2).toSet == flipped,
+      s"harmful head ${harmful.take(2).toSeq} != planted $flipped")
+    assert(flipped.intersect(helpful).isEmpty)
+    // ranks are 1..10 per lane
+    assert(out.count(_.getAs[String]("lane") == "helpful") == 10)
+    assert(out.filter(_.getAs[String]("lane") == "helpful")
+      .map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+  }
+
+  test("ipsEval: under a uniform logger IPS equals the on-slate direct mean exactly; SNIPS self-normalizes") {
+    val s = spark
+    import s.implicits._
+    // uniform logger over 20 items (μ(k) = 1/20), target = k < 10:
+    // w = (1/10)/(1/20) = 2 on-slate. IPS = (1/N)·Σ_{k<10} 2·r =
+    // 2·(Σ on-slate r)/N; with half the log on-slate that equals the
+    // on-slate mean exactly. SNIPS = Σ2r/Σ2 = direct mean too.
+    val evs = (0 until 200).map { i =>
+      val k = i % 20
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "view", if (k < 10) 4.0 + k else 100.0, s"""{"k": $k}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.ExtensionQueries.ipsEvalOf(evs).collect().head
+    assert(r.getAs[Long]("n_logged") == 200L && r.getAs[Long]("n_on_slate") == 100L)
+    val direct = (0 until 10).map(4.0 + _).sum / 10
+    assert(math.abs(r.getAs[Double]("direct_value") - direct) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ips_value") - direct) < 1e-6)
+    assert(math.abs(r.getAs[Double]("snips_value") - direct) < 1e-6)
+    // skewed logger: over-logged on-slate items get DOWN-weighted —
+    // estimators stay consistent for the target policy's true value
+    val skew = ((0 until 300).map { i => // item 0 logged 3x as often
+      val k = if (i % 3 == 0) 0 else (i % 20)
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "view", if (k < 10) 4.0 + k else 100.0, s"""{"k": $k}""")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = graft.queries.ExtensionQueries.ipsEvalOf(skew).collect().head
+    // true value of uniform-over-slate policy = mean of 4..13 = 8.5
+    assert(math.abs(r2.getAs[Double]("ips_value") - 8.5) < 0.5)
+    assert(r2.getAs[Double]("direct_value") < 8.5) // naive mean is biased low
+  }
+
   test("dpQuantile: a spiked distribution pins both the true and the DP median to the spike bin") {
     val s = spark
     import s.implicits._
