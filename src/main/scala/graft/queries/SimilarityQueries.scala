@@ -5764,4 +5764,216 @@ object SimilarityQueries {
          .mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
   }
+
+  private val SdTau = 0.35 // within-cluster near-dup cosine threshold
+
+  /** SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023): the
+    * embedding-space pruning step between exact/MinHash dedup
+    * (surface forms) and [[semanticDecon]] (eval leakage) — cluster
+    * the corpus, then inside each cluster drop all but one of every
+    * near-duplicate pair, keeping the member FARTHEST from the
+    * centroid (the paper's rule: boundary examples carry more signal
+    * than prototypical ones). Pairs qualify at fenced cosine ≥
+    * [[SdTau]] (demonstration threshold for the synthetic manifold;
+    * production near-dup pruning runs ~0.95+); of a qualifying pair
+    * the member with the HIGHER (centroid-cos, id) key is dropped —
+    * a local, order-free rule both engines replay exactly. Reports
+    * per cluster: members, qualifying pairs, drops, drop rate.
+    *
+    * Scale shape: the clustering is the shared 2-round seeded Lloyd
+    * fit ([[kmeansSeededOf]]); pair search is CLUSTER-BOUNDED (the
+    * SemDeDup contract — k grows with N so cluster size stays
+    * bounded; 100 TB runs size k ∝ N/B and band inside oversized
+    * cells the way [[embeddingNeardup]] does). Centroid cosines and
+    * pair cosines are 6-dp-fenced before any comparison. */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame =
+    semdedupPruneOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def semdedupPruneOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val e = kmCoo(emb)
+    val norms = e.groupBy("vec_id")
+      .agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val c2 = kmUpdate(e, a2)
+    val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
+    val cc = a2.join(e, Seq("vec_id"))
+      .join(broadcast(c2), Seq("cell", "i"))
+      .groupBy("vec_id", "cell").agg(sum(col("v") * col("cv")).as("dot"))
+      .join(broadcast(cn2), Seq("cell")).join(norms, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        Det.rnd(col("dot") / (col("cn2") * col("nv")), 6).as("ccos6"))
+      .transform(Tables.scratchPin(_, "semdedup-cc")) // |V| rows, read twice
+    val m = a2.join(e, Seq("vec_id")) // cluster-tagged COO
+    val pairs = m.as("x").join(m.as("y"),
+        col("x.cell") === col("y.cell") && col("x.i") === col("y.i")
+          && col("x.vec_id") < col("y.vec_id"))
+      .groupBy(col("x.cell").as("cell"), col("x.vec_id").as("va"),
+        col("y.vec_id").as("vb"))
+      .agg(sum(col("x.v") * col("y.v")).as("dot"))
+      .join(norms.select(col("vec_id").as("va"), col("nv").as("na")), Seq("va"))
+      .join(norms.select(col("vec_id").as("vb"), col("nv").as("nb")), Seq("vb"))
+      .select(col("cell"), col("va"), col("vb"),
+        Det.rnd(col("dot") / (col("na") * col("nb")), 6).as("pcos"))
+      .filter(col("pcos") >= SdTau)
+    val dropped = pairs
+      .join(cc.select(col("vec_id").as("va"), col("ccos6").as("ca")), Seq("va"))
+      .join(cc.select(col("vec_id").as("vb"), col("ccos6").as("cb")), Seq("vb"))
+      .select(col("cell"),
+        when(col("ca") > col("cb")
+          || (col("ca") === col("cb") && col("va") > col("vb")),
+          col("va")).otherwise(col("vb")).as("vd"))
+      .distinct()
+    val members = a2.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val np = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))
+    val nd = dropped.groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    members.join(np, Seq("cell"), "left").join(nd, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dropped"))
+      .select(col("cell"), col("n_members"), col("n_pairs"), col("n_dropped"),
+        expr("n_dropped * 1000000 div n_members").as("drop_ppm"))
+      .orderBy("cell")
+  }
+
+  val semdedupPruneSql: String = {
+    import graft.functions.Det
+    s"""WITH $kmFitCtes,
+       |cc AS (
+       |  SELECT a.vec_id, a.cell,
+       |         ${Det.rndSql("sum(e.v * c.cv) / (max(n.cn2) * max(m.nv))", 6)} AS ccos6
+       |  FROM a2 a JOIN e USING (vec_id)
+       |       JOIN c2 c ON c.cell = a.cell AND c.i = e.i
+       |       JOIN cn2 n ON n.cell = a.cell
+       |       JOIN norms m ON m.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT x.cell, x.vec_id AS va, y.vec_id AS vb,
+       |         ${Det.rndSql("sum(ex.v * ey.v) / (max(na.nv) * max(nb.nv))", 6)} AS pcos
+       |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |       JOIN e ex ON ex.vec_id = x.vec_id
+       |       JOIN e ey ON ey.vec_id = y.vec_id AND ey.i = ex.i
+       |       JOIN norms na ON na.vec_id = x.vec_id
+       |       JOIN norms nb ON nb.vec_id = y.vec_id
+       |  GROUP BY 1, 2, 3),
+       |qp AS (SELECT * FROM pd WHERE pcos >= $SdTau),
+       |dr AS (
+       |  SELECT DISTINCT q.cell,
+       |         CASE WHEN ca.ccos6 > cb.ccos6
+       |                OR (ca.ccos6 = cb.ccos6 AND q.va > q.vb)
+       |              THEN q.va ELSE q.vb END AS vd
+       |  FROM qp q JOIN cc ca ON ca.vec_id = q.va
+       |            JOIN cc cb ON cb.vec_id = q.vb),
+       |mem AS (SELECT cell, count(*) AS n_members FROM a2 GROUP BY 1),
+       |np AS (SELECT cell, count(*) AS n_pairs FROM qp GROUP BY 1),
+       |nd AS (SELECT cell, count(*) AS n_dropped FROM dr GROUP BY 1)
+       |SELECT m.cell, m.n_members,
+       |       coalesce(np.n_pairs, 0) AS n_pairs,
+       |       coalesce(nd.n_dropped, 0) AS n_dropped,
+       |       CAST(coalesce(nd.n_dropped, 0) * 1000000 // m.n_members AS BIGINT) AS drop_ppm
+       |FROM mem m LEFT JOIN np USING (cell) LEFT JOIN nd USING (cell)
+       |ORDER BY m.cell""".stripMargin
+  }
+
+  private val DiamRounds = 6
+
+  /** GRAPH DIAMETER LOWER BOUND by double-sweep BFS (Magnien-Latapy-
+    * Habib 2009, the standard trick): one BFS from a canonical seed
+    * finds the farthest reachable node u; a second BFS FROM u yields
+    * ecc(u), which lower-bounds the true diameter and is empirically
+    * tight on real graphs — two BFS passes instead of all-pairs. Both
+    * sweeps run the [[sssp]] dense-distance-vector iteration
+    * ([[DiamRounds]] unrolled rounds = the family's fixed-horizon
+    * contract) over the shared symmetric adjacency trunk; the pivot u
+    * is picked by (max dist, min id) WITHOUT collecting — a 1-row
+    * limit broadcast back as the second seed.
+    *
+    * Scale shape: per round one co-partitioned join + min-aggregate
+    * over the durable adjacency pin; round state is a node-sized
+    * vector pinned per level ([[Tables.PinChain]]). Pure integers. */
+  def graphDiameter(spark: SparkSession, dir: String): DataFrame =
+    graphDiameterOnAdj(symAdjScratch(spark, dir), "diam")
+
+  private[graft] def graphDiameterOnEdges(edges: DataFrame): DataFrame = {
+    val und = undOf2(edges)
+    graphDiameterOnAdj(
+      und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+        .transform(Tables.scratchPin(_, "diamE-adj")), "diamE")
+  }
+
+  /** [[undOf]] twin local to the diameter path (avoids widening the
+    * private trunk helper's visibility). */
+  private def undOf2(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst")).distinct()
+
+  private def graphDiameterOnAdj(adj: DataFrame, tag: String): DataFrame = {
+    def sweep(seed: DataFrame, sweepTag: String): DataFrame = {
+      val nodes = adj.select(col("src").as("v")).distinct()
+      var dist = nodes.crossJoin(broadcast(seed))
+        .select(col("v"),
+          when(col("v") === col("s"), 0L).otherwise(lit(SsspFar)).as("d"))
+        .transform(Tables.scratchPin(_, s"$sweepTag-d0"))
+      val pc = new Tables.PinChain(s"$sweepTag-round")
+      for (_ <- 1 to DiamRounds) {
+        val prop = adj.join(dist.filter(col("d") < SsspFar),
+            adj("src") === col("v"))
+          .groupBy(col("dst").as("u")).agg(min(col("d") + 1).as("nd"))
+        dist = dist.join(prop, col("v") === col("u"), "left")
+          .select(col("v"),
+            least(col("d"), coalesce(col("nd"), lit(SsspFar))).as("d"))
+          .transform(pc.next)
+      }
+      dist
+    }
+    val seed0 = adj.select(col("src").as("v")).distinct().agg(min("v").as("s"))
+    val d1 = sweep(seed0, s"$tag-s1")
+    val far = d1.filter(col("d") < SsspFar)
+      .orderBy(desc("d"), asc("v")).limit(1)
+      .select(col("v").as("s"), col("d").as("ecc_seed"))
+      .localCheckpoint() // 1 row — the second sweep's seed
+    val d2 = sweep(far.select("s"), s"$tag-s2")
+    val agg1 = d1.filter(col("d") < SsspFar)
+      .agg(count(lit(1)).as("n_reached_seed"))
+    val agg2 = d2.filter(col("d") < SsspFar)
+      .agg(max("d").as("diam_lb"), count(lit(1)).as("n_reached_far"))
+    seed0.select(col("s").as("seed"))
+      .crossJoin(broadcast(far.select(col("s").as("far_node"), col("ecc_seed"))))
+      .crossJoin(broadcast(agg1)).crossJoin(broadcast(agg2))
+      .select("seed", "ecc_seed", "far_node", "diam_lb",
+        "n_reached_seed", "n_reached_far")
+  }
+
+  val graphDiameterSql: String = {
+    def roundsOf(prefix: String): String =
+      (1 to DiamRounds).map { k =>
+        val prev = if (k == 1) s"${prefix}0" else s"$prefix${k - 1}"
+        s"""$prefix$k AS MATERIALIZED (
+           |  SELECT $prev.v, least($prev.d, coalesce(p.nd, $SsspFar)) AS d
+           |  FROM $prev LEFT JOIN (
+           |    SELECT adj.dst AS u, min($prev.d + 1) AS nd
+           |    FROM adj JOIN $prev ON adj.src = $prev.v
+           |    WHERE $prev.d < $SsspFar
+           |    GROUP BY 1) p ON p.u = $prev.v)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM kedges UNION ALL SELECT dst, src FROM kedges)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj),
+       |s0 AS (SELECT min(v) AS s FROM nodes),
+       |d0 AS MATERIALIZED (SELECT v, CASE WHEN v = s THEN 0 ELSE $SsspFar END AS d
+       |       FROM nodes CROSS JOIN s0),
+       |${roundsOf("d")},
+       |far AS MATERIALIZED (SELECT v AS s, d AS ecc_seed FROM d$DiamRounds
+       |        WHERE d < $SsspFar ORDER BY d DESC, v LIMIT 1),
+       |e0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT s FROM far) THEN 0 ELSE $SsspFar END AS d
+       |       FROM nodes),
+       |${roundsOf("e")}
+       |SELECT (SELECT s FROM s0) AS seed,
+       |       CAST((SELECT ecc_seed FROM far) AS BIGINT) AS ecc_seed,
+       |       (SELECT s FROM far) AS far_node,
+       |       CAST((SELECT max(d) FROM e$DiamRounds WHERE d < $SsspFar) AS BIGINT) AS diam_lb,
+       |       (SELECT count(*) FROM d$DiamRounds WHERE d < $SsspFar) AS n_reached_seed,
+       |       (SELECT count(*) FROM e$DiamRounds WHERE d < $SsspFar) AS n_reached_far""".stripMargin
+  }
 }

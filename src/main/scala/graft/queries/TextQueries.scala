@@ -8700,4 +8700,382 @@ object TextQueries {
        |FROM iv CROSS JOIN t
        |ORDER BY lang""".stripMargin
   }
+
+  private val WmGreenSlots = 4 // green-list fraction γ = 1/4
+  private val WmTopK = 15
+
+  /** GREEN-LIST WATERMARK DETECTION (Kirchenbauer et al., ICML 2023)
+    * — the provenance audit a training-data pipeline runs to screen
+    * synthetic text out of a crawl: a watermarking sampler boosts
+    * tokens whose hash, SEEDED BY THE PREVIOUS TOKEN, lands in a
+    * γ-fraction "green list"; the detector recomputes membership for
+    * every (prev, token) bigram and scores each document with the
+    * one-proportion z-statistic z = (g − γT)/√(γ(1−γ)T) — for
+    * γ = 1/4 exactly (4g − T)/√(3T). Natural text concentrates near
+    * z = 0; watermarked text drifts right. Reports the [[WmTopK]]
+    * most-suspect documents.
+    *
+    * Green membership reuses the classifier family's full-string
+    * polynomial fold ([[tokSlotExprOf]]) over `prev|token`, cut to
+    * [[WmGreenSlots]] — the detector needs any keyed hash, and this
+    * one is already proven engine-portable. g and T are exact
+    * integers; z is one double expression of them, 6-dp-fenced, so
+    * the top-k cut order is identical in both engines.
+    *
+    * Scale shape: one tokenize pass, a doc-partitioned lag window,
+    * one per-doc aggregation, top-k — corpus-linear, no joins. */
+  def watermarkDetect(spark: SparkSession, dir: String): DataFrame =
+    watermarkDetectOf(Tables(spark, dir, "documents"))
+
+  private[graft] def watermarkDetectOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
+      .withColumn("prev", lag("t", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("green",
+        (expr(tokSlotExprOf("concat(prev, '|', t)", WmGreenSlots)) === 0)
+          .cast("long"))
+    val z = pairs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("green").as("n_green"))
+      .withColumn("z", Det.rnd(
+        (lit(4.0) * col("n_green") - col("n_pairs"))
+          / sqrt(lit(3.0) * col("n_pairs")), 6))
+    z.orderBy(desc("z"), asc("doc_id")).limit(WmTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("z"), asc("doc_id"))))
+      .select("rank", "doc_id", "n_pairs", "n_green", "z")
+      .orderBy("rank")
+  }
+
+  val watermarkDetectSql: String = {
+    import graft.functions.Det
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |        FROM documents)),
+       |p AS (
+       |  SELECT doc_id, t,
+       |         lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM toks),
+       |g AS (
+       |  SELECT doc_id, count(*) AS n_pairs,
+       |         CAST(sum(CASE WHEN ${tokSlotSqlOf("prev || '|' || t", WmGreenSlots)} = 0
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+       |  FROM p WHERE prev IS NOT NULL GROUP BY 1),
+       |z AS (
+       |  SELECT doc_id, n_pairs, n_green,
+       |         ${Det.rndSql("(4.0 * n_green - n_pairs) / sqrt(3.0 * n_pairs)", 6)} AS z
+       |  FROM g)
+       |SELECT CAST(row_number() OVER (ORDER BY z DESC, doc_id) AS INTEGER) AS rank,
+       |       doc_id, n_pairs, n_green, z
+       |FROM z ORDER BY z DESC, doc_id LIMIT $WmTopK""".stripMargin
+  }
+
+  private val AsAlpha = 0.3 // mT5/XLM-R sampling temperature exponent
+
+  /** MULTILINGUAL TEMPERATURE SAMPLING (the α-sampling rule of
+    * mBERT/XLM-R/mT5, Conneau et al. 2020): a corpus skewed toward
+    * one language starves the tail if sampled by raw share, so the
+    * per-language sampling weight is p_l ∝ n_l^α with α < 1 — the
+    * standard up-weighting of low-resource languages. Reports, per
+    * language: raw share (exact ppm), the α-tempered sampling weight,
+    * and the effective epoch multiplier weight/share (how many times
+    * over- or under-sampled relative to natural frequency — the
+    * repetition budget the dedup family polices).
+    *
+    * Determinism: n^α is one pow on an exact integer, immediately
+    * 6-dp-fenced ([[classBalance]] precedent); the fenced value is
+    * converted to exact 1e-9 integer units BEFORE the normalization
+    * sum, so summation order cannot move the weights; the epoch
+    * multiplier is one double expression of exact integers, fenced.
+    *
+    * Scale shape: one language-bounded groupBy — ≤ |langs| rows
+    * everywhere after the first aggregation. */
+  def alphaSampling(spark: SparkSession, dir: String): DataFrame =
+    alphaSamplingOf(Tables(spark, dir, "documents"))
+
+  private[graft] def alphaSamplingOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val cls = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w6", Det.rnd(pow(col("n").cast("double"), AsAlpha), 6))
+      .withColumn("m9", Det.units(col("w6"), 9))
+    val tot = cls.agg(sum("m9").as("tot9"), sum("n").as("ntot"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        expr("n * 1000000 div ntot").as("raw_ppm"),
+        Det.rnd(col("m9").cast("double") / col("tot9"), 6).as("weight"),
+        Det.rnd(col("m9").cast("double") / col("tot9")
+          * col("ntot") / col("n"), 4).as("eff_epochs"))
+      .orderBy("lang")
+  }
+
+  val alphaSamplingSql: String = {
+    import graft.functions.Det
+    s"""WITH cls AS (
+       |  SELECT lang, count(*) AS n,
+       |         ${Det.rndSql(s"pow(count(*), $AsAlpha)", 6)} AS w6
+       |  FROM documents GROUP BY 1),
+       |m AS (SELECT lang, n, ${Det.unitsSql("w6", 9)} AS m9 FROM cls),
+       |t AS (SELECT CAST(sum(m9) AS BIGINT) AS tot9,
+       |             CAST(sum(n) AS BIGINT) AS ntot FROM m)
+       |SELECT lang, n,
+       |       CAST(n * 1000000 // ntot AS BIGINT) AS raw_ppm,
+       |       ${Det.rndSql("CAST(m9 AS DOUBLE) / tot9", 6)} AS weight,
+       |       ${Det.rndSql("CAST(m9 AS DOUBLE) / tot9 * ntot / n", 4)} AS eff_epochs
+       |FROM m CROSS JOIN t
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** DOMAIN REWEIGHTING STEP (the DoReMi shape, Xie et al. 2023): one
+    * multiplicative-weights update of per-SOURCE mixture weights
+    * driven by EXCESS LOSS — domains where the proxy model's loss
+    * exceeds the reference get up-weighted, already-easy domains
+    * don't. The loss proxy here is the corpus unigram negative
+    * log-likelihood (the engine's own LM family): per-token
+    * nll = ln(C) − ln(c_t), per-source mean in exact 1e-9 units, the
+    * global mean as reference, excess = max(L_src − L_ref, 0), and
+    * w ∝ exp(η·excess) with η = 1, normalized. The output is the
+    * next round's sampling mixture — [[alphaSampling]] balances by
+    * SIZE, this balances by LEARNABILITY.
+    *
+    * Determinism: nll is fenced to 1e-9 integer units per token
+    * BEFORE any sum (the logloss discipline); means are integer divs;
+    * exp(excess) is immediately 6-dp-fenced and re-fenced to 1e-9
+    * units before the normalization sum ([[classBalance]] precedent).
+    *
+    * Scale shape: one tokenize pass; the token→count join is keyed on
+    * the vocabulary (Zipf-bounded, AQE-broadcastable); everything
+    * after the per-source aggregation is |sources|-bounded. */
+  def doremiStep(spark: SparkSession, dir: String): DataFrame =
+    doremiStepOf(Tables(spark, dir, "documents"))
+
+  private[graft] def doremiStepOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val toks = docs.select(col("source"),
+      explode(split(trim(col("text")), "\\s+")).as("t"))
+    val vc = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val ct = vc.agg(sum("c").as("ctot"))
+    val tl = toks.join(vc, "t").crossJoin(broadcast(ct))
+      .select(col("source"),
+        Det.units(log(col("ctot")) - log(col("c")), 9).as("nll9"))
+    val ref = tl.agg(expr("sum(nll9) div count(1)").as("lref9"))
+    val src = tl.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(nll9) div count(1)").as("l9"))
+      .crossJoin(broadcast(ref))
+      .withColumn("ex9", greatest(col("l9") - col("lref9"), lit(0L)))
+      .withColumn("u9", Det.units(
+        Det.rnd(exp(col("ex9").cast("double") / 1e9), 6), 9))
+    val tot = src.agg(sum("u9").as("tot9"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    src.crossJoin(broadcast(tot)).join(nd, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Det.rnd(col("l9").cast("double") / 1e9, 6).as("loss"),
+        Det.rnd(col("ex9").cast("double") / 1e9, 6).as("excess"),
+        Det.rnd(col("u9").cast("double") / col("tot9"), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  val doremiStepSql: String = {
+    import graft.functions.Det
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |vc AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+       |ct AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM vc),
+       |tl AS (
+       |  SELECT source, ${Det.unitsSql("ln(ctot) - ln(c)", 9)} AS nll9
+       |  FROM toks JOIN vc USING (t) CROSS JOIN ct),
+       |ref AS (SELECT CAST(sum(nll9) AS BIGINT) // count(*) AS lref9 FROM tl),
+       |src AS (
+       |  SELECT source, count(*) AS n_tokens,
+       |         CAST(sum(nll9) AS BIGINT) // count(*) AS l9
+       |  FROM tl GROUP BY 1),
+       |ex AS (
+       |  SELECT source, n_tokens, l9, greatest(l9 - lref9, 0) AS ex9
+       |  FROM src CROSS JOIN ref),
+       |ew AS (
+       |  SELECT source, n_tokens, l9, ex9,
+       |         ${Det.unitsSql(Det.rndSql("exp(CAST(ex9 AS DOUBLE) / 1e9)", 6), 9)} AS u9
+       |  FROM ex),
+       |t2 AS (SELECT CAST(sum(u9) AS BIGINT) AS tot9 FROM ew),
+       |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT source, n_docs, n_tokens,
+       |       ${Det.rndSql("CAST(l9 AS DOUBLE) / 1e9", 6)} AS loss,
+       |       ${Det.rndSql("CAST(ex9 AS DOUBLE) / 1e9", 6)} AS excess,
+       |       ${Det.rndSql("CAST(u9 AS DOUBLE) / tot9", 6)} AS weight
+       |FROM ew CROSS JOIN t2 JOIN nd USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  /** GRADIENT NOISE SCALE (McCandlish et al. 2018, the "simple" noise
+    * scale B = tr(Σ)/|G|²): the critical-batch-size estimate every
+    * large-scale training run sizes its data parallelism with —
+    * per-example gradient variance (trace of the covariance) over the
+    * squared mean-gradient norm. Computed on the TRAIN split of the
+    * is-English trainer's feature space at w = 0, where the sigmoid
+    * is exactly ½ and every per-(doc, slot) gradient is the exact
+    * rational (½ − y)·num/dl — the whole statistic is integer
+    * arithmetic end-to-end except the final division.
+    *
+    * Per slot s over n train docs (absent (doc, slot) rows are true
+    * zero gradients — they contribute 0 to both moments but n stays
+    * the doc count): μ = S₁ div n (1e-6 units), per-slot variance
+    * S₂ div n − μ² (1e-12 units), tr(Σ) = Σ_s var_s,
+    * |G|² = Σ_s μ_s², B = tr(Σ)/|G|² fenced at 4 dp.
+    *
+    * Scale shape: one feature pass ([[lrFeatsOf]]) cut to the train
+    * split, one slot-keyed aggregation (65 rows), one scalar finish.
+    * This is the statistic's true distributed shape: per-example
+    * gradients never materialize anywhere central. */
+  def gradNoiseScale(spark: SparkSession, dir: String): DataFrame =
+    gradNoiseScaleOf(Tables(spark, dir, "documents"))
+
+  private[graft] def gradNoiseScaleOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val g = lrFeatsOf(docs).filter(expr(SplitBucket) < 80)
+      .select(col("doc_id"), col("slot"),
+        Det.units((lit(0.5) - col("y"))
+          * col("num").cast("double") / col("dl"), 6).as("g6"))
+    // loop literal (the pageRank precedent): one bias row per doc
+    val n = g.filter(col("slot") === LrSlots).count()
+    val slots = g.groupBy("slot")
+      .agg(sum("g6").as("s1"), sum(col("g6") * col("g6")).as("s2"))
+      .select(col("slot"), expr(s"s1 div $n").as("mu6"), col("s2"))
+    slots.agg(
+        sum(expr(s"s2 div $n - mu6 * mu6")).as("tr_sigma12"),
+        sum(expr("mu6 * mu6")).as("gnorm2_12"))
+      .select(lit(n).as("n_train"), col("tr_sigma12"), col("gnorm2_12"),
+        Det.rnd(col("tr_sigma12").cast("double") / col("gnorm2_12"), 4)
+          .as("b_simple"))
+  }
+
+  lazy val gradNoiseScaleSql: String = {
+    import graft.functions.Det
+    s"""WITH ts AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         ${tokSlotSqlOf("t", LrSlots)} AS slot
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ts GROUP BY 1, 2, 3),
+       |dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
+       |        FROM tsl GROUP BY 1, 2),
+       |feats AS (
+       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
+       |         CAST(t.num AS BIGINT) AS num, d.dl
+       |  FROM tsl t JOIN dlt d USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, $LrSlots, dl, dl FROM dlt),
+       |tr AS (SELECT * FROM feats WHERE ${splitBucketSqlOf("doc_id")} < 80),
+       |n AS (SELECT count(*) AS nt FROM tr WHERE slot = $LrSlots),
+       |g AS (
+       |  SELECT slot,
+       |         ${Det.unitsSql("(0.5 - y) * CAST(num AS DOUBLE) / dl", 6)} AS g6
+       |  FROM tr),
+       |sl AS (SELECT slot, CAST(sum(g6) AS BIGINT) AS s1,
+       |              CAST(sum(g6 * g6) AS BIGINT) AS s2
+       |       FROM g GROUP BY 1),
+       |m AS (SELECT slot, s1 // nt AS mu6, s2, nt FROM sl CROSS JOIN n)
+       |SELECT max(nt) AS n_train,
+       |       CAST(sum(s2 // nt - mu6 * mu6) AS BIGINT) AS tr_sigma12,
+       |       CAST(sum(mu6 * mu6) AS BIGINT) AS gnorm2_12,
+       |       ${Det.rndSql(
+      "CAST(sum(s2 // nt - mu6 * mu6) AS DOUBLE) / sum(mu6 * mu6)", 4)} AS b_simple
+       |FROM m""".stripMargin
+  }
+
+  private val TfTopK = 10
+
+  /** TOKEN-OVERLAP F1 (the SQuAD/QA evaluation metric, multiset form)
+    * between each document and its doc-id successor WITHIN its source
+    * shard — the reference-vs-candidate overlap score an eval
+    * pipeline computes pairwise and the dedup family's fuzziest
+    * surface tier (above it: [[ngramJaccard]] on shingles,
+    * [[simhashPairs]] on signatures). overlap = Σ_t min(cnt_a(t),
+    * cnt_b(t)); precision = overlap/|a|, recall = overlap/|b|,
+    * F1 = 2·overlap/(|a|+|b|) — all reported in exact ppm, so the
+    * top-[[TfTopK]] cut is pure integer ordering.
+    *
+    * Scale shape: token counts are one tokenize pass; the overlap
+    * join is keyed on (partner doc, token) — never all-pairs, the
+    * pair list is source-adjacency-bounded (|docs| rows); shard-local
+    * window, no global sort. */
+  def tokenF1(spark: SparkSession, dir: String): DataFrame =
+    tokenF1Of(Tables(spark, dir, "documents"))
+
+  private[graft] def tokenF1Of(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pairs = docs.select(col("doc_id"), col("source"))
+      .withColumn("doc_b", lead("doc_id", 1).over(w))
+      .filter(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val dl = toks.groupBy("doc_id").agg(sum("c").as("len"))
+    val ov = pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("t"), col("c").as("ca")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("t"), col("c").as("cb")),
+        Seq("doc_b", "t"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+    pairs.join(ov, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("overlap"))
+      .join(dl.select(col("doc_id").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
+      .join(dl.select(col("doc_id").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("overlap"),
+        expr("overlap * 1000000 div len_a").as("prec_ppm"),
+        expr("overlap * 1000000 div len_b").as("rec_ppm"),
+        expr("2 * overlap * 1000000 div (len_a + len_b)").as("f1_ppm"))
+      .orderBy(desc("f1_ppm"), asc("doc_a")).limit(TfTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("f1_ppm"), asc("doc_a"))))
+      .select("rank", "doc_a", "doc_b", "len_a", "len_b", "overlap",
+        "prec_ppm", "rec_ppm", "f1_ppm")
+      .orderBy("rank")
+  }
+
+  val tokenF1Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id AS doc_a,
+       |         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS doc_b
+       |  FROM documents),
+       |pairs AS (SELECT doc_a, doc_b FROM p WHERE doc_b IS NOT NULL),
+       |toks AS (
+       |  SELECT doc_id, t, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM toks GROUP BY 1),
+       |ov AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+       |  FROM pairs p JOIN toks a ON a.doc_id = p.doc_a
+       |       JOIN toks b ON b.doc_id = p.doc_b AND b.t = a.t
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT p.doc_a, p.doc_b, la.len AS len_a, lb.len AS len_b,
+       |         coalesce(o.overlap, 0) AS overlap,
+       |         coalesce(o.overlap, 0) * 1000000 // la.len AS prec_ppm,
+       |         coalesce(o.overlap, 0) * 1000000 // lb.len AS rec_ppm,
+       |         2 * coalesce(o.overlap, 0) * 1000000 // (la.len + lb.len) AS f1_ppm
+       |  FROM pairs p LEFT JOIN ov o ON o.doc_a = p.doc_a AND o.doc_b = p.doc_b
+       |       JOIN dl la ON la.doc_id = p.doc_a
+       |       JOIN dl lb ON lb.doc_id = p.doc_b)
+       |SELECT CAST(row_number() OVER (ORDER BY f1_ppm DESC, doc_a) AS INTEGER) AS rank,
+       |       doc_a, doc_b, len_a, len_b, overlap,
+       |       CAST(prec_ppm AS BIGINT) AS prec_ppm,
+       |       CAST(rec_ppm AS BIGINT) AS rec_ppm,
+       |       CAST(f1_ppm AS BIGINT) AS f1_ppm
+       |FROM f ORDER BY f1_ppm DESC, doc_a LIMIT $TfTopK""".stripMargin
 }
