@@ -8936,16 +8936,35 @@ object TextQueries {
   def gradNoiseScale(spark: SparkSession, dir: String): DataFrame =
     gradNoiseScaleOf(Tables(spark, dir, "documents"))
 
-  private[graft] def gradNoiseScaleOf(docs: DataFrame): DataFrame = {
+  private[graft] def gradNoiseScaleOf(docs: DataFrame): DataFrame =
+    gradNoiseFinishOf(gradMomentsOf(docs))
+
+  /** The per-slot gradient moment sums (cnt, Σg6, Σg6²) of the train
+    * split at w = 0 — PURE SUMS, so the streaming twin
+    * ([[graft.streaming.StreamJobs.gradMomentsStream]]) accumulates
+    * them additively across micro-batches and lands bit-identically
+    * on the batch statistic (the per-example gradients themselves
+    * never centralize anywhere — the honest distributed shape). */
+  private[graft] def gradMomentsOf(docs: DataFrame): DataFrame = {
     import graft.functions.Det
-    val g = lrFeatsOf(docs).filter(expr(SplitBucket) < 80)
-      .select(col("doc_id"), col("slot"),
+    lrFeatsOf(docs).filter(expr(SplitBucket) < 80)
+      .select(col("slot"),
         Det.units((lit(0.5) - col("y"))
           * col("num").cast("double") / col("dl"), 6).as("g6"))
-    // loop literal (the pageRank precedent): one bias row per doc
-    val n = g.filter(col("slot") === LrSlots).count()
-    val slots = g.groupBy("slot")
-      .agg(sum("g6").as("s1"), sum(col("g6") * col("g6")).as("s2"))
+      .groupBy("slot")
+      .agg(count(lit(1)).as("cnt"), sum("g6").as("s1"),
+        sum(col("g6") * col("g6")).as("s2"))
+  }
+
+  /** The finish both the batch query and the stream twin share: all
+    * divisions happen HERE, after the sums, so batch-vs-stream parity
+    * is exact. n (train docs) is the bias pseudo-slot's row count —
+    * one scalar to the driver (the pageRank loop-literal precedent). */
+  private[graft] def gradNoiseFinishOf(moments: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val n = moments.filter(col("slot") === LrSlots)
+      .agg(max("cnt")).head().getLong(0)
+    val slots = moments
       .select(col("slot"), expr(s"s1 div $n").as("mu6"), col("s2"))
     slots.agg(
         sum(expr(s"s2 div $n - mu6 * mu6")).as("tr_sigma12"),

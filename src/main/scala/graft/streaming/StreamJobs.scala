@@ -1262,4 +1262,39 @@ object StreamJobs {
         }
       }
       .start()
+
+  /** STREAMING GRADIENT-MOMENT MAINTENANCE — the noise-scale twin:
+    * [[graft.queries.TextQueries.gradNoiseScale]]'s per-slot moment
+    * sums (cnt, Σg6, Σg6²) are PURE SUMS, so each micro-batch's
+    * contribution merges additively into a 65-row parquet state and
+    * the finish ([[graft.queries.TextQueries.gradNoiseFinishOf]])
+    * lands bit-identically on the batch statistic after any batch
+    * split — the monitoring loop a training pipeline runs to re-size
+    * its critical batch as data drifts, with per-example gradients
+    * never leaving their micro-batch. State is slot-bounded (65
+    * rows), unlike the postings dictionary — a full overwrite per
+    * batch is the right maintenance shape here. */
+  def gradMomentsStream(newDocs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val mPath = s"$outDir/gradmoments.parquet"
+          val hp = new org.apache.hadoop.fs.Path(mPath)
+          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+          val delta = graft.queries.TextQueries.gradMomentsOf(batch.toDF())
+          val merged =
+            if (exists)
+              spark.read.parquet(mPath).unionByName(delta)
+                .groupBy("slot")
+                .agg(sum("cnt").as("cnt"), sum("s1").as("s1"),
+                  sum("s2").as("s2"))
+            else delta
+          // 65-row state; localCheckpoint severs lineage from mPath
+          merged.localCheckpoint().write.mode("overwrite").parquet(mPath)
+        }
+      }
+      .start()
 }

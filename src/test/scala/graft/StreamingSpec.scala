@@ -1551,4 +1551,41 @@ class StreamingSpec extends SparkSpec {
       assert(wRows(wTwin).exists(_._2 != 0L), "trajectory never left w=0")
     } finally q.stop()
   }
+
+  test("gradMomentsStream: additive per-slot moments equal the batch sums after every batch, and the finish is bit-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val outDir = Files.createTempDirectory("gradmoments_stream").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamJobs.gradMomentsStream(
+      mem.toDF().toDF("doc_id", "text", "lang"), outDir)
+    def mRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("slot", "cnt", "s1", "s2").collect()
+        .map(_.toString).sorted.toSeq
+    try {
+      var seen = Seq.empty[(Long, String, String)]
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        seen = seen ++ b
+        val batchDf = seen.toDF("doc_id", "text", "lang")
+        val twin = queries.TextQueries.gradMomentsOf(batchDf)
+        val streamed = spark.read.parquet(s"$outDir/gradmoments.parquet")
+        assert(mRows(streamed) == mRows(twin),
+          s"moments diverge after batch ${i + 1}")
+        // the shared finish lands on the identical statistic
+        val fStream = queries.TextQueries.gradNoiseFinishOf(streamed)
+          .collect().head
+        val fBatch = queries.TextQueries.gradNoiseScaleOf(batchDf)
+          .collect().head
+        assert(fStream.toString == fBatch.toString,
+          s"finish diverges after batch ${i + 1}")
+      }
+    } finally q.stop()
+  }
 }
