@@ -5976,4 +5976,88 @@ object SimilarityQueries {
        |       (SELECT count(*) FROM d$DiamRounds WHERE d < $SsspFar) AS n_reached_seed,
        |       (SELECT count(*) FROM e$DiamRounds WHERE d < $SsspFar) AS n_reached_far""".stripMargin
   }
+
+  private val RwWalkers = 16
+  private val RwSteps = 4
+
+  /** DETERMINISTIC RANDOM WALKS on the k-NN graph — the sampling
+    * primitive under DeepWalk/node2vec-style representation pipelines
+    * and graph-local exploration, made replay-exact: walker w at node
+    * v on step t picks neighbor rank ((w·2654435761 + t·40503 + v)
+    * mod 2³²) mod deg(v) + 1 over the (node, neighbor-asc) ranking —
+    * the [[SampleBucket]] overflow-safe mixing ring indexed by
+    * (walker, step, node), so both engines and any re-run walk the
+    * identical trajectories with zero RNG state. [[RwWalkers]]
+    * walkers start at the smallest node ids and take [[RwSteps]]
+    * steps; the full trajectory relation is the output.
+    *
+    * Scale shape: the ranked adjacency (rank + degree per edge) is
+    * derived once per invocation and pinned; each step is one join of
+    * the walker-bounded state against it — walker state never exceeds
+    * [[RwWalkers]] rows. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame =
+    randomWalksOnAdj(symAdjScratch(spark, dir))
+
+  private[graft] def randomWalksOnEdges(edges: DataFrame): DataFrame = {
+    val und = undOf2(edges)
+    randomWalksOnAdj(
+      und.unionAll(und.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  private def randomWalksOnAdj(adjRaw: DataFrame): DataFrame = {
+    val adj = adjRaw.select(col("src").as("v"), col("dst").as("u"))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+    val adjR = adj
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("v").orderBy("u")).cast("long"))
+      .join(deg, Seq("v"))
+      .transform(Tables.scratchPin(_, "rw-adjr")) // k·|V|, read every step
+    val start = adj.select("v").distinct().orderBy("v").limit(RwWalkers)
+      .withColumn("wk",
+        (row_number().over(Window.orderBy("v")) - 1).cast("long"))
+      .select(col("wk"), col("v"))
+      .localCheckpoint() // walker-bounded
+    var state = start
+    var traj = start.select(col("wk"), lit(0).as("step"), col("v").as("node"))
+    for (t <- 1 to RwSteps) {
+      state = state.join(adjR, Seq("v"))
+        .filter(col("rn") ===
+          expr(s"pmod(pmod(wk * 2654435761L + $t * 40503L"
+            + s" + pmod(v, 4294967296L), 4294967296L), deg) + 1L"))
+        .select(col("wk"), col("u").as("v"))
+        .localCheckpoint() // walker-bounded round state
+      traj = traj.unionAll(
+        state.select(col("wk"), lit(t).as("step"), col("v").as("node")))
+    }
+    traj.select(col("wk").cast("int").as("walker"), col("step"), col("node"))
+      .orderBy("walker", "step")
+  }
+
+  val randomWalksSql: String = {
+    val steps = (1 to RwSteps).map { t =>
+      val prev = s"w${t - 1}"
+      s"""w$t AS MATERIALIZED (
+         |  SELECT p.wk, ar.u AS v
+         |  FROM $prev p JOIN ar ON ar.v = p.v
+         |  WHERE ar.rn = ((p.wk * 2654435761 + $t * 40503 + p.v % 4294967296)
+         |                 % 4294967296) % ar.deg + 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |adj AS MATERIALIZED (SELECT DISTINCT src AS v, dst AS u FROM
+       |        (SELECT src, dst FROM kedges UNION ALL SELECT dst, src FROM kedges)),
+       |ar AS MATERIALIZED (
+       |  SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY u) AS rn,
+       |         count(*) OVER (PARTITION BY v) AS deg
+       |  FROM adj),
+       |w0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS wk, v
+       |  FROM (SELECT DISTINCT v FROM adj) ORDER BY v LIMIT $RwWalkers),
+       |$steps
+       |SELECT CAST(wk AS INTEGER) AS walker, step, node FROM (
+       |${(0 to RwSteps).map(t =>
+          s"  SELECT wk, $t AS step, v AS node FROM w$t").mkString("\n  UNION ALL\n")}
+       |)
+       |ORDER BY walker, step""".stripMargin
+  }
 }

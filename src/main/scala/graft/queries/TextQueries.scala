@@ -9097,4 +9097,168 @@ object TextQueries {
        |       CAST(rec_ppm AS BIGINT) AS rec_ppm,
        |       CAST(f1_ppm AS BIGINT) AS f1_ppm
        |FROM f ORDER BY f1_ppm DESC, doc_a LIMIT $TfTopK""".stripMargin
+
+  private val DsirSlots = 256 // hashed feature buckets (paper: 10k)
+  private val DsirTopK = 15
+
+  /** DATA SELECTION WITH IMPORTANCE RESAMPLING (DSIR, Xie et al.
+    * 2023): the per-EXAMPLE counterpart of [[doremiStep]]'s
+    * per-domain reweighting — score every raw document by the log
+    * importance ratio of a TARGET bag-of-hashed-ngrams model over the
+    * RAW-pool model, then keep the top-scoring examples (the paper
+    * resamples ∝ the ratio; the deterministic engine emits the exact
+    * top-[[DsirTopK]] ranking the resampler would be biased toward).
+    * Target distribution = the English slice (the trainer family's
+    * label); features = the [[tokSlotExprOf]] full-string fold cut to
+    * [[DsirSlots]] buckets, Laplace-smoothed.
+    *
+    * Determinism: per-slot log ratio lp = ln((c_tgt+1)/(T_tgt+S)) −
+    * ln((c_raw+1)/(T_raw+S)) is fenced to 1e-9 integer units ONCE per
+    * slot (S = 256 rows); each doc's score is then the EXACT integer
+    * Σ num·lp9, so the top-k cut is pure integer ordering.
+    *
+    * Scale shape: one tokenize pass collapsed to (doc, slot) counts;
+    * both models are slot-bounded (256 rows, broadcast); the score is
+    * one broadcast join + per-doc sum. Nothing is ever collected. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectOf(Tables(spark, dir, "documents"))
+
+  private[graft] def dsirSelectOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        expr(tokSlotExprOf("t", DsirSlots)).as("slot"))
+      .groupBy("doc_id", "lang", "slot").agg(count(lit(1)).as("num"))
+    val raw = toks.groupBy("slot").agg(sum("num").as("cr"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy("slot").agg(sum("num").as("ct"))
+    val tots = raw.agg(sum("cr").as("totr"))
+      .crossJoin(tgt.agg(sum("ct").as("tott")))
+    val lp = raw.join(tgt, Seq("slot"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tots))
+      .select(col("slot"), Det.units(
+        log((col("ct") + 1).cast("double") / (col("tott") + DsirSlots))
+          - log((col("cr") + 1).cast("double") / (col("totr") + DsirSlots)),
+        9).as("lp9")) // 256 rows
+    val scored = toks.join(broadcast(lp), "slot")
+      .groupBy("doc_id", "lang")
+      .agg(sum("num").as("n_tokens"), sum(col("num") * col("lp9")).as("li9"))
+    scored.orderBy(desc("li9"), asc("doc_id")).limit(DsirTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("li9"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("n_tokens"),
+        col("li9"),
+        Det.rnd(col("li9").cast("double") / 1e9, 6).as("log_ratio"))
+      .orderBy("rank")
+  }
+
+  val dsirSelectSql: String = {
+    import graft.functions.Det
+    s"""WITH ts AS (
+       |  SELECT doc_id, lang, ${tokSlotSqlOf("t", DsirSlots)} AS slot
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |toks AS (SELECT doc_id, lang, slot, count(*) AS num
+       |         FROM ts GROUP BY 1, 2, 3),
+       |raw AS (SELECT slot, CAST(sum(num) AS BIGINT) AS cr FROM toks GROUP BY 1),
+       |tgt AS (SELECT slot, CAST(sum(num) AS BIGINT) AS ct
+       |        FROM toks WHERE lang = 'en' GROUP BY 1),
+       |tots AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS totr,
+       |                (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tott),
+       |lp AS (
+       |  SELECT r.slot,
+       |         ${Det.unitsSql(
+      s"ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / (tott + $DsirSlots))" +
+        s" - ln(CAST(r.cr + 1 AS DOUBLE) / (totr + $DsirSlots))", 9)} AS lp9
+       |  FROM raw r LEFT JOIN tgt t ON t.slot = r.slot CROSS JOIN tots),
+       |scored AS (
+       |  SELECT k.doc_id, k.lang, CAST(sum(k.num) AS BIGINT) AS n_tokens,
+       |         CAST(sum(k.num * lp.lp9) AS BIGINT) AS li9
+       |  FROM toks k JOIN lp USING (slot)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(row_number() OVER (ORDER BY li9 DESC, doc_id) AS INTEGER) AS rank,
+       |       doc_id, lang, n_tokens, li9,
+       |       ${Det.rndSql("CAST(li9 AS DOUBLE) / 1e9", 6)} AS log_ratio
+       |FROM scored ORDER BY li9 DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
+  private val QfK = 60 // the RRF damping constant (Cormack et al. 2009)
+  private val QfPerSource = 3
+
+  /** QUALITY-SIGNAL RANK FUSION — ensemble curation: three per-doc
+    * quality signals (length in chars, type-token ratio, stopword
+    * density — the [[textQuality]] family's signals, per-doc instead
+    * of per-language) each rank documents WITHIN their source shard,
+    * and reciprocal-rank fusion (score = Σ 10⁹ div (60 + rank), exact
+    * integers — the [[rrfFuse]] rule applied to curation instead of
+    * retrieval) picks each shard's [[QfPerSource]] keepers. Single
+    * signals are gameable (length loves boilerplate, TTR loves
+    * hashes); the fused rank demands agreement.
+    *
+    * Scale shape: signals are one narrow projection; every window is
+    * PARTITIONED BY source (the curation shard) — no global sort
+    * anywhere; the fusion is per-row integer arithmetic and the cut
+    * is shard-local. */
+  def qualityFusion(spark: SparkSession, dir: String): DataFrame =
+    qualityFusionOf(Tables(spark, dir, "documents"))
+
+  private[graft] def qualityFusionOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      expr("size(array_distinct(split(trim(text), '\\\\s+'))) * 1000000L"
+        + " div size(split(trim(text), '\\\\s+'))").as("ttr_ppm"),
+      expr("size(filter(split(trim(text), '\\\\s+'), t -> t = 'the' OR t = 'a'))"
+        + " * 1000000L div size(split(trim(text), '\\\\s+'))").as("stop_ppm"))
+    def rk(c: String) = row_number().over(
+      Window.partitionBy("source").orderBy(desc(c), asc("doc_id")))
+    val ranked = sig
+      .withColumn("r_len", rk("n_chars"))
+      .withColumn("r_ttr", rk("ttr_ppm"))
+      .withColumn("r_stop", rk("stop_ppm"))
+      .withColumn("rrf9",
+        expr(s"1000000000 div ($QfK + r_len) + 1000000000 div ($QfK + r_ttr)"
+          + s" + 1000000000 div ($QfK + r_stop)"))
+    ranked.withColumn("sel_rank", row_number().over(
+        Window.partitionBy("source").orderBy(desc("rrf9"), asc("doc_id"))))
+      .filter(col("sel_rank") <= QfPerSource)
+      .select("source", "sel_rank", "doc_id", "r_len", "r_ttr", "r_stop", "rrf9")
+      .orderBy("source", "sel_rank")
+  }
+
+  val qualityFusionSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, source, n_chars,
+       |         CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |           * 1000000 // len(string_split_regex(trim(text), '\\s+')) AS ttr_ppm,
+       |         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                              t -> t = 'the' OR t = 'a')) AS BIGINT)
+       |           * 1000000 // len(string_split_regex(trim(text), '\\s+')) AS stop_ppm
+       |  FROM documents),
+       |rk AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r_len,
+       |         row_number() OVER (PARTITION BY source ORDER BY ttr_ppm DESC, doc_id) AS r_ttr,
+       |         row_number() OVER (PARTITION BY source ORDER BY stop_ppm DESC, doc_id) AS r_stop
+       |  FROM sig),
+       |f AS (
+       |  SELECT doc_id, source,
+       |         CAST(r_len AS INTEGER) AS r_len,
+       |         CAST(r_ttr AS INTEGER) AS r_ttr,
+       |         CAST(r_stop AS INTEGER) AS r_stop,
+       |         1000000000 // ($QfK + r_len) + 1000000000 // ($QfK + r_ttr)
+       |           + 1000000000 // ($QfK + r_stop) AS rrf9
+       |  FROM rk),
+       |sel AS (
+       |  SELECT source,
+       |         row_number() OVER (PARTITION BY source ORDER BY rrf9 DESC, doc_id) AS sel_rank,
+       |         doc_id, r_len, r_ttr, r_stop, rrf9
+       |  FROM f)
+       |SELECT source, CAST(sel_rank AS INTEGER) AS sel_rank, doc_id,
+       |       r_len, r_ttr, r_stop, CAST(rrf9 AS BIGINT) AS rrf9
+       |FROM sel WHERE sel_rank <= $QfPerSource
+       |ORDER BY source, sel_rank""".stripMargin
 }
