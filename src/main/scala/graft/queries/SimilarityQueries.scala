@@ -6060,4 +6060,80 @@ object SimilarityQueries {
        |)
        |ORDER BY walker, step""".stripMargin
   }
+
+  /** EFFECTIVE DIMENSIONALITY of the embedding space — the
+    * participation ratio of the covariance spectrum, PR =
+    * (Σλ)²/Σλ² = tr(C)²/‖C‖²_F (no eigendecomposition needed: both
+    * terms read straight off the covariance matrix). An embedding
+    * column whose PR is far below its nominal width is wasting
+    * dimensions (anisotropy / rank collapse — the audit run before
+    * sizing [[annPq]] codebooks or [[jlDistortion]] targets); PR ≈
+    * dim means the space is isotropic. One row: n, dim, trace,
+    * Frobenius mass, PR.
+    *
+    * Determinism: values are fenced to exact 1e-6 integer units at
+    * the scan; raw moments are exact integer sums; C_ij = S_ij/n −
+    * μ_iμ_j in pure integer arithmetic (1e-12 units, re-cut to 1e-6
+    * before squaring so the Frobenius sum stays inside 2⁶³); the
+    * final ratio is one double division, 4-dp-fenced.
+    *
+    * Scale shape: the Gram/moment accumulation is the distributed
+    * covariance shape — one self-join per vector (dim²-bounded output,
+    * 4096 rows), means dim-bounded, finish scalar. The e6 relation is
+    * pinned (read by both moment passes). */
+  def effectiveRank(spark: SparkSession, dir: String): DataFrame =
+    effectiveRankOf(Tables(spark, dir, "embeddings"))
+
+  private[graft] def effectiveRankOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val e6 = kmCoo(emb)
+      .select(col("vec_id"), col("i"), Det.units(col("v"), 6).as("v6"))
+      .transform(Tables.scratchPin(_, "effrank-e6")) // read by both moment passes
+    val n = emb.count() // loop literal (the pageRank precedent)
+    val m1 = e6.groupBy("i").agg(expr(s"sum(v6) div $n").as("m1")) // dim rows
+    val s2 = e6.as("a").join(e6.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.v6") * col("b.v6")).as("s2")) // dim² rows
+    val c = s2
+      .join(broadcast(m1.select(col("i"), col("m1").as("mi"))), Seq("i"))
+      .join(broadcast(m1.select(col("i").as("j"), col("m1").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        expr(s"(s2 div $n - mi * mj) div 1000000").as("c6"))
+    val dim = e6.agg((max("i") + 1).cast("int").as("dim"))
+    c.agg(
+        sum(when(col("i") === col("j"), col("c6")).otherwise(0L)).as("tr6"),
+        sum(col("c6") * col("c6")).as("frob12"))
+      .crossJoin(broadcast(dim))
+      .select(lit(n).as("n_vecs"), col("dim"), col("tr6"), col("frob12"),
+        Det.rnd(col("tr6").cast("double") * col("tr6") / col("frob12"), 4)
+          .as("participation_ratio"))
+  }
+
+  val effectiveRankSql: String = {
+    import graft.functions.Det
+    s"""WITH e6 AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+       |         ${Det.unitsSql("unnest(embedding)::DOUBLE", 6)} AS v6
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |m1 AS (SELECT i, CAST(sum(v6) AS BIGINT) // (SELECT n FROM nn) AS m1
+       |       FROM e6 GROUP BY 1),
+       |s2 AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v6 * b.v6) AS BIGINT) AS s2
+       |  FROM e6 a JOIN e6 b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT s2.i, s2.j,
+       |         (s2.s2 // (SELECT n FROM nn) - mi.m1 * mj.m1) // 1000000 AS c6
+       |  FROM s2 JOIN m1 mi ON mi.i = s2.i JOIN m1 mj ON mj.i = s2.j)
+       |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_vecs,
+       |       (SELECT CAST(max(i) + 1 AS INTEGER) FROM e6) AS dim,
+       |       CAST(sum(CASE WHEN i = j THEN c6 ELSE 0 END) AS BIGINT) AS tr6,
+       |       CAST(sum(c6 * c6) AS BIGINT) AS frob12,
+       |       ${Det.rndSql(
+      "CAST(sum(CASE WHEN i = j THEN c6 ELSE 0 END) AS DOUBLE)"
+        + " * sum(CASE WHEN i = j THEN c6 ELSE 0 END) / sum(c6 * c6)", 4)}
+       |         AS participation_ratio
+       |FROM c""".stripMargin
+  }
 }

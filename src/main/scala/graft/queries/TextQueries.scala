@@ -9123,6 +9123,32 @@ object TextQueries {
   def dsirSelect(spark: SparkSession, dir: String): DataFrame =
     dsirSelectOf(Tables(spark, dir, "documents"))
 
+  /** The two hashed bag-of-ngrams models as one slot-bounded count
+    * relation (slot, cr, ct) — raw-pool and target token counts per
+    * feature bucket. PURE SUMS, so the streaming twin
+    * ([[graft.streaming.StreamJobs.dsirModelStream]]) maintains them
+    * additively across micro-batches and the derived log-ratio table
+    * is bit-identical to the batch one. */
+  private[graft] def dsirCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("lang"), expr(tokSlotExprOf("t", DsirSlots)).as("slot"))
+      .groupBy("slot")
+      .agg(count(lit(1)).as("cr"),
+        sum((col("lang") === "en").cast("long")).as("ct"))
+
+  /** Smoothed per-slot log importance ratio (1e-9 integer units) from
+    * the count relation — the finish both batch and stream share. */
+  private[graft] def dsirLpOf(counts: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val tots = counts.agg(sum("cr").as("totr"), sum("ct").as("tott"))
+    counts.crossJoin(broadcast(tots))
+      .select(col("slot"), Det.units(
+        log((col("ct") + 1).cast("double") / (col("tott") + DsirSlots))
+          - log((col("cr") + 1).cast("double") / (col("totr") + DsirSlots)),
+        9).as("lp9")) // slot-bounded (256 rows)
+  }
+
   private[graft] def dsirSelectOf(docs: DataFrame): DataFrame = {
     import graft.functions.Det
     val toks = docs
@@ -9131,17 +9157,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         expr(tokSlotExprOf("t", DsirSlots)).as("slot"))
       .groupBy("doc_id", "lang", "slot").agg(count(lit(1)).as("num"))
-    val raw = toks.groupBy("slot").agg(sum("num").as("cr"))
-    val tgt = toks.filter(col("lang") === "en")
-      .groupBy("slot").agg(sum("num").as("ct"))
-    val tots = raw.agg(sum("cr").as("totr"))
-      .crossJoin(tgt.agg(sum("ct").as("tott")))
-    val lp = raw.join(tgt, Seq("slot"), "left").na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(tots))
-      .select(col("slot"), Det.units(
-        log((col("ct") + 1).cast("double") / (col("tott") + DsirSlots))
-          - log((col("cr") + 1).cast("double") / (col("totr") + DsirSlots)),
-        9).as("lp9")) // 256 rows
+    val lp = dsirLpOf(dsirCountsOf(docs))
     val scored = toks.join(broadcast(lp), "slot")
       .groupBy("doc_id", "lang")
       .agg(sum("num").as("n_tokens"), sum(col("num") * col("lp9")).as("li9"))

@@ -1297,4 +1297,38 @@ object StreamJobs {
         }
       }
       .start()
+
+  /** STREAMING DSIR MODEL MAINTENANCE: the target/raw hashed-ngram
+    * count models behind
+    * [[graft.queries.TextQueries.dsirSelect]] are pure per-slot sums
+    * (slot, cr, ct), so each micro-batch's counts merge additively
+    * into a 256-row parquet state — after any batch split the derived
+    * log-importance table
+    * ([[graft.queries.TextQueries.dsirLpOf]]) is bit-identical to the
+    * batch model, which is exactly how a production importance
+    * sampler keeps its selection model fresh as the crawl streams in
+    * (score-side reuse: any scorer joins the CURRENT lp table; the
+    * model never needs the corpus re-read). */
+  def dsirModelStream(newDocs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cPath = s"$outDir/dsircounts.parquet"
+          val hp = new org.apache.hadoop.fs.Path(cPath)
+          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+          val delta = graft.queries.TextQueries.dsirCountsOf(batch.toDF())
+          val merged =
+            if (exists)
+              spark.read.parquet(cPath).unionByName(delta)
+                .groupBy("slot")
+                .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+            else delta
+          // 256-row state; localCheckpoint severs lineage from cPath
+          merged.localCheckpoint().write.mode("overwrite").parquet(cPath)
+        }
+      }
+      .start()
 }

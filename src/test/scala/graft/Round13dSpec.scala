@@ -137,4 +137,56 @@ class Round13dSpec extends SparkSpec {
     val r2 = SimilarityQueries.randomWalks(spark, sfDir).collect()
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
   }
+
+  // -------------------------------- effective rank
+
+  private def embDf(vecs: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("effectiveRank: a balanced one-hot simplex reads PR = dim-1 exactly; a rank-1 cloud reads PR = 1") {
+    // 4 groups of identical one-hot vectors: after centering the
+    // simplex has 3 EQUAL eigenvalues (the all-ones direction dies)
+    // → PR = 3 exactly — the eigen-free identity catches it
+    val iso = (0 until 16).map { k =>
+      (k.toLong, (0 until 4).map(j => if (j == k % 4) 1.0f else 0.0f))
+    }
+    val rIso = SimilarityQueries.effectiveRankOf(embDf(iso)).collect().head
+    assert(rIso.getAs[Int]("dim") == 4)
+    assert(rIso.getAs[Long]("n_vecs") == 16L)
+    assert(rIso.getAs[Double]("participation_ratio") == 3.0)
+    // all mass on one direction: v = ±e0 → only C_00 ≠ 0 → PR = 1
+    val r1d = (0 until 8).map { k =>
+      (k.toLong, Seq(if (k % 2 == 0) 1.0f else -1.0f, 0.0f, 0.0f, 0.0f))
+    }
+    val rOne = SimilarityQueries.effectiveRankOf(embDf(r1d)).collect().head
+    assert(rOne.getAs[Double]("participation_ratio") == 1.0)
+  }
+
+  test("effectiveRank: moments match a plain-Scala integer replay on an arbitrary fixture") {
+    val vecs = Seq(
+      (0L, Seq(0.25f, -0.5f, 0.125f)), (1L, Seq(-0.75f, 0.3f, 0.6f)),
+      (2L, Seq(0.1f, 0.9f, -0.2f)), (3L, Seq(0.45f, -0.15f, 0.05f)),
+      (4L, Seq(-0.3f, 0.2f, 0.7f)))
+    val n = vecs.length.toLong
+    val v6 = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6)) }
+    val dims = 3
+    val m1 = (0 until dims).map(i => v6.map(_._2(i)).sum / n)
+    val c6 = for (i <- 0 until dims; j <- 0 until dims) yield {
+      val s2 = v6.map(x => x._2(i) * x._2(j)).sum
+      (i, j, (s2 / n - m1(i) * m1(j)) / 1000000L)
+    }
+    val tr6 = c6.filter(x => x._1 == x._2).map(_._3).sum
+    val frob12 = c6.map(x => x._3 * x._3).sum
+    val r = SimilarityQueries.effectiveRankOf(embDf(vecs)).collect().head
+    assert(r.getAs[Long]("tr6") == tr6,
+      s"trace ${r.getAs[Long]("tr6")} vs replay $tr6")
+    assert(r.getAs[Long]("frob12") == frob12)
+    val pr = math.floor(tr6.toDouble * tr6 / frob12 * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("participation_ratio") == pr)
+  }
 }

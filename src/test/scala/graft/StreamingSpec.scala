@@ -1588,4 +1588,36 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("dsirModelStream: additive slot counts equal the batch models after every batch, and the lp table is bit-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val outDir = Files.createTempDirectory("dsir_stream").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamJobs.dsirModelStream(
+      mem.toDF().toDF("doc_id", "text", "lang"), outDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      var seen = Seq.empty[(Long, String, String)]
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        seen = seen ++ b
+        val batchDf = seen.toDF("doc_id", "text", "lang")
+        val twin = queries.TextQueries.dsirCountsOf(batchDf)
+        val streamed = spark.read.parquet(s"$outDir/dsircounts.parquet")
+        assert(rows(streamed) == rows(twin),
+          s"counts diverge after batch ${i + 1}")
+        assert(rows(queries.TextQueries.dsirLpOf(streamed))
+          == rows(queries.TextQueries.dsirLpOf(twin)),
+          s"lp table diverges after batch ${i + 1}")
+      }
+    } finally q.stop()
+  }
 }
