@@ -9202,6 +9202,241 @@ object TextQueries {
        |FROM scored ORDER BY li9 DESC, doc_id LIMIT $DsirTopK""".stripMargin
   }
 
+  /** The trainer's CTE prefix (ts → feats → nd → w0) plus the
+    * m/g/w chain through step `through` — the shared bit-identical
+    * trajectory replay that [[logregStepSql]]/[[influenceProxySql]]
+    * inline and the forgetting audit extends. Margins carry both p
+    * and the raw margin m (its SIGN is decided by the exact integer
+    * Σ w9·num, so correctness flags cannot fork between engines). */
+  private[graft] def lrTrainCtes(through: Int): String = {
+    import graft.functions.Det
+    val rounds = (0 to through).map { step =>
+      val mc =
+        s"""m$step AS MATERIALIZED (
+           |  SELECT f.doc_id, f.y,
+           |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+           |                            / (1e9 * max(f.dl))))) AS p,
+           |         CAST(sum(w.w9 * f.num) AS DOUBLE) / (1e9 * max(f.dl)) AS m
+           |  FROM feats f JOIN w$step w USING (slot)
+           |  GROUP BY 1, 2)""".stripMargin
+      if (step < through)
+        mc + s""",
+           |g$step AS (
+           |  SELECT f.slot,
+           |         CAST(sum(${Det.unitsSql(
+          "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
+           |  FROM feats f JOIN m$step m USING (doc_id)
+           |  GROUP BY 1),
+           |w${step + 1} AS (
+           |  SELECT w.slot,
+           |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
+           |           AS w9
+           |  FROM w$step w LEFT JOIN g$step g USING (slot))""".stripMargin
+      else mc
+    }.mkString(",\n")
+    s"""ts AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         ${tokSlotSqlOf("t", LrSlots)} AS slot
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ts GROUP BY 1, 2, 3),
+       |dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
+       |        FROM tsl GROUP BY 1, 2),
+       |feats AS MATERIALIZED (
+       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
+       |         CAST(t.num AS BIGINT) AS num, d.dl
+       |  FROM tsl t JOIN dlt d USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, $LrSlots, dl, dl FROM dlt),
+       |nd AS (SELECT count(*) AS n FROM dlt),
+       |w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
+       |              CAST(0 AS BIGINT) AS w9),
+       |$rounds""".stripMargin
+  }
+
+  /** EXAMPLE FORGETTING AUDIT (Toneva et al., ICLR 2019): replay the
+    * [[logregStep]] trainer's bit-identical trajectory and count, per
+    * language and per step transition, the examples whose prediction
+    * flips correct→incorrect (FORGOTTEN) and incorrect→correct
+    * (LEARNED). Forgotten-often examples are the noisy/atypical slice
+    * a curation pipeline quarantines; never-learned ones are
+    * mislabeled candidates (the trajectory-level complement of the
+    * one-shot [[influenceProxy]]).
+    *
+    * Determinism: correctness is the SIGN of the exact integer margin
+    * Σ w9·num (the divisor is positive), so flip counts are pure
+    * integers on both engines.
+    *
+    * Scale shape: the feature relation is pinned once; each step is
+    * one broadcast join + doc-sized margin pin ([[Tables.PinChain]]);
+    * the flip matrix is a 3-way doc-keyed join aggregated to
+    * (steps × langs) rows. */
+  def forgettingFlips(spark: SparkSession, dir: String): DataFrame =
+    forgettingFlipsOf(Tables(spark, dir, "documents"))
+
+  private[graft] def forgettingFlipsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "forget-feats"))
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val spark = docs.sparkSession
+    var w = lrZeroWeights(spark)
+    val pc = new graft.Tables.PinChain("forget-m")
+    val corr = (0 to LrRounds).map { step =>
+      val m = feats.join(broadcast(w), "slot")
+        .groupBy("doc_id", "y")
+        .agg((sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        .transform(pc.next)
+      if (step < LrRounds) {
+        val g = feats.join(m.select("doc_id", "p"), "doc_id")
+          .groupBy("slot")
+          .agg(sum(Det.units((col("p") - col("y"))
+            * col("num").cast("double") / col("dl"), 12)).as("g12"))
+        w = w.join(g, Seq("slot"), "left")
+          .select(col("slot"),
+            (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
+              .as("w9"))
+          .localCheckpoint() // 65 rows
+      }
+      m.select(col("doc_id"),
+        ((col("m") > 0.0) === (col("y") === 1)).as(s"c$step"))
+    }
+    val all = corr(0).join(corr(1), "doc_id").join(corr(2), "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val flips = Seq((1, "c0", "c1"), (2, "c1", "c2")).map { case (st, a, b) =>
+      all.groupBy("lang").agg(
+          sum((col(a) && !col(b)).cast("long")).as("n_forgotten"),
+          sum((!col(a) && col(b)).cast("long")).as("n_learned"),
+          sum(col(b).cast("long")).as("n_correct"))
+        .select(lit(st).as("step"), col("lang"),
+          col("n_forgotten"), col("n_learned"), col("n_correct"))
+    }
+    flips.reduce(_ unionAll _).orderBy("step", "lang")
+  }
+
+  val forgettingFlipsSql: String =
+    s"""WITH ${lrTrainCtes(LrRounds)},
+       |cs AS (
+       |  SELECT m0.doc_id, d.lang,
+       |         (m0.m > 0.0) = (m0.y = 1) AS c0,
+       |         (m1.m > 0.0) = (m1.y = 1) AS c1,
+       |         (m2.m > 0.0) = (m2.y = 1) AS c2
+       |  FROM m0 JOIN m1 USING (doc_id) JOIN m2 USING (doc_id)
+       |       JOIN documents d ON d.doc_id = m0.doc_id)
+       |SELECT step, lang, n_forgotten, n_learned, n_correct FROM (
+       |  SELECT 1 AS step, lang,
+       |         CAST(sum(CASE WHEN c0 AND NOT c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_forgotten,
+       |         CAST(sum(CASE WHEN NOT c0 AND c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_learned,
+       |         CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |  FROM cs GROUP BY 2
+       |  UNION ALL
+       |  SELECT 2 AS step, lang,
+       |         CAST(sum(CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END) AS BIGINT),
+       |         CAST(sum(CASE WHEN NOT c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT),
+       |         CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM cs GROUP BY 2)
+       |ORDER BY step, lang""".stripMargin
+
+  private val GcTopK = 10
+
+  /** INTER-DOMAIN GRADIENT CONFLICT (the PCGrad/gradient-surgery
+    * diagnostic, Yu et al. 2020, at domain granularity): per-source
+    * mean gradients of the is-English trainer at w = 0 (exact
+    * rationals — the [[gradNoiseScale]] trick), then the pairwise
+    * cosine between source gradient vectors. A strongly NEGATIVE pair
+    * pulls the model in opposing directions — the mixture curator
+    * either down-weights one ([[doremiStep]]) or routes them to
+    * separate experts; the [[GcTopK]] most-conflicting pairs are
+    * reported.
+    *
+    * Determinism: per-(source, slot) means are integer divs of exact
+    * 1e-6-unit sums; dots are exact integers; only the final cosine
+    * divides (6-dp fence → exact ordering).
+    *
+    * Scale shape: one feature pass + a (sources × slots)-bounded mean
+    * relation (checkpointed, ≤ 20·65 rows); the pair join is
+    * slot-keyed over that bounded relation — never doc-scale. */
+  def gradConflict(spark: SparkSession, dir: String): DataFrame =
+    gradConflictOf(Tables(spark, dir, "documents"))
+
+  private[graft] def gradConflictOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val feats = lrFeatsOf(docs).join(docs.select("doc_id", "source"), "doc_id")
+    val g = feats.select(col("source"), col("slot"),
+      Det.units((lit(0.5) - col("y"))
+        * col("num").cast("double") / col("dl"), 6).as("g6"))
+    val ns = feats.filter(col("slot") === LrSlots)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val m = g.groupBy("source", "slot").agg(sum("g6").as("s1"))
+      .join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("slot"), expr("s1 div n").as("m6"))
+      .localCheckpoint() // (sources × slots)-bounded
+    val nr = m.groupBy("source")
+      .agg(sqrt(sum(col("m6").cast("double") * col("m6"))).as("nrm"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.slot") === col("b.slot") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(sum(col("a.m6") * col("b.m6")).as("dot"))
+    val cosd = pairs
+      .join(nr.select(col("source").as("sa"), col("nrm").as("na")), Seq("sa"))
+      .join(nr.select(col("source").as("sb"), col("nrm").as("nb")), Seq("sb"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"), col("dot"),
+        Det.rnd(col("dot").cast("double") / (col("na") * col("nb")), 6)
+          .as("cos"))
+    cosd.orderBy(asc("cos"), asc("src_a"), asc("src_b")).limit(GcTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(asc("cos"), asc("src_a"), asc("src_b"))))
+      .select("rank", "src_a", "src_b", "dot", "cos")
+      .orderBy("rank")
+  }
+
+  val gradConflictSql: String = {
+    import graft.functions.Det
+    s"""WITH ts AS (
+       |  SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         ${tokSlotSqlOf("t", LrSlots)} AS slot
+       |  FROM (SELECT doc_id, source, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |tsl AS (SELECT doc_id, source, y, slot, count(*) AS num
+       |        FROM ts GROUP BY 1, 2, 3, 4),
+       |dlt AS (SELECT doc_id, source, y, CAST(sum(num) AS BIGINT) AS dl
+       |        FROM tsl GROUP BY 1, 2, 3),
+       |feats AS (
+       |  SELECT t.doc_id, t.source, t.y, CAST(t.slot AS BIGINT) AS slot,
+       |         CAST(t.num AS BIGINT) AS num, d.dl
+       |  FROM tsl t JOIN dlt d USING (doc_id, source, y)
+       |  UNION ALL
+       |  SELECT doc_id, source, y, $LrSlots, dl, dl FROM dlt),
+       |g AS (
+       |  SELECT source, slot,
+       |         ${Det.unitsSql("(0.5 - y) * CAST(num AS DOUBLE) / dl", 6)} AS g6
+       |  FROM feats),
+       |ns AS (SELECT source, count(*) AS n FROM dlt GROUP BY 1),
+       |m AS MATERIALIZED (
+       |  SELECT g.source, g.slot, CAST(sum(g.g6) AS BIGINT) // max(ns.n) AS m6
+       |  FROM g JOIN ns ON ns.source = g.source
+       |  GROUP BY 1, 2),
+       |nr AS (SELECT source, sqrt(sum(CAST(m6 AS DOUBLE) * m6)) AS nrm
+       |       FROM m GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |         CAST(sum(a.m6 * b.m6) AS BIGINT) AS dot
+       |  FROM m a JOIN m b ON a.slot = b.slot AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |cosd AS (
+       |  SELECT sa AS src_a, sb AS src_b, dot,
+       |         ${Det.rndSql("CAST(dot AS DOUBLE) / (x.nrm * y.nrm)", 6)} AS cos
+       |  FROM pairs JOIN nr x ON x.source = sa JOIN nr y ON y.source = sb)
+       |SELECT CAST(row_number() OVER (ORDER BY cos, src_a, src_b) AS INTEGER) AS rank,
+       |       src_a, src_b, dot, cos
+       |FROM cosd ORDER BY cos, src_a, src_b LIMIT $GcTopK""".stripMargin
+  }
+
   private val QfK = 60 // the RRF damping constant (Cormack et al. 2009)
   private val QfPerSource = 3
 
