@@ -12849,4 +12849,160 @@ object ExtensionQueries {
        |       CAST(abs(dp_median_cents - true_median_cents) AS BIGINT) AS err_cents,
        |       CAST($DpEpsilon AS DOUBLE) AS epsilon
        |FROM md CROSS JOIN dp""".stripMargin
+
+  private val AbsorbSteps = 4
+  private val AbsorbState = "purchase"
+
+  /** MARKOV ABSORPTION PROBABILITIES — the funnel question
+    * [[markovTransitions]] sets up but doesn't answer: from each
+    * behavioral state, what is the probability of reaching the
+    * absorbing [[AbsorbState]] within k steps? The purchase row is
+    * made absorbing (self-loop 1), and a(s, k+1) = Σ_d P(s,d)·a(d, k)
+    * iterates [[AbsorbSteps]] unrolled rounds — the bounded-horizon
+    * absorption profile per entry state (conversion propensity by
+    * state, the number a growth team ranks acquisition flows by).
+    *
+    * Determinism: transition mass is exact integer 1e-12 units
+    * (cnt·10¹² div row-total — rows under-sum by the truncation
+    * remainder identically in both engines); the iterate is kept in
+    * 1e-6 units so every product stays under 2⁶³ and the recurrence
+    * is pure integer arithmetic.
+    *
+    * Scale shape: one user-partitioned lag window (the sessionize
+    * exchange) collapses the corpus to a types²-bounded matrix;
+    * every iteration is a join of two ≤ types²-row relations. */
+  def absorbProb(spark: SparkSession, dir: String): DataFrame =
+    absorbProbOf(Tables(spark, dir, "events"))
+
+  private[graft] def absorbProbOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val counts = events
+      .select(col("user_id"), col("event_type").as("dst"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("src", lag("dst", 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val p = counts.filter(col("src") =!= AbsorbState)
+      .withColumn("rt", sum("cnt").over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), expr("cnt * 1000000000000L div rt").as("p12"))
+      .unionByName(counts.sparkSession.range(1)
+        .select(lit(AbsorbState).as("src"), lit(AbsorbState).as("dst"),
+          lit(1000000000000L).as("p12")))
+      .localCheckpoint() // types²-bounded matrix
+    val states = p.select(col("src").as("state")).distinct()
+    var a = states.select(col("state"),
+      when(col("state") === AbsorbState, 1000000L).otherwise(0L).as("a6"))
+      .localCheckpoint()
+    val out = (1 to AbsorbSteps).map { k =>
+      a = states
+        .join(p.join(a.select(col("state").as("dst"), col("a6")), Seq("dst"))
+            .groupBy("src").agg(expr("sum(p12 * a6) div 1000000000000L").as("n6")),
+          col("state") === col("src"), "left")
+        .select(col("state"), coalesce(col("n6"), lit(0L)).as("a6"))
+        .localCheckpoint() // types-bounded
+      a.select(col("state"), lit(k).as("step"), col("a6").as("p_absorb6"),
+        graft.functions.Det.rnd(col("a6").cast("double") / 1e6, 6).as("p_absorb"))
+    }
+    out.reduce(_ unionAll _).orderBy("state", "step")
+  }
+
+  val absorbProbSql: String = {
+    import graft.functions.Det
+    val steps = (1 to AbsorbSteps).map { k =>
+      s"""a$k AS (
+         |  SELECT s.state,
+         |         coalesce(n.n6, 0) AS a6
+         |  FROM states s LEFT JOIN (
+         |    SELECT p.src, CAST(sum(p.p12 * a.a6) AS BIGINT) // 1000000000000 AS n6
+         |    FROM p JOIN a${k - 1} a ON a.state = p.dst
+         |    GROUP BY 1) n ON n.src = s.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bi AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_us(ts), event_id) AS src,
+       |         event_type AS dst
+       |  FROM events),
+       |c AS (SELECT src, dst, count(*) AS cnt FROM bi
+       |      WHERE src IS NOT NULL GROUP BY 1, 2),
+       |p AS (
+       |  SELECT src, dst,
+       |         cnt * 1000000000000 // CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS p12
+       |  FROM c WHERE src <> '$AbsorbState'
+       |  UNION ALL
+       |  SELECT '$AbsorbState', '$AbsorbState', 1000000000000),
+       |states AS (SELECT DISTINCT src AS state FROM p),
+       |a0 AS (SELECT state,
+       |              CASE WHEN state = '$AbsorbState'
+       |                   THEN CAST(1000000 AS BIGINT) ELSE 0 END AS a6
+       |       FROM states),
+       |$steps
+       |SELECT state, step, p_absorb6,
+       |       ${Det.rndSql("CAST(p_absorb6 AS DOUBLE) / 1e6", 6)} AS p_absorb
+       |FROM (
+       |${(1 to AbsorbSteps).map(k =>
+          s"  SELECT state, $k AS step, CAST(a6 AS BIGINT) AS p_absorb6 FROM a$k")
+         .mkString("\n  UNION ALL\n")}
+       |)
+       |ORDER BY state, step""".stripMargin
+  }
+
+  private val SsrTopK = 10
+
+  /** SUPPLIER CONCENTRATION RISK from the shipment fact table: for
+    * every part, the share of its flow riding its TOP supplier (and
+    * the distinct-supplier count) — the [[SsrTopK]] most-concentrated
+    * parts by revenue-weighted exposure are the supply-chain
+    * resilience worklist (the TPC-H partsupp-less proxy: observed
+    * shippers stand in for qualified suppliers). Ranked by top-share
+    * then revenue so a fully-single-sourced cheap part doesn't bury a
+    * nearly-single-sourced expensive one.
+    *
+    * Scale shape: one groupBy(part, supplier) with map-side partials,
+    * one part-partitioned max/sum rollup — all on the fact table's
+    * natural keys; shares are exact integer ppm of line counts,
+    * revenue exact cents. */
+  def singleSourceRisk(spark: SparkSession, dir: String): DataFrame =
+    singleSourceRiskOf(Tables(spark, dir, "lineitem"))
+
+  private[graft] def singleSourceRiskOf(lineitem: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val ps = lineitem.groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(Det.cents(col("l_extendedprice"))).as("revc"))
+    val parts = ps.groupBy("l_partkey")
+      .agg(count(lit(1)).as("nsupp"), sum("cnt").as("n_lines"),
+        max("cnt").as("top_cnt"), sum("revc").as("revc"))
+      .select(col("l_partkey"), col("nsupp"), col("n_lines"),
+        expr("top_cnt * 1000000 div n_lines").as("top_share_ppm"),
+        (col("revc").cast("double") / 100.0).as("revenue"))
+    parts.orderBy(desc("top_share_ppm"), desc("revenue"), asc("l_partkey"))
+      .limit(SsrTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("top_share_ppm"), desc("revenue"), asc("l_partkey"))))
+      .select("rank", "l_partkey", "nsupp", "n_lines", "top_share_ppm",
+        "revenue")
+      .orderBy("rank")
+  }
+
+  val singleSourceRiskSql: String = {
+    import graft.functions.Det
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey, count(*) AS cnt,
+       |         CAST(sum(${Det.centsSql("l_extendedprice")}) AS BIGINT) AS revc
+       |  FROM lineitem GROUP BY 1, 2),
+       |parts AS (
+       |  SELECT l_partkey, count(*) AS nsupp,
+       |         CAST(sum(cnt) AS BIGINT) AS n_lines,
+       |         CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm,
+       |         CAST(sum(revc) AS DOUBLE) / 100.0 AS revenue
+       |  FROM ps GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY top_share_ppm DESC, revenue DESC,
+       |                               l_partkey) AS INTEGER) AS rank,
+       |       l_partkey, nsupp, n_lines, top_share_ppm, revenue
+       |FROM parts
+       |ORDER BY top_share_ppm DESC, revenue DESC, l_partkey
+       |LIMIT $SsrTopK""".stripMargin
+  }
 }

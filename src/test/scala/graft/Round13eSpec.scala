@@ -89,4 +89,70 @@ class Round13eSpec extends SparkSpec {
     assert(cs == cs.sorted, s"cos not ascending: $cs")
     assert(cs.forall(c => c >= -1.0000001 && c <= 1.0000001))
   }
+
+  // -------------------------------- Markov absorption
+
+  private def ev(id: Long, user: Long, sec: Int, typ: String) =
+    (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), user,
+      typ, 1.0, "{}")
+
+  test("absorbProb: a deterministic view→click→purchase chain absorbs in exactly the path length") {
+    val s = spark
+    import s.implicits._
+    val events = (0L until 10L).flatMap(u => Seq(
+      ev(u * 3, u, 1, "view"), ev(u * 3 + 1, u, 2, "click"),
+      ev(u * 3 + 2, u, 3, "purchase")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.queries.ExtensionQueries.absorbProbOf(events).collect()
+      .map(r => (r.getAs[String]("state"), r.getAs[Int]("step"))
+        -> r.getAs[Long]("p_absorb6")).toMap
+    assert(out(("purchase", 1)) == 1000000L)
+    assert(out(("click", 1)) == 1000000L)
+    assert(out(("view", 1)) == 0L)
+    assert(out(("view", 2)) == 1000000L) // two hops to the absorber
+    assert(out(("view", 4)) == 1000000L) // and it stays absorbed
+  }
+
+  test("absorbProb: a 50/50 branch reads exactly half, and states with no outgoing edges are not rows") {
+    val s = spark
+    import s.implicits._
+    val events = ((0L until 10L).flatMap(u => Seq(
+      ev(u * 2, u, 1, "view"), ev(u * 2 + 1, u, 2, "purchase"))) ++
+      (10L until 20L).flatMap(u => Seq(
+        ev(u * 2, u, 1, "view"), ev(u * 2 + 1, u, 2, "error"))))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.queries.ExtensionQueries.absorbProbOf(events).collect()
+    val k = out.map(r => (r.getAs[String]("state"), r.getAs[Int]("step"))
+      -> r.getAs[Long]("p_absorb6")).toMap
+    assert(k(("view", 1)) == 500000L)
+    assert(k(("view", 4)) == 500000L) // error is a dead end, mass stuck
+    // error never precedes anything → not a source state → no rows
+    assert(!out.exists(_.getAs[String]("state") == "error"))
+  }
+
+  // -------------------------------- supplier concentration
+
+  test("singleSourceRisk: top-supplier exposure ranks single-sourced parts first, revenue breaks share ties") {
+    val s = spark
+    import s.implicits._
+    val li = Seq(
+      (1L, 10L, 10.00), (1L, 10L, 10.00), // part 1: 100% on supp 10, rev 20
+      (2L, 10L, 30.00), (2L, 11L, 10.00), // part 2: 50/50 split
+      (3L, 10L, 10.00), (3L, 11L, 10.00), (3L, 12L, 10.00), // 3-way
+      (4L, 12L, 99.00)) // part 4: 100% single line, rev 99
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val out = graft.queries.ExtensionQueries.singleSourceRiskOf(li).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    // parts 1 and 4 tie at 100% share → the pricier exposure first
+    assert(out(0).getAs[Long]("l_partkey") == 4L)
+    assert(out(0).getAs[Long]("top_share_ppm") == 1000000L)
+    assert(out(0).getAs[Double]("revenue") == 99.0)
+    assert(out(1).getAs[Long]("l_partkey") == 1L)
+    assert(out(1).getAs[Long]("nsupp") == 1L)
+    assert(out(2).getAs[Long]("l_partkey") == 2L) // 500000 ppm
+    assert(out(2).getAs[Long]("top_share_ppm") == 500000L)
+    assert(out(3).getAs[Long]("l_partkey") == 3L) // 333333 ppm
+    assert(out(3).getAs[Long]("top_share_ppm") == 333333L)
+    assert(out.length == 4)
+  }
 }
