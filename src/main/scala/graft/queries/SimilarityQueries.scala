@@ -6061,6 +6061,62 @@ object SimilarityQueries {
        |ORDER BY walker, step""".stripMargin
   }
 
+  /** WEDGE AND BUTTERFLY CENSUS of the k-NN graph — the 4-cycle
+    * (butterfly) count is the motif behind bipartite-cohesion and
+    * spam/collusion detection, and the wedge count is its
+    * denominator: W(u,w) = |N(u) ∩ N(w)| common neighbors per node
+    * pair, butterflies = Σ_{u<w} C(W,2) / 2 (every 4-cycle is seen by
+    * BOTH of its diagonal pairs, so the pair sum double-counts — and
+    * is therefore always even), wedges = Σ_v C(deg(v), 2).
+    * Complements [[triangleCount]] (3-cycles) with the next motif.
+    *
+    * Scale shape: the wedge enumeration is the standard Σ deg²
+    * center-join (each center v emits its neighbor pairs — bounded by
+    * the k-NN degree cap), grouped to common-neighbor counts; every
+    * number is an exact integer. Reads the shared adjacency trunks.
+    * At 100 TB the same join with a degree-cap guard is the
+    * production butterfly counter (Sanei-Mehri et al. 2018). */
+  def butterflyCount(spark: SparkSession, dir: String): DataFrame =
+    butterflyCountOnAdj(symAdjScratch(spark, dir))
+
+  private[graft] def butterflyCountOnEdges(edges: DataFrame): DataFrame = {
+    val und = undOf2(edges)
+    butterflyCountOnAdj(
+      und.unionAll(und.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  private def butterflyCountOnAdj(sym: DataFrame): DataFrame = {
+    val nodes = sym.select(col("src").as("v")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val edges = sym.filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("n_edges"))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val cn = sym.as("a").join(sym.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("w"))
+      .agg(count(lit(1)).as("cw"))
+    val bf = cn.agg(expr("sum(cw * (cw - 1) div 2) div 2").as("n_butterflies"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(wedges))
+      .crossJoin(broadcast(bf))
+      .select("n_nodes", "n_edges", "n_wedges", "n_butterflies")
+  }
+
+  val butterflyCountSql: String =
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM kedges UNION ALL SELECT dst, src FROM kedges)),
+       |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1),
+       |cn AS (
+       |  SELECT a.dst AS u, b.dst AS w, count(*) AS cw
+       |  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+       |  GROUP BY 1, 2)
+       |SELECT (SELECT count(DISTINCT src) FROM sym) AS n_nodes,
+       |       (SELECT count(*) FROM sym WHERE src < dst) AS n_edges,
+       |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       |       (SELECT CAST(sum(cw * (cw - 1) // 2) // 2 AS BIGINT) FROM cn) AS n_butterflies""".stripMargin
+
   /** EFFECTIVE DIMENSIONALITY of the embedding space — the
     * participation ratio of the covariance spectrum, PR =
     * (Σλ)²/Σλ² = tr(C)²/‖C‖²_F (no eigendecomposition needed: both

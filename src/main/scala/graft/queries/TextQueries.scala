@@ -9437,6 +9437,84 @@ object TextQueries {
        |FROM cosd ORDER BY cos, src_a, src_b LIMIT $GcTopK""".stripMargin
   }
 
+  private val WdK = 3     // WindowDiff window (≈ half the ref segment)
+  private val WdHypEvery = 5 // hypothesis: boundary after every 5th token
+
+  /** WINDOWDIFF SEGMENTATION EVAL (Pevzner & Hearst 2002) — the
+    * standard near-miss-tolerant boundary metric for text
+    * segmentation/chunking: slide a k-token window over each document
+    * and count the windows where the HYPOTHESIS segmentation (fixed
+    * [[WdHypEvery]]-token chunks — the [[docChunk]] family's rule)
+    * disagrees with the REFERENCE on how many boundaries fall inside.
+    * The reference here is the content-defined rule the dedup family
+    * already trusts: a boundary wherever the token's polynomial fold
+    * is even (the [[winnowing]]-style content cut) — so the metric
+    * reads "how well does fixed-size chunking approximate
+    * content-defined chunking", per source.
+    *
+    * All counts are exact integers; the per-source mean is an integer
+    * div of window sums (never an average of per-doc ratios — the
+    * micro-average the metric's authors specify).
+    *
+    * Scale shape: one tokenize pass; boundary flags are per-gap
+    * projections; the window count is a doc-partitioned running sum
+    * (ROWS BETWEEN CURRENT AND k-1 FOLLOWING); one source rollup. */
+  def windowDiff(spark: SparkSession, dir: String): DataFrame =
+    windowDiffOf(Tables(spark, dir, "documents"))
+
+  private[graft] def windowDiffOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("source"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "t")))
+    // gap g sits after 1-based token position g = p + 1
+    val gaps = toks
+      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("g", col("p") + 1)
+      .filter(col("g") < col("tcnt")) // T-1 gaps
+      .select(col("doc_id"), col("source"), col("g"), col("tcnt"),
+        (col("g") % WdHypEvery === 0).cast("long").as("hb"),
+        (expr(tokSlotExprOf("t", 2)) === 0).cast("long").as("rb"))
+    val w = Window.partitionBy("doc_id").orderBy("g")
+      .rowsBetween(Window.currentRow, WdK - 1)
+    val wins = gaps
+      .withColumn("hw", sum("hb").over(w))
+      .withColumn("rw", sum("rb").over(w))
+      .filter(col("g") <= col("tcnt") - WdK) // full windows only
+      .select(col("source"),
+        (col("hw") =!= col("rw")).cast("long").as("diff"))
+    wins.groupBy("source")
+      .agg(count(lit(1)).as("n_windows"), sum("diff").as("n_diff"))
+      .select(col("source"), col("n_windows"), col("n_diff"),
+        expr("n_diff * 1000000 div n_windows").as("windowdiff_ppm"))
+      .orderBy("source")
+  }
+
+  val windowDiffSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(l) AS t,
+       |         generate_subscripts(l, 1) AS g, len(l) AS tcnt
+       |  FROM (SELECT doc_id, source,
+       |               string_split_regex(trim(text), '\\s+') AS l
+       |        FROM documents)),
+       |gaps AS (
+       |  SELECT doc_id, source, g, tcnt,
+       |         CASE WHEN g % $WdHypEvery = 0 THEN 1 ELSE 0 END AS hb,
+       |         CASE WHEN ${tokSlotSqlOf("t", 2)} = 0 THEN 1 ELSE 0 END AS rb
+       |  FROM toks WHERE g < tcnt),
+       |wins AS (
+       |  SELECT source, g, tcnt,
+       |         sum(hb) OVER (PARTITION BY doc_id ORDER BY g
+       |           ROWS BETWEEN CURRENT ROW AND ${WdK - 1} FOLLOWING) AS hw,
+       |         sum(rb) OVER (PARTITION BY doc_id ORDER BY g
+       |           ROWS BETWEEN CURRENT ROW AND ${WdK - 1} FOLLOWING) AS rw
+       |  FROM gaps)
+       |SELECT source, count(*) AS n_windows,
+       |       CAST(sum(CASE WHEN hw <> rw THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       |       CAST(sum(CASE WHEN hw <> rw THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS windowdiff_ppm
+       |FROM wins WHERE g <= tcnt - $WdK
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val QfK = 60 // the RRF damping constant (Cormack et al. 2009)
   private val QfPerSource = 3
 
