@@ -12947,6 +12947,74 @@ object ExtensionQueries {
        |ORDER BY state, step""".stripMargin
   }
 
+  private val BonNs = Seq(1, 4, 16)
+
+  /** BEST-OF-N POLICY VALUE from logged rewards — the order-statistic
+    * eval behind best-of-n sampling (and the value side of
+    * [[ipsEval]]'s off-policy story): if a policy draws n i.i.d.
+    * samples from the logged reward distribution and keeps the best,
+    * its expected value is E[max] = Σ_v v·(F(v)ⁿ − F(v⁻)ⁿ) over the
+    * EXACT empirical distribution — computed per event type for
+    * n ∈ {${"1, 4, 16"}}. n = 1 reproduces the plain mean (the spec's
+    * sanity anchor); the n-curve's flatness is the "is more sampling
+    * still buying reward?" readout.
+    *
+    * Determinism: rewards are exact cents; F(v) and F(v⁻) are exact
+    * integer rank ratios; each pow term is fenced to 1e-9 units
+    * BEFORE the value-weighted sum, so summation order cannot move
+    * the result; the final division is 4-dp-fenced.
+    *
+    * Scale shape: one (type, cents) count aggregation, a type-
+    * partitioned cumulative window on the distinct-value relation
+    * (value-bounded), and a per-n rollup — the corpus is read once. */
+  def bestOfN(spark: SparkSession, dir: String): DataFrame =
+    bestOfNOf(Tables(spark, dir, "events"))
+
+  private[graft] def bestOfNOf(events: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val d = events.groupBy(col("event_type"),
+        Det.cents(col("value")).as("vc"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("vc")))
+      .withColumn("tot", sum("cnt").over(Window.partitionBy("event_type")))
+    val terms = d.crossJoin(
+        events.sparkSession.createDataFrame(BonNs.map(Tuple1(_)))
+          .toDF("n"))
+      .select(col("event_type"), col("n"),
+        Det.units((col("vc").cast("double") / 100.0)
+          * (pow(col("cum").cast("double") / col("tot"), col("n"))
+            - pow((col("cum") - col("cnt")).cast("double") / col("tot"),
+              col("n"))), 9).as("term9"))
+    terms.groupBy("event_type", "n")
+      .agg(Det.rnd(sum("term9").cast("double") / 1e9, 4).as("e_max"))
+      .orderBy("event_type", "n")
+  }
+
+  val bestOfNSql: String = {
+    import graft.functions.Det
+    s"""WITH d AS (
+       |  SELECT event_type, ${Det.centsSql("value")} AS vc, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, vc, cnt,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS tot
+       |  FROM d),
+       |t AS (
+       |  SELECT event_type, n,
+       |         ${Det.unitsSql(
+      "(CAST(vc AS DOUBLE) / 100.0)"
+        + " * (pow(CAST(cum AS DOUBLE) / tot, n)"
+        + "    - pow(CAST(cum - cnt AS DOUBLE) / tot, n))", 9)} AS term9
+       |  FROM c CROSS JOIN (SELECT unnest([${BonNs.mkString(", ")}]) AS n))
+       |SELECT event_type, CAST(n AS INTEGER) AS n,
+       |       ${Det.rndSql("CAST(sum(term9) AS DOUBLE) / 1e9", 4)} AS e_max
+       |FROM t GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   private val SsrTopK = 10
 
   /** SUPPLIER CONCENTRATION RISK from the shipment fact table: for

@@ -9437,6 +9437,95 @@ object TextQueries {
        |FROM cosd ORDER BY cos, src_a, src_b LIMIT $GcTopK""".stripMargin
   }
 
+  private val EvRstar = 15.0 // repetition half-value constant (paper fit)
+
+  /** MULTI-EPOCH DATA VALUE (the data-constrained scaling law of
+    * Muennighoff et al., NeurIPS 2023): repeating data is worth less
+    * each epoch — beyond-first repetitions decay as R' =
+    * R*·(1 − e^(−R/R*)), so a source's EFFECTIVE token budget is
+    * D' = U·(1 + R') where U is its unique token mass and
+    * R = T/U − 1 its beyond-first repeat factor. The readout that
+    * turns the dedup family's dup rates into a training budget: how
+    * many of a source's tokens still buy loss, and how many are
+    * waste. Uniqueness is the exact-dup rule ([[docFingerprint]]'s
+    * normalized md5) — unique mass counts each duplicate GROUP's
+    * tokens once (first doc_id wins, the [[DedupQueries]] keep-rule).
+    *
+    * Determinism: T and U are exact integer token counts; R is one
+    * double ratio of them; e^(−R/R*) is immediately 6-dp-fenced
+    * ([[classBalance]] precedent) before entering the effective-token
+    * product, which is then 2-dp-fenced; waste is exact-integer ppm
+    * of fenced quantities re-cut to integers.
+    *
+    * Scale shape: one fingerprint pass, one (fp-keyed) first-doc cut,
+    * two source rollups — all on the natural dedup keys. */
+  def epochValue(spark: SparkSession, dir: String): DataFrame =
+    epochValueOf(Tables(spark, dir, "documents"))
+
+  private[graft] def epochValueOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+    val keep = base.withColumn("rn", row_number().over(
+      Window.partitionBy("source", "fp").orderBy("doc_id")))
+    val agg = keep.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("rn") === 1).cast("long")).as("n_unique"),
+      sum("ntok").as("t_tokens"),
+      sum(when(col("rn") === 1, col("ntok")).otherwise(0L)).as("u_tokens"))
+    agg
+      .withColumn("r", Det.rnd(
+        col("t_tokens").cast("double") / col("u_tokens") - 1.0, 6))
+      .withColumn("rprime", Det.rnd(
+        lit(EvRstar) * (lit(1.0) - Det.rnd(exp(-col("r") / EvRstar), 6)), 6))
+      .withColumn("eff_tokens", Det.rnd(
+        col("u_tokens") * (lit(1.0) + col("rprime")), 2))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("t_tokens"), col("u_tokens"), col("r").as("repeat_factor"),
+        col("eff_tokens"),
+        greatest(lit(0L),
+          Det.units((col("t_tokens") - col("eff_tokens"))
+            / col("t_tokens"), 6)).as("waste_ppm"))
+      .orderBy("source")
+  }
+
+  val epochValueSql: String = {
+    import graft.functions.Det
+    val rExpr = Det.rndSql(
+      "CAST(t_tokens AS DOUBLE) / u_tokens - 1.0", 6)
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |keep AS (
+       |  SELECT source, ntok,
+       |         row_number() OVER (PARTITION BY source, fp ORDER BY doc_id) AS rn
+       |  FROM base),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |         CAST(sum(ntok) AS BIGINT) AS t_tokens,
+       |         CAST(sum(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT) AS u_tokens
+       |  FROM keep GROUP BY 1),
+       |rr AS (
+       |  SELECT *, $rExpr AS r FROM agg),
+       |rp AS (
+       |  SELECT *, ${Det.rndSql(
+      s"$EvRstar * (1.0 - ${Det.rndSql(s"exp(-r / $EvRstar)", 6)})", 6)} AS rprime
+       |  FROM rr),
+       |ef AS (SELECT *, ${Det.rndSql("u_tokens * (1.0 + rprime)", 2)} AS eff_tokens
+       |       FROM rp)
+       |SELECT source, n_docs, n_unique, t_tokens, u_tokens,
+       |       r AS repeat_factor, eff_tokens,
+       |       greatest(0, ${Det.unitsSql(
+      "(t_tokens - eff_tokens) / t_tokens", 6)}) AS waste_ppm
+       |FROM ef
+       |ORDER BY source""".stripMargin
+  }
+
   private val WdK = 3     // WindowDiff window (≈ half the ref segment)
   private val WdHypEvery = 5 // hypothesis: boundary after every 5th token
 

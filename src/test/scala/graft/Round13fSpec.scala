@@ -82,4 +82,68 @@ class Round13fSpec extends SparkSpec {
     assert(rf.getAs[Long]("n_diff") == diffs.toLong,
       s"engine ${rf.getAs[Long]("n_diff")} vs replay $diffs")
   }
+
+  // -------------------------------- multi-epoch data value
+
+  test("epochValue: a dup-free source wastes nothing; a source of pure repeats decays by the published law") {
+    val s = spark
+    import s.implicits._
+    def rnd(x: Double, sc: Int): Double = {
+      val f = math.pow(10, sc); math.floor(x * f + 0.5) / f
+    }
+    val docs = ((0 until 10).map(i =>
+        (i.toLong, s"unique text number $i", "en", "clean", 20L)) ++
+      (10 until 50).map(i =>
+        (i.toLong, "same text every time", "en", "loop", 20L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextQueries.epochValueOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val clean = out("clean")
+    assert(clean.getAs[Long]("n_unique") == 10L)
+    assert(clean.getAs[Long]("t_tokens") == clean.getAs[Long]("u_tokens"))
+    assert(clean.getAs[Double]("repeat_factor") == 0.0)
+    assert(clean.getAs[Double]("eff_tokens") ==
+      clean.getAs[Long]("u_tokens").toDouble)
+    assert(clean.getAs[Long]("waste_ppm") == 0L)
+    val loop = out("loop") // 40 copies of a 4-token doc
+    assert(loop.getAs[Long]("n_unique") == 1L)
+    assert(loop.getAs[Long]("t_tokens") == 160L)
+    assert(loop.getAs[Long]("u_tokens") == 4L)
+    val r = rnd(160.0 / 4.0 - 1.0, 6)
+    val rp = rnd(15.0 * (1.0 - rnd(math.exp(-r / 15.0), 6)), 6)
+    assert(loop.getAs[Double]("repeat_factor") == r)
+    assert(loop.getAs[Double]("eff_tokens") == rnd(4.0 * (1.0 + rp), 2))
+    assert(loop.getAs[Long]("waste_ppm") > 500000L) // most of it is waste
+  }
+
+  // -------------------------------- best-of-n
+
+  test("bestOfN: n=1 is the plain mean, E[max] grows with n toward the max, degenerate distribution is flat") {
+    val s = spark
+    import s.implicits._
+    def ev(id: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, typ, v, "{}")
+    // uniform over {1, 2, 3, 4}: mean 2.5; E[max of 4] = Σ v·((v/4)^4 − ((v−1)/4)^4)
+    val events = ((0 until 4).map(i => ev(i.toLong, "a", (i + 1).toDouble)) ++
+      (4 until 8).map(i => ev(i.toLong, "b", 7.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.queries.ExtensionQueries.bestOfNOf(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("n"))
+        -> r.getAs[Double]("e_max")).toMap
+    assert(out(("a", 1)) == 2.5)
+    def emax(n: Int): Double = {
+      val terms = (1 to 4).map { v =>
+        math.round((v.toDouble
+          * (math.pow(v / 4.0, n) - math.pow((v - 1) / 4.0, n))) * 1e9)
+      }
+      math.floor(terms.sum.toDouble / 1e9 * 1e4 + 0.5) / 1e4
+    }
+    assert(out(("a", 4)) == emax(4))
+    assert(out(("a", 16)) == emax(16))
+    assert(out(("a", 1)) < out(("a", 4)))
+    assert(out(("a", 4)) < out(("a", 16)))
+    assert(out(("a", 16)) <= 4.0)
+    // a constant reward can't be improved by sampling more
+    assert(out(("b", 1)) == 7.0 && out(("b", 16)) == 7.0)
+  }
 }
