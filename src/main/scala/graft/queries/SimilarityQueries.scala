@@ -6117,6 +6117,64 @@ object SimilarityQueries {
        |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
        |       (SELECT CAST(sum(cw * (cw - 1) // 2) // 2 AS BIGINT) FROM cn) AS n_butterflies""".stripMargin
 
+  private val SeTopK = 10
+
+  /** STRUCTURAL EQUIVALENCE CLASSES — nodes of the k-NN graph with
+    * IDENTICAL neighborhoods (the strictest role-equivalence): such
+    * nodes are interchangeable in every graph algorithm downstream,
+    * so a class of size s can be contracted to one representative
+    * before the expensive fixpoints run — the graph-side counterpart
+    * of [[DedupQueries]]' exact dedup (near-identical vectors produce
+    * exactly this signature). Classes are keyed by the EXACT sorted
+    * neighbor list (degree-bounded string, no hashing — no collision
+    * caveats), reported as the [[SeTopK]] largest classes.
+    *
+    * Scale shape: one groupBy(node) with a sorted collect bounded by
+    * the k-NN degree cap, one groupBy(neighborhood) — both on natural
+    * keys; pure integers and strings. */
+  def structEquiv(spark: SparkSession, dir: String): DataFrame =
+    structEquivOnAdj(symAdjScratch(spark, dir))
+
+  private[graft] def structEquivOnEdges(edges: DataFrame): DataFrame = {
+    val und = undOf2(edges)
+    structEquivOnAdj(
+      und.unionAll(und.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  private def structEquivOnAdj(sym: DataFrame): DataFrame = {
+    val nbr = sym.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"),
+        expr("array_join(transform(sort_array(collect_list(dst)),"
+          + " x -> cast(x AS STRING)), ',')").as("nbrs"))
+    val cls = nbr.groupBy("deg", "nbrs")
+      .agg(count(lit(1)).as("class_size"), min("v").as("rep_node"))
+    cls.orderBy(desc("class_size"), asc("rep_node")).limit(SeTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("class_size"), asc("rep_node"))))
+      .select(col("rank"), col("class_size"), col("deg").as("degree"),
+        col("rep_node"))
+      .orderBy("rank")
+  }
+
+  val structEquivSql: String =
+    s"""WITH $knnGraphRankedCte,
+       |kedges AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= 5),
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM kedges UNION ALL SELECT dst, src FROM kedges)),
+       |nbr AS (
+       |  SELECT src AS v, count(*) AS deg,
+       |         string_agg(dst, ',' ORDER BY dst) AS nbrs
+       |  FROM sym GROUP BY 1),
+       |cls AS (
+       |  SELECT deg, nbrs, count(*) AS class_size, min(v) AS rep_node
+       |  FROM nbr GROUP BY 1, 2)
+       |SELECT CAST(row_number() OVER (ORDER BY class_size DESC, rep_node)
+       |            AS INTEGER) AS rank,
+       |       class_size, CAST(deg AS BIGINT) AS degree, rep_node
+       |FROM cls
+       |ORDER BY class_size DESC, rep_node
+       |LIMIT $SeTopK""".stripMargin
+
   /** EFFECTIVE DIMENSIONALITY of the embedding space — the
     * participation ratio of the covariance spectrum, PR =
     * (Σλ)²/Σλ² = tr(C)²/‖C‖²_F (no eigendecomposition needed: both

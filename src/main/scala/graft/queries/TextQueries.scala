@@ -9437,6 +9437,81 @@ object TextQueries {
        |FROM cosd ORDER BY cos, src_a, src_b LIMIT $GcTopK""".stripMargin
   }
 
+  private val TsTemps = Seq(0.25, 0.5, 1.0, 2.0, 4.0)
+
+  /** TEMPERATURE SCALING SWEEP (Guo et al., ICML 2017 — the one-knob
+    * post-hoc calibration every deployed classifier gets): rescale
+    * the trained model's logits by 1/T and report the negative
+    * log-likelihood at each candidate T — the arg-min is the
+    * calibrated temperature ([[eceCalibration]] measures the
+    * miscalibration; this is the standard fix). Margins are the
+    * [[logregStep]] trajectory's step-1 logits (exact rationals from
+    * the bit-identical integer weights), so the sweep is a pure
+    * deterministic replay; grid search rather than Newton keeps the
+    * oracle an exact unrolled expression.
+    *
+    * Determinism: per-doc NLL at each T is fenced to 1e-9 units
+    * before the sum (the logloss discipline); the best-T rank is
+    * integer ordering on the fenced values with the T grid as
+    * tiebreak.
+    *
+    * Scale shape: one feature pass + one broadcast step to margins
+    * (doc-sized, pinned), then |grid| aggregations over the pin. */
+  def tempScaling(spark: SparkSession, dir: String): DataFrame =
+    tempScalingOf(Tables(spark, dir, "documents"))
+
+  private[graft] def tempScalingOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "temps-feats"))
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val spark = docs.sparkSession
+    val w0 = lrZeroWeights(spark)
+    val w1 = logregSgdStep(w0, feats, nDocs).localCheckpoint() // 65 rows
+    val m1 = feats.join(broadcast(w1), "slot")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("w9") * col("num")).cast("double")
+        / (lit(1e9) * max("dl"))).as("m"))
+      .transform(graft.Tables.scratchPin(_, "temps-m1")) // doc-sized, |grid| reads
+    val temps = spark.createDataFrame(TsTemps.map(Tuple1(_))).toDF("t")
+    val nll = m1.crossJoin(broadcast(temps))
+      .select(col("t"), Det.units(
+        -(col("y") * log(lit(1.0) / (lit(1.0) + exp(-col("m") / col("t"))))
+          + (lit(1L) - col("y"))
+            * log(lit(1.0) - lit(1.0) / (lit(1.0) + exp(-col("m") / col("t"))))),
+        9).as("nll9"))
+      .groupBy("t")
+      .agg(sum("nll9").as("s9"))
+      .select(col("t"),
+        Det.rnd(col("s9").cast("double") / 1e9 / nDocs, 6).as("logloss"))
+    nll.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(asc("logloss"), asc("t"))))
+      .select("rank", "t", "logloss")
+      .orderBy("t")
+  }
+
+  val tempScalingSql: String = {
+    import graft.functions.Det
+    val nllExpr = Det.unitsSql(
+      "-(y * ln(1.0 / (1.0 + exp(-m / t)))"
+        + " + (1 - y) * ln(1.0 - 1.0 / (1.0 + exp(-m / t))))", 9)
+    s"""WITH ${lrTrainCtes(1)},
+       |tt AS (SELECT CAST(unnest([${TsTemps.mkString(", ")}]) AS DOUBLE) AS t),
+       |nl AS (
+       |  SELECT t, CAST(sum($nllExpr) AS BIGINT) AS s9
+       |  FROM m1 CROSS JOIN tt
+       |  GROUP BY 1),
+       |fin AS (
+       |  SELECT t, ${Det.rndSql(
+      "CAST(s9 AS DOUBLE) / 1e9 / (SELECT n FROM nd)", 6)} AS logloss
+       |  FROM nl)
+       |SELECT CAST(row_number() OVER (ORDER BY logloss, t) AS INTEGER) AS rank,
+       |       t, logloss
+       |FROM fin
+       |ORDER BY t""".stripMargin
+  }
+
   private val EvRstar = 15.0 // repetition half-value constant (paper fit)
 
   /** MULTI-EPOCH DATA VALUE (the data-constrained scaling law of

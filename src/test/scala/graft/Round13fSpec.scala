@@ -146,4 +146,44 @@ class Round13fSpec extends SparkSpec {
     // a constant reward can't be improved by sampling more
     assert(out(("b", 1)) == 7.0 && out(("b", 16)) == 7.0)
   }
+
+  // -------------------------------- structural equivalence
+
+  test("structEquiv: twin leaves of a star share a class, the hub is alone, sizes partition the node set") {
+    // star 1-{2,3,4,5}: every leaf's neighborhood is exactly {1}
+    val out = SimilarityQueries.structEquivOnEdges(
+      edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out(0).getAs[Long]("class_size") == 4L) // the leaves
+    assert(out(0).getAs[Long]("rep_node") == 2L)
+    assert(out(0).getAs[Long]("degree") == 1L)
+    assert(out(1).getAs[Long]("class_size") == 1L) // the hub
+    assert(out(1).getAs[Long]("rep_node") == 1L)
+    assert(out.map(_.getAs[Long]("class_size")).sum == 5L)
+    // chain 1-2-3: ends {2} vs {2} share; middle {1,3} alone
+    val chain = SimilarityQueries.structEquivOnEdges(
+      edges((1L, 2L), (2L, 3L))).collect()
+    assert(chain.head.getAs[Long]("class_size") == 2L)
+    assert(chain.head.getAs[Long]("rep_node") == 1L)
+  }
+
+  // -------------------------------- temperature scaling
+
+  test("tempScaling: sweep is a plain-Scala replay of the trajectory margins and T=1 recovers the trainer's step-1 loss") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = TextQueries.tempScalingOf(docs).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+    val byT = out.map(r => r.getAs[Double]("t") -> r).toMap
+    // T = 1 must equal logregStep's step-1 logloss exactly (same
+    // margins, same fence)
+    val step1 = TextQueries.logregStepOf(docs).collect()
+      .find(_.getAs[Int]("step") == 1).get.getAs[Double]("logloss")
+    assert(byT(1.0).getAs[Double]("logloss") == step1,
+      s"T=1 ${byT(1.0).getAs[Double]("logloss")} vs trainer $step1")
+    // the best T carries rank 1 and no other T beats it
+    val best = out.find(_.getAs[Int]("rank") == 1).get
+    assert(out.forall(r => r.getAs[Double]("logloss")
+      >= best.getAs[Double]("logloss")))
+  }
 }
