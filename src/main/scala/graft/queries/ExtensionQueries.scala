@@ -12883,6 +12883,17 @@ object ExtensionQueries {
       .withColumn("src", lag("dst", 1).over(w))
       .filter(col("src").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    absorbFromCounts(counts)
+  }
+
+  /** The absorption iteration on an already-aggregated transition
+    * count relation (src, dst, cnt) — factored out so the
+    * [[graft.streaming.StreamJobs.transitionsStream]] state (whose
+    * emitted transitions aggregate to the SAME counts) feeds the
+    * identical finish: stream-built absorption probabilities are
+    * bit-identical to the batch ones (StreamingSpec parity). */
+  private[graft] def absorbFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val p = counts.filter(col("src") =!= AbsorbState)
       .withColumn("rt", sum("cnt").over(Window.partitionBy("src")))
       .select(col("src"), col("dst"), expr("cnt * 1000000000000L div rt").as("p12"))

@@ -9437,6 +9437,110 @@ object TextQueries {
        |FROM cosd ORDER BY cos, src_a, src_b LIMIT $GcTopK""".stripMargin
   }
 
+  private val FsTopK = 10
+
+  /** EXACT LINEAR SHAP FEATURE IMPORTANCE of the trained classifier —
+    * for a linear model the Shapley value has the closed form
+    * φ_s(d) = w_s·(x_{d,s} − E[x_s]) (Lundberg-Lee 2017, the linear
+    * case), so global importance mean|φ_s| is exact with no sampling:
+    * the model-debugging readout that names WHICH hashed slots carry
+    * the is-English decision, each with its highest-count
+    * representative token so the slot is human-readable.
+    *
+    * Determinism: weights are the bit-identical step-1 integers cut
+    * to 1e-6 units; tf values x = num/dl are fenced to 1e-6 units;
+    * E[x_s] is an integer div over ALL docs (absent rows are true
+    * zeros — their |w·(0 − E)| mass enters via the (n − cnt) closed
+    * form, never a dense expansion); the mean splits into two exact
+    * integer sums divided once at the end.
+    *
+    * Scale shape: one feature pass (pinned), one slot-bounded moment
+    * aggregation, one vocabulary-bounded token-rank join; the dense
+    * doc×slot matrix never materializes. */
+  def featureShap(spark: SparkSession, dir: String): DataFrame =
+    featureShapOf(Tables(spark, dir, "documents"))
+
+  private[graft] def featureShapOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "fshap-feats"))
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val w1 = logregSgdStep(lrZeroWeights(docs.sparkSession), feats, nDocs)
+      .select(col("slot"), expr("w9 div 1000").as("w6"))
+      .localCheckpoint() // 65 rows
+    val x = feats.select(col("slot").cast("long").as("slot"),
+      Det.units(col("num").cast("double") / col("dl"), 6).as("x6"))
+    val mom = x.groupBy("slot")
+      .agg(count(lit(1)).as("cnt"), sum("x6").as("sx6"))
+      .withColumn("e6", expr(s"sx6 div $nDocs"))
+    // Σ_docs |w(x − E)| = Σ_present |w(x6 − e6)| + (n − cnt)·|w·e6|
+    val present = x.join(broadcast(mom.select("slot", "e6")), Seq("slot"))
+      .groupBy("slot").agg(sum(abs(col("x6") - col("e6"))).as("sp12"))
+    val imp = mom.join(present, Seq("slot")).join(broadcast(w1), Seq("slot"))
+      .select(col("slot"), col("cnt"), col("e6"), col("w6"),
+        (abs(col("w6")) * (col("sp12")
+          + (lit(nDocs) - col("cnt")) * abs(col("e6")))).as("s12"))
+      .select(col("slot"), col("w6"), col("e6"),
+        expr(s"s12 div $nDocs").as("imp12"))
+    // representative token: the slot's highest-count corpus token
+    val toks = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("t"), expr(tokSlotExprOf("t", LrSlots)).as("slot"))
+      .groupBy("slot", "t").agg(count(lit(1)).as("c"))
+    val rep = toks.withColumn("rn", row_number().over(
+        Window.partitionBy("slot").orderBy(desc("c"), asc("t"))))
+      .filter(col("rn") === 1)
+      .select(col("slot").cast("long").as("slot"), col("t").as("top_token"))
+    imp.join(rep, Seq("slot"), "left").na.fill("", Seq("top_token"))
+      .orderBy(desc("imp12"), asc("slot")).limit(FsTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("imp12"), asc("slot"))))
+      .select(col("rank"), col("slot"), col("top_token"), col("w6"),
+        col("imp12"),
+        Det.rnd(col("imp12").cast("double") / 1e12, 6).as("mean_abs_shap"))
+      .orderBy("rank")
+  }
+
+  val featureShapSql: String = {
+    import graft.functions.Det
+    s"""WITH ${lrTrainCtes(1)},
+       |wc AS (SELECT slot, w9 // 1000 AS w6 FROM w1),
+       |x AS (SELECT slot, ${Det.unitsSql(
+      "CAST(num AS DOUBLE) / dl", 6)} AS x6 FROM feats),
+       |mom AS (
+       |  SELECT slot, count(*) AS cnt, CAST(sum(x6) AS BIGINT) AS sx6
+       |  FROM x GROUP BY 1),
+       |me AS (SELECT slot, cnt, sx6 // (SELECT n FROM nd) AS e6 FROM mom),
+       |pr AS (
+       |  SELECT x.slot, CAST(sum(abs(x.x6 - me.e6)) AS BIGINT) AS sp12
+       |  FROM x JOIN me ON me.slot = x.slot
+       |  GROUP BY 1),
+       |imp AS (
+       |  SELECT me.slot, wc.w6, me.e6,
+       |         (abs(wc.w6) * (pr.sp12
+       |            + ((SELECT n FROM nd) - me.cnt) * abs(me.e6)))
+       |           // (SELECT n FROM nd) AS imp12
+       |  FROM me JOIN pr ON pr.slot = me.slot JOIN wc ON wc.slot = me.slot),
+       |tk AS (
+       |  SELECT ${tokSlotSqlOf("t", LrSlots)} AS slot, t, count(*) AS c
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT CAST(slot AS BIGINT) AS slot, t AS top_token FROM (
+       |    SELECT slot, t,
+       |           row_number() OVER (PARTITION BY slot ORDER BY c DESC, t) AS rn
+       |    FROM tk) WHERE rn = 1)
+       |SELECT CAST(row_number() OVER (ORDER BY i.imp12 DESC, i.slot) AS INTEGER) AS rank,
+       |       i.slot, coalesce(r.top_token, '') AS top_token, i.w6,
+       |       CAST(i.imp12 AS BIGINT) AS imp12,
+       |       ${Det.rndSql("CAST(i.imp12 AS DOUBLE) / 1e12", 6)} AS mean_abs_shap
+       |FROM imp i LEFT JOIN rep r ON r.slot = i.slot
+       |ORDER BY i.imp12 DESC, i.slot
+       |LIMIT $FsTopK""".stripMargin
+  }
+
   private val TsTemps = Seq(0.25, 0.5, 1.0, 2.0, 4.0)
 
   /** TEMPERATURE SCALING SWEEP (Guo et al., ICML 2017 — the one-knob
