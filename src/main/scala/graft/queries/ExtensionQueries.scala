@@ -12981,17 +12981,29 @@ object ExtensionQueries {
   def bestOfN(spark: SparkSession, dir: String): DataFrame =
     bestOfNOf(Tables(spark, dir, "events"))
 
-  private[graft] def bestOfNOf(events: DataFrame): DataFrame = {
+  private[graft] def bestOfNOf(events: DataFrame): DataFrame =
+    bonFinish(bonHist(events))
+
+  /** The per-(type, cents) reward histogram — PURE COUNTS, so the
+    * streaming twin ([[graft.streaming.StreamJobs.bonHistStream]])
+    * maintains it additively and the order-statistic finish is
+    * bit-identical to batch after any split. */
+  private[graft] def bonHist(events: DataFrame): DataFrame = {
+    import graft.functions.Det
+    events.groupBy(col("event_type"), Det.cents(col("value")).as("vc"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The E[max of n] finish both batch and stream share. */
+  private[graft] def bonFinish(hist: DataFrame): DataFrame = {
     import graft.functions.Det
     import org.apache.spark.sql.expressions.Window
-    val d = events.groupBy(col("event_type"),
-        Det.cents(col("value")).as("vc"))
-      .agg(count(lit(1)).as("cnt"))
+    val d = hist
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy("event_type").orderBy("vc")))
       .withColumn("tot", sum("cnt").over(Window.partitionBy("event_type")))
     val terms = d.crossJoin(
-        events.sparkSession.createDataFrame(BonNs.map(Tuple1(_)))
+        hist.sparkSession.createDataFrame(BonNs.map(Tuple1(_)))
           .toDF("n"))
       .select(col("event_type"), col("n"),
         Det.units((col("vc").cast("double") / 100.0)

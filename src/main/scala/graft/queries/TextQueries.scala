@@ -9437,6 +9437,93 @@ object TextQueries {
        |FROM cosd ORDER BY cos, src_a, src_b LIMIT $GcTopK""".stripMargin
   }
 
+  /** MODEL AGREEMENT AUDIT — champion/challenger comparison of the
+    * engine's two trained is-English classifiers on the val split:
+    * the generative [[naiveBayes]] (exact BIGINT class scores) vs the
+    * discriminative [[logregStep]] at its step-1 weights (exact
+    * rational margins). Reports the agreement rate, the
+    * both-correct/both-wrong cells, the DISCORDANT cells (exactly
+    * where one model knows something the other doesn't — the
+    * ensemble/routing signal), and McNemar's χ² = (b−c)²/(b+c) on
+    * them (the paired test [[mcnemar]] applies to generic flags,
+    * here applied to the engine's own models).
+    *
+    * Determinism: both predictions are signs of exact integers (NB:
+    * BIGINT score difference; LR: the integer Σ w9·num behind the
+    * margin), counts are exact, and χ² is one fenced expression.
+    *
+    * Scale shape: one doc-keyed join of two val-split score
+    * relations, one global aggregation. */
+  def modelAgreement(spark: SparkSession, dir: String): DataFrame =
+    modelAgreementOf(Tables(spark, dir, "documents"))
+
+  private[graft] def modelAgreementOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val nb = nbScores(docs)
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+        (col("sc_en") >= col("sc_ot")).as("nb_en"))
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "magree-feats"))
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val w1 = logregSgdStep(lrZeroWeights(docs.sparkSession), feats, nDocs)
+      .localCheckpoint()
+    val lr = feats.join(broadcast(w1), "slot")
+      .groupBy("doc_id")
+      .agg((sum(col("w9") * col("num")) > 0L).as("lr_en"))
+    nb.join(lr, "doc_id")
+      .agg(
+        count(lit(1)).as("n_val"),
+        sum(((col("nb_en") === (col("y") === 1))
+          && (col("lr_en") === (col("y") === 1))).cast("long")).as("both_correct"),
+        sum(((col("nb_en") =!= (col("y") === 1))
+          && (col("lr_en") =!= (col("y") === 1))).cast("long")).as("both_wrong"),
+        sum(((col("nb_en") === (col("y") === 1))
+          && (col("lr_en") =!= (col("y") === 1))).cast("long")).as("nb_only"),
+        sum(((col("nb_en") =!= (col("y") === 1))
+          && (col("lr_en") === (col("y") === 1))).cast("long")).as("lr_only"),
+        expr("sum(CASE WHEN nb_en = lr_en THEN 1L ELSE 0L END)").as("n_agree"))
+      .select(col("n_val"), col("both_correct"), col("both_wrong"),
+        col("nb_only"), col("lr_only"),
+        expr("n_agree * 1000000 div n_val").as("agree_ppm"),
+        when(col("nb_only") + col("lr_only") === 0L, lit(0.0))
+          .otherwise(Det.rnd(
+            (col("nb_only") - col("lr_only")).cast("double")
+              * (col("nb_only") - col("lr_only"))
+              / (col("nb_only") + col("lr_only")), 4)).as("mcnemar_chi2"))
+  }
+
+  lazy val modelAgreementSql: String = {
+    import graft.functions.Det
+    s"""WITH ${lrTrainCtes(1)},
+       |${nbScoreCtes},
+       |lr AS (
+       |  SELECT f.doc_id, sum(w.w9 * f.num) > 0 AS lr_en
+       |  FROM feats f JOIN w1 w USING (slot)
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT n.y, (n.sc_en >= n.sc_ot) AS nb_en, lr.lr_en
+       |  FROM nbsc n JOIN lr ON lr.doc_id = n.doc_id),
+       |agg AS (
+       |  SELECT count(*) AS n_val,
+       |         CAST(sum(CASE WHEN nb_en = (y = 1) AND lr_en = (y = 1)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS both_correct,
+       |         CAST(sum(CASE WHEN nb_en <> (y = 1) AND lr_en <> (y = 1)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+       |         CAST(sum(CASE WHEN nb_en = (y = 1) AND lr_en <> (y = 1)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS nb_only,
+       |         CAST(sum(CASE WHEN nb_en <> (y = 1) AND lr_en = (y = 1)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS lr_only,
+       |         CAST(sum(CASE WHEN nb_en = lr_en THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM j)
+       |SELECT n_val, both_correct, both_wrong, nb_only, lr_only,
+       |       CAST(n_agree * 1000000 // n_val AS BIGINT) AS agree_ppm,
+       |       CASE WHEN nb_only + lr_only = 0 THEN 0.0
+       |            ELSE ${Det.rndSql(
+      "CAST(nb_only - lr_only AS DOUBLE) * (nb_only - lr_only)"
+        + " / (nb_only + lr_only)", 4)} END AS mcnemar_chi2
+       |FROM agg""".stripMargin
+  }
+
   private val FsTopK = 10
 
   /** EXACT LINEAR SHAP FEATURE IMPORTANCE of the trained classifier —

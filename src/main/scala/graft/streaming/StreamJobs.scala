@@ -1331,4 +1331,34 @@ object StreamJobs {
         }
       }
       .start()
+
+  /** STREAMING REWARD-HISTOGRAM MAINTENANCE — the best-of-n twin:
+    * [[graft.queries.ExtensionQueries.bestOfN]]'s per-(type, cents)
+    * histogram is pure counts, so micro-batch deltas merge additively
+    * into a value-bounded parquet state and the order-statistic
+    * finish ([[graft.queries.ExtensionQueries.bonFinish]]) reads
+    * bit-identically off the stream state — the live policy-value
+    * monitor over a reward log. */
+  def bonHistStream(newEvents: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newEvents.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val hPath = s"$outDir/bonhist.parquet"
+          val hp = new org.apache.hadoop.fs.Path(hPath)
+          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+          val delta = graft.queries.ExtensionQueries.bonHist(batch.toDF())
+          val merged =
+            if (exists)
+              spark.read.parquet(hPath).unionByName(delta)
+                .groupBy("event_type", "vc")
+                .agg(sum("cnt").as("cnt"))
+            else delta
+          // value-bounded state; localCheckpoint severs lineage
+          merged.localCheckpoint().write.mode("overwrite").parquet(hPath)
+        }
+      }
+      .start()
 }

@@ -83,4 +83,40 @@ class Round13gSpec extends SparkSpec {
         "stream-aggregated absorption diverges from batch")
     } finally q.stop()
   }
+
+  test("modelAgreement: cells partition the val split and reconcile with the NB confusion matrix") {
+    val docs = Tables(spark, sfDir, "documents")
+    val r = TextQueries.modelAgreementOf(docs).collect().head
+    val n = r.getAs[Long]("n_val")
+    val cells = Seq("both_correct", "both_wrong", "nb_only", "lr_only")
+      .map(r.getAs[Long](_))
+    assert(cells.sum == n, s"cells $cells don't partition $n")
+    // agree = both_correct + both_wrong
+    assert(r.getAs[Long]("agree_ppm") ==
+      (cells(0) + cells(1)) * 1000000L / n)
+    // NB-correct count must equal the NB confusion matrix's diagonal
+    val nbDiag = TextQueries.naiveBayes(spark, sfDir).collect()
+      .filter(x => x.getAs[Int]("actual_en") == x.getAs[Int]("predicted_en"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(cells(0) + cells(2) == nbDiag,
+      s"NB-correct ${cells(0) + cells(2)} vs confusion diagonal $nbDiag")
+    val b = r.getAs[Long]("nb_only"); val c = r.getAs[Long]("lr_only")
+    val chi = if (b + c == 0) 0.0
+      else math.floor((b - c).toDouble * (b - c) / (b + c) * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("mcnemar_chi2") == chi)
+  }
+
+  test("modelAgreement: on a separable corpus both models agree everywhere and are both right") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 300L).map { id =>
+      if (id % 2 == 0) (id, "a a b", "en", "web", 5L)
+      else (id, "x y y", "de", "web", 5L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextQueries.modelAgreementOf(docs).collect().head
+    assert(r.getAs[Long]("n_val") > 0L)
+    assert(r.getAs[Long]("both_correct") == r.getAs[Long]("n_val"))
+    assert(r.getAs[Long]("agree_ppm") == 1000000L)
+    assert(r.getAs[Double]("mcnemar_chi2") == 0.0)
+  }
 }

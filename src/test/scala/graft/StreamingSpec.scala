@@ -1620,4 +1620,36 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("bonHistStream: additive reward histogram equals batch and the best-of-n finish is bit-identical per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables(spark, sfDir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (b1, rest) = evs.splitAt(evs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val outDir = Files.createTempDirectory("bon_stream").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = StreamJobs.bonHistStream(
+      mem.toDF().toDF("event_id", "event_type", "value"), outDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      var seen = Seq.empty[(Long, String, Double)]
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        seen = seen ++ b
+        val batchDf = seen.toDF("event_id", "event_type", "value")
+        val twin = queries.ExtensionQueries.bonHist(batchDf)
+        val streamed = spark.read.parquet(s"$outDir/bonhist.parquet")
+        assert(rows(streamed) == rows(twin),
+          s"histogram diverges after batch ${i + 1}")
+        assert(rows(queries.ExtensionQueries.bonFinish(streamed))
+          == rows(queries.ExtensionQueries.bonFinish(twin)),
+          s"best-of-n finish diverges after batch ${i + 1}")
+      }
+    } finally q.stop()
+  }
 }
