@@ -12958,6 +12958,101 @@ object ExtensionQueries {
        |ORDER BY state, step""".stripMargin
   }
 
+  /** WEIBULL RELIABILITY FIT by median-rank regression (Benard's
+    * approximation — the standard grouped-data estimator): order→
+    * first-ship latency in whole days is the time-to-event, the
+    * distinct-day histogram gives grouped median ranks
+    * F = (cum − 0.3)/(n + 0.4), and OLS of ln(−ln(1−F)) on ln(t)
+    * reads the shape k off the slope and the scale λ = e^(−b/k) off
+    * the intercept — the lifetime model behind SLA sizing that
+    * [[gevReturn]]/[[potGpd]] (extremes) and [[survivalKm]]
+    * (nonparametric) bracket. Day-0 ships are excluded (ln 0; the
+    * sub-day lane belongs to [[tailLatency]]), identically in both
+    * engines.
+    *
+    * Determinism: latencies are exact integer days; the regression
+    * runs on the DISTINCT-day relation (value-bounded — never a
+    * corpus-wide rank window) with x/y fenced to 1e-9 integer units
+    * before the exact integer moment sums (the [[olsTrend]] rule);
+    * shape/scale are fixed double expressions of those sums.
+    *
+    * Scale shape: one join orders⋈lineitem on the natural key, one
+    * per-order min, one day-histogram aggregate; the window runs on
+    * the ≤ |distinct days| relation. */
+  def weibullFit(spark: SparkSession, dir: String): DataFrame =
+    weibullFitOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def weibullFitOf(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val lat = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(min("l_shipdate").as("ship"))
+      .select(datediff(col("ship"), col("o_orderdate")).cast("long").as("t"))
+      .filter(col("t") >= 1)
+    val hist = lat.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val pts = hist
+      .withColumn("cum", sum("cnt").over(Window.orderBy("t")))
+      .withColumn("n", sum("cnt").over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(
+        Det.units(log(col("t").cast("double")), 6).as("x6"),
+        Det.units(log(-log(lit(1.0)
+          - (col("cum").cast("double") - 0.3) / (col("n") + 0.4))), 6).as("y6"))
+    val m = pts.agg(count(lit(1)).as("k"), sum("x6").as("sx"),
+      sum("y6").as("sy"), sum(col("x6") * col("y6")).as("sxy"),
+      sum(col("x6") * col("x6")).as("sxx"))
+    val nOrders = lat.agg(count(lit(1)).as("n_orders"))
+    // moment sums are exact integers; the normal-equation combination
+    // runs in DOUBLE (k grows with distinct days — k·sxx overflows 2^63
+    // at gate SF) — identical IEEE expressions in both engines
+    val slope = (col("k").cast("double") * col("sxy")
+      - col("sx").cast("double") * col("sy")) /
+      (col("k").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+    m.crossJoin(broadcast(nOrders))
+      .select(col("n_orders"), col("k").as("n_points"),
+        Det.rnd(slope, 4).as("shape"),
+        Det.rnd(exp(-(
+          (col("sy").cast("double") / col("k") / 1e6)
+            - slope * (col("sx").cast("double") / col("k") / 1e6)) / slope), 2)
+          .as("scale_days"))
+  }
+
+  val weibullFitSql: String = {
+    import graft.functions.Det
+    val slope = "((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
+      " / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    s"""WITH lat AS (
+       |  SELECT CAST(datediff('day', o.o_orderdate, min(l.l_shipdate)) AS BIGINT) AS t
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY o.o_orderkey, o.o_orderdate),
+       |lt AS (SELECT t FROM lat WHERE t >= 1),
+       |hist AS (SELECT t, count(*) AS cnt FROM lt GROUP BY 1),
+       |pts AS (
+       |  SELECT ${Det.unitsSql("ln(CAST(t AS DOUBLE))", 6)} AS x6,
+       |         ${Det.unitsSql(
+      "ln(-ln(1.0 - (CAST(cum AS DOUBLE) - 0.3) / (n + 0.4)))", 6)} AS y6
+       |  FROM (SELECT t, sum(cnt) OVER (ORDER BY t) AS cum,
+       |               sum(cnt) OVER () AS n
+       |        FROM hist)),
+       |m AS (SELECT count(*) AS k, CAST(sum(x6) AS BIGINT) AS sx,
+       |             CAST(sum(y6) AS BIGINT) AS sy,
+       |             CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+       |             CAST(sum(x6 * x6) AS BIGINT) AS sxx
+       |      FROM pts),
+       |no AS (SELECT count(*) AS n_orders FROM lt)
+       |SELECT n_orders, k AS n_points,
+       |       ${Det.rndSql(slope, 4)} AS shape,
+       |       ${Det.rndSql(
+      s"exp(-((CAST(sy AS DOUBLE) / k / 1e6) - $slope * (CAST(sx AS DOUBLE) / k / 1e6)) / $slope)",
+      2)} AS scale_days
+       |FROM m CROSS JOIN no""".stripMargin
+  }
+
   private val BonNs = Seq(1, 4, 16)
 
   /** BEST-OF-N POLICY VALUE from logged rewards — the order-statistic

@@ -119,4 +119,58 @@ class Round13gSpec extends SparkSpec {
     assert(r.getAs[Long]("agree_ppm") == 1000000L)
     assert(r.getAs[Double]("mcnemar_chi2") == 0.0)
   }
+
+  test("weibullFit: a pure-exponential latency histogram reads shape ~1 and a steep one reads shape > 1; replay is exact") {
+    val s = spark
+    import s.implicits._
+    def ordersOf(n: Int) = (0 until n).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    // geometric day counts ≈ exponential → Weibull shape near 1
+    val expo = (0 until 8).flatMap { d =>
+      val cnt = 256 >> d // 256, 128, ... 2 at day 8
+      (0 until cnt).map(_ => d)
+    }
+    val liExpo = expo.zipWithIndex.map { case (d, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${d + 2}%02d 00:00:00"))
+    }.toDF("l_orderkey", "l_shipdate")
+    val r1 = graft.queries.ExtensionQueries
+      .weibullFitOf(ordersOf(expo.length), liExpo).collect().head
+    assert(r1.getAs[Long]("n_orders") == expo.length.toLong)
+    assert(math.abs(r1.getAs[Double]("shape") - 1.0) < 0.35,
+      s"geometric decay should fit shape≈1, got ${r1.getAs[Double]("shape")}")
+    // plain-Scala replay of the exact fenced regression
+    val hist = expo.map(_ + 1).groupBy(identity).view.mapValues(_.size).toMap
+    val days = hist.keys.toSeq.sorted
+    val n = expo.length
+    var cum = 0L
+    val pts = days.map { t =>
+      cum += hist(t)
+      val x = math.round(math.log(t.toDouble) * 1e6)
+      val y = math.round(math.log(-math.log(
+        1.0 - (cum.toDouble - 0.3) / (n + 0.4))) * 1e6)
+      (x, y)
+    }
+    val k = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx)
+    def rnd(v: Double, sc: Int): Double = {
+      val f = math.pow(10, sc); math.floor(v * f + 0.5) / f
+    }
+    assert(r1.getAs[Double]("shape") == rnd(slope, 4))
+    val scale = math.exp(-((sy.toDouble / k / 1e6)
+      - slope * (sx.toDouble / k / 1e6)) / slope)
+    assert(r1.getAs[Double]("scale_days") == rnd(scale, 2))
+    // a concentrated latency (all mass on days 9..11) fits a steep shape
+    val steep = Seq.fill(100)(9) ++ Seq.fill(200)(10) ++ Seq.fill(100)(11)
+    val liSteep = steep.zipWithIndex.map { case (d, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+    }.toDF("l_orderkey", "l_shipdate")
+    val r2 = graft.queries.ExtensionQueries
+      .weibullFitOf(ordersOf(steep.length), liSteep).collect().head
+    assert(r2.getAs[Double]("shape") > 3.0,
+      s"concentrated latencies should fit a steep shape, got ${r2.getAs[Double]("shape")}")
+  }
 }
