@@ -144,6 +144,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MediaHist].getName, "media_hist"),
       MediaHist.builder))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      JaroWinkler.info,
+      JaroWinkler.builder))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.JaroWinkler
+
+/** The native Jaro-Winkler expression: literature values, edge lanes,
+  * codegen-vs-interpreted agreement, and the linkage query. */
+class JaroWinklerSpec extends SparkSpec {
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("kernel reproduces the literature values and the DuckDB edge conventions") {
+    assert(rnd6(jw("MARTHA", "MARHTA")) == 0.961111)
+    assert(rnd6(jw("DIXON", "DICKSONX")) == 0.813333)
+    assert(rnd6(jw("DWAYNE", "DUANE")) == 0.84)
+    // jaro 0.7333 with zero shared prefix → NO Winkler boost
+    assert(rnd6(jw("CRATE", "TRACE")) == 0.733333)
+    // boost gate: jaro ≤ 0.7 gets no prefix bonus even with prefix
+    assert(rnd6(jw("ab", "ac")) == 0.666667)
+    assert(rnd6(jw("abcdxx", "abcdyy")) == 0.866667)
+    // empty-string convention matches DuckDB: 0, not 1
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // symmetry
+    assert(jw("small widget", "cold widget") == jw("cold widget", "small widget"))
+  }
+
+  test("expression path (codegen) agrees with the kernel on corpus name pairs") {
+    val s = spark
+    import s.implicits._
+    JaroWinkler.register(spark)
+    val names = Tables(spark, sfDir, "part")
+      .select("p_name").distinct().collect().map(_.getString(0)).take(30)
+    val pairs = for (a <- names; b <- names) yield (a, b)
+    val viaExpr = pairs.toSeq.toDF("a", "b")
+      .select(col("a"), col("b"), expr("jaro_winkler(a, b)").as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    pairs.foreach { case (a, b) =>
+      assert(viaExpr((a, b)) == jw(a, b), s"codegen diverges on ($a, $b)")
+    }
+  }
+
+  test("jwLinkage: a planted near-duplicate name tops the shard's fuzzy pairs") {
+    val s = spark
+    import s.implicits._
+    val part = Seq(
+      (1L, "acme turbo encabulator", "widget"),
+      (2L, "acme turbo encabulator mk2", "widget"),
+      (3L, "zzz completely different", "widget"),
+      (4L, "plain bolt", "bolt"),
+      (5L, "plain bolt", "bolt"), // exact dup — must be EXCLUDED
+      (6L, "plain belt", "bolt"))
+      .toDF("p_partkey", "p_name", "p_type")
+    val out = graft.queries.ExtensionQueries.jwLinkageOf(part).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    // exact-equal neighbor pair (4,5) never appears
+    assert(!out.exists(r => r.getAs[Long]("key_a") == 4L
+      && r.getAs[Long]("key_b") == 5L))
+    val top = out.head
+    assert(Set(top.getAs[String]("name_a"), top.getAs[String]("name_b"))
+      == Set("acme turbo encabulator", "acme turbo encabulator mk2"))
+    assert(top.getAs[Double]("jw") > 0.9)
+    // scores are 6-dp fenced and descending
+    val js = out.map(_.getAs[Double]("jw")).toSeq
+    assert(js == js.sorted.reverse)
+    js.foreach(v => assert(v == rnd6(v)))
+  }
+}
