@@ -12958,6 +12958,91 @@ object ExtensionQueries {
        |ORDER BY state, step""".stripMargin
   }
 
+  private val EsRounds = 8
+
+  /** EXPECTED STEPS TO ABSORPTION (the fundamental-matrix readout,
+    * horizon-truncated): [[absorbProb]] answers "does this state
+    * convert within k hops"; this answers "how LONG does conversion
+    * take" — e(s) = 1 + Σ_d P(s,d)·e(d) value-iterated [[EsRounds]]
+    * unrolled rounds from e₀ = 0 with e(absorber) pinned at 0. The
+    * truncation semantics are explicit and engine-shared: paths still
+    * alive at the horizon (and mass entering dead-end states, which
+    * have no outgoing row) contribute their steps SO FAR — the same
+    * lost-mass convention as [[absorbProb]]'s sub-1 tails.
+    *
+    * Determinism: the same exact 1e-12-unit transition matrix as
+    * [[absorbFromCounts]]; the iterate e is kept in 1e-6 units so
+    * every product stays under 2⁶³ and the recurrence is pure integer
+    * arithmetic.
+    *
+    * Scale shape: identical to the absorption iteration — one lag
+    * exchange collapses the corpus, then types²-bounded joins. */
+  def absorbSteps(spark: SparkSession, dir: String): DataFrame =
+    absorbStepsOf(Tables(spark, dir, "events"))
+
+  private[graft] def absorbStepsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val counts = events
+      .select(col("user_id"), col("event_type").as("dst"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("src", lag("dst", 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val p = counts.filter(col("src") =!= AbsorbState)
+      .withColumn("rt", sum("cnt").over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), expr("cnt * 1000000000000L div rt").as("p12"))
+      .localCheckpoint() // transient rows only — the absorber stays at 0
+    val states = p.select(col("src").as("state")).distinct()
+    var e = states.select(col("state"), lit(0L).as("e6")).localCheckpoint()
+    for (_ <- 1 to EsRounds) {
+      e = states
+        .join(p.join(e.select(col("state").as("dst"), col("e6")), Seq("dst"))
+            .groupBy("src").agg(expr("sum(p12 * e6) div 1000000000000L").as("n6")),
+          col("state") === col("src"), "left")
+        .select(col("state"),
+          (lit(1000000L) + coalesce(col("n6"), lit(0L))).as("e6"))
+        .localCheckpoint() // types-bounded
+    }
+    e.unionByName(states.sparkSession.range(1)
+        .select(lit(AbsorbState).as("state"), lit(0L).as("e6")))
+      .select(col("state"), col("e6").as("e_steps6"),
+        graft.functions.Det.rnd(col("e6").cast("double") / 1e6, 6).as("e_steps"))
+      .orderBy("state")
+  }
+
+  val absorbStepsSql: String = {
+    import graft.functions.Det
+    val steps = (1 to EsRounds).map { k =>
+      s"""e$k AS (
+         |  SELECT s.state,
+         |         1000000 + coalesce(n.n6, 0) AS e6
+         |  FROM states s LEFT JOIN (
+         |    SELECT p.src, CAST(sum(p.p12 * e.e6) AS BIGINT) // 1000000000000 AS n6
+         |    FROM p JOIN e${k - 1} e ON e.state = p.dst
+         |    GROUP BY 1) n ON n.src = s.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bi AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_us(ts), event_id) AS src,
+       |         event_type AS dst
+       |  FROM events),
+       |c AS (SELECT src, dst, count(*) AS cnt FROM bi
+       |      WHERE src IS NOT NULL GROUP BY 1, 2),
+       |p AS (
+       |  SELECT src, dst,
+       |         cnt * 1000000000000 // CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS p12
+       |  FROM c WHERE src <> '$AbsorbState'),
+       |states AS (SELECT DISTINCT src AS state FROM p),
+       |e0 AS (SELECT state, CAST(0 AS BIGINT) AS e6 FROM states),
+       |$steps
+       |SELECT state, CAST(e6 AS BIGINT) AS e_steps6,
+       |       ${Det.rndSql("CAST(e6 AS DOUBLE) / 1e6", 6)} AS e_steps
+       |FROM (SELECT state, e6 FROM e$EsRounds
+       |      UNION ALL SELECT '$AbsorbState', 0)
+       |ORDER BY state""".stripMargin
+  }
+
   private val JwTopK = 15
 
   /** FUZZY RECORD LINKAGE by JARO-WINKLER — the name-agreement tier

@@ -130,6 +130,34 @@ class Round13eSpec extends SparkSpec {
     assert(!out.exists(_.getAs[String]("state") == "error"))
   }
 
+  test("absorbSteps: the deterministic chain reads exact path lengths and the absorber reads zero") {
+    val s = spark
+    import s.implicits._
+    val events = (0L until 10L).flatMap(u => Seq(
+      ev(u * 3, u, 1, "view"), ev(u * 3 + 1, u, 2, "click"),
+      ev(u * 3 + 2, u, 3, "purchase")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.queries.ExtensionQueries.absorbStepsOf(events).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Long]("e_steps6")).toMap
+    assert(out("purchase") == 0L)
+    assert(out("click") == 1000000L)
+    assert(out("view") == 2000000L)
+  }
+
+  test("absorbSteps: a 50/50 branch into an absorber and a dead end reads exactly one step (lost-mass convention)") {
+    val s = spark
+    import s.implicits._
+    val events = ((0L until 10L).flatMap(u => Seq(
+      ev(u * 2, u, 1, "view"), ev(u * 2 + 1, u, 2, "purchase"))) ++
+      (10L until 20L).flatMap(u => Seq(
+        ev(u * 2, u, 1, "view"), ev(u * 2 + 1, u, 2, "error"))))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.queries.ExtensionQueries.absorbStepsOf(events).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Long]("e_steps6")).toMap
+    assert(out("view") == 1000000L) // the step is taken; the error mass stops counting
+    assert(!out.contains("error")) // dead end: never a source state
+  }
+
   // -------------------------------- supplier concentration
 
   test("singleSourceRisk: top-supplier exposure ranks single-sourced parts first, revenue breaks share ties") {
