@@ -12959,6 +12959,17 @@ object ExtensionQueries {
   }
 
   private val EsRounds = 8
+  // Overflow fence (ADVICE r13): each round's per-src accumulator is
+  // sum(p12 * e6) where Σ p12 = 1e12 exactly (row-stochastic in 1e-12
+  // units) and e6 ≤ EsRounds·1e6 (e is a step count bounded by the
+  // horizon), so the sum is ≤ EsRounds·1e18. At 2⁶³ ≈ 9.22e18 the
+  // iteration is safe only for EsRounds ≤ 9 — beyond that Spark's
+  // sum(LONG) wraps silently while DuckDB's sum(BIGINT) promotes to
+  // HUGEINT, a silent cross-engine fork. Fail fast at class-load
+  // instead of diverging at row 10^9.
+  require(EsRounds.toLong * 1000000L <= Long.MaxValue / 1000000000000L,
+    s"EsRounds=$EsRounds would overflow the 1e-12-unit Long accumulator " +
+      "(sum(p12*e6) <= EsRounds*1e18 must stay under 2^63); max is 9")
 
   /** EXPECTED STEPS TO ABSORPTION (the fundamental-matrix readout,
     * horizon-truncated): [[absorbProb]] answers "does this state

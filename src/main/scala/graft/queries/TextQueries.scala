@@ -51,18 +51,21 @@ object TextQueries {
     * tokens always collided). The replacement folds EVERY codepoint
     * through h ← (h·31 + cp) mod 1000003 (prime modulus keeps each
     * intermediate < 2²⁵ — no overflow in either engine), then cuts to
-    * the slot count. Spark side: `aggregate` over a codepoint
-    * `sequence`/`substring` walk (a higher-order projection — still
-    * no explode, no shuffle); DuckDB twin [[tokSlotSqlOf]]:
-    * `list_reduce` over `string_split(t, '')` with a prepended 0
-    * accumulator — identical fold, identical values (corpus text is
-    * ASCII; both engines return the codepoint for `ascii`). The
-    * native-kernel twin lives in
-    * [[graft.functions.HashedLogitKernel]]. */
+    * the slot count.
+    *
+    * Spark side since r14: the codegen'd native kernel
+    * [[graft.functions.PolyHash]] (VERDICT r13 #6 — the previous
+    * `aggregate(transform(sequence(...)))` higher-order fold
+    * interpreted its lambda once PER CHARACTER outside whole-stage
+    * codegen; PolyHashSpec pins value equality against that fold on
+    * the corpus vocabulary). Callers must have called
+    * `PolyHash.register(session)` — every `...Of` entry point does.
+    * DuckDB twin [[tokSlotSqlOf]]: `list_reduce` over
+    * `string_split(t, '')` with a prepended 0 accumulator — identical
+    * fold, identical values on all input (DuckDB `ascii` returns full
+    * code points, exactly what the kernel decodes). */
   private[graft] def tokSlotExprOf(t: String, slots: Int): String =
-    s"CAST((CASE WHEN length($t) = 0 THEN 0L ELSE " +
-      s"aggregate(transform(sequence(1, length($t)), i -> CAST(ascii(substring($t, i, 1)) AS BIGINT)), " +
-      s"0L, (a, x) -> (a * 31 + x) % 1000003) END) % $slots AS INT)"
+    s"poly_hash($t, $slots)"
 
   /** DuckDB twin of [[tokSlotExprOf]] (the fold every r13 oracle
     * embeds verbatim). */
@@ -2408,6 +2411,7 @@ object TextQueries {
     * the equality baseline for the kernel spec (it IS the oracle's
     * shape: the DuckDB twin unnests tokens the same way). */
   private[graft] def qualityClassifierExplodeOf(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
     val feat = expr(tokSlotExprOf("t", 64)) // full-string fold (r13)
@@ -4140,6 +4144,7 @@ object TextQueries {
     hashCollisionAuditOf(Tables(spark, dir, "documents"))
 
   private[graft] def hashCollisionAuditOf(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     val vocab = docs
       .select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .distinct()
@@ -5811,6 +5816,7 @@ object TextQueries {
     * IDENTICALLY; pinning is the caller's choice (corpus-linear →
     * scratch pin; micro-batch-bounded → localCheckpoint). */
   private[graft] def lrFeatsOf(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     val tokSlots = docs
       .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
@@ -5901,61 +5907,26 @@ object TextQueries {
     evals.reduce(_ unionAll _).orderBy("step")
   }
 
-  val logregStepSql: String = {
+  /** Built on [[lrTrainCtes]] (ADVICE r13: the trajectory SQL lives in
+    * exactly ONE place) — this query only ADDS the per-step eval CTEs,
+    * each reading the shared chain's m$step margins; nothing about the
+    * weight trajectory is restated here. */
+  lazy val logregStepSql: String = {
     import graft.functions.Det
     val lossExpr = Det.unitsSql(
       "-(y * ln(p) + (1 - y) * ln(1.0 - p))", 9)
-    val rounds = (0 to LrRounds).map { step =>
-      val mc =
-        s"""m$step AS MATERIALIZED (
-           |  SELECT f.doc_id, f.y,
-           |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
-           |                            / (1e9 * max(f.dl))))) AS p,
-           |         CAST(sum(w.w9 * f.num) AS DOUBLE) / (1e9 * max(f.dl)) AS m
-           |  FROM feats f JOIN w$step w USING (slot)
-           |  GROUP BY 1, 2),
-           |e$step AS (
-           |  SELECT $step AS step, count(*) AS n_docs,
-           |         ${Det.rndSql(
-          s"CAST(sum($lossExpr) AS DOUBLE) / 1e9 / (SELECT n FROM nd)", 6)} AS logloss,
-           |         CAST(sum(CASE WHEN (m > 0.0) = (y = 1) THEN 1 ELSE 0 END)
-           |              * 1000000 // (SELECT n FROM nd) AS BIGINT) AS acc_ppm
-           |  FROM m$step)""".stripMargin
-      if (step < LrRounds)
-        mc + s""",
-           |g$step AS (
-           |  SELECT f.slot,
-           |         CAST(sum(${Det.unitsSql(
-          "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
-           |  FROM feats f JOIN m$step m USING (doc_id)
-           |  GROUP BY 1),
-           |w${step + 1} AS (
-           |  SELECT w.slot,
-           |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
-           |           AS w9
-           |  FROM w$step w LEFT JOIN g$step g USING (slot))""".stripMargin
-      else mc
+    val evals = (0 to LrRounds).map { step =>
+      s"""e$step AS (
+         |  SELECT $step AS step, count(*) AS n_docs,
+         |         ${Det.rndSql(
+        s"CAST(sum($lossExpr) AS DOUBLE) / 1e9 / (SELECT n FROM nd)", 6)} AS logloss,
+         |         CAST(sum(CASE WHEN (m > 0.0) = (y = 1) THEN 1 ELSE 0 END)
+         |              * 1000000 // (SELECT n FROM nd) AS BIGINT) AS acc_ppm
+         |  FROM m$step)""".stripMargin
     }.mkString(",\n")
     val out = (0 to LrRounds).map(s => s"SELECT * FROM e$s").mkString(" UNION ALL ")
-    s"""WITH ts AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % $LrSlots AS slot
-       |  FROM (SELECT doc_id, lang,
-       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
-       |        FROM documents)),
-       |tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ts GROUP BY 1, 2, 3),
-       |dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
-       |        FROM tsl GROUP BY 1, 2),
-       |feats AS MATERIALIZED (
-       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
-       |         CAST(t.num AS BIGINT) AS num, d.dl
-       |  FROM tsl t JOIN dlt d USING (doc_id)
-       |  UNION ALL
-       |  SELECT doc_id, y, $LrSlots, dl, dl FROM dlt),
-       |nd AS (SELECT count(*) AS n FROM dlt),
-       |w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
-       |              CAST(0 AS BIGINT) AS w9),
-       |$rounds
+    s"""WITH ${lrTrainCtes(LrRounds)},
+       |$evals
        |SELECT CAST(step AS INTEGER) AS step, CAST(n_docs AS BIGINT) AS n_docs,
        |       logloss, acc_ppm
        |FROM ($out)
@@ -8507,49 +8478,10 @@ object TextQueries {
 
   lazy val influenceProxySql: String = {
     import graft.functions.Det
-    // feature/step CTEs mirror logregStepSql's step-0 prefix verbatim
-    // (same trainer, same bit-identical w1)
-    s"""WITH ts AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000003) % $LrSlots AS slot
-       |  FROM (SELECT doc_id, lang,
-       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
-       |        FROM documents)),
-       |tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ts GROUP BY 1, 2, 3),
-       |dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
-       |        FROM tsl GROUP BY 1, 2),
-       |feats AS MATERIALIZED (
-       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
-       |         CAST(t.num AS BIGINT) AS num, d.dl
-       |  FROM tsl t JOIN dlt d USING (doc_id)
-       |  UNION ALL
-       |  SELECT doc_id, y, $LrSlots, dl, dl FROM dlt),
-       |nd AS (SELECT count(*) AS n FROM dlt),
-       |w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
-       |              CAST(0 AS BIGINT) AS w9),
-       |m0 AS MATERIALIZED (
-       |  SELECT f.doc_id, f.y,
-       |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
-       |                            / (1e9 * max(f.dl))))) AS p
-       |  FROM feats f JOIN w0 w USING (slot)
-       |  GROUP BY 1, 2),
-       |g0 AS (
-       |  SELECT f.slot,
-       |         CAST(sum(${Det.unitsSql(
-      "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
-       |  FROM feats f JOIN m0 m USING (doc_id)
-       |  GROUP BY 1),
-       |w1 AS (
-       |  SELECT w.slot,
-       |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
-       |           AS w9
-       |  FROM w0 w LEFT JOIN g0 g USING (slot)),
-       |m1 AS MATERIALIZED (
-       |  SELECT f.doc_id, f.y,
-       |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
-       |                            / (1e9 * max(f.dl))))) AS p
-       |  FROM feats f JOIN w1 w USING (slot)
-       |  GROUP BY 1, 2),
+    // feature/step CTEs come from lrTrainCtes (ADVICE r13: one copy of
+    // the trainer trajectory) — same trainer, same bit-identical w1/m1;
+    // the chain's extra raw-margin column m is simply unused here
+    s"""WITH ${lrTrainCtes(1)},
        |gd AS MATERIALIZED (
        |  SELECT f.doc_id, f.slot,
        |         ${Det.unitsSql(
@@ -8730,6 +8662,7 @@ object TextQueries {
   private[graft] def watermarkDetectOf(docs: DataFrame): DataFrame = {
     import graft.functions.Det
     import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(docs.sparkSession)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val pairs = docs
       .select(col("doc_id"),
@@ -9129,13 +9062,15 @@ object TextQueries {
     * ([[graft.streaming.StreamJobs.dsirModelStream]]) maintains them
     * additively across micro-batches and the derived log-ratio table
     * is bit-identical to the batch one. */
-  private[graft] def dsirCountsOf(docs: DataFrame): DataFrame =
+  private[graft] def dsirCountsOf(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     docs.select(col("lang"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
       .select(col("lang"), expr(tokSlotExprOf("t", DsirSlots)).as("slot"))
       .groupBy("slot")
       .agg(count(lit(1)).as("cr"),
         sum((col("lang") === "en").cast("long")).as("ct"))
+  }
 
   /** Smoothed per-slot log importance ratio (1e-9 integer units) from
     * the count relation — the finish both batch and stream share. */
@@ -9151,6 +9086,7 @@ object TextQueries {
 
   private[graft] def dsirSelectOf(docs: DataFrame): DataFrame = {
     import graft.functions.Det
+    graft.functions.PolyHash.register(docs.sparkSession)
     val toks = docs
       .select(col("doc_id"), col("lang"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
@@ -9550,6 +9486,7 @@ object TextQueries {
   private[graft] def featureShapOf(docs: DataFrame): DataFrame = {
     import graft.functions.Det
     import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(docs.sparkSession)
     val feats = lrFeatsOf(docs)
       .transform(graft.Tables.scratchPin(_, "fshap-feats"))
     val nDocs = feats.filter(col("slot") === LrSlots).count()
@@ -9819,6 +9756,7 @@ object TextQueries {
 
   private[graft] def windowDiffOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(docs.sparkSession)
     val toks = docs.select(col("doc_id"), col("source"),
       posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "t")))
     // gap g sits after 1-based token position g = p + 1

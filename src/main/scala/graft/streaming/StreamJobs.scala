@@ -1142,7 +1142,8 @@ object StreamJobs {
     * batch-local and the index update splits by mergeability:
     *
     *  - `tf` (doc, term, tf, positions) and `dl` (doc, dl) rows are
-    *    per-document — pure APPEND segments, no state;
+    *    per-document — per-batch `seg=<batchId>` segments written with
+    *    OVERWRITE so a redelivered batch lands idempotently, no state;
     *  - the DICTIONARY `df` (term → df, cf) is the only merged
     *    relation, and both statistics are ADDITIVE — the per-batch
     *    delta merges into a TERM-HASH-BUCKETED dictionary (VERDICT
@@ -1170,51 +1171,159 @@ object StreamJobs {
     * merge are the same at any count. */
   val DictBuckets = 16
 
+  // ---- at-least-once + crash-atomicity guards for foreachBatch state ----
+  // (ADVICE r13): Spark's foreachBatch is at-least-once — after a failure
+  // the SAME batchId is redelivered, so a non-idempotent additive merge
+  // would silently double-count, and mode("overwrite") on the state path
+  // itself has a long delete-then-rewrite crash window. The protocol:
+  // each state commit (a) lands in a sibling <path>.staging dir first,
+  // (b) records the merged batchId as an empty `_graft_batch_<id>` marker
+  // file (underscore-prefixed — parquet readers skip it, like _SUCCESS),
+  // and (c) swaps in via delete+rename, two metadata ops. A crash between
+  // (c)'s delete and rename is healed by [[recoverState]] at the next
+  // batch: the staging dir is complete (it has _SUCCESS AND the marker —
+  // the marker is created after the parquet write, so a half-written
+  // staging dir is never adopted while the live dir was already deleted).
+  // [[lastMergedBatch]] then lets the merge SKIP a redelivered batch.
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stagingOf(path: String) =
+    new org.apache.hadoop.fs.Path(path + ".staging")
+
+  /** Heal a crash between commitState's delete and rename: if the live
+    * state dir is missing but a COMPLETE staging dir exists, adopt it. */
+  private[graft] def recoverState(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val stg = stagingOf(path)
+    if (!fs.exists(dst) && fs.exists(new org.apache.hadoop.fs.Path(stg, "_SUCCESS")))
+      fs.rename(stg, dst)
+  }
+
+  /** The batchId recorded by the last committed merge, or -1 if the
+    * state does not exist yet (or predates the marker protocol). */
+  private[graft] def lastMergedBatch(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dst)) -1L
+    else fs.listStatus(dst).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_batch_"))
+      .map(_.stripPrefix("_graft_batch_").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Publish `merged` as the new state at `path`, stamped with the
+    * batchId it merged. The staging write may lazily READ the current
+    * state (the merge lineage) — the live dir stays intact until the
+    * staging parquet is fully written, so no localCheckpoint lineage
+    * severing is needed. */
+  private[graft] def commitState(merged: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = merged.sparkSession
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val stg = stagingOf(path)
+    fs.delete(stg, true)
+    merged.write.mode("overwrite").parquet(stg.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stg, s"_graft_batch_$batchId")).close()
+    fs.delete(dst, true)
+    fs.rename(stg, dst)
+  }
+
+  /** Shared body of the additive-state twins (gradMoments / dsirModel /
+    * bonHist): skip a redelivered batch, else re-aggregate state ∪ delta
+    * on `keys` summing `sums`, and commit atomically. Column order of
+    * the published state always matches the delta's. */
+  private[graft] def mergeAdditiveBatch(delta: DataFrame, batchId: Long,
+      statePath: String, keys: Seq[String], sums: Seq[String]): Unit = {
+    val spark = delta.sparkSession
+    recoverState(spark, statePath)
+    if (lastMergedBatch(spark, statePath) >= batchId) return
+    val merged =
+      if (fsOf(spark, statePath).exists(new org.apache.hadoop.fs.Path(statePath)))
+        spark.read.parquet(statePath).select(delta.columns.map(col): _*)
+          .unionByName(delta)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(sums.head).as(sums.head),
+            sums.tail.map(c => sum(c).as(c)): _*)
+          .select(delta.columns.map(col): _*)
+      else delta
+    commitState(merged, statePath, batchId)
+  }
+
   def postingsMaintain(newDocs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          // one tokenize pass per batch; |batch|-bounded, so the
-          // localCheckpoint pin is batch-sized, not corpus-sized
-          val delta = graft.queries.TextQueries.postingsOf(batch).localCheckpoint()
-          delta.write.mode("append").parquet(s"$outDir/tf.parquet")
-          delta.groupBy("doc_id").agg(sum("tf").as("dl"))
-            .write.mode("append").parquet(s"$outDir/dl.parquet")
-          val dfDelta = delta.groupBy("term")
-            .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-            .withColumn("bucket", pmod(hash(col("term")), lit(DictBuckets)))
-          val dictPath = s"$outDir/df.parquet"
-          val hp = new org.apache.hadoop.fs.Path(dictPath)
-          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-          // ≤ DictBuckets rows — enum-bounded driver state
-          val touched = dfDelta.select("bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          val merged =
-            if (exists)
-              // partition-pruned: only the touched buckets are read
-              spark.read.parquet(dictPath)
-                .filter(col("bucket").isin(touched: _*))
-                .select("term", "df", "cf", "bucket")
-                .unionByName(dfDelta)
-                .groupBy("term", "bucket")
-                .agg(sum("df").as("df"), sum("cf").as("cf"))
-                .select("term", "df", "cf", "bucket")
-            else dfDelta.select("term", "df", "cf", "bucket")
-          // touched-bucket-bounded; the eager pin also severs lineage
-          // from dictPath so the overwrite below is not a
-          // read-under-write. Dynamic partition overwrite replaces
-          // ONLY the buckets present in `merged`.
-          merged.localCheckpoint()
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(dictPath)
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) postingsBatch(batch.toDF(), batchId, outDir)
       }
       .start()
+
+  /** One postings micro-batch, redelivery-safe at every artifact
+    * (ADVICE r13): tf/dl land as per-batch `seg=<batchId>` OVERWRITE
+    * segments (a redelivered batch rewrites its own segment in place
+    * instead of `append` duplicating every (doc, term) row), and the
+    * bucketed dictionary carries a per-bucket `last_batch` stamp so a
+    * retry merges ONLY the buckets the failed attempt didn't commit —
+    * a crash mid-dynamic-overwrite (which is not atomic across
+    * buckets) completes exactly on redelivery, never double-counts. */
+  private[graft] def postingsBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    // one tokenize pass per batch; |batch|-bounded, so the
+    // localCheckpoint pin is batch-sized, not corpus-sized
+    val delta = graft.queries.TextQueries.postingsOf(batch).localCheckpoint()
+    delta.write.mode("overwrite").parquet(s"$outDir/tf.parquet/seg=$batchId")
+    delta.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$outDir/dl.parquet/seg=$batchId")
+    val dfDelta = delta.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(DictBuckets)))
+    val dictPath = s"$outDir/df.parquet"
+    val exists = fsOf(spark, dictPath)
+      .exists(new org.apache.hadoop.fs.Path(dictPath))
+    if (!exists) {
+      dfDelta.select(col("term"), col("df"), col("cf"),
+          lit(batchId).as("last_batch"), col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(dictPath)
+    } else {
+      // ≤ DictBuckets rows — enum-bounded driver state; partition-pruned:
+      // only the touched buckets are read. The pin severs lineage from
+      // dictPath so the dynamic overwrite below is not a read-under-write.
+      val touched = dfDelta.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val cur = spark.read.parquet(dictPath)
+        .filter(col("bucket").isin(touched: _*))
+        .localCheckpoint()
+      // buckets already stamped with this batchId merged the delta in a
+      // previous delivery attempt — exclude them (and leave their files
+      // untouched: they are not in the overwrite's output partitions)
+      val done = cur.groupBy("bucket").agg(max("last_batch").as("lb"))
+        .filter(col("lb") >= batchId)
+        .collect().map(_.getInt(0)).toSet
+      val fresh = touched.filterNot(done)
+      if (fresh.nonEmpty) {
+        // Dynamic partition overwrite replaces ONLY the fresh buckets.
+        cur.filter(col("bucket").isin(fresh: _*))
+          .select("term", "df", "cf", "bucket")
+          .unionByName(dfDelta.filter(col("bucket").isin(fresh: _*))
+            .select("term", "df", "cf", "bucket"))
+          .groupBy("term", "bucket")
+          .agg(sum("df").as("df"), sum("cf").as("cf"))
+          .select(col("term"), col("df"), col("cf"),
+            lit(batchId).as("last_batch"), col("bucket"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(dictPath)
+      }
+    }
+  }
 
   /** VERDICT r12 #4 — the streaming twin of the trainer family:
     * mini-batch SGD with the WEIGHT VECTOR as the cross-batch state.
@@ -1228,40 +1337,87 @@ object StreamJobs {
     * the state is a tiny RELATION updated by a JOIN — a shape the
     * engine's keyed state stores cannot express without collecting
     * the gradient to the driver. State lives as parquet under
-    * `outDir/weights.parquet` (overwrite per batch, step-stamped);
-    * `outDir/trajectory.parquet` accumulates every step's weights so
-    * the batch-parity spec can replay the full trajectory (the
-    * [[postingsMaintain]] precedent). Determinism: the update is pure
-    * integer arithmetic, so replaying the same batch split yields the
-    * bit-identical trajectory in the batch twin. */
+    * `outDir/weights.parquet` (atomic [[commitState]] swap, batch- and
+    * step-stamped); `outDir/trajectory.parquet` keeps every step's
+    * weights as per-batch `seg=<batchId>` OVERWRITE segments, folded
+    * into one segment every [[TrajFold]] batches so the file count
+    * stays bounded on a long-lived stream (VERDICT r13 #4 — the
+    * `q_compaction` pattern applied to the sink; without it the
+    * append-per-batch layout is the small-files anti-pattern).
+    * Determinism: the update is pure integer arithmetic, so replaying
+    * the same batch split yields the bit-identical trajectory in the
+    * batch twin — and a REDELIVERED batch is skipped outright via the
+    * weight state's batch marker, with the trajectory segment write
+    * placed before the weight commit so the marker proves both landed. */
   def logregStream(newDocs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val wPath = s"$outDir/weights.parquet"
-          val hp = new org.apache.hadoop.fs.Path(wPath)
-          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-          val (w0, step) =
-            if (exists) {
-              val cur = spark.read.parquet(wPath).localCheckpoint() // 65 rows
-              (cur.select("slot", "w9"),
-                cur.agg(max("step")).head().getInt(0) + 1)
-            } else (graft.queries.TextQueries.lrZeroWeights(spark), 1)
-          // |batch|-bounded feature relation, read by margin + gradient
-          val feats = graft.queries.TextQueries.lrFeatsOf(batch.toDF())
-            .localCheckpoint()
-          val n = feats.filter(col("slot") === graft.queries.TextQueries.LrSlots).count() // bias row per doc
-          val w1 = graft.queries.TextQueries.logregSgdStep(w0, feats, n)
-            .withColumn("step", lit(step))
-            .localCheckpoint() // 65 rows; severs lineage from wPath
-          w1.write.mode("overwrite").parquet(wPath)
-          w1.write.mode("append").parquet(s"$outDir/trajectory.parquet")
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) logregBatch(batch.toDF(), batchId, outDir)
       }
       .start()
+
+  /** Fold cadence of the SGD trajectory sink: between folds at most
+    * TrajFold per-batch segments exist; each fold rewrites the (tiny —
+    * 65 rows × steps) full trajectory into ONE segment. A long-lived
+    * production stream would raise this so the amortized fold cost
+    * stays a sliver of the batch cost; the bound shape is the same. */
+  private[graft] val TrajFold = 16
+
+  private[graft] def logregBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val wPath = s"$outDir/weights.parquet"
+    val tPath = s"$outDir/trajectory.parquet"
+    recoverState(spark, wPath)
+    recoverState(spark, tPath)
+    // at-least-once guard: the weight marker is written LAST (after the
+    // trajectory segment), so its presence proves the whole batch landed
+    if (lastMergedBatch(spark, wPath) >= batchId) return
+    val exists = fsOf(spark, wPath).exists(new org.apache.hadoop.fs.Path(wPath))
+    val (w0, step) =
+      if (exists) {
+        val cur = spark.read.parquet(wPath).localCheckpoint() // 65 rows
+        (cur.select("slot", "w9"),
+          cur.agg(max("step")).head().getInt(0) + 1)
+      } else (graft.queries.TextQueries.lrZeroWeights(spark), 1)
+    // |batch|-bounded feature relation, read by margin + gradient
+    val feats = graft.queries.TextQueries.lrFeatsOf(batch)
+      .localCheckpoint()
+    val n = feats.filter(col("slot") === graft.queries.TextQueries.LrSlots).count() // bias row per doc
+    val w1 = graft.queries.TextQueries.logregSgdStep(w0, feats, n)
+      .withColumn("step", lit(step))
+      .localCheckpoint() // 65 rows; severs lineage from wPath
+    if (batchId > 0 && batchId % TrajFold == 0
+        && fsOf(spark, tPath).exists(new org.apache.hadoop.fs.Path(tPath))) {
+      // fold turn: rewrite trajectory ∪ this step as ONE segment via the
+      // atomic swap. dropDuplicates makes the fold idempotent under the
+      // one redelivery window (a crash after a fold but before the
+      // weight commit leaves this step present both folded and as its
+      // own rewritten segment on retry) — duplicate rows are
+      // bit-identical, the trajectory is keyed by (step, slot).
+      val folded = spark.read.parquet(tPath)
+        .select("slot", "w9", "step")
+        .unionByName(w1.select("slot", "w9", "step"))
+        .dropDuplicates("step", "slot")
+        .withColumn("seg", lit(batchId))
+        .localCheckpoint() // steps×65 rows; severs lineage from tPath
+      val stg = stagingOf(tPath)
+      val fs = fsOf(spark, tPath)
+      fs.delete(stg, true)
+      folded.coalesce(1).write.mode("overwrite")
+        .partitionBy("seg").parquet(stg.toString)
+      fs.create(new org.apache.hadoop.fs.Path(stg, s"_graft_batch_$batchId")).close()
+      fs.delete(new org.apache.hadoop.fs.Path(tPath), true)
+      fs.rename(stg, new org.apache.hadoop.fs.Path(tPath))
+    } else {
+      // idempotent per-batch segment: a redelivered batch overwrites
+      // its OWN directory instead of appending duplicate rows
+      w1.coalesce(1).write.mode("overwrite")
+        .parquet(s"$tPath/seg=$batchId")
+    }
+    commitState(w1, wPath, batchId)
+  }
 
   /** STREAMING GRADIENT-MOMENT MAINTENANCE — the noise-scale twin:
     * [[graft.queries.TextQueries.gradNoiseScale]]'s per-slot moment
@@ -1272,29 +1428,19 @@ object StreamJobs {
     * split — the monitoring loop a training pipeline runs to re-size
     * its critical batch as data drifts, with per-example gradients
     * never leaving their micro-batch. State is slot-bounded (65
-    * rows), unlike the postings dictionary — a full overwrite per
-    * batch is the right maintenance shape here. */
+    * rows), unlike the postings dictionary — a full state rewrite per
+    * batch is the right maintenance shape here, made redelivery-safe
+    * and crash-atomic by [[mergeAdditiveBatch]] (ADVICE r13: a
+    * re-delivered micro-batch must NOT merge its moment sums twice). */
   def gradMomentsStream(newDocs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val mPath = s"$outDir/gradmoments.parquet"
-          val hp = new org.apache.hadoop.fs.Path(mPath)
-          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-          val delta = graft.queries.TextQueries.gradMomentsOf(batch.toDF())
-          val merged =
-            if (exists)
-              spark.read.parquet(mPath).unionByName(delta)
-                .groupBy("slot")
-                .agg(sum("cnt").as("cnt"), sum("s1").as("s1"),
-                  sum("s2").as("s2"))
-            else delta
-          // 65-row state; localCheckpoint severs lineage from mPath
-          merged.localCheckpoint().write.mode("overwrite").parquet(mPath)
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeAdditiveBatch(graft.queries.TextQueries.gradMomentsOf(batch.toDF()),
+            batchId, s"$outDir/gradmoments.parquet",
+            Seq("slot"), Seq("cnt", "s1", "s2"))
       }
       .start()
 
@@ -1313,22 +1459,11 @@ object StreamJobs {
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val cPath = s"$outDir/dsircounts.parquet"
-          val hp = new org.apache.hadoop.fs.Path(cPath)
-          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-          val delta = graft.queries.TextQueries.dsirCountsOf(batch.toDF())
-          val merged =
-            if (exists)
-              spark.read.parquet(cPath).unionByName(delta)
-                .groupBy("slot")
-                .agg(sum("cr").as("cr"), sum("ct").as("ct"))
-            else delta
-          // 256-row state; localCheckpoint severs lineage from cPath
-          merged.localCheckpoint().write.mode("overwrite").parquet(cPath)
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeAdditiveBatch(graft.queries.TextQueries.dsirCountsOf(batch.toDF()),
+            batchId, s"$outDir/dsircounts.parquet",
+            Seq("slot"), Seq("cr", "ct"))
       }
       .start()
 
@@ -1343,22 +1478,11 @@ object StreamJobs {
       : org.apache.spark.sql.streaming.StreamingQuery =
     newEvents.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val hPath = s"$outDir/bonhist.parquet"
-          val hp = new org.apache.hadoop.fs.Path(hPath)
-          val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-          val delta = graft.queries.ExtensionQueries.bonHist(batch.toDF())
-          val merged =
-            if (exists)
-              spark.read.parquet(hPath).unionByName(delta)
-                .groupBy("event_type", "vc")
-                .agg(sum("cnt").as("cnt"))
-            else delta
-          // value-bounded state; localCheckpoint severs lineage
-          merged.localCheckpoint().write.mode("overwrite").parquet(hPath)
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeAdditiveBatch(graft.queries.ExtensionQueries.bonHist(batch.toDF()),
+            batchId, s"$outDir/bonhist.parquet",
+            Seq("event_type", "vc"), Seq("cnt"))
       }
       .start()
 }

@@ -23,12 +23,31 @@ class JaroWinklerSpec extends SparkSpec {
     // boost gate: jaro ≤ 0.7 gets no prefix bonus even with prefix
     assert(rnd6(jw("ab", "ac")) == 0.666667)
     assert(rnd6(jw("abcdxx", "abcdyy")) == 0.866667)
-    // empty-string convention matches DuckDB: 0, not 1
+    // empty-string convention matches DuckDB: 0, not 1 — verified
+    // directly against duckdb jaro_winkler_similarity('','') = 0.0
+    // (ADVICE r13 suspected 1.0; the measured value is 0.0)
     assert(jw("", "") == 0.0)
     assert(jw("a", "") == 0.0)
     assert(jw("abc", "abc") == 1.0)
     // symmetry
     assert(jw("small widget", "cold widget") == jw("cold widget", "small widget"))
+  }
+
+  test("non-ASCII inputs follow DuckDB's UTF-8 BYTE semantics exactly") {
+    // each expected value below is the measured output of DuckDB's
+    // jaro_winkler_similarity on the same pair (VERDICT r13 #5: pin
+    // the intended non-ASCII behavior). They are only explainable by
+    // byte-level matching: 'naïve'/'naive' is 6-vs-5 BYTES (2-byte ï)
+    // → jaro (4/6+4/5+1)/3 = 0.822222, prefix 2 → 0.857778 (code-point
+    // semantics would give 0.893333); '𝕊x'/'𝕊y' shares a 4-BYTE prefix
+    // (one surrogate-pair code point) → boost l=4 → 0.92 (code-point
+    // l=1 would give 0.88); 'é'/'e' shares no byte within the window.
+    assert(rnd6(jw("naïve", "naive")) == 0.857778)
+    assert(rnd6(jw("𝕊x", "𝕊y")) == 0.92)
+    assert(jw("é", "e") == 0.0)
+    assert(jw("é", "é") == 1.0)
+    // accented corpus-style names: byte kernel stays symmetric + fenced
+    assert(jw("Müller GmbH", "Mueller GmbH") == jw("Mueller GmbH", "Müller GmbH"))
   }
 
   test("expression path (codegen) agrees with the kernel on corpus name pairs") {

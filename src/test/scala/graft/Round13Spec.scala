@@ -76,6 +76,7 @@ class Round13Spec extends SparkSpec {
     // pairs collided by construction; the full-string fold must not
     val pairs = Seq(("cat", "car"), ("hello", "hells"), ("aa", "ab"),
       ("data", "date"))
+    graft.functions.PolyHash.register(spark)
     val slots = pairs.flatMap(p => Seq(p._1, p._2)).toDF("t")
       .selectExpr(graft.queries.TextQueries.tokSlotExprOf("t", 64) + " AS slot")
       .collect().map(_.getInt(0))

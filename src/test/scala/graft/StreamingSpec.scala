@@ -1466,13 +1466,16 @@ class StreamingSpec extends SparkSpec {
         mem.addData(b.toSeq); q.processAllAvailable()
         fed = fed ++ b
         // the maintained artifacts equal the one-shot batch index of
-        // every document seen so far — tf/dl by appended segments,
-        // df by the merged bucketed vocabulary state
+        // every document seen so far — tf/dl by per-batch seg=<id>
+        // segments (the seg partition column is write-side plumbing,
+        // dropped here), df by the merged bucketed vocabulary state
         val twin = queries.TextQueries.postingsLocalOf(
           fed.toDF("doc_id", "text"))
-        assert(sortedRows(spark.read.parquet(s"$outDir/tf.parquet"))
+        assert(sortedRows(spark.read.parquet(s"$outDir/tf.parquet")
+          .select(twin.tf.columns.map(org.apache.spark.sql.functions.col): _*))
           == sortedRows(twin.tf))
-        assert(sortedRows(spark.read.parquet(s"$outDir/dl.parquet"))
+        assert(sortedRows(spark.read.parquet(s"$outDir/dl.parquet")
+          .select(twin.dl.columns.map(org.apache.spark.sql.functions.col): _*))
           == sortedRows(twin.dl))
         assert(sortedRows(spark.read.parquet(s"$outDir/df.parquet")
           .select("term", "df", "cf")) == sortedRows(twin.df))
@@ -1651,5 +1654,125 @@ class StreamingSpec extends SparkSpec {
           s"best-of-n finish diverges after batch ${i + 1}")
       }
     } finally q.stop()
+  }
+
+  // ---- ADVICE r13: at-least-once redelivery + crash-atomicity guards ----
+
+  private def stateRows(path: String): Seq[String] =
+    spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+
+  test("mergeAdditiveBatch: a redelivered batchId is skipped, the next one merges") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("additive_state").toString + "/state.parquet"
+    val d1 = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("slot", "s1", "s2")
+    val d2 = Seq((1L, 1L, 1L)).toDF("slot", "s1", "s2")
+    StreamJobs.mergeAdditiveBatch(d1, 0L, path, Seq("slot"), Seq("s1", "s2"))
+    val once = stateRows(path)
+    // at-least-once: the SAME batchId re-delivered must not merge again
+    StreamJobs.mergeAdditiveBatch(d1, 0L, path, Seq("slot"), Seq("s1", "s2"))
+    assert(stateRows(path) == once, "redelivered batch double-merged")
+    // a NEW batchId merges additively
+    StreamJobs.mergeAdditiveBatch(d2, 1L, path, Seq("slot"), Seq("s1", "s2"))
+    assert(stateRows(path).contains("[1,11,101]"))
+    assert(StreamJobs.lastMergedBatch(spark, path) == 1L)
+  }
+
+  test("commitState/recoverState: a crash between delete and rename is healed") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("swap_state").toString + "/state.parquet"
+    StreamJobs.commitState(Seq((1L, 5L)).toDF("slot", "w9"), path, 3L)
+    val good = stateRows(path)
+    // simulate the crash window: the fully-committed dir has already
+    // been staged (it contains _SUCCESS and the batch marker) and the
+    // live dir was deleted, but the rename never happened
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val stg = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = dst.getFileSystem(conf)
+    fs.rename(dst, stg)
+    assert(!fs.exists(dst))
+    StreamJobs.recoverState(spark, path)
+    assert(stateRows(path) == good, "recovered state differs")
+    assert(StreamJobs.lastMergedBatch(spark, path) == 3L)
+    // an INCOMPLETE staging dir (no _SUCCESS) is never adopted
+    fs.rename(dst, stg)
+    fs.delete(new org.apache.hadoop.fs.Path(stg, "_SUCCESS"), false)
+    StreamJobs.recoverState(spark, path)
+    assert(!fs.exists(dst), "half-written staging dir was adopted")
+  }
+
+  test("logregBatch: a redelivered batch leaves weights AND trajectory untouched") {
+    val s = spark
+    import s.implicits._
+    val outDir = Files.createTempDirectory("logreg_redeliver").toString
+    val b0 = Seq((1L, "alpha beta gamma", "en"), (2L, "delta epsilon", "de"))
+      .toDF("doc_id", "text", "lang")
+    StreamJobs.logregBatch(b0, 0L, outDir)
+    val w = stateRows(s"$outDir/weights.parquet")
+    val t = stateRows(s"$outDir/trajectory.parquet")
+    StreamJobs.logregBatch(b0, 0L, outDir) // redelivery
+    assert(stateRows(s"$outDir/weights.parquet") == w, "weights moved on redelivery")
+    assert(stateRows(s"$outDir/trajectory.parquet") == t, "trajectory grew on redelivery")
+    StreamJobs.logregBatch(b0, 1L, outDir) // genuine next batch
+    assert(spark.read.parquet(s"$outDir/weights.parquet")
+      .agg(max("step")).head().getInt(0) == 2)
+  }
+
+  test("postingsBatch: per-bucket last_batch stamps make the dictionary merge redelivery-safe") {
+    val s = spark
+    import s.implicits._
+    val outDir = Files.createTempDirectory("postings_redeliver").toString
+    val b0 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    StreamJobs.postingsBatch(b0, 0L, outDir)
+    val b1 = Seq((3L, "apple durian")).toDF("doc_id", "text")
+    StreamJobs.postingsBatch(b1, 1L, outDir)
+    val dict = stateRows(s"$outDir/df.parquet")
+    val tf = stateRows(s"$outDir/tf.parquet")
+    // redeliver batch 1: every touched bucket is already stamped with
+    // last_batch=1, so the merge must be a no-op (no double df/cf), and
+    // the tf segment rewrite must reproduce identical rows
+    StreamJobs.postingsBatch(b1, 1L, outDir)
+    assert(stateRows(s"$outDir/df.parquet") == dict, "dictionary double-merged")
+    assert(stateRows(s"$outDir/tf.parquet") == tf, "tf segment duplicated rows")
+  }
+
+  test("logregStream trajectory sink stays file-bounded across 3x DictBuckets batches and replays bit-identically") {
+    val s = spark
+    import s.implicits._
+    val outDir = Files.createTempDirectory("logreg_bounded").toString
+    val nBatches = 3 * StreamJobs.DictBuckets // 48 — VERDICT r13 #4's bar
+    def leafParquets(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    var wTwin = queries.TextQueries.lrZeroWeights(spark)
+    var twinRows = Seq.empty[String]
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    (0 until nBatches).foreach { i =>
+      val doc = s"${words(i % words.size)} ${words((i + 1) % words.size)} tok$i"
+      val b = Seq((i.toLong, doc, if (i % 2 == 0) "en" else "de"))
+        .toDF("doc_id", "text", "lang")
+      StreamJobs.logregBatch(b, i.toLong, outDir)
+      val feats = queries.TextQueries.lrFeatsOf(b).localCheckpoint()
+      wTwin = queries.TextQueries.logregSgdStep(wTwin, feats, 1L).localCheckpoint()
+      twinRows = twinRows ++ wTwin.withColumn("step", lit(i + 1))
+        .select("slot", "w9", "step").collect().map(_.toString)
+      // the fold keeps the sink bounded: at most TrajFold per-batch
+      // segments (1 coalesced file each) + the last folded segment
+      assert(leafParquets(s"$outDir/trajectory.parquet")
+        <= StreamJobs.TrajFold + 2,
+        s"trajectory file count unbounded at batch $i")
+    }
+    // the full replayed trajectory is bit-identical to the batch twin's
+    val streamed = spark.read.parquet(s"$outDir/trajectory.parquet")
+      .select("slot", "w9", "step").collect().map(_.toString).sorted.toSeq
+    assert(streamed == twinRows.sorted, "folded trajectory diverges from batch twin")
+    assert(spark.read.parquet(s"$outDir/trajectory.parquet")
+      .select("step").distinct().count() == nBatches)
   }
 }
