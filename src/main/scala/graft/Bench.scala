@@ -41,13 +41,18 @@ object Bench {
     // shuffle.partitions=32); SPARK_GRAFT_CPUS overrides for scaling
     // experiments
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle-partition override for scale rehearsals (VERDICT r13 #3):
+    // the driver contract pins 32 at sf0.1; at 10×+ data the same 32
+    // makes the heaviest shuffles (the dedup trunk's shingle→signature
+    // aggregation) spill — the knob a real cluster turns with data size
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     // SPARK_GRAFT_AQE=false captures an adaptive-off run (VERDICT r8
     // #8: prove no plan silently depends on AQE's runtime re-planning)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       // reliable-checkpoint round state is deleted once its RDD is
       // GC'd (ADVICE r10: checkpoint files otherwise accumulate
       // unboundedly over a long session)

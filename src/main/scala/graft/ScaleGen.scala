@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   * way real corpus growth does, not the way naive row duplication
   * does:
   *
-  *  - `documents`: replica r remaps doc_id (+r·10⁷) and prefixes every
-  *    token with `r<r>_`, making replica vocabularies DISJOINT. Real
-  *    growth brings new sources with new vocabulary; dup/near-dup
-  *    clusters replicate within-replica. Verbatim text copies would
-  *    instead give every doc 9 exact twins — LSH buckets ×10 deep and
-  *    verify pairs ×100, a quadratic blowup manufactured by the data,
-  *    not exposed in the engine. Replica 0 is the original bytes.
+  *  - `documents`: replica r remaps doc_id (+r·10⁷) and applies a
+  *    per-replica Caesar rotation of the letters (a bijective
+  *    `translate`, length-preserving), making replica texts disjoint
+  *    at the CHARACTER-SHINGLE level. Real growth brings new sources
+  *    with new vocabulary; dup/near-dup clusters replicate
+  *    within-replica. The first rehearsal used an `r<r>_` token
+  *    prefix instead — and measured the lesson: prefixed tokens share
+  *    most character shingles, so every base doc became a genuine
+  *    10-clique of cross-replica near-dups (1.6M candidate pairs =
+  *    100× at 10× docs — output-proportional cost manufactured by the
+  *    data, not a plan defect; PERF.md round 14). Verbatim copies are
+  *    worse still (9 exact twins per doc). Replica 0 is the original
+  *    bytes.
   *  - `embeddings`: vec_id remaps; each replica's vectors get a small
   *    deterministic per-dimension jitter (±0.03, keyed on (r, dim)) so
   *    points are distinct — verbatim copies would put 10 zero-distance
@@ -60,14 +66,17 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
     (0 until reps).map { r =>
       val text =
         if (r == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", s"r${r}_$$1")
+        else translate(col("text"),
+          lower + upper,
+          lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r))
       docs.select(
         (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
-        text.as("text"), col("lang"), col("source"),
-        length(text).cast("long").as("n_chars"))
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 

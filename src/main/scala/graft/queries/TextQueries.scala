@@ -9883,4 +9883,201 @@ object TextQueries {
        |       r_len, r_ttr, r_stop, CAST(rrf9 AS BIGINT) AS rrf9
        |FROM sel WHERE sel_rank <= $QfPerSource
        |ORDER BY source, sel_rank""".stripMargin
+
+  // -------------------------------------------- sequence packing (r14)
+
+  /** Training-window length of the sequence-packing audit (tokens per
+    * packed sample). 512 keeps the demo classes readable; the layout
+    * and the math are identical at 2k/8k. Power of two, so every
+    * size class divides it exactly. */
+  private[graft] val PackLen = 512L
+
+  /** SEQUENCE PACKING audit (harmonic size-class packing): how many
+    * fixed-length training windows does the corpus fill, and how much
+    * padding does each size class pay? Pretraining pipelines pack
+    * documents into fixed [[PackLen]]-token samples; exact first-fit
+    * packing is inherently sequential (a running bin-state
+    * recurrence), so the engine-friendly tier is CLASS packing (the
+    * harmonic bin-packing family, Lee & Lee JACM 1985): each doc
+    * rounds up to the smallest power-of-two class c ≤ PackLen, a bin
+    * of class c holds exactly PackLen/c docs, and the whole audit is
+    * ONE projection + ONE ≤11-key aggregation — no sort, no
+    * sequential state, embarrassingly parallel at 100 TB. Docs longer
+    * than PackLen land in the `oversize` lane (class 0) costing
+    * ceil(ntok/PackLen) windows each — the would-be-split backlog.
+    * `padding` is capacity − tokens (internal fragmentation + last-bin
+    * slack together); `util_ppm` the exact integer fill rate. Every
+    * column is exact integer arithmetic — no float anywhere. */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame =
+    seqPackingOf(Tables(spark, dir, "documents"))
+
+  private[graft] def seqPackingOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ntoks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+    // 10-row class relation: 1, 2, 4, …, PackLen — the ntok ≤ c range
+    // join below is a 10-row broadcast BNLJ (the bounded-enum class
+    // the join gate admits); min(c) picks the tightest class
+    val classes = spark.range(10)
+      .select(expr("cast(shiftleft(1L, cast(id as int)) as long)").as("c"))
+    val packable = ntoks.filter(col("ntok") <= PackLen)
+      .join(broadcast(classes), col("ntok") <= col("c"))
+      .groupBy("doc_id", "ntok").agg(min("c").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+      .select(col("c").as("class"), col("n_docs"),
+        expr(s"$PackLen div c").as("docs_per_bin"), col("tokens"))
+      .withColumn("n_bins",
+        expr("(n_docs + docs_per_bin - 1) div docs_per_bin"))
+    val oversize = ntoks.filter(col("ntok") > PackLen)
+      .select(col("ntok"), expr(s"(ntok + $PackLen - 1) div $PackLen").as("w"))
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"),
+        sum("w").as("n_bins"))
+      .select(lit(0L).as("class"), col("n_docs"),
+        lit(0L).as("docs_per_bin"), col("tokens"), col("n_bins"))
+      .filter(col("n_docs") > 0)
+    packable.unionByName(oversize)
+      .withColumn("capacity", col("n_bins") * PackLen)
+      .withColumn("padding", col("capacity") - col("tokens"))
+      .withColumn("util_ppm", expr("tokens * 1000000 div capacity"))
+      .select("class", "n_docs", "docs_per_bin", "n_bins", "tokens",
+        "capacity", "padding", "util_ppm")
+      .orderBy("class")
+  }
+
+  val seqPackingSql: String =
+    s"""WITH nt AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |cls AS (SELECT CAST(1 << CAST(unnest(range(10)) AS INTEGER) AS BIGINT) AS c),
+       |packable AS (
+       |  SELECT class, n_docs, $PackLen // class AS docs_per_bin, tokens,
+       |         (n_docs + ($PackLen // class) - 1) // ($PackLen // class) AS n_bins
+       |  FROM (
+       |    SELECT c AS class, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens
+       |    FROM (SELECT doc_id, ntok, min(c) AS c
+       |          FROM nt JOIN cls ON ntok <= c
+       |          WHERE ntok <= $PackLen GROUP BY 1, 2)
+       |    GROUP BY 1)),
+       |oversize AS (
+       |  SELECT CAST(0 AS BIGINT) AS class, count(*) AS n_docs,
+       |         CAST(0 AS BIGINT) AS docs_per_bin,
+       |         CAST(sum(ntok) AS BIGINT) AS tokens,
+       |         CAST(sum((ntok + $PackLen - 1) // $PackLen) AS BIGINT) AS n_bins
+       |  FROM nt WHERE ntok > $PackLen
+       |  HAVING count(*) > 0),
+       |lanes AS (SELECT * FROM packable UNION ALL SELECT * FROM oversize)
+       |SELECT class, n_docs, docs_per_bin, n_bins, tokens,
+       |       n_bins * $PackLen AS capacity,
+       |       n_bins * $PackLen - tokens AS padding,
+       |       tokens * 1000000 // (n_bins * $PackLen) AS util_ppm
+       |FROM lanes
+       |ORDER BY class""".stripMargin
+
+  // ------------------------------------------- curriculum staging (r14)
+
+  /** Curriculum stage count (quartile-style cut). */
+  private[graft] val CurrStages = 4
+
+  /** Difficulty-grid quantum: diff6 (1e-6 ln units) divides by this to
+    * a 1e-4-ln-unit grid, so the stage-boundary histogram is bounded
+    * by 10⁴·ln(N) cells — log-growing metadata, never corpus rows (at
+    * the sf0.01 corpus: 143 cells; at N = 10¹²: ~2.8e5). */
+  private[graft] val CurrGrid = 100L
+
+  /** CURRICULUM STAGING: order the corpus easy → hard and cut it into
+    * [[CurrStages]] stages — the data-ordering op of curriculum
+    * learning (Bengio et al., ICML 2009). Difficulty is mean token
+    * RARITY: per term, rarity6 = ln(N/df) fenced to 1e-6 integer
+    * units; per doc, diff6 = Σ tf·rarity6 div dl — pure integer, so
+    * both engines order every document identically. Common-word docs
+    * score near 0, rare-vocabulary docs high.
+    *
+    * Stage assignment WITHOUT a corpus sort (the [[qualityPercentile]]
+    * discipline — a global row_number over all docs is the
+    * anti-pattern a 100 TB corpus cannot pay): difficulties quantize
+    * to the [[CurrGrid]] grid, the grid histogram's running counts
+    * pick each cell's stage as 1 + (docs-before · CurrStages) div N,
+    * and docs join the broadcast cell→stage map. Stage sizes are
+    * quartiles up to grid granularity.
+    *
+    * Scale shape: rides the postings trunk (tf/dl/df are trunk
+    * reads); one term-keyed join + doc aggregation, a grid-bounded
+    * window, one broadcast join back, a ≤4-row rollup. */
+  def curriculumStages(spark: SparkSession, dir: String): DataFrame =
+    curriculumOnPostings(Tables(spark, dir, "documents"),
+      postingsTrunk(spark, dir))
+
+  private[graft] def curriculumStagesOf(docs: DataFrame): DataFrame =
+    curriculumOnPostings(docs, postingsLocalOf(docs))
+
+  private def curriculumOnPostings(docs: DataFrame, p: PostingsIndex): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val rar = p.df.select(col("term"),
+      Det.units(log(lit(n.toDouble) / col("df")), 6).as("r6"))
+    val diff = p.tf.select("doc_id", "term", "tf")
+      .join(rar, "term")
+      .groupBy("doc_id").agg(sum(col("tf") * col("r6")).as("s6"))
+      .join(p.dl, "doc_id")
+      .select(col("doc_id"), col("dl"), expr("s6 div dl").as("diff6"))
+    val cells = diff.groupBy(expr(s"diff6 div $CurrGrid").as("cell"))
+      .agg(count(lit(1)).as("cn"))
+    // grid-bounded running count (the window holds ≤ 10⁴·ln N rows)
+    val stageMap = cells
+      .withColumn("before",
+        coalesce(sum("cn").over(Window.orderBy("cell")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cell"),
+        expr(s"cast(1 + (before * $CurrStages) div $n as int)").as("stage"))
+    diff.join(broadcast(stageMap),
+        expr(s"diff6 div $CurrGrid") === col("cell"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sdl"),
+        sum("diff6").as("sdiff"), min("diff6").as("mind"),
+        max("diff6").as("maxd"))
+      .select(col("stage"), col("n_docs"),
+        expr("sdl div n_docs").as("mean_ntok"),
+        Det.rnd(expr("sdiff div n_docs").cast("double") / 1e6, 6)
+          .as("mean_difficulty"),
+        Det.rnd(col("mind").cast("double") / 1e6, 6).as("min_difficulty"),
+        Det.rnd(col("maxd").cast("double") / 1e6, 6).as("max_difficulty"))
+      .orderBy("stage")
+  }
+
+  val curriculumStagesSql: String = {
+    import graft.functions.Det
+    s"""WITH toks AS (SELECT doc_id,
+       |                unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |         FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |rar AS (SELECT term,
+       |               ${Det.unitsSql("ln(CAST((SELECT n FROM nn) AS DOUBLE) / df)", 6)} AS r6
+       |        FROM df),
+       |diff AS (
+       |  SELECT t.doc_id, dl.dl,
+       |         CAST(sum(t.tf * r.r6) // dl.dl AS BIGINT) AS diff6
+       |  FROM tf t JOIN rar r USING (term) JOIN dl ON dl.doc_id = t.doc_id
+       |  GROUP BY 1, 2),
+       |cells AS (SELECT diff6 // $CurrGrid AS cell, count(*) AS cn
+       |          FROM diff GROUP BY 1),
+       |stagemap AS (
+       |  SELECT cell,
+       |         CAST(1 + coalesce(sum(cn) OVER (ORDER BY cell
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              * $CurrStages // (SELECT n FROM nn) AS INTEGER) AS stage
+       |  FROM cells)
+       |SELECT stage, count(*) AS n_docs,
+       |       CAST(sum(dl) // count(*) AS BIGINT) AS mean_ntok,
+       |       ${Det.rndSql("CAST(CAST(sum(diff6) // count(*) AS BIGINT) AS DOUBLE) / 1e6", 6)} AS mean_difficulty,
+       |       ${Det.rndSql("CAST(min(diff6) AS DOUBLE) / 1e6", 6)} AS min_difficulty,
+       |       ${Det.rndSql("CAST(max(diff6) AS DOUBLE) / 1e6", 6)} AS max_difficulty
+       |FROM diff JOIN stagemap ON diff6 // $CurrGrid = cell
+       |GROUP BY stage
+       |ORDER BY stage""".stripMargin
+  }
 }
