@@ -5779,7 +5779,7 @@ object TextQueries {
 
   private[graft] val LrSlots = 64
   private val LrNum = 8L // dyadic learning rate
-  private val LrRounds = 2
+  private[graft] val LrRounds = 2
 
   /** DISTRIBUTED LOGISTIC-REGRESSION TRAINING STEP — [[LrRounds]]
     * full-batch gradient-descent steps of the is-English classifier
@@ -5846,22 +5846,30 @@ object TextQueries {
     * so any engine replaying the same batch sequence walks the
     * bit-identical weight trajectory. */
   private[graft] def logregSgdStep(w: DataFrame, feats: DataFrame,
-      nDocs: Long): DataFrame = {
+      nDocs: Long): DataFrame =
+    w.join(lrGrad(w, feats), Seq("slot"), "left")
+      .select(col("slot"),
+        (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
+          .as("w9"))
+
+  /** The trainer's exact-integer GRADIENT of one step — margins from
+    * the broadcast weight vector, per-slot gradient fenced to 1e-12
+    * units BEFORE the sum. Factored out of [[logregSgdStep]] (r14) so
+    * the sparsification audit [[gradTopk]] reads the identical
+    * gradient the update applies — one Scala copy, mirroring the
+    * `g$step` CTEs of [[lrTrainCtes]]. */
+  private[graft] def lrGrad(w: DataFrame, feats: DataFrame): DataFrame = {
     import graft.functions.Det
     val m = feats.join(broadcast(w), "slot")
       .groupBy("doc_id", "y")
       .agg((sum(col("w9") * col("num")).cast("double")
         / (lit(1e9) * max("dl"))).as("m"))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
-    val g = feats
+    feats
       .join(m.select("doc_id", "p"), "doc_id")
       .groupBy("slot")
       .agg(sum(Det.units((col("p") - col("y"))
         * col("num").cast("double") / col("dl"), 12)).as("g12"))
-    w.join(g, Seq("slot"), "left")
-      .select(col("slot"),
-        (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
-          .as("w9"))
   }
 
   private[graft] def logregStepOf(docs: DataFrame): DataFrame = {
@@ -9138,13 +9146,42 @@ object TextQueries {
        |FROM scored ORDER BY li9 DESC, doc_id LIMIT $DsirTopK""".stripMargin
   }
 
+  /** The trainer family's FEATURIZATION block — `${p}ts → ${p}tsl →
+    * ${p}dlt → ${p}feats → ${p}nd` — factored out of [[lrTrainCtes]]
+    * (r14) so a query can featurize a SECOND document slice (e.g.
+    * [[membershipInfer]] scores the full corpus under weights trained
+    * on the 80% split) without restating the tokenize/hash SQL: the
+    * feature derivation exists in exactly one place, per the ADVICE
+    * r13 single-source rule for the trajectory chain. `pred` filters
+    * the documents relation; `p` prefixes every CTE name so two
+    * instantiations compose in one WITH. */
+  private[graft] def lrFeatCtes(p: String, pred: String): String =
+    s"""${p}ts AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         ${tokSlotSqlOf("t", LrSlots)} AS slot
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents WHERE $pred)),
+       |${p}tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ${p}ts GROUP BY 1, 2, 3),
+       |${p}dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
+       |        FROM ${p}tsl GROUP BY 1, 2),
+       |${p}feats AS MATERIALIZED (
+       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
+       |         CAST(t.num AS BIGINT) AS num, d.dl
+       |  FROM ${p}tsl t JOIN ${p}dlt d USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, $LrSlots, dl, dl FROM ${p}dlt),
+       |${p}nd AS (SELECT count(*) AS n FROM ${p}dlt)""".stripMargin
+
   /** The trainer's CTE prefix (ts → feats → nd → w0) plus the
     * m/g/w chain through step `through` — the shared bit-identical
     * trajectory replay that [[logregStepSql]]/[[influenceProxySql]]
     * inline and the forgetting audit extends. Margins carry both p
     * and the raw margin m (its SIGN is decided by the exact integer
-    * Σ w9·num, so correctness flags cannot fork between engines). */
-  private[graft] def lrTrainCtes(through: Int): String = {
+    * Σ w9·num, so correctness flags cannot fork between engines).
+    * `pred` (r14) restricts the TRAINING slice — the default TRUE
+    * keeps every pre-r14 caller's chain semantically unchanged. */
+  private[graft] def lrTrainCtes(through: Int, pred: String = "TRUE"): String = {
     import graft.functions.Det
     val rounds = (0 to through).map { step =>
       val mc =
@@ -9170,22 +9207,7 @@ object TextQueries {
            |  FROM w$step w LEFT JOIN g$step g USING (slot))""".stripMargin
       else mc
     }.mkString(",\n")
-    s"""ts AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |         ${tokSlotSqlOf("t", LrSlots)} AS slot
-       |  FROM (SELECT doc_id, lang,
-       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
-       |        FROM documents)),
-       |tsl AS (SELECT doc_id, y, slot, count(*) AS num FROM ts GROUP BY 1, 2, 3),
-       |dlt AS (SELECT doc_id, y, CAST(sum(num) AS BIGINT) AS dl
-       |        FROM tsl GROUP BY 1, 2),
-       |feats AS MATERIALIZED (
-       |  SELECT t.doc_id, t.y, CAST(t.slot AS BIGINT) AS slot,
-       |         CAST(t.num AS BIGINT) AS num, d.dl
-       |  FROM tsl t JOIN dlt d USING (doc_id)
-       |  UNION ALL
-       |  SELECT doc_id, y, $LrSlots, dl, dl FROM dlt),
-       |nd AS (SELECT count(*) AS n FROM dlt),
+    s"""${lrFeatCtes("", pred)},
        |w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
        |              CAST(0 AS BIGINT) AS w9),
        |$rounds""".stripMargin
@@ -10079,5 +10101,355 @@ object TextQueries {
        |FROM diff JOIN stagemap ON diff6 // $CurrGrid = cell
        |GROUP BY stage
        |ORDER BY stage""".stripMargin
+  }
+
+  // ----------------------------------------- membership inference (r14)
+
+  /** MEMBERSHIP-INFERENCE AUDIT (Yeom et al., CSF 2018 — the
+    * confidence-threshold attack): train the [[logregStep]]
+    * classifier on the TRAIN split only (the [[trainSplit]] hash
+    * bucket < 80), score EVERY document's signed confidence toward
+    * its true label, (2y−1)·m, under the final weights, and measure
+    * how well that score separates members (train split) from
+    * non-members (val+test) — the Mann-Whitney AUC privacy audits
+    * report. AUC ≈ 0.5 means the released model leaks nothing about
+    * who was in the training set; the gap above 0.5 is the
+    * memorization signal a training pipeline monitors before release.
+    *
+    * Determinism: the trained weights are the bit-identical integer
+    * trajectory of [[logregSgdStep]] restricted to the train slice
+    * (the oracle replays it via `lrTrainCtes(_, pred)`); the score is
+    * fenced to 1e-6 units, so both engines rank every document
+    * identically.
+    *
+    * Scale shape (corpus-sort-free AUC): a global rank over all docs
+    * is the anti-pattern a 100 TB corpus cannot pay, so scores
+    * quantize to a 1e-3 grid and the exact midrank AUC comes from the
+    * GRID histogram's running counts — the window runs over score
+    * cells (bounded by the score span · 10³, thousands of rows),
+    * never corpus rows; ties inside a cell get the exact midrank
+    * term n_m·n_nm. Reported for 'all' plus each label class, since
+    * attack success usually concentrates in one class. */
+  def membershipInfer(spark: SparkSession, dir: String): DataFrame =
+    membershipInferOf(Tables(spark, dir, "documents"))
+
+  private[graft] def membershipInferOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val featsAll = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "mia-feats")) // corpus-linear
+    val trainF = featsAll.filter(expr(SplitBucket) < 80)
+    // loop literal (the pageRank precedent): one bias row per train doc
+    val nTrain = trainF.filter(col("slot") === LrSlots).count()
+    var w = lrZeroWeights(spark)
+    for (_ <- 0 until LrRounds)
+      w = logregSgdStep(w, trainF, nTrain).localCheckpoint() // 65 rows
+    val scored = featsAll.join(broadcast(w), "slot")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("w9") * col("num")).cast("double")
+        / (lit(1e9) * max("dl"))).as("m"))
+      .select(col("doc_id"), col("y"),
+        (expr(SplitBucket) < 80).as("member"),
+        Det.units((col("y") * 2 - 1).cast("double") * col("m"), 6).as("s6"))
+    val grouped = scored.select(lit("all").as("grp"), col("member"), col("s6"))
+      .unionByName(scored.select(
+        when(col("y") === 1, "en").otherwise("other").as("grp"),
+        col("member"), col("s6")))
+    // 1e-3 score grid; the +1e9 shift keeps the dividend positive so
+    // Spark's truncating `div` and DuckDB's flooring `//` agree
+    val cells = grouped
+      .groupBy(col("grp"), expr("(s6 + 1000000000L) div 1000").as("cell"))
+      .agg(sum(col("member").cast("long")).as("n_m"),
+        sum((!col("member")).cast("long")).as("n_nm"),
+        sum(when(col("member"), col("s6")).otherwise(0L)).as("s_m"),
+        sum(when(!col("member"), col("s6")).otherwise(0L)).as("s_nm"))
+    val run = cells.withColumn("below",
+      coalesce(sum("n_nm").over(Window.partitionBy("grp").orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    run.groupBy("grp").agg(
+        sum("n_m").as("n_member"), sum("n_nm").as("n_nonmember"),
+        sum(col("n_m") * (col("below") * 2 + col("n_nm"))).as("num2"),
+        sum("s_m").as("ssm"), sum("s_nm").as("ssnm"))
+      .select(col("grp"), col("n_member"), col("n_nonmember"),
+        expr("num2 * 1000000 div (2 * n_member * n_nonmember)").as("auc_ppm"),
+        Det.rnd(col("ssm").cast("double") / col("n_member") / 1e6, 6)
+          .as("mean_score_member"),
+        Det.rnd(col("ssnm").cast("double") / col("n_nonmember") / 1e6, 6)
+          .as("mean_score_nonmember"))
+      .orderBy("grp")
+  }
+
+  lazy val membershipInferSql: String = {
+    import graft.functions.Det
+    s"""WITH ${lrTrainCtes(LrRounds, s"$SplitBucketSql < 80")},
+       |${lrFeatCtes("a_", "TRUE")},
+       |sc AS (
+       |  SELECT f.doc_id, f.y,
+       |         CAST(sum(w.w9 * f.num) AS DOUBLE) / (1e9 * max(f.dl)) AS m
+       |  FROM a_feats f JOIN w$LrRounds w USING (slot)
+       |  GROUP BY 1, 2),
+       |sd AS (
+       |  SELECT doc_id, y, ${splitBucketSqlOf("doc_id")} < 80 AS member,
+       |         ${Det.unitsSql("(2 * y - 1) * m", 6)} AS s6
+       |  FROM sc),
+       |gx AS (SELECT 'all' AS grp, member, s6 FROM sd
+       |       UNION ALL
+       |       SELECT CASE WHEN y = 1 THEN 'en' ELSE 'other' END, member, s6 FROM sd),
+       |cells AS (
+       |  SELECT grp, (s6 + 1000000000) // 1000 AS cell,
+       |         sum(CASE WHEN member THEN 1 ELSE 0 END) AS n_m,
+       |         sum(CASE WHEN member THEN 0 ELSE 1 END) AS n_nm,
+       |         sum(CASE WHEN member THEN s6 ELSE 0 END) AS s_m,
+       |         sum(CASE WHEN member THEN 0 ELSE s6 END) AS s_nm
+       |  FROM gx GROUP BY 1, 2),
+       |run AS (
+       |  SELECT grp, n_m, n_nm, s_m, s_nm,
+       |         coalesce(sum(n_nm) OVER (PARTITION BY grp ORDER BY cell
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM cells)
+       |SELECT grp, CAST(sum(n_m) AS BIGINT) AS n_member,
+       |       CAST(sum(n_nm) AS BIGINT) AS n_nonmember,
+       |       CAST(sum(n_m * (below * 2 + n_nm)) * 1000000
+       |            // (2 * sum(n_m) * sum(n_nm)) AS BIGINT) AS auc_ppm,
+       |       ${Det.rndSql("CAST(sum(s_m) AS DOUBLE) / sum(n_m) / 1e6", 6)} AS mean_score_member,
+       |       ${Det.rndSql("CAST(sum(s_nm) AS DOUBLE) / sum(n_nm) / 1e6", 6)} AS mean_score_nonmember
+       |FROM run
+       |GROUP BY grp
+       |ORDER BY grp""".stripMargin
+  }
+
+  // --------------------------------------- leave-one-source-out (r14)
+
+  /** LEAVE-ONE-SOURCE-OUT DATA VALUATION — 21 trainers in ONE
+    * dataflow: for every feed (plus the 'none' control), retrain the
+    * [[logregStep]] classifier WITHOUT that source and measure the
+    * full-corpus accuracy delta — the source-level ablation study a
+    * data-buying pipeline runs to price feeds (the group-level
+    * counterpart of the per-example [[knnShapley]]).
+    *
+    * Scale shape (batched multi-model training): instead of 21
+    * sequential trainer runs (21 corpus scans per step), the weight
+    * table is KEYED by ablation — (abl, slot), 21·65 rows, still a
+    * broadcast — and one pass over the ablation-replicated feature
+    * relation advances ALL trajectories at once: per step ONE
+    * broadcast join + ONE (abl, doc) margin aggregation + ONE
+    * (abl, slot) gradient aggregation, exactly 2·[[LrRounds]]+1 jobs
+    * total no matter how many feeds. The 21× feature replication is
+    * the honest cost of training 21 models (a sequential sweep reads
+    * the corpus 21× too) and the replicating join is a broadcast BNLJ
+    * of the 21-row feed enum — the bounded-enum class the join gate
+    * admits. The 'none' lane IS the scalar trainer: Round14bSpec
+    * asserts its weights match [[logregSgdStep]]'s bit-for-bit, which
+    * pins the keyed and scalar chains together mechanically.
+    *
+    * Determinism: the scalar chain's integer update law with n = the
+    * ablation's OWN train count; eval correctness is the sign of the
+    * exact integer margin Σ w9·num. */
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame =
+    sourceAblationOf(Tables(spark, dir, "documents"))
+
+  /** The batched trajectories: from a source-carrying feature relation
+    * to ((abl, slot, w9) final weights, (abl, n_train) counts).
+    * Factored out so Round14bSpec can assert the 'none' lane equals
+    * the scalar [[logregSgdStep]] trajectory bit-for-bit. */
+  private[graft] def ablationWeights(featsAll: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.Det
+    val spark = featsAll.sparkSession
+    val abls = featsAll.select(col("source").as("abl")).distinct()
+      .unionByName(spark.sql("SELECT 'none' AS abl"))
+      .localCheckpoint() // feed enum + control: #feeds+1 rows
+    val featsRep = featsAll.join(broadcast(abls),
+        col("abl") === "none" || col("source") =!= col("abl"))
+      .drop("source")
+      .transform(graft.Tables.scratchPin(_, "ablate-featsrep")) // 21× corpus, read 2·LrRounds times
+    val nab = featsRep.filter(col("slot") === LrSlots)
+      .groupBy("abl").agg(count(lit(1)).as("n_train"))
+      .localCheckpoint() // 21 rows
+    var w = abls.crossJoin(broadcast(lrZeroWeights(spark)))
+      .localCheckpoint() // 21·65 rows
+    for (_ <- 0 until LrRounds) {
+      val m = featsRep.join(broadcast(w), Seq("abl", "slot"))
+        .groupBy("abl", "doc_id", "y")
+        .agg((sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      val g = featsRep.join(m.select("abl", "doc_id", "p"), Seq("abl", "doc_id"))
+        .groupBy("abl", "slot")
+        .agg(sum(Det.units((col("p") - col("y"))
+          * col("num").cast("double") / col("dl"), 12)).as("g12"))
+      w = w.join(g, Seq("abl", "slot"), "left")
+        .join(broadcast(nab), "abl")
+        .select(col("abl"), col("slot"),
+          (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div n_train div 1000"))
+            .as("w9"))
+        .localCheckpoint() // 21·65 rows
+    }
+    (w, nab)
+  }
+
+  private[graft] def sourceAblationOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val featsAll = lrFeatsOf(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .transform(graft.Tables.scratchPin(_, "ablate-feats")) // corpus-linear
+    val (w, nab) = ablationWeights(featsAll)
+    val me = featsAll.join(broadcast(w), "slot")
+      .groupBy("abl", "doc_id", "y")
+      .agg(sum(col("w9") * col("num")).as("mnum"),
+        (sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+      .select(col("abl"), col("doc_id"), col("y"), col("mnum"),
+        Det.units(col("m"), 6).as("m6"))
+      .transform(graft.Tables.scratchPin(_, "ablate-margins")) // 21× corpus, read twice
+    // the 'none' lane's margins, re-keyed for the per-doc shift join
+    val base = me.filter(col("abl") === "none")
+      .select(col("doc_id"), col("m6").as("m6n"))
+    val acc = me.join(base, "doc_id")
+      .groupBy("abl")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when((col("mnum") > 0L) === (col("y") === 1), 1L).otherwise(0L))
+          .as("n_corr"),
+        sum(abs(col("m6") - col("m6n"))).as("margin_shift6"))
+    val acc0 = acc.filter(col("abl") === "none")
+      .select(expr("n_corr * 1000000 div n_eval").as("acc0"))
+    acc.join(broadcast(nab), "abl").crossJoin(broadcast(acc0))
+      .select(col("abl").as("ablated"), col("n_train"), col("n_eval"),
+        expr("n_corr * 1000000 div n_eval").as("acc_ppm"),
+        (expr("n_corr * 1000000 div n_eval") - col("acc0")).as("delta_ppm"),
+        col("margin_shift6"))
+      .orderBy("ablated")
+  }
+
+  lazy val sourceAblationSql: String = {
+    import graft.functions.Det
+    val rounds = (0 until LrRounds).map { k =>
+      s"""am$k AS MATERIALIZED (
+         |  SELECT f.abl, f.doc_id, f.y,
+         |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+         |                            / (1e9 * max(f.dl))))) AS p
+         |  FROM fr f JOIN aw$k w ON w.abl = f.abl AND w.slot = f.slot
+         |  GROUP BY 1, 2, 3),
+         |ag$k AS (
+         |  SELECT f.abl, f.slot,
+         |         CAST(sum(${Det.unitsSql(
+        "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
+         |  FROM fr f JOIN am$k m ON m.abl = f.abl AND m.doc_id = f.doc_id
+         |  GROUP BY 1, 2),
+         |aw${k + 1} AS (
+         |  SELECT w.abl, w.slot,
+         |         w.w9 - coalesce(g.g12, 0) * $LrNum // n.n_train // 1000 AS w9
+         |  FROM aw$k w
+         |  LEFT JOIN ag$k g ON g.abl = w.abl AND g.slot = w.slot
+         |  JOIN nab n ON n.abl = w.abl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lrFeatCtes("", "TRUE")},
+       |ab AS (SELECT DISTINCT source AS abl FROM documents
+       |       UNION ALL SELECT 'none'),
+       |fs AS (SELECT f.*, d.source
+       |       FROM feats f JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+       |fr AS MATERIALIZED (
+       |  SELECT a.abl, f.doc_id, f.y, f.slot, f.num, f.dl
+       |  FROM fs f, ab a WHERE a.abl = 'none' OR f.source <> a.abl),
+       |nab AS (SELECT abl, count(*) AS n_train FROM fr
+       |        WHERE slot = $LrSlots GROUP BY 1),
+       |aw0 AS (SELECT a.abl, CAST(s.s AS BIGINT) AS slot, CAST(0 AS BIGINT) AS w9
+       |        FROM ab a, (SELECT unnest(range(${LrSlots + 1})) AS s) s),
+       |$rounds,
+       |me AS MATERIALIZED (
+       |  SELECT w.abl, f.doc_id, f.y, sum(w.w9 * f.num) AS mnum,
+       |         ${Det.unitsSql(
+      "CAST(sum(w.w9 * f.num) AS DOUBLE) / (1e9 * max(f.dl))", 6)} AS m6
+       |  FROM feats f JOIN aw$LrRounds w ON w.slot = f.slot
+       |  GROUP BY 1, 2, 3),
+       |bs AS (SELECT doc_id, m6 AS m6n FROM me WHERE abl = 'none'),
+       |acc AS (
+       |  SELECT abl, count(*) AS n_eval,
+       |         sum(CASE WHEN (mnum > 0) = (y = 1) THEN 1 ELSE 0 END) AS n_corr,
+       |         CAST(sum(abs(m6 - m6n)) AS BIGINT) AS margin_shift6
+       |  FROM me JOIN bs USING (doc_id) GROUP BY 1),
+       |base AS (SELECT n_corr * 1000000 // n_eval AS acc0 FROM acc WHERE abl = 'none')
+       |SELECT a.abl AS ablated, CAST(n.n_train AS BIGINT) AS n_train,
+       |       CAST(a.n_eval AS BIGINT) AS n_eval,
+       |       CAST(a.n_corr * 1000000 // a.n_eval AS BIGINT) AS acc_ppm,
+       |       CAST(a.n_corr * 1000000 // a.n_eval - b.acc0 AS BIGINT) AS delta_ppm,
+       |       a.margin_shift6
+       |FROM acc a JOIN nab n USING (abl), base b
+       |ORDER BY ablated""".stripMargin
+  }
+
+  // ------------------------------------ gradient sparsification (r14)
+
+  /** Top-k slots of the sparsification audit (of [[LrSlots]]+1). */
+  private[graft] val GradTopK = 8
+
+  /** GRADIENT SPARSIFICATION AUDIT (the top-k concentration Deep
+    * Gradient Compression exploits — Lin et al., ICLR 2018): per
+    * trainer step, what share of the gradient's L1 mass lives in the
+    * [[GradTopK]] largest of the 65 hashed slots, how many slots are
+    * exactly zero, and the largest single slot — the numbers that
+    * decide whether top-k gradient exchange would cut the all-reduce
+    * traffic of a data-parallel run without hurting convergence.
+    *
+    * Rides the trainer trunk: the gradient here IS [[lrGrad]], the
+    * same relation [[logregSgdStep]] applies (one Scala copy, one SQL
+    * copy via the shared `g$step` CTEs), so the audit can never drift
+    * from the trajectory it describes. The ranking window runs over
+    * the 65-row gradient vector — bounded, never corpus rows. */
+  def gradTopk(spark: SparkSession, dir: String): DataFrame =
+    gradTopkOf(Tables(spark, dir, "documents"))
+
+  private[graft] def gradTopkOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "gradtopk-feats")) // corpus-linear
+    // loop literal (the pageRank precedent): one bias row per doc
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    var w = lrZeroWeights(spark)
+    val rows = (0 until LrRounds).map { step =>
+      val g = lrGrad(w, feats).localCheckpoint() // 65 rows
+      w = w.join(g, Seq("slot"), "left")
+        .select(col("slot"),
+          (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
+            .as("w9"))
+        .localCheckpoint() // 65 rows
+      g.select(col("slot"), col("g12"), abs(col("g12")).as("a"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("a").desc, col("slot"))))
+        .agg(sum("a").as("l1"),
+          sum(when(col("rk") <= GradTopK, col("a")).otherwise(0L)).as("topa"),
+          sum((col("g12") === 0L).cast("long")).as("n_zero"),
+          max("a").as("gmax"))
+        .select(lit(step).as("step"), col("l1"),
+          // l1 can exceed ~3e16 (65 slots × docs × 1e-12-unit terms), so
+          // the ppm integer product would overflow; the fenced double
+          // ratio of two exact integers is engine-identical instead
+          graft.functions.Det.rnd(
+            col("topa").cast("double") / col("l1"), 6).as("topk_share"),
+          col("n_zero"), col("gmax"))
+        .localCheckpoint() // 1 row
+    }
+    rows.reduce(_ unionAll _).orderBy("step")
+  }
+
+  lazy val gradTopkSql: String = {
+    val gs = (0 until LrRounds)
+      .map(k => s"SELECT $k AS step, slot, g12 FROM g$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${lrTrainCtes(LrRounds)},
+       |gs AS ($gs),
+       |rk AS (SELECT step, slot, g12, abs(g12) AS a,
+       |         row_number() OVER (PARTITION BY step
+       |           ORDER BY abs(g12) DESC, slot) AS rk
+       |       FROM gs)
+       |SELECT CAST(step AS INTEGER) AS step, CAST(sum(a) AS BIGINT) AS l1,
+       |       ${graft.functions.Det.rndSql(
+      s"CAST(sum(CASE WHEN rk <= $GradTopK THEN a ELSE 0 END) AS DOUBLE)" +
+        " / CAST(sum(a) AS DOUBLE)", 6)} AS topk_share,
+       |       CAST(sum(CASE WHEN g12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |       CAST(max(a) AS BIGINT) AS gmax
+       |FROM rk GROUP BY step ORDER BY step""".stripMargin
   }
 }

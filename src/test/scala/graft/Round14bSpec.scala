@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** Round-14 trainer-family additions — membership-inference audit,
+  * leave-one-source-out valuation, gradient sparsification: scalar
+  * parity plus brute-force recomputation on planted fixtures. */
+class Round14bSpec extends SparkSpec {
+
+  /** Mixed en/de corpus over 4 feeds; ids spread so the 80/100 hash
+    * split has members and non-members in both label classes. */
+  private def corpus(n: Int) = {
+    val s = spark; import s.implicits._
+    (1 to n).map { i =>
+      val en = i % 3 != 0
+      val txt =
+        if (en) s"the quick fox t$i jumps over the lazy dog"
+        else s"der schnelle fuchs f$i springt nicht weit"
+      (i.toLong, txt, if (en) "en" else "de", s"src${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("membershipInfer: grid-histogram AUC equals the brute-force pairwise midrank AUC") {
+    val docs = corpus(80)
+    val out = TextQueries.membershipInferOf(docs).collect()
+      .map(r => (r.getString(0), r)).toMap
+    // independent score replay via the scalar pieces, then an O(n²)
+    // pairwise midrank AUC at CELL granularity (the grid's tie unit)
+    val feats = TextQueries.lrFeatsOf(docs)
+    val bucket = expr(TextQueries.splitBucketOf("doc_id"))
+    val trainF = feats.filter(bucket < 80)
+    val nTrain = trainF.filter(col("slot") === TextQueries.LrSlots).count()
+    var w = TextQueries.lrZeroWeights(spark)
+    for (_ <- 0 until TextQueries.LrRounds)
+      w = TextQueries.logregSgdStep(w, trainF, nTrain).localCheckpoint()
+    val scored = feats.join(broadcast(w), "slot")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("w9") * col("num")).cast("double")
+        / (lit(1e9) * max("dl"))).as("m"))
+      .select((bucket < 80).as("member"),
+        graft.functions.Det.units(
+          (col("y") * 2 - 1).cast("double") * col("m"), 6).as("s6"))
+      .collect()
+      .map(r => (r.getBoolean(0), (r.getLong(1) + 1000000000L) / 1000))
+    val mem = scored.filter(_._1).map(_._2)
+    val non = scored.filterNot(_._1).map(_._2)
+    assert(mem.nonEmpty && non.nonEmpty)
+    var num2 = 0L
+    for (a <- mem; b <- non)
+      num2 += (if (a > b) 2L else if (a == b) 1L else 0L)
+    val expected = num2 * 1000000L / (2L * mem.length * non.length)
+    val all = out("all")
+    assert(all.getLong(1) == mem.length && all.getLong(2) == non.length)
+    assert(all.getLong(3) == expected)
+    // the label-class rows partition the corpus
+    assert(out("en").getLong(1) + out("other").getLong(1) == mem.length)
+    assert(out("en").getLong(2) + out("other").getLong(2) == non.length)
+  }
+
+  test("sourceAblation: the 'none' lane walks the scalar trainer trajectory bit-for-bit") {
+    val docs = corpus(60)
+    val featsAll = TextQueries.lrFeatsOf(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val (wAll, _) = TextQueries.ablationWeights(featsAll)
+    val none = wAll.filter(col("abl") === "none")
+      .collect()
+      .map(r => r.getAs[Number]("slot").longValue -> r.getAs[Long]("w9"))
+      .toMap
+    var w = TextQueries.lrZeroWeights(spark)
+    val feats = TextQueries.lrFeatsOf(docs)
+    for (_ <- 0 until TextQueries.LrRounds)
+      w = TextQueries.logregSgdStep(w, feats, docs.count()).localCheckpoint()
+    val scalar = w.collect()
+      .map(r => r.getAs[Number]("slot").longValue -> r.getAs[Long]("w9"))
+      .toMap
+    assert(none == scalar)
+  }
+
+  test("sourceAblation: control row is exactly zero; per-feed train counts are n minus the feed") {
+    val docs = corpus(60)
+    val rows = TextQueries.sourceAblationOf(docs).collect()
+    assert(rows.length == 5) // 4 feeds + 'none'
+    val byAbl = rows.map(r => r.getString(0) -> r).toMap
+    assert(byAbl("none").getLong(4) == 0L)  // delta_ppm
+    assert(byAbl("none").getLong(5) == 0L)  // margin_shift6
+    val cnt = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, c) <- cnt) {
+      assert(byAbl(src).getLong(1) == 60 - c) // n_train
+      assert(byAbl(src).getLong(2) == 60)     // n_eval: full corpus
+    }
+  }
+
+  test("gradTopk: step-0 stats match a direct recomputation of the zero-weight gradient") {
+    val docs = corpus(50)
+    val out = TextQueries.gradTopkOf(docs).collect().sortBy(_.getInt(0))
+    assert(out.length == TextQueries.LrRounds)
+    val feats = TextQueries.lrFeatsOf(docs)
+    val g = TextQueries.lrGrad(TextQueries.lrZeroWeights(spark), feats)
+      .collect().map(r => math.abs(r.getAs[Long]("g12")))
+    val l1 = g.sum
+    val top = g.sorted(Ordering[Long].reverse).take(TextQueries.GradTopK).sum
+    val r0 = out(0)
+    assert(r0.getLong(1) == l1)
+    assert(r0.getDouble(2) ==
+      math.floor(top.toDouble / l1 * 1e6 + 0.5) / 1e6)
+    assert(r0.getLong(4) == g.max)
+    // top-k of n slots always holds at least k/n of the L1 mass
+    out.foreach { r =>
+      assert(r.getDouble(2) >=
+        TextQueries.GradTopK.toDouble / (TextQueries.LrSlots + 1) - 1e-9)
+      assert(r.getDouble(2) <= 1.0)
+    }
+  }
+}
