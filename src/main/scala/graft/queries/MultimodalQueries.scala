@@ -846,12 +846,16 @@ object MultimodalQueries {
   /** The genuine demuxer: RIFF/WAVE validation, then a chunk WALK
     * (size-skipping unknown chunks with even padding) to locate fmt
     * and data; every failure class is its own row-level status. */
-  private[graft] def decodeWav(id: Long, payload: Array[Byte]): WavDecoded = {
-    def bad(status: String) =
-      WavDecoded(id, status, None, None, None, None)
-    if (payload.length < 12) bad("too_short")
-    else if (cc(payload, 0) != "RIFF") bad("bad_magic")
-    else if (cc(payload, 8) != "WAVE") bad("bad_wave")
+  /** RIFF/WAVE chunk walk shared by [[decodeWav]] and
+    * [[audioFrames]] (factored r14 when the frame-feature pass
+    * landed): Left(error status) or Right((dataOff, dataLen)) of a
+    * validated PCM-16 data chunk — junk chunks skipped, odd sizes
+    * even-padded, fmt validated before the data chunk is trusted. */
+  private[graft] def wavDataSpan(
+      payload: Array[Byte]): Either[String, (Int, Int)] = {
+    if (payload.length < 12) Left("too_short")
+    else if (cc(payload, 0) != "RIFF") Left("bad_magic")
+    else if (cc(payload, 8) != "WAVE") Left("bad_wave")
     else {
       var off = 12
       var fmtOk = false
@@ -872,10 +876,17 @@ object MultimodalQueries {
           case _ => off += 8 + size + (size & 1) // skip unknown, even-pad
         }
       }
-      if (status != null) bad(status)
-      else if (dataOff < 0) bad("no_data_chunk")
-      else if (!fmtOk) bad("no_fmt_chunk")
-      else {
+      if (status != null) Left(status)
+      else if (dataOff < 0) Left("no_data_chunk")
+      else if (!fmtOk) Left("no_fmt_chunk")
+      else Right((dataOff, dataLen))
+    }
+  }
+
+  private[graft] def decodeWav(id: Long, payload: Array[Byte]): WavDecoded =
+    wavDataSpan(payload) match {
+      case Left(status) => WavDecoded(id, status, None, None, None, None)
+      case Right((dataOff, dataLen)) =>
         var i = dataOff
         val end = dataOff + dataLen
         var sum = 0L; var mn = 65536; var mx = -65536; var n = 0L
@@ -889,9 +900,7 @@ object MultimodalQueries {
           i += 2
         }
         WavDecoded(id, "ok", Some(n), Some(mn), Some(mx), Some(sum))
-      }
     }
-  }
 
   /** The WAV "tape archive": one container per document with ≥ 1 whole
     * 16-bit sample of text bytes; `doc_id % 5 == 0` containers carry a
@@ -953,5 +962,140 @@ object MultimodalQueries {
                      "CAST(list_sum(s) AS DOUBLE) / n", 6)}
        |       END AS amp_mean
        |FROM sm
+       |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------- framed audio features (r14)
+
+  /** Frame length of the audio-feature pass (samples per short-time
+    * frame — the STFT hop of a real audio front-end). */
+  private[graft] val AfFrameLen = 256
+
+  case class WavFrames(media_id: Long, status: String,
+      n_frames: Option[Long], mcr_total: Option[Long],
+      v_sum: Option[Long], v_max: Option[Long], n_low: Option[Long])
+
+  /** Per-frame feature extraction over a decoded PCM-16 stream — the
+    * short-time analysis every audio pipeline runs before VAD /
+    * silence trimming. All features are EXACT integers so the DuckDB
+    * byte-algebra oracle reproduces them bit-for-bit:
+    *   - mean-crossing count per frame: sign changes of s·n − Σs
+    *     (crossings of the frame's own mean, compared as the integer
+    *     cross-product s_i·n vs Σs — no division, no float; the
+    *     classic zero-crossing rate is degenerate on this text-byte
+    *     corpus, whose samples are all positive);
+    *   - frame activity v = n·Σs² − (Σs)² (the variance numerator
+    *     ×n² — 0 for constant frames);
+    *   - low-activity frames: v·n_frames < Σv, i.e. strictly below
+    *     the stream's mean frame activity (exact rational compare).
+    * Long-range fence: v ≤ frameLen²·32768² ≈ 7.04e13, so v·n_frames
+    * stays under 2⁶³ while n_frames ≤ 1.3e5 (~12 min at 44.1 kHz per
+    * container) — far above any per-document payload here; longer
+    * streams would rescale v before the compare. */
+  private[graft] def audioFrames(id: Long, payload: Array[Byte]): WavFrames =
+    wavDataSpan(payload) match {
+      case Left(status) => WavFrames(id, status, None, None, None, None, None)
+      case Right((dataOff, dataLen)) =>
+        val nS = dataLen / 2
+        val samples = new Array[Int](nS)
+        var i = 0
+        while (i < nS) {
+          val o = dataOff + 2 * i
+          val raw = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+          samples(i) = if (raw >= 32768) raw - 65536 else raw
+          i += 1
+        }
+        val nF = (nS + AfFrameLen - 1) / AfFrameLen
+        val vs = new Array[Long](nF)
+        var mcr = 0L; var vSum = 0L; var vMax = 0L
+        var f = 0
+        while (f < nF) {
+          val st = f * AfFrameLen
+          val en = math.min(st + AfFrameLen, nS)
+          val fn = (en - st).toLong
+          var s = 0L; var sq = 0L
+          var j = st
+          while (j < en) {
+            s += samples(j); sq += samples(j).toLong * samples(j); j += 1
+          }
+          val v = fn * sq - s * s
+          vs(f) = v; vSum += v; if (v > vMax) vMax = v
+          j = st + 1
+          while (j < en) {
+            if ((samples(j).toLong * fn > s) != (samples(j - 1).toLong * fn > s))
+              mcr += 1
+            j += 1
+          }
+          f += 1
+        }
+        var nLow = 0L
+        f = 0
+        while (f < nF) { if (vs(f) * nF < vSum) nLow += 1; f += 1 }
+        WavFrames(id, "ok", Some(nF), Some(mcr), Some(vSum), Some(vMax),
+          Some(nLow))
+    }
+
+  /** FRAMED AUDIO FEATURES over the WAV tape archive — plan shape
+    * identical to [[wavDecode]] (one `mapPartitions` decode pass, no
+    * sample rows ever materialized in the plan: the per-frame math
+    * happens inside the decoder, so the engine moves one ROW per
+    * container, not one per sample — the shape that survives 100 TB
+    * of audio). The oracle re-derives every frame stat from text-byte
+    * algebra with an explicit sample explode + frame window, checking
+    * the decoder's framing, mean-crossing and activity math exactly. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    wavContainers(spark, dir)
+      .mapPartitions(it => it.map(r => audioFrames(r.media_id, r.payload)))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val audioFeaturesSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS idx,
+       |         CAST(ascii(substr(text, CAST(2 * u.i + 1 AS INTEGER), 1))
+       |            + 256 * ascii(substr(text, CAST(2 * u.i + 2 AS INTEGER), 1))
+       |              AS BIGINT) AS sv
+       |  FROM documents,
+       |       unnest(range(CAST(strlen(text) // 2 AS BIGINT))) AS u(i)
+       |  WHERE strlen(text) >= 2 AND doc_id % 11 <> 0),
+       |fr AS (SELECT media_id, idx // $AfFrameLen AS f, idx, sv FROM ex),
+       |fs AS (SELECT media_id, f, count(*) AS fn,
+       |              CAST(sum(sv) AS BIGINT) AS fsum,
+       |              CAST(sum(sv * sv) AS BIGINT) AS fsq
+       |       FROM fr GROUP BY 1, 2),
+       |cr0 AS (SELECT media_id, f, sv,
+       |          lag(sv) OVER (PARTITION BY media_id, f ORDER BY idx) AS pv
+       |        FROM fr),
+       |mc AS (SELECT c.media_id,
+       |         CAST(sum(CASE WHEN c.pv IS NOT NULL
+       |              AND ((c.sv * s.fn > s.fsum) <> (c.pv * s.fn > s.fsum))
+       |              THEN 1 ELSE 0 END) AS BIGINT) AS mcr_total
+       |       FROM cr0 c JOIN fs s USING (media_id, f) GROUP BY 1),
+       |fv AS (SELECT media_id, f, fn * fsq - fsum * fsum AS v FROM fs),
+       |mt AS (SELECT media_id, count(*) AS n_frames,
+       |              CAST(sum(v) AS BIGINT) AS v_sum,
+       |              CAST(max(v) AS BIGINT) AS v_max
+       |       FROM fv GROUP BY 1),
+       |lowc AS (SELECT fv.media_id,
+       |           CAST(sum(CASE WHEN fv.v * mt.n_frames < mt.v_sum
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+       |         FROM fv JOIN mt USING (media_id) GROUP BY 1),
+       |lanes AS (
+       |  SELECT doc_id AS media_id, doc_id % 11 = 0 AS corrupt
+       |  FROM documents WHERE strlen(text) >= 2)
+       |SELECT l.media_id,
+       |       CASE WHEN l.corrupt THEN 'bad_magic' ELSE 'ok' END AS status,
+       |       CASE WHEN l.corrupt THEN NULL
+       |            ELSE CAST(mt.n_frames AS BIGINT) END AS n_frames,
+       |       CASE WHEN l.corrupt THEN NULL ELSE mc.mcr_total END AS mcr_total,
+       |       CASE WHEN l.corrupt THEN NULL ELSE mt.v_sum END AS v_sum,
+       |       CASE WHEN l.corrupt THEN NULL ELSE mt.v_max END AS v_max,
+       |       CASE WHEN l.corrupt THEN NULL ELSE lowc.n_low END AS n_low
+       |FROM lanes l
+       |LEFT JOIN mt USING (media_id)
+       |LEFT JOIN mc USING (media_id)
+       |LEFT JOIN lowc USING (media_id)
        |ORDER BY media_id""".stripMargin
 }

@@ -93,6 +93,39 @@ class Round14bSpec extends SparkSpec {
     }
   }
 
+  test("audioFrames: hand-computed frame stats, partial frames, and error lanes") {
+    import graft.queries.MultimodalQueries
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val u = if (s < 0) s + 65536 else s
+        data(2 * i) = (u & 0xff).toByte
+        data(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      }
+      MultimodalQueries.buildWav(data, withJunk = false)
+    }
+    // one partial frame: n=5, Σs=25, Σs²=211 → v=5·211−625=430;
+    // crossings of s·5 vs 25: F,T,F,T,F → 4
+    val one = MultimodalQueries.audioFrames(1L, wavOf(Seq(1, 10, 1, 10, 3)))
+    assert(one.status == "ok" && one.n_frames.contains(1L)
+      && one.mcr_total.contains(4L) && one.v_sum.contains(430L)
+      && one.v_max.contains(430L) && one.n_low.contains(0L))
+    // full constant frame (v=0, no crossings) + 4-sample tail frame
+    // (v=4·20000−200²=40000, crossings F,T,F,T → 3); the constant
+    // frame is the one strictly below the mean activity
+    val two = MultimodalQueries.audioFrames(2L,
+      wavOf(Seq.fill(256)(7) ++ Seq(0, 100, 0, 100)))
+    assert(two.status == "ok" && two.n_frames.contains(2L)
+      && two.mcr_total.contains(3L) && two.v_sum.contains(40000L)
+      && two.v_max.contains(40000L) && two.n_low.contains(1L))
+    // negative samples: mean 0, v=4·400, crossings F,T,F,T → 3
+    val neg = MultimodalQueries.audioFrames(3L, wavOf(Seq(-10, 10, -10, 10)))
+    assert(neg.mcr_total.contains(3L) && neg.v_sum.contains(1600L))
+    val bad = wavOf(Seq(1, 2, 3)); bad(0) = 'X'.toByte
+    val lane = MultimodalQueries.audioFrames(4L, bad)
+    assert(lane.status == "bad_magic" && lane.n_frames.isEmpty)
+  }
+
   test("gradTopk: step-0 stats match a direct recomputation of the zero-weight gradient") {
     val docs = corpus(50)
     val out = TextQueries.gradTopkOf(docs).collect().sortBy(_.getInt(0))
