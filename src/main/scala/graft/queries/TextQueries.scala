@@ -10103,6 +10103,89 @@ object TextQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  // ----------------------------------------------- self-BLEU (r14)
+
+  /** SELF-BLEU diversity audit (Zhu et al., SIGIR 2018 — the Texygen
+    * corpus-diversity metric): per document, the clipped n-gram
+    * precision against the REST of the corpus — unigram and bigram
+    * tiers, combined by the BLEU geometric mean. A doc whose grams
+    * all recur elsewhere scores near 1 (the corpus is repetitive /
+    * mode-collapsed); novel-vocabulary docs score near 0. Training
+    * pipelines track the corpus mean and flag the top tail before
+    * augmenting with generated data.
+    *
+    * Leave-one-out without a pairwise loop: the reference count for a
+    * doc's gram is the corpus total MINUS the doc's own count
+    * (exactly the "all other documents" reference), so the whole
+    * metric is two gram-keyed joins against vocabulary-sized total
+    * tables — corpus-linear, no doc×doc pair ever forms.
+    *
+    * Determinism: clipped counts are exact integers; the precisions
+    * divide two exact longs (identical IEEE division), the geometric
+    * mean is one multiply + one correctly-rounded sqrt, then a 6dp
+    * fence — no ln/exp anywhere. Docs with fewer than 2 tokens have
+    * no bigram tier and are excluded (none exist in this corpus). */
+  def selfBleu(spark: SparkSession, dir: String): DataFrame =
+    selfBleuOf(Tables(spark, dir, "documents"))
+
+  private[graft] def selfBleuOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("ts"))
+    def grams(n: Int): DataFrame =
+      if (n == 1) toks.select(col("doc_id"), explode(col("ts")).as("g"))
+      else toks.filter(size(col("ts")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(ts) - $n)," +
+            s" i -> concat_ws(' ', slice(ts, i + 1, $n)))")).as("g"))
+    def prec(n: Int): DataFrame = {
+      val dg = grams(n).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val tot = dg.groupBy("g").agg(sum("c").as("ct"))
+      dg.join(tot, "g")
+        .groupBy("doc_id")
+        .agg(sum("c").as(s"n$n"),
+          sum(least(col("c"), col("ct") - col("c"))).as(s"clip$n"))
+    }
+    prec(1).join(prec(2), "doc_id")
+      .select(col("doc_id"), col("n1").as("n_unigrams"), col("n2").as("n_bigrams"),
+        Det.rnd(col("clip1").cast("double") / col("n1"), 4).as("p1"),
+        Det.rnd(col("clip2").cast("double") / col("n2"), 4).as("p2"),
+        Det.rnd(sqrt((col("clip1").cast("double") / col("n1"))
+          * (col("clip2").cast("double") / col("n2"))), 6).as("self_bleu"))
+      .orderBy("doc_id")
+  }
+
+  val selfBleuSql: String = {
+    import graft.functions.Det
+    s"""WITH tk AS (SELECT doc_id,
+       |              string_split_regex(trim(text), '\\s+') AS ts
+       |            FROM documents),
+       |u AS (SELECT doc_id, unnest(ts) AS g FROM tk),
+       |b AS (SELECT doc_id,
+       |        unnest(list_transform(range(len(ts) - 1),
+       |          i -> ts[CAST(i + 1 AS INTEGER)] || ' '
+       |             || ts[CAST(i + 2 AS INTEGER)])) AS g
+       |      FROM tk WHERE len(ts) >= 2),
+       |du AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+       |tu AS (SELECT g, CAST(sum(c) AS BIGINT) AS ct FROM du GROUP BY 1),
+       |pu AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n1,
+       |         CAST(sum(least(d.c, t.ct - d.c)) AS BIGINT) AS clip1
+       |       FROM du d JOIN tu t USING (g) GROUP BY 1),
+       |db AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+       |tb AS (SELECT g, CAST(sum(c) AS BIGINT) AS ct FROM db GROUP BY 1),
+       |pb AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n2,
+       |         CAST(sum(least(d.c, t.ct - d.c)) AS BIGINT) AS clip2
+       |       FROM db d JOIN tb t USING (g) GROUP BY 1)
+       |SELECT pu.doc_id, pu.n1 AS n_unigrams, pb.n2 AS n_bigrams,
+       |       ${Det.rndSql("CAST(clip1 AS DOUBLE) / n1", 4)} AS p1,
+       |       ${Det.rndSql("CAST(clip2 AS DOUBLE) / n2", 4)} AS p2,
+       |       ${Det.rndSql(
+      "sqrt((CAST(clip1 AS DOUBLE) / n1) * (CAST(clip2 AS DOUBLE) / n2))",
+      6)} AS self_bleu
+       |FROM pu JOIN pb USING (doc_id)
+       |ORDER BY pu.doc_id""".stripMargin
+  }
+
   // ----------------------------------------- membership inference (r14)
 
   /** MEMBERSHIP-INFERENCE AUDIT (Yeom et al., CSF 2018 — the

@@ -93,6 +93,26 @@ class Round14bSpec extends SparkSpec {
     }
   }
 
+  test("selfBleu: hand-computed leave-one-out clipped precisions") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.selfBleuOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // d1: uni a:2,b:1 vs rest a:1,b:1 → clip 2/3; bi "a b" recurs,
+    // "b a" is unique → clip 1/2; geometric mean sqrt(1/3)
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 3 && d1.getLong(2) == 2)
+    assert(d1.getDouble(3) == 0.6667 && d1.getDouble(4) == 0.5)
+    assert(d1.getDouble(5) == math.floor(math.sqrt(1.0 / 3) * 1e6 + 0.5) / 1e6)
+    // d2 mirrors d1's counts exactly
+    assert(out(2L).getDouble(5) == d1.getDouble(5))
+    // d3 shares nothing with the rest → 0 on every tier
+    val d3 = out(3L)
+    assert(d3.getDouble(3) == 0.0 && d3.getDouble(4) == 0.0
+      && d3.getDouble(5) == 0.0)
+  }
+
   test("audioFrames: hand-computed frame stats, partial frames, and error lanes") {
     import graft.queries.MultimodalQueries
     def wavOf(samples: Seq[Int]): Array[Byte] = {
