@@ -6250,4 +6250,150 @@ object SimilarityQueries {
        |         AS participation_ratio
        |FROM c""".stripMargin
   }
+
+  // ------------------------------------------- Borůvka MST (r14)
+
+  /** Borůvka rounds — components at least halve per round, so 6
+    * rounds contract up to 64× (the kNN graph's components are far
+    * shallower in practice; PERF.md records the observed convergence). */
+  private[graft] val BvRounds = 6
+
+  /** The WEIGHTED oriented-undirected kNN edge trunk (u < v, exact
+    * 1e-6-unit cosine weight, direction-duplicates collapsed by max) —
+    * the third adjacency trunk shape, for weight-consuming readers. */
+  private def undWeightedScratch(spark: SparkSession, dir: String): DataFrame =
+    Tables.pinKeyed(spark, "undw", dir) {
+      knnEdgesScratch(spark, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"),
+          graft.functions.Det.units(col("cos"), 6).as("cos6"))
+        .groupBy("u", "v").agg(max("cos6").as("cos6"))
+    }
+
+  /** MAXIMUM-SIMILARITY SPANNING FOREST by Borůvka rounds (Borůvka
+    * 1926; the textbook PARALLEL MST algorithm — Chung & Condon,
+    * IPPS 1996): per round every component selects its best outgoing
+    * edge (highest cosine, deterministic tie-break), the selected
+    * pseudo-forest contracts, and components at least halve — O(log V)
+    * rounds total, each round a constant number of joins and
+    * aggregations over the edge trunk. The MST of the similarity
+    * graph is the single-linkage dendrogram backbone a curation
+    * pipeline cuts into hierarchical semantic clusters.
+    *
+    * Determinism: weights are exact 1e-6-unit cosines; per-component
+    * argmin is two exact aggregations (min weight, then min packed
+    * edge id u·2³¹+v — ids < 2³¹); contraction labels come from the
+    * audited min-label fixpoint ([[DedupQueries.components]] on the
+    * Spark side, the same recursive-closure min the dedup oracles use
+    * on the DuckDB side) — label choice is the component MINIMUM, so
+    * both engines agree exactly.
+    *
+    * Scale shape: rides the kNN edge trunk (ONE pinned weighted und
+    * relation, re-read per round); each round is edge ⋈ label joins +
+    * component-keyed aggregations; the contraction fixpoint runs on
+    * the COMPONENT graph (≤ components rows, shrinking
+    * geometrically), never corpus rows. Per-round output proves the
+    * forest invariant n_before − n_after = edges_added. */
+  def mstBoruvka(spark: SparkSession, dir: String): DataFrame =
+    mstRoundsOnUnd(undWeightedScratch(spark, dir))
+
+  private[graft] def mstRoundsOnUnd(und: DataFrame): DataFrame = {
+    val nodes = und.select(col("u").as("v0"))
+      .unionAll(und.select(col("v").as("v0"))).distinct()
+    val pc = new graft.Tables.PinChain("mst-comp")
+    var comp = pc.next(nodes.select(col("v0").as("vid"), col("v0").as("c")))
+    val stats = (1 to BvRounds).map { r =>
+      val eb = und
+        .join(comp.select(col("vid").as("u"), col("c").as("cu")), "u")
+        .join(comp.select(col("vid").as("v"), col("c").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+        .select(col("u"), col("v"), col("cos6"), col("cu"), col("cv"),
+          expr("u * 2147483648L + v").as("pk"))
+      val ec = pc.next(
+        eb.select(col("cu").as("c"), col("cv").as("nc"),
+            (-col("cos6")).as("w"), col("pk"), col("u"), col("v"), col("cos6"))
+          .unionAll(eb.select(col("cv").as("c"), col("cu").as("nc"),
+            (-col("cos6")).as("w"), col("pk"), col("u"), col("v"), col("cos6"))))
+      val s1 = ec.groupBy(col("c").as("c1")).agg(min("w").as("mw"))
+      val s2 = ec.join(s1, col("c") === col("c1") && col("w") === col("mw"))
+        .groupBy(col("c1").as("c2")).agg(min("pk").as("mpk"))
+      val sel = pc.next(
+        ec.join(s2, col("c") === col("c2") && col("pk") === col("mpk"))
+          .select("c", "nc", "u", "v", "cos6"))
+      val se = sel.select("u", "v", "cos6").distinct()
+      val lbl = DedupQueries.components(
+        sel.select(col("c").as("d1"), col("nc").as("d2")))
+      val nb = comp.agg(countDistinct("c").as("n_comp_before"))
+      comp = pc.next(comp.join(lbl, comp("c") === lbl("doc"), "left")
+        .select(col("vid"), coalesce(col("root"), col("c")).as("c")))
+      val na = comp.agg(countDistinct("c").as("n_comp_after"))
+      val es = se.agg(count(lit(1)).as("n_edges_added"),
+        coalesce(sum("cos6"), lit(0L)).as("sim6_added"))
+      nb.crossJoin(broadcast(na)).crossJoin(broadcast(es))
+        .select(lit(r).as("round"), col("n_comp_before"),
+          col("n_comp_after"), col("n_edges_added"), col("sim6_added"))
+        .localCheckpoint() // 1 row
+    }
+    stats.reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** DuckDB twin: the identical [[BvRounds]] rounds over the shared
+    * kNN-graph pipeline — per round the same two-step argmin, the
+    * recursive-closure min-label contraction (the [[DedupQueries]]
+    * oracle pattern), and the same forest stats. */
+  lazy val mstBoruvkaSql: String = {
+    import graft.functions.Det
+    val rounds = (1 to BvRounds).map { r =>
+      val prev = if (r == 1) "cmp0" else s"cmp${r - 1}"
+      s"""eb$r AS (
+         |  SELECT c1.c AS cu, c2.c AS cv, e.u, e.v, e.cos6,
+         |         e.u * 2147483648 + e.v AS pk
+         |  FROM und e JOIN $prev c1 ON c1.vid = e.u
+         |             JOIN $prev c2 ON c2.vid = e.v
+         |  WHERE c1.c <> c2.c),
+         |ec$r AS MATERIALIZED (SELECT cu AS c, cv AS nc, -cos6 AS w, pk, u, v, cos6 FROM eb$r
+         |         UNION ALL
+         |         SELECT cv, cu, -cos6, pk, u, v, cos6 FROM eb$r),
+         |s1x$r AS (SELECT c, min(w) AS mw FROM ec$r GROUP BY 1),
+         |s2x$r AS (SELECT e.c, min(e.pk) AS mpk
+         |          FROM ec$r e JOIN s1x$r s ON s.c = e.c AND e.w = s.mw
+         |          GROUP BY 1),
+         |sel$r AS MATERIALIZED (SELECT e.c, e.nc, e.u, e.v, e.cos6
+         |          FROM ec$r e JOIN s2x$r s ON s.c = e.c AND e.pk = s.mpk),
+         |se$r AS MATERIALIZED (SELECT DISTINCT u, v, cos6 FROM sel$r),
+         |ce$r AS (SELECT c AS a, nc AS b FROM sel$r
+         |         UNION SELECT nc, c FROM sel$r),
+         |tc$r AS (
+         |  SELECT a, b FROM ce$r
+         |  UNION
+         |  SELECT tc$r.a, ce$r.b FROM tc$r JOIN ce$r ON tc$r.b = ce$r.a
+         |  WHERE tc$r.a <> ce$r.b),
+         |rt$r AS (SELECT a AS c, least(a, min(b)) AS root FROM tc$r GROUP BY 1),
+         |cmp$r AS MATERIALIZED (SELECT m.vid, coalesce(rx.root, m.c) AS c
+         |          FROM $prev m LEFT JOIN rt$r rx ON rx.c = m.c),
+         |st$r AS (SELECT $r AS round,
+         |           (SELECT count(DISTINCT c) FROM $prev) AS n_comp_before,
+         |           (SELECT count(DISTINCT c) FROM cmp$r) AS n_comp_after,
+         |           (SELECT count(*) FROM se$r) AS n_edges_added,
+         |           (SELECT coalesce(sum(cos6), 0) FROM se$r) AS sim6_added)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BvRounds).map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $knnGraphRankedCte,
+       |kc AS (SELECT src, dst, ${Det.unitsSql("round(cos, 6)", 6)} AS cos6
+       |       FROM r WHERE rank <= 5),
+       |und AS MATERIALIZED (
+       |  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+       |         CAST(max(cos6) AS BIGINT) AS cos6
+       |  FROM kc GROUP BY 1, 2),
+       |cmp0 AS (SELECT vid, vid AS c FROM
+       |           (SELECT u AS vid FROM und UNION SELECT v FROM und)),
+       |$rounds
+       |SELECT CAST(round AS INTEGER) AS round,
+       |       CAST(n_comp_before AS BIGINT) AS n_comp_before,
+       |       CAST(n_comp_after AS BIGINT) AS n_comp_after,
+       |       CAST(n_edges_added AS BIGINT) AS n_edges_added,
+       |       CAST(sim6_added AS BIGINT) AS sim6_added
+       |FROM ($out)
+       |ORDER BY round""".stripMargin
+  }
 }

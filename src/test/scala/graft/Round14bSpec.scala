@@ -93,6 +93,28 @@ class Round14bSpec extends SparkSpec {
     }
   }
 
+  test("mstBoruvka: hand-computed rounds on a weighted square + the forest invariant") {
+    val s = spark; import s.implicits._
+    // square 1-2-3-4 with a diagonal; max-similarity spanning tree
+    // picks 90+85+80 and skips 70/60
+    val und = Seq((1L, 2L, 90L), (2L, 3L, 80L), (3L, 4L, 85L),
+      (1L, 4L, 70L), (1L, 3L, 60L)).toDF("u", "v", "cos6")
+    val out = graft.queries.SimilarityQueries.mstRoundsOnUnd(und)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val r1 = out(1)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 2
+      && r1.getLong(3) == 2 && r1.getLong(4) == 175) // (1,2,90)+(3,4,85)
+    val r2 = out(2)
+    assert(r2.getLong(1) == 2 && r2.getLong(2) == 1
+      && r2.getLong(3) == 1 && r2.getLong(4) == 80)  // (2,3,80) bridges
+    (3 to 6).foreach { r =>
+      assert(out(r).getLong(3) == 0 && out(r).getLong(4) == 0)
+    }
+    // forest invariant: components merged == edges added, every round
+    out.values.foreach(r =>
+      assert(r.getLong(1) - r.getLong(2) == r.getLong(3)))
+  }
+
   test("selfBleu: hand-computed leave-one-out clipped precisions") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "a b a"), (2L, "a b c"), (3L, "x y"))
