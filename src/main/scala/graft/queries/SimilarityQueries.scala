@@ -6282,11 +6282,14 @@ object SimilarityQueries {
     *
     * Determinism: weights are exact 1e-6-unit cosines; per-component
     * argmin is two exact aggregations (min weight, then min packed
-    * edge id u·2³¹+v — ids < 2³¹); contraction labels come from the
-    * audited min-label fixpoint ([[DedupQueries.components]] on the
-    * Spark side, the same recursive-closure min the dedup oracles use
-    * on the DuckDB side) — label choice is the component MINIMUM, so
-    * both engines agree exactly.
+    * edge id u·2³¹+v — ids < 2³¹); contraction exploits the
+    * pseudo-forest structure of the selected edges (out-degree 1, one
+    * mutual 2-cycle per tree): hooking each component to its selected
+    * neighbor with the 2-cycle broken at the min yields a rooted
+    * forest whose root — the mutual pair's minimum — is the new
+    * label, identical on both engines regardless of how each walks to
+    * it (Spark pointer-doubles, the oracle's recursive CTE
+    * single-steps; only the fixpoint is consumed).
     *
     * Scale shape: rides the kNN edge trunk (ONE pinned weighted und
     * relation, re-read per round); each round is edge ⋈ label joins +
@@ -6298,49 +6301,97 @@ object SimilarityQueries {
     mstRoundsOnUnd(undWeightedScratch(spark, dir))
 
   private[graft] def mstRoundsOnUnd(und: DataFrame): DataFrame = {
-    val nodes = und.select(col("u").as("v0"))
-      .unionAll(und.select(col("v").as("v0"))).distinct()
-    val pc = new graft.Tables.PinChain("mst-comp")
-    var comp = pc.next(nodes.select(col("v0").as("vid"), col("v0").as("c")))
+    val spark = und.sparkSession
+    import spark.implicits._
+    val pc = new graft.Tables.PinChain("mst")
+    // round state = the LIVE edge list (still crossing components, with
+    // endpoints relabeled to component ids) — it SHRINKS geometrically
+    // as trees contract, unlike a node→label table which stays
+    // node-sized all the way down. Each piece of state crosses a
+    // durable pin barrier (the sssp/pageRank round-state discipline;
+    // localCheckpoint chains measured ~3× slower per round here).
+    var live = pc.next(und.select(
+      col("u").as("cu"), col("v").as("cv"), col("cos6"),
+      expr("u * 2147483648L + v").as("pk")))
+    var nbVal = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x"))).distinct().count()
     val stats = (1 to BvRounds).map { r =>
-      val eb = und
-        .join(comp.select(col("vid").as("u"), col("c").as("cu")), "u")
-        .join(comp.select(col("vid").as("v"), col("c").as("cv")), "v")
-        .filter(col("cu") =!= col("cv"))
-        .select(col("u"), col("v"), col("cos6"), col("cu"), col("cv"),
-          expr("u * 2147483648L + v").as("pk"))
-      val ec = pc.next(
-        eb.select(col("cu").as("c"), col("cv").as("nc"),
-            (-col("cos6")).as("w"), col("pk"), col("u"), col("v"), col("cos6"))
-          .unionAll(eb.select(col("cv").as("c"), col("cu").as("nc"),
-            (-col("cos6")).as("w"), col("pk"), col("u"), col("v"), col("cos6"))))
-      val s1 = ec.groupBy(col("c").as("c1")).agg(min("w").as("mw"))
-      val s2 = ec.join(s1, col("c") === col("c1") && col("w") === col("mw"))
-        .groupBy(col("c1").as("c2")).agg(min("pk").as("mpk"))
-      val sel = pc.next(
-        ec.join(s2, col("c") === col("c2") && col("pk") === col("mpk"))
-          .select("c", "nc", "u", "v", "cos6"))
-      val se = sel.select("u", "v", "cos6").distinct()
-      val lbl = DedupQueries.components(
-        sel.select(col("c").as("d1"), col("nc").as("d2")))
-      val nb = comp.agg(countDistinct("c").as("n_comp_before"))
-      comp = pc.next(comp.join(lbl, comp("c") === lbl("doc"), "left")
-        .select(col("vid"), coalesce(col("root"), col("c")).as("c")))
-      val na = comp.agg(countDistinct("c").as("n_comp_after"))
-      val es = se.agg(count(lit(1)).as("n_edges_added"),
-        coalesce(sum("cos6"), lit(0L)).as("sim6_added"))
-      nb.crossJoin(broadcast(na)).crossJoin(broadcast(es))
-        .select(lit(r).as("round"), col("n_comp_before"),
-          col("n_comp_after"), col("n_edges_added"), col("sim6_added"))
-        .localCheckpoint() // 1 row
+      // converged graphs short-circuit: no cross edge → nothing merges;
+      // the emitted row is exactly what the full path would compute
+      if (live.isEmpty) (r, nbVal, nbVal, 0L, 0L)
+      else {
+        val ec = live.select(col("cu").as("c"), col("cv").as("nc"),
+            (-col("cos6")).as("w"), col("pk"))
+          .unionAll(live.select(col("cv").as("c"), col("cu").as("nc"),
+            (-col("cos6")).as("w"), col("pk")))
+        val s1 = ec.groupBy(col("c").as("c1")).agg(min("w").as("mw"))
+        val s2 = ec.join(s1, col("c") === col("c1") && col("w") === col("mw"))
+          .groupBy(col("c1").as("c2")).agg(min("pk").as("mpk"))
+        val sel = pc.next(
+          ec.join(s2, col("c") === col("c2") && col("pk") === col("mpk"))
+            .select("c", "nc", "pk", "w")) // exactly one row per component
+        val added = sel.select(col("pk"), (-col("w")).as("cos6")).distinct()
+          .agg(count(lit(1)), coalesce(sum("cos6"), lit(0L)))
+          .as[(Long, Long)].head()
+        // contraction exploits the selected graph's PSEUDO-FOREST
+        // structure (out-degree 1, one mutual 2-cycle per tree): hook
+        // each component to its selected neighbor with the 2-cycle
+        // broken at the min — a rooted forest — then pointer-DOUBLE to
+        // the roots in O(log depth) pinned iterations; the chg column
+        // makes convergence one columnar count on the fresh pin
+        val p0 = sel.select("c", "nc")
+        val hk = p0.as("x").join(p0.as("y"), col("x.nc") === col("y.c"))
+          .select(col("x.c").as("c"),
+            when(col("y.nc") === col("x.c") && col("x.nc") > col("x.c"),
+              col("x.c")).otherwise(col("x.nc")).as("p"))
+        // seed the walk at p² — the hook and one composition share a
+        // single pinned job over the freshly pinned sel
+        var m = pc.next(hk.as("g").join(hk.as("h"), col("g.p") === col("h.c"), "left")
+          .select(col("g.c").as("c"), coalesce(col("h.p"), col("g.p")).as("p")))
+        var changed = 1L
+        while (changed > 0) {
+          // QUADRUPLE per pinned step (m∘m∘m∘m — three self-joins in
+          // one job): the fixed pin overhead dominates at this state
+          // size, so fewer, denser jumps beat classic doubling
+          val q1 = m.as("a").join(m.as("b"), col("a.p") === col("b.c"), "left")
+            .select(col("a.c").as("c"),
+              coalesce(col("b.p"), col("a.p")).as("p"))
+          val m2 = pc.next(
+            q1.as("e").join(q1.as("f"), col("e.p") === col("f.c"), "left")
+              .select(col("e.c").as("c"),
+                coalesce(col("f.p"), col("e.p")).as("p"))
+              .join(m.select(col("c").as("oc"), col("p").as("op")),
+                col("c") === col("oc"))
+              .select(col("c"), col("p"), (col("p") =!= col("op")).as("chg")))
+          changed = m2.filter(col("chg")).count()
+          m = m2.select("c", "p")
+        }
+        // relabel surviving edges; intra-tree edges drop out for good.
+        // Every live endpoint has ≥1 cross edge, hence a selected edge,
+        // hence a row in m — the inner joins are total.
+        live = pc.next(live
+          .join(m.select(col("c").as("cu"), col("p").as("cu2")), "cu")
+          .join(m.select(col("c").as("cv"), col("p").as("cv2")), "cv")
+          .filter(col("cu2") =!= col("cv2"))
+          .select(col("cu2").as("cu"), col("cv2").as("cv"),
+            col("cos6"), col("pk")))
+        // forest property: each contracted tree of k components adds
+        // exactly k−1 distinct edges, so components drop by edges added
+        // (the oracle derives n_comp_after independently by counting)
+        val naVal = nbVal - added._1
+        val row = (r, nbVal, naVal, added._1, added._2)
+        nbVal = naVal
+        row
+      }
     }
-    stats.reduce(_ unionAll _).orderBy("round")
+    stats.toDF("round", "n_comp_before", "n_comp_after",
+      "n_edges_added", "sim6_added").orderBy("round")
   }
 
   /** DuckDB twin: the identical [[BvRounds]] rounds over the shared
     * kNN-graph pipeline — per round the same two-step argmin, the
-    * recursive-closure min-label contraction (the [[DedupQueries]]
-    * oracle pattern), and the same forest stats. */
+    * same hook-to-selected-neighbor contraction (roots reached by a
+    * recursive single-step walk), and the same forest stats. */
   lazy val mstBoruvkaSql: String = {
     import graft.functions.Det
     val rounds = (1 to BvRounds).map { r =>
@@ -6361,14 +6412,16 @@ object SimilarityQueries {
          |sel$r AS MATERIALIZED (SELECT e.c, e.nc, e.u, e.v, e.cos6
          |          FROM ec$r e JOIN s2x$r s ON s.c = e.c AND e.pk = s.mpk),
          |se$r AS MATERIALIZED (SELECT DISTINCT u, v, cos6 FROM sel$r),
-         |ce$r AS (SELECT c AS a, nc AS b FROM sel$r
-         |         UNION SELECT nc, c FROM sel$r),
-         |tc$r AS (
-         |  SELECT a, b FROM ce$r
+         |hk$r AS MATERIALIZED (
+         |  SELECT x.c,
+         |         CASE WHEN y.nc = x.c AND x.nc > x.c THEN x.c ELSE x.nc END AS p
+         |  FROM sel$r x JOIN sel$r y ON y.c = x.nc),
+         |wk$r AS (
+         |  SELECT c, p FROM hk$r
          |  UNION
-         |  SELECT tc$r.a, ce$r.b FROM tc$r JOIN ce$r ON tc$r.b = ce$r.a
-         |  WHERE tc$r.a <> ce$r.b),
-         |rt$r AS (SELECT a AS c, least(a, min(b)) AS root FROM tc$r GROUP BY 1),
+         |  SELECT wk$r.c, h.p FROM wk$r JOIN hk$r h ON h.c = wk$r.p),
+         |rt$r AS (SELECT w.c, w.p AS root
+         |         FROM wk$r w JOIN hk$r h ON h.c = w.p AND h.p = w.p),
          |cmp$r AS MATERIALIZED (SELECT m.vid, coalesce(rx.root, m.c) AS c
          |          FROM $prev m LEFT JOIN rt$r rx ON rx.c = m.c),
          |st$r AS (SELECT $r AS round,

@@ -10343,10 +10343,13 @@ object TextQueries {
     val abls = featsAll.select(col("source").as("abl")).distinct()
       .unionByName(spark.sql("SELECT 'none' AS abl"))
       .localCheckpoint() // feed enum + control: #feeds+1 rows
+    // the 21× replication is NOT pinned: each reader re-derives it from
+    // the pinned base with one 21-row broadcast BNLJ — a columnar
+    // re-scan plus a codegen'd filter beats writing 21× the corpus to
+    // scratch (measured: the pin write dominated the query's first cut)
     val featsRep = featsAll.join(broadcast(abls),
         col("abl") === "none" || col("source") =!= col("abl"))
       .drop("source")
-      .transform(graft.Tables.scratchPin(_, "ablate-featsrep")) // 21× corpus, read 2·LrRounds times
     val nab = featsRep.filter(col("slot") === LrSlots)
       .groupBy("abl").agg(count(lit(1)).as("n_train"))
       .localCheckpoint() // 21 rows
@@ -10385,7 +10388,7 @@ object TextQueries {
           / (lit(1e9) * max("dl"))).as("m"))
       .select(col("abl"), col("doc_id"), col("y"), col("mnum"),
         Det.units(col("m"), 6).as("m6"))
-      .transform(graft.Tables.scratchPin(_, "ablate-margins")) // 21× corpus, read twice
+      .localCheckpoint() // (#feeds+1)·docs margin rows, read twice
     // the 'none' lane's margins, re-keyed for the per-doc shift join
     val base = me.filter(col("abl") === "none")
       .select(col("doc_id"), col("m6").as("m6n"))
