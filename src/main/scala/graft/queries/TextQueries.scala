@@ -10465,6 +10465,85 @@ object TextQueries {
        |ORDER BY ablated""".stripMargin
   }
 
+  // ------------------------------------- DP-SGD accounting (r14)
+
+  private[graft] val DpSigmas = Seq(0.5, 1.0, 2.0, 4.0)
+  // fine-tuning-scale step grid: small enough that the α* minimizer
+  // 1 + √(2σ²·ln(1/δ)/T) moves across the grid instead of pinning at 2
+  private[graft] val DpSteps = Seq(10L, 100L, 1000L)
+  private[graft] val DpAlphaMax = 64
+
+  /** DP-SGD PRIVACY ACCOUNTANT (Abadi et al., CCS 2016; RDP form of
+    * Mironov, CSF 2017): for a grid of noise multipliers σ and step
+    * counts T, the tightest (ε, δ) guarantee a full-batch DP-SGD run
+    * of this corpus's trainer could claim — Rényi divergence of the
+    * Gaussian mechanism composes linearly (T·α/(2σ²) at sampling
+    * rate 1, the [[logregStep]] regime), and the RDP→(ε,δ)
+    * conversion minimizes over the α grid with δ = 1/n² read from
+    * the corpus (the standard δ ≪ 1/n rule). The budget table is
+    * what a privacy review signs off before a training run.
+    *
+    * Scale shape: a 4×3×63 broadcast-enum grid joined to the 1-row
+    * corpus count — grid rows never scale with data; the only corpus
+    * touch is count(*). Both engines evaluate the same closed form
+    * on identical doubles; the argmin α tie-breaks to the smallest. */
+  def dpSgdAccount(spark: SparkSession, dir: String): DataFrame =
+    dpSgdAccountOf(Tables(spark, dir, "documents"))
+
+  private[graft] def dpSgdAccountOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val sig = DpSigmas.toDF("sigma")
+    val ts = DpSteps.toDF("t_steps")
+    val al = (2L to DpAlphaMax.toLong).toDF("alpha")
+    val full = sig.crossJoin(broadcast(ts)).crossJoin(broadcast(al))
+      .crossJoin(broadcast(nd))
+      .withColumn("eps",
+        (col("t_steps") * col("alpha")).cast("double")
+          / (lit(2.0) * col("sigma") * col("sigma"))
+          + log(col("n_docs").cast("double") * col("n_docs"))
+          / (col("alpha") - 1).cast("double"))
+    val m1 = full.groupBy("sigma", "t_steps", "n_docs")
+      .agg(min("eps").as("meps"))
+    val m2 = full.join(m1.select(col("sigma").as("sg"), col("t_steps").as("tt"),
+        col("meps")),
+        col("sigma") === col("sg") && col("t_steps") === col("tt")
+          && col("eps") === col("meps"))
+      .groupBy("sigma", "t_steps").agg(min("alpha").as("alpha_star"))
+    m1.join(m2, Seq("sigma", "t_steps"))
+      .select(col("sigma"), col("t_steps"), col("n_docs"),
+        Det.rnd(col("meps"), 6).as("eps"), col("alpha_star"))
+      .orderBy("sigma", "t_steps")
+  }
+
+  val dpSgdAccountSql: String = {
+    import graft.functions.Det
+    val sigs = DpSigmas.mkString(", ")
+    val steps = DpSteps.mkString(", ")
+    s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |sig AS (SELECT CAST(unnest([$sigs]) AS DOUBLE) AS sigma),
+       |ts AS (SELECT CAST(unnest([$steps]) AS BIGINT) AS t_steps),
+       |al AS (SELECT CAST(unnest(range(2, ${DpAlphaMax + 1})) AS BIGINT) AS alpha),
+       |grid AS (
+       |  SELECT sigma, t_steps, alpha, n_docs,
+       |         CAST(t_steps * alpha AS DOUBLE) / (2.0 * sigma * sigma)
+       |           + ln(CAST(n_docs AS DOUBLE) * n_docs)
+       |             / CAST(alpha - 1 AS DOUBLE) AS eps
+       |  FROM sig, ts, al, nd),
+       |m1 AS (SELECT sigma, t_steps, n_docs, min(eps) AS meps
+       |       FROM grid GROUP BY 1, 2, 3),
+       |m2 AS (SELECT g.sigma, g.t_steps, min(g.alpha) AS alpha_star
+       |       FROM grid g JOIN m1 ON m1.sigma = g.sigma
+       |         AND m1.t_steps = g.t_steps AND g.eps = m1.meps
+       |       GROUP BY 1, 2)
+       |SELECT m1.sigma, m1.t_steps, m1.n_docs,
+       |       ${Det.rndSql("meps", 6)} AS eps, m2.alpha_star
+       |FROM m1 JOIN m2 ON m2.sigma = m1.sigma AND m2.t_steps = m1.t_steps
+       |ORDER BY m1.sigma, m1.t_steps""".stripMargin
+  }
+
   // ------------------------------------ gradient sparsification (r14)
 
   /** Top-k slots of the sparsification audit (of [[LrSlots]]+1). */

@@ -93,6 +93,29 @@ class Round14bSpec extends SparkSpec {
     }
   }
 
+  test("dpSgdAccount: every cell matches a plain-Scala grid minimization") {
+    val docs = corpus(100)
+    val rows = TextQueries.dpSgdAccountOf(docs).collect()
+    assert(rows.length ==
+      TextQueries.DpSigmas.length * TextQueries.DpSteps.length)
+    val lnD = math.log(100.0 * 100)
+    rows.foreach { row =>
+      val (sigma, t) = (row.getDouble(0), row.getLong(1))
+      val cand = (2L to TextQueries.DpAlphaMax.toLong).map { a =>
+        (t * a).toDouble / (2.0 * sigma * sigma) + lnD / (a - 1).toDouble -> a
+      }
+      val best = cand.minBy(c => (c._1, c._2))
+      assert(row.getLong(2) == 100L)
+      assert(row.getDouble(3) ==
+        math.floor(best._1 * 1e6 + 0.5) / 1e6, s"eps at $sigma/$t")
+      assert(row.getLong(4) == best._2, s"alpha at $sigma/$t")
+    }
+    // more noise, fewer steps → smaller budget and a larger optimal α
+    val byKey = rows.map(r => (r.getDouble(0), r.getLong(1)) -> r).toMap
+    assert(byKey((4.0, 10L)).getDouble(3) < byKey((0.5, 10L)).getDouble(3))
+    assert(byKey((4.0, 10L)).getLong(4) > byKey((0.5, 1000L)).getLong(4))
+  }
+
   test("mstBoruvka: hand-computed rounds on a weighted square + the forest invariant") {
     val s = spark; import s.implicits._
     // square 1-2-3-4 with a diagonal; max-similarity spanning tree
