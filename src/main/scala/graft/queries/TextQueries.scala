@@ -10465,6 +10465,88 @@ object TextQueries {
        |ORDER BY ablated""".stripMargin
   }
 
+  // ------------------------------------- dynamic batching (r14)
+
+  /** Batch size of the padding audit (sequences per training batch). */
+  private[graft] val DynBatch = 32L
+
+  /** DYNAMIC-BATCHING PADDING AUDIT: how many pad tokens does a
+    * fixed-size training batch pay under ARRIVAL-ORDER batching
+    * (consecutive ids — the naive loader) versus LENGTH-SORTED
+    * batching (the bucketing every serious trainer uses, e.g.
+    * fairseq's `--max-tokens` sorting)? A batch pads every member to
+    * its longest sequence, so capacity = Σ_batch members·max and the
+    * padding gap between the two strategies is the wasted compute the
+    * sort reclaims — the companion audit to [[seqPacking]] (packing
+    * eliminates padding by concatenation; sorted batching merely
+    * minimizes it while preserving example boundaries).
+    *
+    * Scale shape (no corpus sort): the length-sorted rank is the
+    * grid-histogram rank — per-length counts, a running sum over the
+    * BOUNDED distinct-length grid, plus a row_number within each
+    * length partition — never a global corpus window; the oracle
+    * computes the identical rank with a plain ORDER BY (same total
+    * order, engine-free to pick its own plan). Pure integer columns
+    * throughout. */
+  def dynBatching(spark: SparkSession, dir: String): DataFrame =
+    dynBatchingOf(Tables(spark, dir, "documents"))
+
+  private[graft] def dynBatchingOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+      .transform(graft.Tables.scratchPin(_, "dynbatch-nt")) // corpus-linear, read 3×
+    val arrival = nt.select(col("ntok"),
+      expr(s"doc_id div $DynBatch").as("b"))
+    val cum = nt.groupBy("ntok").agg(count(lit(1)).as("cn"))
+      .withColumn("before",
+        coalesce(sum("cn").over(Window.orderBy("ntok")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("ntok", "before") // distinct-length grid — bounded
+    val ranked = nt.join(broadcast(cum), "ntok")
+      .select(col("ntok"),
+        expr(s"(before + (row_number() OVER (PARTITION BY ntok ORDER BY doc_id)) - 1) div $DynBatch")
+          .as("b"))
+    def pad(df: DataFrame, name: String): DataFrame =
+      df.groupBy("b")
+        .agg(count(lit(1)).as("m"), max("ntok").as("mx"), sum("ntok").as("tk"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(expr("m * mx")).as("capacity"), sum("tk").as("tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("tokens"),
+          col("capacity"), (col("capacity") - col("tokens")).as("padding"),
+          expr("(capacity - tokens) * 1000000 div capacity").as("pad_ppm"))
+    pad(arrival, "arrival").unionByName(pad(ranked, "length_sorted"))
+      .orderBy("strategy")
+  }
+
+  val dynBatchingSql: String =
+    s"""WITH nt AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |ar AS (SELECT ntok, doc_id // $DynBatch AS b FROM nt),
+       |rk AS (SELECT ntok,
+       |         (row_number() OVER (ORDER BY ntok, doc_id) - 1) // $DynBatch AS b
+       |       FROM nt),
+       |pa AS (SELECT b, count(*) AS m, max(ntok) AS mx,
+       |              CAST(sum(ntok) AS BIGINT) AS tk FROM ar GROUP BY 1),
+       |ps AS (SELECT b, count(*) AS m, max(ntok) AS mx,
+       |              CAST(sum(ntok) AS BIGINT) AS tk FROM rk GROUP BY 1),
+       |lanes AS (
+       |  SELECT 'arrival' AS strategy, count(*) AS n_batches,
+       |         CAST(sum(tk) AS BIGINT) AS tokens,
+       |         CAST(sum(m * mx) AS BIGINT) AS capacity
+       |  FROM pa
+       |  UNION ALL
+       |  SELECT 'length_sorted', count(*), CAST(sum(tk) AS BIGINT),
+       |         CAST(sum(m * mx) AS BIGINT)
+       |  FROM ps)
+       |SELECT strategy, CAST(n_batches AS BIGINT) AS n_batches, tokens, capacity,
+       |       capacity - tokens AS padding,
+       |       (capacity - tokens) * 1000000 // capacity AS pad_ppm
+       |FROM lanes
+       |ORDER BY strategy""".stripMargin
+
   // ------------------------------------- DP-SGD accounting (r14)
 
   private[graft] val DpSigmas = Seq(0.5, 1.0, 2.0, 4.0)

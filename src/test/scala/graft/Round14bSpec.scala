@@ -93,6 +93,25 @@ class Round14bSpec extends SparkSpec {
     }
   }
 
+  test("dynBatching: alternating lengths — sorted batching eliminates all padding") {
+    val s = spark; import s.implicits._
+    // ids 1..64 alternate length 1 / length 10; arrival batches mix
+    // them (max 10 everywhere), sorted batches are pure
+    val docs = (1 to 64).map { i =>
+      (i.toLong, Seq.fill(if (i % 2 == 1) 1 else 10)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextQueries.dynBatchingOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ar = out("arrival")
+    // batches: ids 1..31 (cap 31·10), 32..63 (32·10), 64 (1·10)
+    assert(ar.getLong(1) == 3 && ar.getLong(2) == 352
+      && ar.getLong(3) == 640 && ar.getLong(4) == 288)
+    val so = out("length_sorted")
+    assert(so.getLong(1) == 2 && so.getLong(2) == 352
+      && so.getLong(3) == 352 && so.getLong(4) == 0
+      && so.getLong(5) == 0)
+  }
+
   test("dpSgdAccount: every cell matches a plain-Scala grid minimization") {
     val docs = corpus(100)
     val rows = TextQueries.dpSgdAccountOf(docs).collect()
