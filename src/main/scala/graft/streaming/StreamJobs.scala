@@ -1485,4 +1485,35 @@ object StreamJobs {
             Seq("event_type", "vc"), Seq("cnt"))
       }
       .start()
+
+  /** Streaming MULTIMODAL INGEST (r14) — the in-flight twin of
+    * [[graft.queries.MultimodalQueries.audioFeatures]]: each
+    * micro-batch of media containers is chunk-walked and
+    * frame-featurized inside the batch's `mapPartitions` (one row per
+    * container in, one feature row out — no sample rows ever enter
+    * the plan, the batch query's scale shape), and lands in a
+    * batch-id-keyed overwrite directory, so an at-least-once
+    * redelivery rewrites the same directory instead of duplicating
+    * rows (the [[idempotentBatchSink]] discipline). Decode is
+    * per-record and stateless, so stream ∪ batches ≡ the batch query
+    * on the concatenated input — asserted per batch in StreamingSpec. */
+  def mediaFeatureStream(newMedia: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newMedia.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          import s.implicits._
+          batch.select(col("media_id").cast("long"), col("payload"))
+            .as[(Long, Array[Byte])]
+            .mapPartitions(it => it.map { case (id, p) =>
+              graft.queries.MultimodalQueries.audioFrames(id, p)
+            })
+            .toDF()
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        }
+      }
+      .start()
 }

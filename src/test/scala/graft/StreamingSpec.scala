@@ -1656,6 +1656,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaFeatureStream: in-flight decode equals the batch query on the concatenated input, per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val media = graft.queries.MultimodalQueries.wavContainers(spark, sfDir)
+      .collect().map(r => (r.media_id, r.payload))
+    val (b1, rest) = media.splitAt(media.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val outDir = Files.createTempDirectory("media_stream").toString
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamJobs.mediaFeatureStream(
+      mem.toDF().toDF("media_id", "payload"), outDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      var seen = Array.empty[(Long, Array[Byte])]
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        seen = seen ++ b
+        val twin = seen.map { case (id, p) =>
+          graft.queries.MultimodalQueries.audioFrames(id, p)
+        }.toSeq.toDF()
+        val streamed = spark.read.parquet(s"$outDir/batch_*")
+        assert(rows(streamed) == rows(twin),
+          s"decoded features diverge after batch ${i + 1}")
+      }
+      // re-running a delivered batch body overwrites its directory —
+      // the redelivery path leaves the union unchanged
+      val redelivered = b2.toSeq.toDF("media_id", "payload")
+      redelivered.select(col("media_id").cast("long"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, p) =>
+          graft.queries.MultimodalQueries.audioFrames(id, p)
+        })
+        .toDF().coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/batch_1")
+      val after = spark.read.parquet(s"$outDir/batch_*")
+      assert(after.count() == media.length)
+    } finally q.stop()
+  }
+
   // ---- ADVICE r13: at-least-once redelivery + crash-atomicity guards ----
 
   private def stateRows(path: String): Seq[String] =
