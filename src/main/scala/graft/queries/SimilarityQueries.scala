@@ -5043,6 +5043,7 @@ object SimilarityQueries {
     * family-shared derivation cost by bench-order luck. */
   def materializeGraphAdj(spark: SparkSession, dir: String): Unit = {
     symAdjScratch(spark, dir) // builds undAdjScratch transitively
+    undWeightedScratch(spark, dir) // the weighted trunk (r14: mstBoruvka)
     ()
   }
 
