@@ -10465,6 +10465,281 @@ object TextQueries {
        |ORDER BY ablated""".stripMargin
   }
 
+  // --------------------------------- batched LR sweep / FedAvg (r14)
+
+  /** Learning-rate numerators of the sweep (the trainer's own
+    * [[LrNum]] = 8 sits mid-grid). Dyadic, so every update stays the
+    * exact-integer law. */
+  private[graft] val LrSweepNums = Seq(2L, 4L, 8L, 16L, 32L)
+
+  /** HYPERPARAMETER SWEEP IN ONE DATAFLOW: train [[LrSweepNums]].size
+    * copies of the [[logregStep]] classifier — one per learning rate
+    * — simultaneously, by keying the weight table on the rate (the
+    * [[sourceAblation]] batching pattern): per step ONE broadcast
+    * join + ONE (lr, doc) margin aggregation + ONE (lr, slot)
+    * gradient aggregation advances every trajectory, so the sweep
+    * costs ~one trainer run per PASS instead of per CANDIDATE. The
+    * lr = [[LrNum]] lane is definitionally the production trainer —
+    * Round14bSpec pins its weights to [[logregSgdStep]] bit-for-bit.
+    * Reported per rate: final exact-integer-margin accuracy, log-loss
+    * (1e-9-fenced like the trainer's), and the L1 weight norm —
+    * the convergence-vs-overshoot readout an LR sweep exists for. */
+  def lrSweep(spark: SparkSession, dir: String): DataFrame =
+    lrSweepOf(Tables(spark, dir, "documents"))
+
+  private[graft] def lrSweepOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "lrsweep-feats")) // corpus-linear
+    // loop literal (the pageRank precedent): one bias row per doc
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val lrs = LrSweepNums.toDF("lr")
+    var w = lrs.crossJoin(broadcast(lrZeroWeights(spark)))
+      .localCheckpoint() // 5·65 rows
+    for (_ <- 0 until LrRounds) {
+      val m = feats.join(broadcast(w), "slot")
+        .groupBy("lr", "doc_id", "y")
+        .agg((sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      val g2 = feats.join(m.select(col("lr"), col("doc_id").as("md"), col("p")),
+          col("doc_id") === col("md"))
+        .groupBy("lr", "slot")
+        .agg(sum(Det.units((col("p") - col("y"))
+          * col("num").cast("double") / col("dl"), 12)).as("g12"))
+      w = w.join(g2, Seq("lr", "slot"), "left")
+        .select(col("lr"), col("slot"),
+          (col("w9") - expr(s"coalesce(g12, 0L) * lr div $nDocs div 1000"))
+            .as("w9"))
+        .localCheckpoint() // 5·65 rows
+    }
+    feats.join(broadcast(w), "slot")
+      .groupBy("lr", "doc_id", "y")
+      .agg(sum(col("w9") * col("num")).as("mnum"),
+        (sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      .groupBy("lr")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("mnum") > 0L) === (col("y") === 1), 1L).otherwise(0L))
+          .as("n_corr"),
+        sum(Det.units(-(col("y") * log(col("p"))
+          + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 9)).as("loss9"))
+      .join(broadcast(w.groupBy("lr").agg(sum(abs(col("w9"))).as("w_l1"))), "lr")
+      .select(col("lr"), col("n_docs"),
+        expr("n_corr * 1000000 div n_docs").as("acc_ppm"),
+        Det.rnd(col("loss9").cast("double") / 1e9 / nDocs, 6).as("logloss"),
+        col("w_l1"))
+      .orderBy("lr")
+  }
+
+  lazy val lrSweepSql: String = {
+    import graft.functions.Det
+    val rounds = (0 until LrRounds).map { k =>
+      s"""sm$k AS MATERIALIZED (
+         |  SELECT w.lr, f.doc_id, f.y,
+         |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+         |                            / (1e9 * max(f.dl))))) AS p
+         |  FROM feats f JOIN sw$k w ON w.slot = f.slot
+         |  GROUP BY 1, 2, 3),
+         |sg$k AS (
+         |  SELECT m.lr, f.slot,
+         |         CAST(sum(${Det.unitsSql(
+        "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
+         |  FROM feats f JOIN sm$k m ON m.doc_id = f.doc_id
+         |  GROUP BY 1, 2),
+         |sw${k + 1} AS (
+         |  SELECT w.lr, w.slot,
+         |         w.w9 - coalesce(g.g12, 0) * w.lr // (SELECT n FROM nd) // 1000
+         |           AS w9
+         |  FROM sw$k w
+         |  LEFT JOIN sg$k g ON g.lr = w.lr AND g.slot = w.slot)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lrFeatCtes("", "TRUE")},
+       |lrs AS (SELECT CAST(unnest([${LrSweepNums.mkString(", ")}]) AS BIGINT) AS lr),
+       |sw0 AS (SELECT l.lr, CAST(s.s AS BIGINT) AS slot, CAST(0 AS BIGINT) AS w9
+       |        FROM lrs l, (SELECT unnest(range(${LrSlots + 1})) AS s) s),
+       |$rounds,
+       |fin AS MATERIALIZED (
+       |  SELECT w.lr, f.doc_id, f.y, sum(w.w9 * f.num) AS mnum,
+       |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+       |                            / (1e9 * max(f.dl))))) AS p
+       |  FROM feats f JOIN sw$LrRounds w ON w.slot = f.slot
+       |  GROUP BY 1, 2, 3),
+       |ev AS (
+       |  SELECT lr, count(*) AS n_docs,
+       |         sum(CASE WHEN (mnum > 0) = (y = 1) THEN 1 ELSE 0 END) AS n_corr,
+       |         CAST(sum(${Det.unitsSql(
+      "-(y * ln(p) + (1 - y) * ln(1.0 - p))", 9)}) AS BIGINT) AS loss9
+       |  FROM fin GROUP BY 1),
+       |wn AS (SELECT lr, CAST(sum(abs(w9)) AS BIGINT) AS w_l1
+       |       FROM sw$LrRounds GROUP BY 1)
+       |SELECT e.lr, CAST(e.n_docs AS BIGINT) AS n_docs,
+       |       CAST(e.n_corr * 1000000 // e.n_docs AS BIGINT) AS acc_ppm,
+       |       ${Det.rndSql(
+      "CAST(loss9 AS DOUBLE) / 1e9 / (SELECT n FROM nd)", 6)} AS logloss,
+       |       w.w_l1
+       |FROM ev e JOIN wn w USING (lr)
+       |ORDER BY e.lr""".stripMargin
+  }
+
+  /** Local SGD steps each FedAvg client takes before averaging. */
+  private[graft] val FedLocalSteps = 2
+
+  /** FEDERATED AVERAGING round (McMahan et al., AISTATS 2017): every
+    * source feed is a CLIENT that trains [[FedLocalSteps]] local
+    * exact-integer SGD steps on its OWN shard (all clients advance in
+    * one source-keyed dataflow — the [[sourceAblation]] batching
+    * pattern), then the server averages client weights by shard size:
+    * w_avg = Σ n_s·w_s div N, still exact integers. Reported: the
+    * averaged model's full-corpus accuracy/log-loss next to the
+    * CENTRALIZED trainer's (same step count on the pooled corpus) —
+    * the client-drift gap federated-learning papers measure.
+    *
+    * Scale shape: local training never moves raw shard data to a
+    * server — only 65-row weight vectors — and the batched chain
+    * advances all clients per pass; the comparison lane reuses the
+    * scalar trainer. */
+  def fedAvg(spark: SparkSession, dir: String): DataFrame =
+    fedAvgOf(Tables(spark, dir, "documents"))
+
+  private[graft] def fedAvgOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val spark = docs.sparkSession
+    val feats = lrFeatsOf(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .transform(graft.Tables.scratchPin(_, "fedavg-feats")) // corpus-linear
+    val nsh = feats.filter(col("slot") === LrSlots)
+      .groupBy("source").agg(count(lit(1)).as("n_s"))
+      .localCheckpoint() // #feeds rows
+    val clients = nsh.select("source")
+    var w = clients.crossJoin(broadcast(lrZeroWeights(spark)))
+      .localCheckpoint() // #feeds·65 rows
+    for (_ <- 0 until FedLocalSteps) {
+      val m = feats.join(broadcast(w), Seq("source", "slot"))
+        .groupBy("source", "doc_id", "y")
+        .agg((sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      val g = feats.join(m.select("source", "doc_id", "p"), Seq("source", "doc_id"))
+        .groupBy("source", "slot")
+        .agg(sum(Det.units((col("p") - col("y"))
+          * col("num").cast("double") / col("dl"), 12)).as("g12"))
+      w = w.join(g, Seq("source", "slot"), "left")
+        .join(broadcast(nsh), "source")
+        .select(col("source"), col("slot"),
+          (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div n_s div 1000"))
+            .as("w9"))
+        .localCheckpoint()
+    }
+    // server aggregation: shard-size-weighted integer mean
+    val nAll = feats.filter(col("slot") === LrSlots).count()
+    val wAvg = w.join(broadcast(nsh), "source")
+      .groupBy("slot")
+      .agg(expr(s"sum(n_s * w9) div $nAll").as("w9"))
+      .localCheckpoint() // 65 rows
+    // centralized comparison lane: the scalar trainer, same step count
+    var wc = lrZeroWeights(spark)
+    for (_ <- 0 until FedLocalSteps)
+      wc = logregSgdStep(wc, feats.drop("source"), nAll).localCheckpoint()
+    def evalOf(wx: DataFrame, name: String): DataFrame =
+      feats.join(broadcast(wx), "slot")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("w9") * col("num")).as("mnum"),
+          (sum(col("w9") * col("num")).cast("double")
+            / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("mnum") > 0L) === (col("y") === 1), 1L).otherwise(0L))
+            .as("n_corr"),
+          sum(Det.units(-(col("y") * log(col("p"))
+            + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 9)).as("loss9"))
+        .select(lit(name).as("model"), col("n_docs"),
+          expr("n_corr * 1000000 div n_docs").as("acc_ppm"),
+          Det.rnd(col("loss9").cast("double") / 1e9 / nAll, 6).as("logloss"))
+    evalOf(wAvg, "fedavg").unionByName(evalOf(wc, "central"))
+      .orderBy("model")
+  }
+
+  lazy val fedAvgSql: String = {
+    import graft.functions.Det
+    val rounds = (0 until FedLocalSteps).map { k =>
+      s"""fm$k AS MATERIALIZED (
+         |  SELECT f.source, f.doc_id, f.y,
+         |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+         |                            / (1e9 * max(f.dl))))) AS p
+         |  FROM fs f JOIN fw$k w ON w.source = f.source AND w.slot = f.slot
+         |  GROUP BY 1, 2, 3),
+         |fg$k AS (
+         |  SELECT f.source, f.slot,
+         |         CAST(sum(${Det.unitsSql(
+        "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
+         |  FROM fs f JOIN fm$k m ON m.source = f.source AND m.doc_id = f.doc_id
+         |  GROUP BY 1, 2),
+         |fw${k + 1} AS (
+         |  SELECT w.source, w.slot,
+         |         w.w9 - coalesce(g.g12, 0) * $LrNum // n.n_s // 1000 AS w9
+         |  FROM fw$k w
+         |  LEFT JOIN fg$k g ON g.source = w.source AND g.slot = w.slot
+         |  JOIN nsh n ON n.source = w.source)""".stripMargin
+    }.mkString(",\n")
+    val central = (0 until FedLocalSteps).map { k =>
+      s"""cm$k AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y,
+         |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+         |                            / (1e9 * max(f.dl))))) AS p
+         |  FROM feats f JOIN cw$k w USING (slot)
+         |  GROUP BY 1, 2),
+         |cg$k AS (
+         |  SELECT f.slot,
+         |         CAST(sum(${Det.unitsSql(
+        "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
+         |  FROM feats f JOIN cm$k m USING (doc_id)
+         |  GROUP BY 1),
+         |cw${k + 1} AS (
+         |  SELECT w.slot,
+         |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
+         |           AS w9
+         |  FROM cw$k w LEFT JOIN cg$k g USING (slot))""".stripMargin
+    }.mkString(",\n")
+    val evalSql = (rel: String, name: String) =>
+      s"""  SELECT '$name' AS model, count(*) AS n_docs,
+         |         CAST(sum(CASE WHEN (mnum > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |              * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+         |         ${Det.rndSql(
+        s"CAST(sum(${Det.unitsSql(
+          "-(y * ln(p) + (1 - y) * ln(1.0 - p))", 9)}) AS DOUBLE)" +
+          " / 1e9 / (SELECT n FROM nd)", 6)} AS logloss
+         |  FROM (SELECT f.doc_id, f.y, sum(w.w9 * f.num) AS mnum,
+         |               1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+         |                                  / (1e9 * max(f.dl))))) AS p
+         |        FROM feats f JOIN $rel w USING (slot)
+         |        GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${lrFeatCtes("", "TRUE")},
+       |fs AS MATERIALIZED (
+       |  SELECT f.*, d.source
+       |  FROM feats f JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+       |nsh AS (SELECT source, count(*) AS n_s FROM fs
+       |        WHERE slot = $LrSlots GROUP BY 1),
+       |fw0 AS (SELECT n.source, CAST(s.s AS BIGINT) AS slot, CAST(0 AS BIGINT) AS w9
+       |        FROM nsh n, (SELECT unnest(range(${LrSlots + 1})) AS s) s),
+       |$rounds,
+       |favg AS (SELECT w.slot,
+       |           CAST(sum(n.n_s * w.w9) // (SELECT n FROM nd) AS BIGINT) AS w9
+       |         FROM fw$FedLocalSteps w JOIN nsh n USING (source)
+       |         GROUP BY 1),
+       |cw0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
+       |               CAST(0 AS BIGINT) AS w9),
+       |$central
+       |SELECT * FROM (
+       |${evalSql("favg", "fedavg")}
+       |  UNION ALL
+       |${evalSql(s"cw$FedLocalSteps", "central")})
+       |ORDER BY model""".stripMargin
+  }
+
   // ------------------------------------- dynamic batching (r14)
 
   /** Batch size of the padding audit (sequences per training batch). */

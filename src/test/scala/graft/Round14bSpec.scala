@@ -93,6 +93,42 @@ class Round14bSpec extends SparkSpec {
     }
   }
 
+  test("lrSweep: the lr=8 lane IS the production trainer — final eval matches logregStep bit-for-bit") {
+    val docs = corpus(60)
+    val sweep = TextQueries.lrSweepOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sweep.keySet == TextQueries.LrSweepNums.toSet)
+    val base = TextQueries.logregStepOf(docs).collect()
+      .map(r => r.getInt(0) -> r).toMap.apply(TextQueries.LrRounds)
+    val lane8 = sweep(8L)
+    assert(lane8.getLong(2) == base.getLong(3))     // acc_ppm
+    assert(lane8.getDouble(3) == base.getDouble(2)) // logloss
+    // more aggressive steps grow the weights
+    assert(sweep(2L).getLong(4) < sweep(32L).getLong(4))
+  }
+
+  test("fedAvg: a single-client corpus collapses to the centralized trainer exactly") {
+    val s = spark; import s.implicits._
+    val docs = corpus(60).drop("source").withColumn("source", lit("only"))
+    val out = TextQueries.fedAvgOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (fed, cen) = (out("fedavg"), out("central"))
+    assert(fed.getLong(1) == 60 && cen.getLong(1) == 60)
+    assert(fed.getLong(2) == cen.getLong(2))     // acc_ppm
+    assert(fed.getDouble(3) == cen.getDouble(3)) // logloss
+  }
+
+  test("fedAvg: multi-client averaging evaluates on the full corpus alongside the central lane") {
+    val docs = corpus(60)
+    val out = TextQueries.fedAvgOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("fedavg", "central"))
+    out.values.foreach { r =>
+      assert(r.getLong(1) == 60)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000)
+    }
+  }
+
   test("dynBatching: alternating lengths — sorted batching eliminates all padding") {
     val s = spark; import s.implicits._
     // ids 1..64 alternate length 1 / length 10; arrival batches mix
