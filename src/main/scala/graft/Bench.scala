@@ -35,6 +35,54 @@ object Bench {
     if (ok.isEmpty) -1.0 else ok(ok.size / 2)
   }
 
+  /** Contention-window flag (VERDICT r14 #1): the r14 driver capture
+    * ran through a ~20-minute host-contention window that blew 13
+    * alphabetically-contiguous keys on ALL THREE reps — a per-key
+    * median cannot shed a bad WINDOW, only a bad rep. The defense is a
+    * cheap fixed canary probe interleaved through the pass: a key is
+    * suspect iff EITHER canary bracketing its measurement ran >
+    * `factor`× the best canary seen anywhere in the run (the best-seen
+    * base flags a hot window even when the run STARTS contended and
+    * cools later). Pure so the policy is unit-testable: `probes(j)` is
+    * the canary before key block j (keys i with i/every == j) and
+    * `probes(j+1)` the one after it; the last block is bracketed by
+    * the final post-pass probe. */
+  private[graft] def flaggedIdx(n: Int, probes: IndexedSeq[Double],
+      every: Int, factor: Double): Seq[Int] = {
+    if (n == 0 || probes.isEmpty) return Nil
+    val base = probes.min
+    (0 until n).filter { i =>
+      val j = i / every
+      val before = probes(math.min(j, probes.size - 1))
+      val after = probes(math.min(j + 1, probes.size - 1))
+      math.max(before, after) > factor * base
+    }
+  }
+
+  /** Merge policy for a flagged key's post-pass re-measurement: the
+    * element-wise BETTER (lower) median — a re-run landing in a second
+    * hot window can never make the reported value worse, and a clean
+    * re-run replaces the blown one. -1 (all-failed) never wins over a
+    * real measurement. */
+  private[graft] def betterMedian(a: Double, b: Double): Double =
+    if (a < 0) b else if (b < 0) a else math.min(a, b)
+
+  /** Fixed ~0.15s host-regime probe: a small shuffle+sort over
+    * `range` whose cost tracks CPU/scheduler contention and nothing
+    * else — no table reads, no scratch state, no query family's pins.
+    * Its value is meaningless in absolute terms; only the ratio to the
+    * run's own best probe matters, so the flag threshold is immune to
+    * host-class differences. */
+  private def canaryProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val t0 = System.nanoTime()
+    spark.range(8000000L)
+      .selectExpr("id % 997 AS k", "id % 31 AS v")
+      .groupBy("k").agg(fsum(col("v")).as("s"))
+      .orderBy("k").count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the driver's documented environment (local[32],
@@ -135,8 +183,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val repResults = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[Double] =
+      (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must NOT masquerade as a fast one: record -1
         // (and say so on stderr) instead of its time-to-crash
@@ -155,15 +205,56 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         sec
       }
-      name -> times
+    // canary cadence/threshold knobs (VERDICT r14 #1); a probe costs
+    // ~0.15s, so every-5 adds ~3% to a full-surface pass
+    val canEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY_EVERY", "5").toInt
+    val canFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY_FACTOR", "1.6").toDouble
+    val rerunMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_MAX", "80").toInt
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probeEpochs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def probe(): Unit = {
+      probes += canaryProbe(spark)
+      probeEpochs += System.currentTimeMillis() / 1000
     }
-    val results = setup ++ repResults.map { case (n, ts) => n -> median(ts) }
-    // all raw reps to a side artifact so the spread is auditable
-    // (scratch-guarded queries pay their one-time write in rep 1;
-    // the median reports the steady-state regime)
-    val repsJson = repResults.map { case (k, ts) =>
+    // canary warmup (its own codegen path), then the opening probe
+    canaryProbe(spark); canaryProbe(spark)
+    probe()
+    val repResults = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % canEvery == 0) probe()
+      name -> measure(name, fn)
+    }
+    probe() // closing bracket for the last key block
+    val flagged = flaggedIdx(selected.size, probes.toIndexedSeq,
+      canEvery, canFactor)
+      .sortBy(i => -math.max(probes(math.min(i / canEvery, probes.size - 1)),
+        probes(math.min(i / canEvery + 1, probes.size - 1))))
+      .take(rerunMax).map(selected(_)._1).toSet
+    // post-pass re-measurement of window-flagged keys, better median
+    // wins; re-runs carry their own bracketing probes so the side
+    // artifact shows whether the SECOND window was clean
+    val reruns = selected.filter(t => flagged(t._1)).map { case (name, fn) =>
+      probe()
+      name -> measure(name, fn)
+    }
+    if (reruns.nonEmpty) probe()
+    val rerunMed = reruns.map { case (n, ts) => n -> median(ts) }.toMap
+    val results = setup ++
+      repResults.map { case (n, ts) =>
+        n -> rerunMed.get(n).fold(median(ts))(betterMedian(median(ts), _))
+      } + ("_canary" -> probes.min)
+    // all raw reps + the canary timeline to a side artifact so the
+    // spread AND the host regime under it are auditable (VERDICT r14
+    // #1: every capture carries its own contention trace)
+    val repsJson = (repResults.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
+    } ++ reruns.map { case (k, ts) =>
+      "\"" + k + "__rerun\":[" + ts.map(r3).mkString(",") + "]"
+    } ++ Seq(
+      "\"_canary_timeline\":[" + probes.map(r3).mkString(",") + "]",
+      "\"_canary_epochs\":[" + probeEpochs.mkString(",") + "]",
+      "\"_flagged\":[" + flagged.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]"
+    )).mkString("{", ",", "}")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_reps.json"), repsJson + "\n")
     val json = renderJson(results, sfDir)

@@ -1041,7 +1041,16 @@ object MultimodalQueries {
     * container, not one per sample — the shape that survives 100 TB
     * of audio). The oracle re-derives every frame stat from text-byte
     * algebra with an explicit sample explode + frame window, checking
-    * the decoder's framing, mean-crossing and activity math exactly. */
+    * the decoder's framing, mean-crossing and activity math exactly.
+    *
+    * Oracle precondition (ADVICE r14, ENFORCED not assumed): the SQL
+    * twin's `ascii(substr(text, …))` walks CHARACTERS and returns code
+    * points, while the decoder sign-extends raw PCM-16 BYTES — the two
+    * agree iff every corpus char is single-byte ASCII (< 0x80), which
+    * also keeps every sample below the 0x8000 sign bit. Round15Spec
+    * asserts `octet_length(text) = length(text)` over the shipped
+    * corpus at both gate SFs, so a corpus change that would silently
+    * skew the oracle fails a test instead. */
   def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
     val s = spark
     import s.implicits._

@@ -10233,14 +10233,33 @@ object TextQueries {
       .agg((sum(col("w9") * col("num")).cast("double")
         / (lit(1e9) * max("dl"))).as("m"))
       .select(col("doc_id"), col("y"),
-        (expr(SplitBucket) < 80).as("member"),
-        Det.units((col("y") * 2 - 1).cast("double") * col("m"), 6).as("s6"))
+        (expr(SplitBucket) < 80).as("member"), {
+          // |s6| < 1e9 is ENFORCED, not assumed (ADVICE r14): the
+          // sigmoid-era margin stays orders below 1e3 (s6 below 1e9 in
+          // 1e-6 units) on any real trajectory, but the +1e9 grid
+          // shift below only guarantees a positive dividend inside
+          // that range — a blown trajectory must fail loudly on both
+          // engines (the SQL twin carries the same error() fence),
+          // never mis-bucket silently.
+          val s6r = Det.units((col("y") * 2 - 1).cast("double") * col("m"), 6)
+          when(abs(s6r) < lit(1000000000L), s6r)
+            .otherwise(raise_error(lit("membershipInfer: |s6| >= 1e9"))
+              .cast("long")).as("s6")
+        })
     val grouped = scored.select(lit("all").as("grp"), col("member"), col("s6"))
       .unionByName(scored.select(
         when(col("y") === 1, "en").otherwise("other").as("grp"),
         col("member"), col("s6")))
-    // 1e-3 score grid; the +1e9 shift keeps the dividend positive so
-    // Spark's truncating `div` and DuckDB's flooring `//` agree
+    // 1e-3 score grid. Both engines' integer division TRUNCATES toward
+    // zero on negatives (Spark `div` and DuckDB `//` agree: -7 div 2 =
+    // -7 // 2 = -3 — measured, re-checked every verify pass by
+    // scripts/check_pins.py), so the +1e9 shift is NOT needed for
+    // engine agreement — the trainer's own g12 updates divide signed
+    // integers directly. Its real purpose is a uniform FLOOR grid:
+    // unshifted truncation folds [-999, 999] into one double-width
+    // cell straddling zero, distorting the midrank tie unit exactly
+    // where member/non-member scores concentrate. The fence above
+    // guarantees the shifted dividend stays positive.
     val cells = grouped
       .groupBy(col("grp"), expr("(s6 + 1000000000L) div 1000").as("cell"))
       .agg(sum(col("member").cast("long")).as("n_m"),
@@ -10255,7 +10274,14 @@ object TextQueries {
         sum(col("n_m") * (col("below") * 2 + col("n_nm"))).as("num2"),
         sum("s_m").as("ssm"), sum("s_nm").as("ssnm"))
       .select(col("grp"), col("n_member"), col("n_nonmember"),
-        expr("num2 * 1000000 div (2 * n_member * n_nonmember)").as("auc_ppm"),
+        // num2 ≤ 2·n_m·n_nm grows quadratically with the corpus, so a
+        // ppm integer product (num2 · 10⁶) would overflow int64 past
+        // ~2.1M members × 2.1M non-members — the fenced double ratio
+        // of two exact integers is engine-identical at any corpus
+        // size instead (the gradTopk treatment, ADVICE r14)
+        Det.rnd(col("num2").cast("double")
+          / (col("n_member").cast("double") * col("n_nonmember") * 2.0), 6)
+          .as("auc"),
         Det.rnd(col("ssm").cast("double") / col("n_member") / 1e6, 6)
           .as("mean_score_member"),
         Det.rnd(col("ssnm").cast("double") / col("n_nonmember") / 1e6, 6)
@@ -10274,7 +10300,10 @@ object TextQueries {
        |  GROUP BY 1, 2),
        |sd AS (
        |  SELECT doc_id, y, ${splitBucketSqlOf("doc_id")} < 80 AS member,
-       |         ${Det.unitsSql("(2 * y - 1) * m", 6)} AS s6
+       |         CASE WHEN abs(${Det.unitsSql("(2 * y - 1) * m", 6)})
+       |                   < 1000000000
+       |              THEN ${Det.unitsSql("(2 * y - 1) * m", 6)}
+       |              ELSE error('membershipInfer: |s6| >= 1e9') END AS s6
        |  FROM sc),
        |gx AS (SELECT 'all' AS grp, member, s6 FROM sd
        |       UNION ALL
@@ -10293,8 +10322,8 @@ object TextQueries {
        |  FROM cells)
        |SELECT grp, CAST(sum(n_m) AS BIGINT) AS n_member,
        |       CAST(sum(n_nm) AS BIGINT) AS n_nonmember,
-       |       CAST(sum(n_m * (below * 2 + n_nm)) * 1000000
-       |            // (2 * sum(n_m) * sum(n_nm)) AS BIGINT) AS auc_ppm,
+       |       ${Det.rndSql("CAST(sum(n_m * (below * 2 + n_nm)) AS DOUBLE)" +
+      " / (CAST(sum(n_m) AS DOUBLE) * sum(n_nm) * 2.0)", 6)} AS auc,
        |       ${Det.rndSql("CAST(sum(s_m) AS DOUBLE) / sum(n_m) / 1e6", 6)} AS mean_score_member,
        |       ${Det.rndSql("CAST(sum(s_nm) AS DOUBLE) / sum(n_nm) / 1e6", 6)} AS mean_score_nonmember
        |FROM run
@@ -10340,7 +10369,17 @@ object TextQueries {
       : (DataFrame, DataFrame) = {
     import graft.functions.Det
     val spark = featsAll.sparkSession
-    val abls = featsAll.select(col("source").as("abl")).distinct()
+    val srcs = featsAll.select(col("source").as("abl")).distinct()
+      .localCheckpoint() // feed enum: #feeds rows
+    // the control lane rides IN-BAND as the string 'none' (both here
+    // and in the SQL twin's UNION ALL) — a real feed named 'none'
+    // would silently merge with the control in BOTH engines, so the
+    // oracle compare could never catch it; fail loudly instead
+    // (ADVICE r14). Cheap: one isEmpty action on the checkpointed
+    // #feeds-row enum.
+    require(srcs.filter(col("abl") === "none").isEmpty,
+      "sourceAblation: a source feed named 'none' collides with the in-band control sentinel")
+    val abls = srcs
       .unionByName(spark.sql("SELECT 'none' AS abl"))
       .localCheckpoint() // feed enum + control: #feeds+1 rows
     // the 21× replication is NOT pinned: each reader re-derives it from
@@ -10388,7 +10427,13 @@ object TextQueries {
           / (lit(1e9) * max("dl"))).as("m"))
       .select(col("abl"), col("doc_id"), col("y"), col("mnum"),
         Det.units(col("m"), 6).as("m6"))
-      .localCheckpoint() // (#feeds+1)·docs margin rows, read twice
+      // (#feeds+1)·docs margin rows, read twice — pinned to SCRATCH
+      // parquet, not localCheckpoint (VERDICT r14 #3): the repo's one
+      // multi-×-corpus intermediate must not sit in executor block
+      // memory; each of the two consumers pays one columnar read of a
+      // 6-column relation instead, and the write itself is the same
+      // single aggregation pass the checkpoint materialized
+      .transform(graft.Tables.scratchPin(_, "ablate-margins"))
     // the 'none' lane's margins, re-keyed for the per-doc shift join
     val base = me.filter(col("abl") === "none")
       .select(col("doc_id"), col("m6").as("m6n"))

@@ -44,6 +44,37 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.median(Seq(7.0)) == 7.0)
   }
 
+  test("flaggedIdx: a hot canary window flags exactly the keys it brackets") {
+    // 12 keys, probe every 4 → probes at blocks 0,1,2 plus the closing
+    // one. Window hits the middle block: probe(1) hot on entry.
+    val probes = IndexedSeq(0.15, 0.60, 0.16, 0.15) // base = 0.15
+    val f = Bench.flaggedIdx(12, probes, every = 4, factor = 1.6)
+    // keys 0-3 bracketed by (0.15, 0.60) → flagged; 4-7 by (0.60,
+    // 0.16) → flagged; 8-11 by (0.16, 0.15) → clean
+    assert(f == (0 to 7))
+  }
+
+  test("flaggedIdx: a uniformly-paced run flags nothing; base is the run MIN") {
+    assert(Bench.flaggedIdx(10, IndexedSeq(0.2, 0.21, 0.19, 0.2), 4, 1.6).isEmpty)
+    // run STARTS hot and cools: base is the later clean probe, so the
+    // early window still flags (the r14 driver pattern inverted)
+    val f = Bench.flaggedIdx(8, IndexedSeq(0.5, 0.15, 0.15), 4, 1.6)
+    assert(f == (0 to 3))
+  }
+
+  test("flaggedIdx: empty inputs are safe") {
+    assert(Bench.flaggedIdx(0, IndexedSeq(0.2), 5, 1.6).isEmpty)
+    assert(Bench.flaggedIdx(5, IndexedSeq.empty, 5, 1.6).isEmpty)
+  }
+
+  test("betterMedian: lower wins, -1 never beats a real measurement") {
+    assert(Bench.betterMedian(2.0, 3.0) == 2.0)
+    assert(Bench.betterMedian(3.0, 2.0) == 2.0)
+    assert(Bench.betterMedian(-1.0, 2.0) == 2.0)
+    assert(Bench.betterMedian(2.0, -1.0) == 2.0)
+    assert(Bench.betterMedian(-1.0, -1.0) == -1.0)
+  }
+
   test("query keys are emitted in sorted order — byte-comparable captures") {
     val keys = "\"(q_[a-z0-9_]+)\":".r.findAllMatchIn(json).map(_.group(1)).toSeq
     assert(keys == keys.sorted, "renderJson must sort keys (VERDICT r6 #2)")

@@ -50,10 +50,13 @@ class Round14bSpec extends SparkSpec {
     var num2 = 0L
     for (a <- mem; b <- non)
       num2 += (if (a > b) 2L else if (a == b) 1L else 0L)
-    val expected = num2 * 1000000L / (2L * mem.length * non.length)
+    // the fenced-double AUC (ADVICE r14: the ppm integer product
+    // overflowed past ~2.1M×2.1M docs) — replicate Det.rnd(·, 6)
+    val expected = math.floor(num2.toDouble
+      / (mem.length.toDouble * non.length * 2.0) * 1e6 + 0.5) / 1e6
     val all = out("all")
     assert(all.getLong(1) == mem.length && all.getLong(2) == non.length)
-    assert(all.getLong(3) == expected)
+    assert(all.getDouble(3) == expected)
     // the label-class rows partition the corpus
     assert(out("en").getLong(1) + out("other").getLong(1) == mem.length)
     assert(out("en").getLong(2) + out("other").getLong(2) == non.length)
