@@ -41,16 +41,22 @@ object Bench {
     * median cannot shed a bad WINDOW, only a bad rep. The defense is a
     * cheap fixed canary probe interleaved through the pass: a key is
     * suspect iff EITHER canary bracketing its measurement ran >
-    * `factor`× the best canary seen anywhere in the run (the best-seen
-    * base flags a hot window even when the run STARTS contended and
-    * cools later). Pure so the policy is unit-testable: `probes(j)` is
-    * the canary before key block j (keys i with i/every == j) and
+    * `factor`× the run's MEDIAN probe. Median, not min: probe cost
+    * carries ~1.5× residual noise from the JVM/GC state the previous
+    * key left behind (measured on the first live run — min-base
+    * flagged every key), so the base must be the run's TYPICAL regime;
+    * a contention window is by definition a minority stretch that the
+    * median sits outside, while a uniformly-hot run (median ≈ window)
+    * correctly flags nothing — uniform regimes are what the
+    * cross-round canary normalization in bench.json's `_canary` field
+    * handles. Pure so the policy is unit-testable: `probes(j)` is the
+    * canary before key block j (keys i with i/every == j) and
     * `probes(j+1)` the one after it; the last block is bracketed by
     * the final post-pass probe. */
   private[graft] def flaggedIdx(n: Int, probes: IndexedSeq[Double],
       every: Int, factor: Double): Seq[Int] = {
     if (n == 0 || probes.isEmpty) return Nil
-    val base = probes.min
+    val base = probes.sorted.apply(probes.size / 2)
     (0 until n).filter { i =>
       val j = i / every
       val before = probes(math.min(j, probes.size - 1))
@@ -242,7 +248,7 @@ object Bench {
     val results = setup ++
       repResults.map { case (n, ts) =>
         n -> rerunMed.get(n).fold(median(ts))(betterMedian(median(ts), _))
-      } + ("_canary" -> probes.min)
+      } + ("_canary" -> median(probes.toSeq)) // the run's typical host regime
     // all raw reps + the canary timeline to a side artifact so the
     // spread AND the host regime under it are auditable (VERDICT r14
     // #1: every capture carries its own contention trace)

@@ -3640,12 +3640,25 @@ object SimilarityQueries {
 
   private def spectralRadiusOnSym(sym: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
+    // pinned ONCE (VERDICT r15 open: this key drifted above its r13
+    // band): `nodes` is a distinct over the full edge relation, and as
+    // a lazy plan it re-ran that edge pass inside EVERY round's pin
+    // action — 12 extra edge scans per query
     val nodes = sym.select(col("src").as("v")).distinct()
+      .transform(Tables.scratchPin(_, "spec-nodes")) // node-sized, read every round
     var x = nodes.withColumn("x", lit(SpecScale))
     val pc = new Tables.PinChain("spec-round")
+    val pcAx = new Tables.PinChain("spec-ax")
     for (_ <- 1 to SpecRounds) {
+      // ax pinned per round: it feeds BOTH the max-renorm scalar and
+      // the next vector — unpinned, the edge⋈vector join ran twice per
+      // round (exchange reuse does not span the broadcast boundary);
+      // pinned, each round is exactly ONE edge pass + two node-sized
+      // reads (the pagerank bit-reproducibility contract is untouched:
+      // values are identical, only the traversal count changes)
       val ax = sym.join(x.select(col("v").as("dst"), col("x")), Seq("dst"))
         .groupBy(col("src").as("v")).agg(sum("x").as("ax"))
+        .transform(pcAx.next)
       val mx = ax.agg(max("ax").as("mx"))
       x = nodes.join(ax, Seq("v"), "left")
         .crossJoin(broadcast(mx))

@@ -10650,18 +10650,18 @@ object TextQueries {
   def fedAvg(spark: SparkSession, dir: String): DataFrame =
     fedAvgOf(Tables(spark, dir, "documents"))
 
-  private[graft] def fedAvgOf(docs: DataFrame): DataFrame = {
+  /** Advances EVERY client's weights [[FedLocalSteps]] local SGD steps
+    * over its own shard in one source-keyed dataflow — the single
+    * source of the federated client-update law, shared by the batch
+    * [[fedAvgOf]] and the streaming twin
+    * ([[graft.streaming.StreamJobs.fedAvgBatch]]), so the two cannot
+    * drift (the lrTrainCtes discipline applied to the client chain).
+    * `feats` carries a `source` column; `nsh` is (source, `nCol`)
+    * shard sizes; `w0` is the (source, slot, w9) starting state. */
+  private[graft] def fedLocalSteps(feats: DataFrame, nsh: DataFrame,
+      w0: DataFrame, nCol: String): DataFrame = {
     import graft.functions.Det
-    val spark = docs.sparkSession
-    val feats = lrFeatsOf(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .transform(graft.Tables.scratchPin(_, "fedavg-feats")) // corpus-linear
-    val nsh = feats.filter(col("slot") === LrSlots)
-      .groupBy("source").agg(count(lit(1)).as("n_s"))
-      .localCheckpoint() // #feeds rows
-    val clients = nsh.select("source")
-    var w = clients.crossJoin(broadcast(lrZeroWeights(spark)))
-      .localCheckpoint() // #feeds·65 rows
+    var w = w0
     for (_ <- 0 until FedLocalSteps) {
       val m = feats.join(broadcast(w), Seq("source", "slot"))
         .groupBy("source", "doc_id", "y")
@@ -10675,10 +10675,27 @@ object TextQueries {
       w = w.join(g, Seq("source", "slot"), "left")
         .join(broadcast(nsh), "source")
         .select(col("source"), col("slot"),
-          (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div n_s div 1000"))
+          (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nCol div 1000"))
             .as("w9"))
         .localCheckpoint()
     }
+    w
+  }
+
+  private[graft] def fedAvgOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val spark = docs.sparkSession
+    val feats = lrFeatsOf(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .transform(graft.Tables.scratchPin(_, "fedavg-feats")) // corpus-linear
+    val nsh = feats.filter(col("slot") === LrSlots)
+      .groupBy("source").agg(count(lit(1)).as("n_s"))
+      .localCheckpoint() // #feeds rows
+    val clients = nsh.select("source")
+    val w = fedLocalSteps(feats, nsh,
+      clients.crossJoin(broadcast(lrZeroWeights(spark)))
+        .localCheckpoint(), // #feeds·65 rows
+      "n_s")
     // server aggregation: shard-size-weighted integer mean
     val nAll = feats.filter(col("slot") === LrSlots).count()
     val wAvg = w.join(broadcast(nsh), "source")

@@ -1516,4 +1516,118 @@ object StreamJobs {
         }
       }
       .start()
+
+  /** STREAMING FEDERATED AVERAGING (r15) — the
+    * [[graft.queries.TextQueries.fedAvg]] twin, completing the
+    * trainer family's batch/stream parity story: client updates
+    * arrive as micro-batches of labeled documents, each batch's
+    * sources train [[graft.queries.TextQueries.FedLocalSteps]] local
+    * exact-integer SGD steps on THEIR batch shard via the SAME
+    * source-keyed chain the batch query runs
+    * ([[graft.queries.TextQueries.fedLocalSteps]] — one code path, so
+    * the update law cannot drift), and the cross-batch state is the
+    * per-client (source, slot, w9, n_s) weight table — clients×65
+    * rows, never raw documents: the federated contract that shard
+    * data stays on its shard holds per micro-batch too.
+    *
+    * Redelivery/crash safety: the state merge rides [[commitState]]'s
+    * staging-swap with a batch marker, so a redelivered batch is
+    * skipped outright and a crash between delete and rename heals on
+    * the next batch ([[recoverState]]).
+    *
+    * Determinism: when every client's shard arrives in ONE micro-batch
+    * (the FL-realistic split — a client's data lives with the client),
+    * [[fedAvgStreamFinish]]'s server mean is BIT-IDENTICAL to the
+    * batch query's 'fedavg' lane (StreamingSpec asserts it). A client
+    * spanning several batches keeps training from its own last
+    * weights with n = the new shard's size — continual local
+    * training, the documented semantic for late-arriving shard data. */
+  def fedAvgStream(newDocs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) fedAvgBatch(batch.toDF(), batchId, outDir)
+      }
+      .start()
+
+  private[graft] def fedAvgBatch(batch: DataFrame, batchId: Long,
+      outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val cPath = s"$outDir/clients.parquet"
+    recoverState(spark, cPath)
+    // at-least-once guard: a redelivered batch must not advance its
+    // clients' weights twice
+    if (lastMergedBatch(spark, cPath) >= batchId) return
+    val feats = graft.queries.TextQueries.lrFeatsOf(batch)
+      .join(batch.select("doc_id", "source"), "doc_id")
+      .localCheckpoint() // batch-bounded
+    val nb = feats.filter(col("slot") === graft.queries.TextQueries.LrSlots)
+      .groupBy("source").agg(count(lit(1)).as("n_b"))
+      .localCheckpoint() // clients present in THIS batch
+    val exists = fsOf(spark, cPath)
+      .exists(new org.apache.hadoop.fs.Path(cPath))
+    val prev =
+      if (exists) Some(spark.read.parquet(cPath)
+        .select("source", "slot", "w9", "n_s").localCheckpoint())
+      else None
+    // a batch client starts from its OWN last weights (or zero on
+    // first contact) — the server never averages mid-batch
+    val zeros = nb.select("source")
+      .crossJoin(broadcast(graft.queries.TextQueries.lrZeroWeights(spark)))
+    val w0 = prev.fold(zeros) { p =>
+      zeros.join(p.select(col("source"), col("slot"), col("w9").as("pw")),
+          Seq("source", "slot"), "left")
+        .select(col("source"), col("slot"),
+          coalesce(col("pw"), col("w9")).as("w9"))
+    }.localCheckpoint()
+    val w1 = graft.queries.TextQueries.fedLocalSteps(feats, nb, w0, "n_b")
+      .join(broadcast(nb), "source")
+    // cumulative shard size per client (n_s weights the server mean)
+    val upd = prev.fold(w1.select(col("source"), col("slot"), col("w9"),
+        col("n_b").as("n_s"))) { p =>
+      val pn = p.groupBy("source").agg(max("n_s").as("n_p"))
+      w1.join(broadcast(pn), Seq("source"), "left")
+        .select(col("source"), col("slot"), col("w9"),
+          (coalesce(col("n_p"), lit(0L)) + col("n_b")).as("n_s"))
+    }
+    val merged = prev.fold(upd) { p =>
+      p.join(nb.select("source"), Seq("source"), "left_anti")
+        .unionByName(upd)
+    }.localCheckpoint() // clients×65 rows; severs lineage from cPath
+    commitState(merged, cPath, batchId)
+  }
+
+  /** Server aggregation + full-corpus eval over the streamed client
+    * state: the shard-size-weighted integer mean Σ n_s·w9 div N (the
+    * batch query's exact law), evaluated with the batch query's own
+    * eval shape. Returns the 'fedavg' lane row — bit-identical to
+    * [[graft.queries.TextQueries.fedAvg]]'s when each client arrived
+    * in one micro-batch. */
+  def fedAvgStreamFinish(state: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val spark = state.sparkSession
+    val nAll = state.groupBy("source").agg(max("n_s").as("n_s"))
+      .agg(sum("n_s")).head().getLong(0)
+    // every (source, slot) state row already carries its client's n_s,
+    // so the weighted mean needs no re-join
+    val wAvg = state.groupBy("slot")
+      .agg(expr(s"sum(n_s * w9) div $nAll").as("w9"))
+      .localCheckpoint() // 65 rows
+    graft.queries.TextQueries.lrFeatsOf(corpus)
+      .join(broadcast(wAvg), "slot")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("w9") * col("num")).as("mnum"),
+        (sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("mnum") > 0L) === (col("y") === 1), 1L).otherwise(0L))
+          .as("n_corr"),
+        sum(Det.units(-(col("y") * log(col("p"))
+          + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 9)).as("loss9"))
+      .select(lit("fedavg").as("model"), col("n_docs"),
+        expr("n_corr * 1000000 div n_docs").as("acc_ppm"),
+        Det.rnd(col("loss9").cast("double") / 1e9 / nAll, 6).as("logloss"))
+  }
 }

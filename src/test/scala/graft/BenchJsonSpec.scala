@@ -47,18 +47,25 @@ class BenchJsonSpec extends AnyFunSuite {
   test("flaggedIdx: a hot canary window flags exactly the keys it brackets") {
     // 12 keys, probe every 4 → probes at blocks 0,1,2 plus the closing
     // one. Window hits the middle block: probe(1) hot on entry.
-    val probes = IndexedSeq(0.15, 0.60, 0.16, 0.15) // base = 0.15
+    // median base = 0.16 (upper middle of 0.15,0.16,0.60,0.15).
+    val probes = IndexedSeq(0.15, 0.60, 0.16, 0.15)
     val f = Bench.flaggedIdx(12, probes, every = 4, factor = 1.6)
     // keys 0-3 bracketed by (0.15, 0.60) → flagged; 4-7 by (0.60,
     // 0.16) → flagged; 8-11 by (0.16, 0.15) → clean
     assert(f == (0 to 7))
   }
 
-  test("flaggedIdx: a uniformly-paced run flags nothing; base is the run MIN") {
+  test("flaggedIdx: base is the run MEDIAN — jitter and uniform regimes flag nothing") {
     assert(Bench.flaggedIdx(10, IndexedSeq(0.2, 0.21, 0.19, 0.2), 4, 1.6).isEmpty)
-    // run STARTS hot and cools: base is the later clean probe, so the
-    // early window still flags (the r14 driver pattern inverted)
-    val f = Bench.flaggedIdx(8, IndexedSeq(0.5, 0.15, 0.15), 4, 1.6)
+    // ~1.5× probe jitter from residual JVM state (the first live run's
+    // pattern) must NOT flag — only genuine windows vs the median do
+    assert(Bench.flaggedIdx(12,
+      IndexedSeq(0.41, 0.62, 0.55, 0.53), 4, 1.6).isEmpty)
+    // a uniformly-HOT run flags nothing either: cross-round
+    // normalization owns uniform regimes, the flag owns windows
+    assert(Bench.flaggedIdx(10, IndexedSeq(0.6, 0.61, 0.6, 0.62), 4, 1.6).isEmpty)
+    // run starts hot, cools for the majority: the early window flags
+    val f = Bench.flaggedIdx(12, IndexedSeq(0.5, 0.15, 0.16, 0.15), 4, 1.6)
     assert(f == (0 to 3))
   }
 

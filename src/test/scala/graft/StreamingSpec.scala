@@ -1816,4 +1816,67 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/trajectory.parquet")
       .select("step").distinct().count() == nBatches)
   }
+
+  test("fedAvgStream: one micro-batch per client makes the finish bit-identical to the batch fedavg lane") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 4 clients with distinct shards — the FL-realistic split: each
+    // client's data arrives as ITS OWN micro-batch
+    val docs = (1 to 48).map { i =>
+      val en = i % 3 != 0
+      val txt =
+        if (en) s"the quick fox t$i jumps over the lazy dog"
+        else s"der schnelle fuchs f$i springt nicht weit"
+      (i.toLong, txt, if (en) "en" else "de", s"src${i % 4}")
+    }
+    val corpus = docs.toDF("doc_id", "text", "lang", "source")
+    val outDir = Files.createTempDirectory("fedavg_stream").toString
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = StreamJobs.fedAvgStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), outDir)
+    try {
+      docs.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, shard) =>
+        mem.addData(shard); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = spark.read.parquet(s"$outDir/clients.parquet")
+    assert(state.select("source").distinct().count() == 4)
+    val got = StreamJobs.fedAvgStreamFinish(
+        state.select("source", "slot", "w9", "n_s"), corpus)
+      .collect().head
+    val want = queries.TextQueries.fedAvgOf(corpus)
+      .filter(col("model") === "fedavg").collect().head
+    assert(got.getLong(1) == want.getLong(1), "n_docs")
+    assert(got.getLong(2) == want.getLong(2), "acc_ppm diverges")
+    assert(got.getDouble(3) == want.getDouble(3), "logloss diverges")
+  }
+
+  test("fedAvgBatch: a redelivered client batch leaves the state untouched; a new batch keeps training the client") {
+    val s = spark
+    import s.implicits._
+    val outDir = Files.createTempDirectory("fedavg_redeliver").toString
+    val b0 = Seq((1L, "alpha beta gamma", "en", "cA"),
+      (2L, "delta epsilon", "de", "cB"))
+      .toDF("doc_id", "text", "lang", "source")
+    StreamJobs.fedAvgBatch(b0, 0L, outDir)
+    val st = stateRows(s"$outDir/clients.parquet")
+    StreamJobs.fedAvgBatch(b0, 0L, outDir) // redelivery
+    assert(stateRows(s"$outDir/clients.parquet") == st,
+      "client weights advanced on redelivery")
+    // a later shard for cA: continual local training from its own
+    // weights, cumulative n_s; cB untouched
+    def cbRows() = spark.read.parquet(s"$outDir/clients.parquet")
+      .filter(col("source") === "cB").select("slot", "w9", "n_s")
+      .collect().map(_.toString).sorted.toSeq
+    val cbBefore = cbRows()
+    val b1 = Seq((3L, "alpha zeta eta", "en", "cA"))
+      .toDF("doc_id", "text", "lang", "source")
+    StreamJobs.fedAvgBatch(b1, 1L, outDir)
+    val after = spark.read.parquet(s"$outDir/clients.parquet")
+    val nsA = after.filter(col("source") === "cA")
+      .agg(max("n_s")).head().getLong(0)
+    assert(nsA == 2L, s"cumulative shard size for cA: $nsA")
+    assert(cbRows() == cbBefore, "an absent client's state moved")
+  }
 }
