@@ -9180,35 +9180,41 @@ object TextQueries {
     * and the raw margin m (its SIGN is decided by the exact integer
     * Σ w9·num, so correctness flags cannot fork between engines).
     * `pred` (r14) restricts the TRAINING slice — the default TRUE
-    * keeps every pre-r14 caller's chain semantically unchanged. */
-  private[graft] def lrTrainCtes(through: Int, pred: String = "TRUE"): String = {
+    * keeps every pre-r14 caller's chain semantically unchanged.
+    * `p` (r15) prefixes every CTE name (like [[lrFeatCtes]]'s), so a
+    * query can replay TWO trajectories in one WITH — [[rhoLoss]]
+    * trains the current model on the train split and the irreducible
+    * reference on the holdout split; with the default "" every
+    * existing caller's SQL is byte-identical. */
+  private[graft] def lrTrainCtes(through: Int, pred: String = "TRUE",
+      p: String = ""): String = {
     import graft.functions.Det
     val rounds = (0 to through).map { step =>
       val mc =
-        s"""m$step AS MATERIALIZED (
+        s"""${p}m$step AS MATERIALIZED (
            |  SELECT f.doc_id, f.y,
            |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
            |                            / (1e9 * max(f.dl))))) AS p,
            |         CAST(sum(w.w9 * f.num) AS DOUBLE) / (1e9 * max(f.dl)) AS m
-           |  FROM feats f JOIN w$step w USING (slot)
+           |  FROM ${p}feats f JOIN ${p}w$step w USING (slot)
            |  GROUP BY 1, 2)""".stripMargin
       if (step < through)
         mc + s""",
-           |g$step AS (
+           |${p}g$step AS (
            |  SELECT f.slot,
            |         CAST(sum(${Det.unitsSql(
           "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 12)}) AS BIGINT) AS g12
-           |  FROM feats f JOIN m$step m USING (doc_id)
+           |  FROM ${p}feats f JOIN ${p}m$step m USING (doc_id)
            |  GROUP BY 1),
-           |w${step + 1} AS (
+           |${p}w${step + 1} AS (
            |  SELECT w.slot,
-           |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
+           |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM ${p}nd) // 1000
            |           AS w9
-           |  FROM w$step w LEFT JOIN g$step g USING (slot))""".stripMargin
+           |  FROM ${p}w$step w LEFT JOIN ${p}g$step g USING (slot))""".stripMargin
       else mc
     }.mkString(",\n")
-    s"""${lrFeatCtes("", pred)},
-       |w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
+    s"""${lrFeatCtes(p, pred)},
+       |${p}w0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
        |              CAST(0 AS BIGINT) AS w9),
        |$rounds""".stripMargin
   }
@@ -11035,5 +11041,421 @@ object TextQueries {
        |       CAST(sum(CASE WHEN g12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        |       CAST(max(a) AS BIGINT) AS gmax
        |FROM rk GROUP BY step ORDER BY step""".stripMargin
+  }
+
+  // ------------------------------- round-15 training-run engineering
+
+  /** (model, n_docs, acc_ppm, logloss, w_l1) eval lane of one weight
+    * table over a feature relation — the trainer family's shared eval
+    * shape (correctness decided by the SIGN of the exact integer
+    * margin Σ w9·num, loss terms fenced to 1e-9 units before the sum),
+    * factored out for the round-15 checkpoint-engineering keys so
+    * every lane of every audit evaluates IDENTICALLY. */
+  private def lrEvalLane(feats: DataFrame, w: DataFrame, name: String,
+      nAll: Long): DataFrame = {
+    import graft.functions.Det
+    feats.join(broadcast(w), "slot")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("w9") * col("num")).as("mnum"),
+        (sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("mnum") > 0L) === (col("y") === 1), 1L).otherwise(0L))
+          .as("n_corr"),
+        sum(Det.units(-(col("y") * log(col("p"))
+          + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 9)).as("loss9"))
+      .crossJoin(broadcast(w.agg(sum(abs(col("w9"))).as("w_l1")))) // 1-row scalar
+      .select(lit(name).as("model"), col("n_docs"),
+        expr("n_corr * 1000000 div n_docs").as("acc_ppm"),
+        Det.rnd(col("loss9").cast("double") / 1e9 / nAll, 6).as("logloss"),
+        col("w_l1"))
+  }
+
+  /** The eval-lane SQL twin of [[lrEvalLane]]: one SELECT over a
+    * margin CTE `$mRel(doc_id, y, mnum, p)` and a weight relation
+    * `$wRel(slot, w9)`. */
+  private def lrEvalLaneSql(name: String, mRel: String, wRel: String,
+      ndRel: String): String = {
+    import graft.functions.Det
+    s"""  SELECT '$name' AS model, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN (mnum > 0) = (y = 1) THEN 1 ELSE 0 END)
+       |              * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       |         ${Det.rndSql(
+      s"CAST(sum(${Det.unitsSql(
+        "-(y * ln(p) + (1 - y) * ln(1.0 - p))", 9)}) AS DOUBLE)" +
+        s" / 1e9 / (SELECT n FROM $ndRel)", 6)} AS logloss,
+       |         (SELECT CAST(sum(abs(w9)) AS BIGINT) FROM $wRel) AS w_l1
+       |  FROM $mRel""".stripMargin
+  }
+
+  /** The (doc_id, y, mnum, p) margin SQL of a weight relation over a
+    * feature CTE — the scoring twin every round-15 lane reads. */
+  private def lrMarginSql(featsRel: String, wRel: String): String =
+    s"""SELECT f.doc_id, f.y, sum(w.w9 * f.num) AS mnum,
+       |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+       |                            / (1e9 * max(f.dl))))) AS p
+       |  FROM $featsRel f JOIN $wRel w USING (slot)
+       |  GROUP BY 1, 2""".stripMargin
+
+  /** CHECKPOINT AVERAGING (the SWA read, Izmailov et al., UAI 2018):
+    * average the trainer's step-1 and step-2 weight checkpoints —
+    * per-slot (w1+w2) div 2, still exact integers — and evaluate the
+    * averaged model next to the final checkpoint on the full corpus.
+    * The flat-minima ensemble a training pipeline gets for free from
+    * checkpoints it already stores; on a 2-step convex trajectory the
+    * averaged point sits between the checkpoints, so the spec can
+    * assert its loss lands between step-1's and step-2's.
+    *
+    * Scale shape: the trajectory is the bit-identical
+    * [[logregSgdStep]] replay (65-row states); averaging is a 65-row
+    * join; each eval lane is one broadcast join + one aggregation over
+    * the pinned feature relation. Nothing new is corpus-sized. */
+  def swaAvg(spark: SparkSession, dir: String): DataFrame =
+    swaAvgOf(Tables(spark, dir, "documents"))
+
+  private[graft] def swaAvgOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "swa-feats")) // corpus-linear
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    var w = lrZeroWeights(spark)
+    val steps = (1 to LrRounds).map { _ =>
+      w = logregSgdStep(w, feats, nDocs).localCheckpoint() // 65 rows
+      w
+    }
+    // per-slot mean of the step checkpoints — truncating div, same on
+    // both engines (scripts/check_pins.py pins the semantics)
+    val wSwa = steps(0).select(col("slot"), col("w9").as("w1"))
+      .join(steps(1).select(col("slot"), col("w9").as("w2")), "slot")
+      .select(col("slot"), expr("(w1 + w2) div 2").as("w9"))
+      .localCheckpoint() // 65 rows
+    lrEvalLane(feats, steps(1), "final", nDocs)
+      .unionByName(lrEvalLane(feats, wSwa, "swa", nDocs))
+      .orderBy("model")
+  }
+
+  lazy val swaAvgSql: String = {
+    s"""WITH ${lrTrainCtes(LrRounds)},
+       |wswa AS (SELECT a.slot, (a.w9 + b.w9) // 2 AS w9
+       |         FROM w1 a JOIN w2 b USING (slot)),
+       |ef AS (${lrMarginSql("feats", s"w$LrRounds")}),
+       |es AS (${lrMarginSql("feats", "wswa")})
+       |${lrEvalLaneSql("final", "ef", s"w$LrRounds", "nd")}
+       |UNION ALL
+       |${lrEvalLaneSql("swa", "es", "wswa", "nd")}
+       |ORDER BY model""".stripMargin
+  }
+
+  /** POST-TRAINING INT8 WEIGHT QUANTIZATION audit (the symmetric
+    * per-tensor scheme of Jacob et al., CVPR 2018): snap the final
+    * checkpoint to the 127-level integer grid — q = (w·127) div wmax,
+    * dequant w' = (q·wmax) div 127, all exact integer arithmetic with
+    * the max-|w| scale — and report the quantized model's full-corpus
+    * accuracy/log-loss next to full precision, plus the exact L1
+    * quantization error. The deploy-time regression gate for serving
+    * a compressed model.
+    *
+    * Scale shape: quantization is 65-row arithmetic; the two eval
+    * lanes are each one broadcast join + one aggregation over the
+    * pinned features. */
+  def weightQuant(spark: SparkSession, dir: String): DataFrame =
+    weightQuantOf(Tables(spark, dir, "documents"))
+
+  private[graft] def weightQuantOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "wq-feats")) // corpus-linear
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    var w = lrZeroWeights(spark)
+    for (_ <- 0 until LrRounds)
+      w = logregSgdStep(w, feats, nDocs).localCheckpoint() // 65 rows
+    // symmetric per-tensor scale: wmax ≥ 1 fences the all-zero table
+    // (div-by-zero) without moving any real scale
+    val wq = w.crossJoin(broadcast(
+        w.agg(greatest(max(abs(col("w9"))), lit(1L)).as("wmax"))))
+      .select(col("slot"),
+        expr("(w9 * 127 div wmax) * wmax div 127").as("w9"),
+        (col("w9") - expr("(w9 * 127 div wmax) * wmax div 127")).as("err"))
+      .localCheckpoint() // 65 rows
+    val errL1 = wq.agg(sum(abs(col("err"))).as("e")).head().getLong(0)
+    lrEvalLane(feats, w, "fp", nDocs)
+      .withColumn("quant_err_l1", lit(0L))
+      .unionByName(lrEvalLane(feats, wq.select("slot", "w9"), "int8", nDocs)
+        .withColumn("quant_err_l1", lit(errL1)))
+      .orderBy("model")
+  }
+
+  lazy val weightQuantSql: String = {
+    s"""WITH ${lrTrainCtes(LrRounds)},
+       |wmx AS (SELECT greatest(max(abs(w9)), 1) AS wmax FROM w$LrRounds),
+       |wq AS (SELECT slot,
+       |              (w9 * 127 // wmax) * wmax // 127 AS w9,
+       |              w9 - (w9 * 127 // wmax) * wmax // 127 AS err
+       |       FROM w$LrRounds, wmx),
+       |ef AS (${lrMarginSql("feats", s"w$LrRounds")}),
+       |eq AS (${lrMarginSql("feats", "wq")})
+       |SELECT *, CAST(0 AS BIGINT) AS quant_err_l1 FROM (
+       |${lrEvalLaneSql("fp", "ef", s"w$LrRounds", "nd")})
+       |UNION ALL
+       |SELECT *, (SELECT CAST(sum(abs(err)) AS BIGINT) FROM wq)
+       |  AS quant_err_l1 FROM (
+       |${lrEvalLaneSql("int8", "eq", "wq", "nd")})
+       |ORDER BY model""".stripMargin
+  }
+
+  /** Fraction of the corpus the EL2N pruning audit drops (ppm-exact
+    * 30%, applied at grid-cell granularity). */
+  private[graft] val El2nPruneFrac = 3 // tenths
+
+  /** EL2N DATA-PRUNING audit (Paul, Ganguli & Dziugaite, NeurIPS
+    * 2021 "Deep Learning on a Data Diet"): the error-L2-norm score of
+    * an EARLY checkpoint — for the logistic trainer, |p − y| under
+    * the step-1 weights — ranks examples by learning difficulty;
+    * pruning the lowest ~30% (the easy, redundant mass) is the
+    * canonical cheap data diet. Reported per (source, lane): how many
+    * docs each feed keeps/loses and the lanes' mean scores — the
+    * per-feed impact read a curation pipeline signs off on.
+    *
+    * Scale shape (corpus-sort-free, the curriculum_stages pattern):
+    * scores quantize to the 1e-3 grid (≤1001 cells); the 30% cut
+    * comes from the cell histogram's running counts, so the window
+    * runs over CELLS, never corpus rows; docs map to lanes through
+    * the broadcast cell cutoff. */
+  def el2nPrune(spark: SparkSession, dir: String): DataFrame =
+    el2nPruneOf(Tables(spark, dir, "documents"))
+
+  private[graft] def el2nPruneOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "el2n-feats")) // corpus-linear
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val w1 = logregSgdStep(lrZeroWeights(spark), feats, nDocs)
+      .localCheckpoint() // 65 rows — the EARLY checkpoint
+    val scored = feats.join(broadcast(w1), "slot")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("w9") * col("num")).cast("double")
+        / (lit(1e9) * max("dl"))).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      .select(col("doc_id"),
+        Det.units(abs(col("p") - col("y")), 6).as("e6"))
+    // ≤1001-cell grid histogram → the smallest cell whose cumulative
+    // count reaches 30% of the corpus; cells BELOW it are pruned (so
+    // the pruned mass is ≤ 30%, cell-granular)
+    val cells = scored.groupBy(expr("e6 div 1000").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val cut = cells
+      .withColumn("cum", sum("n").over(
+        Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") * 10 >= lit(El2nPruneFrac) * nDocs)
+      .agg(min("cell").as("cut"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("e6"),
+        when(expr("e6 div 1000") < col("cut"), "pruned").otherwise("kept")
+          .as("lane"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "lane")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.rnd(sum("e6").cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_el2n"))
+      .orderBy("source", "lane")
+  }
+
+  lazy val el2nPruneSql: String = {
+    import graft.functions.Det
+    s"""WITH ${lrTrainCtes(1)},
+       |sc AS (SELECT doc_id, ${Det.unitsSql("abs(p - y)", 6)} AS e6 FROM m1),
+       |cells AS (SELECT e6 // 1000 AS cell, count(*) AS n FROM sc GROUP BY 1),
+       |cut AS (
+       |  SELECT min(cell) AS cut FROM (
+       |    SELECT cell, sum(n) OVER (ORDER BY cell
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM cells)
+       |  WHERE cum * 10 >= $El2nPruneFrac * (SELECT n FROM nd))
+       |SELECT d.source,
+       |       CASE WHEN sc.e6 // 1000 < (SELECT cut FROM cut)
+       |            THEN 'pruned' ELSE 'kept' END AS lane,
+       |       count(*) AS n_docs,
+       |       ${Det.rndSql(
+      "CAST(sum(sc.e6) AS DOUBLE) / count(*) / 1e6", 6)} AS mean_el2n
+       |FROM sc JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2
+       |ORDER BY source, lane""".stripMargin
+  }
+
+  /** The clipping-threshold sweep grid, in 1e-6 norm units. */
+  private[graft] val ClipGrid6 = Seq(250000L, 500000L, 1000000L,
+    2000000L, 4000000L)
+
+  /** PER-EXAMPLE GRADIENT-CLIPPING audit (the clipping half of DP-SGD,
+    * Abadi et al., CCS 2016 — [[dpSgdAccount]] covers the noise half):
+    * per-document gradient L2 norms under the final checkpoint, swept
+    * against a threshold grid — for each C, how many examples clip and
+    * how much of the total squared-gradient mass sits in them. The
+    * read that picks C: too low and most of the signal is clipped
+    * away, too high and the DP noise (calibrated to C) drowns
+    * everything.
+    *
+    * Determinism: per-(doc, slot) gradient terms fenced to 1e-6 units
+    * (|g6| ≤ 1e6, so the 65-slot squared sum ≤ 6.5e13 — exact int64);
+    * clipping compares norm² against C² exactly, sqrt-free. Corpus
+    * mass sums cast to decimal(38,0) before summing (int64 would
+    * overflow past ~140k docs).
+    *
+    * Scale shape: one margin pass + one (doc) aggregation; the 5-row
+    * threshold grid fans out via a broadcast cross join. */
+  def gradClip(spark: SparkSession, dir: String): DataFrame =
+    gradClipOf(Tables(spark, dir, "documents"))
+
+  private[graft] def gradClipOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val spark = docs.sparkSession
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "clip-feats")) // corpus-linear
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    var w = lrZeroWeights(spark)
+    for (_ <- 0 until LrRounds)
+      w = logregSgdStep(w, feats, nDocs).localCheckpoint() // 65 rows
+    val m = feats.join(broadcast(w), "slot")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("w9") * col("num")).cast("double")
+        / (lit(1e9) * max("dl"))).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+    val norms = feats.join(m.select("doc_id", "p"), "doc_id")
+      .select(col("doc_id"),
+        Det.units((col("p") - col("y"))
+          * col("num").cast("double") / col("dl"), 6).as("g6"))
+      .groupBy("doc_id")
+      .agg(sum(col("g6") * col("g6")).as("norm2")) // ≤ 6.5e13, exact
+      .localCheckpoint() // doc-sized, read by all 5 grid lanes
+    import spark.implicits._
+    val grid = ClipGrid6.toDF("c6")
+    val d38 = "decimal(38,0)"
+    norms.crossJoin(broadcast(grid))
+      .groupBy("c6")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm2") > col("c6") * col("c6"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(when(col("norm2") > col("c6") * col("c6"),
+          col("norm2").cast(d38)).otherwise(lit(0).cast(d38))).as("cm"),
+        sum(col("norm2").cast(d38)).as("tm"))
+      .select(col("c6"), col("n_docs"),
+        col("n_clipped"),
+        expr("n_clipped * 1000000 div n_docs").as("clip_frac_ppm"),
+        Det.rnd(col("cm").cast("double") / col("tm").cast("double"), 6)
+          .as("clipped_mass_share"))
+      .orderBy("c6")
+  }
+
+  lazy val gradClipSql: String = {
+    import graft.functions.Det
+    s"""WITH ${lrTrainCtes(LrRounds)},
+       |gn AS (
+       |  SELECT f.doc_id,
+       |         CAST(sum(g6 * g6) AS BIGINT) AS norm2
+       |  FROM (SELECT f.doc_id,
+       |          ${Det.unitsSql(
+      "(m.p - f.y) * CAST(f.num AS DOUBLE) / f.dl", 6)} AS g6
+       |        FROM feats f JOIN m$LrRounds m USING (doc_id)) f
+       |  GROUP BY 1),
+       |grid AS (SELECT CAST(unnest([${ClipGrid6.mkString(", ")}]) AS BIGINT) AS c6)
+       |SELECT g.c6, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN n.norm2 > g.c6 * g.c6 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_clipped,
+       |       CAST(sum(CASE WHEN n.norm2 > g.c6 * g.c6 THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS clip_frac_ppm,
+       |       ${Det.rndSql(
+      "CAST(sum(CASE WHEN n.norm2 > g.c6 * g.c6 THEN n.norm2 ELSE 0 END)" +
+        " AS DOUBLE) / CAST(sum(n.norm2) AS DOUBLE)", 6)}
+       |         AS clipped_mass_share
+       |FROM gn n, grid g
+       |GROUP BY 1
+       |ORDER BY c6""".stripMargin
+  }
+
+  /** Top-k size of the RHO-LOSS selection report. */
+  private[graft] val RhoTopK = 10
+
+  /** RHO-LOSS DATA SELECTION (Mindermann et al., ICML 2022
+    * "Prioritized training on points that are learnable, worth
+    * learning, and not yet learnt"): for every TRAIN-split document,
+    * the reducible holdout loss — its loss under the model trained on
+    * the train split MINUS its loss under an irreducible-loss model
+    * trained on the HELD-OUT split. High-rho examples are learnable
+    * signal the current model hasn't captured; low (negative) rho
+    * marks noise/mislabeled points whose loss even a model that never
+    * saw them achieves. Reports the top-[[RhoTopK]] selection — the
+    * next-batch priority read.
+    *
+    * Determinism: BOTH trajectories are bit-identical integer
+    * [[logregSgdStep]] replays on their split (the oracle replays the
+    * second chain through the prefixed [[lrTrainCtes]]); per-doc
+    * losses fence to 1e-9 units, so rho9 and the (rho9 DESC, doc_id)
+    * order are exact-integer decided.
+    *
+    * Scale shape: two trainer chains + one two-model scoring pass over
+    * the train slice; the report is top-k (TakeOrderedAndProject — no
+    * global sort materializes). */
+  def rhoLoss(spark: SparkSession, dir: String): DataFrame =
+    rhoLossOf(Tables(spark, dir, "documents"))
+
+  private[graft] def rhoLossOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Det
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val featsAll = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "rho-feats")) // corpus-linear
+    val trainF = featsAll.filter(expr(SplitBucket) < 80)
+    val holdF = featsAll.filter(expr(SplitBucket) >= 80)
+    def trained(f: DataFrame): DataFrame = {
+      val n = f.filter(col("slot") === LrSlots).count()
+      var w = lrZeroWeights(spark)
+      for (_ <- 0 until LrRounds)
+        w = logregSgdStep(w, f, n).localCheckpoint() // 65 rows
+      w
+    }
+    val (wCur, wHold) = (trained(trainF), trained(holdF))
+    def nll9(w: DataFrame, as: String): DataFrame =
+      trainF.join(broadcast(w), "slot")
+        .groupBy("doc_id", "y")
+        .agg((sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        .select(col("doc_id"), col("y"),
+          Det.units(-(col("y") * log(col("p"))
+            + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 9).as(as))
+    val scored = nll9(wCur, "nll_cur9")
+      .join(nll9(wHold, "nll_hold9").drop("y"), "doc_id")
+      .select(col("doc_id"), col("y"), col("nll_cur9"), col("nll_hold9"),
+        (col("nll_cur9") - col("nll_hold9")).as("rho9"))
+    val top = scored.orderBy(col("rho9").desc, col("doc_id")).limit(RhoTopK)
+      .localCheckpoint() // k rows
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("rho9").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("y"),
+        col("rho9"), col("nll_cur9"), col("nll_hold9"))
+      .orderBy("rank")
+  }
+
+  lazy val rhoLossSql: String = {
+    import graft.functions.Det
+    val loss9 = Det.unitsSql("-(y * ln(p) + (1 - y) * ln(1.0 - p))", 9)
+    s"""WITH ${lrTrainCtes(LrRounds, s"$SplitBucketSql < 80")},
+       |${lrTrainCtes(LrRounds, s"$SplitBucketSql >= 80", "h_")},
+       |curn AS (SELECT doc_id, y, $loss9 AS nll_cur9 FROM m$LrRounds),
+       |hm AS (${lrMarginSql("feats", s"h_w$LrRounds")}),
+       |hn AS (SELECT doc_id, $loss9 AS nll_hold9 FROM hm),
+       |sc AS (
+       |  SELECT c.doc_id, c.y, c.nll_cur9, h.nll_hold9,
+       |         c.nll_cur9 - h.nll_hold9 AS rho9
+       |  FROM curn c JOIN hn h USING (doc_id))
+       |SELECT CAST(row_number() OVER (ORDER BY rho9 DESC, doc_id)
+       |            AS INTEGER) AS rank,
+       |       doc_id, CAST(y AS BIGINT) AS y, rho9, nll_cur9, nll_hold9
+       |FROM sc
+       |ORDER BY rho9 DESC, doc_id
+       |LIMIT $RhoTopK""".stripMargin
   }
 }

@@ -47,7 +47,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("flaggedIdx: a hot canary window flags exactly the keys it brackets") {
     // 12 keys, probe every 4 → probes at blocks 0,1,2 plus the closing
     // one. Window hits the middle block: probe(1) hot on entry.
-    // median base = 0.16 (upper middle of 0.15,0.16,0.60,0.15).
+    // p25 base = 0.15 (2nd smallest of 0.15,0.16,0.60,0.15).
     val probes = IndexedSeq(0.15, 0.60, 0.16, 0.15)
     val f = Bench.flaggedIdx(12, probes, every = 4, factor = 1.6)
     // keys 0-3 bracketed by (0.15, 0.60) → flagged; 4-7 by (0.60,
@@ -55,7 +55,7 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(f == (0 to 7))
   }
 
-  test("flaggedIdx: base is the run MEDIAN — jitter and uniform regimes flag nothing") {
+  test("flaggedIdx: base is the run's lower quartile — jitter and uniform regimes flag nothing") {
     assert(Bench.flaggedIdx(10, IndexedSeq(0.2, 0.21, 0.19, 0.2), 4, 1.6).isEmpty)
     // ~1.5× probe jitter from residual JVM state (the first live run's
     // pattern) must NOT flag — only genuine windows vs the median do
