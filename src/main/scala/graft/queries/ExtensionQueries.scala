@@ -6842,17 +6842,27 @@ object ExtensionQueries {
 
   private[graft] def hitsOnEdges(edges: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
+    // round state pinned per half-iteration (the r15 spectral-radius
+    // lesson): unpinned, each normalization scalar + next-step join
+    // re-derived its predecessor, multiplying the edge⋈score joins
+    // ~2^(2·iters)× into the final top-k actions; pinned, the loop is
+    // exactly TWO edge passes per iteration and the aRaw/hRaw relation
+    // feeds its own normalizer from a node-sized columnar read
+    val pcA = new graft.Tables.PinChain("hits-a")
+    val pcH = new graft.Tables.PinChain("hits-h")
     var h = edges.select("c").distinct().withColumn("h", lit(HitsScale))
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
       val aRaw = edges.join(h, "c").groupBy("p")
         .agg(sum(col("h").cast(d38)).as("ar"))
+        .transform(pcA.next) // |parts|-sized, read by sA and a
       val sA = aRaw.agg(sum(col("ar")).as("sa"))
       a = aRaw.crossJoin(broadcast(sA))
         .select(col("p"),
           expr(s"CAST(ar AS DECIMAL(38,0)) * $HitsScale div sa").as("a"))
       val hRaw = edges.join(a, "p").groupBy("c")
         .agg(sum(col("a").cast(d38)).as("hr"))
+        .transform(pcH.next) // |custs|-sized, read by sH and h
       val sH = hRaw.agg(sum(col("hr")).as("sh"))
       h = hRaw.crossJoin(broadcast(sH))
         .select(col("c"),

@@ -1318,6 +1318,8 @@ object SimilarityQueries {
         .groupBy("vec_id").agg(sum(col("v") * col("w")).as("dt"))
       val y = x.join(dots, "vec_id")
         .groupBy("i").agg(sum(col("v") * col("dt")).as("s"))
+        .localCheckpoint() // 64 rows — read by the normalizer AND b
+        // (unpinned, the norm scalar re-ran both matrix passes, r15)
       val nrm = y.agg(sqrt(sum(col("s") * col("s"))).as("nm"))
       b = y.crossJoin(broadcast(nrm))
         .select(col("i"), round(col("s") / col("nm"), 6).as("w"))
@@ -2667,6 +2669,10 @@ object SimilarityQueries {
         .select(col("dst").as("vec_id"), col("cand"))
       labs = labs.join(votes, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("lab"), col("cand")).as("lab"))
+      // NOT pinned (measured, r15): the predecessor's two uses live in
+      // one main-plan action where ReusedExchange dedupes them — a
+      // per-round pin write regressed this key 0.97s → 1.50s when
+      // tried (see kcore's note for the boundary rule)
     }
     emb.filter(col("vec_id") % LpHideMod === 0)
       .join(labs, "vec_id")
@@ -3429,6 +3435,13 @@ object SimilarityQueries {
     for (r <- 1 to KcoreRounds) {
       val deg = edg.select(explode(array(col("src"), col("dst"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
+      // NOT pinned (measured, r15): the survivor set feeds two
+      // semi-joins, but both sit in the MAIN plan, so ReusedExchange
+      // dedupes the degree aggregation's shuffle — a per-round pin
+      // write costs more than it saves (1.8s → 3.0s when tried). The
+      // spectral-radius double-pass was different: its duplicate
+      // crossed a broadcast-SUBQUERY boundary, which exchange reuse
+      // cannot span.
       val keep = deg.filter(col("d") >= KcoreK).select("v")
       edg = edg
         .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
@@ -5940,6 +5953,7 @@ object SimilarityQueries {
       dist
     }
     val seed0 = adj.select(col("src").as("v")).distinct().agg(min("v").as("s"))
+      .localCheckpoint() // 1 row — read by sweep 1 AND the final select
     val d1 = sweep(seed0, s"$tag-s1")
     val far = d1.filter(col("d") < SsspFar)
       .orderBy(desc("d"), asc("v")).limit(1)
