@@ -11375,6 +11375,144 @@ object TextQueries {
        |ORDER BY c6""".stripMargin
   }
 
+  /** KNOWLEDGE DISTILLATION audit (Hinton, Vinyals & Dean, NIPS-W
+    * 2015): the Naive-Bayes TEACHER's soft posteriors on the val
+    * slice (the unlabeled-pool stand-in — the teacher never saw these
+    * docs' labels at training time) train the logistic STUDENT with
+    * the distillation gradient (p_student − p_teacher), next to a
+    * hard-label student trained on the SAME slice with the true
+    * labels; both lanes evaluate against the true labels plus their
+    * mean absolute agreement with the teacher. The soft-vs-hard gap
+    * is the read that decides whether teacher pseudo-labels are good
+    * enough to scale labeling to the unlabeled corpus.
+    *
+    * Determinism: teacher posteriors ride [[nbScores]]' exact 1e-9
+    * BIGINT log-score fence; the student chains are the
+    * [[logregSgdStep]] integer law — the soft lane only swaps the
+    * residual's target for yt9/1e9, with the per-(doc, slot) gradient
+    * term still fenced to 1e-12 units before the sum, so both engines
+    * walk both trajectories bit-identically; teacher MAE is a mean of
+    * exact |units(p,9) − yt9| integers.
+    *
+    * Scale shape: one teacher scoring pass (vocabulary-sized count
+    * model, broadcast when it fits), one val-slice feature pin, then
+    * per step ONE broadcast join + two aggregations per lane —
+    * everything after the pin is slice-linear with 65-row states. */
+  def distillSoft(spark: SparkSession, dir: String): DataFrame =
+    distillSoftOf(Tables(spark, dir, "documents"))
+
+  private[graft] def distillSoftOf(documents: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val spark = documents.sparkSession
+    val teach = nbScores(documents)
+      .select(col("doc_id"),
+        Det.units(lit(1.0) / (lit(1.0)
+          + exp((col("sc_ot") - col("sc_en")).cast("double") / 1e9)), 9)
+          .as("yt9"))
+    val ft = lrFeatsOf(documents.transform(splitAssign)
+        .filter(col("split") === "val").drop("split"))
+      .join(teach, "doc_id")
+      .transform(graft.Tables.scratchPin(_, "distill-feats")) // val-slice-linear
+    val nVal = ft.filter(col("slot") === LrSlots).count()
+    require(nVal > 0, "distillSoft: empty val slice")
+    var wH = lrZeroWeights(spark)
+    var wS = lrZeroWeights(spark)
+    for (_ <- 0 until LrRounds) {
+      wH = logregSgdStep(wH, ft.drop("yt9"), nVal).localCheckpoint() // 65 rows
+      // the soft step: identical integer law, target = teacher p
+      val m = ft.join(broadcast(wS), "slot")
+        .groupBy("doc_id")
+        .agg((sum(col("w9") * col("num")).cast("double")
+          / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      val g = ft.join(m.select("doc_id", "p"), "doc_id")
+        .groupBy("slot")
+        .agg(sum(Det.units((col("p") - col("yt9").cast("double") / 1e9)
+          * col("num").cast("double") / col("dl"), 12)).as("g12"))
+      wS = wS.join(g, Seq("slot"), "left")
+        .select(col("slot"),
+          (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nVal div 1000"))
+            .as("w9"))
+        .localCheckpoint() // 65 rows
+    }
+    def lane(w: DataFrame, name: String): DataFrame =
+      ft.join(broadcast(w), "slot")
+        .groupBy("doc_id", "y", "yt9")
+        .agg(sum(col("w9") * col("num")).as("mnum"),
+          (sum(col("w9") * col("num")).cast("double")
+            / (lit(1e9) * max("dl"))).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("mnum") > 0L) === (col("y") === 1), 1L).otherwise(0L))
+            .as("n_corr"),
+          sum(Det.units(-(col("y") * log(col("p"))
+            + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 9)).as("loss9"),
+          sum(abs(Det.units(col("p"), 9) - col("yt9"))).as("mae9s"))
+        .select(lit(name).as("model"), col("n_docs"),
+          expr("n_corr * 1000000 div n_docs").as("acc_ppm"),
+          Det.rnd(col("loss9").cast("double") / 1e9 / nVal, 6).as("logloss"),
+          Det.rnd(col("mae9s").cast("double") / col("n_docs") / 1e9, 6)
+            .as("teacher_mae"))
+    lane(wH, "hard").unionByName(lane(wS, "soft")).orderBy("model")
+  }
+
+  lazy val distillSoftSql: String = {
+    import graft.functions.Det
+    val valPred = s"$SplitBucketSql >= 80 AND $SplitBucketSql < 90"
+    val softRounds = (0 until LrRounds).map { k =>
+      s"""dm$k AS MATERIALIZED (
+         |  SELECT f.doc_id, max(f.yt9) AS yt9,
+         |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+         |                            / (1e9 * max(f.dl))))) AS p
+         |  FROM ft f JOIN sw$k w USING (slot)
+         |  GROUP BY 1),
+         |dg$k AS (
+         |  SELECT f.slot,
+         |         CAST(sum(${Det.unitsSql(
+        "(m.p - CAST(f.yt9 AS DOUBLE) / 1e9) * CAST(f.num AS DOUBLE) / f.dl",
+        12)}) AS BIGINT) AS g12
+         |  FROM ft f JOIN dm$k m USING (doc_id)
+         |  GROUP BY 1),
+         |sw${k + 1} AS (
+         |  SELECT w.slot,
+         |         w.w9 - coalesce(g.g12, 0) * $LrNum // (SELECT n FROM nd) // 1000
+         |           AS w9
+         |  FROM sw$k w LEFT JOIN dg$k g USING (slot))""".stripMargin
+    }.mkString(",\n")
+    def laneSql(wRel: String, name: String): String =
+      s"""SELECT '$name' AS model, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN (mnum > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |            * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+         |       ${Det.rndSql(
+        s"CAST(sum(${Det.unitsSql(
+          "-(y * ln(p) + (1 - y) * ln(1.0 - p))", 9)}) AS DOUBLE)" +
+          " / 1e9 / (SELECT n FROM nd)", 6)} AS logloss,
+         |       ${Det.rndSql(
+        s"CAST(sum(abs(${Det.unitsSql("p", 9)} - yt9)) AS DOUBLE)" +
+          " / count(*) / 1e9", 6)} AS teacher_mae
+         |FROM (
+         |  SELECT f.doc_id, f.y, f.yt9, sum(w.w9 * f.num) AS mnum,
+         |         1.0 / (1.0 + exp(-(CAST(sum(w.w9 * f.num) AS DOUBLE)
+         |                            / (1e9 * max(f.dl))))) AS p
+         |  FROM ft f JOIN $wRel w USING (slot)
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    s"""WITH ${lrTrainCtes(LrRounds, valPred)},
+       |$nbScoreCtes,
+       |teach AS (SELECT doc_id, ${Det.unitsSql(
+      "1.0 / (1.0 + exp(CAST(sc_ot - sc_en AS DOUBLE) / 1e9))", 9)} AS yt9
+       |          FROM nbsc),
+       |ft AS MATERIALIZED (
+       |  SELECT f.doc_id, f.y, f.slot, f.num, f.dl, t.yt9
+       |  FROM feats f JOIN teach t USING (doc_id)),
+       |sw0 AS (SELECT CAST(unnest(range(${LrSlots + 1})) AS BIGINT) AS slot,
+       |               CAST(0 AS BIGINT) AS w9),
+       |$softRounds
+       |${laneSql(s"w$LrRounds", "hard")}
+       |UNION ALL
+       |${laneSql(s"sw$LrRounds", "soft")}
+       |ORDER BY model""".stripMargin
+  }
+
   /** Top-k size of the RHO-LOSS selection report. */
   private[graft] val RhoTopK = 10
 

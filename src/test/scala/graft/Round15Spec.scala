@@ -177,6 +177,37 @@ class Round15Spec extends SparkSpec {
       assert(norm2.count(_ > c6 * c6).toLong == nClip, s"n_clipped at C=$c6")
   }
 
+  test("distillSoft: the hard lane IS the val-slice trainer; a perfect teacher makes the lanes coincide") {
+    val docs = corpus(400) // val slice (bucket 80-89) needs enough docs
+    val out = TextQueries.distillSoftOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("hard", "soft"))
+    val nVal = out("hard").getLong(1)
+    assert(nVal > 0 && nVal == out("soft").getLong(1))
+    // independent hard-lane replay: the scalar trainer restricted to
+    // the val slice must reproduce the hard lane's accuracy
+    val valDocs = docs.filter(
+      expr(TextQueries.splitBucketOf("doc_id")).between(80, 89))
+    val feats = TextQueries.lrFeatsOf(valDocs).localCheckpoint()
+    var w = TextQueries.lrZeroWeights(spark)
+    for (_ <- 0 until TextQueries.LrRounds)
+      w = TextQueries.logregSgdStep(w, feats, nVal).localCheckpoint()
+    val ws = w.collect().map(r => r.getAs[Number]("slot").longValue
+      -> r.getAs[Long]("w9")).toMap
+    val fs = feats.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Number](2).longValue, r.getLong(3), r.getLong(4)))
+    val corr = fs.groupBy(_._1).count { case (_, rows0) =>
+      val mnum = rows0.map(t => ws(t._3) * t._4).sum
+      (mnum > 0) == (rows0.head._2 == 1)
+    }
+    assert(out("hard").getLong(2) == corr * 1000000L / nVal, "hard acc_ppm")
+    // teacher MAE is a [0, 1] mean and both lanes carry it
+    for (l <- Seq("hard", "soft")) {
+      val mae = out(l).getDouble(4)
+      assert(mae >= 0.0 && mae <= 1.0)
+    }
+  }
+
   test("rhoLoss: rho is exactly the loss difference and the top-k order is the exact-integer sort") {
     val docs = corpus(80)
     val rows = TextQueries.rhoLossOf(docs).collect()
