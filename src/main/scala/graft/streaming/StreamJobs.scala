@@ -1598,6 +1598,93 @@ object StreamJobs {
     commitState(merged, cPath, batchId)
   }
 
+  /** Fold cadence of the streaming ANN index: between folds at most
+    * [[IdxFold]] per-batch segments exist; each fold rewrites the full
+    * index into ONE bucket-partitioned segment (the logregStream
+    * trajectory-fold discipline applied to a vector index). */
+  private[graft] val IdxFold = 16
+
+  /** STREAMING ANN-INDEX MAINTENANCE (r15) — the inverse twin of
+    * [[annProbeStream]] (static index / live queries): here VECTORS
+    * arrive as micro-batches and the sign-LSH index GROWS, the
+    * embedding-ingest shape of a serving deployment. Each batch
+    * buckets its vectors through the SAME codegen'd
+    * [[graft.functions.SignLshBucket]] pipeline as the batch query
+    * ([[graft.queries.SimilarityQueries.buildLshIndex]] — one code
+    * path, so index layout cannot drift) and lands as a
+    * bucket-PARTITIONED `seg=<batchId>` overwrite directory: a probe
+    * reading `bucket = b` prunes to that bucket's files
+    * (partition pruning is the scale story — the probe never scans
+    * the index), and an at-least-once redelivery rewrites its own
+    * segment instead of duplicating vectors. Every [[IdxFold]]
+    * batches the segments fold into one (file count stays bounded on
+    * a long-lived stream); a batch marker ([[commitState]] on the
+    * meta relation) makes the segment-write + fold pair atomic under
+    * redelivery. [[annIndexFinish]] probes the accumulated index with
+    * the batch query's own probe — bit-identical to running
+    * [[graft.queries.SimilarityQueries.annLsh]]'s probe over an index
+    * built from the concatenated batches (StreamingSpec asserts it). */
+  def annIndexStream(newVecs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) annIndexBatch(batch.toDF(), batchId, outDir)
+      }
+      .start()
+
+  private[graft] def annIndexBatch(batch: DataFrame, batchId: Long,
+      outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val iPath = s"$outDir/index.parquet"
+    val mPath = s"$outDir/meta.parquet"
+    recoverState(spark, mPath)
+    recoverState(spark, iPath)
+    // at-least-once guard: the marker commits LAST, so its presence
+    // proves both the segment write and any fold landed
+    if (lastMergedBatch(spark, mPath) >= batchId) return
+    val fs = fsOf(spark, iPath)
+    val idx = graft.queries.SimilarityQueries
+      .buildLshIndex(batch.select(col("vec_id"), col("embedding")))
+      .localCheckpoint() // batch-bounded
+    if (batchId > 0 && batchId % IdxFold == 0
+        && fs.exists(new org.apache.hadoop.fs.Path(iPath))) {
+      // fold turn: rewrite index ∪ this batch as ONE bucket-partitioned
+      // segment via the atomic staging swap. dropDuplicates("cid")
+      // makes the fold idempotent under the one redelivery window; the
+      // staging write READS the live path before it is deleted, so no
+      // in-memory copy of the (corpus-sized) index is ever held.
+      val stg = stagingOf(iPath)
+      fs.delete(stg, true)
+      spark.read.parquet(iPath).select("cid", "ce", "bucket")
+        .unionByName(idx)
+        .dropDuplicates("cid")
+        .withColumn("seg", lit(batchId))
+        .write.mode("overwrite").partitionBy("seg", "bucket")
+        .parquet(stg.toString)
+      fs.create(new org.apache.hadoop.fs.Path(stg, s"_graft_batch_$batchId")).close()
+      fs.delete(new org.apache.hadoop.fs.Path(iPath), true)
+      fs.rename(stg, new org.apache.hadoop.fs.Path(iPath))
+    } else {
+      // idempotent per-batch segment, bucket-partitioned for probe-side
+      // partition pruning
+      idx.coalesce(1).write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$iPath/seg=$batchId")
+    }
+    val s = spark
+    import s.implicits._
+    commitState(Seq(batchId).toDF("last_batch"), mPath, batchId)
+  }
+
+  /** Probe the streamed index with the batch query's own probe
+    * (bucket + 1-flip multiprobe, exact in-bucket cosine top-k). */
+  def annIndexFinish(spark: SparkSession, outDir: String,
+      queries: DataFrame, nPlanes: Int = 4, k: Int = 10): DataFrame =
+    graft.queries.SimilarityQueries.annProbe(
+      spark.read.parquet(s"$outDir/index.parquet")
+        .select("cid", "ce", "bucket"),
+      queries, nPlanes, k)
+
   /** Server aggregation + full-corpus eval over the streamed client
     * state: the shard-size-weighted integer mean Σ n_s·w9 div N (the
     * batch query's exact law), evaluated with the batch query's own

@@ -1817,6 +1817,64 @@ class StreamingSpec extends SparkSpec {
       .select("step").distinct().count() == nBatches)
   }
 
+  test("annIndexStream: the streamed index probes bit-identically to a batch index on the concatenated vectors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, rest) = emb.splitAt(emb.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val outDir = Files.createTempDirectory("annidx_stream").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamJobs.annIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), outDir)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 10)
+    val got = StreamJobs.annIndexFinish(spark, outDir, queries)
+      .collect().map(_.toString).toSeq
+    val want = graft.queries.SimilarityQueries.annProbe(
+        graft.queries.SimilarityQueries.buildLshIndex(
+          Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")),
+        queries, 4, 10)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      "streamed-index probe diverges from the batch index")
+  }
+
+  test("annIndexBatch: redelivery is a no-op; a fold keeps the file count bounded and loses nothing") {
+    val s = spark
+    import s.implicits._
+    val outDir = Files.createTempDirectory("annidx_redeliver").toString
+    def vec(seed: Int) = Array.tabulate(64)(i =>
+      (((seed * 31 + i) % 13) - 6).toFloat / 7f)
+    def batchOf(ids: Long*) =
+      ids.map(id => (id, vec(id.toInt))).toDF("vec_id", "embedding")
+    StreamJobs.annIndexBatch(batchOf(1L, 2L), 0L, outDir)
+    def cids() = spark.read.parquet(s"$outDir/index.parquet")
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    val before = cids()
+    StreamJobs.annIndexBatch(batchOf(1L, 2L), 0L, outDir) // redelivery
+    assert(cids() == before, "redelivered batch duplicated vectors")
+    // drive past a fold turn: batches 1..IdxFold (the fold fires at
+    // batchId % IdxFold == 0... next fold is batch 16)
+    (1 to StreamJobs.IdxFold).foreach { i =>
+      StreamJobs.annIndexBatch(batchOf(100L + i), i.toLong, outDir)
+    }
+    val ids = cids()
+    assert(ids.size == 2 + StreamJobs.IdxFold, s"lost vectors: $ids")
+    // post-fold: everything lives in ONE seg partition
+    val segs = spark.read.parquet(s"$outDir/index.parquet")
+      .select("seg").distinct().count()
+    assert(segs == 1L, s"fold left $segs segments")
+  }
+
   test("fedAvgStream: one micro-batch per client makes the finish bit-identical to the batch fedavg lane") {
     val s = spark
     import s.implicits._
