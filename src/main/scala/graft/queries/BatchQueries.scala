@@ -1554,6 +1554,298 @@ object BatchQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** TPC-H Q10 (returned-item reporting): revenue lost to returned
+    * lines per customer for one order quarter — who returned the most,
+    * top 20 (reference relational surface; TPC-H spec 2.13, columns
+    * adapted: this schema has no c_phone/c_address/c_comment).
+    *
+    * Scale shape: the quarter filter prunes orders and `l_returnflag =
+    * 'R'` prunes lineitem AT THE SCAN (both land in PushedFilters);
+    * customer⨝orders and orders⨝lineitem shuffle on their keys (the
+    * unavoidable fact exchanges — sort-merge + AQE at 100 TB); nation
+    * is a broadcast dim stitched on AFTER the per-customer aggregation
+    * so the wide c_name/n_name strings never ride the big shuffle.
+    * Top-20 is TakeOrderedAndProject — no global sort. Revenue is
+    * exact integer cents·(100−disc) with one half-up fenced division;
+    * (revenue desc, c_custkey) is a unique deterministic order. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame =
+    tpchQ10Of(Tables(spark, dir, "customer"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "nation"))
+
+  private[graft] def tpchQ10Of(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val units = expr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    customer
+      .join(orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+      .agg(sum(units.cast("decimal(38,0)")).as("units"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        (((col("units") + 50).cast("decimal(38,0)") / 100).cast("long")
+          .cast("double") / 100.0).as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(CAST((sum(CAST(u AS HUGEINT)) + 50) // 100 AS BIGINT) AS DOUBLE)
+      |         / 100.0 AS revenue,
+      |       c_acctbal, n_name
+      |FROM (SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+      |      FROM customer, orders, lineitem
+      |      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |        AND o_orderdate < TIMESTAMP '1996-04-01'
+      |        AND l_returnflag = 'R')
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q2 (minimum-cost supplier, adapted: this schema has no
+    * partsupp, so the part–supplier relation is DERIVED from lineitem —
+    * supply cost per (part, supplier) = the minimum observed unit price
+    * in exact cents, `cents div quantity` on integral quantities): for
+    * every PROMO part supplied into EUROPE, which supplier(s) hit the
+    * regional minimum cost — the correlated-min classic.
+    *
+    * Scale shape: the derived partsupp is ONE partial-aggregated
+    * groupBy on (partkey, suppkey) over the pruned 4-column lineitem
+    * projection; supplier⨝nation⨝region collapses to a broadcast
+    * supplier sliver (suppliers are dim-sized at any SF), and the
+    * p_type filter prunes part before its key join. The regional
+    * per-part minimum is a groupBy on partkey joined back on the SAME
+    * key — partitioning reused, never a per-row rescan. Cost stays an
+    * exact BIGINT through the min and the equality; both engines
+    * truncate integer division toward zero on these positive cents
+    * (Round15Spec pins the semantics). (s_acctbal desc, n_name,
+    * s_name, p_partkey) is a unique deterministic order. */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame =
+    tpchQ2Of(Tables(spark, dir, "part"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "region"))
+
+  private[graft] def tpchQ2Of(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val ps = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " div CAST(l_quantity AS BIGINT)").as("unit_c"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_c")).as("cost_c"))
+    val regionSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cand = ps
+      .join(part.filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_c")).as("min_c"))
+    cand.join(minCost,
+        col("p_partkey") === col("mk") && col("cost_c") === col("min_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        (col("cost_c").cast("double") / 100.0).as("supplycost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+        asc("p_partkey"))
+      .limit(100)
+  }
+
+  val tpchQ2Sql: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |                   min(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                       // CAST(l_quantity AS BIGINT)) AS cost_c
+      |            FROM lineitem GROUP BY 1, 2),
+      |cand AS (SELECT p_partkey, p_name, s_acctbal, s_name, n_name, cost_c
+      |         FROM ps, part, supplier, nation, region
+      |         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |           AND r_name = 'EUROPE' AND p_type = 'PROMO'),
+      |mn AS (SELECT p_partkey AS mk, min(cost_c) AS min_c
+      |       FROM cand GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |       CAST(cost_c AS DOUBLE) / 100.0 AS supplycost
+      |FROM cand JOIN mn ON p_partkey = mk AND cost_c = min_c
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 (important stock identification, adapted: no partsupp →
+    * per-part "stock value" = exact-cents extendedprice shipped by
+    * ASIA-region suppliers; no availqty·supplycost): which parts carry
+    * more than TWICE the mean per-part value — the global-scalar-
+    * threshold classic. (Spec uses fraction 0.0001/SF — a fixed
+    * fraction is not scale-free across this corpus's SF dirs, so the
+    * adapted cut is mean-relative, which is.)
+    *
+    * Scale shape: supplier⨝nation collapses to a broadcast set of
+    * regional suppkeys filtering the lineitem scan; the per-part value
+    * is one partial-aggregated groupBy on partkey; the grand total is
+    * a 1-row aggregate of THAT part-sized relation (never a second
+    * fact pass) cross-joined back as a broadcast scalar. The threshold
+    * compares exact BIGINT cents — `value > (2·total) div count` —
+    * both engines truncate `div`/`//` toward zero on these positives
+    * (Round15Spec pins the semantics); 100 TB headroom: 2·total fits
+    * int64 up to ~4.6e18 total cents. (value desc, partkey) is a
+    * unique deterministic order. */
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame =
+    tpchQ11Of(Tables(spark, dir, "lineitem"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "nation"))
+
+  private[graft] def tpchQ11Of(
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val asiaSupp = supplier
+      .join(broadcast(nation.filter(col("n_regionkey") === 2)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = lineitem
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("value_c"))
+    val total = value.agg(sum(col("value_c")).as("total_c"),
+      count(lit(1)).as("cnt_parts"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_c") > expr("(2 * total_c) div cnt_parts"))
+      .select(col("l_partkey"),
+        (col("value_c").cast("double") / 100.0).as("value"))
+      .orderBy(desc("value"), asc("l_partkey"))
+  }
+
+  val tpchQ11Sql: String =
+    """WITH v AS (SELECT l_partkey,
+      |                  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |                    AS value_c
+      |           FROM lineitem, supplier, nation
+      |           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |             AND n_regionkey = 2
+      |           GROUP BY 1),
+      |t AS (SELECT sum(value_c) AS total_c, count(*) AS cnt_parts FROM v)
+      |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+      |FROM v CROSS JOIN t
+      |WHERE value_c > (2 * total_c) // cnt_parts
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship, adapted: the supplier-
+    * complaint comment exclusion becomes an acctbal floor since this
+    * schema carries no comment column; part–supplier pairs derive from
+    * distinct lineitem): how many distinct reputable suppliers can
+    * deliver each surveyed (brand, type, size) combination.
+    *
+    * Scale shape: the pair relation is a partial-aggregated DISTINCT
+    * over the 2-column lineitem projection (the only fact pass); the
+    * brand/type/size survey prunes part before its broadcast-friendly
+    * key join, and the acctbal floor prunes the dim-sized supplier
+    * sliver. count(DISTINCT suppkey) expands to Spark's two-phase
+    * distinct-aggregate — partials combine map-side. Counts are exact;
+    * (cnt desc, brand, type, size) is a unique deterministic order. */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame =
+    tpchQ16Of(Tables(spark, dir, "part"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "lineitem"))
+
+  private[graft] def tpchQ16Of(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(part.filter(col("p_brand") =!= "Brand#1" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.filter(col("s_acctbal") >= 1000)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |     part, supplier
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND s_acctbal >= 1000
+      |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion, adapted: no partsupp
+    * availqty → a supplier qualifies when it shipped MORE THAN HALF of
+    * a blue part's total 1996 quantity, i.e. it dominates that part's
+    * supply): AMERICA-region suppliers dominating at least one blue
+    * part — the nested semijoin-chain classic.
+    *
+    * Scale shape: the color LIKE prunes part into a broadcast sliver
+    * semi-filtering the year-pruned lineitem scan; per-(part, supplier)
+    * quantity is one partial-aggregated groupBy; the per-part total
+    * reaggregates THAT relation on its own partkey (partitioning
+    * reused, no second fact pass). The dominance cut is exact long
+    * algebra (2·sq > tq — integral quantities), the qualifying
+    * suppkeys collapse to a distinct dim-sized set, and supplier joins
+    * it left_semi with nation broadcast. s_name is a unique order. */
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame =
+    tpchQ20Of(Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "part"), Tables(spark, dir, "lineitem"))
+
+  private[graft] def tpchQ20Of(
+      supplier: DataFrame, nation: DataFrame, part: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val bluePart = part.filter(col("p_name").like("blue%"))
+      .select(col("p_partkey"))
+    val qty = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(bluePart), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+    val tot = qty.groupBy(col("l_partkey").as("tk"))
+      .agg(sum(col("sq")).as("tq"))
+    val dominant = qty.join(tot, col("l_partkey") === col("tk"))
+      .filter(col("sq") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.filter(col("n_regionkey") === 1)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
+  val tpchQ20Sql: String =
+    """WITH q AS (SELECT l_partkey, l_suppkey,
+      |                  sum(CAST(l_quantity AS BIGINT)) AS sq
+      |           FROM lineitem, part
+      |           WHERE l_partkey = p_partkey AND p_name LIKE 'blue%'
+      |             AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |             AND l_shipdate < TIMESTAMP '1997-01-01'
+      |           GROUP BY 1, 2),
+      |t AS (SELECT l_partkey AS tk, sum(sq) AS tq FROM q GROUP BY 1)
+      |SELECT s_name, n_name
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND n_regionkey = 1
+      |  AND s_suppkey IN (SELECT l_suppkey FROM q JOIN t ON l_partkey = tk
+      |                    WHERE 2 * sq > tq)
+      |ORDER BY s_name""".stripMargin
+
   val dppPruneSql: String =
     s"""WITH sel AS (SELECT event_type FROM events GROUP BY 1
        |             HAVING count(*) >= (SELECT count(*) // 5 FROM events))
