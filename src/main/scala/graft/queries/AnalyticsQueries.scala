@@ -3493,4 +3493,81 @@ object AnalyticsQueries {
        |  UNION ALL SELECT 3, split_i, gain FROM l2b)
        |ORDER BY rank""".stripMargin
   }
+
+  /** pass@k ks and the per-task attempt budget. */
+  private[graft] val PassAtKs = Seq(1, 5, 10)
+  private[graft] val PassAtBudget = 10
+
+  /** UNBIASED pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1): the eval-harness headline for
+    * sampled generation — with n attempts per task and c successes,
+    * the naive fraction-of-tasks-with-a-hit-in-the-first-k is biased;
+    * the unbiased estimator is 1 − C(n−c,k)/C(n,k). Tasks are users,
+    * a task's attempts are its FIRST [[PassAtBudget]] events by
+    * (ts, event_id), success = a purchase — the fixed per-task sample
+    * budget every harness draws.
+    *
+    * EXACT: C(n−c,k)/C(n,k) = Π_{i<k}(n−c−i) / Π_{i<k}(n−i) — with
+    * n ≤ 10 both products are tiny integers, and when n−c < k the
+    * falling product steps through an exact 0 factor, so the c ≥ 1
+    * ∧ k = n ⇒ pass@n = 1 boundary is integer-decided. Each task
+    * contributes the TRUNCATING-div integer pass_ppm (≤ 1 ppm bias
+    * per task, same on both engines — check_pins.py pins the
+    * semantics); the mean over tasks is one fenced division over
+    * exact BIGINT sums. Tasks with n < k are excluded for that k,
+    * per the estimator's domain.
+    *
+    * Scale shape: one user-partitioned window picks the attempt
+    * budget (co-partitioned with the groupBy that follows — ONE
+    * shuffle on user_id), then everything is arithmetic on a
+    * task-sized relation; the k fan-out is a 3-row bounded union. */
+  def passAtK(spark: SparkSession, dir: String): DataFrame =
+    passAtKOf(Tables(spark, dir, "events"))
+
+  private[graft] def passAtKOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tasks = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "purchase").cast("long").as("hit"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PassAtBudget)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("hit").as("c"))
+    val lanes = PassAtKs.map { k =>
+      val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+      val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+      tasks.filter(col("n") >= k)
+        .select(expr(s"1000000L - ($num) * 1000000L div ($den)").as("ppm"))
+        .agg(count(lit(1)).as("n_tasks"), sum("ppm").as("s"))
+        .select(lit(k).as("k"), col("n_tasks"),
+          Det.rnd(col("s").cast("double") / col("n_tasks") / 1e6, 6)
+            .as("pass_at_k"))
+    }
+    lanes.reduce(_ unionByName _).orderBy("k")
+  }
+
+  val passAtKSql: String = {
+    val lanes = PassAtKs.map { k =>
+      val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+      val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+      s"""  SELECT $k AS k, count(*) AS n_tasks,
+         |         ${Det.rndSql(
+        s"CAST(sum(1000000 - ($num) * 1000000 // ($den)) AS DOUBLE)" +
+          " / count(*) / 1e6", 6)} AS pass_at_k
+         |  FROM tasks WHERE n >= $k""".stripMargin
+    }
+    s"""WITH att AS (
+       |  SELECT user_id,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |tasks AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(hit) AS BIGINT) AS c
+       |  FROM att WHERE rn <= $PassAtBudget GROUP BY 1)
+       |${lanes.mkString("\nUNION ALL\n")}
+       |ORDER BY k""".stripMargin
+  }
 }

@@ -11596,4 +11596,288 @@ object TextQueries {
        |ORDER BY rho9 DESC, doc_id
        |LIMIT $RhoTopK""".stripMargin
   }
+
+  /** DAWID–SKENE annotation aggregation (Dawid & Skene 1979; the
+    * crowd-labeling EM every annotation pipeline runs past majority
+    * vote): one EM round over the three binary rule raters of
+    * [[fleissKappa]], initialized from the majority vote. M-step:
+    * per-rater confusion counts against the majority label (a_j =
+    * rater-positive among majority-positive, b_j = rater-positive
+    * among majority-negative) — exact integers off ONE corpus pass.
+    * E-step: the posterior P(y=1 | pattern) for each of the ≤ 8
+    * rating patterns; clearing the π·Π α denominators gives the
+    * integer-ratio form A/(A+B) with A = Π_j t1_j · n0² and
+    * B = Π_j t0_j · n1² (t1_j = a_j or n1−a_j per the pattern bit,
+    * t0_j = b_j or n0−b_j), so the posterior is ONE fixed double
+    * expression over exact BIGINT counts. A pattern FLIPS when the
+    * model's posterior crosses 1/2 against its own majority vote —
+    * the rater-reliability correction majority voting cannot make
+    * (a strong rater outvoted by two weak correlated ones).
+    * Degenerate classes guarded: n1 = 0 ⇒ posterior 0, n0 = 0 ⇒ 1;
+    * the exact-1/2 posterior keeps the majority label (strict >).
+    *
+    * Scale shape: one corpus aggregation to the 8-bounded pattern
+    * table + one 1-row confusion-count scalar broadcast — the E-step
+    * runs in PATTERN space, never re-touching rows; at 100 TB the
+    * second pass a per-row posterior would need simply never exists. */
+  def dawidSkene(spark: SparkSession, dir: String): DataFrame =
+    dawidSkeneOf(Tables(spark, dir, "documents"))
+
+  private[graft] def dawidSkeneOf(docs: DataFrame): DataFrame = {
+    val rated = docs.select(
+      when(length(trim(col("text"))) >= 200, 1L).otherwise(0L).as("r1"),
+      when(size(split(trim(col("text")), "\\s+")) >= 40, 1L).otherwise(0L)
+        .as("r2"),
+      when(col("text").contains("the"), 1L).otherwise(0L).as("r3"))
+      .withColumn("ymaj", (col("r1") + col("r2") + col("r3") >= 2L)
+        .cast("long"))
+    val conf = rated.agg(
+      count(lit(1)).as("n"), sum("ymaj").as("n1"),
+      sum(col("r1") * col("ymaj")).as("a1"),
+      sum(col("r2") * col("ymaj")).as("a2"),
+      sum(col("r3") * col("ymaj")).as("a3"),
+      sum(col("r1") * (lit(1L) - col("ymaj"))).as("b1"),
+      sum(col("r2") * (lit(1L) - col("ymaj"))).as("b2"),
+      sum(col("r3") * (lit(1L) - col("ymaj"))).as("b3"))
+    val pats = rated.groupBy("r1", "r2", "r3", "ymaj")
+      .agg(count(lit(1)).as("cnt"))
+    val t = (j: Int) =>
+      s"CAST(CASE WHEN r$j = 1 THEN a$j ELSE n1 - a$j END AS DOUBLE)"
+    val u = (j: Int) =>
+      s"CAST(CASE WHEN r$j = 1 THEN b$j ELSE (n - n1) - b$j END AS DOUBLE)"
+    val post =
+      s"""CASE WHEN n1 = 0 THEN 0.0 WHEN n1 = n THEN 1.0 ELSE
+         | (${t(1)} * ${t(2)} * ${t(3)} * (n - n1) * (n - n1))
+         | / ((${t(1)} * ${t(2)} * ${t(3)} * (n - n1) * (n - n1))
+         |    + (${u(1)} * ${u(2)} * ${u(3)} * n1 * n1)) END""".stripMargin
+    pats.crossJoin(broadcast(conf)) // 1-row confusion scalar
+      .select(col("r1"), col("r2"), col("r3"), col("cnt"), col("ymaj"),
+        Det.rnd(expr(post), 6).as("post1"),
+        (expr(post) > 0.5 =!= (col("ymaj") === 1L)).as("flipped"))
+      .orderBy("r1", "r2", "r3")
+  }
+
+  val dawidSkeneSql: String = {
+    val t = (j: Int) =>
+      s"CAST(CASE WHEN r$j = 1 THEN a$j ELSE n1 - a$j END AS DOUBLE)"
+    val u = (j: Int) =>
+      s"CAST(CASE WHEN r$j = 1 THEN b$j ELSE (n - n1) - b$j END AS DOUBLE)"
+    val post =
+      s"""CASE WHEN n1 = 0 THEN 0.0 WHEN n1 = n THEN 1.0 ELSE
+         | (${t(1)} * ${t(2)} * ${t(3)} * (n - n1) * (n - n1))
+         | / ((${t(1)} * ${t(2)} * ${t(3)} * (n - n1) * (n - n1))
+         |    + (${u(1)} * ${u(2)} * ${u(3)} * n1 * n1)) END""".stripMargin
+    s"""WITH rated AS (
+       |  SELECT r1, r2, r3,
+       |         CASE WHEN r1 + r2 + r3 >= 2 THEN 1 ELSE 0 END AS ymaj
+       |  FROM (
+       |    SELECT CASE WHEN length(trim(text)) >= 200 THEN 1 ELSE 0 END AS r1,
+       |           CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 40
+       |                THEN 1 ELSE 0 END AS r2,
+       |           CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS r3
+       |    FROM documents)),
+       |conf AS (
+       |  SELECT count(*) AS n, CAST(sum(ymaj) AS BIGINT) AS n1,
+       |         CAST(sum(r1 * ymaj) AS BIGINT) AS a1,
+       |         CAST(sum(r2 * ymaj) AS BIGINT) AS a2,
+       |         CAST(sum(r3 * ymaj) AS BIGINT) AS a3,
+       |         CAST(sum(r1 * (1 - ymaj)) AS BIGINT) AS b1,
+       |         CAST(sum(r2 * (1 - ymaj)) AS BIGINT) AS b2,
+       |         CAST(sum(r3 * (1 - ymaj)) AS BIGINT) AS b3
+       |  FROM rated),
+       |pats AS (
+       |  SELECT CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+       |         CAST(r3 AS BIGINT) AS r3, CAST(ymaj AS BIGINT) AS ymaj,
+       |         count(*) AS cnt
+       |  FROM rated GROUP BY 1, 2, 3, 4)
+       |SELECT r1, r2, r3, cnt, ymaj,
+       |       ${Det.rndSql(post, 6)} AS post1,
+       |       (($post) > 0.5) <> (ymaj = 1) AS flipped
+       |FROM pats, conf
+       |ORDER BY r1, r2, r3""".stripMargin
+  }
+
+  /** HEAVY-BALL MOMENTUM trainer step (Polyak 1964 — the optimizer
+    * half the checkpoint-engineering family was missing): replay the
+    * bit-identical [[logregSgdStep]] trajectory with the velocity
+    * state v_t = (9·v_{t−1}) div 10 + g_t (μ = 0.9 as the exact
+    * truncating-div fixed point; check_pins.py pins the negative-g
+    * semantics on both engines), update w_t = w_{t−1} − (v_t·lr)
+    * div n div 1000. With v₀ = 0 step 1 coincides with plain SGD —
+    * the two trajectories share w₁ and hence g₁, so momentum costs
+    * ONE extra 65-row fold, not a second trainer. The step-2 update
+    * then carries 9/10 of g₀ on top of g₁: on the convex 2-step
+    * trajectory this is the classical ~(1+μ) effective-rate boost,
+    * and the eval lanes put the momentum model next to the SGD
+    * final on the full corpus.
+    *
+    * Scale shape: one pinned feature relation, two gradient
+    * aggregations (shared with the SGD lane), 65-row velocity/weight
+    * algebra, two broadcast-join eval lanes — nothing corpus-sized
+    * beyond the trainer's own passes. */
+  def momentumStep(spark: SparkSession, dir: String): DataFrame =
+    momentumStepOf(Tables(spark, dir, "documents"))
+
+  /** (sgd final, momentum final) weight tables — exposed for the
+    * spec's plain-Scala velocity-algebra replay. */
+  private[graft] def momentumWeightsOf(docs: DataFrame,
+      feats: DataFrame, nDocs: Long): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val w0 = lrZeroWeights(spark)
+    val g0 = lrGrad(w0, feats).localCheckpoint() // 65 rows
+    val w1 = w0.join(g0, Seq("slot"), "left")
+      .select(col("slot"),
+        (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
+          .as("w9"))
+      .localCheckpoint() // 65 rows
+    val g1 = lrGrad(w1, feats).localCheckpoint() // 65 rows
+    val w2 = w1.join(g1, Seq("slot"), "left")
+      .select(col("slot"),
+        (col("w9") - expr(s"coalesce(g12, 0L) * $LrNum div $nDocs div 1000"))
+          .as("w9"))
+      .localCheckpoint() // 65 rows
+    // v2 = (9·g0) div 10 + g1 (v1 = g0); w2m = w1 − (v2·lr) div n div 1000
+    val w2m = w1
+      .join(g0.select(col("slot"), col("g12").as("ga")), Seq("slot"), "left")
+      .join(g1.select(col("slot"), col("g12").as("gb")), Seq("slot"), "left")
+      .select(col("slot"),
+        (col("w9") - expr("((9 * coalesce(ga, 0L)) div 10 + coalesce(gb, 0L))" +
+          s" * $LrNum div $nDocs div 1000")).as("w9"))
+      .localCheckpoint() // 65 rows
+    (w2, w2m)
+  }
+
+  private[graft] def momentumStepOf(docs: DataFrame): DataFrame = {
+    val feats = lrFeatsOf(docs)
+      .transform(graft.Tables.scratchPin(_, "mom-feats")) // corpus-linear
+    val nDocs = feats.filter(col("slot") === LrSlots).count()
+    val (w2, w2m) = momentumWeightsOf(docs, feats, nDocs)
+    lrEvalLane(feats, w2, "sgd", nDocs)
+      .unionByName(lrEvalLane(feats, w2m, "momentum", nDocs))
+      .orderBy("model")
+  }
+
+  lazy val momentumStepSql: String = {
+    s"""WITH ${lrTrainCtes(LrRounds)},
+       |wmom AS (
+       |  SELECT w.slot,
+       |         w.w9 - ((9 * coalesce(a.g12, 0)) // 10 + coalesce(b.g12, 0))
+       |                  * $LrNum // (SELECT n FROM nd) // 1000 AS w9
+       |  FROM w1 w LEFT JOIN g0 a USING (slot) LEFT JOIN g1 b USING (slot)),
+       |ef AS (${lrMarginSql("feats", s"w$LrRounds")}),
+       |em AS (${lrMarginSql("feats", "wmom")})
+       |${lrEvalLaneSql("momentum", "em", "wmom", "nd")}
+       |UNION ALL
+       |${lrEvalLaneSql("sgd", "ef", s"w$LrRounds", "nd")}
+       |ORDER BY model""".stripMargin
+  }
+
+  /** Raking rounds (row,col,row,col = 2 full IPF sweeps) and the
+    * fixed-point weight unit. */
+  private[graft] val RakeRounds = 2
+
+  /** RAKING / ITERATIVE PROPORTIONAL FITTING (Deming & Stephan 1940
+    * — the survey-calibration step a corpus-debiasing pipeline runs
+    * to hit target marginals): reweight the source × lang cells of
+    * the corpus so BOTH margins approach uniform (each source an
+    * equal share, each language an equal share), without disturbing
+    * the within-margin structure. Two full IPF sweeps (row-scale,
+    * column-scale, ×2), each scaling w ← w · target/margin-mass.
+    *
+    * EXACT + N-FREE: the corpus projects ONCE to per-cell ppm shares
+    * (cnt·10⁶ div N — ≤ 1 ppm truncation per cell, stated); every
+    * subsequent sweep is truncating-div fixed-point arithmetic on
+    * the ≤ (sources × langs) cell table: w6 in 10⁻⁶ units, scale
+    * factor f6 = 10¹⁸ div (S · M) with M = Σ share·w6 the margin
+    * mass — all BIGINT-bounded independent of corpus size, so the
+    * iterate is bit-identical on both engines and the state never
+    * grows with data. Absent cells are structural zeros (IPF leaves
+    * them out); zero-mass margins are guarded (weight kept), and the
+    * survey-standard WEIGHT TRIMMING caps every factor and weight at
+    * 1000× with a floor of 10⁻⁶ — which also bounds every product
+    * inside BIGINT at ANY margin skew (m ≤ 10¹⁵, ns·m ≤ 2·10¹⁶,
+    * w6·f6 ≤ 10¹⁸).
+    * Output: per-cell final weight + the post-fit row/col margin
+    * masses in ppm-of-target units — the calibration-residual audit
+    * (uniform margins are NOT exactly reachable with structural
+    * zeros; the residual is the finding, not an error).
+    *
+    * Scale shape: one corpus aggregation to ≤ S·L cells; 4 window
+    * scalings over that bounded table; nothing else touches rows. */
+  def rakingIpf(spark: SparkSession, dir: String): DataFrame =
+    rakingIpfOf(Tables(spark, dir, "documents"))
+
+  private[graft] def rakingIpfOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n")))) // 1-row scalar
+      .select(col("source"), col("lang"), col("cnt"),
+        expr("cnt * 1000000L div n").as("ppm"))
+    val scal = cells.agg(
+      countDistinct("source").as("ns"), countDistinct("lang").as("nl"))
+    var st = cells.crossJoin(broadcast(scal))
+      .withColumn("w6", lit(1000000L))
+    val ws = Window.partitionBy("source")
+    val wl = Window.partitionBy("lang")
+    // weight trimming (the survey-sampling guard): per-sweep factor and
+    // the weight itself both capped at 1000x (1e9 in 1e6 units), floored
+    // at 1 — keeps every product inside BIGINT (m <= 1e6*1e9 = 1e15,
+    // ns*m <= 2e16, w6*f6 <= 1e18) at ANY margin skew
+    def trimmed(nCol: String): String =
+      "CASE WHEN m = 0 THEN w6 ELSE greatest(least(" +
+        s"w6 * least(1000000000000000000L div ($nCol * m), 1000000000L)" +
+        " div 1000000, 1000000000L), 1L) END"
+    for (_ <- 1 to RakeRounds) {
+      st = st.withColumn("m", sum(col("ppm") * col("w6")).over(ws))
+        .withColumn("w6", expr(trimmed("ns"))).drop("m")
+      st = st.withColumn("m", sum(col("ppm") * col("w6")).over(wl))
+        .withColumn("w6", expr(trimmed("nl"))).drop("m")
+    }
+    st.withColumn("row_mass_ppm",
+        expr("sum(ppm * w6) OVER (PARTITION BY source) * ns div 1000000"))
+      .withColumn("col_mass_ppm",
+        expr("sum(ppm * w6) OVER (PARTITION BY lang) * nl div 1000000"))
+      .select("source", "lang", "cnt", "w6", "row_mass_ppm", "col_mass_ppm")
+      .orderBy("source", "lang")
+  }
+
+  val rakingIpfSql: String = {
+    def sweep(i: Int, prev: String, part: String, nCol: String): String =
+      s"""s$i AS (
+         |  SELECT source, lang, cnt, ppm, ns, nl,
+         |         CASE WHEN sum(ppm * w6) OVER (PARTITION BY $part) = 0
+         |              THEN w6
+         |              ELSE greatest(least(
+         |                w6 * least(1000000000000000000
+         |                           // ($nCol * sum(ppm * w6)
+         |                                      OVER (PARTITION BY $part)),
+         |                           1000000000)
+         |                  // 1000000, 1000000000), 1) END AS w6
+         |  FROM $prev)""".stripMargin
+    val sweeps = (1 to RakeRounds * 2).map { i =>
+      val (part, nCol) = if (i % 2 == 1) ("source", "ns") else ("lang", "nl")
+      sweep(i, if (i == 1) "s0" else s"s${i - 1}", part, nCol)
+    }.mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt,
+       |         CAST(count(*) * 1000000
+       |              // (SELECT count(*) FROM documents) AS BIGINT) AS ppm
+       |  FROM documents GROUP BY 1, 2),
+       |s0 AS (
+       |  SELECT source, lang, cnt, ppm,
+       |         (SELECT CAST(count(DISTINCT source) AS BIGINT)
+       |          FROM cells) AS ns,
+       |         (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+       |          FROM cells) AS nl,
+       |         CAST(1000000 AS BIGINT) AS w6
+       |  FROM cells),
+       |$sweeps
+       |SELECT source, lang, cnt, CAST(w6 AS BIGINT) AS w6,
+       |       CAST(sum(ppm * w6) OVER (PARTITION BY source) * ns
+       |            // 1000000 AS BIGINT) AS row_mass_ppm,
+       |       CAST(sum(ppm * w6) OVER (PARTITION BY lang) * nl
+       |            // 1000000 AS BIGINT) AS col_mass_ppm
+       |FROM s${RakeRounds * 2}
+       |ORDER BY source, lang""".stripMargin
+  }
 }
