@@ -3534,6 +3534,14 @@ object AnalyticsQueries {
       .filter(col("rn") <= PassAtBudget)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("hit").as("c"))
+    passAtKLanes(tasks)
+  }
+
+  /** The estimator finish over a per-task (n, c) relation — shared by
+    * the batch operator and the streaming state twin
+    * ([[graft.streaming.StreamJobs.passAtKStream]]), so the two read
+    * the SAME arithmetic off their respective attempt-budget states. */
+  private[graft] def passAtKLanes(tasks: DataFrame): DataFrame = {
     val lanes = PassAtKs.map { k =>
       val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
       val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")

@@ -549,6 +549,49 @@ object StreamJobs {
       .toDF("event_id", "user_id", "event_type", "is_dup")
   }
 
+  /** Per-task attempt-budget state for [[passAtKStream]]: attempts
+    * counted so far (capped at the budget) and hits among them — two
+    * Longs per task, both monotone. */
+  case class PassAcc(n: Long, c: Long)
+
+  /** Streaming twin of the unbiased pass@k estimator
+    * ([[graft.queries.AnalyticsQueries.passAtK]]): the per-task state
+    * is (attempts seen within the first-10 budget, hits among them) —
+    * O(1) per task, and once a task's budget is exhausted arriving
+    * events only bump nothing (the state is FROZEN, exactly the batch
+    * window's `rn <= budget` cut). Each batch emits the task's updated
+    * (n, c) row (Update mode); the estimator finish is
+    * [[graft.queries.AnalyticsQueries.passAtKLanes]] over the latest
+    * state — the SAME falling-product arithmetic as the batch lanes,
+    * so a one-shot replay is bit-identical to the batch result
+    * (asserted in StreamingSpec). Within a micro-batch rows replay in
+    * (tus, event_id) order; in-order batch arrival contract as the
+    * other event-keyed twins. Input: (event_id, user_id, tus,
+    * event_type). */
+  def passAtKStream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, Long, String)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val s = events.sparkSession
+    import s.implicits._
+    val budget = graft.queries.AnalyticsQueries.PassAtBudget.toLong
+    events
+      .groupByKey(_._2)
+      .mapGroupsWithState[PassAcc, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[PassAcc]) =>
+          var acc = state.getOption.getOrElse(PassAcc(0L, 0L))
+          rows.toArray.sortBy(r => (r._3, r._1)).foreach { case (_, _, _, typ) =>
+            if (acc.n < budget)
+              acc = PassAcc(acc.n + 1,
+                acc.c + (if (typ == "purchase") 1L else 0L))
+          }
+          state.update(acc)
+          (user, acc.n, acc.c)
+      }
+      .toDF("user_id", "n", "c")
+  }
+
   /** Per-user Lindley state for [[reflectedBalanceStream]]: the plain
     * cumulative sum and its running minimum — the reflected-walk
     * identity's two accumulators — plus the audit counters. O(1) per

@@ -1270,6 +1270,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pass@k state finishes bit-identical to the batch estimator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)] // (event_id, user, tus, type)
+    val q = StreamJobs.passAtKStream(mem.toDS())
+      .writeStream.format("memory").queryName("passk").outputMode("update").start()
+    try {
+      val evs = Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("tus"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(e => (e._3, e._1)) // time-ordered arrival contract
+      evs.grouped((evs.length + 2) / 3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      // latest state per task: both counters are monotone, so max = last
+      val state = spark.table("passk").groupBy("user_id")
+        .agg(max("n").as("n"), max("c").as("c"))
+      val streamed = queries.AnalyticsQueries.passAtKLanes(state)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val batch = queries.AnalyticsQueries.passAtK(spark, sfDir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming reflected balance converges to the batch Lindley audit") {
     val s = spark
     import s.implicits._
