@@ -3578,4 +3578,106 @@ object AnalyticsQueries {
        |${lanes.mkString("\nUNION ALL\n")}
        |ORDER BY k""".stripMargin
   }
+
+  /** INSTRUMENTAL-VARIABLE / LATE Wald estimator (Angrist & Imbens —
+    * the encouragement-design readout that completes the causal family
+    * next to [[ExtensionQueries.diffInDiff]], propensity and CUPED):
+    * instrument Z = the user assignment hash (user_id mod 2, the
+    * [[ExtensionQueries.abTest]] split), endogenous treatment T = the
+    * user is a heavy signup user (≥ [[IvTreatMin]] signups — a count
+    * threshold so T varies on a corpus where every user signs up at
+    * least once), outcome Y = the user's purchase cents. Wald LATE
+    * = ITT / first-stage = (E[Y|1]−E[Y|0]) / (E[T|1]−E[T|0]) — the
+    * common n1·n0 denominators CANCEL, so the estimate is the exact
+    * integer ratio (Σy1·n0 − Σy0·n1)/(Σt1·n0 − Σt0·n1) with ONE
+    * fenced division. First-stage strength is the audit half: binary
+    * T makes var = p(1−p) exact, z_fs one fixed double expression,
+    * and the pinned F ≈ z² < 10 rule-of-thumb flags a weak instrument
+    * (a zero first stage short-circuits to LATE 0, flagged). On this
+    * corpus the instrument is null by construction — the WEAK flag
+    * firing is the finding, and the planted-compliance spec proves
+    * the estimator recovers a real LATE when one exists.
+    *
+    * Scale shape: one user-keyed aggregation (a single shuffle), then
+    * a 1-row conditional-moment reduce; overflow note: Σy·n crosses
+    * int64 around 10⁹ users × 10⁴-cent outcomes — past that the two
+    * cross products move to decimal (the abTest bound). */
+  /** Treatment threshold for [[ivWald]]: heavy-signup users. */
+  private[graft] val IvTreatMin = 14
+
+  def ivWald(spark: SparkSession, dir: String): DataFrame =
+    ivWaldOf(Tables(spark, dir, "events"))
+
+  private[graft] def ivWaldOf(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      (sum((col("event_type") === "signup").cast("long")) >= IvTreatMin)
+        .cast("long").as("t"),
+      sum(when(col("event_type") === "purchase", Det.cents(col("value")))
+        .otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("z"), col("t"), col("y"))
+    def side(z: Int, nm: String) = Seq(
+      sum(when(col("z") === z, 1L).otherwise(0L)).as(s"n_$nm"),
+      sum(when(col("z") === z, col("t")).otherwise(0L)).as(s"t_$nm"),
+      sum(when(col("z") === z, col("y")).otherwise(0L)).as(s"y_$nm"))
+    val moments = side(0, "a") ++ side(1, "b")
+    val m = users.agg(moments.head, moments.tail: _*)
+    m.select(col("n_a"), col("n_b"),
+        Det.rnd(expr("CAST(y_b * n_a - y_a * n_b AS DOUBLE)" +
+          " / (n_a * n_b) / 100.0"), 6).as("itt_dollars"),
+        Det.rnd(expr("CAST(t_b * n_a - t_a * n_b AS DOUBLE)" +
+          " / (n_a * n_b)"), 6).as("first_stage"),
+        Det.rnd(expr("CASE WHEN t_b * n_a - t_a * n_b = 0 THEN 0.0" +
+          " ELSE CAST(y_b * n_a - y_a * n_b AS DOUBLE)" +
+          " / (t_b * n_a - t_a * n_b) / 100.0 END"), 6).as("wald_late"),
+        Det.rnd(expr(
+          "CASE WHEN t_a = 0 AND t_b = 0 THEN 0.0" +
+            " WHEN t_a = n_a AND t_b = n_b THEN 0.0 ELSE" +
+            " (CAST(t_b AS DOUBLE) / n_b - CAST(t_a AS DOUBLE) / n_a)" +
+            " / sqrt(CAST(t_b AS DOUBLE) / n_b * (1.0 - CAST(t_b AS DOUBLE) / n_b) / n_b" +
+            "      + CAST(t_a AS DOUBLE) / n_a * (1.0 - CAST(t_a AS DOUBLE) / n_a) / n_a)" +
+            " END"), 4).as("z_fs"))
+      .withColumn("weak_instrument", col("z_fs") * col("z_fs") < 10.0)
+  }
+
+  val ivWaldSql: String = {
+    val c = Det.centsSql("value")
+    val zfs =
+      "CASE WHEN t_a = 0 AND t_b = 0 THEN 0.0" +
+        " WHEN t_a = n_a AND t_b = n_b THEN 0.0 ELSE" +
+        " (CAST(t_b AS DOUBLE) / n_b - CAST(t_a AS DOUBLE) / n_a)" +
+        " / sqrt(CAST(t_b AS DOUBLE) / n_b * (1.0 - CAST(t_b AS DOUBLE) / n_b) / n_b" +
+        "      + CAST(t_a AS DOUBLE) / n_a * (1.0 - CAST(t_a AS DOUBLE) / n_a) / n_a)" +
+        " END"
+    s"""WITH users AS (
+       |  SELECT user_id % 2 AS z,
+       |         CAST(CASE WHEN sum(CASE WHEN event_type = 'signup'
+       |                            THEN 1 ELSE 0 END) >= $IvTreatMin
+       |              THEN 1 ELSE 0 END AS BIGINT) AS t,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN $c ELSE 0 END)
+       |              AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN z = 0 THEN t ELSE 0 END) AS BIGINT) AS t_a,
+       |         CAST(sum(CASE WHEN z = 1 THEN t ELSE 0 END) AS BIGINT) AS t_b,
+       |         CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS y_a,
+       |         CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS y_b
+       |  FROM users)
+       |SELECT n_a, n_b,
+       |       ${Det.rndSql(
+      "CAST(y_b * n_a - y_a * n_b AS DOUBLE) / (n_a * n_b) / 100.0", 6)}
+       |         AS itt_dollars,
+       |       ${Det.rndSql(
+      "CAST(t_b * n_a - t_a * n_b AS DOUBLE) / (n_a * n_b)", 6)}
+       |         AS first_stage,
+       |       ${Det.rndSql(
+      "CASE WHEN t_b * n_a - t_a * n_b = 0 THEN 0.0" +
+        " ELSE CAST(y_b * n_a - y_a * n_b AS DOUBLE)" +
+        " / (t_b * n_a - t_a * n_b) / 100.0 END", 6)} AS wald_late,
+       |       ${Det.rndSql(zfs, 4)} AS z_fs,
+       |       (${Det.rndSql(zfs, 4)}) * (${Det.rndSql(zfs, 4)}) < 10.0
+       |         AS weak_instrument
+       |FROM m""".stripMargin
+  }
 }

@@ -11841,6 +11841,119 @@ object TextQueries {
       .orderBy("source", "lang")
   }
 
+  /** Power-iteration rounds for [[ppmiEmbed]]. */
+  private[graft] val PpmiRounds = 4
+
+  /** COUNT-BASED EMBEDDING TRAINING (Levy & Goldberg, NeurIPS 2014:
+    * SGNS word2vec implicitly factorizes the shifted PPMI matrix —
+    * here the explicit count half of that result): document-level
+    * token-slot co-occurrence → positive PMI → the dominant
+    * eigenvector by power iteration, i.e. a rank-1 distributional
+    * embedding trained from counts alone. PPMI(a,b) =
+    * max(0, ln(N·c_ab/(c_a·c_b))) over the [[LrSlots]]²-bounded slot
+    * pair space (the trainer's poly_hash vocabulary — self-pairs
+    * excluded, per the standard), fenced to exact 1e-6 units at the
+    * ONE ln call; the 4-round power iteration is then pure BIGINT
+    * arithmetic (matvec in 1e-6 units, ∞-norm normalization by
+    * truncating div), so the iterate is bit-identical cross-engine.
+    * Slots with high final weight load on the corpus's dominant
+    * co-occurrence community — the axis a topic model's first factor
+    * would find.
+    *
+    * Scale shape: ONE corpus pass to the (doc, slot) distinct
+    * relation; the pair count is a doc-keyed self-join whose fan-out
+    * is ≤ slots² per doc (vocabulary-bounded, never corpus²); all
+    * iteration state is ≤ slots² cells. Overflow: ppmi6 ≤ ln(N)·10⁶
+    * (~10⁸ at 10¹² docs) × x6 ≤ 10⁶ × 64 terms ≈ 6·10¹⁵ — int64-safe
+    * at any corpus size. */
+  def ppmiEmbed(spark: SparkSession, dir: String): DataFrame =
+    ppmiEmbedOf(Tables(spark, dir, "documents"))
+
+  private[graft] def ppmiEmbedOf(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), expr(tokSlotExprOf("t", LrSlots)).as("slot"))
+      .distinct()
+      .transform(graft.Tables.scratchPin(_, "ppmi-perdoc")) // corpus-linear
+    val n = perDoc.select("doc_id").distinct().count()
+    val df = perDoc.groupBy("slot").agg(count(lit(1)).as("ca"))
+    val pairs = perDoc.join(perDoc.withColumnRenamed("slot", "b"), "doc_id")
+      .filter(col("slot") < col("b"))
+      .groupBy("slot", "b").agg(count(lit(1)).as("cab"))
+    val ppmi = pairs
+      .join(df, "slot")
+      .join(df.select(col("slot").as("b"), col("ca").as("cb")), "b")
+      .select(col("slot").as("a"), col("b"),
+        greatest(lit(0L), Det.units(
+          log(lit(n).cast("double") * col("cab")
+            / (col("ca").cast("double") * col("cb"))), 6)).as("v6"))
+      .filter(col("v6") > 0L)
+    val sym = ppmi.unionByName(
+        ppmi.select(col("b").as("a"), col("a").as("b"), col("v6")))
+      .localCheckpoint() // ≤ slots² rows
+    var x = df.select(col("slot"), lit(1000000L).as("x6"))
+      .localCheckpoint() // ≤ slots rows
+    for (_ <- 1 to PpmiRounds) {
+      val y = sym.join(x.withColumnRenamed("slot", "b")
+          .withColumnRenamed("x6", "xb"), "b")
+        .groupBy("a").agg(expr("sum(v6 * xb) div 1000000").as("y6"))
+      val mx = y.agg(greatest(max("y6"), lit(1L)).as("mx"))
+      x = x.select("slot")
+        .join(y.select(col("a").as("slot"), col("y6")), Seq("slot"), "left")
+        .crossJoin(broadcast(mx)) // 1-row scalar
+        .select(col("slot"),
+          expr("coalesce(y6, 0L) * 1000000 div mx").as("x6"))
+        .localCheckpoint() // ≤ slots rows
+    }
+    df.join(x, "slot")
+      .select(col("slot"), col("ca").as("doc_freq"), col("x6"))
+      .orderBy("slot")
+  }
+
+  lazy val ppmiEmbedSql: String = {
+    val rounds = (1 to PpmiRounds).map { r =>
+      s"""y$r AS (
+         |  SELECT s.a AS slot, sum(s.v6 * x.x6) // 1000000 AS y6
+         |  FROM sym s JOIN x${r - 1} x ON s.b = x.slot GROUP BY 1),
+         |x$r AS (
+         |  SELECT x.slot,
+         |         coalesce(y.y6, 0) * 1000000
+         |           // (SELECT greatest(max(y6), 1) FROM y$r) AS x6
+         |  FROM x0 x LEFT JOIN y$r y USING (slot))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH perdoc AS (
+       |  SELECT DISTINCT doc_id, ${tokSlotSqlOf("t", LrSlots)} AS slot
+       |  FROM (SELECT doc_id,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM perdoc),
+       |df AS (SELECT slot, CAST(count(*) AS BIGINT) AS ca
+       |       FROM perdoc GROUP BY 1),
+       |pairs AS (
+       |  SELECT p.slot AS a, q.slot AS b, CAST(count(*) AS BIGINT) AS cab
+       |  FROM perdoc p JOIN perdoc q USING (doc_id)
+       |  WHERE p.slot < q.slot GROUP BY 1, 2),
+       |ppmi AS (
+       |  SELECT a, b,
+       |         greatest(0, ${Det.unitsSql(
+      "ln(CAST((SELECT n FROM nd) AS DOUBLE) * cab" +
+        " / (CAST(fa.ca AS DOUBLE) * fb.ca))", 6)}) AS v6
+       |  FROM pairs JOIN df fa ON pairs.a = fa.slot
+       |             JOIN df fb ON pairs.b = fb.slot),
+       |sym AS (
+       |  SELECT a, b, v6 FROM ppmi WHERE v6 > 0
+       |  UNION ALL
+       |  SELECT b, a, v6 FROM ppmi WHERE v6 > 0),
+       |x0 AS (SELECT slot, CAST(1000000 AS BIGINT) AS x6 FROM df),
+       |$rounds
+       |SELECT CAST(df.slot AS INTEGER) AS slot, df.ca AS doc_freq,
+       |       CAST(x.x6 AS BIGINT) AS x6
+       |FROM df JOIN x$PpmiRounds x USING (slot)
+       |ORDER BY df.slot""".stripMargin
+  }
+
   val rakingIpfSql: String = {
     def sweep(i: Int, prev: String, part: String, nCol: String): String =
       s"""s$i AS (

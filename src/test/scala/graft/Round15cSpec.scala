@@ -168,6 +168,92 @@ class Round15cSpec extends SparkSpec {
     // truncation for both (both truncate toward zero)
   }
 
+  test("ivWald: planted partial compliance recovers the constant LATE exactly; instrument reads strong") {
+    // 50 users per arm; Z=1: 25 compliers treated, Z=0: 5 always-takers;
+    // treated purchase $10, untreated $2 → ITT = $3.20, first stage 0.4,
+    // LATE = 8.00 exactly (the integer ratio 800000 / 1000 / 100)
+    val rows = (0 until 100).flatMap { u =>
+      val z = u % 2
+      val treated = if (z == 1) u < 50 else u >= 90
+      val nSignup = if (treated) 14 else 1
+      val cents = if (treated) 1000L else 200L
+      val base = u * 1000L
+      (0 until nSignup).map(i =>
+        (base + i, base + i, u.toLong, "signup", 0.0)) :+
+        ((base + 500L, base + 500L, u.toLong, "purchase", cents / 100.0))
+    }
+    val s = spark; import s.implicits._
+    val ev = rows.toDF("event_id", "tsv", "user_id", "event_type", "value")
+      .select(col("event_id"), col("tsv").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val r = queries.AnalyticsQueries.ivWaldOf(ev).collect().head
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L)
+    assert(r.getDouble(2) == 3.2)  // ITT dollars
+    assert(r.getDouble(3) == 0.4)  // first stage
+    assert(r.getDouble(4) == 8.0)  // Wald LATE
+    assert(!r.getBoolean(6), s"z_fs=${r.getDouble(5)} should be strong")
+  }
+
+  test("ivWald: a null first stage short-circuits to LATE 0 and flags weak") {
+    // both arms identical: no signups reach the threshold
+    val rows = (0 until 20).flatMap { u =>
+      Seq((u * 10L, u * 10L, u.toLong, "signup", 0.0),
+        (u * 10L + 5, u * 10L + 5, u.toLong, "purchase", 3.0))
+    }
+    val s = spark; import s.implicits._
+    val ev = rows.toDF("event_id", "tsv", "user_id", "event_type", "value")
+      .select(col("event_id"), col("tsv").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val r = queries.AnalyticsQueries.ivWaldOf(ev).collect().head
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    assert(r.getBoolean(6))
+  }
+
+  test("ppmiEmbed: output matches a full plain-Scala replay on a two-community corpus") {
+    val s = spark; import s.implicits._
+    // community 1 (8 docs) dominates community 2 (4 docs)
+    val docs = ((1 to 8).map(i => (i.toLong, "alpha beta gamma", "en", "a")) ++
+      (9 to 12).map(i => (i.toLong, "delta epsilon", "en", "a")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextQueries.ppmiEmbedOf(docs).collect()
+      .map(r => r.getAs[Number](0).intValue ->
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)).toMap
+    // slot of each token via the registered poly_hash (the same fold)
+    graft.functions.PolyHash.register(s)
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val slotOf = toks.map { t =>
+      t -> s.sql(s"SELECT poly_hash('$t', 64)").collect().head
+        .getAs[Number](0).intValue
+    }.toMap
+    val docSlots = (Seq.fill(8)(Seq("alpha", "beta", "gamma")) ++
+      Seq.fill(4)(Seq("delta", "epsilon"))).map(_.map(slotOf).distinct)
+    val n = docSlots.length.toLong
+    val df = docSlots.flatten.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val pairs = docSlots.flatMap(ds =>
+        ds.combinations(2).map(p => (p.min, p.max)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ppmi = pairs.flatMap { case ((a, b), cab) =>
+      val v6 = math.max(0L,
+        math.round(math.log(n.toDouble * cab / (df(a).toDouble * df(b))) * 1e6))
+      if (v6 > 0L) Seq((a, b, v6), (b, a, v6)) else Nil
+    }.toSeq
+    var x = df.keys.map(_ -> 1000000L).toMap
+    (1 to 4).foreach { _ =>
+      // the operator divides the SUM (not per term), then ∞-normalizes
+      val y = df.keys.map(a => a ->
+        ppmi.filter(_._1 == a).map { case (_, b, v) => v * x(b) }.sum / 1000000L
+      ).toMap
+      val mx = math.max(y.values.max, 1L)
+      x = y.map { case (k, v) => k -> v * 1000000L / mx }
+    }
+    assert(got.keySet == df.keySet)
+    df.keys.foreach { sl =>
+      assert(got(sl) == (df(sl), x(sl)), s"slot $sl")
+    }
+    // normalization invariant: the dominant slot sits at exactly 1e6
+    assert(got.values.map(_._2).max == 1000000L)
+  }
+
   test("rakingIpf: fixed-point sweep matches a plain-Scala replay; trimming bounds hold; margins move toward target") {
     val s = spark; import s.implicits._
     // skewed 2×2 corpus with a structural zero: src a dominates
