@@ -185,13 +185,24 @@ object Bench {
     // (lrFeats, its source-tagged twin) and NB-score relations — pay
     // the one-time writes here under their own label
     val setupT3 = System.nanoTime()
-    val setup: Map[String, Double] = setup3 ++
+    val setup4: Map[String, Double] = setup3 ++
       (try {
         queries.TextQueries.materializeLrFeats(spark, sfDir)
         Map("_setup_lr_feats" -> (System.nanoTime() - setupT3) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] _setup_lr_feats FAILED: ${e.getMessage}")
         Map("_setup_lr_feats" -> -1.0)
+      })
+    // the media family's verified-pair trunk (r15 optimization):
+    // media_neardup + media_clusters both read it
+    val setupT4 = System.nanoTime()
+    val setup: Map[String, Double] = setup4 ++
+      (try {
+        queries.MultimodalQueries.materializeMediaPairs(spark, sfDir)
+        Map("_setup_media_pairs" -> (System.nanoTime() - setupT4) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] _setup_media_pairs FAILED: ${e.getMessage}")
+        Map("_setup_media_pairs" -> -1.0)
       })
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -1100,6 +1100,12 @@ object AnalyticsQueries {
         .groupBy("variant", "s", "o")
         .agg(sum(col("cnt") * col("ev")).as("sv"))
         .select(col("variant"), col("s"), expr("sv div o").as("val"))
+      // NOTE (r15 optimization pass): batching these checkpoints to
+      // every 6th round (lazy 6-round segments; v IS single-consumption
+      // so the chain stays linear) was MEASURED SLOWER (3.2s → 5.5s at
+      // sf0.1) — the 6-deep join/explode segments cost more in
+      // planning + chained stages than the 24 tiny eager jobs they
+      // replaced. Per-round localCheckpoint kept on purpose.
       v = upd.localCheckpoint() // (variant × state)-bounded
     }
     val starts = v.filter(col("s") === "start")

@@ -644,13 +644,25 @@ object DedupQueries {
     * NO shingle scores 0 — exactly the drift the audit exists to
     * surface (hence the left join). Pair fan-out is Σ(cluster size),
     * linear in members. */
-  def clusterDiameter(spark: SparkSession, dir: String): DataFrame =
-    clusterDiameterOn(Tables(spark, dir, "documents"))
+  def clusterDiameter(spark: SparkSession, dir: String): DataFrame = {
+    // ride the shared MinHash trunk labels (r15 optimization): the
+    // public entry re-ran the FULL collapse→signature→band→verify→
+    // components pipeline per invocation even though the trunk
+    // materializes exactly that — identical clusters by construction
+    // (dedupClustersFull is trunk-backed for the same reason)
+    val (groups, _, labels) = trunk(spark, dir)
+    clusterDiameterFrom(
+      clustersFrom(groups, labels).select(col("doc"), col("root")),
+      Tables(spark, dir, "documents"))
+  }
 
-  private[graft] def clusterDiameterOn(docs: DataFrame): DataFrame = {
+  private[graft] def clusterDiameterOn(docs: DataFrame): DataFrame =
+    clusterDiameterFrom(
+      dedupClustersFullOn(docs).select(col("doc"), col("root")), docs)
+
+  private def clusterDiameterFrom(canon0: DataFrame, docs: DataFrame): DataFrame = {
     graft.functions.Shingles.register(docs.sparkSession)
-    val canon = dedupClustersFullOn(docs)
-      .select(col("doc"), col("root"))
+    val canon = canon0
     val members = canon.filter(col("doc") =!= col("root"))
     val clusterDocs = canon.select(col("doc").as("doc_id")).distinct()
     val sh = docs.join(clusterDocs, Seq("doc_id"), "left_semi")

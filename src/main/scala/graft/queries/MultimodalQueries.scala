@@ -262,7 +262,29 @@ object MultimodalQueries {
     * Σ bucket² candidate work, histograms joined only for surviving
     * candidates, no all-pairs stage. */
   def mediaNeardup(spark: SparkSession, dir: String): DataFrame =
-    mediaNeardupOn(mediaTable(spark, dir).toDF())
+    mediaPairsScratch(spark, dir).orderBy("m1", "m2")
+
+  /** One-time keyed pin of the verified perceptual near-dup pairs —
+    * the dedup-trunk pattern (r15 optimization): [[mediaNeardup]] (the
+    * pair audit) and [[mediaClusters]] (components over the same
+    * pairs) each re-ran the full hist→signature→band→verify pipeline
+    * per invocation; now the first caller materializes the pair
+    * relation once per (session, dir) and the other does a columnar
+    * read. The re-sort after the read is the only re-done work (the
+    * relation is output-sized). */
+  private[graft] def mediaPairsScratch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.pinKeyed(spark, "media-pairs", dir)(
+      mediaNeardupOn(mediaTable(spark, dir).toDF()))
+
+  /** Eager materialization of the media pair trunk — the
+    * `_setup_media_pairs` bench label ([[graft.Bench]]): whichever of
+    * the two consumers runs first must not absorb the one-time
+    * pipeline cost by bench-order luck (the `_setup_dedup_trunk`
+    * discipline). */
+  def materializeMediaPairs(spark: SparkSession, dir: String): Unit = {
+    mediaPairsScratch(spark, dir)
+    ()
+  }
 
   /** Feature + signature in one narrow projection per media row
     * (media_id, feat, n, ph0, ph1); n = window count. The 128 gradient
@@ -418,7 +440,7 @@ object MultimodalQueries {
     * contract). */
   def mediaClusters(spark: SparkSession, dir: String): DataFrame =
     DedupQueries.components(
-        mediaNeardup(spark, dir).select(col("m1").as("d1"), col("m2").as("d2")))
+        mediaPairsScratch(spark, dir).select(col("m1").as("d1"), col("m2").as("d2")))
       .select(col("doc").as("media_id"), col("root").as("canonical_id"),
         (col("doc") === col("root")).as("is_canonical"))
       .orderBy("media_id")

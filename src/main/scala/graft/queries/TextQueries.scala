@@ -3959,6 +3959,12 @@ object TextQueries {
       .filter(col("n").isNotNull)
       .select(least(col("d"), col("n")).as("p1"),
         greatest(col("d"), col("n")).as("p2"))
+    // NOTE (r15 optimization pass): pinning `pairs`/`sh` here was
+    // MEASURED SLOWER (4.5s → 5.5s at sf0.1): the three consumers of
+    // each share their exchanges inside the one final plan
+    // (ReuseExchange), so the "recomputed" passes never actually
+    // re-run, and the pins only added write+read jobs. Left lazy on
+    // purpose.
     val candDocs = pairs.select(col("p1").as("doc_id"))
       .union(pairs.select(col("p2"))).distinct()
     val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
