@@ -2734,7 +2734,8 @@ object SimilarityQueries {
     * cosine (the inertia analog), and the centroid's iteration-1→2
     * cosine shift (convergence telemetry). */
   def kmeansSeeded(spark: SparkSession, dir: String): DataFrame =
-    kmeansSeededOf(Tables(spark, dir, "embeddings"))
+    kmeansSeededOf(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
   /** The corpus in COO form (vec_id, dim index i, double value v). */
   private[graft] def kmCoo(emb: DataFrame): DataFrame =
@@ -2776,13 +2777,37 @@ object SimilarityQueries {
     e.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("int").as("cell"), col("i"), col("v").as("cv"))
 
-  private[graft] def kmeansSeededOf(emb: DataFrame): DataFrame = {
+  /** One-time keyed pin of the fitted 2-iteration Lloyd ASSIGNMENT
+    * (vec_id, cell) — the trunk pattern (r15 optimization) applied to
+    * the clustering-evaluation family: TEN keys (kmeans_seeded,
+    * cluster_keywords, topic_coherence, embedding_outliers,
+    * silhouette, adjusted_rand, v_measure, cluster_purity, bcubed_f1,
+    * semdedup_prune) each re-derived the identical seeded fit (two
+    * Lloyd scoring passes + a centroid update over the corpus COO).
+    * The first caller materializes it once per (session, dir); the
+    * k×64 centroid relations stay per-query (one join+agg from the
+    * pinned assignment, value-bounded). The `...Of(emb)` bodies keep
+    * the in-line fit for arbitrary-frame callers (ScalaTest). */
+  private[graft] def kmA2Scratch(spark: SparkSession, dir: String): DataFrame =
+    Tables.pinKeyed(spark, "km-a2", dir) {
+      val e = kmCoo(Tables(spark, dir, "embeddings"))
+      kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    }
+
+  /** Eager materialization — the `_setup_km_fit` bench label. */
+  def materializeKmFit(spark: SparkSession, dir: String): Unit = {
+    kmA2Scratch(spark, dir)
+    ()
+  }
+
+  private[graft] def kmeansSeededOf(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     val e = kmCoo(emb)
     val norms = e.groupBy("vec_id")
       .agg(sqrt(sum(col("v") * col("v"))).as("nv"))
     val c0 = kmSeeds(e)
     val c1 = kmUpdate(e, kmAssign(e, c0))
-    val a2 = kmAssign(e, c1)
+    val a2 = a20.getOrElse(kmAssign(e, c1))
     val c2 = kmUpdate(e, a2)
 
     val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
@@ -2877,11 +2902,12 @@ object SimilarityQueries {
     * rounds (6 dp). The term×cell matrix is vocabulary-bounded. */
   def clusterKeywords(spark: SparkSession, dir: String): DataFrame =
     clusterKeywordsOf(Tables(spark, dir, "embeddings"),
-      Tables(spark, dir, "documents"))
+      Tables(spark, dir, "documents"), Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def clusterKeywordsOf(emb: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def clusterKeywordsOf(emb: DataFrame, docs: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     val e = kmCoo(emb)
-    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val a2 = a20.getOrElse(kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val toks = docs
       .select(col("doc_id").as("vec_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -2934,12 +2960,14 @@ object SimilarityQueries {
     * (6 dp) BEFORE the cut with vec_id as total tiebreak, so the cut
     * line cannot sit inside float noise. */
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
-    embeddingOutliersOf(Tables(spark, dir, "embeddings"))
+    embeddingOutliersOf(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def embeddingOutliersOf(emb: DataFrame): DataFrame = {
+  private[graft] def embeddingOutliersOf(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     val e = kmCoo(emb)
     val norms = e.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nv"))
-    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val a2 = a20.getOrElse(kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val c2 = kmUpdate(e, a2)
     val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
     a2.join(e, Seq("vec_id"))
@@ -3660,9 +3688,8 @@ object SimilarityQueries {
     val nodes = sym.select(col("src").as("v")).distinct()
       .transform(Tables.scratchPin(_, "spec-nodes")) // node-sized, read every round
     var x = nodes.withColumn("x", lit(SpecScale))
-    val pc = new Tables.PinChain("spec-round")
     val pcAx = new Tables.PinChain("spec-ax")
-    for (_ <- 1 to SpecRounds) {
+    for (r <- 1 to SpecRounds) {
       // ax pinned per round: it feeds BOTH the max-renorm scalar and
       // the next vector — unpinned, the edge⋈vector join ran twice per
       // round (exchange reuse does not span the broadcast boundary);
@@ -3677,7 +3704,15 @@ object SimilarityQueries {
         .crossJoin(broadcast(mx))
         .select(col("v"),
           expr(s"CAST(coalesce(ax, 0) * $SpecScale div mx AS BIGINT)").as("x"))
-        .transform(pc.next) // node-sized round state — per-level deterministic pin (r12)
+      // the renormalized vector is NOT pinned per round (r15
+      // optimization): with ax durable it has exactly ONE consumer —
+      // the next round's ax join — and rebuilding it there is two
+      // node-sized pin reads, so its own pin bought nothing but a
+      // write job per round (measured 8.3s → 6.1s at sf0.1).
+      // Only the FINAL vector is pinned: the Rayleigh finish reads it
+      // twice (the closing ax pass + the quotient join).
+      if (r == SpecRounds)
+        x = x.transform(Tables.scratchPin(_, "spec-xfinal"))
     }
     val ax = sym.join(x.select(col("v").as("dst"), col("x")), Seq("dst"))
       .groupBy(col("src").as("v")).agg(sum("x").as("ax"))
@@ -4272,15 +4307,17 @@ object SimilarityQueries {
     * [[kmUpdate]] relations both engines share; the s ratio is
     * fenced at 6 dp. */
   def silhouette(spark: SparkSession, dir: String): DataFrame =
-    silhouetteOf(Tables(spark, dir, "embeddings"))
+    silhouetteOf(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def silhouetteOf(emb: DataFrame): DataFrame = {
+  private[graft] def silhouetteOf(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Det
     val e = kmCoo(emb)
     val norms = e.groupBy("vec_id")
       .agg(sqrt(sum(col("v") * col("v"))).as("nv"))
-    val c1 = kmUpdate(e, kmAssign(e, kmSeeds(e)))
-    val a2 = kmAssign(e, c1)
+    val a2 = a20.getOrElse(
+      kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val c2 = kmUpdate(e, a2)
     val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
     val d = e.join(broadcast(c2), Seq("i"))
@@ -4656,13 +4693,15 @@ object SimilarityQueries {
     * fixed double expression. Shares the k-means fit prefix with
     * [[clusterPurity]] so the two metrics grade the same clustering. */
   def adjustedRand(spark: SparkSession, dir: String): DataFrame =
-    adjustedRandOf(Tables(spark, dir, "embeddings"))
+    adjustedRandOf(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def adjustedRandOf(emb: DataFrame): DataFrame = {
+  private[graft] def adjustedRandOf(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Det
     val d38 = "decimal(38,0)"
     val e = kmCoo(emb)
-    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val a2 = a20.getOrElse(kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
       .localCheckpoint() // ≤ k × |labels| rows, read 3×
@@ -4725,12 +4764,14 @@ object SimilarityQueries {
     * sums over the shared contingency ([[clusterPurity]] discipline);
     * degenerate zero entropies emit the 1.0 convention, mirrored. */
   def vMeasure(spark: SparkSession, dir: String): DataFrame =
-    vMeasureOf(Tables(spark, dir, "embeddings"))
+    vMeasureOf(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def vMeasureOf(emb: DataFrame): DataFrame = {
+  private[graft] def vMeasureOf(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Det
     val e = kmCoo(emb)
-    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val a2 = a20.getOrElse(kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
       .localCheckpoint()
@@ -4788,11 +4829,13 @@ object SimilarityQueries {
   }
 
   def clusterPurity(spark: SparkSession, dir: String): DataFrame =
-    clusterPurityOf(Tables(spark, dir, "embeddings"))
+    clusterPurityOf(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def clusterPurityOf(emb: DataFrame): DataFrame = {
+  private[graft] def clusterPurityOf(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     val e = kmCoo(emb)
-    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val a2 = a20.getOrElse(kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
       .localCheckpoint() // contingency: <= k x |labels| rows, read 4x
@@ -4874,12 +4917,14 @@ object SimilarityQueries {
     * n_ij²; the two rational sums are fenced at 6 dp (the purity
     * entropy-sum precedent). */
   def bcubedF1(spark: SparkSession, dir: String): DataFrame =
-    bcubedF1Of(Tables(spark, dir, "embeddings"))
+    bcubedF1Of(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def bcubedF1Of(emb: DataFrame): DataFrame = {
+  private[graft] def bcubedF1Of(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Det
     val e = kmCoo(emb)
-    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val a2 = a20.getOrElse(kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val ct = a2.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
       .localCheckpoint() // contingency: <= k x |labels| rows, read 4x
@@ -4940,10 +4985,11 @@ object SimilarityQueries {
     * one fenced ln per pair. */
   def topicCoherence(spark: SparkSession, dir: String): DataFrame =
     topicCoherenceOf(Tables(spark, dir, "embeddings"),
-      Tables(spark, dir, "documents"))
+      Tables(spark, dir, "documents"), Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def topicCoherenceOf(emb: DataFrame, docs: DataFrame): DataFrame = {
-    val top = clusterKeywordsOf(emb, docs)
+  private[graft] def topicCoherenceOf(emb: DataFrame, docs: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
+    val top = clusterKeywordsOf(emb, docs, a20)
       .select(col("cell"), col("term_rank"), col("term"))
       .localCheckpoint() // <= k x 3 rows
     val termSet = top.select("term").distinct()
@@ -5814,14 +5860,16 @@ object SimilarityQueries {
     * cells the way [[embeddingNeardup]] does). Centroid cosines and
     * pair cosines are 6-dp-fenced before any comparison. */
   def semdedupPrune(spark: SparkSession, dir: String): DataFrame =
-    semdedupPruneOf(Tables(spark, dir, "embeddings"))
+    semdedupPruneOf(Tables(spark, dir, "embeddings"),
+      Some(kmA2Scratch(spark, dir)))
 
-  private[graft] def semdedupPruneOf(emb: DataFrame): DataFrame = {
+  private[graft] def semdedupPruneOf(emb: DataFrame,
+      a20: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Det
     val e = kmCoo(emb)
     val norms = e.groupBy("vec_id")
       .agg(sqrt(sum(col("v") * col("v"))).as("nv"))
-    val a2 = kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e))))
+    val a2 = a20.getOrElse(kmAssign(e, kmUpdate(e, kmAssign(e, kmSeeds(e)))))
     val c2 = kmUpdate(e, a2)
     val cn2 = c2.groupBy("cell").agg(sqrt(sum(col("cv") * col("cv"))).as("cn2"))
     val cc = a2.join(e, Seq("vec_id"))
