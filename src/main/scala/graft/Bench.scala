@@ -207,13 +207,24 @@ object Bench {
     // the clustering-evaluation family's fitted Lloyd assignment (r15
     // optimization): ten keys read it
     val setupT5 = System.nanoTime()
-    val setup: Map[String, Double] = setup5 ++
+    val setup6: Map[String, Double] = setup5 ++
       (try {
         queries.SimilarityQueries.materializeKmFit(spark, sfDir)
         Map("_setup_km_fit" -> (System.nanoTime() - setupT5) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] _setup_km_fit FAILED: ${e.getMessage}")
         Map("_setup_km_fit" -> -1.0)
+      })
+    // the basket-mining family's items + supported-pairs trunk (r15
+    // optimization): frequent_pairs + assoc_rules read it
+    val setupT6 = System.nanoTime()
+    val setup: Map[String, Double] = setup6 ++
+      (try {
+        queries.ExtensionQueries.materializeBaskets(spark, sfDir)
+        Map("_setup_baskets" -> (System.nanoTime() - setupT6) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] _setup_baskets FAILED: ${e.getMessage}")
+        Map("_setup_baskets" -> -1.0)
       })
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

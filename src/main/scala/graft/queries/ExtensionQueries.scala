@@ -2257,7 +2257,8 @@ object ExtensionQueries {
     * deterministic cross-engine; the top-20 cut is tie-broken on the
     * full (count, p1, p2) key. */
   def frequentPairs(spark: SparkSession, dir: String): DataFrame =
-    frequentPairsOf(Tables(spark, dir, "lineitem"))
+    frequentPairsOf(Tables(spark, dir, "lineitem"),
+      Some(basketItemsScratch(spark, dir)), Some(basketPairsScratch(spark, dir)))
 
   /** Basket relation (order, part) DISTINCT — within-order repeats are
     * quantity, not co-occurrence. Shared by [[frequentPairs]],
@@ -2265,16 +2266,45 @@ object ExtensionQueries {
   private def basketItems(lineitem: DataFrame): DataFrame =
     lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
 
-  private[graft] def frequentPairsOf(lineitem: DataFrame): DataFrame = {
-    val items = basketItems(lineitem)
-      .transform(graft.Tables.scratchPin(_, "fp-items")) // (order×part) distinct, corpus-sized — durable pin (r11)
+  /** One-time keyed pins of the basket relation and its supported
+    * (≥2 baskets) co-occurrence pair counts — the trunk pattern (r15
+    * optimization): [[frequentPairs]] and [[assocRules]] each re-ran
+    * the identical distinct + basket self-join + pair aggregation per
+    * invocation; now the first caller materializes both once per
+    * (session, dir). The pair relation is support-filtered, so the
+    * pin is answer-proportional, never the raw self-join fan-out. */
+  private def basketItemsScratch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.pinKeyed(spark, "basket-items", dir)(
+      basketItems(Tables(spark, dir, "lineitem")))
+
+  private def basketPairsScratch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.pinKeyed(spark, "basket-pairs", dir) {
+      val items = basketItemsScratch(spark, dir)
+      items.alias("a").join(items.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 2)
+    }
+
+  /** Eager materialization — the `_setup_baskets` bench label. */
+  def materializeBaskets(spark: SparkSession, dir: String): Unit = {
+    basketPairsScratch(spark, dir)
+    ()
+  }
+
+  private[graft] def frequentPairsOf(lineitem: DataFrame,
+      items0: Option[DataFrame] = None,
+      pairs0: Option[DataFrame] = None): DataFrame = {
+    val items = items0.getOrElse(basketItems(lineitem)
+      .transform(graft.Tables.scratchPin(_, "fp-items"))) // (order×part) distinct, corpus-sized — durable pin (r11)
     val nBaskets = items.agg(countDistinct("o").as("n_baskets"))
     val itemCnt = items.groupBy("p").agg(count(lit(1)).as("ic"))
-    val top = items.alias("a").join(items.alias("b"),
+    val top = pairs0.getOrElse(items.alias("a").join(items.alias("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= 2)
+      .filter(col("pair_cnt") >= 2))
       .orderBy(desc("pair_cnt"), asc("p1"), asc("p2"))
       .limit(20)
     top
@@ -2700,17 +2730,21 @@ object ExtensionQueries {
     * precedent) so cut and output can't disagree cross-engine; the
     * top-20 cut tie-breaks on the full rounded-score+counts+ids key. */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
-    assocRulesOf(Tables(spark, dir, "lineitem"))
+    assocRulesOf(Tables(spark, dir, "lineitem"),
+      Some(basketItemsScratch(spark, dir)), Some(basketPairsScratch(spark, dir)))
 
-  private[graft] def assocRulesOf(lineitem: DataFrame): DataFrame = {
-    val items = graft.Tables.scratchPin(basketItems(lineitem), "ar-items") // corpus-sized — durable pin (r11)
+  private[graft] def assocRulesOf(lineitem: DataFrame,
+      items0: Option[DataFrame] = None,
+      pairs0: Option[DataFrame] = None): DataFrame = {
+    val items = items0.getOrElse(
+      graft.Tables.scratchPin(basketItems(lineitem), "ar-items")) // corpus-sized — durable pin (r11)
     val nBaskets = items.agg(countDistinct("o").as("n_baskets"))
     val itemCnt = items.groupBy("p").agg(count(lit(1)).as("ic"))
-    val pairs = items.alias("a").join(items.alias("b"),
+    val pairs = pairs0.getOrElse(items.alias("a").join(items.alias("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= 2)
+      .filter(col("pair_cnt") >= 2))
     val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("pair_cnt"))
       .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("pair_cnt")))
     rules

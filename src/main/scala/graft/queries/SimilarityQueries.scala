@@ -5787,8 +5787,12 @@ object SimilarityQueries {
           Window.orderBy(asc("cost"), asc("cid"))))
         .filter(col("rn") === 1).select(col("cid"), col("cost"))
         .localCheckpoint() // 1 row
-      picked = (if (picked == null) pick.select("cid")
-        else picked.unionAll(pick.select("cid"))).localCheckpoint() // ≤ SubK rows
+      // lazy on purpose (r15 optimization): a union of already-
+      // checkpointed 1-row picks, consumed once per later round's
+      // left_anti — its own checkpoint was one eager job per round
+      // for nothing
+      picked = if (picked == null) pick.select("cid")
+        else picked.unionAll(pick.select("cid")) // ≤ SubK rows
       val pickD = cd.join(broadcast(pick.select("cid")), "cid")
         .select(col("vid"), col("d2").as("dp"))
       cur = cur.join(pickD, "vid")
