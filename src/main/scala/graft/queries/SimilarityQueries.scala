@@ -3561,11 +3561,16 @@ object SimilarityQueries {
     val pc = new Tables.PinChain("dbscan-round")
     for (_ <- 1 to DbRounds) {
       prevLab = lab
-      val nbrMin = ce
-        .join(lab.select(col("v").as("u"), col("l").as("lu")), Seq("u"))
-        .groupBy("v").agg(min("lu").as("nl"))
-      lab = lab.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+      // one-shuffle round (r15 optimization): least(l, min(nbr l)) ==
+      // min over the union of v's own label row (always present, one
+      // per v) and its pulled neighbor labels — the join+aggregate+
+      // left-join chain collapsed into a single groupBy; both union
+      // lanes read the previous round's pin, values bit-identical
+      lab = lab
+        .unionAll(ce
+          .join(lab.select(col("v").as("u"), col("l")), Seq("u"))
+          .select(col("v"), col("l")))
+        .groupBy("v").agg(min("l").as("l"))
         .transform(pc.next) // label round state — per-level deterministic pin (r12)
     }
     // convergence audit (ADVICE r9): the unroll is fixed-depth by the
@@ -3808,13 +3813,15 @@ object SimilarityQueries {
     val pc = new Tables.PinChain("perc-round")
     for (_ <- 1 to PercRounds) {
       prevLab = lab
-      val nbr = both
-        .join(lab.select(col("t"), col("v").as("u"), col("l").as("lu")),
-          Seq("t", "u"))
-        .groupBy("t", "v").agg(min("lu").as("nl"))
-      lab = lab.join(nbr, Seq("t", "v"), "left")
-        .select(col("t"), col("v"),
-          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+      // one-shuffle round (r15 optimization, the dbscan rework): min
+      // over the union of each (t, v)'s own label row and its pulled
+      // neighbor labels == least(l, min(nbr l)) — join+agg+left-join
+      // collapsed to a single groupBy over the previous round's pin
+      lab = lab
+        .unionAll(both
+          .join(lab.select(col("t"), col("v").as("u"), col("l")), Seq("t", "u"))
+          .select(col("t"), col("v"), col("l")))
+        .groupBy("t", "v").agg(min("l").as("l"))
         .transform(pc.next) // label round state — per-level deterministic pin (r12)
     }
     // per-threshold convergence audit (ADVICE r9): labels still moving
@@ -5994,6 +6001,14 @@ object SimilarityQueries {
         .transform(Tables.scratchPin(_, s"$sweepTag-d0"))
       val pc = new Tables.PinChain(s"$sweepTag-round")
       for (_ <- 1 to DiamRounds) {
+        // NOTE (r15 optimization pass): collapsing this join+agg+
+        // left-join into the dbscan-style union-min single groupBy was
+        // MEASURED SLOWER here (3.7s → 4.5s): the pull side is a
+        // SMALL BFS frontier that AQE broadcast-joins onto the pinned
+        // node-sized dist (no exchange on dist), while the union-min
+        // shape forces a full dist shuffle every round. Label
+        // propagation (dbscan/percolation) has node-sized pull sides
+        // where the union-min wins instead.
         val prop = adj.join(dist.filter(col("d") < SsspFar),
             adj("src") === col("v"))
           .groupBy(col("dst").as("u")).agg(min(col("d") + 1).as("nd"))
