@@ -110,7 +110,9 @@ object Tables {
   def scratchPin(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
     val path = s"${pinRoot(spark)}/$tag.parquet"
-    df.write.mode("overwrite").parquet(path)
+    StageTimes.timed(s"pin.$tag") {
+      df.write.mode("overwrite").parquet(path)
+    }
     spark.read.parquet(path)
   }
 
@@ -131,7 +133,9 @@ object Tables {
     def next(df: DataFrame): DataFrame = {
       i += 1
       val path = s"${pinRoot(df.sparkSession)}/$tag-l$i.parquet"
-      df.write.mode("overwrite").parquet(path)
+      StageTimes.timed(s"pinchain.$tag") {
+        df.write.mode("overwrite").parquet(path)
+      }
       df.sparkSession.read.parquet(path)
     }
   }
@@ -147,12 +151,25 @@ object Tables {
     * rebuild, not a PATH_NOT_FOUND (chaos-tested). */
   def pinKeyed(spark: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame = {
     val path = s"$scratchDir/pins-keyed/$tag-${sessionKey(spark, dir)}.parquet"
-    if (!scratchReady(spark, s"graft.pin.$tag", dir, Seq(path))) {
-      build.write.mode("overwrite").parquet(path)
-      scratchMark(spark, s"graft.pin.$tag", dir)
+    // JVM-level build lock per (tag, session, dir) — the public trunk
+    // consumers are no longer sequential by construction (ADVICE r15):
+    // two threads sharing one SparkSession must not race the overwrite
+    // build against a reader on the same path; one builds, the other
+    // waits then reads.
+    val lock = pinLocks.computeIfAbsent(s"$tag-${sessionKey(spark, dir)}", _ => new Object)
+    lock.synchronized {
+      if (!scratchReady(spark, s"graft.pin.$tag", dir, Seq(path))) {
+        StageTimes.timed(s"pin.$tag") {
+          build.write.mode("overwrite").parquet(path)
+        }
+        scratchMark(spark, s"graft.pin.$tag", dir)
+      }
     }
     spark.read.parquet(path)
   }
+
+  private val pinLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Session-scoped scratch key: the random session token (so two
     * sessions sharing the scratch root never collide) × a

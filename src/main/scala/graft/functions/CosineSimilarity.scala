@@ -148,6 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       JaroWinkler.info,
       JaroWinkler.builder))
     ext.injectFunction((
+      FunctionIdentifier("sqdist_q"),
+      SqDistQ.info,
+      SqDistQ.builder))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

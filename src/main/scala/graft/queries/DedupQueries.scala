@@ -329,7 +329,9 @@ object DedupQueries {
   private def groupsScratch(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${Tables.scratchDir}/dedupgroups-${scratchKey(spark, dir)}/groups.parquet"
     if (!Tables.scratchReady(spark, "graft.dedupgroups.dir", dir, Seq(path))) {
-      groupsOf(Tables(spark, dir, "documents")).write.mode("overwrite").parquet(path)
+      graft.StageTimes.timed("dedup.groups") {
+        groupsOf(Tables(spark, dir, "documents")).write.mode("overwrite").parquet(path)
+      }
       groupsWrites += 1
       graft.Tables.scratchMark(spark, "graft.dedupgroups.dir", dir)
     }
@@ -357,13 +359,17 @@ object DedupQueries {
     if (!Tables.scratchReady(spark, "graft.deduptrunk.dir", dir,
         Seq(s"$base/verified.parquet", s"$base/labels.parquet"))) {
       val verified = verifiedFromGroups(Tables(spark, dir, "documents"), groups)
-      verified.write.mode("overwrite").parquet(s"$base/verified.parquet")
+      graft.StageTimes.timed("dedup.verify-agg") {
+        verified.write.mode("overwrite").parquet(s"$base/verified.parquet")
+      }
       // the connected-component labels ride in the trunk too: both
       // clustering consumers (keep-mode, full clusters) need the same
       // fixpoint over the same pair graph — run it once, over the
       // just-written parquet (flat lineage for the round jobs)
-      components(spark.read.parquet(s"$base/verified.parquet").select("d1", "d2"))
-        .write.mode("overwrite").parquet(s"$base/labels.parquet")
+      graft.StageTimes.timed("dedup.components") {
+        components(spark.read.parquet(s"$base/verified.parquet").select("d1", "d2"))
+          .write.mode("overwrite").parquet(s"$base/labels.parquet")
+      }
       trunkWrites += 1
       graft.Tables.scratchMark(spark, "graft.deduptrunk.dir", dir)
     }
@@ -477,20 +483,39 @@ object DedupQueries {
     var round = 0
     while (changed > 0) {
       round += 1
-      val nbrMin = edges
-        .join(lab.select(col("doc").as("d2"), col("root").as("nbr_root")), "d2")
-        .groupBy(col("d1").as("doc2"))
-        .agg(min("nbr_root").as("nbr_min"))
-      val stepped = lab.join(nbrMin, lab("doc") === nbrMin("doc2"), "left")
-        .select(col("doc"),
-          least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"),
-          col("root").as("prev"))
+      val roundT0 = System.nanoTime()
+      // union-min one-shuffle base step (r16 — the shape that won for
+      // dbscan/percolation in r15, applicable because every node owns
+      // exactly one label row and the pull side is node-sized): the
+      // old join+aggregate THEN left-join-back paid a third exchange
+      // per round for the same min.
+      val pulled = edges
+        .join(lab.select(col("doc").as("d2"), col("root").as("cand")), "d2")
+        .select(col("d1").cast("long").as("doc"), col("cand").cast("long"),
+          lit(null).cast("long").as("prev"))
+      val own = lab.select(col("doc").cast("long"),
+        col("root").cast("long").as("cand"), col("root").cast("long").as("prev"))
+      val stepped = own.unionByName(pulled)
+        .groupBy("doc")
+        // exactly one own row per doc carries non-null prev — max picks it
+        .agg(min("cand").as("root"), max("prev").as("prev"))
       val preNext = if (round < 3) stepped
-      else { // path halving: root := root's root
-        val st = stepped.checkpoint() // both join sides read the materialized rows
-        st.join(st.select(col("doc").as("rdoc"), col("root").as("rroot")),
-            st("root") === col("rdoc"), "left")
+      else {
+        // path halving via the PREVIOUS round's checkpointed labels
+        // (r16): prevlab[x] ≤ x and stays in x's component, so each
+        // jump is sound by the same monotonicity argument as before —
+        // and because prev-round labels are already materialized, the
+        // mid-round checkpoint job the stepped-self-join needed is
+        // gone; two jumps per round for one job where one jump cost
+        // two jobs.
+        val l1 = lab.select(col("doc").cast("long").as("rdoc"),
+          col("root").cast("long").as("rroot"))
+        val h1 = stepped.join(l1, stepped("root") === col("rdoc"), "left")
           .select(col("doc"), coalesce(col("rroot"), col("root")).as("root"),
+            col("prev"))
+        h1.join(l1.select(col("rdoc").as("rdoc2"), col("rroot").as("rroot2")),
+            h1("root") === col("rdoc2"), "left")
+          .select(col("doc"), coalesce(col("rroot2"), col("root")).as("root"),
             col("prev"))
       }
       // convergence check rides the SAME job as the round's
@@ -514,6 +539,9 @@ object DedupQueries {
         .checkpoint(eager = true)
       changed = acc.value
       lab = next.drop("prev")
+      graft.StageTimes.bump("components.rounds", 1.0)
+      graft.StageTimes.bump(s"components.round$round",
+        (System.nanoTime() - roundT0) / 1e9)
     }
     lab.select("doc", "root")
   }

@@ -269,21 +269,40 @@ object SimilarityQueries {
     * integer hashing, so the oracle replays it exactly. */
   def knnGraph(spark: SparkSession, dir: String,
                nPlanes: Int = 8, k: Int = 5): DataFrame =
-    knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
+    // the default geometry rides the shared edge trunk (r16
+    // optimization): [[knnEdgesScratch]] materializes exactly this
+    // relation — rank included — once per (session, dir), so the
+    // declared query is a flat columnar read + sort instead of
+    // re-running the LSH+rerank pipeline per invocation. Non-default
+    // geometries (spec fixtures) still derive inline.
+    if (nPlanes == 8 && k == 5)
+      knnEdgesScratch(spark, dir)
+        .select("src", "dst", "cos", "rank")
+        .orderBy("src", "rank")
+    else knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
 
   private[graft] def knnGraphOn(emb: DataFrame, nPlanes: Int, k: Int): DataFrame = {
     // symmetrize by exploding both directions out of ONE candidate
     // computation — a unionAll of cand with its swap would plan the
-    // whole bucket self-join twice (two scans, two aggregates)
-    val edges = lshCandidatePairs(emb, nPlanes)
+    // whole bucket self-join twice (two scans, two aggregates). The
+    // exact cosine is computed ONCE per unordered pair, BEFORE the
+    // directional explode (r16 optimization, guide §2.3: halve the
+    // rerank join's probe rows and the cosine evaluations):
+    // cosine_sim(a, b) ≡ cosine_sim(b, a) bit-for-bit — the dot terms
+    // commute elementwise and the denominator √na·√nb is one double
+    // multiply — so attaching the pair's cosine to both directions is
+    // value-identical to evaluating it per direction.
+    val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("qe"))
+    val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("ce"))
+    val scored = withCos(lshCandidatePairs(emb, nPlanes).join(e1, "v1").join(e2, "v2"))
+      .select(col("v1"), col("v2"), col("cos"))
+    val edges = scored
       .select(explode(array(
-        struct(col("v1").as("src"), col("v2").as("dst")),
-        struct(col("v2").as("src"), col("v1").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val e1 = emb.select(col("vec_id").as("src"), col("embedding").as("qe"))
-    val e2 = emb.select(col("vec_id").as("dst"), col("embedding").as("ce"))
+        struct(col("v1").as("src"), col("v2").as("dst"), col("cos")),
+        struct(col("v2").as("src"), col("v1").as("dst"), col("cos")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.cos").as("cos"))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
-    withCos(edges.join(e1, "src").join(e2, "dst"))
+    edges
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"), col("rank"))
@@ -336,25 +355,63 @@ object SimilarityQueries {
     * cluster_id = min member, is_canonical); vectors with no mutual
     * neighbor are trivial singletons and are omitted, matching the
     * dedup-clusters contract. */
+  /** The MUTUAL edges of the default k-NN graph — ONE (session, dir)-
+    * keyed trunk (r16 optimization): [[semanticClusters]] and
+    * [[modularity]] each re-derived this same self-join of the edge
+    * scratch per invocation (modularity under its own transient pin). */
+  private[graft] def mutEdgesScratch(spark: SparkSession, dir: String): DataFrame =
+    Tables.pinKeyed(spark, "mutedges", dir) {
+      val g = knnEdgesScratch(spark, dir).select("src", "dst")
+      g.alias("a").join(g.alias("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("d1"), col("a.dst").as("d2"))
+    }
+
+  /** The semantic-cluster component labels (doc, root) over the mutual
+    * edges — the second shared trunk of the pair (r16 optimization):
+    * [[semanticClusters]] AND [[modularity]] each ran the FULL
+    * min-label fixpoint per invocation; the labels are a pure function
+    * of the corpus (converged min labels are partitioning-independent),
+    * so the first caller runs it once and the other does a flat read. */
+  private[graft] def semClustScratch(spark: SparkSession, dir: String): DataFrame =
+    Tables.pinKeyed(spark, "semclust", dir) {
+      DedupQueries.components(mutEdgesScratch(spark, dir))
+    }
+
+  /** Eager trunk materialization for deterministic bench cost
+    * attribution — the `_setup_semclust` bench label: neither consumer
+    * key absorbs the shared mutual-join + fixpoint cost by bench-order
+    * luck. */
+  def materializeSemClust(spark: SparkSession, dir: String): Unit = {
+    semClustScratch(spark, dir)
+    ()
+  }
+
   def semanticClusters(spark: SparkSession, dir: String,
                        nPlanes: Int = 8, k: Int = 5): DataFrame = {
-    // at the default geometry the cut edge relation IS the shared
-    // graph-algorithm scratch (pagerank/label-prop/link-predict read
-    // the same parquet) — corpus-sized, so durable scratch beats an
-    // executor-pinned localCheckpoint; non-default geometries (spec
-    // fixtures) still derive it inline
-    val g = if (nPlanes == 8 && k == 5) knnEdgesScratch(spark, dir)
-      else Tables.scratchPin(
+    // at the default geometry the cluster labels ARE the shared keyed
+    // trunk (r16 optimization — pagerank/label-prop/link-predict read
+    // the edge scratch the same way); non-default geometries (spec
+    // fixtures) still derive everything inline
+    if (nPlanes == 8 && k == 5)
+      semClustScratch(spark, dir)
+        .select(col("doc").as("vec_id"), col("root").as("cluster_id"),
+          (col("doc") === col("root")).as("is_canonical"))
+        .orderBy("vec_id")
+    else {
+      val g = Tables.scratchPin(
         knnGraphOn(Tables(spark, dir, "embeddings"), nPlanes, k)
           .select(col("src"), col("dst")), "semclust-edges")
-    val mut = g.alias("a").join(g.alias("b"),
-        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
-      .filter(col("a.src") < col("a.dst"))
-      .select(col("a.src").as("d1"), col("a.dst").as("d2"))
-    DedupQueries.components(mut)
-      .select(col("doc").as("vec_id"), col("root").as("cluster_id"),
-        (col("doc") === col("root")).as("is_canonical"))
-      .orderBy("vec_id")
+      val mut = g.alias("a").join(g.alias("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("d1"), col("a.dst").as("d2"))
+      DedupQueries.components(mut)
+        .select(col("doc").as("vec_id"), col("root").as("cluster_id"),
+          (col("doc") === col("root")).as("is_canonical"))
+        .orderBy("vec_id")
+    }
   }
 
   /** DuckDB twin of [[semanticClusters]]: the ranked k-NN CTE
@@ -2184,10 +2241,15 @@ object SimilarityQueries {
     val path =
       s"${Tables.scratchDir}/knnedges-${DedupQueries.scratchKey(spark, dir)}/edges.parquet"
     if (!Tables.scratchReady(spark, "graft.knnedges.dir", dir, Seq(path))) {
-      // cos rides along for the distance-consuming readers ([[lof]]);
-      // src/dst-only readers column-prune it away at the scan
-      knnGraph(spark, dir).select("src", "dst", "cos")
-        .write.mode("overwrite").parquet(path)
+      // cos and rank ride along for the distance/rank-consuming
+      // readers ([[lof]], the q_knn_graph entry); src/dst-only readers
+      // column-prune both away at the scan. Built via knnGraphOn (the
+      // public knnGraph READS this scratch at the default geometry).
+      graft.StageTimes.timed("graph.knn-edges") {
+        knnGraphOn(Tables(spark, dir, "embeddings"), 8, 5)
+          .select("src", "dst", "cos", "rank")
+          .write.mode("overwrite").parquet(path)
+      }
       graft.Tables.scratchMark(spark, "graft.knnedges.dir", dir)
     }
     spark.read.parquet(path)
@@ -4230,13 +4292,13 @@ object SimilarityQueries {
     * per-cluster relation survives to the output. Exact integers into
     * one fenced division. */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val edges = knnEdgesScratch(spark, dir)
-    val mut = edges.as("a").join(edges.as("b"),
-        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
-      .filter(col("a.src") < col("a.dst"))
-      .select(col("a.src").as("d1"), col("a.dst").as("d2"))
-      .transform(Tables.scratchPin(_, "mod-mut")) // mutual edges ≤ k·|V|/2, reused 3× — durable pin (r11)
-    val cl = semanticClusters(spark, dir).select(col("vec_id"), col("cluster_id"))
+    // both inputs are the shared keyed trunks (r16 optimization): the
+    // transient "mod-mut" pin re-ran the SAME mutual self-join the
+    // semanticClusters call was also re-running, and that call re-ran
+    // the full min-label fixpoint — now one flat read each
+    val mut = mutEdgesScratch(spark, dir)
+    val cl = semClustScratch(spark, dir)
+      .select(col("doc").as("vec_id"), col("root").as("cluster_id"))
     modularityOf(mut, cl)
   }
 
@@ -5771,40 +5833,62 @@ object SimilarityQueries {
     submodularSelectOf(Tables(spark, dir, "embeddings"))
 
   private[graft] def submodularSelectOf(emb: DataFrame): DataFrame = {
-    val d2e = "aggregate(zip_with(qe, ce, (a, b) -> " +
-      "CAST(round(CAST(a AS DOUBLE) * 1000) AS BIGINT) - " +
-      "CAST(round(CAST(b AS DOUBLE) * 1000) AS BIGINT)), " +
-      "0L, (acc, x) -> acc + x * x)"
+    // exact-integer d²: per-element quantization stays in Spark's own
+    // round (a transform projection over corpus-linear rows); the hot
+    // per-PAIR fold is the codegen'd [[graft.functions.SqDistQ]] (r16,
+    // guide §4 — the interpreted zip_with/aggregate lambda was ~60
+    // µs/pair, the dominant cost of the cd build). Subtract-of-rounds
+    // ≡ round-then-subtract, so d2 is bit-identical to the HOF form
+    // (asserted in ScalaTest).
+    graft.functions.SqDistQ.register(emb.sparkSession)
+    val q3 = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+    val d2e = "sqdist_q(qe, ce)"
     val cand = emb.filter(col("vec_id") < SubCand).limit(SubCand)
-      .select(col("vec_id").as("cid"), col("embedding").as("qe"))
-    val all = emb.select(col("vec_id").as("vid"), col("embedding").as("ce"))
-    val cd = broadcast(cand).crossJoin(all)
+      .select(col("vec_id").as("cid"), expr(q3).as("qe"))
+    val all = emb.select(col("vec_id").as("vid"), expr(q3).as("ce"))
+    // r16 reformulation (the "(round × candidate)-batched gains" sketch
+    // of OPTIMIZATION_r15.md, proven value-identical): the candidate
+    // distances are pivoted into ONE cid-sorted struct array per
+    // vector, pinned once — the coverage state (min d² over picks so
+    // far) is then a pure function of cds and the ≤SubK picked cids,
+    // so each greedy round is a single explode+16-key aggregation over
+    // the STATIC pin: no per-round vid-keyed join, no evolving
+    // node-sized round-state pin, half the jobs. Equivalence: round
+    // r's cost(c) = Σ_v least(min_{s∈picked} d²(v,s), d²(v,c)) with
+    // min over the empty set = SubFar — exactly the old least(best,
+    // d2) because best_v WAS min(SubFar, min_{s∈picked} d²(v,s)); the
+    // sums are exact integers (order-free), the argmin tie-break
+    // (cost, cid) and the picked-exclusion set are unchanged.
+    val st = broadcast(cand).crossJoin(all)
       .select(col("cid"), col("vid"), expr(d2e).as("d2"))
-      .transform(Tables.scratchPin(_, "submod-cd")) // SubCand·|V|, read every round
-    val pc = new Tables.PinChain("submod-cur")
-    var cur = all.select(col("vid"), lit(SubFar).as("best"))
+      .groupBy("vid")
+      .agg(sort_array(collect_list(struct(col("cid"), col("d2")))).as("cds"))
+      .transform(Tables.scratchPin(_, "submod-cd")) // |V| rows × SubCand-wide array, read every round
     var picked: DataFrame = null
     val rounds = (1 to SubK).map { r =>
-      val gains = cd.join(cur, "vid")
-        .groupBy("cid").agg(sum(least(col("best"), col("d2"))).as("cost"))
-      val open = if (picked == null) gains
-        else gains.join(picked, Seq("cid"), "left_anti")
-      val pick = open // SubCand-bounded argmin cut
+      val gains =
+        if (picked == null)
+          st.select(explode(expr(
+            s"transform(cds, x -> struct(x.cid AS cid, least(${SubFar}L, x.d2) AS g))")).as("e"))
+            .groupBy(col("e.cid").as("cid")).agg(sum(col("e.g")).as("cost"))
+        else // picks ride in as a broadcast 1-row array; covered = min d² over picked
+          st.crossJoin(broadcast(picked.agg(collect_list("cid").as("picks"))))
+            .select(explode(expr(
+              "transform(filter(cds, x -> NOT array_contains(picks, x.cid)), " +
+                "x -> struct(x.cid AS cid, least(coalesce(array_min(" +
+                "transform(filter(cds, y -> array_contains(picks, y.cid)), y -> y.d2))," +
+                s" ${SubFar}L), x.d2) AS g))")).as("e"))
+            .groupBy(col("e.cid").as("cid")).agg(sum(col("e.g")).as("cost"))
+      val pick = gains // SubCand-bounded argmin cut
         .withColumn("rn", row_number().over(
           Window.orderBy(asc("cost"), asc("cid"))))
         .filter(col("rn") === 1).select(col("cid"), col("cost"))
         .localCheckpoint() // 1 row
       // lazy on purpose (r15 optimization): a union of already-
-      // checkpointed 1-row picks, consumed once per later round's
-      // left_anti — its own checkpoint was one eager job per round
-      // for nothing
+      // checkpointed 1-row picks, consumed once per later round —
+      // its own checkpoint was one eager job per round for nothing
       picked = if (picked == null) pick.select("cid")
         else picked.unionAll(pick.select("cid")) // ≤ SubK rows
-      val pickD = cd.join(broadcast(pick.select("cid")), "cid")
-        .select(col("vid"), col("d2").as("dp"))
-      cur = cur.join(pickD, "vid")
-        .select(col("vid"), least(col("best"), col("dp")).as("best"))
-        .transform(pc.next) // node-sized round state
       pick.select(lit(r).as("round"), col("cid").as("vec_id"),
         col("cost").as("total_cost"))
     }
@@ -6405,15 +6489,39 @@ object SimilarityQueries {
     // node-sized all the way down. Each piece of state crosses a
     // durable pin barrier (the sssp/pageRank round-state discipline;
     // localCheckpoint chains measured ~3× slower per round here).
-    var live = pc.next(und.select(
+    // The live-edge count rides the pin write as an accumulator (r16,
+    // the components-fixpoint idiom): the per-round isEmpty probe job
+    // is gone. At-least-once accumulator updates under task retry can
+    // only OVERcount; the branch that matters — zero — is exact (no
+    // task observed a row), and a positive overcount changes nothing
+    // (the value is only compared against 0).
+    def pinLive(df: DataFrame): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator("graft.mst.live")
+      val counted = df
+        .select(col("cu").cast("long"), col("cv").cast("long"),
+          col("cos6").cast("long"), col("pk").cast("long"))
+        .as[(Long, Long, Long, Long)]
+        .map { t => acc.add(1); t }
+        .toDF("cu", "cv", "cos6", "pk")
+      (pc.next(counted), acc.value) // the pin write IS the action
+    }
+    var (live, liveCount) = pinLive(und.select(
       col("u").as("cu"), col("v").as("cv"), col("cos6"),
       expr("u * 2147483648L + v").as("pk")))
-    var nbVal = und.select(col("u").as("x"))
-      .unionAll(und.select(col("v").as("x"))).distinct().count()
-    val stats = (1 to BvRounds).map { r =>
+    // per-round stats are DEFERRED (r16): nothing the loop's control
+    // flow needs lives in them — liveCount (accumulator, free) gates
+    // the rounds and the changed-accumulators gate the pointer walk —
+    // so the per-round added-edges head() action and the upfront
+    // node-count action are replaced by ONE lazy plan over the
+    // retained per-round sel pins, folded at output-action time
+    // (running totals via a 6-row window).
+    val roundAdds = (1 to BvRounds).map { r =>
+      val roundT0 = System.nanoTime()
       // converged graphs short-circuit: no cross edge → nothing merges;
-      // the emitted row is exactly what the full path would compute
-      if (live.isEmpty) (r, nbVal, nbVal, 0L, 0L)
+      // the emitted (added=0, sim=0) row is what the full path computes
+      val addedDf = if (liveCount == 0L)
+        spark.range(1).select(lit(r).as("round"),
+          lit(0L).as("added"), lit(0L).as("sim6"))
       else {
         val ec = live.select(col("cu").as("c"), col("cv").as("nc"),
             (-col("cos6")).as("w"), col("pk"))
@@ -6422,12 +6530,20 @@ object SimilarityQueries {
         val s1 = ec.groupBy(col("c").as("c1")).agg(min("w").as("mw"))
         val s2 = ec.join(s1, col("c") === col("c1") && col("w") === col("mw"))
           .groupBy(col("c1").as("c2")).agg(min("pk").as("mpk"))
-        val sel = pc.next(
+        // sel stays PINNED: leaving it lazy was measured r16 — the hook
+        // self-join's two sides do NOT get exchange-reuse here (the
+        // argmin chain re-computed per side inside the seed job,
+        // mst.seed 1.7→5.0s for a 2.3s pin saved; net zero-to-worse) —
+        // unlike sortedNeighborhood's window pass, where ReuseExchange
+        // does share (r15 note there).
+        val sel = graft.StageTimes.timed("mst.sel")(pc.next(
           ec.join(s2, col("c") === col("c2") && col("pk") === col("mpk"))
-            .select("c", "nc", "pk", "w")) // exactly one row per component
+            .select("c", "nc", "pk", "w"))) // exactly one row per component
+        // this round's forest stats, LAZY over the retained sel pin
         val added = sel.select(col("pk"), (-col("w")).as("cos6")).distinct()
-          .agg(count(lit(1)), coalesce(sum("cos6"), lit(0L)))
-          .as[(Long, Long)].head()
+          .agg(count(lit(1)).as("added"),
+            coalesce(sum("cos6"), lit(0L)).as("sim6"))
+          .select(lit(r).as("round"), col("added"), col("sim6"))
         // contraction exploits the selected graph's PSEUDO-FOREST
         // structure (out-degree 1, one mutual 2-cycle per tree): hook
         // each component to its selected neighbor with the 2-cycle
@@ -6440,47 +6556,87 @@ object SimilarityQueries {
             when(col("y.nc") === col("x.c") && col("x.nc") > col("x.c"),
               col("x.c")).otherwise(col("x.nc")).as("p"))
         // seed the walk at p² — the hook and one composition share a
-        // single pinned job over the freshly pinned sel
-        var m = pc.next(hk.as("g").join(hk.as("h"), col("g.p") === col("h.c"), "left")
-          .select(col("g.c").as("c"), coalesce(col("h.p"), col("g.p")).as("p")))
-        var changed = 1L
+        // single pinned job over the freshly pinned sel. The seed pin
+        // also carries the convergence probe (r16): if the second hop
+        // moved NO pointer, p¹ is idempotent on its image — every
+        // pointer already names a root — so the quadruple loop is
+        // skipped outright. Real kNN Borůvka trees are stars/short
+        // chains, so the common round now pays ONE pointer job.
+        val seedAcc = spark.sparkContext.longAccumulator("graft.mst.seedchg")
+        var m = graft.StageTimes.timed("mst.seed")(pc.next(hk.as("g").join(hk.as("h"), col("g.p") === col("h.c"), "left")
+          .select(col("g.c").cast("long").as("c"),
+            coalesce(col("h.p"), col("g.p")).cast("long").as("p"),
+            col("g.p").cast("long").as("op"))
+          .as[(Long, Long, Long)]
+          .map { t => if (t._2 != t._3) seedAcc.add(1); (t._1, t._2) }
+          .toDF("c", "p")))
+        var changed = seedAcc.value
         while (changed > 0) {
           // QUADRUPLE per pinned step (m∘m∘m∘m — three self-joins in
           // one job): the fixed pin overhead dominates at this state
-          // size, so fewer, denser jumps beat classic doubling
+          // size, so fewer, denser jumps beat classic doubling.
+          // The changed-count rides the pin write as an accumulator
+          // (r16): the per-step filter(chg).count() job is gone. Same
+          // safety argument as [[DedupQueries.components]]: a retry
+          // overcount only triggers one extra quadruple step over an
+          // already-converged m (identical values); zero is exact.
           val q1 = m.as("a").join(m.as("b"), col("a.p") === col("b.c"), "left")
             .select(col("a.c").as("c"),
               coalesce(col("b.p"), col("a.p")).as("p"))
+          val acc = spark.sparkContext.longAccumulator("graft.mst.changed")
           val m2 = pc.next(
             q1.as("e").join(q1.as("f"), col("e.p") === col("f.c"), "left")
               .select(col("e.c").as("c"),
                 coalesce(col("f.p"), col("e.p")).as("p"))
               .join(m.select(col("c").as("oc"), col("p").as("op")),
                 col("c") === col("oc"))
-              .select(col("c"), col("p"), (col("p") =!= col("op")).as("chg")))
-          changed = m2.filter(col("chg")).count()
-          m = m2.select("c", "p")
+              .select(col("c").cast("long"), col("p").cast("long"),
+                col("op").cast("long"))
+              .as[(Long, Long, Long)]
+              .map { t => if (t._2 != t._3) acc.add(1); (t._1, t._2) }
+              .toDF("c", "p"))
+          changed = acc.value // pin write was the action
+          m = m2
         }
         // relabel surviving edges; intra-tree edges drop out for good.
         // Every live endpoint has ≥1 cross edge, hence a selected edge,
         // hence a row in m — the inner joins are total.
-        live = pc.next(live
-          .join(m.select(col("c").as("cu"), col("p").as("cu2")), "cu")
-          .join(m.select(col("c").as("cv"), col("p").as("cv2")), "cv")
-          .filter(col("cu2") =!= col("cv2"))
-          .select(col("cu2").as("cu"), col("cv2").as("cv"),
-            col("cos6"), col("pk")))
-        // forest property: each contracted tree of k components adds
-        // exactly k−1 distinct edges, so components drop by edges added
-        // (the oracle derives n_comp_after independently by counting)
-        val naVal = nbVal - added._1
-        val row = (r, nbVal, naVal, added._1, added._2)
-        nbVal = naVal
-        row
+        // SKIPPED on the final round (r16):
+        // the relabeled live list is only ever read by the NEXT round,
+        // so round BvRounds' pin + two joins bought nothing
+        if (r < BvRounds) {
+          val (liveNext, liveNextCount) = graft.StageTimes.timed("mst.live")(pinLive(live
+            .join(m.select(col("c").as("cu"), col("p").as("cu2")), "cu")
+            .join(m.select(col("c").as("cv"), col("p").as("cv2")), "cv")
+            .filter(col("cu2") =!= col("cv2"))
+            .select(col("cu2").as("cu"), col("cv2").as("cv"),
+              col("cos6"), col("pk"))))
+          live = liveNext
+          liveCount = liveNextCount
+        }
+        added
       }
+      graft.StageTimes.bump(s"mst.round$r", (System.nanoTime() - roundT0) / 1e9)
+      addedDf
     }
-    stats.toDF("round", "n_comp_before", "n_comp_after",
-      "n_edges_added", "sim6_added").orderBy("round")
+    // forest property: each contracted tree of k components adds
+    // exactly k−1 distinct edges, so components drop by edges added
+    // (the oracle derives n_comp_after independently by counting).
+    // The running component counts fold at action time: a window over
+    // the BvRounds-row union (value-bounded) against the one lazy
+    // node-count scalar.
+    val n0 = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x"))).distinct()
+      .agg(count(lit(1)).as("n0"))
+    val w = Window.orderBy("round")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    roundAdds.reduce(_ unionAll _)
+      .crossJoin(broadcast(n0))
+      .withColumn("before", col("n0") - coalesce(sum("added").over(w), lit(0L)))
+      .select(col("round"), col("before").as("n_comp_before"),
+        (col("before") - col("added")).as("n_comp_after"),
+        col("added").as("n_edges_added"), col("sim6").as("sim6_added"))
+      .orderBy("round")
   }
 
   /** DuckDB twin: the identical [[BvRounds]] rounds over the shared

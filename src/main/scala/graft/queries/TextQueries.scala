@@ -1385,15 +1385,21 @@ object TextQueries {
     val (pTf, pDl, pDf) =
       (s"$base/tf.parquet", s"$base/dl.parquet", s"$base/df.parquet")
     if (!Tables.scratchReady(spark, "graft.postings.dir", dir, Seq(pTf, pDl, pDf))) {
-      postingsOf(Tables(spark, dir, "documents"))
-        .write.mode("overwrite").parquet(pTf)
+      graft.StageTimes.timed("postings.tf") {
+        postingsOf(Tables(spark, dir, "documents"))
+          .write.mode("overwrite").parquet(pTf)
+      }
       // dl/df derive from the just-written parquet (flat lineage, and
       // the positions column prunes away at both scans)
       val tf = spark.read.parquet(pTf).select("doc_id", "term", "tf")
-      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .write.mode("overwrite").parquet(pDl)
-      tf.groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-        .write.mode("overwrite").parquet(pDf)
+      graft.StageTimes.timed("postings.dl") {
+        tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+          .write.mode("overwrite").parquet(pDl)
+      }
+      graft.StageTimes.timed("postings.df") {
+        tf.groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+          .write.mode("overwrite").parquet(pDf)
+      }
       postingsWrites += 1
       graft.Tables.scratchMark(spark, "graft.postings.dir", dir)
     }
@@ -2905,14 +2911,23 @@ object TextQueries {
     * sanctioned pin. Determinism: exact integer occurrence counts;
     * the only strings are exact concatenations. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrainOf(Tables(spark, dir, "documents"), BpeTrainRounds)
+    // the (distinct word, corpus count) vocabulary IS the postings
+    // trunk's df.cf column (r16 optimization) — the corpus tokenize +
+    // groupBy pass becomes one vocabulary-sized columnar read.
+    bpeTrainOf(Tables(spark, dir, "documents"), BpeTrainRounds,
+      Some(postingsTrunk(spark, dir).df))
 
-  private[graft] def bpeTrainOf(docs: DataFrame, rounds: Int): DataFrame = {
-    var words = docs
-      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n"))
-      .select(regexp_replace(col("t"), "(.)", " $1 ").as("w"), col("n"))
-      .localCheckpoint() // vocabulary-bounded
+  private[graft] def bpeTrainOf(docs: DataFrame, rounds: Int,
+      df0: Option[DataFrame] = None): DataFrame = {
+    var words = df0.map(_
+        .select(regexp_replace(col("term"), "(.)", " $1 ").as("w"),
+          col("cf").as("n"))
+        .localCheckpoint()) // vocabulary-bounded
+      .getOrElse(docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .select(regexp_replace(col("t"), "(.)", " $1 ").as("w"), col("n"))
+        .localCheckpoint()) // vocabulary-bounded
     val merges = (1 to rounds).map { r =>
       val pairs = words
         .select(split(trim(col("w")), "  ").as("s"), col("n"))
@@ -10210,9 +10225,18 @@ object TextQueries {
     * fence — no ln/exp anywhere. Docs with fewer than 2 tokens have
     * no bigram tier and are excluded (none exist in this corpus). */
   def selfBleu(spark: SparkSession, dir: String): DataFrame =
-    selfBleuOf(Tables(spark, dir, "documents"))
+    // the unigram tier rides the postings trunk (r16 optimization):
+    // its (doc, gram, count) relation IS the trunk's tf table and its
+    // gram totals ARE the trunk df's cf column — one of the two corpus
+    // tokenize+aggregate passes becomes two flat columnar reads. The
+    // bigram tier keeps its own pass (no other bigram consumer shares
+    // it, so a bigram trunk would cost its own one-time build for net
+    // zero at this consumer count).
+    selfBleuOf(Tables(spark, dir, "documents"),
+      Some(postingsTrunk(spark, dir)))
 
-  private[graft] def selfBleuOf(docs: DataFrame): DataFrame = {
+  private[graft] def selfBleuOf(docs: DataFrame,
+      p0: Option[PostingsIndex] = None): DataFrame = {
     import graft.functions.Det
     val toks = docs.select(col("doc_id"),
       split(trim(col("text")), "\\s+").as("ts"))
@@ -10223,8 +10247,14 @@ object TextQueries {
           s"transform(sequence(0, size(ts) - $n)," +
             s" i -> concat_ws(' ', slice(ts, i + 1, $n)))")).as("g"))
     def prec(n: Int): DataFrame = {
-      val dg = grams(n).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val tot = dg.groupBy("g").agg(sum("c").as("ct"))
+      val (dg, tot) = p0 match {
+        case Some(p) if n == 1 =>
+          (p.tf.select(col("doc_id"), col("term").as("g"), col("tf").as("c")),
+            p.df.select(col("term").as("g"), col("cf").as("ct")))
+        case _ =>
+          val d = grams(n).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          (d, d.groupBy("g").agg(sum("c").as("ct")))
+      }
       dg.join(tot, "g")
         .groupBy("doc_id")
         .agg(sum("c").as(s"n$n"),
@@ -11975,16 +12005,26 @@ object TextQueries {
     * (~10⁸ at 10¹² docs) × x6 ≤ 10⁶ × 64 terms ≈ 6·10¹⁵ — int64-safe
     * at any corpus size. */
   def ppmiEmbed(spark: SparkSession, dir: String): DataFrame =
-    ppmiEmbedOf(Tables(spark, dir, "documents"))
+    // ride the trainer family's lr-feats trunk (r16 optimization): the
+    // distinct (doc, slot) relation below is EXACTLY the lr-feats rows
+    // under the bias pseudo-slot — [[lrFeatsOf]]'s (doc_id, y, slot)
+    // aggregation already collapsed the same tokenize+poly_hash pass to
+    // one row per distinct (doc, slot). The public entry reads the
+    // keyed pin (flat columnar scan, no tokenize, no distinct shuffle);
+    // the arbitrary-frame path below is unchanged.
+    ppmiEmbedOf(Tables(spark, dir, "documents"),
+      Some(lrFeatsScratch(spark, dir)
+        .filter(col("slot") < LrSlots).select("doc_id", "slot")))
 
-  private[graft] def ppmiEmbedOf(docs: DataFrame): DataFrame = {
+  private[graft] def ppmiEmbedOf(docs: DataFrame,
+      perDoc0: Option[DataFrame] = None): DataFrame = {
     graft.functions.PolyHash.register(docs.sparkSession)
-    val perDoc = docs
+    val perDoc = perDoc0.getOrElse(docs
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
       .select(col("doc_id"), expr(tokSlotExprOf("t", LrSlots)).as("slot"))
       .distinct()
-      .transform(graft.Tables.scratchPin(_, "ppmi-perdoc")) // corpus-linear
+      .transform(graft.Tables.scratchPin(_, "ppmi-perdoc"))) // corpus-linear
     val n = perDoc.select("doc_id").distinct().count()
     val df = perDoc.groupBy("slot").agg(count(lit(1)).as("ca"))
     val pairs = perDoc.join(perDoc.withColumnRenamed("slot", "b"), "doc_id")
