@@ -168,6 +168,9 @@ object Bench {
     setupBlock("_setup_semclust") { queries.SimilarityQueries.materializeSemClust(spark, sfDir) }
     // the seeded-centrality family's forward-BFS trunk (VERDICT r11 #2)
     setupBlock("_setup_seeded_bfs") { queries.SimilarityQueries.materializeSeededBfs(spark, sfDir) }
+    // the verified set-similarity pair trunk (r16): setsim_prefix AND
+    // lsh_recall's exact ground-truth tier read it
+    setupBlock("_setup_setsim") { queries.TextQueries.materializeSetsim(spark, sfDir) }
     // the trainer family's shared feature/teacher trunks (r15):
     // ~25 classifier/eval keys plus, since r16, ppmi_embed
     setupBlock("_setup_lr_feats") { queries.TextQueries.materializeLrFeats(spark, sfDir) }

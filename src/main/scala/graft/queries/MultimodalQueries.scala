@@ -333,15 +333,27 @@ object MultimodalQueries {
         explode(expr(s"concat(array(bh), transform(sequence(0, ${bandBits - 1}), b -> bh ^ shiftleft(1L, b)))"))
           .as("pv")),
       Seq("band", "pv"))
+    // two-phase verify (r16, guide §2.3 — shuffle metadata, attach the
+    // payload after): the banded candidate stream is ~1M pairs at
+    // sf0.1 while Hamming survivors are output-proportional, so the
+    // Hamming phase joins only the NARROW (ph0, ph1, n) columns — the
+    // 129-long histogram arrays used to ride both joins for every
+    // candidate — and the exact-L1 phase re-joins `feat` for the few
+    // survivors. Same predicates on the same pairs, value-identical.
     val l1x = expr("aggregate(zip_with(f1, f2, (a, b) -> abs(a * n2 - b * n1)), 0L, (acc, v) -> acc + v)")
-    val verified = cand
-      .join(sig.select(col("media_id").as("d1"), col("feat").as("f1"),
+    val sigN = sig.select(col("media_id"), col("ph0"), col("ph1"), col("n"))
+    val ham = cand
+      .join(sigN.select(col("media_id").as("d1"),
         col("ph0").as("h01"), col("ph1").as("h11"), col("n").as("n1")), "d1")
-      .join(sig.select(col("media_id").as("d2"), col("feat").as("f2"),
+      .join(sigN.select(col("media_id").as("d2"),
         col("ph0").as("h02"), col("ph1").as("h12"), col("n").as("n2")), "d2")
       .withColumn("hamming", bit_count(col("h01").bitwiseXOR(col("h02")))
         + bit_count(col("h11").bitwiseXOR(col("h12"))))
       .filter(col("hamming") <= HamThreshold)
+      .select("d1", "d2", "hamming", "n1", "n2")
+    val verified = ham
+      .join(sig.select(col("media_id").as("d1"), col("feat").as("f1")), "d1")
+      .join(sig.select(col("media_id").as("d2"), col("feat").as("f2")), "d2")
       .filter(l1x <= expr(s"(n1 * n2) div $L1Denom"))
       .select("d1", "d2", "hamming")
       .distinct()
