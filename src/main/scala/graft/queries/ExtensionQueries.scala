@@ -5459,11 +5459,23 @@ object ExtensionQueries {
     import org.apache.spark.sql.expressions.Window
     val u = events.select(col("user_id")).distinct()
       .withColumn("h", pmod(col("user_id") * 2654435761L, lit(4294967296L)))
-    val wRank = Window.orderBy("h", "user_id")
-    val wAll = Window.orderBy("h")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    u.withColumn("r", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wAll))
+      // r16 (unpartitioned-Window audit): the KS ranks were one GLOBAL
+      // row_number over all distinct users — a single-partition sort at
+      // corpus scale. Exact distributed ranking instead: bucket by the
+      // hash's high bits (a PREFIX, so (b, h, user_id) order ≡ the old
+      // (h, user_id) order), rank inside each bucket, and add the
+      // running offset of earlier buckets — a ≤4096-row value-bounded
+      // window. Ranks are bit-identical by order compatibility.
+      .withColumn("b", expr("h div 1048576").cast("int")) // 4096 high-bit buckets
+    val offs = u.groupBy("b").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("b", "off", "n")
+    val wRank = Window.partitionBy("b").orderBy("h", "user_id")
+    u.join(broadcast(offs), "b")
+      .withColumn("r", row_number().over(wRank).cast("long") + col("off"))
       .withColumn("uv", col("h").cast("double") / 4294967296.0)
       .withColumn("dplus", col("r").cast("double") / col("n") - col("uv"))
       .withColumn("dminus", col("uv") - (col("r") - 1).cast("double") / col("n"))
@@ -7455,6 +7467,12 @@ object ExtensionQueries {
     * pre-period) and the naive exposed-vs-not difference (which
     * inherits all the activity confounding): users who see errors
     * are simply more active, and activity drives purchases.
+    *
+    * Unpartitioned-Window note (r16 audit): the as-of carry below is a
+    * DELIBERATE one-sort global window over the USER-cardinality
+    * relation (≪ events; the per-user rollup precedes it) — the 100 TB
+    * form range-partitions the score axis and carries boundary values
+    * in a second bounded pass, which this corpus never needs.
     *
     * Scale shape: one pass builds the per-user (features, exposure,
     * outcome) relation; the propensity is a FIXED-LITERAL logistic

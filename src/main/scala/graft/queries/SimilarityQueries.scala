@@ -1821,13 +1821,30 @@ object SimilarityQueries {
       .select(col("vec_id"),
         Det.rnd(when(col("nv") * col("nq2") === 0, 0.0)
           .otherwise(col("dot2") / (col("nv") * col("nq2"))), 6).as("cos_prf"))
-    val rankedOrig = cos0.withColumn("rank_orig",
-      row_number().over(Window.orderBy(desc("cos_orig"), asc("vec_id"))))
-    cosPrf
+    // r16 (unpartitioned-Window audit): both rank lanes used a GLOBAL
+    // row_number over the corpus-linear score relations — a
+    // single-partition sort of |V| rows at scale. The top-K lane is a
+    // TakeOrdered cut re-ranked inside the K-row result (identical
+    // 1..K values by the same total order), and rank_orig of each of
+    // the K survivors is its exact predecessor count in (cos_orig
+    // DESC, vec_id ASC) — one broadcast-K theta-join aggregate over
+    // the pinned cos0, value-identical to row_number by totality of
+    // the tie-broken order.
+    val topPrf = cosPrf.orderBy(desc("cos_prf"), asc("vec_id")).limit(VprfK)
       .withColumn("rank", row_number().over(
-        Window.orderBy(desc("cos_prf"), asc("vec_id"))))
-      .filter(col("rank") <= VprfK)
-      .join(rankedOrig, "vec_id")
+        Window.orderBy(desc("cos_prf"), asc("vec_id")))) // K-row window
+      .join(cos0, "vec_id") // attach the K survivors' cos_orig
+      .localCheckpoint() // K rows, read by the rank join and the output
+    val rankOrig = broadcast(topPrf.select(col("vec_id"), col("cos_orig")))
+      .join(cos0.select(col("cos_orig").as("yc"), col("vec_id").as("yv")),
+        col("yc") > col("cos_orig") ||
+          (col("yc") === col("cos_orig") && col("yv") < col("vec_id")), "left")
+      .groupBy("vec_id")
+      // row_number() is IntegerType — keep the contract schema
+      .agg((sum(when(col("yv").isNotNull, 1L).otherwise(0L)) + 1L)
+        .cast("int").as("rank_orig"))
+    topPrf
+      .join(rankOrig, "vec_id")
       .select(col("rank"), col("vec_id"), col("cos_prf"), col("cos_orig"),
         col("rank_orig"))
       .orderBy("rank")
@@ -2862,6 +2879,15 @@ object SimilarityQueries {
     ()
   }
 
+  /** ADVICE r15 note: with a pinned `a20`, `c1` is still recomputed
+    * in-query, so at an exact floating cosine tie the double-sum
+    * aggregation order could in principle make this c1 lane disagree
+    * with the assignment lane frozen in the km-a2 pin; the reported
+    * iter-1→2 centroid shift is therefore defined as "the pin-build's
+    * own c1-equivalent formula", relying on the 6-dp fence (and the
+    * row_number tiebreak on fenced cosine) to absorb tie noise — the
+    * oracle compare is green and ties are measure-zero on this
+    * corpus. */
   private[graft] def kmeansSeededOf(emb: DataFrame,
       a20: Option[DataFrame] = None): DataFrame = {
     val e = kmCoo(emb)

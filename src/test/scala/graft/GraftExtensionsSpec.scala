@@ -34,6 +34,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(one("SELECT simhash64('abcdef', 12)").isInstanceOf[Long])
       assert(one("SELECT size(shingle_stats('abcdef', 12))") == 3)
       assert(one("SELECT size(media_hist(encode('abcdef', 'UTF-8')))") == 129)
+      assert(one("SELECT sqdist_q(array(3L, -5L), array(1L, 2L))") == 53L)
       assert(one(
         "SELECT graft_might_contain(" +
           "(SELECT graft_bloom_agg(xxhash64(s), CAST(100 AS BIGINT), CAST(800 AS BIGINT))" +
