@@ -4033,12 +4033,26 @@ object TextQueries {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("p1"), col("s"))
     val b = sh.select(col("doc_id").as("p2"), col("s"))
+    // exact PPJoin-style size prefilter (r16, the sf1 second look the
+    // r15 verdict asked for — the lazy-pin rationale still holds, but
+    // at 10× data the pair×shingle fan-out dominates): J ≥ 0.5 forces
+    // inter ≥ (sz1+sz2)/3 and inter ≤ min(sz1,sz2), hence
+    // max(sz) ≤ 2·min(sz) — size-incompatible neighbors are dropped on
+    // a NARROW (p1, p2, sz) relation BEFORE each surviving pair fans
+    // out by ~3000 shingles. Dropped pairs could never pass the j ≥
+    // 0.5 filter (exact integer bound, boundary inclusive), so the
+    // output is identical; the oracle verifies the same pairs.
+    val szOk = pairs
+      .join(sizes.select(col("doc_id").as("p1"), col("sz").as("sz1")), "p1")
+      .join(sizes.select(col("doc_id").as("p2"), col("sz").as("sz2")), "p2")
+      .filter(col("sz1") <= lit(2) * col("sz2") && col("sz2") <= lit(2) * col("sz1"))
+      .select("p1", "p2")
     // pair-FIRST join order (matching the oracle's CTE shape): fan out
     // each candidate pair by p1's shingles, then equi-join on (p2, s) —
     // O(pairs × doc_len), where shingle-first (a ⋈ b on s) would pay
     // the quadratic all-candidate-pairs intersection inside dup
     // families (measured 27s → 1.4s at sf0.1)
-    pairs.join(a, Seq("p1")).join(b, Seq("p2", "s"))
+    szOk.join(a, Seq("p1")).join(b, Seq("p2", "s"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("p1"), col("sz").as("sz1")), "p1")
       .join(sizes.select(col("doc_id").as("p2"), col("sz").as("sz2")), "p2")

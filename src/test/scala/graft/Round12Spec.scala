@@ -14,11 +14,18 @@ class Round12Spec extends SparkSpec {
     df.collect().map(_.toString).toSeq
 
   private def pinEntries(): Int = {
-    // recursive file count: the r13 layout nests pins under a
-    // per-session token dir (pins/<token>/<tag>)
+    // recursive PIN-DIRECTORY count (the r13 layout nests pins under a
+    // per-session token dir, pins/<token>/<tag>.parquet): the invariant
+    // is storage bounded by pin SITES, so the unit is the pin dir — one
+    // per site — not the raw file count, which jitters with AQE's
+    // post-shuffle part-count decisions between reps (r16: a stats
+    // shift flipped one write's coalesce boundary and the exact file
+    // count diverged 908 → 914 with zero leaked sites)
     def walk(f: java.io.File): Int =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-      else 1
+      if (f.isDirectory) {
+        val self = if (f.getName.endsWith(".parquet")) 1 else 0
+        self + Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      } else 0
     walk(new java.io.File(s"${Tables.scratchDir}/pins"))
   }
 
