@@ -520,6 +520,14 @@ object MultimodalQueries {
       .select(col("doc_id"), col("band"), explode(expr(flips)).as("pv"))
     val cand = DedupQueries.asymBucketJoinPairs(indexBanded, probeBanded, Seq("band", "pv"))
       .distinct()
+    // NOTE (r16 optimization pass): the mediaNeardupOn two-phase
+    // verify (narrow Hamming join first, arrays only for survivors)
+    // was tried HERE too and MEASURED SLOWER (1.77 → ~2.1s at matched
+    // canary): the asymmetric candidate stream is batch-proportional —
+    // small enough that the second join's fixed cost exceeds the
+    // array-shuffle saving. Left single-phase on purpose; the
+    // symmetric all-pairs path (~1M candidates) keeps the two-phase
+    // shape.
     val l1x = expr("aggregate(zip_with(f1, f2, (a, b) -> abs(a * n2 - b * n1)), 0L, (acc, v) -> acc + v)")
     cand
       .join(corpus.select(col("media_id").as("d1"), col("feat").as("f1"),

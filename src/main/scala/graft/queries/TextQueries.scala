@@ -10296,15 +10296,16 @@ object TextQueries {
     * fence — no ln/exp anywhere. Docs with fewer than 2 tokens have
     * no bigram tier and are excluded (none exist in this corpus). */
   def selfBleu(spark: SparkSession, dir: String): DataFrame =
-    // the unigram tier rides the postings trunk (r16 optimization):
-    // its (doc, gram, count) relation IS the trunk's tf table and its
-    // gram totals ARE the trunk df's cf column — one of the two corpus
-    // tokenize+aggregate passes becomes two flat columnar reads. The
-    // bigram tier keeps its own pass (no other bigram consumer shares
-    // it, so a bigram trunk would cost its own one-time build for net
-    // zero at this consumer count).
-    selfBleuOf(Tables(spark, dir, "documents"),
-      Some(postingsTrunk(spark, dir)))
+    // NOTE (r16 optimization pass): riding the postings trunk for the
+    // unigram tier (tf ≡ dg, df.cf ≡ tot) was MEASURED SLOWER at sf0.1
+    // (0.98 → ~1.5s, consistent across reps at matched canary): the
+    // two trunk scans + differently-keyed join lose to the single
+    // fused tokenize pass whose dg/tot share one exchange in-plan.
+    // Reverted; the bigram tier likewise keeps its own pass (a bigram
+    // trunk would cost its own one-time build for net zero at two
+    // consumers). The `p0` hook below is kept for callers that already
+    // hold the index.
+    selfBleuOf(Tables(spark, dir, "documents"))
 
   private[graft] def selfBleuOf(docs: DataFrame,
       p0: Option[PostingsIndex] = None): DataFrame = {
